@@ -1,13 +1,655 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Ann, Dedup, EmbedQueue, Multimodal, SearchEngine, TextAnalysis}
+import graft.query.{Filter, FilterOp, FilterValue, QueryBuilder}
+
+/** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
+  * smoke query; `queries` is one entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions); `oracleSql` is
+  * the DuckDB-equivalent SQL for every SQL-expressible query.
+  *
+  * Determinism rules used throughout (so hash-compare against DuckDB is
+  * exact, not approximate):
+  *  - every query has a total ORDER BY (unique-key tiebreak);
+  *  - double aggregates go through exact decimal accumulation, then cast
+  *    back to double (both engines produce the identical double);
+  *  - per-element double arithmetic (dot products etc.) is sequential and
+  *    index-ordered in both engines — bit-identical results;
+  *  - hashes are md5-based (never JVM-specific murmur).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = DecimalType(28, 8)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+  private def ts(x: String): Column = to_timestamp(lit(x))
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read nanos as long and convert with exact integer division
+    * (a double roundtrip would lose precision above 2^53 ns). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** embeddings.parquet -> the engine's store schema (SURVEY.md §1.3):
+    * id/post_id from vec_id, derived sketch + magnitude. */
+  def embStore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id").as("id"),
+      col("vec_id").as("post_id"),
+      lit(0).as("sequence_no"),
+      col("embedding").as("vector"),
+      col("label"),
+      packSignBits(col("embedding")).as("binary_code"),
+      vecMagnitude(col("embedding")).as("magnitude"))
+
+  /** documents.parquet standing in for wp_posts (FIXTURES.md §A). */
+  def docsAsPosts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumnRenamed("doc_id", "ID")
+
+  /** documents attributes as a postmeta-shaped EAV frame. */
+  def docsAsMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id").as("post_id"), lit("lang").as("meta_key"), col("lang").as("meta_value"))
+      .unionByName(d.select(col("doc_id").as("post_id"), lit("source").as("meta_key"),
+        col("source").as("meta_value")))
+      .unionByName(d.select(col("doc_id").as("post_id"), lit("n_chars").as("meta_key"),
+        col("n_chars").cast(StringType).as("meta_value")))
+  }
+
+  /** Flagship: the reference's two-phase ANN search (`VectorTable::search`,
+    * src/VectorTable.php:73-233) with a relational pre-filter and an
+    * attribute sort, on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = embStore(spark, dir)
+    val posts = docsAsPosts(spark, dir)
+    val meta = docsAsMeta(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val builder = QueryBuilder()
+      .withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+      .withSort(graft.query.Sort("n_chars", graft.query.SortDir.Desc))
+    SearchEngine.search(emb, posts, meta, q, n = 5, builder = builder)
+  }
+
+  // ======================================================================
+  // queries + oracles
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S1-S6, P1-P6) ----
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_point_lookup" -> ((s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") === 4242)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))),
+    "q03_ids_lookup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q04_range_scan" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-03-01 00:00:00") && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q05_like_scan" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))),
+    "q06_in_scan" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))),
+    // ---- joins (J1-J6) ----
+    "q07_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      t(s, d, "customer")
+        .join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+    }),
+    "q08_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))),
+    "q09_left_join_count" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      t(s, d, "customer").join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q10_revenue_by_nation" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q11_brand_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("p_brand"))),
+    // ---- aggregation / distinct / sets (A1-A6) ----
+    "q12_distinct_pairs" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q13_topk_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)),
+    "q14_latest_order_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("order_epoch"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q15_pagination" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(25)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+    "q16_priority_claim" -> ((s, d) =>
+      // the queue claim-order shape (T6, VectorTableQueue.php:195-202) on events
+      events(s, d)
+        .orderBy(
+          when(col("event_type") === "error", 0)
+            .when(col("event_type") === "purchase", 1).otherwise(2).asc,
+          col("ts").asc, col("event_id").asc)
+        .limit(25)
+        .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))),
+    "q17_status_counts" -> ((s, d) =>
+      // one-pass conditional counts (A2, VectorTableQueue.php:293-303)
+      events(s, d).agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))),
+    "q18_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d).filter(col("user_id") < 50)
+        .withColumn("running_value", round(sum(col("value")).over(w), 6))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q19_eav_exists" -> ((s, d) => {
+      // EAV EXISTS predicate shape (P7, Filter.php:96-100): events as EAV
+      val hits = events(s, d)
+        .filter(col("event_type") === "error" && col("value") > 450)
+        .select(col("user_id")).distinct()
+      hits.orderBy(col("user_id"))
+    }),
+    "q20_eav_max_per_user" -> ((s, d) =>
+      // MAX-collapse per key (A3/J4, VectorTable.php:203)
+      events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(max(col("value")).as("max_purchase"))
+        .orderBy(col("user_id"))),
+    "q21_union_sets" -> ((s, d) => {
+      val e = events(s, d)
+      e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
+        .union(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+        .distinct().orderBy(col("user_id"))
+    }),
+    "q22_count_star" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n_lineitem"))),
+    "q23_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15).orderBy(col("o_custkey"))),
+    "q24_order_by_field" -> ((s, d) => {
+      // ORDER BY FIELD(id, ...) rewrite (S3/T4, VectorTable.php:266)
+      import s.implicits._
+      val ids = Seq(13L, 5L, 21L, 1L).zipWithIndex.toDF("o_orderkey", "__ord")
+      t(s, d, "orders").join(broadcast(ids), Seq("o_orderkey"))
+        .orderBy(col("__ord"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+    // ---- vector core (V1-V6, §2.6) ----
+    "q30_vec_magnitude" -> ((s, d) =>
+      embStore(s, d).select(col("id").as("vec_id"), col("magnitude"))
+        .orderBy(col("vec_id"))),
+    "q31_vec_normalize_head" -> ((s, d) => {
+      val nv = vecNormalize(col("embedding"))
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        element_at(nv, 1).as("e1"),
+        element_at(nv, 2).as("e2"),
+        element_at(nv, 3).as("e3"))
+        .orderBy(col("vec_id"))
+    }),
+    "q32_sign_stats" -> ((s, d) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        col("label"))
+        .orderBy(col("vec_id"))),
+    "q33_hamming_anchor" -> ((s, d) => {
+      val anchor = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      embStore(s, d).select(
+        col("id").as("vec_id"),
+        hammingDist(col("binary_code"), lit(SearchEngine.packQuery(anchor))).as("hamming"))
+        .orderBy(col("vec_id"))
+    }),
+    "q34_cosine_topk" -> ((s, d) => {
+      val anchor = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", anchor, 20)
+    }),
+    "q35_knn_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Ann.knnJoin(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q36_lsh_buckets" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .groupBy(Ann.signBucket(col("embedding"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+    "q37_search_e2e" -> ((s, d) => {
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val builder = QueryBuilder().withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+      SearchEngine.search(embStore(s, d), docsAsPosts(s, d), docsAsMeta(s, d), q,
+        n = 5, builder = builder)
+        .select(col("id"), col("hamming_distance"), col("cosine_similarity"))
+    }),
+    // ---- dedup / text analysis (pipeline extensions) ----
+    "q40_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "q41_exact_dup_groups" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("fp"))),
+    "q42_minhash_sig" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(col("text"), 3, 4)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
+        element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+        .orderBy(col("doc_id"))
+    }),
+    "q43_band_buckets" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(col("text"), 3, 4)
+      t(s, d, "documents")
+        .select(substring(element_at(sig, 1), 1, 2).as("band_key"))
+        .groupBy(col("band_key")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("band_key"))
+    }),
+    "q44_simhash16" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+    "q45_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .filter(col("id2") <= 499) // consecutive-doc pairs
+      Dedup.jaccardVerify(pairs, docs, "doc_id", col("text"), 3)
+        .orderBy(col("id1"))
+    }),
+    "q46_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        prefixBits = 8, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))),
+    "q47_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q48_quality" -> ((s, d) =>
+      TextAnalysis.qualityMetrics(t(s, d, "documents"), col("text"))
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("score"))
+        .orderBy(col("doc_id"))),
+    "q49_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        TextAnalysis.approxBpeCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+    "q50_multimodal_stats" -> ((s, d) =>
+      Multimodal.payloadStats(Multimodal.fromText(t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id"))),
+    // ---- streaming-shaped (windowed aggregation over event time) ----
+    "q51_event_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("bucket_start"), col("event_type"))),
+    "q52_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))))
+
+  // ======================================================================
+
+  private val mdNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** DuckDB-runnable equivalents. Column aliases MUST match the Spark side
+    * (driver sorts columns by name before hashing). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey = 4242""",
+    "q03_ids_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_orderkey IN (1,2,3,5,8,13,21,34) ORDER BY l_orderkey, l_linenumber""",
+    "q04_range_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q05_like_scan" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE p_name LIKE '%red%' ORDER BY p_partkey""",
+    "q06_in_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment IN ('BUILDING','MACHINERY') ORDER BY c_custkey""",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q09_left_join_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE), 0.0) AS total_spend
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q10_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q11_brand_revenue" ->
+      """SELECT p_brand,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q12_distinct_pairs" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "q13_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q14_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "q15_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 100""",
+    "q16_priority_claim" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events
+         ORDER BY CASE WHEN event_type = 'error' THEN 0
+                       WHEN event_type = 'purchase' THEN 1 ELSE 2 END,
+                  ts ASC, event_id ASC LIMIT 25""",
+    "q17_status_counts" ->
+      """SELECT COUNT(*) AS total,
+         COUNT(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+         COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+         COUNT(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+         COUNT(CASE WHEN event_type='error' THEN 1 END) AS n_error
+         FROM events""",
+    "q18_running_sum" ->
+      """SELECT event_id, user_id,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+         FROM events WHERE user_id < 50 ORDER BY user_id, event_id""",
+    "q19_eav_exists" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'error' AND value > 450 ORDER BY user_id""",
+    "q20_eav_max_per_user" ->
+      """SELECT user_id, MAX(value) AS max_purchase FROM events
+         WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id""",
+    "q21_union_sets" ->
+      """SELECT DISTINCT user_id FROM (
+           SELECT user_id FROM events WHERE event_type='purchase' AND value > 400
+           UNION SELECT user_id FROM events WHERE event_type='error' AND value > 400)
+         ORDER BY user_id""",
+    "q22_count_star" -> "SELECT COUNT(*) AS n_lineitem FROM lineitem",
+    "q23_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+         GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+    "q24_order_by_field" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (13,5,21,1)
+         ORDER BY CASE o_orderkey WHEN 13 THEN 0 WHEN 5 THEN 1 WHEN 21 THEN 2 ELSE 3 END""",
+    "q30_vec_magnitude" ->
+      """SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+           FROM unnest(embedding) AS t(x))) AS magnitude
+         FROM embeddings ORDER BY vec_id""",
+    "q31_vec_normalize_head" ->
+      """WITH m AS (SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings)
+         SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) / (CASE WHEN mag = 0 THEN 1e-10 ELSE mag END) AS e1,
+           CAST(embedding[2] AS DOUBLE) / (CASE WHEN mag = 0 THEN 1e-10 ELSE mag END) AS e2,
+           CAST(embedding[3] AS DOUBLE) / (CASE WHEN mag = 0 THEN 1e-10 ELSE mag END) AS e3
+         FROM m ORDER BY vec_id""",
+    "q32_sign_stats" ->
+      """SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, label
+         FROM embeddings ORDER BY vec_id""",
+    "q33_hamming_anchor" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           CAST((SELECT COUNT(*) FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z
+            WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming
+         FROM embeddings e ORDER BY e.vec_id""",
+    "q34_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id, ROUND(
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12), 6) AS cosine
+         FROM embeddings e
+         ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""",
+    "q35_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM (SELECT unnest(d.embedding) AS x, unnest(q.embedding) AS y) z)
+             / (d.mag * q.mag + 1e-12) AS c
+           FROM e q, e d WHERE q.vec_id < 5 AND d.vec_id >= 5),
+         ranked AS (SELECT query_id, neighbor_id, c,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q37_search_e2e" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id AS id, e.embedding FROM embeddings e
+           JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+         ham AS (SELECT c.id, c.embedding,
+             CAST((SELECT COUNT(*) FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z
+               WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming_distance
+           FROM cand c),
+         top_ham AS (SELECT * FROM ham ORDER BY hamming_distance ASC, id ASC LIMIT 50),
+         cos AS (SELECT t.id, t.hamming_distance,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                FROM q, LATERAL (SELECT unnest(t.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(t.embedding) AS t2(x)))
+              * (SELECT qmag FROM q) + 1e-12) AS cosine_similarity
+           FROM top_ham t),
+         top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25)
+         SELECT id, hamming_distance, cosine_similarity FROM top_cos
+         ORDER BY cosine_similarity DESC, id ASC LIMIT 5""",
+    "q46_embedding_neardup" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id1, b2.vec_id AS id2,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM (SELECT unnest(a.embedding) AS x, unnest(b2.embedding) AS y) z)
+           / (a.mag * b2.mag + 1e-12) AS c
+           FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         SELECT id1, id2, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.3
+         ORDER BY id1, id2""",
+    "q36_lsh_buckets" ->
+      """SELECT list_aggregate(list_transform(embedding[1:12],
+           x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket,
+         COUNT(*) AS n FROM embeddings GROUP BY bucket ORDER BY bucket""",
+    "q40_fingerprint" ->
+      s"SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fp FROM documents ORDER BY doc_id",
+    "q41_exact_dup_groups" ->
+      s"""SELECT substr(md5($mdNorm), 1, 16) AS fp, COUNT(*) AS dup_count,
+          MIN(doc_id) AS canonical_id FROM documents GROUP BY fp ORDER BY fp""",
+    "q42_minhash_sig" -> {
+      def m(seed: Int) =
+        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
+            i -> substr(md5('$seed:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
+      s"""SELECT doc_id, ${m(0)} AS m0, ${m(1)} AS m1, ${m(2)} AS m2, ${m(3)} AS m3
+          FROM documents ORDER BY doc_id"""
+    },
+    "q43_band_buckets" -> {
+      val m0 =
+        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
+            i -> substr(md5('0:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
+      s"""SELECT substr($m0, 1, 2) AS band_key, COUNT(*) AS n_docs
+          FROM documents GROUP BY band_key ORDER BY band_key"""
+    },
+    "q44_simhash16" -> {
+      val bits = (0 until 16).map { b =>
+        s"""(CASE WHEN list_sum(list_transform($toksSql,
+            t -> CASE WHEN substr(md5(t), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents ORDER BY doc_id"
+    },
+    "q45_jaccard_pairs" -> {
+      val sh =
+        s"""list_distinct(list_transform(range(0, len($toksSql) - 2),
+            i -> list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+3 AS INT))))"""
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 6) AS jaccard
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+          ORDER BY id1"""
+    },
+    "q47_langid" -> {
+      val hit: Map[String, String] = TextAnalysis.stopwords.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(",")
+        lang -> s"len(list_filter($toksSql, t -> t IN ($inList)))"
+      }
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val greatest = s"greatest(${langs.map(hit).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN ${hit(l)} = __g THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, CASE WHEN __g = 0 THEN 'und' $cases END AS lang_pred FROM (
+          SELECT doc_id, text, $greatest AS __g FROM documents) ORDER BY doc_id"""
+    },
+    "q48_quality" -> {
+      val nTok = s"len($toksSql)"
+      val nChars = "length(text)"
+      val punct = s"""($nChars - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}]', '', 'g')))"""
+      val stopList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+      val stopHits = s"len(list_filter($toksSql, t -> t IN ($stopList)))"
+      s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
+          ROUND(CAST($punct AS DOUBLE) / greatest($nChars, 1), 6) AS punct_ratio,
+          ROUND(CAST($stopHits AS DOUBLE) / greatest($nTok, 1), 6) AS stopword_ratio,
+          ROUND(0.5 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+            + 0.5 * least(CAST($stopHits AS DOUBLE) / greatest(CAST($nTok AS DOUBLE), 1.0) * 5.0, 1.0)
+            - 0.25 * least(CAST($punct AS DOUBLE) / greatest(CAST($nChars AS DOUBLE), 1.0) * 5.0, 1.0), 6) AS score
+          FROM documents ORDER BY doc_id"""
+    },
+    "q49_token_counts" -> {
+      val nTok = s"len($toksSql)"
+      val bpe = s"list_sum(list_transform($toksSql, t -> greatest(CAST(ceil(length(t) / 4.0) AS BIGINT), 1)))"
+      s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens, CAST($bpe AS BIGINT) AS n_bpe
+          FROM documents ORDER BY doc_id"""
+    },
+    "q50_multimodal_stats" ->
+      """SELECT doc_id AS media_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_md5 FROM documents ORDER BY media_id""",
+    "q51_event_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY bucket_start, event_type ORDER BY bucket_start, event_type""",
+    "q52_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY k_mod ORDER BY k_mod""")
 }

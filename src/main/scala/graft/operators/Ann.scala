@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, trading recall for scan cost at 100 TB:
+  *  1. [[bruteForceTopK]] — exact cosine over every row; one pass, no
+  *     shuffle except the final TakeOrdered merge. The correctness
+  *     baseline.
+  *  2. [[knnJoin]] — exact k-NN for a *set* of query points: broadcast the
+  *     query side, per-partition scoring, per-query top-k via window.
+  *  3. [[lshTopK]] — sign-bit prefix bucketing (random-hyperplane LSH with
+  *     the identity basis, i.e. the reference's own binary-sketch idea,
+  *     `src/VectorTable.php:482-487`): probe only buckets within small
+  *     hamming distance of the query's bucket, then exact rerank. Scan cost
+  *     drops from O(N) to O(N * buckets_probed / 2^bits).
+  */
+object Ann {
+
+  /** Exact cosine top-k against one query vector. orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition heap, single merge — the
+    * distributed form of the reference's CosimMaxHeap
+    * (`src/VectorTable.php:18-22`). */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = lit(query).cast(ArrayType(FloatType))
+    val qMag = SearchEngine.magnitudeOf(query)
+    embs
+      .withColumn("cosine",
+        vecDot(col(vecCol), q) / (vecMagnitude(col(vecCol)) * lit(qMag) + lit(CosineEps)))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact k-NN join: for every query row, its top-k neighbors among data
+    * rows. Query side is broadcast (small); scoring is map-side only;
+    * the per-query top-k window shuffles on query id — k*|Q| rows, not
+    * |Q|*|N|. */
+  def knnJoin(queries: DataFrame, data: DataFrame, qId: String, dId: String,
+      qVec: String, dVec: String, k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(queries.select(
+        col(qId).as("query_id"), col(qVec).as("__qv"))))
+      .withColumn("cosine", vecCosine(col(dVec), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(dId).asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(dId).as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Sign-bit prefix bucket key (first `bits` dimensions). */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat_ws("", (0 until bits).map(i =>
+      when(element_at(vec, i + 1) > 0f, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed ANN: probe the query's bucket plus all buckets within
+    * `probeHamming` sign-bit flips, exact-rerank inside. With b bits and
+    * p probes, the expected scan fraction is sum_{i<=p} C(b,i) / 2^b. */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, bits: Int = 12, probeHamming: Int = 1): DataFrame = {
+    val qBucket = (0 until bits).map(i => if (query(i) > 0f) "1" else "0").mkString
+    val probes = bucketsWithin(qBucket, probeHamming)
+    val candidates = embs
+      .withColumn("__bucket", signBucket(col(vecCol), bits))
+      .filter(col("__bucket").isin(probes: _*))
+    bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+
+  /** All bucket strings within hamming distance `maxFlips` of `bucket`. */
+  def bucketsWithin(bucket: String, maxFlips: Int): Seq[String] = {
+    def flips(s: String, from: Int, left: Int): Seq[String] =
+      if (left == 0) Seq(s)
+      else Seq(s) ++ (from until s.length).flatMap { i =>
+        val flipped = s.updated(i, if (s(i) == '1') '0' else '1')
+        flips(flipped, i + 1, left - 1).filterNot(_ == s)
+      }
+    flips(bucket, 0, maxFlips).distinct
+  }
+
+  /** IVF-style coarse quantizer: assign each vector to its nearest of
+    * `centroids` (broadcast), store as a partition key. Queries then scan
+    * only `nprobe` nearest inverted lists. Centroid training is caller's
+    * choice (e.g. per-label means or a KMeans fit); assignment here is the
+    * scale-relevant part — one broadcast pass, no shuffle. */
+  def ivfAssign(embs: DataFrame, vecCol: String, centroids: Seq[Array[Float]]): DataFrame = {
+    val cents = array(centroids.map(c => lit(c).cast(ArrayType(FloatType))): _*)
+    val best = array_position(
+      transform(cents, c => vecDot(col(vecCol), c)),
+      array_max(transform(cents, c => vecDot(col(vecCol), c))))
+    embs.withColumn("ivf_list", (best - 1).cast(IntegerType))
+  }
+}

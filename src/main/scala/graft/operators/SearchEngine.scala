@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+import graft.model.SearchConfig
+import graft.query.{QueryBuilder, QueryCompiler}
+
+/** The flagship two-phase ANN search (`src/VectorTable.php:73-233`,
+  * SURVEY.md §3.1), re-expressed as ONE lazily-composed DataFrame plan.
+  *
+  * The reference makes 3 PHP<->MySQL round-trips with full candidate
+  * materialization in client memory between stages; here the stages chain
+  * inside a single Spark job:
+  *
+  *   stage 0  binarize the query vector driver-side (64 longs max — trivial)
+  *   stage 1  candidate filter: posts x postmeta predicate -> semi join
+  *            (broadcast: candidate id set is small by construction)
+  *   stage 2  hamming prefilter: codegen XOR/popcount over the packed
+  *            sketch, top-(10n) via orderBy+limit -> TakeOrderedAndProject
+  *            (per-partition heap + single merge — the distributed version
+  *            of the reference's SplMinHeap, `VectorTable.php:122-146`)
+  *   stage 3  exact cosine rerank over only 10n rows, top-(5n)
+  *   stage 4  optional attribute sort (posts/meta keys), final limit n
+  *
+  * Column pruning matters at scale: stages 1-2 never touch the wide
+  * `vector` column — only `id`/`post_id`/`binary_code` (3 cols) are read
+  * from Parquet until the 10n-row rerank fetches vectors.
+  */
+object SearchEngine {
+
+  /** Derive the packed sign-bit sketch of a query vector (stage 0,
+    * `VectorTable.php:96`). */
+  def packQuery(q: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((q.length + 63) / 64)
+    var i = 0
+    while (i < q.length) {
+      if (q(i) > 0f) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    words
+  }
+
+  def magnitudeOf(q: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Full search plan. `embeddings` must carry the store schema
+    * (id, post_id, binary_code, vector, magnitude, ...).
+    * Returns (id, hamming_distance, cosine_similarity) ordered by the
+    * reference's output contract: sorted ids if the builder sorts, else
+    * cosine-descending (`VectorTable.php:222-231`).
+    * Ties break on id — the reference's heap order is insertion-dependent
+    * (SURVEY.md §7 decision log); we make it deterministic. */
+  def search(
+      embeddings: DataFrame,
+      posts: DataFrame,
+      postmeta: DataFrame,
+      queryVec: Array[Float],
+      n: Int = 5,
+      builder: QueryBuilder = QueryBuilder(),
+      cfg: SearchConfig = SearchConfig()): DataFrame = {
+
+    val qBits = packQuery(queryVec)
+    val qMag = magnitudeOf(queryVec)
+    val qVecLit = lit(queryVec).cast(ArrayType(FloatType))
+    val qBitsLit = lit(qBits)
+
+    // stage 1: candidate posts (only if filters present — matches
+    // VectorTable.php:112-114 which always scopes by post type; post-type
+    // scoping is a caller-supplied filter group here)
+    val candidates =
+      if (builder.hasFilters) {
+        val ids = QueryCompiler.candidatePosts(posts, postmeta, builder)
+        // candidate sets are small by construction (<= stage1Limit);
+        // broadcast keeps the embeddings scan shuffle-free
+        embeddings.join(broadcast(ids), Seq("post_id"), "left_semi")
+      } else embeddings
+    val staged = candidates.limit(math.min(cfg.stage1Limit, Int.MaxValue).toInt)
+
+    // stage 2: hamming top-(10n); reads only (id, post_id, binary_code)
+    val hamming = staged
+      .select(col("id"), col("post_id"), col("binary_code"))
+      .withColumn("hamming_distance", hammingDist(col("binary_code"), qBitsLit))
+      .orderBy(col("hamming_distance").asc, col("id").asc)
+      .limit(cfg.stage2Factor * n)
+      .select(col("id"), col("post_id"), col("hamming_distance"))
+
+    // stage 3: cosine rerank over 10n rows — fetch vectors for just those
+    // ids (broadcast semi join against the tiny survivor set), exactly the
+    // reference's `WHERE id IN (...)` refetch (VectorTable.php:157)
+    val rerankInput = embeddings
+      .select(col("id").as("__rid"), col("vector"), col("magnitude"))
+      .join(broadcast(hamming), col("__rid") === hamming("id"), "inner")
+      .drop("__rid")
+    val cosine = rerankInput
+      .withColumn("cosine_similarity",
+        vecDot(col("vector"), qVecLit) / (col("magnitude") * lit(qMag) + lit(CosineEps)))
+      .orderBy(col("cosine_similarity").desc, col("id").asc)
+      .limit(cfg.stage3Factor * n)
+      .select(col("id"), col("post_id"), col("hamming_distance"), col("cosine_similarity"))
+
+    // stage 4: optional attribute sort (VectorTable.php:195-217), final n.
+    // Rename the posts join key first: Spark's case-insensitive resolver
+    // would otherwise see posts.ID and our output id as ambiguous.
+    val sorted =
+      if (builder.hasSorts) {
+        val attrs = posts.withColumnRenamed("ID", "__post_ID")
+        val joined = cosine
+          .join(broadcast(attrs), cosine("post_id") === col("__post_ID"), "left")
+          .drop("__post_ID")
+        val withMeta = QueryCompiler.withMetaSortKeys(joined, postmeta, builder.metaSortKeys)
+        val resolve: String => Column = f => withMeta(f)
+        withMeta
+          .orderBy(QueryCompiler.sortColumns(builder, resolve) :+ col("id").asc: _*)
+          .select(col("id"), col("post_id"), col("hamming_distance"), col("cosine_similarity"))
+      } else cosine.orderBy(col("cosine_similarity").desc, col("id").asc)
+
+    sorted.limit(n)
+  }
+}

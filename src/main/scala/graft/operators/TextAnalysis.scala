@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, token counting,
+  * and document fingerprinting. All pure `Column` compositions (codegen'd
+  * built-ins, no UDFs) so they scale linearly with no shuffle — per-row maps
+  * over the corpus, pushdown-friendly.
+  *
+  * Everything here is engine-side extension beyond the reference (which has
+  * no text ops); semantics are chosen to be deterministic and
+  * cross-engine-reproducible (md5-based hashing, not JVM/murmur hashing) so
+  * the DuckDB oracle can verify them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer over lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword count approximation: whitespace tokens plus extra
+    * units for long words (a word of length L contributes ceil(L/4)
+    * units, floor 1) — a cheap stand-in for a real tokenizer's
+    * token-per-~4-chars behavior. */
+  def approxBpeCount(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t) / lit(4.0)).cast(LongType), lit(1L)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public knowledge (standard closed-class words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "en"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las", "un", "una", "del", "en"),
+    "de" -> Seq("der", "die", "das", "und", "den", "von", "zu", "mit", "ein", "im"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language-ID: argmax of stopword hits, deterministic tie-break by
+    * language code ('und' when nothing matches). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then max lang code —
+    // flip lang ordering via reverse sort below for a stable smallest-code
+    // winner on ties
+    val best = array_max(array(scored.map(s =>
+      struct(s.getField("hits").as("hits"),
+        // invert code ordering so ties pick the alphabetically-first lang
+        lit(255.toChar.toString).as("pad"), s.getField("lang").as("lang"))): _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality metrics (length / punctuation / stopword ratios). */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[\\.,;:!\\?'\"()\\[\\]{}]", ""))
+    val stopHits = hitCount(toks, stopwords("en"))
+    df.withColumn("n_chars_m", nChars.cast(LongType))
+      .withColumn("n_tokens", nTokens.cast(LongType))
+      .withColumn("avg_token_len",
+        round(nChars.cast(DoubleType) / greatest(nTokens, lit(1)).cast(DoubleType), 6))
+      .withColumn("punct_ratio",
+        round(punct.cast(DoubleType) / greatest(nChars, lit(1)).cast(DoubleType), 6))
+      .withColumn("stopword_ratio",
+        round(stopHits.cast(DoubleType) / greatest(nTokens, lit(1)).cast(DoubleType), 6))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, some
+    * stopwords, low punctuation noise. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val stopRatio = hitCount(toks, stopwords("en")).cast(DoubleType) /
+      greatest(nTokens, lit(1.0))
+    val lengthScore = least(nTokens / lit(64.0), lit(1.0))
+    val punct = nChars - length(regexp_replace(text, "[\\.,;:!\\?'\"()\\[\\]{}]", "")).cast(DoubleType)
+    val punctPenalty = least(punct / greatest(nChars, lit(1.0)) * lit(5.0), lit(1.0))
+    round(lit(0.5) * lengthScore + lit(0.5) * least(stopRatio * lit(5.0), lit(1.0)) -
+      lit(0.25) * punctPenalty, 6)
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5 over the
+    * whitespace-normalized lowercased text. Cross-engine-stable dedup key
+    * (md5 is identical everywhere; JVM murmur is not). */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+
+  /** Polynomial rolling hash (base 31, mod 2^61-1) over the normalized
+    * text — the classic streaming fingerprint; engine-side alternative to
+    * [[fingerprint]] when a numeric key is preferred. */
+  def rollingHash(text: Column): Column = {
+    val M = 2305843009213693951L // 2^61 - 1
+    aggregate(
+      split(regexp_replace(lower(trim(text)), "\\s+", " "), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L)), lit(M)))
+  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by single spaces). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}
