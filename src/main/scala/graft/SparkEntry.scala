@@ -650,6 +650,7 @@ object SparkEntry {
          FROM events GROUP BY bucket_start, event_type ORDER BY bucket_start, event_type""",
     "q52_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-         COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY k_mod ORDER BY k_mod""")
 }

@@ -42,20 +42,19 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
-  /** Language-ID: argmax of stopword hits, deterministic tie-break by
-    * language code ('und' when nothing matches). */
+  /** Language-ID: argmax of stopword hits; ties pick the alphabetically-
+    * FIRST language code ('und' when nothing matches) — same rule as an
+    * ordered CASE chain over sorted languages. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    val langs = stopwords.keys.toSeq.sorted
+    // struct compares field-by-field: hits first, then an inverted rank so
+    // the max struct on equal hits belongs to the alphabetically-first lang
+    val scored = langs.zipWithIndex.map { case (lang, i) =>
+      struct(hitCount(toks, stopwords(lang)).as("hits"),
+        lit(langs.size - i).as("inv_rank"), lit(lang).as("lang"))
     }
-    // array_max on (hits, lang) structs: max hits, then max lang code —
-    // flip lang ordering via reverse sort below for a stable smallest-code
-    // winner on ties
-    val best = array_max(array(scored.map(s =>
-      struct(s.getField("hits").as("hits"),
-        // invert code ordering so ties pick the alphabetically-first lang
-        lit(255.toChar.toString).as("pad"), s.getField("lang").as("lang"))): _*))
+    val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
