@@ -299,28 +299,32 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
     "q41_exact_dup_groups" -> ((s, d) =>
+      // fingerprint projected before the groupBy: the md5+regex runs once
+      // per row, not in both the partial- and final-agg key paths
       t(s, d, "documents")
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
         .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
         .orderBy(col("fp"))),
-    "q42_minhash_sig" -> ((s, d) => {
-      val sig = Dedup.minhashSignature(col("text"), 3, 4)
-      t(s, d, "documents").select(
-        col("doc_id"),
-        element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
-        element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
-        .orderBy(col("doc_id"))
-    }),
-    "q43_band_buckets" -> ((s, d) => {
-      val sig = Dedup.minhashSignature(col("text"), 3, 4)
-      t(s, d, "documents")
-        .select(substring(element_at(sig, 1), 1, 2).as("band_key"))
+    "q42_minhash_sig" -> ((s, d) =>
+      // staged tokens->shingles->signature (Dedup perf invariant: no
+      // inline tokenizer under HOF lambdas)
+      Dedup.withMinhashSignature(t(s, d, "documents"), col("text"), 3, 4)
+        .select(
+          col("doc_id"),
+          element_at(col("sig"), 1).as("m0"), element_at(col("sig"), 2).as("m1"),
+          element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
+        .orderBy(col("doc_id"))),
+    "q43_band_buckets" -> ((s, d) =>
+      Dedup.withMinhashSignature(t(s, d, "documents"), col("text"), 3, 4)
+        .select(substring(element_at(col("sig"), 1), 1, 2).as("band_key"))
         .groupBy(col("band_key")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("band_key"))
-    }),
+        .orderBy(col("band_key"))),
     "q44_simhash16" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      // staged per-token md5 array: 16 bit-votes scan one materialized
+      // array instead of re-hashing every token 16 times
+      Dedup.withSimhash16(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
     "q45_jaccard_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -330,8 +334,10 @@ object SparkEntry {
         .orderBy(col("id1"))
     }),
     "q46_embedding_neardup" -> ((s, d) =>
+      // single 8-bit band reproduces the prefix-bucket shape the oracle
+      // mirrors; the scale default is multi-band (see q53)
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        prefixBits = 8, threshold = 0.3)
+        bandBits = 8, numBands = 1, threshold = 0.3)
         .orderBy(col("id1"), col("id2"))),
     "q47_langid" -> ((s, d) =>
       t(s, d, "documents")

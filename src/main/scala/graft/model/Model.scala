@@ -97,7 +97,15 @@ object QueueJob {
   * (`src/VectorTable.php:73,81-83` / BASELINE.md). */
 final case class SearchConfig(
     vectorLength: Int = 1024,          // VectorTable.php:37
-    stage1Limit: Long = 1000000L,      // VectorTable.php:81
+    /** The reference's stage-1 LIMIT 1,000,000 (`VectorTable.php:81,117`)
+      * is a MySQL safety valve that silently — and nondeterministically —
+      * truncates the candidate set. A distributed engine doesn't need the
+      * valve, so it defaults OFF; when set, the cap is applied
+      * deterministically (lowest ids win, via TakeOrderedAndProject — a
+      * per-partition heap, not a single-partition GlobalLimit funnel).
+      * Documented divergence: the reference's subset is index-order
+      * arbitrary. */
+    stage1Limit: Option[Long] = None,
     stage2Factor: Int = 10,            // VectorTable.php:82  (10 * n)
     stage3Factor: Int = 5,             // VectorTable.php:83  (5 * n)
     defaultN: Int = 5)                 // VectorTable.php:73

@@ -16,34 +16,52 @@ import graft.functions.VectorFunctions
   *  - SimHash: one 64-bit sketch per doc (see [[graft.functions.SimHash64]]),
   *    near-dup = hamming <= t within LSH-style prefix buckets;
   *  - n-gram Jaccard: exact verify step over candidate pairs only;
-  *  - embedding cosine: near-dup over vectors, bucketed by sign-bit prefix.
+  *  - embedding cosine: near-dup over vectors, bucketed by sign-bit bands.
   *
   * Hashes are md5-derived (cross-engine deterministic) rather than JVM
   * murmur, so every step is DuckDB-oracle-verifiable.
+  *
+  * Perf invariant: heavy per-row arrays (tokens, shingles, md5s,
+  * signatures) are ALWAYS materialized as their own projection before
+  * being consumed more than once — codegen does no common-subexpression
+  * elimination inside HOF lambdas, so an inline `tokens(text)` under a
+  * `transform` re-splits the text per element (measured 87s -> ~4s on the
+  * sf0.1 banding query). The `with*` DataFrame methods below encode that
+  * staging; the bare `Column` builders remain for single-use sites and
+  * oracle parity.
   */
 object Dedup {
-  import TextAnalysis.{shingles, tokens}
+  import TextAnalysis.{shinglesFromTokens, tokens}
 
-  /** Exact-dup groups: fingerprint -> (count, canonical doc = min id). */
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact-dup groups: fingerprint -> (count, canonical doc = min id).
+    * The fingerprint is projected before the groupBy so the normalize+md5
+    * runs once per row, not again in the partial and final agg key paths. */
   def exactDupGroups(docs: DataFrame, idCol: String, text: Column): DataFrame =
     docs
-      .groupBy(TextAnalysis.fingerprint(text).as("fp"))
+      .select(col(idCol), TextAnalysis.fingerprint(text).as("fp"))
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("canonical_id"))
       .filter(col("dup_count") > 1)
 
   /** Exact dedup: keep one doc (min id) per fingerprint. */
   def exactDedup(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextAnalysis.fingerprint(text)).orderBy(col(idCol).asc)
-    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    docs.withColumn("__fp", TextAnalysis.fingerprint(text))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__fp")
   }
 
-  /** MinHash signature: for each seed, min over shingles of
-    * `substr(md5(seed || ':' || shingle), 1, 16)`. A lexicographic min of
-    * md5 hex strings is a perfectly good hash family and is reproducible
-    * in any engine with md5. Empty shingle sets get a sentinel. */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleN)
+  // ---- MinHash / LSH ----------------------------------------------------
+
+  /** Per-seed min-hash over a materialized shingle array:
+    * min over shingles of `substr(md5(seed || ':' || shingle), 1, 16)`.
+    * A lexicographic min of md5 hex strings is a perfectly good hash
+    * family and is reproducible in any engine with md5. Empty shingle
+    * sets get a sentinel. */
+  def signatureFromShingles(sh: Column, numHashes: Int): Column = {
     val mins = (0 until numHashes).map { seed =>
       coalesce(
         array_min(transform(sh, s => substring(md5(concat(lit(s"$seed:"), s)), 1, 16))),
@@ -51,6 +69,22 @@ object Dedup {
     }
     array(mins: _*)
   }
+
+  /** MinHash signature from raw text (single-expression form — for tiny
+    * fixtures and oracle SQL mirroring; hot paths use
+    * [[withMinhashSignature]]). */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    signatureFromShingles(shinglesFromTokens(tokens(text), shingleN), numHashes)
+
+  /** docs + a `sig` column, with tokens and shingles staged as their own
+    * projections (see the object-level perf invariant). */
+  def withMinhashSignature(docs: DataFrame, text: Column, shingleN: Int,
+      numHashes: Int, out: String = "sig"): DataFrame =
+    docs
+      .withColumn("__toks", tokens(text))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), shingleN))
+      .withColumn(out, signatureFromShingles(col("__sh"), numHashes))
+      .drop("__toks", "__sh")
 
   /** LSH band keys: signature split into bands of `rowsPerBand` hashes;
     * band key = band index + md5 of the concatenated band slice. Docs
@@ -69,8 +103,8 @@ object Dedup {
     * uniformly distributed, skew-resistant. */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(text, shingleN, numHashes).as("sig"))
+    val sig = withMinhashSignature(docs.select(col(idCol).as("doc_id"), text.as("__text")),
+      col("__text"), shingleN, numHashes).select(col("doc_id"), col("sig"))
     val banded = sig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
     banded.as("a").join(banded.as("b"),
@@ -79,12 +113,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct shingle set per doc, staged (doc_id, sh). */
+  def shingleSets(docs: DataFrame, idCol: String, text: Column, shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"), array_distinct(shinglesFromTokens(col("__toks"), shingleN)).as("sh"))
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id1, id2): |A ∩ B| / |A ∪ B| over distinct shingles. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(text, shingleN)).as("sh"))
+    val sh = shingleSets(docs, idCol, text, shingleN)
     pairs
       .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
@@ -93,6 +132,8 @@ object Dedup {
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per doc from md5-derived token hashes (first 16 hex
     * chars of md5 -> long). One long per doc; near-dups have small hamming
@@ -103,35 +144,66 @@ object Dedup {
     VectorFunctions.simHash64(hashes)
   }
 
-  /** Cross-engine-checkable 16-bit simhash: bit b votes on whether hex char
-    * b of md5(token) is >= '8'. Same structure as [[simhash64]], small
-    * enough to express in portable SQL for the oracle. */
-  def simhash16(text: Column): Column = {
-    val toks = tokens(text)
+  /** 16-bit simhash bits from a materialized array of token md5 hex
+    * strings: bit b votes on whether hex char b is >= '8'. */
+  def simhash16FromMd5s(md5s: Column): Column = {
     val bits = (0 until 16).map { b =>
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => acc + when(substring(md5(t), b + 1, 1)
+      val votes = aggregate(md5s, lit(0),
+        (acc, h) => acc + when(substring(h, b + 1, 1)
           .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
       when(votes > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Embedding near-dup pairs: bucket by the sign-bit prefix of the vector
-    * (vectors within cosine-near-dup distance almost always share the
-    * prefix), then exact cosine inside buckets, keep pairs >= threshold.
-    * The bucket key bounds the join fan-out the same way LSH bands do. */
+  /** Cross-engine-checkable 16-bit simhash from raw text (single-expression
+    * form; recomputes md5 per bit — fixtures/oracle only). */
+  def simhash16(text: Column): Column =
+    simhash16FromMd5s(transform(tokens(text), t => md5(t)))
+
+  /** docs + 16-bit simhash, with the per-token md5 array materialized once
+    * (16 bit-votes then scan the SAME md5 array instead of re-hashing
+    * every token 16 times). */
+  def withSimhash16(docs: DataFrame, text: Column, out: String = "simhash"): DataFrame =
+    docs
+      .withColumn("__toks", tokens(text))
+      .withColumn("__md5s", transform(col("__toks"), t => md5(t)))
+      .withColumn(out, simhash16FromMd5s(col("__md5s")))
+      .drop("__toks", "__md5s")
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Sign-bit band key for band `b`: the `bandBits` sign bits starting at
+    * dimension `b * bandBits`, as a '0'/'1' string prefixed by the band
+    * index. */
+  def signBandKey(vec: Column, band: Int, bandBits: Int): Column =
+    concat(lit(s"$band:"), concat_ws("", (0 until bandBits).map(i =>
+      when(element_at(vec, band * bandBits + i + 1) > 0f, "1").otherwise("0")): _*))
+
+  /** Embedding near-dup pairs via sign-bit LSH banding: `numBands` band
+    * keys per vector (band b = bandBits consecutive sign bits), candidates
+    * = pairs sharing ANY band, then exact cosine >= threshold.
+    *
+    * Scale design: a single short prefix (the previous shape) caps the
+    * bucket count at 2^bits and the hot bucket goes quadratic at 100 TB;
+    * bands multiply the bucket space to numBands * 2^bandBits while
+    * RAISING recall (a near-dup pair only needs one band to agree —
+    * P[candidate] = 1 - (1 - p^bandBits)^numBands), and the exact-cosine
+    * verify keeps precision. bandBits is the knob that bounds per-bucket
+    * population; 16 bits -> 65k buckets per band. */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-      prefixBits: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val bucketed = embs.select(
-      col(idCol).as("doc_id"), col(vecCol).as("v"),
-      concat_ws("", (0 until prefixBits).map(i =>
-        when(element_at(col(vecCol), i + 1) > 0f, "1").otherwise("0")): _*).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
+      bandBits: Int = 16, numBands: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val base = embs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    val banded = base.select(col("doc_id"), col("v"),
+      explode(array((0 until numBands).map(b => signBandKey(col("v"), b, bandBits)): _*))
+        .as("bucket"))
+    banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("cosine", VectorFunctions.vecCosine(col("a.v"), col("b.v")))
-      .filter(col("cosine") >= threshold)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        round(col("cosine"), 6).as("cosine"))
+        col("a.v").as("v1"), col("b.v").as("v2"))
+      .distinct()
+      .withColumn("cosine", VectorFunctions.vecCosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -120,11 +120,18 @@ object EmbedQueue {
       count(when(col("status") === Completed.name, 1)).as("completed"),
       count(when(col("status") === Failed.name, 1)).as("failed"))
 
-  /** Q8 admin listing page (VectorTableQueue.php:403-437): status DESC, then
-    * CASE priority pending<completed<failed<processing, then queued_time
-    * DESC, offset/limit pagination (T7+T9). */
-  def adminPage(queue: DataFrame, page: Int, cfg: QueueConfig = QueueConfig()): DataFrame =
-    queue
+  /** Q8 admin listing page (VectorTableQueue.php:403-437): queue LEFT JOIN
+    * posts for the listing columns (`:414-415`, J6), then status DESC, CASE
+    * priority pending<completed<failed<processing, queued_time DESC,
+    * offset/limit pagination (T7+T9). `posts` is expected to be the small
+    * slice of post columns the listing shows — broadcast. */
+  def adminPage(queue: DataFrame, posts: Option[DataFrame] = None, page: Int = 1,
+      cfg: QueueConfig = QueueConfig()): DataFrame = {
+    val joined = posts.fold(queue) { p =>
+      queue.join(broadcast(p.withColumnRenamed("ID", "__post_ID")),
+        queue("post_id") === col("__post_ID"), "left").drop("__post_ID")
+    }
+    joined
       .orderBy(
         col("status").desc,
         when(col("status") === Pending.name, 0)
@@ -135,6 +142,7 @@ object EmbedQueue {
         col("job_id").asc)
       .offset((page - 1) * cfg.pageSize)
       .limit(cfg.pageSize)
+  }
 
   /** Q9 reset job back to pending (VectorTableQueue.php:358-374). */
   def reset(queue: DataFrame, postId: Long): DataFrame = {
@@ -162,11 +170,12 @@ object EmbedQueue {
     * we guard both). */
   def enqueue(queue: DataFrame, posts: DataFrame, now: Timestamp): DataFrame = {
     val maxId = queue.agg(coalesce(max(col("job_id")), lit(0L))).first().getLong(0)
-    val fresh = posts
+    val deduped = posts
       .join(queue.select(col("post_id")), Seq("post_id"), "left_anti")
-      .withColumn("job_id",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("post_id")))
-          .cast("long") + lit(maxId))
+    // job_id via DenseIds (range partition + zipWithIndex), not a global
+    // window: bulk enqueue is an ingest path and must not funnel through
+    // one partition (SERIAL replacement, VectorTableQueue.php:78)
+    val fresh = graft.util.DenseIds.assign(deduped, "job_id", maxId + 1, col("post_id"))
       .withColumn("status", lit(graft.model.JobStatus.Pending.name))
       .withColumn("queued_time", lit(now))
       .withColumn("start_time", lit(null).cast("timestamp"))

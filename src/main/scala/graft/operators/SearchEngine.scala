@@ -80,7 +80,11 @@ object SearchEngine {
         // broadcast keeps the embeddings scan shuffle-free
         embeddings.join(broadcast(ids), Seq("post_id"), "left_semi")
       } else embeddings
-    val staged = candidates.limit(math.min(cfg.stage1Limit, Int.MaxValue).toInt)
+    // stage-1 cap: off by default (see SearchConfig.stage1Limit scaladoc);
+    // when on, deterministic lowest-ids via orderBy+limit (TakeOrdered)
+    val staged = cfg.stage1Limit.fold(candidates) { cap =>
+      candidates.orderBy(col("id").asc).limit(math.min(cap, Int.MaxValue.toLong).toInt)
+    }
 
     // stage 2: hamming top-(10n); reads only (id, post_id, binary_code)
     val hamming = staged

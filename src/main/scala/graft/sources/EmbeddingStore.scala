@@ -1,14 +1,14 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
+import graft.util.DenseIds
 
 /** Parquet-backed embedding store (SURVEY.md §2.1 S1-S12).
   *
@@ -27,31 +27,41 @@ import graft.functions.VectorFunctions._
   *  - reads are plain `spark.read.parquet` with pushdown: filters on
   *    `bucket`/`post_id`/`id` prune partitions and row groups;
   *  - the wide `vector` column is only read by stages that need it
-  *    (Catalyst column pruning; see SearchEngine stage separation).
+  *    (Catalyst column pruning; see SearchEngine stage separation);
+  *  - all path operations go through the Hadoop `FileSystem` API, so the
+  *    store works on HDFS/S3A/local alike (rename is atomic on HDFS and
+  *    local; on S3A the swap degrades to copy-and-delete but stays correct).
   */
 final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 64) {
   import spark.implicits._
 
-  private def bucketOf(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(numBuckets))
+  private def bucketOf(c: Column) = pmod(hash(c), lit(numBuckets))
+
+  private def fs: FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Derive the reference's materialized columns on a raw
     * `(post_id, sequence_no, vector, vector_type)` frame. */
-  def withDerived(raw: DataFrame): DataFrame =
-    raw
+  def withDerived(raw: DataFrame): DataFrame = {
+    val withCreated =
+      if (raw.columns.contains("created_at")) raw
+      else raw.withColumn("created_at", lit(null).cast(TimestampType))
+    withCreated
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
       .withColumn("magnitude", vecMagnitude(col("vector")))
       .withColumn("normalized_vector", vecNormalize(col("vector")))
       .withColumn("binary_code", packSignBits(col("vector")))
       .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
       .withColumn("updated_at", current_timestamp())
+  }
 
   /** Assign `id`s at ingest: AUTO_INCREMENT (`src/VectorTable.php:470`) has
     * no distributed equivalent — ids are dense row numbers over the
-    * insertion order, assigned once at bulk load. */
-  def assignIds(df: DataFrame, startAt: Long = 1L): DataFrame = {
-    val w = Window.orderBy(col("post_id"), col("sequence_no"))
-    df.withColumn("id", row_number().over(w).cast(LongType) + lit(startAt - 1))
-  }
+    * insertion order. Delegates to [[DenseIds]] (range partition +
+    * zipWithIndex), NOT a global window: a `Window.orderBy` with no
+    * partitioning would funnel the whole load through one task. */
+  def assignIds(df: DataFrame, startAt: Long = 1L): DataFrame =
+    DenseIds.assign(df, "id", startAt, col("post_id"), col("sequence_no"))
 
   def read(): DataFrame = spark.read.parquet(path)
 
@@ -83,7 +93,7 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   /** S5 all vectors of one post. */
   def allForPost(postId: Long): DataFrame = read().filter(col("post_id") === postId)
 
-  /** S6 latest row per post — `max_by(struct, updated_at)` instead of
+  /** S6 latest row per post — window per post key instead of
     * ORDER BY ... LIMIT 1 (`VectorTable.php:313-320`). */
   def latestUpdated(postId: Long): DataFrame = {
     val w = Window.partitionBy(col("post_id")).orderBy(col("updated_at").desc, col("id").desc)
@@ -96,35 +106,59 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
 
   // ---- S7-S9: mutation (read -> transform -> atomic swap) ---------------
 
-  /** S7 upsert: full-outer-merge by (post_id, sequence_no). Unlike the
-    * reference's UPDATE — which forgets to refresh `magnitude`
-    * (`VectorTable.php:361`, documented bug) — all derived columns are
-    * recomputed. Only the touched bucket is rewritten. */
+  /** S7 upsert: merge by (post_id, sequence_no). Unlike the reference's
+    * UPDATE — which forgets to refresh `magnitude` (`VectorTable.php:361`,
+    * documented bug) — all derived columns are recomputed. Rows matching an
+    * existing key KEEP that key's id (the reference's UPDATE branch returns
+    * the existing id, `VectorTable.php:370`); new keys get fresh ids past
+    * the current max, assigned ONCE before any bucket is rewritten. Each
+    * touched bucket then receives only ITS rows (hash(post_id) % buckets),
+    * so a multi-bucket upsert can neither duplicate rows across bucket
+    * directories nor misplace them. */
   def upsert(updates: DataFrame): Unit = {
     val prepared = withDerived(updates)
-    val buckets = prepared.select(bucketOf(col("post_id")).as("b")).distinct()
-      .as[Int].collect().toSet
-    mergeBuckets(prepared, buckets)
+    val existing = read().select(col("post_id"), col("sequence_no"), col("id").as("__old_id"))
+    val maxId = Option(read().agg(max(col("id"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    val joined = prepared.join(existing, Seq("post_id", "sequence_no"), "left")
+    val kept = joined.filter(col("__old_id").isNotNull)
+      .withColumn("id", col("__old_id")).drop("__old_id")
+    val fresh = assignIds(joined.filter(col("__old_id").isNull).drop("__old_id"), maxId + 1)
+    writeStaged(kept.unionByName(fresh)) { staged =>
+      val buckets = staged.select(bucketOf(col("post_id")).as("b")).distinct()
+        .as[Int].collect().toSet
+      rewriteBuckets(buckets) { (b, cur) =>
+        val mine = staged.filter(bucketOf(col("post_id")) === b)
+        val newKeys = mine.select(col("post_id").as("__np"), col("sequence_no").as("__ns")).distinct()
+        val untouched = cur.join(broadcast(newKeys),
+          cur("post_id") === col("__np") && cur("sequence_no") === col("__ns"), "left_anti")
+        untouched.unionByName(mine.select(untouched.columns.map(col).toSeq: _*))
+      }
+    }
   }
 
   /** S8 replace-all-per-key: delete post's rows then insert the new set
-    * (`VectorTable.php:401-425` does DELETE + row-at-a-time inserts). */
+    * (`VectorTable.php:401-425` does DELETE + row-at-a-time inserts).
+    * Like upsert: ids assigned once up front, each bucket gets only its
+    * own rows. */
   def insertAll(postId: Long, rows: DataFrame): Unit = {
-    val prepared = withDerived(rows)
-    val buckets = prepared.select(bucketOf(col("post_id")).as("b")).distinct()
-      .as[Int].collect().toSet
-    rewriteBuckets(buckets) { cur =>
-      cur.filter(col("post_id") =!= postId)
-        .unionByName(prepared.select(cur.columns.map(col).toSeq: _*), allowMissingColumns = true)
+    val maxId = Option(read().agg(max(col("id"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    writeStaged(assignIds(withDerived(rows), maxId + 1)) { staged =>
+      val buckets = (staged.select(bucketOf(col("post_id")).as("b"))
+        .union(read().filter(col("post_id") === postId).select(bucketOf(col("post_id")).as("b"))))
+        .distinct().as[Int].collect().toSet
+      rewriteBuckets(buckets) { (b, cur) =>
+        val mine = staged.filter(bucketOf(col("post_id")) === b)
+        cur.filter(col("post_id") =!= postId)
+          .unionByName(mine.select(cur.columns.map(col).toSeq: _*), allowMissingColumns = true)
+      }
     }
   }
 
   /** S9 point delete (anti-join rewrite of the touched bucket). */
   def delete(id: Long): Unit = {
-    val all = read()
-    val buckets = all.filter(col("id") === id)
+    val buckets = read().filter(col("id") === id)
       .select(bucketOf(col("post_id")).as("b")).distinct().as[Int].collect().toSet
-    rewriteBuckets(buckets)(_.filter(col("id") =!= id))
+    rewriteBuckets(buckets)((_, cur) => cur.filter(col("id") =!= id))
   }
 
   /** Bulk load: derive columns, assign ids, bucket, write. */
@@ -134,43 +168,44 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     df.write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
-  private def mergeBuckets(prepared: DataFrame, buckets: Set[Int]): Unit =
-    rewriteBuckets(buckets) { cur =>
-      val newKeys = prepared.select(col("post_id").as("__np"), col("sequence_no").as("__ns")).distinct()
-      val kept = cur.join(broadcast(newKeys),
-        cur("post_id") === col("__np") && cur("sequence_no") === col("__ns"), "left_anti")
-      val maxId = Option(read().agg(max(col("id"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
-      val w = Window.orderBy(col("post_id"), col("sequence_no"))
-      val withIds = prepared.withColumn("id",
-        row_number().over(w).cast(LongType) + lit(maxId))
-      kept.unionByName(withIds.select(kept.columns.map(col).toSeq: _*))
-    }
+  /** Materialize a mutation set to a staging dir inside the store before
+    * rewriting buckets: the rewrite loop swaps the very files a lazy plan
+    * would re-read, so the update set must be pinned down first. (This is
+    * also what bounds memory: the staged set streams from disk per bucket,
+    * never through the driver.) */
+  private def writeStaged(df: DataFrame)(use: DataFrame => Unit): Unit = {
+    val staging = s"$path/.staging"
+    df.write.mode("overwrite").parquet(staging)
+    try use(spark.read.parquet(staging))
+    finally fs.delete(new Path(staging), true)
+  }
 
-  /** Rewrite only the given buckets: read bucket dirs, transform, write to
+  /** Rewrite only the given buckets: read bucket dir, transform, write to
     * temp, atomic swap. The untouched (numBuckets - |buckets|) directories
     * are never read or written — at 100 TB that's the difference between a
     * point update and a full-table rewrite. */
-  private def rewriteBuckets(buckets: Set[Int])(f: DataFrame => DataFrame): Unit = {
+  private def rewriteBuckets(buckets: Set[Int])(f: (Int, DataFrame) => DataFrame): Unit = {
     buckets.foreach { b =>
       val dir = s"$path/bucket=$b"
       val cur =
-        if (Files.exists(Paths.get(dir)))
-          spark.read.parquet(dir)
+        if (fs.exists(new Path(dir))) spark.read.parquet(dir)
         else read().filter(lit(false)).drop("bucket")
-      val out = f(cur)
+      val out = f(b, cur)
       val tmp = s"$path/.tmp_bucket_$b"
       out.write.mode("overwrite").parquet(tmp)
-      atomicSwap(Paths.get(tmp), Paths.get(dir))
+      atomicSwap(new Path(tmp), new Path(dir))
     }
   }
 
+  /** Swap `tmp` into place via the Hadoop FileSystem API (HDFS/S3A/local —
+    * not java.nio, which only works on a local disk). */
   private def atomicSwap(tmp: Path, dst: Path): Unit = {
-    val bak = dst.resolveSibling(dst.getFileName.toString + ".bak")
-    if (Files.exists(dst)) Files.move(dst, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(bak)) deleteRecursively(bak)
+    val bak = new Path(dst.getParent, dst.getName + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"cannot back up $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"cannot swap $tmp into $dst")
+    if (fs.exists(bak)) fs.delete(bak, true)
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 }

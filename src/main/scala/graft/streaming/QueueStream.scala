@@ -42,11 +42,26 @@ object QueueStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the micro-batch is the claim: priority-order it and cap at the
-        // claim batch size, exactly the reference's SELECT half
-        val claimed = EmbedQueue
-          .nextBatch(batch, cfg)
-        process(claimed, batchId)
+        // The checkpoint marks every file of this micro-batch consumed, so
+        // EVERY row must be processed here — capping at claimBatchSize and
+        // discarding the rest would silently drop jobs (the reference's
+        // poll loop leaves unclaimed rows pending for the next poll,
+        // VectorTableQueue.php:184-223). Claim-sized chunks are carved out
+        // of the full batch in priority order and each handed to `process`.
+        val ordered = batch
+          .withColumn("__chunk",
+            floor((row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(EmbedQueue.claimOrder(cfg): _*)) - 1) / cfg.claimBatchSize))
+          .persist()
+        try {
+          // micro-batches are bounded (maxFilesPerTrigger=1), so the global
+          // window over one batch is driver-friendly; chunk count is small
+          val nChunks = ordered.agg(coalesce(max(col("__chunk")), lit(-1L)))
+            .first().getLong(0) + 1
+          (0L until nChunks).foreach { c =>
+            process(ordered.filter(col("__chunk") === c).drop("__chunk"), batchId)
+          }
+        } finally { ordered.unpersist(); () }
       }
       .start()
   }
