@@ -74,7 +74,9 @@ object VectorFunctions {
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
       lit(0).cast(Dec),
-      (acc, x) => acc + x).cast(DoubleType)
+      // re-cast: decimal + widens precision (38,18)+(38,18)->(38,17) and
+      // the accumulator type must stay fixed for `aggregate` to resolve
+      (acc, x) => (acc + x).cast(Dec)).cast(DoubleType)
 
   def vecMagnitudeExact(v: Column): Column = sqrt(vecDotExact(v, v))
 

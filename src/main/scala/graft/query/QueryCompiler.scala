@@ -119,11 +119,14 @@ object QueryCompiler {
 
   /** Meta sort-key casts (Sort.php:42-49). MySQL's bare `CAST(x AS DECIMAL)`
     * is DECIMAL(10,0); we keep fractional precision intentionally
-    * (documented divergence — MySQL truncates to integer). */
+    * (documented divergence — MySQL truncates to integer). `try_cast`, not
+    * `cast`: EAV meta values are arbitrary user strings, and MySQL casts
+    * garbage leniently (-> 0/NULL) where ANSI Spark would fail the whole
+    * query; garbage here sorts as NULL. */
   def castMeta(c: Column, cast: MetaCast): Column = cast match {
     case MetaCast.AsText    => c
-    case MetaCast.AsDecimal => c.cast(DecimalType(38, 10))
-    case MetaCast.AsDate    => c.cast(DateType)
+    case MetaCast.AsDecimal => c.try_cast(DecimalType(38, 10))
+    case MetaCast.AsDate    => c.try_cast(DateType)
   }
 
   /** Attach one `__meta_sort_<key>` column per meta sort key via the

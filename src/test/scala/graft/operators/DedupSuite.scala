@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The Quick  Brown fox jumps over the lazy dog near the river bank"), // exact dup of 1 mod case/ws
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank"),  // near dup of 1
+    (4L, "completely different content about distributed query engines and parquet files"),
+    (5L, "another unrelated document discussing minhash banding and lsh buckets")
+  ).toDF("doc_id", "text")
+
+  test("exact-dup groups: case/whitespace-insensitive fingerprint groups 1 and 2") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", $"text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("dup_count") == 2)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("exactDedup keeps the min-id doc per fingerprint") {
+    val kept = Dedup.exactDedup(docs, "doc_id", $"text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("staged withMinhashSignature equals the single-expression form") {
+    val staged = Dedup.withMinhashSignature(docs, $"text", 3, 4)
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val inline = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(staged == inline)
+    assert(staged(1L) == staged(2L), "identical normalized text -> identical signature")
+  }
+
+  test("minhash LSH candidates find the exact pair; jaccard verifies") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", $"text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "exact dup must share every band")
+
+    val verified = Dedup.jaccardVerify(pairs, docs, "doc_id", $"text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(verified((1L, 2L)) == 1.0)
+    verified.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("staged withSimhash16 equals the single-expression form; near-dups are hamming-close") {
+    val staged = Dedup.withSimhash16(docs, $"text")
+      .select($"doc_id", $"simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inline = docs.select($"doc_id", Dedup.simhash16($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == inline)
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hd(staged(1L), staged(3L)) < hd(staged(1L), staged(4L)),
+      "near-dup closer than unrelated doc")
+  }
+
+  test("embedding near-dups via banding: parallel vectors pair, orthogonal do not") {
+    val embs = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f, 1f, -1f, 2f, -2f)),
+      (2L, Seq(1.01f, 2.02f, 3.03f, 4.04f, 1.01f, -1.01f, 2.02f, -2.02f)), // parallel to 1
+      (3L, Seq(-1f, 2f, -3f, 4f, -1f, 1f, -2f, 2f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val pairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+      bandBits = 4, numBands = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("multi-band recall: a pair differing only in the first band is still a candidate") {
+    // identical in dims 5-8 (band 1), different signs in dims 1-4 (band 0)
+    val embs = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f, 2f, 2f, 2f, 2f)),
+      (2L, Seq(-1f, -1f, -1f, -1f, 2f, 2f, 2f, 2f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val single = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+      bandBits = 4, numBands = 1, threshold = 0.0).count()
+    val multi = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+      bandBits = 4, numBands = 2, threshold = 0.0).count()
+    assert(single == 0, "single-prefix bucketing misses the pair")
+    assert(multi == 1, "second band recovers it")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val media = Multimodal.fromText(
+    Seq((1L, "hello world"), (2L, ""), (3L, "binary payload plumbing test"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+  test("fromText wraps rows into the media schema") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload", "meta"))
+    val r = media.filter($"media_id" === 1L).head()
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == "hello world")
+  }
+
+  test("payloadStats: sizes and md5 without touching a decoder") {
+    val stats = Multimodal.payloadStats(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_bytes")).toMap
+    assert(stats(1L) == 11L && stats(2L) == 0L)
+  }
+
+  test("extractFeatures: per-partition decode to an L1-normalized fixed-dim feature") {
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats.values.forall(_.length == 8))
+    assert(math.abs(feats(1L).map(_.toDouble).sum - 1.0) < 1e-5, "L1 normalized")
+    assert(feats(2L).forall(_ == 0f), "empty payload -> zero feature, no crash")
+  }
+
+  test("sampleFrames slices a payload into n frame payloads") {
+    val frames = Multimodal.sampleFrames(media.filter($"media_id" === 3L), n = 4)
+    val rows = frames.collect()
+    assert(rows.length == 4)
+    val joined = rows.sortBy(_.getAs[Int]("frame_no"))
+      .flatMap(_.getAs[Array[Byte]]("payload"))
+    val original = "binary payload plumbing test".getBytes("UTF-8")
+    assert(joined.length <= original.length)
+    assert(new String(joined, "UTF-8").startsWith("binary payload"))
+  }
+
+  test("resize subsamples payload bytes") {
+    val out = Multimodal.resize(media.filter($"media_id" === 1L), factor = 2).head()
+    assert(new String(out.getAs[Array[Byte]]("payload"), "UTF-8") == "hlowrd")
+  }
+}

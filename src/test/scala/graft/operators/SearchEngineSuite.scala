@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions._
+import graft.model.SearchConfig
+import graft.query._
+
+/** Golden end-to-end tests for the 4-stage search pipeline
+  * (SURVEY.md §5 item 3): expected results computed independently in
+  * plain Scala, exact id sequences asserted, including the stage-4 sort
+  * branch and the deterministic stage-1 cap. */
+class SearchEngineSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs: Seq[(Long, Array[Float])] = Seq(
+    1L -> Array(1f, 1f, 0f, 0f),
+    2L -> Array(0.9f, 1.1f, 0.1f, -0.1f),
+    3L -> Array(-1f, -1f, 1f, 1f),
+    4L -> Array(0f, 0f, 1f, 1f),
+    5L -> Array(1f, 0f, 0f, 0f),
+    6L -> Array(0.5f, 0.5f, 0.5f, 0.5f),
+    7L -> Array(-0.2f, 1f, -1f, 0.3f),
+    8L -> Array(2f, 2f, 0.1f, 0f))
+
+  private val query = Array(1f, 1f, 0f, 0f)
+
+  private lazy val embs: DataFrame = vecs.toDF("id", "vector")
+    .withColumn("post_id", col("id"))
+    .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
+    .withColumn("binary_code", packSignBits(col("vector")))
+    .withColumn("magnitude", vecMagnitude(col("vector")))
+
+  // posts: even ids are 'en'; views descend with id except post 2 on top
+  private lazy val posts: DataFrame = Seq(
+    (1L, "en", 10L), (2L, "en", 999L), (3L, "fr", 80L), (4L, "en", 70L),
+    (5L, "fr", 60L), (6L, "en", 50L), (7L, "en", 40L), (8L, "de", 30L)
+  ).toDF("ID", "lang", "views")
+
+  private lazy val meta: DataFrame = Seq(
+    (1L, "rank", "5"), (2L, "rank", "40"), (4L, "rank", "9"),
+    (6L, "rank", "100"), (7L, "rank", "7"), (8L, "rank", "1")
+  ).toDF("post_id", "meta_key", "meta_value")
+
+  // independent reference implementation of the staged pipeline
+  private def expectedIds(candidates: Seq[(Long, Array[Float])], n: Int): Seq[Long] = {
+    def ham(a: Array[Float], b: Array[Float]) =
+      a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+      val ma = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val mb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      dot / (ma * mb + 1e-12)
+    }
+    val stage2 = candidates.sortBy { case (id, v) => (ham(v, query), id) }.take(10 * n)
+    val stage3 = stage2.sortBy { case (id, v) => (-cos(v, query), id) }.take(5 * n)
+    stage3.take(n).map(_._1)
+  }
+
+  private def run(n: Int, qb: QueryBuilder = QueryBuilder(),
+      cfg: SearchConfig = SearchConfig()): Seq[Long] =
+    SearchEngine.search(embs, posts, meta, query, n, qb, cfg)
+      .select("id").collect().map(_.getLong(0)).toSeq
+
+  test("unfiltered search returns top-n by cosine after hamming prefilter, id tiebreak") {
+    assert(run(2) == expectedIds(vecs, 2))
+    assert(run(3) == expectedIds(vecs, 3))
+  }
+
+  test("stage-1 relational filter restricts candidates (J2 semi join)") {
+    val qb = QueryBuilder().withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+    val enIds = Set(1L, 2L, 4L, 6L, 7L)
+    val got = run(3, qb)
+    assert(got == expectedIds(vecs.filter(v => enIds(v._1)), 3))
+    assert(got.toSet.subsetOf(enIds))
+  }
+
+  test("stage-4 sort branch orders the cosine survivors by the posts attribute") {
+    val qb = QueryBuilder()
+      .withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+      .withSort(Sort("views", SortDir.Desc))
+    val n = 2
+    // survivors: stage 3 keeps 5n=10 best cosine among en candidates (= all 5)
+    val enIds = Set(1L, 2L, 4L, 6L, 7L)
+    val viewsOf = Map(1L -> 10L, 2L -> 999L, 4L -> 70L, 6L -> 50L, 7L -> 40L)
+    val expected = enIds.toSeq.sortBy(id => (-viewsOf(id), id)).take(n)
+    assert(run(n, qb) == expected)
+  }
+
+  test("stage-4 meta sort with AsDecimal cast sorts numerically (Sort.php:44)") {
+    val qb = QueryBuilder()
+      .withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+      .withSort(Sort("rank", SortDir.Desc, Some(MetaCast.AsDecimal)))
+    // en posts ranks: 1->5, 2->40, 4->9, 6->100, 7->7; numeric desc
+    assert(run(3, qb) == Seq(6L, 2L, 4L))
+  }
+
+  test("deterministic stage-1 cap keeps the LOWEST ids (divergence from reference documented)") {
+    val got = run(2, cfg = SearchConfig(stage1Limit = Some(3L)))
+    assert(got == expectedIds(vecs.filter(_._1 <= 3L), 2))
+  }
+
+  test("output columns carry both distances, ordered by the output contract") {
+    val rows = SearchEngine.search(embs, posts, meta, query, 3).collect()
+    val cosines = rows.map(_.getAs[Double]("cosine_similarity")).toSeq
+    assert(cosines == cosines.sorted.reverse, "cosine desc when no sorts")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming_distance") >= 0)
+      assert(r.getAs[Double]("cosine_similarity") <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lang(text: String): String =
+    Seq(text).toDF("t").select(TextAnalysis.langId($"t")).head().getString(0)
+
+  test("langId picks the max-hits language") {
+    assert(lang("the cat sat on the mat with a hat") == "en")
+    assert(lang("der hund und die katze im garten") == "de")
+  }
+
+  test("langId tie-break picks the alphabetically-FIRST language (oracle CASE-chain rule)") {
+    // 'la' and 'de' are stopwords in BOTH es and fr (2 hits each, en=0):
+    // the tie must resolve to 'es' (es < fr), matching the ordered CASE
+    // chain the DuckDB oracle uses.
+    assert(lang("la de xyz") == "es")
+    // 'en un' also tie es/fr -> es
+    assert(lang("en un qqq") == "es")
+  }
+
+  test("langId returns 'und' when nothing matches") {
+    assert(lang("zzz qqq xyzzy") == "und")
+    assert(lang("") == "und")
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val fps = Seq("Hello   World", "hello world", "HELLO\tWORLD", "other")
+      .toDF("t").select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+    assert(fps(0).length == 16)
+  }
+
+  test("shingles: n consecutive tokens; fewer than n tokens -> empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles($"t", 2)).head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("token counts: whitespace tokens + ceil(len/4) BPE-ish units") {
+    val r = Seq("hello a magnificent").toDF("t").select(
+      size(TextAnalysis.tokens($"t")).as("n"),
+      TextAnalysis.approxBpeCount($"t").as("bpe")).head()
+    assert(r.getInt(0) == 3)
+    // ceil(5/4)=2, ceil(1/4)->1 (floor 1), ceil(11/4)=3 -> 6
+    assert(r.getLong(1) == 6L)
+  }
+
+  test("rollingHash is deterministic and whitespace-normalized") {
+    val hs = Seq("a  b", "a b", "a c").toDF("t")
+      .select(TextAnalysis.rollingHash($"t")).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("qualityScore is within [-0.25, 1] and favors clean prose over noise") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on with a steady pace for a while",
+      "!!! ??? ((()))) ,,,, ....")
+      .toDF("t").select(TextAnalysis.qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(scores(0) > scores(1))
+    scores.foreach(s => assert(s >= -0.25 && s <= 1.0))
+  }
+}

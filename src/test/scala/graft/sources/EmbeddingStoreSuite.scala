@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Store CRUD over a real temp-dir Parquet layout, focused on the
+  * bucket-rewrite correctness bugs the per-bucket design can hide:
+  * multi-bucket upsert must neither duplicate rows across bucket dirs nor
+  * misplace them, updated keys keep ids, fresh ids continue past max. */
+class EmbeddingStoreSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val numBuckets = 4
+
+  private def raw(rows: (Long, Int, Seq[Float])*): DataFrame =
+    rows.toDF("post_id", "sequence_no", "vector")
+      .withColumn("vector_type", lit("test-model"))
+
+  private def freshStore(): (EmbeddingStore, String) = {
+    val dir = Files.createTempDirectory("graft_store_test").toString
+    val store = new EmbeddingStore(spark, s"$dir/emb", numBuckets)
+    store.bulkLoad(raw(
+      (1L, 0, Seq(1f, -2f, 3f)), (1L, 1, Seq(0.5f, 0.5f, -1f)),
+      (2L, 0, Seq(-1f, -1f, 4f)), (3L, 0, Seq(2f, 0f, 0f)),
+      (4L, 0, Seq(0f, 1f, 1f)), (5L, 0, Seq(3f, 3f, 3f))))
+    (store, dir)
+  }
+
+  private def keyIds(store: EmbeddingStore): Map[(Long, Int), Long] =
+    store.read().select("post_id", "sequence_no", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("bulkLoad assigns dense unique ids in (post_id, sequence_no) order") {
+    val (store, _) = freshStore()
+    val ids = store.read().orderBy("post_id", "sequence_no")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == (1L to 6L), s"got $ids")
+    assert(store.count() == 6)
+  }
+
+  test("derived columns materialized at write (magnitude, binary_code, normalized)") {
+    val (store, _) = freshStore()
+    val r = store.get(1L, 0).head()
+    val mag = r.getAs[Double]("magnitude")
+    assert(math.abs(mag - math.sqrt(1 + 4 + 9)) < 1e-6)
+    val packed = r.getSeq[Long](r.fieldIndex("binary_code"))
+    assert(packed == Seq(5L), "signs of (1,-2,3) = bits 0 and 2 -> 0b101")
+    val nv = r.getSeq[Double](r.fieldIndex("normalized_vector"))
+    assert(math.abs(math.sqrt(nv.map(x => x * x).sum) - 1.0) < 1e-6)
+  }
+
+  test("reads: byId, byIds order-preserving, get, allForPost, latestUpdated") {
+    val (store, _) = freshStore()
+    assert(store.byId(3L).head().getAs[Long]("post_id") == 2L)
+    val ordered = store.byIds(Seq(5L, 1L, 4L)).select("id").collect().map(_.getLong(0)).toSeq
+    assert(ordered == Seq(5L, 1L, 4L), "ORDER BY FIELD semantics")
+    assert(store.byIds(Nil).count() == 0)
+    assert(store.allForPost(1L).count() == 2)
+    assert(store.latestUpdated(1L).count() == 1)
+  }
+
+  test("S7 upsert across buckets: no duplication, no misplacement, ids preserved/continued") {
+    val (store, _) = freshStore()
+    val before = keyIds(store)
+    // posts 1..5 hash into several of the 4 buckets; update two existing
+    // keys and insert two new ones in one upsert
+    store.upsert(raw(
+      (1L, 0, Seq(9f, 9f, 9f)),   // existing key -> keep id
+      (3L, 0, Seq(-9f, 1f, 1f)),  // existing key -> keep id
+      (2L, 1, Seq(7f, 7f, 7f)),   // new key
+      (6L, 0, Seq(1f, 1f, 1f)))) // new post entirely
+    val after = store.read()
+
+    assert(after.count() == 8, "6 + 2 new rows, no cross-bucket duplicates")
+    val dupKeys = after.groupBy("post_id", "sequence_no").count().filter($"count" > 1).count()
+    assert(dupKeys == 0, "one row per (post_id, sequence_no)")
+    val dupIds = after.groupBy("id").count().filter($"count" > 1).count()
+    assert(dupIds == 0, "ids unique across buckets")
+
+    val ids = keyIds(store)
+    assert(ids((1L, 0)) == before((1L, 0)), "updated row keeps its id")
+    assert(ids((3L, 0)) == before((3L, 0)))
+    assert(Set(ids((2L, 1)), ids((6L, 0))) == Set(7L, 8L), "fresh ids continue past max")
+
+    val v = store.get(1L, 0).head()
+    assert(v.getSeq[Float](v.fieldIndex("vector")) == Seq(9f, 9f, 9f), "payload updated")
+    assert(math.abs(v.getAs[Double]("magnitude") - math.sqrt(243.0)) < 1e-6,
+      "magnitude refreshed on update (unlike the reference's UPDATE bug)")
+
+    // every row physically lives in the bucket dir its post_id hashes to
+    val misplaced = after
+      .withColumn("expected", pmod(hash($"post_id"), lit(numBuckets)))
+      .filter($"bucket" =!= $"expected").count()
+    assert(misplaced == 0, "rows only in their own hash bucket")
+  }
+
+  test("S8 insertAll replaces every row of the post and nothing else") {
+    val (store, _) = freshStore()
+    store.insertAll(1L, raw((1L, 0, Seq(5f, 5f, 5f))))
+    assert(store.allForPost(1L).count() == 1, "both old rows of post 1 gone")
+    assert(store.count() == 5)
+    assert(store.allForPost(2L).count() == 1, "other posts untouched")
+  }
+
+  test("S9 delete removes exactly one row by id") {
+    val (store, _) = freshStore()
+    store.delete(2L)
+    assert(store.count() == 5)
+    assert(store.byId(2L).count() == 0)
+    assert(store.byId(1L).count() == 1)
+  }
+
+  test("upsert on rows spanning ALL buckets keeps per-bucket row sets disjoint") {
+    val (store, _) = freshStore()
+    // touch every post -> likely every bucket in one mutation
+    store.upsert(raw((1L to 6L).map(p => (p, 9, Seq(p.toFloat, 0f, 0f))): _*))
+    val after = store.read()
+    assert(after.count() == 12, "6 original + 6 new sequence_no=9 rows")
+    assert(after.groupBy("id").count().filter($"count" > 1).count() == 0)
+    assert(after.filter($"sequence_no" === 9).count() == 6)
+  }
+}
