@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
 import graft.operators.{Ann, Dedup, EmbedQueue, Multimodal, SearchEngine, TextAnalysis}
-import graft.query.{Filter, FilterOp, FilterValue, QueryBuilder}
+import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
   * smoke query; `queries` is one entry per implemented operator from
@@ -66,6 +66,28 @@ object SparkEntry {
       .unionByName(d.select(col("doc_id").as("post_id"), lit("n_chars").as("meta_key"),
         col("n_chars").cast(StringType).as("meta_value")))
   }
+
+  /** Deterministic queue state derived from `events` (for oracle-checkable
+    * queue-lifecycle queries q27/q28): event_id is unique -> job_id/post_id;
+    * error events arrive failed with error_count = event_id % 5, purchases
+    * completed, views processing (started at ts), the rest pending. */
+  def queueFromEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id").as("job_id"),
+      col("event_id").as("post_id"),
+      lit(1).as("chunk_count"),
+      when(col("event_type") === "error", "failed")
+        .when(col("event_type") === "purchase", "completed")
+        .when(col("event_type") === "view", "processing")
+        .otherwise("pending").as("status"),
+      col("ts").as("queued_time"),
+      when(col("event_type") === "view", col("ts"))
+        .otherwise(lit(null).cast(TimestampType)).as("start_time"),
+      when(col("event_type") === "purchase", col("ts"))
+        .otherwise(lit(null).cast(TimestampType)).as("end_time"),
+      when(col("event_type") === "error", (col("event_id") % 5).cast(IntegerType))
+        .otherwise(lit(0)).as("error_count"),
+      lit(null).cast(StringType).as("error_message"))
 
   /** Flagship: the reference's two-phase ANN search (`VectorTable::search`,
     * src/VectorTable.php:73-233) with a relational pre-filter and an
@@ -242,6 +264,67 @@ object SparkEntry {
         .orderBy(col("__ord"))
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
+    // ---- EAV meta path (P7/J1/J4/T3/F5) ----
+    "q25_meta_or_filter" -> ((s, d) => {
+      // meta predicates mixed into an OR group + a second AND'd meta group
+      // (QueryCompiler.withMetaFlags; Filter.php:96-100 + QueryBuilder.php:
+      // 108-116). n_chars compares RAW-STRING lexicographic on purpose.
+      val builder = QueryBuilder()
+        .withGroup(
+          Filter("lang", FilterOp.Eq, FilterValue.S("en"), meta = true),
+          Filter("source", FilterOp.Like, FilterValue.S("src1"), meta = true))
+        .withGroup(Filter("n_chars", FilterOp.Gt, FilterValue.S("300"), meta = true))
+      QueryCompiler.candidatePosts(docsAsPosts(s, d), docsAsMeta(s, d), builder)
+        .orderBy(col("post_id"))
+    }),
+    "q26_meta_sort_cast" -> ((s, d) => {
+      // meta sorts under AsDecimal/AsText casts over a postmeta frame with
+      // DUPLICATE keys -> exercises the MAX-collapse (VectorTable.php:203,
+      // string MAX before the cast) and Sort.php:42-49 cast semantics.
+      val posts = docsAsPosts(s, d)
+      val dup = t(s, d, "documents").select(col("doc_id").as("post_id"),
+        lit("n_chars").as("meta_key"),
+        (col("n_chars") - 1).cast(StringType).as("meta_value"))
+      val meta2 = docsAsMeta(s, d).unionByName(dup)
+      val frame = QueryCompiler.withMetaSortKeys(posts, meta2,
+        Seq("n_chars", "source"), postIdCol = "ID")
+      val qb = QueryBuilder()
+        .withSort(graft.query.Sort("n_chars", SortDir.Desc, Some(MetaCast.AsDecimal)))
+        .withSort(graft.query.Sort("source", SortDir.Asc, Some(MetaCast.AsText)))
+      val ordered = frame
+        .orderBy(QueryCompiler.sortColumns(qb, frame.apply) :+ col("ID").asc: _*)
+        .limit(50)
+      ordered
+        .withColumn("rank", row_number().over(Window.orderBy(
+          QueryCompiler.sortColumns(qb, ordered.apply) :+ col("ID").asc: _*)))
+        .select(col("rank"), col("ID"), col("__meta_sort_n_chars").as("collapsed_n_chars"))
+        .orderBy(col("rank"))
+    }),
+    // ---- queue lifecycle (Q3/Q4/Q6/Q7, VectorTableQueue.php:184-331) ----
+    "q27_queue_claim" -> ((s, d) => {
+      val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      EmbedQueue.claim(queueFromEvents(s, d), now)
+        .filter(col("start_time") === lit(now) && col("status") === "processing")
+        .select(col("job_id"), col("error_count"),
+          unix_micros(col("queued_time")).as("queued_us"))
+        .orderBy(col("job_id"))
+    }),
+    "q28_queue_lifecycle" -> ((s, d) => {
+      // claim -> complete evens / fail odds -> reap -> GC, injected clock
+      val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:10:00")
+      val t3 = java.sql.Timestamp.valueOf("2024-02-02 00:00:00")
+      val q1 = EmbedQueue.claim(queueFromEvents(s, d), t1)
+      val claimed = q1.filter(col("start_time") === lit(t1))
+        .select(col("post_id")).collect().map(_.getLong(0)).toSeq
+      val q2 = EmbedQueue.complete(q1, claimed.filter(_ % 2 == 0), t2)
+      val q3 = EmbedQueue.fail(q2, claimed.filter(_ % 2 != 0), t2, "boom")
+      val q4 = EmbedQueue.reapTimeouts(q3, t3)
+      EmbedQueue.gc(q4, t3)
+        .select(col("job_id"), col("status"), col("error_count"),
+          coalesce(unix_micros(col("end_time")), lit(-1L)).as("end_us"))
+        .orderBy(col("job_id"))
+    }),
     // ---- vector core (V1-V6, §2.6) ----
     "q30_vec_magnitude" -> ((s, d) =>
       embStore(s, d).select(col("id").as("vec_id"), col("magnitude"))
@@ -292,6 +375,34 @@ object SparkEntry {
       SearchEngine.search(embStore(s, d), docsAsPosts(s, d), docsAsMeta(s, d), q,
         n = 5, builder = builder)
         .select(col("id"), col("hamming_distance"), col("cosine_similarity"))
+    }),
+    "q38_search_sorted" -> ((s, d) => {
+      // q37 with a stage-4 attribute sort (VectorTable.php:195-227,
+      // SearchEngine stage 4): meta n_chars AsDecimal desc. Order is
+      // materialized into content via a rank column so the oracle's
+      // hash-compare actually checks the sort.
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val builder = QueryBuilder()
+        .withGroup(Filter("lang", FilterOp.Eq, FilterValue.S("en")))
+        .withSort(graft.query.Sort("n_chars", SortDir.Desc, Some(MetaCast.AsDecimal)))
+      val res = SearchEngine.search(embStore(s, d), docsAsPosts(s, d), docsAsMeta(s, d), q,
+        n = 5, builder = builder)
+      val docs = t(s, d, "documents").select(col("doc_id").as("id"), col("n_chars"))
+      res.join(broadcast(docs), Seq("id"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("id").asc)))
+        .select(col("rank"), col("id"), col("hamming_distance"), col("cosine_similarity"))
+        .orderBy(col("rank"))
+    }),
+    "q39_lsh_topk" -> ((s, d) => {
+      // LSH-bucketed ANN: probe the query's 8-bit sign bucket + all buckets
+      // within hamming 1, exact cosine rerank inside (Ann.lshTopK)
+      val anchor = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", anchor,
+        k = 10, bits = 8, probeHamming = 1)
+        .orderBy(col("cosine").desc, col("vec_id").asc)
     }),
     // ---- dedup / text analysis (pipeline extensions) ----
     "q40_fingerprint" -> ((s, d) =>
@@ -358,6 +469,32 @@ object SparkEntry {
     "q50_multimodal_stats" -> ((s, d) =>
       Multimodal.payloadStats(Multimodal.fromText(t(s, d, "documents"), "doc_id", "text"))
         .orderBy(col("media_id"))),
+    "q53_neardup_banded" -> ((s, d) =>
+      // the multi-band scale path: 4 bands x 8 sign bits (vs q46's single
+      // band) — recall rises, hot-bucket population bounded per band
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        bandBits = 8, numBands = 4, threshold = 0.3)
+        .orderBy(col("id1"), col("id2"))),
+    "q54_minhash_pairs" -> ((s, d) => {
+      // end-to-end banded dedup join: documents unioned with exact clones
+      // (doc_id + 100000) -> every doc must pair with its clone via LSH
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.minhashCandidatePairs(both, "doc_id", col("text"),
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "q55_ivf_assign" -> ((s, d) => {
+      // IVF coarse quantizer: centroids = the first 4 vectors, assignment =
+      // argmax dot (first max wins on ties -> lowest centroid id)
+      val cents = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      Ann.ivfAssign(t(s, d, "embeddings"), "embedding", cents)
+        .select(col("vec_id"), col("ivf_list"))
+        .orderBy(col("vec_id"))
+    }),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -485,6 +622,92 @@ object SparkEntry {
     "q24_order_by_field" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (13,5,21,1)
          ORDER BY CASE o_orderkey WHEN 13 THEN 0 WHEN 5 THEN 1 WHEN 21 THEN 2 ELSE 3 END""",
+    "q25_meta_or_filter" ->
+      """SELECT doc_id AS post_id FROM documents
+         WHERE (lang = 'en' OR source LIKE '%src1%')
+           AND CAST(n_chars AS VARCHAR) > '300'
+         ORDER BY post_id""",
+    "q26_meta_sort_cast" ->
+      """WITH collapsed AS (
+           SELECT doc_id AS ID,
+             GREATEST(CAST(n_chars AS VARCHAR), CAST(n_chars - 1 AS VARCHAR)) AS collapsed_n_chars,
+             source
+           FROM documents),
+         ranked AS (
+           SELECT ID, collapsed_n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(collapsed_n_chars AS DECIMAL(38,10)) DESC,
+               source ASC, ID ASC) AS INT) AS rank
+           FROM collapsed)
+         SELECT rank, ID, collapsed_n_chars FROM ranked WHERE rank <= 50 ORDER BY rank""",
+    "q27_queue_claim" ->
+      """WITH q AS (
+           SELECT event_id AS job_id, ts AS queued_time,
+             CASE event_type WHEN 'error' THEN 'failed' WHEN 'purchase' THEN 'completed'
+                  WHEN 'view' THEN 'processing' ELSE 'pending' END AS status,
+             CASE WHEN event_type = 'error' THEN CAST(event_id % 5 AS INT) ELSE 0 END AS error_count
+           FROM events)
+         SELECT job_id, error_count, epoch_us(queued_time) AS queued_us FROM (
+           SELECT * FROM q
+           WHERE status = 'pending' OR (status = 'failed' AND error_count < 3)
+           ORDER BY CASE WHEN status = 'pending' THEN 0
+                         WHEN status = 'failed' AND error_count < 3 THEN 1 ELSE 2 END,
+                    queued_time ASC, job_id ASC
+           LIMIT 25)
+         ORDER BY job_id""",
+    "q28_queue_lifecycle" ->
+      """WITH q AS (
+           SELECT event_id AS job_id, ts AS queued_time,
+             CASE event_type WHEN 'error' THEN 'failed' WHEN 'purchase' THEN 'completed'
+                  WHEN 'view' THEN 'processing' ELSE 'pending' END AS status,
+             CASE WHEN event_type = 'view' THEN ts ELSE NULL END AS start_time,
+             CASE WHEN event_type = 'purchase' THEN ts ELSE NULL END AS end_time,
+             CASE WHEN event_type = 'error' THEN CAST(event_id % 5 AS INT) ELSE 0 END AS error_count
+           FROM events),
+         picked AS (
+           SELECT job_id FROM q
+           WHERE status = 'pending' OR (status = 'failed' AND error_count < 3)
+           ORDER BY CASE WHEN status = 'pending' THEN 0
+                         WHEN status = 'failed' AND error_count < 3 THEN 1 ELSE 2 END,
+                    queued_time ASC, job_id ASC
+           LIMIT 25),
+         s1 AS ( -- claim at t1
+           SELECT job_id, queued_time, error_count,
+             CASE WHEN job_id IN (SELECT job_id FROM picked) THEN 'processing' ELSE status END AS status,
+             CASE WHEN job_id IN (SELECT job_id FROM picked)
+                  THEN TIMESTAMP '2024-02-01 00:00:00' ELSE start_time END AS start_time,
+             end_time
+           FROM q),
+         s2 AS ( -- complete evens at t2
+           SELECT job_id, queued_time, error_count, start_time,
+             CASE WHEN status = 'processing' AND job_id IN (SELECT job_id FROM picked)
+                       AND job_id % 2 = 0 THEN 'completed' ELSE status END AS status,
+             CASE WHEN status = 'processing' AND job_id IN (SELECT job_id FROM picked)
+                       AND job_id % 2 = 0 THEN TIMESTAMP '2024-02-01 00:10:00' ELSE end_time END AS end_time
+           FROM s1),
+         s3 AS ( -- fail odds at t2
+           SELECT job_id, queued_time, start_time,
+             CASE WHEN status = 'processing' AND job_id IN (SELECT job_id FROM picked)
+                       AND job_id % 2 <> 0 THEN error_count + 1 ELSE error_count END AS error_count,
+             CASE WHEN status = 'processing' AND job_id IN (SELECT job_id FROM picked)
+                       AND job_id % 2 <> 0 THEN 'failed' ELSE status END AS status,
+             CASE WHEN status = 'processing' AND job_id IN (SELECT job_id FROM picked)
+                       AND job_id % 2 <> 0 THEN TIMESTAMP '2024-02-01 00:10:00' ELSE end_time END AS end_time
+           FROM s2),
+         s4 AS ( -- reap at t3 (cutoff t3 - 15 min)
+           SELECT job_id, queued_time, start_time, end_time,
+             CASE WHEN status = 'processing' AND end_time IS NULL
+                       AND start_time < TIMESTAMP '2024-02-01 23:45:00'
+                  THEN error_count + 1 ELSE error_count END AS error_count,
+             CASE WHEN status = 'processing' AND end_time IS NULL
+                       AND start_time < TIMESTAMP '2024-02-01 23:45:00'
+                  THEN 'failed' ELSE status END AS status
+           FROM s3)
+         SELECT job_id, status, error_count,
+           COALESCE(epoch_us(end_time), -1) AS end_us
+         FROM s4
+         WHERE NOT ((status = 'completed' AND end_time < TIMESTAMP '2024-01-30 00:00:00')
+                 OR (status = 'failed' AND error_count > 3))
+         ORDER BY job_id""",
     "q30_vec_magnitude" ->
       """SELECT vec_id, sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
            FROM unnest(embedding) AS t(x))) AS magnitude
@@ -553,6 +776,96 @@ object SparkEntry {
          top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25)
          SELECT id, hamming_distance, cosine_similarity FROM top_cos
          ORDER BY cosine_similarity DESC, id ASC LIMIT 5""",
+    "q38_search_sorted" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id AS id, e.embedding FROM embeddings e
+           JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+         ham AS (SELECT c.id, c.embedding,
+             CAST((SELECT COUNT(*) FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z
+               WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming_distance
+           FROM cand c),
+         top_ham AS (SELECT * FROM ham ORDER BY hamming_distance ASC, id ASC LIMIT 50),
+         cos AS (SELECT t.id, t.hamming_distance,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                FROM q, LATERAL (SELECT unnest(t.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(t.embedding) AS t2(x)))
+              * (SELECT qmag FROM q) + 1e-12) AS cosine_similarity
+           FROM top_ham t),
+         top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25),
+         ranked AS (SELECT t.id, t.hamming_distance, t.cosine_similarity,
+             CAST(ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, t.id ASC) AS INT) AS rank
+           FROM top_cos t JOIN documents d ON d.doc_id = t.id)
+         SELECT rank, id, hamming_distance, cosine_similarity FROM ranked
+         WHERE rank <= 5 ORDER BY rank""",
+    "q39_lsh_topk" -> {
+      val bucket = """list_aggregate(list_transform(embedding[1:8],
+        x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '')"""
+      val diff = (1 to 8).map(i =>
+        s"(CASE WHEN substr(b.bucket,$i,1) <> substr(q.qb,$i,1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qv,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag,
+            $bucket AS qb
+            FROM embeddings WHERE vec_id = 0),
+          b AS (SELECT vec_id, embedding, $bucket AS bucket,
+            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+            FROM embeddings),
+          cand AS (SELECT b.* FROM b, q WHERE $diff <= 1)
+          SELECT c.vec_id, ROUND(
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z) /
+            (c.mag * (SELECT qmag FROM q) + 1e-12), 6) AS cosine
+          FROM cand c ORDER BY cosine DESC, c.vec_id ASC LIMIT 10"""
+    },
+    "q53_neardup_banded" -> {
+      def band(b: Int) =
+        s"""list_aggregate(list_transform(embedding[${b * 8 + 1}:${(b + 1) * 8}],
+            x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '')"""
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, '$b:' || ${band(b)} AS bucket FROM embeddings").mkString(" UNION ALL ")
+      s"""WITH banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+            FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          e AS (SELECT vec_id, embedding,
+            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+            FROM embeddings),
+          scored AS (SELECT p.id1, p.id2,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM (SELECT unnest(e1.embedding) AS x, unnest(e2.embedding) AS y) z)
+            / (e1.mag * e2.mag + 1e-12) AS c
+            FROM pairs p JOIN e e1 ON e1.vec_id = p.id1 JOIN e e2 ON e2.vec_id = p.id2)
+          SELECT id1, id2, ROUND(c, 6) AS cosine FROM scored WHERE c >= 0.3
+          ORDER BY id1, id2"""
+    },
+    "q54_minhash_pairs" -> {
+      def m(seed: Int) =
+        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
+            i -> substr(md5('$seed:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
+                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
+      val sigCols = (0 until 8).map(sd => s"${m(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, '$b:' || md5(m${2 * b} || '|' || m${2 * b + 1}) AS band FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH alldocs AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+          sig AS (SELECT doc_id, $sigCols FROM alldocs),
+          banded AS ($bandSelects)
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+          ORDER BY id1, id2"""
+    },
+    "q55_ivf_assign" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4)
+         SELECT e.vec_id, CAST((
+           SELECT c.cid FROM cents c
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                    c.cid ASC
+           LIMIT 1) AS INT) AS ivf_list
+         FROM embeddings e ORDER BY e.vec_id""",
     "q46_embedding_neardup" ->
       """WITH b AS (SELECT vec_id, embedding,
            list_aggregate(list_transform(embedding[1:8],
