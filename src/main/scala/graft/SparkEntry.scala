@@ -193,15 +193,19 @@ object SparkEntry {
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)),
-    "q14_latest_order_per_customer" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      t(s, d, "orders").withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey"),
-          unix_timestamp(col("o_orderdate")).as("order_epoch"))
-        .orderBy(col("o_custkey"))
-    }),
+    "q14_latest_order_per_customer" -> ((s, d) =>
+      // latest-per-key as max(struct) hash aggregation, NOT a window: the
+      // struct max is partial-aggregatable (map-side combine before the
+      // shuffle) and has no per-key sort or skew funnel — the scale shape
+      // for S6/T5 (`VectorTable.php:313-320`). Struct comparison is
+      // field-order: (o_orderdate, o_orderkey) desc-max == the window's
+      // orderBy(date desc, key desc) row 1.
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          unix_timestamp(col("m.o_orderdate")).as("order_epoch"))
+        .orderBy(col("o_custkey"))),
     "q15_pagination" -> ((s, d) =>
       t(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

@@ -78,7 +78,6 @@ object Multimodal {
   /** Per-partition batch decode: payload -> compact feature, dropping the
     * heavy bytes before anything downstream shuffles. */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "kind", "payload").mapPartitions { rows =>
       // per-partition init happens HERE (codec handles, model weights, ...)
@@ -94,7 +93,6 @@ object Multimodal {
   /** STUB resize: for images, byte-subsample the payload to emulate a
     * thumbnail (every k-th byte). Real impl = decode, scale, re-encode. */
   def resize(media: DataFrame, factor: Int): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(media.schema)
     media.mapPartitions { rows =>
       rows.map { r =>
@@ -118,14 +116,10 @@ object Multimodal {
         if (payload == null || payload.isEmpty) Iterator.empty
         else {
           val step = math.max(1, payload.length / n)
+          val pIdx = r.fieldIndex("payload")
           (0 until math.min(n, payload.length)).iterator.map { f =>
             val frame = payload.slice(f * step, math.min((f + 1) * step, payload.length))
-            Row.fromSeq(r.toSeq :+ f)
-              .asInstanceOf[Row] // schema: original cols + frame_no; payload swapped below
-          }.map { row =>
-            Row.fromSeq(row.toSeq.updated(r.fieldIndex("payload"),
-              payload.slice(row.getInt(row.length - 1) * step,
-                math.min((row.getInt(row.length - 1) + 1) * step, payload.length))))
+            Row.fromSeq(r.toSeq.updated(pIdx, frame) :+ f)
           }
         }
       }

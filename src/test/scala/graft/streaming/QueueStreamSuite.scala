@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.{QueueConfig, QueueJob}
+
+class QueueStreamSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("every row of a micro-batch is processed, in claim-sized chunks (no silent drops)") {
+    val dir = Files.createTempDirectory("graft_qstream").toString
+    val requestDir = s"$dir/requests"
+    val checkpointDir = s"$dir/checkpoint"
+
+    // one source file with 60 jobs -> one micro-batch -> 3 chunks (25/25/10)
+    val jobs = (1L to 60L).map(i => QueueJob(i, 100 + i, 1, "pending",
+      Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None))
+    jobs.toDF().coalesce(1).write.parquet(requestDir)
+
+    val seen = mutable.ArrayBuffer.empty[Seq[Long]] // one entry per chunk
+    val query = QueueStream.start(spark, requestDir, checkpointDir) { (chunk, _) =>
+      val ids = chunk.select("job_id").collect().map(_.getLong(0)).toSeq
+      seen.synchronized { seen += ids }
+    }
+    try {
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val chunks = seen.synchronized(seen.toList)
+    assert(chunks.map(_.size).forall(_ <= QueueConfig().claimBatchSize),
+      s"chunk sizes ${chunks.map(_.size)}")
+    assert(chunks.map(_.size).sum == 60, "every job processed exactly once overall")
+    assert(chunks.flatten.toSet == (1L to 60L).toSet, "no job dropped")
+    // priority order: chunks are carved in claim order (queued_time ties ->
+    // job_id asc), so the first chunk is the lowest job ids
+    assert(chunks.head.toSet == (1L to 25L).toSet)
+  }
+
+  test("windowedStats groups completions into event-time windows") {
+    val completions = Seq(
+      (1L, "completed", Timestamp.valueOf("2026-01-10 12:01:00"), 2),
+      (2L, "completed", Timestamp.valueOf("2026-01-10 12:02:00"), 3),
+      (3L, "failed", Timestamp.valueOf("2026-01-10 12:30:00"), 1)
+    ).toDF("job_id", "status", "end_time", "chunk_count")
+    val stats = QueueStream.windowedStats(completions, "5 minutes", "10 minutes")
+      .select(col("window.start").cast("string").as("w"), col("status"), col("n_jobs"), col("n_chunks"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stats == Set(
+      ("2026-01-10 12:00:00", "completed", 2L, 5L),
+      ("2026-01-10 12:30:00", "failed", 1L, 1L)))
+  }
+}
