@@ -122,6 +122,20 @@ class QueryCompilerSuite extends AnyFunSuite {
     assert(orderedText == Seq(1L, 5L, 3L, 2L, 4L))
   }
 
+  test("P6/F4: typed Timestamp literal compares as a real timestamp (Filter.php:122)") {
+    import java.sql.Timestamp
+    val p = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2026-02-01 12:30:00")),
+      (3L, Timestamp.valueOf("2026-03-01 00:00:00"))
+    ).toDF("ID", "created")
+    val qb = QueryBuilder().withGroup(
+      Filter("created", FilterOp.Ge, FilterValue.T(Timestamp.valueOf("2026-02-01 12:30:00"))))
+    val got = QueryCompiler.candidatePosts(p, meta.limit(0), qb)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), "boundary instant included by >=")
+  }
+
   test("F5: AsDate cast on garbage meta yields null (documented MySQL divergence)") {
     val m = Seq((1L, "when", "2026-01-02"), (2L, "when", "not a date"))
       .toDF("post_id", "meta_key", "meta_value")

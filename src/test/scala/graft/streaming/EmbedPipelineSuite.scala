@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.model.QueueJob
+import graft.sources.EmbeddingStore
+
+class EmbedPipelineSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed requests land in the store with derived columns (claim -> embed -> upsert)") {
+    val dir = Files.createTempDirectory("graft_pipeline").toString
+    val store = new EmbeddingStore(spark, s"$dir/store", numBuckets = 4)
+    // seed the store (upsert merges against existing state)
+    store.bulkLoad(Seq((999L, 0, Seq(1f, 1f, 1f)))
+      .toDF("post_id", "sequence_no", "vector")
+      .withColumn("vector_type", lit("seed")))
+
+    val jobs = (1L to 10L).map(i => QueueJob(i, i, 1, "pending",
+      Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None))
+    jobs.toDF().coalesce(1).write.parquet(s"$dir/requests")
+
+    // deterministic fake embedder: vector derived from the post id
+    val query = EmbedPipeline.start(spark, s"$dir/requests", s"$dir/checkpoint", store) {
+      chunk =>
+        chunk.select(
+          col("post_id"),
+          lit(0).as("sequence_no"),
+          array(col("post_id").cast("float"), lit(2f), lit(-1f)).as("vector"),
+          lit("fake-model").as("vector_type"))
+    }
+    try query.processAllAvailable()
+    finally query.stop()
+
+    assert(store.count() == 11, "10 streamed posts + 1 seed")
+    val r = store.get(7L, 0).head()
+    assert(r.getSeq[Float](r.fieldIndex("vector")) == Seq(7f, 2f, -1f))
+    assert(math.abs(r.getAs[Double]("magnitude") - math.sqrt(49 + 4 + 1)) < 1e-6,
+      "derived columns computed at ingest")
+    val ids = store.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 11, "ids unique across streamed upserts")
+  }
+}
