@@ -29,7 +29,11 @@ object Bench {
       force(SparkEntry.queries("q22_count_star")(spark, sfDir))
       force(SparkEntry.queries("q30_vec_magnitude")(spark, sfDir))
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q54_minhash_pairs,q55_ivf_assign limits the run (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9

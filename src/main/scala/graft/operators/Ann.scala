@@ -98,4 +98,24 @@ object Ann {
       array_max(transform(cents, c => vecDot(col(vecCol), c))))
     embs.withColumn("ivf_list", (best - 1).cast(IntegerType))
   }
+
+  /** IVF query path over an [[ivfAssign]]-ed table: rank centroids against
+    * the query driver-side (numLists is small), scan only the `nprobe`
+    * nearest inverted lists — with `ivf_list` as a partition/bucket column
+    * the scan prunes to nprobe/numLists of the data — then exact top-k
+    * inside. nprobe == numLists degenerates to exact brute force. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, dot(c, query)) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+    bruteForceTopK(embs.filter(col("ivf_list").isin(probes: _*)), idCol, vecCol, query, k)
+  }
 }

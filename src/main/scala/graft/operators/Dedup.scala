@@ -107,7 +107,13 @@ object Dedup {
       col("__text"), shingleN, numHashes).select(col("doc_id"), col("sig"))
     val banded = sig.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), numHashes, rowsPerBand)).as("band"))
-    banded.as("a").join(banded.as("b"),
+    // shuffle-hash hint, twice deliberate: a broadcast self-join would
+    // EXECUTE the signature pipeline twice (the built side re-computes);
+    // with both sides shuffling the identical subplan, Spark's
+    // ReuseExchange computes the signatures ONCE and reads the second side
+    // from the same exchange files.
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()

@@ -65,6 +65,16 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
 
   def read(): DataFrame = spark.read.parquet(path)
 
+  /** Typed view of the store (SURVEY.md §1.3: `Dataset[Embedding]` where
+    * compile-time safety helps; `DataFrame` at the dynamic API edges). */
+  def typed(): org.apache.spark.sql.Dataset[graft.model.Embedding] = {
+    import spark.implicits._
+    read().drop("bucket")
+      .select("id", "post_id", "sequence_no", "vector", "normalized_vector",
+        "vector_type", "binary_code", "magnitude", "created_at", "updated_at")
+      .as[graft.model.Embedding]
+  }
+
   // ---- S1-S6, S10: reads -------------------------------------------------
 
   /** S1 full scan; the reference caps at 100k (`VectorTable.php:333`) —

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnnSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val dim = 8
+  private val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map(i => i -> Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  private lazy val embs = vecs.toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+  private val query = vecs(3)._2.toArray // use a stored vector as the query
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  test("bruteForceTopK returns the exact top-k, self first") {
+    val top = topIds(Ann.bruteForceTopK(embs, "vec_id", "embedding", query, 5))
+    assert(top.head == 3L, "the query's own vector has cosine ~1")
+    assert(top.size == 5)
+  }
+
+  test("knnJoin ranks per query and matches single-query brute force") {
+    val out = Ann.knnJoin(embs.filter($"vec_id" === 3L), embs.filter($"vec_id" =!= 3L),
+      "vec_id", "vec_id", "embedding", "embedding", 4)
+    val got = out.orderBy($"rank").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    val expected = topIds(Ann.bruteForceTopK(embs.filter($"vec_id" =!= 3L),
+      "vec_id", "embedding", query, 4))
+    assert(got == expected)
+  }
+
+  test("lshTopK with enough probes returns only bucket-compatible candidates, ranked exactly") {
+    val got = Ann.lshTopK(embs, "vec_id", "embedding", query, k = 3, bits = 4, probeHamming = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.nonEmpty && got.head._1 == 3L)
+    // every returned candidate's 4-bit sign bucket is within hamming 1 of the query's
+    val qb = (0 until 4).map(i => query(i) > 0f)
+    got.foreach { case (id, _) =>
+      val v = vecs(id.toInt)._2
+      val hd = (0 until 4).count(i => (v(i) > 0f) != qb(i))
+      assert(hd <= 1, s"id=$id bucket distance $hd")
+    }
+  }
+
+  test("ivfAssign + ivfTopK: full-probe equals brute force; fewer probes subset the lists") {
+    val cents = Seq(vecs(0)._2.toArray, vecs(10)._2.toArray, vecs(20)._2.toArray)
+    val assigned = Ann.ivfAssign(embs, "embedding", cents)
+    val lists = assigned.select("ivf_list").distinct().collect().map(_.getInt(0)).toSet
+    assert(lists.subsetOf(Set(0, 1, 2)))
+
+    val full = topIds(Ann.ivfTopK(assigned, "vec_id", "embedding", cents, query, 5, nprobe = 3))
+    val brute = topIds(Ann.bruteForceTopK(embs, "vec_id", "embedding", query, 5))
+    assert(full == brute, "probing every list is exact")
+
+    val one = Ann.ivfTopK(assigned, "vec_id", "embedding", cents, query, 5, nprobe = 1)
+    val probedList = one.select("vec_id").collect().map(_.getLong(0)).toSet
+    val listOf = assigned.select("vec_id", "ivf_list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(probedList.map(listOf).size == 1, "nprobe=1 scans exactly one inverted list")
+  }
+
+  test("bucketsWithin enumerates all strings within the flip budget") {
+    val b = Ann.bucketsWithin("0101", 1)
+    assert(b.toSet == Set("0101", "1101", "0001", "0111", "0100"))
+    assert(Ann.bucketsWithin("01", 2).toSet.size == 4, "all 2-bit strings")
+  }
+}

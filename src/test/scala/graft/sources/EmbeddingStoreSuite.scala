@@ -116,6 +116,16 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(store.byId(1L).count() == 1)
   }
 
+  test("typed() exposes the store as Dataset[Embedding]") {
+    val (store, _) = freshStore()
+    val ds = store.typed()
+    val one = ds.filter(_.post_id == 1L).collect().sortBy(_.sequence_no)
+    assert(one.length == 2)
+    assert(one(0).vector.toSeq == Seq(1f, -2f, 3f))
+    assert(one(0).binary_code.toSeq == Seq(5L))
+    assert(ds.count() == 6)
+  }
+
   test("upsert on rows spanning ALL buckets keeps per-bucket row sets disjoint") {
     val (store, _) = freshStore()
     // touch every post -> likely every bucket in one mutation
