@@ -1,0 +1,53 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling helpers for hot keys at 100 TB.
+  *
+  * AQE's skew-join split handles sort-merge joins automatically, but two
+  * shapes still need explicit salting: (a) a groupBy whose hot key floods
+  * one reducer, and (b) a broadcast-infeasible join against a frame with a
+  * handful of pathological keys. Both decompose the same way — spread the
+  * hot key over `factor` synthetic sub-keys, do the heavy work per
+  * sub-key, then recombine.
+  */
+object Salt {
+
+  /** Two-phase salted aggregation: groupBy(key, salt) computes `factor`
+    * partial rows per key in parallel, then the tiny per-key recombine
+    * runs over factor rows per key. Use for algebraic aggregates
+    * (sum/count/min/max) whose partial and final forms you can express;
+    * the helper handles the sum/count pair, which covers avg too.
+    *
+    * At 10^9 rows of one hot key, the unsalted plan puts 10^9 rows on one
+    * reducer; salted, each of `factor` reducers sees 10^9/factor and the
+    * final agg sees `factor` rows. */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      factor: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count"))
+  }
+
+  /** Salted equi-join for a skewed LEFT frame against a non-broadcastable
+    * RIGHT frame: left rows get a random salt in [0, factor); the right
+    * side is replicated `factor` times (explode), so the join key becomes
+    * (key, salt) and the hot key's rows spread over `factor` reducers.
+    * Correct for any join whose semantics survive right-side replication
+    * under a disambiguating salt — i.e. inner/left equi-joins where right
+    * is unique per key or duplicates are acceptable as in the unsalted
+    * join. Cost: right side shuffles factor x (use only when the right
+    * side is small-ish but above the broadcast threshold). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      factor: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(factor)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -120,6 +120,33 @@ class EmbedQueueSuite extends AnyFunSuite {
     assert(st(10L)._1 == "pending" && st(11L)._1 == "pending")
   }
 
+  test("Q5: postsToRetry lists retryable-failed posts oldest-first, capped") {
+    val q = df(
+      job(1, 101, "failed", "2026-01-10 10:00:00", errors = 1),
+      job(2, 102, "failed", "2026-01-10 09:00:00", errors = 2),
+      job(3, 103, "failed", "2026-01-10 08:00:00", errors = 3), // at maxRetries -> not retryable
+      job(4, 104, "pending", "2026-01-10 07:00:00"))
+    val got = EmbedQueue.postsToRetry(q).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(102L, 101L), "oldest retryable first; exhausted + pending excluded")
+    val capped = EmbedQueue.postsToRetry(q, QueueConfig(retryFetchCap = 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(capped == Seq(102L))
+  }
+
+  test("T7: adminPage order - status DESC, CASE priority, queued_time DESC") {
+    val q = df(
+      job(1, 101, "pending", "2026-01-10 09:00:00"),
+      job(2, 102, "pending", "2026-01-10 11:00:00"),
+      job(3, 103, "processing", "2026-01-10 10:00:00"),
+      job(4, 104, "completed", "2026-01-10 10:00:00"),
+      job(5, 105, "failed", "2026-01-10 10:00:00"))
+    val page = EmbedQueue.adminPage(q, None, page = 1, QueueConfig(pageSize = 10))
+      .select("job_id").collect().map(_.getLong(0)).toSeq
+    // status string DESC: processing > pending > failed > completed;
+    // within equal status, queued_time DESC
+    assert(page == Seq(3L, 2L, 1L, 5L, 4L), s"got $page")
+  }
+
   test("Q9: reset returns a post's jobs to pending and clears progress") {
     val q = df(job(1, 101, "failed", "2026-01-10 09:00:00",
       start = Some("2026-01-10 10:00:00"), end = Some("2026-01-10 10:05:00"), errors = 2))

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SaltSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // heavy skew: one hot key with 10k rows, 9 cold keys with 10 each
+  private lazy val skewed =
+    ((1 to 10000).map(i => ("hot", i.toDouble)) ++
+      (1 to 9).flatMap(k => (1 to 10).map(i => (s"cold$k", i.toDouble))))
+      .toDF("k", "v").repartition(8)
+
+  test("salted sum/count equals the unsalted aggregation exactly") {
+    val salted = Salt.saltedSumCount(skewed, Seq("k"), col("v"), factor = 8)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val plain = skewed.groupBy("k").agg(sum("v"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, (s, c)) =>
+      assert(salted(k)._2 == c, s"count for $k")
+      assert(math.abs(salted(k)._1 - s) < 1e-6, s"sum for $k")
+    }
+  }
+
+  test("salted join equals the unsalted join (right unique per key)") {
+    val right = Seq(("hot", 100), ("cold1", 1), ("cold2", 2)).toDF("k", "r")
+    val salted = Salt.saltedJoin(skewed, right, "k", factor = 4)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("r").as("rsum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val plain = skewed.join(right, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("r").as("rsum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("salting actually spreads the hot key over multiple sub-groups") {
+    val perSalt = skewed.filter($"k" === "hot")
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(perSalt.length > 1, "hot key must split across salts")
+    assert(perSalt.max < 10000, "no single salt holds the whole hot key")
+  }
+}
