@@ -129,7 +129,11 @@ object Dedup {
     * (columns id1, id2): |A ∩ B| / |A ∪ B| over distinct shingles. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, text, shingleN)
+    // shuffle_hash: the shingle frame LOOKS small to the planner (array
+    // sizes are underestimated) but is ~30KB/doc — broadcasting it builds
+    // a multi-hundred-MB table on the driver, twice. Shuffling moves each
+    // doc's shingles exactly once.
+    val sh = shingleSets(docs, idCol, text, shingleN).hint("shuffle_hash")
     pairs
       .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
