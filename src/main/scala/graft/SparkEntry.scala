@@ -499,6 +499,16 @@ object SparkEntry {
         .select(col("vec_id"), col("ivf_list"))
         .orderBy(col("vec_id"))
     }),
+    "q56_chunks" -> ((s, d) =>
+      // document -> overlapping token-window chunks (the reference's
+      // sequence_no pipeline): 64-token windows, 16-token overlap
+      t(s, d, "documents")
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunksFromTokens(col("__toks"), 64, 16)))
+        .select(col("doc_id"), col("pos").as("sequence_no"),
+          length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("sequence_no"))),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -966,6 +976,19 @@ object SparkEntry {
     "q50_multimodal_stats" ->
       """SELECT doc_id AS media_id, 'image' AS kind, CAST(strlen(text) AS BIGINT) AS n_bytes,
          md5(text) AS payload_md5 FROM documents ORDER BY media_id""",
+    "q56_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          n AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) <= 64 THEN 1
+                 ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1 END AS nch
+            FROM t),
+          c AS (SELECT doc_id, toks, UNNEST(range(nch)) AS sq FROM n),
+          chunks AS (SELECT doc_id, CAST(sq AS INT) AS sequence_no,
+            array_to_string(toks[CAST(sq*48+1 AS INT):CAST(sq*48+64 AS INT)], ' ') AS chunk
+            FROM c)
+          SELECT doc_id, sequence_no, CAST(length(chunk) AS INT) AS chunk_len,
+            md5(chunk) AS chunk_md5
+          FROM chunks ORDER BY doc_id, sequence_no""",
     "q51_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          event_type, COUNT(*) AS n,

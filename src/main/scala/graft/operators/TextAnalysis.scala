@@ -126,4 +126,20 @@ object TextAnalysis {
     * project `tokens(text)` into a column first and use
     * [[shinglesFromTokens]] — see that method's codegen note. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Token-window chunking with overlap over a materialized token array —
+    * the document->chunks step that feeds the reference's per-chunk
+    * embedding rows (`sequence_no`, `src/VectorTable.php:468,472`; queue
+    * `chunk_count`, `src/VectorTableQueue.php:79`). Chunk i covers tokens
+    * [i*(size-overlap), i*(size-overlap)+size); the last window may be
+    * short; a doc never yields zero chunks. */
+  def chunksFromTokens(toks: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkSize, s"bad overlap $overlap for size $chunkSize")
+    val step = chunkSize - overlap
+    val nChunks = when(size(toks) <= chunkSize, lit(1))
+      .otherwise(ceil((size(toks) - lit(chunkSize)).cast(DoubleType) / step)
+        .cast(IntegerType) + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize))))
+  }
 }

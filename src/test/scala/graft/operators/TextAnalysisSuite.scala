@@ -57,6 +57,25 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(r.getLong(1) == 6L)
   }
 
+  test("chunksFromTokens: overlapping windows, short tail, never zero chunks") {
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.chunksFromTokens(TextAnalysis.tokens($"t"), size, overlap))
+        .head().getSeq[String](0)
+
+    val toks = (1 to 10).map(i => s"w$i").mkString(" ")
+    // size 4, overlap 2 -> starts 0,2,4,6,8: windows of 4 (last short)
+    val c = chunksOf(toks, 4, 2)
+    assert(c == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(chunksOf("a b", 4, 2) == Seq("a b"), "short doc -> one chunk")
+    assert(chunksOf("a b c d e", 4, 2) == Seq("a b c d", "c d e"), "short tail kept")
+    // consecutive chunks share exactly `overlap` tokens
+    val shared = c.sliding(2).map { case Seq(x, y) =>
+      x.split(" ").toSet.intersect(y.split(" ").toSet).size }.toSeq
+    assert(shared.forall(_ == 2))
+    intercept[IllegalArgumentException](chunksOf("a", 4, 4))
+  }
+
   test("rollingHash is deterministic and whitespace-normalized") {
     val hs = Seq("a  b", "a b", "a c").toDF("t")
       .select(TextAnalysis.rollingHash($"t")).collect().map(_.getLong(0))
