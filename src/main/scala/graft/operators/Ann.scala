@@ -99,6 +99,21 @@ object Ann {
     embs.withColumn("ivf_list", (best - 1).cast(IntegerType))
   }
 
+  /** Train IVF centroids with MLlib KMeans (seeded — deterministic).
+    * The scale path for the coarse quantizer: sample-fit on the driver-side
+    * cluster, then [[ivfAssign]] partitions the full table in one broadcast
+    * pass. Returns the centroids ordered by cluster id. */
+  def trainCentroids(embs: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, maxIter: Int = 20): Seq[Array[Float]] = {
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val train = embs.select(toVec(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    model.clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
+  }
+
   /** IVF query path over an [[ivfAssign]]-ed table: rank centroids against
     * the query driver-side (numLists is small), scan only the `nprobe`
     * nearest inverted lists — with `ivf_list` as a partition/bucket column

@@ -66,6 +66,23 @@ class AnnSuite extends AnyFunSuite {
     assert(probedList.map(listOf).size == 1, "nprobe=1 scans exactly one inverted list")
   }
 
+  test("trainCentroids + ivfAssign separates well-separated blobs") {
+    // two tight blobs far apart; k=2 must split them cleanly
+    val blob = (off: Float, ids: Range) => ids.map(i =>
+      (i.toLong, Seq.fill(dim)(off + (i % 3) * 0.01f)))
+    val blobs = (blob(10f, 0 until 20) ++ blob(-10f, 20 until 40))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val cents = Ann.trainCentroids(blobs, "embedding", k = 2)
+    assert(cents.length == 2)
+    val assigned = Ann.ivfAssign(blobs, "embedding", cents)
+      .select("vec_id", "ivf_list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val listA = (0 until 20).map(i => assigned(i.toLong)).toSet
+    val listB = (20 until 40).map(i => assigned(i.toLong)).toSet
+    assert(listA.size == 1 && listB.size == 1 && listA != listB,
+      s"each blob maps to exactly one distinct list: $listA vs $listB")
+  }
+
   test("bucketsWithin enumerates all strings within the flip budget") {
     val b = Ann.bucketsWithin("0101", 1)
     assert(b.toSet == Set("0101", "1101", "0001", "0111", "0100"))

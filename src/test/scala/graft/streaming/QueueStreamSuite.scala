@@ -44,6 +44,45 @@ class QueueStreamSuite extends AnyFunSuite {
     assert(chunks.head.toSet == (1L to 25L).toSet)
   }
 
+  test("watermark drops rows later than the lateness bound in a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, Timestamp, Int)]
+    val stats = QueueStream.windowedStats(
+      input.toDF().toDF("job_id", "status", "end_time", "chunk_count"),
+      "5 minutes", "10 minutes")
+    val query = stats.writeStream.format("memory").queryName("graft_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // batch 1: establish event time up to 13:00 -> watermark 12:50
+      input.addData((1L, "completed", ts("2026-01-10 12:01:00"), 1),
+        (2L, "completed", ts("2026-01-10 13:00:00"), 1))
+      query.processAllAvailable()
+      // batch 2: a row at 12:02 is >10 min behind the watermark -> dropped;
+      // 12:56 is within the bound -> kept
+      input.addData((3L, "completed", ts("2026-01-10 12:02:00"), 7),
+        (4L, "completed", ts("2026-01-10 12:56:00"), 1))
+      query.processAllAvailable()
+      // advance far enough to close and emit every open window
+      input.addData((5L, "completed", ts("2026-01-10 14:00:00"), 1))
+      query.processAllAvailable()
+
+      val out = spark.table("graft_wm")
+        .select(col("window.start").cast("string"), col("n_jobs"), col("n_chunks"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out.contains(("2026-01-10 12:00:00", 1L, 1L)),
+        s"12:00 window must contain ONLY job 1 - late job 3 (chunk_count 7) dropped: $out")
+      assert(out.contains(("2026-01-10 12:55:00", 1L, 1L)), s"in-bound late row kept: $out")
+      assert(out.contains(("2026-01-10 13:00:00", 1L, 1L)), out)
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_wm")
+    }
+  }
+
   test("windowedStats groups completions into event-time windows") {
     val completions = Seq(
       (1L, "completed", Timestamp.valueOf("2026-01-10 12:01:00"), 2),
