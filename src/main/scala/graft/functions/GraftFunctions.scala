@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's codegen vector expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API
+  * (§2.11: FunctionRegistry route).
+  *
+  * Two entry points:
+  *  - [[register]] mutates an existing session's registry (tests, REPLs);
+  *  - [[GraftExtensions]] is a `spark.sql.extensions`-loadable injector
+  *    (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`)
+  *    — the supported hook for cluster deployments.
+  */
+object GraftFunctions {
+
+  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (args => DotProductFloat(args(0), args(1))),
+    "hamming_dist" -> (args => HammingDistPacked(args(0), args(1))),
+    "pack_sign_bits" -> (args => PackSignBits(args(0))),
+    "simhash64" -> (args => SimHash64(args(0))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+      builder)
+  }
+}
+
+/** `spark.sql.extensions` injector (must be a class with a no-arg ctor). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "hamming_dist"),
+      (args: Seq[Expression]) => HammingDistPacked(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("pack_sign_bits"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "pack_sign_bits"),
+      (args: Seq[Expression]) => PackSignBits(args(0))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JobTrackerSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stateful tracker: transitions + event-time reaper timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JobEvent]
+    val tracked = JobTracker.track(
+      input.toDS().withWatermark("at", "0 seconds").as[JobEvent])
+    val query = tracked.writeStream.format("memory").queryName("graft_jobs")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // post 1: enqueue -> claim -> complete (normal life)
+      // post 2: enqueue -> claim ... then silence -> must be reaped
+      input.addData(
+        JobEvent(1L, "enqueue", ts("2026-01-10 12:00:00")),
+        JobEvent(2L, "enqueue", ts("2026-01-10 12:00:00")))
+      query.processAllAvailable()
+      input.addData(
+        JobEvent(1L, "claim", ts("2026-01-10 12:01:00")),
+        JobEvent(2L, "claim", ts("2026-01-10 12:01:00")))
+      query.processAllAvailable()
+      input.addData(JobEvent(1L, "complete", ts("2026-01-10 12:05:00")))
+      query.processAllAvailable()
+      // advance the watermark past 12:01 + 15 min; the new watermark takes
+      // effect in the NEXT micro-batch, so nudge once more -> post 2 times out
+      input.addData(JobEvent(99L, "enqueue", ts("2026-01-10 12:30:00")))
+      query.processAllAvailable()
+      input.addData(JobEvent(98L, "enqueue", ts("2026-01-10 12:31:00")))
+      query.processAllAvailable()
+
+      val states = spark.table("graft_jobs")
+        .groupBy("post_id").agg(
+          max(struct(col("since"), col("status"), col("error_count"), col("timed_out"))).as("last"))
+        .select(col("post_id"), col("last.status"), col("last.error_count"), col("last.timed_out"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+
+      assert(states(1L) == (("completed", 0, false)))
+      assert(states(2L)._1 == "failed", s"silent processing job must be reaped: $states")
+      assert(states(2L)._2 == 1 && states(2L)._3, "reap increments error_count, marks timeout")
+      assert(states(99L)._1 == "pending")
+
+      // completed job must NOT have been reaped despite its timeout having
+      // been armed at claim (completion cleared it by updating state)
+      val p1 = spark.table("graft_jobs").filter($"post_id" === 1L && $"timed_out")
+      assert(p1.isEmpty, "no timeout transition for a completed job")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_jobs")
+    }
+  }
+
+  test("fail events accumulate error_count through the state machine") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JobEvent]
+    val tracked = JobTracker.track(
+      input.toDS().withWatermark("at", "0 seconds").as[JobEvent])
+    val query = tracked.writeStream.format("memory").queryName("graft_jobs2")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        JobEvent(7L, "enqueue", ts("2026-01-10 12:00:00")),
+        JobEvent(7L, "claim", ts("2026-01-10 12:01:00")),
+        JobEvent(7L, "fail", ts("2026-01-10 12:02:00")),
+        JobEvent(7L, "claim", ts("2026-01-10 12:03:00")),
+        JobEvent(7L, "fail", ts("2026-01-10 12:04:00")))
+      query.processAllAvailable()
+      val last = spark.table("graft_jobs2").orderBy($"since".desc).head()
+      assert(last.getAs[String]("status") == "failed")
+      assert(last.getAs[Int]("error_count") == 2, "two fails -> error_count 2")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_jobs2")
+    }
+  }
+}
