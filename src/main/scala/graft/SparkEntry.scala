@@ -529,6 +529,19 @@ object SparkEntry {
   private val mdNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** 3-token shingles -> per-shingle 16-hex md5 bases -> per-seed minhash,
+    * mirroring Dedup.shingleBases/seedMins (seed hashes the short base,
+    * not the shingle text). */
+  private val shingle3Sql =
+    s"""list_transform(range(0, len($toksSql) - 2),
+        i -> list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
+             list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
+             list_extract($toksSql, CAST(i+3 AS INT)))"""
+  private val bases3Sql = s"list_transform($shingle3Sql, s -> substr(md5(s), 1, 16))"
+  private def minhashSql(seed: Int) =
+    s"""COALESCE(list_aggregate(list_transform($bases3Sql,
+        b -> substr(md5('$seed:' || b), 1, 16)), 'min'), '~empty')"""
+
   /** DuckDB-runnable equivalents. Column aliases MUST match the Spark side
     * (driver sorts columns by name before hashing). */
   def oracleSql: Map[String, String] = Map(
@@ -854,12 +867,7 @@ object SparkEntry {
           ORDER BY id1, id2"""
     },
     "q54_minhash_pairs" -> {
-      def m(seed: Int) =
-        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
-            i -> substr(md5('$seed:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
-      val sigCols = (0 until 8).map(sd => s"${m(sd)} AS m$sd").mkString(", ")
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>
         s"SELECT doc_id, '$b:' || md5(m${2 * b} || '|' || m${2 * b + 1}) AS band FROM sig")
         .mkString(" UNION ALL ")
@@ -902,24 +910,13 @@ object SparkEntry {
     "q41_exact_dup_groups" ->
       s"""SELECT substr(md5($mdNorm), 1, 16) AS fp, COUNT(*) AS dup_count,
           MIN(doc_id) AS canonical_id FROM documents GROUP BY fp ORDER BY fp""",
-    "q42_minhash_sig" -> {
-      def m(seed: Int) =
-        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
-            i -> substr(md5('$seed:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
-      s"""SELECT doc_id, ${m(0)} AS m0, ${m(1)} AS m1, ${m(2)} AS m2, ${m(3)} AS m3
-          FROM documents ORDER BY doc_id"""
-    },
-    "q43_band_buckets" -> {
-      val m0 =
-        s"""COALESCE(list_aggregate(list_transform(range(0, len($toksSql) - 2),
-            i -> substr(md5('0:' || list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+3 AS INT))), 1, 16)), 'min'), '~empty')"""
-      s"""SELECT substr($m0, 1, 2) AS band_key, COUNT(*) AS n_docs
-          FROM documents GROUP BY band_key ORDER BY band_key"""
-    },
+    "q42_minhash_sig" ->
+      s"""SELECT doc_id, ${minhashSql(0)} AS m0, ${minhashSql(1)} AS m1,
+          ${minhashSql(2)} AS m2, ${minhashSql(3)} AS m3
+          FROM documents ORDER BY doc_id""",
+    "q43_band_buckets" ->
+      s"""SELECT substr(${minhashSql(0)}, 1, 2) AS band_key, COUNT(*) AS n_docs
+          FROM documents GROUP BY band_key ORDER BY band_key""",
     "q44_simhash16" -> {
       val bits = (0 until 16).map { b =>
         s"""(CASE WHEN list_sum(list_transform($toksSql,

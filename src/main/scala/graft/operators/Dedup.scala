@@ -56,19 +56,31 @@ object Dedup {
 
   // ---- MinHash / LSH ----------------------------------------------------
 
-  /** Per-seed min-hash over a materialized shingle array:
-    * min over shingles of `substr(md5(seed || ':' || shingle), 1, 16)`.
+  /** 16-hex-char base hash per shingle — computed ONCE per shingle, then
+    * every seed hashes the short base instead of the long shingle text
+    * (one MD5 block instead of two; ~40% fewer MD5 blocks for an 8-hash
+    * signature). */
+  def shingleBases(sh: Column): Column =
+    transform(sh, s => substring(md5(s), 1, 16))
+
+  /** Per-seed min-hash over materialized shingle BASES:
+    * min over shingles of `substr(md5(seed || ':' || base16), 1, 16)`.
     * A lexicographic min of md5 hex strings is a perfectly good hash
     * family and is reproducible in any engine with md5. Empty shingle
     * sets get a sentinel. */
-  def signatureFromShingles(sh: Column, numHashes: Int): Column = {
+  def seedMins(bases: Column, numHashes: Int): Column = {
     val mins = (0 until numHashes).map { seed =>
       coalesce(
-        array_min(transform(sh, s => substring(md5(concat(lit(s"$seed:"), s)), 1, 16))),
+        array_min(transform(bases, b => substring(md5(concat(lit(s"$seed:"), b)), 1, 16))),
         lit("~empty"))
     }
     array(mins: _*)
   }
+
+  /** Signature from a shingle array (single-expression form — re-derives
+    * the bases per seed; fixtures only, hot paths stage the bases). */
+  def signatureFromShingles(sh: Column, numHashes: Int): Column =
+    seedMins(shingleBases(sh), numHashes)
 
   /** MinHash signature from raw text (single-expression form — for tiny
     * fixtures and oracle SQL mirroring; hot paths use
@@ -76,15 +88,16 @@ object Dedup {
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     signatureFromShingles(shinglesFromTokens(tokens(text), shingleN), numHashes)
 
-  /** docs + a `sig` column, with tokens and shingles staged as their own
-    * projections (see the object-level perf invariant). */
+  /** docs + a `sig` column, with tokens, shingles AND shingle bases staged
+    * as their own projections (see the object-level perf invariant). */
   def withMinhashSignature(docs: DataFrame, text: Column, shingleN: Int,
       numHashes: Int, out: String = "sig"): DataFrame =
     docs
       .withColumn("__toks", tokens(text))
       .withColumn("__sh", shinglesFromTokens(col("__toks"), shingleN))
-      .withColumn(out, signatureFromShingles(col("__sh"), numHashes))
-      .drop("__toks", "__sh")
+      .withColumn("__bases", shingleBases(col("__sh")))
+      .withColumn(out, seedMins(col("__bases"), numHashes))
+      .drop("__toks", "__sh", "__bases")
 
   /** LSH band keys: signature split into bands of `rowsPerBand` hashes;
     * band key = band index + md5 of the concatenated band slice. Docs
