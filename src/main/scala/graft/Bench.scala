@@ -4,11 +4,14 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
-  /** Force FULL evaluation of every output column. `.count()` would let
-    * Catalyst delete the sort (EliminateSorts) and prune every projected
-    * expression, so map-only queries would measure a bare scan instead of
-    * their vector/hash math. A checksum over all columns keeps each
-    * expression alive; xxhash64 handles arrays/structs natively. */
+  /** Force FULL evaluation of every output column: `.count()` would prune
+    * every projected expression, so map-only queries would measure a bare
+    * scan instead of their vector/hash math. A checksum over all columns
+    * keeps each expression alive; xxhash64 handles arrays/structs
+    * natively. NB: plain global ORDER BYs under the checksum aggregate are
+    * still elided by EliminateSorts (they are oracle-determinism overhead,
+    * not work the engine needs); the perf-relevant orderings — top-k via
+    * TakeOrderedAndProject and window sorts — survive and are measured. */
   private def force(df: DataFrame): Unit = {
     df.agg(sum(xxhash64(df.columns.map(col).toSeq: _*))).collect()
     ()

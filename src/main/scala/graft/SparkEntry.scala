@@ -758,16 +758,20 @@ object SparkEntry {
             WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming
          FROM embeddings e ORDER BY e.vec_id""",
     "q34_cosine_topk" ->
+      // the top-k cut orders by the UNROUNDED cosine (like the engine);
+      // rounding applies to output only — sorting on the rounded alias
+      // could pick a different id at a k-boundary rounding tie
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
-           FROM embeddings WHERE vec_id = 0)
-         SELECT e.vec_id, ROUND(
+           FROM embeddings WHERE vec_id = 0),
+         scored AS (SELECT e.vec_id,
            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
-            * (SELECT qmag FROM q) + 1e-12), 6) AS cosine
-         FROM embeddings e
-         ORDER BY cosine DESC, e.vec_id ASC LIMIT 20""",
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM embeddings e)
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+         ORDER BY c DESC, vec_id ASC LIMIT 20""",
     "q35_knn_join" ->
       """WITH e AS (SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
@@ -839,12 +843,14 @@ object SparkEntry {
           b AS (SELECT vec_id, embedding, $bucket AS bucket,
             sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
             FROM embeddings),
-          cand AS (SELECT b.* FROM b, q WHERE $diff <= 1)
-          SELECT c.vec_id, ROUND(
+          cand AS (SELECT b.* FROM b, q WHERE $diff <= 1),
+          scored AS (SELECT c.vec_id,
             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
              FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z) /
-            (c.mag * (SELECT qmag FROM q) + 1e-12), 6) AS cosine
-          FROM cand c ORDER BY cosine DESC, c.vec_id ASC LIMIT 10"""
+            (c.mag * (SELECT qmag FROM q) + 1e-12) AS c
+            FROM cand c)
+          SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+          ORDER BY c DESC, vec_id ASC LIMIT 10"""
     },
     "q53_neardup_banded" -> {
       def band(b: Int) =

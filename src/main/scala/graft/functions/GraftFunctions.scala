@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (args => DotProductFloat(args(0), args(1))),
     "hamming_dist" -> (args => HammingDistPacked(args(0), args(1))),
     "pack_sign_bits" -> (args => PackSignBits(args(0))),
@@ -31,20 +31,12 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` injector (must be a class with a no-arg ctor). */
+/** `spark.sql.extensions` injector (must be a class with a no-arg ctor) —
+  * same function table as [[GraftFunctions.register]], one source of truth. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "vec_dot"),
-      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("hamming_dist"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "hamming_dist"),
-      (args: Seq[Expression]) => HammingDistPacked(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("pack_sign_bits"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "pack_sign_bits"),
-      (args: Seq[Expression]) => PackSignBits(args(0))))
-    ext.injectFunction((FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
 }

@@ -217,14 +217,22 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
       bandBits: Int = 16, numBands: Int = 4, threshold: Double = 0.95): DataFrame = {
     val base = embs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
-    val banded = base.select(col("doc_id"), col("v"),
+    // candidate pairs carry IDS ONLY through the banding join + distinct —
+    // a pair sharing k bands would otherwise shuffle both full vectors k
+    // times through the widest exchange; vectors are re-attached once per
+    // surviving pair (shuffle_hash: array sizes are underestimated and
+    // the planner would broadcast a multi-GB build at scale)
+    val banded = base.select(col("doc_id"),
       explode(array((0 until numBands).map(b => signBandKey(col("v"), b, bandBits)): _*))
         .as("bucket"))
-    banded.as("a").join(banded.as("b"),
+    val pairs = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.v").as("v1"), col("b.v").as("v2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("id1"), col("v").as("v1")).hint("shuffle_hash"), Seq("id1"))
+      .join(base.select(col("doc_id").as("id2"), col("v").as("v2")).hint("shuffle_hash"), Seq("id2"))
       .withColumn("cosine", VectorFunctions.vecCosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))

@@ -28,6 +28,12 @@ object EmbedQueue {
   def retryable(cfg: QueueConfig = QueueConfig()): Column =
     col("status") === Failed.name && col("error_count") < cfg.maxRetries
 
+  /** Claim eligibility (the SELECT's WHERE, VectorTableQueue.php:192-194):
+    * pending, or failed with retries left. Completed / processing /
+    * retry-exhausted rows must never be claimed. */
+  def claimable(cfg: QueueConfig = QueueConfig()): Column =
+    col("status") === Pending.name || retryable(cfg)
+
   /** Claim priority (VectorTableQueue.php:195-202): pending first, then
     * retryable failed, then queued_time ASC; job_id tiebreak for
     * determinism. */
@@ -41,7 +47,7 @@ object EmbedQueue {
   /** The batch the next claim would take (SELECT half of Q3). */
   def nextBatch(queue: DataFrame, cfg: QueueConfig = QueueConfig()): DataFrame =
     queue
-      .filter(col("status") === Pending.name || retryable(cfg))
+      .filter(claimable(cfg))
       .orderBy(claimOrder(cfg): _*)
       .limit(cfg.claimBatchSize)
 

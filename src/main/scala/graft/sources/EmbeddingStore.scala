@@ -127,12 +127,18 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     * directories nor misplace them. */
   def upsert(updates: DataFrame): Unit = {
     val prepared = withDerived(updates)
-    val existing = read().select(col("post_id"), col("sequence_no"), col("id").as("__old_id"))
+    val existing = read().select(col("post_id"), col("sequence_no"),
+      col("id").as("__old_id"), col("created_at").as("__old_created_at"))
     val maxId = Option(read().agg(max(col("id"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
     val joined = prepared.join(existing, Seq("post_id", "sequence_no"), "left")
     val kept = joined.filter(col("__old_id").isNotNull)
-      .withColumn("id", col("__old_id")).drop("__old_id")
-    val fresh = assignIds(joined.filter(col("__old_id").isNull).drop("__old_id"), maxId + 1)
+      .withColumn("id", col("__old_id"))
+      // an UPDATE keeps the row's original creation time (only updated_at
+      // moves — the reference's timestamp semantics, VectorTable.php:478-479)
+      .withColumn("created_at", coalesce(col("__old_created_at"), col("created_at")))
+      .drop("__old_id", "__old_created_at")
+    val fresh = assignIds(
+      joined.filter(col("__old_id").isNull).drop("__old_id", "__old_created_at"), maxId + 1)
     writeStaged(kept.unionByName(fresh)) { staged =>
       val buckets = staged.select(bucketOf(col("post_id")).as("b")).distinct()
         .as[Int].collect().toSet

@@ -33,7 +33,12 @@ object EmbedPipeline {
       cfg: QueueConfig = QueueConfig())(
       embed: DataFrame => DataFrame): StreamingQuery =
     QueueStream.start(spark, requestDir, checkpointDir, cfg) { (chunk, _) =>
-      val raw = embed(chunk)
-      if (!raw.isEmpty) store.upsert(raw)
+      // pin the embedder's output: upsert runs several actions (id lookup,
+      // staging write) and an unpersisted plan would re-invoke the
+      // embedding model per action — and could even stage different
+      // vectors than it counted if the model is nondeterministic
+      val raw = embed(chunk).persist()
+      try { if (!raw.isEmpty) store.upsert(raw) }
+      finally { raw.unpersist(); () }
     }
 }

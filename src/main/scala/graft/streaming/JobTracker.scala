@@ -48,7 +48,10 @@ object JobTracker {
               // timeout (deterministic under replay)
               val failed = JobState(postId, Failed.name, s.error_count + 1,
                 new Timestamp(state.getCurrentWatermarkMs()), timed_out = true)
-              state.update(failed)
+              // retry-exhausted -> drop the state (the in-stream GC);
+              // retryable failures keep state for the next claim
+              if (failed.error_count >= cfg.maxRetries) state.remove()
+              else state.update(failed)
               Iterator.single(failed)
             } else Iterator.empty
           } else {
@@ -60,8 +63,13 @@ object JobTracker {
                 case "enqueue" => JobState(postId, Pending.name, 0, e.at)
                 case "claim" =>
                   // arm the reaper: time out when event time passes
-                  // start_time + processing timeout
-                  state.setTimeoutTimestamp(e.at.getTime + timeoutMs)
+                  // start_time + processing timeout. Clamp to above the
+                  // current eviction watermark: during replay/backfill a
+                  // batch can legally contain events far older than the
+                  // watermark, and setTimeoutTimestamp below it throws and
+                  // kills the query.
+                  state.setTimeoutTimestamp(
+                    math.max(e.at.getTime + timeoutMs, state.getCurrentWatermarkMs() + 1))
                   JobState(postId, Processing.name, s.error_count, e.at)
                 case "complete" => JobState(postId, Completed.name, s.error_count, e.at)
                 case "fail" => JobState(postId, Failed.name, s.error_count + 1, e.at)
@@ -69,7 +77,13 @@ object JobTracker {
               }
               out += s
             }
-            state.update(s)
+            // terminal states leave the store (unbounded post-id streams
+            // would otherwise grow state forever — the in-stream analogue
+            // of EmbedQueue.gc); a later event for the key simply
+            // re-initializes from pending
+            if (s.status == Completed.name ||
+                (s.status == Failed.name && s.error_count >= cfg.maxRetries)) state.remove()
+            else state.update(s)
             out.result().iterator
           }
         })

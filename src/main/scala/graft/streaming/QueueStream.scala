@@ -43,12 +43,16 @@ object QueueStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // The checkpoint marks every file of this micro-batch consumed, so
-        // EVERY row must be processed here — capping at claimBatchSize and
-        // discarding the rest would silently drop jobs (the reference's
-        // poll loop leaves unclaimed rows pending for the next poll,
-        // VectorTableQueue.php:184-223). Claim-sized chunks are carved out
-        // of the full batch in priority order and each handed to `process`.
+        // every CLAIMABLE row must be processed here — capping at
+        // claimBatchSize and discarding the rest would silently drop jobs
+        // (the reference's poll loop leaves unclaimed rows pending for the
+        // next poll, VectorTableQueue.php:184-223). Ineligible rows
+        // (completed / processing / retry-exhausted, the SELECT's WHERE at
+        // :192-194) are excluded up front: replayed terminal state must
+        // not be re-embedded. Claim-sized chunks are then carved out of
+        // the eligible set in priority order, each handed to `process`.
         val ordered = batch
+          .filter(EmbedQueue.claimable(cfg))
           .withColumn("__chunk",
             floor((row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(EmbedQueue.claimOrder(cfg): _*)) - 1) / cfg.claimBatchSize))

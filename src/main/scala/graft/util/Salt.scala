@@ -16,13 +16,17 @@ object Salt {
 
   /** Two-phase salted aggregation: groupBy(key, salt) computes `factor`
     * partial rows per key in parallel, then the tiny per-key recombine
-    * runs over factor rows per key. Use for algebraic aggregates
-    * (sum/count/min/max) whose partial and final forms you can express;
-    * the helper handles the sum/count pair, which covers avg too.
+    * runs over factor rows per key.
     *
-    * At 10^9 rows of one hot key, the unsalted plan puts 10^9 rows on one
-    * reducer; salted, each of `factor` reducers sees 10^9/factor and the
-    * final agg sees `factor` rows. */
+    * KNOW WHEN NOT TO USE IT: for plain algebraic aggregates Spark's
+    * map-side partial aggregation already collapses a hot key to one row
+    * per map task before the shuffle — no salting needed, and this helper
+    * would just add a second shuffle. Reach for the two-phase pattern when
+    * partial aggregation does NOT bound per-key state: high-cardinality
+    * partial state (exact distinct / collect_list-style), or when the
+    * upstream was already salted by [[saltedJoin]] and the salt is being
+    * folded back out. The sum/count pair here is the recombine step for
+    * those pipelines (covers avg too). */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: Column,
       factor: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)))

@@ -68,6 +68,8 @@ class EmbeddingStoreSuite extends AnyFunSuite {
   test("S7 upsert across buckets: no duplication, no misplacement, ids preserved/continued") {
     val (store, _) = freshStore()
     val before = keyIds(store)
+    val beforeCreated = store.read().select("post_id", "sequence_no", "created_at").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getTimestamp(2)).toMap
     // posts 1..5 hash into several of the 4 buckets; update two existing
     // keys and insert two new ones in one upsert
     store.upsert(raw(
@@ -92,6 +94,9 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(v.getSeq[Float](v.fieldIndex("vector")) == Seq(9f, 9f, 9f), "payload updated")
     assert(math.abs(v.getAs[Double]("magnitude") - math.sqrt(243.0)) < 1e-6,
       "magnitude refreshed on update (unlike the reference's UPDATE bug)")
+    assert(v.getAs[java.sql.Timestamp]("created_at") ==
+      beforeCreated((1L, 0)), "UPDATE keeps the original created_at")
+    assert(store.get(2L, 1).head().getAs[java.sql.Timestamp]("created_at") != null)
 
     // every row physically lives in the bucket dir its post_id hashes to
     val misplaced = after

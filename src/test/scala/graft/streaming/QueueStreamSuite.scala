@@ -20,9 +20,12 @@ class QueueStreamSuite extends AnyFunSuite {
     val requestDir = s"$dir/requests"
     val checkpointDir = s"$dir/checkpoint"
 
-    // one source file with 60 jobs -> one micro-batch -> 3 chunks (25/25/10)
+    // one source file: 60 claimable jobs -> one micro-batch -> 3 chunks
+    // (25/25/10), plus terminal rows that must NOT be handed to process
     val jobs = (1L to 60L).map(i => QueueJob(i, 100 + i, 1, "pending",
-      Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None))
+      Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None)) ++ Seq(
+      QueueJob(61L, 161L, 1, "completed", Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None),
+      QueueJob(62L, 162L, 1, "failed", Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 3, None))
     jobs.toDF().coalesce(1).write.parquet(requestDir)
 
     val seen = mutable.ArrayBuffer.empty[Seq[Long]] // one entry per chunk
@@ -37,8 +40,9 @@ class QueueStreamSuite extends AnyFunSuite {
     val chunks = seen.synchronized(seen.toList)
     assert(chunks.map(_.size).forall(_ <= QueueConfig().claimBatchSize),
       s"chunk sizes ${chunks.map(_.size)}")
-    assert(chunks.map(_.size).sum == 60, "every job processed exactly once overall")
-    assert(chunks.flatten.toSet == (1L to 60L).toSet, "no job dropped")
+    assert(chunks.map(_.size).sum == 60, "every claimable job processed exactly once")
+    assert(chunks.flatten.toSet == (1L to 60L).toSet,
+      "no claimable job dropped; completed + retry-exhausted rows never claimed")
     // priority order: chunks are carved in claim order (queued_time ties ->
     // job_id asc), so the first chunk is the lowest job ids
     assert(chunks.head.toSet == (1L to 25L).toSet)
