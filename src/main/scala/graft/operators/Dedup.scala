@@ -156,6 +156,48 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components via
+    * min-label propagation (each node repeatedly adopts the smallest label
+    * among itself and its neighbors — the simplified large-star/small-star
+    * scheme). Returns (id, label) where label = min doc id of the
+    * component, i.e. the canonical document.
+    *
+    * Scale notes: each iteration is one join + hash agg on compact
+    * (id, label) pairs; iterations are bounded by the component DIAMETER
+    * (near-dup clusters are shallow — a handful of rounds), and lineage is
+    * cut per iteration with an eager localCheckpoint so the plan does not
+    * grow exponentially. */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("id2") === labels("id"))
+        .groupBy(edges("id1").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") =!= col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one document per near-dup cluster (the canonical = min id);
+    * documents in no cluster pass through. The end of the dedup pipeline:
+    * candidates -> verify -> [[dedupGroups]] -> keepCanonical. */
+  def keepCanonical(docs: DataFrame, idCol: String, groups: DataFrame): DataFrame = {
+    val losers = groups.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per doc from md5-derived token hashes (first 16 hex

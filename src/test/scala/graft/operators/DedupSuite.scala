@@ -54,6 +54,28 @@ class DedupSuite extends AnyFunSuite {
     verified.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("dedupGroups: connected components collapse transitive chains to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id1", "id2")
+    val groups = Dedup.dedupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L && groups(7L) == 1L,
+      s"chain 1-2-3-7 is one component: $groups")
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", Dedup.dedupGroups(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L), "canonical per cluster + untouched singletons")
+  }
+
+  test("end-to-end dedup: candidates -> groups -> canonical set on real dup docs") {
+    val groups = Dedup.dedupGroups(Dedup.minhashCandidatePairs(docs, "doc_id", $"text"))
+    val kept = Dedup.keepCanonical(docs, "doc_id", groups)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L), "exact dup of doc 1 removed")
+    assert(kept.contains(1L), "canonical kept")
+  }
+
   test("staged withSimhash16 equals the single-expression form; near-dups are hamming-close") {
     val staged = Dedup.withSimhash16(docs, $"text")
       .select($"doc_id", $"simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
