@@ -443,8 +443,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "q45_jaccard_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // consecutive-doc pairs; the inner join on id2 inside jaccardVerify
+      // drops the last doc's dangling pair — NO literal doc-count cap
+      // (a hard-coded 499 held only at sf0.01)
       val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
-        .filter(col("id2") <= 499) // consecutive-doc pairs
       Dedup.jaccardVerify(pairs, docs, "doc_id", col("text"), 3)
         .orderBy(col("id1"))
     }),
