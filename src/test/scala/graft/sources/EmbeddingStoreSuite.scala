@@ -55,6 +55,13 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(math.abs(math.sqrt(nv.map(x => x * x).sum) - 1.0) < 1e-6)
   }
 
+  test("S1: getAll honors the reference's export cap and the uncapped variant") {
+    val (store, _) = freshStore()
+    assert(store.getAll(Some(3)).count() == 3)
+    assert(store.getAll(None).count() == 6)
+    assert(store.getAll().count() == 6, "default 100k cap is above the table size")
+  }
+
   test("reads: byId, byIds order-preserving, get, allForPost, latestUpdated") {
     val (store, _) = freshStore()
     assert(store.byId(3L).head().getAs[Long]("post_id") == 2L)
