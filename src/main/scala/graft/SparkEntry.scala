@@ -307,8 +307,8 @@ object SparkEntry {
     // ---- queue lifecycle (Q3/Q4/Q6/Q7, VectorTableQueue.php:184-331) ----
     "q27_queue_claim" -> ((s, d) => {
       val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-      EmbedQueue.claim(queueFromEvents(s, d), now)
-        .filter(col("start_time") === lit(now) && col("status") === "processing")
+      val (state, picked) = EmbedQueue.claimBatch(queueFromEvents(s, d), now)
+      state.join(broadcast(picked), Seq("job_id"), "left_semi")
         .select(col("job_id"), col("error_count"),
           unix_micros(col("queued_time")).as("queued_us"))
         .orderBy(col("job_id"))
@@ -318,9 +318,9 @@ object SparkEntry {
       val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
       val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:10:00")
       val t3 = java.sql.Timestamp.valueOf("2024-02-02 00:00:00")
-      val q1 = EmbedQueue.claim(queueFromEvents(s, d), t1)
-      val claimed = q1.filter(col("start_time") === lit(t1))
-        .select(col("post_id")).collect().map(_.getLong(0)).toSeq
+      val (q1, picked) = EmbedQueue.claimBatch(queueFromEvents(s, d), t1)
+      // post_id == job_id in this fixture; collect the authoritative set
+      val claimed = picked.collect().map(_.getLong(0)).toSeq
       val q2 = EmbedQueue.complete(q1, claimed.filter(_ % 2 == 0), t2)
       val q3 = EmbedQueue.fail(q2, claimed.filter(_ % 2 != 0), t2, "boom")
       val q4 = EmbedQueue.reapTimeouts(q3, t3)
@@ -404,9 +404,12 @@ object SparkEntry {
       // within hamming 1, exact cosine rerank inside (Ann.lshTopK)
       val anchor = t(s, d, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
+      // the k-cut happens inside lshTopK on the UNROUNDED cosine; output
+      // order is by id on both sides — re-sorting the rounded cosine here
+      // could disagree with the oracle at a rounding tie
       Ann.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding", anchor,
         k = 10, bits = 8, probeHamming = 1)
-        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .orderBy(col("vec_id").asc)
     }),
     // ---- dedup / text analysis (pipeline extensions) ----
     "q40_fingerprint" -> ((s, d) =>
@@ -850,9 +853,9 @@ object SparkEntry {
             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
              FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z) /
             (c.mag * (SELECT qmag FROM q) + 1e-12) AS c
-            FROM cand c)
-          SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
-          ORDER BY c DESC, vec_id ASC LIMIT 10"""
+            FROM cand c),
+          topk AS (SELECT * FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10)
+          SELECT vec_id, ROUND(c, 6) AS cosine FROM topk ORDER BY vec_id ASC"""
     },
     "q53_neardup_banded" -> {
       def band(b: Int) =

@@ -93,10 +93,14 @@ object Ann {
     * scale-relevant part — one broadcast pass, no shuffle. */
   def ivfAssign(embs: DataFrame, vecCol: String, centroids: Seq[Array[Float]]): DataFrame = {
     val cents = array(centroids.map(c => lit(c).cast(ArrayType(FloatType))): _*)
-    val best = array_position(
-      transform(cents, c => vecDot(col(vecCol), c)),
-      array_max(transform(cents, c => vecDot(col(vecCol), c))))
-    embs.withColumn("ivf_list", (best - 1).cast(IntegerType))
+    // stage the per-centroid scores once: argmax references the array
+    // twice, and an inline transform would run the k dot products twice
+    // per row (no CSE across HOF lambdas)
+    embs
+      .withColumn("__scores", transform(cents, c => vecDot(col(vecCol), c)))
+      .withColumn("ivf_list",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1).cast(IntegerType))
+      .drop("__scores")
   }
 
   /** Train IVF centroids with MLlib KMeans (seeded — deterministic).

@@ -168,8 +168,12 @@ object Dedup {
     * cut per iteration with an eager localCheckpoint so the plan does not
     * grow exponentially. */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // pin the candidate-pair plan: every iteration joins against edges,
+    // and an unpersisted plan would re-run the (expensive) upstream LSH
+    // pipeline per round
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -186,6 +190,10 @@ object Dedup {
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupGroups did not converge within $maxIter iterations - " +
+          "labels are intermediate; raise maxIter for components with diameter > maxIter")
     labels
   }
 

@@ -52,17 +52,28 @@ object EmbedQueue {
       .limit(cfg.claimBatchSize)
 
   /** Claim: flip the batch to processing + stamp start_time (UPDATE half of
-    * Q3) — one transform over the whole state. Returns the new queue state;
-    * the claimed rows are those with `start_time === now`. */
-  def claim(queue: DataFrame, now: Timestamp, cfg: QueueConfig = QueueConfig()): DataFrame = {
-    val picked = nextBatch(queue, cfg).select(col("job_id").as("__claimed"))
-    queue.join(broadcast(picked), queue("job_id") === col("__claimed"), "left")
+    * Q3) — one transform over the whole state. Returns (new queue state,
+    * picked job ids): the id frame is the authoritative handle to what was
+    * claimed — identifying claimed rows by `start_time === now` would
+    * conflate pre-existing processing rows whose start_time happens to
+    * equal the injected instant. */
+  def claimBatch(queue: DataFrame, now: Timestamp,
+      cfg: QueueConfig = QueueConfig()): (DataFrame, DataFrame) = {
+    val picked = nextBatch(queue, cfg).select(col("job_id"))
+    val newState = queue
+      .join(broadcast(picked.withColumnRenamed("job_id", "__claimed")),
+        queue("job_id") === col("__claimed"), "left")
       .withColumn("status",
         when(col("__claimed").isNotNull, Processing.name).otherwise(col("status")))
       .withColumn("start_time",
         when(col("__claimed").isNotNull, lit(now)).otherwise(col("start_time")))
       .drop("__claimed")
+    (newState, picked)
   }
+
+  /** Claim, state only (see [[claimBatch]] for the picked-id handle). */
+  def claim(queue: DataFrame, now: Timestamp, cfg: QueueConfig = QueueConfig()): DataFrame =
+    claimBatch(queue, now, cfg)._1
 
   /** Q4 complete: mark done + end_time (VectorTableQueue.php:236-244). */
   def complete(queue: DataFrame, postIds: Seq[Long], now: Timestamp): DataFrame =

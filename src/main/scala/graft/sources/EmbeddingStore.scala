@@ -203,6 +203,7 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   private def rewriteBuckets(buckets: Set[Int])(f: (Int, DataFrame) => DataFrame): Unit = {
     buckets.foreach { b =>
       val dir = s"$path/bucket=$b"
+      recoverSwap(new Path(dir))
       val cur =
         if (fs.exists(new Path(dir))) spark.read.parquet(dir)
         else read().filter(lit(false)).drop("bucket")
@@ -213,10 +214,32 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     }
   }
 
+  /** Dot-prefixed backup path: hidden files/dirs are skipped by Spark's
+    * file listing and partition discovery, so a crash mid-swap can never
+    * surface BOTH old and new rows (or a `bucket=N.bak` partition value)
+    * to readers. */
+  private def bakPath(dst: Path): Path = new Path(dst.getParent, "." + dst.getName + ".bak")
+
+  /** Crash recovery for the two-rename swap: if a previous mutation died
+    * between its renames, the live dir is missing and the hidden backup
+    * holds the pre-mutation rows — restore it before proceeding. (A crash
+    * AFTER the second rename leaves a stale hidden backup: deleted here.) */
+  private def recoverSwap(dst: Path): Unit = {
+    val bak = bakPath(dst)
+    if (fs.exists(bak)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(bak, dst))
+          throw new java.io.IOException(s"cannot recover $dst from $bak")
+      } else fs.delete(bak, true)
+    }
+  }
+
   /** Swap `tmp` into place via the Hadoop FileSystem API (HDFS/S3A/local —
-    * not java.nio, which only works on a local disk). */
+    * not java.nio, which only works on a local disk). Two renames, not one
+    * atomic op; the hidden backup + [[recoverSwap]] close the crash
+    * window: at every instant readers see either only-old or only-new. */
   private def atomicSwap(tmp: Path, dst: Path): Unit = {
-    val bak = new Path(dst.getParent, dst.getName + ".bak")
+    val bak = bakPath(dst)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"cannot back up $dst")

@@ -20,8 +20,11 @@ final class StoreCatalog(spark: SparkSession) {
     * column discovered from the layout). */
   def createTable(name: String, path: String): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
+    // escape quotes: the path is interpolated into single-quoted SQL and
+    // must not be able to splice into the statement
+    val safePath = path.replace("'", "''")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
+      s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$safePath'")
   }
 
   /** SHOW TABLES LIKE equivalent (`VectorTable.php:506-513`). */

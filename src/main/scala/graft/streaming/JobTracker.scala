@@ -58,7 +58,11 @@ object JobTracker {
             var s = state.getOption.getOrElse(JobState(postId, Pending.name, 0,
               new Timestamp(0L)))
             val out = Seq.newBuilder[JobState]
-            evs.toSeq.sortBy(_.at.getTime).foreach { e =>
+            // deterministic order under replay: same-timestamp events
+            // tie-break on the causal kind rank (shuffle arrival order is
+            // not stable across a checkpoint recovery)
+            val kindRank = Map("enqueue" -> 0, "claim" -> 1, "complete" -> 2, "fail" -> 3)
+            evs.toSeq.sortBy(e => (e.at.getTime, kindRank.getOrElse(e.kind, 9))).foreach { e =>
               s = e.kind match {
                 case "enqueue" => JobState(postId, Pending.name, 0, e.at)
                 case "claim" =>

@@ -138,6 +138,27 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(ds.count() == 6)
   }
 
+  test("crash recovery: a swap that died between renames is restored on the next mutation") {
+    val (store, dir) = freshStore()
+    val before = store.count()
+    // pick a victim bucket and one of its posts BEFORE breaking the layout
+    val byBucket = store.read()
+      .withColumn("b", pmod(hash($"post_id"), lit(numBuckets)))
+      .select("b", "post_id").collect().map(r => r.getInt(0) -> r.getLong(1))
+    val (b, postInBucket) = byBucket.head
+    val nPostRows = byBucket.count(_._2 == postInBucket)
+    // simulate a crash between atomicSwap's two renames: live dir gone,
+    // pre-mutation rows parked in the hidden backup
+    val victim = java.nio.file.Paths.get(s"$dir/emb/bucket=$b")
+    val bak = victim.resolveSibling("." + victim.getFileName.toString + ".bak")
+    java.nio.file.Files.move(victim, bak)
+    // any mutation touching that bucket must first restore it
+    store.insertAll(postInBucket, raw((postInBucket, 0, Seq(1f, 1f, 1f))))
+    assert(store.count() == before - nPostRows + 1,
+      "recovered rows participate in the mutation; nothing else lost")
+    assert(!java.nio.file.Files.exists(bak), "hidden backup consumed by recovery")
+  }
+
   test("upsert on rows spanning ALL buckets keeps per-bucket row sets disjoint") {
     val (store, _) = freshStore()
     // touch every post -> likely every bucket in one mutation
