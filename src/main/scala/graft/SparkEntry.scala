@@ -514,6 +514,13 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").as("sequence_no"),
           length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("sequence_no"))),
+    "q57_scrub" -> ((s, d) =>
+      // pipeline text scrubbing: URL/e-mail removal + whitespace collapse
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(TextAnalysis.scrub(col("text"))).as("scrubbed_md5"),
+          length(TextAnalysis.scrub(col("text"))).as("scrubbed_len"))
+        .orderBy(col("doc_id"))),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -997,6 +1004,17 @@ object SparkEntry {
           SELECT doc_id, sequence_no, CAST(length(chunk) AS INT) AS chunk_len,
             md5(chunk) AS chunk_md5
           FROM chunks ORDER BY doc_id, sequence_no""",
+    "q57_scrub" ->
+      """WITH s AS (SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
+               '[^\s@]+@[^\s@]+\.[^\s@]+', ' ', 'g'),
+             '\s+', ' ', 'g')) AS scrubbed
+           FROM documents)
+         SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+           CAST(length(scrubbed) AS INT) AS scrubbed_len
+         FROM s ORDER BY doc_id""",
     "q51_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          event_type, COUNT(*) AS n,

@@ -90,6 +90,17 @@ object TextAnalysis {
       lit(0.25) * punctPenalty, 6)
   }
 
+  /** Scrub pipeline noise from raw text: URLs and e-mail addresses are
+    * replaced with a space and runs of whitespace collapse. The regexes
+    * are deliberately dialect-portable (no lookarounds/backrefs) so the
+    * same patterns run in the DuckDB oracle. */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^\\s]+", " "),
+        "[^\\s@]+@[^\\s@]+\\.[^\\s@]+", " "),
+      "\\s+", " "))
+
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */

@@ -57,6 +57,15 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(r.getLong(1) == 6L)
   }
 
+  test("scrub removes URLs and e-mails and collapses whitespace") {
+    def scrubOf(s: String) =
+      Seq(s).toDF("t").select(TextAnalysis.scrub($"t")).head().getString(0)
+    assert(scrubOf("see https://example.com/a?b=c for details") == "see for details")
+    assert(scrubOf("mail bob@example.com  or  http://x.io now") == "mail or now")
+    assert(scrubOf("clean   text stays") == "clean text stays")
+    assert(scrubOf("http://only.example.org") == "")
+  }
+
   test("chunksFromTokens: overlapping windows, short tail, never zero chunks") {
     def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
       Seq(text).toDF("t")
