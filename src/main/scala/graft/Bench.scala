@@ -8,12 +8,16 @@ object Bench {
     * every projected expression, so map-only queries would measure a bare
     * scan instead of their vector/hash math. A checksum over all columns
     * keeps each expression alive; xxhash64 handles arrays/structs
-    * natively. NB: plain global ORDER BYs under the checksum aggregate are
+    * natively. The combining aggregate must be bit_xor, NOT sum: under
+    * ANSI mode (Spark 4 default) summing uniform 64-bit hashes overflows
+    * Long almost surely past a few hundred rows and aborts the job.
+    * NB: plain global ORDER BYs under the checksum aggregate are
     * still elided by EliminateSorts (they are oracle-determinism overhead,
     * not work the engine needs); the perf-relevant orderings — top-k via
     * TakeOrderedAndProject and window sorts — survive and are measured. */
   private def force(df: DataFrame): Unit = {
-    df.agg(sum(xxhash64(df.columns.map(col).toSeq: _*))).collect()
+    df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
+      .agg(bit_xor(col("h"))).collect()
     ()
   }
 
@@ -36,15 +40,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // A failed query must not masquerade as a fast timing: keep a per-query
+    // ok flag, surface the stack trace on stderr, and exit non-zero if any
+    // query failed so the driver can tell a clean run from a broken one.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { force(fn(spark, sfDir)); true }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH FAIL $name: $t")
+            t.printStackTrace()
+            false
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

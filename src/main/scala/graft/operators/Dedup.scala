@@ -267,6 +267,18 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
       bandBits: Int = 16, numBands: Int = 4, threshold: Double = 0.95): DataFrame = {
     val base = embs.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+    // Fail fast instead of banding past the vector's end: element_at
+    // beyond the array either throws (ANSI) or yields null -> '0' bits,
+    // which would silently collapse the out-of-range bands into one
+    // all-zero bucket (quadratic candidate blowup, meaningless recall).
+    // Embedding columns are fixed-dim, so the first row's size stands in
+    // for the column's dim without an extra full scan.
+    base.select(size(col("v"))).take(1).foreach { r =>
+      val dim = r.getInt(0)
+      require(numBands * bandBits <= dim,
+        s"numBands ($numBands) * bandBits ($bandBits) = ${numBands * bandBits} " +
+          s"exceeds the embedding dimension ($dim)")
+    }
     // candidate pairs carry IDS ONLY through the banding join + distinct —
     // a pair sharing k bands would otherwise shuffle both full vectors k
     // times through the widest exchange; vectors are re-attached once per

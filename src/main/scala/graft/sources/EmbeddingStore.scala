@@ -63,7 +63,10 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   def assignIds(df: DataFrame, startAt: Long = 1L): DataFrame =
     DenseIds.assign(df, "id", startAt, col("post_id"), col("sequence_no"))
 
-  def read(): DataFrame = spark.read.parquet(path)
+  def read(): DataFrame = {
+    recoverAll()
+    spark.read.parquet(path)
+  }
 
   /** Typed view of the store (SURVEY.md §1.3: `Dataset[Embedding]` where
     * compile-time safety helps; `DataFrame` at the dynamic API edges). */
@@ -219,6 +222,24 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     * surface BOTH old and new rows (or a `bucket=N.bak` partition value)
     * to readers. */
   private def bakPath(dst: Path): Path = new Path(dst.getParent, "." + dst.getName + ".bak")
+
+  /** Sweep the WHOLE store for hidden swap backups left by a crashed
+    * mutation and restore them eagerly. Runs at the top of [[read]] — i.e.
+    * before ANY consumer (including upsert/insertAll, which compute maxId
+    * and the existing-key join from read()) can observe the store. Without
+    * the sweep, a bucket hidden in a `.bak` would make its keys look new to
+    * the next upsert: id churn, lost created_at, and fresh ids colliding
+    * with the hidden bucket's ids store-wide. One listStatus of the store
+    * root per call — a single NameNode/S3 LIST, negligible next to the
+    * parquet footer reads that follow. */
+  private def recoverAll(): Unit = {
+    val matches = Option(fs.globStatus(new Path(path, ".bucket=*.bak")))
+    matches.toSeq.flatten.foreach { st =>
+      val name = st.getPath.getName // ".bucket=N.bak"
+      val dst = new Path(st.getPath.getParent, name.stripPrefix(".").stripSuffix(".bak"))
+      recoverSwap(dst)
+    }
+  }
 
   /** Crash recovery for the two-rename swap: if a previous mutation died
     * between its renames, the live dir is missing and the hidden backup

@@ -48,6 +48,11 @@ object Salt {
     * side is small-ish but above the broadcast threshold). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int = 16, joinType: String = "inner"): DataFrame = {
+    // Only join types whose semantics survive right-side replication: for
+    // right/full/anti joins each UNMATCHED right row would surface factor
+    // times (or flip anti semantics entirely) — fail fast instead.
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(factor)))
     val replicatedRight = right.withColumn("__salt",

@@ -114,4 +114,14 @@ class DedupSuite extends AnyFunSuite {
     assert(single == 0, "single-prefix bucketing misses the pair")
     assert(multi == 1, "second band recovers it")
   }
+
+  test("embeddingNearDups rejects band configs wider than the embedding dim") {
+    val embs = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 5f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(embs, "vec_id", "embedding", bandBits = 4, numBands = 2)
+    }
+    assert(e.getMessage.contains("exceeds the embedding dimension"))
+  }
 }

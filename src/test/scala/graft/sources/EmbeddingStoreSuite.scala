@@ -159,6 +159,32 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(bak), "hidden backup consumed by recovery")
   }
 
+  test("crash recovery sweep: reads and UNRELATED mutations restore a hidden bucket eagerly") {
+    val (store, dir) = freshStore()
+    val before = keyIds(store)
+    val byBucket = store.read()
+      .withColumn("b", pmod(hash($"post_id"), lit(numBuckets)))
+      .select("b", "post_id", "sequence_no").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val (b, hiddenPost, hiddenSeq) = byBucket.head
+    val victim = java.nio.file.Paths.get(s"$dir/emb/bucket=$b")
+    val bak = victim.resolveSibling("." + victim.getFileName.toString + ".bak")
+    java.nio.file.Files.move(victim, bak)
+    // a plain read must already see the recovered rows (no mutation needed)
+    assert(store.count() == 6, "read() sweeps and restores the hidden backup")
+    assert(!java.nio.file.Files.exists(bak))
+
+    // and after a crash, upserting the ONCE-HIDDEN key must treat it as
+    // existing: same id, no id churn / collision with fresh ids
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/emb/bucket=$b"), bak)
+    store.upsert(raw((hiddenPost, hiddenSeq, Seq(8f, 8f, 8f))))
+    val after = keyIds(store)
+    assert(after((hiddenPost, hiddenSeq)) == before((hiddenPost, hiddenSeq)),
+      "key hidden by the crash keeps its id through the next upsert")
+    assert(store.read().groupBy("id").count().filter($"count" > 1).count() == 0)
+    assert(store.count() == 6)
+  }
+
   test("upsert on rows spanning ALL buckets keeps per-bucket row sets disjoint") {
     val (store, _) = freshStore()
     // touch every post -> likely every bucket in one mutation

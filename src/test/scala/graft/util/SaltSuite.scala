@@ -45,4 +45,14 @@ class SaltSuite extends AnyFunSuite {
     assert(perSalt.length > 1, "hot key must split across salts")
     assert(perSalt.max < 10000, "no single salt holds the whole hot key")
   }
+
+  test("saltedJoin fails fast on join types broken by right-side replication") {
+    val rhs = Seq(("hot", 100), ("cold1", 1)).toDF("k", "r")
+    for (jt <- Seq("right", "full", "left_anti", "left_semi")) {
+      val e = intercept[IllegalArgumentException] {
+        Salt.saltedJoin(skewed, rhs, "k", factor = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("inner/left"), s"join type $jt must be rejected")
+    }
+  }
 }
