@@ -434,8 +434,10 @@ object SparkEntry {
           element_at(col("sig"), 3).as("m2"), element_at(col("sig"), 4).as("m3"))
         .orderBy(col("doc_id"))),
     "q43_band_buckets" -> ((s, d) =>
+      // numeric signature -> mod-64 coarse banding (was a hex-prefix
+      // substring when signatures were md5 strings)
       Dedup.withMinhashSignature(t(s, d, "documents"), col("text"), 3, 4)
-        .select(substring(element_at(col("sig"), 1), 1, 2).as("band_key"))
+        .select(pmod(element_at(col("sig"), 1), lit(64L)).as("band_key"))
         .groupBy(col("band_key")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("band_key"))),
     "q44_simhash16" -> ((s, d) =>
@@ -541,18 +543,22 @@ object SparkEntry {
   private val mdNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
   private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
-  /** 3-token shingles -> per-shingle 16-hex md5 bases -> per-seed minhash,
-    * mirroring Dedup.shingleBases/seedMins (seed hashes the short base,
-    * not the shingle text). */
+  /** 3-token shingles -> one 28-bit md5 base per shingle -> per-seed
+    * arithmetic permutation `(a*h + b) mod p`, mirroring
+    * Dedup.shingleBases/seedMins exactly (constants shared from Dedup —
+    * single source of truth for both engines). */
   private val shingle3Sql =
     s"""list_transform(range(0, len($toksSql) - 2),
         i -> list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
              list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
              list_extract($toksSql, CAST(i+3 AS INT)))"""
-  private val bases3Sql = s"list_transform($shingle3Sql, s -> substr(md5(s), 1, 16))"
-  private def minhashSql(seed: Int) =
+  private val bases3Sql =
+    s"list_transform($shingle3Sql, s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))"
+  private def minhashSql(seed: Int) = {
+    val (a, b, p) = (Dedup.MinhashA(seed), Dedup.MinhashB(seed), Dedup.MinhashPrime)
     s"""COALESCE(list_aggregate(list_transform($bases3Sql,
-        b -> substr(md5('$seed:' || b), 1, 16)), 'min'), '~empty')"""
+        h -> ($a * h + $b) % $p), 'min'), $p)"""
+  }
 
   /** DuckDB-runnable equivalents. Column aliases MUST match the Spark side
     * (driver sorts columns by name before hashing). */
@@ -887,7 +893,8 @@ object SparkEntry {
     "q54_minhash_pairs" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, '$b:' || md5(m${2 * b} || '|' || m${2 * b + 1}) AS band FROM sig")
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
         .mkString(" UNION ALL ")
       s"""WITH alldocs AS (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
@@ -933,7 +940,7 @@ object SparkEntry {
           ${minhashSql(2)} AS m2, ${minhashSql(3)} AS m3
           FROM documents ORDER BY doc_id""",
     "q43_band_buckets" ->
-      s"""SELECT substr(${minhashSql(0)}, 1, 2) AS band_key, COUNT(*) AS n_docs
+      s"""SELECT (${minhashSql(0)}) % 64 AS band_key, COUNT(*) AS n_docs
           FROM documents GROUP BY band_key ORDER BY band_key""",
     "q44_simhash16" -> {
       val bits = (0 until 16).map { b =>

@@ -35,9 +35,9 @@ class DedupSuite extends AnyFunSuite {
   test("staged withMinhashSignature equals the single-expression form") {
     val staged = Dedup.withMinhashSignature(docs, $"text", 3, 4)
       .select($"doc_id", $"sig").collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val inline = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 4).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(staged == inline)
     assert(staged(1L) == staged(2L), "identical normalized text -> identical signature")
   }
