@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, Dedup, EmbedQueue, Multimodal, SearchEngine, TextAnalysis}
+import graft.operators.{Ann, AsOf, Dedup, EmbedQueue, Multimodal, Quantize, SearchEngine, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -523,6 +523,56 @@ object SparkEntry {
           md5(TextAnalysis.scrub(col("text"))).as("scrubbed_md5"),
           length(TextAnalysis.scrub(col("text"))).as("scrubbed_len"))
         .orderBy(col("doc_id"))),
+    "q58_kmeans_iter" -> ((s, d) => {
+      // one deterministic Lloyd update from a fixed init (first 4 vectors):
+      // assignment by argmax dot, per-(cluster, dim) decimal-exact means
+      val cents = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      Ann.lloydIter(t(s, d, "embeddings"), "embedding", cents)
+        .orderBy(col("cid"), col("dim"))
+    }),
+    "q59_ivf_topk" -> ((s, d) => {
+      // end-to-end IVF search: fixed centroids, nprobe=2 of 4 lists, exact
+      // cosine top-10 inside the probed lists only
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      Ann.ivfTopK(Ann.ivfAssign(embs, "embedding", cents),
+        "vec_id", "embedding", cents, qv, k = 10, nprobe = 2)
+        .orderBy(col("vec_id"))
+    }),
+    "q60_tfidf" -> ((s, d) =>
+      // rational-idf variant (bit-exact cross-engine; see tfidfTopTerms):
+      // top-3 terms per doc by tf * (N+1)/(df+1)
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", col("text"),
+        topN = 3, logIdf = false)
+        .orderBy(col("doc_id"), col("rank"))),
+    "q61_quantize" -> ((s, d) =>
+      // int8 scalar quantization: global per-dim min/max -> one byte per
+      // dim; emitted as (vec_id, dim, q) rows for exact oracle compare
+      Quantize.quantizeInt8(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")))
+        .orderBy(col("vec_id"), col("dim"))),
+    "q62_asof_join" -> ((s, d) => {
+      // point-in-time join: each purchase picks up the user's latest
+      // click at or before it (clicks deduped per (user, ts))
+      val all = events(s, d)
+      val purchases = all.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = all.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+        .groupBy("user_id", "click_ts")
+        .agg(max(col("value")).as("click_value"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+        Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"), col("click_ts"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -1031,5 +1081,87 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          COUNT(*) AS n,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-         FROM events GROUP BY k_mod ORDER BY k_mod""")
+         FROM events GROUP BY k_mod ORDER BY k_mod""",
+    "q58_kmeans_iter" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         assign AS (SELECT e.vec_id, e.embedding, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS cid
+           FROM embeddings e)
+         SELECT a.cid, CAST(t.i AS INT) AS dim,
+           CAST(SUM(CAST(CAST(a.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         FROM assign a, LATERAL UNNEST(range(len(a.embedding))) AS t(i)
+         GROUP BY a.cid, dim ORDER BY a.cid, dim""",
+    "q59_ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 5),
+         probes AS (SELECT c.ccid FROM cents c, q
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                    c.ccid ASC
+           LIMIT 2),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         scored AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM embeddings e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes))
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+         ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    "q60_tfidf" ->
+      s"""WITH postings AS (
+           SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM postings
+           WHERE term <> '' GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) *
+             (CAST((SELECT n FROM n) + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+           FROM tf JOIN df USING (term)),
+         ranked AS (SELECT doc_id, term, tf, df, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+           FROM scored)
+         SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf, rank
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q61_quantize" ->
+      """WITH stats AS (
+           SELECT CAST(t.i AS INT) AS dim,
+             MIN(e.embedding[CAST(t.i + 1 AS INT)]) AS mn,
+             MAX(e.embedding[CAST(t.i + 1 AS INT)]) AS mx
+           FROM embeddings e, LATERAL UNNEST(range(len(e.embedding))) AS t(i)
+           GROUP BY dim)
+         SELECT e.vec_id, s.dim,
+           CASE WHEN s.mx = s.mn THEN 0
+             ELSE CAST(GREATEST(-128, LEAST(127,
+               CAST(FLOOR((CAST(e.embedding[CAST(s.dim + 1 AS INT)] AS DOUBLE)
+                           - CAST(s.mn AS DOUBLE)) * 255.0
+                          / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                          + 0.5) AS BIGINT) - 128)) AS INT)
+           END AS q
+         FROM embeddings e, stats s
+         ORDER BY e.vec_id, s.dim""",
+    "q62_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND c.click_ts <= p.ts
+         ORDER BY p.event_id""")
 }

@@ -118,6 +118,50 @@ object Ann {
     model.clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
   }
 
+  /** One deterministic Lloyd update, DataFrame-only and oracle-expressible
+    * (unlike MLlib's [[trainCentroids]], whose init sampling is
+    * JVM-specific): assign each vector to its argmax-dot centroid, then
+    * per-(cluster, dim) means via posexplode + hash agg. Means accumulate
+    * in DECIMAL(28,8) so the result is bit-identical across engines AND
+    * across partitionings (a plain double sum's value depends on
+    * accumulation order). Output: (cid, dim, c).
+    *
+    * Scale: one broadcast assignment pass + one shuffle whose map-side
+    * combine collapses each task to k*dim rows — the classic distributed
+    * KMeans step. */
+  def lloydIter(embs: DataFrame, vecCol: String, centroids: Seq[Array[Float]]): DataFrame = {
+    val dec = DecimalType(28, 8)
+    ivfAssign(embs, vecCol, centroids)
+      .select(col("ivf_list").as("cid"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(col("__x").cast(DoubleType).cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+  }
+
+  /** Deterministic KMeans: init = the `k` vectors with the smallest ids,
+    * then `iters` Lloyd rounds via [[lloydIter]]. A cluster that loses all
+    * members keeps its previous centroid. Reproducible across engines and
+    * cluster sizes — use when that matters more than MLlib's k-means||
+    * init quality. Per round only k*dim aggregated values reach the
+    * driver. */
+  def lloydTrain(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[Array[Float]] = {
+    var cents = embs.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(r => r.getSeq[Float](0).toArray).toSeq
+    require(cents.nonEmpty, "lloydTrain needs at least one vector")
+    for (_ <- 0 until iters) {
+      val means = lloydIter(embs, vecCol, cents).collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i).fold(old) { rows =>
+          val byDim = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+          old.indices.map(d => byDim.getOrElse(d, old(d).toDouble).toFloat).toArray
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF query path over an [[ivfAssign]]-ed table: rank centroids against
     * the query driver-side (numLists is small), scan only the `nprobe`
     * nearest inverted lists — with `ivf_list` as a partition/bucket column

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar (per-dimension min/max) int8 quantization of an embedding
+  * column — the storage-side operator a 100 TB vector corpus needs: a
+  * float32 dim becomes one byte (4x smaller scans, SIMD-friendly distance
+  * kernels downstream).
+  *
+  * Two passes, both scale-flat:
+  *  1. [[dimStats]]: posexplode -> per-dim min/max. Map-side combine
+  *     collapses every task to `dim` rows before the shuffle, so the
+  *     exchange moves O(tasks * dim) rows regardless of corpus size.
+  *  2. [[quantizeInt8]]: the dim-sized stats table (pure metadata) is
+  *     collected and inlined as literal arrays, making the quantization a
+  *     shuffle-free per-row map over the corpus.
+  *
+  * All arithmetic is single-step IEEE double ops (sub, mul, div, floor) —
+  * bit-identical in any engine, so the oracle check is exact.
+  */
+object Quantize {
+
+  /** Per-dimension (dim, mn, mx) over the corpus. min/max pick existing
+    * float values — no accumulation, no ordering sensitivity. */
+  def dimStats(embs: DataFrame, vecCol: String): DataFrame =
+    embs
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+
+  /** Quantize to int8: `q = floor((x - mn) * 255 / (mx - mn) + 0.5) - 128`,
+    * clamped to [-128, 127]; a constant dimension (mx == mn) maps to 0.
+    * `floor(v + 0.5)` rather than `round(v)` — half-even vs half-up
+    * disagreements between engines cannot arise (and an exact .5 input to
+    * floor is unambiguous). Returns the input frame plus `<out>` =
+    * array<int> in dimension order. */
+  def quantizeInt8(embs: DataFrame, vecCol: String, out: String = "qvec"): DataFrame = {
+    val stats = dimStats(embs, vecCol).orderBy(col("dim"))
+      .collect().map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+    val mns = array(stats.map(s => lit(s._1)).toIndexedSeq: _*)
+    val rngs = array(stats.map(s => lit(s._2 - s._1)).toIndexedSeq: _*)
+    embs.withColumn(out,
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val rng = element_at(rngs, i + 1)
+        // never divide by zero, even in the branch not taken: floor(inf)
+        // misbehaves under ANSI and when() does not short-circuit per-lane
+        val safeRng = when(rng === 0.0, lit(1.0)).otherwise(rng)
+        val q = floor((x.cast(DoubleType) - mn) * lit(255.0) / safeRng + lit(0.5)) - lit(128L)
+        when(rng === 0.0, lit(0))
+          .otherwise(greatest(lit(-128L), least(lit(127L), q)).cast(IntegerType))
+      }))
+  }
+
+  /** Dequantize back to approximate floats (the read-path inverse):
+    * `x ~ mn + (q + 128) * (mx - mn) / 255`. */
+  def dequantizeInt8(df: DataFrame, qCol: String, stats: Seq[(Double, Double)],
+      out: String = "dqvec"): DataFrame = {
+    val mns = array(stats.map(s => lit(s._1)).toIndexedSeq: _*)
+    val rngs = array(stats.map(s => lit(s._2 - s._1)).toIndexedSeq: _*)
+    df.withColumn(out,
+      transform(col(qCol), (q, i) =>
+        (element_at(mns, i + 1) +
+          (q.cast(DoubleType) + lit(128.0)) * element_at(rngs, i + 1) / lit(255.0))
+          .cast(FloatType)))
+  }
+}

@@ -138,6 +138,43 @@ object TextAnalysis {
     * [[shinglesFromTokens]] — see that method's codegen note. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
+  /** TF-IDF top terms per document over the whitespace tokenizer.
+    *
+    * Shape at scale: explode to (doc, term) postings, hash-agg tf (map-side
+    * combine collapses each task to its distinct (doc, term) set), df is a
+    * second agg over the postings, joined back broadcast (vocabulary is
+    * tiny next to the corpus). One shuffle on (doc, term), one on term, one
+    * window on doc for the top-N cut — no step holds a full document in
+    * memory.
+    *
+    * `logIdf = true` uses the classic `tf * ln(N/df)`. `logIdf = false`
+    * uses the rational variant `tf * (N+1)/(df+1)` — same ranking
+    * direction, but every arithmetic step is a single IEEE operation, so
+    * results are bit-identical across engines (ln's last-ulp differs
+    * between libm implementations; fine in production, fatal for an exact
+    * cross-engine oracle). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, text: Column, topN: Int,
+      logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = postings.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol))).first().getLong(0)
+    val idf =
+      if (logIdf) log(lit(n.toDouble) / col("df").cast(DoubleType))
+      else lit((n + 1).toDouble) / (col("df") + lit(1)).cast(DoubleType)
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", col("tf").cast(DoubleType) * idf)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
   /** Token-window chunking with overlap over a materialized token array —
     * the document->chunks step that feeds the reference's per-chunk
     * embedding rows (`sequence_no`, `src/VectorTable.php:468,472`; queue

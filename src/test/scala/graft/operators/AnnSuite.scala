@@ -88,4 +88,39 @@ class AnnSuite extends AnyFunSuite {
     assert(b.toSet == Set("0101", "1101", "0001", "0111", "0100"))
     assert(Ann.bucketsWithin("01", 2).toSet.size == 4, "all 2-bit strings")
   }
+
+  test("lloydIter: means move toward the assigned members, k*dim rows out") {
+    // two obvious blobs around +1 and -1; centroids start off-center
+    val blob = ((0L until 10L).map(i => i -> Seq.fill(dim)(1.0f)) ++
+      (10L until 20L).map(i => i -> Seq.fill(dim)(-1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val init = Seq(Array.fill(dim)(0.5f), Array.fill(dim)(-0.5f))
+    val rows = Ann.lloydIter(blob, "embedding", init).collect()
+    assert(rows.length == 2 * dim)
+    val means = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (0 until dim).foreach { d =>
+      assert(means((0, d)) == 1.0, "cluster 0 mean snaps to the +1 blob")
+      assert(means((1, d)) == -1.0, "cluster 1 mean snaps to the -1 blob")
+    }
+  }
+
+  test("lloydTrain converges on separated blobs and keeps empty clusters' centroids") {
+    val blob = ((0L until 10L).map(i => i -> Seq.fill(dim)(1.0f + 0.01f * i)) ++
+      (10L until 20L).map(i => i -> Seq.fill(dim)(-1.0f - 0.01f * (i - 10))))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val cents = Ann.lloydTrain(blob, "vec_id", "embedding", k = 2, iters = 5)
+    assert(cents.length == 2)
+    // init = first 2 vectors (both in the +blob); one centroid should
+    // migrate to each blob OR one cluster may stay empty and keep its init —
+    // either way assignment must split the blobs consistently
+    val assignedLists = Ann.ivfAssign(blob, "embedding", cents)
+      .select("vec_id", "ivf_list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plus = (0L until 10L).map(assignedLists).toSet
+    val minus = (10L until 20L).map(assignedLists).toSet
+    assert(plus.size == 1 && minus.size == 1 && plus != minus,
+      s"blobs end in distinct clusters: $plus vs $minus")
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // left: observations; right: state snapshots per key
+  private lazy val left = Seq(
+    (1L, "a", ts("2024-01-01 10:00:00")),
+    (2L, "a", ts("2024-01-01 12:00:00")),
+    (3L, "a", ts("2024-01-01 09:00:00")), // before any right row
+    (4L, "b", ts("2024-01-01 12:00:00")), // exactly at a right row's time
+    (5L, "c", ts("2024-01-01 12:00:00"))  // key with no right rows at all
+  ).toDF("obs_id", "k", "t")
+
+  private lazy val right = Seq(
+    ("a", ts("2024-01-01 09:30:00"), 10.0),
+    ("a", ts("2024-01-01 11:00:00"), 20.0),
+    ("b", ts("2024-01-01 12:00:00"), 30.0),
+    ("b", ts("2024-01-01 13:00:00"), 40.0)
+  ).toDF("k", "rt", "v")
+
+  private def run(tol: Option[org.apache.spark.sql.Column] = None): Map[Long, Option[Double]] =
+    AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"), tol)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("v"))) None
+        else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+
+  test("each left row gets the latest right row at or before its time") {
+    val got = run()
+    assert(got(1L) == Some(10.0), "10:00 sees the 09:30 snapshot")
+    assert(got(2L) == Some(20.0), "12:00 sees the 11:00 snapshot")
+    assert(got(3L) == None, "09:00 precedes every right row")
+    assert(got(4L) == Some(30.0), "match is inclusive: right row exactly at left time")
+    assert(got(5L) == None, "key with no right rows stays null")
+  }
+
+  test("left columns and row count are preserved (left-outer semantics)") {
+    val out = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == (left.columns.toSeq :+ "v"))
+  }
+
+  test("tolerance nulls out matches older than left.time - tol") {
+    val got = run(Some(expr("INTERVAL 1 HOUR")))
+    assert(got(1L) == Some(10.0), "09:30 is within 1h of 10:00")
+    assert(got(2L) == Some(20.0), "11:00 is within 1h of 12:00")
+    assert(got(4L) == Some(30.0), "zero staleness is within tolerance")
+    val loose = run(Some(expr("INTERVAL 10 MINUTE")))
+    assert(loose(1L) == None, "09:30 is staler than 10 minutes at 10:00")
+  }
+
+  test("rejects payload columns that collide with the left frame") {
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(left.withColumn("v", lit(0)), right, "k", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("already has"))
+  }
+
+  test("plan shape: one shuffle on the key, no range-join blowup") {
+    val out = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "must not plan a cross/range join")
+    assert(plan.contains("Window"), "union+window rewrite expected")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QuantizeSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val embs = Seq(
+    (1L, Seq(0.0f, -1.0f, 5.0f)),
+    (2L, Seq(1.0f, 1.0f, 5.0f)),   // dim 2 is constant
+    (3L, Seq(0.5f, 0.0f, 5.0f))
+  ).toDF("id", "v").withColumn("v", col("v").cast(ArrayType(FloatType)))
+
+  test("dimStats finds per-dimension extremes") {
+    val stats = Quantize.dimStats(embs, "v").orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+    assert(stats.toSeq == Seq((0, 0.0f, 1.0f), (1, -1.0f, 1.0f), (2, 5.0f, 5.0f)))
+  }
+
+  test("quantizeInt8 maps min->-128, max->127, midpoints linearly; constant dim -> 0") {
+    val q = Quantize.quantizeInt8(embs, "v")
+      .select(col("id"), col("qvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L) == Seq(-128, -128, 0))
+    assert(q(2L) == Seq(127, 127, 0))
+    // 0.5 of [0,1] -> floor(0.5*255 + 0.5) - 128 = floor(128.0) - 128 = 0
+    // 0.0 of [-1,1] -> floor(0.5*255 + 0.5) - 128 = 0
+    assert(q(3L) == Seq(0, 0, 0))
+  }
+
+  test("dequantize roundtrip error is bounded by half a quantization step") {
+    val stats = Quantize.dimStats(embs, "v").orderBy("dim").collect()
+      .map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble)).toSeq
+    val back = Quantize.dequantizeInt8(
+      Quantize.quantizeInt8(embs, "v"), "qvec", stats)
+    val errs = back.select(
+      zip_with(col("v").cast(ArrayType(DoubleType)), col("dqvec").cast(ArrayType(DoubleType)),
+        (a, b) => abs(a - b)).as("e"))
+      .select(explode(col("e"))).collect().map(_.getDouble(0))
+    val maxStep = stats.map { case (mn, mx) => (mx - mn) / 255.0 }.max
+    assert(errs.forall(_ <= maxStep / 2 + 1e-9), s"max err ${errs.max} step $maxStep")
+  }
+}
