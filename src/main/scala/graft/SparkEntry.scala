@@ -573,6 +573,15 @@ object SparkEntry {
           col("value"), col("click_ts"), col("click_value"))
         .orderBy(col("event_id"))
     }),
+    "q63_hash_sample" -> ((s, d) =>
+      // deterministic 10% corpus sample + per-source stratified variant:
+      // membership is a pure function of the key (reproducible snapshots),
+      // no rand(), no shuffle
+      graft.util.Sampling.stratifiedHashSample(
+        t(s, d, "documents"), col("doc_id"), col("source"),
+        rates = Map("src0" -> 0.30, "src1" -> 0.0), defaultRate = 0.10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -1155,6 +1164,11 @@ object SparkEntry {
            END AS q
          FROM embeddings e, stats s
          ORDER BY e.vec_id, s.dim""",
+    "q63_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000
+           < CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 3000 ELSE 1000 END
+         ORDER BY doc_id""",
     "q62_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts AS click_ts, MAX(value) AS click_value
            FROM events WHERE event_type = 'click' GROUP BY user_id, ts)

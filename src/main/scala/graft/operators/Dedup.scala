@@ -170,7 +170,10 @@ object Dedup {
       .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast(DoubleType))
+      // |A u B| = |A| + |B| - |A n B| (shingle sets are distinct) — saves
+      // materializing the union array, the widest intermediate here
+      .withColumn("uni",
+        (size(col("sh1")) + size(col("sh2"))).cast(DoubleType) - col("inter"))
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
       .select(col("id1"), col("id2"), col("jaccard"))
   }

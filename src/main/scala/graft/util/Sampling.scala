@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic, engine-portable sampling for reproducible training-data
+  * pipelines.
+  *
+  * `df.sample()`/`rand()` change membership on every run, partition count,
+  * and engine — useless for a 100 TB corpus snapshot that must be
+  * auditable and resumable. Hash-gate sampling instead: a row is kept iff
+  * the md5 of its key falls under the rate. Same key -> same decision,
+  * everywhere, forever; changing `salt` draws an independent sample.
+  * Shuffle-free (a per-row filter that pushes down around column pruning)
+  * and stable under repartitioning.
+  */
+object Sampling {
+
+  val Buckets = 10000L
+
+  /** Uniform bucket in [0, Buckets) from the first 7 hex chars (28 bits)
+    * of md5(salt || key) — cheap, and reproducible in any engine with md5
+    * (cf. [[graft.operators.Dedup]]'s hash family). */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 7), 16, 10)
+      .cast(LongType), lit(Buckets))
+
+  /** Keep ~`rate` of rows, decided per key. */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashBucket(key, salt) < math.round(rate * Buckets))
+  }
+
+  /** Per-stratum rates (e.g. downsample by language or source): rows in a
+    * stratum listed in `rates` sample at that rate, everything else at
+    * `defaultRate`. One pass, no shuffle — the stratum column is just
+    * another row attribute. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double, salt: String = ""): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r"))
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * Buckets))) {
+      case (acc, (s, r)) => when(stratum === s, lit(math.round(r * Buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(key, salt) < threshold)
+  }
+}
