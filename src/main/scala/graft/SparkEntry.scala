@@ -548,8 +548,10 @@ object SparkEntry {
     "q60_tfidf" -> ((s, d) =>
       // rational-idf variant (bit-exact cross-engine; see tfidfTopTerms):
       // top-3 terms per doc by tf * (N+1)/(df+1)
+      // broadcastVocab: this corpus' vocabulary is bounded (~50k terms);
+      // the operator default stays shuffle (scale-safe)
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", col("text"),
-        topN = 3, logIdf = false)
+        topN = 3, logIdf = false, broadcastVocab = true)
         .orderBy(col("doc_id"), col("rank"))),
     "q61_quantize" -> ((s, d) =>
       // int8 scalar quantization: global per-dim min/max -> one byte per
@@ -1166,7 +1168,7 @@ object SparkEntry {
          ORDER BY e.vec_id, s.dim""",
     "q63_hash_sample" ->
       """SELECT doc_id, source FROM documents
-         WHERE CAST(concat('0x', substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000
+         WHERE CAST(concat('0x', substr(md5('' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000
            < CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 3000 ELSE 1000 END
          ORDER BY doc_id""",
     "q62_asof_join" ->

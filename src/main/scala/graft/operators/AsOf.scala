@@ -42,16 +42,26 @@ object AsOf {
       s"left frame already has ${rightCols.filter(left.columns.contains).mkString(",")}")
 
     val leftStruct = struct(left.columns.map(col).toSeq: _*)
-    val lTagged = left.select(
-      (Seq(col(key).as("__asof_k"), col(leftTime).as("__asof_t"),
-        lit(1).as("__asof_side"), leftStruct.as("__asof_row")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
-    val rTagged = right.select(
-      (Seq(col(key).as("__asof_k"), col(rightTime).as("__asof_t"),
+    // the matched right row travels as ONE struct (time + payloads): a
+    // null inside a payload column must NOT make the window's ignoreNulls
+    // fall back to an older right row — that would return stale values and
+    // could even stitch different right rows together per column. A null
+    // KEY or null TIME right row can never match under equi+<= semantics
+    // (mirrors SQL ASOF JOIN), so those are filtered, which also keeps
+    // null-key LEFT rows unmatched (their window partition has no right
+    // rows).
+    val rightStruct = struct((col(rightTime).as("__asof_rt") +:
+      rightCols.map(col)).toSeq: _*)
+    val rTagged = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key).as("__asof_k"), col(rightTime).as("__asof_t"),
         lit(0).as("__asof_side"),
         lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
-          .as("__asof_row")) ++
-        rightCols.map(col)): _*)
+          .as("__asof_row"),
+        rightStruct.as("__asof_match"))
+    val lTagged = left.select(col(key).as("__asof_k"), col(leftTime).as("__asof_t"),
+      lit(1).as("__asof_side"), leftStruct.as("__asof_row"),
+      lit(null).cast(rTagged.schema("__asof_match").dataType).as("__asof_match"))
 
     // right rows (side 0) sort BEFORE left rows at the same instant, so a
     // right row exactly at left.time matches (inclusive <=)
@@ -59,17 +69,13 @@ object AsOf {
       .orderBy(col("__asof_t").asc, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
-      .withColumn("__asof_mt",
-        last(when(col("__asof_side") === 0, col("__asof_t")), ignoreNulls = true).over(w))
-    val matched = rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(c, last(when(col("__asof_side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    val fresh = tolerance.fold(matched) { tol =>
-      rightCols.foldLeft(matched) { (df, c) =>
-        df.withColumn(c, when(col("__asof_mt") >= col("__asof_t") - tol, col(c)))
-      }
+      .withColumn("__asof_hit", last(col("__asof_match"), ignoreNulls = true).over(w))
+    val fresh = tolerance.fold(carried) { tol =>
+      carried.withColumn("__asof_hit",
+        when(col("__asof_hit.__asof_rt") >= col("__asof_t") - tol, col("__asof_hit")))
     }
     fresh.filter(col("__asof_side") === 1)
-      .select((Seq(col("__asof_row.*")) ++ rightCols.map(col)): _*)
+      .select((Seq(col("__asof_row.*")) ++
+        rightCols.map(c => col(s"__asof_hit.$c").as(c))): _*)
   }
 }

@@ -296,6 +296,9 @@ object Dedup {
     // Embedding columns are fixed-dim, so the first row's size stands in
     // for the column's dim without an extra full scan.
     base.select(size(col("v"))).take(1).foreach { r =>
+      // size(null) is null — a null first vector must raise a clear error,
+      // not an opaque NPE from Row.getInt
+      require(!r.isNullAt(0), s"embeddingNearDups: null $vecCol in the first row")
       val dim = r.getInt(0)
       require(numBands * bandBits <= dim,
         s"numBands ($numBands) * bandBits ($bandBits) = ${numBands * bandBits} " +

@@ -147,25 +147,36 @@ object TextAnalysis {
     * window on doc for the top-N cut — no step holds a full document in
     * memory.
     *
-    * `logIdf = true` uses the classic `tf * ln(N/df)`. `logIdf = false`
+    * `broadcastVocab` controls the tf-df join: the vocabulary grows with
+    * the corpus (hundreds of millions of distinct terms at web scale), so
+    * the scale-safe default shuffles; set it true only when the
+    * vocabulary is known small (bounded domain, pre-filtered min-df) —
+    * that skips re-shuffling the full postings aggregate by term.
+    * `logIdf = true` uses the classic
+    * `tf * ln(N/df)`. `logIdf = false`
     * uses the rational variant `tf * (N+1)/(df+1)` — same ranking
     * direction, but every arithmetic step is a single IEEE operation, so
     * results are bit-identical across engines (ln's last-ulp differs
     * between libm implementations; fine in production, fatal for an exact
     * cross-engine oracle). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, text: Column, topN: Int,
-      logIdf: Boolean = true): DataFrame = {
+      logIdf: Boolean = true, broadcastVocab: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val postings = docs
       .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
       .filter(col("term") =!= "")
-    val tf = postings.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // one exchange serves both downstream shapes: HashPartitioning(doc_id)
+    // satisfies the (doc_id, term) grouping's clustering requirement AND
+    // the per-doc window — without it the plan shuffles the postings for
+    // the agg and re-shuffles the tf rows for the top-N window
+    val tf = postings.repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol))).first().getLong(0)
     val idf =
       if (logIdf) log(lit(n.toDouble) / col("df").cast(DoubleType))
       else lit((n + 1).toDouble) / (col("df") + lit(1)).cast(DoubleType)
-    val scored = tf.join(broadcast(df), Seq("term"))
+    val scored = tf.join(if (broadcastVocab) broadcast(df) else df, Seq("term"))
       .withColumn("tfidf", col("tf").cast(DoubleType) * idf)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)

@@ -21,10 +21,13 @@ object Sampling {
 
   /** Uniform bucket in [0, Buckets) from the first 7 hex chars (28 bits)
     * of md5(salt || key) — cheap, and reproducible in any engine with md5
-    * (cf. [[graft.operators.Dedup]]'s hash family). */
+    * (cf. [[graft.operators.Dedup]]'s hash family). Null keys hash as the
+    * empty string rather than propagating null — otherwise `null < rate`
+    * would silently drop them from even a rate-1.0 sample; with the
+    * coalesce they get one deterministic decision per salt. */
   def hashBucket(key: Column, salt: String = ""): Column =
-    pmod(conv(substring(md5(concat(lit(salt), key.cast(StringType))), 1, 7), 16, 10)
-      .cast(LongType), lit(Buckets))
+    pmod(conv(substring(md5(concat(lit(salt), coalesce(key.cast(StringType), lit("")))),
+      1, 7), 16, 10).cast(LongType), lit(Buckets))
 
   /** Keep ~`rate` of rows, decided per key. */
   def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame = {

@@ -66,6 +66,44 @@ class AsOfSuite extends AnyFunSuite {
     assert(e.getMessage.contains("already has"))
   }
 
+  test("a null payload in the matched right row is returned as null, not an older value") {
+    val r = Seq(
+      ("a", ts("2024-01-01 09:00:00"), Some(10.0)),
+      ("a", ts("2024-01-01 11:30:00"), None) // the matched row — null payload
+    ).toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(left, r, "k", "t", "rt", Seq("v"))
+      .filter($"obs_id" === 2L).head() // left at 12:00
+    assert(got.isNullAt(got.fieldIndex("v")),
+      "matched row's null must win over the older 09:00 value")
+  }
+
+  test("null keys and null right times never match (SQL ASOF semantics)") {
+    val l = Seq((1L, Option.empty[String], ts("2024-01-01 12:00:00")),
+      (2L, Some("a"), ts("2024-01-01 12:00:00"))).toDF("obs_id", "k", "t")
+    val r = Seq(
+      (Option.empty[String], Option(ts("2024-01-01 10:00:00")), 1.0), // null key
+      (Some("a"), Option.empty[Timestamp], 2.0),                      // null time
+      (Some("a"), Option(ts("2024-01-01 11:00:00")), 3.0)
+    ).toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("v"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(x.fieldIndex("v"))) None else Some(x.getDouble(x.fieldIndex("v"))))).toMap
+    assert(got(1L) == None, "null left key matches nothing")
+    assert(got(2L) == Some(3.0), "null-time right row is ignored, real row matches")
+  }
+
+  test("tolerance judges staleness of the MATCHED row, not of an older fallback") {
+    val r = Seq(
+      ("a", ts("2024-01-01 09:00:00"), Some(10.0)),
+      ("a", ts("2024-01-01 11:55:00"), None) // matched, within tolerance, null payload
+    ).toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(left, r, "k", "t", "rt", Seq("v"),
+      Some(expr("INTERVAL 1 HOUR")))
+      .filter($"obs_id" === 2L).head()
+    assert(got.isNullAt(got.fieldIndex("v")),
+      "the 09:00 value must not leak through the tolerance check")
+  }
+
   test("plan shape: one shuffle on the key, no range-join blowup") {
     val out = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString

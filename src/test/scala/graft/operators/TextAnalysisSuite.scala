@@ -100,4 +100,22 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(scores(0) > scores(1))
     scores.foreach(s => assert(s >= -0.25 && s <= 1.0))
   }
+
+  test("tfidfTopTerms: corpus-wide terms score low, distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared shared unique2 unique2"),
+      (3L, "shared other")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", $"text", topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rank"))) -> r.getString(1)).toMap
+    // 'shared' appears in all 3 docs -> idf = ln(1) = 0, so it can never
+    // outrank a distinctive term despite tf=2
+    assert(top((1L, 1)) == "unique1")
+    assert(top((2L, 1)) == "unique2")
+    assert(top((3L, 1)) == "other")
+    // tf*idf for 'shared' is exactly 0 -> still present as a trailing rank
+    assert(top((1L, 2)) == "shared")
+  }
 }
