@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, Dedup, EmbedQueue, Multimodal, Quantize, SearchEngine, TextAnalysis}
+import graft.operators.{Ann, AsOf, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -584,6 +584,31 @@ object SparkEntry {
         rates = Map("src0" -> 0.30, "src1" -> 0.0), defaultRate = 0.10)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    "q64_packing" -> ((s, d) =>
+      // greedy contiguous sequence packing into 2048-token packs; prefix
+      // sum via range-partition + per-partition offsets (never a global
+      // single-partition window)
+      Packing.packAssignments(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", capacity = 2048L)
+        .orderBy(col("doc_id"))),
+    "q65_repetition" -> ((s, d) =>
+      // Gopher-style repetition quality signals, per-row (no shuffle)
+      TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", col("text"), n = 3)
+        .select(col("doc_id"), col("dup_ngram_frac"), col("top_token_frac"))
+        .orderBy(col("doc_id"))),
+    "q66_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs 0-4 stand in for an eval set;
+      // count shared 3-gram shingles from the rest of the corpus
+      val docs = t(s, d, "documents")
+      Dedup.contaminationScan(
+        docs.filter(col("doc_id") >= 5), "doc_id", col("text"),
+        docs.filter(col("doc_id") < 5).withColumnRenamed("doc_id", "bid"),
+        "bid", col("text"), shingleN = 3, minOverlap = 1)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -1166,6 +1191,45 @@ object SparkEntry {
            END AS q
          FROM embeddings e, stats s
          ORDER BY e.vec_id, s.dim""",
+    "q64_packing" ->
+      s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         cum AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+           FROM tc)
+         SELECT doc_id, n_tokens, tokens_before,
+           tokens_before // 2048 AS pack_id,
+           CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
+                ELSE tokens_before // 2048 END AS pack_last
+         FROM cum ORDER BY doc_id""",
+    "q65_repetition" -> {
+      val shSql = shingle3Sql
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks, $shSql AS sh FROM documents)
+         SELECT doc_id,
+           ROUND(CASE WHEN len(sh) = 0 THEN 0.0
+             ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+           END, 6) AS dup_ngram_frac,
+           ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)
+           END, 6) AS top_token_frac
+         FROM base ORDER BY doc_id"""
+    },
+    "q66_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, csh AS h FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform($shingle3Sql,
+               s -> substr(md5(s), 1, 16)))) AS csh
+             FROM documents WHERE doc_id >= 5)),
+         bench AS (SELECT doc_id AS bench_id, bsh AS h FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform($shingle3Sql,
+               s -> substr(md5(s), 1, 16)))) AS bsh
+             FROM documents WHERE doc_id < 5))
+         SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+         FROM corpus c JOIN bench b USING (h)
+         GROUP BY c.doc_id, b.bench_id
+         HAVING COUNT(*) >= 1
+         ORDER BY c.doc_id, b.bench_id""",
     "q63_hash_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(concat('0x', substr(md5('' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000

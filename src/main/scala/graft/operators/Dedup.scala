@@ -151,6 +151,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: which corpus docs share at least
+    * `minOverlap` word n-gram shingles with which benchmark docs. The
+    * standard pre-training hygiene step — training text that contains
+    * eval-set n-grams inflates benchmark scores.
+    *
+    * Scale shape: both sides reduce to (id, shingle-hash) postings — the
+    * 16-hex md5 base, never shingle text — so the equi-join exchange
+    * carries ~24 bytes/posting; the benchmark side is usually tiny
+    * (eval suites) and broadcasts under AQE. Join, count per (corpus,
+    * bench) pair, filter. */
+  def contaminationScan(corpus: DataFrame, idCol: String, text: Column,
+      benchmark: DataFrame, benchIdCol: String, benchText: Column,
+      shingleN: Int = 5, minOverlap: Int = 1): DataFrame = {
+    def postings(df: DataFrame, id: Column, t: Column, outId: String) = df
+      .select(id.as(outId), tokens(t).as("__toks"))
+      .select(col(outId), explode(array_distinct(
+        shinglesFromTokens(col("__toks"), shingleN))).as("__sh"))
+      .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
+    postings(corpus, col(idCol), text, "doc_id")
+      .join(postings(benchmark, col(benchIdCol), benchText, "bench_id"), Seq("__h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Distinct shingle set per doc, staged (doc_id, sh). */
   def shingleSets(docs: DataFrame, idCol: String, text: Column, shingleN: Int): DataFrame =
     docs

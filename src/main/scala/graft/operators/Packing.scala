@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Greedy contiguous sequence packing — the batch-prep step of an LLM
+  * training pipeline: documents are laid end-to-end in a deterministic
+  * order and cut into fixed-capacity token packs; a document's pack is
+  * `floor(tokens_before / capacity)`.
+  *
+  * The prefix sum is NOT a global `Window.orderBy` (single-partition
+  * scale-killer). Same scheme as [[graft.util.DenseIds]]: range-partition
+  * on the order key, sort within partitions, then two passes — (1) one
+  * token SUM per partition (a tiny driver-side array), (2) per-partition
+  * scan that adds the partition's offset. No task ever holds more than
+  * its own partition; the driver holds one long per partition.
+  */
+object Packing {
+
+  /** Returns the input plus `tokens_before` (prefix sum of `tokenCountCol`
+    * in `orderCol` order), `pack_id` (pack of the doc's first token) and
+    * `pack_last` (pack of its last token; > pack_id means the doc spans a
+    * pack boundary and needs splitting downstream). */
+  def packAssignments(df: DataFrame, orderCol: String, tokenCountCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val ordered = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val tcIdx = ordered.schema.fieldIndex(tokenCountCol)
+    val base = ordered.rdd
+    // pass 1: one token sum per partition
+    val partSums = base
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(r => r.getAs[Number](tcIdx).longValue()).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = ordered.schema
+      .add(StructField("tokens_before", LongType, nullable = false))
+      .add(StructField("pack_id", LongType, nullable = false))
+      .add(StructField("pack_last", LongType, nullable = false))
+    // pass 2: running sum within each partition, started at its offset
+    val rows = base.mapPartitionsWithIndex { case (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val tc = r.getAs[Number](tcIdx).longValue()
+        val before = acc
+        acc += tc
+        val packLast = if (tc > 0) (before + tc - 1) / capacity else before / capacity
+        Row.fromSeq(r.toSeq :+ before :+ before / capacity :+ packLast)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -186,6 +186,32 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /** Gopher-style repetition signals, per row, shuffle-free:
+    *  - `dup_ngram_frac`: fraction of word n-grams that are repeats of an
+    *    earlier n-gram in the same doc (0 for docs shorter than n tokens);
+    *  - `top_token_frac`: mass of the single most frequent token.
+    * Both are standard quality-filter inputs for pretraining corpora
+    * (boilerplate and degenerate repetition score high). Computed with
+    * array HOFs only — per-row maps, no explode/groupBy shuffle; the
+    * token/shingle arrays are staged per the module's codegen invariant. */
+  def repetitionSignals(docs: DataFrame, idCol: String, text: Column,
+      n: Int = 3): DataFrame =
+    docs
+      .withColumn("__toks", tokens(text))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), n))
+      .withColumn("dup_ngram_frac",
+        round(when(size(col("__sh")) === 0, 0.0).otherwise(
+          (size(col("__sh")) - size(array_distinct(col("__sh")))).cast(DoubleType) /
+            size(col("__sh")).cast(DoubleType)), 6))
+      .withColumn("__counts",
+        transform(array_distinct(col("__toks")),
+          t => size(filter(col("__toks"), x => x === t))))
+      .withColumn("top_token_frac",
+        round(when(size(col("__toks")) === 0, 0.0).otherwise(
+          array_max(col("__counts")).cast(DoubleType) /
+            size(col("__toks")).cast(DoubleType)), 6))
+      .drop("__toks", "__sh", "__counts")
+
   /** Token-window chunking with overlap over a materialized token array —
     * the document->chunks step that feeds the reference's per-chunk
     * embedding rows (`sequence_no`, `src/VectorTable.php:468,472`; queue

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PackingSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("packAssignments: dense prefix sum in order, pack boundaries correct") {
+    // token counts 60,50,30,80,10 with capacity 100:
+    // before: 0,60,110,140,220 -> packs 0,0,1,1,2; doc 2 spans 0->1 (60..109)
+    val docs = Seq((1L, 60L), (2L, 50L), (3L, 30L), (4L, 80L), (5L, 10L))
+      .toDF("doc_id", "n_tokens").repartition(3)
+    val out = Packing.packAssignments(docs, "doc_id", "n_tokens", 100L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 60L, 0L, 1L), (3L, 110L, 1L, 1L),
+      (4L, 140L, 1L, 2L), (5L, 220L, 2L, 2L)))
+  }
+
+  test("packAssignments handles zero-token docs and is partitioning-invariant") {
+    val a = Packing.packAssignments(
+      Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("doc_id", "n_tokens").repartition(1),
+      "doc_id", "n_tokens", 4L).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Packing.packAssignments(
+      Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("doc_id", "n_tokens").repartition(5),
+      "doc_id", "n_tokens", 4L).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "result independent of input partitioning")
+    // doc 2 occupies tokens 0..4 -> starts pack 0, ends pack 1
+    assert(a(1) == Seq(2L, 5L, 0L, 0L, 1L))
+    // zero-token doc 3 sits at boundary 5 -> pack 1, pack_last 1
+    assert(a(2) == Seq(3L, 0L, 5L, 1L, 1L))
+  }
+
+  test("rejects non-positive capacity") {
+    intercept[IllegalArgumentException](
+      Packing.packAssignments(Seq((1L, 1L)).toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 0L))
+  }
+}

@@ -118,4 +118,32 @@ class TextAnalysisSuite extends AnyFunSuite {
     // tf*idf for 'shared' is exactly 0 -> still present as a trailing rank
     assert(top((1L, 2)) == "shared")
   }
+
+  test("repetitionSignals: degenerate repetition scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),             // one token repeated
+      (2L, "the quick brown fox jumps over lazy dogs"),  // all distinct
+      (3L, "ab")                                         // shorter than n -> 0 ngrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", $"text", n = 3)
+      .select("doc_id", "dup_ngram_frac", "top_token_frac").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 == 0.75, "4 identical 3-grams -> 3 of 4 are dups")
+    assert(got(1L)._2 == 1.0, "single repeated token owns all mass")
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.125)
+    assert(got(3L)._1 == 0.0, "no 3-grams -> defined as 0, not NaN")
+  }
+
+  test("contaminationScan flags shared n-grams, self-clean corpus stays clean") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta appears here"), // contaminated
+      (2L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationScan(corpus, "doc_id", $"text",
+      bench, "bid", $"text", shingleN = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 2L)),
+      s"doc 1 shares 2 tri-grams ('alpha beta gamma', 'beta gamma delta'): ${hits.toSeq}")
+  }
 }
