@@ -60,7 +60,15 @@ object Bench {
     val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // also drop the bare line in a file: under sbt every stdout line gets an
+    // "[info] " prefix, which breaks naive line-wise JSON parsing downstream
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
