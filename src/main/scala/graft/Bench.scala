@@ -68,7 +68,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => }
+    catch {
+      // a silent failure would leave a STALE bench_out.json posing as this
+      // run's numbers — warn loudly (stdout already has the real line)
+      case e @ (_: java.io.IOException | _: java.nio.file.InvalidPathException) =>
+        System.err.println(s"BENCH WARN could not write bench_out.json: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

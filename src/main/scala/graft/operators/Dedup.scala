@@ -164,11 +164,12 @@ object Dedup {
   def contaminationScan(corpus: DataFrame, idCol: String, text: Column,
       benchmark: DataFrame, benchIdCol: String, benchText: Column,
       shingleN: Int = 5, minOverlap: Int = 1): DataFrame = {
-    def postings(df: DataFrame, id: Column, t: Column, outId: String) = df
-      .select(id.as(outId), tokens(t).as("__toks"))
-      .select(col(outId), explode(array_distinct(
-        shinglesFromTokens(col("__toks"), shingleN))).as("__sh"))
-      .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
+    // one staging pipeline, not two: shingleSets already encodes the
+    // tokens->shingles->distinct chain (and the codegen invariant)
+    def postings(df: DataFrame, id: Column, t: Column, outId: String) =
+      shingleSets(df.select(id.as("doc_id"), t.as("__text")), "doc_id", col("__text"), shingleN)
+        .select(col("doc_id").as(outId), explode(col("sh")).as("__sh"))
+        .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
     postings(corpus, col(idCol), text, "doc_id")
       .join(postings(benchmark, col(benchIdCol), benchText, "bench_id"), Seq("__h"))
       .groupBy(col("doc_id"), col("bench_id"))

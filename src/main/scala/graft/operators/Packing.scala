@@ -21,18 +21,33 @@ object Packing {
   /** Returns the input plus `tokens_before` (prefix sum of `tokenCountCol`
     * in `orderCol` order), `pack_id` (pack of the doc's first token) and
     * `pack_last` (pack of its last token; > pack_id means the doc spans a
-    * pack boundary and needs splitting downstream). */
+    * pack boundary and needs splitting downstream).
+    *
+    * CONTRACT: `orderCol` must be a UNIQUE key and `tokenCountCol`
+    * non-null. Ties in the order key would leave the relative order of the
+    * tied rows to shuffle-fetch timing — their pack assignments would then
+    * differ run to run, breaking reproducibility (the oracle can't catch
+    * this: its queries order by a unique id). */
   def packAssignments(df: DataFrame, orderCol: String, tokenCountCol: String,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = df.sparkSession
     val ordered = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
     val tcIdx = ordered.schema.fieldIndex(tokenCountCol)
+    val ordIdx = ordered.schema.fieldIndex(orderCol)
+    // closure captures only ints/strings — touching the DataFrame inside a
+    // task would throw CANNOT_INVOKE_IN_TRANSFORMATIONS
+    def tokenCount(r: Row): Long = {
+      val v = r.get(tcIdx)
+      require(v != null, s"packAssignments: null $tokenCountCol " +
+        s"(row ${r.get(ordIdx)}) — counts must be non-null")
+      v.asInstanceOf[Number].longValue()
+    }
     val base = ordered.rdd
     // pass 1: one token sum per partition
     val partSums = base
       .mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single(i -> it.map(r => r.getAs[Number](tcIdx).longValue()).sum)
+        Iterator.single(i -> it.map(tokenCount).sum)
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
@@ -45,7 +60,7 @@ object Packing {
     val rows = base.mapPartitionsWithIndex { case (i, it) =>
       var acc = bc.value(i)
       it.map { r =>
-        val tc = r.getAs[Number](tcIdx).longValue()
+        val tc = tokenCount(r)
         val before = acc
         acc += tc
         val packLast = if (tc > 0) (before + tc - 1) / capacity else before / capacity

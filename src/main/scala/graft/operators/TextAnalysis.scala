@@ -203,14 +203,25 @@ object TextAnalysis {
         round(when(size(col("__sh")) === 0, 0.0).otherwise(
           (size(col("__sh")) - size(array_distinct(col("__sh")))).cast(DoubleType) /
             size(col("__sh")).cast(DoubleType)), 6))
-      .withColumn("__counts",
-        transform(array_distinct(col("__toks")),
-          t => size(filter(col("__toks"), x => x === t))))
+      // max token count = longest run in the SORTED token array: one
+      // O(n log n) sort + one linear aggregate pass, instead of the
+      // O(distinct x n) rescan-per-distinct-token formulation (quadratic
+      // on exactly the long documents this operator targets)
+      .withColumn("__maxrun",
+        aggregate(array_sort(col("__toks")),
+          struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, t) => {
+            val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(t.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
       .withColumn("top_token_frac",
         round(when(size(col("__toks")) === 0, 0.0).otherwise(
-          array_max(col("__counts")).cast(DoubleType) /
+          col("__maxrun").cast(DoubleType) /
             size(col("__toks")).cast(DoubleType)), 6))
-      .drop("__toks", "__sh", "__counts")
+      .drop("__toks", "__sh", "__maxrun")
 
   /** Token-window chunking with overlap over a materialized token array —
     * the document->chunks step that feeds the reference's per-chunk

@@ -115,6 +115,19 @@ class DedupSuite extends AnyFunSuite {
     assert(multi == 1, "second band recovers it")
   }
 
+  test("contaminationScan flags shared n-grams, self-clean corpus stays clean") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta appears here"), // contaminated
+      (2L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationScan(corpus, "doc_id", $"text",
+      bench, "bid", $"text", shingleN = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 2L)),
+      s"doc 1 shares 2 tri-grams ('alpha beta gamma', 'beta gamma delta'): ${hits.toSeq}")
+  }
+
   test("embeddingNearDups rejects band configs wider than the embedding dim") {
     val embs = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 5f)))
       .toDF("vec_id", "embedding")

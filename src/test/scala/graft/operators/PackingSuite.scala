@@ -40,4 +40,14 @@ class PackingSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Packing.packAssignments(Seq((1L, 1L)).toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 0L))
   }
+
+  test("null token counts fail with a clear message, not an opaque NPE") {
+    val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packAssignments(docs, "doc_id", "n_tokens", 10L).collect()
+    }
+    assert(e.getMessage.contains("n_tokens") ||
+      Option(e.getCause).exists(_.getMessage.contains("n_tokens")),
+      s"error must name the column: ${e.getMessage}")
+  }
 }

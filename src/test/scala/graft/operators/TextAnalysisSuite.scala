@@ -134,16 +134,4 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(got(3L)._1 == 0.0, "no 3-grams -> defined as 0, not NaN")
   }
 
-  test("contaminationScan flags shared n-grams, self-clean corpus stays clean") {
-    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "text")
-    val corpus = Seq(
-      (1L, "prefix words then alpha beta gamma delta appears here"), // contaminated
-      (2L, "completely different content with no overlap at all")
-    ).toDF("doc_id", "text")
-    val hits = Dedup.contaminationScan(corpus, "doc_id", $"text",
-      bench, "bid", $"text", shingleN = 3, minOverlap = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(hits.toSeq == Seq((1L, 100L, 2L)),
-      s"doc 1 shares 2 tri-grams ('alpha beta gamma', 'beta gamma delta'): ${hits.toSeq}")
-  }
 }
