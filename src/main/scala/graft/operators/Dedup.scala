@@ -165,10 +165,17 @@ object Dedup {
       benchmark: DataFrame, benchIdCol: String, benchText: Column,
       shingleN: Int = 5, minOverlap: Int = 1): DataFrame = {
     // one staging pipeline, not two: shingleSets already encodes the
-    // tokens->shingles->distinct chain (and the codegen invariant)
+    // tokens->shingles->distinct chain (and the codegen invariant).
+    // explode_OUTER, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, whose inferred size(...)>0 predicate gets
+    // pushed to the scan with the whole tokenize->shingle chain INLINED
+    // (per-element re-split — the measured 87s-class blowup; 18s vs 3s on
+    // this query at sf0.1). The outer variant adds no inferred filter;
+    // empty-shingle rows yield a null hash, which the inner equi-join
+    // drops — same result, one shingle evaluation per row.
     def postings(df: DataFrame, id: Column, t: Column, outId: String) =
       shingleSets(df.select(id.as("doc_id"), t.as("__text")), "doc_id", col("__text"), shingleN)
-        .select(col("doc_id").as(outId), explode(col("sh")).as("__sh"))
+        .select(col("doc_id").as(outId), explode_outer(col("sh")).as("__sh"))
         .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
     postings(corpus, col(idCol), text, "doc_id")
       .join(postings(benchmark, col(benchIdCol), benchText, "bench_id"), Seq("__h"))
