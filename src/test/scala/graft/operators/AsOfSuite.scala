@@ -104,6 +104,29 @@ class AsOfSuite extends AnyFunSuite {
       "the 09:00 value must not leak through the tolerance check")
   }
 
+  test("differential: random data matches a brute-force as-of reference") {
+    val rnd = new scala.util.Random(11)
+    def time(h: Int) = ts(f"2024-01-01 ${h % 24}%02d:00:00")
+    val lRows = (1L to 300L).map(i => (i, s"k${rnd.nextInt(8)}", time(rnd.nextInt(24))))
+    val rRows = (1 to 120).map { i =>
+      (s"k${rnd.nextInt(10)}", time(rnd.nextInt(24)), i.toDouble)
+    }.distinct
+      // unique per (key, time): keep max v like the operator contract asks
+      .groupBy(r => (r._1, r._2)).map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toSeq
+    val l = lRows.toDF("obs_id", "k", "t")
+    val r = rRows.toDF("k", "rt", "v")
+
+    val got = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("v"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(x.fieldIndex("v"))) None else Some(x.getDouble(x.fieldIndex("v"))))).toMap
+
+    lRows.foreach { case (id, k, t) =>
+      val expected = rRows.filter(rr => rr._1 == k && !rr._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got(id) == expected, s"obs $id key $k at $t: got ${got(id)}, want $expected")
+    }
+  }
+
   test("plan shape: one shuffle on the key, no range-join blowup") {
     val out = AsOf.asofJoin(left, right, "k", "t", "rt", Seq("v"))
     val plan = out.queryExecution.executedPlan.toString

@@ -41,6 +41,23 @@ class PackingSuite extends AnyFunSuite {
       Packing.packAssignments(Seq((1L, 1L)).toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 0L))
   }
 
+  test("property: prefix-sum invariant holds on random sizes and partitionings") {
+    val rnd = new scala.util.Random(13)
+    val counts = (1L to 500L).map(i => i -> rnd.nextInt(300).toLong)
+    val df = counts.toDF("doc_id", "n_tokens").repartition(rnd.nextInt(7) + 2)
+    val out = Packing.packAssignments(df, "doc_id", "n_tokens", 1000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    var running = 0L
+    out.foreach { case (id, n, before, pack, packLast) =>
+      assert(before == running, s"doc $id: tokens_before $before != $running")
+      assert(pack == before / 1000L)
+      assert(packLast == (if (n > 0) (before + n - 1) / 1000L else before / 1000L))
+      running += n
+    }
+    assert(running == counts.map(_._2).sum)
+  }
+
   test("null token counts fail with a clear message, not an opaque NPE") {
     val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tokens")
     val e = intercept[org.apache.spark.SparkException] {
