@@ -455,6 +455,16 @@ object SparkEntry {
       Dedup.jaccardVerify(pairs, docs, "doc_id", col("text"), 3)
         .orderBy(col("id1"))
     }),
+    "q67_jaccard_hashed" -> ((s, d) => {
+      // the cluster-scale variant of q45: set ops over 28-bit shingle
+      // hashes — 8 bytes/shingle through the exchange instead of shingle
+      // strings (locally the extra md5 pass costs ~what the narrower set
+      // ops save; on a real network the 3x narrower shuffle wins)
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.jaccardVerifyHashed(pairs, docs, "doc_id", col("text"), 3)
+        .orderBy(col("id1"))
+    }),
     "q46_embedding_neardup" -> ((s, d) =>
       // single 8-bit band reproduces the prefix-bucket shape the oracle
       // mirrors; the scale default is multi-band (see q53)
@@ -1037,16 +1047,26 @@ object SparkEntry {
       s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents ORDER BY doc_id"
     },
     "q45_jaccard_pairs" -> {
-      val sh =
-        s"""list_distinct(list_transform(range(0, len($toksSql) - 2),
-            i -> list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+2 AS INT)) || ' ' ||
-                 list_extract($toksSql, CAST(i+3 AS INT))))"""
+      val sh = s"list_distinct($shingle3Sql)"
       s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents)
           SELECT a.doc_id AS id1, b.doc_id AS id2,
-            ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+            ROUND(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
               ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END, 6) AS jaccard
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) END, 6) AS jaccard
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+          ORDER BY id1"""
+    },
+    "q67_jaccard_hashed" -> {
+      // hashed shingle sets: distinct 28-bit md5 bases, mirroring
+      // Dedup.shingleHashSets exactly
+      val sh =
+        s"""list_distinct(list_transform($shingle3Sql,
+            s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)))"""
+      s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            ROUND(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) END, 6) AS jaccard
           FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
           ORDER BY id1"""
     },

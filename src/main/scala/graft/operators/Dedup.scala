@@ -190,15 +190,38 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
       .select(col("doc_id"), array_distinct(shinglesFromTokens(col("__toks"), shingleN)).as("sh"))
 
+  /** Distinct 28-bit shingle-HASH set per doc — the compact form for
+    * jaccard verification at scale: set ops compare longs instead of
+    * ~20-char shingle strings, and the join exchange carries 8 bytes per
+    * shingle. A 28-bit collision between two distinct shingles of the
+    * same doc pair (~|A|·|B|/2^28) perturbs the estimate by <1/|A∪B| —
+    * immaterial against near-dup thresholds. */
+  def shingleHashSets(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), shingleN))
+      .select(col("doc_id"), array_distinct(shingleBases(col("__sh"))).as("sh"))
+
+  /** [[jaccardVerify]] over hashed shingle sets ([[shingleHashSets]]) —
+    * same output shape, integer set ops. Preferred at scale. */
+  def jaccardVerifyHashed(pairs: DataFrame, docs: DataFrame, idCol: String,
+      text: Column, shingleN: Int = 3): DataFrame =
+    jaccardOver(pairs, shingleHashSets(docs, idCol, text, shingleN))
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id1, id2): |A ∩ B| / |A ∪ B| over distinct shingles. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, text: Column,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+    jaccardOver(pairs, shingleSets(docs, idCol, text, shingleN))
+
+  /** Shared jaccard core over a prepared (doc_id, sh) set frame. */
+  private def jaccardOver(pairs: DataFrame, sets: DataFrame): DataFrame = {
     // shuffle_hash: the shingle frame LOOKS small to the planner (array
-    // sizes are underestimated) but is ~30KB/doc — broadcasting it builds
-    // a multi-hundred-MB table on the driver, twice. Shuffling moves each
-    // doc's shingles exactly once.
-    val sh = shingleSets(docs, idCol, text, shingleN).hint("shuffle_hash")
+    // sizes are underestimated) but is wide per doc — broadcasting it
+    // builds a huge driver-side table, twice. Shuffling moves each doc's
+    // shingles exactly once.
+    val sh = sets.hint("shuffle_hash")
     pairs
       .join(sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), Seq("id2"))
