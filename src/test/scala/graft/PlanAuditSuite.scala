@@ -91,4 +91,46 @@ class PlanAuditSuite extends AnyFunSuite {
     val p = staticPlan("q13_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("as-of join plans as one window pass — no cartesian/range-join blowup (X20)") {
+    val p = finalPlan("q62_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not expand the pair space:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("last("),
+      s"running last-carry expected:\n$p")
+  }
+
+  test("packing never plans a global single-partition window (X26)") {
+    val q = SparkEntry.queries("q64_packing")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"prefix sum must use the two-pass scheme, not a window:\n$p")
+  }
+
+  test("tfidf: one exchange feeds both the tf aggregate and the top-N window (X19)") {
+    // the doc_id repartition must satisfy BOTH the (doc_id, term) agg and
+    // the per-doc window: exactly one real doc_id Exchange in the final
+    // plan (the df branch reads it back via ReusedExchange), and the
+    // top-N cut pushed below the sort as WindowGroupLimit
+    val finalSection = finalPlan("q60_tfidf").split("== Initial Plan ==")(0)
+    val real = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id") && !l.contains("ReusedExchange"))
+      .size
+    assert(real == 1, s"expected one doc_id exchange, found $real:\n$finalSection")
+    assert(finalSection.contains("ReusedExchange"),
+      s"df branch must reuse the postings exchange:\n$finalSection")
+    assert(finalSection.contains("WindowGroupLimit"),
+      s"top-N must prune below the window sort:\n$finalSection")
+  }
+
+  test("decontamination: no inferred-filter shingle recompute below the explode (X28)") {
+    val p = finalPlan("q66_decontaminate")
+    // the 18s-class regression shape: predicate pushdown inlines the
+    // tokenize->shingle chain into a scan-level filter. The tokenizer must
+    // appear only in projections (2 sides), never inside Filter conditions.
+    val filterLines = p.linesIterator.filter(_.contains("Filter ")).mkString("\n")
+    assert(!filterLines.contains("split(lower"),
+      s"tokenizer inlined into a filter — InferFiltersFromGenerate regression:\n$filterLines")
+  }
 }
