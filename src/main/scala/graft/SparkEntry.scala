@@ -594,6 +594,17 @@ object SparkEntry {
         rates = Map("src0" -> 0.30, "src1" -> 0.0), defaultRate = 0.10)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    "q68_dedup_groups" -> ((s, d) => {
+      // end-to-end near-dup clustering: banded minhash candidates over
+      // docs + exact clones, then connected components via min-label
+      // propagation; label = min doc id of the component
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.dedupGroups(Dedup.minhashCandidatePairs(both, "doc_id", col("text"),
+        shingleN = 3, numHashes = 8, rowsPerBand = 2))
+        .orderBy(col("id"))
+    }),
     "q64_packing" -> ((s, d) =>
       // greedy contiguous sequence packing into 2048-token packs; prefix
       // sum via range-partition + per-partition offsets (never a global
@@ -999,6 +1010,30 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
           ORDER BY id1, id2"""
+    },
+    "q68_dedup_groups" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      // connected components in SQL: label(id) = MIN over all ids
+      // reachable from id (including itself) — a recursive CTE computes
+      // the reachability closure; UNION (distinct) guarantees termination
+      // on cycles
+      s"""WITH RECURSIVE alldocs AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+          sig AS (SELECT doc_id, $sigCols FROM alldocs),
+          banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT a, b FROM edges UNION SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+          SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
     },
     "q55_ivf_assign" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4)
