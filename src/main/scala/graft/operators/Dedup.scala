@@ -246,12 +246,12 @@ object Dedup {
     * cut per iteration with an eager localCheckpoint so the plan does not
     * grow exponentially. */
   def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // pin the candidate-pair plan: every iteration joins against edges,
-    // and an unpersisted plan would re-run the (expensive) upstream LSH
-    // pipeline per round
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(true)
+    // pin the candidate-pair plan BEFORE mirroring: the union's two
+    // branches would otherwise each execute the (expensive) upstream LSH
+    // pipeline once — measured 2x the pipeline cost on the end-to-end
+    // query. Checkpoint once, then mirror the cheap checkpointed frame.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val edges = p.union(p.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -260,6 +260,11 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("id2") === labels("id"))
         .groupBy(edges("id1").as("id")).agg(min(col("label")).as("nlabel"))
+      // eager checkpoint EVERY round, measured deliberately: without it
+      // each round's convergence action re-executes all prior rounds
+      // (O(rounds^2) recompute — slower than the extra job), and path
+      // compression is useless here (LSH components converge in ~3
+      // rounds; the extra join per round costs more than it saves)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
