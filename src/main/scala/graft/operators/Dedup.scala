@@ -122,6 +122,10 @@ object Dedup {
     * band key = band index + md5 of the concatenated band slice. Docs
     * sharing ANY band key are near-dup candidates. */
   def lshBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "otherwise hashes are silently truncated (or zero bands are produced " +
+        "and every document reports no duplicates)")
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       val slice = (0 until rowsPerBand)
         .map(r => element_at(sig, b * rowsPerBand + r + 1).cast(StringType))

@@ -187,7 +187,11 @@ object EmbedQueue {
     * we guard both). */
   def enqueue(queue: DataFrame, posts: DataFrame, now: Timestamp): DataFrame = {
     val maxId = queue.agg(coalesce(max(col("job_id")), lit(0L))).first().getLong(0)
+    // guard against BOTH duplicate sources: posts already queued (anti
+    // join) AND duplicate post_ids inside this batch (a retried ingest
+    // unioned with itself would otherwise get one job per occurrence)
     val deduped = posts
+      .dropDuplicates("post_id")
       .join(queue.select(col("post_id")), Seq("post_id"), "left_anti")
     // job_id via DenseIds (range partition + zipWithIndex), not a global
     // window: bulk enqueue is an ingest path and must not funnel through

@@ -32,7 +32,12 @@ object Packing {
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = df.sparkSession
+    // pin the sorted layout: both passes below consume it, and without the
+    // checkpoint each would re-execute the upstream plan (tokenization +
+    // range shuffle) in full — the double-execution shape dedupGroups'
+    // edge pinning fixed
     val ordered = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+      .localCheckpoint(true)
     val tcIdx = ordered.schema.fieldIndex(tokenCountCol)
     val ordIdx = ordered.schema.fieldIndex(orderCol)
     // closure captures only ints/strings — touching the DataFrame inside a

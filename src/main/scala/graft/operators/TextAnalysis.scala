@@ -107,11 +107,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
 
-  /** Polynomial rolling hash (base 31, mod 2^61-1) over the normalized
-    * text — the classic streaming fingerprint; engine-side alternative to
-    * [[fingerprint]] when a numeric key is preferred. */
+  /** Polynomial rolling hash (base 31, mod the largest prime < 2^57)
+    * over the normalized text — the classic streaming fingerprint;
+    * engine-side alternative to [[fingerprint]] when a numeric key is
+    * preferred. The modulus is deliberately < 2^57, NOT 2^61-1: the
+    * accumulator reaches M-1 and the next step computes acc*31+255
+    * BEFORE reducing, which must stay under 2^63 or ANSI mode (Spark 4
+    * default) throws ARITHMETIC_OVERFLOW mid-aggregate (same bound
+    * discipline as [[Dedup.MinhashA]]'s a,b < 2^28). */
   def rollingHash(text: Column): Column = {
-    val M = 2305843009213693951L // 2^61 - 1
+    val M = 144115188075855859L // largest prime < 2^57; 31*M + 255 < 2^63
     aggregate(
       split(regexp_replace(lower(trim(text)), "\\s+", " "), ""),
       lit(0L),

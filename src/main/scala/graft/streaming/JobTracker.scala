@@ -48,9 +48,12 @@ object JobTracker {
               // timeout (deterministic under replay)
               val failed = JobState(postId, Failed.name, s.error_count + 1,
                 new Timestamp(state.getCurrentWatermarkMs()), timed_out = true)
-              // retry-exhausted -> drop the state (the in-stream GC);
-              // retryable failures keep state for the next claim
-              if (failed.error_count >= cfg.maxRetries) state.remove()
+              // keep the state even when retry-exhausted: dropping it
+              // would let a later claim event re-initialize the post from
+              // pending with error_count 0 — the batch path
+              // (EmbedQueue.claimable) blocks exactly this. GC parity with
+              // EmbedQueue.gc (error_count > maxRetries) applies below.
+              if (failed.error_count > cfg.maxRetries) state.remove()
               else state.update(failed)
               Iterator.single(failed)
             } else Iterator.empty
@@ -63,8 +66,14 @@ object JobTracker {
             // not stable across a checkpoint recovery)
             val kindRank = Map("enqueue" -> 0, "claim" -> 1, "complete" -> 2, "fail" -> 3)
             evs.toSeq.sortBy(e => (e.at.getTime, kindRank.getOrElse(e.kind, 9))).foreach { e =>
-              s = e.kind match {
+              val next = e.kind match {
                 case "enqueue" => JobState(postId, Pending.name, 0, e.at)
+                case "claim"
+                    if s.status == Failed.name && s.error_count >= cfg.maxRetries =>
+                  // retry-exhausted: unclaimable, same rule as the batch
+                  // path's EmbedQueue.claimable — without this a claim
+                  // would resurrect the post past its retry budget
+                  s
                 case "claim" =>
                   // arm the reaper: time out when event time passes
                   // start_time + processing timeout. Clamp to above the
@@ -79,14 +88,16 @@ object JobTracker {
                 case "fail" => JobState(postId, Failed.name, s.error_count + 1, e.at)
                 case other => throw new IllegalArgumentException(s"bad event kind: $other")
               }
-              out += s
+              if (!(next eq s)) out += next
+              s = next
             }
-            // terminal states leave the store (unbounded post-id streams
-            // would otherwise grow state forever — the in-stream analogue
-            // of EmbedQueue.gc); a later event for the key simply
-            // re-initializes from pending
+            // completed jobs and fails PAST the retry budget leave the
+            // store (the in-stream analogue of EmbedQueue.gc, which keeps
+            // rows at exactly maxRetries — unclaimable — and deletes only
+            // error_count > maxRetries); an explicit enqueue re-opens a
+            // post, mirroring the reference's reset_job
             if (s.status == Completed.name ||
-                (s.status == Failed.name && s.error_count >= cfg.maxRetries)) state.remove()
+                (s.status == Failed.name && s.error_count > cfg.maxRetries)) state.remove()
             else state.update(s)
             out.result().iterator
           }

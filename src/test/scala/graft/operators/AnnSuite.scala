@@ -89,6 +89,18 @@ class AnnSuite extends AnyFunSuite {
     assert(Ann.bucketsWithin("01", 2).toSet.size == 4, "all 2-bit strings")
   }
 
+  test("lshTopK rejects bucket widths past the query or embedding dimension") {
+    val short = Array.fill(4)(1.0f)
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.lshTopK(embs, "vec_id", "embedding", short, k = 3, bits = 8)
+    }
+    assert(e1.getMessage.contains("query dimension"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.lshTopK(embs, "vec_id", "embedding", Array.fill(32)(1.0f), k = 3, bits = 16)
+    }
+    assert(e2.getMessage.contains("embedding dimension"), s"dim=$dim vs bits=16: ${e2.getMessage}")
+  }
+
   test("lloydIter: means move toward the assigned members, k*dim rows out") {
     // two obvious blobs around +1 and -1; centroids start off-center
     val blob = ((0L until 10L).map(i => i -> Seq.fill(dim)(1.0f)) ++

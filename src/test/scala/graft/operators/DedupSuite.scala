@@ -115,6 +115,13 @@ class DedupSuite extends AnyFunSuite {
     assert(multi == 1, "second band recovers it")
   }
 
+  test("lshBandKeys rejects non-divisible or oversized band configs") {
+    for ((h, r) <- Seq((8, 3), (8, 16), (8, 0))) {
+      val e = intercept[IllegalArgumentException](Dedup.lshBandKeys(col("sig"), h, r))
+      assert(e.getMessage.contains("rowsPerBand"), s"($h,$r): ${e.getMessage}")
+    }
+  }
+
   test("contaminationScan flags shared n-grams, self-clean corpus stays clean") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("bid", "text")
     val corpus = Seq(

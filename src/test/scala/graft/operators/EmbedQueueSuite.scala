@@ -120,6 +120,14 @@ class EmbedQueueSuite extends AnyFunSuite {
     assert(st(10L)._1 == "pending" && st(11L)._1 == "pending")
   }
 
+  test("enqueue dedups duplicate post_ids WITHIN the batch (one job per post)") {
+    val q = df(job(7, 101, "pending", "2026-01-10 09:00:00"))
+    val posts = Seq((103L, 1), (103L, 1), (104L, 2)).toDF("post_id", "chunk_count")
+    val out = EmbedQueue.enqueue(q, posts, t0)
+    assert(out.count() == 3, "duplicate 103 collapses to a single job")
+    assert(out.filter($"post_id" === 103L).count() == 1)
+  }
+
   test("Q5: postsToRetry lists retryable-failed posts oldest-first, capped") {
     val q = df(
       job(1, 101, "failed", "2026-01-10 10:00:00", errors = 1),

@@ -92,6 +92,16 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("rollingHash survives long documents under ANSI (no Long overflow)") {
+    // the 2^61-1 modulus overflowed acc*31 on any text past ~13 chars;
+    // the < 2^57 modulus keeps acc*31+255 under 2^63 at every step
+    val long1 = ("the quick brown fox jumps over the lazy dog " * 200)
+    val hs = Seq(long1, long1 + "!").toDF("t")
+      .select(TextAnalysis.rollingHash($"t")).collect().map(_.getLong(0))
+    assert(hs(0) != hs(1))
+    hs.foreach(h => assert(h >= 0 && h < 144115188075855859L))
+  }
+
   test("qualityScore is within [-0.25, 1] and favors clean prose over noise") {
     val scores = Seq(
       "the quick brown fox jumps over the lazy dog and runs on with a steady pace for a while",

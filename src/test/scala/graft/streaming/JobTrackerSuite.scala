@@ -63,6 +63,38 @@ class JobTrackerSuite extends AnyFunSuite {
     }
   }
 
+  test("retry-exhausted posts cannot be resurrected by a claim (batch-path parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[JobEvent]
+    val tracked = JobTracker.track(
+      input.toDS().withWatermark("at", "0 seconds").as[JobEvent])
+    val query = tracked.writeStream.format("memory").queryName("graft_jobs3")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        JobEvent(5L, "enqueue", ts("2026-01-10 12:00:00")),
+        JobEvent(5L, "claim", ts("2026-01-10 12:01:00")),
+        JobEvent(5L, "fail", ts("2026-01-10 12:02:00")),
+        JobEvent(5L, "claim", ts("2026-01-10 12:03:00")),
+        JobEvent(5L, "fail", ts("2026-01-10 12:04:00")),
+        JobEvent(5L, "claim", ts("2026-01-10 12:05:00")),
+        JobEvent(5L, "fail", ts("2026-01-10 12:06:00"))) // error_count = 3 = maxRetries
+      query.processAllAvailable()
+      input.addData(JobEvent(5L, "claim", ts("2026-01-10 12:07:00")))
+      query.processAllAvailable()
+      val after = spark.table("graft_jobs3").orderBy($"since".desc).head()
+      assert(after.getAs[String]("status") == "failed",
+        "claim past the retry budget must not transition to processing")
+      assert(after.getAs[Int]("error_count") == 3)
+      val processingAfterExhaustion = spark.table("graft_jobs3")
+        .filter($"status" === "processing" && $"since" === ts("2026-01-10 12:07:00"))
+      assert(processingAfterExhaustion.isEmpty)
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_jobs3")
+    }
+  }
+
   test("fail events accumulate error_count through the state machine") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[JobEvent]
