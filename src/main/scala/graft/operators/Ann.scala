@@ -69,12 +69,16 @@ object Ann {
       query: Array[Float], k: Int, bits: Int = 12, probeHamming: Int = 1): DataFrame = {
     // fail fast instead of bucketing past the vector's end: out-of-range
     // element_at throws under ANSI or silently merges every vector into
-    // the same null->'0' buckets (same guard as Dedup.embeddingNearDups)
+    // the same null->'0' buckets (same guard as Dedup.embeddingNearDups).
+    // Embedding columns are fixed-dim, so one sampled row stands in for
+    // the column (ragged inputs are out of contract); the take(1) costs
+    // one small eager job per call.
     require(bits <= query.length,
       s"bits ($bits) exceeds the query dimension (${query.length})")
     embs.select(size(col(vecCol))).take(1).foreach { r =>
-      require(!r.isNullAt(0) && bits <= r.getInt(0),
-        s"bits ($bits) exceeds the embedding dimension (${r.get(0)})")
+      require(!r.isNullAt(0), s"lshTopK: null $vecCol in the sampled row")
+      require(bits <= r.getInt(0),
+        s"bits ($bits) exceeds the embedding dimension (${r.getInt(0)})")
     }
     val qBucket = (0 until bits).map(i => if (query(i) > 0f) "1" else "0").mkString
     val probes = bucketsWithin(qBucket, probeHamming)

@@ -122,7 +122,7 @@ object Dedup {
     * band key = band index + md5 of the concatenated band slice. Docs
     * sharing ANY band key are near-dup candidates. */
   def lshBandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column = {
-    require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
         "otherwise hashes are silently truncated (or zero bands are produced " +
         "and every document reports no duplicates)")

@@ -189,9 +189,18 @@ object EmbedQueue {
     val maxId = queue.agg(coalesce(max(col("job_id")), lit(0L))).first().getLong(0)
     // guard against BOTH duplicate sources: posts already queued (anti
     // join) AND duplicate post_ids inside this batch (a retried ingest
-    // unioned with itself would otherwise get one job per occurrence)
-    val deduped = posts
-      .dropDuplicates("post_id")
+    // unioned with itself would otherwise get one job per occurrence).
+    // The within-batch pick is the lexicographically-greatest row — a
+    // DETERMINISTIC choice (dropDuplicates keeps whichever row a
+    // partition scan meets first, which varies run to run)
+    val others = posts.columns.filterNot(_ == "post_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("post_id")).orderBy(others.map(col(_).desc_nulls_last).toSeq: _*)
+    val inBatch =
+      if (others.isEmpty) posts.dropDuplicates("post_id")
+      else posts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    val deduped = inBatch
       .join(queue.select(col("post_id")), Seq("post_id"), "left_anti")
     // job_id via DenseIds (range partition + zipWithIndex), not a global
     // window: bulk enqueue is an ingest path and must not funnel through

@@ -111,12 +111,13 @@ object TextAnalysis {
     * over the normalized text — the classic streaming fingerprint;
     * engine-side alternative to [[fingerprint]] when a numeric key is
     * preferred. The modulus is deliberately < 2^57, NOT 2^61-1: the
-    * accumulator reaches M-1 and the next step computes acc*31+255
-    * BEFORE reducing, which must stay under 2^63 or ANSI mode (Spark 4
-    * default) throws ARITHMETIC_OVERFLOW mid-aggregate (same bound
-    * discipline as [[Dedup.MinhashA]]'s a,b < 2^28). */
+    * accumulator reaches M-1 and the next step computes
+    * acc*31 + codepoint BEFORE reducing (ascii() yields the full Unicode
+    * codepoint, up to 1,114,111 — not 255), which must stay under 2^63 or
+    * ANSI mode (Spark 4 default) throws ARITHMETIC_OVERFLOW mid-aggregate
+    * (same bound discipline as [[Dedup.MinhashA]]'s a,b < 2^28). */
   def rollingHash(text: Column): Column = {
-    val M = 144115188075855859L // largest prime < 2^57; 31*M + 255 < 2^63
+    val M = 144115188075855859L // largest prime < 2^57; 31*M + 1114111 < 2^63
     aggregate(
       split(regexp_replace(lower(trim(text)), "\\s+", " "), ""),
       lit(0L),

@@ -30,6 +30,7 @@ object JobTracker {
     * Emits every state transition, including reaper timeouts. */
   def track(events: Dataset[JobEvent], cfg: QueueConfig = QueueConfig()): Dataset[JobState] = {
     val timeoutMs = cfg.processingTimeoutMinutes * 60000L
+    val retentionMs = cfg.completedRetentionDays * 86400000L
     implicit val stateEnc: org.apache.spark.sql.Encoder[JobState] = Encoders.product[JobState]
     implicit val keyEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
 
@@ -48,14 +49,21 @@ object JobTracker {
               // timeout (deterministic under replay)
               val failed = JobState(postId, Failed.name, s.error_count + 1,
                 new Timestamp(state.getCurrentWatermarkMs()), timed_out = true)
-              // keep the state even when retry-exhausted: dropping it
-              // would let a later claim event re-initialize the post from
-              // pending with error_count 0 — the batch path
-              // (EmbedQueue.claimable) blocks exactly this. GC parity with
-              // EmbedQueue.gc (error_count > maxRetries) applies below.
-              if (failed.error_count > cfg.maxRetries) state.remove()
-              else state.update(failed)
+              state.update(failed)
+              // keep exhausted state (unclaimable — dropping it would let
+              // a later claim re-initialize the post from pending with
+              // error_count 0), but bound the state store: expire it after
+              // the retention window, like the batch gc eventually drops
+              // dead rows
+              if (failed.error_count >= cfg.maxRetries)
+                state.setTimeoutTimestamp(
+                  math.max(state.getCurrentWatermarkMs() + retentionMs,
+                    state.getCurrentWatermarkMs() + 1))
               Iterator.single(failed)
+            } else if (s.status == Failed.name && s.error_count >= cfg.maxRetries) {
+              // retention expiry of a retry-exhausted post: silent removal
+              state.remove()
+              Iterator.empty
             } else Iterator.empty
           } else {
             var s = state.getOption.getOrElse(JobState(postId, Pending.name, 0,
@@ -85,19 +93,32 @@ object JobTracker {
                     math.max(e.at.getTime + timeoutMs, state.getCurrentWatermarkMs() + 1))
                   JobState(postId, Processing.name, s.error_count, e.at)
                 case "complete" => JobState(postId, Completed.name, s.error_count, e.at)
-                case "fail" => JobState(postId, Failed.name, s.error_count + 1, e.at)
+                case "fail" if s.status != Processing.name =>
+                  // only a processing job can fail (batch EmbedQueue.fail
+                  // filters on status too) — this also makes redelivered
+                  // fail events from an at-least-once source idempotent,
+                  // so error_count can never be pushed past the budget by
+                  // duplicates and resurrect the post via state removal
+                  s
+                case "fail" =>
+                  val f = JobState(postId, Failed.name, s.error_count + 1, e.at)
+                  // exhausted: unclaimable from here on; bound the state
+                  // store by expiring it after the retention window
+                  if (f.error_count >= cfg.maxRetries)
+                    state.setTimeoutTimestamp(
+                      math.max(e.at.getTime + retentionMs,
+                        state.getCurrentWatermarkMs() + 1))
+                  f
                 case other => throw new IllegalArgumentException(s"bad event kind: $other")
               }
               if (!(next eq s)) out += next
               s = next
             }
-            // completed jobs and fails PAST the retry budget leave the
-            // store (the in-stream analogue of EmbedQueue.gc, which keeps
-            // rows at exactly maxRetries — unclaimable — and deletes only
-            // error_count > maxRetries); an explicit enqueue re-opens a
-            // post, mirroring the reference's reset_job
-            if (s.status == Completed.name ||
-                (s.status == Failed.name && s.error_count > cfg.maxRetries)) state.remove()
+            // completed jobs leave the store immediately; retry-exhausted
+            // fails stay (unclaimable) until their retention timeout
+            // expires them — an explicit enqueue re-opens a post either
+            // way, mirroring the reference's reset_job
+            if (s.status == Completed.name) state.remove()
             else state.update(s)
             out.result().iterator
           }

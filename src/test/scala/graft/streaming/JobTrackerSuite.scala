@@ -80,12 +80,18 @@ class JobTrackerSuite extends AnyFunSuite {
         JobEvent(5L, "claim", ts("2026-01-10 12:05:00")),
         JobEvent(5L, "fail", ts("2026-01-10 12:06:00"))) // error_count = 3 = maxRetries
       query.processAllAvailable()
-      input.addData(JobEvent(5L, "claim", ts("2026-01-10 12:07:00")))
+      // a REDELIVERED fail (at-least-once source) must be a no-op — it
+      // must not push error_count past the budget and free the state for
+      // resurrection — and a claim must stay blocked
+      input.addData(
+        JobEvent(5L, "fail", ts("2026-01-10 12:06:30")),
+        JobEvent(5L, "claim", ts("2026-01-10 12:07:00")))
       query.processAllAvailable()
       val after = spark.table("graft_jobs3").orderBy($"since".desc).head()
       assert(after.getAs[String]("status") == "failed",
         "claim past the retry budget must not transition to processing")
-      assert(after.getAs[Int]("error_count") == 3)
+      assert(after.getAs[Int]("error_count") == 3,
+        "duplicate fail on a non-processing job is idempotent")
       val processingAfterExhaustion = spark.table("graft_jobs3")
         .filter($"status" === "processing" && $"since" === ts("2026-01-10 12:07:00"))
       assert(processingAfterExhaustion.isEmpty)
