@@ -605,6 +605,19 @@ object SparkEntry {
         shingleN = 3, numHashes = 8, rowsPerBand = 2))
         .orderBy(col("id"))
     }),
+    "q69_dedup_corpus" -> ((s, d) => {
+      // the full dedup pipeline end-to-end: candidates -> components ->
+      // keep one canonical doc per cluster; survivors = min-id per
+      // component + all never-paired docs
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val groups = Dedup.dedupGroups(Dedup.minhashCandidatePairs(both, "doc_id", col("text"),
+        shingleN = 3, numHashes = 8, rowsPerBand = 2))
+      Dedup.keepCanonical(both, "doc_id", groups)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q64_packing" -> ((s, d) =>
       // greedy contiguous sequence packing into 2048-token packs; prefix
       // sum via range-partition + per-partition offsets (never a global
@@ -1034,6 +1047,31 @@ object SparkEntry {
             UNION
             SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
           SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
+    },
+    "q69_dedup_corpus" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      // survivors = every doc whose component label equals itself, plus
+      // docs that never appear in any candidate pair
+      s"""WITH RECURSIVE alldocs AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+          sig AS (SELECT doc_id, $sigCols FROM alldocs),
+          banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT a, b FROM edges UNION SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+          labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+          SELECT d.doc_id FROM alldocs d
+          WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+          ORDER BY d.doc_id"""
     },
     "q55_ivf_assign" ->
       """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4)
