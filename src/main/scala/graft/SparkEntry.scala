@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, TextAnalysis}
+import graft.operators.{Ann, AsOf, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -643,6 +643,28 @@ object SparkEntry {
         "bid", col("text"), shingleN = 3, minOverlap = 1)
         .orderBy(col("doc_id"), col("bench_id"))
     }),
+    "q70_corpus_freq" -> ((s, d) =>
+      // unigram-LM quality proxy: avg corpus probability of each doc's
+      // tokens; decimal-exact Σ tf·ctf, one final double division
+      Curation.corpusFreqScore(t(s, d, "documents"), "doc_id", col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("lm_score"))
+        .orderBy(col("doc_id"))),
+    "q71_source_cap" -> ((s, d) =>
+      // per-source cap: keep the first 20 docs per source (WindowGroupLimit
+      // keeps the per-key sort partial — asserted in the plan audit)
+      Curation.capPerKey(t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), n = 20)
+        .orderBy(col("source"), col("doc_id"))),
+    "q72_shard_shuffle" -> ((s, d) =>
+      // deterministic epoch shuffle: md5 shuffle key -> shard + in-shard
+      // position; same seed = same permutation, unlike rand()
+      Curation.shardShuffle(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", nShards = 8, seed = "epoch0")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id")))
+          .cast(IntegerType))
+        .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
     // ---- streaming-shaped (windowed aggregation over event time) ----
     "q51_event_window" -> ((s, d) =>
       events(s, d)
@@ -1336,5 +1358,39 @@ object SparkEntry {
                WHERE event_type = 'purchase') p
          ASOF LEFT JOIN clicks c
            ON p.user_id = c.user_id AND c.click_ts <= p.ts
-         ORDER BY p.event_id""")
+         ORDER BY p.event_id""",
+    "q70_corpus_freq" ->
+      // Σ tf·ctf is SUM over BIGINT products (HUGEINT in DuckDB — exact,
+      // like Spark's decimal(38,0) accumulator); the single final double
+      // division is the only floating-point step on either side
+      s"""WITH postings AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM postings
+           WHERE term <> '' GROUP BY doc_id, term),
+         ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+         tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+         perdoc AS (SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             SUM(tf.tf * c.ctf) AS sum_ctf
+           FROM tf JOIN ctf c USING (term) GROUP BY tf.doc_id)
+         SELECT doc_id, n_tokens,
+           ROUND(CAST(sum_ctf AS DOUBLE) /
+             (CAST(n_tokens AS DOUBLE) * CAST((SELECT t FROM tot) AS DOUBLE)), 6)
+             AS lm_score
+         FROM perdoc ORDER BY doc_id""",
+    "q71_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS rn
+           FROM documents)
+         SELECT doc_id, source, rn FROM r WHERE rn <= 20
+         ORDER BY source, doc_id""",
+    "q72_shard_shuffle" ->
+      """WITH keyed AS (SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':' || 'epoch0') AS shuffle_key
+           FROM documents),
+         sharded AS (SELECT doc_id, shuffle_key,
+           CAST(CAST(concat('0x', substr(shuffle_key, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+           FROM keyed)
+         SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         FROM sharded ORDER BY shard, pos""")
 }

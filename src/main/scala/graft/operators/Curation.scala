@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for training-data pipelines: corpus-derived
+  * quality scoring, per-source caps, and deterministic shard shuffling.
+  * Engine-side extensions beyond the reference (which has no curation
+  * surface); all semantics chosen deterministic and cross-engine
+  * reproducible (md5 keys, exact integer/decimal accumulation, one final
+  * double division) so the DuckDB oracle verifies them bit-for-bit.
+  */
+object Curation {
+
+  /** Unigram corpus-frequency score per document: the average corpus
+    * probability of the document's tokens,
+    * `score = (Σ_t tf(d,t)·ctf(t)) / (|d| · T)` where `ctf` is the corpus
+    * term frequency and `T` the corpus token total. A cheap unigram-LM
+    * stand-in: boilerplate and natural prose score high, gibberish and
+    * rare-token noise score low — a standard quality-filter input.
+    *
+    * Shape at scale: explode to postings, hash-agg tf per (doc, term)
+    * (map-side combine), second agg by term for ctf, join back on term.
+    * The vocabulary grows with the corpus, so the tf–ctf join shuffles by
+    * default (same reasoning as [[TextAnalysis.tfidfTopTerms]]); the
+    * corpus total rides in via a broadcast single-row cross join — no
+    * driver-side action. The per-doc Σ tf·ctf accumulates in
+    * DECIMAL(38,0): at web scale tf·ctf reaches ~1e16 and a Long sum
+    * would overflow (ANSI mode aborts the job); the decimal sum is exact
+    * to 1e38. The only floating-point step is the single final division,
+    * identical in any IEEE engine.
+    */
+  def corpusFreqScore(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = postings.repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("t"))
+    val dec = DataTypes.createDecimalType(38, 0)
+    tf.join(ctf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast(LongType).as("n_tokens"),
+        sum((col("tf") * col("ctf")).cast(dec)).as("sum_ctf"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("sum_ctf").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("t").cast(DoubleType)), 6)
+          .as("lm_score"))
+  }
+
+  /** Keep at most `n` rows per key, picked in `order` order — the standard
+    * per-domain/per-source cap that stops any single site from dominating
+    * a crawl corpus. Emits the kept rows plus their `rn` rank.
+    *
+    * Scale shape: one shuffle on the key; Spark's WindowGroupLimit rule
+    * pushes the `row_number <= n` cut below the window sort, so each
+    * partition keeps only n rows per key before the exchange-side sort —
+    * no full per-key sort materializes (asserted in the plan audit).
+    */
+  def capPerKey(df: DataFrame, key: Column, order: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(key).orderBy(order)).cast(IntegerType))
+      .filter(col("rn") <= n)
+  }
+
+  /** Deterministic training-data shuffle: an md5 shuffle key over
+    * (id, seed) assigns each row a shard in [0, nShards) and a stable
+    * pseudo-random order within the shard. Re-running with the same seed
+    * reproduces the exact epoch order — `rand()` cannot (task retries
+    * resample it); changing the seed gives an independent permutation.
+    *
+    * The returned frame carries (shuffle_key, shard); writers should
+    * `.repartition(nShards, $"shard").sortWithinPartitions($"shuffle_key")`
+    * so each output shard file is internally shuffled with no global sort.
+    * The first 15 hex chars of the md5 (60 bits) convert exactly to a
+    * Long — 16 would not (64 bits can overflow the signed range under
+    * ANSI).
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = md5(concat(col(idCol).cast(StringType), lit(":"), lit(seed)))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast(LongType),
+          lit(nShards.toLong)).cast(IntegerType))
+  }
+}

@@ -124,6 +124,32 @@ class PlanAuditSuite extends AnyFunSuite {
       s"top-N must prune below the window sort:\n$finalSection")
   }
 
+  test("source cap: partial WindowGroupLimit caps per-key rows BEFORE the exchange (X30)") {
+    val p = finalPlan("q71_source_cap")
+    // the scale property: each map task keeps at most n rows per key, so
+    // the shuffle moves O(n·keys) rows, not the whole corpus
+    assert(p.contains("row_number(), 20, Partial"),
+      s"expected a map-side partial WindowGroupLimit:\n$p")
+    assert(p.contains("row_number(), 20, Final"), p)
+    val read = scans("q71_source_cap").map(_("ReadSchema")).mkString
+    assert(!read.contains("text"), s"cap must not read the wide text column: $read")
+  }
+
+  test("corpus-freq score: postings exchange reused across tf and ctf branches (X29)") {
+    val finalSection = finalPlan("q70_corpus_freq").split("== Initial Plan ==")(0)
+    assert(finalSection.contains("ReusedExchange"),
+      s"ctf branch must reuse the postings exchange, not re-explode the corpus:\n$finalSection")
+    assert(finalSection.contains("partial_sum"),
+      s"per-doc sums must map-side combine:\n$finalSection")
+    assert(!finalSection.contains("CartesianProduct"), finalSection)
+  }
+
+  test("shard shuffle: scan prunes to the id column only (X31)") {
+    val read = scans("q72_shard_shuffle").map(_("ReadSchema")).mkString
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"shard assignment must not read document payloads: $read")
+  }
+
   test("decontamination: no inferred-filter shingle recompute below the explode (X28)") {
     val p = finalPlan("q66_decontaminate")
     // the 18s-class regression shape: predicate pushdown inlines the

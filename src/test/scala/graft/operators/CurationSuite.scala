@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurationSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("corpusFreqScore: hand-computed unigram probabilities on a fixture") {
+    // corpus: a a b | b c  ->  ctf: a=2 b=2 c=1, T=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.corpusFreqScore(docs, "doc_id", col("text"))
+      .orderBy($"doc_id").collect()
+    // d1: (2*2 + 1*2) / (3*5) = 0.4 ; d2: (1*2 + 1*1) / (2*5) = 0.3
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 3L, 0.4), (2L, 2L, 0.3)))
+  }
+
+  test("corpusFreqScore: empty tokens drop; a doc of only whitespace yields no row") {
+    val docs = Seq((1L, "x"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Curation.corpusFreqScore(docs, "doc_id", col("text"))
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("capPerKey keeps the first n per key in order and ranks them") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val out = Curation.capPerKey(df, $"k", $"v", n = 2)
+      .orderBy($"k", $"v").as[(String, Int, Int)].collect().toSeq
+    assert(out === Seq(("a", 1, 1), ("a", 2, 2), ("b", 9, 1)))
+  }
+
+  test("capPerKey rejects a non-positive cap") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] { Curation.capPerKey(df, $"k", $"v", 0) }
+  }
+
+  test("shardShuffle: deterministic per seed, shards in range, seeds independent") {
+    val df = (0L until 200L).toDF("id")
+    val a = Curation.shardShuffle(df, "id", nShards = 8, seed = "s1")
+      .orderBy($"id").collect()
+    val b = Curation.shardShuffle(df, "id", nShards = 8, seed = "s1")
+      .orderBy($"id").collect()
+    assert(a.toSeq === b.toSeq, "same seed must reproduce the permutation exactly")
+    val shards = a.map(_.getInt(a.head.fieldIndex("shard")))
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(shards.distinct.length == 8, "200 ids over 8 shards should hit every shard")
+    val c = Curation.shardShuffle(df, "id", nShards = 8, seed = "s2")
+      .orderBy($"id").collect()
+    assert(a.map(_.getString(1)).toSeq !== c.map(_.getString(1)).toSeq,
+      "a different seed must give a different permutation")
+  }
+
+  test("shardShuffle: within-shard key order is a real shuffle (not id order)") {
+    val df = (0L until 64L).toDF("id")
+    val out = Curation.shardShuffle(df, "id", nShards = 2, seed = "s1")
+      .filter($"shard" === 0).orderBy($"shuffle_key")
+      .select($"id").as[Long].collect().toSeq
+    assert(out.sorted !== out, "md5 order should not equal id order")
+  }
+}
