@@ -68,6 +68,46 @@ class DedupSuite extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 99L), "canonical per cluster + untouched singletons")
   }
 
+  test("differential: dedupGroups equals brute-force connected components on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // reference: union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(id => find(id.toInt))
+      val expected = byRoot.values.flatMap(c => c.map(_ -> c.min)).toMap
+
+      val got = Dedup.dedupGroups(edges.toDF("id1", "id2"), maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: edges=$edges")
+    }
+  }
+
+  test("differential: hashed jaccard agrees with exact-string jaccard on real docs") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val pairs = sf.select($"doc_id".as("id1"), ($"doc_id" + 1).as("id2"))
+    val exact = Dedup.jaccardVerify(pairs, sf, "doc_id", $"text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hashed = Dedup.jaccardVerifyHashed(pairs, sf, "doc_id", $"text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet === hashed.keySet)
+    // 28-bit hashing may merge colliding shingles; on these set sizes any
+    // collision shifts jaccard by well under 0.01
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - hashed(k)) < 0.01, s"pair $k: exact $v vs hashed ${hashed(k)}")
+    }
+  }
+
   test("end-to-end dedup: candidates -> groups -> canonical set on real dup docs") {
     val groups = Dedup.dedupGroups(Dedup.minhashCandidatePairs(docs, "doc_id", $"text"))
     val kept = Dedup.keepCanonical(docs, "doc_id", groups)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IngestDedupSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming dedup: first arrival wins within the watermark; state evicts after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = IngestDedup.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), col("text"), "ts", "10 minutes")
+    val query = out.writeStream.format("memory").queryName("graft_ingest_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct docs + an exact dup (normalization: case +
+      // whitespace differences still collide)
+      input.addData(
+        (1L, "Hello World", ts("2026-01-10 12:00:00")),
+        (2L, "hello   world", ts("2026-01-10 12:01:00")),
+        (3L, "something else", ts("2026-01-10 12:02:00")))
+      query.processAllAvailable()
+      // batch 2: same content again inside the horizon -> dropped
+      input.addData((4L, "HELLO WORLD", ts("2026-01-10 12:05:00")))
+      query.processAllAvailable()
+      // batch 3: advance event time far past the horizon (evicts state),
+      // then a re-crawl of the same content -> legitimately re-emitted
+      input.addData((5L, "filler", ts("2026-01-10 13:00:00")))
+      query.processAllAvailable()
+      input.addData((6L, "hello world", ts("2026-01-10 13:01:00")))
+      query.processAllAvailable()
+
+      val ids = spark.table("graft_ingest_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(1L), "first arrival of the dup content kept")
+      assert(!ids.contains(2L) && !ids.contains(4L),
+        s"in-horizon duplicates (normalized-equal text) dropped: $ids")
+      assert(ids.contains(3L) && ids.contains(5L), s"distinct docs pass: $ids")
+      assert(ids.contains(6L),
+        s"after watermark eviction a re-crawl is a new snapshot: $ids")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_ingest_dedup")
+    }
+  }
+}
