@@ -653,7 +653,7 @@ object SparkEntry {
       // per-source cap: keep the first 20 docs per source (WindowGroupLimit
       // keeps the per-key sort partial — asserted in the plan audit)
       Curation.capPerKey(t(s, d, "documents").select(col("doc_id"), col("source")),
-        col("source"), col("doc_id"), n = 20)
+        col("source"), 20, col("doc_id"))
         .orderBy(col("source"), col("doc_id"))),
     "q72_shard_shuffle" -> ((s, d) =>
       // deterministic epoch shuffle: md5 shuffle key -> shard + in-shard

@@ -36,8 +36,10 @@ object Curation {
     val postings = docs
       .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term") =!= "")
-    val tf = postings.repartition(col("doc_id"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // no pre-repartition: the partial (doc, term) hash-agg must sit BELOW
+    // the exchange so the shuffle carries combined tf rows, not raw token
+    // occurrences; the ctf branch reuses the same canonical exchange
+    val tf = postings.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("t"))
     val dec = DataTypes.createDecimalType(38, 0)
@@ -63,11 +65,19 @@ object Curation {
     * pushes the `row_number <= n` cut below the window sort, so each
     * partition keeps only n rows per key before the exchange-side sort —
     * no full per-key sort materializes (asserted in the plan audit).
+    *
+    * `order` must be a TOTAL order within each key (e.g. end in a unique
+    * id): `row_number` breaks ties in partition-iteration order, so a
+    * partial order would keep a different subset on rerun/retry and
+    * diverge from any oracle.
     */
-  def capPerKey(df: DataFrame, key: Column, order: Column, n: Int): DataFrame = {
+  def capPerKey(df: DataFrame, key: Column, n: Int, order: Column*): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
+    require(order.nonEmpty, "capPerKey needs at least one order column")
+    require(!df.columns.contains("rn"),
+      "capPerKey emits an 'rn' column; rename the existing one first")
     df.withColumn("rn",
-        row_number().over(Window.partitionBy(key).orderBy(order)).cast(IntegerType))
+        row_number().over(Window.partitionBy(key).orderBy(order: _*)).cast(IntegerType))
       .filter(col("rn") <= n)
   }
 
@@ -86,6 +96,8 @@ object Curation {
     */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shuffle_key") && !df.columns.contains("shard"),
+      "shardShuffle emits 'shuffle_key' and 'shard' columns; rename existing ones first")
     val key = md5(concat(col(idCol).cast(StringType), lit(":"), lit(seed)))
     df.withColumn("shuffle_key", key)
       .withColumn("shard",

@@ -7,8 +7,11 @@ import graft.operators.TextAnalysis
 
 /** Streaming exact-dedup for a continuous document ingest: fingerprint
   * each arriving doc (md5 of the whitespace/case-normalized text,
-  * [[TextAnalysis.fingerprint]]) and emit only the FIRST arrival per
-  * fingerprint inside the watermark horizon.
+  * [[TextAnalysis.fingerprint]]) and emit ONE representative per
+  * fingerprint inside the watermark horizon — the first micro-batch's
+  * arrival wins across batches; within a single micro-batch the kept
+  * row among simultaneous duplicates is an arbitrary (shuffle-order)
+  * pick, as with any distributed dedup.
   *
   * `dropDuplicatesWithinWatermark` is the scale-correct primitive here:
   * plain `dropDuplicates` on a stream keeps every fingerprint ever seen
@@ -34,9 +37,12 @@ object IngestDedup {
     *                  dedup-state retention bound
     */
   def dedupStream(docs: DataFrame, text: Column, tsCol: String,
-      watermark: String): DataFrame =
+      watermark: String): DataFrame = {
+    require(!docs.columns.contains("fingerprint"),
+      "dedupStream emits a 'fingerprint' column; rename the existing one first")
     docs
       .withColumn("fingerprint", TextAnalysis.fingerprint(text))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+  }
 }

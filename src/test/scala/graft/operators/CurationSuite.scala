@@ -27,14 +27,18 @@ class CurationSuite extends AnyFunSuite {
 
   test("capPerKey keeps the first n per key in order and ranks them") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
-    val out = Curation.capPerKey(df, $"k", $"v", n = 2)
+    val out = Curation.capPerKey(df, $"k", 2, $"v")
       .orderBy($"k", $"v").as[(String, Int, Int)].collect().toSeq
     assert(out === Seq(("a", 1, 1), ("a", 2, 2), ("b", 9, 1)))
   }
 
-  test("capPerKey rejects a non-positive cap") {
+  test("capPerKey rejects a non-positive cap, a missing order, and an rn collision") {
     val df = Seq(("a", 1)).toDF("k", "v")
-    intercept[IllegalArgumentException] { Curation.capPerKey(df, $"k", $"v", 0) }
+    intercept[IllegalArgumentException] { Curation.capPerKey(df, $"k", 0, $"v") }
+    intercept[IllegalArgumentException] { Curation.capPerKey(df, $"k", 2) }
+    intercept[IllegalArgumentException] {
+      Curation.capPerKey(df.withColumn("rn", lit(1)), $"k", 2, $"v")
+    }
   }
 
   test("shardShuffle: deterministic per seed, shards in range, seeds independent") {
