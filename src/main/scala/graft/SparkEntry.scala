@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, TextAnalysis}
+import graft.operators.{Ann, AsOf, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -678,7 +678,18 @@ object SparkEntry {
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-        .orderBy(col("k_mod"))))
+        .orderBy(col("k_mod"))),
+    "q73_sessionize" -> ((s, d) =>
+      // gaps-and-islands sessionization: 30-min inactivity gap per user;
+      // both window passes share one exchange + sort (plan-audited)
+      Sessionize.assignSessions(events(s, d),
+        col("user_id"), col("ts"), col("event_id"), gapMicros = 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_no"))))
 
   // ======================================================================
 
@@ -1392,5 +1403,23 @@ object SparkEntry {
            FROM keyed)
          SELECT doc_id, shuffle_key, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
-         FROM sharded ORDER BY shard, pos""")
+         FROM sharded ORDER BY shard, pos""",
+    "q73_sessionize" ->
+      // epoch_us over the µs-exact ns timestamps (lossless cast); the gap
+      // compare is pure integer arithmetic on both engines
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         flg AS (SELECT user_id, event_id, value, ts, tus,
+           CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         sess AS (SELECT user_id, value, ts,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM flg)
+         SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, session_no
+         ORDER BY user_id, session_no""")
 }

@@ -150,6 +150,15 @@ class PlanAuditSuite extends AnyFunSuite {
       s"shard assignment must not read document payloads: $read")
   }
 
+  test("sessionize: both window passes and the session agg share ONE user exchange (X34)") {
+    val finalSection = finalPlan("q73_sessionize").split("== Initial Plan ==")(0)
+    val userExchanges = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+      .size
+    assert(userExchanges == 1,
+      s"lag flag, running session number and the agg must share one exchange:\n$finalSection")
+  }
+
   test("decontamination: no inferred-filter shingle recompute below the explode (X28)") {
     val p = finalPlan("q66_decontaminate")
     // the 18s-class regression shape: predicate pushdown inlines the

@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SessionizeSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val Gap30Min = 30L * 60 * 1000000
+
+  test("sessions split on gaps > threshold, per user; numbering starts at 1") {
+    val ev = Seq(
+      (1L, 10L, ts("2026-01-10 12:00:00")),
+      (2L, 10L, ts("2026-01-10 12:10:00")), // 10 min -> same session
+      (3L, 10L, ts("2026-01-10 12:40:00")), // exactly 30 min -> same (gap must EXCEED)
+      (4L, 10L, ts("2026-01-10 13:10:01")), // 30 min + 1s -> new session
+      (5L, 20L, ts("2026-01-10 12:00:00"))  // other user: own numbering
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.assignSessions(ev, $"user_id", $"ts", $"event_id", Gap30Min)
+      .select($"event_id", $"session_no").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("zero-gap ties never open a session and numbering is order-stable") {
+    val ev = Seq(
+      (1L, 10L, ts("2026-01-10 12:00:00")),
+      (2L, 10L, ts("2026-01-10 12:00:00")), // tie: same instant
+      (3L, 10L, ts("2026-01-10 13:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.assignSessions(ev, $"user_id", $"ts", $"event_id", Gap30Min)
+      .select($"event_id", $"session_no").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("assignSessions guards: positive gap, session_no collision") {
+    val ev = Seq((1L, 10L, ts("2026-01-10 12:00:00"))).toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      Sessionize.assignSessions(ev, $"user_id", $"ts", $"event_id", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.assignSessions(ev.withColumn("session_no", lit(1L)),
+        $"user_id", $"ts", $"event_id", Gap30Min)
+    }
+  }
+
+  test("streaming session_window merges gap-extending events and closes on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val out = Sessionize.streamingSessionStats(
+      input.toDF().toDF("event_id", "uid", "ts"),
+      col("uid"), "ts", gap = "30 minutes", watermark = "10 minutes")
+    val query = out.writeStream.format("memory").queryName("graft_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, 10L, ts("2026-01-10 12:00:00")),
+        (2L, 10L, ts("2026-01-10 12:20:00")), // extends the session
+        (3L, 20L, ts("2026-01-10 12:00:00")))
+      query.processAllAvailable()
+      // advance the watermark far past every open session's close
+      input.addData((9L, 99L, ts("2026-01-10 15:00:00")))
+      query.processAllAvailable()
+      val got = spark.table("graft_sessions")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      // session end = last event + gap (session_window semantics)
+      assert(got.contains((10L, "2026-01-10 12:00:00", "2026-01-10 12:50:00", 2L)), got.toString)
+      assert(got.contains((20L, "2026-01-10 12:00:00", "2026-01-10 12:30:00", 1L)), got.toString)
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_sessions")
+    }
+  }
+}
