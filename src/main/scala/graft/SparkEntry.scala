@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -679,6 +679,12 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q74_length_stats" -> ((s, d) =>
+      // per-source doc-length profile: exact interpolated quantiles
+      // (= DuckDB quantile_cont); the approx sketch path is unit-bounded
+      CorpusStats.lengthStats(t(s, d, "documents"), col("source"), col("n_chars"))
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"))),
     "q73_sessionize" -> ((s, d) =>
       // gaps-and-islands sessionization: 30-min inactivity gap per user;
       // both window passes share one exchange + sort (plan-audited)
@@ -1421,5 +1427,13 @@ object SparkEntry {
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_no
-         ORDER BY user_id, session_no""")
+         ORDER BY user_id, session_no""",
+    "q74_length_stats" ->
+      """WITH q AS (SELECT source, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean,
+           quantile_cont(n_chars, [0.25, 0.5, 0.95]) AS qs
+           FROM documents GROUP BY source)
+         SELECT source, n, mean,
+           ROUND(qs[1], 6) AS p25, ROUND(qs[2], 6) AS p50, ROUND(qs[3], 6) AS p95
+         FROM q ORDER BY source""")
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-group distribution statistics over a corpus — the length/size
+  * profiling every curation run starts with (how long are the documents
+  * per source? where does the p95 sit before I pick a truncation
+  * budget?).
+  *
+  * Two paths, same output shape:
+  *  - `exact = true`: `percentile` — a full sort-based exact quantile.
+  *    Linear-interpolation semantics identical to DuckDB's
+  *    `quantile_cont`, so the result is oracle-checkable bit-for-bit.
+  *    Costs a per-group sort; fine up to millions of rows per group.
+  *  - `exact = false`: `approx_percentile` (Greenwald–Khanna sketch) —
+  *    the 100 TB path: one streaming pass, mergeable partial sketches,
+  *    bounded memory per group, rank error ≤ 1/accuracy. Not
+  *    oracle-comparable (sketch outputs are engine-specific); the unit
+  *    suite bounds its error against the exact path instead.
+  */
+object CorpusStats {
+
+  /** Per-key quantiles + count/mean of `metric`. Quantile probabilities
+    * are fixed (p25/p50/p95) so the output schema is stable. The mean
+    * accumulates in decimal (exact, order-independent) and divides once
+    * — same determinism discipline as the rest of the engine. */
+  def lengthStats(df: DataFrame, key: Column, metric: Column,
+      exact: Boolean = true): DataFrame = {
+    val probs = array(lit(0.25), lit(0.5), lit(0.95))
+    val q =
+      if (exact) percentile(metric, probs)
+      else approx_percentile(metric, probs, lit(10000))
+    val dec = DataTypes.createDecimalType(38, 6)
+    df.groupBy(key.as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(metric.cast(dec)).cast(DoubleType) / count(lit(1)), 6).as("mean"),
+        q.as("__q"))
+      .select(col("key"), col("n"), col("mean"),
+        round(element_at(col("__q"), 1).cast(DoubleType), 6).as("p25"),
+        round(element_at(col("__q"), 2).cast(DoubleType), 6).as("p50"),
+        round(element_at(col("__q"), 3).cast(DoubleType), 6).as("p95"))
+  }
+}

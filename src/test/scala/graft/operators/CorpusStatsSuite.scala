@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CorpusStatsSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
+    // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")
+    val r = CorpusStats.lengthStats(df, $"k", $"v").collect().head
+    assert(r.getLong(r.fieldIndex("n")) === 4L)
+    assert(r.getDouble(r.fieldIndex("mean")) === 25.0)
+    assert(r.getDouble(r.fieldIndex("p25")) === 17.5)
+    assert(r.getDouble(r.fieldIndex("p50")) === 25.0)
+    assert(r.getDouble(r.fieldIndex("p95")) === 38.5)
+  }
+
+  test("approx path stays within sketch error of exact on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def grab(exact: Boolean): Map[String, (Double, Double, Double)] =
+      CorpusStats.lengthStats(docs, $"source", $"n_chars", exact = exact)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(r.fieldIndex("p25")),
+          r.getDouble(r.fieldIndex("p50")), r.getDouble(r.fieldIndex("p95")))))
+        .toMap
+    val (ex, ap) = (grab(true), grab(false))
+    assert(ex.keySet === ap.keySet)
+    ex.foreach { case (k, (e25, e50, e95)) =>
+      val (a25, a50, a95) = ap(k)
+      // accuracy 10000 on a few-hundred-row group: the sketch is exact up
+      // to interpolation (it returns an actual element, not interpolated)
+      assert(math.abs(a25 - e25) <= 0.05 * math.max(e25, 1.0), s"$k p25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= 0.05 * math.max(e50, 1.0), s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= 0.05 * math.max(e95, 1.0), s"$k p95: $a95 vs $e95")
+    }
+  }
+}
