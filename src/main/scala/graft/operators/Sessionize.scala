@@ -34,6 +34,8 @@ object Sessionize {
     require(gapMicros > 0, s"session gap must be positive, got $gapMicros")
     require(!events.columns.contains("session_no"),
       "assignSessions emits a 'session_no' column; rename the existing one first")
+    require(!events.columns.contains("__new_session"),
+      "assignSessions uses '__new_session' internally; rename the existing one first")
     val ord = Window.partitionBy(user).orderBy(ts.asc, tie.asc)
     val tus = unix_micros(ts)
     events

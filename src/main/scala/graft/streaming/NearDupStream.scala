@@ -29,9 +29,11 @@ final case class NearDupVerdict(doc_id: Long, dup_of: Option[Long],
   *
   * State per bucket: the newest [[NearDupStream.MaxBucketEntries]] CANONICAL
   * docs (duplicates are never added, so a dup chain collapses onto its first
-  * arrival). Idle buckets are evicted by an EVENT-TIME timeout when the
-  * watermark passes their last arrival + `retentionMs` — state stays bounded
-  * on an endless crawl, like [[IngestDedup]]'s watermarked exact-dedup.
+  * arrival). Retention is enforced at BOTH granularities: individual
+  * canonicals expire once the watermark passes their arrival + `retentionMs`
+  * (so a busy bucket still honors the horizon), and a fully-idle bucket's
+  * state is dropped by an EVENT-TIME timeout — state stays bounded on an
+  * endless crawl, like [[IngestDedup]]'s watermarked exact-dedup.
   *
   * Determinism under replay: same-batch events are processed in
   * (at, doc_id) order, and among multiple in-threshold canonicals the
@@ -65,13 +67,27 @@ object NearDupStream {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(BucketState(Nil, 0L))
+            // per-ENTRY retention, enforced on the deterministic watermark
+            // clock: a canonical older than the horizon must not match even
+            // if its bucket never idles long enough for the whole-bucket
+            // timeout below (a re-crawl past retention is a new snapshot,
+            // same contract as IngestDedup)
+            val expireBefore = state.getCurrentWatermarkMs() - retentionMs
+            var s = {
+              val s0 = state.getOption.getOrElse(BucketState(Nil, 0L))
+              s0.copy(entries = s0.entries.filter(_.at > expireBefore))
+            }
             val out = Seq.newBuilder[NearDupVerdict]
+            // NB the group (one bucket x one micro-batch) is buffered for
+            // the deterministic sort; rows are 3 fixed-width fields, so
+            // memory is bounded by the micro-batch size — callers should
+            // pre-filter degenerate docs (empty text simhashes collide
+            // into one hot bucket) and bound batches via the trigger
             arrivals.toSeq.sortBy(d => (d.at.getTime, d.doc_id)).foreach { d =>
-              val hits = s.entries.iterator
+              val best = s.entries
                 .map(e => (java.lang.Long.bitCount(e.sim ^ d.simhash), e.id))
                 .filter(_._1 <= maxHamming)
-              val best = if (hits.isEmpty) None else Some(hits.min)
+                .minOption
               out += NearDupVerdict(d.doc_id, best.map(_._2), best.map(_._1), d.at)
               if (best.isEmpty)
                 // novel: becomes a canonical; cap the bucket FIFO (newest

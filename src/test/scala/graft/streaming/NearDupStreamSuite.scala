@@ -69,6 +69,20 @@ class NearDupStreamSuite extends AnyFunSuite {
       s"bucket state evicted after retention -> re-arrival is novel: $got")
   }
 
+  test("per-entry retention: an old canonical expires even in a never-idle bucket") {
+    val far = 0xFF00L // 8 flipped bits: keep-alive docs never match anything
+    val got = run(Seq(
+      Seq(DocArrival(1L, baseA, ts("2026-01-10 12:00:00"))),
+      // keep the bucket busy past 12:00 + 30min retention (novel docs only)
+      Seq(DocArrival(2L, baseA ^ far, ts("2026-01-10 12:40:00"))),
+      Seq(DocArrival(3L, baseA ^ (far << 8), ts("2026-01-10 13:20:00"))),
+      Seq(DocArrival(4L, baseA ^ (far << 16), ts("2026-01-10 14:00:00"))),
+      // near doc 1, but doc 1's entry is past the horizon -> novel
+      Seq(DocArrival(6L, baseA ^ 1L, ts("2026-01-10 14:01:00")))))
+    assert(got(6L) === ((None, None)),
+      s"canonical past retention must not match even if its bucket never idles: $got")
+  }
+
   test("same-batch determinism: min (hamming, id) canonical wins") {
     val got = run(Seq(
       // two canonicals land first (12:00), both at hamming 1 from doc 30
