@@ -25,6 +25,32 @@ class CurationSuite extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("differential: corpusFreqScore equals a naive in-memory computation on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val toks = docs.map { case (id, text) => id -> text.split("\\s+").toSeq }
+    val ctf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = ctf.values.sum.toDouble
+    val expected = toks.map { case (id, ts) =>
+      val score = ts.map(t => ctf(t).toDouble).sum / (ts.size * total)
+      id -> ((ts.size.toLong, math.rint(score * 1e6) / 1e6))
+    }.toMap
+
+    val got = Curation.corpusFreqScore(docs.toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n === expected(id)._1, s"doc $id token count")
+      // the engine sums tf*ctf exactly then divides once; the naive fold
+      // sums doubles — identical here because every addend is an integer
+      // well under 2^53, but compare with an epsilon for the rounding step
+      assert(math.abs(s - expected(id)._2) < 1e-9, s"doc $id: $s vs ${expected(id)._2}")
+    }
+  }
+
   test("capPerKey keeps the first n per key in order and ranks them") {
     val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
     val out = Curation.capPerKey(df, $"k", 2, $"v")

@@ -49,6 +49,33 @@ class SessionizeSuite extends AnyFunSuite {
     }
   }
 
+  test("differential: assignSessions equals a naive per-user fold on random events") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2026-01-10 00:00:00").getTime
+    val events = (1L to 300L).map { id =>
+      val user = rnd.nextInt(5).toLong
+      // gaps cluster around the 30-min threshold to stress the boundary
+      val t = new Timestamp(base + rnd.nextInt(48) * 11 * 60000L + rnd.nextInt(1000))
+      (id, user, t)
+    }
+    // reference: sort per user, fold a session counter
+    val expected = events.groupBy(_._2).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+      var sess = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || (e._3.getTime - prev) * 1000L > Gap30Min) sess += 1
+        prev = e._3.getTime
+        e._1 -> sess
+      }
+    }.toMap
+
+    val got = Sessionize.assignSessions(
+      events.toDF("event_id", "user_id", "ts"), $"user_id", $"ts", $"event_id", Gap30Min)
+      .select($"event_id", $"session_no").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("streaming session_window merges gap-extending events and closes on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
