@@ -679,6 +679,13 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q75_balanced_sample" -> ((s, d) =>
+      // data-driven mixture balancing: every source contributes ~the
+      // smallest source's char mass, membership decided by the md5 gate
+      Curation.balancedSample(t(s, d, "documents"),
+        col("source"), col("doc_id"), col("n_chars"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     "q74_length_stats" -> ((s, d) =>
       // per-source doc-length profile: exact interpolated quantiles
       // (= DuckDB quantile_cont); the approx sketch path is unit-bounded
@@ -1435,5 +1442,16 @@ object SparkEntry {
            FROM documents GROUP BY source)
          SELECT source, n, mean,
            ROUND(qs[1], 6) AS p25, ROUND(qs[2], 6) AS p50, ROUND(qs[3], 6) AS p95
-         FROM q ORDER BY source""")
+         FROM q ORDER BY source""",
+    "q75_balanced_sample" ->
+      """WITH pk AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+           FROM documents GROUP BY source),
+         mn AS (SELECT MIN(mass) AS m FROM pk),
+         thr AS (SELECT source,
+           CAST(FLOOR(CAST((SELECT m FROM mn) AS DOUBLE) / CAST(mass AS DOUBLE) * 10000)
+             AS BIGINT) AS t FROM pk)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN thr ON d.source = thr.source
+         WHERE CAST(concat('0x', substr(md5('' || COALESCE(CAST(d.doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000 < thr.t
+         ORDER BY d.doc_id""")
 }

@@ -81,6 +81,38 @@ object Curation {
       .filter(col("rn") <= n)
   }
 
+  /** Balance a keyed corpus to a uniform mixture: compute per-key
+    * sampling rates so every key contributes ~the same total `size` mass
+    * as the SMALLEST key, then hash-gate rows at those rates
+    * ([[graft.util.Sampling.hashBucket]] — deterministic, rand()-free,
+    * auditable). The data-driven sibling of
+    * [[graft.util.Sampling.stratifiedHashSample]]'s static rates: this is
+    * the "don't let one crawl dominate the mixture" step of corpus
+    * assembly.
+    *
+    * Rates quantize to `floor(frac · 10000)` buckets, so a key more than
+    * 10000× the smallest key's mass rounds to rate 0 and contributes
+    * nothing — under such extreme skew pick explicit rates instead.
+    *
+    * Scale shape: the per-key rate table is one row per key — broadcast
+    * when keys are sources/languages (thousands); set
+    * `broadcastRates = false` for per-domain balancing (millions of
+    * keys), which plans a shuffle join on the key instead. */
+  def balancedSample(docs: DataFrame, key: Column, id: Column, size: Column,
+      salt: String = "", broadcastRates: Boolean = true): DataFrame = {
+    val perKey = docs.groupBy(key.as("__k"))
+      .agg(sum(size.cast(LongType)).as("__mass"))
+    val minMass = perKey.agg(min(col("__mass")).as("__min"))
+    val rates = perKey.crossJoin(broadcast(minMass))
+      .select(col("__k"),
+        floor(col("__min").cast(DoubleType) / col("__mass").cast(DoubleType)
+          * graft.util.Sampling.Buckets).cast(LongType).as("__thr"))
+    docs
+      .join(if (broadcastRates) broadcast(rates) else rates, key === col("__k"))
+      .filter(graft.util.Sampling.hashBucket(id, salt) < col("__thr"))
+      .drop("__k", "__thr")
+  }
+
   /** Deterministic training-data shuffle: an md5 shuffle key over
     * (id, seed) assigns each row a shard in [0, nShards) and a stable
     * pseudo-random order within the shard. Re-running with the same seed

@@ -144,6 +144,12 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!finalSection.contains("CartesianProduct"), finalSection)
   }
 
+  test("balanced sample: rate table broadcasts; the corpus side is never re-shuffled (X36)") {
+    val p = staticPlan("q75_balanced_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key rates are one row per source — must broadcast:\n$p")
+  }
+
   test("shard shuffle: scan prunes to the id column only (X31)") {
     val read = scans("q72_shard_shuffle").map(_("ReadSchema")).mkString
     assert(read.contains("doc_id") && !read.contains("text"),

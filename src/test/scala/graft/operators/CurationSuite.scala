@@ -67,6 +67,31 @@ class CurationSuite extends AnyFunSuite {
     }
   }
 
+  test("balancedSample: smallest key keeps everything; larger keys downsample toward its mass") {
+    import graft.util.Sampling
+    val docs = ((1L to 50L).map(i => (i, "small", 10L)) ++
+      (100L to 299L).map(i => (i, "big", 10L))).toDF("doc_id", "src", "n")
+    val kept = Curation.balancedSample(docs, $"src", $"doc_id", $"n")
+      .select($"doc_id", $"src").as[(Long, String)].collect()
+    val (small, big) = kept.partition(_._2 == "small")
+    assert(small.length === 50, "the smallest key's rate is exactly 1.0")
+    // big: threshold floor(500/2000*10000) = 2500 -> exactly the docs whose
+    // hash bucket < 2500; recompute the expected membership via the gate
+    val expectedBig = docs.filter($"src" === "big")
+      .filter(Sampling.hashBucket($"doc_id") < 2500)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(big.map(_._1).toSet === expectedBig)
+    assert(expectedBig.nonEmpty && expectedBig.size < 200)
+  }
+
+  test("balancedSample: a key over 10000x the smallest rounds to rate 0 (documented floor)") {
+    val docs = (Seq((1L, "tiny", 1L)) ++
+      (10L until 20L).map(i => (i, "huge", 2000L))).toDF("doc_id", "src", "n")
+    val kept = Curation.balancedSample(docs, $"src", $"doc_id", $"n")
+      .select($"src").as[String].collect()
+    assert(kept.toSeq === Seq("tiny"), "floor(1/20000*10000) = 0 -> huge contributes nothing")
+  }
+
   test("shardShuffle: deterministic per seed, shards in range, seeds independent") {
     val df = (0L until 200L).toDF("id")
     val a = Curation.shardShuffle(df, "id", nShards = 8, seed = "s1")
