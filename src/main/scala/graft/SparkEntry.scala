@@ -679,6 +679,11 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q76_pii_counts" -> ((s, d) =>
+      // per-row regexp_count over the scrub patterns; no shuffle
+      TextAnalysis.piiCounts(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("n_urls"), col("n_emails"), col("has_pii"))
+        .orderBy(col("doc_id"))),
     "q75_balanced_sample" -> ((s, d) =>
       // data-driven mixture balancing: every source contributes ~the
       // smallest source's char mass, membership decided by the md5 gate
@@ -1453,5 +1458,12 @@ object SparkEntry {
          SELECT d.doc_id, d.source
          FROM documents d JOIN thr ON d.source = thr.source
          WHERE CAST(concat('0x', substr(md5('' || COALESCE(CAST(d.doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000 < thr.t
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "q76_pii_counts" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[^\s@]+@[^\s@]+\.[^\s@]+')) AS INT) AS n_emails,
+           (len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+             OR len(regexp_extract_all(text, '[^\s@]+@[^\s@]+\.[^\s@]+')) > 0) AS has_pii
+         FROM documents ORDER BY doc_id""")
 }

@@ -101,6 +101,16 @@ object TextAnalysis {
         "[^\\s@]+@[^\\s@]+\\.[^\\s@]+", " "),
       "\\s+", " "))
 
+  /** PII/noise surface counts per document — the measurement side of
+    * [[scrub]] (same dialect-portable patterns): a curation pipeline
+    * needs the counts to DECIDE (drop the doc? redact?) before the scrub
+    * rewrites anything. Pure per-row `regexp_count` — shuffle-free,
+    * codegen'd, pushdown-friendly. */
+  def piiCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_urls", regexp_count(text, lit("https?://[^\\s]+")))
+      .withColumn("n_emails", regexp_count(text, lit("[^\\s@]+@[^\\s@]+\\.[^\\s@]+")))
+      .withColumn("has_pii", (col("n_urls") > 0) || (col("n_emails") > 0))
+
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */

@@ -144,4 +144,21 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(got(3L)._1 == 0.0, "no 3-grams -> defined as 0, not NaN")
   }
 
+  test("piiCounts counts urls and emails; scrubbing them zeroes the counts") {
+    val docs = Seq(
+      (1L, "see https://a.example/x and http://b.example plus mail me@host.com"),
+      (2L, "clean prose with no links at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiCounts(docs, $"text")
+      .select($"doc_id", $"n_urls", $"n_emails", $"has_pii")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((2, 1, true)))
+    assert(got(2L) === ((0, 0, false)))
+    // measurement and rewrite agree: after scrub, nothing is left to count
+    val scrubbed = TextAnalysis.piiCounts(
+      docs.withColumn("text", TextAnalysis.scrub($"text")), $"text")
+      .select($"has_pii").as[Boolean].collect()
+    assert(scrubbed.forall(_ == false))
+  }
+
 }
