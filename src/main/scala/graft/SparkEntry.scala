@@ -711,8 +711,10 @@ object SparkEntry {
 
   // ======================================================================
 
-  private val mdNorm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  // explicit whitespace class, not \s: Java regex \s includes \x0B where
+  // RE2's does not — TextAnalysis.Ws keeps both engines on the same set
+  private val mdNorm = "regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
+  private val toksSql = "regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 
   /** 3-token shingles -> one 28-bit md5 base per shingle -> per-seed
     * arithmetic permutation `(a*h + b) mod p`, mirroring
@@ -1245,9 +1247,9 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id,
            trim(regexp_replace(
              regexp_replace(
-               regexp_replace(text, 'https?://[^\s]+', ' ', 'g'),
-               '[^\s@]+@[^\s@]+\.[^\s@]+', ' ', 'g'),
-             '\s+', ' ', 'g')) AS scrubbed
+               regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', ' ', 'g'),
+               '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+', ' ', 'g'),
+             '[ \t\n\x0B\f\r]+', ' ', 'g')) AS scrubbed
            FROM documents)
          SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
            CAST(length(scrubbed) AS INT) AS scrubbed_len
@@ -1461,9 +1463,9 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "q76_pii_counts" ->
       """SELECT doc_id,
-           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
-           CAST(len(regexp_extract_all(text, '[^\s@]+@[^\s@]+\.[^\s@]+')) AS INT) AS n_emails,
-           (len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
-             OR len(regexp_extract_all(text, '[^\s@]+@[^\s@]+\.[^\s@]+')) > 0) AS has_pii
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+')) AS INT) AS n_emails,
+           (len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) > 0
+             OR len(regexp_extract_all(text, '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+')) > 0) AS has_pii
          FROM documents ORDER BY doc_id""")
 }

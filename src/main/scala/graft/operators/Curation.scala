@@ -100,15 +100,25 @@ object Curation {
     * keys), which plans a shuffle join on the key instead. */
   def balancedSample(docs: DataFrame, key: Column, id: Column, size: Column,
       salt: String = "", broadcastRates: Boolean = true): DataFrame = {
-    val perKey = docs.groupBy(key.as("__k"))
+    Seq("__k", "__mass", "__thr").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"balancedSample uses '$c' internally; rename the existing column first"))
+    // null keys form their own group (same convention as
+    // Sampling.hashBucket: a null key must get a deterministic decision,
+    // not a silent equi-join drop); zero-mass keys are excluded BEFORE the
+    // min — they contribute nothing either way, and letting them set
+    // min=0 would zero every rate (and 0/0 -> NaN for themselves)
+    val kNorm = coalesce(key.cast(StringType), lit(""))
+    val perKey = docs.groupBy(kNorm.as("__k"))
       .agg(sum(size.cast(LongType)).as("__mass"))
+      .filter(col("__mass") > 0L)
     val minMass = perKey.agg(min(col("__mass")).as("__min"))
     val rates = perKey.crossJoin(broadcast(minMass))
       .select(col("__k"),
         floor(col("__min").cast(DoubleType) / col("__mass").cast(DoubleType)
           * graft.util.Sampling.Buckets).cast(LongType).as("__thr"))
     docs
-      .join(if (broadcastRates) broadcast(rates) else rates, key === col("__k"))
+      .join(if (broadcastRates) broadcast(rates) else rates, kNorm === col("__k"))
       .filter(graft.util.Sampling.hashBucket(id, salt) < col("__thr"))
       .drop("__k", "__thr")
   }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
 
   /** Whitespace tokenizer over lowercased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), s"[$Ws]+")
 
   /** BPE-ish subword count approximation: whitespace tokens plus extra
     * units for long words (a word of length L contributes ceil(L/4)
@@ -92,30 +92,41 @@ object TextAnalysis {
 
   /** Scrub pipeline noise from raw text: URLs and e-mail addresses are
     * replaced with a space and runs of whitespace collapse. The regexes
-    * are deliberately dialect-portable (no lookarounds/backrefs) so the
-    * same patterns run in the DuckDB oracle. */
+    * are dialect-EXACT (no lookarounds/backrefs, explicit whitespace
+    * class — see [[Ws]]) so the same patterns mean the same thing in the
+    * DuckDB oracle. */
   def scrub(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(text, "https?://[^\\s]+", " "),
-        "[^\\s@]+@[^\\s@]+\\.[^\\s@]+", " "),
-      "\\s+", " "))
+        regexp_replace(text, s"https?://[^$Ws]+", " "),
+        s"[^$Ws@]+@[^$Ws@]+\\.[^$Ws@]+", " "),
+      s"[$Ws]+", " "))
+
+  /** Whitespace as an EXPLICIT class, not `\s`: Java regex `\s` includes
+    * vertical tab where RE2's (DuckDB's) does not, so `\s`-based patterns
+    * silently diverge between the engines on `\x0B` input. The explicit
+    * class is the same set in both dialects. */
+  private[operators] val Ws = " \\t\\n\\x0B\\f\\r"
 
   /** PII/noise surface counts per document — the measurement side of
-    * [[scrub]] (same dialect-portable patterns): a curation pipeline
+    * [[scrub]] (same dialect-exact patterns): a curation pipeline
     * needs the counts to DECIDE (drop the doc? redact?) before the scrub
     * rewrites anything. Pure per-row `regexp_count` — shuffle-free,
     * codegen'd, pushdown-friendly. */
-  def piiCounts(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("n_urls", regexp_count(text, lit("https?://[^\\s]+")))
-      .withColumn("n_emails", regexp_count(text, lit("[^\\s@]+@[^\\s@]+\\.[^\\s@]+")))
+  def piiCounts(df: DataFrame, text: Column): DataFrame = {
+    Seq("n_urls", "n_emails", "has_pii").foreach(c =>
+      require(!df.columns.contains(c),
+        s"piiCounts emits a '$c' column; rename the existing one first"))
+    df.withColumn("n_urls", regexp_count(text, lit(s"https?://[^$Ws]+")))
+      .withColumn("n_emails", regexp_count(text, lit(s"[^$Ws@]+@[^$Ws@]+\\.[^$Ws@]+")))
       .withColumn("has_pii", (col("n_urls") > 0) || (col("n_emails") > 0))
+  }
 
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */
   def fingerprint(text: Column): Column =
-    substring(md5(regexp_replace(lower(trim(text)), "\\s+", " ")), 1, 16)
+    substring(md5(regexp_replace(lower(trim(text)), s"[$Ws]+", " ")), 1, 16)
 
   /** Polynomial rolling hash (base 31, mod the largest prime < 2^57)
     * over the normalized text — the classic streaming fingerprint;
@@ -129,7 +140,7 @@ object TextAnalysis {
   def rollingHash(text: Column): Column = {
     val M = 144115188075855859L // largest prime < 2^57; 31*M + 1114111 < 2^63
     aggregate(
-      split(regexp_replace(lower(trim(text)), "\\s+", " "), ""),
+      split(regexp_replace(lower(trim(text)), s"[$Ws]+", " "), ""),
       lit(0L),
       (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast(LongType), lit(0L)), lit(M)))
   }

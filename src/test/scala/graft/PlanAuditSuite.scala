@@ -145,9 +145,16 @@ class PlanAuditSuite extends AnyFunSuite {
   }
 
   test("balanced sample: rate table broadcasts; the corpus side is never re-shuffled (X36)") {
-    val p = staticPlan("q75_balanced_sample")
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-key rates are one row per source — must broadcast:\n$p")
+    val finalSection = finalPlan("q75_balanced_sample").split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"per-key rates are one row per source — must broadcast:\n$finalSection")
+    // every shuffle in the plan belongs to the rate branch (keyed on __k /
+    // the final output sort): the corpus rows themselves never ride a hash
+    // exchange carrying doc_id
+    val docExchanges = finalSection.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id")).toList
+    assert(docExchanges.isEmpty,
+      s"corpus side re-shuffled:\n${docExchanges.mkString("\n")}")
   }
 
   test("shard shuffle: scan prunes to the id column only (X31)") {
