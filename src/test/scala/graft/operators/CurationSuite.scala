@@ -92,6 +92,19 @@ class CurationSuite extends AnyFunSuite {
     assert(kept.toSeq === Seq("tiny"), "floor(1/20000*10000) = 0 -> huge contributes nothing")
   }
 
+  test("balancedSample: null keys form their own group; zero-mass keys never poison the min") {
+    val docs = Seq(
+      (1L, Option.empty[String], 10L), (2L, None, 10L),      // null-key group, mass 20
+      (3L, Some("a"), 10L), (4L, Some("a"), 10L),            // mass 20
+      (5L, Some("empty"), 0L), (6L, Some("empty"), 0L)       // mass 0: excluded, not min
+    ).toDF("doc_id", "src", "n")
+    val kept = Curation.balancedSample(docs, $"src", $"doc_id", $"n")
+      .select($"doc_id").as[Long].collect().toSet
+    // null group and "a" both have mass 20 = min -> rate 1.0 -> all kept;
+    // zero-mass docs contribute nothing and are dropped
+    assert(kept === Set(1L, 2L, 3L, 4L), kept.toString)
+  }
+
   test("shardShuffle: deterministic per seed, shards in range, seeds independent") {
     val df = (0L until 200L).toDF("id")
     val a = Curation.shardShuffle(df, "id", nShards = 8, seed = "s1")
