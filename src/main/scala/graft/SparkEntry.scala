@@ -679,6 +679,12 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q77_hash_split" -> ((s, d) =>
+      // deterministic 80/10/10 split: disjoint md5-bucket ranges, stable
+      // across runs/engines (unlike randomSplit)
+      graft.util.Sampling.hashSplit(t(s, d, "documents").select(col("doc_id")),
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))),
     "q76_pii_counts" -> ((s, d) =>
       // per-row regexp_count over the scrub patterns; no shuffle
       TextAnalysis.piiCounts(t(s, d, "documents"), col("text"))
@@ -1467,5 +1473,14 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+')) AS INT) AS n_emails,
            (len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) > 0
              OR len(regexp_extract_all(text, '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+')) > 0) AS has_pii
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q77_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(concat('0x', substr(md5('' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""")
 }

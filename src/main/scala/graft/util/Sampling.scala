@@ -35,6 +35,31 @@ object Sampling {
     df.filter(hashBucket(key, salt) < math.round(rate * Buckets))
   }
 
+  /** Deterministic train/val/test split: disjoint hash-bucket ranges
+    * assign every key exactly one split label, stable across runs,
+    * engines, and repartitioning (`randomSplit` is none of those — it
+    * resamples per run AND can duplicate/drop rows across its outputs
+    * when the upstream plan is nondeterministic). Fractions must sum to
+    * 1 (±1e-9); the LAST split absorbs bucket-rounding remainder so
+    * every row gets a label. */
+  def hashSplit(df: DataFrame, key: Column, fractions: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction for '$n' must be in (0,1], got $f") }
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "hashSplit emits a 'split' column; rename the existing one first")
+    val bucket = hashBucket(key, salt)
+    val cuts = fractions.init.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets) }.tail
+    val expr = fractions.init.zip(cuts)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), cut), acc) =>
+        when(bucket < cut, name).otherwise(acc) }
+    df.withColumn("split", expr)
+  }
+
   /** Per-stratum rates (e.g. downsample by language or source): rows in a
     * stratum listed in `rates` sample at that rate, everything else at
     * `defaultRate`. One pass, no shuffle — the stratum column is just

@@ -45,4 +45,35 @@ class SamplingSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.stratifiedHashSample(rows, col("id"), col("stratum"), Map("even" -> -0.1), 0.5))
   }
+
+  test("hashSplit: total, disjoint, deterministic, and near the requested fractions") {
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(rows, col("id"), fracs)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum === rows.count(), "every row gets exactly one label")
+    assert(a.keySet === Set("train", "val", "test"))
+    val n = rows.count().toDouble
+    assert(math.abs(a("train") - 0.8 * n) < 0.1 * n && math.abs(a("val") - 0.1 * n) < 0.06 * n,
+      a.toString)
+    val b = Sampling.hashSplit(rows, col("id"), fracs)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a2 = Sampling.hashSplit(rows, col("id"), fracs)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b === a2, "same key -> same split, forever")
+    // the split respects the hashSample nesting property: train's bucket
+    // range [0, 8000) IS the 0.8 sample
+    val sampled = Sampling.hashSample(rows, col("id"), 0.8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val train = b.filter(_._2 == "train").map(_._1)
+    assert(train === sampled)
+  }
+
+  test("hashSplit rejects bad fraction sets") {
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(rows, col("id"), Seq("a" -> 0.5, "b" -> 0.3)))
+    intercept[IllegalArgumentException](Sampling.hashSplit(rows, col("id"), Nil))
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(rows.withColumn("split", col("id")), col("id"),
+        Seq("a" -> 1.0)))
+  }
 }
