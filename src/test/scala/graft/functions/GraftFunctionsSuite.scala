@@ -28,6 +28,30 @@ class GraftFunctionsSuite extends AnyFunSuite {
 
     val sh = spark.sql("SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").head().getLong(0)
     assert(sh == 5L, "single-input simhash is the input")
+
+    val mag = spark.sql(
+      "SELECT vec_magnitude(array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS m")
+      .head().getDouble(0)
+    assert(mag == 5.0)
+
+    val cos = spark.sql(
+      """SELECT vec_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+                           array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9, "self-cosine ~ 1 (1e-12 epsilon in denominator)")
+
+    // SQL and Column paths agree bit-for-bit (same tree, same epsilon)
+    import org.apache.spark.sql.functions.{array, lit}
+    import org.apache.spark.sql.types.FloatType
+    val a = array(lit(1.5f).cast(FloatType), lit(-2.5f).cast(FloatType))
+    val b = array(lit(0.5f).cast(FloatType), lit(3.5f).cast(FloatType))
+    val viaColumn = spark.range(1)
+      .select(VectorFunctions.vecCosine(a, b).as("c")).head().getDouble(0)
+    val viaSql = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.5 AS FLOAT), CAST(-2.5 AS FLOAT)),
+                           array(CAST(0.5 AS FLOAT), CAST(3.5 AS FLOAT))) AS c""")
+      .head().getDouble(0)
+    assert(viaColumn == viaSql)
   }
 
   test("the spark.sql.extensions injector exposes the same functions in a fresh session") {
