@@ -83,6 +83,41 @@ class NearDupStreamSuite extends AnyFunSuite {
       s"canonical past retention must not match even if its bucket never idles: $got")
   }
 
+  test("state survives a checkpoint restart: a post-restart near-dup still flags") {
+    import java.nio.file.Files
+    import scala.collection.mutable
+    val dir = Files.createTempDirectory("graft_neardup_ckpt").toString
+    val schema = org.apache.spark.sql.Encoders.product[DocArrival].schema
+    val verdicts = mutable.Map.empty[Long, Option[Long]]
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+        .withWatermark("at", "10 minutes").as[DocArrival]
+      val q = NearDupStream.detect(stream, maxHamming = 3, retentionMs = 60 * 60000L)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[NearDupVerdict], _: Long) =>
+          batch.collect().foreach(v => verdicts.synchronized { verdicts(v.doc_id) = v.dup_of })
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Seq(DocArrival(1L, baseA, ts("2026-01-10 12:00:00"))).toDS()
+      .write.mode("append").parquet(s"$dir/docs")
+    runOnce()
+    // restart from the same checkpoint: the canonical must come back from
+    // the state store, not from reprocessing batch 1
+    Seq(DocArrival(2L, baseA ^ 1L, ts("2026-01-10 12:05:00"))).toDS()
+      .write.mode("append").parquet(s"$dir/docs")
+    runOnce()
+
+    val got = verdicts.synchronized(verdicts.toMap)
+    assert(got(1L) === None)
+    assert(got(2L) === Some(1L),
+      s"doc 1's canonical entry must survive the restart via the state store: $got")
+  }
+
   test("same-batch determinism: min (hamming, id) canonical wins") {
     val got = run(Seq(
       // two canonicals land first (12:00), both at hamming 1 from doc 30
