@@ -15,6 +15,42 @@ class JobTrackerSuite extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("tracker state survives a checkpoint restart: claim before, fail after") {
+    import java.nio.file.Files
+    import scala.collection.mutable
+    val dir = Files.createTempDirectory("graft_tracker_ckpt").toString
+    val schema = org.apache.spark.sql.Encoders.product[JobEvent].schema
+    val states = mutable.Map.empty[Long, (String, Int)]
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/events")
+        .withWatermark("at", "0 seconds").as[JobEvent]
+      val q = JobTracker.track(stream)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[JobState], _: Long) =>
+          batch.collect().foreach(s =>
+            states.synchronized { states(s.post_id) = (s.status, s.error_count) })
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Seq(JobEvent(1L, "enqueue", ts("2026-01-10 12:00:00")),
+        JobEvent(1L, "claim", ts("2026-01-10 12:01:00"))).toDS()
+      .write.mode("append").parquet(s"$dir/events")
+    runOnce()
+    assert(states.synchronized(states(1L)) === (("processing", 0)))
+    // restart: the fail must transition the RESTORED processing state —
+    // if state were lost, fail-on-non-processing is a no-op and
+    // error_count would stay 0
+    Seq(JobEvent(1L, "fail", ts("2026-01-10 12:02:00"))).toDS()
+      .write.mode("append").parquet(s"$dir/events")
+    runOnce()
+    assert(states.synchronized(states(1L)) === (("failed", 1)),
+      s"processing state must survive the restart for the fail to count: $states")
+  }
+
   test("stateful tracker: transitions + event-time reaper timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[JobEvent]
