@@ -679,6 +679,10 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q78_top_terms" -> ((s, d) =>
+      // vocabulary head: global top-50 terms by occurrences, doc
+      // frequency alongside; top-k heap, no full vocab sort
+      TextAnalysis.topTerms(t(s, d, "documents"), "doc_id", col("text"), k = 50)),
     "q77_hash_split" -> ((s, d) =>
       // deterministic 80/10/10 split: disjoint md5-bucket ranges, stable
       // across runs/engines (unlike randomSplit)
@@ -1482,5 +1486,11 @@ object SparkEntry {
            CASE WHEN bucket < 8000 THEN 'train'
                 WHEN bucket < 9000 THEN 'val'
                 ELSE 'test' END AS split
-         FROM b ORDER BY doc_id""")
+         FROM b ORDER BY doc_id""",
+    "q78_top_terms" ->
+      s"""WITH postings AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         SELECT term, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+         FROM postings WHERE term <> ''
+         GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 50""")
 }

@@ -122,6 +122,23 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_urls") > 0) || (col("n_emails") > 0))
   }
 
+  /** Corpus vocabulary head: the k globally most frequent terms with
+    * their document frequencies — feeds stopword derivation, vocabulary
+    * coverage checks, and the common-token quality signals. Plan shape:
+    * postings -> partial/final hash agg on term -> distributed top-k heap
+    * (TakeOrderedAndProject), never a global sort of the vocabulary. */
+  def topTerms(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */

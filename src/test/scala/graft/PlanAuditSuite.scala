@@ -157,6 +157,12 @@ class PlanAuditSuite extends AnyFunSuite {
       s"corpus side re-shuffled:\n${docExchanges.mkString("\n")}")
   }
 
+  test("top terms: distributed top-k heap over the term agg, no full vocab sort (X39)") {
+    val p = staticPlan("q78_top_terms")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary head must be a top-k heap, not Sort+GlobalLimit:\n$p")
+  }
+
   test("shard shuffle: scan prunes to the id column only (X31)") {
     val read = scans("q72_shard_shuffle").map(_("ReadSchema")).mkString
     assert(read.contains("doc_id") && !read.contains("text"),

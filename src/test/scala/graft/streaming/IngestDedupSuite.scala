@@ -56,4 +56,37 @@ class IngestDedupSuite extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS graft_ingest_dedup")
     }
   }
+
+  test("dedup state survives a checkpoint restart: a post-restart dup still drops") {
+    import java.nio.file.Files
+    import scala.collection.mutable
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_ingest_ckpt").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("ts", TimestampType)))
+    val emitted = mutable.Set.empty[Long]
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/docs")
+      val q = IngestDedup.dedupStream(stream, col("text"), "ts", "10 minutes")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id").collect()
+            .foreach(r => emitted.synchronized { emitted += r.getLong(0) })
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Seq((1L, "restart me", ts("2026-01-10 12:00:00"))).toDF("doc_id", "text", "ts")
+      .write.mode("append").parquet(s"$dir/docs")
+    runOnce()
+    Seq((2L, "RESTART   me", ts("2026-01-10 12:03:00"))).toDF("doc_id", "text", "ts")
+      .write.mode("append").parquet(s"$dir/docs")
+    runOnce()
+
+    val got = emitted.synchronized(emitted.toSet)
+    assert(got === Set(1L),
+      s"the fingerprint state must survive the restart and drop the dup: $got")
+  }
 }
