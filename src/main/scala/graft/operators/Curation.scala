@@ -33,13 +33,11 @@ object Curation {
     * identical in any IEEE engine.
     */
   def corpusFreqScore(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "")
     // no pre-repartition: the partial (doc, term) hash-agg must sit BELOW
     // the exchange so the shuffle carries combined tf rows, not raw token
     // occurrences; the ctf branch reuses the same canonical exchange
-    val tf = postings.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = TextAnalysis.postings(docs, idCol, text)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("t"))
     val dec = DataTypes.createDecimalType(38, 0)

@@ -122,6 +122,16 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_urls") > 0) || (col("n_emails") > 0))
   }
 
+  /** (doc_id, term) postings from a document frame — the shared front of
+    * every term-level aggregate ([[tfidfTopTerms]], [[topTerms]],
+    * [[graft.operators.Curation.corpusFreqScore]]): explode the
+    * tokenizer, drop empty terms. One definition so the tokenization the
+    * oracles mirror cannot silently diverge between operators. */
+  def postings(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+
   /** Corpus vocabulary head: the k globally most frequent terms with
     * their document frequencies — feeds stopword derivation, vocabulary
     * coverage checks, and the common-token quality signals. Plan shape:
@@ -129,9 +139,7 @@ object TextAnalysis {
     * (TakeOrderedAndProject), never a global sort of the vocabulary. */
   def topTerms(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    docs
-      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
+    postings(docs, idCol, text)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -206,14 +214,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, text: Column, topN: Int,
       logIdf: Boolean = true, broadcastVocab: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
-      .filter(col("term") =!= "")
     // one exchange serves both downstream shapes: HashPartitioning(doc_id)
     // satisfies the (doc_id, term) grouping's clustering requirement AND
     // the per-doc window — without it the plan shuffles the postings for
     // the agg and re-shuffles the tf rows for the top-N window
-    val tf = postings.repartition(col("doc_id"))
+    val tf = postings(docs, idCol, text).repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol))).first().getLong(0)

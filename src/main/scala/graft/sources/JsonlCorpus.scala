@@ -36,23 +36,38 @@ object JsonlCorpus {
     * JSON datasource: the datasource refuses plans that reference only
     * the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
     * COLUMN), which is exactly what a dead-letter sink does — and the
-    * text+expression form parses each line once inside whole-stage
-    * codegen with no second pass. */
+    * text+expression form keeps the parse inside whole-stage codegen of
+    * a single scan (per materialization; see [[splitCorrupt]] on paying
+    * for both halves). */
   def read(spark: SparkSession, path: String,
       schema: StructType = DocumentSchema): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptCol),
+    // Spark resolution is case-insensitive by default — so is this guard
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(CorruptCol)),
       s"schema must not already contain $CorruptCol")
     val full = schema.add(StructField(CorruptCol, StringType))
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0) // blank lines are not documents
-      .select(from_json(col("value"), full,
+      .select(col("value"), from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"))
-      .select(col("__j.*"))
+      .select(
+        schema.fieldNames.map(f => col(s"__j.`$f`")) :+
+          // a line holding a non-object JSON value (`null`, `42`, `"x"`)
+          // parses to a NULL struct with no corrupt marker — without this
+          // coalesce it would masquerade as an all-null VALID document
+          coalesce(col(s"__j.`$CorruptCol`"),
+            when(col("__j").isNull, col("value"))).as(CorruptCol): _*)
   }
 
   /** (valid, quarantined) split of a [[read]] frame. Valid rows drop the
     * corrupt column; quarantined rows keep only the raw line (for a
-    * dead-letter sink). */
+    * dead-letter sink).
+    *
+    * The two halves are independent filters over the SAME lazy plan:
+    * materializing both re-reads the input twice. Fine for a quarantine
+    * sink that runs alongside the main write anyway; when one pass must
+    * pay for both outputs, either persist the [[read]] frame first or
+    * write it once partitioned by `CorruptCol IS NULL` and split at the
+    * sink. */
   def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = (
     df.filter(col(CorruptCol).isNull).drop(CorruptCol),
     df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")))

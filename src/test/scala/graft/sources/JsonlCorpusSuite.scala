@@ -30,11 +30,27 @@ class JsonlCorpusSuite extends AnyFunSuite {
     assert(raw.exists(_.contains("not-a-long")))
   }
 
-  test("read rejects a schema that collides with the corrupt column") {
+  test("non-object JSON values quarantine instead of becoming all-null valid rows") {
+    val dir = Files.createTempDirectory("graft_jsonl_null").toString
+    Files.writeString(Paths.get(s"$dir/part0.jsonl"),
+      """null
+        |42
+        |{"doc_id": 7, "text": "real", "lang": "en", "source": "crawl"}
+        |""".stripMargin)
+    val (valid, corrupt) = JsonlCorpus.splitCorrupt(JsonlCorpus.read(spark, dir))
+    assert(valid.select("doc_id").as[Long].collect().toSeq === Seq(7L))
+    assert(corrupt.as[String].collect().toSet === Set("null", "42"))
+  }
+
+  test("read rejects a schema that collides with the corrupt column, any case") {
     import org.apache.spark.sql.types._
     intercept[IllegalArgumentException] {
       JsonlCorpus.read(spark, "/tmp/nope", StructType(Seq(
         StructField(JsonlCorpus.CorruptCol, StringType))))
+    }
+    intercept[IllegalArgumentException] {
+      JsonlCorpus.read(spark, "/tmp/nope", StructType(Seq(
+        StructField("_Corrupt_Json", StringType))))
     }
   }
 }
