@@ -679,6 +679,16 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q79_incremental_dedup" -> ((s, d) => {
+      // incremental ingest vs a historical corpus: bloom pre-filter +
+      // exact anti-join verify (result independent of filter sizing)
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 200), docs.filter(col("doc_id") < 250),
+        "doc_id", col("text"), col("text"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q78_top_terms" -> ((s, d) =>
       // vocabulary head: global top-50 terms by occurrences, doc
       // frequency alongside; top-k heap, no full vocab sort
@@ -1492,5 +1502,13 @@ object SparkEntry {
          SELECT term, COUNT(*) AS n_occurrences,
            COUNT(DISTINCT doc_id) AS n_docs
          FROM postings WHERE term <> ''
-         GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 50""")
+         GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 50""",
+    "q79_incremental_dedup" ->
+      s"""WITH hfp AS (SELECT substr(md5($mdNorm), 1, 16) AS fp
+           FROM documents WHERE doc_id < 250),
+         n AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fp
+           FROM documents WHERE doc_id >= 200)
+         SELECT doc_id FROM n
+         WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = n.fp)
+         ORDER BY doc_id""")
 }

@@ -188,6 +188,46 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Incremental ingest dedup: drop new documents whose content
+    * fingerprint already exists in a historical corpus, WITHOUT joining
+    * every new doc against the (much larger) history.
+    *
+    * A Bloom filter over the history's fingerprints — built by Spark's
+    * own `BloomFilterAggregate` (the runtime-filter machinery) in one
+    * shuffle-free pass, a few MB for hundreds of millions of keys —
+    * rides broadcast to the new batch. Definitely-new docs (filter says
+    * no) skip the join entirely; only might-contain hits (true matches +
+    * the configured false-positive sliver) pay the exact anti-join. At a
+    * typical crawl's ~1-10% revisit rate this cuts the join probe volume
+    * by 10-100x. The RESULT is exact regardless of `fpp`: false
+    * positives are cleared by the anti-join, and the Bloom filter has no
+    * false negatives — the oracle is a plain anti-join.
+    */
+  def incrementalDedup(newDocs: DataFrame, history: DataFrame, idCol: String,
+      text: Column, historyText: Column,
+      expectedHistoryItems: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(!newDocs.columns.contains("__fp"),
+      "incrementalDedup uses '__fp' internally; rename the existing column first")
+    val histFp = history.select(TextAnalysis.fingerprint(historyText).as("fp"))
+    // the sketch rides into the probe side as a SCALAR SUBQUERY (the only
+    // non-literal form might_contain accepts) — fully lazy, no driver
+    // round-trip in this operator
+    val bloom = histFp.agg(GraftSql.column(
+      new BloomFilterAggregate(GraftSql.expression(xxhash64(col("fp"))),
+        expectedHistoryItems).toAggregateExpression()).as("bf")).scalar()
+    val staged = newDocs.withColumn("__fp", TextAnalysis.fingerprint(text))
+    val might = GraftSql.column(BloomFilterMightContain(
+      GraftSql.expression(bloom),
+      GraftSql.expression(xxhash64(col("__fp")))))
+    val sureNew = staged.filter(!might)
+    val verified = staged.filter(might)
+      .join(histFp.withColumnRenamed("fp", "__fp").distinct(), Seq("__fp"), "left_anti")
+    sureNew.unionByName(verified).drop("__fp")
+  }
+
   /** Distinct shingle set per doc, staged (doc_id, sh). */
   def shingleSets(docs: DataFrame, idCol: String, text: Column, shingleN: Int): DataFrame =
     docs

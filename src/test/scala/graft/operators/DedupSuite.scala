@@ -68,6 +68,30 @@ class DedupSuite extends AnyFunSuite {
     assert(kept == Set(1L, 10L, 99L), "canonical per cluster + untouched singletons")
   }
 
+  test("incrementalDedup: bloom pre-filter + exact verify equals a plain anti-join") {
+    val history = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "some historical document that was already ingested last month")
+    ).toDF("doc_id", "text")
+    // new batch: 2 exact dups of history (one differing only in case/ws),
+    // 2 genuinely new docs
+    val fresh = Seq(
+      (1L, "THE QUICK brown fox jumps over the lazy dog near the river bank"),
+      (2L, "some historical document that was already ingested last month"),
+      (3L, "a brand new document never seen before"),
+      (4L, "another novel piece of content entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(fresh, history, "doc_id", $"text", $"text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L), s"dups of history dropped, novel docs kept: $kept")
+    // exactness under a deliberately undersized filter (high fpp): false
+    // positives must be cleared by the verify join
+    val keptTiny = Dedup.incrementalDedup(fresh, history, "doc_id", $"text", $"text",
+      expectedHistoryItems = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTiny === Set(3L, 4L), "result is exact regardless of filter sizing")
+  }
+
   test("differential: dedupGroups equals brute-force connected components on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
