@@ -157,6 +157,14 @@ class PlanAuditSuite extends AnyFunSuite {
       s"corpus side re-shuffled:\n${docExchanges.mkString("\n")}")
   }
 
+  test("incremental dedup: bloom rides as a subquery, verify is an anti-join, no cartesian (X41)") {
+    val p = staticPlan("q79_incremental_dedup")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"bloom sketch must ride as a scalar subquery:\n$p")
+    assert(p.contains("LeftAnti"), s"exact verify must be an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("top terms: distributed top-k heap over the term agg, no full vocab sort (X39)") {
     val p = staticPlan("q78_top_terms")
     assert(p.contains("TakeOrderedAndProject"),
