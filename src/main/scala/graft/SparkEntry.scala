@@ -679,6 +679,12 @@ object SparkEntry {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("k_mod"))),
+    "q80_vocab_stats" -> ((s, d) =>
+      // per-source vocabulary profile; exact distinct for the oracle, the
+      // HLL sketch path is unit-bounded in CorpusStatsSuite
+      CorpusStats.vocabStats(t(s, d, "documents"), col("source"), "doc_id", col("text"))
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"))),
     "q79_incremental_dedup" -> ((s, d) => {
       // incremental ingest vs a historical corpus: bloom pre-filter +
       // exact anti-join verify (result independent of filter sizing)
@@ -1510,5 +1516,11 @@ object SparkEntry {
            FROM documents WHERE doc_id >= 200)
          SELECT doc_id FROM n
          WHERE NOT EXISTS (SELECT 1 FROM hfp WHERE hfp.fp = n.fp)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q80_vocab_stats" ->
+      s"""WITH postings AS (SELECT doc_id, source, unnest($toksSql) AS term FROM documents)
+         SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT term) AS n_terms
+         FROM postings WHERE term <> ''
+         GROUP BY source ORDER BY source""")
 }

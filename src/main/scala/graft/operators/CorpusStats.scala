@@ -22,6 +22,27 @@ import org.apache.spark.sql.types._
   */
 object CorpusStats {
 
+  /** Per-key vocabulary profile: document count, token total, and
+    * distinct-term cardinality. `exact = true` pays the full
+    * (key, term)-distinct shuffle — oracle-checkable; `exact = false`
+    * swaps in `approx_count_distinct` (HyperLogLog++), the 100 TB path:
+    * fixed-size mergeable sketches per partition instead of shuffling
+    * the distinct pairs, at rsd relative error (default 5%). Same output
+    * schema either way; the unit suite bounds the sketch against the
+    * exact path. */
+  def vocabStats(docs: DataFrame, key: Column, idCol: String, text: Column,
+      exact: Boolean = true, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), key.as("key"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("key"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        (if (exact) countDistinct(col("term"))
+         else approx_count_distinct(col("term"), rsd)).as("n_terms"))
+
   /** Per-key quantiles + count/mean of `metric`. Quantile probabilities
     * are fixed (p25/p50/p95) so the output schema is stable. The mean
     * accumulates in decimal (exact, order-independent) and divides once

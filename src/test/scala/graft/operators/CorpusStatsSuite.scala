@@ -20,6 +20,23 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("p95")) === 38.5)
   }
 
+  test("vocabStats: exact counts on a fixture; HLL sketch within rsd of exact on real data") {
+    val df = Seq((1L, "x", "a b a"), (2L, "x", "b c"), (3L, "y", "z")).toDF("id", "k", "t")
+    val exact = CorpusStats.vocabStats(df, $"k", "id", $"t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(exact === Map("x" -> ((2L, 5L, 3L)), "y" -> ((1L, 1L, 1L))))
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = CorpusStats.vocabStats(docs, $"source", "doc_id", $"text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ap = CorpusStats.vocabStats(docs, $"source", "doc_id", $"text", exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ex.keySet === ap.keySet)
+    ex.foreach { case (k, e) =>
+      assert(math.abs(ap(k) - e) <= math.max(0.15 * e, 3.0), s"$k: sketch ${ap(k)} vs exact $e")
+    }
+  }
+
   test("approx path stays within sketch error of exact on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def grab(exact: Boolean): Map[String, (Double, Double, Double)] =
