@@ -32,10 +32,7 @@ object CorpusStats {
     * exact path. */
   def vocabStats(docs: DataFrame, key: Column, idCol: String, text: Column,
       exact: Boolean = true, rsd: Double = 0.05): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), key.as("key"),
-        explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "")
+    TextAnalysis.postings(docs, idCol, text, extraCols = Seq("key" -> key))
       .groupBy(col("key"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),

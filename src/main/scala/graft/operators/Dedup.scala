@@ -199,13 +199,20 @@ object Dedup {
     * no) skip the join entirely; only might-contain hits (true matches +
     * the configured false-positive sliver) pay the exact anti-join. At a
     * typical crawl's ~1-10% revisit rate this cuts the join probe volume
-    * by 10-100x. The RESULT is exact regardless of `fpp`: false
+    * by 10-100x. The RESULT is exact regardless of filter sizing: false
     * positives are cleared by the anti-join, and the Bloom filter has no
     * false negatives — the oracle is a plain anti-join.
-    */
+    *
+    * Sizing: Spark clamps the aggregate to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4,000,000 — also this parameter's default) and `...maxNumBits`.
+    * A history far beyond the clamp saturates the filter: the result
+    * stays exact but every doc degrades to the anti-join path — raise
+    * those confs along with `expectedHistoryItems` for larger
+    * histories. */
   def incrementalDedup(newDocs: DataFrame, history: DataFrame, idCol: String,
       text: Column, historyText: Column,
-      expectedHistoryItems: Long = 1L << 22): DataFrame = {
+      expectedHistoryItems: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.GraftSql
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -219,12 +226,19 @@ object Dedup {
       new BloomFilterAggregate(GraftSql.expression(xxhash64(col("fp"))),
         expectedHistoryItems).toAggregateExpression()).as("bf")).scalar()
     val staged = newDocs.withColumn("__fp", TextAnalysis.fingerprint(text))
-    val might = GraftSql.column(BloomFilterMightContain(
+    // coalesce to false: an EMPTY history makes the aggregate (and thus
+    // might_contain) evaluate to null, and a null predicate fails BOTH
+    // filter branches — without it a bootstrap ingest silently discards
+    // the entire first batch
+    val might = coalesce(GraftSql.column(BloomFilterMightContain(
       GraftSql.expression(bloom),
-      GraftSql.expression(xxhash64(col("__fp")))))
+      GraftSql.expression(xxhash64(col("__fp"))))), lit(false))
     val sureNew = staged.filter(!might)
+    // no distinct() on the build side: anti-join output is unaffected by
+    // duplicate build rows, and the distinct would cost an extra
+    // exchange+aggregate over every history fingerprint
     val verified = staged.filter(might)
-      .join(histFp.withColumnRenamed("fp", "__fp").distinct(), Seq("__fp"), "left_anti")
+      .join(histFp.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
     sureNew.unionByName(verified).drop("__fp")
   }
 

@@ -127,9 +127,12 @@ object TextAnalysis {
     * [[graft.operators.Curation.corpusFreqScore]]): explode the
     * tokenizer, drop empty terms. One definition so the tokenization the
     * oracles mirror cannot silently diverge between operators. */
-  def postings(docs: DataFrame, idCol: String, text: Column): DataFrame =
+  def postings(docs: DataFrame, idCol: String, text: Column,
+      extraCols: Seq[(String, Column)] = Nil): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), explode(tokens(text)).as("term"))
+      .select(col(idCol).as("doc_id") +:
+        extraCols.map { case (n, c) => c.as(n) } :+
+        explode(tokens(text)).as("term"): _*)
       .filter(col("term") =!= "")
 
   /** Corpus vocabulary head: the k globally most frequent terms with

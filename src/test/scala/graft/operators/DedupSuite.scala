@@ -90,6 +90,13 @@ class DedupSuite extends AnyFunSuite {
       expectedHistoryItems = 1L)
       .select("doc_id").as[Long].collect().toSet
     assert(keptTiny === Set(3L, 4L), "result is exact regardless of filter sizing")
+    // bootstrap ingest: an EMPTY history means nothing is a dup — the
+    // null bloom aggregate must not eat the batch
+    val keptBootstrap = Dedup.incrementalDedup(
+      fresh, history.filter($"doc_id" < 0), "doc_id", $"text", $"text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBootstrap === Set(1L, 2L, 3L, 4L),
+      "empty history keeps the entire first batch")
   }
 
   test("differential: dedupGroups equals brute-force connected components on random graphs") {
