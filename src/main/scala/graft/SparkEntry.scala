@@ -1366,13 +1366,13 @@ object SparkEntry {
     "q64_packing" ->
       s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
          cum AS (SELECT doc_id, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
            FROM tc)
          SELECT doc_id, n_tokens, tokens_before,
-           tokens_before // 2048 AS pack_id,
-           CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
-                ELSE tokens_before // 2048 END AS pack_last
+           CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
+           CAST(CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
+                ELSE tokens_before // 2048 END AS BIGINT) AS pack_last
          FROM cum ORDER BY doc_id""",
     "q65_repetition" -> {
       val shSql = shingle3Sql

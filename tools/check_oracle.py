@@ -39,11 +39,32 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind='mergesort').reset_index(drop=True)
     return df
 
+def dtype_parity(name, a, b):
+    """Mirror the driver's hash sensitivity: an int64 Spark column vs a
+    float64 DuckDB column (e.g. HUGEINT from SUM(BIGINT) -> pandas float)
+    hashes differently even when every value is equal. Flag int-vs-float
+    mismatches where the float side has no NaN (a NaN-bearing float column
+    is just nullable-int coercion and affects both sides identically)."""
+    errs = []
+    for c in sorted(set(a.columns) & set(b.columns)):
+        av, bv = a[c], b[c]
+        ai, bi = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        af, bf = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        if ai and bf and not bv.isna().any():
+            errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck={bv.dtype} '
+                        f'(oracle likely needs CAST ... AS BIGINT — DuckDB HUGEINT?)')
+        elif bi and af and not av.isna().any():
+            errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck={bv.dtype}')
+    return errs
+
 def compare(name, a, b):
     if a is None:
         return f'{name}: MISSING spark output'
     if list(sorted(a.columns)) != list(sorted(b.columns)):
         return f'{name}: COLUMN MISMATCH spark={sorted(a.columns)} duck={sorted(b.columns)}'
+    dt = dtype_parity(name, a, b)
+    if dt:
+        return '; '.join(dt)
     a, b = norm(a.copy()), norm(b.copy())
     if len(a) != len(b):
         return f'{name}: ROWCOUNT spark={len(a)} duck={len(b)}'
