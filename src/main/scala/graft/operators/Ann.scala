@@ -122,9 +122,8 @@ object Ann {
     * pass. Returns the centroids ordered by cluster id. */
   def trainCentroids(embs: DataFrame, vecCol: String, k: Int,
       seed: Long = 42L, maxIter: Int = 20): Seq[Array[Float]] = {
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val train = embs.select(toVec(col(vecCol)).as("features"))
+    val train = embs.select(
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .fit(train)
