@@ -89,6 +89,36 @@ object SparkEntry {
         .otherwise(lit(0)).as("error_count"),
       lit(null).cast(StringType).as("error_message"))
 
+  /** Disposable on-disk store copy for the mutation queries (S7-S9):
+    * embeddings.parquet rows keyed (post_id = vec_id, sequence_no = 0),
+    * bulk-loaded through the real [[graft.sources.EmbeddingStore]] write
+    * path, so ids are 1..N in (post_id, sequence_no) order. Rebuilt from
+    * scratch per call — mutation queries must not observe each other's
+    * writes, and a rerun must not observe a previous run's. */
+  private def tempStore(s: SparkSession, dir: String, name: String): graft.sources.EmbeddingStore = {
+    val base = System.getProperty("java.io.tmpdir") +
+      s"/graft_store_${name}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // 4 buckets: the sandbox store is ~2k rows, and each touched bucket is
+    // a sequential read+rewrite+swap — bucket count scales with data volume
+    // (64+ in production), not a fixed constant
+    val store = new graft.sources.EmbeddingStore(s, base, numBuckets = 4)
+    store.bulkLoad(t(s, dir, "embeddings").select(
+      col("vec_id").as("post_id"), lit(0).as("sequence_no"),
+      col("embedding").as("vector"), lit("seed").as("vector_type")))
+    store
+  }
+
+  /** Deterministic projection of a store's state for the oracle compare
+    * (created_at/updated_at are wall-clock — excluded by design; magnitude
+    * and the first element pin the vector payload the mutation wrote). */
+  private def storeState(store: graft.sources.EmbeddingStore): DataFrame =
+    store.read()
+      .select(col("id"), col("post_id"), col("sequence_no"), col("vector_type"),
+        col("magnitude"), element_at(col("vector"), 1).cast(DoubleType).as("v0"))
+      .orderBy(col("post_id"), col("sequence_no"))
+
   /** Flagship: the reference's two-phase ANN search (`VectorTable::search`,
     * src/VectorTable.php:73-233) with a relational pre-filter and an
     * attribute sort, on sf0.001. */
@@ -733,7 +763,51 @@ object SparkEntry {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           dsum(col("value")).as("sum_value"))
-        .orderBy(col("user_id"), col("session_no"))))
+        .orderBy(col("user_id"), col("session_no"))),
+    // ---- store mutation on a disposable copy (S7-S9, VectorTable.php:346-445) ----
+    "q81_store_upsert" -> ((s, d) => {
+      // S7 upsert: vec_id%100==0 keys get their vector replaced in place —
+      // the UPDATE branch keeps the existing id (VectorTable.php:370) and,
+      // unlike the reference's documented magnitude bug (VectorTable.php:361),
+      // refreshes ALL derived columns; vec_id%100==7 arrives as a NEW
+      // (post_id, 1) key -> fresh ids past max, in (post_id, seq) order.
+      // x*2f is exact in float, so the oracle reproduces it bit-for-bit.
+      val store = tempStore(s, d, "q81")
+      val emb = t(s, d, "embeddings")
+      val updates = emb.filter(col("vec_id") % 100 === 0).select(
+          col("vec_id").as("post_id"), lit(0).as("sequence_no"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("vector"),
+          lit("upd").as("vector_type"))
+        .unionByName(emb.filter(col("vec_id") % 100 === 7).select(
+          col("vec_id").as("post_id"), lit(1).as("sequence_no"),
+          col("embedding").as("vector"), lit("new").as("vector_type")))
+      store.upsert(updates)
+      storeState(store)
+    }),
+    "q82_store_insert_all" -> ((s, d) => {
+      // S8 replace-all-per-key: post 7's row is dropped and replaced by two
+      // fresh rows (DELETE + inserts, VectorTable.php:401-425); new ids
+      // continue past the pre-mutation max even though an id was freed
+      val store = tempStore(s, d, "q82")
+      val src = t(s, d, "embeddings").filter(col("vec_id") === 7)
+      val rows = src.select(col("vec_id").as("post_id"), lit(0).as("sequence_no"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("vector"),
+          lit("repl").as("vector_type"))
+        .unionByName(src.select(col("vec_id").as("post_id"), lit(1).as("sequence_no"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("vector"),
+          lit("repl").as("vector_type")))
+      store.insertAll(7L, rows)
+      storeState(store)
+    }),
+    "q83_store_delete" -> ((s, d) => {
+      // S9 point delete by id: ids of posts 3 and 11 looked up first (two
+      // longs — bounded scalar anchor); each delete rewrites only its bucket
+      val store = tempStore(s, d, "q83")
+      val ids = store.read().filter(col("post_id").isin(3L, 11L))
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      ids.foreach(store.delete)
+      storeState(store)
+    }))
 
   // ======================================================================
 
@@ -1522,5 +1596,63 @@ object SparkEntry {
          SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
            COUNT(DISTINCT term) AS n_terms
          FROM postings WHERE term <> ''
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source""",
+    // store-mutation oracles: rebuild the expected post-mutation state from
+    // embeddings.parquet. ids are ROW_NUMBER() in vec_id order (bulkLoad's
+    // DenseIds contract); fresh ids continue past MAX(id) in (post_id,
+    // sequence_no) order. Magnitude = index-ordered double accumulation
+    // (the q30 parity form); *2 / *0.5 / *4 are exact in float.
+    "q81_store_upsert" ->
+      """WITH base AS (
+           SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS id
+           FROM embeddings),
+         mx AS (SELECT MAX(id) AS m FROM base),
+         merged AS (
+           SELECT id, vec_id AS post_id, 0 AS sequence_no,
+                  CASE WHEN vec_id % 100 = 0 THEN 'upd' ELSE 'seed' END AS vector_type,
+                  CASE WHEN vec_id % 100 = 0
+                       THEN list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+                       ELSE embedding END AS vector
+           FROM base
+           UNION ALL
+           SELECT (SELECT m FROM mx) + ROW_NUMBER() OVER (ORDER BY vec_id) AS id,
+                  vec_id AS post_id, 1 AS sequence_no, 'new' AS vector_type,
+                  embedding AS vector
+           FROM base WHERE vec_id % 100 = 7)
+         SELECT id, post_id, sequence_no, vector_type,
+                sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                      FROM unnest(vector) AS t(x))) AS magnitude,
+                CAST(vector[1] AS DOUBLE) AS v0
+         FROM merged ORDER BY post_id, sequence_no""",
+    "q82_store_insert_all" ->
+      """WITH base AS (
+           SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS id
+           FROM embeddings),
+         mx AS (SELECT MAX(id) AS m FROM base),
+         merged AS (
+           SELECT id, vec_id AS post_id, 0 AS sequence_no,
+                  'seed' AS vector_type, embedding AS vector
+           FROM base WHERE vec_id <> 7
+           UNION ALL
+           SELECT (SELECT m FROM mx) + s.seq + 1 AS id, vec_id AS post_id,
+                  s.seq AS sequence_no, 'repl' AS vector_type,
+                  list_transform(embedding,
+                    x -> x * CAST(CASE WHEN s.seq = 0 THEN 0.5 ELSE 4.0 END AS FLOAT)) AS vector
+           FROM base CROSS JOIN (SELECT 0 AS seq UNION ALL SELECT 1 AS seq) s
+           WHERE vec_id = 7)
+         SELECT id, post_id, sequence_no, vector_type,
+                sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                      FROM unnest(vector) AS t(x))) AS magnitude,
+                CAST(vector[1] AS DOUBLE) AS v0
+         FROM merged ORDER BY post_id, sequence_no""",
+    "q83_store_delete" ->
+      """WITH base AS (
+           SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS id
+           FROM embeddings)
+         SELECT id, vec_id AS post_id, 0 AS sequence_no, 'seed' AS vector_type,
+                sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                      FROM unnest(embedding) AS t(x))) AS magnitude,
+                CAST(embedding[1] AS DOUBLE) AS v0
+         FROM base WHERE vec_id NOT IN (3, 11)
+         ORDER BY post_id, sequence_no""")
 }
