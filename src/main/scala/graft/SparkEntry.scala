@@ -807,6 +807,20 @@ object SparkEntry {
         .select(col("id")).collect().map(_.getLong(0)).sorted
       ids.foreach(store.delete)
       storeState(store)
+    }),
+    "q84_admin_page" -> ((s, d) => {
+      // T7+T9+J6: the admin listing's status DESC + CASE-priority +
+      // queued_time DESC ordering, page 2 (VectorTableQueue.php:403-437),
+      // with the posts left-join for the listing columns. post_chars is
+      // coalesced to -1: a nullable int would round-trip as float64 on
+      // one side of the driver's hash compare
+      val posts = docsAsPosts(s, d)
+        .select(col("ID"), coalesce(col("n_chars"), lit(-1)).as("post_chars"))
+      EmbedQueue.adminPage(queueFromEvents(s, d), Some(posts), page = 2)
+        .select(col("job_id"), col("status"),
+          coalesce(col("post_chars"), lit(-1)).as("post_chars"),
+          unix_micros(col("queued_time")).as("queued_us"))
+        .orderBy(col("job_id"))
     }))
 
   // ======================================================================
@@ -1654,5 +1668,22 @@ object SparkEntry {
                       FROM unnest(embedding) AS t(x))) AS magnitude,
                 CAST(embedding[1] AS DOUBLE) AS v0
          FROM base WHERE vec_id NOT IN (3, 11)
-         ORDER BY post_id, sequence_no""")
+         ORDER BY post_id, sequence_no""",
+    "q84_admin_page" ->
+      """WITH q AS (
+           SELECT event_id AS job_id, event_id AS post_id, ts AS queued_time,
+             CASE event_type WHEN 'error' THEN 'failed' WHEN 'purchase' THEN 'completed'
+                  WHEN 'view' THEN 'processing' ELSE 'pending' END AS status
+           FROM events),
+         page AS (
+           SELECT q.job_id, q.status,
+                  COALESCE(d.n_chars, -1) AS post_chars, q.queued_time
+           FROM q LEFT JOIN documents d ON q.post_id = d.doc_id
+           ORDER BY q.status DESC,
+                    CASE q.status WHEN 'pending' THEN 0 WHEN 'completed' THEN 1
+                         WHEN 'failed' THEN 2 ELSE 3 END ASC,
+                    q.queued_time DESC, q.job_id ASC
+           LIMIT 25 OFFSET 25)
+         SELECT job_id, status, post_chars, epoch_us(queued_time) AS queued_us
+         FROM page ORDER BY job_id""")
 }
