@@ -821,6 +821,15 @@ object SparkEntry {
           coalesce(col("post_chars"), lit(-1)).as("post_chars"),
           unix_micros(col("queued_time")).as("queued_us"))
         .orderBy(col("job_id"))
+    }),
+    "q85_image_roundtrip" -> ((s, d) => {
+      // real javax.imageio path: render content-dependent PNGs, resize to
+      // half via decode->scale->re-encode, then decode again — the dims the
+      // oracle recomputes arithmetically only match if both codec passes
+      // actually ran (Multimodal.ImageCodec)
+      val media = Multimodal.fromTextAsImages(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodeImages(Multimodal.resizeImages(media, 2))
+        .orderBy(col("media_id"))
     }))
 
   // ======================================================================
@@ -1685,5 +1694,12 @@ object SparkEntry {
                     q.queued_time DESC, q.job_id ASC
            LIMIT 25 OFFSET 25)
          SELECT job_id, status, post_chars, epoch_us(queued_time) AS queued_us
-         FROM page ORDER BY job_id""")
+         FROM page ORDER BY job_id""",
+    "q85_image_roundtrip" ->
+      """SELECT doc_id AS media_id,
+                CAST((16 + doc_id % 48) // 2 AS BIGINT) AS width,
+                CAST((16 + strlen(COALESCE(text, '')) % 48) // 2 AS BIGINT) AS height,
+                CAST(((16 + doc_id % 48) // 2)
+                     * ((16 + strlen(COALESCE(text, '')) % 48) // 2) AS BIGINT) AS n_pixels
+         FROM documents ORDER BY media_id""")
 }

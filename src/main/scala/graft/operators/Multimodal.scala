@@ -23,6 +23,100 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Real image codec (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no external
+    * libs). Used by the image paths below; video demux stays a documented
+    * stub (no container parser in the JDK). All methods are executor-side
+    * and allocation-only (no display), safe under headless JVMs. */
+  private[operators] object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    ImageIO.setUseCache(false) // keep executor decode off the disk cache
+
+    /** Deterministic content-dependent render: pixel bytes are an md5
+      * stream over (seed, blockNo) — same seed => same image, any JVM. */
+    def render(seed: Array[Byte], w: Int, h: Int): BufferedImage = {
+      val need = w * h * 3
+      val px = new Array[Byte](need + 16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var off = 0
+      var block = 0
+      while (off < need) {
+        md.reset()
+        md.update(seed)
+        md.update(Array[Byte](
+          (block >> 24).toByte, (block >> 16).toByte, (block >> 8).toByte, block.toByte))
+        System.arraycopy(md.digest(), 0, px, off, 16)
+        off += 16; block += 1
+      }
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = java.lang.Byte.toUnsignedInt(px(i))
+          val g = java.lang.Byte.toUnsignedInt(px(i + 1))
+          val b = java.lang.Byte.toUnsignedInt(px(i + 2))
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(img: BufferedImage, format: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(img.getWidth * img.getHeight / 2 + 64)
+      require(ImageIO.write(img, format, bos), s"no ImageIO writer for '$format'")
+      bos.toByteArray
+    }
+
+    /** null on null/empty/undecodable payload (ImageIO contract). */
+    def decode(bytes: Array[Byte]): BufferedImage =
+      if (bytes == null || bytes.length == 0) null
+      else
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+
+    /** Area-agnostic scale via Graphics2D (bilinear). */
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Luma histogram, `dim` buckets, L1-normalized — the real-decode
+      * counterpart of the byte-histogram stub (same output contract). */
+    def lumaFeature(img: BufferedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer BT.601-ish luma, exact across JVMs
+          val luma = (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+          out(math.min(luma * dim / 256, dim - 1)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w * h).toFloat
+      var j = 0
+      while (j < dim) { out(j) /= total; j += 1 }
+      out
+    }
+  }
+
   /** media payload schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -55,10 +149,87 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms"),
         lit("raw").as("codec")).as("meta"))
 
+  /** Real-codec variant of [[fromText]]: each row becomes an actual PNG (or
+    * JPEG) whose pixels are an md5 stream over the text and whose dims are
+    * content-dependent (`16 + id % 48` by `16 + octet_length(text) % 48`) — so a
+    * downstream decode proves the codec round-trip, not just plumbing.
+    *
+    * The cheap (id, text) rows are repartitioned BEFORE the render so the
+    * CPU-heavy encode uses every core even when the source is one small
+    * file (the 100 TB shape: shuffle the light rows, generate heavy
+    * payloads map-side after — payloads themselves never shuffle).
+    * `numPartitions` <= 0 means the session's default parallelism. */
+  def fromTextAsImages(docs: DataFrame, idCol: String, textCol: String,
+      format: String = "png", numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getString(1).getBytes("UTF-8")
+          // dims keyed on UTF-8 byte length (= DuckDB octet_length), not
+          // String.length — UTF-16 units diverge on astral chars
+          val w = (16 + id % 48).toInt
+          val h = (16 + seed.length % 48).toInt
+          val png = ImageCodec.encode(ImageCodec.render(seed, w, h), format)
+          Row(id, "image", png,
+            Row(w, h, null, null, format))
+        }
+      }(enc)
+  }
+
+  /** Real decode pass: payload -> decoded dims (+ pixel count). Undecodable
+    * or null payloads yield null dims instead of failing the scan. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageCodec.decode(r.getAs[Array[Byte]]("payload"))
+        if (img == null) Row(r.getLong(0), null, null, null)
+        else Row(r.getLong(0), img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight)
+      }
+    }(enc)
+  }
+
+  /** Real resize: decode, scale by `1/div` (integer-division dims, floor at
+    * 1px), re-encode as PNG. Rows whose payload doesn't decode pass through
+    * unchanged — a 100 TB scan must not die on one corrupt file. */
+  def resizeImages(media: DataFrame, div: Int): DataFrame = {
+    require(div >= 1, s"div must be >= 1, got $div")
+    val enc = RowEncoder.encoderFor(media.schema)
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // positional access: rows off an encoder pipeline carry no schema
+        val img = ImageCodec.decode(r.getAs[Array[Byte]](pIdx))
+        if (img == null) r
+        else {
+          val w = math.max(1, img.getWidth / div)
+          val h = math.max(1, img.getHeight / div)
+          Row.fromSeq(r.toSeq.updated(pIdx,
+            ImageCodec.encode(ImageCodec.resize(img, w, h), "png")))
+        }
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------------
-  // STUB decode kernel. A real deployment replaces `decodeBytes` with an
-  // actual codec (JNI/javacv/etc.) — the signature and the per-partition
-  // batching around it do not change.
+  // STUB decode kernel (non-image payloads). Image payloads take the real
+  // javax.imageio path above; this byte-histogram fallback stands in for
+  // codecs the JDK lacks (audio/video frames) — the signature and the
+  // per-partition batching around it do not change.
   // ---------------------------------------------------------------------
 
   /** STUB: "decode" a payload into a fixed-dim feature vector. Fake but
@@ -76,16 +247,22 @@ object Multimodal {
   }
 
   /** Per-partition batch decode: payload -> compact feature, dropping the
-    * heavy bytes before anything downstream shuffles. */
+    * heavy bytes before anything downstream shuffles. Payloads that decode
+    * as real images get a luma histogram via javax.imageio; everything else
+    * falls back to the byte-histogram stub (same L1-normalized contract). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "kind", "payload").mapPartitions { rows =>
       // per-partition init happens HERE (codec handles, model weights, ...)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val img = ImageCodec.decode(payload)
+        val feature =
+          if (img != null) ImageCodec.lumaFeature(img, dim)
+          else decodeBytes(payload, dim)
         Row(r.getLong(0), r.getString(1),
           (if (payload == null) 0 else payload.length).toLong,
-          decodeBytes(payload, dim))
+          feature)
       }
     }(enc)
   }
