@@ -19,7 +19,10 @@ object GraftFunctions {
 
   private def magnitude(v: Expression): Expression = Sqrt(DotProductFloat(v, v))
 
-  private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = vecFns ++
+    PipelineSqlFunctions.fns // text/dedup/sampling pipeline kernels (§2.12)
+
+  private def vecFns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (args => DotProductFloat(args(0), args(1))),
     "hamming_dist" -> (args => HammingDistPacked(args(0), args(1))),
     "pack_sign_bits" -> (args => PackSignBits(args(0))),

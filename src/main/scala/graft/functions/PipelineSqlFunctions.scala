@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Expression, In, LambdaFunction, LessThan, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
+
+import graft.operators.Dedup
+import graft.util.Sampling
+
+/** SQL registration for the text/dedup/sampling pipeline kernels (§2.12),
+  * so `spark.sql` users reach them without Scala — same FunctionRegistry
+  * route as the vector functions in [[GraftFunctions]].
+  *
+  * The builders return trees of `UnresolvedFunction` over builtin names —
+  * exactly the nodes the SQL parser itself emits — and the analyzer's
+  * fixpoint resolution takes care of the rest (the Column→Expression
+  * bridge is not usable inside registry builders; see GraftFunctions'
+  * composite note). Each function mirrors its Column-API twin arithmetic-
+  * for-arithmetic, and `PipelineSqlSuite` pins SQL-vs-Column parity per
+  * function so the two surfaces cannot drift apart.
+  *
+  * Scale note: the scalar forms re-derive tokens/shingles inline (codegen
+  * does no CSE across HOF lambda boundaries), so `graft_minhash` is the
+  * ad-hoc/fixture form — bulk jobs should use the staged
+  * [[graft.operators.Dedup.withMinhashSignature]] DataFrame path.
+  */
+object PipelineSqlFunctions {
+
+  // ------------------------------------------------------------------
+  // tiny tree DSL over public Catalyst surface
+  // ------------------------------------------------------------------
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args, isDistinct = false)
+
+  private def L(v: Any): Literal = Literal(v)
+
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+  private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
+  private def asString(e: Expression): Expression = Cast(e, StringType)
+
+  private def lam(f: Expression => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    LambdaFunction(f(x), Seq(x))
+  }
+
+  private def lam2(f: (Expression, Expression) => Expression): Expression = {
+    val a = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val t = UnresolvedNamedLambdaVariable(Seq("t"))
+    LambdaFunction(f(a, t), Seq(a, t))
+  }
+
+  private def caseWhen(branches: Seq[(Expression, Expression)], orElse: Expression) =
+    CaseWhen(branches, Some(orElse))
+
+  /** Static parameters (shingle n, band counts, split fractions) must be
+    * literals — the tree shape depends on them, same constraint as the
+    * Column API's plain-Scala parameters. */
+  private def foldInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got ${e.sql}")
+  }
+
+  private def foldDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got ${e.sql}")
+  }
+
+  // ------------------------------------------------------------------
+  // text kernels (mirror graft.operators.TextAnalysis)
+  // ------------------------------------------------------------------
+
+  /** Explicit whitespace class — same set in Java and RE2 dialects
+    * (TextAnalysis.Ws; `\s` diverges on \x0B). */
+  private val Ws = " \\t\\n\\x0B\\f\\r"
+
+  private def tokens(text: Expression): Expression =
+    fn("split", fn("lower", fn("trim", text)), L(s"[$Ws]+"))
+
+  private def bpeCount(text: Expression): Expression =
+    fn("aggregate", tokens(text), L(0L),
+      lam2((acc, t) => fn("+", acc,
+        fn("greatest", asLong(fn("ceil", fn("/", fn("length", t), L(4.0)))), L(1L)))))
+
+  private def hitCount(toks: Expression, words: Seq[String]): Expression =
+    fn("size", fn("filter", toks, lam(t => In(t, words.map(L(_))))))
+
+  private def langId(text: Expression): Expression = {
+    val toks = tokens(text)
+    val langs = graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted
+    val scored = langs.zipWithIndex.map { case (lang, i) =>
+      fn("named_struct",
+        L("hits"), hitCount(toks, graft.operators.TextAnalysis.stopwords(lang)),
+        L("inv_rank"), L(langs.size - i),
+        L("lang"), L(lang))
+    }
+    val best = fn("array_max", fn("array", scored: _*))
+    caseWhen(
+      Seq(fn(">", UnresolvedExtractValue(best, L("hits")), L(0)) ->
+        UnresolvedExtractValue(best, L("lang"))),
+      L("und"))
+  }
+
+  private val PunctRe = "[\\.,;:!\\?'\"()\\[\\]{}]"
+
+  private def qualityScore(text: Expression): Expression = {
+    val toks = tokens(text)
+    val nTokens = asDouble(fn("size", toks))
+    val nChars = asDouble(fn("length", text))
+    val stopRatio = fn("/",
+      asDouble(hitCount(toks, graft.operators.TextAnalysis.stopwords("en"))),
+      fn("greatest", nTokens, L(1.0)))
+    val lengthScore = fn("least", fn("/", nTokens, L(64.0)), L(1.0))
+    val punct = fn("-", nChars,
+      asDouble(fn("length", fn("regexp_replace", text, L(PunctRe), L("")))))
+    val punctPenalty = fn("least",
+      fn("*", fn("/", punct, fn("greatest", nChars, L(1.0))), L(5.0)), L(1.0))
+    fn("round",
+      fn("-",
+        fn("+",
+          fn("*", L(0.5), lengthScore),
+          fn("*", L(0.5), fn("least", fn("*", stopRatio, L(5.0)), L(1.0)))),
+        fn("*", L(0.25), punctPenalty)),
+      L(6))
+  }
+
+  private def scrub(text: Expression): Expression =
+    fn("trim", fn("regexp_replace",
+      fn("regexp_replace",
+        fn("regexp_replace", text, L(s"https?://[^$Ws]+"), L(" ")),
+        L(s"[^$Ws@]+@[^$Ws@]+\\.[^$Ws@]+"), L(" ")),
+      L(s"[$Ws]+"), L(" ")))
+
+  private def normText(text: Expression): Expression =
+    fn("regexp_replace", fn("lower", fn("trim", text)), L(s"[$Ws]+"), L(" "))
+
+  private def fingerprint(text: Expression): Expression =
+    fn("substring", fn("md5", normText(text)), L(1), L(16))
+
+  private def rollingHash(text: Expression): Expression = {
+    val M = 144115188075855859L // largest prime < 2^57 (TextAnalysis.rollingHash)
+    fn("aggregate", fn("split", normText(text), L("")), L(0L),
+      lam2((acc, ch) => fn("pmod",
+        fn("+", fn("*", acc, L(31L)), fn("coalesce", asLong(fn("ascii", ch)), L(0L))),
+        L(M))))
+  }
+
+  private def shinglesFromTokens(toks: Expression, n: Int): Expression =
+    caseWhen(
+      Seq(LessThan(fn("size", toks), L(n)) -> fn("array")),
+      fn("transform", fn("sequence", L(0), fn("-", fn("size", toks), L(n))),
+        lam(i => fn("concat_ws",
+          L(" ") +: (0 until n).map(j => fn("element_at", toks, fn("+", i, L(j + 1)))): _*))))
+
+  // ------------------------------------------------------------------
+  // dedup kernels (mirror graft.operators.Dedup)
+  // ------------------------------------------------------------------
+
+  private def shingleBases(sh: Expression): Expression =
+    fn("transform", sh,
+      lam(s => asLong(fn("conv", fn("substring", fn("md5", s), L(1), L(7)), L(16), L(10)))))
+
+  private def seedMins(bases: Expression, numHashes: Int): Expression = {
+    require(numHashes <= Dedup.MinhashA.length,
+      s"numHashes ($numHashes) exceeds the ${Dedup.MinhashA.length} available seeds")
+    val mins = (0 until numHashes).map { seed =>
+      fn("coalesce",
+        fn("array_min", fn("transform", bases,
+          lam(h => fn("pmod",
+            fn("+", fn("*", L(Dedup.MinhashA(seed)), h), L(Dedup.MinhashB(seed))),
+            L(Dedup.MinhashPrime))))),
+        L(Dedup.MinhashPrime))
+    }
+    fn("array", mins: _*)
+  }
+
+  private def minhash(text: Expression, shingleN: Int, numHashes: Int): Expression =
+    seedMins(shingleBases(shinglesFromTokens(tokens(text), shingleN)), numHashes)
+
+  private def bandKeys(sig: Expression, numHashes: Int, rowsPerBand: Int): Expression = {
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val slice = (0 until rowsPerBand)
+        .map(r => asString(fn("element_at", sig, L(b * rowsPerBand + r + 1))))
+      fn("concat", L(s"$b:"), fn("md5", fn("concat_ws", L("|") +: slice: _*)))
+    }
+    fn("array", bands: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // sampling kernels (mirror graft.util.Sampling)
+  // ------------------------------------------------------------------
+
+  private def hashBucket(key: Expression, salt: Expression): Expression =
+    fn("pmod",
+      asLong(fn("conv",
+        fn("substring",
+          fn("md5", fn("concat", salt, fn("coalesce", asString(key), L("")))),
+          L(1), L(7)),
+        L(16), L(10))),
+      L(Sampling.Buckets))
+
+  private def hashSplit(key: Expression, trainFrac: Double, valFrac: Double,
+      salt: Expression): Expression = {
+    require(trainFrac > 0.0 && valFrac > 0.0 && trainFrac + valFrac < 1.0,
+      s"need train, val > 0 and train + val < 1; got ($trainFrac, $valFrac)")
+    val bucket = hashBucket(key, salt)
+    val c1 = math.round(trainFrac * Sampling.Buckets)
+    val c2 = c1 + math.round(valFrac * Sampling.Buckets)
+    caseWhen(
+      Seq(LessThan(bucket, L(c1)) -> L("train"), LessThan(bucket, L(c2)) -> L("val")),
+      L("test"))
+  }
+
+  // ------------------------------------------------------------------
+  // registry table — consumed by GraftFunctions.register / GraftExtensions
+  // ------------------------------------------------------------------
+
+  private def arity(name: String, ns: Int*): Nothing =
+    throw new IllegalArgumentException(
+      s"$name expects ${ns.mkString(" or ")} argument(s)")
+
+  private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_tokens" -> (a => tokens(a.head)),
+    "graft_bpe_count" -> (a => bpeCount(a.head)),
+    "graft_lang_id" -> (a => langId(a.head)),
+    "graft_quality_score" -> (a => qualityScore(a.head)),
+    "graft_scrub" -> (a => scrub(a.head)),
+    "graft_fingerprint" -> (a => fingerprint(a.head)),
+    "graft_rolling_hash" -> (a => rollingHash(a.head)),
+    "graft_shingles" -> (a =>
+      shinglesFromTokens(tokens(a.head), foldInt(a(1), "shingle n"))),
+    "graft_minhash" -> (a =>
+      minhash(a.head, foldInt(a(1), "shingle n"), foldInt(a(2), "numHashes"))),
+    "graft_band_keys" -> (a =>
+      bandKeys(a.head, foldInt(a(1), "numHashes"), foldInt(a(2), "rowsPerBand"))),
+    "graft_hash_bucket" -> {
+      case Seq(key) => hashBucket(key, L(""))
+      case Seq(key, salt) => hashBucket(key, salt)
+      case _ => arity("graft_hash_bucket", 1, 2)
+    },
+    "graft_hash_split" -> {
+      case Seq(key, tr, va) =>
+        hashSplit(key, foldDouble(tr, "train fraction"), foldDouble(va, "val fraction"), L(""))
+      case Seq(key, tr, va, salt) =>
+        hashSplit(key, foldDouble(tr, "train fraction"), foldDouble(va, "val fraction"), salt)
+      case _ => arity("graft_hash_split", 3, 4)
+    })
+}

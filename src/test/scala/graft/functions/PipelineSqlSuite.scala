@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Dedup, TextAnalysis}
+import graft.util.Sampling
+
+/** SQL-vs-Column parity for every pipeline kernel registered in
+  * [[PipelineSqlFunctions]]: the SQL surface and the Column API must
+  * produce identical results row-for-row, so the two sources of truth
+  * (UnresolvedFunction trees vs Column compositions) cannot drift. */
+class PipelineSqlSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "le chat et le chien sont dans la maison de la ville"),
+      (3L, ""),
+      (4L, null),
+      (5L, "Visit https://example.com/x?y=1 or mail a.b@test.org today!"),
+      (6L, "internationalization supercalifragilistic antidisestablishmentarianism"),
+      (7L, "tab\therevtab and\nnewline mixed   spaces"),
+      (8L, "Punct!!! ??? ,,, ;;; ::: ''' \"\"\" ((( ))) [[[ ]]] {{{ }}}"),
+      (9L, "the quick brown fox jumps over the lazy dog and runs away"), // dup of 1 mod case
+      (10L, "der Hund und die Katze sind mit dem Ball im Garten")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("pipe_docs")
+    df
+  }
+
+  /** Collects (doc_id, value) maps from both surfaces and compares. */
+  private def parity(sqlExpr: String, colExpr: org.apache.spark.sql.Column): Unit = {
+    docs // force fixture view + function registration
+    val viaSql = spark.sql(s"SELECT doc_id, $sqlExpr AS v FROM pipe_docs ORDER BY doc_id")
+      .collect().map(r => r.get(0) -> r.get(1)).toSeq
+    val viaCol = docs.select(col("doc_id"), colExpr.as("v")).orderBy("doc_id")
+      .collect().map(r => r.get(0) -> r.get(1)).toSeq
+    assert(viaSql == viaCol, s"SQL '$sqlExpr' diverged from the Column API")
+  }
+
+  test("graft_tokens == TextAnalysis.tokens") {
+    parity("graft_tokens(text)", TextAnalysis.tokens(col("text")))
+  }
+
+  test("graft_bpe_count == TextAnalysis.approxBpeCount") {
+    parity("graft_bpe_count(text)", TextAnalysis.approxBpeCount(col("text")))
+  }
+
+  test("graft_lang_id == TextAnalysis.langId (en/fr/de hits + und fallback)") {
+    parity("graft_lang_id(text)", TextAnalysis.langId(col("text")))
+    val got = spark.sql(
+      "SELECT doc_id, graft_lang_id(text) AS l FROM pipe_docs WHERE doc_id IN (1,2,10,6)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 10L -> "de", 6L -> "und"))
+  }
+
+  test("graft_quality_score == TextAnalysis.qualityScore") {
+    parity("graft_quality_score(text)", TextAnalysis.qualityScore(col("text")))
+  }
+
+  test("graft_scrub == TextAnalysis.scrub (urls + emails gone)") {
+    parity("graft_scrub(text)", TextAnalysis.scrub(col("text")))
+    val s = spark.sql("SELECT graft_scrub(text) AS s FROM pipe_docs WHERE doc_id = 5")
+      .head().getString(0)
+    assert(s == "Visit or mail today!")
+  }
+
+  test("graft_fingerprint == TextAnalysis.fingerprint (case/ws-normalized)") {
+    parity("graft_fingerprint(text)", TextAnalysis.fingerprint(col("text")))
+    val fps = spark.sql(
+      "SELECT graft_fingerprint(text) AS f FROM pipe_docs WHERE doc_id IN (1, 9)")
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1, "case-insensitive dup must share a fingerprint")
+  }
+
+  test("graft_rolling_hash == TextAnalysis.rollingHash") {
+    parity("graft_rolling_hash(text)", TextAnalysis.rollingHash(col("text")))
+  }
+
+  test("graft_shingles == TextAnalysis.shingles") {
+    parity("graft_shingles(text, 3)", TextAnalysis.shingles(col("text"), 3))
+  }
+
+  test("graft_minhash == Dedup.minhashSignature") {
+    parity("graft_minhash(text, 3, 8)", Dedup.minhashSignature(col("text"), 3, 8))
+  }
+
+  test("graft_band_keys == Dedup.lshBandKeys over the same signature") {
+    parity("graft_band_keys(graft_minhash(text, 3, 8), 8, 2)",
+      Dedup.lshBandKeys(Dedup.minhashSignature(col("text"), 3, 8), 8, 2))
+  }
+
+  test("graft_hash_bucket / graft_hash_split == Sampling twins") {
+    parity("graft_hash_bucket(doc_id)", Sampling.hashBucket(col("doc_id")))
+    parity("graft_hash_bucket(doc_id, 'epoch7')", Sampling.hashBucket(col("doc_id"), "epoch7"))
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_hash_split(doc_id, 0.8, 0.1) AS v FROM pipe_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val viaCol = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split")).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("static params must be literals; bad arity/fractions rejected") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM pipe_docs").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_hash_split(doc_id, 0.8, 0.4) FROM pipe_docs").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_hash_bucket() FROM pipe_docs").collect()
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // whole pipelines in pure SQL, checked against the DataFrame ops
+  // ----------------------------------------------------------------
+
+  test("near-dup candidate pairs in pure SQL == Dedup.minhashCandidatePairs") {
+    docs // force fixture + registration
+    val sql = spark.sql(
+      """WITH banded AS (
+           SELECT doc_id, band
+           FROM pipe_docs
+           LATERAL VIEW explode(graft_band_keys(graft_minhash(text, 3, 8), 8, 2)) AS band)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val api = Dedup.minhashCandidatePairs(docs, "doc_id", col("text"))
+      .orderBy("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sql == api)
+    assert(sql.contains((1L, 9L)), "case-variant dup pair must be a candidate")
+  }
+
+  test("top terms in pure SQL == TextAnalysis.topTerms") {
+    docs
+    val sql = spark.sql(
+      """SELECT term, count(1) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+         FROM pipe_docs LATERAL VIEW explode(graft_tokens(text)) AS term
+         WHERE term <> ''
+         GROUP BY term ORDER BY n_occurrences DESC, term ASC LIMIT 5""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val api = TextAnalysis.topTerms(docs, "doc_id", col("text"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sql == api)
+  }
+}
