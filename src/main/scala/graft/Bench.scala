@@ -40,28 +40,48 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // Host noise swings identical-code timings up to ~2x run-to-run (q66
+    // measured 1.03s vs 2.24s across rounds with zero engine change), so the
+    // headline per-query number is the MIN over SPARK_GRAFT_RUNS full passes
+    // (default 2; set 1 for the dev loop) — the min is the least-noise
+    // estimate of the plan's true cost. Raw per-run timings are kept in
+    // "runs" so regressions can still be told from variance.
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     // A failed query must not masquerade as a fast timing: keep a per-query
     // ok flag, surface the stack trace on stderr, and exit non-zero if any
     // query failed so the driver can tell a clean run from a broken one.
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch {
-          case t: Throwable =>
-            System.err.println(s"BENCH FAIL $name: $t")
-            t.printStackTrace()
-            false
-        }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    val runs: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch {
+            case t: Throwable =>
+              System.err.println(s"BENCH FAIL $name: $t")
+              t.printStackTrace()
+              false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }
     }
+    // min over SUCCESSFUL passes; a query with no successful pass keeps its
+    // fastest failing time and lands in `failed`
+    val results = selected.keys.map { name =>
+      val perRun = runs.map(_(name))
+      val okTimes = perRun.collect { case (t, true) => t }
+      val v = if (okTimes.nonEmpty) okTimes.min else perRun.map(_._1).min
+      name -> ((v, perRun.forall(_._2)))
+    }.toMap
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rawRuns = selected.keys.map { name =>
+      s"\"" + name + "\":" + runs.map(_(name)._1).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also drop the bare line in a file: under sbt every stdout line gets an
     // "[info] " prefix, which breaks naive line-wise JSON parsing downstream
