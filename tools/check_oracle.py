@@ -39,17 +39,35 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind='mergesort').reset_index(drop=True)
     return df
 
-def dtype_parity(name, a, b):
+INT_DUCK = ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+            'UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT')
+
+def dtype_parity(name, a, b, duck_types):
     """Mirror the driver's hash sensitivity: an int64 Spark column vs a
     float64 DuckDB column (e.g. HUGEINT from SUM(BIGINT) -> pandas float)
-    hashes differently even when every value is equal. Flag int-vs-float
-    mismatches where the float side has no NaN (a NaN-bearing float column
-    is just nullable-int coercion and affects both sides identically)."""
+    hashes differently even when every value is equal.
+
+    Primary check uses DuckDB's DECLARED result types (DESCRIBE <query>),
+    so HUGEINT is caught even when the column carries NULLs — a nullable
+    HUGEINT becomes float64-with-NaN in pandas, which the old
+    post-conversion-dtype check exempted. Falls back to the pandas-dtype
+    heuristic when declared types are unavailable."""
     errs = []
     for c in sorted(set(a.columns) & set(b.columns)):
         av, bv = a[c], b[c]
-        ai, bi = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
-        af, bf = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        ai = pd.api.types.is_integer_dtype(av)
+        af = pd.api.types.is_float_dtype(av)
+        decl = duck_types.get(c, '').upper()
+        if decl:
+            if decl.startswith(('HUGEINT', 'UHUGEINT')) and (ai or af):
+                errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl} '
+                            f'(wrap the oracle aggregate in CAST ... AS BIGINT)')
+            elif decl.startswith(INT_DUCK) and af and not av.isna().any():
+                errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl}')
+            elif decl.startswith(('DOUBLE', 'FLOAT', 'REAL')) and ai:
+                errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl}')
+            continue
+        bi, bf = pd.api.types.is_integer_dtype(bv), pd.api.types.is_float_dtype(bv)
         if ai and bf and not bv.isna().any():
             errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck={bv.dtype} '
                         f'(oracle likely needs CAST ... AS BIGINT — DuckDB HUGEINT?)')
@@ -57,12 +75,12 @@ def dtype_parity(name, a, b):
             errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck={bv.dtype}')
     return errs
 
-def compare(name, a, b):
+def compare(name, a, b, duck_types=None):
     if a is None:
         return f'{name}: MISSING spark output'
     if list(sorted(a.columns)) != list(sorted(b.columns)):
         return f'{name}: COLUMN MISMATCH spark={sorted(a.columns)} duck={sorted(b.columns)}'
-    dt = dtype_parity(name, a, b)
+    dt = dtype_parity(name, a, b, duck_types or {})
     if dt:
         return '; '.join(dt)
     a, b = norm(a.copy()), norm(b.copy())
@@ -99,9 +117,15 @@ def main():
         except Exception as e:
             failures.append(f'{name}: DUCKDB ERROR {e}')
             continue
+        # declared result types (NULL-proof, unlike post-pandas dtypes)
+        try:
+            duck_types = {r[0]: r[1] for r in
+                          con.execute(f'DESCRIBE {oracle[name]}').fetchall()}
+        except Exception:
+            duck_types = {}
         try:
             spark = load_spark(outdir, name)
-            err = compare(name, spark, duck)
+            err = compare(name, spark, duck, duck_types)
         except Exception as e:
             err = f'{name}: COMPARE ERROR {type(e).__name__} {e}'
         if err:
