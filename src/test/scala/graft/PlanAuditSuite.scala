@@ -195,4 +195,24 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!filterLines.contains("split(lower"),
       s"tokenizer inlined into a filter — InferFiltersFromGenerate regression:\n$filterLines")
   }
+
+  test("admin page: TakeOrderedAndProject with offset, posts broadcast — no sort funnel (T7/T9)") {
+    val p = staticPlan("q84_admin_page")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("offset=25"),
+      s"pagination must plan as a distributed heap with offset, not Sort+GlobalLimit:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the posts listing slice must broadcast:\n$p")
+  }
+
+  test("image roundtrip: payload bytes never cross an exchange (X22)") {
+    val p = staticPlan("q85_image_roundtrip")
+    // the text shuffle (parallelizing the encode) happens BEFORE payloads
+    // exist; the final sort exchange carries only the 4 decoded columns —
+    // no Exchange may ever move the binary payload at any scale
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload"),
+      s"an exchange is moving payload bytes:\n$exchanges")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"the pre-render repartition must spread the encode across cores:\n$p")
+  }
 }

@@ -62,6 +62,8 @@ class GraftFunctionsSuite extends AnyFunSuite {
     GraftFunctions.register(fresh) // same surface the injector wires at build time
     assert(fresh.sql("SELECT vec_dot(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT)))")
       .head().getDouble(0) == 6.0)
+    // pipeline kernels ride the same shared table
+    assert(fresh.sql("SELECT graft_tokens(' A  b ')").head().getSeq[String](0) == Seq("a", "b"))
     // injector itself is exercised for coverage (builder-time use needs a
     // brand-new SparkContext, which a shared test JVM cannot afford)
     val dummy = new org.apache.spark.sql.SparkSessionExtensions
