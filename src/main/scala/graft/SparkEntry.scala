@@ -830,6 +830,17 @@ object SparkEntry {
       val media = Multimodal.fromTextAsImages(t(s, d, "documents"), "doc_id", "text")
       Multimodal.decodeImages(Multimodal.resizeImages(media, 2))
         .orderBy(col("media_id"))
+    }),
+    "q86_audio_roundtrip" -> ((s, d) => {
+      // real javax.sound.sampled path: render content-dependent WAVs,
+      // decode through AudioSystem — the container-declared rate/frames
+      // only match the oracle arithmetic if the codec round-trip ran.
+      // rms/zero_crossings are decode-derived (unit-tested, not oracle-
+      // expressible) and are projected away here
+      val media = Multimodal.fromTextAsWavs(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("sample_rate"), col("n_frames"), col("duration_ms"))
+        .orderBy(col("media_id"))
     }))
 
   // ======================================================================
@@ -1701,5 +1712,11 @@ object SparkEntry {
                 CAST((16 + strlen(COALESCE(text, '')) % 48) // 2 AS BIGINT) AS height,
                 CAST(((16 + doc_id % 48) // 2)
                      * ((16 + strlen(COALESCE(text, '')) % 48) // 2) AS BIGINT) AS n_pixels
+         FROM documents ORDER BY media_id""",
+    "q86_audio_roundtrip" ->
+      """SELECT doc_id AS media_id,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(400 + strlen(COALESCE(text, '')) % 800 AS BIGINT) AS n_frames,
+                CAST((400 + strlen(COALESCE(text, '')) % 800) * 1000 // 8000 AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""")
 }

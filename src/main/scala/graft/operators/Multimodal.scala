@@ -117,6 +117,105 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec (JDK `javax.sound.sampled` — WAV/PCM, no external
+    * libs). Mono 16-bit little-endian PCM; deterministic render from an
+    * md5 stream, real container decode through AudioSystem. Compressed
+    * codecs (mp3/ogg) are not in the JDK and stay out of scope. */
+  private[operators] object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    def format(sampleRate: Int): AudioFormat =
+      new AudioFormat(sampleRate.toFloat, 16, 1, true /* signed */, false /* LE */)
+
+    /** Deterministic PCM render: 16-bit samples from an md5 stream over
+      * (seed, blockNo) — same contract as ImageCodec.render. */
+    def render(seed: Array[Byte], nFrames: Int): Array[Short] = {
+      val out = new Array[Short](nFrames)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      var block = 0
+      while (i < nFrames) {
+        md.reset()
+        md.update(seed)
+        md.update(Array[Byte](
+          (block >> 24).toByte, (block >> 16).toByte, (block >> 8).toByte, block.toByte))
+        val d = md.digest()
+        var j = 0
+        while (j < 8 && i < nFrames) {
+          out(i) = (((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)).toShort
+          i += 1; j += 1
+        }
+        block += 1
+      }
+      out
+    }
+
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), format(sampleRate), samples.length.toLong)
+      val bos = new ByteArrayOutputStream(pcm.length + 64)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** (sampleRate, samples), or null on null/empty/undecodable payload. */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+      if (bytes == null || bytes.length == 0) return null
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return null
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        if (fmt.isBigEndian)
+          while (i < n) {
+            out(i) = (((pcm(2 * i) & 0xff) << 8) | (pcm(2 * i + 1) & 0xff)).toShort; i += 1
+          }
+        else
+          while (i < n) {
+            out(i) = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort; i += 1
+          }
+        (fmt.getSampleRate.toInt, out)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    }
+
+    /** Root-mean-square amplitude normalized to [0,1]. */
+    def rms(samples: Array[Short]): Double = {
+      if (samples.isEmpty) return 0.0
+      var acc = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i) / 32768.0
+        acc += s * s; i += 1
+      }
+      math.sqrt(acc / samples.length)
+    }
+
+    /** Sign-change count — the classic cheap spectral-content proxy. */
+    def zeroCrossings(samples: Array[Short]): Long = {
+      var n = 0L
+      var i = 1
+      while (i < samples.length) {
+        if ((samples(i - 1) < 0) != (samples(i) < 0)) n += 1
+        i += 1
+      }
+      n
+    }
+  }
+
   /** media payload schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -220,6 +319,59 @@ object Multimodal {
           val h = math.max(1, img.getHeight / div)
           Row.fromSeq(r.toSeq.updated(pIdx,
             ImageCodec.encode(ImageCodec.resize(img, w, h), "png")))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real-codec audio variant of [[fromText]]: each row becomes an actual
+    * mono 16-bit WAV whose samples are an md5 stream over the text and
+    * whose frame count is content-dependent (`400 + octet_length(text) %
+    * 800` at 8 kHz) — a downstream decode proves the WAV round-trip.
+    * Same scale shape as [[fromTextAsImages]]: light rows repartition
+    * BEFORE the render, payloads never shuffle. */
+  def fromTextAsWavs(docs: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000, numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getString(1).getBytes("UTF-8")
+          val frames = 400 + seed.length % 800
+          val wav = AudioCodec.encodeWav(AudioCodec.render(seed, frames), sampleRate)
+          Row(id, "audio", wav,
+            Row(null, null, sampleRate, frames.toLong * 1000L / sampleRate, "wav"))
+        }
+      }(enc)
+  }
+
+  /** Real audio decode pass: payload -> container-declared rate + frame
+    * count + cheap signal features (RMS, zero crossings). Undecodable or
+    * null payloads yield null fields instead of failing the scan. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.decodeWav(r.getAs[Array[Byte]]("payload")) match {
+          case null => Row(r.getLong(0), null, null, null, null, null)
+          case (rate, samples) =>
+            Row(r.getLong(0), rate.toLong, samples.length.toLong,
+              samples.length.toLong * 1000L / rate,
+              AudioCodec.rms(samples), AudioCodec.zeroCrossings(samples))
         }
       }
     }(enc)

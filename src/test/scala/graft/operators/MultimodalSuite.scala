@@ -82,6 +82,38 @@ class MultimodalSuite extends AnyFunSuite {
     assert(resized(34L).getLong(1) == 50 / 2 && resized(34L).getLong(2) == 20 / 2)
   }
 
+  // ------------------------------------------------------------------
+  // real javax.sound.sampled codec path
+  // ------------------------------------------------------------------
+
+  private lazy val wavs = Multimodal.fromTextAsWavs(
+    Seq((1L, "hello world"), (2L, ""), (3L, "x" * 850))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+  test("fromTextAsWavs emits real RIFF/WAVE payloads with content-dependent frames") {
+    val rows = wavs.collect().map(r => r.getLong(0) -> r).toMap
+    val wav1 = rows(1L).getAs[Array[Byte]]("payload")
+    assert(new String(wav1.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav1.slice(8, 12), "US-ASCII") == "WAVE",
+      "real WAV container expected, not a byte stub")
+    val meta3 = rows(3L).getStruct(rows(3L).fieldIndex("meta"))
+    assert(meta3.getInt(2) == 8000 && meta3.getLong(3) == (400 + 850 % 800) * 1000L / 8000)
+  }
+
+  test("decodeAudio recovers rate/frames; deterministic rms + zero crossings") {
+    val d = Multimodal.decodeAudio(wavs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(d(1L).getLong(1) == 8000L && d(1L).getLong(2) == 400 + 11 % 800)
+    assert(d(3L).getLong(2) == 450L && d(3L).getLong(3) == 450L * 1000 / 8000)
+    // md5-stream PCM is ~uniform noise: rms near 1/sqrt(3), many crossings
+    val rms = d(1L).getDouble(4)
+    assert(rms > 0.4 && rms < 0.7, s"uniform-noise rms expected, got $rms")
+    assert(d(1L).getLong(5) > 100L, "noise must cross zero often")
+    val again = Multimodal.decodeAudio(wavs).collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again(1L) == rms, "decode is deterministic")
+    // text payloads are not WAVs -> null fields, no crash
+    assert(Multimodal.decodeAudio(media).collect().forall(_.isNullAt(1)))
+  }
+
   test("extractFeatures routes image payloads through the real luma decode") {
     val feats = Multimodal.extractFeatures(images, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
