@@ -183,6 +183,12 @@ object PipelineSqlFunctions {
   private def minhash(text: Expression, shingleN: Int, numHashes: Int): Expression =
     seedMins(shingleBases(shinglesFromTokens(tokens(text), shingleN)), numHashes)
 
+  /** 64-bit simhash over per-token 60-bit md5 hashes — same tree as
+    * Dedup.simhash64 (the SimHash64 codegen Expression takes the array). */
+  private def simhash64(text: Expression): Expression =
+    SimHash64(fn("transform", tokens(text),
+      lam(t => asLong(fn("conv", fn("substring", fn("md5", t), L(1), L(15)), L(16), L(10))))))
+
   private def bandKeys(sig: Expression, numHashes: Int, rowsPerBand: Int): Expression = {
     require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
@@ -237,6 +243,7 @@ object PipelineSqlFunctions {
     "graft_rolling_hash" -> (a => rollingHash(a.head)),
     "graft_shingles" -> (a =>
       shinglesFromTokens(tokens(a.head), foldInt(a(1), "shingle n"))),
+    "graft_simhash" -> (a => simhash64(a.head)),
     "graft_minhash" -> (a =>
       minhash(a.head, foldInt(a(1), "shingle n"), foldInt(a(2), "numHashes"))),
     "graft_band_keys" -> (a =>

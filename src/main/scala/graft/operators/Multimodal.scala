@@ -398,9 +398,26 @@ object Multimodal {
     out
   }
 
+  /** Sample-magnitude histogram, `dim` buckets, L1-normalized — the audio
+    * counterpart of ImageCodec.lumaFeature (same output contract). */
+  private[operators] def audioFeature(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var i = 0
+    while (i < samples.length) {
+      val mag = math.abs(samples(i).toInt) // 0..32768
+      out(math.min(mag * dim / 32769, dim - 1)) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { out(j) /= samples.length; j += 1 }
+    out
+  }
+
   /** Per-partition batch decode: payload -> compact feature, dropping the
     * heavy bytes before anything downstream shuffles. Payloads that decode
-    * as real images get a luma histogram via javax.imageio; everything else
+    * as real images get a luma histogram via javax.imageio; real WAVs get
+    * a sample-magnitude histogram via javax.sound.sampled; everything else
     * falls back to the byte-histogram stub (same L1-normalized contract). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
@@ -411,7 +428,10 @@ object Multimodal {
         val img = ImageCodec.decode(payload)
         val feature =
           if (img != null) ImageCodec.lumaFeature(img, dim)
-          else decodeBytes(payload, dim)
+          else AudioCodec.decodeWav(payload) match {
+            case null => decodeBytes(payload, dim)
+            case (_, samples) => audioFeature(samples, dim)
+          }
         Row(r.getLong(0), r.getString(1),
           (if (payload == null) 0 else payload.length).toLong,
           feature)

@@ -87,6 +87,10 @@ class PipelineSqlSuite extends AnyFunSuite {
     parity("graft_shingles(text, 3)", TextAnalysis.shingles(col("text"), 3))
   }
 
+  test("graft_simhash == Dedup.simhash64") {
+    parity("graft_simhash(text)", Dedup.simhash64(col("text")))
+  }
+
   test("graft_minhash == Dedup.minhashSignature") {
     parity("graft_minhash(text, 3, 8)", Dedup.minhashSignature(col("text"), 3, 8))
   }

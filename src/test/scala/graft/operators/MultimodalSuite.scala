@@ -114,6 +114,16 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.decodeAudio(media).collect().forall(_.isNullAt(1)))
   }
 
+  test("extractFeatures routes WAV payloads through the real sample decode") {
+    val feats = Multimodal.extractFeatures(wavs, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(feats.values.forall(f => f.length == 8 && math.abs(f.map(_.toDouble).sum - 1.0) < 1e-5))
+    // must be the magnitude histogram of the decoded samples, not a byte hist
+    val wav1 = wavs.filter($"media_id" === 1L).head().getAs[Array[Byte]]("payload")
+    val (_, samples) = Multimodal.AudioCodec.decodeWav(wav1)
+    assert(feats(1L) == Multimodal.audioFeature(samples, 8).toSeq)
+  }
+
   test("extractFeatures routes image payloads through the real luma decode") {
     val feats = Multimodal.extractFeatures(images, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
