@@ -841,6 +841,14 @@ object SparkEntry {
       Multimodal.decodeAudio(media)
         .select(col("media_id"), col("sample_rate"), col("n_frames"), col("duration_ms"))
         .orderBy(col("media_id"))
+    }),
+    "q87_video_frames" -> ((s, d) => {
+      // GFV0 container path: render 2+id%4 PNG frames per doc, demux the
+      // stream, sample every 2nd frame, decode each through javax.imageio
+      // — frame numbers and decoded dims must match the oracle arithmetic
+      val media = Multimodal.fromTextAsVideos(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.demuxFrames(media, stride = 2)
+        .orderBy(col("media_id"), col("frame_no"))
     }))
 
   // ======================================================================
@@ -1718,5 +1726,12 @@ object SparkEntry {
                 CAST(8000 AS BIGINT) AS sample_rate,
                 CAST(400 + strlen(COALESCE(text, '')) % 800 AS BIGINT) AS n_frames,
                 CAST((400 + strlen(COALESCE(text, '')) % 800) * 1000 // 8000 AS BIGINT) AS duration_ms
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    "q87_video_frames" ->
+      """SELECT doc_id AS media_id,
+                CAST(f AS INT) AS frame_no,
+                CAST(16 + doc_id % 48 AS BIGINT) AS width,
+                CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
+         FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
+         ORDER BY media_id, frame_no""")
 }

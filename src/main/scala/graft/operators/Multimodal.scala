@@ -216,6 +216,48 @@ object Multimodal {
     }
   }
 
+  /** Toy-but-real video container: `"GFV0"` magic, 4-byte BE frame count,
+    * then per frame a 4-byte BE length + a PNG-encoded frame. The JDK has
+    * no mp4/mkv demuxer, so this length-prefixed format stands in for the
+    * container layer — but everything above it is real: the demux PARSES
+    * the stream (no byte-range guessing) and every frame round-trips
+    * through `javax.imageio`. */
+  private[operators] object VideoCodec {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+    val Magic: Array[Byte] = "GFV0".getBytes("US-ASCII")
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(frames.map(_.length + 4).sum + 8)
+      val out = new DataOutputStream(bos)
+      out.write(Magic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      bos.toByteArray
+    }
+
+    /** Parsed frames as (frameNo, pngBytes), or null when the payload is
+      * not a GFV0 stream or is truncated mid-frame. */
+    def decode(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 8 || !bytes.startsWith(Magic)) return null
+      val in = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+      val n = in.getInt
+      if (n < 0) return null
+      val frames = Seq.newBuilder[(Int, Array[Byte])]
+      var i = 0
+      while (i < n) {
+        if (in.remaining < 4) return null
+        val len = in.getInt
+        if (len < 0 || in.remaining < len) return null
+        val f = new Array[Byte](len)
+        in.get(f)
+        frames += ((i, f))
+        i += 1
+      }
+      frames.result()
+    }
+  }
+
   /** media payload schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -372,6 +414,62 @@ object Multimodal {
             Row(r.getLong(0), rate.toLong, samples.length.toLong,
               samples.length.toLong * 1000L / rate,
               AudioCodec.rms(samples), AudioCodec.zeroCrossings(samples))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real-container video variant of [[fromText]]: `2 + id % 4` PNG frames
+    * (per-frame seeds, shared content-dependent dims) in a GFV0 stream.
+    * Same scale shape as the image/audio paths. */
+  def fromTextAsVideos(docs: DataFrame, idCol: String, textCol: String,
+      fps: Int = 25, numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getString(1).getBytes("UTF-8")
+          val w = (16 + id % 48).toInt
+          val h = (16 + seed.length % 48).toInt
+          val nFrames = (2 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            ImageCodec.encode(ImageCodec.render(seed :+ f.toByte, w, h), "png")
+          }
+          Row(id, "video", VideoCodec.encode(frames),
+            Row(w, h, null, nFrames.toLong * 1000L / fps, "gfv-png"))
+        }
+      }(enc)
+  }
+
+  /** Real frame sampling: demux the GFV0 container, keep every `stride`-th
+    * frame, decode each kept frame through javax.imageio — one output row
+    * per sampled frame with its decoded dims. Payloads that are not GFV0
+    * streams are skipped (a corrupt file must not kill a 100 TB scan). */
+  def demuxFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.decode(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case frames =>
+            frames.iterator.collect { case (f, png) if f % stride == 0 =>
+              val img = ImageCodec.decode(png)
+              if (img == null) Row(r.getLong(0), f, null, null)
+              else Row(r.getLong(0), f, img.getWidth.toLong, img.getHeight.toLong)
+            }
         }
       }
     }(enc)

@@ -114,6 +114,34 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.decodeAudio(media).collect().forall(_.isNullAt(1)))
   }
 
+  // ------------------------------------------------------------------
+  // GFV0 container path (real demux + per-frame javax.imageio decode)
+  // ------------------------------------------------------------------
+
+  private lazy val videos = Multimodal.fromTextAsVideos(
+    Seq((1L, "hello world"), (6L, "long clip " * 10), (3L, ""))
+      .toDF("doc_id", "text"), "doc_id", "text")
+
+  test("fromTextAsVideos emits a parseable GFV0 stream of real PNG frames") {
+    val v6 = videos.filter($"media_id" === 6L).head()
+    val frames = Multimodal.VideoCodec.decode(v6.getAs[Array[Byte]]("payload"))
+    assert(frames != null && frames.length == (2 + 6 % 4), "frame count from the header")
+    assert(frames.forall { case (_, png) =>
+      png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) })
+    assert(frames.map(_._2.toSeq).distinct.length == frames.length,
+      "per-frame seeds must differ, not one repeated frame")
+  }
+
+  test("demuxFrames samples every stride-th frame with real decoded dims") {
+    val rows = Multimodal.demuxFrames(videos, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // id=1: 3 frames -> 0, 2 survive; id=6: 4 frames -> 0, 2; id=3: 5 frames -> 0, 2, 4
+    assert(rows.keySet == Set((1L, 0), (1L, 2), (6L, 0), (6L, 2), (3L, 0), (3L, 2), (3L, 4)))
+    assert(rows((1L, 0)) == (17L, 16 + 11 % 48) && rows((6L, 0)) == (22L, 16 + 100 % 48))
+    // garbage payloads (utf-8 text) are skipped, not crashed on
+    assert(Multimodal.demuxFrames(media).collect().isEmpty)
+  }
+
   test("extractFeatures routes WAV payloads through the real sample decode") {
     val feats = Multimodal.extractFeatures(wavs, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
