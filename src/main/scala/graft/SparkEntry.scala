@@ -814,8 +814,10 @@ object SparkEntry {
       // with the posts left-join for the listing columns. post_chars is
       // coalesced to -1: a nullable int would round-trip as float64 on
       // one side of the driver's hash compare
+      // the outer coalesce below maps BOTH join misses and null n_chars
+      // to the -1 sentinel, matching the oracle's COALESCE(d.n_chars, -1)
       val posts = docsAsPosts(s, d)
-        .select(col("ID"), coalesce(col("n_chars"), lit(-1)).as("post_chars"))
+        .select(col("ID"), col("n_chars").as("post_chars"))
       EmbedQueue.adminPage(queueFromEvents(s, d), Some(posts), page = 2)
         .select(col("job_id"), col("status"),
           coalesce(col("post_chars"), lit(-1)).as("post_chars"),

@@ -77,8 +77,9 @@ object PipelineSqlFunctions {
   // ------------------------------------------------------------------
 
   /** Explicit whitespace class — same set in Java and RE2 dialects
-    * (TextAnalysis.Ws; `\s` diverges on \x0B). */
-  private val Ws = " \\t\\n\\x0B\\f\\r"
+    * (`\s` diverges on \x0B). Referenced, not copied: one source of
+    * truth with the Column-API kernels. */
+  private val Ws = graft.operators.TextAnalysis.Ws
 
   private def tokens(text: Expression): Expression =
     fn("split", fn("lower", fn("trim", text)), L(s"[$Ws]+"))
@@ -107,7 +108,7 @@ object PipelineSqlFunctions {
       L("und"))
   }
 
-  private val PunctRe = "[\\.,;:!\\?'\"()\\[\\]{}]"
+  private val PunctRe = graft.operators.TextAnalysis.PunctRe
 
   private def qualityScore(text: Expression): Expression = {
     val toks = tokens(text)
@@ -233,20 +234,26 @@ object PipelineSqlFunctions {
     throw new IllegalArgumentException(
       s"$name expects ${ns.mkString(" or ")} argument(s)")
 
+  /** Wrong argument counts must surface as the clean arity message, not an
+    * IndexOutOfBounds from inside the builder. */
+  private def fixed(name: String, n: Int)(
+      b: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+    name -> (args => if (args.length == n) b(args) else arity(name, n))
+
   private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_tokens" -> (a => tokens(a.head)),
-    "graft_bpe_count" -> (a => bpeCount(a.head)),
-    "graft_lang_id" -> (a => langId(a.head)),
-    "graft_quality_score" -> (a => qualityScore(a.head)),
-    "graft_scrub" -> (a => scrub(a.head)),
-    "graft_fingerprint" -> (a => fingerprint(a.head)),
-    "graft_rolling_hash" -> (a => rollingHash(a.head)),
-    "graft_shingles" -> (a =>
+    fixed("graft_tokens", 1)(a => tokens(a.head)),
+    fixed("graft_bpe_count", 1)(a => bpeCount(a.head)),
+    fixed("graft_lang_id", 1)(a => langId(a.head)),
+    fixed("graft_quality_score", 1)(a => qualityScore(a.head)),
+    fixed("graft_scrub", 1)(a => scrub(a.head)),
+    fixed("graft_fingerprint", 1)(a => fingerprint(a.head)),
+    fixed("graft_rolling_hash", 1)(a => rollingHash(a.head)),
+    fixed("graft_shingles", 2)(a =>
       shinglesFromTokens(tokens(a.head), foldInt(a(1), "shingle n"))),
-    "graft_simhash" -> (a => simhash64(a.head)),
-    "graft_minhash" -> (a =>
+    fixed("graft_simhash", 1)(a => simhash64(a.head)),
+    fixed("graft_minhash", 3)(a =>
       minhash(a.head, foldInt(a(1), "shingle n"), foldInt(a(2), "numHashes"))),
-    "graft_band_keys" -> (a =>
+    fixed("graft_band_keys", 3)(a =>
       bandKeys(a.head, foldInt(a(1), "numHashes"), foldInt(a(2), "rowsPerBand"))),
     "graft_hash_bucket" -> {
       case Seq(key) => hashBucket(key, L(""))

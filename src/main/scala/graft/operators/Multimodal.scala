@@ -73,12 +73,16 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** null on null/empty/undecodable payload (ImageIO contract). */
+    /** null on null/empty/undecodable payload. Catches NonFatal, not just
+      * IOException: the JDK's built-in readers throw RuntimeExceptions
+      * (IndexOutOfBounds/NegativeArraySize/IllegalArgument) on payloads
+      * whose magic bytes pass but whose headers are corrupt — a 100 TB
+      * scan must not die on one such file. */
     def decode(bytes: Array[Byte]): BufferedImage =
       if (bytes == null || bytes.length == 0) null
       else
         try ImageIO.read(new ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
 
     /** Area-agnostic scale via Graphics2D (bilinear). */
     def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
@@ -187,8 +191,9 @@ object Multimodal {
           }
         (fmt.getSampleRate.toInt, out)
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
+        // NonFatal, not just the declared exceptions: corrupt RIFF headers
+        // can surface as RuntimeExceptions from the parser internals
+        case scala.util.control.NonFatal(_) => null
       }
     }
 
@@ -313,6 +318,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id — " +
+            "a negative id would make the sign-preserving % yield dims <= 0")
           val seed = r.getString(1).getBytes("UTF-8")
           // dims keyed on UTF-8 byte length (= DuckDB octet_length), not
           // String.length — UTF-16 units diverge on astral chars
@@ -351,6 +358,15 @@ object Multimodal {
     require(div >= 1, s"div must be >= 1, got $div")
     val enc = RowEncoder.encoderFor(media.schema)
     val pIdx = media.schema.fieldIndex("payload")
+    // meta.width/height must keep describing the payload after the rewrite
+    // — a stale struct poisons any consumer that trusts it over a decode
+    val metaIdx = media.schema.fieldNames.indexOf("meta")
+    val (wIdx, hIdx) =
+      if (metaIdx < 0) (-1, -1)
+      else {
+        val st = media.schema(metaIdx).dataType.asInstanceOf[StructType]
+        (st.fieldNames.indexOf("width"), st.fieldNames.indexOf("height"))
+      }
     media.mapPartitions { rows =>
       rows.map { r =>
         // positional access: rows off an encoder pipeline carry no schema
@@ -359,8 +375,17 @@ object Multimodal {
         else {
           val w = math.max(1, img.getWidth / div)
           val h = math.max(1, img.getHeight / div)
-          Row.fromSeq(r.toSeq.updated(pIdx,
-            ImageCodec.encode(ImageCodec.resize(img, w, h), "png")))
+          val png = ImageCodec.encode(ImageCodec.resize(img, w, h), "png")
+          val base = r.toSeq.updated(pIdx, png)
+          val withMeta =
+            if (metaIdx < 0 || r.isNullAt(metaIdx)) base
+            else {
+              val m = r.getStruct(metaIdx).toSeq
+              val m2 = if (wIdx >= 0) m.updated(wIdx, w) else m
+              val m3 = if (hIdx >= 0) m2.updated(hIdx, h) else m2
+              base.updated(metaIdx, Row.fromSeq(m3))
+            }
+          Row.fromSeq(withMeta)
         }
       }
     }(enc)
@@ -435,6 +460,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id — " +
+            "a negative id would make the sign-preserving % yield dims <= 0")
           val seed = r.getString(1).getBytes("UTF-8")
           val w = (16 + id % 48).toInt
           val h = (16 + seed.length % 48).toInt
@@ -513,24 +540,34 @@ object Multimodal {
   }
 
   /** Per-partition batch decode: payload -> compact feature, dropping the
-    * heavy bytes before anything downstream shuffles. Payloads that decode
-    * as real images get a luma histogram via javax.imageio; real WAVs get
-    * a sample-magnitude histogram via javax.sound.sampled; everything else
-    * falls back to the byte-histogram stub (same L1-normalized contract). */
+    * heavy bytes before anything downstream shuffles. Dispatch is on the
+    * `kind` column — NOT payload sniffing: probing every row through the
+    * ImageIO SPI chain and an exception-throwing AudioSystem lookup is
+    * hot-path poison at scale, and bytes that coincidentally parse as
+    * another medium would silently change feature semantics. `image` rows
+    * get a luma histogram via javax.imageio, `audio` rows a
+    * sample-magnitude histogram via javax.sound.sampled; anything else —
+    * including payloads their codec cannot decode — falls back to the
+    * byte-histogram stub (same L1-normalized contract). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "kind", "payload").mapPartitions { rows =>
       // per-partition init happens HERE (codec handles, model weights, ...)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val img = ImageCodec.decode(payload)
-        val feature =
-          if (img != null) ImageCodec.lumaFeature(img, dim)
-          else AudioCodec.decodeWav(payload) match {
-            case null => decodeBytes(payload, dim)
-            case (_, samples) => audioFeature(samples, dim)
-          }
-        Row(r.getLong(0), r.getString(1),
+        val kind = r.getString(1)
+        val feature = kind match {
+          case "image" =>
+            val img = ImageCodec.decode(payload)
+            if (img != null) ImageCodec.lumaFeature(img, dim) else decodeBytes(payload, dim)
+          case "audio" =>
+            AudioCodec.decodeWav(payload) match {
+              case null => decodeBytes(payload, dim)
+              case (_, samples) => audioFeature(samples, dim)
+            }
+          case _ => decodeBytes(payload, dim)
+        }
+        Row(r.getLong(0), kind,
           (if (payload == null) 0 else payload.length).toLong,
           feature)
       }

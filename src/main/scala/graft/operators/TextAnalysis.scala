@@ -63,7 +63,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val nChars = length(text)
     val nTokens = size(toks)
-    val punct = nChars - length(regexp_replace(text, "[\\.,;:!\\?'\"()\\[\\]{}]", ""))
+    val punct = nChars - length(regexp_replace(text, PunctRe, ""))
     val stopHits = hitCount(toks, stopwords("en"))
     df.withColumn("n_chars_m", nChars.cast(LongType))
       .withColumn("n_tokens", nTokens.cast(LongType))
@@ -84,7 +84,7 @@ object TextAnalysis {
     val stopRatio = hitCount(toks, stopwords("en")).cast(DoubleType) /
       greatest(nTokens, lit(1.0))
     val lengthScore = least(nTokens / lit(64.0), lit(1.0))
-    val punct = nChars - length(regexp_replace(text, "[\\.,;:!\\?'\"()\\[\\]{}]", "")).cast(DoubleType)
+    val punct = nChars - length(regexp_replace(text, PunctRe, "")).cast(DoubleType)
     val punctPenalty = least(punct / greatest(nChars, lit(1.0)) * lit(5.0), lit(1.0))
     round(lit(0.5) * lengthScore + lit(0.5) * least(stopRatio * lit(5.0), lit(1.0)) -
       lit(0.25) * punctPenalty, 6)
@@ -106,7 +106,12 @@ object TextAnalysis {
     * vertical tab where RE2's (DuckDB's) does not, so `\s`-based patterns
     * silently diverge between the engines on `\x0B` input. The explicit
     * class is the same set in both dialects. */
-  private[operators] val Ws = " \\t\\n\\x0B\\f\\r"
+  private[graft] val Ws = " \\t\\n\\x0B\\f\\r"
+
+  /** Punctuation class shared by qualityMetrics/qualityScore and the SQL
+    * twin `graft_quality_score` — one source of truth, same string in
+    * both regex dialects. */
+  private[graft] val PunctRe = "[\\.,;:!\\?'\"()\\[\\]{}]"
 
   /** PII/noise surface counts per document — the measurement side of
     * [[scrub]] (same dialect-exact patterns): a curation pipeline

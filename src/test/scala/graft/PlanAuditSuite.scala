@@ -205,14 +205,22 @@ class PlanAuditSuite extends AnyFunSuite {
   }
 
   test("image roundtrip: payload bytes never cross an exchange (X22)") {
-    val p = staticPlan("q85_image_roundtrip")
     // the text shuffle (parallelizing the encode) happens BEFORE payloads
     // exist; the final sort exchange carries only the 4 decoded columns —
-    // no Exchange may ever move the binary payload at any scale
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchanges.contains("payload"),
-      s"an exchange is moving payload bytes:\n$exchanges")
-    assert(p.contains("RoundRobinPartitioning"),
-      s"the pre-render repartition must spread the encode across cores:\n$p")
+    // no Exchange may ever move the binary payload at any scale. Checked
+    // on the exchange INPUT attributes (plan strings only print
+    // partitioning expressions, so a toString grep cannot fail).
+    val plan = df("q85_image_roundtrip").queryExecution.sparkPlan
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(a => (a.name, a.dataType))
+    }
+    assert(shuffled.nonEmpty,
+      "expected the pre-render repartition exchange in the plan")
+    val binCols = shuffled.flatten.collect {
+      case (n, org.apache.spark.sql.types.BinaryType) => n }
+    assert(binCols.isEmpty, s"an exchange is moving binary payload bytes: $binCols")
+    assert(staticPlan("q85_image_roundtrip").contains("RoundRobinPartitioning"),
+      "the pre-render repartition must spread the encode across cores")
   }
 }

@@ -123,6 +123,12 @@ class PipelineSqlSuite extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT graft_hash_bucket() FROM pipe_docs").collect()
     }
+    // fixed-arity functions report the clean arity message, not an
+    // IndexOutOfBounds from inside the builder
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text) FROM pipe_docs").collect()
+    }
+    assert(e.getMessage.contains("graft_shingles expects 2"), e.getMessage)
   }
 
   // ----------------------------------------------------------------

@@ -82,6 +82,13 @@ class MultimodalSuite extends AnyFunSuite {
     assert(resized(34L).getLong(1) == 50 / 2 && resized(34L).getLong(2) == 20 / 2)
   }
 
+  test("resizeImages refreshes meta.width/height to match the new payload") {
+    val r = Multimodal.resizeImages(images, 2).filter(col("media_id") === 34L).head()
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getInt(0) == 25 && meta.getInt(1) == 10,
+      "meta must describe the resized payload, not the original")
+  }
+
   // ------------------------------------------------------------------
   // real javax.sound.sampled codec path
   // ------------------------------------------------------------------

@@ -58,13 +58,20 @@ def dtype_parity(name, a, b, duck_types):
         ai = pd.api.types.is_integer_dtype(av)
         af = pd.api.types.is_float_dtype(av)
         decl = duck_types.get(c, '').upper()
-        if decl:
-            if decl.startswith(('HUGEINT', 'UHUGEINT')) and (ai or af):
+        # only a RECOGNIZED declared type settles the question; anything
+        # else (DECIMAL, VARCHAR, ...) must still fall through to the
+        # pandas-dtype heuristic below, or those classes go unchecked
+        if decl.startswith(('HUGEINT', 'UHUGEINT')):
+            if ai or af:
                 errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl} '
                             f'(wrap the oracle aggregate in CAST ... AS BIGINT)')
-            elif decl.startswith(INT_DUCK) and af and not av.isna().any():
+            continue
+        if decl.startswith(INT_DUCK):
+            if af and not av.isna().any():
                 errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl}')
-            elif decl.startswith(('DOUBLE', 'FLOAT', 'REAL')) and ai:
+            continue
+        if decl.startswith(('DOUBLE', 'FLOAT', 'REAL')):
+            if ai:
                 errs.append(f'{name}: DTYPE col={c} spark={av.dtype} duck declared {decl}')
             continue
         bi, bf = pd.api.types.is_integer_dtype(bv), pd.api.types.is_float_dtype(bv)
