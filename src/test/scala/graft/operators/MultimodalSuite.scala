@@ -149,6 +149,32 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.demuxFrames(media).collect().isEmpty)
   }
 
+  test("codec round-trip properties: WAV PCM and GFV0 are lossless; corrupt streams -> null") {
+    val rnd = new scala.util.Random(42)
+    // WAV: arbitrary 16-bit PCM survives encode->decode bit-for-bit
+    for (n <- Seq(0, 1, 7, 1024)) {
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val back = Multimodal.AudioCodec.decodeWav(
+        Multimodal.AudioCodec.encodeWav(samples, 8000))
+      if (n == 0) assert(back == null || back._2.isEmpty)
+      else assert(back._1 == 8000 && back._2.toSeq == samples.toSeq)
+    }
+    // GFV0: arbitrary frame payloads survive encode->decode; truncation at
+    // EVERY byte boundary must yield null, never a crash or partial parse
+    val frames = Seq(Array[Byte](), Array.fill(33)(rnd.nextInt(256).toByte),
+      Array.fill(5)(0x7f.toByte))
+    val stream = Multimodal.VideoCodec.encode(frames)
+    val back = Multimodal.VideoCodec.decode(stream)
+    assert(back.map(_._1) == Seq(0, 1, 2) &&
+      back.map(_._2.toSeq) == frames.map(_.toSeq))
+    for (cut <- 0 until stream.length) {
+      val t = Multimodal.VideoCodec.decode(stream.take(cut))
+      assert(t == null || t.map(_._2.toSeq) == frames.map(_.toSeq),
+        s"truncation at $cut must fail clean")
+    }
+    assert(Multimodal.VideoCodec.decode("not a video".getBytes) == null)
+  }
+
   test("extractFeatures routes WAV payloads through the real sample decode") {
     val feats = Multimodal.extractFeatures(wavs, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
