@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Quantize, SearchEngine, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Pq, Quantize, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -851,6 +851,18 @@ object SparkEntry {
       val media = Multimodal.fromTextAsVideos(t(s, d, "documents"), "doc_id", "text")
       Multimodal.demuxFrames(media, stride = 2)
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+    "q88_pq_adc" -> ((s, d) => {
+      // product-quantization ADC search (X45): seed codebooks from the
+      // first 4 vectors (q58/q59 convention), encode every row to 4 codes,
+      // score the vec_id=5 query through the LUT — codes + distances must
+      // match the oracle's argmin/sum arithmetic exactly
+      val embs = t(s, d, "embeddings")
+      val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Pq.adcTopK(Pq.encode(embs, "embedding", books), "vec_id", "codes",
+        books, query, topK = 10)
     }))
 
   // ======================================================================
@@ -1735,5 +1747,33 @@ object SparkEntry {
                 CAST(16 + doc_id % 48 AS BIGINT) AS width,
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
-         ORDER BY media_id, frame_no""")
+         ORDER BY media_id, frame_no""",
+    "q88_pq_adc" ->
+      """WITH subs AS (
+           SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
+           FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+         lut AS (
+           SELECT s.j, s.c,
+             (SELECT SUM(z.d * z.d) FROM (
+                SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                FROM (SELECT unnest(q.qv[CAST(s.j*16+1 AS INT) : CAST(s.j*16+16 AS INT)]) AS x,
+                             unnest(s.cv) AS y)) z) AS dist
+           FROM subs s, q),
+         codes AS (
+           SELECT e.vec_id, t.j,
+             (SELECT s.c FROM subs s WHERE s.j = t.j
+              ORDER BY (SELECT SUM(z.d * z.d) FROM (
+                  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                  FROM (SELECT unnest(e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)]) AS x,
+                               unnest(s.cv) AS y)) z) ASC,
+                s.c ASC
+              LIMIT 1) AS code
+           FROM embeddings e, UNNEST(range(4)) AS t(j)),
+         adc AS (
+           SELECT c.vec_id, SUM(l.dist) AS adc_dist
+           FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+           GROUP BY c.vec_id)
+         SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""")
 }
