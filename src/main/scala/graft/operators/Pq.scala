@@ -117,6 +117,33 @@ object Pq {
       .select(col(idCol), round(col("adc_dist"), 6).as("adc_dist"))
   }
 
+  /** IVF×PQ composition (the FAISS-IVFPQ shape): prune to the `nprobe`
+    * coarse lists nearest the query, then ADC-score only the survivors'
+    * codes. Coarse assignment/probing follows [[Ann.ivfAssign]]'s
+    * max-dot convention (one definition of "nearest list" across all IVF
+    * ops); fine scoring is the PQ L2 LUT. Expected scan fraction
+    * nprobe/|coarse| of the table, and the scored rows carry only m-byte
+    * codes — the two savings multiply. Single scan, no exchange except
+    * the TakeOrdered merge. */
+  def ivfAdcTopK(embs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Array[Float]], books: Codebooks, query: Array[Float],
+      nprobe: Int, topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe ($nprobe) must be in [1, ${coarse.length}]")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val probes = coarse.indices
+      .sortBy(i => (-dot(query, coarse(i)), i))
+      .take(nprobe)
+    val pruned = Ann.ivfAssign(embs, vecCol, coarse)
+      .filter(col("ivf_list").isin(probes: _*))
+    adcTopK(encode(pruned, vecCol, books), idCol, "codes", books, query, topK)
+  }
+
   /** One deterministic Lloyd refinement pass per subspace: reassign via
     * [[encodeExpr]], recompute each (subspace, code) centroid as the
     * decimal-exact mean of its members (empty cells keep their seed).

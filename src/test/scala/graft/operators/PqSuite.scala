@@ -60,6 +60,24 @@ class PqSuite extends AnyFunSuite {
       "nearest-to-query rows sort first (0 and 2 share codes)")
   }
 
+  test("ivfAdcTopK prunes to nprobe coarse lists, then matches plain ADC on the survivors") {
+    val query = Array.fill(4)(0.5f) ++ Array.fill(4)(9.5f)
+    val coarse = Seq(
+      Array.fill(4)(0f) ++ Array.fill(4)(10f),
+      Array.fill(4)(10f) ++ Array.fill(4)(0f))
+    // nprobe = all lists -> identical to plain ADC over everything
+    val all = Pq.ivfAdcTopK(embs, "vec_id", "embedding", coarse, books, query,
+      nprobe = 2, topK = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Pq.adcTopK(Pq.encode(embs, "embedding", books), "vec_id", "codes",
+      books, query, topK = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == plain)
+    // nprobe = 1: only the list the query is nearest to (coarse 0) survives
+    val one = Pq.ivfAdcTopK(embs, "vec_id", "embedding", coarse, books, query,
+      nprobe = 1, topK = 5).collect().map(_.getLong(0)).toSet
+    assert(one.nonEmpty && one.subsetOf(Set(0L, 2L, 4L)),
+      s"rows assigned to the unprobed list must be pruned, got $one")
+  }
+
   test("lloydRefine moves centroids to member means and reduces quantization error") {
     def mse(b: Pq.Codebooks): Double = {
       val coded = Pq.encode(embs, "embedding", b)
