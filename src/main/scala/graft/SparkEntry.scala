@@ -875,7 +875,44 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       Pq.ivfAdcTopK(embs, "vec_id", "embedding", coarse, books, query,
         nprobe = 2, topK = 10)
-    }))
+    }),
+    "q90_line_dedup" -> ((s, d) => {
+      // X47 cross-document line dedup (RefinedWeb/CCNet boilerplate pass):
+      // pages = 5 consecutive docs, each doc contributing its text line and
+      // a per-source promo line, under a shared nav header. The header and
+      // promo lines recur across pages -> removed; every content line is
+      // unique at this SF -> kept, original order intact.
+      val pages = t(s, d, "documents")
+        .groupBy((col("doc_id") / 5).cast(LongType).as("page_id"))
+        .agg(concat_ws("\n",
+          lit("nav home about contact subscribe"),
+          concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("doc_id"),
+              concat(col("text"), lit("\npromo "), col("source")).as("block")))),
+            b => b.getField("block")))).as("text"))
+      Dedup.lineDedup(pages, "page_id", col("text"), minDocs = 2, minLen = 5)
+        .orderBy(col("page_id"))
+    }),
+    "q91_semantic_dedup" -> ((s, d) => {
+      // X48 SemDeDup (cluster-then-prune): 4 seed centroids (q58/q59
+      // convention), pairs scored within clusters only; tau=0.40 marks a
+      // meaningful dup set at this SF (25 of 500 rows). is_dup=false rows
+      // are the kept corpus.
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      Dedup.semanticDedup(embs, "vec_id", "embedding", cents, tau = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+    "q92_mixture_sample" -> ((s, d) =>
+      // X49 token-budget data mixing: explicit per-source budgets, greedy
+      // fill in md5-shuffled order, first over-budget doc cut whole;
+      // sources outside the mixture are dropped entirely
+      Curation.mixtureSample(t(s, d, "documents"), col("source"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))),
+        budgets = Seq("src0" -> 800L, "src1" -> 500L, "src2" -> 250L),
+        seed = "mix0")
+        .orderBy(col("doc_id"))))
 
   // ======================================================================
 
@@ -1830,5 +1867,57 @@ object SparkEntry {
            FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
            GROUP BY c.vec_id)
          SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
-         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""")
+         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
+    "q90_line_dedup" ->
+      """WITH pages AS (
+           SELECT doc_id // 5 AS page_id,
+             'nav home about contact subscribe' || chr(10) ||
+             string_agg(text || chr(10) || 'promo ' || source, chr(10) ORDER BY doc_id) AS text
+           FROM documents GROUP BY 1),
+         l AS (
+           SELECT p.page_id, CAST(t.i AS BIGINT) AS pos, p.ls[CAST(t.i + 1 AS INT)] AS line
+           FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages) p,
+                UNNEST(range(0, len(p.ls))) AS t(i)),
+         dup AS (
+           SELECT substr(md5(line), 1, 16) AS lk FROM l
+           WHERE strlen(line) >= 5
+           GROUP BY 1 HAVING COUNT(DISTINCT page_id) >= 2)
+         SELECT l.page_id,
+           COUNT(*) AS n_lines,
+           COUNT(d.lk) AS n_removed,
+           COALESCE(string_agg(CASE WHEN d.lk IS NULL THEN l.line END,
+             chr(10) ORDER BY l.pos), '') AS text_clean
+         FROM l LEFT JOIN dup d ON substr(md5(l.line), 1, 16) = d.lk
+         GROUP BY l.page_id ORDER BY l.page_id""",
+    "q91_semantic_dedup" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         assign AS (SELECT e.vec_id, e.embedding, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS cluster
+           FROM embeddings e),
+         dups AS (SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z) /
+                 (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(a.embedding) AS t(x)))
+                  * sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(b.embedding) AS t(x)))
+                  + 1e-12) >= 0.40)
+         SELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS is_dup
+         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         ORDER BY a.vec_id""",
+    "q92_mixture_sample" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':' || 'mix0') AS sk
+           FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         c AS (SELECT doc_id, source, tokens,
+             CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, tokens, cum_tokens FROM c
+         JOIN (VALUES ('src0', 800), ('src1', 500), ('src2', 250)) b(bsrc, budget)
+           ON source = bsrc
+         WHERE cum_tokens <= budget ORDER BY doc_id""")
 }

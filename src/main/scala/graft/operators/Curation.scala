@@ -134,6 +134,42 @@ object Curation {
     * Long — 16 would not (64 bits can overflow the signed range under
     * ANSI).
     */
+  /** Token-budget mixture sampling — the static data-mixing pass of a
+    * Pile/DoReMi-style pipeline: each source is given an explicit token
+    * budget and contributes documents, in a deterministic md5-shuffled
+    * order, until its budget is spent. Sources absent from `budgets` are
+    * dropped entirely — the mixture DECLARES what the training set
+    * contains. Keep rule: a document is kept iff its INCLUSIVE running
+    * token sum fits the budget — the first over-budget document is cut
+    * whole, never truncated (truncation belongs to
+    * [[graft.operators.Packing]], after mixing).
+    *
+    * Emits the kept rows as `(id, source, tokens, cum_tokens)`.
+    *
+    * Scale shape: one window per source over (md5 shuffle key, id) — a
+    * single exchange keyed by source; the budget table rides along as a
+    * literal MapType expression (no join at all). The per-source sort is
+    * the same scan order every epoch and every engine (md5, not `rand()`,
+    * which task retries resample — the [[shardShuffle]] argument). A
+    * mega-source makes a hot window partition: pre-cap it with
+    * [[capPerKey]] or split its budget across salted sub-sources. */
+  def mixtureSample(docs: DataFrame, source: Column, idCol: String,
+      tokensCol: Column, budgets: Seq[(String, Long)], seed: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample needs at least one source budget")
+    require(!Seq("source", "tokens", "cum_tokens", "__sk").contains(idCol),
+      s"mixtureSample emits source/tokens/cum_tokens; id column '$idCol' collides")
+    val budgetMap = map(budgets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val w = Window.partitionBy(col("source")).orderBy(col("__sk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .filter(source.isin(budgets.map(_._1): _*))
+      .select(col(idCol), source.as("source"), tokensCol.cast(LongType).as("tokens"))
+      .withColumn("__sk", md5(concat(col(idCol).cast(StringType), lit(":"), lit(seed))))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") <= element_at(budgetMap, col("source")))
+      .drop("__sk")
+  }
+
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int, seed: String): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.contains("shuffle_key") && !df.columns.contains("shard"),

@@ -443,4 +443,95 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
   }
+
+  // ---- line-level cross-document dedup ----------------------------------
+
+  /** Cross-document line-level dedup — the boilerplate pass of a web-corpus
+    * pipeline (RefinedWeb/CCNet remove nav bars, cookie banners, and promo
+    * footers this way): a line whose exact text appears in at least
+    * `minDocs` DISTINCT documents is boilerplate and is dropped from every
+    * document; surviving lines keep their original order. Lines shorter
+    * than `minLen` chars are never dedup candidates (blank lines and
+    * separators recur across unrelated documents by nature and must stay).
+    *
+    * Emits `(doc_id, n_lines, n_removed, text_clean)`.
+    *
+    * Scale shape: the duplicate-line census groups on a 16-byte md5 prefix
+    * of the line, never the raw text — a 1 KB boilerplate line repeated a
+    * billion times would otherwise ride the widest exchange in full (same
+    * convention as [[fingerprint]]). The qualifying dup-key set is tiny
+    * next to the corpus (boilerplate is by definition few DISTINCT lines),
+    * so AQE turns the flagging join into a broadcast when it fits; the
+    * reassembly is ONE doc_id exchange of (pos, line) structs. */
+  def lineDedup(docs: DataFrame, idCol: String, text: Column,
+      minDocs: Int = 2, minLen: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // posexplode (not explode): the reassembly sort key must be the line's
+    // original position — re-sorting by content would shuffle the document
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
+    val lineKey = substring(md5(col("line")), 1, 16)
+    val dupKeys = lines
+      .filter(length(col("line")) >= minLen)
+      .groupBy(lineKey.as("lk"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("lk"))
+    val flagged = lines.join(
+      dupKeys.withColumn("__dup", lit(true)),
+      lineKey === col("lk"), "left")
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        // count of non-null flags = removed lines (count skips nulls)
+        count(col("__dup")).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            // collect_list skips the nulls the `when` leaves for removed
+            // lines; array_sort on (pos, line) structs restores order
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("text_clean"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  // ---- semantic dedup (cluster-then-prune) ------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * partition the corpus into semantic clusters (nearest centroid by max
+    * dot product — the [[Ann.ivfAssign]] convention, first-max tie-break),
+    * then mark a row as a duplicate when SOME lower-id member of the SAME
+    * cluster sits within cosine >= `tau` of it. Keeping the lowest id per
+    * near-dup relation is this engine's deterministic stand-in for the
+    * paper's keep-one-exemplar rule (the paper keeps the member farthest
+    * from the centroid; any single-survivor rule dedups equally — ours is
+    * reproducible across engines).
+    *
+    * Emits `(vec_id, cluster, is_dup)` for every input row.
+    *
+    * Scale shape: clustering exists precisely so the O(N²) pair space
+    * shrinks to Σ per-cluster squares — the pair join keys on the cluster
+    * id and only same-cluster vectors ever meet. Vectors do cross that
+    * one exchange (the cosine needs them); for clusters still too hot,
+    * compose with [[embeddingNearDups]]' sign-bit banding INSIDE the
+    * cluster (band key = cluster + sign bits) before the exact verify. */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], tau: Double): DataFrame = {
+    val assigned = Ann.ivfAssign(embs, vecCol, centroids)
+      .select(col(idCol).as("vec_id"), col("ivf_list").as("cluster"),
+        col(vecCol).as("v"))
+    // ids-only out of the pair join: the surviving dup set is a projection
+    // of b's id, so a's vector never leaves its exchange partition twice
+    val dupIds = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(VectorFunctions.vecCosine(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+      .withColumnRenamed("vec_id", idCol)
+  }
 }

@@ -128,4 +128,62 @@ class CurationSuite extends AnyFunSuite {
       .select($"id").as[Long].collect().toSeq
     assert(out.sorted !== out, "md5 order should not equal id order")
   }
+
+  // ---- mixtureSample ----------------------------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("differential: mixtureSample equals the naive greedy fill per source") {
+    val rnd = new scala.util.Random(7)
+    val sources = Vector("web", "code", "books", "junk")
+    val docs = (1L to 120L).map(id =>
+      (id, sources(rnd.nextInt(sources.size)), 1L + rnd.nextInt(40)))
+    val budgets = Seq("web" -> 200L, "code" -> 120L, "books" -> 1L)
+    val expected = budgets.flatMap { case (src, budget) =>
+      var cum = 0L
+      docs.filter(_._2 == src)
+        .sortBy { case (id, _, _) => (md5Hex(s"$id:mx"), id) }
+        .flatMap { case (id, _, tk) =>
+          cum += tk
+          if (cum <= budget) Some((id, src, tk, cum)) else None
+        }
+    }.toSet
+    val got = Curation.mixtureSample(
+      docs.toDF("doc_id", "source", "tk"), $"source", "doc_id", $"tk",
+      budgets, seed = "mx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // "junk" is outside the mixture: nothing from it may leak through
+    assert(!got.exists(_._2 == "junk"))
+    // a budget below the smallest doc keeps nothing from that source
+    assert(!got.exists(_._2 == "books"))
+  }
+
+  test("mixtureSample: first over-budget doc is cut whole, not truncated") {
+    // md5 order is opaque; with equal token counts the cut point is exact:
+    // 5 docs x 10 tokens against budget 35 -> exactly 3 kept, cum 10/20/30
+    val docs = (1L to 5L).map(id => (id, "s", 10L)).toDF("doc_id", "source", "tk")
+    val out = Curation.mixtureSample(docs, $"source", "doc_id", $"tk",
+      Seq("s" -> 35L)).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(3)).sorted.toSeq === Seq(10L, 20L, 30L))
+  }
+
+  test("mixtureSample is deterministic and seed-sensitive") {
+    val docs = (1L to 60L).map(id => (id, "s", 1L + id % 7)).toDF("doc_id", "source", "tk")
+    def ids(seed: String) = Curation.mixtureSample(docs, $"source", "doc_id", $"tk",
+      Seq("s" -> 40L), seed).select("doc_id").as[Long].collect().toSet
+    assert(ids("e0") === ids("e0"), "same seed, same sample")
+    assert(ids("e0") !== ids("e1"), "different seed should pick a different prefix")
+  }
+
+  test("mixtureSample rejects a colliding id column name") {
+    val docs = Seq(("s", 1L)).toDF("source", "tk")
+    val e = intercept[IllegalArgumentException] {
+      Curation.mixtureSample(docs, $"source", "source", $"tk", Seq("s" -> 1L))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
 }

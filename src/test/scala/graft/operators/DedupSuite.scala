@@ -215,4 +215,104 @@ class DedupSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeds the embedding dimension"))
   }
+
+  // ---- lineDedup --------------------------------------------------------
+
+  private def lineDedupMap(docs: DataFrame, minDocs: Int = 2, minLen: Int = 5) =
+    Dedup.lineDedup(docs, "doc_id", col("text"), minDocs, minLen)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+
+  test("lineDedup strips a line shared across docs, keeps unique lines in order") {
+    val docs = Seq(
+      (1L, "unique first line\nshared boilerplate footer\nunique last line"),
+      (2L, "another doc body\nshared boilerplate footer"),
+      (3L, "third doc alone")
+    ).toDF("doc_id", "text")
+    val out = lineDedupMap(docs)
+    assert(out(1L) === ((3L, 1L, "unique first line\nunique last line")))
+    assert(out(2L) === ((2L, 1L, "another doc body")))
+    assert(out(3L) === ((1L, 0L, "third doc alone")))
+  }
+
+  test("lineDedup: lines below minLen never dedup; same-doc repeats don't count") {
+    val docs = Seq(
+      // "--" is duplicated across docs but under minLen -> kept everywhere;
+      // "repeated inside one doc" occurs twice in doc 1 ONLY -> kept (the
+      // census counts distinct docs, not occurrences)
+      (1L, "repeated inside one doc\n--\nrepeated inside one doc"),
+      (2L, "--\nsomething else entirely")
+    ).toDF("doc_id", "text")
+    val out = lineDedupMap(docs)
+    assert(out(1L) === ((3L, 0L, "repeated inside one doc\n--\nrepeated inside one doc")))
+    assert(out(2L) === ((2L, 0L, "--\nsomething else entirely")))
+  }
+
+  test("lineDedup: a fully-boilerplate doc collapses to empty text, counts intact") {
+    val docs = Seq(
+      (1L, "cookie banner text\nsubscribe to newsletter"),
+      (2L, "cookie banner text\nsubscribe to newsletter"),
+      (3L, "cookie banner text\nreal unique content here")
+    ).toDF("doc_id", "text")
+    val out = lineDedupMap(docs)
+    assert(out(1L) === ((2L, 2L, "")))
+    assert(out(2L) === ((2L, 2L, "")))
+    assert(out(3L) === ((2L, 1L, "real unique content here")))
+  }
+
+  test("lineDedup emits one row per input doc, even for empty text") {
+    val docs = Seq((1L, ""), (2L, "only line here"), (3L, "only line here"))
+      .toDF("doc_id", "text")
+    val out = lineDedupMap(docs)
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, 0L, ""))) // the empty line is under minLen: kept
+    assert(out(2L)._2 === 1L)
+  }
+
+  // ---- semanticDedup ----------------------------------------------------
+
+  private val semCents = Seq(Array(1f, 0f), Array(0f, 1f))
+
+  private def semMap(rows: Seq[(Long, Seq[Float])], tau: Double) = {
+    val embs = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    Dedup.semanticDedup(embs, "vec_id", "embedding", semCents, tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Boolean]("is_dup")))).toMap
+  }
+
+  test("semanticDedup: near-identical rows in one cluster keep only the lowest id") {
+    val out = semMap(Seq(
+      10L -> Seq(1f, 0.01f), 11L -> Seq(1f, 0.02f), // cluster 0, cos ~ 1
+      20L -> Seq(0.1f, 1f)                          // cluster 1, alone
+    ), tau = 0.95)
+    assert(out(10L) === ((0, false)))
+    assert(out(11L) === ((0, true)))
+    assert(out(20L) === ((1, false)))
+  }
+
+  test("semanticDedup scores within clusters ONLY: near pair split by the boundary survives") {
+    // cosine(a, b) ~ 0.9986 but a lands in cluster 0 and b in cluster 1 —
+    // SemDeDup's trade: candidates never cross the coarse partition
+    val out = semMap(Seq(1L -> Seq(2f, 1.9f), 2L -> Seq(1.9f, 2f)), tau = 0.9)
+    assert(out(1L) === ((0, false)))
+    assert(out(2L) === ((1, false)))
+  }
+
+  test("semanticDedup: a dup row still witnesses later dups (lower-id rule, not chaining)") {
+    // b dup of a; c within tau of b but NOT of a -> c is still a dup
+    // (its witness b is itself a dup) — the deterministic lowest-id rule,
+    // documented divergence from the paper's exemplar selection
+    val a = Seq(1f, 0f); val b = Seq(1f, 0.3f); val c = Seq(1f, 0.62f)
+    val out = semMap(Seq(1L -> a, 2L -> b, 3L -> c), tau = 0.955)
+    assert(out(1L)._2 === false)
+    assert(out(2L)._2 === true, "b within tau of a")
+    assert(out(3L)._2 === true, "c within tau of b only, still dropped")
+  }
+
+  test("semanticDedup: tau above every pairwise cosine keeps everything") {
+    val out = semMap(Seq(1L -> Seq(1f, 0.01f), 2L -> Seq(1f, 0.4f)), tau = 0.9999)
+    assert(out.values.forall(!_._2))
+  }
 }
