@@ -468,18 +468,19 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // posexplode (not explode): the reassembly sort key must be the line's
     // original position — re-sorting by content would shuffle the document
+    // the key is staged as a named column so the census exchange, the
+    // flagging join, and the plan audit all see ONE md5 computation
     val lines = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
-    val lineKey = substring(md5(col("line")), 1, 16)
+        posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("lk", substring(md5(col("line")), 1, 16))
     val dupKeys = lines
       .filter(length(col("line")) >= minLen)
-      .groupBy(lineKey.as("lk"))
+      .groupBy(col("lk"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("lk"))
     val flagged = lines.join(
-      dupKeys.withColumn("__dup", lit(true)),
-      lineKey === col("lk"), "left")
+      dupKeys.withColumn("__dup", lit(true)), Seq("lk"), "left")
     flagged.groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -223,4 +223,60 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(staticPlan("q85_image_roundtrip").contains("RoundRobinPartitioning"),
       "the pre-render repartition must spread the encode across cores")
   }
+
+  // The new-op audits drive the operator on a repartitioned input (the
+  // sf0.001 parquet is one split, whose SinglePartition satisfies every
+  // required distribution — no exchange would be planned at all) and
+  // assert on the PREPARED plan: EnsureRequirements inserts
+  // distribution-driven exchanges after sparkPlan, so only executedPlan
+  // (AQE's initial tree, pre-execution) shows them.
+
+  private def prepPlan(frame: DataFrame): String =
+    frame.queryExecution.executedPlan.toString
+
+  test("line dedup: census shuffles the md5 line key, never the raw line; map-side combine (X47)") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+      .select(col("doc_id"), concat_ws("\n", col("text"), col("source")).as("text"))
+    val p = prepPlan(operators.Dedup.lineDedup(docs, "doc_id", col("text")))
+    // the duplicate-line census exchange must be keyed by the 16-byte md5
+    // prefix (lk) with a partial aggregate below it — a raw-line key would
+    // put every boilerplate body on the wire once per occurrence
+    assert(p.contains("hashpartitioning(lk"),
+      s"census exchange must key on the md5 line prefix:\n$p")
+    assert(p.contains("partial_count"),
+      s"the distinct-doc census needs a map-side partial below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the flagging join:\n$p")
+  }
+
+  test("semantic dedup: pair join keys on the cluster id, no cartesian (X48)") {
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet").repartition(4)
+    val cents = Seq(Array.fill(64)(0.1f), Array.fill(64)(-0.1f))
+    val p = prepPlan(operators.Dedup.semanticDedup(embs, "vec_id", "embedding", cents, 0.4))
+    // SemDeDup's whole point: candidates form inside coarse clusters, so
+    // the self-join must plan as an equi-join KEYED by the cluster id —
+    // broadcast at this toy size, cluster-keyed exchange at scale; either
+    // way the cosine runs only inside matching clusters
+    assert(p.contains("hashpartitioning(cluster") || p.contains("BroadcastHashJoin [cluster"),
+      s"pair join must be an equi-join on the cluster id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must never fall back to all-pairs:\n$p")
+  }
+
+  test("mixture sample: single source-keyed exchange, literal budget map — no join at all (X49)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val frame = operators.Curation.mixtureSample(docs, col("source"), "doc_id",
+      col("n_chars"), Seq("src0" -> 100L, "src1" -> 50L))
+    val p = prepPlan(frame)
+    // exactly one hash exchange (the window's source partition); the
+    // audit input's own RoundRobin repartition is the only other exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"mixture sampling is ONE window pass -> one hash exchange:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"the hash exchange must key on the source (the window partition):\n$p")
+    assert(!p.contains("Join"),
+      s"budgets ride as a literal map expression, never a join:\n$p")
+  }
 }
