@@ -912,6 +912,16 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))),
         budgets = Seq("src0" -> 800L, "src1" -> 500L, "src2" -> 250L),
         seed = "mix0")
+        .orderBy(col("doc_id"))),
+    "q93_quality_gate" -> ((s, d) =>
+      // X50 Gopher-style quality gate: ordered rejection rules, verdict +
+      // first-failing-rule reason per doc (NULL = kept); per-row, no shuffle
+      Curation.gopherGate(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+    "q94_novelty" -> ((s, d) =>
+      // X51 corpus novelty: fraction of each doc's distinct hashed
+      // 3-gram shingles unique to it corpus-wide (q67 hash convention)
+      Dedup.noveltyScore(t(s, d, "documents"), "doc_id", col("text"))
         .orderBy(col("doc_id"))))
 
   // ======================================================================
@@ -1919,5 +1929,35 @@ object SparkEntry {
          SELECT doc_id, source, tokens, cum_tokens FROM c
          JOIN (VALUES ('src0', 800), ('src1', 500), ('src2', 250)) b(bsrc, budget)
            ON source = bsrc
-         WHERE cum_tokens <= budget ORDER BY doc_id""")
+         WHERE cum_tokens <= budget ORDER BY doc_id""",
+    "q93_quality_gate" ->
+      s"""WITH b AS (SELECT doc_id, length(text) AS nc, $toksSql AS t, $shingle3Sql AS sh
+           FROM documents),
+         m AS (SELECT doc_id, len(t) AS nt,
+             CAST(nc AS DOUBLE) / GREATEST(len(t), 1) AS atl,
+             CASE WHEN len(sh) = 0 THEN 0.0
+                  ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS df,
+             len(list_filter(list_distinct(t),
+               x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS sw
+           FROM b)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           (reason IS NULL) AS keep, reason
+         FROM (SELECT doc_id, nt,
+             CASE WHEN nt < 20 THEN 'too_short'
+                  WHEN nt > 100000 THEN 'too_long'
+                  WHEN atl < 3.0 THEN 'word_len_low'
+                  WHEN atl > 10.0 THEN 'word_len_high'
+                  WHEN df > 0.05 THEN 'repetition'
+                  WHEN sw < 2 THEN 'few_stopwords' END AS reason
+           FROM m)
+         ORDER BY doc_id""",
+    "q94_novelty" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id, h FROM
+             (SELECT doc_id, unnest($bases3Sql) AS h FROM documents)),
+         g AS (SELECT h, COUNT(*) AS nd FROM p GROUP BY h)
+         SELECT p.doc_id, COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN g.nd = 1 THEN 1 END) AS n_unique,
+           ROUND(CAST(COUNT(CASE WHEN g.nd = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS novelty
+         FROM p JOIN g USING (h) GROUP BY p.doc_id ORDER BY p.doc_id""")
 }

@@ -134,6 +134,52 @@ object Curation {
     * Long — 16 would not (64 bits can overflow the signed range under
     * ANSI).
     */
+  /** Gopher-style quality gate (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1 family): ordered cheap rejection rules over per-row signals;
+    * emits EVERY document with its verdict and the FIRST failing rule as
+    * `reason` (NULL = kept). Keeping the reason makes the gate auditable —
+    * at 100 TB you tune thresholds from the reason histogram, not by
+    * re-running the corpus. Pure per-row Column compositions: no shuffle,
+    * codegen'd, fused into whatever scan precedes it.
+    *
+    * Rules, first hit wins: token count outside [minTokens, maxTokens];
+    * mean word length outside [minAvgWordLen, maxAvgWordLen]; duplicate
+    * n-gram fraction above maxDupNgramFrac (the [[TextAnalysis
+    * .repetitionSignals]] dup_ngram_frac); fewer than minStopwords
+    * DISTINCT English stopwords (closed-class hits are the cheapest
+    * natural-language-ness test). */
+  def gopherGate(docs: DataFrame, idCol: String, text: Column,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxDupNgramFrac: Double = 0.05, minStopwords: Int = 2,
+      ngramN: Int = 3): DataFrame = {
+    // staged projections (the Dedup/TextAnalysis codegen invariant): the
+    // token and shingle arrays are materialized once and every rule reads
+    // the staged column — an inline tokens(text) under each rule would
+    // re-split the text per rule evaluation
+    val staged = docs
+      .select(col(idCol), length(text).as("__nc"), TextAnalysis.tokens(text).as("__toks"))
+      .withColumn("__sh", TextAnalysis.shinglesFromTokens(col("__toks"), ngramN))
+      .withColumn("__nt", size(col("__toks")))
+    val atl = col("__nc").cast(DoubleType) / greatest(col("__nt"), lit(1)).cast(DoubleType)
+    val nsh = size(col("__sh"))
+    val dupFrac = when(nsh === 0, lit(0.0))
+      .otherwise((nsh - size(array_distinct(col("__sh")))).cast(DoubleType) /
+        nsh.cast(DoubleType))
+    val swDistinct = size(filter(array_distinct(col("__toks")),
+      t => t.isin(TextAnalysis.stopwords("en"): _*)))
+    val reason = when(col("__nt") < minTokens, "too_short")
+      .when(col("__nt") > maxTokens, "too_long")
+      .when(atl < minAvgWordLen, "word_len_low")
+      .when(atl > maxAvgWordLen, "word_len_high")
+      .when(dupFrac > maxDupNgramFrac, "repetition")
+      .when(swDistinct < minStopwords, "few_stopwords")
+    staged
+      .withColumn("reason", reason)
+      .select(col(idCol), col("__nt").cast(LongType).as("n_tokens"),
+        col("reason").isNull.as("keep"), col("reason"))
+  }
+
   /** Token-budget mixture sampling — the static data-mixing pass of a
     * Pile/DoReMi-style pipeline: each source is given an explicit token
     * budget and contributes documents, in a deterministic md5-shuffled

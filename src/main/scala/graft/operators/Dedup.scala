@@ -496,6 +496,39 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Per-document n-gram novelty against the whole corpus: the fraction
+    * of the doc's DISTINCT hashed shingles ([[shingleHashSets]], the q67
+    * 28-bit convention) occurring in NO other document. 1.0 = fully
+    * novel; boilerplate- or template-heavy docs sink toward 0 even when
+    * no single pairwise near-dup crosses a threshold — the signal
+    * pairwise dedup can't see. The inverse view of [[contaminationScan]]
+    * pointed at the corpus itself.
+    *
+    * Docs with no shingles (fewer than `shingleN` tokens) have no
+    * denominator and are omitted.
+    *
+    * Scale shape: postings carry (doc_id, 8-byte hash) only; one hash
+    * exchange for the census (map-side combine), one doc_id exchange for
+    * the re-aggregation. explode_outer + isNotNull above the generate —
+    * the [[contaminationScan]] guard against InferFiltersFromGenerate
+    * re-inlining the shingle chain below the explode. A 28-bit collision
+    * marks ~|corpus-shingles|/2^28 of a doc's shingles falsely non-novel
+    * — immaterial against curation thresholds. */
+  def noveltyScore(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3): DataFrame = {
+    val posts = shingleHashSets(docs, idCol, text, shingleN)
+      .select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+    val census = posts.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    posts.join(census, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("nd") === 1, 1)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast(DoubleType) / col("n_shingles").cast(DoubleType), 6))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   // ---- semantic dedup (cluster-then-prune) ------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):

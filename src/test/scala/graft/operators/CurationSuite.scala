@@ -179,6 +179,40 @@ class CurationSuite extends AnyFunSuite {
     assert(ids("e0") !== ids("e1"), "different seed should pick a different prefix")
   }
 
+  // ---- gopherGate -------------------------------------------------------
+
+  private def gateMap(rows: Seq[(Long, String)], minTokens: Int = 20) =
+    Curation.gopherGate(rows.toDF("doc_id", "text"), "doc_id", col("text"),
+      minTokens = minTokens)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+
+  test("gopherGate: first failing rule wins; clean docs keep with NULL reason") {
+    val stops = "the a of and to in is for on with"
+    val out = gateMap(Seq(
+      // fails too_short AND few_stopwords -> too_short (rule order)
+      1L -> "tiny doc",
+      // 20+ tokens, stopwords present, varied text -> kept
+      2L -> s"$stops quick brown fox jumps over lazy dog near river bank today",
+      // 20+ tokens but zero stopwords -> few_stopwords
+      3L -> (1 to 22).map(i => s"tok$i").mkString(" ")))
+    assert(out(1L) === ((false, Some("too_short"))))
+    assert(out(2L) === ((true, None)))
+    assert(out(3L) === ((false, Some("few_stopwords"))))
+  }
+
+  test("gopherGate: repetition and word-length rules fire before the stopword rule") {
+    // 24 tokens = 8x the same trigram -> dup_ngram_frac = (22-3)/22 >> 0.05,
+    // and the phrase contains stopwords so only `repetition` can fire
+    val repeated = Seq.fill(8)("the cat of").mkString(" ")
+    // 25 twelve-char words: avg chars/token ~ 13 > 10 -> word_len_high
+    // (checked before few_stopwords, which this doc also fails)
+    val longWords = Seq.fill(25)("abcdefghijkl").mkString(" ")
+    val out = gateMap(Seq(1L -> repeated, 2L -> longWords))
+    assert(out(1L) === ((false, Some("repetition"))))
+    assert(out(2L) === ((false, Some("word_len_high"))))
+  }
+
   test("mixtureSample rejects a colliding id column name") {
     val docs = Seq(("s", 1L)).toDF("source", "tk")
     val e = intercept[IllegalArgumentException] {

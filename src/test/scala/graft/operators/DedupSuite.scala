@@ -270,6 +270,33 @@ class DedupSuite extends AnyFunSuite {
     assert(out(2L)._2 === 1L)
   }
 
+  // ---- noveltyScore -----------------------------------------------------
+
+  test("noveltyScore: shared shingles cut novelty; disjoint docs score 1.0") {
+    val corpus = Seq(
+      (1L, "a b c d"),    // shingles {abc, bcd}; abc shared with doc 2
+      (2L, "a b c x"),    // shingles {abc, bcx}
+      (3L, "p q r s t")   // 3 shingles, all unique corpus-wide
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+  }
+
+  test("noveltyScore: exact duplicate docs bottom out at 0; short docs are omitted") {
+    val corpus = Seq(
+      (1L, "same exact text in both documents"),
+      (2L, "same exact text in both documents"),
+      (3L, "too few")  // 2 tokens -> no 3-gram shingles -> no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(corpus, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out === Map(1L -> 0.0, 2L -> 0.0))
+  }
+
   // ---- semanticDedup ----------------------------------------------------
 
   private val semCents = Seq(Array(1f, 0f), Array(0f, 1f))
