@@ -922,7 +922,12 @@ object SparkEntry {
       // X51 corpus novelty: fraction of each doc's distinct hashed
       // 3-gram shingles unique to it corpus-wide (q67 hash convention)
       Dedup.noveltyScore(t(s, d, "documents"), "doc_id", col("text"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    "q95_bigram_table" -> ((s, d) =>
+      // X52 n-gram-LM count table: top-3 continuations per head token,
+      // ties broken by the continuation's lexical order
+      TextAnalysis.bigramTable(t(s, d, "documents"), "doc_id", col("text"), k = 3)
+        .orderBy(col("w1"), col("rank"))))
 
   // ======================================================================
 
@@ -1959,5 +1964,15 @@ object SparkEntry {
            COUNT(CASE WHEN g.nd = 1 THEN 1 END) AS n_unique,
            ROUND(CAST(COUNT(CASE WHEN g.nd = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
              AS novelty
-         FROM p JOIN g USING (h) GROUP BY p.doc_id ORDER BY p.doc_id""")
+         FROM p JOIN g USING (h) GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q95_bigram_table" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         bg AS (SELECT tk[CAST(u.i + 1 AS INT)] AS w1, tk[CAST(u.i + 2 AS INT)] AS w2
+           FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)),
+         f AS (SELECT w1, w2, COUNT(*) AS n FROM bg
+           WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+         r AS (SELECT w1, w2, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS INT) AS rank
+           FROM f)
+         SELECT w1, w2, n, rank FROM r WHERE rank <= 3 ORDER BY w1, rank""")
 }

@@ -155,6 +155,39 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus bigram continuation table: for each head token the k most
+    * frequent next tokens with counts and rank — the count-table building
+    * block of an n-gram LM (KenLM-style), and the lookup behind
+    * next-token-predictability quality signals and boilerplate phrase
+    * detection. Bigrams form INSIDE a document only (never across doc
+    * boundaries); empty tokens drop, matching [[postings]].
+    *
+    * Plan shape: bigram postings aggregate on (w1, w2) with map-side
+    * combine; the per-head top-k is [[Curation.capPerKey]], whose
+    * WindowGroupLimit stays partial below the head exchange — the bigram
+    * vocabulary is never globally sorted. */
+  def bigramTable(docs: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+    // the `when` guard matters: sequence(0, size-2) with size < 2 counts
+    // DOWN (sequence supports descending ranges), fabricating bigrams
+    // from out-of-range element_at nulls; explode_outer (not explode)
+    // dodges InferFiltersFromGenerate re-inlining the tokenize chain
+    // below the generate (the contaminationScan guard)
+    val pairs = toks
+      .select(explode_outer(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"))))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    Curation.capPerKey(counts, col("w1"), k, col("n").desc, col("w2").asc)
+      .select(col("w1"), col("w2"), col("n"), col("rn").as("rank"))
+  }
+
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */

@@ -161,4 +161,18 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(scrubbed.forall(_ == false))
   }
 
+  test("bigramTable: counts, tie-break by continuation, no cross-document bigrams") {
+    val docs = Seq(
+      (1L, "a b a b c"),  // (a,b) x2, (b,a), (b,c)
+      (2L, "c d"),        // (c,d) — and NO (c,c) bridging docs 1 and 2
+      (3L, "solo")        // single token: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramTable(docs, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L, 1),
+      ("b", "a", 1L, 1), ("b", "c", 1L, 2), // tie on n=1 -> w2 asc
+      ("c", "d", 1L, 1)))
+  }
 }
