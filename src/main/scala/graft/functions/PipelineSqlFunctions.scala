@@ -159,6 +159,32 @@ object PipelineSqlFunctions {
         lam(i => fn("concat_ws",
           L(" ") +: (0 until n).map(j => fn("element_at", toks, fn("+", i, L(j + 1)))): _*))))
 
+  /** Gopher-gate reason at the default thresholds — the scalar twin of
+    * [[graft.operators.Curation.gopherGate]] (NULL = kept). Ad-hoc form:
+    * the rule tree re-derives tokens/shingles inline; bulk jobs use the
+    * staged DataFrame gate. */
+  private def gateReason(text: Expression): Expression = {
+    val toks = tokens(text)
+    val nt = fn("size", toks)
+    val atl = fn("/", asDouble(fn("length", text)), asDouble(fn("greatest", nt, L(1))))
+    val sh = shinglesFromTokens(toks, 3)
+    val nsh = fn("size", sh)
+    val dupFrac = caseWhen(
+      Seq(fn("=", nsh, L(0)) -> L(0.0)),
+      fn("/", asDouble(fn("-", nsh, fn("size", fn("array_distinct", sh)))), asDouble(nsh)))
+    val sw = fn("size", fn("filter", fn("array_distinct", toks),
+      lam(t => In(t, graft.operators.TextAnalysis.stopwords("en").map(L(_))))))
+    caseWhen(
+      Seq(
+        LessThan(nt, L(20)) -> L("too_short"),
+        fn(">", nt, L(100000)) -> L("too_long"),
+        LessThan(atl, L(3.0)) -> L("word_len_low"),
+        fn(">", atl, L(10.0)) -> L("word_len_high"),
+        fn(">", dupFrac, L(0.05)) -> L("repetition"),
+        LessThan(sw, L(2)) -> L("few_stopwords")),
+      Literal.create(null, StringType))
+  }
+
   // ------------------------------------------------------------------
   // dedup kernels (mirror graft.operators.Dedup)
   // ------------------------------------------------------------------
@@ -245,6 +271,7 @@ object PipelineSqlFunctions {
     fixed("graft_bpe_count", 1)(a => bpeCount(a.head)),
     fixed("graft_lang_id", 1)(a => langId(a.head)),
     fixed("graft_quality_score", 1)(a => qualityScore(a.head)),
+    fixed("graft_gate_reason", 1)(a => gateReason(a.head)),
     fixed("graft_scrub", 1)(a => scrub(a.head)),
     fixed("graft_fingerprint", 1)(a => fingerprint(a.head)),
     fixed("graft_rolling_hash", 1)(a => rollingHash(a.head)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.util.Sampling
 
 /** SQL-vs-Column parity for every pipeline kernel registered in
@@ -62,6 +62,33 @@ class PipelineSqlSuite extends AnyFunSuite {
 
   test("graft_quality_score == TextAnalysis.qualityScore") {
     parity("graft_quality_score(text)", TextAnalysis.qualityScore(col("text")))
+  }
+
+  test("graft_gate_reason == Curation.gopherGate reason (default thresholds)") {
+    docs // force fixture view + function registration
+    // the shared fixture is all-short docs; a dedicated fixture exercises
+    // a keep and three distinct rejection rules
+    val gateDocs = Seq(
+      (100L, "the quick brown fox jumps over a lazy dog and runs to the " +
+        "river bank in spring for fun on sunny days with friends"), // kept
+      (101L, Seq.fill(8)("the cat of").mkString(" ")),              // repetition
+      (102L, (1 to 25).map(i => s"tok$i").mkString(" ")),           // few_stopwords
+      (103L, Seq.fill(25)("abcdefghijkl").mkString(" "))            // word_len_high
+    ).toDF("doc_id", "text")
+    gateDocs.createOrReplaceTempView("gate_docs")
+    def viaSql(view: String) = spark.sql(
+      s"SELECT doc_id, graft_gate_reason(text) AS v FROM $view ORDER BY doc_id")
+      .collect().map(r => r.get(0) -> r.get(1)).toSeq
+    def viaOp(df: DataFrame) = Curation.gopherGate(df, "doc_id", col("text"))
+      .select(col("doc_id"), col("reason").as("v")).orderBy("doc_id")
+      .collect().map(r => r.get(0) -> r.get(1)).toSeq
+    assert(viaSql("pipe_docs") == viaOp(docs),
+      "SQL gate reason diverged from the DataFrame gate on the shared fixture")
+    val op = viaOp(gateDocs)
+    assert(viaSql("gate_docs") == op,
+      "SQL gate reason diverged from the DataFrame gate on the gate fixture")
+    assert(op.map(_._2).toSet ===
+      Set(null, "repetition", "few_stopwords", "word_len_high"), op.toString)
   }
 
   test("graft_scrub == TextAnalysis.scrub (urls + emails gone)") {
