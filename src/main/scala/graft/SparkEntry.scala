@@ -927,7 +927,21 @@ object SparkEntry {
       // X52 n-gram-LM count table: top-3 continuations per head token,
       // ties broken by the continuation's lexical order
       TextAnalysis.bigramTable(t(s, d, "documents"), "doc_id", col("text"), k = 3)
-        .orderBy(col("w1"), col("rank"))))
+        .orderBy(col("w1"), col("rank"))),
+    "q96_vocab_overlap" -> ((s, d) =>
+      // X53 pairwise source-vocabulary Jaccard: the mixture-design
+      // diagnostic (near-redundant sources show up as high overlap)
+      CorpusStats.vocabOverlap(t(s, d, "documents"), col("source"), "doc_id", col("text"))
+        .orderBy(col("s1"), col("s2"))),
+    "q97_ivf_stats" -> ((s, d) => {
+      // X54 IVF partition health: per-list population + mean cosine to
+      // the centroid (q58/q59 seed-centroid convention)
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      Ann.ivfStats(embs, "vec_id", "embedding", cents)
+        .orderBy(col("ivf_list"))
+    }))
 
   // ======================================================================
 
@@ -1974,5 +1988,36 @@ object SparkEntry {
          r AS (SELECT w1, w2, n,
              CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS INT) AS rank
            FROM f)
-         SELECT w1, w2, n, rank FROM r WHERE rank <= 3 ORDER BY w1, rank""")
+         SELECT w1, w2, n, rank FROM r WHERE rank <= 3 ORDER BY w1, rank""",
+    "q96_vocab_overlap" ->
+      s"""WITH raw AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         p AS (SELECT DISTINCT source, term FROM raw WHERE term <> ''),
+         s AS (SELECT source, COUNT(*) AS v FROM p GROUP BY 1),
+         sh AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_shared
+           FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT s1, s2, v1.v AS v1, v2.v AS v2, n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(v1.v + v2.v - n_shared AS DOUBLE), 6)
+             AS jaccard
+         FROM sh JOIN s v1 ON v1.source = s1 JOIN s v2 ON v2.source = s2
+         ORDER BY s1, s2""",
+    "q97_ivf_stats" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         assign AS (SELECT e.vec_id, e.embedding, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         scored AS (SELECT a.ivf_list, ROUND(
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS x, unnest(c.cv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(a.embedding) AS t(x)))
+              * sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(c.cv) AS t(x)))
+              + 1e-12), 6) AS c
+           FROM assign a JOIN cents c ON c.ccid = a.ivf_list)
+         SELECT ivf_list, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+         FROM scored GROUP BY ivf_list ORDER BY ivf_list""")
 }

@@ -179,6 +179,30 @@ object Ann {
     * nearest inverted lists — with `ivf_list` as a partition/bucket column
     * the scan prunes to nprobe/numLists of the data — then exact top-k
     * inside. nprobe == numLists degenerates to exact brute force. */
+  /** Per-list IVF diagnostics: list population and mean cosine of the
+    * members to their own centroid — the health metrics that tune
+    * nlist/nprobe (a hot list wants more centroids; a low mean cosine
+    * flags a poor coarse fit or drifted data). Re-train triggers at
+    * 100 TB come from THIS table, not from eyeballing recall.
+    *
+    * Determinism: per-row cosines round to 6 decimals, accumulate in
+    * exact decimal, divide once (the [[CorpusStats.lengthStats]]
+    * discipline) — a naive double AVG is partition-order-dependent and
+    * not oracle-checkable. One exchange keyed by the list id; centroids
+    * ride as a literal array. */
+  def ivfStats(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]]): DataFrame = {
+    val cents = array(centroids.map(c => lit(c).cast(ArrayType(FloatType))): _*)
+    val dec = DataTypes.createDecimalType(38, 6)
+    ivfAssign(embs, vecCol, centroids)
+      .withColumn("__cos",
+        round(vecCosine(col(vecCol), element_at(cents, col("ivf_list") + 1)), 6))
+      .groupBy(col("ivf_list"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__cos").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_cos"))
+  }
+
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Float]], query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def dot(a: Array[Float], b: Array[Float]): Double = {

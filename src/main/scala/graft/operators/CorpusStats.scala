@@ -40,6 +40,39 @@ object CorpusStats {
         (if (exact) countDistinct(col("term"))
          else approx_count_distinct(col("term"), rsd)).as("n_terms"))
 
+  /** Pairwise vocabulary overlap between corpus keys (sources, languages,
+    * shards): Jaccard of the DISTINCT term sets per key pair — the
+    * source-similarity diagnostic behind mixture design (two crawls with
+    * 0.9 vocab Jaccard are near-redundant; a source with no overlap is
+    * either gold or garbage) and drift checks between corpus snapshots.
+    *
+    * Emits `(s1, s2, v1, v2, n_shared, jaccard)` for every key pair that
+    * shares at least one term, s1 < s2.
+    *
+    * Scale shape: reduces to (key, term)-distinct postings; the pair
+    * counts come from a term-keyed self-join — the per-term cost is
+    * (#keys containing the term choose 2), bounded by the KEY count
+    * (sources/languages number in the thousands), never the corpus size.
+    * The vocab-size table is one row per key and broadcasts onto the
+    * result. */
+  def vocabOverlap(docs: DataFrame, key: Column, idCol: String,
+      text: Column): DataFrame = {
+    val posts = TextAnalysis.postings(docs, idCol, text, extraCols = Seq("key" -> key))
+      .select(col("key"), col("term")).distinct()
+    val sizes = posts.groupBy(col("key")).agg(count(lit(1)).as("v"))
+    val shared = posts.as("a")
+      .join(posts.as("b"),
+        col("a.term") === col("b.term") && col("a.key") < col("b.key"))
+      .groupBy(col("a.key").as("s1"), col("b.key").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("key").as("s1"), col("v").as("v1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("key").as("s2"), col("v").as("v2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("v1") + col("v2") - col("n_shared")).cast(DoubleType), 6).as("jaccard"))
+  }
+
   /** Per-key quantiles + count/mean of `metric`. Quantile probabilities
     * are fixed (p25/p50/p95) so the output schema is stable. The mean
     * accumulates in decimal (exact, order-independent) and divides once

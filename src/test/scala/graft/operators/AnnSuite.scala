@@ -135,4 +135,19 @@ class AnnSuite extends AnyFunSuite {
     assert(plus.size == 1 && minus.size == 1 && plus != minus,
       s"blobs end in distinct clusters: $plus vs $minus")
   }
+
+  test("ivfStats: list population and decimal-exact mean cosine to centroid") {
+    val cents = Seq(Array(1f, 0f), Array(0f, 1f))
+    val embs = Seq(
+      (0L, Seq(2f, 0f)),  // list 0, cos 1.0
+      (1L, Seq(3f, 4f)),  // list 0 (dot 3 > 4? no: dot c0=3, c1=4 -> list 1!)
+      (2L, Seq(0f, 7f))   // list 1, cos 1.0
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val out = Ann.ivfStats(embs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // [3,4]: dot to [1,0] is 3, to [0,1] is 4 -> list 1; cos to [0,1] = 4/5
+    assert(out(0) === ((1L, 1.0)))
+    assert(out(1) === ((2L, 0.9)))  // (1.0 + 0.8) / 2
+  }
 }

@@ -56,4 +56,18 @@ class CorpusStatsSuite extends AnyFunSuite {
       assert(math.abs(a95 - e95) <= 0.05 * math.max(e95, 1.0), s"$k p95: $a95 vs $e95")
     }
   }
+
+  test("vocabOverlap: shared-vocab pairs only, per-source distinct terms") {
+    val docs = Seq(
+      (1L, "A", "a b"), (2L, "A", "b c"),   // A vocab {a,b,c} (b deduped)
+      (3L, "B", "b c d"),                   // B vocab {b,c,d}
+      (4L, "C", "x y")                      // C vocab {x,y}, disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusStats.vocabOverlap(docs, col("source"), "doc_id", col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (A,B) shares terms: {b,c} of union {a,b,c,d} -> 0.5
+    assert(out.keySet === Set(("A", "B")))
+    assert(out(("A", "B")) === ((3L, 3L, 2L, 0.5)))
+  }
 }
