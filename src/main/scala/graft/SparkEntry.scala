@@ -941,6 +941,24 @@ object SparkEntry {
         .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
       Ann.ivfStats(embs, "vec_id", "embedding", cents)
         .orderBy(col("ivf_list"))
+    }),
+    "q98_winnow_overlap" -> ((s, d) =>
+      // X55 winnowing (SIGMOD'03): doc pairs sharing >= 1 selected
+      // fingerprint — sketch-level overlap at ~2/(w+1) posting density
+      Dedup.winnowedOverlap(t(s, d, "documents"), "doc_id", col("text"),
+        shingleN = 3, window = 4)
+        .orderBy(col("id1"), col("id2"))),
+    "q99_split_leakage" -> ((s, d) => {
+      // X56 eval-integrity audit: clone every 10th doc under a new id so
+      // content-dup leakage across the id-hashed split exists by
+      // construction; report each val/test doc whose fingerprint appears
+      // in train
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.splitLeakage(docs.unionByName(clones), "doc_id", col("text"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"), col("train_id"))
     }))
 
   // ======================================================================
@@ -2019,5 +2037,32 @@ object SparkEntry {
            FROM assign a JOIN cents c ON c.ccid = a.ivf_list)
          SELECT ivf_list, COUNT(*) AS n,
            ROUND(CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
-         FROM scored GROUP BY ivf_list ORDER BY ivf_list""")
+         FROM scored GROUP BY ivf_list ORDER BY ivf_list""",
+    "q98_winnow_overlap" ->
+      s"""WITH h AS (SELECT doc_id, $bases3Sql AS hs FROM documents),
+         w AS (SELECT doc_id, list_distinct(list_transform(range(0, len(hs) - 3),
+             i -> list_aggregate(hs[CAST(i + 1 AS INT) : CAST(i + 4 AS INT)], 'min'))) AS fps
+           FROM h WHERE len(hs) >= 4),
+         p AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+         FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q99_split_leakage" ->
+      s"""WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         b AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fp,
+             CAST(concat('0x', substr(md5('' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 7)) AS BIGINT) % 10000 AS bucket
+           FROM all_docs),
+         s AS (SELECT doc_id, fp,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM b),
+         tr AS (SELECT fp, MIN(doc_id) AS train_id FROM s
+           WHERE split = 'train' GROUP BY fp)
+         SELECT s.doc_id, s.split, tr.train_id
+         FROM s JOIN tr USING (fp)
+         WHERE s.split <> 'train' ORDER BY doc_id, train_id""")
 }

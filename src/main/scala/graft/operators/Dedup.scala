@@ -529,6 +529,83 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  // ---- winnowing sketches -----------------------------------------------
+
+  /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * the minimum shingle hash of every `window` consecutive shingles,
+    * deduplicated — a guaranteed-detection fingerprint diet. Any shared
+    * token run of length >= window + shingleN - 1 between two documents
+    * shares at least one selected fingerprint, at ~2/(window+1) the
+    * density of the full shingle set — the postings diet for overlap
+    * scans ([[contaminationScan]]-style joins over sketches instead of
+    * full shingle sets). Hashes are the 28-bit [[shingleBases]] (q67
+    * convention, oracle-reproducible).
+    *
+    * Documents with fewer than `window` shingles have no window and drop.
+    * Emits distinct `(doc_id, fp)` postings. */
+  def winnowedSketch(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val staged = docs
+      .select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), shingleN))
+      .withColumn("__h", shingleBases(col("__sh")))
+    // the `when` guard keeps sequence() ascending (the bigramTable
+    // descending-range trap); explode_outer dodges
+    // InferFiltersFromGenerate re-inlining the chain below the generate
+    val minima = when(size(col("__h")) >= window,
+      array_distinct(transform(sequence(lit(0), size(col("__h")) - window),
+        i => array_min(slice(col("__h"), i + 1, lit(window))))))
+    staged.select(col("doc_id"), explode_outer(minima).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Document pairs sharing at least `minShared` winnowed fingerprints —
+    * the sketch-level overlap scan. Same join discipline as the other
+    * near-dup paths: the exchange carries (doc_id, 8-byte fp) postings
+    * only, pair cost is per-fp bucket-bounded, never all-pairs. */
+  def winnowedOverlap(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 1): DataFrame = {
+    val sk = winnowedSketch(docs, idCol, text, shingleN, window)
+    sk.as("a")
+      .join(sk.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ---- split leakage audit ----------------------------------------------
+
+  /** Train/eval leakage audit: after a deterministic hash split
+    * ([[graft.util.Sampling.hashSplit]]), find val/test documents whose
+    * content fingerprint ([[TextAnalysis.fingerprint]], normalized md5)
+    * also appears in the `trainSplit` — exact-duplicate leakage across
+    * the split boundary, the eval-integrity check a pipeline runs BEFORE
+    * trusting a benchmark number. (The split hashes the doc ID, dedup
+    * hashes the CONTENT; ids differ while content repeats, so splitting
+    * before dedup leaks — this op measures exactly that.)
+    *
+    * Emits one row per leaked document: `(doc_id, split, train_id)` with
+    * `train_id` = the smallest matching train document.
+    *
+    * Scale shape: one fingerprint-keyed exchange; the train fingerprint
+    * table is MIN-collapsed per fp before the join. */
+  def splitLeakage(docs: DataFrame, idCol: String, text: Column,
+      fractions: Seq[(String, Double)], trainSplit: String = "train",
+      salt: String = ""): DataFrame = {
+    require(fractions.exists(_._1 == trainSplit),
+      s"fractions must contain the train split '$trainSplit'")
+    val withSplit = graft.util.Sampling.hashSplit(
+      docs.select(col(idCol), TextAnalysis.fingerprint(text).as("__fp")),
+      col(idCol), fractions, salt)
+    val train = withSplit.filter(col("split") === trainSplit)
+      .groupBy(col("__fp")).agg(min(col(idCol)).as("train_id"))
+    withSplit.filter(col("split") =!= trainSplit)
+      .join(train, Seq("__fp"))
+      .select(col(idCol), col("split"), col("train_id"))
+  }
+
   // ---- semantic dedup (cluster-then-prune) ------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):

@@ -297,6 +297,63 @@ class DedupSuite extends AnyFunSuite {
     assert(out === Map(1L -> 0.0, 2L -> 0.0))
   }
 
+  // ---- winnowing --------------------------------------------------------
+
+  test("winnowedSketch: guaranteed detection on long shared runs, short docs drop") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7-token run
+    val docs = Seq(
+      (1L, s"prefix one two $shared"),
+      (2L, s"$shared suffix three four"),
+      (3L, "totally different words everywhere in this document"),
+      (4L, "only five tokens right here")  // 3 shingles < window=4 -> no rows
+    ).toDF("doc_id", "text")
+    val sk = Dedup.winnowedSketch(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(!sk.exists(_._1 == 4L), "a doc with fewer shingles than the window has no sketch")
+    // winnowing guarantee: a shared run of >= window + shingleN - 1 = 6
+    // tokens forces at least one common selected fingerprint
+    val s1 = sk.filter(_._1 == 1L).map(_._2).toSet
+    val s2 = sk.filter(_._1 == 2L).map(_._2).toSet
+    assert((s1 & s2).nonEmpty, "docs sharing a 7-token run must share a fingerprint")
+    val pairs = Dedup.winnowedOverlap(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair for doc 3")
+  }
+
+  test("winnowedSketch is a strict diet of the full shingle-hash set") {
+    val docs = Seq((1L,
+      (1 to 40).map(i => s"w$i").mkString(" ") + " w1 w2 w3 tail")).toDF("doc_id", "text")
+    val full = Dedup.shingleHashSets(docs, "doc_id", col("text"), 3)
+      .select(explode(col("sh"))).as[Long].collect().toSet
+    val sk = Dedup.winnowedSketch(docs, "doc_id", col("text")).select("fp")
+      .as[Long].collect().toSet
+    assert(sk.subsetOf(full), "every fingerprint is one of the doc's shingle hashes")
+    assert(sk.size < full.size, "the sketch must be smaller than the full set")
+  }
+
+  // ---- splitLeakage -----------------------------------------------------
+
+  test("differential: splitLeakage equals split+group recomputed in memory") {
+    import graft.util.Sampling
+    // 40 ids over 8 content groups: every group straddles splits somewhere
+    val rows = (1L to 40L).map(id => (id, s"shared content number ${id % 8}"))
+    val docs = rows.toDF("doc_id", "text")
+    val fracs = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val split = Sampling.hashSplit(docs.select($"doc_id"), $"doc_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      (id, text) <- rows if split(id) != "train"
+      group = rows.filter(_._2 == text).map(_._1)
+      trains = group.filter(g => split(g) == "train")
+      if trains.nonEmpty
+    } yield (id, split(id), trains.min)).toSet
+    val got = Dedup.splitLeakage(docs, "doc_id", $"text", fracs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should actually leak — strengthen it if not")
+  }
+
   // ---- semanticDedup ----------------------------------------------------
 
   private val semCents = Seq(Array(1f, 0f), Array(0f, 1f))
