@@ -264,6 +264,27 @@ class PlanAuditSuite extends AnyFunSuite {
       s"within-cluster pairing must never fall back to all-pairs:\n$p")
   }
 
+  test("bigram table: (w1,w2) agg map-side combines; per-head top-k stays a partial window cut (X52)") {
+    val p = finalPlan("q95_bigram_table")
+    // the shuffle carries combined (w1, w2, count) rows, not raw bigrams,
+    // and each map task pre-cuts to k rows per head before the exchange
+    assert(p.contains("partial_count"),
+      s"bigram counts must map-side combine below the exchange:\n$p")
+    assert(p.contains("row_number(), 3, Partial"),
+      s"per-head top-k must pre-cut map-side (WindowGroupLimit Partial):\n$p")
+  }
+
+  test("winnow overlap: postings carry 8-byte fps, pair join is an fp equi-join (X55)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val p = prepPlan(operators.Dedup.winnowedOverlap(docs, "doc_id", col("text")))
+    assert(p.contains("hashpartitioning(fp") || p.contains("SortMergeJoin [fp")
+      || p.contains("BroadcastHashJoin [fp"),
+      s"the sketch self-join must key on the fingerprint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch pairing must never fall back to all-pairs:\n$p")
+  }
+
   test("mixture sample: single source-keyed exchange, literal budget map — no join at all (X49)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
