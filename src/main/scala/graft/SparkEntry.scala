@@ -959,6 +959,21 @@ object SparkEntry {
       Dedup.splitLeakage(docs.unionByName(clones), "doc_id", col("text"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"), col("train_id"))
+    }),
+    "q100_dedup_report" -> ((s, d) => {
+      // X57 per-source dedup dashboard: clones under the SAME source
+      // (doc_id%13==0 -> intra-key dup mass) and under a NEW source
+      // (doc_id%7==0 -> cross-key shared contents) make both columns
+      // non-trivial by construction
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+      val intra = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("source"), col("text"))
+      val cross = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"), lit("mirror").as("source"), col("text"))
+      Dedup.dedupReport(docs.unionByName(intra).unionByName(cross),
+        col("source"), "doc_id", col("text"))
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"))
     }))
 
   // ======================================================================
@@ -2064,5 +2079,21 @@ object SparkEntry {
            WHERE split = 'train' GROUP BY fp)
          SELECT s.doc_id, s.split, tr.train_id
          FROM s JOIN tr USING (fp)
-         WHERE s.split <> 'train' ORDER BY doc_id, train_id""")
+         WHERE s.split <> 'train' ORDER BY doc_id, train_id""",
+    "q100_dedup_report" ->
+      s"""WITH all_docs AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000, source, text FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 30000, 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+         f AS (SELECT source, doc_id, substr(md5($mdNorm), 1, 16) AS fp FROM all_docs),
+         pk AS (SELECT source, fp, COUNT(*) AS n FROM f GROUP BY 1, 2),
+         fk AS (SELECT fp, COUNT(*) AS nk FROM pk GROUP BY 1)
+         SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct_fp,
+           CAST(SUM(n - 1) AS BIGINT) AS intra_dup_docs,
+           COUNT(CASE WHEN fk.nk > 1 THEN 1 END) AS n_cross_fps
+         FROM pk JOIN fk USING (fp)
+         GROUP BY source ORDER BY source""")
 }

@@ -575,6 +575,33 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-key exact-duplicate mass report — the dedup dashboard a curation
+    * pipeline publishes per source/language/snapshot: how many documents,
+    * how many distinct contents, how much intra-key duplicate mass, and
+    * how many contents also appear under OTHER keys (mirror/syndication
+    * signal). Drives the decision of where to spend the expensive
+    * near-dup passes.
+    *
+    * Emits `(key, n_docs, n_distinct_fp, intra_dup_docs, n_cross_fps)`.
+    *
+    * Scale shape: fingerprints only (16-byte md5 prefix) — one exchange
+    * on (key, fp) with map-side combine, a second tiny one on fp over the
+    * already-collapsed per-key rows; document bodies never shuffle. */
+  def dedupReport(docs: DataFrame, key: Column, idCol: String,
+      text: Column): DataFrame = {
+    val staged = docs.select(key.as("key"), col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("fp"))
+    val perKeyFp = staged.groupBy(col("key"), col("fp")).agg(count(lit(1)).as("n"))
+    val fpKeys = perKeyFp.groupBy(col("fp")).agg(count(lit(1)).as("nk"))
+    perKeyFp.join(fpKeys, Seq("fp"))
+      .groupBy(col("key"))
+      .agg(
+        sum(col("n")).cast(LongType).as("n_docs"),
+        count(lit(1)).as("n_distinct_fp"),
+        sum(col("n") - 1).cast(LongType).as("intra_dup_docs"),
+        count(when(col("nk") > 1, 1)).as("n_cross_fps"))
+  }
+
   // ---- split leakage audit ----------------------------------------------
 
   /** Train/eval leakage audit: after a deterministic hash split

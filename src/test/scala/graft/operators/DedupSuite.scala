@@ -332,6 +332,22 @@ class DedupSuite extends AnyFunSuite {
     assert(sk.size < full.size, "the sketch must be smaller than the full set")
   }
 
+  test("dedupReport: intra-key dup mass and cross-key shared contents per key") {
+    val corpus = Seq(
+      (1L, "A", "same text one"), (2L, "A", "same  TEXT one"),  // intra-A dup (normalized)
+      (3L, "A", "unique to a"),
+      (4L, "B", "same text one"),                               // cross-key with A
+      (5L, "B", "unique to b"), (6L, "B", "another unique b")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupReport(corpus, col("source"), "doc_id", col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // A: 3 docs over 2 contents -> 1 intra dup; 1 content shared with B
+    assert(out("A") === ((3L, 2L, 1L, 1L)))
+    // B: 3 docs, all distinct within B; 1 content shared with A
+    assert(out("B") === ((3L, 3L, 0L, 1L)))
+  }
+
   // ---- splitLeakage -----------------------------------------------------
 
   test("differential: splitLeakage equals split+group recomputed in memory") {
