@@ -974,7 +974,13 @@ object SparkEntry {
         col("source"), "doc_id", col("text"))
         .withColumnRenamed("key", "source")
         .orderBy(col("source"))
-    }))
+    }),
+    "q101_adaptive_cutoff" -> ((s, d) =>
+      // X58 data-driven quality gate: keep the top 90% by quality score;
+      // the cutoff is the corpus' own p10, recorded alongside for audit
+      Curation.adaptiveQualityCutoff(t(s, d, "documents"), "doc_id", col("text"),
+        keepFrac = 0.9)
+        .orderBy(col("doc_id"))))
 
   // ======================================================================
 
@@ -987,6 +993,20 @@ object SparkEntry {
     * arithmetic permutation `(a*h + b) mod p`, mirroring
     * Dedup.shingleBases/seedMins exactly (constants shared from Dedup —
     * single source of truth for both engines). */
+  /** The composite quality score, shared by q48 and the q101 percentile
+    * cutoff — ONE source of truth for the DuckDB side of
+    * TextAnalysis.qualityScore. */
+  private lazy val qualityScoreSql: String = {
+    val nTok = s"len($toksSql)"
+    val nChars = "length(text)"
+    val punct = s"""($nChars - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}]', '', 'g')))"""
+    val stopList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(",")
+    val stopHits = s"len(list_filter($toksSql, t -> t IN ($stopList)))"
+    s"""ROUND(0.5 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+        + 0.5 * least(CAST($stopHits AS DOUBLE) / greatest(CAST($nTok AS DOUBLE), 1.0) * 5.0, 1.0)
+        - 0.25 * least(CAST($punct AS DOUBLE) / greatest(CAST($nChars AS DOUBLE), 1.0) * 5.0, 1.0), 6)"""
+  }
+
   private val shingle3Sql =
     s"""list_transform(range(0, len($toksSql) - 2),
         i -> list_extract($toksSql, CAST(i+1 AS INT)) || ' ' ||
@@ -1483,11 +1503,14 @@ object SparkEntry {
       s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
           ROUND(CAST($punct AS DOUBLE) / greatest($nChars, 1), 6) AS punct_ratio,
           ROUND(CAST($stopHits AS DOUBLE) / greatest($nTok, 1), 6) AS stopword_ratio,
-          ROUND(0.5 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
-            + 0.5 * least(CAST($stopHits AS DOUBLE) / greatest(CAST($nTok AS DOUBLE), 1.0) * 5.0, 1.0)
-            - 0.25 * least(CAST($punct AS DOUBLE) / greatest(CAST($nChars AS DOUBLE), 1.0) * 5.0, 1.0), 6) AS score
+          $qualityScoreSql AS score
           FROM documents ORDER BY doc_id"""
     },
+    "q101_adaptive_cutoff" ->
+      s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
+         c AS (SELECT quantile_cont(score, 0.1) AS cut FROM s)
+         SELECT doc_id, score, ROUND(cut, 6) AS cutoff FROM s, c
+         WHERE score >= cut ORDER BY doc_id""",
     "q49_token_counts" -> {
       val nTok = s"len($toksSql)"
       val bpe = s"list_sum(list_transform($toksSql, t -> greatest(CAST(ceil(length(t) / 4.0) AS BIGINT), 1)))"

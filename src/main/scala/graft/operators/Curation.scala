@@ -180,6 +180,29 @@ object Curation {
         col("reason").isNull.as("keep"), col("reason"))
   }
 
+  /** Adaptive quality cutoff: keep the top `keepFrac` of the corpus by
+    * [[TextAnalysis.qualityScore]] — the data-driven form of
+    * [[gopherGate]]'s fixed thresholds. A fixed score cutoff rots as the
+    * crawl mix drifts; a percentile cutoff tracks the distribution
+    * (reject-the-worst-decile survives a quality regression upstream).
+    * Emits the kept rows with their score plus the cutoff used — the
+    * audit trail a reproducible pipeline records next to the output.
+    *
+    * Scale shape: one exact-percentile aggregate rides back as a
+    * broadcast single-row cross join (the scalar-anchor pattern — no
+    * driver action), then a shuffle-free filter pass. At 100 TB swap
+    * `percentile` for `approx_percentile` — identical plan shape, the
+    * [[CorpusStats.lengthStats]] exact/sketch duality. */
+  def adaptiveQualityCutoff(docs: DataFrame, idCol: String, text: Column,
+      keepFrac: Double = 0.9): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0,1], got $keepFrac")
+    val scored = docs.select(col(idCol), TextAnalysis.qualityScore(text).as("score"))
+    val cut = scored.agg(percentile(col("score"), lit(1.0 - keepFrac)).as("__cut"))
+    scored.crossJoin(broadcast(cut))
+      .filter(col("score") >= col("__cut"))
+      .select(col(idCol), col("score"), round(col("__cut"), 6).as("cutoff"))
+  }
+
   /** Token-budget mixture sampling — the static data-mixing pass of a
     * Pile/DoReMi-style pipeline: each source is given an explicit token
     * budget and contributes documents, in a deterministic md5-shuffled

@@ -129,6 +129,26 @@ class CurationSuite extends AnyFunSuite {
     assert(out.sorted !== out, "md5 order should not equal id order")
   }
 
+  test("adaptiveQualityCutoff: kept set is exactly the scores at/above the percentile") {
+    val stops = TextAnalysis.stopwords("en")
+    val docs = (1L to 30L).map { i =>
+      // longer docs with more stopwords score higher -> a real score spread
+      val words = (1 to i.toInt).map(j => if (j % 3 == 0) stops((j / 3) % 10) else s"w$j")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = Curation.adaptiveQualityCutoff(docs, "doc_id", $"text", keepFrac = 0.8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val cutoff = out.head._3
+    assert(out.forall(_._2 >= cutoff), "every kept score clears the cutoff")
+    assert(out.map(_._1).toSet === scored.filter(_._2 >= cutoff).keySet,
+      "kept set = exactly the docs at/above the cutoff")
+    assert(out.length >= 24 && out.length < 30, s"~top-80% kept, got ${out.length}")
+    val all = Curation.adaptiveQualityCutoff(docs, "doc_id", $"text", keepFrac = 1.0)
+    assert(all.count() === 30, "keepFrac=1 keeps everything (cutoff = min score)")
+  }
+
   // ---- mixtureSample ----------------------------------------------------
 
   private def md5Hex(s: String): String =

@@ -321,6 +321,25 @@ class DedupSuite extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no false pair for doc 3")
   }
 
+  test("winnowing guarantee holds on randomized corpora (bulk property)") {
+    // every pair (2i, 2i+1) shares a random run of >= 6 tokens
+    // (>= window + shingleN - 1), so winnowing MUST pair them; random
+    // prefixes/suffixes stress window placement around the run edges
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(50)(i => s"word$i")
+    def run(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 20).flatMap { i =>
+      val shared = run(6 + rnd.nextInt(5))
+      Seq((2L * i, s"${run(rnd.nextInt(8))} $shared".trim),
+        (2L * i + 1, s"$shared ${run(rnd.nextInt(8))}".trim))
+    }
+    val pairs = Dedup.winnowedOverlap(docs.toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 20)
+      assert(pairs.contains((2L * i, 2L * i + 1)),
+        s"pair ${2 * i}/${2 * i + 1} shares a >=6-token run but was not detected")
+  }
+
   test("winnowedSketch is a strict diet of the full shingle-hash set") {
     val docs = Seq((1L,
       (1 to 40).map(i => s"w$i").mkString(" ") + " w1 w2 w3 tail")).toDF("doc_id", "text")
