@@ -980,7 +980,23 @@ object SparkEntry {
       // the cutoff is the corpus' own p10, recorded alongside for audit
       Curation.adaptiveQualityCutoff(t(s, d, "documents"), "doc_id", col("text"),
         keepFrac = 0.9)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    "q102_mean_pool" -> ((s, d) =>
+      // X59 chunk->doc embedding pooling: vec_id%50 stands in for the doc
+      // grouping; index-ordered sequential fold keeps the float mean
+      // bit-identical to the oracle. Flattened per dim (q61 convention —
+      // no array columns through the driver's hash compare)
+      Ann.meanPool(t(s, d, "embeddings"), col("vec_id") % 50, col("vec_id"), "embedding")
+        .select(col("gid"), col("n_chunks"), posexplode(col("pooled")).as(Seq("dim", "val")))
+        .orderBy(col("gid"), col("dim"))),
+    "q103_matryoshka" -> ((s, d) =>
+      // X60 MRL prefix view: first 16 dims re-normalized (the low-dim
+      // candidate index; the full 64-dim vector remains for rerank)
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorFunctions.matryoshka(col("embedding"), 16))
+            .as(Seq("dim", "val")))
+        .orderBy(col("vec_id"), col("dim"))))
 
   // ======================================================================
 
@@ -2118,5 +2134,25 @@ object SparkEntry {
            CAST(SUM(n - 1) AS BIGINT) AS intra_dup_docs,
            COUNT(CASE WHEN fk.nk > 1 THEN 1 END) AS n_cross_fps
          FROM pk JOIN fk USING (fp)
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source""",
+    "q102_mean_pool" ->
+      """WITH g AS (SELECT vec_id % 50 AS gid, vec_id, embedding FROM embeddings),
+         a AS (SELECT gid, COUNT(*) AS n_chunks,
+             list(embedding ORDER BY vec_id) AS vecs
+           FROM g GROUP BY gid)
+         SELECT gid, n_chunks, CAST(t.d AS INT) AS dim,
+           ROUND(list_sum(list_transform(vecs, v -> CAST(v[CAST(t.d + 1 AS INT)] AS DOUBLE)))
+             / n_chunks, 6) AS val
+         FROM a, LATERAL UNNEST(range(64)) AS t(d)
+         ORDER BY gid, dim""",
+    "q103_matryoshka" ->
+      """WITH m AS (SELECT vec_id, embedding[1:16] AS p,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM unnest(embedding[1:16]) AS t(x))) AS mag
+           FROM embeddings)
+         SELECT vec_id, CAST(t.d AS INT) AS dim,
+           CAST(p[CAST(t.d + 1 AS INT)] AS DOUBLE) /
+             (CASE WHEN mag = 0 THEN 1e-10 ELSE mag END) AS val
+         FROM m, LATERAL UNNEST(range(16)) AS t(d)
+         ORDER BY vec_id, dim""")
 }

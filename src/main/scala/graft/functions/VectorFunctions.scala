@@ -36,6 +36,17 @@ object VectorFunctions {
     transform(v, x => x.cast(DoubleType) / safe)
   }
 
+  /** Matryoshka truncation (Kusupati et al. 2022, arXiv:2205.13147):
+    * keep the first k dimensions and re-normalize — the cheap low-dim
+    * index view of an MRL-trained embedding (prefix dims carry the
+    * coarse semantics; a 4x-smaller index serves the candidate stage and
+    * the full vector reranks). Output doubles, [[vecNormalize]]
+    * zero-guard semantics. */
+  def matryoshka(v: Column, k: Int): Column = {
+    require(k >= 1, s"k must be positive, got $k")
+    vecNormalize(slice(v, 1, k))
+  }
+
   /** cosine(a, b) given precomputed magnitudes:
     * dot / (magA * magB + 1e-12) (`src/VectorTable.php:173`). */
   def vecCosine(a: Column, b: Column, magA: Column, magB: Column): Column =

@@ -179,6 +179,33 @@ object Ann {
     * nearest inverted lists — with `ivf_list` as a partition/bucket column
     * the scan prunes to nprobe/numLists of the data — then exact top-k
     * inside. nprobe == numLists degenerates to exact brute force. */
+  /** Mean-pool chunk embeddings into one vector per group — the
+    * chunk→document pooling step of an embedding pipeline (a doc embeds
+    * as the mean of its chunk embeddings; rerank stages then work at doc
+    * granularity). Emits `(gid, n_chunks, pooled)` with doubles.
+    *
+    * Determinism: each group's rows collect SORTED by the order column,
+    * then a sequential per-dimension double fold (`aggregate`) — the
+    * index-ordered accumulation discipline that keeps every float path
+    * here oracle-exact; a parallel SUM over floats is
+    * partition-order-dependent. Scale: ONE exchange on the group key;
+    * a group is one document's chunk set (tens of rows), so the sorted
+    * per-group array is small by construction. */
+  def meanPool(embs: DataFrame, group: Column, order: Column,
+      vecCol: String): DataFrame = {
+    val grouped = embs
+      .select(group.as("gid"), struct(order.as("o"), col(vecCol).as("v")).as("s"))
+      .groupBy(col("gid"))
+      .agg(array_sort(collect_list(col("s"))).as("__rows"))
+    val dim = size(element_at(col("__rows"), 1).getField("v"))
+    val n = size(col("__rows"))
+    grouped.select(col("gid"), n.cast(LongType).as("n_chunks"),
+      transform(sequence(lit(1), dim), d =>
+        round(aggregate(col("__rows"), lit(0.0),
+          (acc, r) => acc + element_at(r.getField("v"), d).cast(DoubleType)) /
+          n.cast(DoubleType), 6)).as("pooled"))
+  }
+
   /** Per-list IVF diagnostics: list population and mean cosine of the
     * members to their own centroid — the health metrics that tune
     * nlist/nprobe (a hot list wants more centroids; a low mean cosine

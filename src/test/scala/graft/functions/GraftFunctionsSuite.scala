@@ -69,4 +69,22 @@ class GraftFunctionsSuite extends AnyFunSuite {
     val dummy = new org.apache.spark.sql.SparkSessionExtensions
     ext(dummy)
   }
+
+  test("matryoshka: prefix truncation renormalizes to unit length") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    import org.apache.spark.sql.types.FloatType
+    val df = spark.range(1).select(
+      VectorFunctions.matryoshka(
+        array(lit(3f), lit(4f), lit(100f)).cast(
+          org.apache.spark.sql.types.ArrayType(FloatType)), 2).as("m"))
+    val m = df.head().getSeq[Double](0)
+    assert(m === Seq(0.6, 0.8), "first-2-dim prefix of [3,4,100] normalizes to [.6,.8]")
+    assert(math.abs(math.hypot(m(0), m(1)) - 1.0) < 1e-12)
+    val zero = spark.range(1).select(
+      VectorFunctions.matryoshka(
+        array(lit(0f), lit(0f)).cast(
+          org.apache.spark.sql.types.ArrayType(FloatType)), 2).as("m"))
+      .head().getSeq[Double](0)
+    assert(zero === Seq(0.0, 0.0), "zero vector stays zero under the 1e-10 guard")
+  }
 }

@@ -150,4 +150,17 @@ class AnnSuite extends AnyFunSuite {
     assert(out(0) === ((1L, 1.0)))
     assert(out(1) === ((2L, 0.9)))  // (1.0 + 0.8) / 2
   }
+
+  test("meanPool: sorted sequential fold gives the exact per-dim mean") {
+    val embs = Seq(
+      (0L, Seq(1f, 3f)), (2L, Seq(3f, 5f)),  // group 0 -> mean [2, 4]
+      (1L, Seq(10f, 0f))                     // group 1 -> itself
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val out = Ann.meanPool(embs, col("vec_id") % 2, col("vec_id"), "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(out(0L) === ((2L, Seq(2.0, 4.0))))
+    assert(out(1L) === ((1L, Seq(10.0, 0.0))))
+  }
 }
