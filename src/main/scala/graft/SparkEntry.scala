@@ -996,7 +996,27 @@ object SparkEntry {
         .select(col("vec_id"),
           posexplode(graft.functions.VectorFunctions.matryoshka(col("embedding"), 16))
             .as(Seq("dim", "val")))
-        .orderBy(col("vec_id"), col("dim"))))
+        .orderBy(col("vec_id"), col("dim"))),
+    "q104_matryoshka_search" -> ((s, d) => {
+      // X61 MRL funnel: 16-dim prefix candidates (top-50), full-dim
+      // exact rerank to top-10 — the q34 query vector (vec_id=5)
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Ann.matryoshkaTopK(embs, "vec_id", "embedding", q,
+        prefixDims = 16, candidates = 50, k = 10)
+    }),
+    "q105_recall_at_k" -> ((s, d) => {
+      // X62 ANN eval harness: recall@10 of the 16-dim prefix funnel vs
+      // exact brute force, same query
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val exact = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, k = 10)
+      val approx = Ann.matryoshkaTopK(embs, "vec_id", "embedding", q,
+        prefixDims = 16, candidates = 50, k = 10)
+      Ann.recallAtK(exact, approx, "vec_id", k = 10)
+    }))
 
   // ======================================================================
 
@@ -1009,6 +1029,28 @@ object SparkEntry {
     * arithmetic permutation `(a*h + b) mod p`, mirroring
     * Dedup.shingleBases/seedMins exactly (constants shared from Dedup —
     * single source of truth for both engines). */
+  /** The matryoshka two-stage funnel (prefix-16 candidates -> full-dim
+    * rerank), shared by q104 (results) and q105 (recall vs exact) —
+    * mirrors Ann.matryoshkaTopK arithmetic exactly. */
+  private lazy val mrlFunnelSql: String =
+    """WITH q AS (SELECT embedding AS qv,
+         sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding[1:16]) AS t(y))) AS pmag,
+         sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS fmag
+         FROM embeddings WHERE vec_id = 5),
+       cand AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding[1:16]) AS x, unnest(q.qv[1:16]) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding[1:16]) AS t(x)))
+            * (SELECT pmag FROM q) + 1e-12) AS pc
+         FROM embeddings e
+         ORDER BY pc DESC, e.vec_id ASC LIMIT 50),
+       rer AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT fmag FROM q) + 1e-12) AS c
+         FROM embeddings e JOIN cand USING (vec_id))"""
+
   /** The composite quality score, shared by q48 and the q101 percentile
     * cutoff — ONE source of truth for the DuckDB side of
     * TextAnalysis.qualityScore. */
@@ -2154,5 +2196,22 @@ object SparkEntry {
            CAST(p[CAST(t.d + 1 AS INT)] AS DOUBLE) /
              (CASE WHEN mag = 0 THEN 1e-10 ELSE mag END) AS val
          FROM m, LATERAL UNNEST(range(16)) AS t(d)
-         ORDER BY vec_id, dim""")
+         ORDER BY vec_id, dim""",
+    "q104_matryoshka_search" ->
+      s"""$mrlFunnelSql
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM rer
+         ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    "q105_recall_at_k" ->
+      s"""$mrlFunnelSql,
+         approx AS (SELECT vec_id FROM rer ORDER BY c DESC, vec_id ASC LIMIT 10),
+         exact AS (SELECT e.vec_id,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+              * (SELECT fmag FROM q) + 1e-12) AS c
+           FROM embeddings e
+           ORDER BY c DESC, e.vec_id ASC LIMIT 10),
+         hits AS (SELECT vec_id FROM exact INTERSECT SELECT vec_id FROM approx)
+         SELECT COUNT(*) AS n_hits, ROUND(CAST(COUNT(*) AS DOUBLE) / 10, 6) AS recall
+         FROM hits""")
 }

@@ -206,6 +206,46 @@ object Ann {
           n.cast(DoubleType), 6)).as("pooled"))
   }
 
+  /** Two-stage matryoshka search (Kusupati et al. 2205.13147 §5,
+    * adaptive retrieval): rank candidates by cosine over the FIRST
+    * `prefixDims` dimensions (the low-dim MRL index — normalization
+    * cancels in cosine, so raw prefixes score identically to
+    * [[graft.functions.VectorFunctions.matryoshka]] vectors), then
+    * exact-rerank the `candidates` survivors on the full vector. The
+    * same funnel shape as the flagship hamming→cosine search: stage 1
+    * reads prefixDims/dim of the vector bytes, the full column is only
+    * touched for the candidate set, both stages plan as
+    * TakeOrderedAndProject. */
+  def matryoshkaTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], prefixDims: Int, candidates: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qp = lit(query.take(prefixDims)).cast(ArrayType(FloatType))
+    val qf = lit(query).cast(ArrayType(FloatType))
+    val stage1 = embs
+      .select(col(idCol), vecCosine(slice(col(vecCol), 1, prefixDims), qp).as("prefix_cos"))
+      .orderBy(col("prefix_cos").desc, col(idCol).asc)
+      .limit(candidates)
+    stage1.join(embs.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), round(vecCosine(col(vecCol), qf), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Recall@k — the ANN evaluation harness: fraction of the exact top-k
+    * ids an approximate method recovered. `exact`/`approx` are ORDERED
+    * result frames (their first k rows define the top-k sets). One
+    * number decides nprobe/band/prefix tuning; at 100 TB this runs over
+    * a sampled query set, never eyeballed. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    exact.limit(k).select(col(idCol))
+      .intersect(approx.limit(k).select(col(idCol)))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / k, 6).as("recall"))
+  }
+
   /** Per-list IVF diagnostics: list population and mean cosine of the
     * members to their own centroid — the health metrics that tune
     * nlist/nprobe (a hot list wants more centroids; a low mean cosine

@@ -163,4 +163,25 @@ class AnnSuite extends AnyFunSuite {
     assert(out(0L) === ((2L, Seq(2.0, 4.0))))
     assert(out(1L) === ((1L, Seq(10.0, 0.0))))
   }
+
+  test("matryoshkaTopK with full-corpus candidates equals brute force; recallAtK bounds") {
+    val rnd = new scala.util.Random(3)
+    val embs = (0L until 60L).map(id =>
+      (id, Seq.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val q = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+    val exact = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, k = 10)
+    // candidates = corpus size -> the funnel cannot lose anything
+    val funnelAll = Ann.matryoshkaTopK(embs, "vec_id", "embedding", q,
+      prefixDims = 8, candidates = 60, k = 10)
+    assert(funnelAll.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      exact.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val r = Ann.recallAtK(exact, funnelAll, "vec_id", 10).head()
+    assert(r.getLong(0) === 10L && r.getDouble(1) === 1.0)
+    // a tight funnel can only lose recall, never exceed 1
+    val tight = Ann.matryoshkaTopK(embs, "vec_id", "embedding", q,
+      prefixDims = 4, candidates = 12, k = 10)
+    val r2 = Ann.recallAtK(exact, tight, "vec_id", 10).head()
+    assert(r2.getDouble(1) >= 0.0 && r2.getDouble(1) <= 1.0)
+  }
 }
