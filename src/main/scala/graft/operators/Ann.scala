@@ -211,11 +211,14 @@ object Ann {
     * `prefixDims` dimensions (the low-dim MRL index — normalization
     * cancels in cosine, so raw prefixes score identically to
     * [[graft.functions.VectorFunctions.matryoshka]] vectors), then
-    * exact-rerank the `candidates` survivors on the full vector. The
-    * same funnel shape as the flagship hamming→cosine search: stage 1
-    * reads prefixDims/dim of the vector bytes, the full column is only
-    * touched for the candidate set, both stages plan as
-    * TakeOrderedAndProject. */
+    * exact-rerank the `candidates` survivors on the full vector. Both
+    * stages plan as TakeOrderedAndProject and stage 1's per-row compute
+    * is prefixDims/dim of a full scoring pass. NOTE on I/O: Parquet
+    * cannot prune array ELEMENTS, so slicing in the query still reads
+    * full vectors — to realize the byte savings at 100 TB, materialize
+    * the prefix ([[graft.functions.VectorFunctions.matryoshka]]) as its
+    * own stored column and point stage 1 at it (the binary_code /
+    * vector split the store already uses for the hamming funnel). */
   def matryoshkaTopK(embs: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], prefixDims: Int, candidates: Int, k: Int): DataFrame = {
     require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")

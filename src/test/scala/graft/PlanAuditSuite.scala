@@ -285,6 +285,13 @@ class PlanAuditSuite extends AnyFunSuite {
       s"sketch pairing must never fall back to all-pairs:\n$p")
   }
 
+  test("matryoshka funnel: both stages are distributed top-k heaps, rerank joins by id (X61)") {
+    val p = staticPlan("q104_matryoshka_search")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2,
+      s"prefix stage AND rerank must each plan as a top-k heap:\n$p")
+    assert(!p.contains("GlobalLimit"), s"no single-partition limit funnel:\n$p")
+  }
+
   test("mixture sample: single source-keyed exchange, literal budget map — no join at all (X49)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
