@@ -1016,6 +1016,17 @@ object SparkEntry {
       val approx = Ann.matryoshkaTopK(embs, "vec_id", "embedding", q,
         prefixDims = 16, candidates = 50, k = 10)
       Ann.recallAtK(exact, approx, "vec_id", k = 10)
+    }),
+    "q106_contrastive_pairs" -> ((s, d) => {
+      // X63 training-pair mining: q68's near-dup components (docs +
+      // exact clones) -> (anchor=min id, up to 3 positives) per cluster
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.contrastivePairs(
+        Dedup.dedupGroups(Dedup.minhashCandidatePairs(both, "doc_id", col("text"),
+          shingleN = 3, numHashes = 8, rowsPerBand = 2)), k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
     }))
 
   // ======================================================================
@@ -1029,6 +1040,32 @@ object SparkEntry {
     * arithmetic permutation `(a*h + b) mod p`, mirroring
     * Dedup.shingleBases/seedMins exactly (constants shared from Dedup —
     * single source of truth for both engines). */
+  /** Near-dup clustering (banded minhash candidates over docs + exact
+    * clones, connected components via recursive-CTE reachability closure,
+    * label = MIN reachable id), shared by q68 (labels) and q106
+    * (contrastive pairs). UNION (distinct) in the recursive member
+    * guarantees termination on cycles. */
+  private lazy val dedupClustersSql: String = {
+    val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+          CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE alldocs AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        sig AS (SELECT doc_id, $sigCols FROM alldocs),
+        banded AS ($bandSelects),
+        pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT a, b FROM edges UNION SELECT a, a FROM edges
+          UNION
+          SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)"""
+  }
+
   /** The matryoshka two-stage funnel (prefix-16 candidates -> full-dim
     * rerank), shared by q104 (results) and q105 (recall vs exact) —
     * mirrors Ann.matryoshkaTopK arithmetic exactly. */
@@ -1422,30 +1459,16 @@ object SparkEntry {
           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
           ORDER BY id1, id2"""
     },
-    "q68_dedup_groups" -> {
-      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
-      val bandSelects = (0 until 4).map(b =>
-        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
-            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
-        .mkString(" UNION ALL ")
-      // connected components in SQL: label(id) = MIN over all ids
-      // reachable from id (including itself) — a recursive CTE computes
-      // the reachability closure; UNION (distinct) guarantees termination
-      // on cycles
-      s"""WITH RECURSIVE alldocs AS (SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
-          sig AS (SELECT doc_id, $sigCols FROM alldocs),
-          banded AS ($bandSelects),
-          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
-          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-            UNION SELECT id2, id1 FROM pairs),
-          reach(id, r) AS (
-            SELECT a, b FROM edges UNION SELECT a, a FROM edges
-            UNION
-            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
-          SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
-    },
+    "q68_dedup_groups" ->
+      s"""$dedupClustersSql
+          SELECT id, label FROM lab ORDER BY id""",
+    "q106_contrastive_pairs" ->
+      s"""$dedupClustersSql,
+          ranked AS (SELECT label, id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY id) AS INT) AS rank
+            FROM lab WHERE id <> label)
+          SELECT label AS anchor_id, id AS positive_id, rank
+          FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -575,6 +575,25 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Contrastive (anchor, positive) pair mining over near-dup clusters —
+    * the training-pair generation step for embedding/reranker models:
+    * every near-dup component yields its canonical doc (the min-id label,
+    * [[dedupGroups]] convention) as the anchor and up to `k` other
+    * members as positives. Input is a [[dedupGroups]] (id, label) frame;
+    * singleton components (id == label only) yield nothing.
+    *
+    * Emits `(anchor_id, positive_id, rank)`.
+    *
+    * Scale shape: one window keyed by the label with
+    * [[Curation.capPerKey]]'s partial WindowGroupLimit — per-component
+    * pair count is capped at k BEFORE the exchange, so a pathological
+    * mega-cluster cannot flood the output. */
+  def contrastivePairs(clusters: DataFrame, k: Int = 3): DataFrame =
+    Curation.capPerKey(clusters.filter(col("id") =!= col("label")),
+        col("label"), k, col("id").asc)
+      .select(col("label").as("anchor_id"), col("id").as("positive_id"),
+        col("rn").as("rank"))
+
   /** Per-key exact-duplicate mass report — the dedup dashboard a curation
     * pipeline publishes per source/language/snapshot: how many documents,
     * how many distinct contents, how much intra-key duplicate mass, and

@@ -351,6 +351,19 @@ class DedupSuite extends AnyFunSuite {
     assert(sk.size < full.size, "the sketch must be smaller than the full set")
   }
 
+  test("contrastivePairs: up to k positives per component, singletons yield nothing") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), // 5-member component
+      (10L, 10L),                                       // singleton
+      (20L, 20L), (21L, 20L)                            // pair
+    ).toDF("id", "label")
+    val out = Dedup.contrastivePairs(clusters, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set(
+      (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3), // capped at 3, id order; 5 dropped
+      (20L, 21L, 1)))
+  }
+
   test("dedupReport: intra-key dup mass and cross-key shared contents per key") {
     val corpus = Seq(
       (1L, "A", "same text one"), (2L, "A", "same  TEXT one"),  // intra-A dup (normalized)
