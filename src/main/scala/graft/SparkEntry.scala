@@ -1027,6 +1027,13 @@ object SparkEntry {
         Dedup.dedupGroups(Dedup.minhashCandidatePairs(both, "doc_id", col("text"),
           shingleN = 3, numHashes = 8, rowsPerBand = 2)), k = 3)
         .orderBy(col("anchor_id"), col("rank"))
+    }),
+    "q107_lm_score" -> ((s, d) => {
+      // X64 CCNet-style LM quality score: per-doc cross-entropy/perplexity
+      // under the corpus's own add-0.5-smoothed bigram model
+      val docs = t(s, d, "documents")
+      TextAnalysis.lmScore(docs, docs, "doc_id", col("text"), alpha = 0.5)
+        .orderBy(col("doc_id"))
     }))
 
   // ======================================================================
@@ -1469,6 +1476,29 @@ object SparkEntry {
             FROM lab WHERE id <> label)
           SELECT label AS anchor_id, id AS positive_id, rank
           FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""",
+    "q107_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+              tk[CAST(u.i + 2 AS INT)] AS w2
+            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+          bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+          hc AS (SELECT w1, SUM(c2) AS c1 FROM bgc GROUP BY 1),
+          vv AS (SELECT COUNT(DISTINCT w2) AS v FROM bgc),
+          sc AS (SELECT b.doc_id,
+              ROUND(-LN((CAST(COALESCE(c.c2, 0) AS DOUBLE) + 0.5) /
+                (CAST(COALESCE(h.c1, 0) AS DOUBLE) + 0.5 * CAST(vv.v AS DOUBLE))), 6)
+                AS lp
+            FROM bgall b
+            LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            LEFT JOIN hc h ON b.w1 = h.w1
+            CROSS JOIN vv),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(CAST(lp AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+                AS xent
+            FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, xent, ROUND(EXP(xent), 6) AS ppl
+          FROM agg ORDER BY doc_id""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

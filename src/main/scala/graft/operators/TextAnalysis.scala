@@ -168,24 +168,82 @@ object TextAnalysis {
     * vocabulary is never globally sorted. */
   def bigramTable(docs: DataFrame, idCol: String, text: Column, k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val pairs = bigramPairs(docs, idCol, text).select(col("w1"), col("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    Curation.capPerKey(counts, col("w1"), k, col("n").desc, col("w2").asc)
+      .select(col("w1"), col("w2"), col("n"), col("rn").as("rank"))
+  }
+
+  /** In-document bigram occurrences: one (doc_id, w1, w2) row per adjacent
+    * token pair, never crossing a document boundary; empty tokens drop,
+    * matching [[postings]]. The shared generate stage under [[bigramTable]]
+    * and [[lmScore]]. */
+  def bigramPairs(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
     // the `when` guard matters: sequence(0, size-2) with size < 2 counts
     // DOWN (sequence supports descending ranges), fabricating bigrams
     // from out-of-range element_at nulls; explode_outer (not explode)
     // dodges InferFiltersFromGenerate re-inlining the tokenize chain
     // below the generate (the contaminationScan guard)
-    val pairs = toks
-      .select(explode_outer(
+    toks
+      .select(col("doc_id"), explode_outer(
         when(size(col("__toks")) >= 2,
           transform(sequence(lit(0), size(col("__toks")) - 2),
             i => struct(element_at(col("__toks"), i + 1).as("w1"),
               element_at(col("__toks"), i + 2).as("w2"))))).as("bg"))
       .filter(col("bg").isNotNull)
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
-    Curation.capPerKey(counts, col("w1"), k, col("n").desc, col("w2").asc)
-      .select(col("w1"), col("w2"), col("n"), col("rn").as("rank"))
+  }
+
+  /** CCNet-style LM quality score (Wenzek et al. 1911.00359 use KenLM
+    * perplexity; this is the engine-native bigram analogue): per-document
+    * cross-entropy and perplexity under an add-alpha-smoothed bigram model
+    * counted from `refDocs`.
+    *
+    * Model: P(w2|w1) = (c(w1,w2) + a) / (c(w1) + a*V), with c(w1) the
+    * head's total continuation count and V the distinct-continuation
+    * vocabulary size of the reference — an unseen head scores exactly 1/V.
+    * Output per doc: `n_bigrams`, `xent` (mean -ln P over bigram
+    * OCCURRENCES, repeats scored every time), `ppl` = exp(xent). Docs with
+    * fewer than 2 non-empty tokens have no bigrams and are omitted, like
+    * [[bigramTable]] heads.
+    *
+    * Determinism: each occurrence's -ln P rounds to 6 decimals, the mean
+    * is an exact decimal sum divided once (the [[Ann.ivfStats]]
+    * discipline); the probability itself is single-step IEEE double
+    * arithmetic so only the transcendental ln needs the rounding guard.
+    *
+    * Scale shape: both count tables are vocabulary-sized aggregates with
+    * map-side combine — metadata next to a 100 TB corpus, broadcast by AQE
+    * when they fit, shuffle-joined on (w1,w2) / (w1) when they don't; the
+    * corpus-side cost is the generate plus at most two postings exchanges
+    * and the final doc_id aggregation. */
+  def lmScore(docs: DataFrame, refDocs: DataFrame, idCol: String, text: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val bg = bigramPairs(refDocs, idCol, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val heads = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = bg.select(countDistinct(col("w2"))).first().getLong(0)
+    require(v > 0, "reference corpus has no bigrams")
+    val dec = DataTypes.createDecimalType(38, 6)
+    // numerator and denominator are each a single integer-plus-constant
+    // double op, the quotient one IEEE division — bit-identical in any
+    // engine; only ln is transcendental, hence the round before the sum
+    val lp = round(-log(
+      (coalesce(col("c2"), lit(0L)).cast(DoubleType) + lit(alpha)) /
+        (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(alpha * v))), 6)
+    bigramPairs(docs, idCol, text)
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .withColumn("__lp", lp)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lp").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("xent"))
+      .withColumn("ppl", round(exp(col("xent")), 6))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** Content fingerprint: first 16 hex chars of md5 over the

@@ -175,4 +175,33 @@ class TextAnalysisSuite extends AnyFunSuite {
       ("b", "a", 1L, 1), ("b", "c", 1L, 2), // tie on n=1 -> w2 asc
       ("c", "d", 1L, 1)))
   }
+
+  test("lmScore: smoothed bigram cross-entropy, short docs omitted") {
+    // ref model: bigrams (a,b)x2 (b,a) (b,c) (c,d); heads a:2 b:2 c:1; V=4
+    val ref = Seq((1L, "a b a b c"), (2L, "c d"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(ref, ref, "doc_id", col("text"), alpha = 0.5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L)) // doc 3 has no bigrams
+    // mirror the operator's rounding discipline exactly: per-bigram -ln P
+    // rounded half-up at 6, exact decimal sum, one double division, round
+    def lp(p: Double) = BigDecimal.valueOf(-math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def mean(ps: Seq[Double]) = BigDecimal.valueOf(ps.map(lp).sum.toDouble / ps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 2.5 / 4.0; val pBA = 1.5 / 4.0; val pBC = 1.5 / 4.0; val pCD = 1.5 / 3.0
+    val x1 = mean(Seq(pAB, pBA, pAB, pBC))
+    assert(out(1L)._1 == 4L && out(1L)._2 == x1)
+    assert(out(1L)._3 == BigDecimal.valueOf(math.exp(x1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L)._1 == 1L && out(2L)._2 == mean(Seq(pCD)))
+  }
+
+  test("lmScore: unseen head scores exactly 1/V") {
+    val ref = Seq((1L, "a b a b c"), (2L, "c d")).toDF("doc_id", "text")
+    val probe = Seq((9L, "z z")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(probe, ref, "doc_id", col("text")).head()
+    // P = 0.5 / (0 + 0.5*4) = 1/4
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == BigDecimal.valueOf(-math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
