@@ -1034,6 +1034,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextAnalysis.lmScore(docs, docs, "doc_id", col("text"), alpha = 0.5)
         .orderBy(col("doc_id"))
+    }),
+    "q108_dsir_weights" -> ((s, d) => {
+      // X65 DSIR importance weights: bigram-LM likelihood ratio of each
+      // doc under the lang='en' target model vs the whole-corpus model
+      val docs = t(s, d, "documents")
+      Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", col("text"), alpha = 0.5)
+        .orderBy(col("doc_id"))
     }))
 
   // ======================================================================
@@ -1498,6 +1506,40 @@ object SparkEntry {
                 AS xent
             FROM sc GROUP BY 1)
           SELECT doc_id, n_bigrams, xent, ROUND(EXP(xent), 6) AS ppl
+          FROM agg ORDER BY doc_id""",
+    "q108_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+          bgall AS (SELECT doc_id, lang, tk[CAST(u.i + 1 AS INT)] AS w1,
+              tk[CAST(u.i + 2 AS INT)] AS w2
+            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+          tc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall WHERE lang = 'en' GROUP BY 1, 2),
+          th AS (SELECT w1, SUM(c2) AS c1 FROM tc GROUP BY 1),
+          tv AS (SELECT COUNT(DISTINCT w2) AS v FROM tc),
+          bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+          bh AS (SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY 1),
+          bv AS (SELECT COUNT(DISTINCT w2) AS v FROM bc),
+          sc AS (SELECT b.doc_id,
+              ROUND(-LN((CAST(COALESCE(tcc.c2, 0) AS DOUBLE) + 0.5) /
+                (CAST(COALESCE(thh.c1, 0) AS DOUBLE) + 0.5 * CAST(tv.v AS DOUBLE))), 6)
+                AS lpt,
+              ROUND(-LN((CAST(COALESCE(bcc.c2, 0) AS DOUBLE) + 0.5) /
+                (CAST(COALESCE(bhh.c1, 0) AS DOUBLE) + 0.5 * CAST(bv.v AS DOUBLE))), 6)
+                AS lpb
+            FROM bgall b
+            LEFT JOIN tc tcc ON b.w1 = tcc.w1 AND b.w2 = tcc.w2
+            LEFT JOIN th thh ON b.w1 = thh.w1
+            LEFT JOIN bc bcc ON b.w1 = bcc.w1 AND b.w2 = bcc.w2
+            LEFT JOIN bh bhh ON b.w1 = bhh.w1
+            CROSS JOIN tv CROSS JOIN bv),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(CAST(lpt AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+                AS xent_target,
+              ROUND(CAST(SUM(CAST(lpb AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+                AS xent_background
+            FROM sc GROUP BY 1)
+          SELECT doc_id, n_bigrams, xent_target, xent_background,
+            ROUND(xent_background - xent_target, 6) AS weight
           FROM agg ORDER BY doc_id""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")

@@ -249,4 +249,56 @@ object Curation {
         pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast(LongType),
           lit(nShards.toLong)).cast(IntegerType))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2302.03169 resample raw
+    * data toward a target distribution by n-gram likelihood ratio): per
+    * document, `weight = xent_background - xent_target` — the mean
+    * per-bigram log-likelihood ratio log P_target(x) - log P_raw(x) of
+    * [[TextAnalysis.lmScore]]'s add-alpha bigram models, one counted from
+    * `targetDocs` (the distribution to select FOR, e.g. a trusted
+    * high-quality subset) and one from `docs` itself. Positive = more
+    * target-like than the raw corpus; downstream, sample proportional to
+    * exp(weight·n_bigrams) or keep the top fraction.
+    *
+    * Fused single pass: ONE scored-side bigram generate joined against
+    * both vocabulary-sized count tables, both per-doc means in the same
+    * aggregation — not two [[TextAnalysis.lmScore]] calls back to back
+    * (which would generate and aggregate the 100 TB side twice). The
+    * composition equivalence is unit-tested. Docs with fewer than 2
+    * non-empty tokens have no bigrams and are omitted; determinism is the
+    * lmScore discipline (round per-bigram, exact decimal sum, one
+    * division, subtraction of two already-rounded doubles). */
+  def dsirWeights(docs: DataFrame, targetDocs: DataFrame, idCol: String,
+      text: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    def model(ref: DataFrame, pfx: String) = {
+      val bg = TextAnalysis.bigramPairs(ref, idCol, text)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as(pfx + "c2"))
+      val heads = bg.groupBy(col("w1")).agg(sum(col(pfx + "c2")).as(pfx + "c1"))
+      val v = bg.select(countDistinct(col("w2"))).first().getLong(0)
+      require(v > 0, s"$pfx reference corpus has no bigrams")
+      (bg, heads, v)
+    }
+    val (tb, th, tv) = model(targetDocs, "t")
+    val (bb, bh, bv) = model(docs, "b")
+    def lp(c2: Column, c1: Column, v: Long) = round(-log(
+      (coalesce(c2, lit(0L)).cast(DoubleType) + lit(alpha)) /
+        (coalesce(c1, lit(0L)).cast(DoubleType) + lit(alpha * v))), 6)
+    val dec = DataTypes.createDecimalType(38, 6)
+    TextAnalysis.bigramPairs(docs, idCol, text)
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(th, Seq("w1"), "left")
+      .join(bb, Seq("w1", "w2"), "left")
+      .join(bh, Seq("w1"), "left")
+      .withColumn("__lpt", lp(col("tc2"), col("tc1"), tv))
+      .withColumn("__lpb", lp(col("bc2"), col("bc1"), bv))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__lpt").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("xent_target"),
+        round(sum(col("__lpb").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("xent_background"))
+      .withColumn("weight", round(col("xent_background") - col("xent_target"), 6))
+      .withColumnRenamed("doc_id", idCol)
+  }
 }

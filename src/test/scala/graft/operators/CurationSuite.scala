@@ -240,4 +240,30 @@ class CurationSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collides"))
   }
+
+  test("dsirWeights equals the two-lmScore composition, and ranks target-like docs higher") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "zz", "zork blee zork blee qux"),
+      (4L, "zz", "the cat sat zork blee")).toDF("doc_id", "lang", "text")
+    val target = docs.filter($"lang" === "en")
+    val fused = Curation.dsirWeights(docs, target, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // composition oracle: two independent lmScore passes
+    val t = TextAnalysis.lmScore(docs, target, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val b = TextAnalysis.lmScore(docs, docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(fused.keySet === t.keySet)
+    fused.foreach { case (id, (n, xt, xb, w)) =>
+      assert((n, xt) === t(id), s"target xent mismatch for doc $id")
+      assert(xb === b(id), s"background xent mismatch for doc $id")
+      assert(w === BigDecimal.valueOf(xb - xt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the pure-English doc must outrank the pure-gibberish doc
+    assert(fused(1L)._4 > fused(3L)._4)
+  }
 }
