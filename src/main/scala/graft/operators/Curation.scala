@@ -271,27 +271,33 @@ object Curation {
   def dsirWeights(docs: DataFrame, targetDocs: DataFrame, idCol: String,
       text: Column, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
+    // each model's vocabulary-sized count table is pinned eagerly so its
+    // three consumers (count join, head aggregate, V aggregate) share ONE
+    // reference-corpus pass; V rides in as a broadcast single-row cross
+    // join — no driver-side action (see [[TextAnalysis.lmScore]])
     def model(ref: DataFrame, pfx: String) = {
       val bg = TextAnalysis.bigramPairs(ref, idCol, text)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as(pfx + "c2"))
+        .localCheckpoint(true)
       val heads = bg.groupBy(col("w1")).agg(sum(col(pfx + "c2")).as(pfx + "c1"))
-      val v = bg.select(countDistinct(col("w2"))).first().getLong(0)
-      require(v > 0, s"$pfx reference corpus has no bigrams")
-      (bg, heads, v)
+      val vRow = bg.agg(countDistinct(col("w2")).as(pfx + "v"))
+      (bg, heads, vRow)
     }
     val (tb, th, tv) = model(targetDocs, "t")
     val (bb, bh, bv) = model(docs, "b")
-    def lp(c2: Column, c1: Column, v: Long) = round(-log(
+    def lp(c2: Column, c1: Column, v: Column) = round(-log(
       (coalesce(c2, lit(0L)).cast(DoubleType) + lit(alpha)) /
-        (coalesce(c1, lit(0L)).cast(DoubleType) + lit(alpha * v))), 6)
+        (coalesce(c1, lit(0L)).cast(DoubleType) + lit(alpha) * v.cast(DoubleType))), 6)
     val dec = DataTypes.createDecimalType(38, 6)
     TextAnalysis.bigramPairs(docs, idCol, text)
       .join(tb, Seq("w1", "w2"), "left")
       .join(th, Seq("w1"), "left")
       .join(bb, Seq("w1", "w2"), "left")
       .join(bh, Seq("w1"), "left")
-      .withColumn("__lpt", lp(col("tc2"), col("tc1"), tv))
-      .withColumn("__lpb", lp(col("bc2"), col("bc1"), bv))
+      .crossJoin(broadcast(tv))
+      .crossJoin(broadcast(bv))
+      .withColumn("__lpt", lp(col("tc2"), col("tc1"), col("tv")))
+      .withColumn("__lpb", lp(col("bc2"), col("bc1"), col("bv")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("__lpt").cast(dec)).cast(DoubleType) / count(lit(1)), 6)

@@ -222,21 +222,33 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, refDocs: DataFrame, idCol: String, text: Column,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
+    // the count table is vocabulary-sized (metadata next to the corpus) and
+    // has THREE consumers — the (w1,w2) join, the head aggregate, and the
+    // V aggregate. Pin it eagerly (the [[Dedup.dedupGroups]] discipline):
+    // without the checkpoint each consumer re-runs the reference-corpus
+    // generate+aggregate (column pruning even defeats exchange reuse for
+    // the V branch, measured via Explain — 3 corpus passes instead of 1).
     val bg = bigramPairs(refDocs, idCol, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val heads = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val v = bg.select(countDistinct(col("w2"))).first().getLong(0)
-    require(v > 0, "reference corpus has no bigrams")
+    // V rides in as a broadcast single-row cross join (the
+    // [[Curation.corpusFreqScore]] discipline), not a driver-side first().
+    // An empty reference (V = 0) yields null scores, not a crash — guard
+    // upstream.
+    val vRow = bg.agg(countDistinct(col("w2")).as("__v"))
     val dec = DataTypes.createDecimalType(38, 6)
     // numerator and denominator are each a single integer-plus-constant
     // double op, the quotient one IEEE division — bit-identical in any
     // engine; only ln is transcendental, hence the round before the sum
     val lp = round(-log(
       (coalesce(col("c2"), lit(0L)).cast(DoubleType) + lit(alpha)) /
-        (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(alpha * v))), 6)
+        (coalesce(col("c1"), lit(0L)).cast(DoubleType) +
+          lit(alpha) * col("__v").cast(DoubleType))), 6)
     bigramPairs(docs, idCol, text)
       .join(bg, Seq("w1", "w2"), "left")
       .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vRow))
       .withColumn("__lp", lp)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

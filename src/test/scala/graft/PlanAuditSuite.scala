@@ -307,4 +307,29 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("Join"),
       s"budgets ride as a literal map expression, never a join:\n$p")
   }
+
+  test("lm score: corpus scanned once, count table pinned for all three consumers (X64)") {
+    val p = staticPlan("q107_lm_score")
+    // scored-side generate is the ONLY parquet scan; the model's count
+    // join, head aggregate, and V aggregate all read the pinned table
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"reference-model consumers must read the checkpointed count table, not rescan:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length == 3,
+      s"count join + head agg + V agg = three reads of the pinned table:\n$p")
+    assert(p.contains("partial_sum(cast(__lp"),
+      s"per-doc mean must map-side combine:\n$p")
+  }
+
+  test("dsir: one scored-side generate, two pinned models, no extra corpus pass (X65)") {
+    val p = staticPlan("q108_dsir_weights")
+    // documents is read once for the scored bigrams and once for the
+    // target filter's model build... the target model build happens at
+    // checkpoint time, so the RESULT plan sees exactly one parquet scan
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"both models must come from pinned count tables:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length == 6,
+      s"2 models x (count join + head agg + V agg) = six pinned-table reads:\n$p")
+    assert(p.contains("partial_count(1)"),
+      s"per-doc aggregation must map-side combine:\n$p")
+  }
 }
