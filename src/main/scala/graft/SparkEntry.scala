@@ -1042,6 +1042,13 @@ object SparkEntry {
       Curation.dsirWeights(docs, docs.filter(col("lang") === "en"),
         "doc_id", col("text"), alpha = 0.5)
         .orderBy(col("doc_id"))
+    }),
+    "q109_ppl_buckets" -> ((s, d) => {
+      // X66 CCNet head/middle/tail: per-language perplexity terciles
+      // under the corpus's own bigram model
+      val docs = t(s, d, "documents")
+      Curation.pplBuckets(docs, docs, "doc_id", col("text"), col("lang"))
+        .orderBy(col("doc_id"))
     }))
 
   // ======================================================================
@@ -1541,6 +1548,35 @@ object SparkEntry {
           SELECT doc_id, n_bigrams, xent_target, xent_background,
             ROUND(xent_background - xent_target, 6) AS weight
           FROM agg ORDER BY doc_id""",
+    "q109_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+              tk[CAST(u.i + 2 AS INT)] AS w2
+            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+          bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+          hc AS (SELECT w1, SUM(c2) AS c1 FROM bgc GROUP BY 1),
+          vv AS (SELECT COUNT(DISTINCT w2) AS v FROM bgc),
+          sc AS (SELECT b.doc_id,
+              ROUND(-LN((CAST(COALESCE(c.c2, 0) AS DOUBLE) + 0.5) /
+                (CAST(COALESCE(h.c1, 0) AS DOUBLE) + 0.5 * CAST(vv.v AS DOUBLE))), 6)
+                AS lp
+            FROM bgall b
+            LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+            LEFT JOIN hc h ON b.w1 = h.w1
+            CROSS JOIN vv),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(CAST(lp AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+                AS xent
+            FROM sc GROUP BY 1),
+          scored AS (SELECT d.doc_id, d.lang AS grp, a.n_bigrams, a.xent,
+              ROUND(EXP(a.xent), 6) AS ppl
+            FROM agg a JOIN documents d ON d.doc_id = a.doc_id),
+          bucketed AS (SELECT *, NTILE(3) OVER (PARTITION BY grp ORDER BY ppl, doc_id) AS tr
+            FROM scored)
+          SELECT doc_id, grp, n_bigrams, xent, ppl,
+            CASE tr WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+          FROM bucketed ORDER BY doc_id""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -307,4 +307,35 @@ object Curation {
       .withColumn("weight", round(col("xent_background") - col("xent_target"), 6))
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** CCNet's head/middle/tail corpus partitioning (Wenzek 1911.00359 §4.3:
+    * each language split into three equal perplexity buckets; head feeds
+    * the highest-quality training mix): per `group` (typically language),
+    * rank documents by [[TextAnalysis.lmScore]] perplexity and cut into
+    * terciles — `head` = lowest perplexity (most reference-like).
+    *
+    * Buckets are rank-based (NTILE over a TOTAL order: ppl, then id as the
+    * tie-break), not threshold-based — deterministic and engine-portable
+    * where a percentile threshold would hang bucket membership on floating
+    * boundary comparisons. Sizes per group differ by at most one doc,
+    * earlier buckets take the extras (standard NTILE in Spark and ANSI
+    * SQL alike).
+    *
+    * Scale: the per-group window sorts each group once — the same
+    * full-sort CCNet itself pays per language. For a quick split without
+    * the sort, anchor thresholds via approx_percentile over `xent` (the
+    * [[adaptiveQualityCutoff]] shape) and accept epsilon-boundary drift.
+    * Output: `grp`, the [[TextAnalysis.lmScore]] columns, and `bucket`. */
+  def pplBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      text: Column, group: Column, alpha: Double = 0.5): DataFrame = {
+    val scores = TextAnalysis.lmScore(docs, refDocs, idCol, text, alpha)
+    val w = Window.partitionBy(col("grp")).orderBy(col("ppl").asc, col(idCol).asc)
+    docs.select(col(idCol), group.as("grp"))
+      .join(scores, Seq(idCol))
+      .withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle").otherwise("tail"))
+      .drop("__t")
+  }
 }

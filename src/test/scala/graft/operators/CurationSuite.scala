@@ -266,4 +266,26 @@ class CurationSuite extends AnyFunSuite {
     // the pure-English doc must outrank the pure-gibberish doc
     assert(fused(1L)._4 > fused(3L)._4)
   }
+
+  test("pplBuckets: rank-based terciles per group, head = lowest perplexity") {
+    // one group of 7 (sizes 3/2/2) and one group of 2 (sizes 1/1/0 -> no
+    // tail) — doc 10 repeats the most common bigram so it must land in head
+    val docs = (Seq(
+      (10L, "g1", "a b a b a b a b"),
+      (11L, "g1", "a b c d"), (12L, "g1", "b a d c"), (13L, "g1", "c c c d"),
+      (14L, "g1", "d a b c"), (15L, "g1", "e f g h"), (16L, "g1", "h g f e"),
+      (20L, "g2", "a b a b"), (21L, "g2", "q r s t"))).toDF("doc_id", "lang", "text")
+    val out = Curation.pplBuckets(docs, docs, "doc_id", col("text"), $"lang")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(4), r.getString(5)))
+    val g1 = out.filter(_._2 == "g1")
+    assert(g1.count(_._4 == "head") == 3 && g1.count(_._4 == "middle") == 2 &&
+      g1.count(_._4 == "tail") == 2, g1.mkString(", "))
+    // bucket order must follow ppl order within the group
+    val byPpl = g1.sortBy(t => (t._3, t._1)).map(_._4)
+    assert(byPpl.toSeq == Seq("head", "head", "head", "middle", "middle", "tail", "tail"))
+    assert(g1.filter(_._1 == 10L).head._4 == "head")
+    val g2 = out.filter(_._2 == "g2").sortBy(_._3).map(_._4)
+    assert(g2.toSeq == Seq("head", "middle"), "a 2-doc group has no tail")
+  }
 }
