@@ -1049,7 +1049,20 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Curation.pplBuckets(docs, docs, "doc_id", col("text"), col("lang"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+    "q110_funnel" -> ((s, d) =>
+      // X68 ordered conversion funnel over the clickstream: min-cascade,
+      // strictly-increasing timestamps chain the stages
+      Sessionize.funnel(events(s, d), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("user_id"))),
+    "q111_funnel_counts" -> ((s, d) =>
+      // X68 funnel chart: survivors per stage from the per-user frame
+      Sessionize.funnelCounts(
+        Sessionize.funnel(events(s, d), col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "signup", "purchase")),
+        Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("stage"))))
 
   // ======================================================================
 
@@ -1577,6 +1590,45 @@ object SparkEntry {
           SELECT doc_id, grp, n_bigrams, xent, ppl,
             CASE tr WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
           FROM bucketed ORDER BY doc_id""",
+    "q110_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          f1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+          f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+            JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+            WHERE e.event_type = 'click' GROUP BY 1),
+          f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+            JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+            WHERE e.event_type = 'signup' GROUP BY 1),
+          f4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM e
+            JOIN f3 ON e.user_id = f3.user_id AND e.ts > f3.t3
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT f1.user_id, t1, t2, t3, t4,
+            CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END AS INT) AS depth
+          FROM f1
+          LEFT JOIN f2 ON f1.user_id = f2.user_id
+          LEFT JOIN f3 ON f1.user_id = f3.user_id
+          LEFT JOIN f4 ON f1.user_id = f4.user_id
+          ORDER BY f1.user_id""",
+    "q111_funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          f1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+          f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+            JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+            WHERE e.event_type = 'click' GROUP BY 1),
+          f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+            JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+            WHERE e.event_type = 'signup' GROUP BY 1),
+          f4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM e
+            JOIN f3 ON e.user_id = f3.user_id AND e.ts > f3.t3
+            WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT * FROM (VALUES
+            (1, 'view', (SELECT COUNT(*) FROM f1)),
+            (2, 'click', (SELECT COUNT(*) FROM f2)),
+            (3, 'signup', (SELECT COUNT(*) FROM f3)),
+            (4, 'purchase', (SELECT COUNT(*) FROM f4))) AS t(stage, stage_name, n_users)
+          ORDER BY stage""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

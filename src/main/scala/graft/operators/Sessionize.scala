@@ -61,4 +61,65 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
+
+  /** Ordered-funnel analysis: for each user, the earliest time they
+    * completed each stage prefix of `stages` IN ORDER — stage i+1 counts
+    * only strictly AFTER the user's stage-i completion time (the standard
+    * conversion-funnel semantics; same-timestamp events do not chain).
+    * Returns one row per user who reached stage 1: `user_id`,
+    * `t1..tk` (stage completion times, null once the user drops off —
+    * nulls are suffix-closed by construction) and `depth` (stages
+    * reached).
+    *
+    * Semantics are a deterministic min-cascade: t1 = MIN ts of stage-1
+    * events; t_{i+1} = MIN ts of stage-(i+1) events with ts > t_i. MIN
+    * makes the result independent of partitioning and tie order — no
+    * window sort, no per-user array materialization (a power user with
+    * 10^7 events costs nothing more than their aggregate).
+    *
+    * Scale shape: ONE exchange keys the events by user; every stage's
+    * filter + semi-cascade aggregate and every stage's left join inherit
+    * that partitioning, so k stages add zero further corpus shuffles.
+    * The per-stage frames shrink monotonically (funnels narrow), and AQE
+    * may broadcast them instead — either plan never re-shuffles the raw
+    * events. */
+  def funnel(events: DataFrame, user: Column, ts: Column, typeCol: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size, s"duplicate stage in $stages")
+    // pin the 3-column user-partitioned working set ONCE: localCheckpoint
+    // preserves the output partitioning, so every stage's filter+aggregate
+    // and every cascade join reads the pinned partitions with no further
+    // exchange and no repeated source scan (k stages would otherwise
+    // re-read the events k+ times under AQE's per-stage broadcasts)
+    val ev = events.select(user.as("user_id"), ts.as("__ts"), typeCol.as("__type"))
+      .repartition(col("user_id"))
+      .localCheckpoint(true)
+    var cur = ev.filter(col("__type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("__ts")).as("t1"))
+    for (i <- 2 to stages.length) {
+      val next = ev.filter(col("__type") === stages(i - 1))
+        .join(cur.select(col("user_id"), col(s"t${i - 1}")), Seq("user_id"))
+        .filter(col("__ts") > col(s"t${i - 1}"))
+        .groupBy(col("user_id")).agg(min(col("__ts")).as(s"t$i"))
+      cur = cur.join(next, Seq("user_id"), "left")
+    }
+    cur.withColumn("depth",
+      stages.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** The funnel chart: users remaining at each stage. Consumes
+    * [[funnel]]'s per-user frame; one tiny aggregate (k counters) and a
+    * k-row unpivot — no second pass over the events. */
+  def funnelCounts(perUser: DataFrame, stages: Seq[String]): DataFrame = {
+    val counters = perUser.agg(
+      count(lit(1)).as("c1"),
+      (2 to stages.length).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val stacked = stages.indices.map(i =>
+      struct(lit(i + 1).as("stage"), lit(stages(i)).as("stage_name"),
+        col(s"c${i + 1}").as("n_users")))
+    counters.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.n_users"))
+  }
 }

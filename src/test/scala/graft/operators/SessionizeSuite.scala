@@ -108,4 +108,51 @@ class SessionizeSuite extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS graft_sessions")
     }
   }
+
+  test("funnel: stages chain only on strictly-later events; out-of-order never counts") {
+    val ev = Seq(
+      // user 1: full conversion, but the EARLIEST click precedes the first
+      // view — t2 must pick the later click at 12:20
+      (1L, 1L, "click", ts("2026-01-10 11:00:00")),
+      (2L, 1L, "view", ts("2026-01-10 12:00:00")),
+      (3L, 1L, "click", ts("2026-01-10 12:20:00")),
+      (4L, 1L, "buy", ts("2026-01-10 12:30:00")),
+      // user 2: view and click at the SAME instant -> click cannot chain
+      (5L, 2L, "view", ts("2026-01-10 09:00:00")),
+      (6L, 2L, "click", ts("2026-01-10 09:00:00")),
+      // user 3: click only -> not in the funnel at all
+      (7L, 3L, "click", ts("2026-01-10 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.funnel(ev, $"user_id", $"ts", $"event_type",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getInt(4)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((Some(ts("2026-01-10 12:00:00")),
+      Some(ts("2026-01-10 12:20:00")), Some(ts("2026-01-10 12:30:00")), 3)))
+    assert(out(2L) === ((Some(ts("2026-01-10 09:00:00")), None, None, 1)))
+  }
+
+  test("funnelCounts: survivors per stage, zero-filled tail stages") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2026-01-10 12:00:00")),
+      (2L, 1L, "click", ts("2026-01-10 12:10:00")),
+      (3L, 2L, "view", ts("2026-01-10 12:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val stages = Seq("view", "click", "buy")
+    val got = Sessionize.funnelCounts(
+        Sessionize.funnel(ev, $"user_id", $"ts", $"event_type", stages), stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got === Seq((1, "view", 2L), (2, "click", 1L), (3, "buy", 0L)))
+  }
+
+  test("funnel rejects duplicate stages") {
+    val ev = Seq((1L, 1L, "a", ts("2026-01-10 12:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Sessionize.funnel(ev, $"user_id", $"ts", $"event_type", Seq("a", "a"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
