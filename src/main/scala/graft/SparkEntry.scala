@@ -1062,7 +1062,11 @@ object SparkEntry {
         Sessionize.funnel(events(s, d), col("user_id"), col("ts"), col("event_type"),
           Seq("view", "click", "signup", "purchase")),
         Seq("view", "click", "signup", "purchase"))
-        .orderBy(col("stage"))))
+        .orderBy(col("stage"))),
+    "q112_cohort_retention" -> ((s, d) =>
+      // X69 weekly cohort retention triangle over the clickstream
+      Sessionize.cohortRetention(events(s, d), col("user_id"), col("ts"))
+        .orderBy(col("cohort_week"), col("week_offset"))))
 
   // ======================================================================
 
@@ -1629,6 +1633,15 @@ object SparkEntry {
             (3, 'signup', (SELECT COUNT(*) FROM f3)),
             (4, 'purchase', (SELECT COUNT(*) FROM f4))) AS t(stage, stage_name, n_users)
           ORDER BY stage""",
+    "q112_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+              date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+          coh AS (SELECT user_id, MIN(wk) AS cohort_week FROM wk GROUP BY 1)
+          SELECT CAST(epoch(c.cohort_week) AS BIGINT) AS cohort_week,
+            CAST(date_diff('day', c.cohort_week, w.wk) // 7 AS INT) AS week_offset,
+            COUNT(*) AS n_users
+          FROM wk w JOIN coh c ON w.user_id = c.user_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -109,6 +109,37 @@ object Sessionize {
         .reduce(_ + _).cast(org.apache.spark.sql.types.IntegerType))
   }
 
+  /** Weekly cohort-retention triangle: users are cohorted by the ISO week
+    * (Monday-truncated) of their FIRST event; each (cohort_week,
+    * week_offset) cell counts the cohort's users active in that later
+    * week — the standard retention heatmap, and the engagement signal a
+    * training pipeline uses to weight interaction data by user stickiness.
+    *
+    * Scale shape: activity collapses to DISTINCT (user, week) first —
+    * everything after runs on user-weeks, not raw events. One exchange
+    * keys the collapse by user; the cohort MIN and the activity-cohort
+    * join both inherit that partitioning (a sub-key hash satisfies the
+    * (user, week) clustering), so only the final cell aggregate — cohort
+    * rows, tiny — reshuffles. `cohort_week` is emitted as epoch seconds
+    * (BIGINT), the engine's cross-engine timestamp convention. */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val wk = events
+      .select(user.as("user_id"), date_trunc("week", ts).as("wk"))
+      .repartition(col("user_id"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    // (user, wk) is unique after the collapse and cohort is 1 row/user, so
+    // the cell count is a plain count — no distinct aggregation needed
+    wk.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7)
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("cohort_week")).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   /** The funnel chart: users remaining at each stage. Consumes
     * [[funnel]]'s per-user frame; one tiny aggregate (k counters) and a
     * k-row unpivot — no second pass over the events. */

@@ -147,6 +147,23 @@ class SessionizeSuite extends AnyFunSuite {
     assert(got === Seq((1, "view", 2L), (2, "click", 1L), (3, "buy", 0L)))
   }
 
+  test("cohortRetention: Monday-week cohorts, gap weeks absent, multi-event weeks count once") {
+    // 2026-01-05 is a Monday. user 1 cohort = wk0, active wk0 (twice) and
+    // wk2; user 2 cohort = wk0, active wk0 only; user 3 cohort = wk1.
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-05 10:00:00")),
+      (2L, 1L, ts("2026-01-07 10:00:00")),  // same week, counts once
+      (3L, 1L, ts("2026-01-19 10:00:00")),  // wk+2 (skipped wk+1)
+      (4L, 2L, ts("2026-01-09 23:59:59")),
+      (5L, 3L, ts("2026-01-12 00:00:00"))   // next Monday boundary
+    ).toDF("event_id", "user_id", "ts")
+    val wk0 = ts("2026-01-05 00:00:00").getTime / 1000
+    val wk1 = ts("2026-01-12 00:00:00").getTime / 1000
+    val got = Sessionize.cohortRetention(ev, $"user_id", $"ts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((wk0, 0, 2L), (wk0, 2, 1L), (wk1, 0, 1L)))
+  }
+
   test("funnel rejects duplicate stages") {
     val ev = Seq((1L, 1L, "a", ts("2026-01-10 12:00:00")))
       .toDF("event_id", "user_id", "event_type", "ts")
