@@ -1066,7 +1066,17 @@ object SparkEntry {
     "q112_cohort_retention" -> ((s, d) =>
       // X69 weekly cohort retention triangle over the clickstream
       Sessionize.cohortRetention(events(s, d), col("user_id"), col("ts"))
-        .orderBy(col("cohort_week"), col("week_offset"))))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+    "q113_cms_estimate" -> ((s, d) => {
+      // X70 count-min sketch: fixed 4x512 counter table, probe a mix of
+      // frequent and absent tokens; estimates are deterministic
+      val docs = t(s, d, "documents")
+      val cells = CorpusStats.cmsCells(docs, "doc_id", col("text"), depth = 4, width = 512)
+      CorpusStats.cmsEstimate(cells,
+        Seq("the", "of", "and", "model", "data", "zzz_absent_token"),
+        depth = 4, width = 512)
+        .orderBy(col("term"))
+    }))
 
   // ======================================================================
 
@@ -1642,6 +1652,25 @@ object SparkEntry {
             COUNT(*) AS n_users
           FROM wk w JOIN coh c ON w.user_id = c.user_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q113_cms_estimate" -> {
+      val seeds = (0 until 4)
+        .map(i => s"(${i}, ${Dedup.MinhashA(i)}, ${Dedup.MinhashB(i)})").mkString(", ")
+      val h = "CAST(concat('0x', substr(md5(term), 1, 7)) AS BIGINT)"
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+          t AS (SELECT term, $h AS hb FROM toks WHERE term <> ''),
+          seeds AS (SELECT * FROM (VALUES $seeds) AS s(rw, a, b)),
+          cells AS (SELECT s.rw, ((s.a * t.hb + s.b) % ${Dedup.MinhashPrime}) % 512 AS cl,
+              COUNT(*) AS n
+            FROM t CROSS JOIN seeds s GROUP BY 1, 2),
+          probes AS (SELECT * FROM (VALUES ('the'), ('of'), ('and'), ('model'),
+            ('data'), ('zzz_absent_token')) AS p(term)),
+          pc AS (SELECT p.term, s.rw,
+              ((s.a * $h + s.b) % ${Dedup.MinhashPrime}) % 512 AS cl
+            FROM probes p CROSS JOIN seeds s)
+          SELECT pc.term, MIN(COALESCE(c.n, 0)) AS est
+          FROM pc LEFT JOIN cells c ON c.rw = pc.rw AND c.cl = pc.cl
+          GROUP BY 1 ORDER BY term"""
+    },
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -40,6 +40,59 @@ object CorpusStats {
         (if (exact) countDistinct(col("term"))
          else approx_count_distinct(col("term"), rsd)).as("n_terms"))
 
+  /** Count-min sketch of corpus token frequencies (Cormode & Muthukrishnan
+    * 2005): `depth` rows of `width` counters; every token occurrence
+    * increments one cell per row, chosen by the engine's md5-28-bit base
+    * under the [[Dedup.MinhashA]] universal hash family — deterministic and
+    * engine-portable, so the SQL oracle reproduces cells bit-for-bit (no
+    * JVM murmur). Point estimates ([[cmsEstimate]]) take the MIN over the
+    * token's `depth` cells: always an OVERestimate, within
+    * `2N/width` of truth with prob `1 - 2^-depth`.
+    *
+    * The 100 TB rationale: exact token counts shuffle the full vocabulary
+    * (billions of terms for web corpora); the sketch is a FIXED
+    * `depth x width` table with map-side combine — the exchange moves
+    * O(tasks * depth * width) rows regardless of corpus or vocabulary
+    * size, and sketches of corpus shards merge by cell-wise addition. */
+  def cmsCells(docs: DataFrame, idCol: String, text: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= Dedup.MinhashA.length,
+      s"depth must be in [1, ${Dedup.MinhashA.length}], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    TextAnalysis.postings(docs, idCol, text)
+      .select(posexplode(cmsCellArray(col("term"), depth, width)).as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The token's `depth` cell indices (row i = universal-hash seed i over
+    * the md5-28-bit base, mod width). Shared by build and probe. */
+  private[operators] def cmsCellArray(term: Column, depth: Int, width: Int): Column = {
+    val base = conv(substring(md5(term), 1, 7), 16, 10).cast(LongType)
+    val cells = (0 until depth).map { i =>
+      pmod(pmod(lit(Dedup.MinhashA(i)) * base + lit(Dedup.MinhashB(i)),
+        lit(Dedup.MinhashPrime)), lit(width.toLong)).cast(IntegerType)
+    }
+    array(cells: _*)
+  }
+
+  /** Point-query the sketch for `terms`: min over each term's cells, 0
+    * for a term hitting only empty cells. The literal probe frame joins
+    * the (at most depth x width row) cell table — broadcast-sized by
+    * construction. */
+  def cmsEstimate(cells: DataFrame, terms: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(terms.nonEmpty, "no probe terms")
+    val probes = terms.map(t => struct(lit(t).as("term")))
+    val probe = cells.sparkSession.range(1).select(explode(array(probes: _*)).as("p"))
+      .select(col("p.term").as("term"))
+      .select(col("term"), posexplode(cmsCellArray(col("term"), depth, width))
+        .as(Seq("row", "cell")))
+    probe.join(cells, Seq("row", "cell"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
   /** Pairwise vocabulary overlap between corpus keys (sources, languages,
     * shards): Jaccard of the DISTINCT term sets per key pair — the
     * source-similarity diagnostic behind mixture design (two crawls with

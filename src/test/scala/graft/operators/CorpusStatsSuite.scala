@@ -70,4 +70,27 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(out.keySet === Set(("A", "B")))
     assert(out(("A", "B")) === ((3L, 3L, 2L, 0.5)))
   }
+
+  test("cms: estimates never undercount, and are exact at generous width") {
+    val docs = Seq(
+      (1L, "a a a b c"), (2L, "a b d"), (3L, "e")).toDF("doc_id", "text")
+    val truth = Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L, "nope" -> 0L)
+    val probes = truth.keys.toSeq
+    // wide sketch: 5 distinct tokens in 4x1024 cells -> collisions are
+    // astronomically unlikely under the fixed hash family; exact equality
+    val wide = CorpusStats.cmsEstimate(
+        CorpusStats.cmsCells(docs, "doc_id", col("text"), 4, 1024), probes, 4, 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide === truth)
+    // pathologically narrow sketch (width 2): collisions guaranteed, but
+    // the CMS invariant — never undercount — must still hold
+    val narrow = CorpusStats.cmsEstimate(
+        CorpusStats.cmsCells(docs, "doc_id", col("text"), 2, 2), probes, 2, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) =>
+      assert(narrow(t) >= n, s"undercount for '$t': ${narrow(t)} < $n")
+    }
+    // sketch size is depth x width regardless of corpus
+    assert(CorpusStats.cmsCells(docs, "doc_id", col("text"), 2, 2).count() <= 4)
+  }
 }
