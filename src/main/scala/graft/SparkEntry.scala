@@ -1076,7 +1076,13 @@ object SparkEntry {
         Seq("the", "of", "and", "model", "data", "zzz_absent_token"),
         depth = 4, width = 512)
         .orderBy(col("term"))
-    }))
+    }),
+    "q114_priority_sample" -> ((s, d) =>
+      // X71 weight-proportional sample without replacement, k=100 by
+      // n_chars — deterministic across engines (no transcendental)
+      Curation.prioritySample(t(s, d, "documents"), "doc_id", col("n_chars"),
+        k = 100, seed = "r6")
+        .orderBy(col("priority").desc, col("doc_id"))))
 
   // ======================================================================
 
@@ -1671,6 +1677,14 @@ object SparkEntry {
           FROM pc LEFT JOIN cells c ON c.rw = pc.rw AND c.cl = pc.cl
           GROUP BY 1 ORDER BY term"""
     },
+    "q114_priority_sample" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+            CAST(n_chars AS DOUBLE) /
+              ((CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':r6')), 1, 13))
+                  AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) AS pq
+          FROM documents WHERE n_chars > 0)
+          SELECT doc_id, weight, ROUND(pq, 6) AS priority
+          FROM p ORDER BY pq DESC, doc_id LIMIT 100""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -308,6 +308,39 @@ object Curation {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Priority sampling (Duffield-Lund-Thorup, JACM '07): a deterministic
+    * weight-proportional sample WITHOUT replacement — the curation move
+    * "keep k documents, favoring high quality/length weights, reproducibly
+    * across reruns and engines". Each row gets priority `q = w / u` with
+    * `u` a seeded md5-uniform in (0, 1]; the sample is the top-k by
+    * (q desc, id) — heavy rows are near-certain members, light rows enter
+    * with probability ~ proportional to weight.
+    *
+    * Engine-portable determinism: `u = (h + 1) / 2^52` from the first 13
+    * md5 hex chars is an exact dyadic rational, and `q` is two IEEE
+    * divisions — NO transcendental anywhere (the Efraimidis-Spirakis
+    * `u^(1/w)` form would put `pow`/`ln` ulp noise right at the top-k
+    * boundary). Identical doubles in any engine, total order via the id
+    * tie-break.
+    *
+    * Scale shape: per-row map + one TakeOrderedAndProject — the
+    * distributed top-k heap, no global sort, no shuffle of the corpus.
+    * Rows with non-positive weight are excluded (their inclusion
+    * probability is 0). */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat(col(idCol).cast(StringType), lit(":"), lit(seed))),
+      1, 13), 16, 10).cast(LongType)
+    val u = (h.cast(DoubleType) + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    df.withColumn("__w", weight.cast(DoubleType))
+      .filter(col("__w") > 0)
+      .withColumn("priority", col("__w") / u)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__w").as("weight"), round(col("priority"), 6).as("priority"))
+  }
+
   /** CCNet's head/middle/tail corpus partitioning (Wenzek 1911.00359 §4.3:
     * each language split into three equal perplexity buckets; head feeds
     * the highest-quality training mix): per `group` (typically language),

@@ -267,6 +267,26 @@ class CurationSuite extends AnyFunSuite {
     assert(fused(1L)._4 > fused(3L)._4)
   }
 
+  test("prioritySample: deterministic, weight-respecting, excludes non-positive weights") {
+    val docs = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L)) ++
+      Seq((201L, 0L), (202L, -5L))
+    val df = docs.toDF("doc_id", "w")
+    val s1 = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val s2 = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq, "same seed must reproduce the same sample")
+    assert(s1.length == 20)
+    // the 100000x-heavier doc is a near-certain member (P(miss) ~ 1e-7)
+    assert(s1.exists(_._1 == 7L), "the dominant-weight doc must be sampled")
+    assert(!s1.exists(t => t._1 == 201L || t._1 == 202L), "w <= 0 never samples")
+    // a different seed permutes the uniforms -> (astronomically likely) a
+    // different sample set among the 199 light docs
+    val s3 = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1.map(_._1).toSet, "seed must drive the sample")
+  }
+
   test("pplBuckets: rank-based terciles per group, head = lowest perplexity") {
     // one group of 7 (sizes 3/2/2) and one group of 2 (sizes 1/1/0 -> no
     // tail) — doc 10 repeats the most common bigram so it must land in head
