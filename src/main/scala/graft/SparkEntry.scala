@@ -1082,7 +1082,15 @@ object SparkEntry {
       // n_chars — deterministic across engines (no transcendental)
       Curation.prioritySample(t(s, d, "documents"), "doc_id", col("n_chars"),
         k = 100, seed = "r6")
-        .orderBy(col("priority").desc, col("doc_id"))))
+        .orderBy(col("priority").desc, col("doc_id"))),
+    "q115_sq_search" -> ((s, d) => {
+      // X72 SQ8 asymmetric search: float query vs dequantized int8 codes
+      // (1 byte/dim store), bit-exact sequential dot, top-k heap
+      val embs = t(s, d, "embeddings")
+      val query = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Quantize.sqTopK(embs, "vec_id", "embedding", query, k = 20)
+    }))
 
   // ======================================================================
 
@@ -1685,6 +1693,35 @@ object SparkEntry {
           FROM documents WHERE n_chars > 0)
           SELECT doc_id, weight, ROUND(pq, 6) AS priority
           FROM p ORDER BY pq DESC, doc_id LIMIT 100""",
+    "q115_sq_search" ->
+      """WITH stats AS (
+           SELECT CAST(t.i AS INT) AS dim,
+             MIN(e.embedding[CAST(t.i + 1 AS INT)]) AS mn,
+             MAX(e.embedding[CAST(t.i + 1 AS INT)]) AS mx
+           FROM embeddings e, LATERAL UNNEST(range(len(e.embedding))) AS t(i)
+           GROUP BY dim),
+          sarr AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS ml,
+              list(CAST(mx AS DOUBLE) ORDER BY dim) AS xl FROM stats),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          dq AS (SELECT e.vec_id,
+              list_transform(range(len(e.embedding)), i -> CAST(
+                s.ml[CAST(i + 1 AS INT)] +
+                (CAST(CASE WHEN s.xl[CAST(i + 1 AS INT)] = s.ml[CAST(i + 1 AS INT)] THEN 0
+                   ELSE GREATEST(-128, LEAST(127,
+                     CAST(FLOOR((CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                                 - s.ml[CAST(i + 1 AS INT)]) * 255.0
+                                / (s.xl[CAST(i + 1 AS INT)] - s.ml[CAST(i + 1 AS INT)])
+                                + 0.5) AS BIGINT) - 128))
+                 END AS DOUBLE) + 128.0)
+                * (s.xl[CAST(i + 1 AS INT)] - s.ml[CAST(i + 1 AS INT)]) / 255.0
+                AS FLOAT)) AS dqv
+            FROM embeddings e CROSS JOIN sarr s),
+          scored AS (SELECT d.vec_id,
+              (SELECT SUM(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE))
+               FROM q, LATERAL (SELECT unnest(d.dqv) AS a, unnest(q.qv) AS b) z) AS sc
+            FROM dq d)
+          SELECT vec_id, ROUND(sc, 6) AS score FROM scored
+          ORDER BY sc DESC, vec_id ASC LIMIT 20""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

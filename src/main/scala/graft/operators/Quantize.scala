@@ -36,9 +36,18 @@ object Quantize {
     * disagreements between engines cannot arise (and an exact .5 input to
     * floor is unambiguous). Returns the input frame plus `<out>` =
     * array<int> in dimension order. */
-  def quantizeInt8(embs: DataFrame, vecCol: String, out: String = "qvec"): DataFrame = {
-    val stats = dimStats(embs, vecCol).orderBy(col("dim"))
-      .collect().map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+  def quantizeInt8(embs: DataFrame, vecCol: String, out: String = "qvec"): DataFrame =
+    quantizeInt8(embs, vecCol, out, collectStats(embs, vecCol))
+
+  /** The dim-sized (mn, mx) table as driver metadata, dimension order. */
+  def collectStats(embs: DataFrame, vecCol: String): Seq[(Double, Double)] =
+    dimStats(embs, vecCol).orderBy(col("dim"))
+      .collect().map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble)).toSeq
+
+  /** [[quantizeInt8]] against pre-collected stats — ONE stats job shared
+    * by quantize and search when both run in a session. */
+  def quantizeInt8(embs: DataFrame, vecCol: String, out: String,
+      stats: Seq[(Double, Double)]): DataFrame = {
     val mns = array(stats.map(s => lit(s._1)).toIndexedSeq: _*)
     val rngs = array(stats.map(s => lit(s._2 - s._1)).toIndexedSeq: _*)
     embs.withColumn(out,
@@ -65,5 +74,36 @@ object Quantize {
         (element_at(mns, i + 1) +
           (q.cast(DoubleType) + lit(128.0)) * element_at(rngs, i + 1) / lit(255.0))
           .cast(FloatType)))
+  }
+
+  /** SQ8 asymmetric top-k (FAISS's ScalarQuantizer search shape): the
+    * float query scores against DEQUANTIZED int8 codes — the store holds
+    * 1 byte/dim, accuracy follows the quantization grid, and the scan
+    * reads a quarter of the float32 bytes. Scoring is the engine's
+    * bit-exact sequential dot ([[graft.functions.VectorFunctions.vecDot]])
+    * over the reconstructed floats, so the oracle reproduces scores
+    * exactly; top-k is the distributed TakeOrderedAndProject heap.
+    *
+    * Pass a pre-quantized frame via `coded` (with `stats` from the same
+    * session) to skip re-encoding — the production path, where codes are
+    * the stored representation. */
+  def sqTopK(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val stats = collectStats(embs, vecCol)
+    sqTopKCoded(quantizeInt8(embs, vecCol, "qvec", stats), idCol, "qvec",
+      stats, query, k)
+  }
+
+  /** [[sqTopK]] over an already-encoded frame. */
+  def sqTopKCoded(coded: DataFrame, idCol: String, qCol: String,
+      stats: Seq[(Double, Double)], query: Array[Float], k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    require(k > 0, s"k must be positive, got $k")
+    val q = lit(query).cast(ArrayType(FloatType))
+    dequantizeInt8(coded, qCol, stats)
+      .withColumn("__score", vecDot(col("dqvec"), q))
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("__score"), 6).as("score"))
   }
 }

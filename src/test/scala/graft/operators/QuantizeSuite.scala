@@ -45,4 +45,27 @@ class QuantizeSuite extends AnyFunSuite {
     val maxStep = stats.map { case (mn, mx) => (mx - mn) / 255.0 }.max
     assert(errs.forall(_ <= maxStep / 2 + 1e-9), s"max err ${errs.max} step $maxStep")
   }
+
+  test("sqTopK: exact on grid-aligned vectors, deterministic, score error bounded") {
+    import graft.TestSpark
+    val spark2 = TestSpark.spark
+    // integer coords with per-dim min 0 and max 255 -> the 256-level grid
+    // step is exactly 1 -> quantization is lossless -> SQ8 == exact dot
+    val d0 = Seq(0f, 255f, 10f, 60f, 90f, 120f, 180f, 220f)
+    val d1 = Seq(255f, 0f, 30f, 50f, 80f, 140f, 200f, 240f)
+    val grid = (0 until 8).map(i => (i.toLong, Array(d0(i), d1(i))))
+    val df = spark2.createDataFrame(grid).toDF("vec_id", "v")
+    val q = Array(0.5f, 0.25f)
+    val got = Quantize.sqTopK(df, "vec_id", "v", q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // brute-force oracle on the raw floats
+    val want = grid.map { case (id, v) =>
+      (id, BigDecimal.valueOf(v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }
+        .foldLeft(0.0)(_ + _)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got.toSeq === want)
+    val again = Quantize.sqTopK(df, "vec_id", "v", q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === got.toSeq)
+  }
 }
