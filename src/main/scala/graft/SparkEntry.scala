@@ -1090,14 +1090,21 @@ object SparkEntry {
       val query = embs.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       Quantize.sqTopK(embs, "vec_id", "embedding", query, k = 20)
-    }))
+    }),
+    "q116_lang_profile" -> ((s, d) =>
+      // X73 code-switching profile: per-line langId -> majority language,
+      // majority fraction, distinct-language count per doc
+      TextAnalysis.langProfile(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))))
 
   // ======================================================================
 
   // explicit whitespace class, not \s: Java regex \s includes \x0B where
   // RE2's does not — TextAnalysis.Ws keeps both engines on the same set
   private val mdNorm = "regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
-  private val toksSql = "regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
+  private def toksSqlOn(c: String) =
+    s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
+  private val toksSql = toksSqlOn("text")
 
   /** 3-token shingles -> one 28-bit md5 base per shingle -> per-seed
     * arithmetic permutation `(a*h + b) mod p`, mirroring
@@ -1722,6 +1729,32 @@ object SparkEntry {
             FROM dq d)
           SELECT vec_id, ROUND(sc, 6) AS score FROM scored
           ORDER BY sc DESC, vec_id ASC LIMIT 20""",
+    "q116_lang_profile" -> {
+      // per-LINE instance of the q47 stopword-hit machinery
+      val hit: Map[String, String] = TextAnalysis.stopwords.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(",")
+        lang -> s"len(list_filter(${toksSqlOn("line")}, t -> t IN ($inList)))"
+      }
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val greatest = s"greatest(${langs.map(hit).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN ${hit(l)} = __g THEN '$l'").mkString(" ")
+      s"""WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents),
+          nb AS (SELECT doc_id, line FROM lines WHERE length(trim(line)) > 0),
+          ll AS (SELECT doc_id, CASE WHEN __g = 0 THEN 'und' $cases END AS lg FROM (
+            SELECT doc_id, line, $greatest AS __g FROM nb)),
+          counts AS (SELECT doc_id, lg, COUNT(*) AS n FROM ll GROUP BY 1, 2),
+          ranked AS (SELECT doc_id, lg, n,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lg ASC) AS rk,
+              SUM(n) OVER (PARTITION BY doc_id) AS n_lines,
+              COUNT(CASE WHEN lg <> 'und' THEN 1 END)
+                OVER (PARTITION BY doc_id) AS n_langs
+            FROM counts)
+          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, lg AS majority_lang,
+            ROUND(CAST(n AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS majority_frac,
+            CAST(n_langs AS BIGINT) AS n_langs
+          FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+    },
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -258,6 +258,45 @@ object TextAnalysis {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Per-document language-mix profile (code-switching detector): runs the
+    * [[langId]] heuristic per NON-BLANK LINE and aggregates — `n_lines`,
+    * `majority_lang` (most frequent line language, ties to the
+    * lexicographically first — the [[langId]] tie discipline),
+    * `majority_frac`, and `n_langs` (distinct identified languages,
+    * 'und' excluded). A doc-level [[langId]] call hides a 60/40
+    * English/German page behind whichever wins the global stopword count;
+    * the line profile exposes it — route `majority_frac < threshold` docs
+    * to segmentation instead of dropping them. Docs with no non-blank
+    * lines are omitted.
+    *
+    * Scale shape: per-line language is a pure Column map behind the
+    * explode; lines collapse immediately to (doc, lang) counts with
+    * map-side combine, so the doc_id exchange carries at most
+    * |languages|+1 rows per doc; the majority pick is a per-doc window
+    * over those few rows, reusing the same exchange. */
+  def langProfile(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode_outer(split(text, "\n", -1)).as("__line"))
+      .filter(length(trim(col("__line"))) > 0)
+      .withColumn("__ll", langId(col("__line")))
+      .groupBy(col("doc_id"), col("__ll"))
+      .agg(count(lit(1)).as("__n"))
+      .repartition(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("__n").desc, col("__ll").asc)
+    counts
+      .withColumn("n_lines", sum(col("__n")).over(w))
+      .withColumn("n_langs", count(when(col("__ll") =!= "und", 1)).over(w))
+      .withColumn("__rk", row_number().over(ord))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id").as(idCol), col("n_lines"),
+        col("__ll").as("majority_lang"),
+        round(col("__n").cast(DoubleType) / col("n_lines").cast(DoubleType), 6)
+          .as("majority_frac"),
+        col("n_langs"))
+  }
+
   /** Content fingerprint: first 16 hex chars of md5 over the
     * whitespace-normalized lowercased text. Cross-engine-stable dedup key
     * (md5 is identical everywhere; JVM murmur is not). */

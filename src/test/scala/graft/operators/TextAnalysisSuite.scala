@@ -176,6 +176,23 @@ class TextAnalysisSuite extends AnyFunSuite {
       ("c", "d", 1L, 1)))
   }
 
+  test("langProfile: majority language per line, ties lexicographic, blank lines dropped") {
+    val docs = Seq(
+      // 2 en lines + 1 de line + blank line -> majority en 2/3, 2 langs
+      (1L, "the cat sat on the mat\n\nder hund und die katze\nwith a hat on the cat"),
+      // no stopword hits on either line -> both 'und'; majority 'und', 0 langs
+      (2L, "zzz qqq\nxyzzy plugh"),
+      // empty doc -> no non-blank lines -> omitted
+      (3L, "\n\n")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langProfile(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((3L, "en", 0.666667, 2L)))
+    assert(out(2L) === ((2L, "und", 1.0, 0L)))
+  }
+
   test("lmScore: smoothed bigram cross-entropy, short docs omitted") {
     // ref model: bigrams (a,b)x2 (b,a) (b,c) (c,d); heads a:2 b:2 c:1; V=4
     val ref = Seq((1L, "a b a b c"), (2L, "c d"), (3L, "solo")).toDF("doc_id", "text")
