@@ -1095,6 +1095,12 @@ object SparkEntry {
       // X73 code-switching profile: per-line langId -> majority language,
       // majority fraction, distinct-language count per doc
       TextAnalysis.langProfile(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
+    "q117_phrase_match" -> ((s, d) =>
+      // X74 exact phrase search on the positional inverted index
+      TextAnalysis.phraseMatch(
+        TextAnalysis.positionalPostings(t(s, d, "documents"), "doc_id", col("text")),
+        Seq("sort", "merge"))
         .orderBy(col("doc_id"))))
 
   // ======================================================================
@@ -1755,6 +1761,15 @@ object SparkEntry {
             CAST(n_langs AS BIGINT) AS n_langs
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
+    "q117_phrase_match" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          m AS (SELECT a.doc_id
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'sort' AND b.term = 'merge')
+          SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY 1 ORDER BY doc_id""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -258,6 +258,41 @@ object TextAnalysis {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Positional postings — the inverted-index building block with token
+    * offsets: one (doc_id, pos, term) row per non-empty token, positions
+    * indexing the RAW token-slot sequence (a dropped empty token still
+    * occupies its slot, so adjacency can never bridge it — the
+    * [[bigramPairs]] discipline). Write this table bucketed by term and
+    * phrase/proximity queries never rescan the corpus. */
+  def positionalPostings(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), posexplode_outer(tokens(text)).as(Seq("pos", "term")))
+      .filter(col("term").isNotNull && col("term") =!= "")
+
+  /** Exact phrase occurrences via adjacency self-joins on a positional
+    * index ([[positionalPostings]]): term i must sit at `anchor_pos + i`.
+    * Returns (doc_id, n_matches), docs without the phrase absent.
+    *
+    * Scale shape: each join touches only the POSTINGS OF THE PHRASE'S
+    * TERMS (term-filtered index slices — pushdown-friendly on a
+    * term-bucketed index), keyed (doc_id, pos) — never the corpus text;
+    * intermediate cardinality after join i is bounded by occurrences of
+    * the rarest prefix term, and AQE broadcasts the smaller slice. The
+    * classic rarest-term-first heuristic applies to the CALLER's phrase
+    * framing only through term stats; the join chain here keeps phrase
+    * order (correctness over reordering) and lets AQE pick build sides. */
+  def phraseMatch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(phrase.forall(_.nonEmpty), s"phrase contains an empty term: $phrase")
+    val anchor = index.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(index.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Per-document language-mix profile (code-switching detector): runs the
     * [[langId]] heuristic per NON-BLANK LINE and aggregates — `n_lines`,
     * `majority_lang` (most frequent line language, ties to the

@@ -176,6 +176,22 @@ class TextAnalysisSuite extends AnyFunSuite {
       ("c", "d", 1L, 1)))
   }
 
+  test("phraseMatch: counts occurrences, respects order, 3-term phrases, slot adjacency") {
+    val docs = Seq(
+      (1L, "a b c a b"),      // "a b" twice; "a b c" once; no "b a"
+      (2L, "b a"),            // reversed -> no "a b"
+      (3L, "a  b"),           // double space: split yields no empty slot -> match
+      (4L, "a\nb")            // newline is whitespace too -> adjacent -> match
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    def m(p: String*) = TextAnalysis.phraseMatch(idx, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m("a", "b") === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(m("b", "a") === Map(2L -> 1L))
+    assert(m("a", "b", "c") === Map(1L -> 1L))
+    assert(m("a", "c").isEmpty)
+  }
+
   test("langProfile: majority language per line, ties lexicographic, blank lines dropped") {
     val docs = Seq(
       // 2 en lines + 1 de line + blank line -> majority en 2/3, 2 langs
