@@ -1101,7 +1101,26 @@ object SparkEntry {
       TextAnalysis.phraseMatch(
         TextAnalysis.positionalPostings(t(s, d, "documents"), "doc_id", col("text")),
         Seq("sort", "merge"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+    "q118_bm25" -> ((s, d) =>
+      // X76 BM25 keyword leg: Lucene idf variant, one doc-keyed pass
+      TextAnalysis.bm25TopK(t(s, d, "documents"), "doc_id", col("text"),
+        Seq("sort", "merge", "spark"), k = 20)),
+    "q119_hybrid_rrf" -> ((s, d) => {
+      // X77 hybrid fusion: exact-cosine leg + SQ8 compressed leg merged by
+      // reciprocal-rank fusion (ranks only — leg scores incomparable)
+      import org.apache.spark.sql.expressions.Window
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cosLeg = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      val sqLeg = Quantize.sqTopK(embs, "vec_id", "embedding", q, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+      Ann.rrfFuse(Seq(cosLeg, sqLeg), "vec_id", k = 10)
+    }))
 
   // ======================================================================
 
@@ -1770,6 +1789,84 @@ object SparkEntry {
             FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             WHERE a.term = 'sort' AND b.term = 'merge')
           SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY 1 ORDER BY doc_id""",
+    "q118_bm25" -> {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1, b) = (1.2, 0.75)
+      // interpolate Scala-computed doubles (shortest round-trip repr) so
+      // both engines parse the IDENTICAL constant — (k1+1.0) recomputed in
+      // SQL as 1.2+1.0 could round differently at the representation tie
+      val k1p = (k1 + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+             / (CAST(df$i AS DOUBLE) + 0.5))
+           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+            FROM pd CROSS JOIN st)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
+    "q119_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0),
+          cscored AS (SELECT e.vec_id,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+             * (SELECT qmag FROM q) + 1e-12) AS c
+            FROM embeddings e),
+          ctop AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM cscored
+            ORDER BY c DESC, vec_id ASC LIMIT 20),
+          cleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r0 FROM ctop),
+          stats AS (
+           SELECT CAST(t.i AS INT) AS dim,
+             MIN(e.embedding[CAST(t.i + 1 AS INT)]) AS mn,
+             MAX(e.embedding[CAST(t.i + 1 AS INT)]) AS mx
+           FROM embeddings e, LATERAL UNNEST(range(len(e.embedding))) AS t(i)
+           GROUP BY dim),
+          sarr AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS ml,
+              list(CAST(mx AS DOUBLE) ORDER BY dim) AS xl FROM stats),
+          dq AS (SELECT e.vec_id,
+              list_transform(range(len(e.embedding)), i -> CAST(
+                s.ml[CAST(i + 1 AS INT)] +
+                (CAST(CASE WHEN s.xl[CAST(i + 1 AS INT)] = s.ml[CAST(i + 1 AS INT)] THEN 0
+                   ELSE GREATEST(-128, LEAST(127,
+                     CAST(FLOOR((CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                                 - s.ml[CAST(i + 1 AS INT)]) * 255.0
+                                / (s.xl[CAST(i + 1 AS INT)] - s.ml[CAST(i + 1 AS INT)])
+                                + 0.5) AS BIGINT) - 128))
+                 END AS DOUBLE) + 128.0)
+                * (s.xl[CAST(i + 1 AS INT)] - s.ml[CAST(i + 1 AS INT)]) / 255.0
+                AS FLOAT)) AS dqv
+            FROM embeddings e CROSS JOIN sarr s),
+          sscored AS (SELECT d.vec_id,
+              (SELECT SUM(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE))
+               FROM q, LATERAL (SELECT unnest(d.dqv) AS a, unnest(q.qv) AS b) z) AS sc
+            FROM dq d),
+          stop AS (SELECT vec_id, ROUND(sc, 6) AS score FROM sscored
+            ORDER BY sc DESC, vec_id ASC LIMIT 20),
+          sleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r1 FROM stop),
+          fused AS (SELECT COALESCE(c.vec_id, s.vec_id) AS vec_id, c.r0, s.r1,
+              COALESCE(1.0 / (60.0 + CAST(c.r0 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(s.r1 AS DOUBLE)), 0.0) AS rrf
+            FROM cleg c FULL OUTER JOIN sleg s ON c.vec_id = s.vec_id)
+          SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -273,6 +273,36 @@ object Ann {
           .as("mean_cos"))
   }
 
+  /** Reciprocal-rank fusion (Cormack-Clarke-Buettcher SIGIR'09): combine
+    * ranked retrieval legs (dense cosine, SQ8/PQ compressed, BM25 keyword)
+    * by `score = sum_i 1/(c + rank_i)` — the standard hybrid-search merge,
+    * robust to incomparable leg scores because only RANKS enter.
+    *
+    * Inputs are (id, rank) frames, rank 1-based from the leg's own
+    * deterministic order. Missing ids contribute 0 from that leg (the
+    * USING-style full outer join coalesces keys). The additions happen in
+    * the FIXED leg order — a chain of IEEE adds over exact reciprocals,
+    * identical in any engine — and the cut is the top-k heap.
+    *
+    * Scale: each leg is already a top-k (tiny); fusion is a join of k-row
+    * frames — broadcast territory regardless of corpus size. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "no rankings to fuse")
+    require(k > 0 && c >= 0, s"bad k=$k / c=$c")
+    val legs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast(IntegerType).as(s"r$i")) }
+    val joined = legs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(c.toDouble) + col(s"r$i").cast(DoubleType)), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol) +: rankings.indices.map(i => col(s"r$i"))
+        :+ round(col("rrf"), 6).as("rrf"): _*)
+  }
+
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Float]], query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def dot(a: Array[Float], b: Array[Float]): Double = {

@@ -293,6 +293,57 @@ object TextAnalysis {
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** BM25 keyword ranking (Robertson-Sparck Jones; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, k1/b defaults
+    * 1.2/0.75): top-k documents for a bag of query terms — the exact
+    * keyword leg a hybrid (dense + sparse) retrieval stack needs next to
+    * the cosine leg.
+    *
+    * Plan shape: ONE doc-keyed aggregation computes `dl` (token count) and
+    * per-query-term `tf` as columns of the same pass — no postings join,
+    * no per-term frames; the corpus-level stats (N, avgdl, per-term df)
+    * collapse to a single broadcast row. Scoring is then a per-row map and
+    * the cut a TakeOrderedAndProject heap. N counts docs with at least one
+    * token (empty docs score 0 and are excluded by construction).
+    *
+    * Determinism: per-term partial scores round at 6 then sum in fixed
+    * term order (a fixed-length chain of IEEE adds — not an
+    * order-unstable aggregate); only ln sits behind the rounding guard. */
+  def bm25TopK(docs: DataFrame, idCol: String, text: Column,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size, s"duplicate term in $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.zipWithIndex
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode_outer(tokens(text)).as("__t"))
+      .filter(col("__t").isNotNull && col("__t") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        terms.map { case (t, i) =>
+          count(when(col("__t") === t, 1)).as(s"tf$i") }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
+        +: terms.map { case (_, i) =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val partials = terms.map { case (_, i) =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val df = col(s"df$i").cast(DoubleType)
+      val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+      round(idf * tf * lit(k1 + 1.0) / norm, 6)
+    }
+    scored
+      .withColumn("score", partials.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id").as(idCol), col("dl"), round(col("score"), 6).as("score"))
+  }
+
   /** Per-document language-mix profile (code-switching detector): runs the
     * [[langId]] heuristic per NON-BLANK LINE and aggregates — `n_lines`,
     * `majority_lang` (most frequent line language, ties to the

@@ -184,4 +184,23 @@ class AnnSuite extends AnyFunSuite {
     val r2 = Ann.recallAtK(exact, tight, "vec_id", 10).head()
     assert(r2.getDouble(1) >= 0.0 && r2.getDouble(1) <= 1.0)
   }
+
+  test("rrfFuse: both-leg consensus wins, single-leg ids still fuse, exact reciprocals") {
+    import spark.implicits._
+    val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val legB = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val out = Ann.rrfFuse(Seq(legA, legB), "id", k = 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3)))
+    def rrf(rs: Seq[Option[Int]]) = BigDecimal.valueOf(
+        rs.map(_.fold(0.0)(x => 1.0 / (60.0 + x))).reduce(_ + _))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(
+      10L -> rrf(Seq(Some(1), Some(3))), 20L -> rrf(Seq(Some(2), Some(1))),
+      30L -> rrf(Seq(Some(3), None)), 40L -> rrf(Seq(None, Some(2))))
+    assert(out.map(t => t._1 -> t._4).toMap === expect)
+    // consensus ids outrank single-leg ids; id 20 (ranks 2+1) edges id 10 (1+3)
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    assert(out.find(_._1 == 30L).get._3.isEmpty, "leg-B rank must be null for 30")
+  }
 }

@@ -192,6 +192,32 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(m("a", "c").isEmpty)
   }
 
+  test("bm25: hand-computed scores, rarity beats frequency, zero-score docs absent") {
+    val docs = Seq(
+      (1L, "x y x z"),   // tf(x)=2, dl=4
+      (2L, "x q q q"),   // tf(x)=1, dl=4
+      (3L, "q q")        // no query terms -> filtered out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", col("text"), Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet === Set(1L, 2L))
+    // replicate the formula: N=3, avgdl=10/3; term x: df=2, term y: df=1
+    def part(tf: Double, df: Double, dl: Double): BigDecimal = {
+      val n = 3.0; val avgdl = 10.0 / 3.0
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      BigDecimal.valueOf(idf * tf * 2.2 / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def score(ps: Seq[BigDecimal]) =
+      BigDecimal.valueOf(ps.map(_.toDouble).reduce(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = score(Seq(part(2, 2, 4), part(1, 1, 4)))
+    val d2 = score(Seq(part(1, 2, 4)))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) == d1 && byId(2L) == d2)
+    assert(d1 > d2, "doc with both terms (one rare) must outrank")
+  }
+
   test("langProfile: majority language per line, ties lexicographic, blank lines dropped") {
     val docs = Seq(
       // 2 en lines + 1 de line + blank line -> majority en 2/3, 2 langs
