@@ -1120,7 +1120,13 @@ object SparkEntry {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("vec_id").asc)))
       Ann.rrfFuse(Seq(cosLeg, sqLeg), "vec_id", k = 10)
-    }))
+    }),
+    "q120_session_traces" -> ((s, d) =>
+      // X78 behavioral-sequence export: 30-min-gap sessions serialized as
+      // ordered event-type traces
+      Sessionize.sessionTraces(events(s, d), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), gapMicros = 1800000000L)
+        .orderBy(col("user_id"), col("session_no"))))
 
   // ======================================================================
 
@@ -1867,6 +1873,22 @@ object SparkEntry {
             FROM cleg c FULL OUTER JOIN sleg s ON c.vec_id = s.vec_id)
           SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
           ORDER BY rrf DESC, vec_id ASC LIMIT 10""",
+    "q120_session_traces" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         flg AS (SELECT user_id, event_id, event_type, ts, tus,
+           CASE WHEN LAG(tus) OVER w IS NULL
+                  OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         sess AS (SELECT user_id, event_id, event_type, ts, tus,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM flg)
+         SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           string_agg(event_type, '>' ORDER BY tus, event_id) AS trace
+         FROM sess GROUP BY user_id, session_no
+         ORDER BY user_id, session_no""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -109,6 +109,39 @@ object Sessionize {
         .reduce(_ + _).cast(org.apache.spark.sql.types.IntegerType))
   }
 
+  /** Per-session interaction-trace export: each (user, session) becomes
+    * one row with the session's event-type sequence serialized in
+    * `(ts, tie)` order (`view>click>purchase`) plus bounds and counts —
+    * the behavioral-sequence training-data shape (next-action models,
+    * session embeddings) and the session replay a product analyst reads.
+    *
+    * Determinism: the trace orders by (event-time micros, tie) via an
+    * in-group array_sort over collected structs — partition-order-free;
+    * the oracle's `string_agg ... ORDER BY` reproduces it exactly.
+    *
+    * Scale shape: [[assignSessions]]' user exchange feeds the
+    * (user, session) aggregation without a second shuffle (sub-key hash
+    * clustering); per-group state is the session's OWN events (sessions
+    * are gap-bounded and small by construction — unlike unbounded
+    * collect_list-per-user). */
+  def sessionTraces(events: DataFrame, user: Column, ts: Column, tie: Column,
+      typeCol: Column, gapMicros: Long): DataFrame = {
+    val sess = assignSessions(events, user, ts, tie, gapMicros)
+      .select(user.as("user_id"), col("session_no"), ts.as("__ts"), tie.as("__tie"),
+        typeCol.as("__type"))
+    sess
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__ts")).as("session_start"),
+        max(col("__ts")).as("session_end"),
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(unix_micros(col("__ts")).as("t"),
+              col("__tie").as("k"), col("__type").as("e")))),
+            s => s.getField("e"))).as("trace"))
+  }
+
   /** Weekly cohort-retention triangle: users are cohorted by the ISO week
     * (Monday-truncated) of their FIRST event; each (cohort_week,
     * week_offset) cell counts the cohort's users active in that later

@@ -147,6 +147,24 @@ class SessionizeSuite extends AnyFunSuite {
     assert(got === Seq((1, "view", 2L), (2, "click", 1L), (3, "buy", 0L)))
   }
 
+  test("sessionTraces: ordered serialization per session, gap splits the trace") {
+    val ev = Seq(
+      (1L, 10L, "view", ts("2026-01-10 12:00:00")),
+      (2L, 10L, "click", ts("2026-01-10 12:10:00")),
+      (3L, 10L, "purchase", ts("2026-01-10 13:10:00")), // > 30 min -> session 2
+      (4L, 20L, "view", ts("2026-01-10 12:00:00")),
+      (5L, 20L, "error", ts("2026-01-10 12:00:00"))     // same instant: event_id order
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessionize.sessionTraces(ev, $"user_id", $"ts", $"event_id",
+        $"event_type", Gap30Min)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(5))))
+      .toMap
+    assert(got === Map(
+      (10L, 1L) -> ((2L, "view>click")),
+      (10L, 2L) -> ((1L, "purchase")),
+      (20L, 1L) -> ((2L, "view>error"))))
+  }
+
   test("cohortRetention: Monday-week cohorts, gap weeks absent, multi-event weeks count once") {
     // 2026-01-05 is a Monday. user 1 cohort = wk0, active wk0 (twice) and
     // wk2; user 2 cohort = wk0, active wk0 only; user 3 cohort = wk1.
