@@ -1126,7 +1126,21 @@ object SparkEntry {
       // ordered event-type traces
       Sessionize.sessionTraces(events(s, d), col("user_id"), col("ts"),
         col("event_id"), col("event_type"), gapMicros = 1800000000L)
-        .orderBy(col("user_id"), col("session_no"))))
+        .orderBy(col("user_id"), col("session_no"))),
+    "q121_proximity" -> ((s, d) =>
+      // X79 NEAR/4 co-occurrence of 'sort' and 'merge' on the positional
+      // index — band-bucketed join, never per-doc cartesian
+      TextAnalysis.proximityMatch(
+        TextAnalysis.positionalPostings(t(s, d, "documents"), "doc_id", col("text")),
+        "sort", "merge", maxDist = 4)
+        .orderBy(col("doc_id"))),
+    "q122_datasheet" -> ((s, d) =>
+      // X80 per-source corpus datasheet: volume, dup rate, quality,
+      // majority language — one corpus read, one exchange
+      CorpusStats.datasheet(t(s, d, "documents"), col("source"), "doc_id",
+        col("text"), col("lang"))
+        .withColumnRenamed("key", "source")
+        .orderBy(col("source"))))
 
   // ======================================================================
 
@@ -1889,6 +1903,41 @@ object SparkEntry {
            string_agg(event_type, '>' ORDER BY tus, event_id) AS trace
          FROM sess GROUP BY user_id, session_no
          ORDER BY user_id, session_no""",
+    "q121_proximity" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          pairs AS (SELECT DISTINCT a.doc_id, a.pos AS pa, b.pos AS pb
+            FROM p a JOIN p b ON b.doc_id = a.doc_id
+              AND abs(a.pos - b.pos) <= 4 AND a.pos <> b.pos
+            WHERE a.term = 'sort' AND b.term = 'merge')
+          SELECT doc_id, COUNT(*) AS n_pairs,
+            CAST(MIN(abs(pa - pb)) AS INT) AS min_dist
+          FROM pairs GROUP BY 1 ORDER BY doc_id""",
+    "q122_datasheet" ->
+      s"""WITH pr AS (SELECT source, lang,
+            CAST(len($toksSql) AS BIGINT) AS tok,
+            substr(md5($mdNorm), 1, 16) AS fp,
+            $qualityScoreSql AS q
+          FROM documents),
+          base AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(tok) AS BIGINT) AS n_tokens,
+              ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+              COUNT(DISTINCT fp) AS n_contents,
+              ROUND(CAST(SUM(CAST(q AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+                AS mean_quality
+            FROM pr GROUP BY 1),
+          lc AS (SELECT source, lang, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+          maj AS (SELECT source, lang FROM (
+            SELECT source, lang,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rk
+            FROM lc) WHERE rk = 1)
+          SELECT b.source, n_docs, n_tokens, mean_tokens, n_contents,
+            ROUND(CAST(1.0 AS DOUBLE)
+              - CAST(n_contents AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+            mean_quality, m.lang AS majority_lang
+          FROM base b JOIN maj m ON b.source = m.source ORDER BY b.source""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

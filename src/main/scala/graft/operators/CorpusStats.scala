@@ -40,6 +40,47 @@ object CorpusStats {
         (if (exact) countDistinct(col("term"))
          else approx_count_distinct(col("term"), rsd)).as("n_terms"))
 
+  /** Per-key corpus datasheet (Gebru et al., "Datasheets for Datasets"):
+    * the one-row-per-source profile a mixture designer reads before
+    * weighing sources — volume (docs, tokens, mean length), redundancy
+    * (distinct content fingerprints, dup rate), quality
+    * ([[TextAnalysis.qualityScore]] mean under the decimal-sum
+    * discipline), and the majority language with its doc count rank
+    * (ties lexicographic).
+    *
+    * Scale shape: every signal is a per-row map; ONE key exchange feeds
+    * the main aggregate, the (key, lang) counts, and the majority window
+    * (sub-key hash satisfies both clusterings), so the corpus is read
+    * once and shuffled once. */
+  def datasheet(docs: DataFrame, key: Column, idCol: String, text: Column,
+      lang: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DataTypes.createDecimalType(38, 6)
+    val perRow = docs.select(key.as("key"),
+        size(TextAnalysis.tokens(text)).cast(LongType).as("__tok"),
+        TextAnalysis.fingerprint(text).as("__fp"),
+        TextAnalysis.qualityScore(text).as("__q"),
+        lang.as("__lang"))
+      .repartition(col("key"))
+    val base = perRow.groupBy(col("key")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        round(sum(col("__tok")).cast(DoubleType) / count(lit(1)), 6).as("mean_tokens"),
+        countDistinct(col("__fp")).as("n_contents"),
+        round(sum(col("__q").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_quality"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_contents").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+    val maj = perRow.groupBy(col("key"), col("__lang")).agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("__n").desc, col("__lang").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("key"), col("__lang").as("majority_lang"))
+    base.join(maj, Seq("key"))
+      .select(col("key"), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+        col("n_contents"), col("dup_rate"), col("mean_quality"), col("majority_lang"))
+  }
+
   /** Count-min sketch of corpus token frequencies (Cormode & Muthukrishnan
     * 2005): `depth` rows of `width` counters; every token occurrence
     * increments one cell per row, chosen by the engine's md5-28-bit base

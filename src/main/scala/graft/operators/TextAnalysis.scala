@@ -293,6 +293,37 @@ object TextAnalysis {
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Unordered proximity (NEAR/k) search over the positional index: docs
+    * where `termA` and `termB` occur within `maxDist` token slots, with
+    * the pair count and the closest distance. The second IR leg next to
+    * [[phraseMatch]] (phrase = ordered NEAR/1). Same index-slice plan
+    * shape: only the two terms' postings join, banded by position bucket
+    * so the join never degenerates to per-doc cartesian on term-heavy
+    * docs — each posting lands in its own bucket and its neighbor, so a
+    * true pair is found in at least one shared bucket and dedup keeps
+    * the cheapest. */
+  def proximityMatch(index: DataFrame, termA: String, termB: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(termA.nonEmpty && termB.nonEmpty, "empty term")
+    // band by floor(pos / maxDist): a within-maxDist pair sits in equal or
+    // adjacent bands, so BOTH sides emit (band, band+1) — whichever side
+    // is lower, the pair shares at least one band; distinct dedups pairs
+    // found in two
+    def banded(t: String, posName: String) = index.filter(col("term") === t)
+      .select(col("doc_id"), col("pos").as(posName))
+      .withColumn("__b", explode(array((col(posName) / maxDist).cast(LongType),
+        (col(posName) / maxDist).cast(LongType) + 1)))
+    val a = banded(termA, "pa")
+    val b = banded(termB, "pb")
+    a.join(b, Seq("doc_id", "__b"))
+      .filter(abs(col("pa") - col("pb")) <= maxDist && col("pa") =!= col("pb"))
+      .select(col("doc_id"), col("pa"), col("pb")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_dist"))
+  }
+
   /** BM25 keyword ranking (Robertson-Sparck Jones; the Lucene
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, k1/b defaults
     * 1.2/0.75): top-k documents for a bag of query terms — the exact

@@ -71,6 +71,22 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(out(("A", "B")) === ((3L, 3L, 2L, 0.5)))
   }
 
+  test("datasheet: dup rate from fingerprints, majority lang with tie, exact means") {
+    val docs = Seq(
+      (1L, "A", "en", "same text here"),
+      (2L, "A", "en", "Same   TEXT here"),   // normalizes to the same fp
+      (3L, "A", "de", "unique words now"),
+      (4L, "B", "de", "eins zwei"),
+      (5L, "B", "fr", "un deux")             // B: de/fr tie -> de (lexicographic)
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = CorpusStats.datasheet(docs, col("source"), "doc_id", col("text"), col("lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5), r.getString(7)))).toMap
+    // A: 3 docs, 9 tokens, 2 distinct contents -> dup rate 1/3
+    assert(out("A") === ((3L, 9L, 2L, 0.333333, "en")))
+    assert(out("B") === ((2L, 4L, 2L, 0.0, "de")))
+  }
+
   test("cms: estimates never undercount, and are exact at generous width") {
     val docs = Seq(
       (1L, "a a a b c"), (2L, "a b d"), (3L, "e")).toDF("doc_id", "text")

@@ -192,6 +192,20 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(m("a", "c").isEmpty)
   }
 
+  test("proximityMatch: NEAR/k both orders, band boundaries, no double-count") {
+    val docs = Seq(
+      (1L, "a x x b"),         // dist 3 <= 3 -> pair; bands straddle for d=3
+      (2L, "b x x x a"),       // dist 4 > 3 -> no pair (reverse order)
+      (3L, "b a"),             // dist 1, b before a
+      (4L, "a x b x a"),       // pairs: (0,2) and (4,2) -> 2 pairs, min 2
+      (5L, "a a a")            // no b -> absent
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val out = TextAnalysis.proximityMatch(idx, "a", "b", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> ((1L, 3)), 3L -> ((1L, 1)), 4L -> ((2L, 2))))
+  }
+
   test("bm25: hand-computed scores, rarity beats frequency, zero-score docs absent") {
     val docs = Seq(
       (1L, "x y x z"),   // tf(x)=2, dl=4
