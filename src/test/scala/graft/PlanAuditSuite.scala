@@ -320,6 +320,36 @@ class PlanAuditSuite extends AnyFunSuite {
       s"per-doc mean must map-side combine:\n$p")
   }
 
+  test("bm25: one doc-keyed pass, stats broadcast, top-k heap — no postings joins (X76)") {
+    val p = staticPlan("q118_bm25")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"per-doc tf/dl and corpus stats must come from one pass (exchange reuse), not per-term scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"the cut must be a distributed heap:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the single stats row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no postings joins in the BM25 plan:\n$p")
+  }
+
+  test("session traces: ONE user exchange serves sessionize windows and the trace agg (X78)") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val frame = operators.Sessionize.sessionTraces(ev, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), 1800000000L)
+    val p = prepPlan(frame)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"window passes and the (user, session) aggregation must share one exchange:\n$p")
+  }
+
+  test("datasheet: one corpus scan, one key exchange for aggregate + majority window (X80)") {
+    val p = staticPlan("q122_datasheet")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"per-row signals must not rescan per consumer:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"the key repartition must satisfy the aggregate, lang counts, and window:\n$p")
+  }
+
   test("dsir: one scored-side generate, two pinned models, no extra corpus pass (X65)") {
     val p = staticPlan("q108_dsir_weights")
     // documents is read once for the scored bigrams and once for the

@@ -109,4 +109,17 @@ class CorpusStatsSuite extends AnyFunSuite {
     // sketch size is depth x width regardless of corpus
     assert(CorpusStats.cmsCells(docs, "doc_id", col("text"), 2, 2).count() <= 4)
   }
+
+  test("cms: shard sketches merge cell-wise into the whole-corpus sketch") {
+    val all = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "e e e")).toDF("doc_id", "text")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.cmsCells(df, "doc_id", col("text"), 3, 8)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = cellMap(all)
+    val s1 = cellMap(all.filter(col("doc_id") <= 1))
+    val s2 = cellMap(all.filter(col("doc_id") > 1))
+    val merged = (s1.keySet ++ s2.keySet).map(k =>
+      k -> (s1.getOrElse(k, 0L) + s2.getOrElse(k, 0L))).toMap
+    assert(merged === whole, "sketch of the union must equal cell-wise sum of shard sketches")
+  }
 }
