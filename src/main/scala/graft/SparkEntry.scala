@@ -1140,7 +1140,14 @@ object SparkEntry {
       CorpusStats.datasheet(t(s, d, "documents"), col("source"), "doc_id",
         col("text"), col("lang"))
         .withColumnRenamed("key", "source")
-        .orderBy(col("source"))))
+        .orderBy(col("source"))),
+    "q123_funnel_latency" -> ((s, d) =>
+      // X81 time-to-convert: per-transition latency stats off the funnel
+      Sessionize.funnelLatency(
+        Sessionize.funnel(events(s, d), col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "signup", "purchase")),
+        Seq("view", "click", "signup", "purchase"))
+        .orderBy(col("stage"))))
 
   // ======================================================================
 
@@ -1938,6 +1945,34 @@ object SparkEntry {
               - CAST(n_contents AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
             mean_quality, m.lang AS majority_lang
           FROM base b JOIN maj m ON b.source = m.source ORDER BY b.source""",
+    "q123_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          f1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+          f2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+            JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t1
+            WHERE e.event_type = 'click' GROUP BY 1),
+          f3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+            JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t2
+            WHERE e.event_type = 'signup' GROUP BY 1),
+          f4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM e
+            JOIN f3 ON e.user_id = f3.user_id AND e.ts > f3.t3
+            WHERE e.event_type = 'purchase' GROUP BY 1),
+          j AS (SELECT f1.user_id, t1, t2, t3, t4 FROM f1
+            LEFT JOIN f2 ON f1.user_id = f2.user_id
+            LEFT JOIN f3 ON f1.user_id = f3.user_id
+            LEFT JOIN f4 ON f1.user_id = f4.user_id),
+          d AS (
+            SELECT 2 AS stage, 'click' AS stage_name,
+              CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) AS dd FROM j WHERE t2 IS NOT NULL
+            UNION ALL SELECT 3, 'signup',
+              CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE) FROM j WHERE t3 IS NOT NULL
+            UNION ALL SELECT 4, 'purchase',
+              CAST(epoch_us(t4) - epoch_us(t3) AS DOUBLE) FROM j WHERE t4 IS NOT NULL)
+          SELECT stage, stage_name, COUNT(*) AS n_users,
+            ROUND(CAST(SUM(CAST(dd AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*)
+              / CAST(1000000.0 AS DOUBLE), 6) AS mean_s,
+            ROUND(quantile_cont(dd, 0.5) / CAST(1000000.0 AS DOUBLE), 6) AS p50_s
+          FROM d GROUP BY 1, 2 ORDER BY stage""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

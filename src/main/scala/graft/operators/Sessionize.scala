@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DoubleType}
 
 /** User-session assignment over an event stream — the classic
   * gaps-and-islands operator: a new session starts when the gap to the
@@ -171,6 +172,39 @@ object Sessionize {
       .agg(count(lit(1)).as("n_users"))
       .select(unix_timestamp(col("cohort_week")).as("cohort_week"),
         col("week_offset"), col("n_users"))
+  }
+
+  /** Time-to-convert per funnel transition: for each stage i >= 2, the
+    * converting users' latency `t_i - t_{i-1}` in microseconds — count,
+    * mean (decimal-sum discipline), and exact median (Spark `percentile`,
+    * the same linear interpolation as the oracle's quantile_cont). The
+    * metric that tells "users stall between click and signup" apart from
+    * "users never sign up" ([[funnelCounts]] sees only the latter).
+    *
+    * Consumes [[funnel]]'s per-user frame; it is pinned once here so the
+    * k per-stage slices do not re-run the upstream funnel cascade. */
+  def funnelLatency(perUser: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "latency needs at least two stages")
+    val dec = DataTypes.createDecimalType(38, 6)
+    val pu = perUser.localCheckpoint(true)
+    val legs = (2 to stages.length).map { i =>
+      pu.filter(col(s"t$i").isNotNull)
+        .select(lit(i).as("stage"), lit(stages(i - 1)).as("stage_name"),
+          (unix_micros(col(s"t$i")) - unix_micros(col(s"t${i - 1}")))
+            .cast(DoubleType).as("__d"))
+    }
+    // output in SECONDS: latencies in microseconds reach ~1e11+, where a
+    // double's ulp (~3e-5) exceeds the 6-decimal rounding grid and the
+    // two engines' round() diverge sub-ulp; at seconds magnitude the
+    // grid sits far inside the ulp. The micros sum stays exact decimal;
+    // the /1e6 is one IEEE division, identical everywhere.
+    legs.reduce(_ unionByName _)
+      .groupBy(col("stage"), col("stage_name"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("__d").cast(dec)).cast(DoubleType) / count(lit(1)) / lit(1e6), 6)
+          .as("mean_s"),
+        round(percentile(col("__d"), lit(0.5)).cast(DoubleType) / lit(1e6), 6)
+          .as("p50_s"))
   }
 
   /** The funnel chart: users remaining at each stage. Consumes

@@ -182,6 +182,25 @@ class SessionizeSuite extends AnyFunSuite {
     assert(got === Set((wk0, 0, 2L), (wk0, 2, 1L), (wk1, 0, 1L)))
   }
 
+  test("funnelLatency: per-transition seconds, only converting users counted") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2026-01-10 12:00:00")),
+      (2L, 1L, "click", ts("2026-01-10 12:00:30")),   // 30 s
+      (3L, 1L, "buy", ts("2026-01-10 12:02:30")),     // 120 s
+      (4L, 2L, "view", ts("2026-01-10 09:00:00")),
+      (5L, 2L, "click", ts("2026-01-10 09:01:30")),   // 90 s, never buys
+      (6L, 3L, "view", ts("2026-01-10 10:00:00"))     // never clicks
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val stages = Seq("view", "click", "buy")
+    val got = Sessionize.funnelLatency(
+        Sessionize.funnel(ev, $"user_id", $"ts", $"event_type", stages), stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (2, "click", 2L, 60.0, 60.0),  // mean(30, 90), median interp = 60
+      (3, "buy", 1L, 120.0, 120.0)))
+  }
+
   test("funnel rejects duplicate stages") {
     val ev = Seq((1L, 1L, "a", ts("2026-01-10 12:00:00")))
       .toDF("event_id", "user_id", "event_type", "ts")
