@@ -1147,7 +1147,12 @@ object SparkEntry {
         Sessionize.funnel(events(s, d), col("user_id"), col("ts"), col("event_type"),
           Seq("view", "click", "signup", "purchase")),
         Seq("view", "click", "signup", "purchase"))
-        .orderBy(col("stage"))))
+        .orderBy(col("stage"))),
+    "q124_centroid_drift" -> ((s, d) =>
+      // X82 embedding-space drift: per-label centroids (bit-exact mean),
+      // pairwise centroid cosine
+      Ann.centroidDrift(t(s, d, "embeddings"), col("label"), "vec_id", "embedding")
+        .orderBy(col("k1"), col("k2"))))
 
   // ======================================================================
 
@@ -1973,6 +1978,27 @@ object SparkEntry {
               / CAST(1000000.0 AS DOUBLE), 6) AS mean_s,
             ROUND(quantile_cont(dd, 0.5) / CAST(1000000.0 AS DOUBLE), 6) AS p50_s
           FROM d GROUP BY 1, 2 ORDER BY stage""",
+    "q124_centroid_drift" ->
+      """WITH a AS (SELECT label AS gid, COUNT(*) AS n,
+            list(embedding ORDER BY vec_id) AS vecs
+          FROM embeddings GROUP BY label),
+          dims AS (SELECT gid, n, CAST(t.d AS INT) AS dim,
+            ROUND(list_sum(list_transform(vecs, v -> CAST(v[CAST(t.d + 1 AS INT)] AS DOUBLE)))
+              / n, 6) AS val
+          FROM a, LATERAL UNNEST(range(64)) AS t(d)),
+          cent AS (SELECT gid, n, list(val ORDER BY dim) AS c
+            FROM dims GROUP BY gid, n),
+          pairs AS (SELECT x.gid AS k1, y.gid AS k2,
+              CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+              x.c AS c1, y.c AS c2
+            FROM cent x JOIN cent y ON x.gid < y.gid)
+          SELECT k1, k2, n1, n2,
+            ROUND(
+              (SELECT SUM(z.a * z.b)
+               FROM (SELECT unnest(c1) AS a, unnest(c2) AS b) z) /
+              (sqrt((SELECT SUM(x * x) FROM unnest(c1) AS t(x)))
+               * sqrt((SELECT SUM(y * y) FROM unnest(c2) AS t(y))) + 1e-12), 6) AS cosine
+          FROM pairs ORDER BY k1, k2""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -206,6 +206,38 @@ object Ann {
           n.cast(DoubleType), 6)).as("pooled"))
   }
 
+  /** Pairwise embedding-centroid similarity between groups (sources,
+    * labels, corpus snapshots): each group's centroid via [[meanPool]]
+    * (bit-exact index-ordered mean, rounded per dim), then cosine between
+    * every centroid pair — the embedding-space drift diagnostic (two
+    * crawls whose centroids diverge fast have distribution shift the
+    * token-level [[graft.operators.CorpusStats.vocabOverlap]] can't see;
+    * a retrain trigger for IVF/PQ codebooks).
+    *
+    * Scale: groups number in the tens-to-thousands, so the pair join is
+    * a centroid-frame self-join — corpus cost is meanPool's single group
+    * exchange. Determinism: pooled dims are already rounded doubles;
+    * the pair cosine is the engine's sequential dot + one sqrt product,
+    * q34's 1e-12 epsilon guard. */
+  def centroidDrift(embs: DataFrame, key: Column, idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = meanPool(embs, key, col(idCol), vecCol)
+    val a = cents.select(col("gid").as("k1"), col("n_chunks").as("n1"),
+      col("pooled").as("__v1"))
+    val b = cents.select(col("gid").as("k2"), col("n_chunks").as("n2"),
+      col("pooled").as("__v2"))
+    // centroids are array<double> — vecDot is the FLOAT codegen kernel
+    // (getFloat on a double array is garbage); sequential double fold here
+    def ddot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, e) => acc + e)
+    a.join(b, col("k1") < col("k2"))
+      .withColumn("cosine", round(
+        ddot(col("__v1"), col("__v2")) /
+          (sqrt(ddot(col("__v1"), col("__v1"))) *
+            sqrt(ddot(col("__v2"), col("__v2"))) + lit(1e-12)), 6))
+      .select(col("k1"), col("k2"), col("n1"), col("n2"), col("cosine"))
+  }
+
   /** Two-stage matryoshka search (Kusupati et al. 2205.13147 §5,
     * adaptive retrieval): rank candidates by cosine over the FIRST
     * `prefixDims` dimensions (the low-dim MRL index — normalization

@@ -185,6 +185,22 @@ class AnnSuite extends AnyFunSuite {
     assert(r2.getDouble(1) >= 0.0 && r2.getDouble(1) <= 1.0)
   }
 
+  test("centroidDrift: identical groups at cosine ~1, orthogonal at ~0, counts carried") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0f)),
+      (3L, 1, Array(1f, 0f)),                        // same centroid as group 0
+      (4L, 2, Array(0f, 2f)), (5L, 2, Array(0f, 4f)) // orthogonal centroid (0,3)
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.centroidDrift(embs, col("label"), "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set((0, 1), (0, 2), (1, 2)))
+    assert(out((0, 1))._3 > 0.999999, s"identical centroids: ${out((0, 1))}")
+    assert(math.abs(out((0, 2))._3) < 1e-6, s"orthogonal centroids: ${out((0, 2))}")
+    assert(out((0, 1))._1 == 2L && out((0, 1))._2 == 1L)
+  }
+
   test("rrfFuse: both-leg consensus wins, single-leg ids still fuse, exact reciprocals") {
     import spark.implicits._
     val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
