@@ -1152,7 +1152,19 @@ object SparkEntry {
       // X82 embedding-space drift: per-label centroids (bit-exact mean),
       // pairwise centroid cosine
       Ann.centroidDrift(t(s, d, "embeddings"), col("label"), "vec_id", "embedding")
-        .orderBy(col("k1"), col("k2"))))
+        .orderBy(col("k1"), col("k2"))),
+    "q125_snapshot_diff" -> ((s, d) => {
+      // X83 crawl-over-crawl delta: new snapshot = drop doc_id%11==0,
+      // touch doc_id%7==0, add re-keyed doc_id%13==0 copies
+      val docs = t(s, d, "documents")
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.snapshotDiff(docs, newSnap, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }))
 
   // ======================================================================
 
@@ -1999,6 +2011,22 @@ object SparkEntry {
               (sqrt((SELECT SUM(x * x) FROM unnest(c1) AS t(x)))
                * sqrt((SELECT SUM(y * y) FROM unnest(c2) AS t(y))) + 1e-12), 6) AS cosine
           FROM pairs ORDER BY k1, k2""",
+    "q125_snapshot_diff" ->
+      s"""WITH newsnap AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+            FROM documents WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0),
+          o AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fo FROM documents),
+          n AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fn
+            FROM (SELECT doc_id, text FROM newsnap))
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.fo IS NULL THEN 'added'
+                 WHEN n.fn IS NULL THEN 'removed'
+                 WHEN o.fo = n.fn THEN 'unchanged' ELSE 'changed' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          ORDER BY doc_id""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -188,6 +188,30 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Corpus snapshot diff: classify every doc id across two snapshots as
+    * `added` / `removed` / `changed` / `unchanged` by comparing content
+    * fingerprints ([[TextAnalysis.fingerprint]] — whitespace-normalized,
+    * so reflow alone is `unchanged`). The crawl-over-crawl delta report
+    * that drives incremental re-embedding (only `added`+`changed` go back
+    * through the embed queue) and snapshot-drift dashboards.
+    *
+    * Scale shape: both sides collapse to (id, 16-hex fp) before the ONE
+    * full-outer id-keyed join — text never crosses the exchange. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("__fo"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(text).as("__fn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__fo").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fo") === col("__fn"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id").as(idCol), col("status"))
+  }
+
   /** Incremental ingest dedup: drop new documents whose content
     * fingerprint already exists in a historical corpus, WITHOUT joining
     * every new doc against the (much larger) history.

@@ -447,4 +447,18 @@ class DedupSuite extends AnyFunSuite {
     val out = semMap(Seq(1L -> Seq(1f, 0.01f), 2L -> Seq(1f, 0.4f)), tau = 0.9999)
     assert(out.values.forall(!_._2))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged; reflow is unchanged") {
+    val old = Seq(
+      (1L, "stable text"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Spaced   Out text")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "stable text"), (2L, "has changed"),
+      (4L, "spaced out TEXT"),    // normalization: same fingerprint
+      (5L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, neu, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
