@@ -252,6 +252,20 @@ object PipelineSqlFunctions {
       L("test"))
   }
 
+  /** [[graft.operators.Curation.prioritySample]]'s key: priority = w /
+    * md5-dyadic-uniform — two IEEE divisions, no transcendental. ORDER BY
+    * graft_priority(id, w, 'seed') DESC LIMIT k = weight-proportional
+    * sampling without replacement in pure SQL. */
+  private def priorityKey(id: Expression, w: Expression, seed: Expression): Expression = {
+    val h = asLong(fn("conv",
+      fn("substring",
+        fn("md5", fn("concat", asString(id), L(":"), asString(seed))),
+        L(1), L(13)),
+      L(16), L(10)))
+    fn("/", asDouble(w),
+      fn("/", fn("+", asDouble(h), L(1.0)), L(4503599627370496.0)))
+  }
+
   // ------------------------------------------------------------------
   // registry table — consumed by GraftFunctions.register / GraftExtensions
   // ------------------------------------------------------------------
@@ -293,5 +307,6 @@ object PipelineSqlFunctions {
       case Seq(key, tr, va, salt) =>
         hashSplit(key, foldDouble(tr, "train fraction"), foldDouble(va, "val fraction"), salt)
       case _ => arity("graft_hash_split", 3, 4)
-    })
+    },
+    fixed("graft_priority", 3)(a => priorityKey(a.head, a(1), a(2))))
 }

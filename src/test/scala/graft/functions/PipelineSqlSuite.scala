@@ -192,4 +192,18 @@ class PipelineSqlSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(sql == api)
   }
+
+  test("graft_priority: SQL top-k sampling == Curation.prioritySample") {
+    docs
+    val sql = spark.sql(
+      """SELECT doc_id, round(graft_priority(doc_id, length(text), 'r6'), 6) AS priority
+         FROM pipe_docs WHERE length(text) > 0
+         ORDER BY graft_priority(doc_id, length(text), 'r6') DESC, doc_id LIMIT 3""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val api = graft.operators.Curation.prioritySample(
+        docs, "doc_id", org.apache.spark.sql.functions.length(col("text")), k = 3, seed = "r6")
+      .select(col("doc_id"), col("priority"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sql == api)
+  }
 }
