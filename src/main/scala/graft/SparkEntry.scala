@@ -1164,7 +1164,11 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 100000))
       Dedup.snapshotDiff(docs, newSnap, "doc_id", col("text"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+    "q126_collocations" -> ((s, d) =>
+      // X85 PMI collocation mining off one bigram-table pass
+      TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
+        minCount = 5, k = 20)))
 
   // ======================================================================
 
@@ -2027,6 +2031,22 @@ object SparkEntry {
                  WHEN o.fo = n.fn THEN 'unchanged' ELSE 'changed' END AS status
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
           ORDER BY doc_id""",
+    "q126_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          bgall AS (SELECT tk[CAST(u.i + 1 AS INT)] AS w1, tk[CAST(u.i + 2 AS INT)] AS w2
+            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+          bg AS (SELECT w1, w2, COUNT(*) AS n12 FROM bgall GROUP BY 1, 2),
+          h1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM bg GROUP BY 1),
+          h2 AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM bg GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS tt FROM bg),
+          sc AS (SELECT b.w1, b.w2, b.n12, h1.n1, h2.n2,
+              ROUND(LN(CAST(b.n12 AS DOUBLE) * CAST(tot.tt AS DOUBLE)
+                / (CAST(h1.n1 AS DOUBLE) * CAST(h2.n2 AS DOUBLE))), 6) AS pmi
+            FROM bg b JOIN h1 ON b.w1 = h1.w1 JOIN h2 ON b.w2 = h2.w2 CROSS JOIN tot
+            WHERE b.n12 >= 5)
+          SELECT w1, w2, n12, n1, n2, pmi FROM sc
+          ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""",
     "q69_dedup_corpus" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

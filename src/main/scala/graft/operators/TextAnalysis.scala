@@ -324,6 +324,43 @@ object TextAnalysis {
         min(abs(col("pa") - col("pb"))).as("min_dist"))
   }
 
+  /** Collocation mining by pointwise mutual information over the bigram
+    * table: PMI(w1,w2) = ln(n12 * T / (n1+ * n+2)) with marginals and the
+    * total all derived from ONE [[bigramPairs]] aggregation — the
+    * collocation ranking behind tokenizer-merge candidates and
+    * multi-word-expression lexicons ("new york" scores high, "of the"
+    * low). `minCount` suppresses the classic PMI low-frequency blowup
+    * (hapax pairs trivially maximize PMI).
+    *
+    * Scale shape: the count table is pinned (vocabulary-sized, three
+    * consumers — the X64 discipline); marginals and the broadcast total
+    * re-aggregate the pinned rows, never the corpus; the cut is the
+    * distributed top-k heap. Determinism: PMI's argument is integer
+    * ratios in double (exact products at corpus scale < 2^53 — beyond
+    * that, marginal products saturate double precision before PMI stops
+    * being meaningful), ln behind the round-6 guard. */
+  def collocations(docs: DataFrame, idCol: String, text: Column,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    val bg = bigramPairs(docs, idCol, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .localCheckpoint(true)
+    val h1 = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val h2 = bg.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
+    val tot = bg.agg(sum(col("n12")).as("__t"))
+    bg.filter(col("n12") >= minCount)
+      .join(h1, Seq("w1"))
+      .join(h2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        col("n12").cast(DoubleType) * col("__t").cast(DoubleType) /
+          (col("n1").cast(DoubleType) * col("n2").cast(DoubleType))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"), col("pmi"))
+  }
+
   /** BM25 keyword ranking (Robertson-Sparck Jones; the Lucene
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, k1/b defaults
     * 1.2/0.75): top-k documents for a bag of query terms — the exact

@@ -192,6 +192,23 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(m("a", "c").isEmpty)
   }
 
+  test("collocations: PMI from one bigram table, minCount floor, deterministic order") {
+    val docs = Seq((1L, "a b a b c d"), (2L, "c d e")).toDF("doc_id", "text")
+    // bigrams: (a,b)x2 (b,a) (b,c) (c,d)x2 (d,e); T=7
+    val out = TextAnalysis.collocations(docs, "doc_id", col("text"), minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    def pmi(n12: Long, n1: Long, n2: Long) =
+      BigDecimal.valueOf(math.log(n12.toDouble * 7.0 / (n1.toDouble * n2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // heads: a=2 b=2 c=2 d=1; tails: b=2 a=1 c=1 d=2 e=1
+    assert(out.toSet === Set(
+      ("a", "b", 2L, 2L, 2L, pmi(2, 2, 2)),
+      ("c", "d", 2L, 2L, 2L, pmi(2, 2, 2))))
+    // tie on pmi -> (w1, w2) lexicographic
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq(("a", "b"), ("c", "d")))
+  }
+
   test("proximityMatch: NEAR/k both orders, band boundaries, no double-count") {
     val docs = Seq(
       (1L, "a x x b"),         // dist 3 <= 3 -> pair; bands straddle for d=3
