@@ -2293,9 +2293,9 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
            FROM tc)
          SELECT doc_id, n_tokens, tokens_before,
-           CAST(tokens_before // 2048 AS BIGINT) AS pack_id,
-           CAST(CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
-                ELSE tokens_before // 2048 END AS BIGINT) AS pack_last
+           tokens_before // 2048 AS pack_id,
+           CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
+                ELSE tokens_before // 2048 END AS pack_last
          FROM cum ORDER BY doc_id""",
     "q65_repetition" -> {
       val shSql = shingle3Sql
@@ -2665,10 +2665,11 @@ object SparkEntry {
            ON source = bsrc
          WHERE cum_tokens <= budget ORDER BY doc_id""",
     "q93_quality_gate" ->
-      s"""WITH b AS (SELECT doc_id, length(text) AS nc, $toksSql AS t, $shingle3Sql AS sh
+      s"""WITH b AS (SELECT doc_id, $toksSql AS t, $shingle3Sql AS sh
            FROM documents),
          m AS (SELECT doc_id, len(t) AS nt,
-             CAST(nc AS DOUBLE) / GREATEST(len(t), 1) AS atl,
+             CAST(COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+               AS DOUBLE) / GREATEST(len(t), 1) AS atl,
              CASE WHEN len(sh) = 0 THEN 0.0
                   ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS df,
              len(list_filter(list_distinct(t),

@@ -20,6 +20,20 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String) = only.forall(_.contains(name))
+    only.foreach { names =>
+      val matched = SparkEntry.queries.keys.count(names.contains)
+      val unknown = names.filterNot(SparkEntry.queries.keySet)
+      System.err.println(
+        s"""|##################################################################
+            |# WARNING: SPARK_GRAFT_ONLY is set — running $matched of
+            |# ${SparkEntry.queries.size} queries (${SparkEntry.queries.size - matched}
+            |# SKIPPED). This is a dev-only SUBSET, NOT a full verification
+            |# run. Unset SPARK_GRAFT_ONLY for gate/CI runs.
+            |##################################################################""".stripMargin)
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries.filter { case (n, _) => keep(n) }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

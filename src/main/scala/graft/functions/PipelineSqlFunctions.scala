@@ -166,7 +166,11 @@ object PipelineSqlFunctions {
   private def gateReason(text: Expression): Expression = {
     val toks = tokens(text)
     val nt = fn("size", toks)
-    val atl = fn("/", asDouble(fn("length", text)), asDouble(fn("greatest", nt, L(1))))
+    // mean chars per WORD (token-length sum / token count) — matches
+    // Curation.gopherGate's Gopher-faithful signal, not raw text length
+    val atl = fn("/",
+      asDouble(fn("aggregate", toks, L(0L), lam2((acc, t) => fn("+", acc, asLong(fn("length", t)))))),
+      asDouble(fn("greatest", nt, L(1))))
     val sh = shinglesFromTokens(toks, 3)
     val nsh = fn("size", sh)
     val dupFrac = caseWhen(

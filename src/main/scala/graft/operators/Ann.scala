@@ -262,9 +262,10 @@ object Ann {
       .orderBy(col("prefix_cos").desc, col(idCol).asc)
       .limit(candidates)
     stage1.join(embs.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol), round(vecCosine(col(vecCol), qf), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
+      .select(col(idCol), vecCosine(col(vecCol), qf).as("__cos"))
+      .orderBy(col("__cos").desc, col(idCol).asc)
       .limit(k)
+      .select(col(idCol), round(col("__cos"), 6).as("cosine"))
   }
 
   /** Recall@k — the ANN evaluation harness: fraction of the exact top-k

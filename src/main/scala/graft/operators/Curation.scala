@@ -158,10 +158,14 @@ object Curation {
     // the staged column — an inline tokens(text) under each rule would
     // re-split the text per rule evaluation
     val staged = docs
-      .select(col(idCol), length(text).as("__nc"), TextAnalysis.tokens(text).as("__toks"))
+      .select(col(idCol), TextAnalysis.tokens(text).as("__toks"))
       .withColumn("__sh", TextAnalysis.shinglesFromTokens(col("__toks"), ngramN))
       .withColumn("__nt", size(col("__toks")))
-    val atl = col("__nc").cast(DoubleType) / greatest(col("__nt"), lit(1)).cast(DoubleType)
+    // Gopher's mean-characters-per-WORD: sum of token lengths over token
+    // count (raw text length would inflate it ~1 char/token via the
+    // separators — the Rae et al. Table A1 thresholds assume word chars)
+    val atl = aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t))
+      .cast(DoubleType) / greatest(col("__nt"), lit(1)).cast(DoubleType)
     val nsh = size(col("__sh"))
     val dupFrac = when(nsh === 0, lit(0.0))
       .otherwise((nsh - size(array_distinct(col("__sh")))).cast(DoubleType) /

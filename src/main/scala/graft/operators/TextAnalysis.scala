@@ -316,8 +316,13 @@ object TextAnalysis {
         (col(posName) / maxDist).cast(LongType) + 1)))
     val a = banded(termA, "pa")
     val b = banded(termB, "pb")
+    // equal terms carry identical postings on both sides: =!= alone would
+    // count each unordered pair twice ((p1,p2) and (p2,p1)); pa < pb
+    // keeps exactly one orientation
+    val pairPred = if (termA == termB) col("pa") < col("pb")
+                   else col("pa") =!= col("pb")
     a.join(b, Seq("doc_id", "__b"))
-      .filter(abs(col("pa") - col("pb")) <= maxDist && col("pa") =!= col("pb"))
+      .filter(abs(col("pa") - col("pb")) <= maxDist && pairPred)
       .select(col("doc_id"), col("pa"), col("pb")).distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),

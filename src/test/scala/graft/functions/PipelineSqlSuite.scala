@@ -71,7 +71,7 @@ class PipelineSqlSuite extends AnyFunSuite {
     val gateDocs = Seq(
       (100L, "the quick brown fox jumps over a lazy dog and runs to the " +
         "river bank in spring for fun on sunny days with friends"), // kept
-      (101L, Seq.fill(8)("the cat of").mkString(" ")),              // repetition
+      (101L, Seq.fill(8)("the cats with").mkString(" ")),           // repetition
       (102L, (1 to 25).map(i => s"tok$i").mkString(" ")),           // few_stopwords
       (103L, Seq.fill(25)("abcdefghijkl").mkString(" "))            // word_len_high
     ).toDF("doc_id", "text")

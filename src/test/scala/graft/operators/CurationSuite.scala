@@ -222,9 +222,10 @@ class CurationSuite extends AnyFunSuite {
   }
 
   test("gopherGate: repetition and word-length rules fire before the stopword rule") {
-    // 24 tokens = 8x the same trigram -> dup_ngram_frac = (22-3)/22 >> 0.05,
-    // and the phrase contains stopwords so only `repetition` can fire
-    val repeated = Seq.fill(8)("the cat of").mkString(" ")
+    // 24 tokens = 8x the same trigram -> dup_ngram_frac = (22-3)/22 >> 0.05;
+    // mean token length 11/3 ~ 3.67 clears the word-length band and the
+    // phrase contains stopwords, so only `repetition` can fire
+    val repeated = Seq.fill(8)("the cats with").mkString(" ")
     // 25 twelve-char words: avg chars/token ~ 13 > 10 -> word_len_high
     // (checked before few_stopwords, which this doc also fails)
     val longWords = Seq.fill(25)("abcdefghijkl").mkString(" ")

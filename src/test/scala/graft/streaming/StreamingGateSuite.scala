@@ -24,7 +24,7 @@ class StreamingGateSuite extends AnyFunSuite {
       2L -> ("the quick brown fox jumps over a lazy dog and runs to the " +
         "river bank in spring for fun on sunny days with friends"),
       3L -> (1 to 25).map(i => s"tok$i").mkString(" "),
-      4L -> Seq.fill(8)("the cat of").mkString(" "))
+      4L -> Seq.fill(8)("the cats with").mkString(" "))
     val input = MemoryStream[(Long, String)]
     val gated = Curation.gopherGate(
       input.toDF().toDF("doc_id", "text"), "doc_id", col("text"))
