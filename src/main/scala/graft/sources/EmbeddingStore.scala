@@ -180,6 +180,30 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     rewriteBuckets(buckets)((_, cur) => cur.filter(col("id") =!= id))
   }
 
+  /** S9 at pipeline scale: set-oriented bulk delete. Groups the id set by
+    * bucket and rewrites each TOUCHED bucket once — a per-id [[delete]]
+    * loop costs |ids| read+rewrite passes, this costs |touched buckets|
+    * regardless of how many ids fall in each (a crawl decommission deletes
+    * millions of ids, not one). The resolved (id, bucket) set is pinned to
+    * the hidden staging dir before any swap so the rewrite loop never
+    * re-reads files it is replacing; only the matching ids travel — never
+    * vectors — and untouched buckets are never opened. */
+  def deleteMany(ids: DataFrame): Unit = {
+    require(ids.columns.contains("id"),
+      s"deleteMany needs an `id` column, got [${ids.columns.mkString(",")}]")
+    val targets = read().join(ids.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), bucketOf(col("post_id")).as("__b"))
+    writeStaged(targets) { staged =>
+      val buckets = staged.select(col("__b")).distinct().as[Int].collect().toSet
+      rewriteBuckets(buckets) { (b, cur) =>
+        cur.join(staged.filter(col("__b") === b).select(col("id")), Seq("id"), "left_anti")
+      }
+    }
+  }
+
+  /** [[deleteMany]] over a driver-side id list (the small-batch admin path). */
+  def deleteMany(ids: Seq[Long]): Unit = deleteMany(ids.toDF("id"))
+
   /** Bulk load: derive columns, assign ids, bucket, write. */
   def bulkLoad(raw: DataFrame): Unit = {
     val df = assignIds(withDerived(raw))

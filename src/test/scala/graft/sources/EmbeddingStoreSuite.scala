@@ -128,6 +128,43 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(store.byId(1L).count() == 1)
   }
 
+  test("S9 deleteMany: ids spanning several buckets, one pass, exact removal") {
+    val (store, _) = freshStore()
+    // posts 1..5 hash across the 4 buckets; delete three rows from
+    // (potentially) distinct buckets plus one id that doesn't exist
+    store.deleteMany(Seq(1L, 4L, 6L, 999L))
+    assert(store.count() == 3)
+    assert(Seq(1L, 4L, 6L).forall(store.byId(_).count() == 0))
+    assert(Seq(2L, 3L, 5L).forall(store.byId(_).count() == 1), "survivors intact")
+    // surviving rows keep their original ids and derived columns
+    val r = store.byId(3L).head()
+    assert(r.getAs[Long]("id") == 3L)
+    assert(r.getAs[Double]("magnitude") > 0.0)
+  }
+
+  test("S9 deleteMany with an empty and a no-match id set is a no-op") {
+    val (store, _) = freshStore()
+    store.deleteMany(Seq.empty[Long])
+    store.deleteMany(Seq(777L))
+    assert(store.count() == 6)
+    val e = intercept[IllegalArgumentException] {
+      store.deleteMany(Seq(1L).toDF("wrong_name"))
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("S9 deleteMany equals a per-id delete loop on the same id set") {
+    val (a, _) = freshStore()
+    val (b, _) = freshStore()
+    val ids = Seq(2L, 5L)
+    a.deleteMany(ids)
+    ids.foreach(b.delete)
+    val rows = (s: EmbeddingStore) => s.read()
+      .select("id", "post_id", "sequence_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(a) == rows(b))
+  }
+
   test("typed() exposes the store as Dataset[Embedding]") {
     val (store, _) = freshStore()
     val ds = store.typed()
