@@ -800,12 +800,13 @@ object SparkEntry {
       storeState(store)
     }),
     "q83_store_delete" -> ((s, d) => {
-      // S9 point delete by id: ids of posts 3 and 11 looked up first (two
-      // longs — bounded scalar anchor); each delete rewrites only its bucket
+      // S9 set-oriented delete: the id set (posts 3 and 11) goes through
+      // deleteMany as a FRAME — ids grouped by bucket, each touched bucket
+      // rewritten once, no driver-side id collect at all (the per-id
+      // delete() loop would cost one full read+rewrite pass per id)
       val store = tempStore(s, d, "q83")
-      val ids = store.read().filter(col("post_id").isin(3L, 11L))
-        .select(col("id")).collect().map(_.getLong(0)).sorted
-      ids.foreach(store.delete)
+      store.deleteMany(store.read().filter(col("post_id").isin(3L, 11L))
+        .select(col("id")))
       storeState(store)
     }),
     "q84_admin_page" -> ((s, d) => {
@@ -1168,7 +1169,16 @@ object SparkEntry {
     "q126_collocations" -> ((s, d) =>
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
-        minCount = 5, k = 20)))
+        minCount = 5, k = 20)),
+    "q127_gif_frames" -> ((s, d) => {
+      // X86 standard-container demux: the same frames as q87 muxed into a
+      // real ANIMATED GIF, demuxed back through javax.imageio's sequence
+      // reader — the oracle arithmetic is identical to q87's because the
+      // two containers carry the same deterministic content
+      val media = Multimodal.fromTextAsGifs(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.demuxFrames(media, stride = 2)
+        .orderBy(col("media_id"), col("frame_no"))
+    }))
 
   // ======================================================================
 
@@ -2535,6 +2545,13 @@ object SparkEntry {
                 CAST((400 + strlen(COALESCE(text, '')) % 800) * 1000 // 8000 AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
     "q87_video_frames" ->
+      """SELECT doc_id AS media_id,
+                CAST(f AS INT) AS frame_no,
+                CAST(16 + doc_id % 48 AS BIGINT) AS width,
+                CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
+         FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
+         ORDER BY media_id, frame_no""",
+    "q127_gif_frames" ->
       """SELECT doc_id AS media_id,
                 CAST(f AS INT) AS frame_no,
                 CAST(16 + doc_id % 48 AS BIGINT) AS width,
