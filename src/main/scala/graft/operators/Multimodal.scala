@@ -263,6 +263,55 @@ object Multimodal {
     }
   }
 
+  /** Multi-frame GIF codec over `javax.imageio`'s sequence API — the one
+    * REAL multi-frame container the JDK ships (mp4/mkv/mp3 need external
+    * codecs and stay stubbed). Beside the home-grown GFV0 this makes the
+    * frame-demux plumbing real-codec end-to-end: a standard container, a
+    * standard reader, no byte-range guessing. Frames are full-canvas (the
+    * writer emits them that way), so per-frame dims equal the logical
+    * screen. GIF palettizes to <=256 colors, so pixel values are NOT
+    * preserved bit-for-bit — dims, frame count and order are. */
+  private[operators] object GifCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    val Magic: Array[Byte] = "GIF8".getBytes("US-ASCII")
+
+    def encode(frames: Seq[BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "empty frame list")
+      val bos = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Parsed frames as (frameNo, frame), or null when the payload is not
+      * a GIF or the stream is corrupt (same non-fatal contract as
+      * [[ImageCodec.decode]] — one bad file must not kill a 100 TB scan). */
+    def decode(bytes: Array[Byte]): Seq[(Int, BufferedImage)] = {
+      if (bytes == null || bytes.length < 6 || !bytes.startsWith(Magic)) return null
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        (0 until n).map(i => (i, reader.read(i)))
+      } catch {
+        case scala.util.control.NonFatal(_) => null
+      } finally reader.dispose()
+    }
+  }
+
   /** media payload schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -475,10 +524,45 @@ object Multimodal {
       }(enc)
   }
 
-  /** Real frame sampling: demux the GFV0 container, keep every `stride`-th
-    * frame, decode each kept frame through javax.imageio — one output row
-    * per sampled frame with its decoded dims. Payloads that are not GFV0
-    * streams are skipped (a corrupt file must not kill a 100 TB scan). */
+  /** Standard-container variant of [[fromTextAsVideos]]: the same
+    * deterministic frames (seed per frame, content-dependent dims) muxed
+    * into a single ANIMATED GIF payload instead of GFV0 — real codec on
+    * both sides of the container boundary. Same per-doc arithmetic
+    * (`2 + id % 4` frames, w = 16 + id % 48, h = 16 + len % 48) so the
+    * two containers are oracle-checkable against identical SQL. */
+  def fromTextAsGifs(docs: DataFrame, idCol: String, textCol: String,
+      fps: Int = 25, numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id — " +
+            "a negative id would make the sign-preserving % yield dims <= 0")
+          val seed = r.getString(1).getBytes("UTF-8")
+          val w = (16 + id % 48).toInt
+          val h = (16 + seed.length % 48).toInt
+          val nFrames = (2 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            ImageCodec.render(seed :+ f.toByte, w, h)
+          }
+          Row(id, "video", GifCodec.encode(frames),
+            Row(w, h, null, nFrames.toLong * 1000L / fps, "gif"))
+        }
+      }(enc)
+  }
+
+  /** Real frame sampling: demux the container (GFV0 or multi-frame GIF,
+    * dispatched on magic bytes), keep every `stride`-th frame, decode each
+    * kept frame through javax.imageio — one output row per sampled frame
+    * with its decoded dims. Payloads that are neither container are
+    * skipped (a corrupt file must not kill a 100 TB scan). */
   def demuxFrames(media: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val outSchema = StructType(Seq(
@@ -489,8 +573,16 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        VideoCodec.decode(r.getAs[Array[Byte]]("payload")) match {
-          case null => Iterator.empty
+        val payload = r.getAs[Array[Byte]]("payload")
+        VideoCodec.decode(payload) match {
+          case null =>
+            GifCodec.decode(payload) match {
+              case null => Iterator.empty
+              case frames =>
+                frames.iterator.collect { case (f, img) if f % stride == 0 =>
+                  Row(r.getLong(0), f, img.getWidth.toLong, img.getHeight.toLong)
+                }
+            }
           case frames =>
             frames.iterator.collect { case (f, png) if f % stride == 0 =>
               val img = ImageCodec.decode(png)

@@ -149,6 +149,29 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.demuxFrames(media).collect().isEmpty)
   }
 
+  test("fromTextAsGifs emits a real multi-frame animated GIF; demuxFrames reads it") {
+    val gifs = Multimodal.fromTextAsGifs(
+      Seq((1L, "hello world"), (6L, "long clip " * 10), (3L, ""))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val g6 = gifs.filter($"media_id" === 6L).head()
+    val payload = g6.getAs[Array[Byte]]("payload")
+    assert(payload.take(4).toSeq == "GIF8".getBytes("US-ASCII").toSeq,
+      "standard GIF magic — a real container, not a home-grown one")
+    val frames = Multimodal.GifCodec.decode(payload)
+    assert(frames != null && frames.length == (2 + 6 % 4), "frame count via ImageIO")
+    assert(frames.forall { case (_, img) =>
+      img.getWidth == (16 + 6 % 48) && img.getHeight == (16 + 100 % 48) })
+    // demux dispatches on magic: same output contract as the GFV0 path
+    val rows = Multimodal.demuxFrames(gifs, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set((1L, 0), (1L, 2), (6L, 0), (6L, 2), (3L, 0), (3L, 2), (3L, 4)))
+    assert(rows((1L, 0)) == (17L, 16 + 11 % 48) && rows((6L, 0)) == (22L, 16 + 100 % 48))
+    // corrupt GIF: magic passes, stream truncated -> skipped, not crashed
+    assert(Multimodal.GifCodec.decode(payload.take(20)) == null ||
+      Multimodal.GifCodec.decode(payload.take(20)).isEmpty)
+    assert(Multimodal.GifCodec.decode("not a gif".getBytes) == null)
+  }
+
   test("codec round-trip properties: WAV PCM and GFV0 are lossless; corrupt streams -> null") {
     val rnd = new scala.util.Random(42)
     // WAV: arbitrary 16-bit PCM survives encode->decode bit-for-bit

@@ -81,4 +81,47 @@ class FunnelStreamSuite extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS graft_funnel_stream2")
     }
   }
+
+  test("idle horizon evicts stale users (restart from stage 0); in-horizon users unaffected") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    // 0-second lateness: the watermark tracks the max seen event time, so
+    // eviction timing in this test is exactly horizon behind the feed
+    val query = FunnelStream.track(
+        input.toDS().withWatermark("at", "0 seconds"), stages,
+        idleHorizonMs = Some(3600000L)) // 1 hour
+      .writeStream.format("memory").queryName("graft_funnel_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def batch(evs: FunnelEvent*): Unit = { input.addData(evs: _*); query.processAllAvailable() }
+      batch(FunnelEvent(1L, "view", ts("2026-01-10 10:00:00")),
+            FunnelEvent(2L, "view", ts("2026-01-10 10:00:00")))
+      // in-horizon advance BEFORE any eviction
+      batch(FunnelEvent(2L, "click", ts("2026-01-10 10:30:00")))
+      // push the watermark past both users' horizons (u1 idle since 10:00,
+      // u2 since 10:30; wm -> 13:00 after this batch)
+      batch(FunnelEvent(3L, "view", ts("2026-01-10 13:00:00")))
+      // at this batch's start wm = 13:00 -> u1 and u2 state evicted
+      batch(FunnelEvent(3L, "click", ts("2026-01-10 13:05:00")))
+      // u1 returns: click alone cannot advance (state restarted at stage
+      // 0), the later view re-enters the funnel at stage 1
+      batch(FunnelEvent(1L, "click", ts("2026-01-10 13:30:00")),
+            FunnelEvent(1L, "view", ts("2026-01-10 13:40:00")))
+      val got = spark.table("graft_funnel_ttl")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3)))
+        .toSet
+      val expected = Set(
+        (1L, 1, "view", ts("2026-01-10 10:00:00")),
+        (2L, 1, "view", ts("2026-01-10 10:00:00")),
+        (2L, 2, "click", ts("2026-01-10 10:30:00")),
+        (3L, 1, "view", ts("2026-01-10 13:00:00")),
+        (3L, 2, "click", ts("2026-01-10 13:05:00")),
+        // the eviction proof: u1 re-emits stage 1 after returning
+        (1L, 1, "view", ts("2026-01-10 13:40:00")))
+      assert(got === expected, s"got $got")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_funnel_ttl")
+    }
+  }
 }
