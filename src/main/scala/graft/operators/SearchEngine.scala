@@ -126,4 +126,47 @@ object SearchEngine {
 
     sorted.limit(n)
   }
+
+  /** The flagship two-phase pipeline (stages 0+2+3 and the default
+    * cosine-descending output contract) as a PURE SQL string over the
+    * registered kernels (`pack_sign_bits` / `hamming_dist` / `vec_dot`) —
+    * runnable by any SQL client of a session with [[graft.functions
+    * .GraftFunctions.register]] or `GraftExtensions` loaded, against a
+    * view carrying the store schema. Stage 1 relational filters and
+    * stage 4 attribute sorts are caller-composed query shapes, not fixed
+    * stages — SQL callers add their own WHERE / ORDER BY around this.
+    *
+    * Arithmetic parity with [[search]] is exact: the query literal, its
+    * magnitude, and the epsilon are interpolated from the SAME
+    * driver-computed values via shortest-round-trip repr (recomputing
+    * `sqrt(sum x^2)` in SQL could land one ulp away at a representation
+    * tie), and both orderings carry the id tiebreak. The plan compiles to
+    * the same two TakeOrderedAndProject heaps + broadcast-joined rerank. */
+  def searchSqlText(queryVec: Array[Float], n: Int,
+      embeddingsView: String = "embeddings",
+      cfg: SearchConfig = SearchConfig()): String = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(queryVec.nonEmpty, "empty query vector")
+    val qArr = queryVec.map(v => s"CAST('$v' AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    val qMag = s"CAST('${magnitudeOf(queryVec)}' AS DOUBLE)"
+    val eps = s"CAST('$CosineEps' AS DOUBLE)"
+    s"""WITH ham AS (
+       |  SELECT id, post_id,
+       |         hamming_dist(binary_code, pack_sign_bits($qArr)) AS hamming_distance
+       |  FROM $embeddingsView
+       |  ORDER BY hamming_distance ASC, id ASC
+       |  LIMIT ${cfg.stage2Factor * n}
+       |),
+       |rr AS (
+       |  SELECT e.id, e.post_id, h.hamming_distance,
+       |         vec_dot(e.vector, $qArr) / (e.magnitude * $qMag + $eps)
+       |           AS cosine_similarity
+       |  FROM ham h JOIN $embeddingsView e ON e.id = h.id
+       |  ORDER BY cosine_similarity DESC, id ASC
+       |  LIMIT ${cfg.stage3Factor * n}
+       |)
+       |SELECT id, post_id, hamming_distance, cosine_similarity
+       |FROM rr ORDER BY cosine_similarity DESC, id ASC LIMIT $n""".stripMargin
+  }
 }

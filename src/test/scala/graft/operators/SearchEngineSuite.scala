@@ -114,4 +114,21 @@ class SearchEngineSuite extends AnyFunSuite {
       assert(r.getAs[Double]("cosine_similarity") <= 1.0 + 1e-9)
     }
   }
+
+  test("searchSqlText: the pure-SQL recipe is value-identical to search() on the fixtures") {
+    graft.functions.GraftFunctions.register(spark)
+    embs.createOrReplaceTempView("graft_search_sql_embs")
+    try {
+      for (n <- Seq(1, 3, 5)) {
+        val sql = spark.sql(SearchEngine.searchSqlText(query, n, "graft_search_sql_embs"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Int]("hamming_distance"), r.getAs[Double]("cosine_similarity"))).toSeq
+        val scala = SearchEngine.search(embs, posts, meta, query, n)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Int]("hamming_distance"), r.getAs[Double]("cosine_similarity"))).toSeq
+        assert(sql == scala, s"SQL recipe diverged from the Column pipeline at n=$n")
+        assert(sql.map(_._1) == expectedIds(vecs, n), s"both diverged from the model at n=$n")
+      }
+    } finally spark.catalog.dropTempView("graft_search_sql_embs")
+  }
 }

@@ -48,6 +48,59 @@ class QueueStreamSuite extends AnyFunSuite {
     assert(chunks.head.toSet == (1L to 25L).toSet)
   }
 
+  test("no double claim: second same-checkpoint worker fences the first; takeover never re-claims") {
+    // The reference's claim is two statements (SELECT then UPDATE,
+    // VectorTableQueue.php:189-223): two pollers racing between them both
+    // claim the same pending rows. Here the CLAIM IS THE MICRO-BATCH and
+    // the checkpoint is the claim ledger, which closes the race: the
+    // ledger admits ONE active worker — a second worker starting on it
+    // FENCES the first out (spark.sql.streaming.stopActiveRunOnRestart,
+    // on by default), resumes from the committed offsets, and so can
+    // never re-claim a job the first worker already processed.
+    val dir = Files.createTempDirectory("graft_qclaim").toString
+    val requestDir = s"$dir/requests"
+    val checkpointDir = s"$dir/checkpoint"
+    def jobsFile(ids: Range): Unit = ids.map(i => QueueJob(i.toLong, 100L + i, 1, "pending",
+        Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None))
+      .toDF().coalesce(1).write.mode("append").parquet(requestDir)
+
+    val claimedA = mutable.ArrayBuffer.empty[Long]
+    val claimedB = mutable.ArrayBuffer.empty[Long]
+    def claims(buf: mutable.ArrayBuffer[Long]) = (chunk: org.apache.spark.sql.DataFrame, _: Long) => {
+      val ids = chunk.select("job_id").collect().map(_.getLong(0))
+      buf.synchronized { buf ++= ids; () }
+    }
+
+    jobsFile(1 to 10)
+    val workerA = QueueStream.start(spark, requestDir, checkpointDir)(claims(claimedA))
+    val workerB =
+      try {
+        workerA.processAllAvailable()
+        // second worker on the SAME claim ledger while A is still running
+        QueueStream.start(spark, requestDir, checkpointDir)(claims(claimedB))
+      } catch { case t: Throwable => workerA.stop(); throw t }
+    try {
+      workerB.processAllAvailable()
+      assert(!workerA.isActive,
+        "both workers active on one claim ledger — the double-claim race is open")
+      assert(claimedB.synchronized(claimedB.isEmpty),
+        s"takeover re-claimed ${claimedB.toList} — double claim!")
+      // jobs landing AFTER the takeover go to the new worker only
+      jobsFile(11 to 16)
+      workerB.processAllAvailable()
+    } finally {
+      workerB.stop()
+      workerA.stop()
+    }
+
+    val a = claimedA.synchronized(claimedA.toList)
+    val b = claimedB.synchronized(claimedB.toList)
+    assert(a.toSet == (1L to 10L).toSet, s"worker A claims: $a")
+    assert(b.toSet == (11L to 16L).toSet,
+      s"worker B must claim only post-takeover jobs, got: $b")
+    assert(a.toSet.intersect(b.toSet).isEmpty, "a job was claimed twice across workers")
+  }
+
   test("watermark drops rows later than the lateness bound in a real stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
