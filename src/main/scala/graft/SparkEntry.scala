@@ -1170,6 +1170,28 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q130_mixture_drift" -> ((s, d) => {
+      // X89 mixture drift: the q125 snapshot edit (drop %11, add re-keyed
+      // %13) shifts the SOURCE distribution; per-source KL/JS terms are
+      // the pre-training drift alarm
+      val docs = t(s, d, "documents")
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Curation.mixtureDrift(docs, newSnap, col("source"))
+        .orderBy(col("source"))
+    }),
+    "q129_embedding_health" -> ((s, d) =>
+      // X88 per-dim mean/variance/sign-balance — the embedding-collapse
+      // and anisotropy dashboard; one dim-keyed exchange of partials
+      Ann.embeddingHealth(t(s, d, "embeddings"), "embedding")
+        .orderBy(col("dim"))),
+    "q128_cdc_chunks" -> ((s, d) =>
+      // X87 content-defined chunking: md5-cut token chunks with
+      // rank-weighted decimal fingerprints — boundaries move with content,
+      // not with offsets, so chunk-level dedup survives edits
+      TextAnalysis.cdcChunks(t(s, d, "documents"), "doc_id", col("text"), divisor = 16)
+        .orderBy(col("doc_id"), col("chunk_no"))),
     "q127_gif_frames" -> ((s, d) => {
       // X86 standard-container demux: the same frames as q87 muxed into a
       // real ANIMATED GIF, demuxed back through javax.imageio's sequence
@@ -2551,6 +2573,67 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q130_mixture_drift" -> {
+      // share snippets interpolated so the double op tree mirrors the
+      // Curation.mixtureDrift Column expressions node for node (ratios,
+      // then m = (so+sn)/2 via one division — never algebraically
+      // rearranged, which could land one ulp away)
+      val so = "(CAST(n_old + 1 AS DOUBLE) / CAST(tto + s AS DOUBLE))"
+      val sn = "(CAST(n_new + 1 AS DOUBLE) / CAST(ttn + s AS DOUBLE))"
+      val m = s"(($so + $sn) / CAST(2 AS DOUBLE))"
+      s"""WITH newsnap AS (
+           SELECT doc_id, source FROM documents WHERE doc_id % 11 <> 0
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, source FROM documents WHERE doc_id % 13 = 0),
+         o AS (SELECT source, COUNT(*) AS n_old FROM documents GROUP BY source),
+         n AS (SELECT source, COUNT(*) AS n_new FROM newsnap GROUP BY source),
+         c AS (SELECT COALESCE(o.source, n.source) AS source,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+           FROM o FULL OUTER JOIN n ON o.source = n.source),
+         t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tto, CAST(SUM(n_new) AS BIGINT) AS ttn,
+             COUNT(*) AS s FROM c)
+         SELECT source, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+           ROUND($so, 6) AS share_old,
+           ROUND($sn, 6) AS share_new,
+           ROUND($sn * LN($sn / $so), 6) AS kl_term,
+           ROUND(CAST(0.5 AS DOUBLE) * ($so * LN($so / $m) + $sn * LN($sn / $m)), 6)
+             AS js_term
+         FROM c CROSS JOIN t ORDER BY source"""
+    },
+    "q129_embedding_health" ->
+      """WITH x AS (
+           SELECT CAST(u.i AS INT) AS dim, CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(0, len(embedding))) u(i))
+         SELECT dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean,
+           ROUND(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 6)
+             AS variance,
+           ROUND(CAST(COUNT(CASE WHEN x > 0 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+             AS frac_pos
+         FROM x GROUP BY dim ORDER BY dim""",
+    "q128_cdc_chunks" ->
+      s"""WITH tok AS (
+           SELECT doc_id, CAST(u.i AS INT) AS pos, t[CAST(u.i + 1 AS INT)] AS term
+           FROM (SELECT doc_id, $toksSql AS t FROM documents),
+                UNNEST(range(0, len(t))) u(i)
+           WHERE t[CAST(u.i + 1 AS INT)] IS NOT NULL AND t[CAST(u.i + 1 AS INT)] <> ''),
+         h AS (SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(term), 1, 7)) AS BIGINT) AS h FROM tok),
+         c AS (SELECT doc_id, pos, h,
+             CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END AS cut FROM h),
+         n AS (SELECT doc_id, pos, h,
+             CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos) - cut AS BIGINT)
+               AS chunk_no FROM c),
+         r AS (SELECT doc_id, pos, h, chunk_no,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_no ORDER BY pos) AS rn FROM n)
+         SELECT doc_id, chunk_no, CAST(MIN(pos) AS INT) AS start_pos,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(rn AS DECIMAL(38,0)) * CAST(h AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS chunk_fp
+         FROM r GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""",
     "q127_gif_frames" ->
       """SELECT doc_id AS media_id,
                 CAST(f AS INT) AS frame_no,

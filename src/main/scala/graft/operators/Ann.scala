@@ -336,6 +336,41 @@ object Ann {
         :+ round(col("rrf"), 6).as("rrf"): _*)
   }
 
+  /** Embedding-SPACE health (X88): per-dimension mean, variance, and
+    * positive fraction over the whole corpus — the collapse/anisotropy
+    * dashboard. A dead encoder dimension shows variance ≈ 0; a collapsed
+    * space shows most mass in a few dims and |mean| far from 0 (Ethayarajh
+    * EMNLP '19 on anisotropy); sign imbalance (frac_pos near 0/1) starves
+    * the [[graft.functions.VectorExpressions]] sign-bit sketch the hamming
+    * funnel depends on. At 100 TB these re-train triggers come from THIS
+    * table — the per-LIST sibling is [[ivfStats]].
+    *
+    * Determinism: per-element values round to the 6 (values) / 12
+    * (squares) decimal grid, accumulate in exact decimal, divide once —
+    * the [[ivfStats]]/[[CorpusStats.lengthStats]] discipline; variance is
+    * the (ss/n − mean²) double tree, identical op order in the oracle.
+    * Scale shape: map-side partial aggregation collapses every partition
+    * to ≤ dim rows, so the one dim-keyed exchange carries O(tasks·dim)
+    * partials regardless of corpus size; vectors never shuffle. */
+  def embeddingHealth(embs: DataFrame, vecCol: String): DataFrame = {
+    val dec6 = DataTypes.createDecimalType(38, 6)
+    val dec12 = DataTypes.createDecimalType(38, 12)
+    val s = col("__s").cast(DoubleType)
+    val ss = col("__ss").cast(DoubleType)
+    val n = col("n")
+    embs.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__x", col("__x").cast(DoubleType))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__x"), 6).cast(dec6)).as("__s"),
+        sum(round(col("__x") * col("__x"), 12).cast(dec12)).as("__ss"),
+        sum(when(col("__x") > 0.0, 1L).otherwise(0L)).as("__np"))
+      .select(col("dim"), n,
+        round(s / n, 6).as("mean"),
+        round(ss / n - (s / n) * (s / n), 6).as("variance"),
+        round(col("__np").cast(DoubleType) / n, 6).as("frac_pos"))
+  }
+
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Float]], query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def dot(a: Array[Float], b: Array[Float]): Double = {

@@ -363,6 +363,43 @@ object Curation {
     * the sort, anchor thresholds via approx_percentile over `xent` (the
     * [[adaptiveQualityCutoff]] shape) and accept epsilon-boundary drift.
     * Output: `grp`, the [[TextAnalysis.lmScore]] columns, and `bucket`. */
+  /** Mixture drift between two corpus snapshots (X89): per-source share
+    * shift plus each source's KL(new‖old) and Jensen–Shannon terms — the
+    * drift alarm a recurring crawl runs BEFORE training on a new cut.
+    * [[graft.operators.Dedup.snapshotDiff]] diffs MEMBERSHIP; this diffs
+    * the MIXTURE — a crawl can keep every document and still silently
+    * shift the source distribution the training run was tuned for. Sum
+    * `kl_term` for total KL(new‖old), `js_term` for total JS (symmetric,
+    * bounded by ln 2 — the alarm threshold that doesn't blow up when a
+    * source vanishes).
+    *
+    * Laplace-smoothed shares (n+1)/(N+S) with S = union source count keep
+    * one-sided sources finite. Determinism: shares are exact integer
+    * ratios in double; ln terms follow the round-6 output discipline
+    * (q107/q126); the double op tree is mirrored verbatim in the oracle.
+    * Scale shape: two map-side-combined count aggregates, a full-outer
+    * join of ≤|sources| rows, totals ride back as ONE broadcast row —
+    * corpus rows never shuffle. */
+  def mixtureDrift(oldDocs: DataFrame, newDocs: DataFrame, source: Column): DataFrame = {
+    val o = oldDocs.groupBy(source.as("source")).agg(count(lit(1)).as("n_old"))
+    val n = newDocs.groupBy(source.as("source")).agg(count(lit(1)).as("n_new"))
+    val counts = o.join(n, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("__to"), sum(col("n_new")).as("__tn"),
+      count(lit(1)).as("__s"))
+    val so = (col("n_old") + 1).cast(DoubleType) / (col("__to") + col("__s")).cast(DoubleType)
+    val sn = (col("n_new") + 1).cast(DoubleType) / (col("__tn") + col("__s")).cast(DoubleType)
+    val m = (so + sn) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_old"), col("n_new"),
+        round(so, 6).as("share_old"),
+        round(sn, 6).as("share_new"),
+        round(sn * log(sn / so), 6).as("kl_term"),
+        round(lit(0.5) * (so * log(so / m) + sn * log(sn / m)), 6).as("js_term"))
+  }
+
   def pplBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
       text: Column, group: Column, alpha: Double = 0.5): DataFrame = {
     val scores = TextAnalysis.lmScore(docs, refDocs, idCol, text, alpha)

@@ -581,6 +581,49 @@ object TextAnalysis {
             size(col("__toks")).cast(DoubleType)), 6))
       .drop("__toks", "__sh", "__maxrun")
 
+  /** Content-defined chunking (X87): chunk boundaries chosen by a content
+    * hash instead of fixed windows — the Rabin-style cut rule of
+    * dedup-friendly storage (LBFS, Muthitacharoen et al. SOSP '01) lifted
+    * to token streams. A token ENDS its chunk when its 28-bit md5 base is
+    * ≡ 0 (mod `divisor`), so an edit early in a document disturbs at most
+    * the chunk it lands in — fixed windows ([[chunksFromTokens]]) re-slice
+    * EVERYTHING downstream of the edit, defeating chunk-level dedup and
+    * embedding reuse across crawl snapshots. Expected chunk length is
+    * `divisor` tokens (geometric); pick 64-512 for embedding chunks.
+    *
+    * Emits (doc_id, chunk_no, start_pos, n_tokens, chunk_fp). `chunk_fp`
+    * is the decimal sum of rank-weighted member hashes (rank within the
+    * chunk × token hash) — order-exact yet partition-order-independent,
+    * so identical chunk CONTENT anywhere in the corpus gets the same
+    * fingerprint: the equi-join key for chunk-level dedup.
+    *
+    * Scale shape: ONE exchange keyed by doc (the [[positionalPostings]]
+    * discipline); hashes and cut flags are per-row codegen; the prefix
+    * count and the in-chunk rank are windows over the SAME doc-keyed
+    * partitioning (hash(doc_id) satisfies the (doc_id, chunk_no)
+    * clustering, no second exchange), and the final per-chunk aggregate
+    * reuses it again. Raw text never shuffles — only (doc_id, pos, 8-byte
+    * hash) rows. */
+  def cdcChunks(docs: DataFrame, idCol: String, text: Column,
+      divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val dec = DataTypes.createDecimalType(38, 0)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wChunk = Window.partitionBy(col("doc_id"), col("chunk_no")).orderBy(col("pos"))
+    positionalPostings(docs, idCol, text)
+      .withColumn("__h", conv(substring(md5(col("term")), 1, 7), 16, 10).cast(LongType))
+      .withColumn("__cut", (col("__h") % divisor === 0).cast(IntegerType))
+      // chunk_no = cuts strictly BEFORE this token (a cut token closes
+      // its own chunk, CDC convention)
+      .withColumn("chunk_no", (sum(col("__cut")).over(wDoc) - col("__cut")).cast(LongType))
+      .withColumn("__rn", row_number().over(wChunk))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        sum((col("__rn") * col("__h")).cast(dec)).cast(dec).as("chunk_fp"))
+  }
+
   /** Token-window chunking with overlap over a materialized token array —
     * the document->chunks step that feeds the reference's per-chunk
     * embedding rows (`sequence_no`, `src/VectorTable.php:468,472`; queue

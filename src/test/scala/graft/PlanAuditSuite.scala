@@ -342,6 +342,28 @@ class PlanAuditSuite extends AnyFunSuite {
       s"window passes and the (user, session) aggregation must share one exchange:\n$p")
   }
 
+  test("cdc chunks: ONE doc exchange serves both windows and the chunk aggregate (X87)") {
+    import org.apache.spark.sql.functions.col
+    val frame = operators.TextAnalysis.cdcChunks(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", col("text"))
+    val p = prepPlan(frame)
+    // hash(doc_id) clusters (doc_id, chunk_no) too: the prefix-count
+    // window, the in-chunk rank window, and the per-chunk aggregate must
+    // all ride the same exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"cdcChunks must plan exactly one doc-keyed exchange:\n$p")
+  }
+
+  test("embedding health: partials collapse map-side, one dim exchange, no vector shuffle (X88)") {
+    val frame = operators.Ann.embeddingHealth(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")
+    val p = prepPlan(frame)
+    assert("Exchange hashpartitioning\\(dim".r.findAllIn(p).length == 1,
+      s"one dim-keyed exchange of O(tasks*dim) partials:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-dim aggregation must map-side combine before the exchange:\n$p")
+  }
+
   test("datasheet: one corpus scan, one key exchange for aggregate + majority window (X80)") {
     val p = staticPlan("q122_datasheet")
     assert("FileScan parquet".r.findAllIn(p).length <= 2,

@@ -219,4 +219,19 @@ class AnnSuite extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
     assert(out.find(_._1 == 30L).get._3.isEmpty, "leg-B rank must be null for 30")
   }
+
+  test("embeddingHealth: hand-computed per-dim mean/variance/sign balance; dead dim flagged") {
+    val embs = Seq(
+      (1L, Array(1f, -1f, 0.5f)),
+      (2L, Array(3f, 1f, 0.5f))).toDF("id", "embedding")
+    val got = Ann.embeddingHealth(embs, "embedding").orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      // dim0: mean (1+3)/2 = 2, var (1+9)/2 - 4 = 1, both positive
+      (0, 2L, 2.0, 1.0, 1.0),
+      // dim1: mean 0, var 1, one of two positive
+      (1, 2L, 0.0, 1.0, 0.5),
+      // dim2 is a DEAD dimension: zero variance, the collapse signal
+      (2, 2L, 0.5, 0.0, 1.0)), s"got ${got.toSeq}")
+  }
 }

@@ -234,6 +234,32 @@ class CurationSuite extends AnyFunSuite {
     assert(out(2L) === ((false, Some("word_len_high"))))
   }
 
+  test("mixtureDrift: smoothed shares, hand-computed KL/JS terms, one-sided sources finite") {
+    val oldDocs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("doc_id", "source")
+    val newDocs = Seq((1L, "a"), (2L, "a"), (5L, "a"), (6L, "c")).toDF("doc_id", "source")
+    val got = Curation.mixtureDrift(oldDocs, newDocs, col("source"))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // totals 4 old / 4 new, 3 union sources -> denominator 7 both sides
+    def so(n: Long) = (n + 1).toDouble / 7.0
+    def kl(no: Long, nn: Long) = r6(so(nn) * math.log(so(nn) / so(no)))
+    def js(no: Long, nn: Long) = {
+      val m = (so(no) + so(nn)) / 2.0
+      r6(0.5 * (so(no) * math.log(so(no) / m) + so(nn) * math.log(so(nn) / m)))
+    }
+    assert(got.toSeq == Seq(
+      ("a", 2L, 3L, r6(3.0 / 7), r6(4.0 / 7), kl(2, 3), js(2, 3)),
+      ("b", 2L, 0L, r6(3.0 / 7), r6(1.0 / 7), kl(2, 0), js(2, 0)),
+      ("c", 0L, 1L, r6(1.0 / 7), r6(2.0 / 7), kl(0, 1), js(0, 1))), s"got ${got.toSeq}")
+    // a vanished source contributes a finite negative KL term (smoothing),
+    // and JS stays within its ln(2) bound per term
+    assert(got.forall { case (_, _, _, _, _, k, j) =>
+      !k.isNaN && !k.isInfinite && j >= 0.0 && j <= math.log(2.0) })
+  }
+
   test("mixtureSample rejects a colliding id column name") {
     val docs = Seq(("s", 1L)).toDF("source", "tk")
     val e = intercept[IllegalArgumentException] {

@@ -294,4 +294,54 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(r.getDouble(2) == BigDecimal.valueOf(-math.log(0.25))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  // ---- cdcChunks (X87) ---------------------------------------------------
+
+  // the operator's 28-bit md5 base, replicated independently
+  private def base28(t: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7), 16)
+
+  test("cdcChunks: boundaries at hash-cut tokens; chunks partition the stream") {
+    val words = (0 until 400).map(i => s"w$i")
+    val cuts = words.filter(base28(_) % 16 == 0)
+    val plain = words.filterNot(base28(_) % 16 == 0)
+    assert(cuts.size >= 2 && plain.size >= 6, "fixture word pool too small")
+    // doc: 3 plain, CUT, 2 plain, CUT, 1 plain -> chunks of 4, 3, 1 tokens
+    val toks = Seq(plain(0), plain(1), plain(2), cuts(0), plain(3), plain(4),
+      cuts(1), plain(5))
+    val rows = TextAnalysis.cdcChunks(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), "doc_id", $"text")
+      .orderBy("chunk_no").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 0, 4L), (1L, 4, 3L), (2L, 7, 1L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("cdcChunks: identical content gets identical fingerprints at different offsets") {
+    val words = (0 until 400).map(i => s"w$i")
+    val cuts = words.filter(base28(_) % 16 == 0)
+    val plain = words.filterNot(base28(_) % 16 == 0)
+    val body = Seq(plain(0), plain(1), cuts(0), plain(2), plain(3))
+    // doc 2 prepends a CUT token: chunk 0 is just the prefix, and the body
+    // chunks re-align at rank 1 -> same fingerprints as doc 1's chunks
+    val docs = Seq(
+      (1L, body.mkString(" ")),
+      (2L, (cuts(1) +: body).mkString(" "))).toDF("doc_id", "text")
+    val fps = TextAnalysis.cdcChunks(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(4)).toMap
+    // doc1: [plain0 plain1 cuts0][plain2 plain3]; doc2: [cuts1][same][same]
+    assert(fps((1L, 0L)) == fps((2L, 1L)), "first body chunk fp must survive the shift")
+    assert(fps((1L, 1L)) == fps((2L, 2L)), "second body chunk fp must survive the shift")
+    assert(fps((2L, 0L)) != fps((2L, 1L)), "prefix chunk is its own content")
+  }
+
+  test("cdcChunks: runs of whitespace collapse to single slots; cut-free doc is one chunk") {
+    val words = (0 until 50).map(i => s"w$i").filterNot(base28(_) % 16 == 0)
+    val rows = TextAnalysis.cdcChunks(
+        Seq((1L, s"${words(0)}  ${words(1)}")).toDF("doc_id", "text"), "doc_id", $"text")
+      .collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 2L,
+      "two tokens, no cut token -> exactly one chunk of 2")
+  }
 }
