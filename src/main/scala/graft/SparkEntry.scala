@@ -1170,6 +1170,24 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q133_ngram_diversity" -> ((s, d) =>
+      // X92 distinct-n per source: the synthetic/templated-text tell;
+      // one staged-token pass explodes all three gram orders
+      CorpusStats.ngramDiversity(t(s, d, "documents"), col("source"), col("text"))
+        .orderBy(col("source"), col("n"))),
+    "q132_hard_negatives" -> ((s, d) => {
+      // X91 contrastive hard negatives: vec_id%7 as the dedup-group stand-
+      // in; anchors vec_id<3 mine their top-3 most-similar OUT-of-group
+      // rows — the "close but wrong" contrastive training pairs
+      val e = t(s, d, "embeddings").withColumn("grp", col("vec_id") % 7)
+      Ann.hardNegatives(e.filter(col("vec_id") < 3), e,
+        "vec_id", "vec_id", "embedding", "embedding", "grp", "grp", k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+    "q131_bpe_pairs" -> ((s, d) =>
+      // X90 BPE step-1 merge candidates: char-pair counts off the
+      // vocab-sized token census, frequency as weight
+      TextAnalysis.bpePairStats(t(s, d, "documents"), col("text"), k = 25)),
     "q130_mixture_drift" -> ((s, d) => {
       // X89 mixture drift: the q125 snapshot edit (drop %11, add re-keyed
       // %13) shifts the SOURCE distribution; per-source KL/JS terms are
@@ -2573,6 +2591,53 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q133_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+         g AS (
+           SELECT source, 1 AS n,
+             unnest(list_transform(range(0, len(tk)),
+               i -> list_extract(tk, CAST(i + 1 AS INT)))) AS gram FROM t
+           UNION ALL
+           SELECT source, 2 AS n,
+             unnest(list_transform(range(0, len(tk) - 1),
+               i -> list_extract(tk, CAST(i + 1 AS INT)) || ' ' ||
+                    list_extract(tk, CAST(i + 2 AS INT)))) AS gram FROM t
+           UNION ALL
+           SELECT source, 3 AS n,
+             unnest(list_transform(range(0, len(tk) - 2),
+               i -> list_extract(tk, CAST(i + 1 AS INT)) || ' ' ||
+                    list_extract(tk, CAST(i + 2 AS INT)) || ' ' ||
+                    list_extract(tk, CAST(i + 3 AS INT)))) AS gram FROM t)
+         SELECT source, n, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+         FROM g WHERE gram <> '' GROUP BY source, n ORDER BY source, n""",
+    "q132_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, vec_id % 7 AS grp, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS anchor_id, d.vec_id AS neighbor_id, d.grp AS neighbor_group,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM (SELECT unnest(d.embedding) AS x, unnest(a.embedding) AS y) z)
+             / (d.mag * a.mag + 1e-12) AS c
+           FROM e a, e d WHERE a.vec_id < 3 AND d.grp <> a.grp),
+         ranked AS (SELECT anchor_id, neighbor_id, neighbor_group, c,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT anchor_id, neighbor_id, neighbor_group, ROUND(c, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""",
+    "q131_bpe_pairs" ->
+      s"""WITH census AS (
+           SELECT tok, COUNT(*) AS n_tok FROM (
+             SELECT unnest($toksSql) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY tok),
+         cs AS (SELECT n_tok, regexp_split_to_array(tok, '') AS c FROM census),
+         p AS (SELECT c[CAST(u.i + 1 AS INT)] AS c1, c[CAST(u.i + 2 AS INT)] AS c2, n_tok
+           FROM cs, UNNEST(range(0, len(c) - 1)) u(i) WHERE len(c) >= 2)
+         SELECT c1, c2, CAST(SUM(n_tok) AS BIGINT) AS n_pairs
+         FROM p GROUP BY c1, c2
+         ORDER BY n_pairs DESC, c1 ASC, c2 ASC LIMIT 25""",
     "q130_mixture_drift" -> {
       // share snippets interpolated so the double op tree mirrors the
       // Curation.mixtureDrift Column expressions node for node (ratios,

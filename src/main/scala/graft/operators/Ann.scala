@@ -57,6 +57,36 @@ object Ann {
         round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (X91): for every
+    * anchor, the top-k most-similar corpus rows OUTSIDE the anchor's own
+    * group — the "close but wrong" examples that make a contrastive
+    * objective learn boundaries instead of trivia (in-batch randoms are
+    * too easy; same-group rows are positives, not negatives). `group`
+    * is whatever equivalence the pipeline already has: the X7 connected
+    * component, the exact-dup group, a source/domain key.
+    *
+    * Same plan family as [[knnJoin]] (broadcast anchors over one corpus
+    * pass, per-anchor top-k window) plus the group-exclusion predicate —
+    * the anchor's group rides along in the broadcast, so exclusion is a
+    * codegen'd inequality, not a join. Emits (anchor_id, neighbor_id,
+    * neighbor's group, cosine, rank). */
+  def hardNegatives(anchors: DataFrame, data: DataFrame, aId: String, dId: String,
+      aVec: String, dVec: String, aGroup: String, dGroup: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = data.crossJoin(broadcast(anchors.select(
+        col(aId).as("anchor_id"), col(aVec).as("__av"), col(aGroup).as("__ag"))))
+      .filter(col(dGroup) =!= col("__ag"))
+      .withColumn("cosine", vecCosine(col(dVec), col("__av")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col(dId).asc)
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("anchor_id"), col(dId).as("neighbor_id"),
+        col(dGroup).as("neighbor_group"),
+        round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
+  }
+
   /** Sign-bit prefix bucket key (first `bits` dimensions). */
   def signBucket(vec: Column, bits: Int): Column =
     concat_ws("", (0 until bits).map(i =>

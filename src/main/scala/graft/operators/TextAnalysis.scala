@@ -581,6 +581,43 @@ object TextAnalysis {
             size(col("__toks")).cast(DoubleType)), 6))
       .drop("__toks", "__sh", "__maxrun")
 
+  /** Character-pair statistics over the token census (X90): corpus-wide
+    * counts of adjacent character pairs INSIDE tokens, weighted by token
+    * frequency — step 1 of BPE vocabulary induction (Sennrich et al.,
+    * ACL 2016): the top pair IS the first merge, and re-running after
+    * applying merges yields the full merge table. Sits one level below
+    * [[collocations]] (word-level PMI) in the tokenizer stack.
+    *
+    * Scale shape: the corpus collapses to a VOCAB-SIZED token census
+    * first (one map-side-combined exchange); pair generation explodes
+    * only the DISTINCT tokens with frequency riding as a weight — a
+    * token occurring a billion times costs one row of character work
+    * (the X64 pinned-model discipline applied to the vocabulary itself).
+    * The final cut is a TakeOrdered heap.
+    *
+    * Caveat: Spark's `split(tok, "")` is UTF-16-unit-based while the
+    * oracle splits by codepoint — identical on BMP text (this corpus is
+    * ASCII), divergent on surrogate pairs; byte-level BPE over
+    * `encode(tok, 'utf-8')` is the non-BMP-safe variant. */
+  def bpePairStats(docs: DataFrame, text: Column, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val census = docs.select(explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val chars = split(col("tok"), "")
+    census
+      .withColumn("__cs", chars)
+      .filter(size(col("__cs")) >= 2)
+      .select(col("n_tok"), explode(transform(
+        sequence(lit(0), size(col("__cs")) - 2),
+        i => struct(element_at(col("__cs"), i + 1).as("c1"),
+          element_at(col("__cs"), i + 2).as("c2")))).as("__p"))
+      .groupBy(col("__p.c1").as("c1"), col("__p.c2").as("c2"))
+      .agg(sum(col("n_tok")).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("c1").asc, col("c2").asc)
+      .limit(k)
+  }
+
   /** Content-defined chunking (X87): chunk boundaries chosen by a content
     * hash instead of fixed windows — the Rabin-style cut rule of
     * dedup-friendly storage (LBFS, Muthitacharoen et al. SOSP '01) lifted

@@ -354,6 +354,18 @@ class PlanAuditSuite extends AnyFunSuite {
       s"cdcChunks must plan exactly one doc-keyed exchange:\n$p")
   }
 
+  test("bpe pairs: vocab census before char explode, top-k heap not global sort (X90)") {
+    import org.apache.spark.sql.functions.col
+    val frame = operators.TextAnalysis.bpePairStats(
+      spark.read.parquet(s"$sf/documents.parquet"), col("text"))
+    val p = prepPlan(frame)
+    // census exchange + pair exchange, nothing else; the k-cut must be a
+    // distributed heap
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"census + pair aggregation = exactly two exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must heap, not sort:\n$p")
+  }
+
   test("embedding health: partials collapse map-side, one dim exchange, no vector shuffle (X88)") {
     val frame = operators.Ann.embeddingHealth(
       spark.read.parquet(s"$sf/embeddings.parquet"), "embedding")

@@ -220,6 +220,20 @@ class AnnSuite extends AnyFunSuite {
     assert(out.find(_._1 == 30L).get._3.isEmpty, "leg-B rank must be null for 30")
   }
 
+  test("hardNegatives: same-group twins excluded, cross-group ranked by cosine") {
+    val e = Seq(
+      (1L, "g1", Array(1f, 0f)),
+      (2L, "g1", Array(1f, 0.01f)),  // near-identical but SAME group: a positive, not a negative
+      (3L, "g2", Array(0.9f, 0.1f)), // close and out-of-group: the hard negative
+      (4L, "g2", Array(0f, 1f)),
+      (5L, "g3", Array(-1f, 0f))).toDF("id", "grp", "vec")
+    val got = Ann.hardNegatives(e.filter($"id" === 1L), e,
+        "id", "id", "vec", "vec", "grp", "grp", k = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getInt(4)))
+    assert(got.toSeq == Seq((3L, "g2", 1), (4L, "g2", 2), (5L, "g3", 3)), s"got ${got.toSeq}")
+    assert(!got.exists(_._1 == 2L), "the same-group twin leaked in as a negative")
+  }
+
   test("embeddingHealth: hand-computed per-dim mean/variance/sign balance; dead dim flagged") {
     val embs = Seq(
       (1L, Array(1f, -1f, 0.5f)),

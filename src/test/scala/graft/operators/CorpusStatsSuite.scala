@@ -122,4 +122,21 @@ class CorpusStatsSuite extends AnyFunSuite {
       k -> (s1.getOrElse(k, 0L) + s2.getOrElse(k, 0L))).toMap
     assert(merged === whole, "sketch of the union must equal cell-wise sum of shard sketches")
   }
+
+  test("ngramDiversity: hand-counted distinct-n per source; repetitive source craters") {
+    val docs = Seq(
+      (1L, "s1", "a b a b"),  // uni 4/2, bi 3/2 (a b, b a, a b), tri 2/2
+      (2L, "s2", "x x x")     // uni 3/1, bi 2/1, tri 1/1
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusStats.ngramDiversity(docs, $"source", $"text")
+      .orderBy("source", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("s1", 1, 4L, 2L, 0.5), ("s1", 2, 3L, 2L, 0.666667), ("s1", 3, 2L, 2L, 1.0),
+      ("s2", 1, 3L, 1L, 0.333333), ("s2", 2, 2L, 1L, 0.5), ("s2", 3, 1L, 1L, 1.0)),
+      s"got ${got.toSeq}")
+    // the repetition tell: s2's distinct-1 is far below s1's
+    assert(got.find(t => t._1 == "s2" && t._2 == 1).get._5 <
+      got.find(t => t._1 == "s1" && t._2 == 1).get._5)
+  }
 }

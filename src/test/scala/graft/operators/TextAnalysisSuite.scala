@@ -295,6 +295,18 @@ class TextAnalysisSuite extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ---- bpePairStats (X90) ------------------------------------------------
+
+  test("bpePairStats: census-weighted char pairs, deterministic order, single chars dropped") {
+    val docs = Seq(
+      (1L, "aa ab aa"),      // census: aa x2 (via census, not explode), ab x1
+      (2L, "aa x")           // aa x1 more; 'x' has no pair
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(docs, $"text", k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "a", 3L), ("a", "b", 1L)), s"got ${got.toSeq}")
+  }
+
   // ---- cdcChunks (X87) ---------------------------------------------------
 
   // the operator's 28-bit md5 base, replicated independently
