@@ -1170,6 +1170,19 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q135_sq8_error" -> ((s, d) =>
+      // X94 int8 accuracy gate: per-dim mean/max reconstruction error of
+      // the quantize->dequantize round trip, next to the grid range
+      Quantize.reconstructionError(t(s, d, "embeddings"), "embedding")
+        .orderBy(col("dim"))),
+    "q134_stratified_split" -> ((s, d) =>
+      // X93 exact-proportion stratified split: 80/10/10 holds within one
+      // row PER SOURCE (hashSplit q77 only hits it in expectation)
+      graft.util.Sampling.stratifiedSplit(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s7")
+        .orderBy(col("doc_id"))),
     "q133_ngram_diversity" -> ((s, d) =>
       // X92 distinct-n per source: the synthetic/templated-text tell;
       // one staged-token pass explodes all three gram orders
@@ -2591,6 +2604,55 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q135_sq8_error" ->
+      """WITH stats AS (
+           SELECT CAST(t.i AS INT) AS dim,
+             MIN(e.embedding[CAST(t.i + 1 AS INT)]) AS mn,
+             MAX(e.embedding[CAST(t.i + 1 AS INT)]) AS mx
+           FROM embeddings e, LATERAL UNNEST(range(len(e.embedding))) AS t(i)
+           GROUP BY dim),
+         sarr AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY dim) AS ml,
+             list(CAST(mx AS DOUBLE) ORDER BY dim) AS xl FROM stats),
+         err AS (
+           SELECT CAST(u.i AS INT) AS dim,
+             ABS(CAST(e.embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+               - CAST(CAST(
+                   s.ml[CAST(u.i + 1 AS INT)] +
+                   (CAST(CASE WHEN s.xl[CAST(u.i + 1 AS INT)] = s.ml[CAST(u.i + 1 AS INT)] THEN 0
+                      ELSE GREATEST(-128, LEAST(127,
+                        CAST(FLOOR((CAST(e.embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+                                    - s.ml[CAST(u.i + 1 AS INT)]) * 255.0
+                                   / (s.xl[CAST(u.i + 1 AS INT)] - s.ml[CAST(u.i + 1 AS INT)])
+                                   + 0.5) AS BIGINT) - 128))
+                    END AS DOUBLE) + 128.0)
+                   * (s.xl[CAST(u.i + 1 AS INT)] - s.ml[CAST(u.i + 1 AS INT)]) / 255.0
+                 AS FLOAT) AS DOUBLE)) AS e
+           FROM embeddings e CROSS JOIN sarr s, LATERAL UNNEST(range(len(e.embedding))) AS u(i))
+         SELECT err.dim, COUNT(*) AS n,
+           ROUND(CAST(s2.mn AS DOUBLE), 6) AS mn, ROUND(CAST(s2.mx AS DOUBLE), 6) AS mx,
+           ROUND(CAST(SUM(CAST(ROUND(err.e, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+             AS mae,
+           ROUND(MAX(err.e), 6) AS max_ae
+         FROM err JOIN stats s2 ON err.dim = s2.dim
+         GROUP BY err.dim, s2.mn, s2.mx ORDER BY err.dim""",
+    "q134_stratified_split" -> {
+      // cumulative boundaries computed by the SAME Scala double adds the
+      // operator uses, interpolated via shortest round-trip repr (0.8+0.1
+      // is 0.9000000000000001 in IEEE — writing 0.9 here would be a
+      // DIFFERENT double and could flip a ceil boundary)
+      val c1 = 0.8
+      val c2 = 0.8 + 0.1
+      s"""WITH r AS (SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5('s7' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+         FROM documents)
+         SELECT doc_id, source,
+           CASE WHEN rn <= ROUND(CAST('$c1' AS DOUBLE) * n) THEN 'train'
+                WHEN rn <= ROUND(CAST('$c2' AS DOUBLE) * n) THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id"""
+    },
     "q133_ngram_diversity" ->
       s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
          g AS (

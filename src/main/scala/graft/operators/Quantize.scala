@@ -76,6 +76,44 @@ object Quantize {
           .cast(FloatType)))
   }
 
+  /** Per-dimension reconstruction-error report (X94): mean and max
+    * absolute error between the original floats and their
+    * quantize→dequantize round trip, next to the (mn, mx) range that
+    * determined the grid — the accuracy gate a pipeline runs BEFORE
+    * switching its stored index to int8 codes. A healthy dim shows
+    * mae ≈ range/(2·255); an outlier-stretched range inflates it (the
+    * signal to clip or switch that dim to a trained quantizer); max_ae
+    * bounds the worst single reconstruction.
+    *
+    * Determinism: the round trip is the exact [[quantizeInt8]]/
+    * [[dequantizeInt8]] IEEE arithmetic; per-element errors round to the
+    * 12-decimal grid and accumulate in exact decimal (the round-6 output
+    * discipline), max is order-insensitive. Scale shape: one stats job
+    * (dim-sized metadata) + one corpus pass; the per-dim aggregation
+    * map-side combines to ≤ dim rows per task before its exchange —
+    * vectors never shuffle. */
+  def reconstructionError(embs: DataFrame, vecCol: String): DataFrame = {
+    val stats = collectStats(embs, vecCol)
+    val dec = DataTypes.createDecimalType(38, 12)
+    val mns = array(stats.map(s => lit(s._1)).toIndexedSeq: _*)
+    val mxs = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
+    val coded = dequantizeInt8(
+      quantizeInt8(embs, vecCol, "__q", stats), "__q", stats, "__dq")
+    coded
+      .select(posexplode(transform(col(vecCol), (x, i) =>
+        abs(x.cast(DoubleType) - element_at(col("__dq"), i + 1).cast(DoubleType))))
+        .as(Seq("dim", "__e")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__e"), 12).cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mae"),
+        round(max(col("__e")), 6).as("max_ae"))
+      .select(col("dim"), col("n"),
+        round(element_at(mns, col("dim") + 1), 6).as("mn"),
+        round(element_at(mxs, col("dim") + 1), 6).as("mx"),
+        col("mae"), col("max_ae"))
+  }
+
   /** SQ8 asymmetric top-k (FAISS's ScalarQuantizer search shape): the
     * float query scores against DEQUANTIZED int8 codes — the store holds
     * 1 byte/dim, accuracy follows the quantization grid, and the scan

@@ -73,4 +73,44 @@ object Sampling {
     }
     df.filter(hashBucket(key, salt) < threshold)
   }
+
+  /** Exact-proportion stratified split (X93): within each stratum, rank
+    * rows by salted md5 and cut at integer boundaries `round(cum_frac·n)`
+    * (round, not ceil: 0.8·10 is 8.000000000000002 in IEEE, and ceil
+    * would hand train a ninth row on a ten-row stratum) — every stratum
+    * lands within one row of its target fractions, where
+    * [[hashSplit]] hits them only in EXPECTATION (a 50-row language can
+    * land 70/30 on an 80/10/10 target; per-language eval sets need the
+    * proportions to hold in every stratum, not just globally). Same
+    * determinism story as the hash family: the md5 order (key as the
+    * tiebreak) and the integer boundaries are identical on any engine,
+    * any run, any partitioning; `salt` redraws the assignment.
+    *
+    * Emits the input plus `split`. Scale shape: ONE exchange keyed by
+    * stratum — the rank window and the stratum-count window share it. A
+    * mega-stratum makes a hot sort partition: pre-shard it into salted
+    * sub-strata and union, or fall back to [[hashSplit]] for that
+    * stratum and keep exactness for the small ones (where it matters). */
+  def stratifiedSplit(df: DataFrame, key: Column, stratum: Column,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fractions.nonEmpty, "need at least one split")
+    fractions.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction for '$n' must be in (0,1], got $f") }
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "stratifiedSplit emits a 'split' column; rename the existing one first")
+    val ord = md5(concat(lit(salt), coalesce(key.cast(StringType), lit(""))))
+    val wRank = Window.partitionBy(stratum).orderBy(ord.asc, key.asc)
+    val wAll = Window.partitionBy(stratum)
+    val cums = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.init.zip(cums)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), c), acc) =>
+        when(col("__rn") <= round(lit(c) * col("__n")), name).otherwise(acc) }
+    df.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("split", expr)
+      .drop("__rn", "__n")
+  }
 }

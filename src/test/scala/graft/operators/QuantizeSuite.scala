@@ -68,4 +68,32 @@ class QuantizeSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("reconstructionError: zero on grid points and constant dims; half-step bound off-grid") {
+    val embs = Seq(
+      (1L, Array(0f, 7f, 0f)),
+      (2L, Array(1f, 7f, 0.5f))).toDF("id", "vec")
+    val got = Quantize.reconstructionError(embs, "vec").orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // dim0 {0,1}: both endpoints reconstruct exactly; dim1 constant -> 0
+    assert(got(0) == ((0, 2L, 0.0, 1.0, 0.0, 0.0)), s"${got(0)}")
+    assert(got(1) == ((1, 2L, 7.0, 7.0, 0.0, 0.0)), s"${got(1)}")
+    // dim2 {0, 0.5}: range 0.5, step 0.5/255; 0 is on-grid, 0.5 maps to
+    // code 127 -> dq = 127+128 over 255 of the range: exact endpoint too
+    assert(got(2)._1 == 2 && got(2)._2 == 2L && got(2)._3 == 0.0 && got(2)._4 == 0.5)
+    // every error bounded by half a step of its dim's grid
+    val step2 = 0.5 / 255.0
+    assert(got(2)._6 <= step2 / 2 + 1e-12, s"max_ae ${got(2)._6} beyond half-step")
+    // an off-grid value: mn=0, mx=1, x=0.3 -> code floor(76.5+0.5)-128=-51
+    // -> dq=77/255; hand-checked mae over the three rows
+    val embs2 = Seq((1L, Array(0f)), (2L, Array(1f)), (3L, Array(0.3f))).toDF("id", "vec")
+    val r = Quantize.reconstructionError(embs2, "vec").head()
+    val dq = 77.0 * 1.0 / 255.0
+    val exp = math.abs(0.3f.toDouble - dq.toFloat.toDouble)
+    def r6(x: Double) = BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal.valueOf(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == r6(r12(exp) / 3), s"mae ${r.getDouble(4)} vs ${r6(r12(exp) / 3)}")
+    assert(r.getDouble(5) == r6(exp))
+  }
 }

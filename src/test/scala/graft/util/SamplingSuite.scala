@@ -76,4 +76,34 @@ class SamplingSuite extends AnyFunSuite {
       Sampling.hashSplit(rows.withColumn("split", col("id")), col("id"),
         Seq("a" -> 1.0)))
   }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic, salt redraws") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 40) "big" else if (i <= 50) "ten" else "rest"))
+      .toDF("id", "src")
+    def splits(salt: String) = Sampling.stratifiedSplit(rows, col("id"), col("src"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = splits("s")
+    def counts(stratum: String) = got.filter(_._2 == stratum).groupBy(_._3)
+      .view.mapValues(_.length).toMap.withDefaultValue(0)
+    // 40-row stratum: exactly 32/4/4; 10-row: exactly 8/1/1 (hashSplit
+    // can miss these badly on small strata — this is the point of X93)
+    assert(counts("big") == Map("train" -> 32, "val" -> 4, "test" -> 4).withDefaultValue(0),
+      s"${counts("big")}")
+    assert(counts("ten")("train") == 8 && counts("ten")("val") == 1 && counts("ten")("test") == 1)
+    // deterministic under re-run; a different salt redraws membership
+    assert(got.toSeq == splits("s").toSeq)
+    val redrawn = splits("other")
+    assert(redrawn.map(t => t._1 -> t._3).toMap != got.map(t => t._1 -> t._3).toMap,
+      "salt change must redraw at least one assignment")
+  }
+
+  test("stratifiedSplit rejects colliding column and bad fractions") {
+    val rows = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit(rows.withColumn("split", col("id")), col("id"), col("src"),
+        Seq("a" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit(rows, col("id"), col("src"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
 }
