@@ -1170,6 +1170,22 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q138_vocab_coverage" -> ((s, d) =>
+      // X97 tokenizer-sizing curve: token mass covered by the top-N types
+      CorpusStats.vocabCoverage(t(s, d, "documents"), col("text"))
+        .orderBy(col("top_n"))),
+    "q137_sim_histogram" -> ((s, d) =>
+      // X96 near-dup threshold sweep: exact jaccard histogram over the
+      // banded candidate population + pairs-at-or-above cumulative
+      Dedup.similarityHistogram(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("bucket"))),
+    "q136_jl_project" -> ((s, d) =>
+      // X95 seed-regenerable JL sign projection 64 -> 16, exploded to
+      // long format for the hash compare
+      Ann.jlProject(t(s, d, "embeddings"), "embedding", inDim = 64, outDim = 16,
+        seed = "jl")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+        .orderBy(col("vec_id"), col("dim"))),
     "q135_sq8_error" -> ((s, d) =>
       // X94 int8 accuracy gate: per-dim mean/max reconstruction error of
       // the quantize->dequantize round trip, next to the grid range
@@ -2604,6 +2620,63 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q138_vocab_coverage" ->
+      s"""WITH census AS (
+           SELECT tok, COUNT(*) AS n FROM (
+             SELECT unnest($toksSql) AS tok FROM documents)
+           WHERE tok <> '' GROUP BY tok),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census),
+         r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk FROM census)
+         SELECT v.top_n,
+           CAST(COALESCE((SELECT SUM(n) FROM r WHERE rk <= v.top_n), 0) AS BIGINT)
+             AS covered_tokens,
+           tot.total AS total_tokens,
+           ROUND(CAST(COALESCE((SELECT SUM(n) FROM r WHERE rk <= v.top_n), 0) AS DOUBLE)
+             / CAST(tot.total AS DOUBLE), 6) AS coverage
+         FROM (VALUES (10), (100), (1000), (10000)) v(top_n) CROSS JOIN tot
+         ORDER BY top_n""",
+    "q137_sim_histogram" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      val sh =
+        s"""list_distinct(list_transform($shingle3Sql,
+            s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT)))"""
+      s"""WITH sig AS (SELECT doc_id, $sigCols FROM documents),
+          banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          sets AS (SELECT doc_id, $sh AS sh FROM documents),
+          sims AS (SELECT
+              ROUND(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+                THEN 0.0
+                ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                END, 6) AS j
+            FROM pairs p JOIN sets a ON p.id1 = a.doc_id JOIN sets b ON p.id2 = b.doc_id),
+          h AS (SELECT LEAST(CAST(FLOOR(j * 10) AS INT), 9) AS bucket, COUNT(*) AS n_pairs
+            FROM sims GROUP BY 1)
+          SELECT bucket, ROUND(CAST(bucket AS DOUBLE) / 10.0, 1) AS threshold, n_pairs,
+            CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_at_or_above
+          FROM h ORDER BY bucket"""
+    },
+    "q136_jl_project" -> {
+      // √outDim interpolated from the SAME Scala double the operator
+      // divides by (shortest round-trip repr)
+      val scale = math.sqrt(16.0)
+      s"""SELECT e.vec_id, CAST(t.j AS INT) AS dim,
+           ROUND(list_sum(list_transform(range(64), i ->
+             CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+             (CASE WHEN CAST(concat('0x', substr(md5(
+                  'jl:' || CAST(t.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 7))
+                AS BIGINT) % 2 = 0
+              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))
+             / CAST('$scale' AS DOUBLE), 6) AS val
+         FROM embeddings e, UNNEST(range(16)) AS t(j)
+         ORDER BY vec_id, dim"""
+    },
     "q135_sq8_error" ->
       """WITH stats AS (
            SELECT CAST(t.i AS INT) AS dim,

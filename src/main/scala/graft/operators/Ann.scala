@@ -366,6 +366,45 @@ object Ann {
         :+ round(col("rrf"), 6).as("rrf"): _*)
   }
 
+  /** Deterministic Johnson–Lindenstrauss sign projection (X95):
+    * project `inDim` floats to `outDim` doubles with a ±1 matrix derived
+    * from md5(seed:j:i) parity — Achlioptas's database-friendly JL
+    * (JCSS 2003): no stored matrix, any engine regenerates it from the
+    * seed, so projected corpora from different engines/runs are
+    * comparable. proj_j = Σ_i v_i·s_ji / √outDim (the scale keeps
+    * expected norms, so downstream cosine/L2 thresholds carry over).
+    * The cheap first stage before IVF/PQ when the raw dim is large.
+    *
+    * The sign matrix is built DRIVER-side (outDim·inDim doubles — pure
+    * metadata) and inlined as literals: per-row work is a codegen'd
+    * index-ordered fold, bit-exact in any engine (the [[meanPool]]
+    * list-fold discipline), rounded to the 6-decimal output grid.
+    * Shuffle-free: a per-row map fused into whatever scan precedes it. */
+  def jlProject(embs: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+      seed: String = "jl", out: String = "proj"): DataFrame = {
+    require(inDim >= 1, s"inDim must be positive, got $inDim")
+    require(outDim >= 1, s"outDim must be positive, got $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    val mat = array((0 until outDim).map { j =>
+      array((0 until inDim).map(i => lit(jlSign(seed, j, i))): _*)
+    }: _*)
+    embs.withColumn(out,
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        round(aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0),
+          (acc, i) => acc + element_at(col(vecCol), i + 1).cast(DoubleType) *
+            element_at(element_at(mat, j + 1), i + 1)) / lit(scale), 6)))
+  }
+
+  /** ±1 from the parity of the 28-bit md5 base of `seed:j:i` — the
+    * [[graft.operators.Dedup]] hash family convention, so the oracle
+    * regenerates the identical matrix from SQL md5. */
+  private[operators] def jlSign(seed: String, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    val hex7 = md.take(4).map("%02x".format(_)).mkString.take(7)
+    if (java.lang.Long.parseLong(hex7, 16) % 2 == 0) 1.0 else -1.0
+  }
+
   /** Embedding-SPACE health (X88): per-dimension mean, variance, and
     * positive fraction over the whole corpus — the collapse/anisotropy
     * dashboard. A dead encoder dimension shows variance ≈ 0; a collapsed

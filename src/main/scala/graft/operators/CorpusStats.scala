@@ -189,6 +189,40 @@ object CorpusStats {
         round(element_at(col("__q"), 3).cast(DoubleType), 6).as("p95"))
   }
 
+  /** Vocabulary coverage curve (X97): the fraction of total token MASS
+    * the top-N most frequent types cover, for a ladder of N — the
+    * tokenizer-sizing table (how big must the vocab be before <1% of
+    * running text is OOV?) and the Zipf sanity check (a corpus whose
+    * top-10k types cover 99.9% is templated; organic text plateaus
+    * slower). Emits (top_n, covered_tokens, total_tokens, coverage).
+    *
+    * Scale shape: ONE census exchange builds the vocab table, pinned
+    * (localCheckpoint) because every ladder step re-reads it — the
+    * multi-consumer working-set discipline; each ladder step is then a
+    * TakeOrdered heap of its N rows + a scalar sum (NO unpartitioned
+    * row_number over the vocabulary, which would funnel a 100M-type
+    * census through one task); the total rides as a broadcast row. */
+  def vocabCoverage(docs: DataFrame, text: Column,
+      ladder: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ > 0), s"bad ladder $ladder")
+    val census = docs.select(explode(TextAnalysis.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = census.agg(sum(col("n")).as("__total"))
+    val steps = ladder.sorted.map { n =>
+      census.orderBy(col("n").desc, col("tok").asc).limit(n)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("covered_tokens"))
+        .select(lit(n).as("top_n"), col("covered_tokens"))
+    }
+    steps.reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("top_n"), col("covered_tokens"),
+        col("__total").as("total_tokens"),
+        round(col("covered_tokens").cast(DoubleType) /
+          col("__total").cast(DoubleType), 6).as("coverage"))
+  }
+
   /** N-gram diversity per source (X92): distinct-n ratios (Li et al.,
     * NAACL 2016) for n = 1..`maxN` — THE cheap tell for templated or
     * model-generated text (a synthetic source shows distinct-2/3 far

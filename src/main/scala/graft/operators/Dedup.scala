@@ -155,6 +155,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup threshold sweep (X96): histogram of EXACT hashed-shingle
+    * jaccard over the banded candidate pairs, with a pairs-at-or-above
+    * cumulative — the tuning table that picks the near-dup threshold
+    * FROM DATA instead of folklore (0.8 merges X pairs, 0.7 merges Y; a
+    * cliff in the cumulative marks the real dup/boilerplate boundary).
+    * Population = pairs sharing ≥1 LSH band, i.e. exactly the pairs the
+    * dedup pass would ever consider — the sweep answers "what would the
+    * dedup DO at threshold t" by construction.
+    *
+    * Scale shape: candidate generation + verification are the proven
+    * [[minhashCandidatePairs]]/[[jaccardVerifyHashed]] plans; the
+    * histogram collapses to ≤11 rows before the final (bounded) window,
+    * so the global cumulative is a non-issue at any corpus size. */
+  def similarityHistogram(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashCandidatePairs(docs, idCol, text, shingleN, numHashes, rowsPerBand)
+    val sims = jaccardVerifyHashed(pairs, docs, idCol, text, shingleN)
+    val bucket = least(floor(col("jaccard") * 10).cast(IntegerType), lit(9))
+    sims.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("threshold", round(col("bucket").cast(DoubleType) / 10.0, 1))
+      // ≤11 rows: the unpartitioned window is bounded by the bucket count
+      .withColumn("n_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("bucket").desc)))
+      .select(col("bucket"), col("threshold"), col("n_pairs"), col("n_at_or_above"))
+  }
+
   /** Benchmark decontamination: which corpus docs share at least
     * `minOverlap` word n-gram shingles with which benchmark docs. The
     * standard pre-training hygiene step — training text that contains

@@ -220,6 +220,23 @@ class AnnSuite extends AnyFunSuite {
     assert(out.find(_._1 == 30L).get._3.isEmpty, "leg-B rank must be null for 30")
   }
 
+  test("jlProject: hand-computed fold, seed-deterministic, redraw changes the matrix") {
+    val embs = Seq((1L, Array(1f, 2f, 4f))).toDF("id", "vec")
+    def proj(seed: String) = Ann.jlProject(embs, "vec", inDim = 3, outDim = 2, seed = seed)
+      .select("proj").head().getSeq[Double](0)
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scale = math.sqrt(2.0)
+    val expect = (0 until 2).map { j =>
+      r6((1.0 * Ann.jlSign("jl", j, 0) + 2.0 * Ann.jlSign("jl", j, 1) +
+        4.0 * Ann.jlSign("jl", j, 2)) / scale)
+    }
+    assert(proj("jl") == expect, s"got ${proj("jl")} want $expect")
+    assert(proj("jl") == proj("jl"), "same seed must reproduce")
+    // with 6 independent sign draws, at least one differs overwhelmingly
+    assert(proj("jl2") != proj("jl"), "a fresh seed should redraw the matrix")
+  }
+
   test("hardNegatives: same-group twins excluded, cross-group ranked by cosine") {
     val e = Seq(
       (1L, "g1", Array(1f, 0f)),

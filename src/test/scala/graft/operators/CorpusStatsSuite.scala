@@ -123,6 +123,19 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(merged === whole, "sketch of the union must equal cell-wise sum of shard sketches")
   }
 
+  test("vocabCoverage: hand-counted ladder, lexical tie-break, ladder beyond vocab covers all") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(docs, $"text", ladder = Seq(1, 2, 10))
+      .orderBy("top_n").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 6L, 0.5), (2, 5L, 6L, 0.833333), (10, 6L, 6L, 1.0)), s"got ${got.toSeq}")
+    // frequency tie: lexical order decides which type is "top 1"
+    val tied = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val t1 = CorpusStats.vocabCoverage(tied, $"text", ladder = Seq(1)).head()
+    assert(t1.getLong(1) == 2L && t1.getDouble(3) == 0.4)
+  }
+
   test("ngramDiversity: hand-counted distinct-n per source; repetitive source craters") {
     val docs = Seq(
       (1L, "s1", "a b a b"),  // uni 4/2, bi 3/2 (a b, b a, a b), tri 2/2

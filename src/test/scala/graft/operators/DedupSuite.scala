@@ -54,6 +54,21 @@ class DedupSuite extends AnyFunSuite {
     verified.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("similarityHistogram: exact pair in the top bucket, cumulative counts consistent") {
+    val h = Dedup.similarityHistogram(docs, "doc_id", $"text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // docs 1/2 are exact dups (jaccard 1.0 -> bucket 9, never bucket 10)
+    val top = h.last
+    assert(top._1 == 9 && top._2 == 0.9 && top._3 >= 1, s"top bucket: $top")
+    assert(h.forall(_._1 <= 9), "jaccard 1.0 must clamp into bucket 9")
+    // cumulative = suffix sums of n_pairs, and the lowest row covers all
+    val total = h.map(_._3).sum
+    h.foreach { case (b, _, _, cum) =>
+      assert(cum == h.filter(_._1 >= b).map(_._3).sum, s"cumulative broken at $b") }
+    assert(h.head._4 == total)
+  }
+
   test("dedupGroups: connected components collapse transitive chains to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L)).toDF("id1", "id2")
     val groups = Dedup.dedupGroups(pairs)
