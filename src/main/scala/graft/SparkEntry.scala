@@ -1170,6 +1170,15 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q139_coverage_hist" -> ((s, d) => {
+      // X98 in-distribution check: every 5th vector plays "new snapshot",
+      // the rest are the reference; NN cosine within the 8-bit sign
+      // bucket, histogrammed
+      val e = t(s, d, "embeddings")
+      Ann.coverageHistogram(e.filter(col("vec_id") % 5 === 0),
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", bits = 8)
+        .orderBy(col("bucket"))
+    }),
     "q138_vocab_coverage" -> ((s, d) =>
       // X97 tokenizer-sizing curve: token mass covered by the top-N types
       CorpusStats.vocabCoverage(t(s, d, "documents"), col("text"))
@@ -2620,6 +2629,30 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q139_coverage_hist" ->
+      """WITH nb AS (SELECT vec_id AS nid, embedding AS nv,
+           list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bkt,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS nmag
+           FROM embeddings WHERE vec_id % 5 = 0),
+         rb AS (SELECT embedding AS rv,
+           list_aggregate(list_transform(embedding[1:8],
+             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bkt,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x))) AS rmag
+           FROM embeddings WHERE vec_id % 5 <> 0),
+         best AS (SELECT nb.nid, ROUND(MAX(
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM (SELECT unnest(nb.nv) AS x, unnest(rb.rv) AS y) z)
+             / (nb.nmag * rb.rmag + 1e-12)), 6) AS nn
+           FROM nb LEFT JOIN rb ON nb.bkt = rb.bkt GROUP BY nb.nid),
+         h AS (SELECT CASE WHEN nn IS NULL THEN -1
+             ELSE LEAST(CAST(FLOOR(GREATEST(nn, CAST(0 AS DOUBLE)) * 10) AS INT), 9) END AS bucket,
+             COUNT(*) AS n_docs FROM best GROUP BY 1)
+         SELECT bucket,
+           CASE WHEN bucket = -1 THEN NULL
+                ELSE ROUND(CAST(bucket AS DOUBLE) / 10.0, 1) END AS lo,
+           n_docs
+         FROM h ORDER BY bucket""",
     "q138_vocab_coverage" ->
       s"""WITH census AS (
            SELECT tok, COUNT(*) AS n FROM (

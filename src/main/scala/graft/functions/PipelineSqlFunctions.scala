@@ -312,5 +312,24 @@ object PipelineSqlFunctions {
         hashSplit(key, foldDouble(tr, "train fraction"), foldDouble(va, "val fraction"), salt)
       case _ => arity("graft_hash_split", 3, 4)
     },
-    fixed("graft_priority", 3)(a => priorityKey(a.head, a(1), a(2))))
+    fixed("graft_priority", 3)(a => priorityKey(a.head, a(1), a(2))),
+    fixed("graft_cdc_cut", 2)(a => cdcCut(a.head, foldInt(a(1), "divisor"))),
+    fixed("graft_jl_sign", 3)(a => jlSignSql(a.head, a(1), a(2))))
+
+  /** CDC boundary rule (the [[graft.operators.TextAnalysis.cdcChunks]]
+    * cut): true iff the token's 28-bit md5 base ≡ 0 (mod divisor). SQL
+    * users chunk with the exact same boundaries as the bulk operator. */
+  private def cdcCut(term: Expression, divisor: Int): Expression = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val base = asLong(fn("conv", fn("substring", fn("md5", term), L(1), L(7)), L(16), L(10)))
+    fn("=", fn("pmod", base, L(divisor.toLong)), L(0L))
+  }
+
+  /** ±1.0 from md5(seed:j:i) parity — the [[graft.operators.Ann
+    * .jlProject]] matrix entry, regenerable from SQL. */
+  private def jlSignSql(seed: Expression, j: Expression, i: Expression): Expression = {
+    val s = fn("concat_ws", L(":"), seed, asString(j), asString(i))
+    val base = asLong(fn("conv", fn("substring", fn("md5", s), L(1), L(7)), L(16), L(10)))
+    caseWhen(Seq(fn("=", fn("pmod", base, L(2L)), L(0L)) -> L(1.0)), L(-1.0))
+  }
 }

@@ -366,6 +366,43 @@ object Ann {
         :+ round(col("rrf"), 6).as("rrf"): _*)
   }
 
+  /** Embedding-coverage histogram (X98): for every NEW-snapshot vector,
+    * the best cosine against the REFERENCE corpus *within its sign
+    * bucket*, histogrammed — the "is the incoming data in-distribution"
+    * check a training pipeline runs before mixing a new crawl in. Mass in
+    * low buckets (or `bucket = -1`, no same-bucket reference at all) is
+    * novel-domain data the reference never covered; mass at 0.9+ is
+    * near-dup of what's already there (feeds [[graft.operators.Dedup
+    * .embeddingNearDups]] instead of the mixer).
+    *
+    * Scale shape: the join is SIGN-BUCKETED (the X5 banding discipline —
+    * never all-pairs): 2^bits buckets, candidates only inside a bucket;
+    * a hot bucket on anisotropic data is real — drop `bits` sensitivity
+    * by prepending a [[jlProject]] rotation, or probe IVF lists instead
+    * ([[ivfTopK]]). Per-new-id max collapses before the histogram, which
+    * is ≤ 12 rows. nn_cosine rounds to the 6-decimal grid BEFORE
+    * bucketing so the floor cannot flip on a sub-ulp engine difference. */
+  def coverageHistogram(newEmbs: DataFrame, refEmbs: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 8): DataFrame = {
+    require(bits >= 1, s"bits must be positive, got $bits")
+    val nb = newEmbs.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+      .withColumn("__bkt", signBucket(col("__nv"), bits))
+    val rb = refEmbs.select(col(vecCol).as("__rv"))
+      .withColumn("__bkt", signBucket(col("__rv"), bits))
+    val best = nb.join(rb, Seq("__bkt"), "left")
+      .withColumn("__cos", vecCosine(col("__nv"), col("__rv")))
+      .groupBy(col("__nid"))
+      .agg(round(max(col("__cos")), 6).as("nn_cosine"))
+    val bucket = when(col("nn_cosine").isNull, lit(-1))
+      .otherwise(least(floor(greatest(col("nn_cosine"), lit(0.0)) * 10)
+        .cast(IntegerType), lit(9)))
+    best.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo", when(col("bucket") === -1, lit(null).cast(DoubleType))
+        .otherwise(round(col("bucket").cast(DoubleType) / 10.0, 1)))
+      .select(col("bucket"), col("lo"), col("n_docs"))
+  }
+
   /** Deterministic Johnson–Lindenstrauss sign projection (X95):
     * project `inDim` floats to `outDim` doubles with a ±1 matrix derived
     * from md5(seed:j:i) parity — Achlioptas's database-friendly JL
@@ -398,7 +435,7 @@ object Ann {
   /** ±1 from the parity of the 28-bit md5 base of `seed:j:i` — the
     * [[graft.operators.Dedup]] hash family convention, so the oracle
     * regenerates the identical matrix from SQL md5. */
-  private[operators] def jlSign(seed: String, j: Int, i: Int): Double = {
+  private[graft] def jlSign(seed: String, j: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$seed:$j:$i".getBytes("UTF-8"))
     val hex7 = md.take(4).map("%02x".format(_)).mkString.take(7)

@@ -206,4 +206,25 @@ class PipelineSqlSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(sql == api)
   }
+
+  test("graft_cdc_cut == cdcChunks boundary rule; graft_jl_sign == Ann.jlSign matrix") {
+    docs // force registration
+    // independent 28-bit base, same as the operators' convention
+    def base28(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7), 16)
+    val words = (0 until 64).map(i => s"w$i")
+    words.toDF("t").createOrReplaceTempView("cdc_words")
+    val cuts = spark.sql("SELECT t, graft_cdc_cut(t, 16) AS c FROM cdc_words")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    words.foreach(w => assert(cuts(w) == (base28(w) % 16 == 0), s"cut mismatch for $w"))
+    assert(cuts.values.exists(identity) && cuts.values.exists(!_),
+      "fixture should contain both cut and non-cut tokens")
+    val signs = spark.sql(
+      """SELECT j, i, graft_jl_sign('jl', j, i) AS s
+         FROM (SELECT explode(sequence(0, 3)) AS j), (SELECT explode(sequence(0, 7)) AS i)""")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (j <- 0 until 4; i <- 0 until 8)
+      assert(signs((j, i)) == graft.operators.Ann.jlSign("jl", j, i), s"sign mismatch at ($j,$i)")
+  }
 }

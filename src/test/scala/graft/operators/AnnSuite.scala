@@ -220,6 +220,20 @@ class AnnSuite extends AnyFunSuite {
     assert(out.find(_._1 == 30L).get._3.isEmpty, "leg-B rank must be null for 30")
   }
 
+  test("coverageHistogram: exact match in top bucket, unmatched bucket -1, in-bucket partial") {
+    val ref = Seq((10L, Array(1f, 1f, 1f)), (11L, Array(1f, -1f, 1f))).toDF("id", "vec")
+    val neu = Seq(
+      (1L, Array(1f, 1f, 1f)),    // bucket 11, cosine 1.0 with ref 10 -> bucket 9
+      (2L, Array(-1f, -1f, 1f)),  // bucket 00: no reference at all -> -1
+      (3L, Array(1f, -1f, -1f))   // bucket 10, cosine 1/3 with ref 11 -> bucket 3
+    ).toDF("id", "vec")
+    val got = Ann.coverageHistogram(neu, ref, "id", "vec", bits = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (-1, None, 1L), (3, Some(0.3), 1L), (9, Some(0.9), 1L)), s"got ${got.toSeq}")
+  }
+
   test("jlProject: hand-computed fold, seed-deterministic, redraw changes the matrix") {
     val embs = Seq((1L, Array(1f, 2f, 4f))).toDF("id", "vec")
     def proj(seed: String) = Ann.jlProject(embs, "vec", inDim = 3, outDim = 2, seed = seed)
