@@ -1170,6 +1170,11 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q140_salt_plan" -> ((s, d) =>
+      // X101 data-driven salt factors: sources past the per-task budget
+      // with the sub-key count that brings them back under it
+      graft.util.Salt.saltPlan(t(s, d, "documents"), col("source"),
+        targetPerTask = 10L)),
     "q139_coverage_hist" -> ((s, d) => {
       // X98 in-distribution check: every 5th vector plays "new snapshot",
       // the rest are the reference; NN cosine within the 8-bit sign
@@ -2629,6 +2634,12 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q140_salt_plan" ->
+      """WITH c AS (SELECT source AS key, COUNT(*) AS n FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+         SELECT key, n, ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           (n + 9) // 10 AS salt_factor
+         FROM c CROSS JOIN t WHERE n > 10 ORDER BY n DESC, key ASC""",
     "q139_coverage_hist" ->
       """WITH nb AS (SELECT vec_id AS nid, embedding AS nv,
            list_aggregate(list_transform(embedding[1:8],

@@ -204,6 +204,31 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   /** [[deleteMany]] over a driver-side id list (the small-batch admin path). */
   def deleteMany(ids: Seq[Long]): Unit = deleteMany(ids.toDF("id"))
 
+  /** Predicate-scoped bulk delete: resolve the matching ids with ONE
+    * store read, then delete them through the bucket-grouped
+    * [[deleteMany]] path. `deleteWhere(col("vector_type") === "old")`
+    * is the decommission-a-model call a pipeline actually makes — the
+    * predicate benefits from pushdown/pruning on the resolve scan, and
+    * only ids travel from there on. */
+  def deleteWhere(predicate: Column): Unit =
+    deleteMany(read().filter(predicate).select(col("id")))
+
+  /** Sweep crash leftovers that the two-rename recovery cannot see:
+    * `.tmp_bucket_*` dirs from a rewrite that died BEFORE its swap (its
+    * backup/restore pair never existed) and a `.staging` dir from a
+    * mutation that died before its finally-cleanup. Both are hidden
+    * (dot-prefixed) so readers never see them — this is a SPACE leak,
+    * not a correctness one — but a mutation-heavy store accretes them
+    * forever without a vacuum. Never runs concurrently with a mutation
+    * (same single-writer discipline as the mutations themselves).
+    * Returns the number of directories removed. */
+  def vacuum(): Int = {
+    val stale = Seq(
+      Option(fs.globStatus(new Path(path, ".tmp_bucket_*"))).toSeq.flatten,
+      Option(fs.globStatus(new Path(path, ".staging"))).toSeq.flatten).flatten
+    stale.count(st => fs.delete(st.getPath, true))
+  }
+
   /** Bulk load: derive columns, assign ids, bucket, write. */
   def bulkLoad(raw: DataFrame): Unit = {
     val df = assignIds(withDerived(raw))

@@ -59,4 +59,30 @@ object Salt {
       explode(array((0 until factor).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Salting planner (X101): the data-driven input to [[saltedJoin]]/
+    * [[saltedSumCount]]'s `factor`. For every key whose row count
+    * exceeds `targetPerTask`, emit the count, its share of the frame,
+    * and `salt_factor = ceil(n / targetPerTask)` — the number of
+    * sub-keys that brings the hot key back under one task's budget.
+    * Empty result = no salting needed; the report is also the alert a
+    * recurring pipeline files when a previously-even key goes hot.
+    *
+    * Determinism: counts are exact; share is an integer ratio rounded 6;
+    * the factor is integer arithmetic (no float ceil). Scale shape: one
+    * map-side-combined count aggregate; the hot-key FILTER collapses the
+    * output to the pathological few, and the total rides as a broadcast
+    * row — this diagnostic must never itself be the skewed job. */
+  def saltPlan(df: DataFrame, key: Column, targetPerTask: Long = 5000000L): DataFrame = {
+    require(targetPerTask > 0, s"targetPerTask must be positive, got $targetPerTask")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.filter(col("n") > targetPerTask)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 6).as("share"),
+        // integer DIV, not double division: exact past 2^53 rows per key
+        expr(s"(n + ${targetPerTask - 1}) DIV $targetPerTask").as("salt_factor"))
+      .orderBy(col("n").desc, col("key").asc)
+  }
 }

@@ -153,6 +153,22 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(e.getMessage.contains("id"))
   }
 
+  test("deleteWhere scopes the bulk delete by predicate; vacuum sweeps crash leftovers") {
+    val (store, dir) = freshStore()
+    store.deleteWhere(col("post_id") >= 4L)
+    assert(store.count() == 4)
+    assert(store.allForPost(4L).count() == 0 && store.allForPost(5L).count() == 0)
+    assert(store.allForPost(1L).count() == 2, "non-matching posts untouched")
+    // plant the two kinds of crash leftovers a died mutation can leave
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/emb/.tmp_bucket_2"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/emb/.staging"))
+    assert(store.vacuum() == 2, "both stale dirs removed")
+    assert(store.vacuum() == 0, "idempotent")
+    assert(store.count() == 4, "vacuum never touches live buckets")
+  }
+
   test("S9 deleteMany equals a per-id delete loop on the same id set") {
     val (a, _) = freshStore()
     val (b, _) = freshStore()

@@ -55,4 +55,16 @@ class SaltSuite extends AnyFunSuite {
       assert(e.getMessage.contains("inner/left"), s"join type $jt must be rejected")
     }
   }
+
+  test("saltPlan: only over-budget keys, exact ceil factors, share of the whole frame") {
+    val df = (Seq.fill(25)("hot") ++ Seq.fill(10)("warm") ++ Seq.fill(5)("cold"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Salt.saltPlan(df, col("k"), targetPerTask = 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // warm is exactly AT budget (10 <= 10): not reported; hot needs
+    // ceil(25/10) = 3 sub-keys; share over all 40 rows
+    assert(got.toSeq == Seq(("hot", 25L, 0.625, 3L)), s"got ${got.toSeq}")
+    assert(Salt.saltPlan(df, col("k"), targetPerTask = 100L).collect().isEmpty,
+      "no key over budget -> empty plan")
+  }
 }
