@@ -1170,6 +1170,14 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q141_mixture_plan" -> ((s, d) =>
+      // X102 target-mix planning: three sources get 60/30/10 of a 20k
+      // token budget; rate = what stratifiedHashSample should keep
+      Curation.mixturePlan(t(s, d, "documents"), col("source"),
+        size(TextAnalysis.tokens(col("text"))),
+        targets = Seq("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        totalBudget = 20000L)
+        .orderBy(col("source"))),
     "q140_salt_plan" -> ((s, d) =>
       // X101 data-driven salt factors: sources past the per-task budget
       // with the sub-key count that brings them back under it
@@ -2634,6 +2642,22 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q141_mixture_plan" ->
+      s"""WITH a AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len($toksSql)) AS BIGINT) AS tokens_avail
+           FROM documents GROUP BY source),
+         w AS (SELECT * FROM (VALUES
+             ('src0', CAST('0.6' AS DOUBLE)), ('src1', CAST('0.3' AS DOUBLE)),
+             ('src2', CAST('0.1' AS DOUBLE))) v(source, share)),
+         j AS (SELECT a.source, a.n_docs, a.tokens_avail, w.share,
+             CAST(ROUND(w.share * 20000) AS BIGINT) AS tokens_target
+           FROM a JOIN w ON a.source = w.source)
+         SELECT source, n_docs, tokens_avail,
+           ROUND(share, 6) AS target_share, tokens_target,
+           ROUND(LEAST(CAST(1 AS DOUBLE),
+             CAST(tokens_target AS DOUBLE) / CAST(tokens_avail AS DOUBLE)), 6) AS rate,
+           GREATEST(0, tokens_target - tokens_avail) AS deficit
+         FROM j ORDER BY source""",
     "q140_salt_plan" ->
       """WITH c AS (SELECT source AS key, COUNT(*) AS n FROM documents GROUP BY source),
          t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)

@@ -363,6 +363,44 @@ object Curation {
     * the sort, anchor thresholds via approx_percentile over `xent` (the
     * [[adaptiveQualityCutoff]] shape) and accept epsilon-boundary drift.
     * Output: `grp`, the [[TextAnalysis.lmScore]] columns, and `bucket`. */
+  /** Mixture planner (X102): given target mixture WEIGHTS and a token
+    * budget, compute each source's token target and the per-source keep
+    * RATE that realizes it — the planning step between "we want 60/30/10"
+    * and the [[graft.util.Sampling.stratifiedHashSample]] rates that
+    * enforce it. `rate = min(1, target_tokens / available_tokens)`: a
+    * source with less material than its slot keeps everything (`deficit`
+    * says how many tokens the slot is short — reallocate or shrink the
+    * budget); sources outside `targets` are dropped (the mixture DECLARES
+    * the training set, the [[mixtureSample]] rule).
+    *
+    * Deterministic: one exact count/sum aggregate per source, integer
+    * token targets via round(share·budget), rates as double ratios
+    * rounded 6. Scale shape: one map-side-combined aggregate collapses
+    * the corpus to ≤|sources| rows; the targets ride as a broadcast
+    * VALUES frame — nothing corpus-sized shuffles. */
+  def mixturePlan(docs: DataFrame, source: Column, tokensCol: Column,
+      targets: Seq[(String, Double)], totalBudget: Long): DataFrame = {
+    require(targets.nonEmpty, "need at least one target share")
+    targets.foreach { case (s, w) =>
+      require(w > 0.0 && w <= 1.0, s"share for '$s' must be in (0,1], got $w") }
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targets.map(_._2).sum}")
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val avail = docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).cast(LongType).as("tokens_avail"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val want = targets.toDF("source", "target_share")
+    avail.join(broadcast(want), Seq("source"))
+      .withColumn("tokens_target",
+        round(col("target_share") * totalBudget).cast(LongType))
+      .select(col("source"), col("n_docs"), col("tokens_avail"),
+        round(col("target_share"), 6).as("target_share"), col("tokens_target"),
+        round(least(lit(1.0), col("tokens_target").cast(DoubleType) /
+          col("tokens_avail").cast(DoubleType)), 6).as("rate"),
+        greatest(lit(0L), col("tokens_target") - col("tokens_avail")).as("deficit"))
+  }
+
   /** Mixture drift between two corpus snapshots (X89): per-source share
     * shift plus each source's KL(new‖old) and Jensen–Shannon terms — the
     * drift alarm a recurring crawl runs BEFORE training on a new cut.

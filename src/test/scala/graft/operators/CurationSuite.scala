@@ -234,6 +234,27 @@ class CurationSuite extends AnyFunSuite {
     assert(out(2L) === ((false, Some("word_len_high"))))
   }
 
+  test("mixturePlan: rates realize targets, scarce source capped at 1.0 with deficit") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L),    // a: 200 tokens available
+      (3L, "b", 30L),                      // b: 30 tokens — scarce
+      (4L, "c", 500L)                      // c: not in targets -> dropped
+    ).toDF("doc_id", "src", "tk")
+    val got = Curation.mixturePlan(docs, col("src"), col("tk"),
+        targets = Seq("a" -> 0.5, "b" -> 0.5), totalBudget = 200L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // a: target 100 of 200 avail -> rate 0.5, no deficit
+      ("a", 2L, 200L, 0.5, 100L, 0.5, 0L),
+      // b: target 100 of 30 avail -> keep all, 70 short
+      ("b", 1L, 30L, 0.5, 100L, 1.0, 70L)), s"got ${got.toSeq}")
+    assert(!got.exists(_._1 == "c"), "undeclared source must not appear")
+    intercept[IllegalArgumentException](
+      Curation.mixturePlan(docs, col("src"), col("tk"), Seq("a" -> 0.4), 100L))
+  }
+
   test("mixtureDrift: smoothed shares, hand-computed KL/JS terms, one-sided sources finite") {
     val oldDocs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b")).toDF("doc_id", "source")
     val newDocs = Seq((1L, "a"), (2L, "a"), (5L, "a"), (6L, "c")).toDF("doc_id", "source")

@@ -348,6 +348,40 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(fps((2L, 0L)) != fps((2L, 1L)), "prefix chunk is its own content")
   }
 
+  test("cdcChunks equals an independent Scala model on seeded random docs") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val docs = (1L to 8L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // independent model: positions over non-empty tokens, cut when
+    // base28 % 16 == 0 (token CLOSES its chunk), rank-weighted decimal fp
+    def model(text: String): Seq[(Long, Int, Long, BigInt)] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq.zipWithIndex
+        .filter(_._1.nonEmpty)
+      var chunk = 0L
+      val out = scala.collection.mutable.Map.empty[Long, (Int, Long, BigInt)]
+      var rank = 0L
+      toks.foreach { case (t, pos) =>
+        val h = base28(t)
+        val (sp, n, fp) = out.getOrElse(chunk, (pos, 0L, BigInt(0)))
+        rank = n + 1
+        out(chunk) = (sp, n + 1, fp + BigInt(rank) * BigInt(h))
+        if (h % 16 == 0) { chunk += 1 }
+      }
+      out.toSeq.sortBy(_._1).map { case (c, (sp, n, fp)) => (c, sp, n, fp) }
+    }
+    val got = TextAnalysis.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", $"text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        BigInt(r.getDecimal(4).toBigInteger))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val want = model(text).map { case (c, sp, n, fp) => (c, sp, n, fp) }
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+  }
+
   test("cdcChunks: runs of whitespace collapse to single slots; cut-free doc is one chunk") {
     val words = (0 until 50).map(i => s"w$i").filterNot(base28(_) % 16 == 0)
     val rows = TextAnalysis.cdcChunks(

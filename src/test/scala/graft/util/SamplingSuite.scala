@@ -98,6 +98,25 @@ class SamplingSuite extends AnyFunSuite {
       "salt change must redraw at least one assignment")
   }
 
+  test("stratifiedSplit: seeded random strata — total, disjoint, boundary-exact counts") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1L to 300L).map(i => (i, s"s${rnd.nextInt(7)}")).toDF("id", "src")
+    val fracs = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)
+    val got = Sampling.stratifiedSplit(rows, col("id"), col("src"), fracs, "pr")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 300, "every row assigned exactly once")
+    // per-stratum counts must equal the integer boundary differences the
+    // operator defines: round(0.7n), round(0.9...n)-round(0.7n), rest
+    got.groupBy(_._2).foreach { case (_, g) =>
+      val n = g.length
+      val b1 = math.round(0.7 * n)
+      val b2 = math.round((0.7 + 0.2) * n)
+      val byS = g.groupBy(_._3).view.mapValues(_.length).toMap.withDefaultValue(0)
+      assert(byS("train") == b1 && byS("val") == b2 - b1 && byS("test") == n - b2,
+        s"stratum of $n rows split ${byS.toMap} vs boundaries ($b1, $b2)")
+    }
+  }
+
   test("stratifiedSplit rejects colliding column and bad fractions") {
     val rows = Seq((1L, "a")).toDF("id", "src")
     intercept[IllegalArgumentException](
