@@ -1170,6 +1170,17 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q143_clip_recommend" -> ((s, d) =>
+      // X104 quantizer clip policy: p0.5/p99.5 bounds per dim + the grid
+      // step ratio clipping would buy
+      Quantize.clipRecommendation(t(s, d, "embeddings"), "embedding",
+        loFrac = 0.005, hiFrac = 0.995)
+        .orderBy(col("dim"))),
+    "q142_dedup_provenance" -> ((s, d) =>
+      // X103 removal audit trail: (removed, kept, rule) for exact
+      // fingerprint dups then near-dup components over the survivors
+      Dedup.dedupProvenance(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("removed_id"))),
     "q141_mixture_plan" -> ((s, d) =>
       // X102 target-mix planning: three sources get 60/30/10 of a 20k
       // token budget; rate = what stratifiedHashSample should keep
@@ -2642,6 +2653,48 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q143_clip_recommend" ->
+      """WITH x AS (
+           SELECT CAST(u.i AS INT) AS dim, CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(0, len(embedding))) u(i))
+         SELECT dim, COUNT(*) AS n,
+           ROUND(MIN(x), 6) AS mn, ROUND(MAX(x), 6) AS mx,
+           ROUND(quantile_cont(x, CAST('0.005' AS DOUBLE)), 6) AS clip_lo,
+           ROUND(quantile_cont(x, CAST('0.995' AS DOUBLE)), 6) AS clip_hi,
+           ROUND(CASE WHEN MAX(x) = MIN(x) THEN CAST(1 AS DOUBLE)
+             ELSE (quantile_cont(x, CAST('0.995' AS DOUBLE))
+                   - quantile_cont(x, CAST('0.005' AS DOUBLE)))
+                  / (MAX(x) - MIN(x)) END, 6) AS step_ratio
+         FROM x GROUP BY dim ORDER BY dim""",
+    "q142_dedup_provenance" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE fp AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS f FROM documents),
+          can AS (SELECT f, MIN(doc_id) AS keep FROM fp GROUP BY f),
+          ex AS (SELECT fp.doc_id AS removed_id, can.keep AS kept_id
+            FROM fp JOIN can USING (f) WHERE fp.doc_id <> can.keep),
+          surv AS (SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT removed_id FROM ex)),
+          sig AS (SELECT doc_id, $sigCols FROM surv),
+          banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT a, b FROM edges UNION SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+          lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+          SELECT removed_id, kept_id, 'exact' AS method FROM ex
+          UNION ALL
+          SELECT id AS removed_id, label AS kept_id, 'near' AS method
+          FROM lab WHERE id <> label
+          ORDER BY removed_id"""
+    },
     "q141_mixture_plan" ->
       s"""WITH a AS (SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(len($toksSql)) AS BIGINT) AS tokens_avail

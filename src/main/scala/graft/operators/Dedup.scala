@@ -155,6 +155,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup provenance (X103): the audit trail a reproducible pipeline
+    * stores NEXT TO its deduped output — for every removed document,
+    * which kept document it duplicates and by which rule (`exact` =
+    * normalized-fingerprint identity, `near` = LSH-candidate connected
+    * component). Without this table "why is doc X missing from the
+    * training set" is unanswerable a year later; with it, removals are
+    * reversible and appealable (restore one cluster, not re-run the
+    * corpus). Exact removal runs first; near-dup clustering sees only
+    * exact survivors, so each document is removed exactly once, by the
+    * cheapest rule that caught it.
+    *
+    * Scale shape: the composition of proven plans — fingerprint
+    * hash-agg, [[minhashCandidatePairs]] banding, [[dedupGroups]] label
+    * propagation — plus one anti-join; only ids and 16-byte fingerprints
+    * shuffle. */
+  def dedupProvenance(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), TextAnalysis.fingerprint(text).as("__fp"))
+    val canon = fp.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep"))
+    val exactRemoved = fp.join(canon, Seq("__fp"))
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id").as("removed_id"), col("__keep").as("kept_id"),
+        lit("exact").as("method"))
+    val survivors = docs.join(
+      exactRemoved.select(col("removed_id").as(idCol)), Seq(idCol), "left_anti")
+    val clusters = dedupGroups(minhashCandidatePairs(survivors, idCol, text))
+    val nearRemoved = clusters.filter(col("id") =!= col("label"))
+      .select(col("id").as("removed_id"), col("label").as("kept_id"),
+        lit("near").as("method"))
+    exactRemoved.unionByName(nearRemoved)
+  }
+
   /** Near-dup threshold sweep (X96): histogram of EXACT hashed-shingle
     * jaccard over the banded candidate pairs, with a pairs-at-or-above
     * cumulative — the tuning table that picks the near-dup threshold

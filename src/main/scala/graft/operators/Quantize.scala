@@ -114,6 +114,39 @@ object Quantize {
         col("mae"), col("max_ae"))
   }
 
+  /** Clip recommendation (X104): per-dimension percentile bounds
+    * [loFrac, hiFrac] next to the raw (mn, mx), and the grid-step ratio
+    * a clipped quantizer would achieve — the standard fix when
+    * [[reconstructionError]] shows an outlier-stretched range: clipping
+    * 0.1% of the tails shrinks the int8 step by `step_ratio`, improving
+    * everyone else's reconstruction at the cost of saturating the
+    * clipped tail (FAISS's RangeStat_Quantiles policy). step_ratio near
+    * 1 = the range is honest, don't clip; near 0 = a few outliers own
+    * the grid.
+    *
+    * Exact `percentile` here (linear interpolation — identical to
+    * DuckDB's quantile_cont, oracle-checkable); at 100 TB swap in
+    * `approx_percentile`, the [[CorpusStats.lengthStats]] exact/sketch
+    * duality. One dim-keyed exchange of map-side partials. */
+  def clipRecommendation(embs: DataFrame, vecCol: String,
+      loFrac: Double = 0.001, hiFrac: Double = 0.999): DataFrame = {
+    require(loFrac >= 0.0 && hiFrac <= 1.0 && loFrac < hiFrac,
+      s"need 0 <= loFrac < hiFrac <= 1, got ($loFrac, $hiFrac)")
+    embs.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__x", col("__x").cast(DoubleType))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__x")).as("__mn"), max(col("__x")).as("__mx"),
+        percentile(col("__x"), lit(loFrac)).as("__lo"),
+        percentile(col("__x"), lit(hiFrac)).as("__hi"))
+      .select(col("dim"), col("n"),
+        round(col("__mn"), 6).as("mn"), round(col("__mx"), 6).as("mx"),
+        round(col("__lo"), 6).as("clip_lo"), round(col("__hi"), 6).as("clip_hi"),
+        round(when(col("__mx") === col("__mn"), 1.0)
+          .otherwise((col("__hi") - col("__lo")) / (col("__mx") - col("__mn"))), 6)
+          .as("step_ratio"))
+  }
+
   /** SQ8 asymmetric top-k (FAISS's ScalarQuantizer search shape): the
     * float query scores against DEQUANTIZED int8 codes — the store holds
     * 1 byte/dim, accuracy follows the quantization grid, and the scan

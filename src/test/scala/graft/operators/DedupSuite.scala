@@ -54,6 +54,19 @@ class DedupSuite extends AnyFunSuite {
     verified.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("dedupProvenance: exact rule first, near components over survivors, each doc once") {
+    val prov = Dedup.dedupProvenance(docs, "doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 2 is the exact dup of doc 1 (case/ws); doc 3 is the near dup
+    assert(prov.contains((2L, 1L, "exact")), s"got ${prov.toSeq}")
+    assert(prov.contains((3L, 1L, "near")), s"got ${prov.toSeq}")
+    // exact-removed docs never reappear in the near phase; one row per
+    // removed doc; unrelated docs never removed
+    assert(prov.count(_._1 == 2L) == 1 && prov.map(_._1).distinct.length == prov.length)
+    assert(!prov.exists(p => p._1 == 4L || p._1 == 5L))
+    assert(prov.forall(p => p._2 < p._1), "kept id is always the component minimum")
+  }
+
   test("similarityHistogram: exact pair in the top bucket, cumulative counts consistent") {
     val h = Dedup.similarityHistogram(docs, "doc_id", $"text")
       .orderBy("bucket").collect()

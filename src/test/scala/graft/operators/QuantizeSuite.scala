@@ -69,6 +69,21 @@ class QuantizeSuite extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("clipRecommendation: outlier dim shows small step_ratio; even dim near 1; constant dim 1") {
+    // dim0: 99 values in [0,1] + one outlier at 100 -> p99-ish clip
+    // discards the outlier, ratio collapses; dim1: uniform 0..99 -> ratio
+    // near 1; dim2 constant
+    val embs = (0 until 100).map { i =>
+      (i.toLong, Array(if (i == 99) 100f else i / 99f, i.toFloat, 5f))
+    }.toDF("id", "vec")
+    val got = Quantize.clipRecommendation(embs, "vec", loFrac = 0.01, hiFrac = 0.97)
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getDouble(6)))
+    assert(got(0)._2 < 0.05, s"outlier dim ratio ${got(0)._2} should collapse")
+    assert(got(1)._2 > 0.9, s"even dim ratio ${got(1)._2} should stay near 1")
+    assert(got(2)._2 == 1.0, "constant dim reports 1.0 (nothing to clip)")
+  }
+
   test("reconstructionError: zero on grid points and constant dims; half-step bound off-grid") {
     val embs = Seq(
       (1L, Array(0f, 7f, 0f)),
