@@ -1170,6 +1170,12 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q144_leakage_safe_split" -> ((s, d) =>
+      // X105 cluster-preserving 80/10/10: near-dup groups never straddle
+      // the train/test boundary (the q99 leakage class, prevented)
+      Dedup.leakageSafeSplit(t(s, d, "documents"), "doc_id", col("text"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ls")
+        .orderBy(col("doc_id"))),
     "q143_clip_recommend" -> ((s, d) =>
       // X104 quantizer clip policy: p0.5/p99.5 bounds per dim + the grid
       // step ratio clipping would buy
@@ -2653,6 +2659,34 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q144_leakage_safe_split" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE sig AS (SELECT doc_id, $sigCols FROM documents),
+          banded AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+            UNION SELECT id2, id1 FROM pairs),
+          reach(id, r) AS (
+            SELECT a, b FROM edges UNION SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+          lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          g AS (SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+          bk AS (SELECT doc_id, group_id,
+            CAST(concat('0x', substr(md5('ls' || COALESCE(CAST(group_id AS VARCHAR), '')), 1, 7))
+              AS BIGINT) % 10000 AS bucket FROM g)
+          SELECT doc_id, group_id,
+            CASE WHEN bucket < 8000 THEN 'train'
+                 WHEN bucket < 9000 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM bk ORDER BY doc_id"""
+    },
     "q143_clip_recommend" ->
       """WITH x AS (
            SELECT CAST(u.i AS INT) AS dim, CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE) AS x

@@ -186,6 +186,29 @@ object Dedup {
     exactRemoved.unionByName(nearRemoved)
   }
 
+  /** Leakage-safe split (X105): train/val/test assignment that keeps
+    * every near-dup CLUSTER on one side of the boundary — splitting by
+    * document hash leaks: a train doc's near-duplicate lands in test and
+    * the eval measures memorization, not generalization (exactly what
+    * [[splitLeakage]]/q99 detects after the fact; this PREVENTS it).
+    * Every doc gets `group_id` = its connected-component label (its own
+    * id when it has no near-dup), and the split is hashed on the GROUP
+    * id via [[graft.util.Sampling.hashSplit]] — same determinism story,
+    * fractions hold in expectation over groups.
+    *
+    * Scale shape: [[minhashCandidatePairs]] + [[dedupGroups]] as proven,
+    * one left join of (id, label) pairs back onto ids, then a per-row
+    * hash — the clustering dominates; the split adds nothing. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, text: Column,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val clusters = dedupGroups(minhashCandidatePairs(docs, idCol, text))
+    val labeled = docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    graft.util.Sampling.hashSplit(labeled, col("group_id"), fractions, salt)
+  }
+
   /** Near-dup threshold sweep (X96): histogram of EXACT hashed-shingle
     * jaccard over the banded candidate pairs, with a pairs-at-or-above
     * cumulative — the tuning table that picks the near-dup threshold

@@ -54,6 +54,20 @@ class DedupSuite extends AnyFunSuite {
     verified.get((1L, 3L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split boundary") {
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", $"text",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25), salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 5, "every doc assigned")
+    // docs 1, 2, 3 are one near-dup component -> one group, ONE split
+    val g123 = out.filter(t => Set(1L, 2L, 3L)(t._1))
+    assert(g123.map(_._2).distinct.length == 1, s"group ids differ: ${g123.toSeq}")
+    assert(g123.map(_._3).distinct.length == 1, s"cluster straddles splits: ${g123.toSeq}")
+    assert(g123.head._2 == 1L, "group labeled by the component minimum")
+    // singletons group as themselves
+    assert(out.find(_._1 == 4L).get._2 == 4L)
+  }
+
   test("dedupProvenance: exact rule first, near components over survivors, each doc once") {
     val prov = Dedup.dedupProvenance(docs, "doc_id", $"text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
