@@ -354,6 +354,33 @@ class PlanAuditSuite extends AnyFunSuite {
       s"cdcChunks must plan exactly one doc-keyed exchange:\n$p")
   }
 
+  test("ngram diversity: ONE corpus scan feeds all three gram orders (X92)") {
+    import org.apache.spark.sql.functions.col
+    val frame = operators.CorpusStats.ngramDiversity(
+      spark.read.parquet(s"$sf/documents.parquet"), col("source"), col("text"))
+    val p = frame.queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"all gram orders must explode from one staged scan:\n$p")
+  }
+
+  test("jl projection: shuffle-free per-row map, matrix inlined as literals (X95)") {
+    val frame = operators.Ann.jlProject(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", 64, 16)
+    val p = prepPlan(frame)
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+  }
+
+  test("coverage histogram: bucket equi-join, never a cartesian product (X98)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val frame = operators.Ann.coverageHistogram(
+      e.filter(col("vec_id") % 5 === 0), e.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", bits = 8)
+    val p = prepPlan(frame)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"the NN pass must join on the sign bucket, not cross:\n$p")
+  }
+
   test("bpe pairs: vocab census before char explode, top-k heap not global sort (X90)") {
     import org.apache.spark.sql.functions.col
     val frame = operators.TextAnalysis.bpePairStats(
