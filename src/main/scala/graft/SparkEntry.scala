@@ -1170,6 +1170,12 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    // X106 deflate-ratio quality signal — deliberately NO oracleSql
+    // entry: DuckDB has no deflate, so the driver records a rows-only
+    // check; determinism and byte accounting are pinned by CurationSuite
+    "q145_deflate_ratio" -> ((s, d) =>
+      Curation.deflateRatio(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))),
     "q144_leakage_safe_split" -> ((s, d) =>
       // X105 cluster-preserving 80/10/10: near-dup groups never straddle
       // the train/test boundary (the q99 leakage class, prevented)

@@ -363,6 +363,52 @@ object Curation {
     * the sort, anchor thresholds via approx_percentile over `xent` (the
     * [[adaptiveQualityCutoff]] shape) and accept epsilon-boundary drift.
     * Output: `grp`, the [[TextAnalysis.lmScore]] columns, and `bucket`. */
+  /** Compression-ratio quality signal (X106): `deflate(text)/|text|` per
+    * document — the classic cheap boilerplate/repetition detector
+    * (templated and machine-generated text compresses far below organic
+    * prose; used as a filter signal in CCNet-descendant pipelines). Low
+    * ratio ⇒ repetitive; ratios near (or above) 1 ⇒ high-entropy text or
+    * already-compressed noise. Complements [[gopherGate]]'s n-gram rules
+    * with a whole-document redundancy measure they can't see.
+    *
+    * Implemented with `mapPartitions` — DEFLATE is not expressible in
+    * Catalyst — with one `Deflater` per partition (reset per row, freed
+    * on task completion). Deterministic for a fixed JVM zlib; there is
+    * no DuckDB deflate, so this operator has NO oracle entry: the driver
+    * records a rows-only check and the unit suite pins monotonicity
+    * (repetitive < organic < random) and exact byte accounting. */
+  def deflateRatio(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_deflate", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        coalesce(text, lit("")).as("__t"))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](8192)
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var total = 0L
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          val ratio =
+            if (bytes.isEmpty) 1.0
+            else BigDecimal.valueOf(total.toDouble / bytes.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Row(r.getLong(0), bytes.length.toLong, total, ratio)
+        }
+      }(enc)
+  }
+
   /** Mixture planner (X102): given target mixture WEIGHTS and a token
     * budget, compute each source's token target and the per-source keep
     * RATE that realizes it — the planning step between "we want 60/30/10"

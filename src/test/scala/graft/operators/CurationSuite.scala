@@ -234,6 +234,33 @@ class CurationSuite extends AnyFunSuite {
     assert(out(2L) === ((false, Some("word_len_high"))))
   }
 
+  test("deflateRatio: repetitive < organic < random; exact byte accounting; empty doc 1.0") {
+    val rnd = new scala.util.Random(7)
+    val organic = "the quick brown fox jumps over a lazy dog while rain falls " * 20
+    val docs = Seq(
+      (1L, "spam " * 400),                                        // highly repetitive
+      (2L, organic),                                              // organic prose
+      (3L, rnd.alphanumeric.take(2000).mkString),                 // high entropy
+      (4L, "")).toDF("doc_id", "text")
+    val got = Curation.deflateRatio(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3,
+      s"monotonicity broken: $got")
+    assert(got(1L)._3 < 0.05, "repetition must crater the ratio")
+    assert(got(4L) == ((0L, got(4L)._2, 1.0)), "empty doc: 0 bytes, ratio 1.0")
+    got.foreach { case (id, (nb, nd, ratio)) =>
+      if (nb > 0) {
+        val want = BigDecimal.valueOf(nd.toDouble / nb)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(ratio == want, s"doc $id ratio $ratio != $nd/$nb")
+      }
+    }
+    // deterministic across runs (fixed JVM zlib)
+    val again = Curation.deflateRatio(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.view.mapValues(_._2).toMap)
+  }
+
   test("mixturePlan: rates realize targets, scarce source capped at 1.0 with deficit") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 100L),    // a: 200 tokens available
