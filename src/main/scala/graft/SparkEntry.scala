@@ -1170,6 +1170,22 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q146_asof_forward" -> ((s, d) => {
+      // X107 forward as-of: each click picks up the user's NEXT purchase
+      // at or after it — the label-at-horizon lookup
+      val all = events(s, d)
+      val clicks = all.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = all.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+        .groupBy("user_id", "p_ts")
+        .agg(max(col("value")).as("p_value"))
+      AsOf.asofJoinForward(clicks, purchases, "user_id", "ts", "p_ts",
+        Seq("p_ts", "p_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"), col("p_ts"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
     // X106 deflate-ratio quality signal — deliberately NO oracleSql
     // entry: DuckDB has no deflate, so the driver records a rows-only
     // check; determinism and byte accounting are pinned by CurationSuite
@@ -2665,6 +2681,15 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q146_asof_forward" ->
+      """WITH purchases AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT c.event_id, c.user_id, c.ts, c.value, p.p_ts, p.p_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.p_ts >= c.ts
+         ORDER BY c.event_id""",
     "q144_leakage_safe_split" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

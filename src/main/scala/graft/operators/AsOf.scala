@@ -36,7 +36,26 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightCols, tolerance,
+      forward = false)
+
+  /** Forward as-of join (X107): attach the EARLIEST right row with
+    * `right.time >= left.time` per key — the "next known value" lookup
+    * (label at horizon, next price tick, first event after a treatment).
+    * The mirror of [[asofJoin]]: same union+window plan with the per-key
+    * sort DESCENDING, so the running "last seen" right row in scan order
+    * is exactly the nearest FOLLOWING one; `tolerance` bounds how far
+    * ahead a match may be. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightCols, tolerance,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Column], forward: Boolean): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
     require(!rightCols.exists(left.columns.contains),
       s"left frame already has ${rightCols.filter(left.columns.contains).mkString(",")}")
@@ -64,15 +83,20 @@ object AsOf {
       lit(null).cast(rTagged.schema("__asof_match").dataType).as("__asof_match"))
 
     // right rows (side 0) sort BEFORE left rows at the same instant, so a
-    // right row exactly at left.time matches (inclusive <=)
+    // right row exactly at left.time matches (inclusive <= / >=). Forward
+    // direction = the same scan over time DESCENDING: "last seen" right
+    // row becomes the nearest FOLLOWING one.
+    val timeOrd = if (forward) col("__asof_t").desc else col("__asof_t").asc
     val w = Window.partitionBy(col("__asof_k"))
-      .orderBy(col("__asof_t").asc, col("__asof_side").asc)
+      .orderBy(timeOrd, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__asof_hit", last(col("__asof_match"), ignoreNulls = true).over(w))
     val fresh = tolerance.fold(carried) { tol =>
-      carried.withColumn("__asof_hit",
-        when(col("__asof_hit.__asof_rt") >= col("__asof_t") - tol, col("__asof_hit")))
+      val inTol =
+        if (forward) col("__asof_hit.__asof_rt") <= col("__asof_t") + tol
+        else col("__asof_hit.__asof_rt") >= col("__asof_t") - tol
+      carried.withColumn("__asof_hit", when(inTol, col("__asof_hit")))
     }
     fresh.filter(col("__asof_side") === 1)
       .select((Seq(col("__asof_row.*")) ++

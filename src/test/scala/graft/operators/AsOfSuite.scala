@@ -133,4 +133,42 @@ class AsOfSuite extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "must not plan a cross/range join")
     assert(plan.contains("Window"), "union+window rewrite expected")
   }
+
+  test("forward: each left row gets the EARLIEST right row at or after its time") {
+    val out = AsOf.asofJoinForward(left, right, "k", "t", "rt", Seq("rt", "v"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(3)), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // obs 1 (10:00, key a): next right at 11:00; obs 2 (12:00): none after
+    assert(out(1L) == ((Some(ts("2024-01-01 11:00:00")), Some(20.0))))
+    assert(out(2L) == ((None, None)), "no following right row -> null")
+    // obs 3 (09:00): next is 09:30
+    assert(out(3L) == ((Some(ts("2024-01-01 09:30:00")), Some(10.0))))
+    // obs 4 at exactly a right instant: inclusive >=
+    assert(out(4L) == ((Some(ts("2024-01-01 12:00:00")), Some(30.0))))
+    assert(out(5L) == ((None, None)), "key with no right rows")
+  }
+
+  test("forward tolerance nulls matches farther ahead than left.time + tol") {
+    val out = AsOf.asofJoinForward(left, right, "k", "t", "rt", Seq("v"),
+        tolerance = Some(expr("INTERVAL 45 MINUTES")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(3L) == Some(10.0), "09:00 -> 09:30 is within 45 min")
+    assert(out(1L) == None, "10:00 -> 11:00 is beyond 45 min")
+  }
+
+  test("forward differential: random data matches a brute-force reference") {
+    val rnd = new scala.util.Random(5)
+    val l = (1 to 120).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000)))
+    val r = (1 to 80).map(_ => (s"k${rnd.nextInt(4)}", rnd.nextInt(1000), rnd.nextDouble()))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, time)
+    val got = AsOf.asofJoinForward(l.toDF("id", "k", "t"), r.toDF("k", "rt", "v"),
+        "k", "t", "rt", Seq("rt", "v"))
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(3)).map(_.asInstanceOf[Int]), Option(x.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    l.foreach { case (id, k, t) =>
+      val want = r.filter(x => x._1 == k && x._2 >= t).sortBy(_._2).headOption
+      assert(got(id) == ((want.map(_._2), want.map(_._3))), s"row $id ($k, $t)")
+    }
+  }
 }
