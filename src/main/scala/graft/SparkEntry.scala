@@ -1170,6 +1170,16 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q147_search_sql" -> ((s, d) => {
+      // the flagship funnel EXECUTED AS PURE SQL over the registered
+      // kernels (pack_sign_bits/hamming_dist/vec_dot) — the SQL surface
+      // itself under the DuckDB gate, not just suite parity
+      graft.functions.GraftFunctions.register(s)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      embStore(s, d).createOrReplaceTempView("graft_sql_search_store")
+      s.sql(SearchEngine.searchSqlText(q, 5, "graft_sql_search_store"))
+    }),
     "q146_asof_forward" -> ((s, d) => {
       // X107 forward as-of: each click picks up the user's NEXT purchase
       // at or after it — the label-at-horizon lookup
@@ -2681,6 +2691,24 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q147_search_sql" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0),
+         ham AS (SELECT e.vec_id AS id, e.vec_id AS post_id, e.embedding,
+             CAST((SELECT COUNT(*) FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z
+               WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming_distance
+           FROM embeddings e),
+         top_ham AS (SELECT * FROM ham ORDER BY hamming_distance ASC, id ASC LIMIT 50),
+         cos AS (SELECT t.id, t.post_id, t.hamming_distance,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                FROM q, LATERAL (SELECT unnest(t.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(t.embedding) AS t2(x)))
+              * (SELECT qmag FROM q) + 1e-12) AS cosine_similarity
+           FROM top_ham t),
+         top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25)
+         SELECT id, post_id, hamming_distance, cosine_similarity FROM top_cos
+         ORDER BY cosine_similarity DESC, id ASC LIMIT 5""",
     "q146_asof_forward" ->
       """WITH purchases AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
