@@ -1170,6 +1170,22 @@ object SparkEntry {
       // X85 PMI collocation mining off one bigram-table pass
       TextAnalysis.collocations(t(s, d, "documents"), "doc_id", col("text"),
         minCount = 5, k = 20)),
+    "q148_asof_nearest" -> ((s, d) => {
+      // X108 nearest as-of: each click aligned to the CLOSER purchase
+      // either side (tie -> backward)
+      val all = events(s, d)
+      val clicks = all.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = all.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+        .groupBy("user_id", "p_ts")
+        .agg(max(col("value")).as("p_value"))
+      AsOf.asofJoinNearest(clicks, purchases, "user_id", "ts", "p_ts",
+        Seq("p_ts", "p_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value"), col("p_ts"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
     "q147_search_sql" -> ((s, d) => {
       // the flagship funnel EXECUTED AS PURE SQL over the registered
       // kernels (pack_sign_bits/hamming_dist/vec_dot) — the SQL surface
@@ -2691,6 +2707,24 @@ object SparkEntry {
                 CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
          FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
          ORDER BY media_id, frame_no""",
+    "q148_asof_nearest" ->
+      """WITH purchases AS (SELECT user_id, ts AS p_ts, MAX(value) AS p_value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+         c AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         b AS (SELECT c.event_id, p.p_ts AS b_ts, p.p_value AS b_v
+           FROM c ASOF LEFT JOIN purchases p
+             ON c.user_id = p.user_id AND p.p_ts <= c.ts),
+         f AS (SELECT c.event_id, p.p_ts AS f_ts, p.p_value AS f_v
+           FROM c ASOF LEFT JOIN purchases p
+             ON c.user_id = p.user_id AND p.p_ts >= c.ts)
+         SELECT c.event_id, c.user_id, c.ts, c.value,
+           CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+                WHEN (c.ts - b_ts) <= (f_ts - c.ts) THEN b_ts ELSE f_ts END AS p_ts,
+           CASE WHEN b_ts IS NULL THEN f_v WHEN f_ts IS NULL THEN b_v
+                WHEN (c.ts - b_ts) <= (f_ts - c.ts) THEN b_v ELSE f_v END AS p_value
+         FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+         ORDER BY c.event_id""",
     "q147_search_sql" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag

@@ -53,6 +53,59 @@ object AsOf {
     asofImpl(left, right, key, leftTime, rightTime, rightCols, tolerance,
       forward = true)
 
+  /** Nearest as-of join (X108): the CLOSER of the backward and forward
+    * matches per left row, ties to the backward side (the point-in-time
+    * convention: at equal distance, prefer what was already known).
+    * The sensor-fusion/feature-alignment join — align each event to the
+    * nearest reading either side, bounded by `tolerance` in both
+    * directions. ONE exchange on the key with two per-key sorts (ASC for
+    * the running previous, DESC for the running next) — still no
+    * range-join blowup, window state one row per direction. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoinNearest needs at least one right payload column")
+    require(!rightCols.exists(left.columns.contains),
+      s"left frame already has ${rightCols.filter(left.columns.contains).mkString(",")}")
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val rightStruct = struct((col(rightTime).as("__asof_rt") +:
+      rightCols.map(col)).toSeq: _*)
+    val rTagged = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key).as("__asof_k"), col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
+          .as("__asof_row"),
+        rightStruct.as("__asof_match"))
+    val lTagged = left.select(col(key).as("__asof_k"), col(leftTime).as("__asof_t"),
+      lit(1).as("__asof_side"), leftStruct.as("__asof_row"),
+      lit(null).cast(rTagged.schema("__asof_match").dataType).as("__asof_match"))
+    val wB = Window.partitionBy(col("__asof_k"))
+      .orderBy(col("__asof_t").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__asof_k"))
+      .orderBy(col("__asof_t").desc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = lTagged.unionByName(rTagged)
+      .withColumn("__hb", last(col("__asof_match"), ignoreNulls = true).over(wB))
+      .withColumn("__hf", last(col("__asof_match"), ignoreNulls = true).over(wF))
+    // non-negative distances by construction (hb.rt <= t <= hf.rt)
+    val db = col("__asof_t") - col("__hb.__asof_rt")
+    val df = col("__hf.__asof_rt") - col("__asof_t")
+    val chosen = when(col("__hb").isNull, col("__hf"))
+      .when(col("__hf").isNull, col("__hb"))
+      .when(db <= df, col("__hb")).otherwise(col("__hf"))
+    val picked = both.withColumn("__hit", chosen)
+    val fresh = tolerance.fold(picked) { tol =>
+      picked.withColumn("__hit",
+        when(col("__hit.__asof_rt").between(
+          col("__asof_t") - tol, col("__asof_t") + tol), col("__hit")))
+    }
+    fresh.filter(col("__asof_side") === 1)
+      .select((Seq(col("__asof_row.*")) ++
+        rightCols.map(c => col(s"__hit.$c").as(c))): _*)
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String],
       tolerance: Option[Column], forward: Boolean): DataFrame = {

@@ -156,6 +156,32 @@ class AsOfSuite extends AnyFunSuite {
     assert(out(1L) == None, "10:00 -> 11:00 is beyond 45 min")
   }
 
+  test("nearest: closer side wins, tie goes backward, tolerance bounds both directions") {
+    val out = AsOf.asofJoinNearest(left, right, "k", "t", "rt", Seq("rt", "v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    // obs 1 (10:00): prev 09:30 (30m) vs next 11:00 (60m) -> prev wins
+    assert(out(1L) == Some(10.0))
+    // obs 2 (12:00): prev 11:00, nothing after -> prev
+    assert(out(2L) == Some(20.0))
+    // obs 3 (09:00): nothing before, next 09:30 -> forward side
+    assert(out(3L) == Some(10.0))
+    // obs 4 at the exact instant: distance 0 both readings impossible —
+    // backward match at 12:00 is distance 0, wins
+    assert(out(4L) == Some(30.0))
+    assert(out(5L) == None)
+    // a tie at equal distance prefers the backward (already-known) row
+    val l2 = Seq((1L, "a", ts("2024-01-01 10:15:00"))).toDF("id", "k", "t")
+    val r2 = Seq(("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-01 10:30:00"), 2.0)).toDF("k", "rt", "v")
+    val tie = AsOf.asofJoinNearest(l2, r2, "k", "t", "rt", Seq("v")).head()
+    assert(tie.getDouble(3) == 1.0, "equal distance must prefer backward")
+    // tolerance: 09:00 -> 09:30 is 30m; a 20m bound nulls it
+    val tol = AsOf.asofJoinNearest(left, right, "k", "t", "rt", Seq("v"),
+        tolerance = Some(expr("INTERVAL 20 MINUTES")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(tol(3L) == None && tol(4L) == Some(30.0))
+  }
+
   test("forward differential: random data matches a brute-force reference") {
     val rnd = new scala.util.Random(5)
     val l = (1 to 120).map(i => (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000)))
