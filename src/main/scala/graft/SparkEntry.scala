@@ -3080,7 +3080,7 @@ object SparkEntry {
          SELECT doc_id, chunk_no, CAST(MIN(pos) AS INT) AS start_pos,
            COUNT(*) AS n_tokens,
            CAST(SUM(CAST(rn AS DECIMAL(38,0)) * CAST(h AS DECIMAL(38,0)))
-             AS DECIMAL(38,0)) AS chunk_fp
+             AS BIGINT) AS chunk_fp
          FROM r GROUP BY doc_id, chunk_no ORDER BY doc_id, chunk_no""",
     "q127_gif_frames" ->
       """SELECT doc_id AS media_id,

@@ -629,10 +629,14 @@ object TextAnalysis {
     * `divisor` tokens (geometric); pick 64-512 for embedding chunks.
     *
     * Emits (doc_id, chunk_no, start_pos, n_tokens, chunk_fp). `chunk_fp`
-    * is the decimal sum of rank-weighted member hashes (rank within the
+    * is the sum of rank-weighted member hashes (rank within the
     * chunk × token hash) — order-exact yet partition-order-independent,
     * so identical chunk CONTENT anywhere in the corpus gets the same
-    * fingerprint: the equi-join key for chunk-level dedup.
+    * fingerprint: the equi-join key for chunk-level dedup. The sum is
+    * accumulated exactly in DECIMAL(38,0) then emitted as BIGINT: with
+    * 28-bit token hashes the value is bounded by n_tokens²·2²⁸ < 2⁶³ for
+    * any chunk under ~180M tokens, and a codegen assert fires (rather
+    * than silently wrapping) if a pathological chunk ever exceeds it.
     *
     * Scale shape: ONE exchange keyed by doc (the [[positionalPostings]]
     * discipline); hashes and cut flags are per-row codegen; the prefix
@@ -658,7 +662,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("chunk_no"))
       .agg(min(col("pos")).as("start_pos"),
         count(lit(1)).as("n_tokens"),
-        sum((col("__rn") * col("__h")).cast(dec)).cast(dec).as("chunk_fp"))
+        sum((col("__rn") * col("__h")).cast(dec)).cast(dec).as("__fp_dec"))
+      // Exact decimal accumulation, BIGINT surface: bounded by
+      // n_tokens²·2²⁸ < 2⁶³ (chunks under ~180M tokens); assert, don't wrap.
+      .select(col("doc_id"), col("chunk_no"), col("start_pos"), col("n_tokens"),
+        when(assert_true(col("__fp_dec") <= lit(Long.MaxValue).cast(dec),
+            concat(lit("chunk_fp overflows BIGINT: "), col("__fp_dec").cast(StringType))).isNull,
+          col("__fp_dec").cast(LongType)).as("chunk_fp"))
   }
 
   /** Token-window chunking with overlap over a materialized token array —

@@ -341,7 +341,7 @@ class TextAnalysisSuite extends AnyFunSuite {
       (1L, body.mkString(" ")),
       (2L, (cuts(1) +: body).mkString(" "))).toDF("doc_id", "text")
     val fps = TextAnalysis.cdcChunks(docs, "doc_id", $"text")
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(4)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
     // doc1: [plain0 plain1 cuts0][plain2 plain3]; doc2: [cuts1][same][same]
     assert(fps((1L, 0L)) == fps((2L, 1L)), "first body chunk fp must survive the shift")
     assert(fps((1L, 1L)) == fps((2L, 2L)), "second body chunk fp must survive the shift")
@@ -374,7 +374,7 @@ class TextAnalysisSuite extends AnyFunSuite {
     val got = TextAnalysis.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", $"text")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
-        BigInt(r.getDecimal(4).toBigInteger))))
+        BigInt(r.getLong(4)))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
     docs.foreach { case (id, text) =>
       val want = model(text).map { case (c, sp, n, fp) => (c, sp, n, fp) }
