@@ -68,14 +68,18 @@ object Ann {
     * Same plan family as [[knnJoin]] (broadcast anchors over one corpus
     * pass, per-anchor top-k window) plus the group-exclusion predicate —
     * the anchor's group rides along in the broadcast, so exclusion is a
-    * codegen'd inequality, not a join. Emits (anchor_id, neighbor_id,
-    * neighbor's group, cosine, rank). */
+    * codegen'd inequality, not a join. The inequality is NULL-SAFE
+    * (`<=>`): null groups form a single "ungrouped" pseudo-group, so
+    * ungrouped corpus rows are valid negatives for every grouped anchor
+    * (a plain `=!=` silently dropped them from every pool), and an
+    * ungrouped anchor excludes exactly the other ungrouped rows. Emits
+    * (anchor_id, neighbor_id, neighbor's group, cosine, rank). */
   def hardNegatives(anchors: DataFrame, data: DataFrame, aId: String, dId: String,
       aVec: String, dVec: String, aGroup: String, dGroup: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val scored = data.crossJoin(broadcast(anchors.select(
         col(aId).as("anchor_id"), col(aVec).as("__av"), col(aGroup).as("__ag"))))
-      .filter(col(dGroup) =!= col("__ag"))
+      .filter(!(col(dGroup) <=> col("__ag")))
       .withColumn("cosine", vecCosine(col(dVec), col("__av")))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col(dId).asc)

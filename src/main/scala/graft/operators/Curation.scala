@@ -386,8 +386,12 @@ object Curation {
       StructField("n_deflate", LongType, nullable = false),
       StructField("ratio", DoubleType, nullable = false)))
     val enc = RowEncoder.encoderFor(schema)
-    docs.select(col(idCol).cast(LongType).as("doc_id"),
+    docs.select(col(idCol).try_cast(LongType).as("doc_id"),
         coalesce(text, lit("")).as("__t"))
+      // same one-bad-row discipline as the text coalesce above: a null or
+      // malformed id must not kill the task (ANSI cast throws, try_cast
+      // nulls) — drop it before the partition walk, the scan survives
+      .filter(col("doc_id").isNotNull)
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
         Option(org.apache.spark.TaskContext.get())

@@ -265,6 +265,24 @@ class AnnSuite extends AnyFunSuite {
     assert(!got.exists(_._1 == 2L), "the same-group twin leaked in as a negative")
   }
 
+  test("hardNegatives: null groups form one ungrouped pseudo-group (null-safe exclusion)") {
+    val e = Seq(
+      (1L, Option("g1"), Array(1f, 0f)),
+      (2L, None, Array(1f, 0.01f)),  // ungrouped: a negative for grouped anchors
+      (3L, None, Array(0.9f, 0.1f)),
+      (4L, Option("g2"), Array(0.5f, 0.5f))).toDF("id", "grp", "vec")
+    // grouped anchor: ungrouped rows are candidates (=!= used to drop them)
+    val fromG1 = Ann.hardNegatives(e.filter($"id" === 1L), e,
+        "id", "id", "vec", "vec", "grp", "grp", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(fromG1 == Set(2L, 3L, 4L), s"got $fromG1")
+    // ungrouped anchor: excludes only the other ungrouped rows
+    val fromNull = Ann.hardNegatives(e.filter($"id" === 2L), e,
+        "id", "id", "vec", "vec", "grp", "grp", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(fromNull == Set(1L, 4L), s"got $fromNull")
+  }
+
   test("embeddingHealth: hand-computed per-dim mean/variance/sign balance; dead dim flagged") {
     val embs = Seq(
       (1L, Array(1f, -1f, 0.5f)),

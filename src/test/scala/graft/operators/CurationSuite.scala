@@ -261,6 +261,17 @@ class CurationSuite extends AnyFunSuite {
     assert(again == got.view.mapValues(_._2).toMap)
   }
 
+  test("deflateRatio: a null (or non-castable) doc id drops the row, not the scan") {
+    val docs = Seq(
+      (Option("7"), "healthy row"),
+      (None, "null id must not NPE the task"),
+      (Option("not-a-number"), "cast-to-null id must not NPE either"))
+      .toDF("doc_id", "text")
+    val got = Curation.deflateRatio(docs, "doc_id", $"text")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(7L), s"got ${got.toSeq}")
+  }
+
   test("mixturePlan: rates realize targets, scarce source capped at 1.0 with deficit") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 100L),    // a: 200 tokens available
