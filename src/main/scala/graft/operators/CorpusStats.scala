@@ -201,7 +201,13 @@ object CorpusStats {
     * multi-consumer working-set discipline; each ladder step is then a
     * TakeOrdered heap of its N rows + a scalar sum (NO unpartitioned
     * row_number over the vocabulary, which would funnel a 100M-type
-    * census through one task); the total rides as a broadcast row. */
+    * census through one task); the total rides as a broadcast row.
+    *
+    * The operator is EAGER: the |ladder|-row result is materialized
+    * before returning (a bounded driver collect, same class as the
+    * centroid/quantizer anchors) so the census pin can be released
+    * here rather than leaking into the session — the round-7 bench
+    * measured dead census pins accreting across queries in one JVM. */
   def vocabCoverage(docs: DataFrame, text: Column,
       ladder: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
     require(ladder.nonEmpty && ladder.forall(_ > 0), s"bad ladder $ladder")
@@ -215,12 +221,16 @@ object CorpusStats {
         .agg(coalesce(sum(col("n")), lit(0L)).as("covered_tokens"))
         .select(lit(n).as("top_n"), col("covered_tokens"))
     }
-    steps.reduce(_ unionByName _)
+    val out = steps.reduce(_ unionByName _)
       .crossJoin(broadcast(total))
       .select(col("top_n"), col("covered_tokens"),
         col("__total").as("total_tokens"),
         round(col("covered_tokens").cast(DoubleType) /
           col("__total").cast(DoubleType), 6).as("coverage"))
+    val rows = out.collect() // |ladder| rows
+    graft.util.Pins.release(census)
+    val spark = docs.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** N-gram diversity per source (X92): distinct-n ratios (Li et al.,

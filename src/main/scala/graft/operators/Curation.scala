@@ -271,7 +271,11 @@ object Curation {
     * composition equivalence is unit-tested. Docs with fewer than 2
     * non-empty tokens have no bigrams and are omitted; determinism is the
     * lmScore discipline (round per-bigram, exact decimal sum, one
-    * division, subtraction of two already-rounded doubles). */
+    * division, subtraction of two already-rounded doubles).
+    *
+    * The two pinned count tables live as long as the returned frame: in a
+    * long-lived session, `graft.util.Pins.release(result)` after the last
+    * consumer has materialized (see [[graft.util.Pins]]). */
   def dsirWeights(docs: DataFrame, targetDocs: DataFrame, idCol: String,
       text: Column, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")

@@ -419,6 +419,10 @@ object Dedup {
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the pin backing the CURRENT `labels`; superseded pins are released
+    // each round (a deep component would otherwise hold every round's
+    // copy in the block manager at once — the round-7 accretion)
+    var pin = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -435,12 +439,19 @@ object Dedup {
         .localCheckpoint(true)
       converged = updated.filter(col("next") =!= col("label")).isEmpty
       labels = updated.select(col("id"), col("next").as("label"))
+      graft.util.Pins.release(pin) // previous round is dead once `updated` materialized
+      pin = updated
       i += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dedupGroups did not converge within $maxIter iterations - " +
           "labels are intermediate; raise maxIter for components with diameter > maxIter")
+    // the edge pin is unreachable from the returned frame (lineage cut by
+    // the per-round checkpoints); the result itself stays backed by the
+    // LAST round's pin — callers release it via Pins.release(result) when
+    // done (see graft.util.Pins)
+    graft.util.Pins.release(p)
     labels
   }
 

@@ -27,7 +27,11 @@ object Packing {
     * non-null. Ties in the order key would leave the relative order of the
     * tied rows to shuffle-fetch timing — their pack assignments would then
     * differ run to run, breaking reproducibility (the oracle can't catch
-    * this: its queries order by a unique id). */
+    * this: its queries order by a unique id).
+    *
+    * The pinned sorted layout lives as long as the returned frame: in a
+    * long-lived session, `graft.util.Pins.release(result)` after the last
+    * consumer has materialized (see [[graft.util.Pins]]). */
   def packAssignments(df: DataFrame, orderCol: String, tokenCountCol: String,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")

@@ -83,7 +83,11 @@ object Sessionize {
     * that partitioning, so k stages add zero further corpus shuffles.
     * The per-stage frames shrink monotonically (funnels narrow), and AQE
     * may broadcast them instead — either plan never re-shuffles the raw
-    * events. */
+    * events.
+    *
+    * The pinned event slice lives as long as the returned frame: in a
+    * long-lived session, `graft.util.Pins.release(result)` after the last
+    * consumer has materialized (see [[graft.util.Pins]]). */
   def funnel(events: DataFrame, user: Column, ts: Column, typeCol: Column,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -1,0 +1,51 @@
+package graft.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{ExternalRDD, LogicalRDD}
+import org.apache.spark.storage.StorageLevel
+
+/** Release discipline for eagerly `localCheckpoint(true)`-pinned working
+  * sets (the multi-consumer pattern used by dedup's CC rounds, the funnel
+  * event slice, the DSIR count tables, the packing layout).
+  *
+  * A pin is correct WITHIN one operator call — it stops multi-consumer
+  * plans from re-running their upstream subtree — but it outlives the
+  * call: the checkpointed RDD stays in the block manager until someone
+  * unpersists it. In a long-lived session (a notebook, a service, the
+  * bench harness) pins accrete across calls; round 7 measured
+  * otherwise-1-3s queries recording 15-50s once enough dead pins had
+  * piled up in one JVM.
+  *
+  * Contract: an operator that returns a frame BACKED by a pin (lineage
+  * cut, e.g. [[graft.operators.Dedup.dedupGroups]]) documents that the
+  * caller should `Pins.release(result)` once the result — and everything
+  * lazily derived from it — has been materialized. Operators release
+  * their own INTERNAL pins (superseded CC rounds, a census consumed
+  * before return) before returning. A released checkpoint RDD cannot be
+  * recomputed (its lineage is gone), so release is strictly
+  * after-last-use.
+  */
+object Pins {
+
+  /** Unpersist every persisted RDD reachable from `df`'s plan leaves —
+    * the checkpointed frame itself (a `LogicalRDD` leaf) and, for
+    * operators that drop to the RDD API over a pinned layout
+    * ([[graft.operators.Packing.packAssignments]]), persisted ANCESTORS
+    * in the leaf RDD's lineage. Safe to call more than once; a no-op on
+    * frames with no pinned state. Only the frame's OWN reachable pins are
+    * touched — a pin shared with a sibling frame (e.g. the funnel's event
+    * slice feeding several derived frames) is the caller's to sequence:
+    * release after the LAST consumer. */
+  def release(df: DataFrame): Unit = {
+    def free(r: RDD[_]): Unit = {
+      if (r.getStorageLevel != StorageLevel.NONE) r.unpersist(blocking = false)
+      r.dependencies.foreach(d => free(d.rdd))
+    }
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: LogicalRDD => free(l.rdd)
+      case e: ExternalRDD[_] => free(e.rdd)
+      case _ => ()
+    }
+  }
+}
