@@ -195,3 +195,85 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Dense ±1 sign projection of a float vector against a BROADCAST
+  * row-major matrix: out_j = round6( Σ_i v_i·m[j·inDim+i] / scale ),
+  * the codegen kernel behind [[graft.operators.Ann.jlProject]].
+  *
+  * The matrix rides in an `sc.broadcast` handle — NOT inlined literals:
+  * a 1024×256 projection as literal expression nodes is ~262k Catalyst
+  * nodes (analysis/codegen blow-up and a guaranteed codegen fall-off);
+  * as a broadcast it is one 2 MB block fetched once per executor, and
+  * the generated code is two tight primitive loops inside whole-stage
+  * codegen. The accumulation is the index-ordered sequential double
+  * fold and the rounding the BigDecimal HALF_UP grid — bit-identical to
+  * the literal-tree formulation and to the SQL oracle's list_sum.
+  *
+  * A vector shorter than `inDim` yields NULL (the literal tree produced
+  * an array of nulls; a whole-row null is the same "malformed input"
+  * signal without a containsNull element type). */
+case class JlProjectPacked(child: Expression,
+    mat: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    inDim: Int, outDim: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "jl_project"
+
+  private val scale: Double = math.sqrt(outDim.toDouble)
+  @transient private lazy val m: Array[Double] = mat.value
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < inDim) return null
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      val off = j * inDim
+      var i = 0
+      while (i < inDim) { acc += v.getFloat(i).toDouble * m(off + i); i += 1 }
+      out(j) = java.math.BigDecimal.valueOf(acc / scale)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcName = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef = ctx.addReferenceObj("jlMatBc", mat, bcName)
+    // fetch the broadcast ONCE per task, not per row
+    val matVar = ctx.addMutableState("double[]", "jlMat",
+      v => s"$v = (double[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val out = ctx.freshName("out")
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |if ($v.numElements() < $inDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    double $acc = 0.0;
+         |    int $off = $j * $inDim;
+         |    for (int $i = 0; $i < $inDim; $i++) {
+         |      $acc += (double) $v.getFloat($i) * $matVar[$off + $i];
+         |    }
+         |    $out[$j] = java.math.BigDecimal.valueOf($acc / $scale)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -280,19 +280,25 @@ object Ann {
     * exact-rerank the `candidates` survivors on the full vector. Both
     * stages plan as TakeOrderedAndProject and stage 1's per-row compute
     * is prefixDims/dim of a full scoring pass. NOTE on I/O: Parquet
-    * cannot prune array ELEMENTS, so slicing in the query still reads
-    * full vectors — to realize the byte savings at 100 TB, materialize
-    * the prefix ([[graft.functions.VectorFunctions.matryoshka]]) as its
-    * own stored column and point stage 1 at it (the binary_code /
-    * vector split the store already uses for the hamming funnel). */
+    * cannot prune array ELEMENTS, so slicing `vecCol` in the query
+    * still reads full vectors. To realize the byte savings at 100 TB,
+    * pass `prefixCol` pointing at a STORED prefix column — the store
+    * materializes one as `vector_prefix` when built with `prefixDims`
+    * ([[graft.sources.EmbeddingStore.withDerived]]) — and stage 1
+    * becomes a prefixDims/dim-sized scan that never touches `vecCol`
+    * (column pruning; plan-audited). The stored slice is raw, exactly
+    * what `slice(vecCol, 1, prefixDims)` computes, so results are
+    * identical either way. */
   def matryoshkaTopK(embs: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], prefixDims: Int, candidates: Int, k: Int): DataFrame = {
+      query: Array[Float], prefixDims: Int, candidates: Int, k: Int,
+      prefixCol: Option[String] = None): DataFrame = {
     require(prefixDims >= 1, s"prefixDims must be positive, got $prefixDims")
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val qp = lit(query.take(prefixDims)).cast(ArrayType(FloatType))
     val qf = lit(query).cast(ArrayType(FloatType))
+    val prefix = prefixCol.fold(slice(col(vecCol), 1, prefixDims))(col)
     val stage1 = embs
-      .select(col(idCol), vecCosine(slice(col(vecCol), 1, prefixDims), qp).as("prefix_cos"))
+      .select(col(idCol), vecCosine(prefix, qp).as("prefix_cos"))
       .orderBy(col("prefix_cos").desc, col(idCol).asc)
       .limit(candidates)
     stage1.join(embs.select(col(idCol), col(vecCol)), Seq(idCol))
@@ -417,23 +423,28 @@ object Ann {
     * The cheap first stage before IVF/PQ when the raw dim is large.
     *
     * The sign matrix is built DRIVER-side (outDim·inDim doubles — pure
-    * metadata) and inlined as literals: per-row work is a codegen'd
-    * index-ordered fold, bit-exact in any engine (the [[meanPool]]
-    * list-fold discipline), rounded to the 6-decimal output grid.
+    * metadata, [[jlSign]] stays the single source of truth) and shipped
+    * as ONE broadcast consumed by the codegen kernel
+    * [[graft.functions.JlProjectPacked]] — not inlined literals, which
+    * at realistic dims (1024→256 ≈ 262k expression nodes) blow up
+    * Catalyst analysis and fall off codegen. Per-row work is the same
+    * index-ordered double fold, rounded to the 6-decimal output grid.
     * Shuffle-free: a per-row map fused into whatever scan precedes it. */
   def jlProject(embs: DataFrame, vecCol: String, inDim: Int, outDim: Int,
       seed: String = "jl", out: String = "proj"): DataFrame = {
     require(inDim >= 1, s"inDim must be positive, got $inDim")
     require(outDim >= 1, s"outDim must be positive, got $outDim")
-    val scale = math.sqrt(outDim.toDouble)
-    val mat = array((0 until outDim).map { j =>
-      array((0 until inDim).map(i => lit(jlSign(seed, j, i))): _*)
-    }: _*)
-    embs.withColumn(out,
-      transform(sequence(lit(0), lit(outDim - 1)), j =>
-        round(aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0),
-          (acc, i) => acc + element_at(col(vecCol), i + 1).cast(DoubleType) *
-            element_at(element_at(mat, j + 1), i + 1)) / lit(scale), 6)))
+    val flat = new Array[Double](outDim * inDim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < inDim) { flat(j * inDim + i) = jlSign(seed, j, i); i += 1 }
+      j += 1
+    }
+    val bc = embs.sparkSession.sparkContext.broadcast(flat)
+    embs.withColumn(out, org.apache.spark.sql.GraftSql.column(
+      graft.functions.JlProjectPacked(
+        org.apache.spark.sql.GraftSql.expression(col(vecCol)), bc, inDim, outDim)))
   }
 
   /** ±1 from the parity of the 28-bit md5 base of `seed:j:i` — the

@@ -251,6 +251,37 @@ class AnnSuite extends AnyFunSuite {
     assert(proj("jl2") != proj("jl"), "a fresh seed should redraw the matrix")
   }
 
+  test("jlProject: realistic dims (1024->256) plan fast and match the jlSign fold") {
+    val rnd = new scala.util.Random(42)
+    val vec = Array.fill(1024)(rnd.nextFloat() * 2f - 1f)
+    val embs = Seq((1L, vec)).toDF("id", "vec")
+    // the old literal-matrix formulation built ~262k expression nodes here
+    // and stalled analysis/codegen; the broadcast kernel must plan quickly
+    val t0 = System.nanoTime()
+    val frame = Ann.jlProject(embs, "vec", inDim = 1024, outDim = 256)
+    frame.queryExecution.executedPlan // force analysis + physical planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(planSec < 15.0, f"planning took $planSec%.1fs — literal-tree regression?")
+    val got = frame.select("proj").head().getSeq[Double](0)
+    assert(got.length == 256)
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scale = math.sqrt(256.0)
+    Seq(0, 17, 255).foreach { j =>
+      var acc = 0.0
+      (0 until 1024).foreach(i => acc += vec(i).toDouble * Ann.jlSign("jl", j, i))
+      assert(got(j) == r6(acc / scale), s"dim $j mismatch")
+    }
+  }
+
+  test("jlProject: a vector shorter than inDim yields null, not garbage") {
+    val embs = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "vec")
+    val got = Ann.jlProject(embs, "vec", inDim = 3, outDim = 2)
+      .orderBy("id").select("proj").collect()
+    assert(got(0).isNullAt(0), "short vector must project to null")
+    assert(!got(1).isNullAt(0))
+  }
+
   test("hardNegatives: same-group twins excluded, cross-group ranked by cosine") {
     val e = Seq(
       (1L, "g1", Array(1f, 0f)),
