@@ -32,7 +32,9 @@ import graft.util.DenseIds
   *    store works on HDFS/S3A/local alike (rename is atomic on HDFS and
   *    local; on S3A the swap degrades to copy-and-delete but stays correct).
   */
-final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 64) {
+final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 64,
+    prefixDims: Option[Int] = None) {
+  require(prefixDims.forall(_ >= 1), s"prefixDims must be positive, got $prefixDims")
   import spark.implicits._
 
   private def bucketOf(c: Column) = pmod(hash(c), lit(numBuckets))
@@ -41,18 +43,29 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Derive the reference's materialized columns on a raw
-    * `(post_id, sequence_no, vector, vector_type)` frame. */
+    * `(post_id, sequence_no, vector, vector_type)` frame. With
+    * `prefixDims` set, also materializes `vector_prefix` — the raw
+    * first-k slice backing the matryoshka stage-1 index
+    * ([[graft.operators.Ann.matryoshkaTopK]]): Parquet cannot prune
+    * array ELEMENTS, so slicing the full `vector` in a query still
+    * reads every float; a separate stored column is what turns the
+    * prefix ranking into a k/dim-sized I/O pass at 100 TB (the same
+    * split the store already does for `binary_code`). Raw slice, not
+    * re-normalized: cosine normalizes per-pair, so ranking is identical
+    * and the column stays update-free if dims are re-chosen. */
   def withDerived(raw: DataFrame): DataFrame = {
     val withCreated =
       if (raw.columns.contains("created_at")) raw
       else raw.withColumn("created_at", lit(null).cast(TimestampType))
-    withCreated
+    val derived = withCreated
       .withColumn("vector", col("vector").cast(ArrayType(FloatType)))
       .withColumn("magnitude", vecMagnitude(col("vector")))
       .withColumn("normalized_vector", vecNormalize(col("vector")))
       .withColumn("binary_code", packSignBits(col("vector")))
       .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
       .withColumn("updated_at", current_timestamp())
+    prefixDims.fold(derived)(d =>
+      derived.withColumn("vector_prefix", slice(col("vector"), 1, d)))
   }
 
   /** Assign `id`s at ingest: AUTO_INCREMENT (`src/VectorTable.php:470`) has

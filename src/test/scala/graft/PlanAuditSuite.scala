@@ -363,11 +363,39 @@ class PlanAuditSuite extends AnyFunSuite {
       s"all gram orders must explode from one staged scan:\n$p")
   }
 
-  test("jl projection: shuffle-free per-row map, matrix inlined as literals (X95)") {
+  test("jl projection: shuffle-free per-row map, matrix broadcast not inlined (X95)") {
     val frame = operators.Ann.jlProject(
       spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", 64, 16)
     val p = prepPlan(frame)
     assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(p.contains("jl_project"), s"expected the broadcast codegen kernel:\n$p")
+  }
+
+  test("matryoshka stage 1 over a stored prefix column never reads the full vector (X61)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl_audit").toString
+    val store = new sources.EmbeddingStore(spark, s"$dir/emb", numBuckets = 4,
+      prefixDims = Some(2))
+    store.bulkLoad(
+      spark.range(1, 33).select(col("id").as("post_id"), lit(0).as("sequence_no"),
+        org.apache.spark.sql.functions.array(
+          (col("id") % 7).cast("float"), (col("id") % 5).cast("float"),
+          (col("id") % 3).cast("float"), (col("id") % 2).cast("float")).as("vector"),
+        lit("m").as("vector_type")))
+    val frame = operators.Ann.matryoshkaTopK(store.read(), "id", "vector",
+      Array(1f, 2f, 3f, 4f), prefixDims = 2, candidates = 8, k = 4,
+      prefixCol = Some("vector_prefix"))
+    val metas = frame.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s.metadata("ReadSchema") }
+    // stage 1: (id, vector_prefix) only; rerank: the full vector
+    assert(metas.exists(m => m.contains("vector_prefix") && !m.contains("vector:")),
+      s"stage-1 scan must prune the full vector column:\n${metas.mkString("\n")}")
+    assert(metas.exists(_.contains("vector:")),
+      s"the rerank stage still needs the full vector:\n${metas.mkString("\n")}")
+    // and the prefix path returns the same rows as the slice path
+    val viaSlice = operators.Ann.matryoshkaTopK(store.read(), "id", "vector",
+      Array(1f, 2f, 3f, 4f), 2, 8, 4).collect().toSeq
+    assert(frame.collect().toSeq == viaSlice, "stored prefix changed the results")
   }
 
   test("coverage histogram: bucket equi-join, never a cartesian product (X98)") {

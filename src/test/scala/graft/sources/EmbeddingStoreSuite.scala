@@ -55,6 +55,18 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(math.abs(math.sqrt(nv.map(x => x * x).sum) - 1.0) < 1e-6)
   }
 
+  test("prefixDims materializes vector_prefix at write and through upserts") {
+    val dir = Files.createTempDirectory("graft_store_prefix").toString
+    val store = new EmbeddingStore(spark, s"$dir/emb", numBuckets, prefixDims = Some(2))
+    store.bulkLoad(raw((1L, 0, Seq(1f, -2f, 3f)), (2L, 0, Seq(-1f, -1f, 4f))))
+    def prefixes = store.read().select("post_id", "vector_prefix").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(prefixes == Map(1L -> Seq(1f, -2f), 2L -> Seq(-1f, -1f)), s"got $prefixes")
+    // an upsert rewrite must re-derive the prefix for changed rows
+    store.upsert(raw((1L, 0, Seq(9f, 8f, 7f))))
+    assert(prefixes == Map(1L -> Seq(9f, 8f), 2L -> Seq(-1f, -1f)), s"got $prefixes")
+  }
+
   test("S1: getAll honors the reference's export cap and the uncapped variant") {
     val (store, _) = freshStore()
     assert(store.getAll(Some(3)).count() == 3)
