@@ -696,6 +696,21 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
     // ---- streaming-shaped (windowed aggregation over event time) ----
+    "q149_queue_window" -> ((s, d) =>
+      // X24 queue windowed stats THROUGH the streaming operator itself:
+      // in batch execution EliminateEventTimeWatermark drops the watermark
+      // node and the aggregation is the streaming plan's — the oracle gates
+      // the window/grouping/sum semantics; the watermark lateness contract
+      // is pinned by QueueStreamSuite's MemoryStream test against this
+      // same batch result
+      graft.streaming.QueueStream.windowedStats(
+        events(s, d).select(col("event_id").as("job_id"),
+          col("event_type").as("status"), col("ts").as("end_time"),
+          (col("event_id") % 5 + 1).cast(LongType).as("chunk_count")),
+        "5 minutes", "10 minutes")
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("status"), col("n_jobs"), col("n_chunks"))
+        .orderBy(col("bucket_start"), col("status"))),
     "q51_event_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2369,6 +2384,11 @@ object SparkEntry {
          SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
            CAST(length(scrubbed) AS INT) AS scrubbed_len
          FROM s ORDER BY doc_id""",
+    "q149_queue_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
+         event_type AS status, COUNT(*) AS n_jobs,
+         CAST(SUM(event_id % 5 + 1) AS BIGINT) AS n_chunks
+         FROM events GROUP BY bucket_start, status ORDER BY bucket_start, status""",
     "q51_event_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
          event_type, COUNT(*) AS n,

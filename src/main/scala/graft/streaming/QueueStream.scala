@@ -72,7 +72,16 @@ object QueueStream {
 
   /** Event-time windowed throughput stats over a stream of queue
     * completions — watermarked tumbling windows (the idiomatic Spark
-    * replacement for the reference's polled stats endpoint). */
+    * replacement for the reference's polled stats endpoint).
+    *
+    * Works on batch frames too: batch execution eliminates the watermark
+    * node (Catalyst's EliminateEventTimeWatermark), leaving exactly the
+    * windowed aggregation — which is how q149 puts this operator's
+    * window/grouping/sum semantics under the DuckDB oracle. The
+    * streaming-only part of the contract (rows later than `watermark`
+    * behind the max seen event time are dropped; in-bound late rows
+    * amend their window) is pinned by QueueStreamSuite's MemoryStream
+    * tests, including stream-vs-batch parity on in-bound data. */
   def windowedStats(completions: DataFrame, window_ : String = "5 minutes",
       watermark: String = "10 minutes"): DataFrame =
     completions

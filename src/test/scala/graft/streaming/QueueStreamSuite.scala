@@ -140,6 +140,44 @@ class QueueStreamSuite extends AnyFunSuite {
     }
   }
 
+  test("windowedStats: a real stream of in-bound rows equals the batch run (q149 contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, "completed", ts("2026-01-10 12:01:00"), 2),
+      (2L, "completed", ts("2026-01-10 12:02:00"), 3),
+      (3L, "failed", ts("2026-01-10 12:30:00"), 1))
+    val input = MemoryStream[(Long, String, Timestamp, Int)]
+    val query = QueueStream.windowedStats(
+        input.toDF().toDF("job_id", "status", "end_time", "chunk_count"),
+        "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("graft_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // push event time far enough that every window above is emitted
+      input.addData((99L, "completed", ts("2026-01-10 15:00:00"), 1))
+      query.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window.start").cast("string"), col("status"),
+          col("n_jobs"), col("n_chunks"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val streamed = shape(spark.table("graft_parity")
+        .filter(col("window.start") < ts("2026-01-10 15:00:00")))
+      val batch = shape(QueueStream.windowedStats(
+        rows.toDF("job_id", "status", "end_time", "chunk_count"),
+        "5 minutes", "10 minutes"))
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_parity")
+    }
+  }
+
   test("windowedStats groups completions into event-time windows") {
     val completions = Seq(
       (1L, "completed", Timestamp.valueOf("2026-01-10 12:01:00"), 2),
