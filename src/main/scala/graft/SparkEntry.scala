@@ -658,6 +658,22 @@ object SparkEntry {
             size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
         "doc_id", "n_tokens", capacity = 2048L)
         .orderBy(col("doc_id"))),
+    "q150_pack_slices" -> ((s, d) =>
+      // X109 per-pack cut list: doc-local [tok_start, tok_end) per pack a
+      // doc touches — the loader-facing expansion of q64's boundaries
+      Packing.packSlices(
+        Packing.packAssignments(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+          "doc_id", "n_tokens", capacity = 2048L),
+        "doc_id", "n_tokens", capacity = 2048L)
+        .orderBy(col("doc_id"), col("pack_id"))),
+    "q151_oov_rate" -> ((s, d) =>
+      // X110 per-doc OOV rate vs the corpus's own top-50 vocabulary
+      CorpusStats.oovRate(t(s, d, "documents"), "doc_id", col("text"),
+        vocabSize = 50)
+        .orderBy(col("doc_id"))),
     "q65_repetition" -> ((s, d) =>
       // Gopher-style repetition quality signals, per-row (no shuffle)
       TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", col("text"), n = 3)
@@ -2483,6 +2499,32 @@ object SparkEntry {
            CASE WHEN n_tokens > 0 THEN (tokens_before + n_tokens - 1) // 2048
                 ELSE tokens_before // 2048 END AS pack_last
          FROM cum ORDER BY doc_id""",
+    "q150_pack_slices" ->
+      s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         cum AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM tc),
+         a AS (SELECT doc_id, n_tokens, tokens_before,
+           tokens_before // 2048 AS p0,
+           (tokens_before + n_tokens - 1) // 2048 AS p1
+           FROM cum WHERE n_tokens > 0)
+         SELECT doc_id, CAST(u.p AS BIGINT) AS pack_id,
+           GREATEST(CAST(0 AS BIGINT), u.p * 2048 - tokens_before) AS tok_start,
+           LEAST(n_tokens, (u.p + 1) * 2048 - tokens_before) AS tok_end
+         FROM a, UNNEST(range(p0, p1 + 1)) AS u(p)
+         ORDER BY doc_id, pack_id""",
+    "q151_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         nz AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+         census AS (SELECT tok, COUNT(*) AS n FROM nz GROUP BY tok),
+         vocab AS (SELECT tok FROM census ORDER BY n DESC, tok ASC LIMIT 50)
+         SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+         FROM nz t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q65_repetition" -> {
       val shSql = shingle3Sql
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks, $shSql AS sh FROM documents)

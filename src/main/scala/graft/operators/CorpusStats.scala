@@ -263,4 +263,40 @@ object CorpusStats {
       .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6).as("distinct_ratio"))
   }
+
+  /** Per-document OOV rate against the corpus's own top-`vocabSize`
+    * vocabulary (X110): the per-doc complement of [[vocabCoverage]]'s
+    * corpus curve — the curve sizes the tokenizer, THIS finds the
+    * documents the chosen vocabulary fails (code in a prose corpus,
+    * foreign-language strays, OCR noise), the filter/reroute signal a
+    * fixed-vocab training run needs. Emits (doc_id, n_tokens, n_oov,
+    * oov_rate); docs with no non-empty tokens emit nothing. Ties at the
+    * vocabulary boundary break lexically (the [[vocabCoverage]] rule),
+    * so the cut is deterministic and oracle-checkable.
+    *
+    * Scale shape: two corpus passes by construction (the vocabulary
+    * must exist before membership can be tested) — a map-side-combined
+    * census collapsed to a vocabSize TakeOrdered heap, then one
+    * tokenize+BROADCAST-join pass (the vocab is bounded by `vocabSize`,
+    * never corpus-sized) with the per-doc aggregate on the same
+    * generate; raw text never shuffles in either pass. */
+  def oovRate(docs: DataFrame, idCol: String, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    def toks(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__iv"))
+    toks(docs)
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("oov_rate"))
+  }
 }

@@ -78,4 +78,32 @@ object Packing {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** The per-pack CUT LIST from [[packAssignments]]'s boundaries (X109):
+    * one row per (document, pack it touches) with the doc-LOCAL token
+    * range [tok_start, tok_end) that lands in that pack — what a data
+    * loader actually consumes: `pack_last > pack_id` told it a doc spans
+    * a boundary; this says exactly where to cut. Zero-token docs emit no
+    * slices (nothing to pack).
+    *
+    * Invariants (suite-pinned): per doc, the slices tile [0, n_tokens)
+    * exactly; per pack, slice lengths sum to `capacity` (except the final
+    * pack's remainder). Pure integer arithmetic on the assignment row —
+    * deterministic, oracle-checkable.
+    *
+    * Scale shape: NO new exchange — a per-row generate over the
+    * assignment frame, fan-out bounded by packs-touched (n_tokens /
+    * capacity + 1 rows per doc), all columns codegen arithmetic. */
+  def packSlices(assignments: DataFrame, orderCol: String, tokenCountCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    assignments
+      .filter(col(tokenCountCol) > 0)
+      .select(col(orderCol), col(tokenCountCol), col("tokens_before"),
+        explode(sequence(col("pack_id"), col("pack_last"))).as("__p"))
+      .select(col(orderCol), col("__p").as("pack_id"),
+        greatest(lit(0L), col("__p") * capacity - col("tokens_before")).as("tok_start"),
+        least(col(tokenCountCol),
+          (col("__p") + 1) * capacity - col("tokens_before")).as("tok_end"))
+  }
 }

@@ -398,6 +398,28 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(frame.collect().toSeq == viaSlice, "stored prefix changed the results")
   }
 
+  test("pack slices: per-row generate over the assignment frame, no new exchange (X109)") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val asg = operators.Packing.packAssignments(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"),
+          asize(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 2048L)
+    val p = prepPlan(operators.Packing.packSlices(asg, "doc_id", "n_tokens", 2048L))
+    assert(!p.contains("Exchange"),
+      s"the cut-list expansion must not add an exchange:\n$p")
+  }
+
+  test("oov rate: vocab rides a broadcast join, corpus side never sort-merges (X110)") {
+    import org.apache.spark.sql.functions.col
+    val frame = operators.CorpusStats.oovRate(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", col("text"), 50)
+    val p = prepPlan(frame)
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized shuffle join defeats the bounded-vocab design:\n$p")
+  }
+
   test("coverage histogram: bucket equi-join, never a cartesian product (X98)") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -123,6 +123,19 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(merged === whole, "sketch of the union must equal cell-wise sum of shard sketches")
   }
 
+  test("oovRate: hand-computed rates, lexical tie-break at the vocab cut, empty doc omitted") {
+    // census: a=3 b=3 c=1 -> top-2 by (n desc, tok asc) = {a, b}
+    val docs = Seq((1L, "a a b c"), (2L, "b b a"), (3L, "   ")).toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, "doc_id", $"text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 0L, 0.0)), s"got ${got.toSeq}")
+    // boundary tie: with vocabSize=1, 'a' wins over 'b' lexically at n=3
+    val one = CorpusStats.oovRate(docs, "doc_id", $"text", vocabSize = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(one.toSeq == Seq((1L, 2L), (2L, 2L)), s"got ${one.toSeq}")
+  }
+
   test("vocabCoverage: hand-counted ladder, lexical tie-break, ladder beyond vocab covers all") {
     val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val got = CorpusStats.vocabCoverage(docs, $"text", ladder = Seq(1, 2, 10))

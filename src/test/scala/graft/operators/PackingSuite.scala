@@ -58,6 +58,55 @@ class PackingSuite extends AnyFunSuite {
     assert(running == counts.map(_._2).sum)
   }
 
+  test("packSlices: hand-computed cut list; spanning docs cut at pack boundaries") {
+    // capacity 10; counts 4,8,0,25 -> before 0,4,12,12
+    // d1: pack0 [0,4) | d2: pack0 [0,6) pack1 [6,8) | d3: none
+    // d4 (before 12): pack1 [0,8) pack2 [8,18) pack3 [18,25)
+    val asg = Packing.packAssignments(
+      Seq((1L, 4L), (2L, 8L), (3L, 0L), (4L, 25L)).toDF("doc_id", "n_tokens"),
+      "doc_id", "n_tokens", 10L)
+    val got = Packing.packSlices(asg, "doc_id", "n_tokens", 10L)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 6L), (2L, 1L, 6L, 8L),
+      (4L, 1L, 0L, 8L), (4L, 2L, 8L, 18L), (4L, 3L, 18L, 25L)), s"got ${got.toSeq}")
+  }
+
+  test("packSlices property: slices tile every doc; packs fill to capacity") {
+    val rnd = new scala.util.Random(77)
+    val counts = (1L to 60L).map(id => (id, rnd.nextInt(250).toLong))
+    val cap = 100L
+    val asg = Packing.packAssignments(
+      counts.toDF("doc_id", "n_tokens").repartition(7), "doc_id", "n_tokens", cap)
+    val slices = Packing.packSlices(asg, "doc_id", "n_tokens", cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per doc: ranges are contiguous from 0 to n_tokens
+    val byDoc = slices.groupBy(_._1)
+    counts.foreach { case (id, n) =>
+      val rs = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(rs.isEmpty, s"doc $id: zero tokens must emit no slices")
+      else {
+        assert(rs.head._3 == 0L && rs.last._4 == n, s"doc $id: ends wrong")
+        rs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4 == b._3, s"doc $id: gap between slices")
+            assert(a._2 + 1 == b._2, s"doc $id: non-adjacent packs")
+          case _ => ()
+        }
+      }
+    }
+    // per pack: total sliced tokens == capacity for all but the last pack
+    val byPack = slices.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastPack = byPack.keys.max
+    byPack.foreach { case (p, tot) =>
+      if (p < lastPack) assert(tot == cap, s"pack $p holds $tot != $cap")
+      else assert(tot <= cap, s"final pack overfull: $tot")
+    }
+  }
+
   test("null token counts fail with a clear message, not an opaque NPE") {
     val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tokens")
     val e = intercept[org.apache.spark.SparkException] {
