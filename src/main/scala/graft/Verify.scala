@@ -40,6 +40,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same cross-query hygiene as Bench.release: operators pin eager
+      // localCheckpoints that would otherwise accrete across ~150 queries
+      // in this one JVM (the round-7 bench contamination mechanism)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
