@@ -77,4 +77,27 @@ class VectorFunctionsSuite extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
+
+  test("every custom kernel survives CODEGEN_ONLY — no silent interpreted fallback") {
+    // FALLBACK (the default) quietly interprets an expression whose
+    // generated Java fails to compile; forcing CODEGEN_ONLY turns a broken
+    // doGenCode into a hard failure here instead of a latent perf cliff
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = df.limit(5)
+        .select($"id", vecDot($"v", $"v").as("dot"),
+          packSignBits($"v").as("bits"),
+          simHash64(transform($"v", x => xxhash64(x))).as("sh"))
+        .withColumn("ham", hammingDist($"bits", $"bits"))
+        .collect()
+      assert(out.length == 5 && out.forall(_.getInt(4) == 0))
+      val proj = graft.operators.Ann.jlProject(df.limit(3), "v", dim, 4)
+        .select("proj").collect()
+      assert(proj.forall(_.getSeq[Double](0).length == 4))
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }
