@@ -410,6 +410,17 @@ object SparkEntry {
         n = 5, builder = builder)
         .select(col("id"), col("hamming_distance"), col("cosine_similarity"))
     }),
+    "q152_search_posts" -> ((s, d) => {
+      // X111 post-level retrieval: chunks remapped many-to-one onto posts
+      // (post_id = id % 50) so the per-post best-chunk aggregation is
+      // actually exercised — the 1:1 test mapping would make it identity
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SearchEngine.searchPosts(
+        embStore(s, d).withColumn("post_id", col("id") % 50),
+        docsAsPosts(s, d), docsAsMeta(s, d), q, nPosts = 5)
+        .orderBy(col("cosine_similarity").desc, col("post_id").asc)
+    }),
     "q38_search_sorted" -> ((s, d) => {
       // q37 with a stage-4 attribute sort (VectorTable.php:195-227,
       // SearchEngine stage 4): meta n_chars AsDecimal desc. Order is
@@ -1720,6 +1731,32 @@ object SparkEntry {
          top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25)
          SELECT id, hamming_distance, cosine_similarity FROM top_cos
          ORDER BY cosine_similarity DESC, id ASC LIMIT 5""",
+    "q152_search_posts" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT e.vec_id AS id, e.vec_id % 50 AS post_id, e.embedding
+           FROM embeddings e),
+         ham AS (SELECT c.id, c.post_id, c.embedding,
+             CAST((SELECT COUNT(*) FROM q, LATERAL (SELECT unnest(c.embedding) AS x, unnest(q.qv) AS y) z
+               WHERE (z.x > 0) <> (z.y > 0)) AS INT) AS hamming_distance
+           FROM cand c),
+         top_ham AS (SELECT * FROM ham ORDER BY hamming_distance ASC, id ASC LIMIT 250),
+         cos AS (SELECT t.id, t.post_id, t.hamming_distance,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                FROM q, LATERAL (SELECT unnest(t.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(t.embedding) AS t2(x)))
+              * (SELECT qmag FROM q) + 1e-12) AS cosine_similarity
+           FROM top_ham t),
+         top_cos AS (SELECT * FROM cos ORDER BY cosine_similarity DESC, id ASC LIMIT 125),
+         pool AS (SELECT * FROM top_cos ORDER BY cosine_similarity DESC, id ASC LIMIT 25),
+         best AS (SELECT post_id, id, hamming_distance, cosine_similarity,
+             ROW_NUMBER() OVER (PARTITION BY post_id
+               ORDER BY cosine_similarity DESC, id ASC) AS rk
+           FROM pool)
+         SELECT post_id, id AS best_chunk_id, hamming_distance, cosine_similarity
+         FROM best WHERE rk = 1
+         ORDER BY cosine_similarity DESC, post_id ASC LIMIT 5""",
     "q38_search_sorted" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag

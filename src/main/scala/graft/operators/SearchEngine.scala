@@ -127,6 +127,50 @@ object SearchEngine {
     sorted.limit(n)
   }
 
+  /** Post-level retrieval (X111): the flagship chunk funnel aggregated to
+    * DOCUMENTS — the RAG-facing contract. [[search]] returns chunk hits
+    * (`sequence_no` rows, the reference's per-row matches,
+    * `src/VectorTable.php:468,472`); callers retrieving "the n most
+    * relevant posts" must dedup by `post_id` themselves — THIS operator
+    * does it engine-side: best chunk per post by (cosine desc, id asc),
+    * posts ranked by their best chunk, each post counted once however
+    * many of its chunks survive the funnel.
+    *
+    * The chunk pool is [[search]]'s stage-3 output at n = poolFactor·
+    * nPosts; a corpus whose top posts carry MANY strong chunks each may
+    * need a larger poolFactor to fill all nPosts slots (the pool is the
+    * determinism boundary, same class as the staged limits T8). Builder
+    * FILTERS compose (they scope the funnel); attribute sorts do not —
+    * post relevance IS the output order here — and are rejected.
+    *
+    * Scale shape: everything after the funnel runs on ≤ poolFactor·
+    * nPosts rows — one tiny window + TakeOrdered; no new corpus cost. */
+  def searchPosts(
+      embeddings: DataFrame,
+      posts: DataFrame,
+      postmeta: DataFrame,
+      queryVec: Array[Float],
+      nPosts: Int = 5,
+      builder: QueryBuilder = QueryBuilder(),
+      cfg: SearchConfig = SearchConfig(),
+      poolFactor: Int = 5): DataFrame = {
+    require(nPosts > 0, s"nPosts must be positive, got $nPosts")
+    require(poolFactor > 0, s"poolFactor must be positive, got $poolFactor")
+    require(!builder.hasSorts,
+      "searchPosts ranks posts by relevance; attribute sorts do not compose")
+    val pool = search(embeddings, posts, postmeta, queryVec,
+      n = poolFactor * nPosts, builder, cfg)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("post_id"))
+      .orderBy(col("cosine_similarity").desc, col("id").asc)
+    pool
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("post_id"), col("id").as("best_chunk_id"),
+        col("hamming_distance"), col("cosine_similarity"))
+      .orderBy(col("cosine_similarity").desc, col("post_id").asc)
+      .limit(nPosts)
+  }
+
   /** The flagship two-phase pipeline (stages 0+2+3 and the default
     * cosine-descending output contract) as a PURE SQL string over the
     * registered kernels (`pack_sign_bits` / `hamming_dist` / `vec_dot`) —

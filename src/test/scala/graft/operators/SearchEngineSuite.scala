@@ -115,6 +115,33 @@ class SearchEngineSuite extends AnyFunSuite {
     }
   }
 
+  test("searchPosts: chunks collapse to posts, best chunk wins, each post once") {
+    // pair chunks onto posts: ids (1,2)->post 1, (3,4)->2, (5,6)->3, (7,8)->4
+    val byPost = embs.withColumn("post_id", ((col("id") + 1) / 2).cast("long"))
+    val got = SearchEngine.searchPosts(byPost, posts, meta, query, nPosts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent model: cosine per chunk, best chunk per post, top posts
+    def cosL(v: Array[Float]) = {
+      val dot = v.zip(query).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+      val mv = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val mq = math.sqrt(query.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      dot / (mv * mq + 1e-12)
+    }
+    val expect = vecs.map { case (id, v) => ((id + 1) / 2, id, cosL(v)) }
+      .groupBy(_._1).view.mapValues(_.minBy(x => (-x._3, x._2))).values.toSeq
+      .sortBy(x => (-x._3, x._1)).take(3).map(x => (x._1, x._2))
+    assert(got.toSeq == expect, s"got ${got.toSeq} want $expect")
+    assert(got.map(_._1).distinct.length == got.length, "a post appeared twice")
+  }
+
+  test("searchPosts rejects attribute sorts — post relevance is the output order") {
+    val qb = QueryBuilder().withSort(graft.query.Sort("views", SortDir.Desc, None))
+    val e = intercept[IllegalArgumentException] {
+      SearchEngine.searchPosts(embs, posts, meta, query, nPosts = 2, builder = qb)
+    }
+    assert(e.getMessage.contains("sorts"))
+  }
+
   test("searchSqlText: the pure-SQL recipe is value-identical to search() on the fixtures") {
     graft.functions.GraftFunctions.register(spark)
     embs.createOrReplaceTempView("graft_search_sql_embs")
