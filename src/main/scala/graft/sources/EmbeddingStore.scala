@@ -42,6 +42,47 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   private def fs: FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- store metadata ----------------------------------------------------
+  // prefixDims must SURVIVE the handle: a store written with a prefix and
+  // later reopened without the parameter would silently drop
+  // `vector_prefix` from every rewritten bucket (and keep it on untouched
+  // ones — a split-schema store). The dims are persisted in a one-line
+  // metadata file at the store root on first load and read back as the
+  // default; an explicit constructor value must agree with the stored one.
+  private val metaPath = new Path(path, "_graft_meta")
+
+  private def readStoredPrefixDims(): Option[Int] =
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      try {
+        val txt = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        "\"prefixDims\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } finally in.close()
+    }
+
+  private def writeMeta(dims: Int): Unit = {
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"prefixDims": $dims}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Constructor value if given (validated against disk), else whatever a
+    * previous handle persisted. Evaluated lazily so a store handle can be
+    * built before the directory exists. */
+  private lazy val effectivePrefixDims: Option[Int] = {
+    val stored = readStoredPrefixDims()
+    (prefixDims, stored) match {
+      case (Some(p), Some(s)) =>
+        require(p == s, s"store at $path was built with prefixDims=$s, got $p " +
+          "(re-derive the column explicitly rather than splitting the schema)")
+        Some(p)
+      case (Some(p), None) => Some(p)
+      case (None, s) => s
+    }
+  }
+
   /** Derive the reference's materialized columns on a raw
     * `(post_id, sequence_no, vector, vector_type)` frame. With
     * `prefixDims` set, also materializes `vector_prefix` — the raw
@@ -64,7 +105,7 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
       .withColumn("binary_code", packSignBits(col("vector")))
       .withColumn("created_at", coalesce(col("created_at"), current_timestamp()))
       .withColumn("updated_at", current_timestamp())
-    prefixDims.fold(derived)(d =>
+    effectivePrefixDims.fold(derived)(d =>
       derived.withColumn("vector_prefix", slice(col("vector"), 1, d)))
   }
 
@@ -247,6 +288,7 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     val df = assignIds(withDerived(raw))
       .withColumn("bucket", bucketOf(col("post_id")))
     df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    effectivePrefixDims.foreach(writeMeta)
   }
 
   /** Materialize a mutation set to a staging dir inside the store before
@@ -277,6 +319,10 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
       out.write.mode("overwrite").parquet(tmp)
       atomicSwap(new Path(tmp), new Path(dir))
     }
+    // persist the prefix setting on stores that predate it (bulkLoad wrote
+    // it for fresh stores) so LATER handles without the parameter keep
+    // deriving the column instead of splitting the schema
+    effectivePrefixDims.filter(_ => !fs.exists(metaPath)).foreach(writeMeta)
   }
 
   /** Dot-prefixed backup path: hidden files/dirs are skipped by Spark's

@@ -67,6 +67,25 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(prefixes == Map(1L -> Seq(9f, 8f), 2L -> Seq(-1f, -1f)), s"got $prefixes")
   }
 
+  test("prefixDims survives the store handle: a prefix-less reopen keeps deriving it") {
+    val dir = Files.createTempDirectory("graft_store_prefix_meta").toString
+    new EmbeddingStore(spark, s"$dir/emb", numBuckets, prefixDims = Some(2))
+      .bulkLoad(raw((1L, 0, Seq(1f, -2f, 3f)), (2L, 0, Seq(-1f, -1f, 4f))))
+    // reopen WITHOUT the parameter — the persisted metadata must win, or a
+    // rewrite would drop vector_prefix from touched buckets only
+    val reopened = new EmbeddingStore(spark, s"$dir/emb", numBuckets)
+    reopened.upsert(raw((1L, 0, Seq(9f, 8f, 7f))))
+    val prefixes = reopened.read().select("post_id", "vector_prefix").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(prefixes == Map(1L -> Seq(9f, 8f), 2L -> Seq(-1f, -1f)), s"got $prefixes")
+    // a CONFLICTING explicit value must fail loudly, not split the schema
+    val e = intercept[IllegalArgumentException] {
+      new EmbeddingStore(spark, s"$dir/emb", numBuckets, prefixDims = Some(3))
+        .upsert(raw((2L, 0, Seq(5f, 5f, 5f))))
+    }
+    assert(e.getMessage.contains("prefixDims"))
+  }
+
   test("S1: getAll honors the reference's export cap and the uncapped variant") {
     val (store, _) = freshStore()
     assert(store.getAll(Some(3)).count() == 3)
