@@ -567,7 +567,7 @@ object TextAnalysis {
       // on exactly the long documents this operator targets)
       .withColumn("__maxrun",
         aggregate(array_sort(col("__toks")),
-          struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          struct(lit("\u0000").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
           (acc, t) => {
             val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
               .otherwise(lit(1L))
