@@ -583,6 +583,23 @@ object SparkEntry {
       Ann.lloydIter(t(s, d, "embeddings"), "embedding", cents)
         .orderBy(col("cid"), col("dim"))
     }),
+    "q153_ivf_index" -> ((s, d) => {
+      // X112 persisted IVF: same centroids/query/nprobe as q59, but the
+      // probe runs against the partitioned on-disk index — results must be
+      // bit-identical to the in-memory path (the index is pure I/O)
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", cents)
+      idx.search(qv, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q59_ivf_topk" -> ((s, d) => {
       // end-to-end IVF search: fixed centroids, nprobe=2 of 4 lists, exact
       // cosine top-10 inside the probed lists only
@@ -2466,6 +2483,32 @@ object SparkEntry {
                     AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
          FROM assign a, LATERAL UNNEST(range(len(a.embedding))) AS t(i)
          GROUP BY a.cid, dim ORDER BY a.cid, dim""",
+    "q153_ivf_index" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 5),
+         probes AS (SELECT c.ccid FROM cents c, q
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                    c.ccid ASC
+           LIMIT 2),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         scored AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM embeddings e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes))
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+         ORDER BY c DESC, vec_id ASC LIMIT 10""",
     "q59_ivf_topk" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,

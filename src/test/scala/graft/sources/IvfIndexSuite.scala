@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Ann
+
+/** The persisted IVF index must be a pure I/O optimization: identical
+  * results to the in-memory probe path, with the probe set reaching the
+  * file listing as partition filters. */
+class IvfIndexSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs: Seq[(Long, Array[Float])] =
+    (1L to 64L).map(i => i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+  private lazy val embs = vecs.toDF("vec_id", "embedding")
+  private lazy val cents: Seq[Array[Float]] = vecs.take(4).map(_._2)
+  private val query: Array[Float] = Array.fill(8)(0.5f)
+
+  private def freshIndex(): IvfIndex = {
+    val dir = Files.createTempDirectory("graft_ivf_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    idx
+  }
+
+  test("stored centroids round-trip in cid order") {
+    val got = freshIndex().centroids()
+    assert(got.size == cents.size)
+    got.zip(cents).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
+  test("index search is bit-identical to the in-memory ivfTopK path") {
+    val idx = freshIndex()
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val viaIndex = idx.search(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inMemory = Ann.ivfTopK(Ann.ivfAssign(embs, "embedding", cents),
+          "vec_id", "embedding", cents, query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIndex == inMemory, s"diverged at nprobe=$nprobe k=$k")
+    }
+  }
+
+  test("the probe set reaches the scan as partition filters — pruned I/O") {
+    val frame = freshIndex().search(query, k = 5, nprobe = 1)
+    val scans = frame.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val listScan = scans.find(_.metadata("Location").contains("lists"))
+      .getOrElse(fail(s"no lists scan in:\n${frame.queryExecution.sparkPlan}"))
+    val pf = listScan.metadata("PartitionFilters")
+    assert(pf.contains("ivf_list"),
+      s"probe must prune at the partition level, got PartitionFilters=$pf")
+    // nprobe=1 of 4 lists: exactly one list directory survives pruning
+    assert(listScan.relation.location.listFiles(
+        listScan.partitionFilters, listScan.dataFilters).size == 1,
+      "exactly one of the four list partitions should be read at nprobe=1")
+  }
+}
