@@ -600,6 +600,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q154_ivfpq_index" -> ((s, d) => {
+      // X113 persisted IVF×PQ: q89's coarse probe + ADC scoring, but codes
+      // read from the partition-pruned on-disk layout — pure I/O, results
+      // bit-identical to the in-memory composition
+      val embs = t(s, d, "embeddings")
+      val coarse = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray).toSeq
+      val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.buildPq(embs, "vec_id", "embedding", coarse, books)
+      idx.searchPq(query, topK = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("vec_id"))
+    }),
     "q59_ivf_topk" -> ((s, d) => {
       // end-to-end IVF search: fixed centroids, nprobe=2 of 4 lists, exact
       // cosine top-10 inside the probed lists only
@@ -3253,6 +3270,49 @@ object SparkEntry {
                 s.c ASC
               LIMIT 1) AS code
            FROM embeddings e, UNNEST(range(4)) AS t(j)),
+         adc AS (
+           SELECT c.vec_id, SUM(l.dist) AS adc_dist
+           FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+           GROUP BY c.vec_id)
+         SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
+    "q154_ivfpq_index" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+         probes AS (SELECT c.ccid FROM cents c, q
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                    c.ccid ASC
+           LIMIT 2),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         pruned AS (SELECT e.* FROM embeddings e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes)),
+         subs AS (
+           SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
+           FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
+         lut AS (
+           SELECT s.j, s.c,
+             (SELECT SUM(z.d * z.d) FROM (
+                SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                FROM (SELECT unnest(q.qv[CAST(s.j*16+1 AS INT) : CAST(s.j*16+16 AS INT)]) AS x,
+                             unnest(s.cv) AS y)) z) AS dist
+           FROM subs s, q),
+         codes AS (
+           SELECT e.vec_id, t.j,
+             (SELECT s.c FROM subs s WHERE s.j = t.j
+              ORDER BY (SELECT SUM(z.d * z.d) FROM (
+                  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                  FROM (SELECT unnest(e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)]) AS x,
+                               unnest(s.cv) AS y)) z) ASC,
+                s.c ASC
+              LIMIT 1) AS code
+           FROM pruned e, UNNEST(range(4)) AS t(j)),
          adc AS (
            SELECT c.vec_id, SUM(l.dist) AS adc_dist
            FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Ann
+import graft.operators.{Ann, Pq}
 
 /** Persisted IVF index (X112): the inverted lists materialized as
   * `ivf_list=N` parquet DIRECTORY partitions, centroids stored beside
@@ -76,5 +76,66 @@ final class IvfIndex(spark: SparkSession, path: String) {
     val probed = spark.read.parquet(listsPath)
       .filter(col("ivf_list").isin(probes: _*))
     Ann.bruteForceTopK(probed, "id", "vector", query, k)
+  }
+
+  // ---- IVF×PQ layout (the FAISS-IVFPQ on-disk shape) ---------------------
+
+  private def codesPath = s"$path/codes"
+  private def booksPath = s"$path/codebooks"
+
+  /** Persist the PQ-coded lists: (id, codes) partitioned by `ivf_list`,
+    * codebooks stored beside them. The probed read then decodes m BYTES
+    * per row instead of the raw vector — on top of X112's nprobe/k
+    * directory pruning, search I/O drops by another dim·4/m — the full
+    * FAISS-IVFPQ economics, from the parquet layout alone. The raw
+    * vectors are NOT duplicated here: exact rerank (when wanted)
+    * re-fetches the few topK survivors from the primary store by id —
+    * the flagship funnel's stage-3 refetch pattern. */
+  def buildPq(embs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Array[Float]], books: Pq.Codebooks): Unit = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    import spark.implicits._
+    Pq.encode(
+        Ann.ivfAssign(embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+          "vector", coarse), "vector", books)
+      .select(col("id"), col("codes"), col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(codesPath)
+    books.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(booksPath)
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
+  }
+
+  /** The stored PQ codebooks, (subspace, code)-ordered. */
+  def codebooks(): Pq.Codebooks = {
+    val rows = spark.read.parquet(booksPath)
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
+
+  /** ADC top-k over the probed CODE lists — [[graft.operators.Pq
+    * .ivfAdcTopK]] semantics with the probe as a partition filter and
+    * the LUT scoring m-byte codes straight off the pruned scan. */
+  def searchPq(query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val probes = centroids().zipWithIndex
+      .map { case (c, i) => (i, dot(c, query)) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+    val probed = spark.read.parquet(codesPath)
+      .filter(col("ivf_list").isin(probes: _*))
+    Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)
   }
 }

@@ -48,6 +48,36 @@ class IvfIndexSuite extends AnyFunSuite {
     }
   }
 
+  test("PQ layout: searchPq is bit-identical to the in-memory ivfAdcTopK path") {
+    val dir = Files.createTempDirectory("graft_ivfpq_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    // stored codebooks round-trip
+    val rt = idx.codebooks()
+    assert(rt.length == books.length)
+    rt.zip(books).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val viaIndex = idx.searchPq(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inMemory = graft.operators.Pq.ivfAdcTopK(embs, "vec_id", "embedding",
+          cents, books, query, nprobe, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIndex == inMemory, s"diverged at nprobe=$nprobe k=$k")
+    }
+    // the codes scan is partition-pruned AND never reads a vector column
+    val frame = idx.searchPq(query, topK = 5, nprobe = 1)
+    val scan = frame.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .find(_.metadata("Location").contains("codes"))
+      .getOrElse(fail("no codes scan"))
+    assert(scan.metadata("PartitionFilters").contains("ivf_list"))
+    assert(!scan.metadata("ReadSchema").contains("vector"),
+      "ADC must score codes, never the raw vectors")
+  }
+
   test("the probe set reaches the scan as partition filters — pruned I/O") {
     val frame = freshIndex().search(query, k = 5, nprobe = 1)
     val scans = frame.queryExecution.sparkPlan
