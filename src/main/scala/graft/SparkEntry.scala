@@ -772,6 +772,17 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("bucket_start"),
           col("status"), col("n_jobs"), col("n_chunks"))
         .orderBy(col("bucket_start"), col("status"))),
+    "q155_sliding_window" -> ((s, d) =>
+      // sliding event-time windows (width 10 min, slide 5 min): every event
+      // lands in exactly width/slide = 2 windows — the overlap family q51's
+      // tumbling and q73's session windows don't cover
+      events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("bucket_start"), col("event_type"))),
     "q51_event_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2471,6 +2482,16 @@ object SparkEntry {
          SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
            CAST(length(scrubbed) AS INT) AS scrubbed_len
          FROM s ORDER BY doc_id""",
+    "q155_sliding_window" ->
+      """WITH w AS (SELECT ts, event_type, value,
+           time_bucket(INTERVAL '5 minutes', ts) - CAST(u.i AS INT) * INTERVAL '5 minutes'
+             AS bucket_start
+         FROM events, UNNEST(range(2)) AS u(i))
+         SELECT CAST(epoch(bucket_start) AS BIGINT) AS bucket_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY bucket_start, event_type
+         ORDER BY bucket_start, event_type""",
     "q149_queue_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
          event_type AS status, COUNT(*) AS n_jobs,
