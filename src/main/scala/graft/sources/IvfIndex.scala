@@ -9,7 +9,9 @@ import graft.operators.{Ann, Pq}
 /** Persisted IVF index (X112): the inverted lists materialized as
   * `ivf_list=N` parquet DIRECTORY partitions, centroids stored beside
   * them — so an nprobe search is partition-PRUNED I/O, not an in-memory
-  * filter. [[graft.operators.Ann.ivfTopK]] proves the algorithm but
+  * filter. (IVF/IVFADC: Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011; the engineered layout popularized by
+  * FAISS — Johnson et al., arXiv:1702.08734.) [[graft.operators.Ann.ivfTopK]] proves the algorithm but
   * still SCANS the whole corpus and discards (k-nprobe)/k of it after
   * decode; at 100 TB the scan is the cost, and the only way to not pay
   * it is for the probe predicate to reach the file listing. Here
