@@ -783,6 +783,20 @@ object SparkEntry {
         .select(unix_timestamp(col("w.start")).as("bucket_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("bucket_start"), col("event_type"))),
+    "q156_truncate" -> ((s, d) =>
+      // X114 token-budget truncation, edges policy: keep 15 head + 15 tail
+      // tokens of over-budget docs, drop the middle — per-row projection,
+      // no shuffle
+      Packing.truncateTokens(t(s, d, "documents"), "doc_id", col("text"),
+        maxTokens = 30, policy = "edges")
+        .orderBy(col("doc_id"))),
+    "q157_fim_spans" -> ((s, d) =>
+      // X115 fill-in-the-middle spans: md5-derived cut points (never
+      // rand()), 90% of docs selected for the transform — per-row
+      // projection, no shuffle
+      Packing.fimSpans(t(s, d, "documents"), "doc_id", col("text"),
+        fimRate = 0.9, seed = "s8")
+        .orderBy(col("doc_id"))),
     "q51_event_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2492,6 +2506,38 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
          FROM w GROUP BY bucket_start, event_type
          ORDER BY bucket_start, event_type""",
+    "q156_truncate" ->
+      s"""WITH c AS (SELECT doc_id,
+           list_filter($toksSql, t -> t <> '') AS toks,
+           CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST(LEAST(n_tokens, 30) AS BIGINT) AS n_kept,
+           n_tokens > 30 AS truncated,
+           -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' (no null texts in any SF, so '' is exact)
+           COALESCE(CASE WHEN n_tokens <= 30 THEN array_to_string(toks, ' ')
+                ELSE array_to_string(
+                  list_concat(toks[1:15],
+                    toks[CAST(n_tokens - 14 AS INT):CAST(n_tokens AS INT)]), ' ')
+           END, '') AS text_trunc
+         FROM c ORDER BY doc_id""",
+    "q157_fim_spans" ->
+      s"""WITH c AS (SELECT doc_id,
+           list_filter($toksSql, t -> t <> '') AS toks,
+           CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(concat('0x', substr(md5('s8|a' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 AS ba,
+           CAST(concat('0x', substr(md5('s8|b' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 AS bb,
+           CAST(concat('0x', substr(md5('s8|fim' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 AS bf
+         FROM documents)
+         SELECT doc_id, n_tokens, bf < 9000 AS fim,
+           LEAST(ba % (n_tokens + 1), bb % (n_tokens + 1)) AS p_end,
+           GREATEST(ba % (n_tokens + 1), bb % (n_tokens + 1)) AS s_start,
+           COALESCE(array_to_string(
+             toks[CAST(LEAST(ba % (n_tokens + 1), bb % (n_tokens + 1)) + 1 AS INT):
+                  CAST(GREATEST(ba % (n_tokens + 1), bb % (n_tokens + 1)) AS INT)],
+             ' '), '') AS middle_text
+         FROM c ORDER BY doc_id""",
     "q149_queue_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
          event_type AS status, COUNT(*) AS n_jobs,

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
+
+import graft.util.Sampling
 
 /** Greedy contiguous sequence packing — the batch-prep step of an LLM
   * training pipeline: documents are laid end-to-end in a deterministic
@@ -105,5 +107,100 @@ object Packing {
         greatest(lit(0L), col("__p") * capacity - col("tokens_before")).as("tok_start"),
         least(col(tokenCountCol),
           (col("__p") + 1) * capacity - col("tokens_before")).as("tok_end"))
+  }
+
+  /** Per-document token-budget truncation (X114) — the per-doc companion
+    * of the per-pack cut list: when a context budget is enforced BEFORE
+    * packing (SFT rows, eval prompts, rerank inputs), each over-budget
+    * document is cut by a declared policy rather than split across packs:
+    *
+    *  - `head`:  keep the FIRST `maxTokens` (report/article prefix bias)
+    *  - `tail`:  keep the LAST `maxTokens` (chat-transcript recency bias)
+    *  - `edges`: keep ceil(max/2) head + floor(max/2) tail, dropping the
+    *    middle — the long-doc eval-harness policy: titles/intro AND
+    *    conclusion survive, boilerplate body goes
+    *
+    * Tokens are [[TextAnalysis.tokens]] (lowercased whitespace units) with
+    * empties dropped, so `text_trunc` is the NORMALIZED rejoin (single
+    * spaces, lowercase) — the form every downstream token-level operator
+    * here consumes, not the raw input bytes.
+    *
+    * Scale shape: a pure per-row projection — tokenize, two array slices,
+    * one rejoin; no exchange, codegen end-to-end, safe at any corpus size.
+    * Emits `(id, n_tokens, n_kept, truncated, text_trunc)`. */
+  def truncateTokens(docs: DataFrame, idCol: String, text: Column,
+      maxTokens: Int, policy: String = "edges"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(Set("head", "tail", "edges")(policy),
+      s"policy must be head|tail|edges, got '$policy'")
+    val toks = filter(TextAnalysis.tokens(text), t => t =!= "")
+    val n = size(toks).cast(LongType)
+    val max = lit(maxTokens.toLong)
+    def keptOver(toksC: Column, nC: Column): Column = policy match {
+      // the greatest(1, ...) guards are dead under the n > max branch this
+      // feeds (start is then always >= 2), but slice THROWS on start < 1 —
+      // don't bet correctness on CaseWhen never evaluating the other arm
+      case "head" => slice(toksC, lit(1), max)
+      case "tail" =>
+        slice(toksC, greatest(lit(1L), nC - max + 1L).cast("int"), max)
+      case "edges" =>
+        // ceil/floor split of the budget; n > max here so both slices are
+        // in range and disjoint (h + t = max < n)
+        val h = lit((maxTokens + 1) / 2)
+        val t = lit(maxTokens - (maxTokens + 1) / 2)
+        concat(slice(toksC, lit(1), h),
+          slice(toksC, greatest(lit(1L), nC - t + 1L).cast("int"), t))
+    }
+    docs
+      .select(col(idCol), toks.as("__toks"), n.as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") <= max, col("__toks"))
+          .otherwise(keptOver(col("__toks"), col("n_tokens"))).as("__kept"),
+        (col("n_tokens") > max).as("truncated"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast(LongType).as("n_kept"), col("truncated"),
+        array_join(col("__kept"), " ").as("text_trunc"))
+  }
+
+  /** Fill-in-the-middle span extraction (X115) — the data transform
+    * behind FIM-trained code/text models (Bavarian et al. 2022,
+    * arXiv:2207.14255): each selected document's token stream is split at
+    * two hash-derived cut points into prefix [0, p_end), middle
+    * [p_end, s_start) and suffix [s_start, n), and the loader re-orders
+    * them PSM/SPM downstream. A `fimRate` fraction of documents is
+    * transformed; the rest pass through as plain left-to-right rows.
+    *
+    * Everything is derived from md5 of the document id (the
+    * [[graft.util.Sampling.hashBucket]] family), NOT `rand()`: the same
+    * doc gets the same cuts on every run, engine, and task retry — the
+    * reproducibility contract the paper's aug pipeline needs and
+    * `rand()`-based spans cannot give on Spark (task retries resample).
+    * Cut points are `bucket % (n+1)` — bias bounded by (n+1)/10000,
+    * immaterial for span selection. Emits
+    * `(id, n_tokens, fim, p_end, s_start, middle_text)`; cuts are emitted
+    * for every row (they're deterministic either way), `fim` says whether
+    * the loader applies them.
+    *
+    * Scale shape: per-row projection — two md5s, two slices; no exchange,
+    * no state, codegen end-to-end. */
+  def fimSpans(docs: DataFrame, idCol: String, text: Column,
+      fimRate: Double = 0.9, seed: String = ""): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0, s"fimRate must be in [0,1], got $fimRate")
+    val toks = filter(TextAnalysis.tokens(text), t => t =!= "")
+    val n = size(toks).cast(LongType)
+    val id = col(idCol)
+    def cut(salt: String): Column =
+      pmod(Sampling.hashBucket(id, seed + salt), col("n_tokens") + 1L)
+    docs
+      .select(id, toks.as("__toks"), n.as("n_tokens"))
+      .select(id, col("__toks"), col("n_tokens"),
+        least(cut("|a"), cut("|b")).as("p_end"),
+        greatest(cut("|a"), cut("|b")).as("s_start"),
+        (Sampling.hashBucket(id, seed + "|fim") <
+          math.round(fimRate * Sampling.Buckets)).as("fim"))
+      .select(id, col("n_tokens"), col("fim"), col("p_end"), col("s_start"),
+        array_join(
+          slice(col("__toks"), (col("p_end") + 1L).cast("int"),
+            (col("s_start") - col("p_end")).cast("int")), " ").as("middle_text"))
   }
 }

@@ -107,6 +107,80 @@ class PackingSuite extends AnyFunSuite {
     }
   }
 
+  test("truncateTokens: head/tail/edges on a hand fixture; under-budget passes through") {
+    // "a b c d e f" (6 tokens), budget 4: head=a b c d, tail=c d e f,
+    // edges=ceil(4/2)=2 head + 2 tail = a b e f
+    val docs = Seq((1L, "A b  C d e F"), (2L, "x y")).toDF("doc_id", "text")
+    def run(policy: String) =
+      Packing.truncateTokens(docs, "doc_id", col("text"), 4, policy)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))
+        .toSeq
+    assert(run("head") == Seq((1L, 6L, 4L, true, "a b c d"), (2L, 2L, 2L, false, "x y")))
+    assert(run("tail") == Seq((1L, 6L, 4L, true, "c d e f"), (2L, 2L, 2L, false, "x y")))
+    assert(run("edges") == Seq((1L, 6L, 4L, true, "a b e f"), (2L, 2L, 2L, false, "x y")))
+  }
+
+  test("truncateTokens: exact-budget boundary and odd-budget ceil/floor split") {
+    // n == max: untouched, truncated=false; n == max+1 with max=3 edges:
+    // head ceil(3/2)=2 + tail 1
+    val docs = Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Packing.truncateTokens(docs, "doc_id", col("text"), 3, "edges")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getString(4))).toSeq
+    assert(got == Seq((1L, false, "a b c"), (2L, true, "a b d")))
+  }
+
+  test("truncateTokens: empty doc survives every policy; bad args rejected") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    Seq("head", "tail", "edges").foreach { p =>
+      val r = Packing.truncateTokens(docs, "doc_id", col("text"), 5, p).head()
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && !r.getBoolean(3)
+        && r.getString(4) == "", s"policy $p on empty doc: $r")
+    }
+    intercept[IllegalArgumentException](
+      Packing.truncateTokens(docs, "doc_id", col("text"), 0, "head"))
+    intercept[IllegalArgumentException](
+      Packing.truncateTokens(docs, "doc_id", col("text"), 5, "middle"))
+  }
+
+  test("fimSpans: cuts are ordered, in range, deterministic, and tile the doc") {
+    val docs = (1L to 50L).map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = Packing.fimSpans(docs, "doc_id", col("text"), fimRate = 0.5, seed = "k")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    val a = run()
+    assert(a == run(), "same seed must give identical spans")
+    a.foreach { case (id, n, _, pEnd, sStart, mid) =>
+      assert(0L <= pEnd && pEnd <= sStart && sStart <= n, s"doc $id: cuts out of range")
+      val midN = if (mid.isEmpty) 0 else mid.split(" ").length
+      assert(midN == sStart - pEnd, s"doc $id: middle '$mid' != [$pEnd,$sStart)")
+    }
+    // rate 0.5 must actually split the population (md5 gate, not all/none)
+    val nFim = a.count(_._3)
+    assert(nFim > 0 && nFim < a.size, s"fim gate degenerate: $nFim of ${a.size}")
+    // different seed must move at least one cut
+    val b = Packing.fimSpans(docs, "doc_id", col("text"), 0.5, "other")
+      .orderBy("doc_id").collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(b != a.map(t => (t._4, t._5)), "seed must perturb the cuts")
+  }
+
+  test("fimSpans: rate 0 and 1 are total; empty doc gets the trivial span") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val all = Packing.fimSpans(docs, "doc_id", col("text"), 1.0, "s").collect()
+    assert(all.forall(_.getBoolean(2)), "rate 1.0 must select every doc")
+    val none = Packing.fimSpans(docs, "doc_id", col("text"), 0.0, "s").collect()
+    assert(none.forall(!_.getBoolean(2)), "rate 0.0 must select none")
+    val empty = Packing.fimSpans(docs, "doc_id", col("text"), 1.0, "s")
+      .filter(col("doc_id") === 2L).head()
+    assert(empty.getLong(1) == 0L && empty.getLong(3) == 0L
+      && empty.getLong(4) == 0L && empty.getString(5) == "")
+    intercept[IllegalArgumentException](
+      Packing.fimSpans(docs, "doc_id", col("text"), 1.5, "s"))
+  }
+
   test("null token counts fail with a clear message, not an opaque NPE") {
     val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long])).toDF("doc_id", "n_tokens")
     val e = intercept[org.apache.spark.SparkException] {
