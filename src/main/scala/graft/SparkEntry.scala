@@ -797,6 +797,25 @@ object SparkEntry {
       Packing.fimSpans(t(s, d, "documents"), "doc_id", col("text"),
         fimRate = 0.9, seed = "s8")
         .orderBy(col("doc_id"))),
+    "q158_rollup_datasheet" -> ((s, d) =>
+      // X116 multi-granularity datasheet: leaf/per-source/global stats in
+      // ONE pass via rollup (Expand + single exchange of group-sized rows)
+      CorpusStats.datasheetRollup(t(s, d, "documents"), col("source"),
+        "doc_id", col("text"), col("lang"))
+        .orderBy(col("level"), col("key"), col("lang"))),
+    "q159_span_corrupt" -> ((s, d) =>
+      // X117 T5 span corruption: md5 coins at 15%, runs -> <Xk> sentinels;
+      // one doc-keyed exchange shared by windows + reassembly aggregate
+      TextAnalysis.spanCorrupt(t(s, d, "documents"), "doc_id", col("text"),
+        noiseDensity = 0.15, seed = "s8sc")
+        .orderBy(col("doc_id"))),
+    "q160_length_batches" -> ((s, d) =>
+      // X118 length-bucketed batching: power-of-two caps in integer space,
+      // 4 hash shards x batch 8, dynamic-padding waste per row; one
+      // (cap, shard)-keyed exchange serves both windows
+      Packing.lengthBucketBatches(t(s, d, "documents"), "doc_id",
+        col("text"), batchSize = 8, shards = 4, seed = "s8")
+        .orderBy(col("doc_id"))),
     "q51_event_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2538,6 +2557,80 @@ object SparkEntry {
                   CAST(GREATEST(ba % (n_tokens + 1), bb % (n_tokens + 1)) AS INT)],
              ' '), '') AS middle_text
          FROM c ORDER BY doc_id""",
+    "q158_rollup_datasheet" ->
+      s"""WITH pr AS (SELECT source, lang,
+            CAST(len($toksSql) AS BIGINT) AS tok,
+            substr(md5($mdNorm), 1, 16) AS fp,
+            $qualityScoreSql AS q
+          FROM documents)
+          SELECT COALESCE(source, '<all>') AS key,
+            COALESCE(lang, '<all>') AS lang,
+            CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS level,
+            COUNT(*) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS n_tokens,
+            ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+            COUNT(DISTINCT fp) AS n_contents,
+            ROUND(CAST(1.0 AS DOUBLE)
+              - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              AS dup_rate,
+            ROUND(CAST(SUM(CAST(q AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+              AS mean_quality
+          FROM pr GROUP BY ROLLUP(source, lang)
+          ORDER BY level, key, lang""",
+    "q159_span_corrupt" ->
+      s"""WITH tok AS (
+           SELECT doc_id, CAST(u.i AS INT) AS pos, t[CAST(u.i + 1 AS INT)] AS term
+           FROM (SELECT doc_id, $toksSql AS t FROM documents),
+                UNNEST(range(0, len(t))) u(i)
+           WHERE t[CAST(u.i + 1 AS INT)] IS NOT NULL AND t[CAST(u.i + 1 AS INT)] <> ''),
+         m AS (SELECT doc_id, pos, term,
+             CAST(concat('0x', substr(md5('s8sc' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(pos AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 < 1500 AS msk
+           FROM tok),
+         s AS (SELECT doc_id, pos, term, msk,
+             msk AND NOT COALESCE(LAG(msk) OVER (PARTITION BY doc_id ORDER BY pos), false) AS st
+           FROM m),
+         x AS (SELECT doc_id, pos, term, msk, st,
+             SUM(CASE WHEN st THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS si
+           FROM s)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           COALESCE(string_agg(CASE WHEN NOT msk THEN term
+               WHEN st THEN '<X' || CAST(si AS VARCHAR) || '>' END,
+             ' ' ORDER BY pos), '') AS corrupted_text,
+           COALESCE(string_agg(CASE WHEN st THEN '<X' || CAST(si AS VARCHAR) || '> ' || term
+               WHEN msk THEN term END,
+             ' ' ORDER BY pos), '') AS targets_text
+         FROM x GROUP BY doc_id ORDER BY doc_id""",
+    "q160_length_batches" ->
+      s"""WITH c AS (SELECT doc_id,
+            CAST(len(list_filter($toksSql, t -> t <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+         b AS (SELECT doc_id, n_tokens,
+            CASE WHEN (GREATEST(n_tokens, 1) & (GREATEST(n_tokens, 1) - 1)) = 0
+                 THEN GREATEST(n_tokens, 1)
+                 ELSE CAST(power(2, length(bin(GREATEST(n_tokens, 1)))) AS BIGINT) END
+              AS bucket_cap,
+            CAST(concat('0x', substr(md5('s8|shard' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+              % 10000 % 4 AS shard,
+            CAST(concat('0x', substr(md5('s8|order' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+              % 10000 AS sk
+          FROM c),
+         r AS (SELECT doc_id, n_tokens, bucket_cap, shard, sk,
+            ROW_NUMBER() OVER (PARTITION BY bucket_cap, shard ORDER BY sk, doc_id) AS rn
+          FROM b),
+         g AS (SELECT doc_id, n_tokens, bucket_cap, shard,
+            CAST(FLOOR((rn - 1) / 8) AS BIGINT) AS batch_id FROM r),
+         h AS (SELECT doc_id, n_tokens, bucket_cap, shard, batch_id,
+            MAX(n_tokens) OVER (PARTITION BY bucket_cap, shard, batch_id) AS batch_max
+          FROM g)
+         SELECT doc_id, n_tokens, bucket_cap, shard, batch_id, batch_max,
+           ROUND(CASE WHEN batch_max = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(1.0 AS DOUBLE)
+               - CAST(n_tokens AS DOUBLE) / CAST(batch_max AS DOUBLE) END, 6) AS pad_frac
+         FROM h ORDER BY doc_id""",
     "q149_queue_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
          event_type AS status, COUNT(*) AS n_jobs,

@@ -81,6 +81,52 @@ object CorpusStats {
         col("n_contents"), col("dup_rate"), col("mean_quality"), col("majority_lang"))
   }
 
+  /** Multi-granularity datasheet in ONE corpus pass (X116): the
+    * [[datasheet]] profile at every grouping level at once —
+    * per (key, lang) leaf, per-key subtotal, and the corpus grand total —
+    * via `rollup`, so the mixture designer's drill-down table never
+    * re-reads the corpus per level. `level` says which rows are which:
+    * 0 = (key, lang) leaf, 1 = per-key (lang rolled up), 3 = grand total;
+    * rolled-up group columns read `<all>` (inputs are non-null by
+    * contract — enforced — so the marker is unambiguous).
+    *
+    * Scale shape: Spark plans `rollup` as ONE Expand (×3 rows, map-side,
+    * no I/O amplification — the corpus is still read once) into a single
+    * hash aggregate whose partials collapse before the one exchange; the
+    * exchange carries O(distinct (key, lang) + distinct key + 1) rows per
+    * task, not corpus rows. `n_contents` adds the usual count-distinct
+    * expand; fingerprints are 16 bytes, text never shuffles. */
+  def datasheetRollup(docs: DataFrame, key: Column, idCol: String,
+      text: Column, lang: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 6)
+    val perRow = docs.select(key.as("key"), lang.as("lang"),
+        size(TextAnalysis.tokens(text)).cast(LongType).as("__tok"),
+        TextAnalysis.fingerprint(text).as("__fp"),
+        TextAnalysis.qualityScore(text).as("__q"))
+    perRow
+      .rollup(col("key"), col("lang"))
+      .agg(
+        (grouping(col("key")) * 2 + grouping(col("lang"))).cast(LongType)
+          .as("level"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        round(sum(col("__tok")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_tokens"),
+        countDistinct(col("__fp")).as("n_contents"),
+        round(sum(col("__q").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_quality"))
+      .select(
+        // inputs are non-null by contract, so a null here IS the rollup
+        // marker, never data
+        coalesce(col("key"), lit("<all>")).as("key"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("level"), col("n_docs"), col("n_tokens"), col("mean_tokens"),
+        col("n_contents"),
+        round(lit(1.0) - col("n_contents").cast(DoubleType)
+          / col("n_docs").cast(DoubleType), 6).as("dup_rate"),
+        col("mean_quality"))
+  }
+
   /** Count-min sketch of corpus token frequencies (Cormode & Muthukrishnan
     * 2005): `depth` rows of `width` counters; every token occurrence
     * increments one cell per row, chosen by the engine's md5-28-bit base

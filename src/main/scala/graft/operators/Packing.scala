@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
 
 import graft.util.Sampling
 
@@ -202,5 +202,64 @@ object Packing {
         array_join(
           slice(col("__toks"), (col("p_end") + 1L).cast("int"),
             (col("s_start") - col("p_end")).cast("int")), " ").as("middle_text"))
+  }
+
+  /** Length-bucketed batch assignment (X118) — the padding-efficiency
+    * step of a variable-length loader: docs are bucketed by the smallest
+    * power-of-two token capacity that fits them, shuffled
+    * deterministically within (bucket, shard), and cut into fixed-count
+    * batches; `batch_max`/`pad_frac` report what dynamic padding to the
+    * batch's own longest doc costs, the number that justifies bucketing
+    * over global shuffling in the first place.
+    *
+    * The capacity is computed in INTEGER space — `2^length(bin(n))` via a
+    * power-of-two-exact double, never `log2` (whose float readout sits
+    * below the integer at exact powers: log2(8) = 2.9999...96 on both
+    * engines) — so bucket edges are bit-stable and oracle-checkable.
+    *
+    * `shards` bounds the serial window: a global per-bucket row_number
+    * would funnel each bucket through one task (log-many buckets = a
+    * handful of hot partitions at 100 TB); sharding by id-hash keeps
+    * determinism, multiplies parallelism by `shards`, and batches never
+    * cross shards — exactly how per-worker loaders batch anyway.
+    *
+    * Scale shape: per-row projections plus ONE exchange keyed
+    * (bucket_cap, shard); both windows and nothing else need it (the
+    * batch-max window's keys extend the exchange's, so it reuses the
+    * partitioning with no second shuffle). */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, text: Column,
+      batchSize: Int, shards: Int = 1, seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val id = col(idCol)
+    val n = size(filter(TextAnalysis.tokens(text), t => t =!= ""))
+      .cast(LongType)
+    val m = greatest(n, lit(1L))
+    val cap = when(m.bitwiseAND(m - 1L) === 0L, m)
+      .otherwise(pow(lit(2.0), length(bin(m)).cast(DoubleType))
+        .cast(LongType))
+    val wRank = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col("__sk"), id)
+    val wBatch = Window.partitionBy(col("bucket_cap"), col("shard"),
+      col("batch_id"))
+    docs
+      .select(id, n.as("n_tokens"), cap.as("bucket_cap"),
+        pmod(graft.util.Sampling.hashBucket(id, seed + "|shard"), lit(shards.toLong))
+          .as("shard"),
+        graft.util.Sampling.hashBucket(id, seed + "|order").as("__sk"))
+      .select(id, col("n_tokens"), col("bucket_cap"), col("shard"),
+        col("__sk"),
+        floor((row_number().over(wRank) - 1).cast(DoubleType) / batchSize)
+          .cast(LongType).as("batch_id"))
+      .select(id, col("n_tokens"), col("bucket_cap"), col("shard"),
+        col("batch_id"),
+        max(col("n_tokens")).over(wBatch).as("batch_max"))
+      .select(id, col("n_tokens"), col("bucket_cap"), col("shard"),
+        col("batch_id"), col("batch_max"),
+        // all-empty batch (batch_max 0): zero padding by definition, not 0/0
+        round(when(col("batch_max") === 0L, lit(0.0))
+          .otherwise(lit(1.0) - col("n_tokens").cast(DoubleType)
+            / col("batch_max").cast(DoubleType)), 6).as("pad_frac"))
   }
 }

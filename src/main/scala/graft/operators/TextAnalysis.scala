@@ -671,6 +671,70 @@ object TextAnalysis {
           col("__fp_dec").cast(LongType)).as("chunk_fp"))
   }
 
+  /** T5-style span corruption (X117; Raffel et al. 2020,
+    * arXiv:1910.10683 §3.1.4): each token is independently marked by an
+    * md5 coin at `noiseDensity`; RUNS of marked tokens become the
+    * corruption spans (geometric span lengths — the i.i.d.-coin analogue
+    * of T5's mean-length-3 span sampler), and the doc splits into the
+    * training pair: `corrupted_text` keeps unmasked tokens with each span
+    * collapsed to one `<Xk>` sentinel, `targets_text` is each sentinel
+    * followed by the span it replaced. The generalization of
+    * [[graft.operators.Packing.fimSpans]] from one middle span to many.
+    *
+    * Every coin is md5 of (seed, doc id, token position) — NOT `rand()` —
+    * so the same doc corrupts identically on every run, engine, and task
+    * retry, and the oracle reproduces it bit-for-bit. Docs with zero
+    * tokens are dropped (nothing to corrupt), matching the oracle's
+    * token CTE.
+    *
+    * Scale shape: posexplode fans out map-side (no exchange); the
+    * run/sentinel windows need ONE doc-keyed exchange, and the final
+    * per-doc aggregate reuses that partitioning (same key, no second
+    * exchange). Window state is one row of lag + a running sum; pieces
+    * re-assemble via collect_list of (pos, piece) structs — bounded by
+    * the doc's own token count, the same per-doc bound every reassembly
+    * here carries. */
+  def spanCorrupt(docs: DataFrame, idCol: String, text: Column,
+      noiseDensity: Double = 0.15, seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(noiseDensity >= 0.0 && noiseDensity <= 1.0,
+      s"noiseDensity must be in [0,1], got $noiseDensity")
+    val thr = math.round(noiseDensity * graft.util.Sampling.Buckets)
+    val toks = filter(tokens(text), t => t =!= "")
+    val id = col(idCol)
+    val w = Window.partitionBy(id).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(id, posexplode(toks).as(Seq("pos", "tok")))
+      .select(id, col("pos"), col("tok"),
+        (graft.util.Sampling.hashBucket(
+          concat(id.cast(StringType), lit(":"), col("pos").cast(StringType)),
+          seed) < thr).as("msk"))
+      .select(id, col("pos"), col("tok"), col("msk"),
+        (col("msk") && !coalesce(lag(col("msk"), 1).over(w), lit(false)))
+          .as("st"))
+      .select(id, col("pos"), col("tok"), col("msk"), col("st"),
+        (sum(col("st").cast(LongType)).over(wCum) - 1L).as("si"))
+      .groupBy(id)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("msk").cast(LongType)).as("n_masked"),
+        sum(col("st").cast(LongType)).as("n_spans"),
+        array_join(transform(array_sort(collect_list(
+          // collect_list drops nulls: masked non-start tokens vanish,
+          // span starts collapse to their sentinel
+          when(!col("msk"), struct(col("pos"), col("tok").as("p")))
+            .when(col("st"), struct(col("pos"),
+              concat(lit("<X"), col("si").cast(StringType), lit(">")).as("p"))))),
+          x => x("p")), " ").as("corrupted_text"),
+        array_join(transform(array_sort(collect_list(
+          when(col("st"), struct(col("pos"),
+              concat(lit("<X"), col("si").cast(StringType), lit("> "),
+                col("tok")).as("p")))
+            .when(col("msk"), struct(col("pos"), col("tok").as("p"))))),
+          x => x("p")), " ").as("targets_text"))
+  }
+
   /** Token-window chunking with overlap over a materialized token array —
     * the document->chunks step that feeds the reference's per-chunk
     * embedding rows (`sequence_no`, `src/VectorTable.php:468,472`; queue

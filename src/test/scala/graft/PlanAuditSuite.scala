@@ -473,4 +473,48 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("partial_count(1)"),
       s"per-doc aggregation must map-side combine:\n$p")
   }
+
+  test("rollup datasheet: one Expand, group-sized exchanges, text never shuffles (X116)") {
+    val scanned = scans("q158_rollup_datasheet").map(_("ReadSchema")).mkString
+    assert(scanned.contains("text") && scanned.contains("lang") && scanned.contains("source"),
+      scanned)
+    assert(!scanned.contains("doc_id") && !scanned.contains("n_chars"),
+      s"rollup needs only text/lang/source: $scanned")
+    val finalSection = finalPlan("q158_rollup_datasheet").split("== Initial Plan ==")(0)
+    assert("Expand ".r.findAllIn(finalSection).length == 1,
+      s"rollup is ONE map-side Expand:\n$finalSection")
+    val ex = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .toList
+    assert(ex.size <= 2,
+      s"group-sized exchanges only (agg + count-distinct re-agg):\n$finalSection")
+    assert(!ex.exists(_.contains("text#")),
+      s"exchanges carry signals, never the text payload:\n$ex")
+  }
+
+  test("span corruption: windows and reassembly share ONE doc exchange (X117)") {
+    val finalSection = finalPlan("q159_span_corrupt").split("== Initial Plan ==")(0)
+    val real = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id") && !l.contains("ReusedExchange"))
+      .size
+    assert(real == 1,
+      s"lag/sum windows + per-doc aggregate = one doc_id exchange, found $real:\n$finalSection")
+    assert(!finalSection.contains("Exchange SinglePartition") || 
+      finalSection.split("Exchange SinglePartition").length <= 2,
+      s"no global funnel beyond the final orderBy:\n$finalSection")
+  }
+
+  test("length batching: ONE (cap, shard) exchange serves both windows (X118)") {
+    val finalSection = finalPlan("q160_length_batches").split("== Initial Plan ==")(0)
+    val real = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(bucket_cap") && !l.contains("ReusedExchange"))
+      .toList
+    assert(real.size == 1,
+      s"row_number + batch_max must share the (cap, shard) exchange:\n$finalSection")
+    assert(real.head.contains("shard"),
+      s"the exchange must carry the shard key (the parallelism lever): ${real.head}")
+    val scanned = scans("q160_length_batches").map(_("ReadSchema")).mkString
+    assert(!scanned.contains("lang") && !scanned.contains("source"),
+      s"batching reads only id + text: $scanned")
+  }
 }

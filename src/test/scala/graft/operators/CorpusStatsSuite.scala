@@ -165,4 +165,42 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(got.find(t => t._1 == "s2" && t._2 == 1).get._5 <
       got.find(t => t._1 == "s1" && t._2 == 1).get._5)
   }
+
+  test("datasheetRollup: levels are additive and consistent with datasheet") {
+    // two sources x two langs, one exact dup pair inside (web, en)
+    val docs = Seq(
+      (1L, "web", "en", "the cat sat"),
+      (2L, "web", "en", "the cat sat"),
+      (3L, "web", "fr", "le chat noir et blanc"),
+      (4L, "books", "en", "a long winter evening"),
+      (5L, "books", "de", "der hund")).toDF("doc_id", "source", "lang", "text")
+    val out = CorpusStats.datasheetRollup(docs, col("source"), "doc_id",
+        col("text"), col("lang"))
+      .orderBy("level", "key", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toSeq
+    val leaves = out.filter(_._3 == 0L)
+    val perKey = out.filter(_._3 == 1L)
+    val total = out.filter(_._3 == 3L)
+    assert(out.map(_._3).toSet == Set(0L, 1L, 3L), "rollup levels are 0/1/3")
+    assert(leaves.map(t => (t._1, t._2)).toSet ==
+      Set(("web", "en"), ("web", "fr"), ("books", "en"), ("books", "de")))
+    assert(perKey.forall(_._2 == "<all>") && total == Seq(("<all>", "<all>", 3L, 5L, 17L, 4L)),
+      "rolled-up group columns read <all>; total counts 5 docs, 17 tokens, 4 contents")
+    // additivity: per-key docs/tokens are the sum of their leaves
+    for ((k, n, tok) <- perKey.map(t => (t._1, t._4, t._5))) {
+      val mine = leaves.filter(_._1 == k)
+      assert(mine.map(_._4).sum == n && mine.map(_._5).sum == tok,
+        s"per-key row for $k must sum its leaves")
+    }
+    // the dup pair is only visible where it lives: (web, en) has 2 docs 1 content
+    assert(leaves.find(t => t._1 == "web" && t._2 == "en").get._6 == 1L)
+    // per-key rows agree with the single-level datasheet on shared columns
+    val single = CorpusStats.datasheet(docs, col("source"), "doc_id",
+        col("text"), col("lang"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    assert(perKey.map(t => (t._1, t._4, t._5, t._6)).sortBy(_._1) == single,
+      "rollup per-key level must equal datasheet's per-key rows")
+  }
 }

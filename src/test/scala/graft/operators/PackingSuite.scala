@@ -190,4 +190,54 @@ class PackingSuite extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("n_tokens")),
       s"error must name the column: ${e.getMessage}")
   }
+
+  test("lengthBucketBatches: caps are the smallest power of two that fits") {
+    val docs = Seq(1, 2, 3, 4, 5, 8, 9, 16, 17).zipWithIndex.map { case (k, i) =>
+      ((i + 1).toLong, (0 until k).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val caps = Packing.lengthBucketBatches(docs, "doc_id", col("text"), 8, 1, "s")
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(caps == Seq((1L, 1L), (2L, 2L), (3L, 4L), (4L, 4L), (5L, 8L),
+      (8L, 8L), (9L, 16L), (16L, 16L), (17L, 32L)),
+      "cap = next power of two, exact at the power itself")
+  }
+
+  test("lengthBucketBatches: batches bounded, ids dense, pad accounting exact") {
+    val docs = (1L to 100L).map(i =>
+      (i, (0 until (4 + (i % 5)).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    def run(shards: Int) = Packing.lengthBucketBatches(
+        docs, "doc_id", col("text"), 8, shards, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val a = run(4)
+    assert(a == run(4), "same seed must batch identically (and survive repartition)")
+    a.groupBy(t => (t._3, t._4, t._5)).foreach { case ((cap, sh, b), rows) =>
+      assert(rows.size <= 8, s"batch ($cap,$sh,$b) exceeds batchSize")
+      val mx = rows.map(_._2).max
+      assert(rows.forall(_._6 == mx), s"batch ($cap,$sh,$b) batch_max wrong")
+      rows.foreach { r =>
+        assert(math.abs(r._7 - (1.0 - r._2.toDouble / mx)) < 1e-6,
+          s"doc ${r._1}: pad_frac off") }
+      assert(rows.exists(_._7 == 0.0), s"batch ($cap,$sh,$b) longest doc pads 0")
+    }
+    a.groupBy(t => (t._3, t._4)).foreach { case ((cap, sh), rows) =>
+      val ids = rows.map(_._5).toSet
+      assert(ids == (0L until ids.size).toSet,
+        s"($cap,$sh): batch ids must be dense from 0")
+      // every batch but the last is FULL - the padding-efficiency contract
+      assert(rows.size - (ids.size - 1) * 8 >= 1,
+        s"($cap,$sh): only the last batch may be short")
+      assert(rows.groupBy(_._5).filter(_._2.size < 8).keySet
+        .forall(_ == ids.size - 1L), s"($cap,$sh): short batch must be the last")
+    }
+    assert(a.map(_._4).toSet.size > 1, "4 shards must actually split the load")
+    // shard count only regroups rows; caps and token counts are unchanged
+    assert(run(1).map(t => (t._1, t._2, t._3)).sortBy(_._1)
+      == a.map(t => (t._1, t._2, t._3)).sortBy(_._1))
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(docs, "doc_id", col("text"), 0, 1, "s"))
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(docs, "doc_id", col("text"), 8, 0, "s"))
+  }
 }

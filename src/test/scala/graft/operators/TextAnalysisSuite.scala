@@ -390,4 +390,66 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getLong(3) == 2L,
       "two tokens, no cut token -> exactly one chunk of 2")
   }
+
+  test("spanCorrupt: rate 0 passes text through, rate 1 is one full span") {
+    val docs = Seq((1L, "Alpha beta GAMMA"), (2L, "x")).toDF("doc_id", "text")
+    val none = TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), 0.0, "s")
+      .orderBy("doc_id").collect()
+    assert(none.map(_.getString(4)).toSeq == Seq("alpha beta gamma", "x"),
+      "rate 0: corrupted_text is the normalized text")
+    assert(none.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L
+      && r.getString(5) == ""), "rate 0: nothing masked, empty targets")
+    val all = TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), 1.0, "s")
+      .orderBy("doc_id").collect()
+    assert(all.map(_.getString(4)).toSeq == Seq("<X0>", "<X0>"),
+      "rate 1: whole doc collapses to one sentinel")
+    assert(all.map(_.getString(5)).toSeq == Seq("<X0> alpha beta gamma", "<X0> x"),
+      "rate 1: targets carry the whole doc after the sentinel")
+    assert(all.forall(r => r.getLong(3) == 1L), "rate 1: exactly one span")
+  }
+
+  test("spanCorrupt: token accounting, sentinel order, determinism at 0.5") {
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    def run() = TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), 0.5, "sd")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    val a = run()
+    assert(a == run(), "same seed must corrupt identically")
+    val sent = "<X\\d+>".r
+    a.foreach { case (id, n, nMasked, nSpans, corr, tgt) =>
+      assert(nSpans <= nMasked && nMasked <= n, s"doc $id: span/mask counts")
+      val corrToks = if (corr.isEmpty) Array.empty[String] else corr.split(" ")
+      val tgtToks = if (tgt.isEmpty) Array.empty[String] else tgt.split(" ")
+      assert(corrToks.length == n - nMasked + nSpans,
+        s"doc $id: corrupted keeps unmasked + one sentinel per span")
+      assert(tgtToks.length == nMasked + nSpans,
+        s"doc $id: targets carry masked + one sentinel per span")
+      assert(sent.findAllIn(corr).toSeq == (0L until nSpans).map(k => s"<X$k>"),
+        s"doc $id: sentinels in corrupted_text must be <X0>..<X${nSpans - 1}> in order")
+      assert(sent.findAllIn(tgt).toSeq == (0L until nSpans).map(k => s"<X$k>"),
+        s"doc $id: targets must visit the same sentinels in order")
+      // splicing each target span back over its sentinel restores the doc
+      val spans = tgt.split("<X\\d+> ").drop(1).map(_.stripSuffix(" "))
+      val restored = spans.zipWithIndex.foldLeft(corr) { case (t, (sp, k)) =>
+        t.replace(s"<X$k>", sp) }
+      assert(restored.split(" ").count(_.nonEmpty) == n,
+        s"doc $id: splice-back must restore all $n tokens")
+    }
+    val masked = a.map(_._3).sum.toDouble / a.map(_._2).sum
+    assert(masked > 0.3 && masked < 0.7, s"mask rate $masked far from 0.5")
+    val b = TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), 0.5, "other")
+      .orderBy("doc_id").collect().map(_.getString(4)).toSeq
+    assert(b != a.map(_._5), "seed must perturb the corruption")
+  }
+
+  test("spanCorrupt: zero-token docs drop; bad rate rejected") {
+    val docs = Seq((1L, "one token stream"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), 0.3, "s")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "whitespace-only doc has no tokens to corrupt and is dropped")
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), -0.1, "s"))
+  }
 }
