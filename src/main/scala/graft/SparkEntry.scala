@@ -816,6 +816,18 @@ object SparkEntry {
       Packing.lengthBucketBatches(t(s, d, "documents"), "doc_id",
         col("text"), batchSize = 8, shards = 4, seed = "s8")
         .orderBy(col("doc_id"))),
+    "q161_score_calibrate" -> ((s, d) =>
+      // X119 cross-source score calibration: per-source percent_rank +
+      // z-score under exact decimal moments; one source exchange
+      Curation.scoreCalibrate(t(s, d, "documents"), col("source"),
+        "doc_id", TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("doc_id"))),
+    "q162_containment" -> ((s, d) =>
+      // X120 asymmetric containment: 28-bit shingle postings, df in
+      // [2, 50] stop-shingle cut, pairs sharing >= 2 shingles
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", col("text"),
+        shingleN = 3, maxDf = 50, minShared = 2)
+        .orderBy(col("id1"), col("id2"))),
     "q51_event_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -2631,6 +2643,39 @@ object SparkEntry {
              ELSE CAST(1.0 AS DOUBLE)
                - CAST(n_tokens AS DOUBLE) / CAST(batch_max AS DOUBLE) END, 6) AS pad_frac
          FROM h ORDER BY doc_id""",
+    "q161_score_calibrate" ->
+      s"""WITH pr AS (SELECT doc_id, source, $qualityScoreSql AS score FROM documents),
+         st AS (SELECT source, COUNT(*) AS n,
+             SUM(CAST(score AS DECIMAL(18,6))) AS s,
+             SUM(CAST(CAST(score AS DECIMAL(18,6)) * CAST(score AS DECIMAL(18,6))
+               AS DECIMAL(38,12))) AS s2
+           FROM pr GROUP BY 1),
+         r AS (SELECT doc_id, source, score,
+             ROUND(percent_rank() OVER (PARTITION BY source ORDER BY score), 6) AS pct_rank
+           FROM pr)
+         SELECT r.doc_id, r.source, r.score, r.pct_rank,
+           ROUND(CASE WHEN st.n > 1 AND
+               (CAST(st.s2 AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                 / (st.n - 1) > 0
+             THEN (r.score - CAST(st.s AS DOUBLE) / st.n)
+               / sqrt((CAST(st.s2 AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                 / (st.n - 1))
+             ELSE 0.0 END, 6) AS z
+         FROM r JOIN st ON r.source = st.source ORDER BY r.doc_id""",
+    "q162_containment" ->
+      s"""WITH hs AS (SELECT doc_id, list_distinct($bases3Sql) AS sh FROM documents),
+         sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM hs WHERE len(sh) > 0),
+         p AS (SELECT doc_id, unnest(sh) AS h FROM hs),
+         ok AS (SELECT h FROM p GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+         k AS (SELECT p.doc_id, p.h FROM p JOIN ok USING (h)),
+         pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+           FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT id1, id2, n_shared, s1.n_sh AS n1, s2.n_sh AS n2,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(s1.n_sh AS DOUBLE), 6) AS c1,
+           ROUND(CAST(n_shared AS DOUBLE) / CAST(s2.n_sh AS DOUBLE), 6) AS c2
+         FROM pr JOIN sz s1 ON pr.id1 = s1.doc_id JOIN sz s2 ON pr.id2 = s2.doc_id
+         ORDER BY id1, id2""",
     "q149_queue_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_start,
          event_type AS status, COUNT(*) AS n_jobs,

@@ -492,6 +492,50 @@ object Curation {
         round(lit(0.5) * (so * log(so / m) + sn * log(sn / m)), 6).as("js_term"))
   }
 
+  /** Cross-source score calibration (X119): raw quality scores are not
+    * comparable across sources (different length/markup distributions
+    * shift every heuristic), so a single global cutoff over-prunes one
+    * source and under-prunes another. This emits the two standard
+    * calibrated forms per row: `pct_rank` (percent_rank within source —
+    * a global threshold then means "same percentile everywhere", the
+    * CCNet-style per-shard rank trick) and `z` (per-source z-score for
+    * distance-sensitive consumers).
+    *
+    * Determinism: percent_rank orders by score alone, so ties share a
+    * rank and the result is partition-order-free; moments accumulate as
+    * EXACT decimal sums (score at 6 decimals, squares at 12) and convert
+    * to double once, in a fixed expression shape the oracle mirrors —
+    * a naive double AVG/STDDEV is accumulation-order-dependent and not
+    * hash-comparable.
+    *
+    * Scale shape: ONE source-keyed exchange, no join at all — the
+    * moments are whole-partition window aggregates (computed once per
+    * partition, constant state) over the same exchange and sort the rank
+    * window already needs. Scores, not text, shuffle. */
+  def scoreCalibrate(docs: DataFrame, source: Column, idCol: String,
+      score: Column): DataFrame = {
+    val id = col(idCol)
+    val dec6 = DataTypes.createDecimalType(18, 6)
+    val dec12 = DataTypes.createDecimalType(38, 12)
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+    val wSrc = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val mean = col("__s").cast(DoubleType) / col("__n")
+    val varr = (col("__s2").cast(DoubleType)
+      - col("__s").cast(DoubleType) * col("__s").cast(DoubleType) / col("__n")) /
+      (col("__n") - 1)
+    docs.select(id, source.as("source"), score.as("score"))
+      .select(id, col("source"), col("score"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        count(lit(1)).over(wSrc).as("__n"),
+        sum(col("score").cast(dec6)).over(wSrc).as("__s"),
+        sum((col("score").cast(dec6) * col("score").cast(dec6)).cast(dec12))
+          .over(wSrc).as("__s2"))
+      .select(id, col("source"), col("score"), col("pct_rank"),
+        round(when(col("__n") > 1 && varr > 0,
+          (col("score") - mean) / sqrt(varr)).otherwise(0.0), 6).as("z"))
+  }
+
   def pplBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
       text: Column, group: Column, alpha: Double = 0.5): DataFrame = {
     val scores = TextAnalysis.lmScore(docs, refDocs, idCol, text, alpha)

@@ -270,6 +270,60 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Asymmetric containment detection (X120; Broder 1997, "On the
+    * resemblance and containment of documents"): for candidate pairs,
+    * c(A,B) = |S(A) ∩ S(B)| / |S(A)| — near 1 when A is QUOTED inside a
+    * larger B. The case symmetric Jaccard structurally misses: a tweet
+    * pasted into a news roundup scores Jaccard ≈ |A|/|B| ≈ 0 but
+    * containment ≈ 1, and quote-farms are a real dup class n-gram
+    * pipelines must catch. Emits both directions (`c1` = fraction of
+    * id1's shingles found in id2, `c2` the reverse) plus the raw counts.
+    *
+    * The `maxDf` stop-shingle cut is the scale guard: a shingle present
+    * in d documents generates d²÷2 candidate pairs, so boilerplate
+    * shingles ("all rights reserved") must not join. Shingles with
+    * df > maxDf (or df = 1, which cannot pair) are cut BEFORE the
+    * self-join; denominators stay the FULL set sizes, so reported
+    * containment undercounts by at most the pair's stop-shingle mass —
+    * the standard trade, documented here rather than hidden.
+    *
+    * Scale shape: postings are (doc_id, 28-bit shingle hash) — 8-byte
+    * keys, text never shuffles; the df census and the postings-filter
+    * join share one __h exchange per side (ReuseExchange collapses the
+    * identical subplans); the pair aggregate is keyed (id1, id2); size
+    * lookups are id-keyed joins of id-sized frames. */
+  def containmentPairs(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, maxDf: Int = 1000, minShared: Int = 1): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (df-1 shingles cannot pair), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val sets = shingleHashSets(docs, idCol, text, shingleN)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
+      .filter(col("n_sh") > 0)
+    // explode_OUTER for the same InferFiltersFromGenerate reason as
+    // contaminationScan: the inner variant re-inlines the whole
+    // tokenize->shingle chain into a pushed size()>0 predicate. Null
+    // hashes (shingle-less docs) drop at the df filter / equi-joins.
+    val post = sets.select(col("doc_id"), explode_outer(col("sh")).as("__h"))
+    val pairable = post.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__h").isNotNull && col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("__h"))
+    val keep = post.join(pairable, Seq("__h"))
+    val pairs = keep.as("a").hint("shuffle_hash")
+      .join(keep.as("b").hint("shuffle_hash"),
+        col("a.__h") === col("b.__h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        round(col("n_shared").cast(DoubleType) / col("n1").cast(DoubleType), 6)
+          .as("c1"),
+        round(col("n_shared").cast(DoubleType) / col("n2").cast(DoubleType), 6)
+          .as("c2"))
+  }
+
   /** Corpus snapshot diff: classify every doc id across two snapshots as
     * `added` / `removed` / `changed` / `unchanged` by comparing content
     * fingerprints ([[TextAnalysis.fingerprint]] — whitespace-normalized,

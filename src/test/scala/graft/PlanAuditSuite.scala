@@ -517,4 +517,30 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!scanned.contains("lang") && !scanned.contains("source"),
       s"batching reads only id + text: $scanned")
   }
+
+  test("score calibration: rank window + moments share one source exchange (X119)") {
+    val finalSection = finalPlan("q161_score_calibrate").split("== Initial Plan ==")(0)
+    val real = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(source") && !l.contains("ReusedExchange"))
+      .size
+    assert(real == 1,
+      s"window and moment aggregate must share ONE source exchange, found $real:\n$finalSection")
+    assert(finalSection.contains("ReusedExchange"),
+      s"the moments branch must reuse the rank exchange:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"the per-source stats join back by broadcast:\n$finalSection")
+  }
+
+  test("containment: postings reuse one exchange; text never shuffles (X120)") {
+    val q = SparkEntry.queries("q162_containment")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"df census and postings filter must reuse the postings exchange:\n$p")
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(shuffles.nonEmpty && shuffles.forall(cols => !cols.exists(_.startsWith("text"))),
+      s"exchanges carry ids/hashes only: $shuffles")
+  }
 }

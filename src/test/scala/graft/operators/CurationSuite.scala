@@ -394,4 +394,22 @@ class CurationSuite extends AnyFunSuite {
     val g2 = out.filter(_._2 == "g2").sortBy(_._3).map(_._4)
     assert(g2.toSeq == Seq("head", "middle"), "a 2-doc group has no tail")
   }
+
+  test("scoreCalibrate: hand-checked percent_rank and z; single-row source is 0/0") {
+    val docs = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 5.0),
+      (5L, "b", 9.0)).toDF("doc_id", "source", "score").repartition(4)
+    val out = Curation.scoreCalibrate(docs, col("source"), "doc_id", col("score"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
+    // source a: mean 2.5, var_samp 3 -> z = (x - 2.5)/sqrt(3); ties share pct
+    assert(out == Seq(
+      (1L, 0.0, -0.866025), (2L, 0.333333, -0.288675), (3L, 0.333333, -0.288675),
+      (4L, 1.0, 1.443376), (5L, 0.0, 0.0)),
+      s"calibration mismatch: $out")
+    // deterministic under repartition (ties share ranks; decimal moments)
+    val again = Curation.scoreCalibrate(
+        docs.repartition(11), col("source"), "doc_id", col("score"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(again == out)
+  }
 }

@@ -503,4 +503,34 @@ class DedupSuite extends AnyFunSuite {
     assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", 5L -> "added"))
   }
+
+  test("containmentPairs: quoted doc scores c ~ 1 where Jaccard would not") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words here alpha beta gamma delta closing words trail"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        shingleN = 2, maxDf = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // doc 1 (3 bigram shingles) fully inside doc 2 (9 shingles):
+    // n_shared 3 -> c1 = 1.0 (the quote signal), c2 = 3/9 (Jaccard-scale)
+    assert(out == Seq((1L, 2L, 3L, 3L, 9L, 1.0, 0.333333)), s"got $out")
+  }
+
+  test("containmentPairs: stop-shingle df cut removes boilerplate pairs") {
+    val docs = (1L to 4L).map(i =>
+      (i, s"common pair uniq${i}a uniq${i}b")).toDF("doc_id", "text")
+    // every doc's only shared shingle is "common pair" (df 4)
+    val cut = Dedup.containmentPairs(docs, "doc_id", col("text"),
+      shingleN = 2, maxDf = 3, minShared = 1)
+    assert(cut.count() == 0L, "df-4 shingle must be cut at maxDf 3")
+    val kept = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        shingleN = 2, maxDf = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(kept == (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b, 1L)).toSeq,
+      s"at maxDf 4 all 6 single-shingle pairs appear: $kept")
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", col("text"), 2, maxDf = 1))
+  }
 }
