@@ -525,10 +525,10 @@ class PlanAuditSuite extends AnyFunSuite {
       .size
     assert(real == 1,
       s"window and moment aggregate must share ONE source exchange, found $real:\n$finalSection")
-    assert(finalSection.contains("ReusedExchange"),
-      s"the moments branch must reuse the rank exchange:\n$finalSection")
-    assert(finalSection.contains("BroadcastHashJoin"),
-      s"the per-source stats join back by broadcast:\n$finalSection")
+    // Both the rank window and the whole-partition moment windows stack on
+    // that single exchange: no join, no second shuffle, nothing to re-use.
+    assert(!finalSection.contains("Join"),
+      s"moments are window aggregates over the same partitioning, not a join-back:\n$finalSection")
   }
 
   test("containment: postings reuse one exchange; text never shuffles (X120)") {
@@ -537,10 +537,14 @@ class PlanAuditSuite extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"),
       s"df census and postings filter must reuse the postings exchange:\n$p")
-    val shuffles = q.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.map(_.name)
-    }
-    assert(shuffles.nonEmpty && shuffles.forall(cols => !cols.exists(_.startsWith("text"))),
-      s"exchanges carry ids/hashes only: $shuffles")
+    // Under AQE the ShuffleExchangeExec nodes live inside materialized query
+    // stages beneath AdaptiveSparkPlanExec, which `.collect` on the wrapper
+    // does not traverse — audit the printed final plan instead.
+    val exchangeLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toList
+    assert(exchangeLines.nonEmpty,
+      s"postings pair join must shuffle on the shingle hash:\n$p")
+    assert(exchangeLines.forall(l => !l.contains("text")),
+      s"exchanges carry ids/hashes only, never document text: $exchangeLines")
   }
 }
