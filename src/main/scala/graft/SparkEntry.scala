@@ -32,13 +32,31 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
   private def ts(x: String): Column = to_timestamp(lit(x))
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert with exact integer division
-    * (a double roundtrip would lose precision above 2^53 ns). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** The driver regenerates events.parquet between rounds and has already
+    * changed its physical `ts` type once (TIMESTAMP(NANOS) through round 9,
+    * TIMESTAMP_MICROS isAdjustedToUTC=0 from round 10), so dispatch on the
+    * loaded type instead of assuming one:
+    *  - NANOS read as long via `nanosAsLong`, converted with exact integer
+    *    division (a double roundtrip would lose precision above 2^53 ns);
+    *  - NTZ micros cast to TIMESTAMP — the session TZ is pinned to UTC, so
+    *    the instant is preserved and DuckDB (which treats the naive column
+    *    as UTC in its epoch functions) hash-matches;
+    *  - UTC-adjusted TIMESTAMP passes through;
+    *  - anything else fails fast with the loaded type named.
+    */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        sys.error(s"events.parquet ts has unsupported type $other — " +
+          "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   /** embeddings.parquet -> the engine's store schema (SURVEY.md §1.3):
@@ -822,6 +840,22 @@ object SparkEntry {
       Curation.scoreCalibrate(t(s, d, "documents"), col("source"),
         "doc_id", TextAnalysis.qualityScore(col("text")))
         .orderBy(col("doc_id"))),
+    "q163_calibrate_edges" -> ((s, d) => {
+      // X119 guard branches under the hash gate: a zero-variance source
+      // (constant score, n>1 -> varr=0 -> z=0 via the otherwise(0.0)) and
+      // a single-row source (n=1 -> z=0, pct_rank=0) alongside a healthy
+      // source, all derived deterministically from documents
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val sc = (col("doc_id") % 7).cast(DoubleType) / 10.0
+      val in = ids.filter(col("doc_id") <= 20)
+          .select(col("doc_id"), lit("const").as("src"), lit(0.5).as("sc"))
+        .unionByName(ids.filter(col("doc_id") === 21)
+          .select(col("doc_id"), lit("single").as("src"), sc.as("sc")))
+        .unionByName(ids.filter(col("doc_id").between(22, 60))
+          .select(col("doc_id"), lit("normal").as("src"), sc.as("sc")))
+      Curation.scoreCalibrate(in, col("src"), "doc_id", col("sc"))
+        .orderBy(col("doc_id"))
+    }),
     "q162_containment" -> ((s, d) =>
       // X120 asymmetric containment: 28-bit shingle postings, df in
       // [2, 50] stop-shingle cut, pairs sharing >= 2 shingles
@@ -2645,6 +2679,33 @@ object SparkEntry {
          FROM h ORDER BY doc_id""",
     "q161_score_calibrate" ->
       s"""WITH pr AS (SELECT doc_id, source, $qualityScoreSql AS score FROM documents),
+         st AS (SELECT source, COUNT(*) AS n,
+             SUM(CAST(score AS DECIMAL(18,6))) AS s,
+             SUM(CAST(CAST(score AS DECIMAL(18,6)) * CAST(score AS DECIMAL(18,6))
+               AS DECIMAL(38,12))) AS s2
+           FROM pr GROUP BY 1),
+         r AS (SELECT doc_id, source, score,
+             ROUND(percent_rank() OVER (PARTITION BY source ORDER BY score), 6) AS pct_rank
+           FROM pr)
+         SELECT r.doc_id, r.source, r.score, r.pct_rank,
+           ROUND(CASE WHEN st.n > 1 AND
+               (CAST(st.s2 AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                 / (st.n - 1) > 0
+             THEN (r.score - CAST(st.s AS DOUBLE) / st.n)
+               / sqrt((CAST(st.s2 AS DOUBLE) - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE) / st.n)
+                 / (st.n - 1))
+             ELSE 0.0 END, 6) AS z
+         FROM r JOIN st ON r.source = st.source ORDER BY r.doc_id""",
+    "q163_calibrate_edges" ->
+      """WITH pr AS (
+           SELECT doc_id, 'const' AS source, CAST(0.5 AS DOUBLE) AS score
+             FROM documents WHERE doc_id <= 20
+           UNION ALL
+           SELECT doc_id, 'single', CAST(doc_id % 7 AS DOUBLE) / 10.0
+             FROM documents WHERE doc_id = 21
+           UNION ALL
+           SELECT doc_id, 'normal', CAST(doc_id % 7 AS DOUBLE) / 10.0
+             FROM documents WHERE doc_id BETWEEN 22 AND 60),
          st AS (SELECT source, COUNT(*) AS n,
              SUM(CAST(score AS DECIMAL(18,6))) AS s,
              SUM(CAST(CAST(score AS DECIMAL(18,6)) * CAST(score AS DECIMAL(18,6))

@@ -331,10 +331,8 @@ class PlanAuditSuite extends AnyFunSuite {
   }
 
   test("session traces: ONE user exchange serves sessionize windows and the trace agg (X78)") {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.col
+    val ev = SparkEntry.events(spark, sf)
     val frame = operators.Sessionize.sessionTraces(ev, col("user_id"), col("ts"),
       col("event_id"), col("event_type"), 1800000000L)
     val p = prepPlan(frame)
