@@ -287,36 +287,57 @@ object Dedup {
     * containment undercounts by at most the pair's stop-shingle mass —
     * the standard trade, documented here rather than hidden.
     *
-    * Scale shape: postings are (doc_id, 28-bit shingle hash) — 8-byte
-    * keys, text never shuffles; the df census and the postings-filter
-    * join share one __h exchange per side (ReuseExchange collapses the
-    * identical subplans); the pair aggregate is keyed (id1, id2); size
-    * lookups are id-keyed joins of id-sized frames. */
+    * Scale shape: the tokenize→shingle→hash chain is evaluated exactly
+    * twice — once feeding the df census (map-side-combined counts,
+    * constant-size buffers: a boilerplate shingle in millions of docs
+    * never builds a list), once feeding the postings shuffle (an earlier
+    * draft re-derived it SIX times — census, postings, and 2× in each
+    * pushed size-lookup filter — and that, not data volume, dominated
+    * the bench at sf0.1: 8.6 s → 4.0 s). Postings carry
+    * (doc_id, n_sh, 28-bit hash) — text never shuffles; the explicit
+    * `repartition(__h)` co-partitions the census join and lets
+    * `collect_list` — bounded at maxDf — aggregate in place. Candidate
+    * pairs are generated IN-GROUP from each sorted list (at most
+    * maxDf·(maxDf-1)/2 per shingle, in-memory) with both denominators
+    * riding along as struct fields, so there are no id-keyed size joins
+    * at all; the only other exchange is the (id1, id2) pair
+    * aggregate. */
   def containmentPairs(docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, maxDf: Int = 1000, minShared: Int = 1): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (df-1 shingles cannot pair), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val sets = shingleHashSets(docs, idCol, text, shingleN)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
-      .filter(col("n_sh") > 0)
     // explode_OUTER for the same InferFiltersFromGenerate reason as
     // contaminationScan: the inner variant re-inlines the whole
     // tokenize->shingle chain into a pushed size()>0 predicate. Null
-    // hashes (shingle-less docs) drop at the df filter / equi-joins.
-    val post = sets.select(col("doc_id"), explode_outer(col("sh")).as("__h"))
+    // hashes (shingle-less docs) drop at the isNotNull filter. n_sh (the
+    // FULL distinct-set size — denominators ignore the df cut by design)
+    // rides along with every posting.
+    val post = sets
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"),
+        explode_outer(col("sh")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .repartition(col("__h"))
     val pairable = post.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__h").isNotNull && col("__df") >= 2 && col("__df") <= maxDf)
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select(col("__h"))
-    val keep = post.join(pairable, Seq("__h"))
-    val pairs = keep.as("a").hint("shuffle_hash")
-      .join(keep.as("b").hint("shuffle_hash"),
-        col("a.__h") === col("b.__h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("n_shared"))
+    // co-partitioned join + in-place list aggregate: no exchange beyond
+    // the one above. sort_array over (doc_id, n_sh) structs orders by
+    // doc_id, making i<j positions the id1<id2 pairs.
+    val lists = post.join(pairable, Seq("__h"))
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("__ids"))
+    val ids = col("__ids")
+    val pairGen = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids) - i - 1),
+        y => struct(x.getField("doc_id").as("id1"), y.getField("doc_id").as("id2"),
+          x.getField("n_sh").as("n1"), y.getField("n_sh").as("n2")))))
+    lists
+      .select(explode(pairGen).as("__p"))
+      .groupBy(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"), min(col("__p.n1")).as("n1"),
+        min(col("__p.n2")).as("n2"))
       .filter(col("n_shared") >= minShared)
-    pairs
-      .join(sizes.select(col("doc_id").as("id1"), col("n_sh").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n_sh").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
         round(col("n_shared").cast(DoubleType) / col("n1").cast(DoubleType), 6)
           .as("c1"),

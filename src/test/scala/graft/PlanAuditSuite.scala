@@ -529,19 +529,29 @@ class PlanAuditSuite extends AnyFunSuite {
       s"moments are window aggregates over the same partitioning, not a join-back:\n$finalSection")
   }
 
-  test("containment: postings reuse one exchange; text never shuffles (X120)") {
+  test("containment: chain evaluated <= 2x, in-group pairs; text never shuffles (X120)") {
     val q = SparkEntry.queries("q162_containment")(spark, sf)
     q.collect()
     val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(p.contains("ReusedExchange"),
-      s"df census and postings filter must reuse the postings exchange:\n$p")
+    // the tokenize->shingle->hash chain feeds exactly the census and the
+    // postings shuffle — the 6x re-derivation (size-lookup joins with the
+    // chain pushed into scan filters) must not come back
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"the shingle chain must be evaluated at most twice (census + postings):\n$p")
+    assert(p.contains("collect_list"),
+      s"candidate pairs must be generated in-group from bounded df lists:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no postings self-join — pairs come from the list aggregate:\n$p")
     // Under AQE the ShuffleExchangeExec nodes live inside materialized query
     // stages beneath AdaptiveSparkPlanExec, which `.collect` on the wrapper
     // does not traverse — audit the printed final plan instead.
     val exchangeLines = p.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning")).toList
     assert(exchangeLines.nonEmpty,
-      s"postings pair join must shuffle on the shingle hash:\n$p")
+      s"postings census and pair aggregate must shuffle on hash keys:\n$p")
+    assert(exchangeLines.size <= 3,
+      s"only the postings repartition, the census, and the (id1,id2) pair " +
+        s"aggregate may shuffle: $exchangeLines")
     assert(exchangeLines.forall(l => !l.contains("text")),
       s"exchanges carry ids/hashes only, never document text: $exchangeLines")
   }
