@@ -287,12 +287,16 @@ object CorpusStats {
     *
     * One corpus pass: all n-gram orders explode from a single staged
     * token array (struct-tagged, flattened), so the scan and tokenize
-    * run once, not maxN times. Distinct counts are EXACT here
-    * (oracle-checkable); at 100 TB swap `countDistinct` for
-    * `approx_count_distinct` — the [[lengthStats]] exact/sketch duality,
-    * same plan shape with the expand collapsed to an HLL partial. */
+    * run once, not maxN times. Distinct counts are EXACT by default
+    * (oracle-checkable); at 100 TB pass `approx = true`:
+    * `approx_count_distinct` (HyperLogLog++, relative standard deviation
+    * `rsd`) — the [[lengthStats]] exact/sketch duality, same plan shape
+    * with the exact-distinct expand collapsed to a constant-size HLL
+    * partial per (source, n). The suite pins the ratio within ~3·rsd of
+    * exact. */
   def ngramDiversity(docs: DataFrame, source: Column, text: Column,
-      maxN: Int = 3): DataFrame = {
+      maxN: Int = 3, approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
     require(maxN >= 1 && maxN <= 5, s"maxN must be in [1,5], got $maxN")
     val staged = docs.select(source.as("source"),
       TextAnalysis.tokens(text).as("__toks"))
@@ -305,7 +309,8 @@ object CorpusStats {
       .filter(col("gram") =!= "")
       .groupBy(col("source"), col("n"))
       .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("gram")).as("n_distinct"))
+        (if (approx) approx_count_distinct(col("gram"), rsd)
+         else countDistinct(col("gram"))).as("n_distinct"))
       .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6).as("distinct_ratio"))
   }

@@ -194,14 +194,21 @@ object Curation {
     *
     * Scale shape: one exact-percentile aggregate rides back as a
     * broadcast single-row cross join (the scalar-anchor pattern — no
-    * driver action), then a shuffle-free filter pass. At 100 TB swap
-    * `percentile` for `approx_percentile` — identical plan shape, the
-    * [[CorpusStats.lengthStats]] exact/sketch duality. */
+    * driver action), then a shuffle-free filter pass. At 100 TB pass
+    * `approx = true`: `percentile_approx` (GK sketch, rank error <=
+    * n/accuracy) replaces the exact sort-based percentile — identical
+    * plan shape, the [[CorpusStats.lengthStats]] exact/sketch duality;
+    * the kept fraction then deviates from keepFrac by at most the rank
+    * error (suite-pinned). */
   def adaptiveQualityCutoff(docs: DataFrame, idCol: String, text: Column,
-      keepFrac: Double = 0.9): DataFrame = {
+      keepFrac: Double = 0.9, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0,1], got $keepFrac")
     val scored = docs.select(col(idCol), TextAnalysis.qualityScore(text).as("score"))
-    val cut = scored.agg(percentile(col("score"), lit(1.0 - keepFrac)).as("__cut"))
+    val cutAgg =
+      if (approx) percentile_approx(col("score"), lit(1.0 - keepFrac), lit(accuracy))
+      else percentile(col("score"), lit(1.0 - keepFrac))
+    val cut = scored.agg(cutAgg.as("__cut"))
     scored.crossJoin(broadcast(cut))
       .filter(col("score") >= col("__cut"))
       .select(col(idCol), col("score"), round(col("__cut"), 6).as("cutoff"))
@@ -536,16 +543,43 @@ object Curation {
           (col("score") - mean) / sqrt(varr)).otherwise(0.0), 6).as("z"))
   }
 
+  /** Perplexity terciles per group (X66, the CCNet head/middle/tail
+    * split, Wenzek et al. 1911.00359): rank docs by [[TextAnalysis
+    * .lmScore]] perplexity within each group and bucket into thirds.
+    *
+    * Exact path (default): NTILE(3) over (ppl asc, id asc) — a total
+    * order, oracle-checkable, but the per-group window SORTS the whole
+    * group. At 100 TB pass `approx = true`: per-group tercile boundaries
+    * via `percentile_approx` (GK sketch, rank error <= n/accuracy) ride
+    * back as a broadcast join and docs bucket by VALUE comparison — no
+    * per-group sort at all, the only full exchange is the group-keyed
+    * sketch aggregate. Bucket sizes then deviate from exact thirds by at
+    * most the rank error, and ppl TIES at a boundary all land in the
+    * lower bucket (NTILE splits ties positionally) — both suite-pinned. */
   def pplBuckets(docs: DataFrame, refDocs: DataFrame, idCol: String,
-      text: Column, group: Column, alpha: Double = 0.5): DataFrame = {
+      text: Column, group: Column, alpha: Double = 0.5,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val scores = TextAnalysis.lmScore(docs, refDocs, idCol, text, alpha)
-    val w = Window.partitionBy(col("grp")).orderBy(col("ppl").asc, col(idCol).asc)
-    docs.select(col(idCol), group.as("grp"))
+    val joined = docs.select(col(idCol), group.as("grp"))
       .join(scores, Seq(idCol))
-      .withColumn("__t", ntile(3).over(w))
-      .withColumn("bucket",
-        when(col("__t") === 1, "head")
-          .when(col("__t") === 2, "middle").otherwise("tail"))
-      .drop("__t")
+    if (approx) {
+      val cuts = joined.groupBy(col("grp"))
+        .agg(percentile_approx(col("ppl"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__cuts"))
+      joined.join(broadcast(cuts), Seq("grp"))
+        .withColumn("bucket",
+          when(col("ppl") <= element_at(col("__cuts"), 1), "head")
+            .when(col("ppl") <= element_at(col("__cuts"), 2), "middle")
+            .otherwise("tail"))
+        .select(joined.columns.map(col) :+ col("bucket"): _*)
+    } else {
+      val w = Window.partitionBy(col("grp")).orderBy(col("ppl").asc, col(idCol).asc)
+      joined
+        .withColumn("__t", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("__t") === 1, "head")
+            .when(col("__t") === 2, "middle").otherwise("tail"))
+        .drop("__t")
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,21 +124,28 @@ object Quantize {
     * 1 = the range is honest, don't clip; near 0 = a few outliers own
     * the grid.
     *
-    * Exact `percentile` here (linear interpolation — identical to
-    * DuckDB's quantile_cont, oracle-checkable); at 100 TB swap in
-    * `approx_percentile`, the [[CorpusStats.lengthStats]] exact/sketch
-    * duality. One dim-keyed exchange of map-side partials. */
+    * Exact `percentile` by default (linear interpolation — identical to
+    * DuckDB's quantile_cont, oracle-checkable); at 100 TB pass
+    * `approx = true`: `percentile_approx` (GK sketch, rank error <=
+    * n/accuracy per dimension) — the [[CorpusStats.lengthStats]]
+    * exact/sketch duality, same one dim-keyed exchange with the sort
+    * state collapsed to a bounded sketch. The suite pins the approx
+    * bounds within the observed-rank tolerance of exact. */
   def clipRecommendation(embs: DataFrame, vecCol: String,
-      loFrac: Double = 0.001, hiFrac: Double = 0.999): DataFrame = {
+      loFrac: Double = 0.001, hiFrac: Double = 0.999,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(loFrac >= 0.0 && hiFrac <= 1.0 && loFrac < hiFrac,
       s"need 0 <= loFrac < hiFrac <= 1, got ($loFrac, $hiFrac)")
+    def pct(c: Column, f: Double): Column =
+      if (approx) percentile_approx(c, lit(f), lit(accuracy))
+      else percentile(c, lit(f))
     embs.select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .withColumn("__x", col("__x").cast(DoubleType))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
         min(col("__x")).as("__mn"), max(col("__x")).as("__mx"),
-        percentile(col("__x"), lit(loFrac)).as("__lo"),
-        percentile(col("__x"), lit(hiFrac)).as("__hi"))
+        pct(col("__x"), loFrac).as("__lo"),
+        pct(col("__x"), hiFrac).as("__hi"))
       .select(col("dim"), col("n"),
         round(col("__mn"), 6).as("mn"), round(col("__mx"), 6).as("mx"),
         round(col("__lo"), 6).as("clip_lo"), round(col("__hi"), 6).as("clip_hi"),

@@ -166,6 +166,27 @@ class CorpusStatsSuite extends AnyFunSuite {
       got.find(t => t._1 == "s1" && t._2 == 1).get._5)
   }
 
+  test("ngramDiversity approx: HLL distinct within 3*rsd of exact; counts unchanged") {
+    // enough distinct grams for the HLL estimate to be meaningful
+    val docs = (1L to 50L).map { i =>
+      (i, s"s${i % 2}", (1 to 40).map(j => s"w${(i * 37 + j * 11) % 211}").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val exact = CorpusStats.ngramDiversity(docs, $"source", $"text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val rsd = 0.05
+    val got = CorpusStats.ngramDiversity(docs, $"source", $"text",
+      approx = true, rsd = rsd).collect()
+    assert(got.length === exact.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getInt(1))
+      val (nGrams, nDistinct) = exact(key)
+      assert(r.getLong(2) === nGrams, s"$key: n_grams is an exact count either way")
+      val rel = math.abs(r.getLong(3) - nDistinct).toDouble / nDistinct
+      assert(rel <= 3 * rsd, s"$key: approx distinct ${r.getLong(3)} vs exact " +
+        s"$nDistinct — relative error $rel past 3*rsd")
+    }
+  }
+
   test("datasheetRollup: levels are additive and consistent with datasheet") {
     // two sources x two langs, one exact dup pair inside (web, en)
     val docs = Seq(

@@ -149,6 +149,34 @@ class CurationSuite extends AnyFunSuite {
     assert(all.count() === 30, "keepFrac=1 keeps everything (cutoff = min score)")
   }
 
+  test("adaptiveQualityCutoff approx: GK rank-error bound on the cutoff; kept fraction tracks") {
+    val stops = TextAnalysis.stopwords("en")
+    val n = 200
+    val docs = (1L to n.toLong).map { i =>
+      val words = (1 to i.toInt).map(j => if (j % 3 == 0) stops((j / 3) % 10) else s"w$j")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sorted = docs.select(TextAnalysis.qualityScore($"text").as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    for (accuracy <- Seq(50, 10000)) {
+      val out = Curation.adaptiveQualityCutoff(docs, "doc_id", $"text",
+        keepFrac = 0.8, approx = true, accuracy = accuracy).collect()
+      val cutoff = out.head.getDouble(2)
+      // percentile_approx returns an ACTUAL element whose rank is within
+      // n/accuracy of the target rank (GK guarantee)
+      val err = math.ceil(n.toDouble / accuracy).toInt
+      val target = (0.2 * (n - 1)).round.toInt
+      val lo = sorted(math.max(0, target - err - 1))
+      val hi = sorted(math.min(n - 1, target + err + 1))
+      assert(cutoff >= lo && cutoff <= hi,
+        s"accuracy=$accuracy cutoff $cutoff outside rank window [$lo, $hi]")
+      assert(out.forall(_.getDouble(1) >= cutoff), "kept rows clear the approx cutoff")
+      val kept = out.length.toDouble / n
+      assert(math.abs(kept - 0.8) <= (err + 2).toDouble / n,
+        s"accuracy=$accuracy kept fraction $kept deviates past the rank error")
+    }
+  }
+
   // ---- mixtureSample ----------------------------------------------------
 
   private def md5Hex(s: String): String =
@@ -393,6 +421,32 @@ class CurationSuite extends AnyFunSuite {
     assert(g1.filter(_._1 == 10L).head._4 == "head")
     val g2 = out.filter(_._2 == "g2").sortBy(_._3).map(_._4)
     assert(g2.toSeq == Seq("head", "middle"), "a 2-doc group has no tail")
+  }
+
+  test("pplBuckets approx: value-consistent buckets, near-third sizes, ties sink to head") {
+    // 30 docs with distinct perplexities in one group: approx buckets must
+    // be value-consistent (max ppl of head <= min ppl of middle <= ...) and
+    // each within 2 of n/3 at high accuracy
+    val docs = (1L to 30L).map { i =>
+      val toks = (1 to (i.toInt % 7 + 2)).map(j => s"t${(i + j) % 13}")
+      (i, "g1", toks.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = Curation.pplBuckets(docs, docs, "doc_id", col("text"), $"lang",
+      approx = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getString(5)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (b <- Seq("head", "middle", "tail"))
+      assert(byBucket.contains(b) && math.abs(byBucket(b).size - 10) <= 2,
+        s"bucket $b size ${byBucket.get(b).map(_.size)} not near a third: $byBucket")
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head perplexities must not exceed middle's")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle perplexities must not exceed tail's")
+    // all-tied group: every doc's ppl equals the tercile boundary -> head
+    val tied = (1L to 9L).map(i => (i, "t", "a b a b")).toDF("doc_id", "lang", "text")
+    val tb = Curation.pplBuckets(tied, tied, "doc_id", col("text"), $"lang",
+      approx = true).collect().map(_.getString(5))
+    assert(tb.forall(_ == "head"), s"ties at the boundary sink to head, got ${tb.toSeq}")
   }
 
   test("scoreCalibrate: hand-checked percent_rank and z; single-row source is 0/0") {

@@ -84,6 +84,39 @@ class QuantizeSuite extends AnyFunSuite {
     assert(got(2)._2 == 1.0, "constant dim reports 1.0 (nothing to clip)")
   }
 
+  test("clipRecommendation approx: GK bounds land within the rank window of exact") {
+    val n = 100
+    val embs = (0 until n).map { i =>
+      (i.toLong, Array(if (i == 99) 100f else i / 99f, i.toFloat))
+    }.toDF("id", "vec")
+    val perDim = (0 until 2).map { d =>
+      d -> embs.collect().map(_.getSeq[Float](1)(d).toDouble).sorted
+    }.toMap
+    val (loF, hiF) = (0.05, 0.95)
+    val approx = Quantize.clipRecommendation(embs, "vec", loFrac = loF,
+      hiFrac = hiF, approx = true, accuracy = 10000)
+      .orderBy("dim").collect().map(r => (r.getInt(0), r.getDouble(4), r.getDouble(5)))
+    approx.foreach { case (d, lo, hi) =>
+      val sorted = perDim(d)
+      val err = math.ceil(n.toDouble / 10000).toInt
+      def window(p: Double) = {
+        val t = (p * (n - 1)).round.toInt
+        (sorted(math.max(0, t - err - 1)), sorted(math.min(n - 1, t + err + 1)))
+      }
+      val (ll, lh) = window(loF)
+      // round(_, 6) in the output vs raw sorted values: compare with slack
+      assert(lo >= ll - 1e-6 && lo <= lh + 1e-6,
+        s"dim $d clip_lo $lo outside rank window [$ll, $lh]")
+      val (hl, hh) = window(hiF)
+      assert(hi >= hl - 1e-6 && hi <= hh + 1e-6,
+        s"dim $d clip_hi $hi outside rank window [$hl, $hh]")
+    }
+    // the outlier-collapse signal survives the sketch
+    val ratios = Quantize.clipRecommendation(embs, "vec", loFrac = 0.01,
+      hiFrac = 0.97, approx = true).orderBy("dim").collect().map(_.getDouble(6))
+    assert(ratios(0) < 0.05 && ratios(1) > 0.9)
+  }
+
   test("reconstructionError: zero on grid points and constant dims; half-step bound off-grid") {
     val embs = Seq(
       (1L, Array(0f, 7f, 0f)),
