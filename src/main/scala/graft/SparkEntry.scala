@@ -85,6 +85,29 @@ object SparkEntry {
         col("n_chars").cast(StringType).as("meta_value")))
   }
 
+  /** Deterministic synthetic URLs over documents (the corpus has no URL
+    * column, q163 precedent): scheme/www/port/tracking/fragment/trailing-
+    * slash noise and one malformed row, all keyed on doc_id so both
+    * engines derive the identical set. */
+  def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id")
+    t(s, dir, "documents").select(col("doc_id"),
+      when(m % 11 === 0, lit("/relative/path"))
+        .otherwise(concat(
+          when(m % 4 === 0, lit("HTTP://")).otherwise(lit("https://")),
+          when(m % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit("."),
+          when(m % 5 === 0, lit("co.uk"))
+            .when(m % 5 === 1, lit("github.io")).otherwise(lit("example.com")),
+          when(m % 7 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/posts/"), m.cast(StringType),
+          when(m % 2 === 0, lit("/")).otherwise(lit("")),
+          when(m % 3 === 1, lit("?utm_source=feed&b=2&a=1"))
+            .when(m % 3 === 2, lit("?gclid=x&id=9")).otherwise(lit("")),
+          when(m % 6 === 0, lit("#section")).otherwise(lit(""))))
+        .as("url"))
+  }
+
   /** Deterministic queue state derived from `events` (for oracle-checkable
     * queue-lifecycle queries q27/q28): event_id is unique -> job_id/post_id;
     * error events arrive failed with error_count = event_id % 5, purchases
@@ -840,6 +863,24 @@ object SparkEntry {
       Curation.scoreCalibrate(t(s, d, "documents"), col("source"),
         "doc_id", TextAnalysis.qualityScore(col("text")))
         .orderBy(col("doc_id"))),
+    "q164_dup_spans" -> ((s, d) =>
+      // X121 duplicated-span extraction: maximal token ranges whose every
+      // 8-token window occurs >= 2 times in the corpus
+      Dedup.dupSpans(t(s, d, "documents"), "doc_id", col("text"), windowLen = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+    "q165_url_profile" -> ((s, d) =>
+      // X122 URL normalization + registrable domain over deterministic
+      // synthetic URLs (the corpus has no URL column)
+      TextAnalysis.urlProfile(syntheticUrls(s, d), "doc_id", col("url"))
+        .orderBy(col("doc_id"))),
+    "q166_domain_caps" -> ((s, d) =>
+      // X122 -> X30 composition: cap documents per registrable domain at 3
+      Curation.capPerKey(
+        TextAnalysis.urlProfile(syntheticUrls(s, d), "doc_id", col("url")),
+        col("registrable_domain"), 3, col("doc_id").asc)
+        .select(col("doc_id"), col("registrable_domain"),
+          col("rn").cast(LongType).as("rn"))
+        .orderBy(col("doc_id"))),
     "q163_calibrate_edges" -> ((s, d) => {
       // X119 guard branches under the hash gate: a zero-variance source
       // (constant score, n>1 -> varr=0 -> z=0 via the otherwise(0.0)) and
@@ -1510,6 +1551,26 @@ object SparkEntry {
   private def toksSqlOn(c: String) =
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
+
+  /** SQL mirror of [[syntheticUrls]] — the same doc_id-keyed noise. */
+  private val syntheticUrlsSql =
+    """SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN '/relative/path' ELSE
+         (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         source || '.' ||
+         (CASE WHEN doc_id % 5 = 0 THEN 'co.uk'
+               WHEN doc_id % 5 = 1 THEN 'github.io' ELSE 'example.com' END) ||
+         (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+         '/posts/' || CAST(doc_id AS VARCHAR) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 3 = 2 THEN '?gclid=x&id=9' ELSE '' END) ||
+         (CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END)
+       END AS url FROM documents"""
+  private val trackingParamsSql =
+    graft.operators.TextAnalysis.TrackingParams.map(p => s"'$p'").mkString(", ")
+  private val multiSuffixSql =
+    graft.operators.TextAnalysis.MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
 
   /** 3-token shingles -> one 28-bit md5 base per shingle -> per-seed
     * arithmetic permutation `(a*h + b) mod p`, mirroring
@@ -2696,6 +2757,78 @@ object SparkEntry {
                  / (st.n - 1))
              ELSE 0.0 END, 6) AS z
          FROM r JOIN st ON r.source = st.source ORDER BY r.doc_id""",
+    "q164_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             substr(md5(${(1 to 8).map(j => s"tk[CAST(u.i+$j AS INT)]")
+               .mkString(" || ' ' || ")}), 1, 16) AS h
+           FROM t, UNNEST(range(0, len(tk) - 7)) u(i)),
+         dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+         m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         s AS (SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS nw
+           FROM m),
+         x AS (SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           FROM s)
+         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+           MAX(pos) + 8 - MIN(pos) AS n_tokens
+         FROM x GROUP BY doc_id, isl ORDER BY doc_id, span_start""",
+    "q165_url_profile" ->
+      s"""WITH u AS ($syntheticUrlsSql),
+         p AS (SELECT doc_id, url,
+             lower(regexp_extract(trim(url),
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)) AS auth,
+             regexp_extract(trim(url),
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS pth,
+             regexp_extract(trim(url), '\\?([^#]*)', 1) AS qry
+           FROM u),
+         h AS (SELECT doc_id, url, pth, qry,
+             regexp_replace(regexp_replace(auth, ':[0-9]+$$', ''), '^www\\.', '') AS host0
+           FROM p),
+         n AS (SELECT doc_id, url, host0,
+             string_split(host0, '.') AS labels,
+             CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+               ELSE regexp_replace(pth, '/+$$', '') END AS npath,
+             list_sort(list_filter(string_split(qry, '&'), q -> q <> ''
+               AND NOT (string_split(q, '=')[1] IN ($trackingParamsSql)))) AS kept
+           FROM h)
+         SELECT doc_id, url,
+           CASE WHEN host0 = '' THEN NULL ELSE host0 END AS host,
+           CASE WHEN host0 = '' OR len(labels) < 2 THEN NULL
+             WHEN len(labels) >= 3
+               AND labels[-2] || '.' || labels[-1] IN ($multiSuffixSql)
+               THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+             ELSE labels[-2] || '.' || labels[-1] END AS registrable_domain,
+           CASE WHEN host0 = '' THEN url
+             ELSE 'https://' || host0 || npath ||
+               (CASE WHEN len(kept) > 0
+                 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+           END AS norm_url
+         FROM n ORDER BY doc_id""",
+    "q166_domain_caps" ->
+      s"""WITH u AS ($syntheticUrlsSql),
+         p AS (SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(trim(url),
+                 '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)),
+               ':[0-9]+$$', ''), '^www\\.', '') AS host0
+           FROM u),
+         d AS (SELECT doc_id, string_split(host0, '.') AS labels, host0 FROM p),
+         r AS (SELECT doc_id,
+             CASE WHEN host0 = '' OR len(labels) < 2 THEN NULL
+               WHEN len(labels) >= 3
+                 AND labels[-2] || '.' || labels[-1] IN ($multiSuffixSql)
+                 THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+               ELSE labels[-2] || '.' || labels[-1] END AS registrable_domain
+           FROM d),
+         w AS (SELECT doc_id, registrable_domain,
+             ROW_NUMBER() OVER (PARTITION BY registrable_domain ORDER BY doc_id)
+               AS rn
+           FROM r)
+         SELECT doc_id, registrable_domain, CAST(rn AS BIGINT) AS rn
+         FROM w WHERE rn <= 3 ORDER BY doc_id""",
     "q163_calibrate_edges" ->
       """WITH pr AS (
            SELECT doc_id, 'const' AS source, CAST(0.5 AS DOUBLE) AS score

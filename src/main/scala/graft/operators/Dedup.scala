@@ -767,6 +767,61 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Duplicated-span extraction (X121; the scalable form of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §3 ExactSubstr): per document, the MAXIMAL token
+    * ranges every one of whose `windowLen`-token windows also occurs
+    * elsewhere in the corpus — the spans an exact-substring dedup pass
+    * would cut (boilerplate headers, licence blocks, quoted articles),
+    * found without building a suffix array. A window occurring >= 2
+    * times ANYWHERE (other docs or a repeat within the same doc — both
+    * are duplication in the training-data sense) is duplicated; runs of
+    * duplicated windows merge when their covered token ranges touch
+    * (next_pos - pos <= windowLen). Emits
+    * `(doc_id, span_start, span_end, n_tokens)` with token positions
+    * 0-based, end exclusive; every span has n_tokens >= windowLen.
+    *
+    * The windowLen knob is the paper's 50-token threshold: spans
+    * shorter than the window cannot be detected (by design — short
+    * matches are coincidence, Lee et al. §3.1).
+    *
+    * Scale shape: occurrence postings are (doc_id, pos, 64-bit md5
+    * prefix) — text never shuffles. The census join follows the
+    * [[containmentPairs]] discipline: one explicit `repartition(__h)`
+    * co-partitions the map-side-combined occurrence census with the
+    * postings filter; the only other exchange is the doc-keyed
+    * island merge (lag + running-sum gaps-and-islands windows and the
+    * span aggregate all share it). */
+  def dupSpans(docs: DataFrame, idCol: String, text: Column,
+      windowLen: Int = 50): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .withColumn("__sh", TextAnalysis.shinglesFromTokens(col("__toks"), windowLen))
+    // posexplode_OUTER: the inner variant triggers InferFiltersFromGenerate,
+    // which re-inlines the tokenize->shingle chain into a pushed size()>0
+    // scan predicate (the containmentPairs lesson).
+    val post = staged
+      .select(col("doc_id"), posexplode_outer(col("__sh")).as(Seq("pos", "__g")))
+      .filter(col("__g").isNotNull)
+      .select(col("doc_id"), col("pos"), substring(md5(col("__g")), 1, 16).as("__h"))
+      .repartition(col("__h"))
+    val dupHashes = post.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__h"))
+    val marked = post.join(dupHashes, Seq("__h")).select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= windowLen, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__new")).over(wd))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + windowLen).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
   /** Contrastive (anchor, positive) pair mining over near-dup clusters —
     * the training-pair generation step for embedding/reranker models:
     * every near-dup component yields its canonical doc (the min-id label,

@@ -750,4 +750,72 @@ object TextAnalysis {
     transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize))))
   }
+
+  // ---- URL normalization ------------------------------------------------
+
+  /** Multi-label public suffixes the registrable-domain cut recognizes —
+    * a deliberately small, DOCUMENTED subset of the Mozilla Public Suffix
+    * List (the full PSL is a data file, not an algorithm; callers with
+    * broader corpora pass `extraSuffixes`). A host's registrable domain
+    * is its last TWO labels, or last THREE when the last two form one of
+    * these suffixes ("bbc.co.uk" -> "bbc.co.uk", not "co.uk"). */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.nz", "co.za", "com.br",
+    "com.mx", "com.cn", "com.sg", "github.io", "gitlab.io", "blogspot.com")
+
+  /** Query parameters stripped by [[urlProfile]]'s normalization: click-
+    * tracking identifiers that vary per visit without changing content —
+    * THE reason one page crawls as thousands of distinct URLs. */
+  val TrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "fbclid", "gclid", "msclkid", "ref")
+
+  /** URL normalization + registrable-domain extraction (X122): the
+    * canonical-URL step of a crawl pipeline, feeding exact-URL dedup
+    * (normalize BEFORE fingerprinting, or one page survives as every
+    * tracking-parameter variant) and per-domain caps
+    * ([[Curation.capPerKey]] keyed on `registrable_domain` — the Gopher
+    * rule that no single site dominates the mix). Emits per row:
+    * `url` (the input), `host` (lowercased, port and leading `www.`
+    * stripped), `registrable_domain` (PSL-style last-2-or-3-label cut,
+    * [[MultiLabelSuffixes]]), `norm_url` (scheme forced to `https`,
+    * normalized host, path with trailing slashes trimmed — bare host
+    * keeps `/` — tracking params dropped and survivors SORTED, fragment
+    * dropped). Malformed rows (no parseable host) emit null host/domain
+    * and pass `url` through as `norm_url` — flag, don't crash, mid-crawl.
+    *
+    * All columns are per-row regexp/array projections — codegen
+    * end-to-end, no exchange, no UDF; the rules are deliberately
+    * regular-expression-reproducible so any engine (and the DuckDB
+    * oracle) computes the identical normalization. */
+  def urlProfile(docs: DataFrame, idCol: String, url: Column,
+      extraSuffixes: Seq[String] = Nil): DataFrame = {
+    val suffixes = (MultiLabelSuffixes ++ extraSuffixes).map(_.toLowerCase)
+    val raw = trim(url)
+    // RFC 3986-ish split, anchored: scheme :// authority /path ?query #frag
+    val authority = lower(regexp_extract(raw, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(authority, ":[0-9]+$", ""), "^www\\.", "")
+    val path = regexp_extract(raw, "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(raw, "\\?([^#]*)", 1)
+    val labels = split(host, "\\.")
+    val nl = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val regDomain = when(host === "" || nl < 2, lit(null).cast(StringType))
+      .when(nl >= 3 && lastTwo.isin(suffixes: _*),
+        concat_ws(".", element_at(labels, -3), lastTwo))
+      .otherwise(lastTwo)
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !split(p, "=").getItem(0).isin(TrackingParams: _*)))
+    val normPath = when(regexp_replace(path, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path, "/+$", ""))
+    val normQuery = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    val normUrl = when(host === "", url)
+      .otherwise(concat(lit("https://"), host, normPath, normQuery))
+    docs.select(col(idCol), url.as("url"),
+      when(host === "", lit(null).cast(StringType)).otherwise(host).as("host"),
+      regDomain.as("registrable_domain"),
+      normUrl.as("norm_url"))
+  }
 }

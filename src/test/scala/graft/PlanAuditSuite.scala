@@ -555,4 +555,34 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(exchangeLines.forall(l => !l.contains("text")),
       s"exchanges carry ids/hashes only, never document text: $exchangeLines")
   }
+
+  test("dup spans: census discipline, one doc-keyed island exchange; text never shuffles (X121)") {
+    val q = SparkEntry.queries("q164_dup_spans")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"the window chain feeds only the census and the postings shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the census join must be co-partitioned, not sort-merge over fresh exchanges:\n$p")
+    val exchangeLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toList
+    assert(exchangeLines.size <= 3,
+      s"only the postings repartition, the census, and the doc-keyed island " +
+        s"merge may shuffle: $exchangeLines")
+    assert(exchangeLines.forall(l => !l.contains("text")),
+      s"exchanges carry (doc_id, pos, hash) only, never text: $exchangeLines")
+    assert(exchangeLines.count(_.contains("doc_id")) <= 1,
+      s"lag/sum windows and the span aggregate share ONE doc exchange: $exchangeLines")
+  }
+
+  test("url profile: pure per-row projection — no exchange, no UDF (X122)") {
+    val q = SparkEntry.queries("q165_url_profile")(spark, sf)
+    val p = prepPlan(q)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization is a projection; only the final ORDER BY may range-shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"regexp/array functions only, no UDFs:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"one scan serves the whole profile:\n$p")
+  }
 }

@@ -533,4 +533,48 @@ class DedupSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.containmentPairs(docs, "doc_id", col("text"), 2, maxDf = 1))
   }
+
+  test("dupSpans: hand fixture — shared run found whole, unique docs silent") {
+    // docs 1 and 2 share the 6-token run "a b c d e f" (every 3-window of
+    // it is duplicated); doc 3 is all-unique; doc 4 repeats ITS OWN
+    // 3-window (within-doc duplication counts)
+    val docs = Seq(
+      (1L, "a b c d e f u1 u2 u3"),
+      (2L, "v1 v2 a b c d e f"),
+      (3L, "w1 w2 w3 w4 w5 w6"),
+      (4L, "r s t x1 x2 r s t")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 3)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 6L, 6L),   // "a b c d e f" at tokens [0, 6)
+      (2L, 2L, 8L, 6L),   // same run at tokens [2, 8)
+      (4L, 0L, 3L, 3L),   // "r s t" occurs twice within doc 4
+      (4L, 5L, 8L, 3L)), s"got $out")
+  }
+
+  test("dupSpans: adjacent duplicated windows merge into one maximal span") {
+    // the shared run is longer than one window: positions 0..3 of doc 1
+    // are all duplicated 4-windows and must merge, not emit 4 spans
+    val shared = "p q r s t u v"
+    val docs = Seq((1L, s"$shared tail1 tail2"), (2L, s"head1 $shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 0L, 7L), (2L, 1L, 8L)),
+      s"each doc reports ONE maximal 7-token span, got $out")
+    // spans never shorter than the window, never past the doc
+    val lens = Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 4)
+      .collect().map(_.getLong(3))
+    assert(lens.forall(_ >= 4))
+  }
+
+  test("dupSpans: nothing shorter than windowLen is detected (the paper's floor)") {
+    // 5 shared tokens < windowLen 6 -> no 6-window is shared -> silence
+    val docs = Seq((1L, "m n o p q z1 z2"), (2L, "y1 m n o p q y2"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 6).count() == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 1))
+  }
 }

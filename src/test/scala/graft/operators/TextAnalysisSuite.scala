@@ -452,4 +452,43 @@ class TextAnalysisSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), -0.1, "s"))
   }
+
+  test("urlProfile: hand-checked normalization, registrable domains, malformed passthrough") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Blog.Example.COM:8080/Posts/1/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://news.bbc.co.uk/politics"),
+      (3L, "https://alice.github.io/"),
+      (4L, "example.com/plain?gclid=z"),
+      (5L, "/relative/only"),
+      (6L, "https://localhost/x")).toDF("doc_id", "url")
+    val out = TextAnalysis.urlProfile(urls, "doc_id", col("url"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4)))
+    // scheme+host case-folded, www/port stripped, tracking dropped,
+    // survivors sorted, trailing slash + fragment gone
+    assert(out(0) == ((1L, "blog.example.com", "example.com",
+      "https://blog.example.com/Posts/1?a=1&b=2")), s"${out(0)}")
+    // multi-label public suffix: registrable domain keeps three labels
+    assert(out(1) == ((2L, "news.bbc.co.uk", "bbc.co.uk",
+      "https://news.bbc.co.uk/politics")), s"${out(1)}")
+    assert(out(2) == ((3L, "alice.github.io", "alice.github.io",
+      "https://alice.github.io/")), s"${out(2)}")
+    // scheme-less input still parses; lone tracking param leaves no query
+    assert(out(3) == ((4L, "example.com", "example.com",
+      "https://example.com/plain")), s"${out(3)}")
+    // no host: null host/domain, input passes through unchanged
+    assert(out(4) == ((5L, null, null, "/relative/only")), s"${out(4)}")
+    // single-label host: no registrable domain to cut
+    assert(out(5) == ((6L, "localhost", null, "https://localhost/x")), s"${out(5)}")
+  }
+
+  test("urlProfile: extraSuffixes extends the public-suffix cut") {
+    val urls = Seq((1L, "https://shop.example.xyz/a")).toDF("doc_id", "url")
+    val base = TextAnalysis.urlProfile(urls, "doc_id", col("url"))
+      .head().getString(3)
+    assert(base == "example.xyz", "unknown suffix cuts to two labels")
+    val extended = TextAnalysis.urlProfile(urls, "doc_id", col("url"),
+      extraSuffixes = Seq("example.xyz")).head().getString(3)
+    assert(extended == "shop.example.xyz", "extra suffix keeps three labels")
+  }
 }
