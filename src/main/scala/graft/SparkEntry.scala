@@ -863,6 +863,49 @@ object SparkEntry {
       Curation.scoreCalibrate(t(s, d, "documents"), col("source"),
         "doc_id", TextAnalysis.qualityScore(col("text")))
         .orderBy(col("doc_id"))),
+    "q167_ivf_append" -> ((s, d) => {
+      // X124 incremental IVF maintenance: build on the first half of the
+      // corpus, append the second half against the frozen centroids —
+      // search must be bit-identical to a full build (q153's oracle)
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+      idx.append(embs.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      idx.search(qv, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
+    "q168_canonical_quality" -> ((s, d) => {
+      // X123 quality-driven canonical per cluster over the q68 clustering
+      // (docs + exact clones); the id-derived score bonus shifts by
+      // +1 mod 3 for clones, so the canonical pick genuinely follows
+      // quality — sometimes the original, sometimes the clone
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val both = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val groups = Dedup.dedupGroups(Dedup.minhashCandidatePairs(both, "doc_id",
+        col("text"), shingleN = 3, numHashes = 8, rowsPerBand = 2))
+      val scores = both.select(col("doc_id").as("id"),
+        (TextAnalysis.qualityScore(col("text")) +
+          (col("doc_id") % 3).cast(DoubleType) * lit(0.05)).as("score"))
+      Dedup.canonicalByQuality(groups, scores).orderBy(col("id"))
+    }),
+    "q169_cut_spans" -> ((s, d) => {
+      // X121 -> X125 composition: detect duplicated 8-token spans, then
+      // cut every occurrence and emit the cleaned corpus (Lee et al.
+      // ExactSubstr detect + rewrite)
+      val docs = t(s, d, "documents")
+      Dedup.cutSpans(docs,
+        Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 8),
+        "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q164_dup_spans" -> ((s, d) =>
       // X121 duplicated-span extraction: maximal token ranges whose every
       // 8-token window occurs >= 2 times in the corpus
@@ -1567,6 +1610,58 @@ object SparkEntry {
                WHEN doc_id % 3 = 2 THEN '?gclid=x&id=9' ELSE '' END) ||
          (CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END)
        END AS url FROM documents"""
+  /** Duplicated-span detection CTEs (X121, 8-token windows) ending in
+    * `sp(doc_id, span_start, span_end)` — shared by q164 (the spans) and
+    * q169 (the rewrite that cuts them). */
+  private lazy val dupSpansCtesSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           substr(md5(${(1 to 8).map(j => s"tk[CAST(u.i+$j AS INT)]")
+             .mkString(" || ' ' || ")}), 1, 16) AS h
+         FROM t, UNNEST(range(0, len(tk) - 7)) u(i)),
+       dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+       s AS (SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             THEN 0 ELSE 1 END AS nw
+         FROM m),
+       x AS (SELECT doc_id, pos,
+           SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         FROM s),
+       sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+         FROM x GROUP BY doc_id, isl)"""
+
+  /** Full-corpus IVF probe search (centroids = vec_id<4, query =
+    * vec_id 5, nprobe 2, k 10) — shared by q153 (fresh build) and
+    * q167 (build+append): the index layout is pure I/O, so both
+    * produce the identical result set. */
+  private lazy val ivfSearchSql: String =
+    """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 5),
+         probes AS (SELECT c.ccid FROM cents c, q
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                    c.ccid ASC
+           LIMIT 2),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         scored AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM embeddings e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes))
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+         ORDER BY c DESC, vec_id ASC LIMIT 10"""
+
   private val trackingParamsSql =
     graft.operators.TextAnalysis.TrackingParams.map(p => s"'$p'").mkString(", ")
   private val multiSuffixSql =
@@ -2024,6 +2119,16 @@ object SparkEntry {
     "q68_dedup_groups" ->
       s"""$dedupClustersSql
           SELECT id, label FROM lab ORDER BY id""",
+    "q168_canonical_quality" ->
+      s"""$dedupClustersSql,
+          sc AS (SELECT doc_id AS id,
+              $qualityScoreSql + CAST(doc_id % 3 AS DOUBLE) * 0.05 AS score
+            FROM alldocs),
+          ranked AS (SELECT lab.id, lab.label, sc.score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lab.label
+                ORDER BY sc.score DESC, lab.id ASC) AS BIGINT) AS rank
+            FROM lab JOIN sc ON lab.id = sc.id)
+          SELECT id, label, score, rank FROM ranked ORDER BY id""",
     "q106_contrastive_pairs" ->
       s"""$dedupClustersSql,
           ranked AS (SELECT label, id,
@@ -2758,23 +2863,25 @@ object SparkEntry {
              ELSE 0.0 END, 6) AS z
          FROM r JOIN st ON r.source = st.source ORDER BY r.doc_id""",
     "q164_dup_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-             substr(md5(${(1 to 8).map(j => s"tk[CAST(u.i+$j AS INT)]")
-               .mkString(" || ' ' || ")}), 1, 16) AS h
-           FROM t, UNNEST(range(0, len(tk) - 7)) u(i)),
-         dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-         m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
-         s AS (SELECT doc_id, pos,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-               THEN 0 ELSE 1 END AS nw
-           FROM m),
-         x AS (SELECT doc_id, pos,
-             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-           FROM s)
-         SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
-           MAX(pos) + 8 - MIN(pos) AS n_tokens
-         FROM x GROUP BY doc_id, isl ORDER BY doc_id, span_start""",
+      s"""$dupSpansCtesSql
+         SELECT doc_id, span_start, span_end, span_end - span_start AS n_tokens
+         FROM sp ORDER BY doc_id, span_start""",
+    "q169_cut_spans" ->
+      s"""$dupSpansCtesSql,
+         tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             tk[CAST(u.i + 1 AS INT)] AS term
+           FROM t, UNNEST(range(0, len(tk))) u(i)),
+         kept AS (SELECT tok.doc_id, pos, term FROM tok
+           WHERE NOT EXISTS (SELECT 1 FROM sp
+             WHERE sp.doc_id = tok.doc_id
+               AND tok.pos >= sp.span_start AND tok.pos < sp.span_end))
+         SELECT t.doc_id,
+           COALESCE((SELECT string_agg(k.term, ' ' ORDER BY k.pos)
+             FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) - (SELECT COUNT(*) FROM kept k WHERE k.doc_id = t.doc_id)
+             AS BIGINT) AS n_removed
+         FROM t ORDER BY t.doc_id""",
     "q165_url_profile" ->
       s"""WITH u AS ($syntheticUrlsSql),
          p AS (SELECT doc_id, url,
@@ -2899,32 +3006,8 @@ object SparkEntry {
                     AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
          FROM assign a, LATERAL UNNEST(range(len(a.embedding))) AS t(i)
          GROUP BY a.cid, dim ORDER BY a.cid, dim""",
-    "q153_ivf_index" ->
-      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
-         q AS (SELECT embedding AS qv,
-           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
-           FROM embeddings WHERE vec_id = 5),
-         probes AS (SELECT c.ccid FROM cents c, q
-           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
-                    c.ccid ASC
-           LIMIT 2),
-         assign AS (SELECT e.vec_id, CAST((
-             SELECT c.ccid FROM cents c
-             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
-                      c.ccid ASC
-             LIMIT 1) AS INT) AS ivf_list
-           FROM embeddings e),
-         scored AS (SELECT e.vec_id,
-           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
-           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
-            * (SELECT qmag FROM q) + 1e-12) AS c
-           FROM embeddings e JOIN assign a USING (vec_id)
-           WHERE a.ivf_list IN (SELECT ccid FROM probes))
-         SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
-         ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    "q153_ivf_index" -> ivfSearchSql,
+    "q167_ivf_append" -> ivfSearchSql,
     "q59_ivf_topk" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,

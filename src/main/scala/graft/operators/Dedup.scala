@@ -822,6 +822,76 @@ object Dedup {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** Duplicated-span REMOVAL (X125) — the rewrite half of Lee et al.
+    * 2107.06499's ExactSubstr dedup, composing with [[dupSpans]] (the
+    * detection half): cut every span's tokens out of every document and
+    * re-join the survivors, emitting
+    * `(doc_id, clean_text, n_tokens, n_removed)`. Every OCCURRENCE of a
+    * duplicated span is removed (the paper's ExactSubstr policy — unlike
+    * cluster dedup there is no canonical copy to keep; §4.2); docs with
+    * no spans pass through with n_removed = 0, and a fully-duplicated
+    * doc survives as an empty string (count it, don't drop it — the
+    * caller decides the empty-doc policy).
+    *
+    * Scale shape: spans collapse to a per-doc array via one doc-keyed
+    * aggregate and LEFT-join back to the docs (spans exist only for docs
+    * with duplication — the join is id-keyed and spans-sized); the cut
+    * itself is a per-row `filter`/`exists` over the token array — no
+    * token ever shuffles, text stays in its scan partition. */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      text: Column): DataFrame = {
+    val spanArr = spans
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("__spans"))
+    val toks = col("__toks")
+    val inSpan = (pos: Column) => exists(col("__spans"),
+      s => pos >= s.getField("span_start") && pos < s.getField("span_end"))
+    val kept = filter(zip_with(toks, sequence(lit(0), size(toks) - 1),
+        (t, p) => struct(t.as("t"), p.as("p"))),
+      x => !inSpan(x.getField("p").cast(LongType)))
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast(ArrayType(new StructType()
+          .add("span_start", LongType).add("span_end", LongType)))))
+      .select(col("doc_id"),
+        array_join(transform(kept, x => x.getField("t")), " ").as("clean_text"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (size(toks) - size(kept)).cast(LongType).as("n_removed"))
+  }
+
+  /** Quality-driven canonical selection per near-dup cluster (X123):
+    * rank every cluster member by an external quality score and keep the
+    * BEST one — the survivor policy [[keepCanonical]]'s min-id rule
+    * cannot express. Min-id is the right default for exact clones
+    * (members are identical, pick any); for NEAR-dups the members
+    * differ — one copy has the boilerplate header, one is truncated,
+    * one is clean — and "which copy trains the model" should be decided
+    * by quality, not by crawl order (id). The same split CCNet makes
+    * between dedup and quality: cluster structurally, choose editorially.
+    *
+    * Input: a [[dedupGroups]] `(id, label)` frame and an `(id, score)`
+    * frame. Emits one row per member: `(id, label, score, rank)` with
+    * `rank = 1` the canonical pick — rank by (score DESC, id ASC), the
+    * id tiebreak making exact clones degrade to min-id and the whole
+    * ranking deterministic/oracle-checkable.
+    *
+    * Scale shape: the score join is id-keyed (both frames id-sized, no
+    * text), the rank is ONE label-keyed window exchange. Downstream
+    * composes like [[keepCanonical]]: survivors = rank 1 + never-paired
+    * docs; removals = rank > 1 rows, each explainable by its (label,
+    * score) audit pair. */
+  def canonicalByQuality(groups: DataFrame, scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("score").desc, col("id").asc)
+    groups.join(scores, Seq("id"))
+      .select(col("id"), col("label"), col("score"),
+        row_number().over(w).cast(LongType).as("rank"))
+  }
+
   /** Contrastive (anchor, positive) pair mining over near-dup clusters —
     * the training-pair generation step for embedding/reranker models:
     * every near-dup component yields its canonical doc (the min-id label,

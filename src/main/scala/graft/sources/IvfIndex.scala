@@ -53,6 +53,33 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
   }
 
+  /** Incremental append (X124): assign NEW rows against the FROZEN
+    * stored centroids and append their files into the existing
+    * `ivf_list=N` partition directories — index maintenance without a
+    * rebuild, the operation a continuously-ingesting corpus performs
+    * between (much rarer) re-trainings. Because [[graft.operators.Ann
+    * .ivfAssign]] is deterministic per row and independent across rows,
+    * an index built on A then appended with B is file-layout-append but
+    * RESULT-identical to one built on A ∪ B with the same centroids —
+    * search parity is suite-pinned across an (nprobe, k) grid and
+    * oracle-gated (q167). Parquet append is directory-additive: existing
+    * files are never touched, so a crashed append leaves at worst
+    * orphan part-files in probed directories — re-run with the same
+    * batch after dedup, never rebuild.
+    *
+    * Same scale shape as [[build]]: one broadcast-assignment pass over
+    * the batch, a shuffle-free partitioned write proportional to the
+    * BATCH, not the index. Centroid drift is the operator's contract to
+    * monitor ([[graft.operators.Ann.ivfStats]] imbalance on the growing
+    * index); a drifted coarse quantizer degrades recall, not the
+    * within-probed-lists exactness. */
+  def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cs = centroids()
+    Ann.ivfAssign(embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+        "vector", cs)
+      .write.mode("append").partitionBy("ivf_list").parquet(listsPath)
+  }
+
   /** The stored centroids, ordered by cid. */
   def centroids(): Seq[Array[Float]] =
     spark.read.parquet(centroidsPath).orderBy(col("cid"))

@@ -534,6 +534,19 @@ class DedupSuite extends AnyFunSuite {
       Dedup.containmentPairs(docs, "doc_id", col("text"), 2, maxDf = 1))
   }
 
+  test("canonicalByQuality: best score wins, id breaks ties, exact clones degrade to min-id") {
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "label")
+    val scores = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (7L, 0.5), (9L, 0.5))
+      .toDF("id", "score")
+    val out = Dedup.canonicalByQuality(groups, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
+    // cluster 1: docs 2 and 3 tie at 0.9 -> id asc picks 2; doc 1 (0.4) last
+    // cluster 7: equal scores (the exact-clone case) -> min-id 7 wins
+    assert(out == Seq((1L, 1L, 3L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (7L, 7L, 1L), (9L, 7L, 2L)), s"got $out")
+  }
+
   test("dupSpans: hand fixture — shared run found whole, unique docs silent") {
     // docs 1 and 2 share the 6-token run "a b c d e f" (every 3-window of
     // it is duplicated); doc 3 is all-unique; doc 4 repeats ITS OWN
@@ -567,6 +580,24 @@ class DedupSuite extends AnyFunSuite {
     val lens = Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 4)
       .collect().map(_.getLong(3))
     assert(lens.forall(_ >= 4))
+  }
+
+  test("cutSpans: every occurrence removed, clean docs pass through, full dup -> empty") {
+    val docs = Seq(
+      (1L, "a b c d e f u1 u2 u3"),   // span [0,6) -> survivors u1 u2 u3
+      (2L, "v1 v2 a b c d e f"),      // span [2,8) -> survivors v1 v2
+      (3L, "w1 w2 w3 w4 w5 w6"),      // unique -> untouched
+      (5L, "p q r s p q r s")         // within-doc dup: EVERY occurrence cut
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 3)
+    val out = Dedup.cutSpans(docs, spans, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "u1 u2 u3", 9L, 6L),
+      (2L, "v1 v2", 8L, 6L),
+      (3L, "w1 w2 w3 w4 w5 w6", 6L, 0L),
+      (5L, "", 8L, 8L)), s"got $out")
   }
 
   test("dupSpans: nothing shorter than windowLen is detected (the paper's floor)") {

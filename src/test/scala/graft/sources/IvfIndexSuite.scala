@@ -36,6 +36,26 @@ class IvfIndexSuite extends AnyFunSuite {
     got.zip(cents).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 
+  test("append parity: build(A) + append(B) searches identically to build(A ∪ B)") {
+    val dir = Files.createTempDirectory("graft_ivf_append_test").toString
+    val incremental = new IvfIndex(spark, s"$dir/inc")
+    incremental.build(embs.filter($"vec_id" <= 32), "vec_id", "embedding", cents)
+    incremental.append(embs.filter($"vec_id" > 32), "vec_id", "embedding")
+    val full = freshIndex()
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val inc = incremental.search(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val all = full.search(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(inc == all, s"append diverged from full build at nprobe=$nprobe k=$k")
+    }
+    // a second append keeps compounding (the steady-state ingest loop)
+    val more = Seq(100L -> Array.fill(8)(0.9f)).toDF("vec_id", "embedding")
+    incremental.append(more, "vec_id", "embedding")
+    val ids = incremental.search(query, 64 + 1, 4).collect().map(_.getLong(0))
+    assert(ids.contains(100L), "the second batch's row must be probe-reachable")
+  }
+
   test("index search is bit-identical to the in-memory ivfTopK path") {
     val idx = freshIndex()
     for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
