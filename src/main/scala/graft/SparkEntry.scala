@@ -896,6 +896,28 @@ object SparkEntry {
           (col("doc_id") % 3).cast(DoubleType) * lit(0.05)).as("score"))
       Dedup.canonicalByQuality(groups, scores).orderBy(col("id"))
     }),
+    "q171_norm_dedup_delta" -> ((s, d) => {
+      // X127 canonicalization delta: pairs whose NORMALIZED fingerprints
+      // collide but raw ones do not — the crawl-noise dup class (clones
+      // get comma noise that normalization erases)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val noisy = docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), " ", ", ").as("text"))
+      val fps = docs.unionByName(noisy).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("raw_fp"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("norm_fp"))
+      fps.as("a")
+        .join(fps.as("b"), col("a.norm_fp") === col("b.norm_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(col("a.raw_fp") =!= col("b.raw_fp"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.norm_fp").as("norm_fp"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "q170_lsh_plan" -> ((s, d) =>
+      // X126 LSH banding S-curve for the engine's 16-hash family at 19
+      // Jaccard probe levels; sequential-fold powers, oracle bit-exact
+      Dedup.lshPlan(s, 16, (1 to 19).map(i => (i * 5) / 100.0))),
     "q169_cut_spans" -> ((s, d) => {
       // X121 -> X125 composition: detect duplicated 8-token spans, then
       // cut every occurrence and emit the cleaned corpus (Lee et al.
@@ -1630,6 +1652,24 @@ object SparkEntry {
          FROM s),
        sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
          FROM x GROUP BY doc_id, isl)"""
+
+  /** X126 LSH S-curve oracle: the p = 1-(1-s^r)^b table with every power
+    * expanded to an explicit LEFT-ASSOCIATED multiplication chain — the
+    * same IEEE operation sequence as lshPlan's sequential folds, so every
+    * double matches bit-for-bit (float `pow` would not). */
+  private lazy val lshPlanSql: String = {
+    val values = (1 to 19).map(i => f"(0.${i * 5}%02d)").mkString(", ")
+    val selects = (1 to 16).filter(16 % _ == 0).map { b =>
+      val r = 16 / b
+      val srChain = (1 to r).foldLeft("1.0")((acc, _) => s"($acc * s)")
+      val inner = s"(1.0 - $srChain)"
+      val missChain = (1 to b).foldLeft("1.0")((acc, _) => s"($acc * $inner)")
+      s"""SELECT 16 AS n_hashes, $b AS bands, $r AS "rows", s AS jaccard,
+          ROUND(1.0 - $missChain, 6) AS p_detect FROM sv"""
+    }.mkString(" UNION ALL ")
+    s"""WITH sv AS (SELECT CAST(col0 AS DOUBLE) AS s FROM (VALUES $values) t(col0))
+       $selects ORDER BY bands, jaccard"""
+  }
 
   /** Full-corpus IVF probe search (centroids = vec_id<4, query =
     * vec_id 5, nprobe 2, k 10) — shared by q153 (fresh build) and
@@ -2866,6 +2906,22 @@ object SparkEntry {
       s"""$dupSpansCtesSql
          SELECT doc_id, span_start, span_end, span_end - span_start AS n_tokens
          FROM sp ORDER BY doc_id, span_start""",
+    "q171_norm_dedup_delta" ->
+      s"""WITH bd AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, regexp_replace(text, ' ', ', ', 'g')
+           FROM documents),
+         fp AS (SELECT doc_id,
+             substr(md5($mdNorm), 1, 16) AS raw_fp,
+             substr(md5(trim(regexp_replace(regexp_replace(regexp_replace(
+               lower(trim(text)), '[0-9]+', '0', 'g'),
+               '[\\.,;:!\\?''"()\\[\\]{}]', ' ', 'g'),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 16) AS norm_fp
+           FROM bd)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, a.norm_fp
+         FROM fp a JOIN fp b
+           ON a.norm_fp = b.norm_fp AND a.doc_id < b.doc_id
+         WHERE a.raw_fp <> b.raw_fp ORDER BY id1, id2""",
+    "q170_lsh_plan" -> lshPlanSql,
     "q169_cut_spans" ->
       s"""$dupSpansCtesSql,
          tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,

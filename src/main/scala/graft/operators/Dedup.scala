@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -820,6 +820,46 @@ object Dedup {
         (max(col("pos")) + windowLen).cast(LongType).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
+  /** LSH banding planner (X126; the S-curve analysis of Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" §3.4.2): for every
+    * (bands b, rows r) factorization of `numHashes` and every probed
+    * Jaccard level s, the probability a true s-similar pair shares at
+    * least one band bucket — `p = 1 - (1 - s^r)^b`. This is the design
+    * table behind [[minhashCandidatePairs]]'s (numHashes, rowsPerBand)
+    * knobs: more bands catches lower similarity (recall) but floods the
+    * candidate stage (precision); the caller reads the curve and picks
+    * the knee nearest their dedup threshold. Emits
+    * `(n_hashes, bands, rows, jaccard, p_detect)`.
+    *
+    * Determinism: the powers are SEQUENTIAL LEFT-FOLD multiplications
+    * (`aggregate` over a sequence), not `pow` — float pow differs in the
+    * last ulp across libm implementations, a fold of IEEE multiplies
+    * does not, so the oracle reproduces every p bit-for-bit.
+    *
+    * A planning table, not a corpus pass: |divisors(numHashes)| ×
+    * |jaccards| rows from a literal frame — no scan, no exchange beyond
+    * the final sort. */
+  def lshPlan(spark: SparkSession, numHashes: Int,
+      jaccards: Seq[Double]): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    require(jaccards.nonEmpty && jaccards.forall(s => s >= 0.0 && s <= 1.0),
+      s"jaccard probe levels must be in [0,1], got $jaccards")
+    import spark.implicits._
+    val base = (for {
+      b <- 1 to numHashes if numHashes % b == 0
+      s <- jaccards
+    } yield (numHashes, b, numHashes / b, s))
+      .toDF("n_hashes", "bands", "rows", "jaccard")
+    val sr = aggregate(sequence(lit(1), col("rows")), lit(1.0),
+      (acc, _) => acc * col("jaccard"))
+    val miss = aggregate(sequence(lit(1), col("bands")), lit(1.0),
+      (acc, _) => acc * (lit(1.0) - sr))
+    base
+      .select(col("n_hashes"), col("bands"), col("rows"), col("jaccard"),
+        round(lit(1.0) - miss, 6).as("p_detect"))
+      .orderBy(col("bands"), col("jaccard"))
   }
 
   /** Duplicated-span REMOVAL (X125) — the rewrite half of Lee et al.

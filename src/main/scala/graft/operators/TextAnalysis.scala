@@ -462,6 +462,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), s"[$Ws]+", " ")), 1, 16)
 
+  /** Aggressive canonicalization before fingerprinting (X127): on top of
+    * [[fingerprint]]'s lowercase + whitespace collapse, strip
+    * punctuation and mask every digit run to `0` — the CCNet-style
+    * preprocessing that catches the near-exact crawl-noise dup class a
+    * raw fingerprint misses (re-serialized punctuation, view counters,
+    * timestamps, version strings embedded in otherwise-identical pages).
+    * DELIBERATELY lossy: "v2" and "v3" of a page collide — that is the
+    * point; pair with raw [[fingerprint]] when revision identity
+    * matters (see the q171 delta query). The regex steps are
+    * dialect-exact (explicit classes, no lookarounds), oracle-mirrored,
+    * and the step order (mask digits, strip punctuation to spaces,
+    * collapse whitespace, trim the edges the strip can create) is pinned
+    * as part of the contract — any engine must apply the identical
+    * sequence to reproduce the keys. */
+  def normalizedFingerprint(text: Column): Column = {
+    val digitsMasked = regexp_replace(lower(trim(text)), "[0-9]+", "0")
+    val punctStripped = regexp_replace(digitsMasked, PunctRe, " ")
+    substring(md5(trim(regexp_replace(punctStripped, s"[$Ws]+", " "))), 1, 16)
+  }
+
   /** Polynomial rolling hash (base 31, mod the largest prime < 2^57)
     * over the normalized text — the classic streaming fingerprint;
     * engine-side alternative to [[fingerprint]] when a numeric key is

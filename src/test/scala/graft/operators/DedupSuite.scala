@@ -534,6 +534,27 @@ class DedupSuite extends AnyFunSuite {
       Dedup.containmentPairs(docs, "doc_id", col("text"), 2, maxDf = 1))
   }
 
+  test("lshPlan: S-curve sanity — monotone in s, more bands = higher recall, exact endpoints") {
+    val spark2 = spark
+    val plan = Dedup.lshPlan(spark2, 16, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => ((r.getInt(1), r.getDouble(3)), r.getDouble(4))).toMap
+    // all five factorizations of 16 appear
+    assert(plan.keys.map(_._1).toSet == Set(1, 2, 4, 8, 16))
+    // hand-check b=1, r=16: p = s^16
+    assert(math.abs(plan((1, 0.5)) - math.pow(0.5, 16)) < 1e-6)
+    // monotone in s for fixed (b, r)
+    for (b <- Seq(1, 2, 4, 8, 16))
+      assert(plan((b, 0.1)) <= plan((b, 0.5)) && plan((b, 0.5)) <= plan((b, 0.9)),
+        s"p must rise with similarity at bands=$b")
+    // at fixed s below 1, more bands (shorter rows) = higher detection
+    assert(plan((16, 0.5)) > plan((4, 0.5)) && plan((4, 0.5)) > plan((1, 0.5)),
+      "banding trades precision for recall — the S-curve must shift left")
+    // endpoint: s=0 never detects, s=1 always does
+    val ends = Dedup.lshPlan(spark2, 8, Seq(0.0, 1.0))
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(ends.forall { case (s, p) => if (s == 0.0) p == 0.0 else p == 1.0 })
+  }
+
   test("canonicalByQuality: best score wins, id breaks ties, exact clones degrade to min-id") {
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("id", "label")

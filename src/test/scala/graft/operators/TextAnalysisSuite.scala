@@ -453,6 +453,23 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), -0.1, "s"))
   }
 
+  test("normalizedFingerprint: punctuation and number noise collide, real edits do not") {
+    val rows = Seq(
+      (1L, "the cache holds 1024 rows"),
+      (2L, "The cache, holds 2048 rows!"),  // case/punct/number noise only
+      (3L, "the cache drops 1024 rows"),    // a real word change
+      (4L, "the cache holds 1024 rows")     // exact clone
+    ).toDF("doc_id", "text")
+    val fp = rows.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("raw"),
+      TextAnalysis.normalizedFingerprint($"text").as("norm"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fp(1)._2 == fp(2)._2, "noise-only variants must collide normalized")
+    assert(fp(1)._1 != fp(2)._1, "raw fingerprints must still tell them apart")
+    assert(fp(1)._2 != fp(3)._2, "a genuine edit must NOT collide")
+    assert(fp(1) == fp(4), "exact clones collide under both keys")
+  }
+
   test("urlProfile: hand-checked normalization, registrable domains, malformed passthrough") {
     val urls = Seq(
       (1L, "HTTP://WWW.Blog.Example.COM:8080/Posts/1/?utm_source=x&b=2&a=1#frag"),
