@@ -603,6 +603,38 @@ class DedupSuite extends AnyFunSuite {
     assert(lens.forall(_ >= 4))
   }
 
+  test("differential: dupSpans equals the brute-force span merge on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val L = 4
+    // small vocab + random lengths -> plenty of genuine window collisions
+    val docs = (1L to 40L).map { i =>
+      val n = 5 + rnd.nextInt(25)
+      (i, (1 to n).map(_ => s"t${rnd.nextInt(9)}").mkString(" "))
+    }
+    // brute force: count every L-window occurrence corpus-wide, mark
+    // duplicated positions, merge positions whose covered ranges touch
+    val windows = docs.flatMap { case (id, text) =>
+      text.split(" ").toSeq.sliding(L).filter(_.size == L).zipWithIndex
+        .map { case (w, p) => (id, p, w.mkString(" ")) }
+    }
+    val dupGrams = windows.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = windows.filter(w => dupGrams(w._3))
+      .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long)]()
+        ws.map(_._2).sorted.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, _) = spans.remove(spans.size - 1); spans += ((s0, p + L))
+          } else spans += ((p.toLong, (p + L).toLong))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0, e0 - s0) }
+      }.sorted
+    val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id",
+        col("text"), windowLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == expected, s"got ${got.take(5)}... want ${expected.take(5)}...")
+  }
+
   test("cutSpans: every occurrence removed, clean docs pass through, full dup -> empty") {
     val docs = Seq(
       (1L, "a b c d e f u1 u2 u3"),   // span [0,6) -> survivors u1 u2 u3
