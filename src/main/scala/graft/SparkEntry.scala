@@ -896,6 +896,30 @@ object SparkEntry {
           (col("doc_id") % 3).cast(DoubleType) * lit(0.05)).as("score"))
       Dedup.canonicalByQuality(groups, scores).orderBy(col("id"))
     }),
+    "q172_effective_tokens" -> ((s, d) => {
+      // X127 -> X121 -> X125 composition, the "how much corpus do we
+      // actually have" datasheet: canonicalized exact-dedup (keep min id
+      // per normalized fp), cut duplicated 8-token spans from the
+      // survivors, report per-source doc/token retention
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val kept = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("text"))
+      val clean = Dedup.cutSpans(kept,
+        Dedup.dupSpans(kept, "doc_id", col("text"), windowLen = 8),
+        "doc_id", col("text"))
+      kept.select(col("doc_id"), col("source")).join(clean, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("raw_tokens"),
+          sum(col("n_tokens") - col("n_removed")).as("effective_tokens"),
+          round(sum(col("n_tokens") - col("n_removed")).cast(DoubleType) /
+            sum(col("n_tokens")).cast(DoubleType), 6).as("retention"))
+        .orderBy(col("source"))
+    }),
     "q171_norm_dedup_delta" -> ((s, d) => {
       // X127 canonicalization delta: pairs whose NORMALIZED fingerprints
       // collide but raw ones do not — the crawl-noise dup class (clones
@@ -1635,8 +1659,8 @@ object SparkEntry {
   /** Duplicated-span detection CTEs (X121, 8-token windows) ending in
     * `sp(doc_id, span_start, span_end)` — shared by q164 (the spans) and
     * q169 (the rewrite that cuts them). */
-  private lazy val dupSpansCtesSql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  private def dupSpansCtesOn(rel: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM $rel),
        g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
            substr(md5(${(1 to 8).map(j => s"tk[CAST(u.i+$j AS INT)]")
              .mkString(" || ' ' || ")}), 1, 16) AS h
@@ -1652,6 +1676,15 @@ object SparkEntry {
          FROM s),
        sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
          FROM x GROUP BY doc_id, isl)"""
+  private lazy val dupSpansCtesSql: String = "WITH " + dupSpansCtesOn("documents")
+
+  /** SQL twin of TextAnalysis.normalizedFingerprint (X127) — digit mask,
+    * punctuation strip, whitespace collapse, edge trim, in that order. */
+  private val normFpSql: String =
+    """substr(md5(trim(regexp_replace(regexp_replace(regexp_replace(
+       lower(trim(text)), '[0-9]+', '0', 'g'),
+       '[\.,;:!\?''"()\[\]{}]', ' ', 'g'),
+       '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16)"""
 
   /** X126 LSH S-curve oracle: the p = 1-(1-s^r)^b table with every power
     * expanded to an explicit LEFT-ASSOCIATED multiplication chain — the
@@ -2906,16 +2939,30 @@ object SparkEntry {
       s"""$dupSpansCtesSql
          SELECT doc_id, span_start, span_end, span_end - span_start AS n_tokens
          FROM sp ORDER BY doc_id, span_start""",
+    "q172_effective_tokens" ->
+      s"""WITH keepd AS (SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY $normFpSql ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1),
+         ${dupSpansCtesOn("keepd")},
+         per AS (SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(COALESCE((SELECT SUM(sp.span_end - sp.span_start)
+               FROM sp WHERE sp.doc_id = t.doc_id), 0) AS BIGINT) AS n_rem
+           FROM t)
+         SELECT k.source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(n_tok - n_rem) AS BIGINT) AS effective_tokens,
+           ROUND(CAST(SUM(n_tok - n_rem) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE), 6) AS retention
+         FROM per JOIN keepd k ON per.doc_id = k.doc_id
+         GROUP BY k.source ORDER BY k.source""",
     "q171_norm_dedup_delta" ->
       s"""WITH bd AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id + 100000, regexp_replace(text, ' ', ', ', 'g')
            FROM documents),
          fp AS (SELECT doc_id,
              substr(md5($mdNorm), 1, 16) AS raw_fp,
-             substr(md5(trim(regexp_replace(regexp_replace(regexp_replace(
-               lower(trim(text)), '[0-9]+', '0', 'g'),
-               '[\\.,;:!\\?''"()\\[\\]{}]', ' ', 'g'),
-               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 16) AS norm_fp
+             $normFpSql AS norm_fp
            FROM bd)
          SELECT a.doc_id AS id1, b.doc_id AS id2, a.norm_fp
          FROM fp a JOIN fp b
