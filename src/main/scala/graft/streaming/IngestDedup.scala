@@ -30,18 +30,26 @@ object IngestDedup {
 
   /** Deduplicate a streaming document frame by content fingerprint.
     *
-    * @param docs      streaming frame with an event-time column
-    * @param text      the document text column
-    * @param tsCol     event-time column name (watermark anchor)
-    * @param watermark lateness horizon, e.g. "10 minutes" — also the
-    *                  dedup-state retention bound
+    * @param docs       streaming frame with an event-time column
+    * @param text       the document text column
+    * @param tsCol      event-time column name (watermark anchor)
+    * @param watermark  lateness horizon, e.g. "10 minutes" — also the
+    *                   dedup-state retention bound
+    * @param normalized key on [[TextAnalysis.normalizedFingerprint]]
+    *                   (X127: digit-masked, punctuation-stripped) instead
+    *                   of the raw fingerprint — collapses the crawl-noise
+    *                   re-fetch class (rotating view counters, timestamps)
+    *                   the raw key re-admits on every fetch; same state
+    *                   shape, just a lossier key
     */
   def dedupStream(docs: DataFrame, text: Column, tsCol: String,
-      watermark: String): DataFrame = {
+      watermark: String, normalized: Boolean = false): DataFrame = {
     require(!docs.columns.contains("fingerprint"),
       "dedupStream emits a 'fingerprint' column; rename the existing one first")
+    val key = if (normalized) TextAnalysis.normalizedFingerprint(text)
+      else TextAnalysis.fingerprint(text)
     docs
-      .withColumn("fingerprint", TextAnalysis.fingerprint(text))
+      .withColumn("fingerprint", key)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
   }

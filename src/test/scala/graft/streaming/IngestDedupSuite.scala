@@ -57,6 +57,34 @@ class IngestDedupSuite extends AnyFunSuite {
     }
   }
 
+  test("normalized key: crawl-noise re-fetches drop, raw key re-admits them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = IngestDedup.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), col("text"), "ts",
+      "10 minutes", normalized = true)
+    val query = out.writeStream.format("memory").queryName("graft_ingest_norm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "views: 1024 nice page", ts("2026-01-10 12:00:00")))
+      query.processAllAvailable()
+      // the re-fetch: counter rotated, punctuation re-serialized — the
+      // class the raw fingerprint cannot catch
+      input.addData((2L, "views: 2048 nice page!", ts("2026-01-10 12:01:00")))
+      query.processAllAvailable()
+      // a genuine edit still passes
+      input.addData((3L, "views: 1024 nicer page", ts("2026-01-10 12:02:00")))
+      query.processAllAvailable()
+      val ids = spark.table("graft_ingest_norm")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L),
+        s"noise re-fetch dropped, real edit kept: $ids")
+    } finally {
+      query.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_ingest_norm")
+    }
+  }
+
   test("dedup state survives a checkpoint restart: a post-restart dup still drops") {
     import java.nio.file.Files
     import scala.collection.mutable
