@@ -896,6 +896,11 @@ object SparkEntry {
           (col("doc_id") % 3).cast(DoubleType) * lit(0.05)).as("score"))
       Dedup.canonicalByQuality(groups, scores).orderBy(col("id"))
     }),
+    "q173_bpe_merges" -> ((s, d) =>
+      // X128 BPE merge learning: 5 merge rules from the corpus vocabulary
+      // (one corpus pass; iterations are vocab-sized)
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "doc_id", col("text"), 5)
+        .orderBy(col("step"))),
     "q172_effective_tokens" -> ((s, d) => {
       // X127 -> X121 -> X125 composition, the "how much corpus do we
       // actually have" datasheet: canonicalized exact-dedup (keep min id
@@ -1685,6 +1690,38 @@ object SparkEntry {
        lower(trim(text)), '[0-9]+', '0', 'g'),
        '[\.,;:!\?''"()\[\]{}]', ' ', 'g'),
        '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16)"""
+
+  /** X128 BPE merge-learning oracle: `steps` unrolled vocab iterations —
+    * pair census (UNNEST adjacency), 1-row argmax with the (freq DESC,
+    * lhs, rhs) tie-break, and the merge applied via the SAME
+    * string-accumulator greedy fold as TextAnalysis.applyMerge
+    * (list_reduce), so every intermediate vocabulary matches the engine
+    * exactly. */
+  private def bpeMergesSql(steps: Int): String = {
+    val iters = (0 until steps).map { k =>
+      s"""p$k AS (SELECT s[CAST(u.i AS INT)] AS lhs, s[CAST(u.i + 1 AS INT)] AS rhs,
+             SUM(freq) AS pf
+           FROM (SELECT string_split(seq, ' ') AS s, freq FROM v$k),
+                UNNEST(range(1, len(s))) u(i)
+           GROUP BY 1, 2),
+         b$k AS (SELECT lhs, rhs, pf FROM p$k ORDER BY pf DESC, lhs, rhs LIMIT 1),
+         v${k + 1} AS (SELECT substr(list_reduce(['#'] || string_split(seq, ' '),
+             (a, x) -> CASE WHEN x = b.rhs AND ends_with(a, ' ' || b.lhs)
+               THEN substr(a, 1, len(a) - len(b.lhs) - 1) || ' ' || b.lhs || b.rhs
+               ELSE a || ' ' || x END), 3) AS seq, freq
+           FROM v$k, b$k b)"""
+    }.mkString(",\n         ")
+    val rows = (0 until steps).map(k =>
+      s"SELECT ${k + 1} AS step, lhs, rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT t.term, COUNT(*) AS freq
+           FROM (SELECT unnest($toksSql) AS term FROM documents) t
+           WHERE t.term <> '' GROUP BY 1),
+         v0 AS (SELECT array_to_string(string_split(term, ''), ' ') || ' </w>' AS seq,
+             freq FROM tok),
+         $iters
+       $rows ORDER BY step"""
+  }
 
   /** X126 LSH S-curve oracle: the p = 1-(1-s^r)^b table with every power
     * expanded to an explicit LEFT-ASSOCIATED multiplication chain — the
@@ -2939,6 +2976,7 @@ object SparkEntry {
       s"""$dupSpansCtesSql
          SELECT doc_id, span_start, span_end, span_end - span_start AS n_tokens
          FROM sp ORDER BY doc_id, span_start""",
+    "q173_bpe_merges" -> bpeMergesSql(5),
     "q172_effective_tokens" ->
       s"""WITH keepd AS (SELECT doc_id, source, text FROM (
              SELECT doc_id, source, text,

@@ -771,6 +771,103 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize))))
   }
 
+  // ---- BPE merge learning -----------------------------------------------
+
+  /** The symbol-sequence encoding BPE works over: characters separated by
+    * single spaces plus an explicit `</w>` end-of-word symbol. */
+  private def bpeSeq(term: Column): Column =
+    // (?!^) also matches at end-of-string and Spark's split keeps trailing
+    // empties (Java split limit -1) — drop them or a phantom '' symbol
+    // pairs with </w> in every word
+    concat(array_join(filter(split(term, "(?!^)"), s => s =!= ""), " "),
+      lit(" </w>"))
+
+  /** One merge rule applied to a space-joined symbol sequence, as the
+    * classic GREEDY LEFTMOST non-overlapping pairing (`a a a a a` under
+    * (a,a) → `aa aa a`, exactly Sennrich's reference re.sub): a
+    * sequential string-accumulator fold — append each symbol, merging
+    * with the accumulator's last symbol when it is `l` and the incoming
+    * symbol is `r`; the freshly merged `lr` cannot re-merge, which is
+    * what makes the pairing non-overlapping. A naive
+    * `replace(" l r ", " lr ")` is WRONG here: the match consumes the
+    * shared delimiter space, so runs of the pair skip every other
+    * occurrence. The `#` seed makes even the first symbol ` l`-suffixed;
+    * DuckDB's list_reduce mirrors the fold operation-for-operation. */
+  private def applyMerge(seq: Column, l: String, r: String): Column = {
+    val folded = aggregate(split(seq, " "), lit("#"), (acc, x) =>
+      when(x === lit(r) && endswith(acc, lit(s" $l")),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)),
+          lit(s" $l$r")))
+        .otherwise(concat(acc, lit(" "), x)))
+    substring(folded, 3, Int.MaxValue)
+  }
+
+  /** Byte-pair-encoding merge learning (X128; Sennrich et al. 2016,
+    * arXiv:1508.07909 §3.2): learn `numMerges` merge rules from the
+    * corpus — each step merges the currently most-frequent adjacent
+    * symbol pair (ties broken lexically on (left, right), so the trace
+    * is deterministic and oracle-checkable). Emits the merge table
+    * `(step, lhs, rhs, pair_freq)`, the artifact a BPE tokenizer ships.
+    *
+    * Scale shape: ONE corpus pass builds the (word, freq) vocabulary —
+    * after that every iteration runs on the VOCAB frame (|distinct
+    * words|, not corpus-sized): an adjacent-pair explode + sum keyed on
+    * the pair, a 1-row argmax (TakeOrdered — the bounded-scalar-anchor
+    * class), and a literal-replace projection. Iterations are driver-
+    * sequenced (inherent to BPE — step k+1 depends on k) with a
+    * localCheckpoint per step to keep lineage flat; cost is
+    * numMerges × (vocab-sized job), the corpus is never re-read. */
+  def bpeMerges(docs: DataFrame, idCol: String, text: Column,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 1000,
+      s"numMerges must be in [1,1000], got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = postings(docs, idCol, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(bpeSeq(col("term")).as("seq"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val syms = split(col("seq"), " ")
+      val best = vocab
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("lhs"),
+            element_at(syms, i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, l, r, pf))
+        vocab = vocab
+          .select(applyMerge(col("seq"), l, r).as("seq"), col("freq"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_freq")
+  }
+
+  /** Apply a learned merge table to segment ONE WORD (a single term —
+    * compose with `explode(tokens(text))` for documents) into BPE
+    * symbols — the inference half of [[bpeMerges]]: run the merges in
+    * learned order (each a literal ` l r ` → ` lr ` replace), emit the
+    * symbol array. A per-row projection of numMerges chained replaces —
+    * codegen end-to-end, no exchange, no state. */
+  def bpeSegment(term: Column, merges: Seq[(String, String)]): Column = {
+    val merged = merges.foldLeft(bpeSeq(term)) { case (acc, (l, r)) =>
+      applyMerge(acc, l, r)
+    }
+    split(merged, " ")
+  }
+
   // ---- URL normalization ------------------------------------------------
 
   /** Multi-label public suffixes the registrable-domain cut recognizes —

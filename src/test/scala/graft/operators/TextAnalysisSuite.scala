@@ -453,6 +453,36 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.spanCorrupt(docs, "doc_id", col("text"), -0.1, "s"))
   }
 
+  test("bpeMerges: the Sennrich corpus learns the classic trace; segment round-trips") {
+    // word frequencies low:5 lower:2 newest:6 widest:3 (Sennrich §3.2's
+    // worked example, expressed as a document corpus)
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // freq 9: (e,s) from newest+widest; then (es,t) 9; then (est,</w>) 9;
+    // then (l,o) 7 from low+lower
+    assert(merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L)), s"got $merges")
+    // inference: the learned merges segment an unseen word
+    val seg = Seq(Tuple1("lowest")).toDF("w")
+      .select(TextAnalysis.bpeSegment(col("w"),
+        merges.map(m => (m._2, m._3))).as("s"))
+      .head().getSeq[String](0)
+    assert(seg == Seq("lo", "w", "est</w>"), s"got $seg")
+    // greedy leftmost non-overlap: 'aaaa' under merge (a,a) -> aa aa
+    val aa = Seq(Tuple1("aaaa")).toDF("w")
+      .select(TextAnalysis.bpeSegment(col("w"), Seq(("a", "a"))).as("s"))
+      .head().getSeq[String](0)
+    assert(aa == Seq("aa", "aa", "</w>"), s"got $aa")
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 0))
+  }
+
   test("normalizedFingerprint: punctuation and number noise collide, real edits do not") {
     val rows = Seq(
       (1L, "the cache holds 1024 rows"),
