@@ -874,10 +874,14 @@ object Dedup {
     * caller decides the empty-doc policy).
     *
     * Scale shape: spans collapse to a per-doc array via one doc-keyed
-    * aggregate and LEFT-join back to the docs (spans exist only for docs
-    * with duplication — the join is id-keyed and spans-sized); the cut
-    * itself is a per-row `filter`/`exists` over the token array — no
-    * token ever shuffles, text stays in its scan partition. */
+    * aggregate and LEFT-join back to the docs; the cut itself is a
+    * per-row `filter`/`exists` over the token array. The span side
+    * BROADCASTS (plan-audited) — spans exist only for docs with
+    * duplication and carry no text — so the corpus's token arrays never
+    * leave their scan partitions. If a pathological corpus produces a
+    * span table past the broadcast threshold, the join degrades to a
+    * doc-keyed shuffle that moves the token arrays once — inherent to
+    * any rewrite (the text must meet its spans), not a plan bug. */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
       text: Column): DataFrame = {
     val spanArr = spans

@@ -575,6 +575,18 @@ class PlanAuditSuite extends AnyFunSuite {
       s"lag/sum windows and the span aggregate share ONE doc exchange: $exchangeLines")
   }
 
+  test("cut spans: span side broadcasts; token arrays stay in scan partitions (X125)") {
+    val q = SparkEntry.queries("q169_cut_spans")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-doc span arrays must broadcast to the corpus, not shuffle it:\n$p")
+    val exchangeLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toList
+    assert(exchangeLines.forall(l => !l.contains("text#")),
+      s"no hash exchange may carry document text: $exchangeLines")
+  }
+
   test("url profile: pure per-row projection — no exchange, no UDF (X122)") {
     val q = SparkEntry.queries("q165_url_profile")(spark, sf)
     val p = prepPlan(q)
