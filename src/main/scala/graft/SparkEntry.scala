@@ -863,6 +863,25 @@ object SparkEntry {
       Curation.scoreCalibrate(t(s, d, "documents"), col("source"),
         "doc_id", TextAnalysis.qualityScore(col("text")))
         .orderBy(col("doc_id"))),
+    "q174_ivf_delete" -> ((s, d) => {
+      // X129 in-place IVF deletion: build on the full corpus, delete the
+      // odd ids, search — results must equal an index over the evens only
+      // (centroids and the query vector are frozen external parameters)
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", cents)
+      idx.delete(embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("id")))
+      idx.search(qv, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q167_ivf_append" -> ((s, d) => {
       // X124 incremental IVF maintenance: build on the first half of the
       // corpus, append the second half against the frozen centroids —
@@ -1745,8 +1764,9 @@ object SparkEntry {
     * vec_id 5, nprobe 2, k 10) — shared by q153 (fresh build) and
     * q167 (build+append): the index layout is pure I/O, so both
     * produce the identical result set. */
-  private lazy val ivfSearchSql: String =
-    """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+  private lazy val ivfSearchSql: String = ivfSearchSqlOver("embeddings")
+  private def ivfSearchSqlOver(corpus: String): String =
+    s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
            FROM embeddings WHERE vec_id = 5),
@@ -1761,13 +1781,13 @@ object SparkEntry {
                        FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
                       c.ccid ASC
              LIMIT 1) AS INT) AS ivf_list
-           FROM embeddings e),
+           FROM $corpus e),
          scored AS (SELECT e.vec_id,
            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
             * (SELECT qmag FROM q) + 1e-12) AS c
-           FROM embeddings e JOIN assign a USING (vec_id)
+           FROM $corpus e JOIN assign a USING (vec_id)
            WHERE a.ivf_list IN (SELECT ccid FROM probes))
          SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
          ORDER BY c DESC, vec_id ASC LIMIT 10"""
@@ -3149,6 +3169,8 @@ object SparkEntry {
          GROUP BY a.cid, dim ORDER BY a.cid, dim""",
     "q153_ivf_index" -> ivfSearchSql,
     "q167_ivf_append" -> ivfSearchSql,
+    "q174_ivf_delete" ->
+      ivfSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
     "q59_ivf_topk" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,

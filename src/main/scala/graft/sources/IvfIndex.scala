@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -80,6 +81,62 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .write.mode("append").partitionBy("ivf_list").parquet(listsPath)
   }
 
+  /** Delete ids from the index in place (X129; the other half of
+    * steady-state maintenance next to [[append]]): anti-join each TOUCHED
+    * inverted list against the id set and swap in the rewritten
+    * directory. Work ∝ the lists the deleted ids live in — untouched
+    * `ivf_list=N` directories are never read or written, the same
+    * point-update economics as [[EmbeddingStore]]'s bucket rewrites.
+    *
+    * `ids` is a single-column (`id`) frame, so a corpus-scale deletion
+    * set never collects to the driver; only the touched-list NUMBERS do
+    * (bounded by k, the bounded-scalar-anchor class). Each list swap is
+    * the two-rename discipline with a hidden `.bak` (crash between
+    * renames leaves either the old or the new directory plus a hidden
+    * backup — never both visible; [[recoverLists]] restores a half-done
+    * swap before the next read). A list whose every row is deleted
+    * remains as an empty directory — harmless to partition discovery. */
+  def delete(ids: DataFrame): Unit = {
+    require(ids.columns.toSeq == Seq("id"),
+      s"ids must be a single-column (id) frame, got ${ids.columns.toSeq}")
+    recoverLists()
+    val touched = spark.read.parquet(listsPath)
+      .join(ids, Seq("id")).select(col("ivf_list"))
+      .distinct().collect().map(_.getInt(0))
+    touched.foreach { n =>
+      val dir = new Path(s"$listsPath/ivf_list=$n")
+      val survivors = spark.read.parquet(dir.toString)
+        .join(ids, Seq("id"), "left_anti")
+      val tmp = new Path(s"$listsPath/.tmp_list_$n")
+      survivors.write.mode("overwrite").parquet(tmp.toString)
+      val bak = new Path(listsPath, s".ivf_list=$n.bak")
+      fs.delete(bak, true)
+      if (!fs.rename(dir, bak))
+        sys.error(s"could not back up $dir for swap")
+      if (!fs.rename(tmp, dir))
+        sys.error(s"could not swap $tmp into $dir (backup at $bak)")
+      fs.delete(bak, true)
+    }
+  }
+
+  private def fs =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Crash recovery for [[delete]]'s two-rename swaps: a hidden
+    * `.ivf_list=N.bak` with no live dir means the crash hit between the
+    * renames — restore the backup; with a live dir present the crash hit
+    * after the second rename — drop the stale backup. */
+  private def recoverLists(): Unit =
+    Option(fs.globStatus(new Path(listsPath, ".ivf_list=*.bak")))
+      .toSeq.flatten.foreach { st =>
+        val live = new Path(listsPath,
+          st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            sys.error(s"could not restore ${st.getPath} to $live")
+        } else fs.delete(st.getPath, true)
+      }
+
   /** The stored centroids, ordered by cid. */
   def centroids(): Seq[Array[Float]] =
     spark.read.parquet(centroidsPath).orderBy(col("cid"))
@@ -92,6 +149,7 @@ final class IvfIndex(spark: SparkSession, path: String) {
   def search(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    recoverLists()
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)

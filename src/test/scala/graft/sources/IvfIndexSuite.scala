@@ -56,6 +56,46 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(ids.contains(100L), "the second batch's row must be probe-reachable")
   }
 
+  test("delete parity: build(all) + delete(odds) searches identically to build(evens)") {
+    val dir = Files.createTempDirectory("graft_ivf_delete_test").toString
+    val deleted = new IvfIndex(spark, s"$dir/del")
+    deleted.build(embs, "vec_id", "embedding", cents)
+    deleted.delete(embs.filter($"vec_id" % 2 =!= 0).select($"vec_id".as("id")))
+    val evens = new IvfIndex(spark, s"$dir/evens")
+    evens.build(embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents)
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val got = deleted.search(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = evens.search(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"delete diverged from clean build at nprobe=$nprobe k=$k")
+    }
+    // deleting ids that do not exist is a no-op
+    val before = deleted.search(query, 10, 4).collect().toSeq
+    deleted.delete(Seq(99999L).toDF("id"))
+    assert(deleted.search(query, 10, 4).collect().toSeq == before)
+    // a fully-emptied list keeps the search working
+    deleted.delete(embs.select($"vec_id".as("id")))
+    assert(deleted.search(query, 10, 4).count() == 0L)
+  }
+
+  test("delete crash recovery: a half-done swap restores from the hidden backup") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivf_crash_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    val before = idx.search(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // simulate a crash between the two renames: live dir gone, backup left
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lists = s"$dir/ivf/lists"
+    val victim = fs.globStatus(new Path(lists, "ivf_list=*")).head.getPath
+    assert(fs.rename(victim, new Path(lists, "." + victim.getName + ".bak")))
+    val after = idx.search(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "search must restore the backed-up list first")
+  }
+
   test("index search is bit-identical to the in-memory ivfTopK path") {
     val idx = freshIndex()
     for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
