@@ -25,8 +25,45 @@ import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, Query
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Fixture reader with loaded-type dispatch for the tables the driver
+    * regenerates between rounds (the events.parquet lesson, applied
+    * before it repeats): integer id/count columns normalize across
+    * physical widths (int32 → int64 is exact), everything else the
+    * engine depends on is pinned and FAILS FAST with the loaded type
+    * named — never an analysis error (or a ClassCastException) deep
+    * inside a consumer query. `embedding` must stay float32: a silent
+    * double→float cast would hash-diverge from the DuckDB oracle reading
+    * the same file, so drift there is an error by design. */
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    def asLong(df: DataFrame, c: String): DataFrame =
+      df.schema(c).dataType match {
+        case LongType => df
+        case IntegerType | ShortType => df.withColumn(c, col(c).cast(LongType))
+        case other => sys.error(
+          s"$name.parquet $c has unsupported type $other — expected an integer type")
+      }
+    def mustBeString(df: DataFrame, c: String): DataFrame =
+      df.schema(c).dataType match {
+        case StringType => df
+        case other => sys.error(
+          s"$name.parquet $c has unsupported type $other — expected STRING")
+      }
+    name match {
+      case "embeddings" =>
+        raw.schema("embedding").dataType match {
+          case ArrayType(FloatType, _) => ()
+          case other => sys.error(
+            s"embeddings.parquet embedding has unsupported type $other — " +
+              "expected ARRAY<FLOAT> (a silent cast would diverge from the oracle)")
+        }
+        asLong(raw, "vec_id")
+      case "documents" =>
+        Seq("text", "lang", "source").foldLeft(asLong(asLong(raw, "doc_id"), "n_chars"))(
+          mustBeString)
+      case _ => raw
+    }
+  }
 
   private val dec = DecimalType(28, 8)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
@@ -900,6 +937,103 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q175_ivfpq_append" -> ((s, d) => {
+      // X130 incremental IVF×PQ maintenance: buildPq on the evens,
+      // appendPq the odds against the frozen coarse centroids + stored
+      // codebooks — ADC search must be bit-identical to a fresh full
+      // buildPq (q154's oracle verbatim: the codes layout is pure I/O)
+      val embs = t(s, d, "embeddings")
+      val coarse = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray).toSeq
+      val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.buildPq(embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        coarse, books)
+      idx.appendPq(embs.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      idx.searchPq(query, topK = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("vec_id"))
+    }),
+    "q177_ivfpq_delete" -> ((s, d) => {
+      // X130 in-place IVF×PQ deletion: buildPq on the full corpus, delete
+      // the odd ids (bucket-pruned sidecar discovery + per-list swap),
+      // search — ADC results must equal a clean buildPq over the evens
+      val embs = t(s, d, "embeddings")
+      val coarse = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray).toSeq
+      val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.buildPq(embs, "vec_id", "embedding", coarse, books)
+      idx.deletePq(embs.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id").as("id")))
+      idx.searchPq(query, topK = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("vec_id"))
+    }),
+    "q176_crawl_pipeline" -> ((s, d) => {
+      // the end-to-end crawl→corpus composition every stage already gates
+      // alone: URL-normalize dedup (X122) → normalized-fingerprint exact
+      // dedup (X127) → minhash near-dup drop (X2/X3) → Gopher quality gate
+      // (X50) → calibrated quality floor (X119) → token-budget mixture
+      // (X49) → sequence packing (X26), reported as the per-stage
+      // retention funnel a pipeline datasheet records
+      val docs = t(s, d, "documents")
+      val urls = TextAnalysis.urlProfile(syntheticUrls(s, d), "doc_id", col("url"))
+      val s1 = urls.filter(col("host").isNotNull)
+        .groupBy(col("norm_url")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      // each stage is PINNED (eager localCheckpoint): its frame feeds both
+      // the next stage and its own retention count, and the whole funnel
+      // is read 8 times by the count union — unpinned, every count would
+      // re-execute the entire upstream chain (minhash, gate, calibration)
+      // once per stage
+      val d1 = docs.join(s1, Seq("doc_id")).localCheckpoint(true)
+      val s2 = d1.select(col("doc_id"),
+          TextAnalysis.normalizedFingerprint(col("text")).as("__fp"))
+        .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val d2 = d1.join(s2, Seq("doc_id")).localCheckpoint(true)
+      val pairs = Dedup.minhashCandidatePairs(d2, "doc_id", col("text"),
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      val d3 = d2.join(pairs.select(col("id2").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      // the gate output is pinned BEFORE the keep filter: filtering the
+      // unmaterialized frame collapses the staged rule projections into
+      // one interpreted Filter that re-splits the text ~27x per row (the
+      // shingle-chain re-eval trap)
+      val d4 = d3.join(Curation.gopherGate(d3, "doc_id", col("text"))
+        .localCheckpoint(true).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val d5 = d4.join(Curation.scoreCalibrate(d4, col("source"), "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .filter(col("pct_rank") >= 0.2).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val d6 = Curation.mixtureSample(d5, col("source"), "doc_id",
+        size(TextAnalysis.tokens(col("text"))),
+        budgets = Seq("src0" -> 800L, "src1" -> 500L, "src2" -> 250L),
+        seed = "mix0").localCheckpoint(true)
+      val packs = Packing.packAssignments(
+        d6.select(col("doc_id"), col("tokens")), "doc_id", "tokens", 2048L)
+      val stageCounts = Seq(
+        (0, "input", docs), (1, "url_dedup", d1), (2, "exact_dedup", d2),
+        (3, "near_dedup", d3), (4, "quality_gate", d4), (5, "calibrated", d5),
+        (6, "mixed", d6))
+        .map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(i).as("stage_no"), lit(nm).as("stage"), col("n"))
+        }
+        .reduce(_.unionByName(_))
+      stageCounts.unionByName(
+          packs.agg(coalesce(max(col("pack_last")) + 1, lit(0L)).cast(LongType).as("n"))
+            .select(lit(7).as("stage_no"), lit("packs").as("stage"), col("n")))
+        .orderBy(col("stage_no"))
+    }),
     "q168_canonical_quality" -> ((s, d) => {
       // X123 quality-driven canonical per cluster over the q68 clustering
       // (docs + exact clones); the id-derived score bonus shifts by
@@ -1765,6 +1899,58 @@ object SparkEntry {
     * q167 (build+append): the index layout is pure I/O, so both
     * produce the identical result set. */
   private lazy val ivfSearchSql: String = ivfSearchSqlOver("embeddings")
+
+  /** Full-corpus IVF×PQ ADC search (coarse = vec_id<4, codebooks seeded
+    * from vec_id<4 subvectors, query = vec_id 5, nprobe 2, top 10) —
+    * shared by q154 (fresh buildPq) and q175 (buildPq+appendPq): the
+    * codes layout is pure I/O, so both produce the identical result.
+    * q177 (deletePq) passes the surviving corpus as `corpus`; the
+    * coarse/codebook/query parameters always come from the FULL
+    * embeddings table (frozen external parameters). */
+  private lazy val ivfPqSearchSql: String = ivfPqSearchSqlOver("embeddings")
+  private def ivfPqSearchSqlOver(corpus: String): String =
+    s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+         probes AS (SELECT c.ccid FROM cents c, q
+           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                    c.ccid ASC
+           LIMIT 2),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM $corpus e),
+         pruned AS (SELECT e.* FROM $corpus e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes)),
+         subs AS (
+           SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
+           FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
+         lut AS (
+           SELECT s.j, s.c,
+             (SELECT SUM(z.d * z.d) FROM (
+                SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                FROM (SELECT unnest(q.qv[CAST(s.j*16+1 AS INT) : CAST(s.j*16+16 AS INT)]) AS x,
+                             unnest(s.cv) AS y)) z) AS dist
+           FROM subs s, q),
+         codes AS (
+           SELECT e.vec_id, t.j,
+             (SELECT s.c FROM subs s WHERE s.j = t.j
+              ORDER BY (SELECT SUM(z.d * z.d) FROM (
+                  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+                  FROM (SELECT unnest(e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)]) AS x,
+                               unnest(s.cv) AS y)) z) ASC,
+                s.c ASC
+              LIMIT 1) AS code
+           FROM pruned e, UNNEST(range(4)) AS t(j)),
+         adc AS (
+           SELECT c.vec_id, SUM(l.dist) AS adc_dist
+           FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
+           GROUP BY c.vec_id)
+         SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
   private def ivfSearchSqlOver(corpus: String): String =
     s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,
@@ -3060,7 +3246,7 @@ object SparkEntry {
              CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
                ELSE regexp_replace(pth, '/+$$', '') END AS npath,
              list_sort(list_filter(string_split(qry, '&'), q -> q <> ''
-               AND NOT (string_split(q, '=')[1] IN ($trackingParamsSql)))) AS kept
+               AND NOT (lower(string_split(q, '=')[1]) IN ($trackingParamsSql)))) AS kept
            FROM h)
          SELECT doc_id, url,
            CASE WHEN host0 = '' THEN NULL ELSE host0 END AS host,
@@ -3921,49 +4107,98 @@ object SparkEntry {
            GROUP BY c.vec_id)
          SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
          FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
-    "q154_ivfpq_index" ->
-      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
-         probes AS (SELECT c.ccid FROM cents c, q
-           ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-                     FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
-                    c.ccid ASC
-           LIMIT 2),
-         assign AS (SELECT e.vec_id, CAST((
-             SELECT c.ccid FROM cents c
-             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
-                      c.ccid ASC
-             LIMIT 1) AS INT) AS ivf_list
-           FROM embeddings e),
-         pruned AS (SELECT e.* FROM embeddings e JOIN assign a USING (vec_id)
-           WHERE a.ivf_list IN (SELECT ccid FROM probes)),
-         subs AS (
-           SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
-           FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
-         lut AS (
-           SELECT s.j, s.c,
-             (SELECT SUM(z.d * z.d) FROM (
-                SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
-                FROM (SELECT unnest(q.qv[CAST(s.j*16+1 AS INT) : CAST(s.j*16+16 AS INT)]) AS x,
-                             unnest(s.cv) AS y)) z) AS dist
-           FROM subs s, q),
-         codes AS (
-           SELECT e.vec_id, t.j,
-             (SELECT s.c FROM subs s WHERE s.j = t.j
-              ORDER BY (SELECT SUM(z.d * z.d) FROM (
-                  SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
-                  FROM (SELECT unnest(e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)]) AS x,
-                               unnest(s.cv) AS y)) z) ASC,
-                s.c ASC
-              LIMIT 1) AS code
-           FROM pruned e, UNNEST(range(4)) AS t(j)),
-         adc AS (
-           SELECT c.vec_id, SUM(l.dist) AS adc_dist
-           FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
-           GROUP BY c.vec_id)
-         SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
-         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
+    "q154_ivfpq_index" -> ivfPqSearchSql,
+    "q175_ivfpq_append" -> ivfPqSearchSql,
+    "q177_ivfpq_delete" ->
+      ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q176_crawl_pipeline" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b:' || md5(CAST(m${2 * b} AS VARCHAR) || '|' ||
+            CAST(m${2 * b + 1} AS VARCHAR)) AS band FROM sig""")
+        .mkString(" UNION ALL ")
+      s"""WITH u AS ($syntheticUrlsSql),
+         up AS (SELECT doc_id, url,
+             lower(regexp_extract(trim(url),
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)) AS auth,
+             regexp_extract(trim(url),
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS pth,
+             regexp_extract(trim(url), '\\?([^#]*)', 1) AS qry
+           FROM u),
+         uh AS (SELECT doc_id, url, pth, qry,
+             regexp_replace(regexp_replace(auth, ':[0-9]+$$', ''), '^www\\.', '') AS host0
+           FROM up),
+         un AS (SELECT doc_id, host0,
+             CASE WHEN host0 = '' THEN url
+               ELSE 'https://' || host0 ||
+                 (CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+                   ELSE regexp_replace(pth, '/+$$', '') END) ||
+                 (CASE WHEN len(kept) > 0
+                   THEN '?' || array_to_string(kept, '&') ELSE '' END)
+             END AS norm_url
+           FROM (SELECT doc_id, url, host0, pth,
+               list_sort(list_filter(string_split(qry, '&'), q -> q <> ''
+                 AND NOT (lower(string_split(q, '=')[1]) IN ($trackingParamsSql)))) AS kept
+             FROM uh)),
+         s1 AS (SELECT MIN(doc_id) AS doc_id FROM un WHERE host0 <> '' GROUP BY norm_url),
+         d1 AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN s1 USING (doc_id)),
+         s2 AS (SELECT MIN(doc_id) AS doc_id
+           FROM (SELECT doc_id, $normFpSql AS fp FROM d1) GROUP BY fp),
+         d2 AS (SELECT d1.* FROM d1 JOIN s2 USING (doc_id)),
+         sig AS (SELECT doc_id, $sigCols FROM d2),
+         banded AS ($bandSelects),
+         dropn AS (SELECT DISTINCT b.doc_id
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         d3 AS (SELECT d2.* FROM d2 LEFT JOIN dropn ON d2.doc_id = dropn.doc_id
+           WHERE dropn.doc_id IS NULL),
+         gb AS (SELECT doc_id, $toksSql AS t, $shingle3Sql AS sh FROM d3),
+         gm AS (SELECT doc_id, len(t) AS nt,
+             CAST(COALESCE(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+               AS DOUBLE) / GREATEST(len(t), 1) AS atl,
+             CASE WHEN len(sh) = 0 THEN 0.0
+                  ELSE CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS df,
+             len(list_filter(list_distinct(t),
+               x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS sw
+           FROM gb),
+         d4 AS (SELECT d3.* FROM d3 JOIN gm ON d3.doc_id = gm.doc_id
+           WHERE NOT (gm.nt < 20 OR gm.nt > 100000 OR gm.atl < 3.0
+             OR gm.atl > 10.0 OR gm.df > 0.05 OR gm.sw < 2)),
+         cal AS (SELECT doc_id,
+             ROUND(percent_rank() OVER (PARTITION BY source ORDER BY score), 6) AS pr
+           FROM (SELECT doc_id, source, $qualityScoreSql AS score FROM d4)),
+         d5 AS (SELECT d4.* FROM d4 JOIN cal ON d4.doc_id = cal.doc_id
+           WHERE cal.pr >= 0.2),
+         mt AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tokens,
+             md5(CAST(doc_id AS VARCHAR) || ':' || 'mix0') AS sk
+           FROM d5 WHERE source IN ('src0', 'src1', 'src2')),
+         mc AS (SELECT doc_id, source, tokens,
+             CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY sk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM mt),
+         d6 AS (SELECT mc.doc_id, mc.tokens FROM mc
+           JOIN (VALUES ('src0', 800), ('src1', 500), ('src2', 250)) b(bsrc, budget)
+             ON mc.source = bsrc
+           WHERE mc.cum_tokens <= budget),
+         pk AS (SELECT doc_id, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+           FROM d6),
+         np AS (SELECT COALESCE(MAX(CASE WHEN tokens > 0
+               THEN (tokens_before + tokens - 1) // 2048
+               ELSE tokens_before // 2048 END) + 1, 0) AS n FROM pk)
+         SELECT * FROM (
+           SELECT CAST(0 AS INT) AS stage_no, 'input' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n
+           UNION ALL SELECT 1, 'url_dedup', (SELECT COUNT(*) FROM d1)
+           UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM d2)
+           UNION ALL SELECT 3, 'near_dedup', (SELECT COUNT(*) FROM d3)
+           UNION ALL SELECT 4, 'quality_gate', (SELECT COUNT(*) FROM d4)
+           UNION ALL SELECT 5, 'calibrated', (SELECT COUNT(*) FROM d5)
+           UNION ALL SELECT 6, 'mixed', (SELECT COUNT(*) FROM d6)
+           UNION ALL SELECT 7, 'packs', (SELECT CAST(n AS BIGINT) FROM np)
+         ) ORDER BY stage_no"""
+    },
     "q89_ivfpq" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),

@@ -769,15 +769,18 @@ object Dedup {
 
   /** Duplicated-span extraction (X121; the scalable form of Lee et al.
     * 2021, "Deduplicating Training Data Makes Language Models Better",
-    * arXiv:2107.06499 §3 ExactSubstr): per document, the MAXIMAL token
-    * ranges every one of whose `windowLen`-token windows also occurs
-    * elsewhere in the corpus — the spans an exact-substring dedup pass
-    * would cut (boilerplate headers, licence blocks, quoted articles),
-    * found without building a suffix array. A window occurring >= 2
-    * times ANYWHERE (other docs or a repeat within the same doc — both
-    * are duplication in the training-data sense) is duplicated; runs of
-    * duplicated windows merge when their covered token ranges touch
-    * (next_pos - pos <= windowLen). Emits
+    * arXiv:2107.06499 §3 ExactSubstr): per document, the MAXIMAL UNIONS
+    * of the covered token ranges of duplicated `windowLen`-token windows
+    * — the spans an exact-substring dedup pass would cut (boilerplate
+    * headers, licence blocks, quoted articles), found without building a
+    * suffix array. A window occurring >= 2 times ANYWHERE (other docs or
+    * a repeat within the same doc — both are duplication in the
+    * training-data sense) is duplicated; covered ranges that touch OR
+    * are exactly adjacent coalesce (next_pos - pos <= windowLen), so a
+    * merged span may contain seam windows straddling two adjacent
+    * covered ranges that are not themselves duplicated — the cut token
+    * set is identical either way, which is what [[cutSpans]] consumes.
+    * Emits
     * `(doc_id, span_start, span_end, n_tokens)` with token positions
     * 0-based, end exclusive; every span has n_tokens >= windowLen.
     *

@@ -821,6 +821,36 @@ object TextAnalysis {
       numMerges: Int): DataFrame = {
     require(numMerges >= 1 && numMerges <= 1000,
       s"numMerges must be in [1,1000], got $numMerges")
+    bpeMergesCore(docs, idCol, text, numMerges, batch = 1)
+  }
+
+  /** Batched BPE merge learning: per census, take up to `batch`
+    * NON-INTERACTING merges instead of one — the standard batched-BPE
+    * trick that turns 32k merges into ~32k/batch vocab-sized jobs
+    * (driver-sequenced iterations are inherent to BPE; the batch shrinks
+    * their NUMBER). Two merges interact when they could change each
+    * other's occurrence set or counts: they share a symbol, or one's
+    * concatenation aliases a symbol of the other — the greedy selector
+    * walks the census in (freq desc, lhs, rhs) order and skips any pair
+    * whose {lhs, rhs, lhs+rhs} intersects the symbols or concatenations
+    * already taken, so every taken pair's occurrences and count are
+    * EXACTLY what a sequential recount would see, and the emitted
+    * (step, lhs, rhs, pair_freq) rows are each individually faithful.
+    * `batch = 1` is bit-identical to [[bpeMerges]] (suite-pinned
+    * differential); larger batches may ORDER merges differently than
+    * the strict one-at-a-time trace (a merge the census cannot yet see —
+    * e.g. (es,t) before (e,s) lands — waits for the next census), the
+    * documented and universally-shipped approximation. */
+  def bpeMergesBatched(docs: DataFrame, idCol: String, text: Column,
+      numMerges: Int, batch: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 50000,
+      s"numMerges must be in [1,50000], got $numMerges")
+    require(batch >= 1 && batch <= 256, s"batch must be in [1,256], got $batch")
+    bpeMergesCore(docs, idCol, text, numMerges, batch)
+  }
+
+  private def bpeMergesCore(docs: DataFrame, idCol: String, text: Column,
+      numMerges: Int, batch: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = postings(docs, idCol, text)
@@ -832,7 +862,12 @@ object TextAnalysis {
     var exhausted = false
     while (step <= numMerges && !exhausted) {
       val syms = split(col("seq"), " ")
-      val best = vocab
+      // single-symbol rows (fully merged words) have no adjacent pairs;
+      // without the filter sequence(1, size-1) would DESCEND [1,0] and
+      // element_at(syms, 0) throws (the bigramTable descending-range trap)
+      val want = math.min(numMerges - step + 1, batch)
+      val census = vocab
+        .filter(size(syms) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(syms) - 1),
           i => struct(element_at(syms, i).as("lhs"),
@@ -840,16 +875,28 @@ object TextAnalysis {
         .groupBy(col("p.lhs"), col("p.rhs"))
         .agg(sum(col("freq")).as("pf"))
         .orderBy(col("pf").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(math.max(4 * want, 64)).collect()
+      if (census.isEmpty) exhausted = true
       else {
-        val (l, r, pf) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((step, l, r, pf))
+        // greedy non-interacting prefix of the ranked census (driver-side
+        // over a bounded candidate list — the bounded-scalar-anchor class)
+        val taken = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+        val blocked = scala.collection.mutable.Set[String]()
+        val it = census.iterator
+        while (taken.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!blocked(l) && !blocked(r) && !blocked(l + r)) {
+            taken += ((l, r, row.getLong(2)))
+            blocked += l; blocked += r; blocked += (l + r)
+          }
+        }
+        taken.foreach { case (l, r, pf) => merges += ((step, l, r, pf)); step += 1 }
         vocab = vocab
-          .select(applyMerge(col("seq"), l, r).as("seq"), col("freq"))
+          .select(taken.foldLeft(col("seq")) { case (acc, (l, r, _)) =>
+            applyMerge(acc, l, r)
+          }.as("seq"), col("freq"))
           .localCheckpoint(true)
-        step += 1
       }
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_freq")
@@ -898,8 +945,8 @@ object TextAnalysis {
     * stripped), `registrable_domain` (PSL-style last-2-or-3-label cut,
     * [[MultiLabelSuffixes]]), `norm_url` (scheme forced to `https`,
     * normalized host, path with trailing slashes trimmed — bare host
-    * keeps `/` — tracking params dropped and survivors SORTED, fragment
-    * dropped). Malformed rows (no parseable host) emit null host/domain
+    * keeps `/` — tracking params dropped (keys matched
+    * case-insensitively) and survivors SORTED, fragment dropped). Malformed rows (no parseable host) emit null host/domain
     * and pass `url` through as `norm_url` — flag, don't crash, mid-crawl.
     *
     * All columns are per-row regexp/array projections — codegen
@@ -922,8 +969,11 @@ object TextAnalysis {
       .when(nl >= 3 && lastTwo.isin(suffixes: _*),
         concat_ws(".", element_at(labels, -3), lastTwo))
       .otherwise(lastTwo)
+    // param keys are conventionally case-insensitive for these trackers
+    // ('?UTM_SOURCE=x' is the same tracker as '?utm_source=x'); value
+    // case stays untouched
     val keptParams = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !split(p, "=").getItem(0).isin(TrackingParams: _*)))
+      p =!= "" && !lower(split(p, "=").getItem(0)).isin(TrackingParams: _*)))
     val normPath = when(regexp_replace(path, "/+$", "") === "", lit("/"))
       .otherwise(regexp_replace(path, "/+$", ""))
     val normQuery = when(size(keptParams) > 0,

@@ -24,7 +24,15 @@ import graft.operators.{Ann, Pq}
   * Layout: `<path>/lists/ivf_list=N/...` carries (id, vector) per list;
   * `<path>/centroids` carries (cid, centroid) — k rows, read to the
   * driver at search time (the bounded-scalar-anchor class: centroid
-  * scoring is k dot products, never a distributed job).
+  * scoring is k dot products, never a distributed job). Beside each
+  * data layout sits an ASSIGNMENT SIDECAR (`<path>/assign` for the raw
+  * lists, `<path>/assign_pq` for the PQ codes): (id, ivf_list) rows
+  * partitioned by `abucket = pmod(hash(id), B)` — the id→list map the
+  * builder already knows, persisted so [[delete]]/[[deletePq]] discover
+  * touched lists by reading ONLY the deletion set's hash buckets, never
+  * the index itself. B is fixed at build time and recorded in a one-row
+  * meta parquet; a corpus-scale index keeps discovery I/O ∝ the
+  * deletion set (buckets hit), not ∝ the index.
   *
   * The assignment rule is [[graft.operators.Ann.ivfAssign]] (argmax
   * dot, lowest centroid id on ties) and search scoring is
@@ -32,22 +40,71 @@ import graft.operators.{Ann, Pq}
   * bit-identical to the unpersisted path (suite-pinned), so the index
   * is a pure I/O optimization, not a semantics change. Rebuild after
   * re-training centroids; like any IVF, a stale index degrades recall,
-  * not correctness of the "within probed lists" contract. */
-final class IvfIndex(spark: SparkSession, path: String) {
+  * not correctness of the "within probed lists" contract.
+  *
+  * Crash-safety invariant shared by every mutation: the sidecar is an
+  * advisory SUPERSET of the data layout's ids — appends write the
+  * sidecar BEFORE the data files, deletes rewrite the data lists BEFORE
+  * the sidecar buckets, so a crash at any point leaves the sidecar
+  * over-approximating (a later delete anti-joins a list needlessly — a
+  * no-op) and never under-approximating (which would let a row survive
+  * its own deletion). Search never reads the sidecar. */
+final class IvfIndex(spark: SparkSession, path: String,
+    assignBuckets: Int = 16) {
+  require(assignBuckets >= 1, s"assignBuckets must be >= 1, got $assignBuckets")
 
   private def listsPath = s"$path/lists"
   private def centroidsPath = s"$path/centroids"
+  private def assignPath = s"$path/assign"
+  private def assignMetaPath = s"$path/assign_meta"
+
+  /** Bucket of an id in a B-bucket sidecar. The id is hashed through its
+    * STRING form so the bucket is invariant to integer width (a LongType
+    * deletion frame prunes an index built from IntegerType ids, and vice
+    * versa — the join coerces, and so must the hash). */
+  private def bucketOf(id: org.apache.spark.sql.Column, b: Int) =
+    pmod(hash(id.cast(StringType)), lit(b)).cast(IntegerType)
+
+  private def writeAssignMeta(metaPath: String): Unit = {
+    import spark.implicits._
+    Seq(assignBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+  }
+
+  private def readAssignBuckets(metaPath: String): Int =
+    spark.read.parquet(metaPath).head().getInt(0)
+
+  /** Write (id, ivf_list) sidecar rows for an assigned batch. Overwrite
+    * mode stamps a fresh B; append mode reuses the stored B (and is a
+    * documented no-op on a pre-sidecar index, which then keeps the
+    * full-scan discovery fallback). */
+  private def writeAssign(assigned: DataFrame, assignBase: String,
+      metaPath: String, overwrite: Boolean): Unit = {
+    val b =
+      if (overwrite) { writeAssignMeta(metaPath); assignBuckets }
+      else if (fs.exists(new Path(metaPath))) readAssignBuckets(metaPath)
+      else return
+    assigned
+      .select(col("id"), col("ivf_list"), bucketOf(col("id"), b).as("abucket"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("abucket").parquet(assignBase)
+  }
 
   /** Assign every row to its list and write the partitioned layout.
-    * One broadcast-assignment pass over `embs`, one shuffle-free write;
-    * k is the partition fan-out (keep it far below the row count — the
-    * usual √n-ish coarse-quantizer sizing). */
+    * One broadcast-assignment pass over `embs`, one shuffle-free write
+    * each for the sidecar and the lists; k is the partition fan-out
+    * (keep it far below the row count — the usual √n-ish
+    * coarse-quantizer sizing). */
   def build(embs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Float]]): Unit = {
     require(centroids.nonEmpty, "need at least one centroid")
     import spark.implicits._
-    Ann.ivfAssign(embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
-        "vector", centroids)
+    val assigned = Ann.ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", centroids)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPath, assignMetaPath, overwrite = true)
+    assigned
       .write.mode("overwrite").partitionBy("ivf_list").parquet(listsPath)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
@@ -66,18 +123,26 @@ final class IvfIndex(spark: SparkSession, path: String) {
     * oracle-gated (q167). Parquet append is directory-additive: existing
     * files are never touched, so a crashed append leaves at worst
     * orphan part-files in probed directories — re-run with the same
-    * batch after dedup, never rebuild.
+    * batch after dedup, never rebuild. The sidecar lands BEFORE the
+    * list files (the superset invariant), and [[recoverDir]] runs first
+    * so a half-done delete swap is restored before new files land in
+    * its directory.
     *
     * Same scale shape as [[build]]: one broadcast-assignment pass over
-    * the batch, a shuffle-free partitioned write proportional to the
+    * the batch, shuffle-free partitioned writes proportional to the
     * BATCH, not the index. Centroid drift is the operator's contract to
     * monitor ([[graft.operators.Ann.ivfStats]] imbalance on the growing
     * index); a drifted coarse quantizer degrades recall, not the
     * within-probed-lists exactness. */
   def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+    recoverDir(listsPath); recoverDir(assignPath)
     val cs = centroids()
-    Ann.ivfAssign(embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
-        "vector", cs)
+    val assigned = Ann.ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", cs)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPath, assignMetaPath, overwrite = false)
+    assigned
       .write.mode("append").partitionBy("ivf_list").parquet(listsPath)
   }
 
@@ -85,51 +150,107 @@ final class IvfIndex(spark: SparkSession, path: String) {
     * steady-state maintenance next to [[append]]): anti-join each TOUCHED
     * inverted list against the id set and swap in the rewritten
     * directory. Work ∝ the lists the deleted ids live in — untouched
-    * `ivf_list=N` directories are never read or written, the same
-    * point-update economics as [[EmbeddingStore]]'s bucket rewrites.
+    * `ivf_list=N` directories are never read or written, and touched-list
+    * DISCOVERY reads only the deletion set's hash buckets of the
+    * assignment sidecar (partition-pruned; plan-audited), so discovery
+    * I/O is ∝ the deletion set, not the index. An index built before the
+    * sidecar existed falls back to a full id-column scan of the lists
+    * (documented, and logged by the plan audit as the exception path).
     *
     * `ids` is a single-column (`id`) frame, so a corpus-scale deletion
-    * set never collects to the driver; only the touched-list NUMBERS do
-    * (bounded by k, the bounded-scalar-anchor class). Each list swap is
-    * the two-rename discipline with a hidden `.bak` (crash between
-    * renames leaves either the old or the new directory plus a hidden
-    * backup — never both visible; [[recoverLists]] restores a half-done
-    * swap before the next read). A list whose every row is deleted
-    * remains as an empty directory — harmless to partition discovery. */
-  def delete(ids: DataFrame): Unit = {
+    * set never collects to the driver; only the touched-list NUMBERS and
+    * bucket NUMBERS do (bounded by k and B, the bounded-scalar-anchor
+    * class). Each list swap is the two-rename discipline with a hidden
+    * `.bak` (crash between renames leaves either the old or the new
+    * directory plus a hidden backup — never both visible; [[recoverDir]]
+    * restores a half-done swap before the next read). Lists rewrite
+    * BEFORE sidecar buckets, keeping the sidecar a superset under any
+    * crash. A list whose every row is deleted remains as an empty
+    * directory — harmless to partition discovery. */
+  def delete(ids: DataFrame): Unit =
+    deleteFrom(listsPath, assignPath, assignMetaPath, ids)
+
+  /** The (ivf_list, abucket) pairs the deletion set touches, read from
+    * the sidecar's pruned buckets only — exposed for the plan audit:
+    * the scan must show `abucket` PartitionFilters and must not touch
+    * the data layout. */
+  private[graft] def touchedFrame(ids: DataFrame, assignBase: String,
+      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(assignBase)
+      .filter(col("abucket").isin(buckets: _*))
+      .join(ids, Seq("id"))
+      .select(col("ivf_list"), col("abucket")).distinct()
+
+  private def deleteFrom(base: String, assignBase: String,
+      metaPath: String, ids: DataFrame): Unit = {
     require(ids.columns.toSeq == Seq("id"),
       s"ids must be a single-column (id) frame, got ${ids.columns.toSeq}")
-    recoverLists()
-    val touched = spark.read.parquet(listsPath)
-      .join(ids, Seq("id")).select(col("ivf_list"))
-      .distinct().collect().map(_.getInt(0))
+    recoverDir(base); recoverDir(assignBase)
+    if (fs.exists(new Path(metaPath))) {
+      val b = readAssignBuckets(metaPath)
+      val buckets = ids.select(bucketOf(col("id"), b).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val hits = touchedFrame(ids, assignBase, buckets).collect()
+      rewriteTouched(base, "ivf_list", hits.map(_.getInt(0)).distinct.sorted, ids)
+      rewriteTouched(assignBase, "abucket", hits.map(_.getInt(1)).distinct.sorted, ids)
+    } else {
+      // pre-sidecar layout: full-index id-column discovery (the documented
+      // fallback — O(index file listing), which is why the sidecar exists)
+      val touched = spark.read.parquet(base).join(ids, Seq("id"))
+        .select(col("ivf_list")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      rewriteTouched(base, "ivf_list", touched, ids)
+    }
+  }
+
+  /** Rewrite every touched `partCol=N` directory under `base` in ONE
+    * Spark job: a partition-pruned read of exactly the touched
+    * directories, one anti-join, one partitioned write into a hidden
+    * staging root — then each directory individually swaps in via the
+    * two-rename discipline (the per-dir crash contract is unchanged; the
+    * JOB count drops from |touched| to 1, which is what makes a
+    * wide-deletion batch k+B renames, not k+B Spark jobs). A partition
+    * whose every row is deleted gets no staged output — it swaps in an
+    * empty directory, preserving the emptied-list behavior. */
+  private def rewriteTouched(base: String, partCol: String,
+      touched: Seq[Int], ids: DataFrame): Unit = {
+    if (touched.isEmpty) return
+    val staging = new Path(base, ".staging_swap")
+    fs.delete(staging, true)
+    val survivors = spark.read.parquet(base)
+      .filter(col(partCol).isin(touched: _*))
+      .join(ids, Seq("id"), "left_anti")
+    survivors.write.partitionBy(partCol).parquet(staging.toString)
     touched.foreach { n =>
-      val dir = new Path(s"$listsPath/ivf_list=$n")
-      val survivors = spark.read.parquet(dir.toString)
-        .join(ids, Seq("id"), "left_anti")
-      val tmp = new Path(s"$listsPath/.tmp_list_$n")
-      survivors.write.mode("overwrite").parquet(tmp.toString)
-      val bak = new Path(listsPath, s".ivf_list=$n.bak")
+      val dirName = s"$partCol=$n"
+      val staged = new Path(staging, dirName)
+      if (!fs.exists(staged))
+        // fully-deleted partition: stage a schema-carrying empty file, so a
+        // later whole-layout read can still infer the schema
+        survivors.drop(partCol).limit(0).coalesce(1).write.parquet(staged.toString)
+      val dir = new Path(base, dirName)
+      val bak = new Path(base, s".$dirName.bak")
       fs.delete(bak, true)
       if (!fs.rename(dir, bak))
         sys.error(s"could not back up $dir for swap")
-      if (!fs.rename(tmp, dir))
-        sys.error(s"could not swap $tmp into $dir (backup at $bak)")
+      if (!fs.rename(staged, dir))
+        sys.error(s"could not swap $staged into $dir (backup at $bak)")
       fs.delete(bak, true)
     }
+    fs.delete(staging, true)
   }
 
   private def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Crash recovery for [[delete]]'s two-rename swaps: a hidden
-    * `.ivf_list=N.bak` with no live dir means the crash hit between the
-    * renames — restore the backup; with a live dir present the crash hit
-    * after the second rename — drop the stale backup. */
-  private def recoverLists(): Unit =
-    Option(fs.globStatus(new Path(listsPath, ".ivf_list=*.bak")))
+  /** Crash recovery for [[rewriteTouched]]'s two-rename swaps under `base`: a
+    * hidden `.<dir>.bak` with no live dir means the crash hit between
+    * the renames — restore the backup; with a live dir present the crash
+    * hit after the second rename — drop the stale backup. Runs at the
+    * top of every entry point that reads or writes the layout. */
+  private def recoverDir(base: String): Unit =
+    Option(fs.globStatus(new Path(base, ".*.bak")))
       .toSeq.flatten.foreach { st =>
-        val live = new Path(listsPath,
+        val live = new Path(base,
           st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
         if (!fs.exists(live)) {
           if (!fs.rename(st.getPath, live))
@@ -149,26 +270,33 @@ final class IvfIndex(spark: SparkSession, path: String) {
   def search(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
-    recoverLists()
+    recoverDir(listsPath)
+    val probed = spark.read.parquet(listsPath)
+      .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
+    Ann.bruteForceTopK(probed, "id", "vector", query, k)
+  }
+
+  /** The nprobe best coarse lists for a query — k driver-side dot
+    * products over the stored centroids. */
+  private def probeSet(query: Array[Float], nprobe: Int): Seq[Int] = {
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
-    val probes = centroids().zipWithIndex
+    centroids().zipWithIndex
       .map { case (c, i) => (i, dot(c, query)) }
       .sortBy { case (i, d) => (-d, i) }
       .take(nprobe).map(_._1)
-    val probed = spark.read.parquet(listsPath)
-      .filter(col("ivf_list").isin(probes: _*))
-    Ann.bruteForceTopK(probed, "id", "vector", query, k)
   }
 
   // ---- IVF×PQ layout (the FAISS-IVFPQ on-disk shape) ---------------------
 
   private def codesPath = s"$path/codes"
   private def booksPath = s"$path/codebooks"
+  private def assignPqPath = s"$path/assign_pq"
+  private def assignPqMetaPath = s"$path/assign_pq_meta"
 
   /** Persist the PQ-coded lists: (id, codes) partitioned by `ivf_list`,
     * codebooks stored beside them. The probed read then decodes m BYTES
@@ -177,14 +305,19 @@ final class IvfIndex(spark: SparkSession, path: String) {
     * FAISS-IVFPQ economics, from the parquet layout alone. The raw
     * vectors are NOT duplicated here: exact rerank (when wanted)
     * re-fetches the few topK survivors from the primary store by id —
-    * the flagship funnel's stage-3 refetch pattern. */
+    * the flagship funnel's stage-3 refetch pattern. Writes its own
+    * assignment sidecar (`assign_pq`) so the compressed layout gets the
+    * same bucket-pruned delete discovery as the raw one. */
   def buildPq(embs: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Array[Float]], books: Pq.Codebooks): Unit = {
     require(coarse.nonEmpty, "need at least one coarse centroid")
     import spark.implicits._
-    Pq.encode(
-        Ann.ivfAssign(embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
-          "vector", coarse), "vector", books)
+    val assigned = Ann.ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", coarse)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPqPath, assignPqMetaPath, overwrite = true)
+    Pq.encode(assigned, "vector", books)
       .select(col("id"), col("codes"), col("ivf_list"))
       .write.mode("overwrite").partitionBy("ivf_list").parquet(codesPath)
     books.zipWithIndex.flatMap { case (cents, j) =>
@@ -195,6 +328,38 @@ final class IvfIndex(spark: SparkSession, path: String) {
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
   }
+
+  /** Incremental append for the PQ codes layout (X130; the compressed
+    * half of X124): assign the batch against the FROZEN stored coarse
+    * centroids, encode with the FROZEN stored codebooks, append into the
+    * existing `codes/ivf_list=N` directories. Both steps are
+    * deterministic per row and independent across rows, so
+    * buildPq(A) + appendPq(B) is RESULT-identical to buildPq(A ∪ B)
+    * with the same coarse/books (suite-pinned grid; oracle-gated q175).
+    * Batch-proportional, directory-additive — the same economics and
+    * crash story as [[append]], sidecar first. Codebook/centroid drift
+    * is [[graft.operators.Ann.ivfStats]]'s contract, as for [[append]]. */
+  def appendPq(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+    recoverDir(codesPath); recoverDir(assignPqPath)
+    val coarse = centroids()
+    val books = codebooks()
+    val assigned = Ann.ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", coarse)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPqPath, assignPqMetaPath, overwrite = false)
+    Pq.encode(assigned, "vector", books)
+      .select(col("id"), col("codes"), col("ivf_list"))
+      .write.mode("append").partitionBy("ivf_list").parquet(codesPath)
+  }
+
+  /** In-place deletion for the PQ codes layout (X130; the compressed
+    * half of X129): the same bucket-pruned sidecar discovery, per-list
+    * anti-join, and two-rename swap as [[delete]], walked over
+    * `codes/ivf_list=N` — so a 100 TB deployment serving from the
+    * compressed layout gets steady-state deletes without a rebuild. */
+  def deletePq(ids: DataFrame): Unit =
+    deleteFrom(codesPath, assignPqPath, assignPqMetaPath, ids)
 
   /** The stored PQ codebooks, (subspace, code)-ordered. */
   def codebooks(): Pq.Codebooks = {
@@ -211,18 +376,9 @@ final class IvfIndex(spark: SparkSession, path: String) {
   def searchPq(query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val probes = centroids().zipWithIndex
-      .map { case (c, i) => (i, dot(c, query)) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1)
+    recoverDir(codesPath)
     val probed = spark.read.parquet(codesPath)
-      .filter(col("ivf_list").isin(probes: _*))
+      .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
     Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)
   }
 }

@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.model.QueueConfig
-import graft.sources.EmbeddingStore
+import graft.sources.{EmbeddingStore, IvfIndex}
 
 /** End-to-end streaming embedding ingest — the Spark shape of the
   * reference's poll-claim-embed-upsert worker loop
@@ -40,5 +41,49 @@ object EmbedPipeline {
       val raw = embed(chunk).persist()
       try { if (!raw.isEmpty) store.upsert(raw) }
       finally { raw.unpersist(); () }
+    }
+
+  /** [[start]] plus STEADY-STATE INDEX MAINTENANCE: each micro-batch,
+    * after the store upsert, the batch's rows (with their store-assigned
+    * ids) are folded into a persisted [[IvfIndex]] as a KEYED index
+    * upsert — `delete(batch ids)` then `append(batch rows)` against the
+    * frozen stored centroids. The delete leg makes the composition
+    * idempotent on keys end-to-end: an at-least-once replay (or an
+    * upsert that REPLACES an existing vector) first removes the id's
+    * stale entry, so the index never holds two vectors for one id — the
+    * same effectively-exactly-once contract the store's keyed merge
+    * gives, extended to the index. Both legs are batch-proportional
+    * (X124 append; X129 bucket-pruned sidecar discovery), so the
+    * continuously-ingesting steady state every component exists for —
+    * ingest → upsert → searchable index — is one checkpointed stream.
+    *
+    * The index must be [[IvfIndex.build built]] (centroids + sidecar)
+    * before the stream starts; re-training centroids remains an offline
+    * rebuild, as for any IVF. */
+  def startWithIndex(
+      spark: SparkSession,
+      requestDir: String,
+      checkpointDir: String,
+      store: EmbeddingStore,
+      index: IvfIndex,
+      cfg: QueueConfig = QueueConfig())(
+      embed: DataFrame => DataFrame): StreamingQuery =
+    QueueStream.start(spark, requestDir, checkpointDir, cfg) { (chunk, _) =>
+      val raw = embed(chunk).persist()
+      try {
+        if (!raw.isEmpty) {
+          store.upsert(raw)
+          // read back this batch's rows to pick up the store-assigned ids
+          // (stable across replays — upsert reuses the existing id on merge)
+          val keys = raw.select(col("post_id"), col("sequence_no")).distinct()
+          val batchRows = store.read()
+            .join(keys, Seq("post_id", "sequence_no"), "left_semi")
+            .select(col("id"), col("vector")).persist()
+          try {
+            index.delete(batchRows.select(col("id")))
+            index.append(batchRows, "id", "vector")
+          } finally { batchRows.unpersist(); () }
+        }
+      } finally { raw.unpersist(); () }
     }
 }

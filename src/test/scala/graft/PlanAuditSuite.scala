@@ -587,6 +587,79 @@ class PlanAuditSuite extends AnyFunSuite {
       s"no hash exchange may carry document text: $exchangeLines")
   }
 
+  // ---- approx-path plan shapes (X58/X66/X92/X104) ------------------------
+  // The approx variants cannot hash-match an oracle (sketches), so their
+  // SCALE promises are pinned structurally instead: each must deliver the
+  // plan shape its scaladoc sells, not just a tolerable answer.
+
+  test("adaptive cutoff approx: sketch partials, broadcast cut, no corpus exchange (X58)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val p = prepPlan(operators.Curation.adaptiveQualityCutoff(
+      docs, "doc_id", col("text"), keepFrac = 0.8, approx = true))
+    assert(p.contains("percentile_approx"),
+      s"the cutoff must come from the GK sketch:\n$p")
+    assert(p.contains("partial_percentile_approx"),
+      s"sketch state must combine map-side (constant-size partials):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"one single-row cut + a filter pass — the corpus itself never hash-shuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the single-row cutoff must ride back as a broadcast:\n$p")
+  }
+
+  test("ppl buckets approx: no per-group sort/ntile, boundaries broadcast by value (X66)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+      .select(col("doc_id"), col("text"), col("source"))
+    val exact = prepPlan(operators.Curation.pplBuckets(
+      docs, docs, "doc_id", col("text"), col("source")))
+    // "ntile(" not "ntile": perceNTILE_approx would match the bare word
+    assert(exact.contains("ntile(3"),
+      s"sanity: the exact path ranks with NTILE:\n$exact")
+    val p = prepPlan(operators.Curation.pplBuckets(
+      docs, docs, "doc_id", col("text"), col("source"), approx = true))
+    assert(!p.contains("ntile(3"),
+      s"approx buckets by VALUE comparison, never a rank window:\n$p")
+    assert(p.contains("partial_percentile_approx"),
+      s"per-group boundary sketches must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group cut rows must broadcast back, not shuffle the docs:\n$p")
+  }
+
+  test("ngram diversity approx: HLL partials, no gram-keyed exchange, still one scan (X92)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def exchanges(p: String) = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    val exact = operators.CorpusStats.ngramDiversity(docs, col("source"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(exchanges(exact).exists(_.contains("gram")),
+      s"sanity: exact distinct pre-aggregates on the gram key (corpus-sized exchange):\n$exact")
+    val frame = operators.CorpusStats.ngramDiversity(docs, col("source"), col("text"),
+      approx = true)
+    val p = frame.queryExecution.executedPlan.toString
+    assert(p.contains("approx_count_distinct"),
+      s"the distinct count must be the HLL sketch:\n$p")
+    assert(!exchanges(p).exists(_.contains("gram")),
+      s"HLL partials are constant-size per (source, n) — the gram-keyed exchange must vanish:\n$p")
+    assert(exchanges(p).size == 1,
+      s"one group-keyed exchange of sketch partials only:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"all gram orders still explode from one staged scan:\n$p")
+  }
+
+  test("clip recommendation approx: one dim exchange, sketch partials map-side (X104)") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet").repartition(4)
+    val p = prepPlan(operators.Quantize.clipRecommendation(embs, "embedding",
+      approx = true))
+    assert("Exchange hashpartitioning\\(dim".r.findAllIn(p).length == 1,
+      s"exact and approx share the single dim-keyed exchange:\n$p")
+    assert(p.contains("partial_percentile_approx"),
+      s"the per-dim sort state must collapse to a bounded map-side sketch:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"sketch aggregation must not fall back to sort-based agg:\n$p")
+  }
+
   test("url profile: pure per-row projection — no exchange, no UDF (X122)") {
     val q = SparkEntry.queries("q165_url_profile")(spark, sf)
     val p = prepPlan(q)

@@ -483,6 +483,74 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 0))
   }
 
+  test("bpeMerges: a word that fully merges to one symbol does not kill later steps") {
+    // 'lo' collapses to a single symbol after (l,o) then (lo,</w>); the
+    // pair census must skip such rows instead of exploding a DESCENDING
+    // sequence(1,0) (element_at(syms, 0) throws INVALID_ARRAY_INDEX)
+    val docs = Seq(
+      (1L, Seq.fill(9)("lo").mkString(" ")),
+      (2L, Seq.fill(2)("we").mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 6)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges.take(2) == Seq((1, "l", "o", 9L), (2, "lo", "</w>", 9L)),
+      s"got $merges")
+    // after 'lo' is a single symbol, learning continues on 'we' (tie at
+    // freq 2 breaks lexically on (lhs, rhs): 'e' < 'w')
+    assert(merges.drop(2).take(2) == Seq((3, "e", "</w>", 2L), (4, "w", "e</w>", 2L)),
+      s"got $merges")
+    // every pair exhausted: the trace stops early instead of erroring
+    assert(merges.size == 4, s"got $merges")
+  }
+
+  test("bpeMergesBatched: batch=1 is bit-identical to the sequential path") {
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val seq1 = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 8)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat1 = TextAnalysis.bpeMergesBatched(docs, "doc_id", col("text"), 8, batch = 1)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(bat1 == seq1, s"batch=1 diverged:\n$bat1\nvs\n$seq1")
+  }
+
+  test("bpeMergesBatched: batched merges are non-interacting and individually faithful") {
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesBatched(docs, "doc_id", col("text"), 4, batch = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // first census top pairs: (e,s) 9 taken; (es,t)/(s,t)-family blocked by
+    // shared symbols; the best non-interacting follow-ups are (t,</w>) 9
+    // and (l,o) 7 — (es,t) must WAIT for the next census (it cannot be
+    // counted before 'es' exists)
+    assert(got.head == ((1, "e", "s", 9L)), s"got $got")
+    assert(got.map(m => (m._2, m._3)).contains(("t", "</w>")), s"got $got")
+    assert(got.map(m => (m._2, m._3)).contains(("l", "o")), s"got $got")
+    assert(!got.map(m => (m._2, m._3)).contains(("es", "t")),
+      s"(es,t) cannot be counted in the census that creates 'es': $got")
+    // each batch's pairs are pairwise non-interacting
+    got.grouped(4).foreach { b =>
+      val syms = b.flatMap(m => Seq(m._2, m._3))
+      assert(syms.distinct.size == syms.size, s"shared symbol in batch $b")
+      val concats = b.map(m => m._2 + m._3)
+      assert(concats.intersect(syms).isEmpty, s"concat aliases a symbol in $b")
+    }
+    // a large budget on a tiny corpus exhausts cleanly instead of erroring
+    val all = TextAnalysis.bpeMergesBatched(docs, "doc_id", col("text"),
+      2000, batch = 64)
+    assert(all.count() < 2000)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMergesBatched(docs, "doc_id", col("text"), 5, 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeMergesBatched(docs, "doc_id", col("text"), 0, 4))
+  }
+
   test("normalizedFingerprint: punctuation and number noise collide, real edits do not") {
     val rows = Seq(
       (1L, "the cache holds 1024 rows"),
@@ -527,6 +595,18 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(out(4) == ((5L, null, null, "/relative/only")), s"${out(4)}")
     // single-label host: no registrable domain to cut
     assert(out(5) == ((6L, "localhost", null, "https://localhost/x")), s"${out(5)}")
+  }
+
+  test("urlProfile: tracking-param keys match case-insensitively, values keep case") {
+    val urls = Seq(
+      (1L, "https://example.com/a?UTM_SOURCE=Feed&b=2"),
+      (2L, "https://example.com/a?FbClId=Y"),
+      (3L, "https://example.com/a?b=MiXeD")).toDF("doc_id", "url")
+    val out = TextAnalysis.urlProfile(urls, "doc_id", col("url"))
+      .orderBy("doc_id").collect().map(_.getString(4))
+    assert(out(0) == "https://example.com/a?b=2", s"got ${out(0)}")
+    assert(out(1) == "https://example.com/a", s"got ${out(1)}")
+    assert(out(2) == "https://example.com/a?b=MiXeD", s"got ${out(2)}")
   }
 
   test("urlProfile: extraSuffixes extends the public-suffix cut") {

@@ -70,6 +70,11 @@ class IvfIndexSuite extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == want, s"delete diverged from clean build at nprobe=$nprobe k=$k")
     }
+    // the assignment sidecar is kept in sync: no deleted id survives in it
+    val sidecar = spark.read.parquet(s"$dir/del/assign")
+    assert(sidecar.filter($"id" % 2 =!= 0).count() == 0L,
+      "deleted ids must be purged from the assignment sidecar")
+    assert(sidecar.count() == embs.filter($"vec_id" % 2 === 0).count())
     // deleting ids that do not exist is a no-op
     val before = deleted.search(query, 10, 4).collect().toSeq
     deleted.delete(Seq(99999L).toDF("id"))
@@ -77,6 +82,78 @@ class IvfIndexSuite extends AnyFunSuite {
     // a fully-emptied list keeps the search working
     deleted.delete(embs.select($"vec_id".as("id")))
     assert(deleted.search(query, 10, 4).count() == 0L)
+  }
+
+  test("delete discovery is bucket-pruned sidecar I/O — never a lists scan") {
+    val dir = Files.createTempDirectory("graft_ivf_disc_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    val ids = embs.filter($"vec_id" <= 8).select($"vec_id".as("id"))
+    val buckets = ids
+      .select(pmod(hash($"id".cast("string")), lit(16)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val frame = idx.touchedFrame(ids, s"$dir/ivf/assign", buckets)
+    val scans = frame.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val assignScans = scans.filter(_.metadata("Location").contains("assign"))
+    assert(assignScans.nonEmpty, "discovery must read the sidecar")
+    assert(scans.size == assignScans.size,
+      s"discovery must never scan the data layout:\n${frame.queryExecution.sparkPlan}")
+    val scan = assignScans.head
+    assert(scan.metadata("PartitionFilters").contains("abucket"),
+      s"bucket set must prune at the partition level, got ${scan.metadata("PartitionFilters")}")
+    val matched = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).size
+    assert(matched == buckets.size,
+      s"only the deletion set's $buckets buckets should be listed, got $matched")
+    // and the discovery answer is right: exactly the lists holding ids 1..8
+    val want = Ann.ivfAssign(embs.select($"vec_id".as("id"), $"embedding".as("vector")),
+        "vector", cents)
+      .filter($"id" <= 8).select($"ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(frame.select($"ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSet == want)
+  }
+
+  test("a pre-sidecar layout falls back to full-scan discovery and stays correct") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivf_fallback_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/ivf/assign"), true)
+    fs.delete(new Path(s"$dir/ivf/assign_meta"), true)
+    idx.delete(embs.filter($"vec_id" % 2 =!= 0).select($"vec_id".as("id")))
+    val evens = new IvfIndex(spark, s"$dir/evens")
+    evens.build(embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents)
+    assert(idx.search(query, 10, 4).collect().map(_.getLong(0)).toSeq
+      == evens.search(query, 10, 4).collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("append after a crashed delete swap restores the backup — no silent data loss") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivf_appcrash_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    // the new row's vector is centroid 0, so its list is deterministic —
+    // make THAT list the victim of the simulated half-done delete swap
+    val newVec = cents.head
+    val victim = Ann.ivfAssign(Seq(200L -> newVec).toDF("id", "vector"),
+        "vector", cents).select($"ivf_list").head().getInt(0)
+    val members = Ann.ivfAssign(
+        embs.select($"vec_id".as("id"), $"embedding".as("vector")), "vector", cents)
+      .filter($"ivf_list" === victim).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(members.nonEmpty)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lists = s"$dir/ivf/lists"
+    assert(fs.rename(new Path(lists, s"ivf_list=$victim"),
+      new Path(lists, s".ivf_list=$victim.bak")))
+    idx.append(Seq(200L -> newVec).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val got = idx.search(query, 65, 4).collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(got),
+      "pre-crash rows of the backed-up list must survive the append")
+    assert(got.contains(200L), "the appended row must be probe-reachable")
   }
 
   test("delete crash recovery: a half-done swap restores from the hidden backup") {
@@ -136,6 +213,71 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(scan.metadata("PartitionFilters").contains("ivf_list"))
     assert(!scan.metadata("ReadSchema").contains("vector"),
       "ADC must score codes, never the raw vectors")
+  }
+
+  test("PQ append parity: buildPq(evens) + appendPq(odds) ≡ buildPq(all)") {
+    val dir = Files.createTempDirectory("graft_ivfpq_append_test").toString
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    val inc = new IvfIndex(spark, s"$dir/inc")
+    inc.buildPq(embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents, books)
+    inc.appendPq(embs.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+    val full = new IvfIndex(spark, s"$dir/full")
+    full.buildPq(embs, "vec_id", "embedding", cents, books)
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val got = inc.searchPq(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = full.searchPq(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"appendPq diverged from full buildPq at nprobe=$nprobe k=$k")
+    }
+    // a second append keeps compounding
+    inc.appendPq(Seq(100L -> Array.fill(8)(0.9f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val ids = inc.searchPq(query, 64 + 1, 4).collect().map(_.getLong(0))
+    assert(ids.contains(100L), "the second batch's row must be probe-reachable")
+  }
+
+  test("PQ delete parity: buildPq(all) + deletePq(odds) ≡ buildPq(evens)") {
+    val dir = Files.createTempDirectory("graft_ivfpq_delete_test").toString
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    val del = new IvfIndex(spark, s"$dir/del")
+    del.buildPq(embs, "vec_id", "embedding", cents, books)
+    del.deletePq(embs.filter($"vec_id" % 2 =!= 0).select($"vec_id".as("id")))
+    val evens = new IvfIndex(spark, s"$dir/evens")
+    evens.buildPq(embs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents, books)
+    for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
+      val got = del.searchPq(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = evens.searchPq(query, k, nprobe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"deletePq diverged from clean buildPq at nprobe=$nprobe k=$k")
+    }
+    // the PQ sidecar is kept in sync too
+    val sidecar = spark.read.parquet(s"$dir/del/assign_pq")
+    assert(sidecar.filter($"id" % 2 =!= 0).count() == 0L)
+    // no-op delete, then empty the index entirely
+    val before = del.searchPq(query, 10, 4).collect().toSeq
+    del.deletePq(Seq(99999L).toDF("id"))
+    assert(del.searchPq(query, 10, 4).collect().toSeq == before)
+    del.deletePq(embs.select($"vec_id".as("id")))
+    assert(del.searchPq(query, 10, 4).count() == 0L)
+  }
+
+  test("PQ delete crash recovery: searchPq restores a half-done swap") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivfpq_crash_test").toString
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    val before = idx.searchPq(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = s"$dir/ivf/codes"
+    val victim = fs.globStatus(new Path(codes, "ivf_list=*")).head.getPath
+    assert(fs.rename(victim, new Path(codes, "." + victim.getName + ".bak")))
+    val after = idx.searchPq(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "searchPq must restore the backed-up list first")
   }
 
   test("the probe set reaches the scan as partition filters — pruned I/O") {
