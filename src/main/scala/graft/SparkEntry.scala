@@ -976,6 +976,61 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("adc_dist"))
         .orderBy(col("vec_id"))
     }),
+    "q180_hybrid_search" -> ((s, d) => {
+      // X76+X77 TRUE hybrid retrieval: the lexical BM25 leg over the
+      // documents table and the exact-cosine leg over the embeddings
+      // table (the two tables share the 0..N id domain), merged by
+      // reciprocal-rank fusion — q119 fuses two VECTOR legs; this is the
+      // text+vector composition a RAG stack actually serves
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val embs = t(s, d, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val bmLeg = TextAnalysis.bm25TopK(docs, "doc_id", col("text"),
+          Seq("sort", "merge", "spark"), k = 20)
+        .select(col("doc_id").as("vec_id"), col("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+      val cosLeg = Ann.bruteForceTopK(embs, "vec_id", "embedding", qv, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      Ann.rrfFuse(Seq(bmLeg, cosLeg), "vec_id", k = 10)
+    }),
+    "q179_bpe_tokenize" -> ((s, d) => {
+      // X128 end-to-end: learn 5 merge rules from the corpus (q173's
+      // trace), segment the corpus with them, report per-doc word and
+      // BPE-symbol counts. The segmentation is computed ONCE per distinct
+      // word (vocab-sized) and broadcast back to the postings — the way a
+      // shipped tokenizer is applied at corpus scale, never per-occurrence
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 5)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val post = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val seg = post.select(col("term")).distinct()
+        .select(col("term"),
+          size(TextAnalysis.bpeSegment(col("term"), merges)).as("n_sym"))
+      post.join(broadcast(seg), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).cast(LongType).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q178_decontaminate" -> ((s, d) => {
+      // X133 cross-corpus span decontamination: the held-out set is every
+      // doc_id % 10 == 3 document; spans in the TRAIN corpus (all docs)
+      // whose every 8-token window also appears in the held-out set —
+      // the spans a cutSpans pass would remove before training. The
+      // held-out docs themselves surface as (near-)full-doc spans; other
+      // docs surface shared boilerplate only.
+      val docs = t(s, d, "documents")
+      Dedup.contaminatedSpans(docs, docs.filter(col("doc_id") % 10 === 3),
+        "doc_id", col("text"), windowLen = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     "q176_crawl_pipeline" -> ((s, d) => {
       // the end-to-end crawl→corpus composition every stage already gates
       // alone: URL-normalize dedup (X122) → normalized-fingerprint exact
@@ -1850,7 +1905,13 @@ object SparkEntry {
     * string-accumulator greedy fold as TextAnalysis.applyMerge
     * (list_reduce), so every intermediate vocabulary matches the engine
     * exactly. */
-  private def bpeMergesSql(steps: Int): String = {
+  /** X128 vocab-iteration CTEs shared by the merge-table oracle (q173)
+    * and the corpus tokenization oracle (q179): tok → v0 → (p_k census,
+    * b_k argmax, v_{k+1} merged vocab) × steps, each vocab row carrying
+    * its ORIGINAL `term` so the final v_steps doubles as the word →
+    * segmentation table. The merge application is the same
+    * string-accumulator greedy fold as TextAnalysis.applyMerge. */
+  private def bpeVocabCtes(steps: Int): String = {
     val iters = (0 until steps).map { k =>
       s"""p$k AS (SELECT s[CAST(u.i AS INT)] AS lhs, s[CAST(u.i + 1 AS INT)] AS rhs,
              SUM(freq) AS pf
@@ -1858,21 +1919,26 @@ object SparkEntry {
                 UNNEST(range(1, len(s))) u(i)
            GROUP BY 1, 2),
          b$k AS (SELECT lhs, rhs, pf FROM p$k ORDER BY pf DESC, lhs, rhs LIMIT 1),
-         v${k + 1} AS (SELECT substr(list_reduce(['#'] || string_split(seq, ' '),
+         v${k + 1} AS (SELECT term, substr(list_reduce(['#'] || string_split(seq, ' '),
              (a, x) -> CASE WHEN x = b.rhs AND ends_with(a, ' ' || b.lhs)
                THEN substr(a, 1, len(a) - len(b.lhs) - 1) || ' ' || b.lhs || b.rhs
                ELSE a || ' ' || x END), 3) AS seq, freq
            FROM v$k, b$k b)"""
     }.mkString(",\n         ")
+    s"""tok AS (SELECT t.term, COUNT(*) AS freq
+           FROM (SELECT unnest($toksSql) AS term FROM documents) t
+           WHERE t.term <> '' GROUP BY 1),
+         v0 AS (SELECT term,
+             array_to_string(string_split(term, ''), ' ') || ' </w>' AS seq,
+             freq FROM tok),
+         $iters"""
+  }
+
+  private def bpeMergesSql(steps: Int): String = {
     val rows = (0 until steps).map(k =>
       s"SELECT ${k + 1} AS step, lhs, rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$k")
       .mkString(" UNION ALL ")
-    s"""WITH tok AS (SELECT t.term, COUNT(*) AS freq
-           FROM (SELECT unnest($toksSql) AS term FROM documents) t
-           WHERE t.term <> '' GROUP BY 1),
-         v0 AS (SELECT array_to_string(string_split(term, ''), ' ') || ' </w>' AS seq,
-             freq FROM tok),
-         $iters
+    s"""WITH ${bpeVocabCtes(steps)}
        $rows ORDER BY step"""
   }
 
@@ -4111,6 +4177,84 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q180_hybrid_search" -> {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+             / (CAST(df$i AS DOUBLE) + 0.5))
+           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT pd.doc_id, $partial AS score
+            FROM pd CROSS JOIN st),
+          bmtop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc
+            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+          bleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r0
+            FROM bmtop),
+          q AS (SELECT embedding AS qv,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+            FROM embeddings WHERE vec_id = 0),
+          cscored AS (SELECT e.vec_id,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+             * (SELECT qmag FROM q) + 1e-12) AS c
+            FROM embeddings e),
+          ctop AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM cscored
+            ORDER BY c DESC, vec_id ASC LIMIT 20),
+          cleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r1
+            FROM ctop),
+          fused AS (SELECT COALESCE(b2.vec_id, c2.vec_id) AS vec_id, b2.r0, c2.r1,
+              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0) AS rrf
+            FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id)
+          SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
+    },
+    "q179_bpe_tokenize" ->
+      s"""WITH ${bpeVocabCtes(5)},
+         seg AS (SELECT term, len(string_split(seq, ' ')) AS n_sym FROM v5),
+         post AS (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         SELECT p.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(s.n_sym) AS BIGINT) AS n_bpe_tokens
+         FROM post p JOIN seg s USING (term)
+         WHERE p.term <> ''
+         GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "q178_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         g AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             substr(md5(${(1 to 8).map(j => s"tk[CAST(u.i+$j AS INT)]")
+               .mkString(" || ' ' || ")}), 1, 16) AS h
+           FROM t, UNNEST(range(0, len(tk) - 7)) u(i)),
+         held AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 3),
+         m AS (SELECT g.doc_id, g.pos FROM g JOIN held USING (h)),
+         s AS (SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS nw
+           FROM m),
+         x AS (SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           FROM s),
+         sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+           FROM x GROUP BY doc_id, isl)
+         SELECT doc_id, span_start, span_end,
+           span_end - span_start AS n_tokens
+         FROM sp ORDER BY doc_id, span_start""",
     "q176_crawl_pipeline" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       val bandSelects = (0 until 4).map(b =>

@@ -825,6 +825,60 @@ object Dedup {
         (col("span_end") - col("span_start")).as("n_tokens"))
   }
 
+  /** Cross-corpus contaminated-span detection (X133; the decontamination
+    * use of Lee et al. 2107.06499's ExactSubstr, §6.2 — the pass that
+    * keeps EVAL data out of the training set at span level, where X56's
+    * doc-level n-gram leakage score can only flag whole documents): per
+    * TRAIN document, the maximal unions of covered token ranges of
+    * `windowLen`-token windows that also occur ANYWHERE in `test` — the
+    * spans [[cutSpans]] then removes. A single occurrence in test marks
+    * a train window contaminated (leakage is asymmetric: the test side
+    * needs no census, just membership).
+    *
+    * Both frames are read through the same (idCol, text) accessors;
+    * emits `(doc_id, span_start, span_end, n_tokens)` over TRAIN ids
+    * with [[dupSpans]]' span conventions (0-based, end exclusive,
+    * adjacent covered ranges coalesce).
+    *
+    * Scale shape: the [[dupSpans]] postings discipline on both sides —
+    * (doc_id, pos, 64-bit md5 prefix) for train, a DISTINCT hash SET for
+    * test (positions dropped before the exchange); text never shuffles.
+    * The membership join is co-partitioned on the hash (one explicit
+    * train-side repartition, the test distinct lands on the same key);
+    * the island merge is the one doc-keyed exchange. Train is the big
+    * side by construction (test/eval corpora are small), so at 100 TB
+    * the test hash set is millions of 16-byte rows against billions —
+    * the join broadcasts or stays a hash-set probe either way. */
+  def contaminatedSpans(train: DataFrame, test: DataFrame, idCol: String,
+      text: Column, windowLen: Int = 50): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    import org.apache.spark.sql.expressions.Window
+    def posts(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+      .withColumn("__sh", TextAnalysis.shinglesFromTokens(col("__toks"), windowLen))
+      // posexplode_OUTER: the inner variant triggers InferFiltersFromGenerate
+      // re-inlining the tokenize->shingle chain below the generate (the
+      // containmentPairs lesson, same as dupSpans)
+      .select(col("doc_id"), posexplode_outer(col("__sh")).as(Seq("pos", "__g")))
+      .filter(col("__g").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("__g")), 1, 16).as("__h"))
+    val trainPosts = posts(train).repartition(col("__h"))
+    val testHashes = posts(test).select(col("__h")).distinct()
+    val marked = trainPosts.join(testHashes, Seq("__h"))
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= windowLen, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__new")).over(wd))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + windowLen).cast(LongType).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"))
+  }
+
   /** LSH banding planner (X126; the S-curve analysis of Leskovec/
     * Rajaraman/Ullman, "Mining of Massive Datasets" §3.4.2): for every
     * (bands b, rows r) factorization of `numHashes` and every probed

@@ -660,6 +660,24 @@ class PlanAuditSuite extends AnyFunSuite {
       s"sketch aggregation must not fall back to sort-based agg:\n$p")
   }
 
+  test("decontamination spans: postings-only exchanges, test side collapses to a hash set (X133)") {
+    val q = SparkEntry.queries("q178_decontaminate")(spark, sf)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"train and test sides scan once each — the shingle chain must not re-derive:\n$p")
+    val exchangeLines = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toList
+    assert(exchangeLines.size <= 3,
+      s"train-postings repartition + test-hash distinct + doc island merge only: $exchangeLines")
+    assert(exchangeLines.forall(l => !l.contains("text#")),
+      s"exchanges carry (doc_id, pos, hash) postings only, never text: $exchangeLines")
+    assert(exchangeLines.count(_.contains("doc_id")) <= 1,
+      s"lag/sum windows and the span aggregate share ONE doc exchange: $exchangeLines")
+    assert(p.contains("partial_"),
+      s"the test hash-set distinct must map-side combine:\n$p")
+  }
+
   test("url profile: pure per-row projection — no exchange, no UDF (X122)") {
     val q = SparkEntry.queries("q165_url_profile")(spark, sf)
     val p = prepPlan(q)

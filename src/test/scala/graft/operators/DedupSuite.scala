@@ -653,6 +653,35 @@ class DedupSuite extends AnyFunSuite {
       (5L, "", 8L, 8L)), s"got $out")
   }
 
+  test("contaminatedSpans: only test-set windows mark train spans; asymmetric") {
+    val train = Seq(
+      (1L, "a b c d e f u1 u2 u3"),  // leaks "a b c d e f" from test doc 10
+      (2L, "w1 w2 w3 w4 w5 w6"),     // clean
+      (3L, "r s t x1 r s t")         // self-duplication but NOT in test: clean
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "z0 a b c d e f z1")).toDF("doc_id", "text")
+    val out = Dedup.contaminatedSpans(train, test, "doc_id", col("text"),
+      windowLen = 3).orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 0L, 6L, 6L)),
+      s"only the leaked run, found whole; within-train dup is NOT contamination: $out")
+    // a train doc that IS a test doc is covered end to end
+    val full = Dedup.contaminatedSpans(
+      test.select(($"doc_id" + 100).as("doc_id"), $"text"), test,
+      "doc_id", col("text"), windowLen = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full == Seq((110L, 0L, 8L)), s"got $full")
+    // and the cut composes: cutSpans removes exactly the leaked tokens
+    val spans = Dedup.contaminatedSpans(train, test, "doc_id", col("text"), 3)
+    val cleaned = Dedup.cutSpans(train, spans, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(cleaned == Seq(
+      (1L, "u1 u2 u3", 6L), (2L, "w1 w2 w3 w4 w5 w6", 0L),
+      (3L, "r s t x1 r s t", 0L)), s"got $cleaned")
+  }
+
   test("dupSpans: nothing shorter than windowLen is detected (the paper's floor)") {
     // 5 shared tokens < windowLen 6 -> no 6-window is shared -> silence
     val docs = Seq((1L, "m n o p q z1 z2"), (2L, "y1 m n o p q y2"))
