@@ -976,6 +976,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("adc_dist"))
         .orderBy(col("vec_id"))
     }),
+    "q181_ivf_retrain" -> ((s, d) => {
+      // X135 coarse re-training: build on the frozen seeds, retrain ONE
+      // Lloyd round warm-started from them (q58's update rule), search
+      // the blue/green rebuilt index — results must equal an in-SQL
+      // search whose centroids are the Lloyd-updated means
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_retrain").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", cents)
+      val next = idx.retrain(s"$dir/ivf2", iters = 1)
+      next.search(qv, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q180_hybrid_search" -> ((s, d) => {
       // X76+X77 TRUE hybrid retrieval: the lexical BM25 leg over the
       // documents table and the exact-cosine leg over the embeddings
@@ -2019,7 +2038,13 @@ object SparkEntry {
          FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
   private def ivfSearchSqlOver(corpus: String): String =
     s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
-         q AS (SELECT embedding AS qv,
+         ${ivfSearchTail(corpus)}"""
+
+  /** The probe/assign/score/top-10 body of the IVF search oracle, FROM an
+    * upstream `cents(ccid, cv)` CTE — lets q181 substitute re-trained
+    * centroids while q153/q167/q174 keep the frozen seeds. */
+  private def ivfSearchTail(corpus: String): String =
+    s"""q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
            FROM embeddings WHERE vec_id = 5),
          probes AS (SELECT c.ccid FROM cents c, q
@@ -4177,6 +4202,25 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q181_ivf_retrain" ->
+      s"""WITH cents0 AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         assign0 AS (SELECT e.vec_id, e.embedding, CAST((
+             SELECT c.ccid FROM cents0 c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS cid
+           FROM embeddings e),
+         means AS (SELECT a.cid, CAST(t.i AS INT) AS dim,
+             CAST(SUM(CAST(CAST(a.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                      AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+           FROM assign0 a, LATERAL UNNEST(range(len(a.embedding))) AS t(i)
+           GROUP BY a.cid, dim),
+         newc AS (SELECT cid AS ccid, list(CAST(c AS FLOAT) ORDER BY dim) AS cv
+           FROM means GROUP BY cid),
+         cents AS (SELECT c0.ccid, COALESCE(n.cv, c0.cv) AS cv
+           FROM cents0 c0 LEFT JOIN newc n ON n.ccid = c0.ccid),
+         ${ivfSearchTail("embeddings")}""",
     "q180_hybrid_search" -> {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)

@@ -192,9 +192,20 @@ object Ann {
     * driver. */
   def lloydTrain(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Seq[Array[Float]] = {
-    var cents = embs.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+    val init = embs.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .map(r => r.getSeq[Float](0).toArray).toSeq
-    require(cents.nonEmpty, "lloydTrain needs at least one vector")
+    require(init.nonEmpty, "lloydTrain needs at least one vector")
+    lloydRounds(embs, vecCol, init, iters)
+  }
+
+  /** `iters` Lloyd rounds from an EXPLICIT warm start — the shared core
+    * of [[lloydTrain]] (smallest-id init) and [[graft.sources.IvfIndex
+    * .retrain]] (current stored centroids as init). A cluster that loses
+    * all members keeps its previous centroid; per round only k*dim
+    * aggregated values reach the driver. */
+  def lloydRounds(embs: DataFrame, vecCol: String,
+      init: Seq[Array[Float]], iters: Int): Seq[Array[Float]] = {
+    var cents = init
     for (_ <- 0 until iters) {
       val means = lloydIter(embs, vecCol, cents).collect()
         .groupBy(_.getInt(0))

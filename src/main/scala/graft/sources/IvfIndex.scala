@@ -239,6 +239,34 @@ final class IvfIndex(spark: SparkSession, path: String,
     fs.delete(staging, true)
   }
 
+  /** Coarse-quantizer re-training + blue/green rebuild (X135; the "much
+    * rarer re-training" [[append]]/[[delete]]'s steady-state story defers
+    * to): run `iters` Lloyd rounds ([[graft.operators.Ann.lloydRounds]])
+    * over THIS index's stored vectors, warm-started from the CURRENT
+    * stored centroids, and build a fresh index at `targetPath` with the
+    * updated centroids. Returns the new index; the caller flips its
+    * pointer when ready and drops the old directory — the standard
+    * blue/green swap, which is the honest crash story for a multi-
+    * directory layout (a half-built `targetPath` is simply never pointed
+    * at; this index stays live and untouched throughout).
+    *
+    * Scale shape: each Lloyd round moves k·dim aggregated values to the
+    * driver (the bounded-scalar-anchor class), the rebuild is
+    * [[build]]'s one-pass partitioned write. Re-training invalidates any
+    * PQ codes layout too (codes quantize residuals of the OLD coarse
+    * assignment) — run [[buildPq]] against the new index if the
+    * compressed layout is served. */
+  def retrain(targetPath: String, iters: Int): IvfIndex = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    recoverDir(listsPath)
+    val vecs = spark.read.parquet(listsPath)
+      .select(col("id"), col("vector"))
+    val cents = Ann.lloydRounds(vecs, "vector", centroids(), iters)
+    val next = new IvfIndex(spark, targetPath, assignBuckets)
+    next.build(vecs, "id", "vector", cents)
+    next
+  }
+
   private def fs =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -173,6 +173,31 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(after == before, "search must restore the backed-up list first")
   }
 
+  test("retrain: blue/green rebuild with Lloyd-updated centroids; old index untouched") {
+    val dir = Files.createTempDirectory("graft_ivf_retrain_test").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    val before = idx.search(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val next = idx.retrain(s"$dir/ivf2", iters = 2)
+    // centroids are exactly lloydRounds warm-started from the stored ones
+    val want = Ann.lloydRounds(
+      embs.select($"vec_id".as("id"), $"embedding".as("vector")), "vector", cents, 2)
+    next.centroids().zip(want).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // search parity vs a fresh build over the same corpus + centroids
+    val fresh = new IvfIndex(spark, s"$dir/fresh")
+    fresh.build(embs, "vec_id", "embedding", want)
+    for (nprobe <- Seq(1, 4); k <- Seq(5, 10)) {
+      assert(next.search(query, k, nprobe).collect().toSeq
+        == fresh.search(query, k, nprobe).collect().toSeq,
+        s"retrained index diverged at nprobe=$nprobe k=$k")
+    }
+    // blue/green: the source index is never touched
+    assert(idx.search(query, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+    intercept[IllegalArgumentException](idx.retrain(s"$dir/bad", iters = 0))
+  }
+
   test("index search is bit-identical to the in-memory ivfTopK path") {
     val idx = freshIndex()
     for (nprobe <- Seq(1, 2, 4); k <- Seq(3, 10)) {
@@ -261,6 +286,31 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(del.searchPq(query, 10, 4).collect().toSeq == before)
     del.deletePq(embs.select($"vec_id".as("id")))
     assert(del.searchPq(query, 10, 4).count() == 0L)
+  }
+
+  test("appendPq after a crashed deletePq swap restores the backup — no silent data loss") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivfpq_appcrash_test").toString
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    val newVec = cents.head
+    val victim = Ann.ivfAssign(Seq(200L -> newVec).toDF("id", "vector"),
+        "vector", cents).select($"ivf_list").head().getInt(0)
+    val members = Ann.ivfAssign(
+        embs.select($"vec_id".as("id"), $"embedding".as("vector")), "vector", cents)
+      .filter($"ivf_list" === victim).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(members.nonEmpty)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = s"$dir/ivf/codes"
+    assert(fs.rename(new Path(codes, s"ivf_list=$victim"),
+      new Path(codes, s".ivf_list=$victim.bak")))
+    idx.appendPq(Seq(200L -> newVec).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val got = idx.searchPq(query, 65, 4).collect().map(_.getLong(0)).toSet
+    assert(members.subsetOf(got),
+      "pre-crash rows of the backed-up code list must survive the append")
+    assert(got.contains(200L), "the appended row must be probe-reachable")
   }
 
   test("PQ delete crash recovery: searchPq restores a half-done swap") {
