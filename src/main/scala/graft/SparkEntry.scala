@@ -976,6 +976,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("adc_dist"))
         .orderBy(col("vec_id"))
     }),
+    "q182_shard_manifest" -> ((s, d) => {
+      // X136 shard manifest over the q150 cut list: shards of 4 packs,
+      // per-shard counts + order-independent md5 content fingerprint —
+      // the validation row a training worker checks before reading
+      val asg = Packing.packAssignments(
+        t(s, d, "documents").select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", 2048L)
+      Packing.shardManifest(
+        Packing.packSlices(asg, "doc_id", "n_tokens", 2048L),
+        packsPerShard = 4L)
+    }),
     "q181_ivf_retrain" -> ((s, d) => {
       // X135 coarse re-training: build on the frozen seeds, retrain ONE
       // Lloyd round warm-started from them (q58's update rule), search
@@ -4202,6 +4214,30 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q182_shard_manifest" ->
+      s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         cum AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM tc),
+         a AS (SELECT doc_id, n_tokens, tokens_before,
+           tokens_before // 2048 AS p0,
+           (tokens_before + n_tokens - 1) // 2048 AS p1
+           FROM cum WHERE n_tokens > 0),
+         sl AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pack_id,
+           GREATEST(CAST(0 AS BIGINT), u.p * 2048 - tokens_before) AS tok_start,
+           LEAST(n_tokens, (u.p + 1) * 2048 - tokens_before) AS tok_end
+           FROM a, UNNEST(range(p0, p1 + 1)) AS u(p))
+         SELECT pack_id // 4 AS shard,
+           COUNT(DISTINCT pack_id) AS n_packs,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_slices,
+           CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(pack_id AS VARCHAR) || ':' ||
+               CAST(tok_start AS VARCHAR) || ':' || CAST(tok_end AS VARCHAR)), 1, 7))
+             AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS content_fp
+         FROM sl GROUP BY shard ORDER BY shard""",
     "q181_ivf_retrain" ->
       s"""WITH cents0 AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          assign0 AS (SELECT e.vec_id, e.embedding, CAST((

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField}
 
 import graft.util.Sampling
 
@@ -107,6 +107,56 @@ object Packing {
         greatest(lit(0L), col("__p") * capacity - col("tokens_before")).as("tok_start"),
         least(col(tokenCountCol),
           (col("__p") + 1) * capacity - col("tokens_before")).as("tok_end"))
+  }
+
+  /** Deterministic shard manifest over a [[packSlices]] cut list (X136,
+    * the audit half of [[writeShards]]): shards are contiguous pack
+    * ranges (`shard = pack_id DIV packsPerShard` — deterministic from
+    * the assignment alone, no renumbering pass), and each shard row
+    * carries the counts a training job validates before reading plus a
+    * content fingerprint (sum of a 28-bit md5 hash of every
+    * `(doc_id, pack_id, tok_start, tok_end)` slice, decimal-accumulated
+    * — order-independent, so any engine that produced the same cut list
+    * produces the same fingerprint). Emits
+    * `(shard, n_packs, n_docs, n_slices, n_tokens, content_fp)`.
+    *
+    * Scale shape: one shard-keyed aggregate over the slice table (ids
+    * and offsets only, no text); distinct counts are exact (shard
+    * cardinality is bounded by packsPerShard and docs-per-pack). */
+  def shardManifest(slices: DataFrame, packsPerShard: Long): DataFrame = {
+    require(packsPerShard >= 1, s"packsPerShard must be >= 1, got $packsPerShard")
+    val fp = conv(substring(md5(concat_ws(":",
+      col("doc_id"), col("pack_id"), col("tok_start"), col("tok_end"))), 1, 7),
+      16, 10).cast(LongType)
+    slices
+      .withColumn("shard", expr(s"pack_id DIV $packsPerShard"))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_slices"),
+        sum(col("tok_end") - col("tok_start")).as("n_tokens"),
+        sum(fp.cast(DecimalType(38, 0))).cast(LongType).as("content_fp"))
+      .orderBy(col("shard"))
+  }
+
+  /** Training-shard export (X136): write a [[packSlices]] cut list as
+    * `shard=N` parquet directory partitions plus the [[shardManifest]]
+    * beside them — the artifact hand-off from the data pipeline to the
+    * training job (the trainer reads one shard directory per worker and
+    * checks its manifest row first). Slices carry (doc_id, pack_id,
+    * offsets), not text: the trainer re-fetches text by doc_id from the
+    * primary store, the flagship funnel's refetch discipline — so the
+    * export shuffles ids and offsets only, and re-export is a pure
+    * overwrite (idempotent). Returns the manifest. */
+  def writeShards(slices: DataFrame, outDir: String,
+      packsPerShard: Long): DataFrame = {
+    require(packsPerShard >= 1, s"packsPerShard must be >= 1, got $packsPerShard")
+    slices
+      .withColumn("shard", expr(s"pack_id DIV $packsPerShard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/shards")
+    val manifest = shardManifest(slices, packsPerShard)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    manifest
   }
 
   /** Per-document token-budget truncation (X114) — the per-doc companion

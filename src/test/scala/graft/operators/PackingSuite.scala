@@ -240,4 +240,37 @@ class PackingSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Packing.lengthBucketBatches(docs, "doc_id", col("text"), 8, 0, "s"))
   }
+
+  test("writeShards: shard=N layout + manifest on disk, idempotent overwrite") {
+    val docs = (1L to 20L).map(i => (i, Seq.fill(3)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val asg = Packing.packAssignments(
+      docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 8L)
+    val slices = Packing.packSlices(asg, "doc_id", "n_tokens", 8L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_test").toString
+    val manifest = Packing.writeShards(slices, dir, packsPerShard = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // 20 docs x 3 tokens / cap 8 = 60 tokens -> 8 packs -> 4 shards of <= 2
+    assert(manifest.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_._2).forall(_ <= 2), "packs per shard capped")
+    assert(manifest.map(_._5).sum == 60L, "token accounting adds up")
+    // the on-disk layout is shard-partitioned and readable per shard
+    val onDisk = spark.read.parquet(s"$dir/shards")
+    assert(onDisk.select("shard").distinct().count() == 4)
+    assert(onDisk.count() == slices.count())
+    val diskManifest = spark.read.parquet(s"$dir/manifest").orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(diskManifest == manifest, "manifest on disk equals the returned one")
+    // re-export is a pure overwrite: identical result, no duplication
+    val again = Packing.writeShards(slices, dir, packsPerShard = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(again == manifest)
+    assert(spark.read.parquet(s"$dir/shards").count() == slices.count())
+    intercept[IllegalArgumentException](Packing.writeShards(slices, dir, 0L))
+  }
 }
