@@ -937,6 +937,34 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q183_tag_dictionary" -> ((s, d) => {
+      // X137 dictionary taxonomy tagging: broadcast phrase lexicon
+      // (mixed 1/2/3-token phrases) matched as token n-grams; overlapping
+      // occurrences each count toward the (doc, tag) cell
+      TextAnalysis.tagDictionary(t(s, d, "documents"), "doc_id", col("text"),
+        Seq(
+          ("exec", "hash"), ("exec", "row scan"), ("exec", "merge"),
+          ("stream", "stream batch"), ("stream", "window"),
+          ("storage", "table part value"), ("storage", "column")))
+        .orderBy(col("doc_id"), col("tag"))
+    }),
+    "q184_shard_read" -> ((s, d) => {
+      // X138 trainer-side shard reader over the q182 export: write shards
+      // of 4 packs to a temp dir, read shards 0 and 2 back with manifest
+      // validation + text refetch — the token pieces a training worker
+      // actually consumes, sliced per [tok_start, tok_end)
+      val docs = t(s, d, "documents")
+      val asg = Packing.packAssignments(
+        docs.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", 2048L)
+      val slices = Packing.packSlices(asg, "doc_id", "n_tokens", 2048L)
+      val dir = java.nio.file.Files.createTempDirectory("graft_shard_read").toString
+      Packing.writeShards(slices, dir, packsPerShard = 4L)
+      Packing.readShards(s, dir, docs, "doc_id", col("text"),
+        packsPerShard = 4L, shards = Seq(0L, 2L))
+        .orderBy(col("pack_id"), col("tok_start"))
+    }),
     "q175_ivfpq_append" -> ((s, d) => {
       // X130 incremental IVF×PQ maintenance: buildPq on the evens,
       // appendPq the odds against the frozen coarse centroids + stored
@@ -4214,6 +4242,47 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q183_tag_dictionary" ->
+      s"""WITH dict(tag, phrase) AS (VALUES
+           ('exec', 'hash'), ('exec', 'row scan'), ('exec', 'merge'),
+           ('stream', 'stream batch'), ('stream', 'window'),
+           ('storage', 'table part value'), ('storage', 'column')),
+         t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         g AS (
+           SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS gram
+             FROM t, UNNEST(range(0, len(tk))) u(i)
+           UNION ALL
+           SELECT doc_id, tk[CAST(u.i + 1 AS INT)] || ' ' || tk[CAST(u.i + 2 AS INT)]
+             FROM t, UNNEST(range(0, len(tk) - 1)) u(i)
+           UNION ALL
+           SELECT doc_id, tk[CAST(u.i + 1 AS INT)] || ' ' || tk[CAST(u.i + 2 AS INT)]
+               || ' ' || tk[CAST(u.i + 3 AS INT)]
+             FROM t, UNNEST(range(0, len(tk) - 2)) u(i))
+         SELECT g.doc_id, d.tag, COUNT(*) AS n_matches
+         FROM g JOIN dict d ON g.gram = d.phrase
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q184_shard_read" ->
+      s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         cum AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM tc),
+         a AS (SELECT doc_id, n_tokens, tokens_before,
+           tokens_before // 2048 AS p0,
+           (tokens_before + n_tokens - 1) // 2048 AS p1
+           FROM cum WHERE n_tokens > 0),
+         sl AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pack_id,
+           GREATEST(CAST(0 AS BIGINT), u.p * 2048 - tokens_before) AS tok_start,
+           LEAST(n_tokens, (u.p + 1) * 2048 - tokens_before) AS tok_end
+           FROM a, UNNEST(range(p0, p1 + 1)) AS u(p)),
+         t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+         SELECT CAST(pack_id // 4 AS BIGINT) AS shard, pack_id, sl.doc_id,
+           tok_start, tok_end,
+           array_to_string(tk[CAST(tok_start + 1 AS INT):CAST(tok_end AS INT)], ' ') AS piece,
+           tok_end - tok_start AS n_tokens
+         FROM sl JOIN t ON sl.doc_id = t.doc_id
+         WHERE pack_id // 4 IN (0, 2)
+         ORDER BY pack_id, tok_start""",
     "q182_shard_manifest" ->
       s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
          cum AS (SELECT doc_id, n_tokens,

@@ -159,6 +159,53 @@ object Packing {
     manifest
   }
 
+  /** Trainer-side shard reader (X138) — the consuming half of the
+    * [[writeShards]] hand-off: read the requested `shard=N` partitions,
+    * VALIDATE each shard's manifest row against the on-disk slices
+    * (recomputed counts + content fingerprint must equal the stored row —
+    * a torn or stale export fails fast here, before any text moves), then
+    * re-fetch text by doc_id and materialize every slice's token piece.
+    * Returns (shard, pack_id, doc_id, tok_start, tok_end, piece,
+    * n_tokens); the trainer concatenates pieces in (pack_id, tok_start)
+    * order to recover each fixed-capacity sequence.
+    *
+    * Scale shape: the shard filter is a partition filter on the slice
+    * layout (only requested `shard=N` directories are listed or read);
+    * validation aggregates ids and offsets only (one row per shard to the
+    * driver — bounded); the text re-fetch is one join keyed on doc_id —
+    * text moves ONCE, only for documents the requested shards actually
+    * reference, and the token slice is a per-row projection after the
+    * join. `shards = Nil` reads (and validates) everything. */
+  def readShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      docs: DataFrame, idCol: String, text: Column,
+      packsPerShard: Long, shards: Seq[Long] = Nil): DataFrame = {
+    var slices = spark.read.parquet(s"$outDir/shards")
+    var manifest = spark.read.parquet(s"$outDir/manifest")
+    if (shards.nonEmpty) {
+      slices = slices.filter(col("shard").isin(shards: _*))
+      manifest = manifest.filter(col("shard").isin(shards: _*))
+    }
+    val recomputed = shardManifest(
+      slices.select(col("doc_id"), col("pack_id"), col("tok_start"), col("tok_end")),
+      packsPerShard)
+    val cols = Seq("shard", "n_packs", "n_docs", "n_slices", "n_tokens", "content_fp")
+    def rows(df: DataFrame) = df
+      .select(cols.map(col): _*).orderBy(col("shard")).collect()
+      .map(r => cols.map(c => r.get(r.fieldIndex(c))).mkString(":")).toSeq
+    val (want, got) = (rows(manifest), rows(recomputed))
+    if (want != got)
+      sys.error(s"shard manifest validation failed for $outDir: " +
+        s"stored=${want.mkString("[", ", ", "]")} recomputed=${got.mkString("[", ", ", "]")}")
+    slices
+      .join(docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(text).as("__toks")), Seq("doc_id"))
+      .select(col("shard").cast(LongType).as("shard"), col("pack_id"), col("doc_id"),
+        col("tok_start"), col("tok_end"),
+        concat_ws(" ", slice(col("__toks"), col("tok_start").cast("int") + lit(1),
+          (col("tok_end") - col("tok_start")).cast("int"))).as("piece"),
+        (col("tok_end") - col("tok_start")).as("n_tokens"))
+  }
+
   /** Per-document token-budget truncation (X114) — the per-doc companion
     * of the per-pack cut list: when a context budget is enforced BEFORE
     * packing (SFT rows, eval prompts, rerank inputs), each over-budget

@@ -985,4 +985,51 @@ object TextAnalysis {
       regDomain.as("registrable_domain"),
       normUrl.as("norm_url"))
   }
+
+  /** Dictionary-driven taxonomy tagging (X137): count, per document and
+    * tag, the occurrences of a curated phrase lexicon (tag → token
+    * phrases — topic/domain/safety word lists, the label pass a crawl
+    * pipeline runs to route documents into mixture sources or drop
+    * lists). A phrase matches as a whitespace-token n-gram (the [[tokens]]
+    * tokenizer on both sides), so "hash join" matches the token pair, not
+    * the substring — no false hits inside longer words. Overlapping
+    * occurrences each count: every starting position whose n-gram equals
+    * a dictionary phrase contributes 1 to that (doc, tag).
+    *
+    * Returns (doc_id, tag, n_matches); documents matching no phrase are
+    * absent (same convention as [[phraseMatch]]) — left-join and coalesce
+    * at the call site for a dense tag matrix.
+    *
+    * Scale shape: the dictionary is driver-side and BROADCAST (lexicons
+    * are thousands of rows; the corpus is not), the corpus explodes to
+    * (doc, n-gram) postings only for the distinct phrase LENGTHS present
+    * in the dictionary, and the broadcast hash join filters those
+    * postings map-side — only actual matches (dictionary-sparse, tiny)
+    * reach the one (doc, tag) exchange, with partial counts folding
+    * map-side. Text itself never shuffles; n-gram generation follows the
+    * [[shinglesFromTokens]] bound-attribute discipline. Duplicate
+    * (tag, phrase) rows are rejected (each would double-count). */
+  def tagDictionary(docs: DataFrame, idCol: String, text: Column,
+      dict: Seq[(String, String)]): DataFrame = {
+    require(dict.nonEmpty, "empty dictionary")
+    val phrases = dict.map { case (tag, p) =>
+      val toks = p.trim.toLowerCase.split(s"[$Ws]+").toSeq
+      require(toks.nonEmpty && toks.forall(_.nonEmpty),
+        s"phrase must have at least one non-empty token, got '$p'")
+      (tag, toks.mkString(" "), toks.length)
+    }
+    require(phrases.map(p => (p._1, p._2)).distinct.size == phrases.size,
+      "duplicate (tag, phrase) dictionary rows would double-count")
+    val lens = phrases.map(_._3).distinct.sorted
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictDf = phrases.map(p => (p._1, p._2)).toDF("tag", "__phrase")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+      .select(col("doc_id"), explode(flatten(array(
+        lens.map(n => shinglesFromTokens(col("__toks"), n)): _*))).as("__gram"))
+      .join(broadcast(dictDf), col("__gram") === col("__phrase"))
+      .groupBy(col("doc_id"), col("tag"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -273,4 +273,47 @@ class PackingSuite extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/shards").count() == slices.count())
     intercept[IllegalArgumentException](Packing.writeShards(slices, dir, 0L))
   }
+
+  test("readShards: pieces reassemble every doc; shard filter prunes; " +
+      "tampered manifest fails validation") {
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 3).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val asg = Packing.packAssignments(
+      docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 8L)
+    val slices = Packing.packSlices(asg, "doc_id", "n_tokens", 8L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_rd").toString
+    Packing.writeShards(slices, dir, packsPerShard = 2L)
+
+    // full read: per-doc pieces concatenated in slice order == the doc text
+    val all = Packing.readShards(spark, dir, docs, "doc_id", col("text"), 2L)
+    val rebuilt = all.orderBy("doc_id", "tok_start")
+      .groupBy("doc_id").agg(concat_ws(" ", collect_list(col("piece"))).as("txt"))
+    val mismatch = rebuilt.join(docs, Seq("doc_id"))
+      .filter(lower(col("txt")) =!= lower(col("text"))).count()
+    assert(mismatch == 0, "concatenated pieces must reassemble every document")
+    // every pack except the last fills to capacity exactly
+    val packTotals = all.groupBy("pack_id").agg(sum("n_tokens").as("n"))
+      .orderBy("pack_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(packTotals.dropRight(1).forall(_._2 == 8L))
+
+    // shard filter returns only the requested packs and still validates
+    val some = Packing.readShards(spark, dir, docs, "doc_id", col("text"), 2L,
+      shards = Seq(1L))
+    assert(some.select("shard").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(some.select("pack_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    // a tampered manifest (wrong fingerprint) must fail fast, before text
+    val m = spark.read.parquet(s"$dir/manifest")
+      .withColumn("content_fp", col("content_fp") + 1L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shard_tm").toString
+    m.write.parquet(s"$tmp/m")
+    spark.read.parquet(s"$tmp/m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val e = intercept[RuntimeException](
+      Packing.readShards(spark, dir, docs, "doc_id", col("text"), 2L))
+    assert(e.getMessage.contains("manifest validation failed"))
+  }
 }

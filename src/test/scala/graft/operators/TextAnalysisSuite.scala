@@ -618,4 +618,36 @@ class TextAnalysisSuite extends AnyFunSuite {
       extraSuffixes = Seq("example.xyz")).head().getString(3)
     assert(extended == "shop.example.xyz", "extra suffix keeps three labels")
   }
+
+  test("tagDictionary: token-boundary n-gram matches, overlaps each count") {
+    val docs = Seq(
+      (1L, "a b a b c"),    // "a b" at 0 and 2; "b c" at 3; "a b c" at 2
+      (2L, "ab c d"),       // "ab" is ONE token: no "a b" substring hit
+      (3L, "d d")           // no dictionary phrase at all
+    ).toDF("doc_id", "text")
+    val dict = Seq(("x", "a b"), ("y", "b c"), ("z", "a b c"), ("w", "d"))
+    val out = TextAnalysis.tagDictionary(docs, "doc_id", col("text"), dict)
+      .orderBy("doc_id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "x", 2L), (1L, "y", 1L), (1L, "z", 1L),
+      (2L, "w", 1L), (3L, "w", 2L)),
+      s"got $out")
+  }
+
+  test("tagDictionary: phrase normalization, multi-phrase tags sum, bad dicts rejected") {
+    val docs = Seq((1L, "Hash JOIN  beats sort merge")).toDF("doc_id", "text")
+    // phrase case/extra-whitespace folds through the same tokenizer as text
+    val out = TextAnalysis.tagDictionary(docs, "doc_id", col("text"),
+      Seq(("join", "HASH   Join"), ("join", "sort merge"), ("agg", "group by")))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("join", 2L)), s"two phrases of one tag sum: $out")
+    intercept[IllegalArgumentException](
+      TextAnalysis.tagDictionary(docs, "doc_id", col("text"), Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tagDictionary(docs, "doc_id", col("text"), Seq(("t", "  "))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tagDictionary(docs, "doc_id", col("text"),
+        Seq(("t", "a b"), ("t", "A  B"))))  // same normalized row twice
+  }
 }
