@@ -937,6 +937,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q185_cluster_datasheet" -> ((s, d) => {
+      // X139 embedding-cluster topic datasheet: assign docs to the 4
+      // seed-vector clusters (q55's quantizer), profile each cluster by
+      // its members' text — population, tokens, dominant source, top-5
+      // terms — the data-map row a curator reads before weighting
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val assign = Ann.ivfAssign(embs, "embedding", cents)
+        .select(col("vec_id").as("id"), col("ivf_list").as("cluster"))
+      CorpusStats.clusterDatasheet(t(s, d, "documents"), "doc_id",
+        col("text"), col("source"), assign, topTerms = 5)
+        .orderBy(col("cluster"))
+    }),
     "q183_tag_dictionary" -> ((s, d) => {
       // X137 dictionary taxonomy tagging: broadcast phrase lexicon
       // (mixed 1/2/3-token phrases) matched as token n-grams; overlapping
@@ -4242,6 +4256,36 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q185_cluster_datasheet" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         asg AS (SELECT e.vec_id AS id, CAST((
+             SELECT c.cid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.cid ASC
+             LIMIT 1) AS INT) AS cluster
+           FROM embeddings e),
+         j AS (SELECT a.cluster, d.source, $toksSql AS tk
+           FROM documents d JOIN asg a ON d.doc_id = a.id),
+         stats AS (SELECT cluster, COUNT(*) AS n_docs,
+           CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM j GROUP BY 1),
+         sc AS (SELECT cluster, source, COUNT(*) AS n FROM j GROUP BY 1, 2),
+         ts AS (SELECT cluster, source,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, source) AS r
+           FROM sc),
+         tm AS (SELECT cluster, t.term, COUNT(*) AS tf
+           FROM (SELECT cluster, unnest(tk) AS term FROM j) t
+           WHERE t.term <> '' GROUP BY 1, 2),
+         tt AS (SELECT cluster, term,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY tf DESC, term) AS r
+           FROM tm),
+         agg AS (SELECT cluster, string_agg(term, ' ' ORDER BY r) AS top_terms
+           FROM tt WHERE r <= 5 GROUP BY 1)
+         SELECT s.cluster, s.n_docs, s.n_tokens, ts.source AS top_source, agg.top_terms
+         FROM stats s
+         JOIN ts ON ts.cluster = s.cluster AND ts.r = 1
+         JOIN agg ON agg.cluster = s.cluster
+         ORDER BY s.cluster""",
     "q183_tag_dictionary" ->
       s"""WITH dict(tag, phrase) AS (VALUES
            ('exec', 'hash'), ('exec', 'row scan'), ('exec', 'merge'),

@@ -350,4 +350,61 @@ object CorpusStats {
         round(col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
           .as("oov_rate"))
   }
+
+  /** Embedding-cluster topic datasheet (X139) — the "data map" pass of
+    * corpus exploration (k-means over embeddings, each cluster profiled
+    * by the TEXT of its members): per cluster, population, token total,
+    * dominant source, and the top terms by frequency — the
+    * human-readable row that tells a curator what a cluster IS before
+    * they weight, cap, or drop it in the mixture.
+    *
+    * `assign` is any (id, cluster) frame — [[graft.operators.Ann
+    * .ivfAssign]] renamed, a stored index's sidecar, or an external
+    * labeling — so the datasheet composes with every clustering this
+    * engine produces. Ties are pinned: dominant source by (count DESC,
+    * source ASC), terms by (tf DESC, term ASC), so the row is
+    * deterministic and oracle-checkable.
+    *
+    * Scale shape: one id-keyed join moves (source, tokens) next to the
+    * cluster label; term counts are one (cluster, term) hash aggregate
+    * with map-side partials; the per-cluster top-k is a rank-filtered
+    * window (WindowGroupLimit pushes the cut below the shuffle), and
+    * everything after is cluster-cardinality-sized. Token arrays never
+    * shuffle twice: source/population stats aggregate per (cluster,
+    * source) first — cluster×source partials, not doc rows. */
+  def clusterDatasheet(docs: DataFrame, idCol: String, text: Column,
+      source: Column, assign: DataFrame, topTerms: Int = 5): DataFrame = {
+    require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
+    require(assign.columns.toSeq.sorted == Seq("cluster", "id"),
+      s"assign must be an (id, cluster) frame, got ${assign.columns.toSeq}")
+    import org.apache.spark.sql.expressions.Window
+    val joined = docs
+      .select(col(idCol).as("id"), source.as("__src"),
+        TextAnalysis.tokens(text).as("__toks"))
+      .join(assign, Seq("id"))
+    val srcCnt = joined.groupBy(col("cluster"), col("__src"))
+      .agg(count(lit(1)).as("__n"),
+        sum(size(col("__toks")).cast(LongType)).as("__tok"))
+    val stats = srcCnt.groupBy(col("cluster"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+    val topSrc = srcCnt
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("__n").desc, col("__src").asc)))
+      .filter(col("__r") === 1)
+      .select(col("cluster"), col("__src").as("top_source"))
+    val top = joined
+      .select(col("cluster"), explode(col("__toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("cluster"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("tf").desc, col("term").asc)))
+      .filter(col("__r") <= topTerms)
+      .groupBy(col("cluster"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__r"), col("term")))),
+        s => s.getField("term")), " ").as("top_terms"))
+    stats.join(topSrc, Seq("cluster")).join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("n_tokens"),
+        col("top_source"), col("top_terms"))
+  }
 }

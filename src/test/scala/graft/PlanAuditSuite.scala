@@ -678,6 +678,39 @@ class PlanAuditSuite extends AnyFunSuite {
       s"the test hash-set distinct must map-side combine:\n$p")
   }
 
+  test("tag dictionary: lexicon broadcasts, only matches reach the (doc, tag) exchange (X137)") {
+    import org.apache.spark.sql.functions.col
+    val frame = operators.TextAnalysis.tagDictionary(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", col("text"),
+      Seq(("a", "hash"), ("b", "row scan")))
+    val p = prepPlan(frame)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dictionary side must broadcast, never shuffle the corpus grams:\n$p")
+    // exactly one hash exchange: the (doc, tag) count of the MATCHES;
+    // gram postings themselves stay map-side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only matched (doc, tag) partial counts may shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-(doc, tag) counts must combine map-side:\n$p")
+  }
+
+  test("cluster datasheet: top-terms cut pushed below the shuffle as WindowGroupLimit (X139)") {
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+    val assign = operators.Ann.ivfAssign(embs, "embedding", cents)
+      .select(col("vec_id").as("id"), col("ivf_list").as("cluster"))
+    val frame = operators.CorpusStats.clusterDatasheet(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      col("text"), col("source"), assign, topTerms = 5)
+    val p = prepPlan(frame)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cluster top-k must cut before the full term table sorts:\n$p")
+    assert(!p.contains("text#") || !"Exchange[^\\n]*text#".r.findAllIn(p).hasNext,
+      s"exchanges must carry postings/stats, never document text:\n$p")
+  }
+
   test("url profile: pure per-row projection — no exchange, no UDF (X122)") {
     val q = SparkEntry.queries("q165_url_profile")(spark, sf)
     val p = prepPlan(q)

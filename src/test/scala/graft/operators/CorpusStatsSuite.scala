@@ -224,4 +224,37 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(perKey.map(t => (t._1, t._4, t._5, t._6)).sortBy(_._1) == single,
       "rollup per-key level must equal datasheet's per-key rows")
   }
+
+  test("clusterDatasheet: population, dominant source, ordered top terms, pinned ties") {
+    val docs = Seq(
+      (1L, "cat cat dog", "web"),
+      (2L, "cat bird", "web"),
+      (3L, "dog dog dog fish", "book"),
+      (4L, "fish fish dog", "book")
+    ).toDF("doc_id", "text", "source")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("id", "cluster")
+    val out = CorpusStats.clusterDatasheet(docs, "doc_id", col("text"),
+      col("source"), assign, topTerms = 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    // cluster 0: 5 tokens, cat tf=3, {dog, bird} tf=1 tie -> bird wins asc
+    // cluster 1: 7 tokens, dog tf=4, fish tf=3
+    assert(out.toSeq == Seq(
+      (0, 2L, 5L, "web", "cat bird"),
+      (1, 2L, 7L, "book", "dog fish")), s"got ${out.toSeq}")
+
+    // source tie (1 web vs 1 book in one cluster) resolves ASC -> book
+    val tied = CorpusStats.clusterDatasheet(docs.filter(col("doc_id").isin(1L, 3L)),
+      "doc_id", col("text"), col("source"),
+      Seq((1L, 0), (3L, 0)).toDF("id", "cluster"), topTerms = 1)
+      .head()
+    assert(tied.getString(3) == "book", "source count tie breaks ascending")
+    assert(tied.getString(4) == "dog", "top term by tf: dog 4 beats cat 2")
+
+    intercept[IllegalArgumentException](CorpusStats.clusterDatasheet(
+      docs, "doc_id", col("text"), col("source"),
+      assign.withColumnRenamed("cluster", "c"), 5))
+    intercept[IllegalArgumentException](CorpusStats.clusterDatasheet(
+      docs, "doc_id", col("text"), col("source"), assign, 0))
+  }
 }
