@@ -937,6 +937,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q186_curriculum" -> ((s, d) =>
+      // X140 curriculum schedule: quality-quantile bands (4), md5 epoch
+      // shuffle within band, dense global order via the distributed
+      // prefix scheme — the exact sequence a trainer consumes
+      Curation.curriculumOrder(t(s, d, "documents"), "doc_id",
+        TextAnalysis.qualityScore(col("text")), bands = 4, seed = "ep0")
+        .select(col("id").as("doc_id"), col("score"), col("band"),
+          col("shuffle_key"), col("order_idx"))
+        .orderBy(col("order_idx"))),
     "q185_cluster_datasheet" -> ((s, d) => {
       // X139 embedding-cluster topic datasheet: assign docs to the 4
       // seed-vector clusters (q55's quantizer), profile each cluster by
@@ -4256,6 +4265,20 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q186_curriculum" ->
+      s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
+         c AS (SELECT quantile_cont(score, 0.25) AS c1, quantile_cont(score, 0.5) AS c2,
+                      quantile_cont(score, 0.75) AS c3 FROM s),
+         b AS (SELECT doc_id, score,
+             CAST((CASE WHEN score >= c1 THEN 1 ELSE 0 END)
+                + (CASE WHEN score >= c2 THEN 1 ELSE 0 END)
+                + (CASE WHEN score >= c3 THEN 1 ELSE 0 END) AS INT) AS band,
+             md5(CAST(doc_id AS VARCHAR) || ':ep0') AS shuffle_key
+           FROM s, c)
+         SELECT doc_id, score, band, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id) - 1 AS BIGINT)
+             AS order_idx
+         FROM b ORDER BY order_idx""",
     "q185_cluster_datasheet" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          asg AS (SELECT e.vec_id AS id, CAST((

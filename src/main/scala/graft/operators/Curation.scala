@@ -582,4 +582,45 @@ object Curation {
         .drop("__t")
     }
   }
+
+  /** Curriculum training order (X140) — the schedule export of
+    * curriculum learning (Bengio et al., ICML 2009): documents are
+    * banded by score quantile (ascending — band 0 is the lowest-score
+    * `1/bands` of the corpus) and DETERMINISTICALLY shuffled within each
+    * band ([[shardShuffle]]'s md5(id:seed) key, so epoch N+1 reshuffles
+    * by changing only the seed), then assigned a dense global
+    * `order_idx` in (band, shuffle_key, id) order — the exact sequence a
+    * trainer consumes easy-to-hard (or hard-to-easy: negate the score).
+    *
+    * Banding is NOT a global percent_rank (single-partition window, the
+    * scale-killer): the bands-1 quantile cuts come from ONE exact
+    * `percentile` aggregate (interpolation identical to DuckDB's
+    * quantile_cont — the [[graft.operators.CorpusStats.lengthStats]]
+    * parity), broadcast by VALUE into a per-row comparison —
+    * `band = #cuts <= score`, a score equal to a cut opens the next
+    * band. The dense index is [[graft.util.DenseIds]]'s
+    * range-partition + zipWithIndex scheme — no task holds more than its
+    * partition, the driver holds one long per partition.
+    *
+    * CONTRACT: `score` non-null; ids unique (the order is total via the
+    * id tie-break). Returns (id, score, band, shuffle_key, order_idx). */
+  def curriculumOrder(docs: DataFrame, idCol: String, score: Column,
+      bands: Int, seed: String): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(seed.nonEmpty, "seed must be non-empty")
+    val base = docs.select(col(idCol).as("id"), score.cast(DoubleType).as("score"))
+    val probs = (1 until bands).map(_.toDouble / bands)
+    val cuts: Seq[Double] =
+      if (probs.isEmpty) Nil
+      else base.agg(percentile(col("score"),
+          array(probs.map(lit): _*)).as("__c")).head().getSeq[Double](0)
+    val band = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("score") >= lit(c), 1).otherwise(0) }
+    val keyed = base
+      .withColumn("band", band.cast(IntegerType))
+      .withColumn("shuffle_key",
+        md5(concat(col("id").cast(StringType), lit(":"), lit(seed))))
+    graft.util.DenseIds.assign(keyed, "order_idx", 0L,
+      col("band"), col("shuffle_key"), col("id"))
+  }
 }

@@ -466,4 +466,44 @@ class CurationSuite extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
     assert(again == out)
   }
+
+  test("curriculumOrder: quantile bands, dense order, seed-keyed reshuffle") {
+    val docs = (1L to 100L).map(i => (i, (i * 37 % 100).toDouble))
+      .toDF("doc_id", "s").repartition(7)
+    val out = Curation.curriculumOrder(docs, "doc_id", col("s"), bands = 4, seed = "e0")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // dense, total order 0..n-1
+    assert(out.map(_._5).sorted == (0L until 100L), "order_idx dense 0..n-1")
+    // bands partition the corpus into quantile quarters, ascending by score
+    val byBand = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBand.keySet == Set(0, 1, 2, 3))
+    assert((0 to 2).forall(b => byBand(b).max < byBand(b + 1).min),
+      "score >= cut opens the next band, so bands are disjoint ascending ranges")
+    assert(byBand.values.forall(v => v.size >= 20 && v.size <= 30),
+      s"roughly equal quarters: ${byBand.view.mapValues(_.size).toMap}")
+    // order is (band, md5 key): within the schedule, bands appear in blocks
+    val bandSeq = out.sortBy(_._5).map(_._3)
+    assert(bandSeq == bandSeq.sorted, "schedule walks bands ascending")
+    // same seed -> identical schedule regardless of partitioning
+    val again = Curation.curriculumOrder(docs.repartition(3), "doc_id",
+      col("s"), 4, "e0").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(out.map(t => (t._1, t._5)).toMap == again, "partitioning-invariant")
+    // a new seed reshuffles within bands but keeps band membership
+    val ep1 = Curation.curriculumOrder(docs, "doc_id", col("s"), 4, "e1")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(4))).toSeq
+    assert(ep1.map(t => (t._1, t._2)).toMap == out.map(t => (t._1, t._3)).toMap,
+      "bands are seed-independent")
+    assert(ep1.map(t => (t._1, t._3)).toMap != out.map(t => (t._1, t._5)).toMap,
+      "epoch seed changes the within-band order")
+    // bands = 1 degenerates to a pure md5 shuffle
+    val one = Curation.curriculumOrder(docs, "doc_id", col("s"), 1, "e0")
+      .collect().map(r => r.getInt(2)).toSet
+    assert(one == Set(0))
+    intercept[IllegalArgumentException](
+      Curation.curriculumOrder(docs, "doc_id", col("s"), 0, "e0"))
+    intercept[IllegalArgumentException](
+      Curation.curriculumOrder(docs, "doc_id", col("s"), 4, ""))
+  }
 }
