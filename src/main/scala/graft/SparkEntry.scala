@@ -937,6 +937,19 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q187_nprobe_sweep" -> ((s, d) => {
+      // X141 IVF tuning sweep: recall@10 vs lists read for nprobe 1..4
+      // (cents = vec_id<4, sample queries = vec_id 5 and 6) — the curve
+      // that picks the index's serving operating point
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val qs = embs.filter(col("vec_id").isin(5L, 6L)).orderBy(col("vec_id"))
+        .collect().map(r => (r.getLong(r.fieldIndex("vec_id")).toInt,
+          r.getSeq[Float](r.fieldIndex("embedding")).toArray)).toSeq
+      Ann.nprobeSweep(embs, "vec_id", "embedding", cents, qs,
+        k = 10, nprobes = Seq(1, 2, 3, 4))
+    }),
     "q186_curriculum" -> ((s, d) =>
       // X140 curriculum schedule: quality-quantile bands (4), md5 epoch
       // shuffle within band, dense global order via the distributed
@@ -4265,6 +4278,49 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q187_nprobe_sweep" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         q AS (SELECT vec_id AS qid, embedding AS qv,
+             sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id IN (5, 6)),
+         po AS (SELECT q.qid, c.ccid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+               c.ccid ASC) AS lrank
+           FROM q, cents c),
+         assign AS (SELECT e.vec_id, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS ivf_list
+           FROM embeddings e),
+         sc AS (SELECT q.qid, e.vec_id AS id,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+             (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+              * q.qmag + 1e-12) AS c,
+             a.ivf_list
+           FROM embeddings e JOIN assign a USING (vec_id), q),
+         ranked AS (SELECT sc.qid, sc.id, sc.c, po.lrank
+           FROM sc JOIN po ON po.qid = sc.qid AND po.ccid = sc.ivf_list),
+         exact AS (SELECT qid, id FROM (
+             SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, id) AS r
+             FROM ranked) WHERE r <= 10),
+         np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+         ap AS (SELECT r.qid, n.nprobe, r.id,
+             ROW_NUMBER() OVER (PARTITION BY r.qid, n.nprobe ORDER BY r.c DESC, r.id) AS ar
+           FROM ranked r, np n WHERE r.lrank <= n.nprobe),
+         hits AS (SELECT a.qid, a.nprobe, COUNT(*) AS h
+           FROM ap a JOIN exact e ON e.qid = a.qid AND e.id = a.id
+           WHERE a.ar <= 10 GROUP BY 1, 2),
+         grid AS (SELECT q.qid, np.nprobe FROM q, np)
+         SELECT g.nprobe, COUNT(*) AS n_queries,
+           ROUND(AVG(COALESCE(h, 0) / 10.0), 6) AS mean_recall,
+           ROUND(g.nprobe / 4.0, 6) AS lists_frac
+         FROM grid g LEFT JOIN hits ON hits.qid = g.qid AND hits.nprobe = g.nprobe
+         GROUP BY g.nprobe ORDER BY g.nprobe""",
     "q186_curriculum" ->
       s"""WITH s AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
          c AS (SELECT quantile_cont(score, 0.25) AS c1, quantile_cont(score, 0.5) AS c2,

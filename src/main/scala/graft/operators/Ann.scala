@@ -517,4 +517,89 @@ object Ann {
       .take(nprobe).map(_._1)
     bruteForceTopK(embs.filter(col("ivf_list").isin(probes: _*)), idCol, vecCol, query, k)
   }
+
+  /** IVF nprobe tuning sweep (X141) — the recall-vs-I/O curve that picks
+    * an index's operating point: for every candidate `nprobe`, mean
+    * recall@k over a SAMPLE of serving queries, next to `lists_frac`
+    * (= nprobe/nlists, the fraction of the corpus an X112 partition-
+    * pruned search would read at that setting). [[recallAtK]] grades one
+    * (exact, approx) pair; this grades the whole grid in TWO corpus
+    * passes, because within-probed-lists search is exact: a row can
+    * enter some nprobe's top-k ONLY if it is top-k within its own list
+    * for that query. So: score corpus × queries once (queries broadcast
+    * as literals, probe ORDER precomputed driver-side over the bounded
+    * centroid set), cut to per-(query, list) top-k — one shuffle, rank
+    * filter below it — then sweep the grid over the ≤ |q|·nlists·k
+    * survivors. Exact top-k (the grade's denominator) is the
+    * nprobe=nlists row of the same frame, so no second corpus pass.
+    *
+    * Returns (nprobe, n_queries, mean_recall, lists_frac) ordered by
+    * nprobe; per-query recall counts a hit when the probed top-k
+    * contains an exact-top-k id, ties in cosine broken by id ascending
+    * on both sides (the [[bruteForceTopK]] convention). */
+  def nprobeSweep(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], queries: Seq[(Int, Array[Float])],
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(queries.nonEmpty, "need at least one sample query")
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= centroids.size),
+      s"nprobes must lie in [1, ${centroids.size}], got $nprobes")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val qStructs = queries.map { case (qid, qv) =>
+      val order = centroids.zipWithIndex
+        .map { case (c, i) => (i, dot(c, qv)) }
+        .sortBy { case (i, d) => (-d, i) }.map(_._1)
+      struct(lit(qid).as("qid"), lit(qv).cast(ArrayType(FloatType)).as("qv"),
+        lit(math.sqrt(dot(qv, qv))).as("qmag"),
+        lit(order.toArray).as("order"))
+    }
+    val assigned = ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", centroids)
+    val scored = assigned
+      .withColumn("__q", explode(array(qStructs: _*)))
+      .select(col("id"), col("__q.qid").as("qid"),
+        (vecDot(col("vector"), col("__q.qv")) /
+          (vecMagnitude(col("vector")) * col("__q.qmag") + lit(CosineEps))).as("cos"),
+        array_position(col("__q.order"), col("ivf_list"))
+          .cast(IntegerType).as("list_rank"))
+    val perList = scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid"), col("list_rank"))
+          .orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__r") <= k).drop("__r")
+    val exact = perList
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__r") <= k)
+      .select(col("qid"), col("id"))
+    val hits = perList
+      .withColumn("nprobe", explode(lit(nprobes.toArray)))
+      .filter(col("list_rank") <= col("nprobe"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("qid"), col("nprobe"))
+          .orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__r") <= k)
+      .join(exact, Seq("qid", "id"))
+      .groupBy(col("nprobe"), col("qid")).agg(count(lit(1)).as("__h"))
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val grid = queries.map(_._1).flatMap(q => nprobes.map(n => (n, q)))
+      .toDF("nprobe", "qid")
+    grid.join(hits, Seq("nprobe", "qid"), "left")
+      .withColumn("__h", coalesce(col("__h"), lit(0L)))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("__h").cast(DoubleType) / k), 6).as("mean_recall"))
+      .withColumn("lists_frac",
+        round(col("nprobe").cast(DoubleType) / centroids.size, 6))
+      .orderBy(col("nprobe"))
+  }
 }

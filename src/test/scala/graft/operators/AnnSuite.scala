@@ -328,4 +328,40 @@ class AnnSuite extends AnyFunSuite {
       // dim2 is a DEAD dimension: zero variance, the collapse signal
       (2, 2L, 0.5, 0.0, 1.0)), s"got ${got.toSeq}")
   }
+
+  test("nprobeSweep: hand-checked recall curve, monotone, full-probe hits 1.0") {
+    // two clean clusters: list 0 = x-axis (ids 1-3), list 1 = y-axis (4-6)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.9f)), (6L, Array(0.2f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    // query = y-axis: probe order [1, 0]; exact top-4 = {4,5,6,3}
+    val out = Ann.nprobeSweep(df, "vec_id", "embedding", cents,
+      queries = Seq((100, Array(0.0f, 1.0f))), k = 4, nprobes = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // nprobe 1 reads only list 1 -> 3 of the exact 4; nprobe 2 is exact
+    assert(out.toSeq == Seq((1, 1L, 0.75, 0.5), (2, 1L, 1.0, 1.0)), s"got ${out.toSeq}")
+
+    // two queries from opposite clusters: mean recall still 1.0 at full probe,
+    // and the curve is non-decreasing per construction
+    val two = Ann.nprobeSweep(df, "vec_id", "embedding", cents,
+      queries = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f))),
+      k = 2, nprobes = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(two.map(_._2).forall(_ == 2L), "both queries graded at every nprobe")
+    assert(two.last._3 == 1.0, "nprobe = nlists is exact")
+    assert(two.map(_._3).sliding(2).forall(s => s.head <= s.last), "monotone recall")
+    // k=2 within each cluster: nprobe 1 already finds both -> flat curve at 1.0
+    assert(two.head._3 == 1.0, s"clean clusters: top-2 lives in the probed list: $two")
+
+    intercept[IllegalArgumentException](Ann.nprobeSweep(df, "vec_id", "embedding",
+      cents, Seq((0, Array(1.0f, 0.0f))), 0, Seq(1)))
+    intercept[IllegalArgumentException](Ann.nprobeSweep(df, "vec_id", "embedding",
+      cents, Seq((0, Array(1.0f, 0.0f))), 2, Seq(0)))
+    intercept[IllegalArgumentException](Ann.nprobeSweep(df, "vec_id", "embedding",
+      cents, Seq((0, Array(1.0f, 0.0f))), 2, Seq(3)))
+    intercept[IllegalArgumentException](Ann.nprobeSweep(df, "vec_id", "embedding",
+      cents, Seq((7, Array(1.0f, 0.0f)), (7, Array(0.0f, 1.0f))), 2, Seq(1)))
+  }
 }
