@@ -937,6 +937,13 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q188_capacity_plan" -> ((s, d) =>
+      // X142 pack-capacity planner: one corpus pass grades four candidate
+      // context lengths — packs, boundary splits, tail waste
+      Packing.capacityPlan(
+        t(s, d, "documents").select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id", "n_tokens", Seq(128L, 512L, 2048L, 8192L))),
     "q187_nprobe_sweep" -> ((s, d) => {
       // X141 IVF tuning sweep: recall@10 vs lists read for nprobe 1..4
       // (cents = vec_id<4, sample queries = vec_id 5 and 6) — the curve
@@ -4278,6 +4285,23 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q188_capacity_plan" ->
+      s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         cum AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           FROM tc),
+         caps AS (SELECT CAST(unnest([128, 512, 2048, 8192]) AS BIGINT) AS capacity),
+         a AS (SELECT capacity, n_tokens, tokens_before,
+           tokens_before // capacity AS p0,
+           (tokens_before + n_tokens - 1) // capacity AS p1
+           FROM cum, caps WHERE n_tokens > 0)
+         SELECT capacity, CAST(MAX(p1) + 1 AS BIGINT) AS n_packs,
+           CAST(SUM(CASE WHEN p1 > p0 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           ROUND(CAST(SUM(CASE WHEN p1 > p0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS split_frac,
+           CAST((MAX(p1) + 1) * capacity - SUM(n_tokens) AS BIGINT) AS tail_waste
+         FROM a GROUP BY capacity ORDER BY capacity""",
     "q187_nprobe_sweep" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT vec_id AS qid, embedding AS qv,

@@ -206,6 +206,42 @@ object Packing {
         (col("tok_end") - col("tok_start")).as("n_tokens"))
   }
 
+  /** Pack-capacity planner (X142; the packing member of the planner
+    * family X101/X102/X126): for every CANDIDATE context length, the
+    * numbers that pick one — pack count, boundary-split documents (each
+    * split loses cross-boundary attention), split fraction, and tail
+    * waste (the padding in the one non-full final pack). The prefix sum
+    * `tokens_before` is CAPACITY-INDEPENDENT, so the whole grid costs
+    * ONE [[packAssignments]] pass + a per-row candidate explode + one
+    * capacity-keyed aggregate — evaluating 10 context lengths does not
+    * re-walk the corpus 10 times. Zero-token docs are excluded (the
+    * [[packSlices]] convention). Returns (capacity, n_packs,
+    * n_split_docs, split_frac, tail_waste) ordered by capacity. */
+  def capacityPlan(df: DataFrame, orderCol: String, tokenCountCol: String,
+      capacities: Seq[Long]): DataFrame = {
+    require(capacities.nonEmpty, "need at least one candidate capacity")
+    require(capacities.forall(_ > 0), s"capacities must be positive, got $capacities")
+    require(capacities.distinct.size == capacities.size,
+      s"duplicate candidate capacities: $capacities")
+    val base = packAssignments(df.select(col(orderCol), col(tokenCountCol)),
+        orderCol, tokenCountCol, capacities.head)
+      .filter(col(tokenCountCol) > 0)
+      .select(col(tokenCountCol).cast(LongType).as("__n"), col("tokens_before"))
+    base
+      .withColumn("capacity", explode(lit(capacities.sorted.toArray)))
+      .withColumn("__p0", expr("tokens_before DIV capacity"))
+      .withColumn("__p1", expr("(tokens_before + __n - 1) DIV capacity"))
+      .groupBy(col("capacity"))
+      .agg((max(col("__p1")) + 1L).as("n_packs"),
+        sum(when(col("__p1") > col("__p0"), 1L).otherwise(0L)).as("n_split_docs"),
+        count(lit(1)).as("__nd"),
+        sum(col("__n")).as("__tok"))
+      .select(col("capacity"), col("n_packs"), col("n_split_docs"),
+        round(col("n_split_docs").cast(DoubleType) / col("__nd"), 6).as("split_frac"),
+        (col("n_packs") * col("capacity") - col("__tok")).as("tail_waste"))
+      .orderBy(col("capacity"))
+  }
+
   /** Per-document token-budget truncation (X114) — the per-doc companion
     * of the per-pack cut list: when a context budget is enforced BEFORE
     * packing (SFT rows, eval prompts, rerank inputs), each over-budget

@@ -316,4 +316,32 @@ class PackingSuite extends AnyFunSuite {
       Packing.readShards(spark, dir, docs, "doc_id", col("text"), 2L))
     assert(e.getMessage.contains("manifest validation failed"))
   }
+
+  test("capacityPlan: hand-checked grid; one pass grades every candidate") {
+    // token counts 60,50,30,80,10 (total 230), zero-token doc excluded
+    val docs = Seq((1L, 60L), (2L, 50L), (3L, 30L), (4L, 80L), (5L, 10L), (6L, 0L))
+      .toDF("doc_id", "n_tokens").repartition(3)
+    val out = Packing.capacityPlan(docs, "doc_id", "n_tokens", Seq(100L, 300L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // cap 100: before 0,60,110,140,220 -> p0 0,0,1,1,2; p1 of (1..5):
+    // 59->0, 109->1, 139->1, 219->2, 229->2 -> splits: docs 2 and 4
+    // packs = 3, waste = 300-230 = 70
+    // cap 300: one pack, no splits, waste 70
+    assert(out == Seq(
+      (100L, 3L, 2L, 0.4, 70L),
+      (300L, 1L, 0L, 0.0, 70L)), s"got $out")
+    // grid equals running packAssignments per capacity (the one-pass claim)
+    val alone = Packing.packAssignments(docs.filter(col("n_tokens") > 0),
+      "doc_id", "n_tokens", 100L)
+      .select(col("pack_id"), col("pack_last")).collect()
+    assert(alone.count(r => r.getLong(1) > r.getLong(0)) == 2L)
+    assert(alone.map(_.getLong(1)).max + 1 == 3L)
+    intercept[IllegalArgumentException](
+      Packing.capacityPlan(docs, "doc_id", "n_tokens", Nil))
+    intercept[IllegalArgumentException](
+      Packing.capacityPlan(docs, "doc_id", "n_tokens", Seq(0L)))
+    intercept[IllegalArgumentException](
+      Packing.capacityPlan(docs, "doc_id", "n_tokens", Seq(100L, 100L)))
+  }
 }
