@@ -937,6 +937,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q189_cross_source_dup" -> ((s, d) => {
+      // X143 cross-source duplication matrix over winnowed-sketch
+      // postings: shared n-gram mass per source pair — which sources
+      // quote each other, visible even with no whole-document repeats
+      val docs = t(s, d, "documents")
+      Dedup.crossSourceMatrix(
+        Dedup.winnowedSketch(docs, "doc_id", col("text"))
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "fp", "source")
+    }),
     "q188_capacity_plan" -> ((s, d) =>
       // X142 pack-capacity planner: one corpus pass grades four candidate
       // context lengths — packs, boundary splits, tail waste
@@ -4285,6 +4295,21 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q189_cross_source_dup" ->
+      s"""WITH h AS (SELECT doc_id, $bases3Sql AS hs FROM documents),
+         w AS (SELECT doc_id, list_distinct(list_transform(range(0, len(hs) - 3),
+             i -> list_aggregate(hs[CAST(i + 1 AS INT) : CAST(i + 4 AS INT)], 'min'))) AS fps
+           FROM h WHERE len(hs) >= 4),
+         posts AS (SELECT w.doc_id, unnest(fps) AS fp FROM w),
+         f AS (SELECT p.fp, d.source, COUNT(*) AS cnt
+           FROM posts p JOIN documents d ON p.doc_id = d.doc_id
+           GROUP BY 1, 2),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+             a.cnt AS ca, b.cnt AS cb
+           FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source)
+         SELECT source_a, source_b, COUNT(*) AS n_shared_fps,
+           CAST(SUM(ca) AS BIGINT) AS docs_a, CAST(SUM(cb) AS BIGINT) AS docs_b
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q188_capacity_plan" ->
       s"""WITH tc AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
          cum AS (SELECT doc_id, n_tokens,

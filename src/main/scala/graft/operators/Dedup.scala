@@ -1109,4 +1109,59 @@ object Dedup {
         coalesce(col("__dup"), lit(false)).as("is_dup"))
       .withColumnRenamed("vec_id", idCol)
   }
+
+  /** Cross-source duplication matrix (X143) — WHERE the duplicate mass
+    * lives, pairwise: for every pair of sources, how many exact content
+    * fingerprints they share, and how many documents on each side carry
+    * a fingerprint the other source also has. The matrix is the
+    * mixture-design diagnostic behind per-source dedup policy (two
+    * mirrors of one crawl show up as a near-total row; an eval source
+    * sharing mass with a train source is the X56 leakage signal at
+    * source grain) — [[graft.operators.Dedup.exactDupGroups]] says HOW
+    * MUCH is duplicated, this says BETWEEN WHOM.
+    *
+    * Returns (source_a, source_b, n_shared_fps, docs_a, docs_b) with
+    * source_a < source_b; fingerprint pairs appearing only within one
+    * source are absent (that is [[exactDupGroups]]'s row).
+    *
+    * Scale shape: one (fp, source) aggregate over the corpus (map-side
+    * partials collapse each task to its distinct fp×source cells), then
+    * the [[containmentPairs]] in-group pair discipline — pairs generate
+    * INSIDE each fingerprint's sorted source list (bounded by the source
+    * count, not the corpus), and the final aggregate is sources² rows.
+    * Text never shuffles; only 16-hex fingerprints and source keys do. */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, text: Column,
+      source: Column): DataFrame =
+    crossSourceMatrix(
+      docs.select(TextAnalysis.fingerprint(text).as("fp"), source.as("src")),
+      "fp", "src")
+
+  /** The fingerprint-grain core of [[crossSourceDupMatrix]], over ANY
+    * (fp, source) postings frame — one row per (document, fingerprint)
+    * occurrence. Feeding whole-document fingerprints gives the exact-dup
+    * matrix; feeding [[winnowedSketch]] postings gives the SHARED
+    * N-GRAM MASS matrix (which sources quote/boilerplate each other,
+    * visible even when no whole document repeats); [[lshBandKeys]]
+    * postings give the near-dup candidate-mass matrix. Same output and
+    * scale shape as the convenience wrapper. */
+  def crossSourceMatrix(posts: DataFrame, fpCol: String,
+      srcCol: String): DataFrame = {
+    val f = posts
+      .select(col(fpCol).as("fp"), col(srcCol).as("__src"))
+      .groupBy(col("fp"), col("__src")).agg(count(lit(1)).as("__cnt"))
+    val lists = f.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("__src"), col("__cnt")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+    val s = col("__s")
+    val pairGen = flatten(transform(s, (x, i) =>
+      transform(slice(s, i + 2, size(s) - i - 1),
+        y => struct(x.getField("__src").as("a"), y.getField("__src").as("b"),
+          x.getField("__cnt").as("ca"), y.getField("__cnt").as("cb")))))
+    lists
+      .select(explode(pairGen).as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("__p.ca")).as("docs_a"), sum(col("__p.cb")).as("docs_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -690,4 +690,27 @@ class DedupSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.dupSpans(docs, "doc_id", col("text"), windowLen = 1))
   }
+
+  test("crossSourceDupMatrix: pairwise shared-fingerprint mass, ordered pairs") {
+    val docs = Seq(
+      (1L, "alpha beta", "a"), (2L, "alpha beta", "b"),   // a<->b shared fp
+      (3L, "alpha beta", "b"),                            // b has it twice
+      (4L, "gamma", "a"), (5L, "gamma", "c"),             // a<->c shared fp
+      (6L, "delta", "c"),                                 // unshared
+      (7L, "epsilon", "a"), (8L, "epsilon", "a")          // within-a only: absent
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDupMatrix(docs, "doc_id", col("text"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", "b", 1L, 1L, 2L),   // one shared fp; 1 doc in a, 2 in b
+      ("a", "c", 1L, 1L, 1L)), s"got $out")
+
+    // the postings-grain core: three-source fp fans out to all 3 pairs
+    val posts = Seq(("f1", "a"), ("f1", "b"), ("f1", "c"), ("f2", "a"))
+      .toDF("fp", "src")
+    val m = Dedup.crossSourceMatrix(posts, "fp", "src")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(m == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)), s"got $m")
+  }
 }
