@@ -937,6 +937,19 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q190_lsh_calibrate" -> ((s, d) => {
+      // X144 empirical LSH calibration: measured precision/recall of
+      // three banding schemes (8 hashes; rows 1/2/4) vs exact Jaccard on
+      // a deterministic quarter-sample with injected exact duplicates —
+      // the measured complement of q170's theoretical S-curve
+      val docs = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+      val all = docs.union(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.lshCalibrate(all, "doc_id", col("text"), shingleN = 3,
+        numHashes = 8, rowsGrid = Seq(1, 2, 4),
+        thresholds = Seq(0.2, 0.5, 0.8))
+    }),
     "q189_cross_source_dup" -> ((s, d) => {
       // X143 cross-source duplication matrix over winnowed-sketch
       // postings: shared n-gram mass per source pair — which sources
@@ -4295,6 +4308,61 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q190_lsh_calibrate" -> {
+      val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
+      def candFor(r: Int) = {
+        val bandSelects = (0 until 8 / r).map { b =>
+          val slice = (0 until r).map(i => s"CAST(m${b * r + i} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, '$b:' || md5($slice) AS band FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""SELECT DISTINCT ${8 / r} AS bands, $r AS "rows",
+            a.doc_id AS id1, b.doc_id AS id2
+          FROM ($bandSelects) a JOIN ($bandSelects) b
+            ON a.band = b.band AND a.doc_id < b.doc_id"""
+      }
+      s"""WITH sampled AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         alldocs AS (SELECT doc_id, text FROM sampled
+           UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM sampled),
+         base AS (SELECT doc_id, list_distinct($bases3Sql) AS sh FROM alldocs),
+         sig AS (SELECT doc_id, $sigCols FROM alldocs),
+         post AS (SELECT base.doc_id, u.b AS b FROM base, UNNEST(sh) AS u(b)),
+         inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(COUNT(*) AS DOUBLE) AS ni
+           FROM post a JOIN post b ON a.b = b.b AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, CAST(len(sh) AS DOUBLE) AS n FROM base),
+         truth AS (SELECT id1, id2, ROUND(ni / (s1.n + s2.n - ni), 6) AS jacc
+           FROM inter JOIN sizes s1 ON s1.doc_id = id1
+           JOIN sizes s2 ON s2.doc_id = id2),
+         cand AS (${Seq(1, 2, 4).map(candFor).mkString(" UNION ALL ")}),
+         scored AS (SELECT c.bands, c."rows", c.id1, c.id2,
+             COALESCE(t.jacc, 0.0) AS jacc
+           FROM cand c LEFT JOIN truth t ON c.id1 = t.id1 AND c.id2 = t.id2),
+         th AS (SELECT CAST(v.t AS DOUBLE) AS threshold
+           FROM (VALUES (0.2), (0.5), (0.8)) v(t)),
+         truthn AS (SELECT th.threshold,
+             COUNT(*) FILTER (WHERE truth.jacc >= th.threshold) AS n_truth
+           FROM th LEFT JOIN truth ON TRUE GROUP BY 1),
+         candn AS (SELECT s.bands, s."rows", th.threshold, COUNT(*) AS n_cand,
+             COUNT(*) FILTER (WHERE s.jacc >= th.threshold) AS n_hit
+           FROM th CROSS JOIN scored s GROUP BY 1, 2, 3),
+         grid AS (SELECT g.bands, g."rows", th.threshold
+           FROM (VALUES (8, 1), (4, 2), (2, 4)) g(bands, "rows") CROSS JOIN th)
+         SELECT g.bands, g."rows", g.threshold,
+           COALESCE(tn.n_truth, 0) AS n_truth,
+           COALESCE(cn.n_cand, 0) AS n_cand,
+           COALESCE(cn.n_hit, 0) AS n_hit,
+           CASE WHEN COALESCE(cn.n_cand, 0) = 0 THEN NULL
+             ELSE ROUND(CAST(cn.n_hit AS DOUBLE) / cn.n_cand, 6) END AS precision,
+           CASE WHEN COALESCE(tn.n_truth, 0) = 0 THEN NULL
+             ELSE ROUND(CAST(cn.n_hit AS DOUBLE) / tn.n_truth, 6) END AS recall
+         FROM grid g
+         LEFT JOIN candn cn ON cn.bands = g.bands AND cn."rows" = g."rows"
+           AND cn.threshold = g.threshold
+         LEFT JOIN truthn tn ON tn.threshold = g.threshold
+         ORDER BY g."rows", g.threshold"""
+    },
     "q189_cross_source_dup" ->
       s"""WITH h AS (SELECT doc_id, $bases3Sql AS hs FROM documents),
          w AS (SELECT doc_id, list_distinct(list_transform(range(0, len(hs) - 3),

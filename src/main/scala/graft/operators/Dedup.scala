@@ -919,6 +919,110 @@ object Dedup {
       .orderBy(col("bands"), col("jaccard"))
   }
 
+  /** Empirical LSH calibration (X144) — the MEASURED complement of
+    * [[lshPlan]]'s theoretical S-curve: run every candidate banding
+    * scheme against ground-truth exact Jaccard on the given (sampled)
+    * frame and report realized precision/recall per similarity floor.
+    * The theory curve assumes idealized permutations and says nothing
+    * about the CANDIDATE VOLUME a real corpus produces (boilerplate
+    * shingles, skewed band buckets); this pass measures both on the
+    * corpus's own text, and a curator reads theory (X126) and
+    * measurement (X144) side by side before fixing the dedup knobs.
+    * Emits `(bands, rows, threshold, n_truth, n_cand, n_hit, precision,
+    * recall)` — precision/recall are NULL when their denominator is 0
+    * (no candidates / no true pairs at that floor), not a fake 0 or 1.
+    *
+    * Ground truth: pairs sharing >= 1 shingle base, scored with the
+    * [[jaccardVerifyHashed]] arithmetic (|A∩B| via a postings self-join
+    * on the 28-bit bases, |A∪B| = |A|+|B|−|A∩B|); a pair with no shared
+    * shingle has Jaccard 0 and cannot clear any positive floor, so the
+    * co-shingled universe IS the truth set. LSH candidates that share
+    * no shingle (band-hash coincidences) still count against precision
+    * via the left join's 0 default.
+    *
+    * Scale shape: calibration runs on a bounded SAMPLE by contract —
+    * the caller passes a deterministically sampled frame (the truth
+    * side's co-shingled pair universe is inherently quadratic in dup
+    * mass; at corpus scale you calibrate on a slice, then run the chosen
+    * scheme corpus-wide). Within the sample: the (doc_id, sh, sig)
+    * staging is pinned ONCE (eager localCheckpoint) and fanned out to
+    * the truth join and every scheme's band join — the signature
+    * pipeline executes once, not 2×|grid|+1 times; all exchanges carry
+    * ids, 8-byte bases, or 16-byte band keys, never text. The returned
+    * frame is aggregated (|grid|×|thresholds| rows) but BACKED by the
+    * pin — callers release via [[graft.util.Pins.release]] after
+    * materializing (the [[dedupGroups]] contract). */
+  def lshCalibrate(docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int, numHashes: Int, rowsGrid: Seq[Int],
+      thresholds: Seq[Double]): DataFrame = {
+    require(rowsGrid.nonEmpty && rowsGrid.distinct == rowsGrid &&
+      rowsGrid.forall(r => r >= 1 && numHashes % r == 0),
+      s"rowsGrid must be distinct divisors of numHashes ($numHashes), got $rowsGrid")
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds &&
+      thresholds.forall(t => t > 0.0 && t <= 1.0),
+      s"thresholds must be distinct values in (0,1], got $thresholds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs
+      .select(col(idCol).as("doc_id"), text.as("__text"))
+      .withColumn("__toks", tokens(col("__text")))
+      .withColumn("__sh", shinglesFromTokens(col("__toks"), shingleN))
+      .withColumn("sh", array_distinct(shingleBases(col("__sh"))))
+      .select(col("doc_id"), col("sh"), seedMins(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    // truth: exact Jaccard over the co-shingled pair universe
+    val post = staged.select(col("doc_id"), explode(col("sh")).as("b"))
+    val inter = post.as("a").hint("shuffle_hash")
+      .join(post.as("b").hint("shuffle_hash"),
+        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).cast(DoubleType).as("ni"))
+    val sizes = staged.select(col("doc_id"), size(col("sh")).cast(DoubleType).as("n"))
+    val truth = inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("ni") / (col("n1") + col("n2") - col("ni")), 6).as("jacc"))
+      .localCheckpoint(true)
+    // candidates, one banding scheme per grid entry (distinct pairs each)
+    val cands = rowsGrid.map { r =>
+      val banded = staged.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), numHashes, r)).as("band"))
+      banded.as("a").hint("shuffle_hash")
+        .join(banded.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .select(lit(numHashes / r).as("bands"), lit(r).as("rows"),
+          col("id1"), col("id2"))
+    }.reduce(_.union(_))
+    val scored = cands.join(truth, Seq("id1", "id2"), "left")
+      .withColumn("jacc", coalesce(col("jacc"), lit(0.0)))
+    val th = thresholds.toDF("threshold")
+    val truthN = th.crossJoin(truth)
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jacc") >= col("threshold"), 1L).otherwise(0L)).as("n_truth"))
+    val candN = th.crossJoin(scored)
+      .groupBy(col("bands"), col("rows"), col("threshold"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jacc") >= col("threshold"), 1L).otherwise(0L)).as("n_hit"))
+    // a scheme with zero candidates, or an empty truth set, still gets its
+    // grid rows: rebuild the full (scheme x threshold) frame and LEFT-join
+    val grid = rowsGrid.map(r => (numHashes / r, r)).toDF("bands", "rows").crossJoin(th)
+    grid
+      .join(candN, Seq("bands", "rows", "threshold"), "left")
+      .join(truthN, Seq("threshold"), "left")
+      .select(col("bands"), col("rows"), col("threshold"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("precision", when(col("n_cand") === 0, lit(null).cast(DoubleType))
+        .otherwise(round(col("n_hit").cast(DoubleType) / col("n_cand"), 6)))
+      .withColumn("recall", when(col("n_truth") === 0, lit(null).cast(DoubleType))
+        .otherwise(round(col("n_hit").cast(DoubleType) / col("n_truth"), 6)))
+      .orderBy(col("rows"), col("threshold"))
+  }
+
   /** Duplicated-span REMOVAL (X125) — the rewrite half of Lee et al.
     * 2107.06499's ExactSubstr dedup, composing with [[dupSpans]] (the
     * detection half): cut every span's tokens out of every document and

@@ -713,4 +713,72 @@ class DedupSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(m == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)), s"got $m")
   }
+
+  test("lshCalibrate: full grid emitted; exact dup caught by every scheme at every floor") {
+    val corpus = docs.union(
+      docs.filter($"doc_id" === 1L)
+        .select(lit(100L).as("doc_id"), $"text"))
+    val out = Dedup.lshCalibrate(corpus, "doc_id", $"text",
+      shingleN = 3, numHashes = 8, rowsGrid = Seq(1, 2, 4),
+      thresholds = Seq(0.5, 0.9))
+    val rows = out.collect()
+    graft.util.Pins.release(out)
+    assert(rows.length == 6, s"3 schemes x 2 thresholds, got ${rows.length}")
+    val byKey = rows.map(r => ((r.getInt(1), r.getDouble(2)),
+      (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // docs 1 and 100 are identical: a truth pair at every floor, identical
+    // signatures, so every scheme's candidate set contains them
+    for (((r, t), (nTruth, nCand, nHit)) <- byKey) {
+      assert(nTruth >= 1L, s"exact dup must be a truth pair at rows=$r t=$t")
+      assert(nHit >= 1L && nHit <= nCand && nHit <= nTruth,
+        s"hit bounds violated at rows=$r t=$t: $nTruth $nCand $nHit")
+    }
+    // truth counts are scheme-independent
+    assert(byKey.keys.groupBy(_._2).forall { case (_, ks) =>
+      ks.map(byKey(_)._1).toSet.size == 1 })
+  }
+
+  test("differential: lshCalibrate counts equal brute-force candidates + exact jaccard") {
+    val out = Dedup.lshCalibrate(docs, "doc_id", $"text",
+      shingleN = 3, numHashes = 8, rowsGrid = Seq(2, 4), thresholds = Seq(0.3))
+    val rows = out.collect()
+    graft.util.Pins.release(out)
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val allPairs = (for { i <- ids; j <- ids if i < j } yield (i, j))
+      .toSeq.toDF("id1", "id2")
+    val jacc = Dedup.jaccardVerifyHashed(allPairs, docs, "doc_id", $"text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (r <- Seq(2, 4)) {
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", $"text",
+        shingleN = 3, numHashes = 8, rowsPerBand = r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val nTruth = jacc.values.count(_ >= 0.3).toLong
+      val nHit = cand.count(p => jacc.getOrElse(p, 0.0) >= 0.3).toLong
+      val got = rows.find(x => x.getInt(1) == r).get
+      assert(got.getLong(3) == nTruth, s"n_truth mismatch at rows=$r")
+      assert(got.getLong(4) == cand.size.toLong, s"n_cand mismatch at rows=$r")
+      assert(got.getLong(5) == nHit, s"n_hit mismatch at rows=$r")
+    }
+  }
+
+  test("lshCalibrate: null precision/recall when a denominator is zero; bad grids rejected") {
+    // two docs with zero shared shingles and different signatures: no
+    // truth pairs, and (at rows=8) no candidates either
+    val disjoint = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshCalibrate(disjoint, "doc_id", $"text",
+      shingleN = 3, numHashes = 8, rowsGrid = Seq(8), thresholds = Seq(0.5))
+    val r = out.collect()(0)
+    graft.util.Pins.release(out)
+    assert(r.getLong(3) == 0L && r.isNullAt(7), "no truth pairs -> recall NULL")
+    if (r.getLong(4) == 0L) assert(r.isNullAt(6), "no candidates -> precision NULL")
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibrate(docs, "doc_id", $"text", 3, 8, Seq(3), Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCalibrate(docs, "doc_id", $"text", 3, 8, Seq(2), Seq(0.0))
+    }
+  }
 }
