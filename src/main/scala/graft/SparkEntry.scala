@@ -937,6 +937,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q191_domain_gate" -> ((s, d) => {
+      // X145 domain blocklist gate over the urlProfile hosts: suffix
+      // match blocks whole domains (example.com), a hosting domain
+      // (github.io), one exact host, and prefers the most specific entry
+      import s.implicits._
+      val hosts = TextAnalysis.urlProfile(syntheticUrls(s, d), "doc_id", col("url"))
+      val blocklist = Seq("example.com", "src0.example.com", "github.io",
+        "src5.co.uk", "spam.net").toDF("domain")
+      TextAnalysis.domainGate(hosts, "doc_id", col("host"), blocklist)
+        .orderBy(col("doc_id"))
+    }),
     "q190_lsh_calibrate" -> ((s, d) => {
       // X144 empirical LSH calibration: measured precision/recall of
       // three banding schemes (8 hashes; rows 1/2/4) vs exact Jaccard on
@@ -4308,6 +4319,28 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q191_domain_gate" ->
+      s"""WITH u AS ($syntheticUrlsSql),
+         h AS (SELECT doc_id, regexp_replace(regexp_replace(
+             lower(regexp_extract(trim(url),
+               '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)),
+             ':[0-9]+$$', ''), '^www\\.', '') AS host0
+           FROM u),
+         b AS (SELECT lower(v.d) AS bd FROM (VALUES ('example.com'),
+           ('src0.example.com'), ('github.io'), ('src5.co.uk'),
+           ('spam.net')) v(d)),
+         lab AS (SELECT doc_id, host0, string_split(host0, '.') AS labels
+           FROM h WHERE host0 <> ''),
+         e AS (SELECT doc_id, un.s AS sfx
+           FROM lab, UNNEST(list_transform(range(1, len(labels) + 1),
+             i -> array_to_string(list_slice(labels, CAST(i AS INT),
+               len(labels)), '.'))) un(s)),
+         m AS (SELECT doc_id, arg_max(sfx, len(sfx)) AS matched_domain
+           FROM e JOIN b ON e.sfx = b.bd GROUP BY doc_id)
+         SELECT h.doc_id,
+           CASE WHEN h.host0 = '' THEN NULL ELSE h.host0 END AS host,
+           m.matched_domain IS NOT NULL AS blocked, m.matched_domain
+         FROM h LEFT JOIN m USING (doc_id) ORDER BY h.doc_id""",
     "q190_lsh_calibrate" -> {
       val sigCols = (0 until 8).map(sd => s"${minhashSql(sd)} AS m$sd").mkString(", ")
       def candFor(r: Int) = {

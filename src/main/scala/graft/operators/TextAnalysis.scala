@@ -986,6 +986,50 @@ object TextAnalysis {
       normUrl.as("norm_url"))
   }
 
+  /** Domain blocklist gate (X145) — the URL-filtering stage every crawl
+    * pipeline runs before any text is read (Common Crawl-derived sets
+    * like C4/RefinedWeb drop whole domains first; blocking by domain is
+    * the cheapest cut in the funnel): a host is blocked when it equals a
+    * blocklist entry or sits UNDER one (label-boundary suffix match —
+    * `example.com` blocks `a.example.com` but never `notexample.com`).
+    * Takes the `host` column [[urlProfile]] emits (lowercased, port and
+    * `www.` stripped) and any (domain) frame — curated blocklists are
+    * data, not code. Emits `(id, host, blocked, matched_domain)` with
+    * `matched_domain` the MOST SPECIFIC (longest) matching entry —
+    * well-defined without a tie-break because all of one host's matches
+    * are suffixes of it, so their lengths are distinct. Null/absent
+    * hosts pass through unblocked (flag upstream, don't crash a crawl).
+    *
+    * Scale shape: the blocklist is BROADCAST (blocklists are thousands
+    * to millions of short strings; the corpus is not) and the corpus
+    * explodes each host into its <= label-count suffixes — a bounded
+    * per-row fan-out of short strings, never text. The broadcast hash
+    * join filters suffix postings MAP-SIDE, so only actual matches
+    * (blocklist-sparse) reach the one id-keyed aggregate; the final
+    * left join back to the host frame carries ids + hosts only, and AQE
+    * broadcasts the (tiny) match side in the common case. */
+  def domainGate(docs: DataFrame, idCol: String, host: Column,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    require(blocklist.columns.contains(domainCol),
+      s"blocklist needs a '$domainCol' column, has ${blocklist.columns.mkString(", ")}")
+    val bl = broadcast(
+      blocklist.select(lower(trim(col(domainCol))).as("__bd"))
+        .filter(col("__bd") =!= "").distinct())
+    val base = docs.select(col(idCol), lower(host).as("host"))
+    val labels = split(col("host"), "\\.")
+    val nl = size(labels)
+    val sfx = transform(sequence(lit(1), nl),
+      i => array_join(slice(labels, i, nl - i + 1), "."))
+    val matches = base
+      .select(col(idCol), explode(sfx).as("__sfx"))
+      .join(bl, col("__sfx") === col("__bd"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__sfx"), length(col("__sfx"))).as("matched_domain"))
+    base.join(matches, Seq(idCol), "left")
+      .select(col(idCol), col("host"),
+        col("matched_domain").isNotNull.as("blocked"), col("matched_domain"))
+  }
+
   /** Dictionary-driven taxonomy tagging (X137): count, per document and
     * tag, the occurrences of a curated phrase lexicon (tag → token
     * phrases — topic/domain/safety word lists, the label pass a crawl

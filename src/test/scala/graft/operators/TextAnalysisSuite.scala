@@ -650,4 +650,28 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.tagDictionary(docs, "doc_id", col("text"),
         Seq(("t", "a b"), ("t", "A  B"))))  // same normalized row twice
   }
+
+  test("domainGate: label-boundary suffix match, most-specific wins, nulls pass") {
+    val hosts = Seq(
+      (1L, Some("a.example.com")),      // under example.com
+      (2L, Some("notexample.com")),     // substring, NOT a suffix match
+      (3L, Some("example.com")),        // exact
+      (4L, Some("deep.ads.example.com")), // two entries match -> longest
+      (5L, Some("clean.org")),          // unblocked
+      (6L, None)                        // no parseable host upstream
+    ).toDF("doc_id", "host")
+    val bl = Seq("EXAMPLE.com ", "ads.example.com", "spam.net").toDF("domain")
+    val out = TextAnalysis.domainGate(hosts, "doc_id", col("host"), bl)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out(1L) == ((true, Some("example.com"))))
+    assert(out(2L) == ((false, None)), "substring must not block")
+    assert(out(3L) == ((true, Some("example.com"))))
+    assert(out(4L) == ((true, Some("ads.example.com"))), "most specific entry wins")
+    assert(out(5L) == ((false, None)))
+    assert(out(6L) == ((false, None)), "null host passes unblocked")
+    intercept[IllegalArgumentException](
+      TextAnalysis.domainGate(hosts, "doc_id", col("host"),
+        Seq("x.com").toDF("wrong_col")))
+  }
 }
