@@ -937,6 +937,24 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q192_nfc_normalize" -> ((s, d) => {
+      // X146 Unicode NFC canonicalization (codegen Expression): composed
+      // and decomposed accents, combining-mark reordering, and Hangul
+      // jamo composition all collapse to one byte form — and X127's
+      // fingerprint (now NFC-first) gives rows 1 and 2 the same key
+      import s.implicits._
+      val rows = Seq(
+        (1L, "café menu"),
+        (2L, "café menu"),
+        (3L, "plain ascii text 42"),
+        (4L, "ḍ̇ mark order"),
+        (5L, "가 vs 가")
+      ).toDF("doc_id", "text")
+      rows.select(col("doc_id"),
+        TextAnalysis.nfc(col("text")).as("nfc_text"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
     "q191_domain_gate" -> ((s, d) => {
       // X145 domain blocklist gate over the urlProfile hosts: suffix
       // match blocks whole domains (example.com), a hosting domain
@@ -2027,11 +2045,13 @@ object SparkEntry {
          FROM x GROUP BY doc_id, isl)"""
   private lazy val dupSpansCtesSql: String = "WITH " + dupSpansCtesOn("documents")
 
-  /** SQL twin of TextAnalysis.normalizedFingerprint (X127) — digit mask,
-    * punctuation strip, whitespace collapse, edge trim, in that order. */
+  /** SQL twin of TextAnalysis.normalizedFingerprint (X127) — NFC, digit
+    * mask, punctuation strip, whitespace collapse, edge trim, in that
+    * order (DuckDB's utf8proc nfc_normalize and the engine's JDK
+    * normalizer implement the same UAX #15 algorithm). */
   private val normFpSql: String =
     """substr(md5(trim(regexp_replace(regexp_replace(regexp_replace(
-       lower(trim(text)), '[0-9]+', '0', 'g'),
+       lower(trim(nfc_normalize(text))), '[0-9]+', '0', 'g'),
        '[\.,;:!\?''"()\[\]{}]', ' ', 'g'),
        '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16)"""
 
@@ -4319,6 +4339,16 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q192_nfc_normalize" ->
+      s"""WITH t AS (SELECT v.doc_id, v.text FROM (VALUES
+           (1, 'cafe' || chr(769) || ' menu'),
+           (2, 'caf' || chr(233) || ' menu'),
+           (3, 'plain ascii text 42'),
+           (4, chr(7691) || chr(803) || ' mark order'),
+           (5, chr(44032) || ' vs ' || chr(4352) || chr(4449))
+         ) v(doc_id, text))
+         SELECT doc_id, nfc_normalize(text) AS nfc_text, $normFpSql AS fp
+         FROM t ORDER BY doc_id""",
     "q191_domain_gate" ->
       s"""WITH u AS ($syntheticUrlsSql),
          h AS (SELECT doc_id, regexp_replace(regexp_replace(

@@ -27,6 +27,7 @@ object GraftFunctions {
     "hamming_dist" -> (args => HammingDistPacked(args(0), args(1))),
     "pack_sign_bits" -> (args => PackSignBits(args(0))),
     "simhash64" -> (args => SimHash64(args(0))),
+    "nfc_normalize" -> (args => NfcNormalize(args(0))),
     // composites built as raw Catalyst trees (the Column->Expression
     // bridge leaves unresolved nodes behind when used inside a registry
     // builder); epsilon matches VectorFunctions.CosineEps so SQL and

@@ -462,6 +462,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(trim(text)), s"[$Ws]+", " ")), 1, 16)
 
+  /** Unicode NFC normalization (UAX #15) as a Column — the
+    * [[graft.functions.NfcNormalize]] codegen expression. Canonicalizes
+    * composed/decomposed sequences ("café" both ways) to one byte form;
+    * identity (and allocation-free) on already-normalized/ASCII rows. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftSql
+    GraftSql.column(graft.functions.NfcNormalize(GraftSql.expression(text)))
+  }
+
   /** Aggressive canonicalization before fingerprinting (X127): on top of
     * [[fingerprint]]'s lowercase + whitespace collapse, strip
     * punctuation and mask every digit run to `0` — the CCNet-style
@@ -472,12 +481,13 @@ object TextAnalysis {
     * point; pair with raw [[fingerprint]] when revision identity
     * matters (see the q171 delta query). The regex steps are
     * dialect-exact (explicit classes, no lookarounds), oracle-mirrored,
-    * and the step order (mask digits, strip punctuation to spaces,
-    * collapse whitespace, trim the edges the strip can create) is pinned
-    * as part of the contract — any engine must apply the identical
-    * sequence to reproduce the keys. */
+    * and the step order (NFC-normalize — composed and decomposed "café"
+    * must not split one page into two keys — then mask digits, strip
+    * punctuation to spaces, collapse whitespace, trim the edges the
+    * strip can create) is pinned as part of the contract — any engine
+    * must apply the identical sequence to reproduce the keys. */
   def normalizedFingerprint(text: Column): Column = {
-    val digitsMasked = regexp_replace(lower(trim(text)), "[0-9]+", "0")
+    val digitsMasked = regexp_replace(lower(trim(nfc(text))), "[0-9]+", "0")
     val punctStripped = regexp_replace(digitsMasked, PunctRe, " ")
     substring(md5(trim(regexp_replace(punctStripped, s"[$Ws]+", " "))), 1, 16)
   }

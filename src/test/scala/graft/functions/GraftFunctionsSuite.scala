@@ -54,6 +54,42 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(viaColumn == viaSql)
   }
 
+  test("nfc_normalize: composed/decomposed collapse, mark reorder, jamo, null, fast path") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.TextAnalysis
+    val decomposed = "café"
+    val composed = "café"
+    // SQL and Column routes agree, and both collapse to the composed form
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS n")
+      .head().getString(0)
+    val viaCol = spark.range(1)
+      .select(TextAnalysis.nfc(lit(decomposed)).as("n")).head().getString(0)
+    assert(viaSql == composed && viaCol == composed)
+    // already-NFC input is identity (the allocation-free fast path)
+    assert(spark.range(1).select(TextAnalysis.nfc(lit(composed)))
+      .head().getString(0) == composed)
+    // combining-mark canonical reordering + Hangul jamo composition
+    assert(spark.range(1).select(TextAnalysis.nfc(lit("ḍ̇")))
+      .head().getString(0) == "ḍ̇")
+    assert(spark.range(1).select(TextAnalysis.nfc(lit("가")))
+      .head().getString(0) == "가")
+    // null propagates
+    assert(spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS n").head().isNullAt(0))
+    // interpreted eval matches codegen (the eval path Catalyst uses for
+    // constant folding must agree with the generated code)
+    val e = NfcNormalize(org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+    assert(e.eval(null).toString == composed)
+    // X127's fingerprint is NFC-first: byte-distinct canonical equals share a key
+    val fps = Seq((1L, decomposed + " menu"), (2L, composed + " menu"))
+    import spark.implicits._
+    val got = fps.toDF("doc_id", "text")
+      .select(TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(got(0) == got(1), "composed and decomposed page must share one fingerprint")
+  }
+
   test("the spark.sql.extensions injector exposes the same functions in a fresh session") {
     // newSession shares the SparkContext; apply the injector's registrations
     // through the builder path it is designed for
