@@ -937,6 +937,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q193_image_dhash_dups" -> ((s, d) => {
+      // X147 perceptual image dedup at hamming 0: real PNG render +
+      // decode + dHash; identical (dims, seed) renders are the exact-dup
+      // ground truth the oracle mirrors from the generator's formula
+      // twin injection: +96000 ≡ 0 (mod 48) keeps the width formula, so
+      // every base image gets one byte-identical copy (plus any natural
+      // same-(dims, source) coincidences — the oracle computes both)
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source").as("text"))
+      val media = Multimodal.fromTextAsImages(
+        base.union(base.select((col("doc_id") + 96000).as("doc_id"), col("text"))),
+        "doc_id", "text")
+      // pin-backed result; the Verify/Bench harnesses unpersist between
+      // queries (the round-7 hygiene), so no release dance here
+      Multimodal.imagePerceptualDups(media, maxHamming = 0)
+        .orderBy(col("id1"), col("id2"))
+    }),
     "q192_nfc_normalize" -> ((s, d) => {
       // X146 Unicode NFC canonicalization (codegen Expression): composed
       // and decomposed accents, combining-mark reordering, and Hangul
@@ -4339,6 +4356,16 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q193_image_dhash_dups" ->
+      """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
+         ad AS (SELECT doc_id, source FROM b
+           UNION ALL SELECT doc_id + 96000 AS doc_id, source FROM b),
+         m AS (SELECT doc_id, 16 + doc_id % 48 AS w,
+           16 + strlen(source) % 48 AS h, source FROM ad)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INT) AS hamming
+         FROM m a JOIN m b ON a.w = b.w AND a.h = b.h
+           AND a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""",
     "q192_nfc_normalize" ->
       s"""WITH t AS (SELECT v.doc_id, v.text FROM (VALUES
            (1, 'cafe' || chr(769) || ' menu'),

@@ -710,4 +710,88 @@ object Multimodal {
       col("kind"),
       length(col("payload")).cast(LongType).as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  /** 64-bit difference hash of a decoded image (the classic dHash:
+    * Krawetz, "Kind of Like That", 2013): downscale to 9x8, integer luma
+    * per pixel (the [[ImageCodec.lumaFeature]] BT.601 arithmetic — exact
+    * across JVMs), bit (y*8+x) set iff luma rises left-to-right between
+    * horizontally adjacent pixels. Identical payloads hash identically;
+    * rescaled/re-encoded variants land a few bits apart — the perceptual
+    * identity a byte-level md5 cannot see. */
+  private[operators] def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val s = ImageCodec.resize(img, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val rgb = s.getRGB(x, y)
+      (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x + 1, y) > luma(x, y)) h |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image dHash (X147): `(media_id, dhash)`, null for undecodable
+    * payloads (a 100 TB scan must not die on one corrupt file). JDK codec
+    * decode forces `mapPartitions` (the documented Catalyst-inexpressible
+    * exception); the pass is map-side only — payloads never shuffle. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageCodec.decode(r.getAs[Array[Byte]](1))
+        if (img == null) Row(r.getLong(0), null) else Row(r.getLong(0), dhashOf(img))
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup pairs (X147) over [[imageDHash]] sketches:
+    * `(id1, id2, hamming)` for pairs within `maxHamming` bits. The pair
+    * stage is the SimHash prefix-bucket discipline on 8-byte keys: the 64
+    * bits split into `numBands` contiguous blocks, and by pigeonhole a
+    * pair within `maxHamming < numBands` bits agrees EXACTLY on at least
+    * one block — candidates only form inside (band, block-value) buckets
+    * (sum-of-bucket-squares, never N²), then one codegen'd
+    * `bit_count(xor)` verifies true distance. Only (id, 8-byte hash)
+    * pairs shuffle; images stay in their scan partitions. The hash frame
+    * is pinned (eager localCheckpoint) so the decode pass runs ONCE, not
+    * once per join side — the returned frame is backed by that pin;
+    * callers release via [[graft.util.Pins.release]] after materializing
+    * (the [[Dedup.dedupGroups]] contract). */
+  def imagePerceptualDups(media: DataFrame, maxHamming: Int,
+      numBands: Int = 4): DataFrame = {
+    require(numBands >= 1 && 64 % numBands == 0,
+      s"numBands must divide 64, got $numBands")
+    require(maxHamming >= 0 && maxHamming < numBands,
+      s"pigeonhole guarantee needs maxHamming < numBands, got $maxHamming/$numBands")
+    val width = 64 / numBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashed = imageDHash(media).filter(col("dhash").isNotNull)
+      .localCheckpoint(true) // decode once; both join sides read the pin
+    val banded = hashed.select(col("media_id"), col("dhash"),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask)))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    pairs
+  }
 }

@@ -217,4 +217,58 @@ class MultimodalSuite extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     assert(feats == again)
   }
+
+  private def gradientImage(w: Int, h: Int, dx: Int, dy: Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, (x * dx * 255) / math.max(1, w) +
+        (y * dy * 255) / math.max(1, h))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dhashOf: the perceptual property — rescale-invariant-ish, content-sensitive") {
+    val a = gradientImage(64, 64, 1, 0)   // left-to-right ramp
+    val b = gradientImage(32, 32, 1, 0)   // same picture at half size
+    val c = gradientImage(64, 64, 0, 1)   // top-to-bottom ramp: different
+    val ha = Multimodal.dhashOf(a)
+    val hb = Multimodal.dhashOf(b)
+    val hc = Multimodal.dhashOf(c)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(ha, hb) <= 4,
+      s"same picture at two sizes must hash close, got ${ham(ha, hb)}")
+    assert(ham(ha, hc) >= 16,
+      s"orthogonal gradients must hash far apart, got ${ham(ha, hc)}")
+    // horizontal ramp: every adjacent pair rises -> all 64 bits set
+    assert(ha == -1L, s"monotone ramp sets every difference bit, got $ha")
+  }
+
+  test("imageDHash: identical payloads identical, undecodable null") {
+    // identical render needs identical dims: width keys on id % 48 -> 1 and 49
+    val twin = Seq((1L, "same seed"), (49L, "same seed"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsImages(twin, "doc_id", "text")
+    val hs = Multimodal.imageDHash(m).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dhash")).toMap
+    assert(hs(1L) == hs(49L), "identical renders must hash identically")
+    val corrupt = Seq((7L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.imageDHash(corrupt).head().isNullAt(1))
+  }
+
+  test("imagePerceptualDups: exact twins at hamming 0; pigeonhole guard rejected") {
+    val twin = Seq((1L, "dup content"), (49L, "dup content"), (3L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsImages(twin, "doc_id", "text")
+    val out = Multimodal.imagePerceptualDups(m, maxHamming = 0)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    graft.util.Pins.release(out)
+    assert(pairs == Seq((1L, 49L, 0)), s"got $pairs")
+    intercept[IllegalArgumentException](
+      Multimodal.imagePerceptualDups(m, maxHamming = 4, numBands = 4))
+    intercept[IllegalArgumentException](
+      Multimodal.imagePerceptualDups(m, maxHamming = 0, numBands = 7))
+  }
 }
