@@ -937,6 +937,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q194_pii_redact" -> ((s, d) => {
+      // X148 typed PII redaction over a fixture exercising each rule,
+      // the pinned order (URL consumes its embedded email), and the
+      // conservative phone form — appended to a corpus slice so the
+      // clean-row path runs at volume too
+      import s.implicits._
+      val fixture = Seq(
+        (900001L, "contact me at alice@example.com or bob@corp.net thanks"),
+        (900002L, "see https://example.com/a?x=1 and http://foo.org"),
+        (900003L, "server at 10.0.0.1 and 192.168.100.200 responded"),
+        (900004L, "call +1 555-123-4567 now"),
+        (900005L, "mail to carol@site.io via https://go.to/x?e=d@ve.com now"),
+        (900006L, "+44 20-7946-0958 at 8.8.8.8")
+      ).toDF("doc_id", "text")
+      val in = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).union(fixture)
+      TextAnalysis.piiRedact(in, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q193_image_dhash_dups" -> ((s, d) => {
       // X147 perceptual image dedup at hamming 0: real PNG render +
       // decode + dHash; identical (dims, seed) renders are the exact-dup
@@ -4356,6 +4375,40 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q194_pii_redact" ->
+      """WITH input AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 100
+           UNION ALL
+           SELECT v.doc_id, v.text FROM (VALUES
+             (900001, 'contact me at alice@example.com or bob@corp.net thanks'),
+             (900002, 'see https://example.com/a?x=1 and http://foo.org'),
+             (900003, 'server at 10.0.0.1 and 192.168.100.200 responded'),
+             (900004, 'call +1 555-123-4567 now'),
+             (900005, 'mail to carol@site.io via https://go.to/x?e=d@ve.com now'),
+             (900006, '+44 20-7946-0958 at 8.8.8.8')
+           ) v(doc_id, text)),
+         s1 AS (SELECT doc_id, text AS t0,
+             regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS t1
+           FROM input),
+         s2 AS (SELECT *, regexp_replace(t1,
+             '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+',
+             '<EMAIL>', 'g') AS t2 FROM s1),
+         s3 AS (SELECT *, regexp_replace(t2,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t3
+           FROM s2)
+         SELECT doc_id,
+           regexp_replace(t3, '\+[0-9][0-9 -]{5,13}[0-9]', '<PHONE>', 'g')
+             AS clean_text,
+           CAST(len(regexp_extract_all(t0, 'https?://[^ \t\n\x0B\f\r]+')) AS INT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(t1,
+             '[^ \t\n\x0B\f\r@]+@[^ \t\n\x0B\f\r@]+\.[^ \t\n\x0B\f\r@]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t2,
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t3, '\+[0-9][0-9 -]{5,13}[0-9]')) AS INT)
+             AS n_phones
+         FROM s3 ORDER BY doc_id""",
     "q193_image_dhash_dups" ->
       """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
          ad AS (SELECT doc_id, source FROM b

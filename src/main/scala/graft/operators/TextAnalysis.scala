@@ -127,6 +127,40 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_urls") > 0) || (col("n_emails") > 0))
   }
 
+  /** Typed PII redaction (X148) — the rewrite side of [[piiCounts]], per
+    * type: URLs → `<URL>`, e-mails → `<EMAIL>`, IPv4 literals → `<IP>`,
+    * international-format phone numbers → `<PHONE>`, plus the count of
+    * replacements each type actually performed. The four rewrites apply
+    * in a PINNED order (URL, e-mail, IP, phone) and each type's count is
+    * taken on the text AS THE PREVIOUS STEP LEFT IT — so an e-mail-shaped
+    * substring inside a URL query string is consumed by the URL rule and
+    * neither double-counts nor double-redacts (counts always equal
+    * replacements). Patterns are dialect-exact ([[Ws]] discipline, no
+    * lookarounds/backrefs); the IP rule is the standard dotted-quad
+    * approximation (no 0-255 range check) and the phone rule is
+    * deliberately conservative (`+`-prefixed international form only) —
+    * a looser rule would redact order ids and version strings, and a
+    * training pipeline prefers false negatives it can measure
+    * ([[piiCounts]]) over silent corpus damage. Per-row regexp
+    * projections end to end: codegen'd, shuffle-free, scan-parallel. */
+  def piiRedact(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val urlRe = s"https?://[^$Ws]+"
+    val emailRe = s"[^$Ws@]+@[^$Ws@]+\\.[^$Ws@]+"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phoneRe = "\\+[0-9][0-9 -]{5,13}[0-9]"
+    docs
+      .select(col(idCol), text.as("__t0"))
+      .withColumn("__t1", regexp_replace(col("__t0"), urlRe, "<URL>"))
+      .withColumn("__t2", regexp_replace(col("__t1"), emailRe, "<EMAIL>"))
+      .withColumn("__t3", regexp_replace(col("__t2"), ipRe, "<IP>"))
+      .select(col(idCol),
+        regexp_replace(col("__t3"), phoneRe, "<PHONE>").as("clean_text"),
+        regexp_count(col("__t0"), lit(urlRe)).as("n_urls"),
+        regexp_count(col("__t1"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("__t2"), lit(ipRe)).as("n_ips"),
+        regexp_count(col("__t3"), lit(phoneRe)).as("n_phones"))
+  }
+
   /** (doc_id, term) postings from a document frame — the shared front of
     * every term-level aggregate ([[tfidfTopTerms]], [[topTerms]],
     * [[graft.operators.Curation.corpusFreqScore]]): explode the

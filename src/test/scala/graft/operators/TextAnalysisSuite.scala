@@ -651,6 +651,29 @@ class TextAnalysisSuite extends AnyFunSuite {
         Seq(("t", "a b"), ("t", "A  B"))))  // same normalized row twice
   }
 
+  test("piiRedact: typed placeholders, pinned order, counts equal replacements") {
+    val docs = Seq(
+      (1L, "mail a@b.co or see https://x.io/q?user=c@d.ee plus 10.0.0.1 and +1 555-123-4567"),
+      (2L, "no pii here"),
+      (3L, "ip-ish 1234.5.6.7 and bare 5551234567")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getString(1) ==
+      "mail <EMAIL> or see <URL> plus <IP> and <PHONE>", r1.getString(1))
+    // the URL rule consumed c@d.ee: one email counted, not two
+    assert((r1.getInt(2), r1.getInt(3), r1.getInt(4), r1.getInt(5)) == ((1, 1, 1, 1)))
+    val r2 = out(2L)
+    assert(r2.getString(1) == "no pii here" &&
+      Seq(2, 3, 4, 5).forall(i => r2.getInt(i) == 0))
+    // documented approximations: dotted-quad rule has no 0-255 range
+    // check (suffix of 1234.5.6.7 matches); bare digits are NOT a phone
+    val r3 = out(3L)
+    assert(r3.getString(1) == "ip-ish 1<IP> and bare 5551234567", r3.getString(1))
+    assert(r3.getInt(4) == 1 && r3.getInt(5) == 0)
+  }
+
   test("domainGate: label-boundary suffix match, most-specific wins, nulls pass") {
     val hosts = Seq(
       (1L, Some("a.example.com")),      // under example.com
