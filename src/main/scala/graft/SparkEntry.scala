@@ -937,6 +937,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q195_bpe_fertility" -> ((s, d) => {
+      // X149 tokenizer fertility sweep: learn 5 merges (q173's trace),
+      // grade the 0/2/5-merge prefixes — corpus-weighted tokens-per-word
+      // and chars-per-token per candidate vocab, one corpus pass
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 5)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeFertility(docs, "doc_id", col("text"), merges, Seq(0, 2, 5))
+    }),
     "q194_pii_redact" -> ((s, d) => {
       // X148 typed PII redaction over a fixture exercising each rule,
       // the pinned order (URL consumes its embedded email), and the
@@ -4375,6 +4385,21 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q195_bpe_fertility" -> {
+      def gradeK(k: Int) =
+        s"""SELECT $k AS n_merges,
+           CAST(SUM(freq * (len(string_split(seq, ' ')) - 1)) AS BIGINT)
+             AS total_tokens,
+           ROUND(CAST(SUM(freq * (len(string_split(seq, ' ')) - 1)) AS DOUBLE)
+             / CAST(SUM(freq) AS DOUBLE), 6) AS avg_tokens_per_word,
+           ROUND(CAST(SUM(freq * len(term)) AS DOUBLE)
+             / CAST(SUM(freq * (len(string_split(seq, ' ')) - 1)) AS DOUBLE), 6)
+             AS avg_chars_per_token
+         FROM v$k"""
+      s"""WITH ${bpeVocabCtes(5)}
+         ${Seq(0, 2, 5).map(gradeK).mkString(" UNION ALL ")}
+         ORDER BY n_merges"""
+    },
     "q194_pii_redact" ->
       """WITH input AS (
            SELECT doc_id, text FROM documents WHERE doc_id < 100

@@ -959,6 +959,60 @@ object TextAnalysis {
     split(merged, " ")
   }
 
+  /** Tokenizer fertility sweep (X149) — the vocab-size design curve a
+    * tokenizer build reads before fixing its merge budget: for every
+    * candidate merge-count PREFIX of one learned merge table, the
+    * corpus-weighted tokens-per-word (fertility) and chars-per-token
+    * (compression) that tokenizer would produce. Token counts EXCLUDE
+    * the `</w>` end marker, so `k = 0` is exactly the char-level
+    * baseline (fertility = word length, compression = 1.0) and the
+    * curve's knee is readable directly.
+    *
+    * Scale shape: grading K candidates costs ONE corpus pass (the
+    * (term, freq) vocabulary), then a vocab-sized projection in which
+    * each candidate's segmentation EXTENDS the previous one (merge
+    * prefixes nest — candidates sorted, `merges.slice(prev, k)` applied
+    * incrementally, never k-from-scratch), one aggregate, and a literal
+    * explode of the K result structs — K vocab sizes, not K corpus
+    * walks (the X142 capacity-plan discipline). */
+  def bpeFertility(docs: DataFrame, idCol: String, text: Column,
+      merges: Seq[(String, String)], mergeCounts: Seq[Int]): DataFrame = {
+    require(mergeCounts.nonEmpty && mergeCounts.distinct == mergeCounts &&
+      mergeCounts.forall(k => k >= 0 && k <= merges.length),
+      s"mergeCounts must be distinct prefixes of the ${merges.length}-rule table, got $mergeCounts")
+    require(merges.length <= 256,
+      s"sweep segmentation is an expression chain; cap 256 merges, got ${merges.length}")
+    val sorted = mergeCounts.sorted
+    val vocab = postings(docs, idCol, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    var acc = bpeSeq(col("term"))
+    var prev = 0
+    val segCols = sorted.map { k =>
+      acc = merges.slice(prev, k).foldLeft(acc) {
+        case (a, (l, r)) => applyMerge(a, l, r)
+      }
+      prev = k
+      (size(split(acc, " ")) - 1).cast(LongType).as(s"__n$k")
+    }
+    val graded = vocab.select(Seq(col("freq"),
+      length(col("term")).cast(LongType).as("__chars")) ++ segCols: _*)
+    val aggs = Seq(
+      sum(col("freq")).as("__w"),
+      sum(col("freq") * col("__chars")).as("__ch")) ++
+      sorted.map(k => sum(col("freq") * col(s"__n$k")).as(s"__tok$k"))
+    graded.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(sorted.map(k => struct(
+        lit(k).as("n_merges"),
+        col(s"__tok$k").as("total_tokens"),
+        round(col(s"__tok$k").cast(DoubleType) / col("__w").cast(DoubleType), 6)
+          .as("avg_tokens_per_word"),
+        round(col("__ch").cast(DoubleType) / col(s"__tok$k").cast(DoubleType), 6)
+          .as("avg_chars_per_token"))): _*)).as("g"))
+      .select(col("g.n_merges"), col("g.total_tokens"),
+        col("g.avg_tokens_per_word"), col("g.avg_chars_per_token"))
+      .orderBy(col("n_merges"))
+  }
+
   // ---- URL normalization ------------------------------------------------
 
   /** Multi-label public suffixes the registrable-domain cut recognizes —

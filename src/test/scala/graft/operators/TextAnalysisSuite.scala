@@ -651,6 +651,33 @@ class TextAnalysisSuite extends AnyFunSuite {
         Seq(("t", "a b"), ("t", "A  B"))))  // same normalized row twice
   }
 
+  test("bpeFertility: k=0 char baseline, fertility falls as merges apply, bad grids rejected") {
+    // 'low' repeated: merges learned on it collapse it fast
+    val docs = Seq((1L, "low low low lower"), (2L, "low slow")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "doc_id", col("text"), 4)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeFertility(docs, "doc_id", col("text"), merges, Seq(0, 2, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0, 2, 4))
+    // k = 0: every word char-segmented — fertility = weighted mean word
+    // length, compression exactly 1.0
+    val words = Seq("low", "low", "low", "lower", "low", "slow")
+    val meanLen = words.map(_.length).sum.toDouble / words.size
+    assert(out(0)._2 == words.map(_.length).sum.toLong)
+    assert(math.abs(out(0)._3 - meanLen) < 1e-6 && out(0)._4 == 1.0)
+    // more merges never increase token counts; compression is the inverse
+    assert(out(1)._2 <= out(0)._2 && out(2)._2 <= out(1)._2)
+    assert(out(2)._3 < out(0)._3, "4 merges on this corpus must cut fertility")
+    for (i <- out.indices)
+      assert(math.abs(out(i)._4 * out(i)._2 - out(0)._2) < 1e-3 * out(0)._2,
+        "chars/token * tokens ~ total chars")
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeFertility(docs, "doc_id", col("text"), merges, Seq(0, 9)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeFertility(docs, "doc_id", col("text"), merges, Nil))
+  }
+
   test("piiRedact: typed placeholders, pinned order, counts equal replacements") {
     val docs = Seq(
       (1L, "mail a@b.co or see https://x.io/q?user=c@d.ee plus 10.0.0.1 and +1 555-123-4567"),
