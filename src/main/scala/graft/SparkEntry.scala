@@ -937,6 +937,48 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q199_audio_envelope_dups" -> ((s, d) => {
+      // X153 perceptual audio dedup at hamming 0: real WAV render +
+      // decode + envelope hash; the generator keys each clip by its text
+      // alone, so same-source twins (and the +96000 byte-identical
+      // copies) are the exact-dup ground truth the oracle mirrors
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source").as("text"))
+      val media = Multimodal.fromTextAsWavs(
+        base.union(base.select((col("doc_id") + 96000).as("doc_id"), col("text"))),
+        "doc_id", "text")
+      // pin-backed result; the Verify/Bench harnesses unpersist between
+      // queries
+      Multimodal.audioPerceptualDups(media, maxHamming = 0, numBands = 4)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    "q198_calibration" -> ((s, d) =>
+      // X152 reliability diagram over the q197 classifier: 10 prob bins,
+      // per-bin confidence vs empirical positive rate + ECE terms — the
+      // check run before trusting the filter's 0.5 cut
+      Curation.calibrationCurve(
+        Curation.qualityClassifier(t(s, d, "documents"), "doc_id", col("text"),
+          col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          dims = 16, iters = 3, lr = 0.5),
+        col("prob"), col("label"), bins = 10)
+        .orderBy(col("bin"))),
+    "q197_quality_classifier" -> ((s, d) =>
+      // X151 trained quality classifier: 3 full-batch LR rounds over 16
+      // hashed bag-of-words bits, positives = src0..src4 — the TRAINING
+      // itself is replayed bit-for-bit by the oracle's unrolled CTEs
+      // (integer-quantized gradients make the reduce order-independent)
+      Curation.qualityClassifier(t(s, d, "documents"), "doc_id", col("text"),
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        dims = 16, iters = 3, lr = 0.5)
+        .orderBy(col("doc_id"))),
+    "q196_unimax" -> ((s, d) =>
+      // X150 UniMax allocation: waterfill a 48k-token budget over the
+      // corpus sources under a 2-epoch repetition cap — token-poor
+      // sources cap out, the rest share one water level
+      Curation.uniMaxPlan(t(s, d, "documents"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType),
+        totalBudget = 48000L, maxEpochs = 2)
+        .orderBy(col("source"))),
     "q195_bpe_fertility" -> ((s, d) => {
       // X149 tokenizer fertility sweep: learn 5 merges (q173's trace),
       // grade the 0/2/5-merge prefixes — corpus-weighted tokens-per-word
@@ -2053,6 +2095,50 @@ object SparkEntry {
   private def toksSqlOn(c: String) =
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
+
+  /** The q197/q198 label: curated positives = src0..src4. */
+  private val lrYSql =
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 ELSE 0 END"
+
+  /** SQL replay of [[graft.operators.Curation.qualityClassifier]]'s full
+    * training run (X151): the same hashed bitmask, the same left-assoc
+    * logit chain, integer-quantized residuals, and one unrolled
+    * (gradient CTE, weight CTE) pair per iteration — DuckDB re-derives
+    * the learned weights rather than trusting the engine's. */
+  private def lrScoredSql(dims: Int, iters: Int, lr: Double,
+      ySql: String): String = {
+    val hash = s"CAST(CAST(concat('0x', substr(md5(t), 1, 7)) AS BIGINT) % $dims AS INT)"
+    def z(pfx: String) = (0 until dims).foldLeft(s"${pfx}_b") { (acc, j) =>
+      s"($acc + CASE WHEN (mask >> $j) & 1 = 1 THEN ${pfx}_w$j ELSE 0.0 END)" }
+    def pSql(pfx: String) = s"1.0/(1.0 + exp(-(${z(pfx)})))"
+    val w0 = (0 until dims).map(j => s"0.0 AS w0_w$j").mkString(", ") +
+      ", 0.0 AS w0_b"
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"w${k - 1}"
+      val gs = (0 until dims).map(j =>
+        s"SUM(CASE WHEN (mask >> $j) & 1 = 1 THEN ri ELSE 0 END) AS g$j")
+        .mkString(", ")
+      val ws = (0 until dims).map(j =>
+        s"${prev}_w$j - $lr * (CAST(g$j AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS w${k}_w$j")
+        .mkString(", ")
+      s"""r$k AS (SELECT mask, y,
+           CAST(ROUND((${pSql(prev)} - y) * 1000000.0, 0) AS BIGINT) AS ri
+           FROM f, $prev),
+         g$k AS (SELECT $gs, SUM(ri) AS gb, COUNT(*) AS n FROM r$k),
+         w$k AS (SELECT $ws,
+           ${prev}_b - $lr * (CAST(gb AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS w${k}_b
+           FROM $prev, g$k)"""
+    }.mkString(",\n         ")
+    s"""WITH f AS (SELECT doc_id, $ySql AS y,
+           COALESCE((SELECT bit_or(1::BIGINT << $hash)
+             FROM unnest($toksSql) AS u(t)), 0) AS mask
+           FROM documents),
+         w0 AS (SELECT $w0),
+         $iterCtes
+         SELECT doc_id, y AS label,
+           ROUND(${pSql(s"w$iters")}, 6) AS prob
+         FROM f, w$iters"""
+  }
 
   /** SQL mirror of [[syntheticUrls]] — the same doc_id-keyed noise. */
   private val syntheticUrlsSql =
@@ -4385,6 +4471,60 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q199_audio_envelope_dups" ->
+      """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
+         ad AS (SELECT doc_id, source FROM b
+           UNION ALL SELECT doc_id + 96000 AS doc_id, source FROM b)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS INT) AS hamming
+         FROM ad a JOIN ad b ON a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""",
+    "q197_quality_classifier" ->
+      s"""SELECT doc_id, label, prob, prob >= 0.5 AS pred
+         FROM (${lrScoredSql(16, 3, 0.5, lrYSql)}) ORDER BY doc_id""",
+    "q198_calibration" ->
+      s"""WITH s AS (${lrScoredSql(16, 3, 0.5, lrYSql)}),
+         b AS (SELECT CAST(GREATEST(0, LEAST(9, FLOOR(prob * 10))) AS INT) AS bin,
+             label, prob FROM s),
+         t AS (SELECT COUNT(*) AS nt FROM b),
+         a AS (SELECT bin, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(prob, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_prob,
+             ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+           FROM b GROUP BY 1)
+         SELECT bin, n, mean_prob, pos_rate,
+           ROUND(pos_rate - mean_prob, 6) AS gap,
+           ROUND(CAST(n AS DOUBLE) / nt * ABS(ROUND(pos_rate - mean_prob, 6)), 6)
+             AS ece_term
+         FROM a, t ORDER BY bin""",
+    "q196_unimax" ->
+      s"""WITH tc AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS t FROM documents),
+         per AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS tokens_avail FROM tc GROUP BY 1),
+         c AS (SELECT source, n_docs, tokens_avail,
+             tokens_avail * 2 AS cap_tokens FROM per),
+         w AS (SELECT *,
+             CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+             ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS r,
+             COUNT(*) OVER () AS n
+           FROM c),
+         f AS (SELECT *, (cap_tokens * (n - r + 1) <= 48000 - pfx) AS capped FROM w),
+         g AS (SELECT *,
+             CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0)
+               AS BIGINT) AS capped_sum,
+             n - SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_uncapped
+           FROM f)
+         SELECT source, n_docs, tokens_avail, cap_tokens, capped,
+           ROUND(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+             ELSE CAST(48000 - capped_sum AS DOUBLE) / n_uncapped END, 6)
+             AS alloc_tokens,
+           CASE WHEN tokens_avail > 0 THEN ROUND(
+             (CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+               ELSE CAST(48000 - capped_sum AS DOUBLE) / n_uncapped END)
+             / CAST(tokens_avail AS DOUBLE), 6) END AS epochs,
+           CAST(CASE WHEN n_uncapped = 0 THEN 48000 - capped_sum ELSE 0 END
+             AS BIGINT) AS budget_left
+         FROM g ORDER BY source""",
     "q195_bpe_fertility" -> {
       def gradeK(k: Int) =
         s"""SELECT $k AS n_merges,

@@ -462,6 +462,204 @@ object Curation {
         greatest(lit(0L), col("tokens_target") - col("tokens_avail")).as("deficit"))
   }
 
+  /** UniMax budget allocation (X150; Chung et al., "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023, arXiv 2304.09151): split a total token
+    * budget across sources as UNIFORMLY as possible, capping every
+    * source at `maxEpochs` passes over its material — the
+    * repetition-bounded alternative to [[mixturePlan]]'s declared shares
+    * (and the Muennighoff 2305.16264 finding that ≳4 epochs of repeats
+    * stop helping made the epoch cap the standard mixture control).
+    *
+    * UniMax's greedy loop (ascending by capacity, each source takes
+    * `min(cap, remaining/remaining_sources)`) equals the classic
+    * waterfilling closed form, which is what this computes: with sources
+    * sorted ascending by `cap = maxEpochs·tokens_avail`, the uniform
+    * level only RISES as capped sources drop out, so the capped set is a
+    * prefix of the sort order and each row decides itself locally —
+    * `capped ⇔ cap·n_remaining ≤ budget − prefix_cap_sum`. Uncapped
+    * sources all land on one water level
+    * `(budget − Σ capped caps) / n_uncapped`. `budget_left` > 0 (same
+    * scalar on every row) means total capacity under the cap cannot
+    * absorb the budget — raise `maxEpochs` or add data.
+    *
+    * Determinism: caps and prefix sums are exact Long arithmetic
+    * (overflow-safe to ~1e18 token-epochs — beyond any corpus), ties
+    * order by (cap, source), the water level is the single double
+    * division, outputs round-6. Scale shape: one map-side-combined
+    * aggregate collapses the corpus to ≤|sources| rows; the windows run
+    * on that BOUNDED side frame (the [[mixtureDrift]] justification —
+    * |sources| is config-sized, not corpus-sized), corpus rows never
+    * shuffle. */
+  def uniMaxPlan(docs: DataFrame, source: Column, tokensCol: Column,
+      totalBudget: Long, maxEpochs: Int): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val per = docs.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol).cast(LongType).as("tokens_avail"))
+      .withColumn("cap_tokens", col("tokens_avail") * maxEpochs)
+    val ord = Window.orderBy(col("cap_tokens"), col("source"))
+    val all = Window.partitionBy(lit(1))
+    val staged = per
+      .withColumn("__prefix", coalesce(sum(col("cap_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__r", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__n") - col("__r") + lit(1L)) <=
+          lit(totalBudget) - col("__prefix"))
+    val leveled = staged
+      .withColumn("__capped_sum", coalesce(
+        sum(when(col("capped"), col("cap_tokens"))).over(all), lit(0L)))
+      .withColumn("__n_uncapped",
+        col("__n") - sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("__level",
+        // guarded: with every source capped there is no water level (ANSI
+        // div-by-zero otherwise) — the capped branch below never reads it
+        when(col("__n_uncapped") > 0,
+          (lit(totalBudget) - col("__capped_sum")).cast(DoubleType) /
+            col("__n_uncapped").cast(DoubleType)))
+    leveled.select(col("source"), col("n_docs"), col("tokens_avail"),
+      col("cap_tokens"), col("capped"),
+      round(when(col("capped"), col("cap_tokens").cast(DoubleType))
+        .otherwise(col("__level")), 6).as("alloc_tokens"),
+      when(col("tokens_avail") > 0, round(
+        when(col("capped"), col("cap_tokens").cast(DoubleType))
+          .otherwise(col("__level")) /
+        col("tokens_avail").cast(DoubleType), 6)).as("epochs"),
+      when(col("__n_uncapped") === 0,
+        lit(totalBudget) - col("__capped_sum")).otherwise(lit(0L))
+        .as("budget_left"))
+  }
+
+  /** Hashed bag-of-words feature bitmask for [[qualityClassifier]]: bit
+    * `j` is set iff some token of `text` hashes to `j` under the 28-bit
+    * md5 bucket hash (the engine-wide [[graft.util.Sampling]] /
+    * minhash idiom, so the DuckDB twin is exact). Presence, not counts —
+    * the hashing-trick feature map of fastText/CCNet-style quality
+    * classifiers (Joulin et al. 1607.01759; Wenzek et al. 1911.00359) at
+    * the smallest useful width. Bit-OR is order-independent, so the
+    * per-row array fold needs no ordering contract; no shuffle. */
+  def featureMask(text: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 60,
+      s"dims must be in [1,60] (bitmask packs into one Long), got $dims")
+    val h = (t: Column) =>
+      (conv(substring(md5(t), 1, 7), 16, 10).cast(LongType) % dims)
+        .cast(IntegerType)
+    coalesce(aggregate(TextAnalysis.tokens(text), lit(0L),
+      (acc, t) => acc.bitwiseOR(call_function("shiftleft", lit(1L), h(t)))),
+      lit(0L))
+  }
+
+  /** Trained quality classifier (X151): full-batch logistic regression
+    * over [[featureMask]]'s hashed bag-of-words bits — the
+    * curated-vs-crawl quality filter of GPT-3 (Brown et al. 2005.14165
+    * §A) and CCNet (Wenzek et al. 1911.00359), where `label` marks the
+    * curated positives (e.g. `source` membership) and the learned model
+    * scores every document's "looks curated" probability. Training runs
+    * HERE, distributed, and is oracle-reproducible bit-for-bit — not a
+    * fixture of pretrained weights.
+    *
+    * Determinism by construction, the property that lets a DuckDB oracle
+    * replay the whole training run: (1) per-doc logits are a FIXED
+    * left-associated add chain over bit tests (identical IEEE tree in
+    * both engines — never a data-ordered sum of feature weights); (2)
+    * per-doc residuals quantize to 1e-6 (`round((p−y)·1e6)` as Long), so
+    * gradient accumulation is an EXACT integer sum — order-independent
+    * across partitions, no float-reduction nondeterminism; (3) the
+    * driver's weight update `w − lr·((g/n)/1e6)` is a pinned double op
+    * sequence the oracle mirrors verbatim. Init w=0,b=0. The only
+    * engine-sensitive step is libm `exp`, already carried at round-6 by
+    * every ppl/KL query on the board; residual quantization keeps a
+    * 1-ulp `exp` divergence from compounding across iterations unless it
+    * lands exactly on a 0.5e-6 boundary.
+    *
+    * Scale shape: ONE corpus pass builds (id, y, mask) — 17 bytes of
+    * model-relevant state per doc, text never reread; that staging is
+    * pinned once (eager localCheckpoint) and each of the `iters`
+    * driver-sequenced rounds is one map-side-combined aggregate
+    * producing dims+2 longs (a single reduce row — the gradient), the
+    * driver holds only the dims+1 weights. Returned scores are BACKED by
+    * the pin — callers release via [[graft.util.Pins.release]] after
+    * materializing (the [[graft.operators.Dedup.dedupGroups]] contract).
+    *
+    * Returns (id, label, prob, pred): prob round-6, pred = prob ≥ 0.5 on
+    * the ROUNDED prob (pinning the tie surface cross-engine). */
+  def qualityClassifier(docs: DataFrame, idCol: String, text: Column,
+      label: Column, dims: Int, iters: Int, lr: Double): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    val staged = docs.select(col(idCol),
+        label.cast(IntegerType).as("label"),
+        featureMask(text, dims).as("__mask"))
+      .localCheckpoint(true)
+    val w = Array.fill(dims)(0.0)
+    var b = 0.0
+    def bit(j: Int) =
+      shiftright(col("__mask"), j).bitwiseAND(lit(1L)) === lit(1L)
+    // ((b + t0) + t1) + ... — the left-assoc chain the oracle mirrors
+    def z = (0 until dims).foldLeft(lit(b)) { (acc, j) =>
+      acc + when(bit(j), lit(w(j))).otherwise(lit(0.0)) }
+    def p = lit(1.0) / (lit(1.0) + exp(-z))
+    for (_ <- 1 to iters) {
+      val ri = round((p - col("label")) * lit(1000000.0)).cast(LongType)
+      val aggs = (0 until dims).map(j =>
+        sum(when(bit(j), ri).otherwise(lit(0L))).as(s"g$j")) ++
+        Seq(sum(ri).as("gb"), count(lit(1)).as("n"))
+      val row = staged.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(dims + 1).toDouble
+      var j = 0
+      while (j < dims) {
+        w(j) = w(j) - lr * (row.getLong(j).toDouble / n / 1000000.0); j += 1 }
+      b = b - lr * (row.getLong(dims).toDouble / n / 1000000.0)
+    }
+    val prob = round(p, 6)
+    staged.select(col(idCol), col("label"), prob.as("prob"),
+      (prob >= lit(0.5)).as("pred"))
+  }
+
+  /** Classifier calibration curve + ECE terms (X152; reliability diagram
+    * of Guo et al. 1706.04599 §2): equal-width probability bins over a
+    * scored frame (e.g. [[qualityClassifier]] output), per bin the count,
+    * mean predicted probability (confidence), empirical positive rate
+    * (accuracy), their gap, and the bin's Expected Calibration Error
+    * term `(n/N)·|gap|` — sum `ece_term` for ECE (the [[mixtureDrift]]
+    * reader-sums convention). The diagnostic read before TRUSTING a
+    * quality filter's threshold: a miscalibrated classifier at cut 0.5
+    * silently shifts the corpus mixture.
+    *
+    * Determinism: bin = clamped `floor(prob·bins)` (pure IEEE, identical
+    * cross-engine); confidence accumulates round-6 probs in
+    * DECIMAL(38,6) (exact, order-independent — the [[dsirWeights]]
+    * discipline); rates/gaps round-6 with the gap computed FROM the
+    * rounded columns (pinned tie surface). Scale shape: one map-side-
+    * combined aggregate collapses the corpus to ≤bins rows; the total
+    * rides back as one broadcast row. Returns
+    * (bin, n, mean_prob, pos_rate, gap, ece_term). */
+  def calibrationCurve(scored: DataFrame, prob: Column, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in [1,1000], got $bins")
+    val dec = DataTypes.createDecimalType(38, 6)
+    val base = scored.select(prob.cast(DoubleType).as("p"),
+      label.cast(IntegerType).as("y"))
+    val binned = base.withColumn("bin",
+      greatest(lit(0), least(lit(bins - 1), floor(col("p") * bins)))
+        .cast(IntegerType))
+    val tot = binned.agg(count(lit(1)).as("nt"))
+    val agg = binned.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      round(sum(round(col("p"), 6).cast(dec)).cast(DoubleType) /
+        count(lit(1)), 6).as("mean_prob"),
+      round(sum(col("y")).cast(DoubleType) / count(lit(1)), 6).as("pos_rate"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("gap", round(col("pos_rate") - col("mean_prob"), 6))
+      .select(col("bin"), col("n"), col("mean_prob"), col("pos_rate"),
+        col("gap"),
+        round(col("n").cast(DoubleType) / col("nt") * abs(col("gap")), 6)
+          .as("ece_term"))
+  }
+
   /** Mixture drift between two corpus snapshots (X89): per-source share
     * shift plus each source's KL(new‖old) and Jensen–Shannon terms — the
     * drift alarm a recurring crawl runs BEFORE training on a new cut.

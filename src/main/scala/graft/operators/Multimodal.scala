@@ -769,29 +769,109 @@ object Multimodal {
     * (the [[Dedup.dedupGroups]] contract). */
   def imagePerceptualDups(media: DataFrame, maxHamming: Int,
       numBands: Int = 4): DataFrame = {
+    val hashed = imageDHash(media).filter(col("dhash").isNotNull)
+      .localCheckpoint(true) // decode once; both join sides read the pin
+    hammingPairs(hashed, "dhash", maxHamming, numBands)
+  }
+
+  /** Shared pair stage of the perceptual-dup family (X147 images, X153
+    * audio): the SimHash prefix-bucket discipline on 64-bit sketches —
+    * split into `numBands` contiguous blocks, and by pigeonhole a pair
+    * within `maxHamming < numBands` bits agrees EXACTLY on at least one
+    * block, so candidates only form inside (band, block-value) buckets
+    * (sum-of-bucket-squares, never N²); one codegen'd `bit_count(xor)`
+    * verifies true distance. Only (id, 8-byte hash) rows shuffle. */
+  private[operators] def hammingPairs(hashed: DataFrame, hashCol: String,
+      maxHamming: Int, numBands: Int): DataFrame = {
     require(numBands >= 1 && 64 % numBands == 0,
       s"numBands must divide 64, got $numBands")
     require(maxHamming >= 0 && maxHamming < numBands,
       s"pigeonhole guarantee needs maxHamming < numBands, got $maxHamming/$numBands")
     val width = 64 / numBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val hashed = imageDHash(media).filter(col("dhash").isNotNull)
-      .localCheckpoint(true) // decode once; both join sides read the pin
-    val banded = hashed.select(col("media_id"), col("dhash"),
+    val banded = hashed.select(col("media_id"), col(hashCol),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
-          (shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask)))
+          (shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)))
             .as("key"))): _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col(hashCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    pairs
+  }
+
+  /** 64-bit envelope-difference hash of a PCM clip (X153) — the audio
+    * analogue of [[dhashOf]]: 65 equal time windows of mean absolute
+    * amplitude, bit `i` set iff window `i+1` is louder than window `i`.
+    * Comparing CONSECUTIVE window means makes the sketch invariant under
+    * uniform gain (both sides of each comparison scale together) and
+    * robust to re-encoding — the perceptual identity a byte-md5 cannot
+    * see. Exactness: window sums are integer; means compare by
+    * cross-multiplication `sum_{i+1}·cnt_i > sum_i·cnt_{i+1}` — no
+    * division, no floats, identical on every JVM (overflow-safe to ~1e6
+    * samples/window, ~2 h of 8 kHz audio per clip). Returns null for
+    * clips under 65 samples (too short to fingerprint — the scan must
+    * not die). */
+  private[operators] def ahashOf(samples: Array[Short]): java.lang.Long = {
+    val n = samples.length
+    if (n < 65) return null
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val lo = (w.toLong * n / 65).toInt
+      val hi = ((w + 1).toLong * n / 65).toInt
+      var i = lo
+      var s = 0L
+      while (i < hi) { s += math.abs(samples(i).toInt); i += 1 }
+      sums(w) = s; cnts(w) = hi - lo
+      w += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b + 1) * cnts(b) > sums(b) * cnts(b + 1)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Per-clip envelope hash (X153): `(media_id, ahash)`, null for
+    * undecodable or sub-65-sample payloads. JDK codec decode forces
+    * `mapPartitions` (the documented Catalyst-inexpressible exception);
+    * map-side only — payloads never shuffle. */
+  def audioEnvelopeHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val dec = AudioCodec.decodeWav(r.getAs[Array[Byte]](1))
+        if (dec == null) Row(r.getLong(0), null)
+        else Row(r.getLong(0), ahashOf(dec._2))
+      }
+    }(enc)
+  }
+
+  /** Perceptual audio near-dup pairs (X153) over [[audioEnvelopeHash]]
+    * sketches: `(id1, id2, hamming)` within `maxHamming` bits, via the
+    * shared [[hammingPairs]] pigeonhole banding. Identical payloads hash
+    * identically; re-gained/re-encoded variants land a few bits apart.
+    * The hash frame is pinned (eager localCheckpoint) so the decode pass
+    * runs ONCE, not once per join side — the returned frame is backed by
+    * that pin; callers release via [[graft.util.Pins.release]] after
+    * materializing (the [[Dedup.dedupGroups]] contract). */
+  def audioPerceptualDups(media: DataFrame, maxHamming: Int,
+      numBands: Int = 4): DataFrame = {
+    val hashed = audioEnvelopeHash(media).filter(col("ahash").isNotNull)
+      .localCheckpoint(true) // decode once; both join sides read the pin
+    hammingPairs(hashed, "ahash", maxHamming, numBands)
   }
 }

@@ -506,4 +506,243 @@ class CurationSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curation.curriculumOrder(docs, "doc_id", col("s"), 4, ""))
   }
+
+  /** UniMax's own greedy loop (ascending capacity, each source takes
+    * min(cap, remaining/remaining_sources)) — the paper-literal
+    * reference the waterfill closed form must equal. */
+  private def uniMaxGreedy(caps: Seq[(String, Long)], budget: Long): Map[String, Double] = {
+    val sorted = caps.sortBy { case (s, c) => (c, s) }
+    var remaining = budget.toDouble
+    var k = sorted.size
+    val out = scala.collection.mutable.Map[String, Double]()
+    for ((s, cap) <- sorted) {
+      val share = remaining / k
+      val take = math.min(cap.toDouble, share)
+      out(s) = take
+      remaining -= take
+      k -= 1
+    }
+    out.toMap
+  }
+
+  test("uniMaxPlan: hand fixture — small source caps out, rest share one level") {
+    // tokens: a=10, b=40, c=100; epochs cap 2 -> caps 20/80/200; budget 150
+    // a capped at 20; level = (150-20)/2 = 65 <= 80,200 -> b,c at 65
+    val docs = Seq(
+      ("a", 10L), ("b", 25L), ("b", 15L), ("c", 100L)
+    ).toDF("src", "toks")
+    val out = Curation.uniMaxPlan(docs, col("src"), col("toks"), 150L, 2)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 10L, 20L, true, 20.0, 2.0, 0L),
+      ("b", 2L, 40L, 80L, false, 65.0, 1.625, 0L),
+      ("c", 1L, 100L, 200L, false, 65.0, 0.65, 0L)))
+  }
+
+  test("uniMaxPlan: all sources capped reports the unallocatable budget_left") {
+    val docs = Seq(("a", 10L), ("b", 20L)).toDF("src", "toks")
+    val out = Curation.uniMaxPlan(docs, col("src"), col("toks"), 1000L, 3)
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getBoolean(4), r.getDouble(5), r.getLong(7)))
+    // caps 30 + 60 = 90 < 1000: everything capped, 910 left on the table
+    assert(out.toSeq === Seq(("a", true, 30.0, 910L), ("b", true, 60.0, 910L)))
+  }
+
+  test("uniMaxPlan: budget under every cap splits uniformly, nothing capped") {
+    val docs = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("src", "toks")
+    val out = Curation.uniMaxPlan(docs, col("src"), col("toks"), 90L, 1)
+      .collect().map(r => (r.getString(0), r.getBoolean(4), r.getDouble(5))).toSeq
+    assert(out.forall(t => !t._2 && t._3 === 30.0))
+  }
+
+  test("differential: uniMaxPlan equals the paper's greedy loop on random corpora") {
+    val rnd = new scala.util.Random(150)
+    for (trial <- 1 to 8) {
+      val nSrc = 2 + rnd.nextInt(8)
+      val rows = (0 until nSrc).flatMap { i =>
+        val nDocs = 1 + rnd.nextInt(4)
+        Seq.fill(nDocs)((s"s$i", rnd.nextInt(200).toLong))
+      }
+      val epochs = 1 + rnd.nextInt(4)
+      val budget = 1L + rnd.nextInt(3000)
+      val caps = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum * epochs).toSeq.map(t => (t._1, t._2))
+      val want = uniMaxGreedy(caps, budget)
+      val got = Curation.uniMaxPlan(rows.toDF("src", "toks"), col("src"),
+        col("toks"), budget, epochs).collect()
+        .map(r => r.getString(0) -> r.getDouble(5)).toMap
+      want.foreach { case (s, alloc) =>
+        assert(math.abs(got(s) - alloc) < 1e-5,
+          s"trial $trial source $s: greedy $alloc vs waterfill ${got(s)} " +
+            s"(caps=$caps budget=$budget)")
+      }
+      // allocations exhaust min(budget, total capacity)
+      val totalCap = caps.map(_._2).sum
+      assert(math.abs(got.values.sum - math.min(budget.toDouble, totalCap.toDouble)) < 1e-4)
+    }
+  }
+
+  // ---- X151 trained quality classifier -----------------------------------
+
+  /** The engine's 28-bit md5 bucket hash, in-memory. */
+  private def md5Bucket(t: String, dims: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % dims).toInt
+  }
+
+  private def halfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact in-memory replay of qualityClassifier's training: same hash,
+    * same left-assoc logit chain, same 1e-6 residual quantization, same
+    * driver update op order — outputs must match BIT-FOR-BIT. */
+  private def lrReference(docs: Seq[(Long, String, Int)], dims: Int,
+      iters: Int, lr: Double): Map[Long, Double] = {
+    val masks = docs.map { case (id, text, y) =>
+      val m = text.trim.toLowerCase.split(" +").filter(_.nonEmpty)
+        .foldLeft(0L)((acc, t) => acc | (1L << md5Bucket(t, dims)))
+      (id, m, y)
+    }
+    val w = Array.fill(dims)(0.0); var b = 0.0
+    def p(mask: Long): Double = {
+      var z = b
+      var j = 0
+      while (j < dims) { z = z + (if (((mask >> j) & 1L) == 1L) w(j) else 0.0); j += 1 }
+      1.0 / (1.0 + math.exp(-z))
+    }
+    for (_ <- 1 to iters) {
+      val g = Array.fill(dims)(0L); var gb = 0L
+      masks.foreach { case (_, m, y) =>
+        val ri = BigDecimal((p(m) - y) * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        var j = 0
+        while (j < dims) { if (((m >> j) & 1L) == 1L) g(j) += ri; j += 1 }
+        gb += ri
+      }
+      val n = masks.size.toDouble
+      var j = 0
+      while (j < dims) { w(j) = w(j) - lr * (g(j).toDouble / n / 1000000.0); j += 1 }
+      b = b - lr * (gb.toDouble / n / 1000000.0)
+    }
+    masks.map { case (id, m, _) => id -> halfUp(p(m), 6) }.toMap
+  }
+
+  test("featureMask: known tokens set their md5 buckets; order/duplication-free") {
+    val dims = 16
+    val out = Seq((1L, "hello world hello"), (2L, "world hello"), (3L, "  "))
+      .toDF("id", "text")
+      .select(col("id"), Curation.featureMask(col("text"), dims).as("m"))
+      .orderBy(col("id")).as[(Long, Long)].collect()
+    val want = (1L << md5Bucket("hello", dims)) | (1L << md5Bucket("world", dims))
+    assert(out(0)._2 === want)
+    assert(out(1)._2 === want, "mask is a set: order and multiplicity free")
+    // whitespace-only text tokenizes to [""] — the empty token's bucket
+    assert(out(2)._2 === (1L << md5Bucket("", dims)))
+    intercept[IllegalArgumentException](Curation.featureMask(col("text"), 0))
+    intercept[IllegalArgumentException](Curation.featureMask(col("text"), 61))
+  }
+
+  test("qualityClassifier: learns a separable corpus; pinned outputs partition-invariant") {
+    val rnd = new scala.util.Random(151)
+    val noise = Vector("lorem", "ipsum", "dolor", "sit", "amet", "elit")
+    val docs = (1L to 80L).map { id =>
+      val pos = id % 4 == 0
+      val marker = if (pos) "curated encyclopedia" else "spam click"
+      val body = Seq.fill(4)(noise(rnd.nextInt(noise.size))).mkString(" ")
+      (id, s"$marker $body", if (pos) 1 else 0)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    val out = Curation.qualityClassifier(df, "doc_id", col("text"),
+      col("y") === 1, dims = 16, iters = 5, lr = 1.0)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    graft.util.Pins.release(out)
+    val posMean = rows.filter(_._2 == 1).map(_._3).sum / rows.count(_._2 == 1)
+    val negMean = rows.filter(_._2 == 0).map(_._3).sum / rows.count(_._2 == 0)
+    assert(posMean > negMean + 0.1,
+      s"training separates the marked positives: pos=$posMean neg=$negMean")
+    // partitioning cannot change anything: integer gradient sums are
+    // order-independent, so weights — and every prob — are identical
+    val out2 = Curation.qualityClassifier(df.repartition(7), "doc_id",
+      col("text"), col("y") === 1, dims = 16, iters = 5, lr = 1.0)
+    val rows2 = out2.collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    graft.util.Pins.release(out2)
+    rows.foreach { case (id, _, prob, _) =>
+      assert(rows2(id) === prob, s"doc $id prob differs across partitionings") }
+  }
+
+  test("differential: qualityClassifier training replays bit-for-bit in memory") {
+    val rnd = new scala.util.Random(1510)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 60L).map { id =>
+      val text = Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      (id, text, rnd.nextInt(2))
+    }
+    val want = lrReference(docs, dims = 8, iters = 3, lr = 0.5)
+    val out = Curation.qualityClassifier(docs.toDF("doc_id", "text", "y"),
+      "doc_id", col("text"), col("y") === 1, dims = 8, iters = 3, lr = 0.5)
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    graft.util.Pins.release(out)
+    docs.foreach { case (id, _, _) =>
+      assert(got(id) === want(id), s"doc $id: engine ${got(id)} vs reference ${want(id)}") }
+  }
+
+  test("calibrationCurve: hand-computed bins, gaps, and ECE terms") {
+    // bin width 0.5 (bins=2): bin0 = {0.2 y1, 0.4 y0}, bin1 = {0.6 y1, 1.0 y1}
+    val scored = Seq((0.2, 1), (0.4, 0), (0.6, 1), (1.0, 1))
+      .toDF("prob", "label")
+    val out = Curation.calibrationCurve(scored, col("prob"), col("label"), 2)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      // bin0: conf 0.3, acc 0.5, gap 0.2, ece (2/4)*0.2 = 0.1
+      (0, 2L, 0.3, 0.5, 0.2, 0.1),
+      // bin1: conf 0.8, acc 1.0, gap 0.2, ece 0.1   (prob=1.0 clamps into top bin)
+      (1, 2L, 0.8, 1.0, 0.2, 0.1)))
+    // ECE = sum of terms
+    assert(math.abs(out.map(_._6).sum - 0.2) < 1e-9)
+    intercept[IllegalArgumentException](
+      Curation.calibrationCurve(scored, col("prob"), col("label"), 0))
+  }
+
+  test("calibrationCurve: a perfectly calibrated score has zero gap everywhere") {
+    // each prob value appears with exactly that fraction of positives
+    val rows = Seq.fill(10)((0.3, 0)).zipWithIndex.map { case ((p, _), i) =>
+      (p, if (i < 3) 1 else 0) } ++
+      Seq.tabulate(10)(i => (0.7, if (i < 7) 1 else 0))
+    val out = Curation.calibrationCurve(rows.toDF("prob", "label"),
+      col("prob"), col("label"), 10).collect()
+      .map(r => (r.getInt(0), r.getDouble(4), r.getDouble(5)))
+    assert(out.length === 2)
+    assert(out.forall(t => t._2 === 0.0 && t._3 === 0.0),
+      s"zero gap and ECE: ${out.toSeq}")
+  }
+
+  test("qualityClassifier rejects bad hyperparameters") {
+    val df = Seq((1L, "x", 1)).toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException](
+      Curation.qualityClassifier(df, "doc_id", col("text"), col("y") === 1, 16, 0, 0.5))
+    intercept[IllegalArgumentException](
+      Curation.qualityClassifier(df, "doc_id", col("text"), col("y") === 1, 16, 3, 0.0))
+    intercept[IllegalArgumentException](
+      Curation.qualityClassifier(df, "doc_id", col("text"), col("y") === 1, 64, 3, 0.5))
+  }
+
+  test("uniMaxPlan: zero-token source allocates zero with null epochs; bad args rejected") {
+    val docs = Seq(("a", 0L), ("b", 50L)).toDF("src", "toks")
+    val out = Curation.uniMaxPlan(docs, col("src"), col("toks"), 100L, 2)
+      .orderBy(col("source")).collect()
+    assert(out(0).getDouble(5) === 0.0 && out(0).isNullAt(6))
+    intercept[IllegalArgumentException](
+      Curation.uniMaxPlan(docs, col("src"), col("toks"), 0L, 2))
+    intercept[IllegalArgumentException](
+      Curation.uniMaxPlan(docs, col("src"), col("toks"), 100L, 0))
+  }
 }

@@ -271,4 +271,45 @@ class MultimodalSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Multimodal.imagePerceptualDups(m, maxHamming = 0, numBands = 7))
   }
+
+  test("ahashOf: gain-invariant on separated envelopes, content-sensitive, short null") {
+    // rising staircase: window means strictly increase -> all 64 bits set
+    val ramp = Array.tabulate[Short](6500)(i => (i / 10).toShort)
+    val hRamp = Multimodal.ahashOf(ramp)
+    assert(hRamp == -1L, s"monotone envelope sets every bit, got $hRamp")
+    // uniform gain change (half volume) preserves every comparison
+    val half = ramp.map(s => (s / 2).toShort)
+    assert(Multimodal.ahashOf(half) == hRamp, "envelope hash is gain-invariant")
+    // reversed content: envelope falls -> all bits clear, distance 64
+    val fall = ramp.reverse
+    val hFall = Multimodal.ahashOf(fall)
+    assert(java.lang.Long.bitCount(hRamp ^ hFall) == 64)
+    // sub-65-sample clip cannot be fingerprinted
+    assert(Multimodal.ahashOf(Array.fill[Short](64)(5)) == null)
+  }
+
+  test("audioEnvelopeHash: identical payloads identical, undecodable null") {
+    val twin = Seq((1L, "same sound"), (2L, "same sound"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsWavs(twin, "doc_id", "text")
+    val hs = Multimodal.audioEnvelopeHash(m).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("ahash")).toMap
+    assert(hs(1L) == hs(2L), "identical WAVs must hash identically")
+    assert(hs(1L) != hs(3L), "different content must not collide")
+    val corrupt = Seq((7L, "audio", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.audioEnvelopeHash(corrupt).head().isNullAt(1))
+  }
+
+  test("audioPerceptualDups: exact twins at hamming 0; pigeonhole guard rejected") {
+    val twin = Seq((1L, "dup sound"), (2L, "dup sound"), (3L, "unrelated noise"))
+      .toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsWavs(twin, "doc_id", "text")
+    val out = Multimodal.audioPerceptualDups(m, maxHamming = 0)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    graft.util.Pins.release(out)
+    assert(pairs == Seq((1L, 2L, 0)), s"got $pairs")
+    intercept[IllegalArgumentException](
+      Multimodal.audioPerceptualDups(m, maxHamming = 4, numBands = 4))
+  }
 }
