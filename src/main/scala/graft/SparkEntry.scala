@@ -937,6 +937,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q200_stupid_backoff" -> ((s, d) => {
+      // X154 Stupid Backoff trigram scoring (Brants EMNLP'07), corpus
+      // self-scored: tri/bi/uni relative frequencies with lambda=0.4
+      // backoff and an add-one unigram floor — the web-scale LM ranking
+      // that needs nothing but count tables
+      val docs = t(s, d, "documents")
+      TextAnalysis.stupidBackoff(docs, docs, "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q199_audio_envelope_dups" -> ((s, d) => {
       // X153 perceptual audio dedup at hamming 0: real WAV render +
       // decode + envelope hash; the generator keys each clip by its text
@@ -4471,6 +4480,42 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q200_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+             tk[CAST(u.i + 2 AS INT)] AS w2, tk[CAST(u.i + 3 AS INT)] AS w3
+           FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''
+             AND tk[CAST(u.i + 3 AS INT)] <> ''),
+         bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+             tk[CAST(u.i + 2 AS INT)] AS w2
+           FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+         tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall GROUP BY 1, 2, 3),
+         bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+         uni AS (SELECT w, COUNT(*) AS c1
+           FROM (SELECT u.w FROM t, UNNEST(tk) AS u(w) WHERE u.w <> '')
+           GROUP BY 1),
+         nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+         sc AS (SELECT d.doc_id, ROUND(-LN(CASE
+             WHEN tc.c3 > 0 THEN CAST(tc.c3 AS DOUBLE) / CAST(ba.c2 AS DOUBLE)
+             WHEN bb.c2 > 0 THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+             ELSE (0.4 * 0.4) * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0) /
+               (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+           END), 6) AS lp
+           FROM tgall d
+           LEFT JOIN tgc tc ON d.w1 = tc.w1 AND d.w2 = tc.w2 AND d.w3 = tc.w3
+           LEFT JOIN bgc ba ON d.w1 = ba.w1 AND d.w2 = ba.w2
+           LEFT JOIN bgc bb ON d.w2 = bb.w1 AND d.w3 = bb.w2
+           LEFT JOIN uni u2 ON d.w2 = u2.w
+           LEFT JOIN uni u3 ON d.w3 = u3.w
+           CROSS JOIN nv),
+         agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+             ROUND(CAST(SUM(CAST(lp AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+               AS xent
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_trigrams, xent, ROUND(EXP(xent), 6) AS ppl
+         FROM agg ORDER BY doc_id""",
     "q199_audio_envelope_dups" ->
       """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
          ad AS (SELECT doc_id, source FROM b

@@ -292,6 +292,96 @@ object TextAnalysis {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Adjacent token triples, one row per trigram OCCURRENCE — the
+    * 3-gram sibling of [[bigramPairs]], same slot discipline: a dropped
+    * empty token still occupies its position, so adjacency never bridges
+    * it; the `when` guard stops `sequence` counting down on short docs;
+    * `explode_outer` dodges InferFiltersFromGenerate re-inlining the
+    * tokenize chain below the generate. */
+  def trigramTriples(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+    toks
+      .select(col("doc_id"), explode_outer(
+        when(size(col("__toks")) >= 3,
+          transform(sequence(lit(0), size(col("__toks")) - 3),
+            i => struct(element_at(col("__toks"), i + 1).as("w1"),
+              element_at(col("__toks"), i + 2).as("w2"),
+              element_at(col("__toks"), i + 3).as("w3"))))).as("tg"))
+      .filter(col("tg").isNotNull)
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+  }
+
+  /** Stupid Backoff trigram scoring (X154; Brants et al., "Large
+    * Language Models in Machine Translation", EMNLP'07 §4 — THE
+    * web-scale LM ranking scheme: relative frequencies with a fixed
+    * backoff penalty, no discounting, no normalization, chosen PRECISELY
+    * because it needs nothing but count tables — the distributable
+    * trade-off [[lmScore]]'s smoothed bigram only approximates). Per
+    * trigram occurrence in `docs`, scored against `refDocs` counts:
+    *
+    *   S(w3|w1,w2) = c3(w1w2w3)/c2(w1w2)            if c3 > 0
+    *               = λ · c2(w2w3)/c1(w2)            else if c2(w2w3) > 0
+    *               = λ² · (c1(w3)+1)/(N+V)          else (add-one floor,
+    *                                                 keeps OOV finite)
+    *
+    * with λ = 0.4 (the paper's value). Output per doc: `n_trigrams`,
+    * `xent` = mean −ln S (round-6 per occurrence, exact decimal sum — the
+    * [[lmScore]] discipline), `ppl` = exp(xent). Docs with < 3 non-empty
+    * adjacent tokens are omitted. Branches guard their own denominators
+    * (c3>0 ⇒ c2(w1w2)≥c3>0, c2(w2w3)>0 ⇒ c1(w2)>0 — lazily evaluated,
+    * ANSI-safe); only ln is transcendental, hence the round before the
+    * sum.
+    *
+    * Scale shape: tri/bi/uni count tables are vocabulary-sized map-side-
+    * combined aggregates — metadata next to a 100 TB corpus; bi and uni
+    * each have two join consumers so they pin eagerly (the [[lmScore]]
+    * discipline); N and V ride in as ONE broadcast row; corpus-side cost
+    * is the generate, five count-table joins (AQE-broadcast when they
+    * fit), and the final doc aggregation — text never shuffles. */
+  def stupidBackoff(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      text: Column, lambda: Double = 0.4): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val tri = trigramTriples(refDocs, idCol, text)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val bi = bigramPairs(refDocs, idCol, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // two consumers: the (w1,w2) and (w2,w3) joins
+    val uni = positionalPostings(refDocs, idCol, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true) // two joins + the N/V aggregate
+    val nv = uni.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    val lam = lit(lambda)
+    val s = when(col("c3") > 0,
+        col("c3").cast(DoubleType) / col("c2a").cast(DoubleType))
+      .when(col("c2b") > 0,
+        lam * (col("c2b").cast(DoubleType) / col("c1w2").cast(DoubleType)))
+      .otherwise((lam * lam) *
+        ((coalesce(col("c1w3"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+          (col("__n").cast(DoubleType) + col("__v").cast(DoubleType))))
+    val dec = DataTypes.createDecimalType(38, 6)
+    trigramTriples(docs, idCol, text)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("c2a")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("__bw1"), col("w2").as("__bw2"),
+        col("c2").as("c2b")),
+        col("w2") === col("__bw1") && col("w3") === col("__bw2"), "left")
+      .join(uni.select(col("term").as("__u2"), col("c1").as("c1w2")),
+        col("w2") === col("__u2"), "left")
+      .join(uni.select(col("term").as("__u3"), col("c1").as("c1w3")),
+        col("w3") === col("__u3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__lp", round(-log(s), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("__lp").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("xent"))
+      .withColumn("ppl", round(exp(col("xent")), 6))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Positional postings — the inverted-index building block with token
     * offsets: one (doc_id, pos, term) row per non-empty token, positions
     * indexing the RAW token-slot sequence (a dropped empty token still

@@ -295,6 +295,50 @@ class TextAnalysisSuite extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ---- stupidBackoff (X154) ----------------------------------------------
+
+  test("stupidBackoff: each backoff branch hand-checked; short docs omitted") {
+    // ref "a b c a b d": tri (a,b,c)(b,c,a)(c,a,b)(a,b,d) x1 each;
+    // bi (a,b):2 (b,c):1 (c,a):1 (b,d):1; uni a:2 b:2 c:1 d:1 -> N=6 V=4
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b c"), // seen trigram:        S = c3/c2(a,b) = 1/2
+      (2L, "x a b"), // backoff bigram:      S = 0.4 * c2(a,b)/c1(a) = 0.4
+      (3L, "q q z"), // full OOV floor:      S = 0.16 * (0+1)/(6+4)
+      (4L, "a b")    // < 3 tokens: omitted
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(probe, ref, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expect(s: Double) = {
+      val x = r6(-math.log(s)); (1L, x, r6(math.exp(x)))
+    }
+    assert(out(1L) === expect(1.0 / 2.0))
+    assert(out(2L) === expect(0.4 * (2.0 / 2.0)))
+    assert(out(3L) === expect((0.4 * 0.4) * (1.0 / 10.0)))
+  }
+
+  test("stupidBackoff: multi-trigram mean, repeats scored every occurrence") {
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    // "a b c a b c": trigrams (a,b,c) (b,c,a) (c,a,b) (a,b,c) — all seen
+    val probe = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.stupidBackoff(probe, ref, "doc_id", col("text")).head()
+    def lp(s: Double) =
+      BigDecimal.valueOf(-math.log(s)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // S(abc)=1/2, S(bca)=1/1, S(cab)=1/1, S(abc)=1/2
+    val want = BigDecimal.valueOf(
+      Seq(0.5, 1.0, 1.0, 0.5).map(lp).sum.toDouble / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(1) === 4L && r.getDouble(2) === want)
+    intercept[IllegalArgumentException](
+      TextAnalysis.stupidBackoff(probe, ref, "doc_id", col("text"), lambda = 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.stupidBackoff(probe, ref, "doc_id", col("text"), lambda = 1.0))
+  }
+
   // ---- bpePairStats (X90) ------------------------------------------------
 
   test("bpePairStats: census-weighted char pairs, deterministic order, single chars dropped") {
