@@ -721,4 +721,74 @@ class PlanAuditSuite extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).length == 1,
       s"one scan serves the whole profile:\n$p")
   }
+
+  test("unimax plan: corpus collapses map-side before any window touches it (X150)") {
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val p = prepPlan(operators.Curation.uniMaxPlan(docs, col("source"),
+      size(operators.TextAnalysis.tokens(col("text"))).cast("long"), 48000L, 2))
+    // the ONLY corpus-width work is the per-source aggregate, and it must
+    // partial map-side; the waterfill windows then run on ≤|sources| rows
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-source aggregate needs map-side partials below its exchange:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"one source-keyed exchange collapses the corpus:\n$p")
+    // no join anywhere — the budget is literal arithmetic over the agg
+    assert(!p.contains("Join"), s"waterfill is windows over the agg, no join:\n$p")
+  }
+
+  test("quality classifier scoring: exchange-free projection over the pinned features (X151)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val scored = operators.Curation.qualityClassifier(docs, "doc_id", col("text"),
+      col("source") === "src0", dims = 8, iters = 1, lr = 0.5)
+    val p = prepPlan(scored)
+    // training already ran (driver-sequenced aggregates over the pin);
+    // the returned frame is a pure per-row projection of the 17-byte
+    // (id, label, mask) pin — no exchange, no text re-read, no UDF
+    assert(p.contains("Scan ExistingRDD"),
+      s"scoring must read the pinned feature frame, not re-tokenize:\n$p")
+    assert(!p.contains("Exchange"),
+      s"scoring is per-row logit arithmetic — nothing may shuffle:\n$p")
+    assert(!p.contains("FileScan"),
+      s"text must not be re-read at scoring time:\n$p")
+    graft.util.Pins.release(scored)
+  }
+
+  test("audio perceptual dups: payload bytes never cross an exchange (X153)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+      .limit(40).select(col("doc_id"), col("source").as("text"))
+    val media = operators.Multimodal.fromTextAsWavs(docs, "doc_id", "text")
+    val frame = operators.Multimodal.audioPerceptualDups(media, 0, 4)
+    val plan = frame.queryExecution.executedPlan
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(a => (a.name, a.dataType))
+    }
+    val binCols = shuffled.flatten.collect {
+      case (n, org.apache.spark.sql.types.BinaryType) => n }
+    assert(binCols.isEmpty, s"an exchange is moving WAV payload bytes: $binCols")
+    // candidates must form inside (band, key) buckets, never all-pairs
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding join must never fall back to all-pairs:\n$p")
+    graft.util.Pins.release(frame)
+  }
+
+  test("stupid backoff: count tables map-side combine; doc text never shuffles (X154)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val frame = operators.TextAnalysis.stupidBackoff(docs, docs, "doc_id", col("text"))
+    val plan = frame.queryExecution.executedPlan
+    val p = plan.toString
+    assert(p.contains("partial_count"),
+      s"tri/bi/uni counts must partial map-side below their exchanges:\n$p")
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(!shuffled.flatten.contains("text"),
+      s"exchanges carry tokens and counts, never the document text: $shuffled")
+  }
 }
