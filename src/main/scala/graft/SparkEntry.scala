@@ -937,6 +937,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q201_prototype_prune" -> ((s, d) => {
+      // X155 prototypicality pruning (Sorscher et al.): rank each
+      // embedding by cosine to its own cluster centroid (4 seed-vector
+      // clusters, q55's quantizer), keep the hardest half per cluster —
+      // the data-pruning rule for the abundant-data regime
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val assign = Ann.ivfAssign(embs, "embedding", cents)
+        .select(col("vec_id").as("id"), col("ivf_list").as("cluster"))
+      Ann.prototypePrune(embs, "vec_id", "embedding", assign,
+        keepFrac = 0.5, mode = "hard")
+        .orderBy(col("cluster"), col("rank"))
+    }),
     "q200_stupid_backoff" -> ((s, d) => {
       // X154 Stupid Backoff trigram scoring (Brants EMNLP'07), corpus
       // self-scored: tri/bi/uni relative frequencies with lambda=0.4
@@ -4480,6 +4494,38 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q201_prototype_prune" ->
+      """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+         assign AS (SELECT e.vec_id, e.embedding, CAST((
+             SELECT c.ccid FROM cents c
+             ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                       FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                      c.ccid ASC
+             LIMIT 1) AS INT) AS cluster
+           FROM embeddings e),
+         cd AS (SELECT a.cluster, CAST(t.i AS INT) AS dim,
+             CAST(SUM(CAST(CAST(a.embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                  AS DECIMAL(28,8))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+           FROM assign a, LATERAL UNNEST(range(len(a.embedding))) AS t(i)
+           GROUP BY a.cluster, dim),
+         cl AS (SELECT cluster, list(CAST(c AS REAL) ORDER BY dim) AS cent
+           FROM cd GROUP BY cluster),
+         sc AS (SELECT a.vec_id AS id, a.cluster,
+             ROUND((SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+               FROM (SELECT unnest(a.embedding) AS x, unnest(cl.cent) AS y) z) /
+               (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                  FROM unnest(a.embedding) AS t(x))) *
+                sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+                  FROM unnest(cl.cent) AS t(y))) + 1e-12), 6) AS proto_cos
+           FROM assign a JOIN cl USING (cluster)),
+         r AS (SELECT id, cluster, proto_cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY proto_cos ASC, id ASC) AS BIGINT) AS rank,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_cluster
+           FROM sc)
+         SELECT id, cluster, proto_cos, rank, n_cluster,
+           rank <= CAST(CEIL(0.5 * n_cluster) AS BIGINT) AS keep
+         FROM r ORDER BY cluster, rank""",
     "q200_stupid_backoff" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,

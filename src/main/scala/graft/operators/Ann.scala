@@ -283,6 +283,74 @@ object Ann {
       .select(col("k1"), col("k2"), col("n1"), col("n2"), col("cosine"))
   }
 
+  /** Prototypicality scores (X155; the metric of Sorscher et al.,
+    * "Beyond neural scaling laws", NeurIPS'22 2206.14486 — cosine to the
+    * member's own cluster centroid): takes ANY (id, cluster) assignment
+    * frame (the [[graft.operators.CorpusStats.clusterDatasheet]]
+    * contract — [[ivfAssign]], a stored sidecar, external labels), so it
+    * composes with every clustering the engine produces. Returns
+    * (id, cluster, proto_cos): high = prototypical/easy, low =
+    * outlier/hard.
+    *
+    * Determinism: per-(cluster, dim) centroid means use the [[lloydIter]]
+    * decimal accumulation (exact, order-independent), assembled into an
+    * ordered array and quantized to FLOAT (the precision stored serving
+    * centroids actually have); the member·centroid cosine is the
+    * engine's sequential double dot with q34's 1e-12 guard, round-6.
+    * Scale shape: one posexplode aggregate (map-side combined) collapses
+    * the corpus to clusters×dims rows, the centroid frame broadcasts
+    * back, scoring is per-row — vectors cross exactly one cluster-keyed
+    * exchange (the centroid build), never a pair join. */
+  def prototypeScores(embs: DataFrame, idCol: String, vecCol: String,
+      assign: DataFrame): DataFrame = {
+    require(assign.columns.toSeq.sorted == Seq("cluster", "id"),
+      s"assign must be an (id, cluster) frame, got ${assign.columns.toSeq}")
+    val dec = DecimalType(28, 8)
+    val joined = embs
+      .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("__v"))
+      .join(assign, Seq("id"))
+    val cent = joined
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg((sum(col("__x").cast(DoubleType).cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast(FloatType)).as("__cent"))
+    joined.join(broadcast(cent), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        round(vecCosine(col("__v"), col("__cent")), 6).as("proto_cos"))
+  }
+
+  /** Prototypicality pruning (X155; Sorscher et al. 2206.14486 Fig. 1's
+    * actionable rule): within each cluster keep the `keepFrac` fraction
+    * ranked by [[prototypeScores]] — `mode = "hard"` keeps the LEAST
+    * prototypical members (the paper's choice for abundant data: easy,
+    * redundant examples go), `"easy"` keeps the most prototypical (the
+    * small-data regime). Returns every row flagged —
+    * (id, cluster, proto_cos, rank, n_cluster, keep) — so the caller can
+    * audit the boundary before filtering (`keep = rank ≤
+    * ceil(keepFrac·n)`, every cluster retains ≥ 1 member).
+    *
+    * Ties break by id (total order, cross-engine). The per-cluster rank
+    * is a cluster-keyed window — clusters are index-list-sized, the
+    * standard per-group sort. */
+  def prototypePrune(embs: DataFrame, idCol: String, vecCol: String,
+      assign: DataFrame, keepFrac: Double, mode: String): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    require(mode == "easy" || mode == "hard", s"mode must be easy|hard, got $mode")
+    val ord =
+      if (mode == "easy") Seq(col("proto_cos").desc, col("id").asc)
+      else Seq(col("proto_cos").asc, col("id").asc)
+    val w = Window.partitionBy(col("cluster"))
+    prototypeScores(embs, idCol, vecCol, assign)
+      .withColumn("rank", row_number().over(w.orderBy(ord: _*)).cast(LongType))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("keep",
+        col("rank") <= ceil(lit(keepFrac) * col("n_cluster")))
+  }
+
   /** Two-stage matryoshka search (Kusupati et al. 2205.13147 §5,
     * adaptive retrieval): rank candidates by cosine over the FIRST
     * `prefixDims` dimensions (the low-dim MRL index — normalization

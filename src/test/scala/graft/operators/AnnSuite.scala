@@ -364,4 +364,51 @@ class AnnSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Ann.nprobeSweep(df, "vec_id", "embedding",
       cents, Seq((7, Array(1.0f, 0.0f)), (7, Array(0.0f, 1.0f))), 2, Seq(1)))
   }
+
+  test("prototypeScores: centroid-aligned members score high, outliers low") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f)), (5L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("id", "cluster")
+    val out = Ann.prototypeScores(embs, "vec_id", "embedding", assign)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // cluster 0 centroid (2/3, 1/3): the two aligned members tie above
+    // the orthogonal outlier; cluster 1 is degenerate — cos exactly 1
+    assert(out(1L)._2 === out(2L)._2)
+    assert(out(1L)._2 > out(3L)._2 + 0.3)
+    assert(out(4L)._2 === 1.0 && out(5L)._2 === 1.0)
+    // partitioning cannot move a score (decimal centroid accumulation)
+    val out2 = Ann.prototypeScores(embs.repartition(5), "vec_id", "embedding",
+      assign.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.map { case (k, v) => k -> v._2 } === out2)
+    intercept[IllegalArgumentException](
+      Ann.prototypeScores(embs, "vec_id", "embedding",
+        assign.withColumnRenamed("cluster", "cl")))
+  }
+
+  test("prototypePrune: hard keeps outliers, easy keeps prototypes, every cluster >= 1") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(-1.0f, 0.0f)), (5L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("id", "cluster")
+    def kept(mode: String, frac: Double) =
+      Ann.prototypePrune(embs, "vec_id", "embedding", assign, frac, mode)
+        .filter(col("keep")).select("id").as[Long].collect().toSet
+    // keepFrac 0.4: cluster0 keeps ceil(1.2)=2, cluster1 keeps ceil(0.8)=1
+    // hard: the orthogonal outlier 3 ranks first in cluster 0
+    assert(kept("hard", 0.4) === Set(3L, 1L, 4L))
+    // easy: the aligned pair leads, outlier 3 dropped
+    assert(kept("easy", 0.4) === Set(1L, 2L, 4L))
+    // tiny fraction still retains one member per cluster (ceil floor)
+    assert(kept("hard", 0.01).size === 2)
+    intercept[IllegalArgumentException](
+      Ann.prototypePrune(embs, "vec_id", "embedding", assign, 0.0, "hard"))
+    intercept[IllegalArgumentException](
+      Ann.prototypePrune(embs, "vec_id", "embedding", assign, 0.5, "middle"))
+  }
 }
