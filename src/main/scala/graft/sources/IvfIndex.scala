@@ -53,6 +53,9 @@ final class IvfIndex(spark: SparkSession, path: String,
     assignBuckets: Int = 16) {
   require(assignBuckets >= 1, s"assignBuckets must be >= 1, got $assignBuckets")
 
+  /** The index root (for suites and layout-level tooling). */
+  private[graft] def indexPath: String = path
+
   private def listsPath = s"$path/lists"
   private def centroidsPath = s"$path/centroids"
   private def assignPath = s"$path/assign"
@@ -135,7 +138,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * index); a drifted coarse quantizer degrades recall, not the
     * within-probed-lists exactness. */
   def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
-    recoverDir(listsPath); recoverDir(assignPath)
+    recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
     val cs = centroids()
     val assigned = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
@@ -167,8 +170,10 @@ final class IvfIndex(spark: SparkSession, path: String,
     * BEFORE sidecar buckets, keeping the sidecar a superset under any
     * crash. A list whose every row is deleted remains as an empty
     * directory — harmless to partition discovery. */
-  def delete(ids: DataFrame): Unit =
+  def delete(ids: DataFrame): Unit = {
+    recoverSplit(listsPath)
     deleteFrom(listsPath, assignPath, assignMetaPath, ids)
+  }
 
   /** The (ivf_list, abucket) pairs the deletion set touches, read from
     * the sidecar's pruned buckets only — exposed for the plan audit:
@@ -258,13 +263,186 @@ final class IvfIndex(spark: SparkSession, path: String,
     * compressed layout is served. */
   def retrain(targetPath: String, iters: Int): IvfIndex = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    recoverDir(listsPath)
+    recoverSplit(listsPath); recoverDir(listsPath)
     val vecs = spark.read.parquet(listsPath)
       .select(col("id"), col("vector"))
     val cents = Ann.lloydRounds(vecs, "vector", centroids(), iters)
     val next = new IvfIndex(spark, targetPath, assignBuckets)
     next.build(vecs, "id", "vector", cents)
     next
+  }
+
+  /** In-place split of one oversized inverted list (X156; the
+    * INCREMENTAL middle ground between [[append]]'s frozen-centroid
+    * steady state and [[retrain]]'s blue/green full rebuild — FAISS
+    * exposes the same maintenance as IndexIVF big-list splitting): run a
+    * local 2-means over ONLY this list's vectors (deterministic init =
+    * the two smallest member ids, [[graft.operators.Ann.lloydTrain]]'s
+    * discipline), keep sub-cluster 0 under `listId`'s slot with its new
+    * tighter centroid, move sub-cluster 1 to a fresh list id appended to
+    * the centroid set. WHICH list to split is the caller's call from
+    * [[graft.operators.Ann.ivfStats]] imbalance — the documented
+    * monitoring contract — so the operation's work is ∝ the one list,
+    * never the index.
+    *
+    * Crash protocol (roll-forward, strictly ordered):
+    *  1. sidecar rows (moved id → new list) APPEND — the superset
+    *     invariant: from here a delete of a moved id anti-joins the new
+    *     list too, whichever directory the row is in;
+    *  2. centroid swap (two-rename via `.centroids.bak`, recovered in
+    *     [[centroids]]) — a probe of the still-empty new list reads no
+    *     rows, harmless;
+    *  3. data move: both halves staged, then a PENDING MARKER commits
+    *     the split — [[recoverSplit]] rolls FORWARD from the marker
+    *     (re-running any missed rename idempotently), and a crash
+    *     BEFORE the marker just drops the orphan staging (the live list
+    *     is untouched until the marker exists);
+    *  4. stale sidecar pairs (moved id → old list) removed — a crash
+    *     leaves a superset, never an under-approximation.
+    *
+    * A degenerate list (all vectors identical, or a single row — 2-means
+    * cannot produce two non-empty halves) aborts cleanly with None; the
+    * index is untouched. Like [[retrain]], a split invalidates a PQ
+    * codes layout (codes keep the OLD partitioning; the new list is
+    * never probed there) — rerun [[buildPq]] if the compressed layout is
+    * served. Returns Some((newListId, movedRows)) on success. */
+  def splitList(listId: Int, lloydIters: Int = 1): Option[(Int, Long)] = {
+    require(lloydIters >= 1, s"lloydIters must be >= 1, got $lloydIters")
+    recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
+    val cs = centroids()
+    require(listId >= 0 && listId < cs.size,
+      s"listId $listId out of range [0, ${cs.size})")
+    val newId = cs.size
+    val rows = spark.read.parquet(listsPath)
+      .filter(col("ivf_list") === listId)
+      .select(col("id"), col("vector"))
+    val init = rows.orderBy(col("id")).limit(2).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    if (init.size < 2) return None
+    val sub = Ann.lloydRounds(rows, "vector", init, lloydIters)
+    // pinned: every later step re-reads this frame, and step 3 MUTATES
+    // the directory the lazy plan would re-scan — the assignment must be
+    // computed exactly once, before any write (released before return)
+    val assigned = Ann.ivfAssign(rows, "vector", sub).localCheckpoint(true)
+    val moved = assigned.filter(col("ivf_list") === 1).drop("ivf_list")
+    val nMoved = moved.count()
+    if (nMoved == 0L || nMoved == assigned.count()) {
+      graft.util.Pins.release(assigned); return None
+    }
+    // 1. sidecar superset: moved ids now ALSO map to the new list
+    writeAssign(moved.select(col("id"), lit(newId).as("ivf_list")),
+      assignPath, assignMetaPath, overwrite = false)
+    // 2. centroid swap: listId tightens to sub-centroid 0, newId = sub 1
+    writeCentroids(cs.updated(listId, sub(0)) :+ sub(1))
+    // 3. data move, staged then marker-committed
+    val staging = new Path(listsPath, stagingSplitName)
+    fs.delete(staging, true)
+    assigned.withColumn("ivf_list",
+        when(col("ivf_list") === 0, lit(listId)).otherwise(lit(newId)))
+      .write.partitionBy("ivf_list").parquet(staging.toString)
+    fs.mkdirs(new Path(listsPath, s".split_pending_${listId}_$newId"))
+    completeSplit(listsPath, listId, newId)
+    // 4. drop the stale (moved id, old list) sidecar pairs
+    cleanAssignPairs(moved.select(col("id"), lit(listId).as("ivf_list")))
+    graft.util.Pins.release(assigned)
+    Some((newId, nMoved))
+  }
+
+  private def stagingSplitName = ".staging_split"
+
+  /** Finish a marker-committed split: every step is a state-checked
+    * rename, so this is idempotent from ANY crash point at or after the
+    * marker write. */
+  private def completeSplit(base: String, listId: Int, newId: Int): Unit = {
+    val staging = new Path(base, stagingSplitName)
+    val liveOld = new Path(base, s"ivf_list=$listId")
+    val bakOld = new Path(base, s".ivf_list=$listId.bak")
+    val stagedOld = new Path(staging, s"ivf_list=$listId")
+    val liveNew = new Path(base, s"ivf_list=$newId")
+    val stagedNew = new Path(staging, s"ivf_list=$newId")
+    if (fs.exists(stagedOld)) {
+      if (fs.exists(liveOld) && !fs.exists(bakOld))
+        if (!fs.rename(liveOld, bakOld)) sys.error(s"could not back up $liveOld")
+      if (!fs.rename(stagedOld, liveOld))
+        sys.error(s"could not swap $stagedOld into $liveOld")
+    }
+    if (fs.exists(stagedNew) && !fs.exists(liveNew))
+      if (!fs.rename(stagedNew, liveNew))
+        sys.error(s"could not move $stagedNew to $liveNew")
+    fs.delete(bakOld, true)
+    fs.delete(staging, true)
+    fs.delete(new Path(base, s".split_pending_${listId}_$newId"), true)
+  }
+
+  /** Roll a crashed [[splitList]] forward (marker present) or discard an
+    * uncommitted one (orphan staging, no marker). Runs before
+    * [[recoverDir]] at every lists-layout entry point: the marker means
+    * the centroid set already references the new list, so forward is the
+    * only direction that converges. */
+  private[graft] def recoverSplit(base: String): Unit = {
+    val markers = Option(fs.globStatus(new Path(base, ".split_pending_*")))
+      .toSeq.flatten
+    markers.foreach { st =>
+      val parts = st.getPath.getName.stripPrefix(".split_pending_").split("_")
+      completeSplit(base, parts(0).toInt, parts(1).toInt)
+    }
+    if (markers.isEmpty)
+      fs.delete(new Path(base, stagingSplitName), true)
+  }
+
+  /** Remove exact (id, ivf_list) PAIRS from the sidecar — the stale-row
+    * cleanup after a split moved those ids elsewhere. Same bucket-pruned
+    * read + two-rename swap as a delete, but the anti-join keys on the
+    * pair, so the id's row for its NEW list survives. */
+  private def cleanAssignPairs(pairs: DataFrame): Unit = {
+    if (!fs.exists(new Path(assignMetaPath))) return
+    recoverDir(assignPath)
+    val b = readAssignBuckets(assignMetaPath)
+    val keyed = pairs.select(col("id"), col("ivf_list"),
+      bucketOf(col("id"), b).as("abucket"))
+    val buckets = keyed.select(col("abucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (buckets.isEmpty) return
+    val staging = new Path(assignPath, ".staging_swap")
+    fs.delete(staging, true)
+    val survivors = spark.read.parquet(assignPath)
+      .filter(col("abucket").isin(buckets: _*))
+      .join(keyed.select(col("id"), col("ivf_list")),
+        Seq("id", "ivf_list"), "left_anti")
+    survivors.write.partitionBy("abucket").parquet(staging.toString)
+    buckets.foreach { n =>
+      val dirName = s"abucket=$n"
+      val staged = new Path(staging, dirName)
+      if (!fs.exists(staged))
+        survivors.drop("abucket").limit(0).coalesce(1).write.parquet(staged.toString)
+      val dir = new Path(assignPath, dirName)
+      val bak = new Path(assignPath, s".$dirName.bak")
+      fs.delete(bak, true)
+      if (!fs.rename(dir, bak)) sys.error(s"could not back up $dir for swap")
+      if (!fs.rename(staged, dir)) sys.error(s"could not swap $staged into $dir")
+      fs.delete(bak, true)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Two-rename centroid-file swap (recovered in [[centroids]]): the
+    * centroid set is the index's root pointer, so an overwrite-in-place
+    * (delete-then-write) would brick the index on a crash mid-write. */
+  private def writeCentroids(cs: Seq[Array[Float]]): Unit = {
+    import spark.implicits._
+    val staged = new Path(path, ".centroids.staged")
+    fs.delete(staged, true)
+    cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.parquet(staged.toString)
+    val live = new Path(centroidsPath)
+    val bak = new Path(path, ".centroids.bak")
+    fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
+      sys.error(s"could not back up $live")
+    if (!fs.rename(staged, live))
+      sys.error(s"could not swap $staged into $live (backup at $bak)")
+    fs.delete(bak, true)
   }
 
   private def fs =
@@ -286,10 +464,14 @@ final class IvfIndex(spark: SparkSession, path: String,
         } else fs.delete(st.getPath, true)
       }
 
-  /** The stored centroids, ordered by cid. */
-  def centroids(): Seq[Array[Float]] =
+  /** The stored centroids, ordered by cid. [[recoverDir]] over the index
+    * root first: a crash mid-[[writeCentroids]] leaves `.centroids.bak`
+    * to restore — the root pointer must never read as missing. */
+  def centroids(): Seq[Array[Float]] = {
+    recoverDir(path)
     spark.read.parquet(centroidsPath).orderBy(col("cid"))
       .collect().map(_.getSeq[Float](1).toArray).toSeq
+  }
 
   /** Exact cosine top-k WITHIN the nprobe best lists for `query` —
     * [[graft.operators.Ann.ivfTopK]] semantics, but the probe set
@@ -298,7 +480,7 @@ final class IvfIndex(spark: SparkSession, path: String,
   def search(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
-    recoverDir(listsPath)
+    recoverSplit(listsPath); recoverDir(listsPath)
     val probed = spark.read.parquet(listsPath)
       .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
     Ann.bruteForceTopK(probed, "id", "vector", query, k)

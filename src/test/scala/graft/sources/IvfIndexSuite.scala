@@ -344,4 +344,86 @@ class IvfIndexSuite extends AnyFunSuite {
         listScan.partitionFilters, listScan.dataFilters).size == 1,
       "exactly one of the four list partitions should be read at nprobe=1")
   }
+
+  // ---- splitList (X156) ----------------------------------------------------
+
+  test("splitList: membership conserved, both halves live, full-probe search invariant") {
+    val idx = freshIndex()
+    val before = idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val nLists0 = idx.centroids().size
+    val res = idx.splitList(0, lloydIters = 2)
+    assert(res.isDefined, "a mixed random list must split")
+    val (newId, nMoved) = res.get
+    assert(newId == nLists0 && nMoved > 0)
+    assert(idx.centroids().size == nLists0 + 1)
+    // a full probe is an exact scan either way: identical top-64
+    val after = idx.search(query, 64, nLists0 + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "full-probe search must be split-invariant")
+    // the moved rows really live in the new list, the rest stayed
+    val lists = spark.read.parquet(s"${idx.indexPath}/lists")
+      .groupBy("ivf_list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lists(newId) == nMoved && lists(0) > 0)
+  }
+
+  test("splitList: a delete of moved ids after the split still lands (sidecar stays honest)") {
+    val idx = freshIndex()
+    val Some((newId, _)) = idx.splitList(0)
+    val movedIds = spark.read.parquet(s"${idx.indexPath}/lists")
+      .filter(col("ivf_list") === newId).select("id").as[Long].collect().toSeq
+    val victim = movedIds.head
+    idx.delete(Seq(victim).toDF("id"))
+    val ids = idx.search(query, 64, idx.centroids().size)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(victim), "a moved id must still be deletable")
+    assert(ids.size == 63)
+    // and the stale (id -> old list) sidecar pairs are gone: each moved id
+    // maps ONLY to the new list now
+    val sidecar = spark.read.parquet(s"${idx.indexPath}/assign")
+      .filter(col("id").isin(movedIds: _*))
+      .select("id", "ivf_list").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(sidecar.forall(_._2 == newId),
+      s"stale pairs must be cleaned: ${sidecar.filterNot(_._2 == newId).toSeq}")
+  }
+
+  test("splitList: degenerate list (identical vectors) aborts with None, index untouched") {
+    val dir = Files.createTempDirectory("graft_ivf_split_degen").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    val flat = (1L to 8L).map(i => i -> Array.fill(8)(0.5f)).toDF("vec_id", "embedding")
+    idx.build(flat, "vec_id", "embedding", Seq(Array.fill(8)(0.5f)))
+    assert(idx.splitList(0).isEmpty)
+    assert(idx.centroids().size == 1)
+    assert(idx.search(query, 8, 1).count() == 8)
+  }
+
+  test("splitList crash recovery: a marker-committed split rolls forward at next search") {
+    import org.apache.hadoop.fs.Path
+    val idx = freshIndex()
+    val Some((newId, nMoved)) = idx.splitList(0)
+    val want = idx.search(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reconstruct the between-renames crash: new list staged but not live,
+    // marker present — exactly the state after step 3's marker write
+    val lists = s"${idx.indexPath}/lists"
+    val fs = new Path(lists).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(lists, s"ivf_list=$newId")
+    val staged = new Path(s"$lists/.staging_split", s"ivf_list=$newId")
+    fs.mkdirs(new Path(s"$lists/.staging_split"))
+    assert(fs.rename(live, staged), "test setup: stage the live new list")
+    fs.mkdirs(new Path(lists, s".split_pending_0_$newId"))
+    // the next read entry point must complete the split, not lose rows
+    val got = idx.search(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "recovery must roll the committed split forward")
+    assert(!fs.exists(new Path(lists, s".split_pending_0_$newId")))
+    // an orphan staging with NO marker is discarded, index unaffected
+    fs.mkdirs(new Path(s"$lists/.staging_split/ivf_list=99"))
+    val again = idx.search(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == want)
+    assert(!fs.exists(new Path(s"$lists/.staging_split")))
+  }
 }
