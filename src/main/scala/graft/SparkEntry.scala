@@ -937,6 +937,29 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q203_index_lifecycle" -> ((s, d) => {
+      // X124+X129+X156 composed — the full steady-state maintenance walk
+      // on ONE index: build(evens), append(odds), delete(multiples of 3),
+      // split list 0; then FULL-probe search, which is an exact scan over
+      // whatever survived — the oracle recomputes the survivor set in SQL
+      // and every maintenance step must be invisible to it
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_life").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", cents)
+      idx.append(embs.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      idx.delete(embs.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("id")))
+      idx.splitList(0, lloydIters = 1)
+      idx.search(qv, k = 10, nprobe = idx.centroids().size)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q202_ivf_split" -> ((s, d) => {
       // X156 in-place list split: build the q153 index, split list 0 by
       // local 2-means (centroid set grows to 5), then FULL-probe search —
@@ -4513,6 +4536,20 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q203_index_lifecycle" ->
+      """WITH live AS (SELECT * FROM embeddings WHERE vec_id % 3 <> 0),
+         q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 5),
+         scored AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM live e),
+         top AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+           ORDER BY c DESC, vec_id ASC LIMIT 10)
+         SELECT vec_id, cosine FROM top ORDER BY vec_id""",
     "q202_ivf_split" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
