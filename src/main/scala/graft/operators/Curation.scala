@@ -588,21 +588,52 @@ object Curation {
     * the ROUNDED prob (pinning the tie surface cross-engine). */
   def qualityClassifier(docs: DataFrame, idCol: String, text: Column,
       label: Column, dims: Int, iters: Int, lr: Double): DataFrame = {
-    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
-    require(lr > 0.0, s"lr must be positive, got $lr")
     val staged = docs.select(col(idCol),
         label.cast(IntegerType).as("label"),
         featureMask(text, dims).as("__mask"))
       .localCheckpoint(true)
+    val (w, b) = lrTrainStaged(staged, dims, iters, lr)
+    val prob = round(lrProb(col("__mask"), w, b), 6)
+    staged.select(col(idCol), col("label"), prob.as("prob"),
+      (prob >= lit(0.5)).as("pred"))
+  }
+
+  /** Train [[qualityClassifier]]'s model and return just (weights, bias)
+    * — the hand-off to serving paths that score WITHOUT retraining
+    * ([[graft.streaming.ClassifierStream]] broadcasts these into a
+    * per-micro-batch projection). Same training run bit-for-bit; the
+    * internal feature pin is released before returning. */
+  def lrTrain(docs: DataFrame, text: Column, label: Column,
+      dims: Int, iters: Int, lr: Double): (Seq[Double], Double) = {
+    val staged = docs.select(label.cast(IntegerType).as("label"),
+        featureMask(text, dims).as("__mask"))
+      .localCheckpoint(true)
+    val out = lrTrainStaged(staged, dims, iters, lr)
+    graft.util.Pins.release(staged)
+    (out._1.toSeq, out._2)
+  }
+
+  /** The logistic probability of a feature mask under fixed weights —
+    * ((b + t0) + t1) + ... , the FIXED left-assoc chain the oracle (and
+    * any other engine) reproduces bit-for-bit; a pure per-row
+    * projection, so it is streaming-safe and exchange-free. */
+  def lrProb(mask: Column, weights: Seq[Double], bias: Double): Column = {
+    val z = weights.indices.foldLeft(lit(bias)) { (acc, j) =>
+      acc + when(shiftright(mask, j).bitwiseAND(lit(1L)) === lit(1L),
+        lit(weights(j))).otherwise(lit(0.0)) }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  private def lrTrainStaged(staged: DataFrame, dims: Int, iters: Int,
+      lr: Double): (Array[Double], Double) = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
+    require(lr > 0.0, s"lr must be positive, got $lr")
     val w = Array.fill(dims)(0.0)
     var b = 0.0
     def bit(j: Int) =
       shiftright(col("__mask"), j).bitwiseAND(lit(1L)) === lit(1L)
-    // ((b + t0) + t1) + ... — the left-assoc chain the oracle mirrors
-    def z = (0 until dims).foldLeft(lit(b)) { (acc, j) =>
-      acc + when(bit(j), lit(w(j))).otherwise(lit(0.0)) }
-    def p = lit(1.0) / (lit(1.0) + exp(-z))
     for (_ <- 1 to iters) {
+      val p = lrProb(col("__mask"), w.toSeq, b)
       val ri = round((p - col("label")) * lit(1000000.0)).cast(LongType)
       val aggs = (0 until dims).map(j =>
         sum(when(bit(j), ri).otherwise(lit(0L))).as(s"g$j")) ++
@@ -614,9 +645,7 @@ object Curation {
         w(j) = w(j) - lr * (row.getLong(j).toDouble / n / 1000000.0); j += 1 }
       b = b - lr * (row.getLong(dims).toDouble / n / 1000000.0)
     }
-    val prob = round(p, 6)
-    staged.select(col(idCol), col("label"), prob.as("prob"),
-      (prob >= lit(0.5)).as("pred"))
+    (w, b)
   }
 
   /** Classifier calibration curve + ECE terms (X152; reliability diagram
