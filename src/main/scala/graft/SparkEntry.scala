@@ -937,6 +937,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q204_epoch_schedule" -> ((s, d) =>
+      // X159 epoch schedule: materialize the multi-epoch training order
+      // for a 3-source plan — src0 2 full passes, src1 one full + a 0.4
+      // deterministic partial, src2 a 0.5 partial only; every epoch
+      // reshuffled, one dense global order
+      Curation.epochSchedule(t(s, d, "documents"), "doc_id", col("source"),
+        Seq("src0" -> 2.0, "src1" -> 1.4, "src2" -> 0.5), seed = "ep")
+        .orderBy(col("order_idx"))),
     "q203_index_lifecycle" -> ((s, d) => {
       // X124+X129+X156 composed — the full steady-state maintenance walk
       // on ONE index: build(evens), append(odds), delete(multiples of 3),
@@ -4536,6 +4544,25 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q204_epoch_schedule" ->
+      """WITH plan AS (SELECT * FROM (VALUES ('src0', 2.0), ('src1', 1.4),
+           ('src2', 0.5)) p(source, epochs)),
+         j AS (SELECT d.doc_id, d.source, p.epochs
+           FROM documents d JOIN plan p USING (source)),
+         e AS (SELECT doc_id, source, epochs, CAST(u.e AS INT) AS epoch
+           FROM j, UNNEST(range(1, CAST(CEIL(epochs) AS BIGINT) + 1)) u(e)),
+         k AS (SELECT * FROM e WHERE epoch <= FLOOR(epochs)
+           OR (CAST(concat('0x', substr(md5('ep:' || CAST(epoch AS VARCHAR)
+                 || ':' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000)
+              < CAST(ROUND((epochs - FLOOR(epochs)) * 10000, 0) AS BIGINT)),
+         s AS (SELECT doc_id AS id, source, epoch,
+             md5(CAST(doc_id AS VARCHAR) || ':ep:' || CAST(epoch AS VARCHAR))
+               AS shuffle_key
+           FROM k)
+         SELECT id, source, epoch, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY epoch, shuffle_key, id) - 1 AS BIGINT)
+             AS order_idx
+         FROM s ORDER BY order_idx""",
     "q203_index_lifecycle" ->
       """WITH live AS (SELECT * FROM embeddings WHERE vec_id % 3 <> 0),
          q AS (SELECT embedding AS qv,

@@ -689,6 +689,59 @@ object Curation {
           .as("ece_term"))
   }
 
+  /** Multi-epoch training-order materialization (X159): turn a per-source
+    * epoch allocation — [[uniMaxPlan]]'s `epochs` column, or any policy —
+    * into the ACTUAL sequence a trainer consumes: each source appears
+    * `floor(e)` full passes plus one FRACTIONAL pass keeping `e−floor(e)`
+    * of its documents (deterministic md5-bucket sampling, salted by epoch
+    * so each partial pass draws its own subset), every epoch reshuffled
+    * by an epoch-salted md5 key ([[curriculumOrder]]'s convention), and
+    * the whole schedule given one dense global `order_idx` in
+    * (epoch, shuffle_key, id) order. Sources absent from the plan are
+    * dropped — the plan DECLARES the training set (the [[mixtureSample]]
+    * rule).
+    *
+    * Doc-level sampling approximates the token fraction (unbiased when
+    * length and source are independent; a token-exact cut is
+    * [[mixtureSample]]'s greedy fill). Determinism: the keep decision is
+    * the [[graft.util.Sampling.hashBucket]] 28-bit md5 rate, thresholds
+    * round-half-up at 1e-4; epochs per source capped at 50 (a repetition
+    * count past the Muennighoff 2305.16264 useful range is a config
+    * bug). Scale shape: plan broadcasts as a VALUES frame, the explode
+    * fans each doc to ≤⌈e⌉ light rows (id, source, epoch), the dense
+    * index is [[graft.util.DenseIds]]'s range-partition + zipWithIndex
+    * scheme — no single-partition window, text never read. */
+  def epochSchedule(docs: DataFrame, idCol: String, source: Column,
+      epochsBySource: Seq[(String, Double)], seed: String): DataFrame = {
+    require(epochsBySource.nonEmpty, "need at least one source allocation")
+    require(epochsBySource.map(_._1).distinct.size == epochsBySource.size,
+      "duplicate source in the allocation")
+    epochsBySource.foreach { case (s, e) =>
+      require(e > 0.0 && e <= 50.0, s"epochs for '$s' must be in (0,50], got $e") }
+    require(seed.nonEmpty, "seed must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val plan = epochsBySource.toDF("source", "epochs")
+    val joined = docs.select(col(idCol).as("id"), source.as("source"))
+      .join(broadcast(plan), Seq("source"))
+    val fanned = joined.select(col("id"), col("source"), col("epochs"),
+      explode(sequence(lit(1L), ceil(col("epochs")).cast(LongType))).as("__e"))
+      .withColumn("epoch", col("__e").cast(IntegerType)).drop("__e")
+    val fracBucket = pmod(conv(substring(md5(concat(
+        lit(s"$seed:"), col("epoch").cast(StringType), lit(":"),
+        col("id").cast(StringType))), 1, 7), 16, 10).cast(LongType),
+      lit(graft.util.Sampling.Buckets))
+    val fracRate = round((col("epochs") - floor(col("epochs"))) *
+      graft.util.Sampling.Buckets).cast(LongType)
+    val kept = fanned.filter(
+      col("epoch") <= floor(col("epochs")) || fracBucket < fracRate)
+    val keyed = kept.select(col("id"), col("source"), col("epoch"),
+      md5(concat(col("id").cast(StringType), lit(s":$seed:"),
+        col("epoch").cast(StringType))).as("shuffle_key"))
+    graft.util.DenseIds.assign(keyed, "order_idx", 0L,
+      col("epoch"), col("shuffle_key"), col("id"))
+  }
+
   /** Mixture drift between two corpus snapshots (X89): per-source share
     * shift plus each source's KL(new‖old) and Jensen–Shannon terms — the
     * drift alarm a recurring crawl runs BEFORE training on a new cut.

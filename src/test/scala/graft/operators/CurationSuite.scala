@@ -725,6 +725,57 @@ class CurationSuite extends AnyFunSuite {
       s"zero gap and ECE: ${out.toSeq}")
   }
 
+  test("epochSchedule: full passes exact, fractional pass ~rate, epochs reshuffle") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("doc_id", "src")
+    val out = Curation.epochSchedule(docs, "doc_id", col("src"),
+      Seq("a" -> 2.0, "b" -> 1.5), seed = "s0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4)))
+    // dense global order
+    assert(out.map(_._5).sorted.toSeq == (0L until out.length))
+    // source a: exactly 2 full passes of its 100 docs
+    val a = out.filter(_._2 == "a")
+    assert(a.count(_._3 == 1) == 100 && a.count(_._3 == 2) == 100)
+    // source b: epoch 1 full, epoch 2 a deterministic ~half sample
+    val b = out.filter(_._2 == "b")
+    assert(b.count(_._3 == 1) == 100)
+    val frac = b.count(_._3 == 2)
+    assert(frac > 30 && frac < 70, s"~50 of 100 expected, got $frac")
+    // epochs interleave nothing: schedule walks epochs in blocks
+    val eSeq = out.sortBy(_._5).map(_._3)
+    assert(eSeq.sameElements(eSeq.sorted), "epoch-major order")
+    // same seed reproduces; a new seed reshuffles within epochs
+    val again = Curation.epochSchedule(docs.repartition(7), "doc_id", col("src"),
+      Seq("a" -> 2.0, "b" -> 1.5), "s0").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(4)).toMap
+    assert(out.map(t => (t._1, t._3) -> t._5).toMap == again,
+      "partitioning/run invariant")
+    val reseeded = Curation.epochSchedule(docs, "doc_id", col("src"),
+      Seq("a" -> 2.0, "b" -> 1.5), "s1").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(4)).toMap
+    assert(reseeded != out.map(t => (t._1, t._3) -> t._5).toMap,
+      "new seed must reshuffle")
+  }
+
+  test("epochSchedule: unplanned sources drop; bad plans rejected") {
+    val docs = Seq((1L, "a"), (2L, "zzz")).toDF("doc_id", "src")
+    val out = Curation.epochSchedule(docs, "doc_id", col("src"),
+      Seq("a" -> 1.0), "s")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException](
+      Curation.epochSchedule(docs, "doc_id", col("src"), Nil, "s"))
+    intercept[IllegalArgumentException](
+      Curation.epochSchedule(docs, "doc_id", col("src"), Seq("a" -> 0.0), "s"))
+    intercept[IllegalArgumentException](
+      Curation.epochSchedule(docs, "doc_id", col("src"), Seq("a" -> 51.0), "s"))
+    intercept[IllegalArgumentException](
+      Curation.epochSchedule(docs, "doc_id", col("src"),
+        Seq("a" -> 1.0, "a" -> 2.0), "s"))
+    intercept[IllegalArgumentException](
+      Curation.epochSchedule(docs, "doc_id", col("src"), Seq("a" -> 1.0), ""))
+  }
+
   test("qualityClassifier rejects bad hyperparameters") {
     val df = Seq((1L, "x", 1)).toDF("doc_id", "text", "y")
     intercept[IllegalArgumentException](
