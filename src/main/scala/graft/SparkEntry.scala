@@ -937,6 +937,13 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q205_zipf_fit" -> ((s, d) =>
+      // X160 per-source Zipf fit: log-log least squares over each
+      // source's top-200 terms — the slope-drift alarm a recurring crawl
+      // reads next to the mixture datasheet
+      CorpusStats.zipfFit(t(s, d, "documents"), col("source"), col("text"),
+        topN = 200)
+        .orderBy(col("source"))),
     "q204_epoch_schedule" -> ((s, d) =>
       // X159 epoch schedule: materialize the multi-epoch training order
       // for a 3-source plan — src0 2 full passes, src1 one full + a 0.4
@@ -4544,6 +4551,41 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q205_zipf_fit" ->
+      s"""WITH c AS (SELECT source, u.tok, COUNT(*) AS freq
+           FROM (SELECT source, $toksSql AS tk FROM documents) t,
+             UNNEST(tk) AS u(tok)
+           WHERE u.tok <> '' GROUP BY 1, 2),
+         r AS (SELECT source,
+             ROUND(LN(CAST(rank AS DOUBLE)), 6) AS x,
+             ROUND(LN(CAST(freq AS DOUBLE)), 6) AS y
+           FROM (SELECT source, tok, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY freq DESC, tok ASC) AS rank
+             FROM c) WHERE rank <= 200),
+         m AS (SELECT source, COUNT(*) AS n_terms,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM r GROUP BY 1)
+         SELECT source, n_terms,
+           CASE WHEN n_terms > 1 THEN ROUND(
+             (CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+             (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n_terms > 1 THEN ROUND(
+             (sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+               (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx) /
+             CAST(n_terms AS DOUBLE), 6) END AS intercept,
+           CASE WHEN n_terms > 1 THEN ROUND(
+             ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+              (sqrt(CAST(n_terms AS DOUBLE) * sxx - sx * sx) *
+               sqrt(CAST(n_terms AS DOUBLE) * syy - sy * sy))) *
+             ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+              (sqrt(CAST(n_terms AS DOUBLE) * sxx - sx * sx) *
+               sqrt(CAST(n_terms AS DOUBLE) * syy - sy * sy))), 6) END AS r2
+         FROM m ORDER BY source""",
     "q204_epoch_schedule" ->
       """WITH plan AS (SELECT * FROM (VALUES ('src0', 2.0), ('src1', 1.4),
            ('src2', 0.5)) p(source, epochs)),

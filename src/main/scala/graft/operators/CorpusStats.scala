@@ -315,6 +315,67 @@ object CorpusStats {
         round(col("n_distinct").cast(DoubleType) / col("n_grams"), 6).as("distinct_ratio"))
   }
 
+  /** Per-source Zipf fit (X160): least-squares slope of ln(freq) against
+    * ln(rank) over each source's top-`topN` terms — the corpus-health
+    * datasheet row next to [[ngramDiversity]]: natural prose sits near
+    * slope −1 (Zipf 1949); templated/boilerplate sources flatten (the
+    * head repeats), gibberish/ID-heavy sources steepen past −1.5. A
+    * drifted slope between crawls flags a changed generator even when
+    * volume and vocabulary look stable. Emits per source:
+    * `(source, n_terms, slope, intercept, r2)` — slope/intercept of the
+    * log-log line, r² the fit quality (NULL when fewer than 2 ranked
+    * terms — no line to fit).
+    *
+    * Determinism: rank ties break lexically (the [[vocabCoverage]]
+    * rule); per-term ln(rank)/ln(freq) round-6 ([[graft.operators
+    * .Curation.dsirWeights]]'s transcendental discipline), the five fit
+    * moments accumulate in DECIMAL(38,6) — exact and order-independent —
+    * and the closed-form slope/intercept/r² is one pinned double op
+    * sequence mirrored verbatim in the oracle. Scale shape: one map-side
+    * combined census collapses text to the vocabulary, the per-source
+    * top-`topN` cut is a WindowGroupLimit-partial rank (the
+    * [[graft.operators.TextAnalysis.bigramTable]] audit shape), and the
+    * fit is a ≤sources×topN aggregate — raw text never shuffles. */
+  def zipfFit(docs: DataFrame, source: Column, text: Column,
+      topN: Int = 200): DataFrame = {
+    require(topN >= 2 && topN <= 100000, s"topN must be in [2,100000], got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val dec = DataTypes.createDecimalType(38, 6)
+    val counts = docs
+      .select(source.as("source"), explode(TextAnalysis.tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("freq").desc, col("tok").asc)))
+      .filter(col("rank") <= topN)
+      .select(col("source"),
+        round(log(col("rank").cast(DoubleType)), 6).as("x"),
+        round(log(col("freq").cast(DoubleType)), 6).as("y"))
+    val moments = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x").cast(dec)).cast(DoubleType).as("__sx"),
+      sum(col("y").cast(dec)).cast(DoubleType).as("__sy"),
+      // products re-round to 6 BEFORE the decimal cast: the cast's own
+      // rounding of a full-precision double is not engine-pinned; round()
+      // is (the established transcendental discipline)
+      sum(round(col("x") * col("x"), 6).cast(dec)).cast(DoubleType).as("__sxx"),
+      sum(round(col("y") * col("y"), 6).cast(dec)).cast(DoubleType).as("__syy"),
+      sum(round(col("x") * col("y"), 6).cast(dec)).cast(DoubleType).as("__sxy"))
+    val n = col("n_terms").cast(DoubleType)
+    val varX = n * col("__sxx") - col("__sx") * col("__sx")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val slope = cov / varX
+    moments.select(col("source"), col("n_terms"),
+      when(col("n_terms") > 1, round(slope, 6)).as("slope"),
+      when(col("n_terms") > 1,
+        round((col("__sy") - slope * col("__sx")) / n, 6)).as("intercept"),
+      when(col("n_terms") > 1,
+        round((cov / (sqrt(varX) * sqrt(varY))) *
+          (cov / (sqrt(varX) * sqrt(varY))), 6)).as("r2"))
+  }
+
   /** Per-document OOV rate against the corpus's own top-`vocabSize`
     * vocabulary (X110): the per-doc complement of [[vocabCoverage]]'s
     * corpus curve — the curve sizes the tokenizer, THIS finds the

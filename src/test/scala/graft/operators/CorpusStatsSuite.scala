@@ -257,4 +257,36 @@ class CorpusStatsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](CorpusStats.clusterDatasheet(
       docs, "doc_id", col("text"), col("source"), assign, 0))
   }
+
+  test("zipfFit: an exact 1/r corpus fits slope -1 with r2 = 1; degenerate source null") {
+    // freq * rank = 12 exactly: a x12, b x6, c x4, d x3
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val docs = Seq((1L, "zipf", text), (2L, "mono", "same same same"))
+      .toDF("doc_id", "src", "text")
+    val out = CorpusStats.zipfFit(docs, col("src"), col("text"), topN = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val (n, slope, r2) = out("zipf")
+    assert(n == 4L)
+    assert(math.abs(slope.get + 1.0) < 1e-4, s"pure 1/r law fits slope -1: $slope")
+    assert(r2.get > 0.9999, s"perfect log-log line: $r2")
+    // a one-term source has no line to fit
+    val (nm, sm, rm) = out("mono")
+    assert(nm == 1L && sm.isEmpty && rm.isEmpty)
+    intercept[IllegalArgumentException](
+      CorpusStats.zipfFit(docs, col("src"), col("text"), topN = 1))
+  }
+
+  test("zipfFit: the topN cut excludes the tail from the fit") {
+    val head = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")).mkString(" ")
+    val withTail = Seq((1L, "s", s"$head rare1 rare2 rare3")).toDF("doc_id", "src", "text")
+    val headOnly = Seq((1L, "s", head)).toDF("doc_id", "src", "text")
+    val cut = CorpusStats.zipfFit(withTail, col("src"), col("text"), topN = 3).head()
+    val base = CorpusStats.zipfFit(headOnly, col("src"), col("text"), topN = 3).head()
+    assert(cut.getLong(1) == 3L)
+    assert(cut.getDouble(2) == base.getDouble(2),
+      "tail terms beyond topN must not move the slope")
+  }
 }
