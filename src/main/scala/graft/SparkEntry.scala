@@ -937,6 +937,47 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q207_crossmodal_dups" -> ((s, d) => {
+      // X162 cross-modal dup report: one verdict row per document across
+      // all three modalities — normalized-fingerprint text dup (X127),
+      // rendered-image dHash dup (X147), audio envelope dup (X153) —
+      // the "which modality is duplicated" datasheet a multimodal corpus
+      // curator reads; the three signals genuinely differ (text
+      // normalizes whitespace/NFC, audio keys raw bytes, image adds the
+      // dims coincidence)
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val fp = base.select(col("doc_id"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+      val textDups = fp.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("fp"), lit(true).as("__t"))
+      val tflag = fp.join(textDups, Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("__t"), lit(false)).as("text_dup"))
+      val ipair = Multimodal.imagePerceptualDups(
+        Multimodal.fromTextAsImages(base, "doc_id", "text"), maxHamming = 0)
+      val iIds = ipair.select(col("id1").as("doc_id"))
+        .union(ipair.select(col("id2").as("doc_id"))).distinct()
+        .withColumn("__i", lit(true))
+      val apair = Multimodal.audioPerceptualDups(
+        Multimodal.fromTextAsWavs(base, "doc_id", "text"), maxHamming = 0)
+      val aIds = apair.select(col("id1").as("doc_id"))
+        .union(apair.select(col("id2").as("doc_id"))).distinct()
+        .withColumn("__a", lit(true))
+      tflag.join(iIds, Seq("doc_id"), "left").join(aIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text_dup"),
+          coalesce(col("__i"), lit(false)).as("image_dup"),
+          coalesce(col("__a"), lit(false)).as("audio_dup"))
+        .withColumn("n_modal_dups",
+          col("text_dup").cast(IntegerType) + col("image_dup").cast(IntegerType) +
+            col("audio_dup").cast(IntegerType))
+        .orderBy(col("doc_id"))
+    }),
+    "q206_vocab_growth" -> ((s, d) =>
+      // X161 Heaps'-law curve: vocabulary vs token total at four
+      // ingestion-order prefixes — does more crawl still buy vocabulary?
+      CorpusStats.vocabGrowth(t(s, d, "documents"), col("doc_id"),
+        col("text"), Seq(50L, 100L, 200L, 400L))
+        .orderBy(col("cutoff"))),
     "q205_zipf_fit" -> ((s, d) =>
       // X160 per-source Zipf fit: log-log least squares over each
       // source's top-200 terms — the slope-drift alarm a recurring crawl
@@ -4551,6 +4592,36 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q207_crossmodal_dups" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         tf AS (SELECT doc_id, $normFpSql AS fp FROM b),
+         td AS (SELECT fp FROM tf GROUP BY fp HAVING COUNT(*) > 1),
+         ad AS (SELECT text FROM b GROUP BY text HAVING COUNT(*) > 1),
+         im AS (SELECT doc_id, text, 16 + doc_id % 48 AS w FROM b),
+         idup AS (SELECT DISTINCT a.doc_id FROM im a
+           JOIN im c ON a.text = c.text AND a.w = c.w AND a.doc_id <> c.doc_id)
+         SELECT b.doc_id,
+           (tf.fp IN (SELECT fp FROM td)) AS text_dup,
+           (b.doc_id IN (SELECT doc_id FROM idup)) AS image_dup,
+           (b.text IN (SELECT text FROM ad)) AS audio_dup,
+           CAST((tf.fp IN (SELECT fp FROM td)) AS INT)
+             + CAST((b.doc_id IN (SELECT doc_id FROM idup)) AS INT)
+             + CAST((b.text IN (SELECT text FROM ad)) AS INT) AS n_modal_dups
+         FROM b JOIN tf USING (doc_id) ORDER BY doc_id""",
+    "q206_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         fs AS (SELECT u.tok, MIN(doc_id) AS fd
+           FROM t, UNNEST(tk) AS u(tok) WHERE u.tok <> '' GROUP BY 1),
+         dt AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x <> '')) AS BIGINT) AS n
+           FROM t),
+         g AS (SELECT CAST(unnest([50, 100, 200, 400]) AS BIGINT) AS cutoff),
+         v AS (SELECT g.cutoff, COUNT(fs.fd) AS vocab
+           FROM g LEFT JOIN fs ON fs.fd <= g.cutoff GROUP BY 1),
+         d AS (SELECT g.cutoff, COUNT(dt.doc_id) AS n_docs,
+             CAST(COALESCE(SUM(dt.n), 0) AS BIGINT) AS n_tokens
+           FROM g LEFT JOIN dt ON dt.doc_id <= g.cutoff GROUP BY 1)
+         SELECT d.cutoff, d.n_docs, d.n_tokens, v.vocab
+         FROM d JOIN v USING (cutoff) ORDER BY cutoff""",
     "q205_zipf_fit" ->
       s"""WITH c AS (SELECT source, u.tok, COUNT(*) AS freq
            FROM (SELECT source, $toksSql AS tk FROM documents) t,

@@ -376,6 +376,52 @@ object CorpusStats {
           (cov / (sqrt(varX) * sqrt(varY))), 6)).as("r2"))
   }
 
+  /** Vocabulary-growth curve (X161; Heaps' law, Heaps 1978): vocabulary
+    * size and token total at each PREFIX of the corpus in ingestion
+    * order (ascending `order`) — the curve that says whether more crawl
+    * still buys new vocabulary (V ≈ K·T^β, natural text β ≈ 0.4–0.6: a
+    * flattening curve means new data repeats the old, a β near 1 means
+    * ID/noise churn) and sizes the tokenizer budget alongside
+    * [[vocabCoverage]]. Prefixes are ORDER-KEY cutoffs (`__ord ≤ cutoff`,
+    * the caller's id column in practice — no global row numbering, which
+    * would be a single-partition window): each grid row reports
+    * `(cutoff, n_docs, n_tokens, vocab)` for that prefix.
+    *
+    * ONE corpus pass, not |grid| passes (the X142 grid discipline): a
+    * term enters the vocabulary at its FIRST document (min order — the
+    * same first-occurrence idea as [[graft.operators.Dedup]]'s
+    * keep-first), tokens accumulate per document; the literal grid then
+    * BROADCAST theta-joins both frames — each light (ord, n) row fans
+    * out to ≤|grid| copies, text never shuffles. Determinism: integer
+    * counts only. */
+  def vocabGrowth(docs: DataFrame, order: Column, text: Column,
+      grid: Seq[Long]): DataFrame = {
+    require(grid.nonEmpty, "need at least one cutoff")
+    require(grid.distinct.size == grid.size, s"duplicate cutoffs: $grid")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = docs.select(order.cast(LongType).as("__ord"),
+      TextAnalysis.tokens(text).as("__toks"))
+    val firstSeen = staged
+      .select(col("__ord"), explode(col("__toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(min(col("__ord")).as("__first"))
+    val docToks = staged.select(col("__ord"),
+      size(filter(col("__toks"), t => t =!= "")).cast(LongType).as("__n"))
+    val g = broadcast(grid.sorted.toDF("cutoff"))
+    // theta-joins against the broadcast grid: each light row fans out to
+    // ≤|grid| copies — (ord, n) longs and vocab terms only, never text
+    val vocabAt = g.join(firstSeen, col("__first") <= col("cutoff"), "left")
+      .groupBy(col("cutoff"))
+      .agg(count(col("__first")).as("vocab"))
+    val toksAt = g.join(docToks, col("__ord") <= col("cutoff"), "left")
+      .groupBy(col("cutoff"))
+      .agg(count(col("__ord")).as("n_docs"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_tokens"))
+    toksAt.join(vocabAt, Seq("cutoff"))
+      .select(col("cutoff"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
+
   /** Per-document OOV rate against the corpus's own top-`vocabSize`
     * vocabulary (X110): the per-doc complement of [[vocabCoverage]]'s
     * corpus curve — the curve sizes the tokenizer, THIS finds the

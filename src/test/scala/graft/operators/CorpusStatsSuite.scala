@@ -279,6 +279,27 @@ class CorpusStatsSuite extends AnyFunSuite {
       CorpusStats.zipfFit(docs, col("src"), col("text"), topN = 1))
   }
 
+  test("vocabGrowth: hand-counted prefixes; first occurrence opens the vocab once") {
+    val docs = Seq(
+      (1L, "a b a"),      // vocab {a,b}, 3 tokens
+      (2L, "b c"),        // +c -> 3, 5 tokens
+      (3L, "a a a a"),    // nothing new, 9 tokens
+      (5L, "d")           // +d -> 4, 10 tokens
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.vocabGrowth(docs, col("doc_id"), col("text"),
+      Seq(1L, 2L, 4L, 10L)).orderBy(col("cutoff")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, 2L),
+      (2L, 2L, 5L, 3L),
+      (4L, 3L, 9L, 3L),
+      (10L, 4L, 10L, 4L)))
+    intercept[IllegalArgumentException](
+      CorpusStats.vocabGrowth(docs, col("doc_id"), col("text"), Nil))
+    intercept[IllegalArgumentException](
+      CorpusStats.vocabGrowth(docs, col("doc_id"), col("text"), Seq(1L, 1L)))
+  }
+
   test("zipfFit: the topN cut excludes the tail from the fit") {
     val head = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")).mkString(" ")
     val withTail = Seq((1L, "s", s"$head rare1 rare2 rare3")).toDF("doc_id", "src", "text")
