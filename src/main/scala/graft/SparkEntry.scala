@@ -937,6 +937,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q208_dataset_card" -> ((s, d) => {
+      // X163 dataset card: the one-row-per-source release document —
+      // X80's volume/dup/quality/language datasheet joined with the X160
+      // Zipf slope (generator health) and the unigram type-token ratio
+      // (X92's n=1 diversity) — what a model card's data section cites
+      val docs = t(s, d, "documents")
+      val ds = CorpusStats.datasheet(docs, col("source"), "doc_id",
+        col("text"), col("lang"))
+        .withColumnRenamed("key", "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_tokens"), col("dup_rate"), col("mean_quality"),
+          col("majority_lang"))
+      val zf = CorpusStats.zipfFit(docs, col("source"), col("text"), topN = 200)
+        .select(col("source"), col("slope").as("zipf_slope"),
+          col("r2").as("zipf_r2"))
+      val dv = CorpusStats.ngramDiversity(docs, col("source"), col("text"),
+        maxN = 1)
+        .select(col("source"), col("distinct_ratio").as("ttr"))
+      ds.join(zf, Seq("source")).join(dv, Seq("source"))
+        .orderBy(col("source"))
+    }),
     "q207_crossmodal_dups" -> ((s, d) => {
       // X162 cross-modal dup report: one verdict row per document across
       // all three modalities — normalized-fingerprint text dup (X127),
@@ -4592,6 +4613,69 @@ object SparkEntry {
     "q175_ivfpq_append" -> ivfPqSearchSql,
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    "q208_dataset_card" ->
+      s"""WITH pr AS (SELECT source, lang,
+           CAST(len($toksSql) AS BIGINT) AS tok,
+           substr(md5($mdNorm), 1, 16) AS fp,
+           $qualityScoreSql AS q
+           FROM documents),
+         base AS (SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+             COUNT(DISTINCT fp) AS n_contents,
+             ROUND(CAST(SUM(CAST(q AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_quality
+           FROM pr GROUP BY 1),
+         lc AS (SELECT source, lang, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+         maj AS (SELECT source, lang FROM (
+           SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rk
+           FROM lc) WHERE rk = 1),
+         zc AS (SELECT source, u.tok, COUNT(*) AS freq
+           FROM (SELECT source, $toksSql AS tk FROM documents) t,
+             UNNEST(tk) AS u(tok)
+           WHERE u.tok <> '' GROUP BY 1, 2),
+         zr AS (SELECT source,
+             ROUND(LN(CAST(rank AS DOUBLE)), 6) AS x,
+             ROUND(LN(CAST(freq AS DOUBLE)), 6) AS y
+           FROM (SELECT source, tok, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY freq DESC, tok ASC) AS rank
+             FROM zc) WHERE rank <= 200),
+         zm AS (SELECT source, COUNT(*) AS zn,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+           FROM zr GROUP BY 1),
+         zf AS (SELECT source,
+             CASE WHEN zn > 1 THEN ROUND(
+               (CAST(zn AS DOUBLE) * sxy - sx * sy) /
+               (CAST(zn AS DOUBLE) * sxx - sx * sx), 6) END AS zipf_slope,
+             CASE WHEN zn > 1 THEN ROUND(
+               ((CAST(zn AS DOUBLE) * sxy - sx * sy) /
+                (sqrt(CAST(zn AS DOUBLE) * sxx - sx * sx) *
+                 sqrt(CAST(zn AS DOUBLE) * syy - sy * sy))) *
+               ((CAST(zn AS DOUBLE) * sxy - sx * sy) /
+                (sqrt(CAST(zn AS DOUBLE) * sxx - sx * sx) *
+                 sqrt(CAST(zn AS DOUBLE) * syy - sy * sy))), 6) END AS zipf_r2
+           FROM zm),
+         zc_all AS (SELECT source, u.tok
+           FROM (SELECT source, $toksSql AS tk FROM documents) t,
+             UNNEST(tk) AS u(tok)
+           WHERE u.tok <> ''),
+         dv AS (SELECT source,
+             ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+           FROM zc_all GROUP BY 1)
+         SELECT b.source, n_docs, n_tokens, mean_tokens,
+           ROUND(CAST(1.0 AS DOUBLE)
+             - CAST(n_contents AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           mean_quality, m.lang AS majority_lang, zipf_slope, zipf_r2, ttr
+         FROM base b JOIN maj m ON b.source = m.source
+         JOIN zf ON b.source = zf.source
+         JOIN dv ON b.source = dv.source
+         ORDER BY b.source""",
     "q207_crossmodal_dups" ->
       s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
          tf AS (SELECT doc_id, $normFpSql AS fp FROM b),
