@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Expression, In, LambdaFunction, LessThan, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, EqualTo, Expression, In, LambdaFunction, LessThan, Literal, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.operators.Dedup
@@ -64,6 +64,9 @@ object PipelineSqlFunctions {
   }
 
   private def foldDouble(e: Expression, what: String): Double = e match {
+    // type coercion wraps array literals in casts (array(0.5, 1) widens);
+    // the cast target is numeric either way, fold through it
+    case c: Cast => foldDouble(c.child, what)
     case Literal(v: Int, IntegerType) => v.toDouble
     case Literal(v: Long, LongType) => v.toDouble
     case Literal(v: Double, DoubleType) => v
@@ -232,6 +235,53 @@ object PipelineSqlFunctions {
   }
 
   // ------------------------------------------------------------------
+  // classifier kernels (mirror graft.operators.Curation X151/X158)
+  // ------------------------------------------------------------------
+
+  /** Hashed bag-of-words bitmask — the scalar twin of
+    * [[graft.operators.Curation.featureMask]] (28-bit md5 bucket,
+    * order-free bit-OR fold). */
+  private def featureMaskSql(text: Expression, dims: Int): Expression = {
+    require(dims >= 1 && dims <= 60,
+      s"dims must be in [1,60] (bitmask packs into one Long), got $dims")
+    fn("coalesce",
+      fn("aggregate", tokens(text), L(0L),
+        lam2((acc, t) => fn("|", acc, fn("shiftleft", L(1L),
+          Cast(fn("%",
+            asLong(fn("conv", fn("substring", fn("md5", t), L(1), L(7)), L(16), L(10))),
+            L(dims.toLong)), IntegerType))))),
+      L(0L))
+  }
+
+  /** Frozen-model logistic probability — the scalar twin of
+    * [[graft.operators.Curation.lrProb]]: the identical left-assoc logit
+    * chain over literal weights, so a SQL user scores with a trained
+    * model ([[graft.operators.Curation.lrTrain]]) bit-for-bit. */
+  private def lrProbSql(mask: Expression, weights: Seq[Double],
+      bias: Double): Expression = {
+    require(weights.nonEmpty && weights.size <= 60,
+      s"weights size must be in [1,60], got ${weights.size}")
+    val z = weights.indices.foldLeft[Expression](L(bias)) { (acc, j) =>
+      fn("+", acc, caseWhen(Seq(
+        EqualTo(fn("&", fn("shiftright", mask, L(j)), L(1L)), L(1L))
+          -> L(weights(j))), L(0.0)))
+    }
+    fn("/", L(1.0), fn("+", L(1.0), fn("exp", fn("negative", z))))
+  }
+
+  private def foldDoubleSeq(e: Expression, what: String): Seq[Double] = e match {
+    // the analyzer resolves the INNER array(...) call bottom-up before our
+    // builder runs, so the argument usually arrives as CreateArray already
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map(foldDouble(_, what))
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.lastOption.exists(_.equalsIgnoreCase("array")) =>
+      f.arguments.map(foldDouble(_, what))
+    case _ => throw new IllegalArgumentException(
+      s"$what must be an array(...) of numeric literals, got ${e.sql}")
+  }
+
+  // ------------------------------------------------------------------
   // sampling kernels (mirror graft.util.Sampling)
   // ------------------------------------------------------------------
 
@@ -314,6 +364,10 @@ object PipelineSqlFunctions {
     },
     fixed("graft_priority", 3)(a => priorityKey(a.head, a(1), a(2))),
     fixed("graft_cdc_cut", 2)(a => cdcCut(a.head, foldInt(a(1), "divisor"))),
+    fixed("graft_feature_mask", 2)(a =>
+      featureMaskSql(a.head, foldInt(a(1), "dims"))),
+    fixed("graft_lr_prob", 3)(a => lrProbSql(a.head,
+      foldDoubleSeq(a(1), "weights"), foldDouble(a(2), "bias"))),
     fixed("graft_jl_sign", 3)(a => jlSignSql(a.head, a(1), a(2))))
 
   /** CDC boundary rule (the [[graft.operators.TextAnalysis.cdcChunks]]

@@ -140,6 +140,26 @@ class PipelineSqlSuite extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("graft_feature_mask / graft_lr_prob == Curation twins") {
+    parity("graft_feature_mask(text, 16)", Curation.featureMask(col("text"), 16))
+    val w = Seq(0.5, -0.25, 0.125, 1.0)
+    parity(
+      "graft_lr_prob(graft_feature_mask(text, 4), " +
+        "array(0.5D, -0.25D, 0.125D, 1.0D), -0.75D)",
+      Curation.lrProb(Curation.featureMask(col("text"), 4), w, -0.75))
+    // decimal literals (plain SQL 0.5) fold too
+    parity(
+      "graft_lr_prob(graft_feature_mask(text, 2), array(0.5, 0.25), 0.0)",
+      Curation.lrProb(Curation.featureMask(col("text"), 2), Seq(0.5, 0.25), 0.0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_lr_prob(graft_feature_mask(text, 2), doc_id, 0.0)" +
+        " FROM pipe_docs").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_feature_mask(text, 61) FROM pipe_docs").collect()
+    }
+  }
+
   test("static params must be literals; bad arity/fractions rejected") {
     intercept[Exception] {
       spark.sql("SELECT graft_shingles(text, doc_id) FROM pipe_docs").collect()
