@@ -217,13 +217,22 @@ final class IvfIndex(spark: SparkSession, path: String,
     * whose every row is deleted gets no staged output — it swaps in an
     * empty directory, preserving the emptied-list behavior. */
   private def rewriteTouched(base: String, partCol: String,
-      touched: Seq[Int], ids: DataFrame): Unit = {
+      touched: Seq[Int], ids: DataFrame): Unit =
+    rewriteDirs(base, partCol, touched,
+      read => read.join(ids, Seq("id"), "left_anti"))
+
+  /** The shared staged-rewrite + per-dir two-rename swap behind
+    * [[rewriteTouched]] (anti-join survivors) and [[compact]] (identity
+    * + repartition): one partition-pruned read, one `transform`, one
+    * partitioned write into hidden staging, then each touched directory
+    * swaps under its own `.bak` crash contract. */
+  private def rewriteDirs(base: String, partCol: String,
+      touched: Seq[Int], transform: DataFrame => DataFrame): Unit = {
     if (touched.isEmpty) return
     val staging = new Path(base, ".staging_swap")
     fs.delete(staging, true)
-    val survivors = spark.read.parquet(base)
-      .filter(col(partCol).isin(touched: _*))
-      .join(ids, Seq("id"), "left_anti")
+    val survivors = transform(spark.read.parquet(base)
+      .filter(col(partCol).isin(touched: _*)))
     survivors.write.partitionBy(partCol).parquet(staging.toString)
     touched.foreach { n =>
       val dirName = s"$partCol=$n"
@@ -243,6 +252,55 @@ final class IvfIndex(spark: SparkSession, path: String,
     }
     fs.delete(staging, true)
   }
+
+  /** Small-file compaction for the raw lists layout (X166): every
+    * [[append]] adds part-files to its touched `ivf_list=N` directories
+    * (parquet append is directory-additive by design — that IS the crash
+    * story), so a long-running ingest loop accretes files until open/seek
+    * overhead dominates the probed read. `compact` rewrites the named
+    * lists in ONE job — each directory's rows repartitioned to one
+    * output file — under the same per-dir two-rename swap as a delete, so
+    * a crash mid-compaction restores from `.bak` and search never sees a
+    * half-compacted list. Content is bit-identical (suite-pinned); WHICH
+    * lists to compact is the caller's read of file counts, the
+    * [[splitList]] monitoring convention. */
+  def compact(listIds: Seq[Int]): Unit = {
+    recoverSplit(listsPath); recoverDir(listsPath)
+    requireDirs(listsPath, "ivf_list", listIds)
+    rewriteDirs(listsPath, "ivf_list", listIds,
+      read => read.repartition(col("ivf_list")))
+  }
+
+  /** [[compact]] for the PQ codes layout — appendPq accretes files the
+    * same way. */
+  def compactPq(listIds: Seq[Int]): Unit = {
+    recoverDir(codesPath)
+    requireDirs(codesPath, "ivf_list", listIds)
+    rewriteDirs(codesPath, "ivf_list", listIds,
+      read => read.repartition(col("ivf_list")))
+  }
+
+  /** Compact BOTH assignment sidecars' hash buckets (every append adds a
+    * file per touched bucket; B is bounded, so this is always a small
+    * job). No-op for a layout whose sidecar was never written. */
+  def compactAssign(): Unit =
+    Seq((assignPath, assignMetaPath), (assignPqPath, assignPqMetaPath))
+      .foreach { case (base, meta) =>
+        if (fs.exists(new Path(meta))) {
+          recoverDir(base)
+          val b = readAssignBuckets(meta)
+          // a bucket no id ever hashed to has no directory — skip it
+          val existing = (0 until b)
+            .filter(n => fs.exists(new Path(base, s"abucket=$n")))
+          rewriteDirs(base, "abucket", existing,
+            read => read.repartition(col("abucket")))
+        }
+      }
+
+  private def requireDirs(base: String, partCol: String, ids: Seq[Int]): Unit =
+    ids.foreach { n =>
+      require(fs.exists(new Path(base, s"$partCol=$n")),
+        s"no $partCol=$n directory under $base — nothing to compact") }
 
   /** Coarse-quantizer re-training + blue/green rebuild (X135; the "much
     * rarer re-training" [[append]]/[[delete]]'s steady-state story defers

@@ -345,6 +345,38 @@ class IvfIndexSuite extends AnyFunSuite {
       "exactly one of the four list partitions should be read at nprobe=1")
   }
 
+  // ---- compact (X166) ------------------------------------------------------
+
+  test("compact: appends accrete part-files, compaction collapses them, search bit-identical") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_ivf_compact").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs.filter($"vec_id" <= 32), "vec_id", "embedding", cents)
+    for (b <- 0 until 4)
+      idx.append(embs.filter($"vec_id" > 32 + b * 8 && $"vec_id" <= 40 + b * 8),
+        "vec_id", "embedding")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(p: String) = fs.listStatus(new Path(p))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val lists = (0 until 4).filter(n =>
+      fs.exists(new Path(s"$dir/ivf/lists/ivf_list=$n")))
+    val before = lists.map(n => filesIn(s"$dir/ivf/lists/ivf_list=$n")).sum
+    assert(before > lists.size, s"appends should have accreted files, got $before")
+    val want = idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    idx.compact(lists)
+    idx.compactAssign()
+    val after = lists.map(n => filesIn(s"$dir/ivf/lists/ivf_list=$n")).sum
+    assert(after == lists.size, s"one file per compacted list, got $after")
+    val got = idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "compaction must be content-invisible")
+    // the compacted sidecar still drives a pruned delete correctly
+    idx.delete(Seq(33L).toDF("id"))
+    assert(!idx.search(query, 64, 4).collect().map(_.getLong(0)).contains(33L))
+    intercept[IllegalArgumentException](idx.compact(Seq(99)))
+  }
+
   // ---- splitList (X156) ----------------------------------------------------
 
   test("splitList: membership conserved, both halves live, full-probe search invariant") {
