@@ -937,6 +937,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q209_ngram_lm" -> ((s, d) => {
+      // X167 persisted n-gram LM: build the Stupid Backoff count tables
+      // once as a versioned artifact, score from the STORED tables — the
+      // layout is pure I/O, so q200's oracle applies verbatim
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_nglm").toString
+      val lm = new graft.sources.NgramLm(s, s"$dir/lm")
+      lm.build(docs, "doc_id", col("text"))
+      lm.score(docs, "doc_id", col("text")).orderBy(col("doc_id"))
+    }),
     "q208_dataset_card" -> ((s, d) => {
       // X163 dataset card: the one-row-per-source release document —
       // X80's volume/dup/quality/language datasheet joined with the X160
@@ -2237,6 +2247,45 @@ object SparkEntry {
   private def toksSqlOn(c: String) =
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
+
+  /** Shared by q200 (recount) and q209 (persisted layout — pure I/O):
+    * the full Stupid Backoff tri/bi/uni scoring in SQL. */
+  private val stupidBackoffSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+             tk[CAST(u.i + 2 AS INT)] AS w2, tk[CAST(u.i + 3 AS INT)] AS w3
+           FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''
+             AND tk[CAST(u.i + 3 AS INT)] <> ''),
+         bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+             tk[CAST(u.i + 2 AS INT)] AS w2
+           FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+         tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall GROUP BY 1, 2, 3),
+         bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+         uni AS (SELECT w, COUNT(*) AS c1
+           FROM (SELECT u.w FROM t, UNNEST(tk) AS u(w) WHERE u.w <> '')
+           GROUP BY 1),
+         nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+         sc AS (SELECT d.doc_id, ROUND(-LN(CASE
+             WHEN tc.c3 > 0 THEN CAST(tc.c3 AS DOUBLE) / CAST(ba.c2 AS DOUBLE)
+             WHEN bb.c2 > 0 THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+             ELSE (0.4 * 0.4) * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0) /
+               (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+           END), 6) AS lp
+           FROM tgall d
+           LEFT JOIN tgc tc ON d.w1 = tc.w1 AND d.w2 = tc.w2 AND d.w3 = tc.w3
+           LEFT JOIN bgc ba ON d.w1 = ba.w1 AND d.w2 = ba.w2
+           LEFT JOIN bgc bb ON d.w2 = bb.w1 AND d.w3 = bb.w2
+           LEFT JOIN uni u2 ON d.w2 = u2.w
+           LEFT JOIN uni u3 ON d.w3 = u3.w
+           CROSS JOIN nv),
+         agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+             ROUND(CAST(SUM(CAST(lp AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
+               AS xent
+           FROM sc GROUP BY 1)
+         SELECT doc_id, n_trigrams, xent, ROUND(EXP(xent), 6) AS ppl
+         FROM agg ORDER BY doc_id"""
 
   /** The q197/q198 label: curated positives = src0..src4. */
   private val lrYSql =
@@ -4819,42 +4868,8 @@ object SparkEntry {
          SELECT id, cluster, proto_cos, rank, n_cluster,
            rank <= CAST(CEIL(0.5 * n_cluster) AS BIGINT) AS keep
          FROM r ORDER BY cluster, rank""",
-    "q200_stupid_backoff" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
-             tk[CAST(u.i + 2 AS INT)] AS w2, tk[CAST(u.i + 3 AS INT)] AS w3
-           FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
-           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''
-             AND tk[CAST(u.i + 3 AS INT)] <> ''),
-         bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
-             tk[CAST(u.i + 2 AS INT)] AS w2
-           FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
-           WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
-         tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall GROUP BY 1, 2, 3),
-         bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
-         uni AS (SELECT w, COUNT(*) AS c1
-           FROM (SELECT u.w FROM t, UNNEST(tk) AS u(w) WHERE u.w <> '')
-           GROUP BY 1),
-         nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
-         sc AS (SELECT d.doc_id, ROUND(-LN(CASE
-             WHEN tc.c3 > 0 THEN CAST(tc.c3 AS DOUBLE) / CAST(ba.c2 AS DOUBLE)
-             WHEN bb.c2 > 0 THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
-             ELSE (0.4 * 0.4) * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0) /
-               (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
-           END), 6) AS lp
-           FROM tgall d
-           LEFT JOIN tgc tc ON d.w1 = tc.w1 AND d.w2 = tc.w2 AND d.w3 = tc.w3
-           LEFT JOIN bgc ba ON d.w1 = ba.w1 AND d.w2 = ba.w2
-           LEFT JOIN bgc bb ON d.w2 = bb.w1 AND d.w3 = bb.w2
-           LEFT JOIN uni u2 ON d.w2 = u2.w
-           LEFT JOIN uni u3 ON d.w3 = u3.w
-           CROSS JOIN nv),
-         agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
-             ROUND(CAST(SUM(CAST(lp AS DECIMAL(38, 6))) AS DOUBLE) / COUNT(*), 6)
-               AS xent
-           FROM sc GROUP BY 1)
-         SELECT doc_id, n_trigrams, xent, ROUND(EXP(xent), 6) AS ppl
-         FROM agg ORDER BY doc_id""",
+    "q200_stupid_backoff" -> stupidBackoffSql,
+    "q209_ngram_lm" -> stupidBackoffSql,
     "q199_audio_envelope_dups" ->
       """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
          ad AS (SELECT doc_id, source FROM b

@@ -342,7 +342,6 @@ object TextAnalysis {
     * fit), and the final doc aggregation — text never shuffles. */
   def stupidBackoff(docs: DataFrame, refDocs: DataFrame, idCol: String,
       text: Column, lambda: Double = 0.4): DataFrame = {
-    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
     val tri = trigramTriples(refDocs, idCol, text)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     val bi = bigramPairs(refDocs, idCol, text)
@@ -351,6 +350,18 @@ object TextAnalysis {
     val uni = positionalPostings(refDocs, idCol, text)
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
       .localCheckpoint(true) // two joins + the N/V aggregate
+    stupidBackoffScore(docs, idCol, text, tri, bi, uni, lambda)
+  }
+
+  /** The scoring half of [[stupidBackoff]], against EXPLICIT count
+    * tables — shared by the recount path above and the persisted-model
+    * path ([[graft.sources.NgramLm]]), so the two cannot drift. `tri` is
+    * (w1, w2, w3, c3), `bi` (w1, w2, c2), `uni` (term, c1); N and V
+    * derive from `uni` (one broadcast row). */
+  private[graft] def stupidBackoffScore(docs: DataFrame, idCol: String,
+      text: Column, tri: DataFrame, bi: DataFrame, uni: DataFrame,
+      lambda: Double): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
     val nv = uni.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
     val lam = lit(lambda)
     val s = when(col("c3") > 0,

@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Persisted Stupid-Backoff n-gram model (X167): the X154 count tables
+  * — tri (w1,w2,w3,c3), bi (w1,w2,c2), uni (term,c1) — materialized as a
+  * VERSIONED parquet artifact, so the reference corpus is counted once
+  * and every later scoring run (and every engine restart) reads the
+  * stored tables instead of recounting a 100 TB reference. Scoring is
+  * [[TextAnalysis.stupidBackoffScore]] against the stored frames — the
+  * SAME code path as the recount operator, so the two cannot drift
+  * (suite-pinned bit-identical; oracle-gated q209 reusing q200's SQL
+  * verbatim — the layout is pure I/O).
+  *
+  * Counts are ADDITIVE, which is what makes the model incrementally
+  * maintainable: [[append]] counts only the NEW batch, outer-merges it
+  * with the stored tables by summation, and writes a NEW version
+  * directory — build(A) then append(B) is bit-identical to build(A ∪ B)
+  * (suite-pinned). Versions are blue/green: a version directory is
+  * immutable once the pointer names it, the pointer is a one-row parquet
+  * swapped under the two-rename `.bak` discipline (the
+  * [[IvfIndex]] centroid-pointer contract: the root pointer can never
+  * read as missing — recovery runs at every read), and a crashed append
+  * leaves at worst an orphan unreferenced version directory —
+  * [[vacuum]] drops everything but the current version.
+  *
+  * Scale shape: tables are vocabulary-sized (metadata next to the
+  * corpus); the merge is three map-side-combined union-sums; scoring
+  * joins are AQE-broadcast when the tables fit, shuffle-joined when they
+  * don't — the [[TextAnalysis.stupidBackoff]] shape. */
+final class NgramLm(spark: SparkSession, path: String) {
+
+  private def verDir(v: Int) = s"$path/v=$v"
+  private def pointerLive = new Path(path, "current")
+
+  private def fs =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Restore a half-done pointer swap (the [[IvfIndex]] recoverDir rule:
+    * a `.bak` with no live pointer means the crash hit between renames —
+    * restore it; with a live pointer present, drop the stale backup). */
+  private def recoverPointer(): Unit = {
+    val bak = new Path(path, ".current.bak")
+    if (fs.exists(bak)) {
+      if (!fs.exists(pointerLive)) {
+        if (!fs.rename(bak, pointerLive))
+          sys.error(s"could not restore $bak to $pointerLive")
+      } else fs.delete(bak, true)
+    }
+  }
+
+  private def writePointer(v: Int): Unit = {
+    import spark.implicits._
+    val staged = new Path(path, ".current.staged")
+    fs.delete(staged, true)
+    Seq(v).toDF("version").coalesce(1).write.parquet(staged.toString)
+    val bak = new Path(path, ".current.bak")
+    fs.delete(bak, true)
+    if (fs.exists(pointerLive) && !fs.rename(pointerLive, bak))
+      sys.error(s"could not back up $pointerLive")
+    if (!fs.rename(staged, pointerLive))
+      sys.error(s"could not swap $staged into $pointerLive (backup at $bak)")
+    fs.delete(bak, true)
+  }
+
+  /** The version the pointer currently names. */
+  def currentVersion(): Int = {
+    recoverPointer()
+    spark.read.parquet(pointerLive.toString).head().getInt(0)
+  }
+
+  private def counts(docs: DataFrame, idCol: String, text: Column) = (
+    TextAnalysis.trigramTriples(docs, idCol, text)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3")),
+    TextAnalysis.bigramPairs(docs, idCol, text)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+    TextAnalysis.positionalPostings(docs, idCol, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("c1")))
+
+  private def writeVersion(v: Int,
+      tri: DataFrame, bi: DataFrame, uni: DataFrame): Unit = {
+    tri.write.mode("overwrite").parquet(s"${verDir(v)}/tri")
+    bi.write.mode("overwrite").parquet(s"${verDir(v)}/bi")
+    uni.write.mode("overwrite").parquet(s"${verDir(v)}/uni")
+  }
+
+  /** Count the reference corpus and publish version 1. */
+  def build(refDocs: DataFrame, idCol: String, text: Column): Unit = {
+    val (tri, bi, uni) = counts(refDocs, idCol, text)
+    writeVersion(1, tri, bi, uni)
+    writePointer(1)
+  }
+
+  private def readTables(v: Int) = (
+    spark.read.parquet(s"${verDir(v)}/tri"),
+    spark.read.parquet(s"${verDir(v)}/bi"),
+    spark.read.parquet(s"${verDir(v)}/uni"))
+
+  /** Merge a NEW batch's counts into the model: count only the batch,
+    * outer-sum against the stored tables, publish as the next version,
+    * flip the pointer. build(A) + append(B) ≡ build(A ∪ B) — counts are
+    * additive and the merge is exact integer arithmetic. The previous
+    * version stays on disk (still consistent for in-flight readers)
+    * until [[vacuum]]. */
+  def append(docs: DataFrame, idCol: String, text: Column): Unit = {
+    val v = currentVersion()
+    val (dTri, dBi, dUni) = counts(docs, idCol, text)
+    val (sTri, sBi, sUni) = readTables(v)
+    def merge(stored: DataFrame, delta: DataFrame, keys: Seq[String],
+        cnt: String) =
+      stored.select(keys.map(col) :+ col(cnt): _*)
+        .unionByName(delta.select(keys.map(col) :+ col(cnt): _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(cnt)).cast("long").as(cnt))
+    writeVersion(v + 1,
+      merge(sTri, dTri, Seq("w1", "w2", "w3"), "c3"),
+      merge(sBi, dBi, Seq("w1", "w2"), "c2"),
+      merge(sUni, dUni, Seq("term"), "c1"))
+    writePointer(v + 1)
+  }
+
+  /** Score a corpus against the CURRENT stored model — the exact
+    * [[TextAnalysis.stupidBackoff]] arithmetic over the stored tables. */
+  def score(docs: DataFrame, idCol: String, text: Column,
+      lambda: Double = 0.4): DataFrame = {
+    val (tri, bi, uni) = readTables(currentVersion())
+    TextAnalysis.stupidBackoffScore(docs, idCol, text, tri,
+      bi.localCheckpoint(true),   // two join consumers, the X154 pins
+      uni.localCheckpoint(true),  // two joins + the N/V aggregate
+      lambda)
+  }
+
+  /** Drop every version directory except the current one (orphans from
+    * crashed appends included). */
+  def vacuum(): Unit = {
+    val keep = currentVersion()
+    Option(fs.globStatus(new Path(path, "v=*"))).toSeq.flatten.foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v=").toInt
+      if (v != keep) fs.delete(st.getPath, true)
+    }
+  }
+}

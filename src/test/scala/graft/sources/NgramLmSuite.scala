@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.TextAnalysis
+
+/** The persisted n-gram model must be a pure I/O artifact: identical
+  * scores to the recount operator, additive appends, crash-safe pointer. */
+class NgramLmSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val refA = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the rug"),
+    (3L, "a cat and a dog ran")).toDF("doc_id", "text")
+  private val refB = Seq(
+    (4L, "the cat ran to the dog"),
+    (5L, "mats and rugs everywhere")).toDF("doc_id", "text")
+  private val probe = Seq(
+    (10L, "the cat sat on the rug"),
+    (11L, "zork blee frotz gnip"),
+    (12L, "a dog ran")).toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3))).toSet
+
+  test("stored-model scores are bit-identical to the recount operator") {
+    val dir = Files.createTempDirectory("graft_nglm").toString
+    val lm = new NgramLm(spark, s"$dir/lm")
+    lm.build(refA, "doc_id", col("text"))
+    assert(lm.currentVersion() == 1)
+    val got = rows(lm.score(probe, "doc_id", col("text")))
+    val want = rows(TextAnalysis.stupidBackoff(probe, refA, "doc_id", col("text")))
+    assert(got === want, "persisted layout must be pure I/O")
+  }
+
+  test("append additivity: build(A) + append(B) == build(A ∪ B); vacuum keeps current") {
+    val dir = Files.createTempDirectory("graft_nglm_app").toString
+    val inc = new NgramLm(spark, s"$dir/inc")
+    inc.build(refA, "doc_id", col("text"))
+    inc.append(refB, "doc_id", col("text"))
+    assert(inc.currentVersion() == 2)
+    val full = new NgramLm(spark, s"$dir/full")
+    full.build(refA.union(refB), "doc_id", col("text"))
+    assert(rows(inc.score(probe, "doc_id", col("text"))) ===
+      rows(full.score(probe, "doc_id", col("text"))),
+      "count merge must equal a from-scratch count")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$dir/inc/lm".replace("/lm", ""), "inc/v=1"))
+      || fs.exists(new Path(s"$dir/inc/v=1")), "old version kept until vacuum")
+    inc.vacuum()
+    assert(!fs.exists(new Path(s"$dir/inc/v=1")), "vacuum drops superseded versions")
+    assert(fs.exists(new Path(s"$dir/inc/v=2")))
+  }
+
+  test("pointer crash recovery: a half-done swap restores at the next read") {
+    val dir = Files.createTempDirectory("graft_nglm_crash").toString
+    val lm = new NgramLm(spark, s"$dir/lm")
+    lm.build(refA, "doc_id", col("text"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between the two renames: live pointer gone, backup present
+    assert(fs.rename(new Path(s"$dir/lm/current"), new Path(s"$dir/lm/.current.bak")))
+    assert(lm.currentVersion() == 1, "reader must restore the backed-up pointer")
+    assert(fs.exists(new Path(s"$dir/lm/current")))
+  }
+}
