@@ -937,6 +937,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q210_mixture_lifecycle" -> ((s, d) => {
+      // X168 mixture lifecycle: X150's waterfill decides each source's
+      // epoch allocation, X159 materializes the actual multi-epoch
+      // training order from it — budget in, consumable schedule out; the
+      // oracle recomputes the waterfill AND the schedule
+      val docs = t(s, d, "documents")
+      val plan = Curation.uniMaxPlan(docs, col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType),
+          totalBudget = 48000L, maxEpochs = 2)
+        .select(col("source"), col("epochs")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+        .filter(_._2 > 0.0)
+      Curation.epochSchedule(docs, "doc_id", col("source"), plan, seed = "mx")
+        .orderBy(col("order_idx"))
+    }),
     "q209_ngram_lm" -> ((s, d) => {
       // X167 persisted n-gram LM: build the Stupid Backoff count tables
       // once as a versioned artifact, score from the STORED tables — the
@@ -4870,6 +4885,46 @@ object SparkEntry {
          FROM r ORDER BY cluster, rank""",
     "q200_stupid_backoff" -> stupidBackoffSql,
     "q209_ngram_lm" -> stupidBackoffSql,
+    "q210_mixture_lifecycle" ->
+      s"""WITH tc AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS t FROM documents),
+         per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS tokens_avail
+           FROM tc GROUP BY 1),
+         c AS (SELECT source, tokens_avail,
+             tokens_avail * 2 AS cap_tokens FROM per),
+         w AS (SELECT *,
+             CAST(COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+             ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS r,
+             COUNT(*) OVER () AS n
+           FROM c),
+         f AS (SELECT *, (cap_tokens * (n - r + 1) <= 48000 - pfx) AS capped FROM w),
+         g AS (SELECT *,
+             CAST(COALESCE(SUM(CASE WHEN capped THEN cap_tokens END) OVER (), 0)
+               AS BIGINT) AS capped_sum,
+             n - SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_uncapped
+           FROM f),
+         plan AS (SELECT source, ROUND(
+             (CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+               ELSE CAST(48000 - capped_sum AS DOUBLE) / n_uncapped END)
+             / CAST(tokens_avail AS DOUBLE), 6) AS epochs
+           FROM g WHERE tokens_avail > 0),
+         pl AS (SELECT source, epochs FROM plan WHERE epochs > 0),
+         j AS (SELECT d.doc_id, d.source, p.epochs
+           FROM documents d JOIN pl p USING (source)),
+         e AS (SELECT doc_id, source, epochs, CAST(u.e AS INT) AS epoch
+           FROM j, UNNEST(range(1, CAST(CEIL(epochs) AS BIGINT) + 1)) u(e)),
+         k AS (SELECT * FROM e WHERE epoch <= FLOOR(epochs)
+           OR (CAST(concat('0x', substr(md5('mx:' || CAST(epoch AS VARCHAR)
+                 || ':' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000)
+              < CAST(ROUND((epochs - FLOOR(epochs)) * 10000, 0) AS BIGINT)),
+         s AS (SELECT doc_id AS id, source, epoch,
+             md5(CAST(doc_id AS VARCHAR) || ':mx:' || CAST(epoch AS VARCHAR))
+               AS shuffle_key
+           FROM k)
+         SELECT id, source, epoch, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY epoch, shuffle_key, id) - 1 AS BIGINT)
+             AS order_idx
+         FROM s ORDER BY order_idx""",
     "q199_audio_envelope_dups" ->
       """WITH b AS (SELECT doc_id, source FROM documents WHERE doc_id < 200),
          ad AS (SELECT doc_id, source FROM b
