@@ -937,6 +937,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q212_ohlc" -> ((s, d) =>
+      // X171 OHLC candles: per (user, 1h bucket) open/high/low/close of
+      // the value signal — the telemetry downsampling aggregate
+      Sessionize.ohlcBuckets(events(s, d), col("user_id"), col("ts"),
+        col("value"), "1 hour")
+        .orderBy(col("key"), col("bucket_start"))),
+    "q211_interpolate" -> ((s, d) => {
+      // X170 interpolating as-of join: evaluate each user's sampled
+      // 'view' value signal AT click time — linear between brackets,
+      // hold at the edges, null with no readings
+      val ev = events(s, d)
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val signal = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rt"))
+        .agg(max(col("value")).as("v"))
+      AsOf.interpolateJoin(probes, signal, "user_id", "t", "rt", "v")
+        .orderBy(col("event_id"))
+    }),
     "q210_mixture_lifecycle" -> ((s, d) => {
       // X168 mixture lifecycle: X150's waterfill decides each source's
       // epoch allocation, X159 materializes the actual multi-epoch
@@ -4885,6 +4904,46 @@ object SparkEntry {
          FROM r ORDER BY cluster, rank""",
     "q200_stupid_backoff" -> stupidBackoffSql,
     "q209_ngram_lm" -> stupidBackoffSql,
+    "q212_ohlc" ->
+      """WITH e AS (SELECT user_id AS key,
+           CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bucket_start,
+           epoch_us(ts) AS t, value FROM events),
+         w AS (SELECT key, bucket_start, value,
+             FIRST_VALUE(value) OVER (PARTITION BY key, bucket_start
+               ORDER BY t, value) AS open,
+             LAST_VALUE(value) OVER (PARTITION BY key, bucket_start
+               ORDER BY t, value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+           FROM e)
+         SELECT key, bucket_start, COUNT(*) AS n, MAX(open) AS open,
+           MAX(value) AS high, MIN(value) AS low, MAX(close) AS close,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY key, bucket_start""",
+    "q211_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+           FROM events),
+         r AS (SELECT user_id, t AS rt, MAX(value) AS v FROM e
+           WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         br AS (SELECT p.event_id, p.user_id, p.t,
+             (SELECT r.rt FROM r WHERE r.user_id = p.user_id AND r.rt <= p.t
+              ORDER BY r.rt DESC LIMIT 1) AS tb,
+             (SELECT r.v FROM r WHERE r.user_id = p.user_id AND r.rt <= p.t
+              ORDER BY r.rt DESC LIMIT 1) AS vb,
+             (SELECT r.rt FROM r WHERE r.user_id = p.user_id AND r.rt >= p.t
+              ORDER BY r.rt ASC LIMIT 1) AS tf,
+             (SELECT r.v FROM r WHERE r.user_id = p.user_id AND r.rt >= p.t
+              ORDER BY r.rt ASC LIMIT 1) AS vf
+           FROM p)
+         SELECT event_id, user_id, t, ROUND(CASE
+             WHEN tb IS NULL AND tf IS NULL THEN NULL
+             WHEN tb IS NULL THEN vf
+             WHEN tf IS NULL THEN vb
+             WHEN tf = tb THEN vb
+             ELSE vb + (vf - vb) * ((CAST(t AS DOUBLE) - CAST(tb AS DOUBLE))
+               / (CAST(tf AS DOUBLE) - CAST(tb AS DOUBLE)))
+           END, 6) AS interp
+         FROM br ORDER BY event_id""",
     "q210_mixture_lifecycle" ->
       s"""WITH tc AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS t FROM documents),
          per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS tokens_avail

@@ -106,6 +106,64 @@ object AsOf {
         rightCols.map(c => col(s"__hit.$c").as(c))): _*)
   }
 
+  /** Interpolating as-of join (X170): for each left row, LINEARLY
+    * interpolate a right-side signal between its bracketing readings per
+    * key — the feature-alignment join when a sampled sensor/metric must
+    * be evaluated AT event time rather than held from the last reading
+    * (the standard time-series alignment step before joining telemetry
+    * to events). Beyond the brackets it degrades gracefully: only a
+    * preceding reading → hold it; only a following one → hold that;
+    * an exact-time reading → its value verbatim; no readings → null.
+    *
+    * `leftTime`/`rightTime` must be NUMERIC (cast timestamps to epoch
+    * micros first — `unix_micros`; interval arithmetic cannot form the
+    * interpolation ratio). Right rows must be unique per (key, time) —
+    * the [[asofJoin]] contract; pre-aggregate duplicates.
+    *
+    * Same scale shape as [[asofJoinNearest]]: ONE exchange on the key,
+    * two per-key ordered windows (running previous / running next, one
+    * row of state each) — never a range join. Determinism: the
+    * interpolation `vb + (vf − vb)·((t − tb)/(tf − tb))` is a pinned
+    * double op sequence over exact integer times, round-6 output. */
+  def interpolateJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String): DataFrame = {
+    require(!left.columns.contains("interp"),
+      "left frame already has an 'interp' column")
+    val leftStruct = struct(left.columns.map(col).toSeq: _*)
+    val rightStruct = struct(col(rightTime).cast("double").as("__asof_rt"),
+      col(valueCol).cast("double").as("__asof_v"))
+    val rTagged = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(col(key).as("__asof_k"), col(rightTime).as("__asof_t"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
+          .as("__asof_row"),
+        rightStruct.as("__asof_match"))
+    val lTagged = left.select(col(key).as("__asof_k"), col(leftTime).as("__asof_t"),
+      lit(1).as("__asof_side"), leftStruct.as("__asof_row"),
+      lit(null).cast(rTagged.schema("__asof_match").dataType).as("__asof_match"))
+    val wB = Window.partitionBy(col("__asof_k"))
+      .orderBy(col("__asof_t").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__asof_k"))
+      .orderBy(col("__asof_t").desc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = lTagged.unionByName(rTagged)
+      .withColumn("__hb", last(col("__asof_match"), ignoreNulls = true).over(wB))
+      .withColumn("__hf", last(col("__asof_match"), ignoreNulls = true).over(wF))
+    val t = col("__asof_t").cast("double")
+    val tb = col("__hb.__asof_rt"); val vb = col("__hb.__asof_v")
+    val tf = col("__hf.__asof_rt"); val vf = col("__hf.__asof_v")
+    val interp = when(col("__hb").isNull && col("__hf").isNull, lit(null))
+      .when(col("__hb").isNull, vf)
+      .when(col("__hf").isNull, vb)
+      .when(tf === tb, vb)
+      .otherwise(vb + (vf - vb) * ((t - tb) / (tf - tb)))
+    both.filter(col("__asof_side") === 1)
+      .withColumn("interp", round(interp, 6))
+      .select(col("__asof_row.*"), col("interp"))
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightCols: Seq[String],
       tolerance: Option[Column], forward: Boolean): DataFrame = {

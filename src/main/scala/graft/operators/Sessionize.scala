@@ -160,6 +160,47 @@ object Sessionize {
     * (user, week) clustering), so only the final cell aggregate — cohort
     * rows, tiny — reshuffles. `cohort_week` is emitted as epoch seconds
     * (BIGINT), the engine's cross-engine timestamp convention. */
+  /** OHLC time-bucket profile (X171): per (key, tumbling bucket) the
+    * open/high/low/close of a value signal plus count and exact sum —
+    * the classic telemetry/metrics downsampling aggregate (a dashboard
+    * or anomaly detector reads OHLC candles, not raw events; finance
+    * popularized the shape, ops pipelines run it on every counter).
+    *
+    * Determinism: open/close order by (ts, value) so an exact-timestamp
+    * tie resolves by value, not arrival; the sum accumulates in
+    * DECIMAL(28,8) (the engine's dsum discipline). Scale shape: ONE
+    * (key, bucket) exchange serves both the ordered windows and the
+    * final aggregate (sub-key clustering satisfies both — the
+    * [[graft.operators.CorpusStats.datasheet]] shape); window state is
+    * O(1) per row. Buckets align to the epoch
+    * ([[org.apache.spark.sql.functions.window]] tumbling semantics);
+    * `bucket_start` is unix seconds. */
+  def ohlcBuckets(events: DataFrame, key: Column, ts: Column, value: Column,
+      width: String): DataFrame = {
+    require(width.nonEmpty, "width must be a window duration, e.g. '10 minutes'")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 8)
+    val base = events.select(key.as("key"), ts.as("__t"),
+        value.cast("double").as("__v"))
+      .withColumn("__b", window(col("__t"), width))
+      .repartition(col("key"), col("__b"))
+    val w = Window.partitionBy(col("key"), col("__b"))
+      .orderBy(col("__t").asc, col("__v").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("__open", first(col("__v")).over(w))
+      .withColumn("__close", last(col("__v")).over(full))
+      .groupBy(col("key"), col("__b"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__open")).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(col("__close")).as("close"),
+        round(sum(col("__v").cast(dec)).cast("double"), 6).as("sum_value"))
+      .select(col("key"), unix_timestamp(col("__b.start")).as("bucket_start"),
+        col("n"), col("open"), col("high"), col("low"), col("close"),
+        col("sum_value"))
+  }
+
   def cohortRetention(events: DataFrame, user: Column, ts: Column): DataFrame = {
     val wk = events
       .select(user.as("user_id"), date_trunc("week", ts).as("wk"))

@@ -197,4 +197,57 @@ class AsOfSuite extends AnyFunSuite {
       assert(got(id) == ((want.map(_._2), want.map(_._3))), s"row $id ($k, $t)")
     }
   }
+
+  test("interpolateJoin: linear between brackets, hold at edges, exact hit, empty key") {
+    // numeric time axis (the operator's contract)
+    val probes = Seq(
+      (1L, "a", 100L),  // between 0 (v=10) and 200 (v=30) -> 20
+      (2L, "a", 150L),  // -> 10 + 20*(150/200) = 25
+      (3L, "a", -50L),  // before first reading -> hold 10
+      (4L, "a", 500L),  // after last reading -> hold 30
+      (5L, "a", 200L),  // exact hit -> 30
+      (6L, "z", 100L)   // no readings -> null
+    ).toDF("obs_id", "k", "t")
+    val signal = Seq(("a", 0L, 10.0), ("a", 200L, 30.0))
+      .toDF("k", "rt", "v")
+    val out = AsOf.interpolateJoin(probes, signal, "k", "t", "rt", "v")
+      .orderBy(col("obs_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq === Seq(
+      1L -> Some(20.0), 2L -> Some(25.0), 3L -> Some(10.0),
+      4L -> Some(30.0), 5L -> Some(30.0), 6L -> None))
+    intercept[IllegalArgumentException](
+      AsOf.interpolateJoin(probes.withColumn("interp", lit(1)),
+        signal, "k", "t", "rt", "v"))
+  }
+
+  test("interpolate differential: random data matches a brute-force reference") {
+    val rnd = new scala.util.Random(170)
+    val sig = (0 until 30).map(i =>
+      ("k" + rnd.nextInt(3), rnd.nextInt(1000).toLong, rnd.nextInt(100).toDouble))
+      .distinct.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (k, t)
+    val prb = (1 to 40).map(i =>
+      (i.toLong, "k" + rnd.nextInt(4), rnd.nextInt(1200).toLong - 100))
+    def expected(k: String, t: Long): Option[Double] = {
+      val ks = sig.filter(_._1 == k)
+      val before = ks.filter(_._2 <= t).sortBy(_._2).lastOption
+      val after = ks.filter(_._2 >= t).sortBy(_._2).headOption
+      (before, after) match {
+        case (None, None) => None
+        case (None, Some((_, _, v))) => Some(v)
+        case (Some((_, _, v)), None) => Some(v)
+        case (Some((_, tb, vb)), Some((_, tf, vf))) =>
+          if (tf == tb) Some(vb)
+          else Some(vb + (vf - vb) * ((t.toDouble - tb.toDouble) / (tf.toDouble - tb.toDouble)))
+      }
+    }
+    val got = AsOf.interpolateJoin(prb.toDF("obs_id", "k", "t"),
+        sig.toDF("k", "rt", "v"), "k", "t", "rt", "v")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    prb.foreach { case (id, k, t) =>
+      val want = expected(k, t).map(v =>
+        BigDecimal.valueOf(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(id) === want, s"probe $id ($k, $t)")
+    }
+  }
 }

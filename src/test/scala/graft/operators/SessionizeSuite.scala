@@ -209,4 +209,33 @@ class SessionizeSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("ohlcBuckets: hand-computed candles; exact-ts tie resolves by value") {
+    import java.sql.Timestamp
+    def t(x: String) = Timestamp.valueOf(x)
+    val ev = Seq(
+      // user 1, bucket 10:00: open 5 (earliest), high 9, low 2, close 2
+      (1L, t("2024-01-01 10:01:00"), 5.0),
+      (1L, t("2024-01-01 10:20:00"), 9.0),
+      (1L, t("2024-01-01 10:40:00"), 2.0),
+      // user 1, bucket 11:00: single event
+      (1L, t("2024-01-01 11:05:00"), 7.0),
+      // user 2, bucket 10:00: two events at the SAME timestamp — open is
+      // the smaller value, close the larger (the (ts, value) tie rule)
+      (2L, t("2024-01-01 10:30:00"), 8.0),
+      (2L, t("2024-01-01 10:30:00"), 3.0)
+    ).toDF("u", "ts", "v")
+    val out = Sessionize.ohlcBuckets(ev, col("u"), col("ts"), col("v"), "1 hour")
+      .orderBy(col("key"), col("bucket_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val b10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val b11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      (1L, b10, 3L, 5.0, 9.0, 2.0, 2.0, 16.0),
+      (1L, b11, 1L, 7.0, 7.0, 7.0, 7.0, 7.0),
+      (2L, b10, 2L, 3.0, 8.0, 3.0, 8.0, 11.0)))
+    intercept[IllegalArgumentException](
+      Sessionize.ohlcBuckets(ev, col("u"), col("ts"), col("v"), ""))
+  }
 }
