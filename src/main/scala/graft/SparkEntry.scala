@@ -937,6 +937,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q213_inverted_index" -> ((s, d) => {
+      // X172 persisted inverted index: q117's phrase search, but the
+      // postings come from the term-bucket-pruned on-disk layout — pure
+      // I/O, so q117's oracle applies verbatim
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      TextAnalysis.phraseMatch(idx.termPostings(Seq("sort", "merge")),
+        Seq("sort", "merge"))
+        .orderBy(col("doc_id"))
+    }),
     "q212_ohlc" -> ((s, d) =>
       // X171 OHLC candles: per (user, 1h bucket) open/high/low/close of
       // the value signal — the telemetry downsampling aggregate
@@ -2282,6 +2293,18 @@ object SparkEntry {
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
 
+  /** Shared by q117 (in-memory postings) and q213 (persisted index —
+    * pure I/O): the sort-merge phrase oracle. */
+  private val phraseMatchSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          m AS (SELECT a.doc_id
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'sort' AND b.term = 'merge')
+          SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY 1 ORDER BY doc_id"""
+
   /** Shared by q200 (recount) and q209 (persisted layout — pure I/O):
     * the full Stupid Backoff tri/bi/uni scoring in SQL. */
   private val stupidBackoffSql: String =
@@ -3253,15 +3276,8 @@ object SparkEntry {
             CAST(n_langs AS BIGINT) AS n_langs
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
-    "q117_phrase_match" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
-            FROM t, UNNEST(range(len(tk))) AS u(i)
-            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
-          m AS (SELECT a.doc_id
-            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-            WHERE a.term = 'sort' AND b.term = 'merge')
-          SELECT doc_id, COUNT(*) AS n_matches FROM m GROUP BY 1 ORDER BY doc_id""",
+    "q117_phrase_match" -> phraseMatchSql,
+    "q213_inverted_index" -> phraseMatchSql,
     "q118_bm25" -> {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)
