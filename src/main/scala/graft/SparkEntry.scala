@@ -937,6 +937,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q214_index_bm25" -> ((s, d) => {
+      // X173 BM25 served from the persisted index: q118's exact ranking
+      // (shared bm25Rank core) with tf from pruned postings buckets and
+      // corpus stats from stored doclens — text never read at query time
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_bm").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q213_inverted_index" -> ((s, d) => {
       // X172 persisted inverted index: q117's phrase search, but the
       // postings come from the term-bucket-pruned on-disk layout — pure
@@ -2293,6 +2302,38 @@ object SparkEntry {
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
 
+  /** Shared by q118 (tokenize path) and q214 (persisted index — same
+    * bm25Rank core over stored postings/doclens). */
+  private val bm25Sql: String = {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1, b) = (1.2, 0.75)
+      // interpolate Scala-computed doubles (shortest round-trip repr) so
+      // both engines parse the IDENTICAL constant — (k1+1.0) recomputed in
+      // SQL as 1.2+1.0 could round differently at the representation tie
+      val k1p = (k1 + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+             / (CAST(df$i AS DOUBLE) + 0.5))
+           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+            FROM pd CROSS JOIN st)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    }
+
   /** Shared by q117 (in-memory postings) and q213 (persisted index —
     * pure I/O): the sort-merge phrase oracle. */
   private val phraseMatchSql: String =
@@ -3278,35 +3319,8 @@ object SparkEntry {
     },
     "q117_phrase_match" -> phraseMatchSql,
     "q213_inverted_index" -> phraseMatchSql,
-    "q118_bm25" -> {
-      val terms = Seq("sort", "merge", "spark")
-      val (k1, b) = (1.2, 0.75)
-      // interpolate Scala-computed doubles (shortest round-trip repr) so
-      // both engines parse the IDENTICAL constant — (k1+1.0) recomputed in
-      // SQL as 1.2+1.0 could round differently at the representation tie
-      val k1p = (k1 + 1.0).toString
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
-      val dfCols = terms.indices.map(i =>
-        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
-      val partial = terms.indices.map { i =>
-        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
-             / (CAST(df$i AS DOUBLE) + 0.5))
-           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
-           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
-              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
-      }.mkString(" + ")
-      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
-            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
-                  FROM documents)
-            WHERE len(tk) > 0),
-          st AS (SELECT COUNT(*) AS n_docs,
-              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
-          sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
-            FROM pd CROSS JOIN st)
-          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
-          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
-    },
+    "q118_bm25" -> bm25Sql,
+    "q214_index_bm25" -> bm25Sql,
     "q119_hybrid_rrf" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag

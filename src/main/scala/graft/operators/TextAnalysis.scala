@@ -531,13 +531,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("dl"),
         terms.map { case (t, i) =>
           count(when(col("__t") === t, 1)).as(s"tf$i") }: _*)
+    bm25Rank(perDoc, queryTerms.size, k, k1, b)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** The ranking half of [[bm25TopK]] over an EXPLICIT
+    * (doc_id, dl, tf0..tf{n-1}) frame — shared by the tokenize path
+    * above and the persisted-index path
+    * ([[graft.sources.InvertedIndex]].bm25), so the two cannot drift.
+    * The frame must contain EVERY document with at least one token (N
+    * and avgdl are corpus stats, not match stats). */
+  private[graft] def bm25Rank(perDoc: DataFrame, nTerms: Int, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val idx = 0 until nTerms
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
-        +: terms.map { case (_, i) =>
+        +: idx.map { i =>
           count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
     val scored = perDoc.crossJoin(broadcast(stats))
-    val partials = terms.map { case (_, i) =>
+    val partials = idx.map { i =>
       val tf = col(s"tf$i").cast(DoubleType)
       val df = col(s"df$i").cast(DoubleType)
       val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
@@ -549,7 +562,7 @@ object TextAnalysis {
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-      .select(col("doc_id").as(idCol), col("dl"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
   }
 
   /** Per-document language-mix profile (code-switching detector): runs the

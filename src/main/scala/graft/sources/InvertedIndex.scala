@@ -56,26 +56,67 @@ final class InvertedIndex(spark: SparkSession, path: String,
   private def readBuckets(): Int =
     spark.read.parquet(metaPath).head().getInt(0)
 
-  /** Tokenize and write the partitioned postings layout. One generate
-    * pass, one shuffle-free partitioned write; B is recorded in a
+  private def doclensPath = s"$path/doclens"
+
+  /** Tokenize and write the partitioned postings layout plus the
+    * (doc_id, dl) doclens table — the corpus-stat side BM25 needs
+    * without rescanning text. One generate pass, shuffle-free
+    * partitioned write + one doc-keyed aggregate; B is recorded in a
     * one-row meta parquet (the [[IvfIndex]] sidecar-meta rule, so later
     * sessions and appends agree on the hash). */
   def build(docs: DataFrame, idCol: String, text: Column): Unit = {
     import spark.implicits._
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
-    TextAnalysis.positionalPostings(docs, idCol, text)
+    val postings = TextAnalysis.positionalPostings(docs, idCol, text)
+      .localCheckpoint(true) // two consumers: the layout write + doclens
+    postings
       .withColumn("tbucket", bucketCol(col("term"), buckets))
       .write.mode("overwrite").partitionBy("tbucket").parquet(postingsPath)
+    postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(doclensPath)
+    graft.util.Pins.release(postings)
   }
 
-  /** Append new documents' postings — directory-additive, work ∝ the
-    * batch. Uses the STORED bucket count, not this instance's. */
+  /** Append new documents' postings and doclens — directory-additive,
+    * work ∝ the batch. Uses the STORED bucket count, not this
+    * instance's. New doc_ids must be disjoint from the stored ones (the
+    * usual append contract — a re-sent doc would double its postings
+    * AND its doclens row). */
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
     val b = readBuckets()
-    TextAnalysis.positionalPostings(docs, idCol, text)
+    val postings = TextAnalysis.positionalPostings(docs, idCol, text)
+      .localCheckpoint(true)
+    postings
       .withColumn("tbucket", bucketCol(col("term"), b))
       .write.mode("append").partitionBy("tbucket").parquet(postingsPath)
+    postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(doclensPath)
+    graft.util.Pins.release(postings)
+  }
+
+  /** BM25 top-k over the index (X173): tf from the PRUNED postings
+    * buckets, dl/N/avgdl from the stored doclens — the
+    * [[TextAnalysis.bm25TopK]] arithmetic ([[TextAnalysis.bm25Rank]]
+    * shared core, bit-identical) with text never read. Per-query I/O =
+    * the query terms' buckets + the (doc_id, dl) table. */
+  def bm25(queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.zipWithIndex
+    val tf = termPostings(queryTerms)
+      .groupBy(col("doc_id"))
+      .agg(terms.head match { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"tf$i") },
+        terms.tail.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
+    val perDoc = spark.read.parquet(doclensPath)
+      .join(tf, Seq("doc_id"), "left")
+      .na.fill(0L, terms.map { case (_, i) => s"tf$i" })
+    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b)
   }
 
   /** The postings of exactly `terms`, read from their pruned bucket

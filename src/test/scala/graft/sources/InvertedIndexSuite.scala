@@ -53,6 +53,22 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(phrase(inc, Seq("sort", "merge")) === phrase(full, Seq("sort", "merge")))
   }
 
+  test("bm25 over the index is bit-identical to the tokenize path; append keeps stats honest") {
+    val dir = Files.createTempDirectory("graft_inv_bm25").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = rows(TextAnalysis.bm25TopK(docsA.union(docsB), "doc_id",
+      col("text"), Seq("sort", "merge"), k = 10))
+    val got = rows(idx.bm25(Seq("sort", "merge"), k = 10))
+    assert(got === want, "index path must reproduce the tokenize path exactly")
+    intercept[IllegalArgumentException](idx.bm25(Nil, 5))
+    intercept[IllegalArgumentException](idx.bm25(Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](idx.bm25(Seq("a"), 0))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
