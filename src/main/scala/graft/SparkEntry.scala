@@ -937,6 +937,44 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q216_index_hybrid" -> ((s, d) => {
+      // X174 hybrid retrieval served ENTIRELY from persisted layouts:
+      // q180's composition with the BM25 leg from the inverted index and
+      // the dense leg from a full-probe IVF search (exact either way) —
+      // the production serving shape, both legs pure I/O, q180's oracle
+      // verbatim
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val embs = t(s, d, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val dir = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+      val inv = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      inv.build(docs, "doc_id", col("text"))
+      val ivf = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      ivf.build(embs, "vec_id", "embedding", cents)
+      val bmLeg = inv.bm25(Seq("sort", "merge", "spark"), k = 20)
+        .select(col("doc_id").as("vec_id"), col("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+      val cosLeg = ivf.search(qv, k = 20, nprobe = 4)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      Ann.rrfFuse(Seq(bmLeg, cosLeg), "vec_id", k = 10)
+    }),
+    "q215_index_proximity" -> ((s, d) => {
+      // X174 proximity served from the persisted index — q121's NEAR/4
+      // over the pruned term buckets, pure I/O
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_px").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      TextAnalysis.proximityMatch(idx.termPostings(Seq("sort", "merge")),
+        "sort", "merge", maxDist = 4)
+        .orderBy(col("doc_id"))
+    }),
     "q214_index_bm25" -> ((s, d) => {
       // X173 BM25 served from the persisted index: q118's exact ranking
       // (shared bm25Rank core) with tf from pruned postings buckets and
@@ -2302,6 +2340,72 @@ object SparkEntry {
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
 
+  /** Shared by q121 (in-memory postings) and q215 (persisted index). */
+  private val proximitySql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          pairs AS (SELECT DISTINCT a.doc_id, a.pos AS pa, b.pos AS pb
+            FROM p a JOIN p b ON b.doc_id = a.doc_id
+              AND abs(a.pos - b.pos) <= 4 AND a.pos <> b.pos
+            WHERE a.term = 'sort' AND b.term = 'merge')
+          SELECT doc_id, COUNT(*) AS n_pairs,
+            CAST(MIN(abs(pa - pb)) AS INT) AS min_dist
+          FROM pairs GROUP BY 1 ORDER BY doc_id"""
+
+  /** Shared by q180 (operator legs) and q216 (both legs served from
+    * persisted indexes -- pure I/O on each side). */
+  private val hybridSearchSql: String = {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+             / (CAST(df$i AS DOUBLE) + 0.5))
+           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT pd.doc_id, $partial AS score
+            FROM pd CROSS JOIN st),
+          bmtop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc
+            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+          bleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r0
+            FROM bmtop),
+          q AS (SELECT embedding AS qv,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+            FROM embeddings WHERE vec_id = 0),
+          cscored AS (SELECT e.vec_id,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+             * (SELECT qmag FROM q) + 1e-12) AS c
+            FROM embeddings e),
+          ctop AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM cscored
+            ORDER BY c DESC, vec_id ASC LIMIT 20),
+          cleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r1
+            FROM ctop),
+          fused AS (SELECT COALESCE(b2.vec_id, c2.vec_id) AS vec_id, b2.r0, c2.r1,
+              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0) AS rrf
+            FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id)
+          SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
+    }
+
   /** Shared by q118 (tokenize path) and q214 (persisted index — same
     * bm25Rank core over stored postings/doclens). */
   private val bm25Sql: String = {
@@ -3386,18 +3490,8 @@ object SparkEntry {
            string_agg(event_type, '>' ORDER BY tus, event_id) AS trace
          FROM sess GROUP BY user_id, session_no
          ORDER BY user_id, session_no""",
-    "q121_proximity" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
-            FROM t, UNNEST(range(len(tk))) AS u(i)
-            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
-          pairs AS (SELECT DISTINCT a.doc_id, a.pos AS pa, b.pos AS pb
-            FROM p a JOIN p b ON b.doc_id = a.doc_id
-              AND abs(a.pos - b.pos) <= 4 AND a.pos <> b.pos
-            WHERE a.term = 'sort' AND b.term = 'merge')
-          SELECT doc_id, COUNT(*) AS n_pairs,
-            CAST(MIN(abs(pa - pb)) AS INT) AS min_dist
-          FROM pairs GROUP BY 1 ORDER BY doc_id""",
+    "q121_proximity" -> proximitySql,
+    "q215_index_proximity" -> proximitySql,
     "q122_datasheet" ->
       s"""WITH pr AS (SELECT source, lang,
             CAST(len($toksSql) AS BIGINT) AS tok,
@@ -5417,55 +5511,8 @@ object SparkEntry {
          cents AS (SELECT c0.ccid, COALESCE(n.cv, c0.cv) AS cv
            FROM cents0 c0 LEFT JOIN newc n ON n.ccid = c0.ccid),
          ${ivfSearchTail("embeddings")}""",
-    "q180_hybrid_search" -> {
-      val terms = Seq("sort", "merge", "spark")
-      val (k1, b) = (1.2, 0.75)
-      val k1p = (k1 + 1.0).toString
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
-      val dfCols = terms.indices.map(i =>
-        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
-      val partial = terms.indices.map { i =>
-        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
-             / (CAST(df$i AS DOUBLE) + 0.5))
-           * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
-           / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
-              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
-      }.mkString(" + ")
-      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
-            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
-                  FROM documents)
-            WHERE len(tk) > 0),
-          st AS (SELECT COUNT(*) AS n_docs,
-              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
-          sc AS (SELECT pd.doc_id, $partial AS score
-            FROM pd CROSS JOIN st),
-          bmtop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc
-            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
-          bleg AS (SELECT vec_id,
-            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r0
-            FROM bmtop),
-          q AS (SELECT embedding AS qv,
-            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
-            FROM embeddings WHERE vec_id = 0),
-          cscored AS (SELECT e.vec_id,
-            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
-            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
-             * (SELECT qmag FROM q) + 1e-12) AS c
-            FROM embeddings e),
-          ctop AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM cscored
-            ORDER BY c DESC, vec_id ASC LIMIT 20),
-          cleg AS (SELECT vec_id,
-            CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r1
-            FROM ctop),
-          fused AS (SELECT COALESCE(b2.vec_id, c2.vec_id) AS vec_id, b2.r0, c2.r1,
-              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
-                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0) AS rrf
-            FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id)
-          SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
-          ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
-    },
+    "q180_hybrid_search" -> hybridSearchSql,
+    "q216_index_hybrid" -> hybridSearchSql,
     "q179_bpe_tokenize" ->
       s"""WITH ${bpeVocabCtes(5)},
          seg AS (SELECT term, len(string_split(seq, ' ')) AS n_sym FROM v5),
