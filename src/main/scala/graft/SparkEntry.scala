@@ -937,6 +937,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q217_index_delete" -> ((s, d) => {
+      // X175 tombstone deletion: build on the full corpus, tombstone a
+      // seventh of it (O(batch) — no postings rewritten), then serve
+      // BM25 from the filtered index. Scores must equal q214's
+      // arithmetic over the SURVIVING docs exactly — N, avgdl and df
+      // all shrink with the deletion (the oracle is bm25Sql with the
+      // same WHERE). The suite additionally pins vacuum parity and the
+      // two-rename crash contract; the gated row exercises the
+      // tombstone-filtered read path a serving index runs between
+      // vacuums.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_del").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      idx.delete(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q216_index_hybrid" -> ((s, d) => {
       // X174 hybrid retrieval served ENTIRELY from persisted layouts:
       // q180's composition with the BM25 leg from the inverted index and
@@ -2406,9 +2423,11 @@ object SparkEntry {
           ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
     }
 
-  /** Shared by q118 (tokenize path) and q214 (persisted index — same
-    * bm25Rank core over stored postings/doclens). */
-  private val bm25Sql: String = {
+  /** Shared by q118 (tokenize path), q214 (persisted index — same
+    * bm25Rank core over stored postings/doclens) and q217 (tombstoned
+    * index ≡ the same ranking over the surviving docs, `where` carries
+    * the survivor predicate). */
+  private def bm25Sql(where: String = ""): String = {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)
       // interpolate Scala-computed doubles (shortest round-trip repr) so
@@ -2428,7 +2447,7 @@ object SparkEntry {
       }.mkString(" + ")
       s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
             FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
-                  FROM documents)
+                  FROM documents $where)
             WHERE len(tk) > 0),
           st AS (SELECT COUNT(*) AS n_docs,
               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
@@ -3423,8 +3442,9 @@ object SparkEntry {
     },
     "q117_phrase_match" -> phraseMatchSql,
     "q213_inverted_index" -> phraseMatchSql,
-    "q118_bm25" -> bm25Sql,
-    "q214_index_bm25" -> bm25Sql,
+    "q118_bm25" -> bm25Sql(),
+    "q214_index_bm25" -> bm25Sql(),
+    "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q119_hybrid_rrf" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag

@@ -26,9 +26,24 @@ import graft.operators.TextAnalysis
   * verbatim). [[append]] is directory-additive like [[IvfIndex.append]]
   * — new documents' postings land as new files in their term buckets,
   * batch-proportional, build(A)+append(B) ≡ build(A ∪ B) (suite-pinned;
-  * postings are per-doc-independent rows). Document deletion is NOT
-  * in-place (a doc's terms scatter across every bucket — work would be
-  * ∝ the index): anti-join downstream or rebuild, documented. */
+  * postings are per-doc-independent rows).
+  *
+  * Deletion (X175) is the tombstone model every production inverted
+  * index uses (Lucene's live-docs design): a doc's terms scatter across
+  * every bucket, so IN-PLACE removal would rewrite work ∝ the index per
+  * batch — instead [[delete]] appends the ids to a tiny `tombstones/`
+  * table (O(batch) I/O, postings untouched) and every read path
+  * ([[termPostings]], [[bm25]]) anti-joins the broadcast tombstone set
+  * from both the postings slice and the doclens table, so phrase hits
+  * AND corpus stats (N, avgdl, df) see exactly the surviving corpus —
+  * bit-identical to an index rebuilt without the deleted docs
+  * (suite-pinned; q217 gates it against q214's oracle + a WHERE).
+  * [[vacuum]] amortizes the physical removal: one anti-join rewrite of
+  * postings and doclens staged next to the live dirs, swapped in by the
+  * engine's two-rename crash contract (`.bak` visible ⇒ [[recover]]
+  * rolls back or completes), tombstones cleared LAST — a crash anywhere
+  * leaves reads correct, because an anti-join against already-removed
+  * ids is a no-op. */
 final class InvertedIndex(spark: SparkSession, path: String,
     buckets: Int = 16) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -57,6 +72,24 @@ final class InvertedIndex(spark: SparkSession, path: String,
     spark.read.parquet(metaPath).head().getInt(0)
 
   private def doclensPath = s"$path/doclens"
+  private def tombstonesPath = s"$path/tombstones"
+
+  /** Roll a crashed [[vacuum]] swap forward or back: a visible
+    * `.<dir>.bak` with the live dir missing means the crash hit between
+    * the two renames — restore the backup; with the live dir present the
+    * swap completed — drop the stale backup. Run at every entry point
+    * that touches postings or doclens (the [[IvfIndex]] recoverDir
+    * rule). */
+  private def recover(): Unit =
+    Seq(postingsPath, doclensPath).foreach { live =>
+      val liveP = new Path(live)
+      val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
+      if (fs.exists(bak)) {
+        if (!fs.exists(liveP)) {
+          if (!fs.rename(bak, liveP)) sys.error(s"could not restore $bak")
+        } else fs.delete(bak, true)
+      }
+    }
 
   /** Tokenize and write the partitioned postings layout plus the
     * (doc_id, dl) doclens table — the corpus-stat side BM25 needs
@@ -66,6 +99,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * sessions and appends agree on the hash). */
   def build(docs: DataFrame, idCol: String, text: Column): Unit = {
     import spark.implicits._
+    recover()
+    fs.delete(new Path(tombstonesPath), true) // fresh build = fresh live set
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
@@ -80,10 +115,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
 
   /** Append new documents' postings and doclens — directory-additive,
     * work ∝ the batch. Uses the STORED bucket count, not this
-    * instance's. New doc_ids must be disjoint from the stored ones (the
-    * usual append contract — a re-sent doc would double its postings
-    * AND its doclens row). */
+    * instance's. New doc_ids must be disjoint from the stored ones —
+    * including TOMBSTONED ids (a re-sent live doc would double its
+    * postings and doclens row; a re-sent tombstoned id would stay masked
+    * until [[vacuum]] clears the tombstone — run vacuum before
+    * re-inserting a deleted id). */
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
+    recover()
     val b = readBuckets()
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
       .localCheckpoint(true)
@@ -93,6 +131,93 @@ final class InvertedIndex(spark: SparkSession, path: String,
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode("append").parquet(doclensPath)
     graft.util.Pins.release(postings)
+  }
+
+  /** Every doc_id ever appended — the doclens key set, tombstoned docs
+    * INCLUDED until [[vacuum]] physically removes them. This is the
+    * replay-guard membership surface for streaming ingest
+    * ([[graft.streaming.IndexIngest]]): a replayed at-least-once batch of
+    * a doc that was later tombstoned must still be recognized as
+    * already-ingested (re-appending it would resurrect the doc), so the
+    * guard is deliberately NOT [[liveOnly]]-filtered. */
+  def appendedIds: DataFrame = {
+    recover()
+    spark.read.parquet(doclensPath).select(col("doc_id"))
+  }
+
+  /** Logical deletion (X175): append the ids to the tombstone table —
+    * O(batch) I/O, no postings or doclens files touched. Deleting an id
+    * that is not in the index is a harmless no-op (the anti-join finds
+    * nothing to mask). Takes effect on the very next read; [[vacuum]]
+    * later makes it physical. */
+  def delete(ids: DataFrame): Unit = {
+    require(ids.columns.toSeq == Seq("doc_id"),
+      s"ids must be a single-column (doc_id) frame, got ${ids.columns.toSeq}")
+    ids.write.mode("append").parquet(tombstonesPath)
+  }
+
+  /** Anti-join the broadcast tombstone set out of a doc_id-keyed frame —
+    * the read-side half of the tombstone contract. No tombstone table ⇒
+    * the frame passes through untouched (zero plan change for an index
+    * that never deleted, so q213/q214 stay bit-identical). */
+  private def liveOnly(df: DataFrame): DataFrame =
+    if (fs.exists(new Path(tombstonesPath)))
+      df.join(broadcast(spark.read.parquet(tombstonesPath)
+          .select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    else df
+
+  /** Physically remove tombstoned docs (X175): ONE anti-join rewrite
+    * each of postings (partition layout preserved) and doclens, staged
+    * as hidden siblings then swapped in by the two-rename crash
+    * contract; tombstones are cleared LAST, so a crash at ANY point
+    * leaves reads correct — [[recover]] completes or rolls back a
+    * half-done swap, and an anti-join against already-vacuumed ids is a
+    * no-op. Run when the tombstone set has grown enough that the
+    * broadcast + read-side anti-join is worth amortizing away (the
+    * caller's policy, like [[IvfIndex.compact]]). */
+  def vacuum(): Unit = {
+    recover()
+    if (!fs.exists(new Path(tombstonesPath))) return
+    val ts = broadcast(spark.read.parquet(tombstonesPath)
+      .select(col("doc_id")).distinct())
+    stageSwap(postingsPath, Some("tbucket")) { live =>
+      live.join(ts, Seq("doc_id"), "left_anti") }
+    stageSwap(doclensPath, None) { live =>
+      live.join(ts, Seq("doc_id"), "left_anti") }
+    fs.delete(new Path(tombstonesPath), true)
+  }
+
+  /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
+    * in via backup-rename + staged-rename (the engine-wide two-rename
+    * discipline). A transform that deletes EVERY row still stages a
+    * schema-carrying empty file so later whole-layout reads can infer
+    * the schema (the [[IvfIndex]] emptied-partition rule). */
+  private def stageSwap(live: String, partCol: Option[String])(
+      transform: DataFrame => DataFrame): Unit = {
+    val liveP = new Path(live)
+    val staging = new Path(liveP.getParent, s".${liveP.getName}.staging")
+    fs.delete(staging, true)
+    val survivors = transform(spark.read.parquet(live))
+    partCol match {
+      case Some(c) => survivors.write.partitionBy(c).parquet(staging.toString)
+      case None    => survivors.write.parquet(staging.toString)
+    }
+    val hasData = fs.listStatus(staging)
+      .exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData) partCol match {
+      case Some(c) => survivors.drop(c).limit(0).coalesce(1)
+        .write.parquet(new Path(staging, s"$c=0").toString)
+      case None => survivors.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
+    fs.delete(bak, true)
+    if (!fs.rename(liveP, bak))
+      sys.error(s"could not back up $live for swap")
+    if (!fs.rename(staging, liveP))
+      sys.error(s"could not swap $staging into $live (backup at $bak)")
+    fs.delete(bak, true)
   }
 
   /** BM25 top-k over the index (X173): tf from the PRUNED postings
@@ -113,7 +238,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
         count(when(col("term") === t, 1)).as(s"tf$i") },
         terms.tail.map { case (t, i) =>
           count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
-    val perDoc = spark.read.parquet(doclensPath)
+    val perDoc = liveOnly(spark.read.parquet(doclensPath))
       .join(tf, Seq("doc_id"), "left")
       .na.fill(0L, terms.map { case (_, i) => s"tf$i" })
     TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b)
@@ -126,11 +251,12 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def termPostings(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
     require(terms.forall(_.nonEmpty), s"empty term in $terms")
+    recover()
     val b = readBuckets()
     val bs = terms.map(bucketOf(_, b)).distinct.sorted
-    spark.read.parquet(postingsPath)
+    liveOnly(spark.read.parquet(postingsPath)
       .filter(col("tbucket").isin(bs: _*))
       .filter(col("term").isin(terms: _*))
-      .select(col("doc_id"), col("pos"), col("term"))
+      .select(col("doc_id"), col("pos"), col("term")))
   }
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.InvertedIndex
+
+/** Streaming maintenance for the persisted inverted index (X176) — the
+  * text-retrieval twin of [[EmbedPipeline.startWithIndex]]'s IVF fold:
+  * document files stream in, each micro-batch folds into the
+  * [[InvertedIndex]] as a batch-proportional `append`, and the index
+  * serves BM25/phrase queries continuously while it grows.
+  *
+  * Delivery: the checkpoint gives at-least-once file delivery; exactly-
+  * once ON DOC IDS comes from a replay guard — arriving ids are probed
+  * against [[InvertedIndex.appendedIds]] (the doclens key set) and
+  * already-ingested docs are dropped before the append, so a replayed
+  * micro-batch (or a crawler re-fetching a page) never doubles a doc's
+  * postings or doclens row. The guard's plan is scale-shaped: the
+  * CORPUS-sized side (doclens ids, a single narrow column) is probed
+  * with a broadcast semi-join against the batch's ids — map-side, no
+  * corpus exchange — and only the resulting batch-sized duplicate set
+  * joins back. At a scale where even the narrow id-column scan per
+  * batch bites, the X41 Bloom-prefilter discipline composes in front
+  * of it unchanged.
+  *
+  * Updates and retractions are NOT this stream's job, by the index's
+  * own contract: an inverted index mutates by tombstone
+  * ([[InvertedIndex.delete]], X175) and re-ingesting a changed or
+  * deleted doc requires a [[InvertedIndex.vacuum]] first (the tombstone
+  * would mask re-appended postings). Route retractions to `delete`
+  * directly; this stream is the append-only ingest leg a crawl
+  * pipeline runs continuously.
+  */
+object IndexIngest {
+
+  /** One micro-batch's fold: replay-guard against the index's appended
+    * ids, collapse within-batch duplicate ids (arbitrary shuffle-order
+    * pick, as with any distributed dedup), append what's genuinely new.
+    * Public so suites (and custom foreachBatch compositions) can drive
+    * the exact per-batch semantics without a stream. */
+  def foldBatch(index: InvertedIndex, batch: DataFrame, idCol: String,
+      text: Column): Unit = {
+    val ids = batch.select(col(idCol)).distinct()
+    val dup = index.appendedIds.toDF(idCol)
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+    val fresh = batch.dropDuplicates(idCol)
+      .join(broadcast(dup), Seq(idCol), "left_anti")
+      .persist() // append writes postings AND doclens — one tokenize pass
+    try { if (!fresh.isEmpty) index.append(fresh, idCol, text) }
+    finally { fresh.unpersist(); () }
+  }
+
+  /** Stream document parquet files from `docsDir` into `index`. The
+    * index must be [[InvertedIndex.build built]] before the stream
+    * starts (build records the bucket count appends follow). */
+  def start(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      index: InvertedIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldBatch(index, batch, idCol, col(textCol))
+      }
+      .start()
+  }
+}

@@ -69,6 +69,77 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.bm25(Seq("a"), 0))
   }
 
+  test("tombstone delete: reads are bit-identical to an index rebuilt without the docs") {
+    val dir = Files.createTempDirectory("graft_inv_del").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.delete(Seq(2L, 4L).toDF("doc_id"))
+    val ref = new InvertedIndex(spark, s"$dir/ref", buckets = 8)
+    ref.build(docsA.union(docsB).filter(!col("doc_id").isin(2L, 4L)),
+      "doc_id", col("text"))
+    assert(phrase(idx, Seq("sort", "merge")) === phrase(ref, Seq("sort", "merge")))
+    def bm(i: InvertedIndex) = i.bm25(Seq("sort", "merge"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(bm(idx) === bm(ref),
+      "corpus stats (N, avgdl, df) must shrink with the deletion")
+    // deleting an absent id is a no-op
+    idx.delete(Seq(99L).toDF("doc_id"))
+    assert(bm(idx) === bm(ref))
+    intercept[IllegalArgumentException](idx.delete(Seq(1L).toDF("id")))
+  }
+
+  test("vacuum: physical removal, same answers, tombstones cleared, crash-safe") {
+    val dir = Files.createTempDirectory("graft_inv_vac").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.delete(Seq(2L, 4L).toDF("doc_id"))
+    val before = phrase(idx, Seq("sort", "merge"))
+    idx.vacuum()
+    assert(phrase(idx, Seq("sort", "merge")) === before)
+    val raw = spark.read.parquet(s"$dir/inv/postings")
+    assert(raw.filter(col("doc_id").isin(2L, 4L)).count() === 0,
+      "vacuum must physically remove tombstoned postings")
+    assert(spark.read.parquet(s"$dir/inv/doclens")
+      .filter(col("doc_id").isin(2L, 4L)).count() === 0)
+    assert(!new java.io.File(s"$dir/inv/tombstones").exists(),
+      "vacuum must clear the tombstone table")
+    idx.vacuum() // idempotent on a clean index
+    assert(phrase(idx, Seq("sort", "merge")) === before)
+    // crash simulation: the swap's first rename happened, the second did
+    // not — live dir gone, backup visible; the next read must restore it
+    val live = new java.io.File(s"$dir/inv/postings")
+    val bak = new java.io.File(s"$dir/inv/.postings.bak")
+    assert(live.renameTo(bak))
+    assert(phrase(idx, Seq("sort", "merge")) === before,
+      "recover() must roll a half-done swap back before reading")
+  }
+
+  test("vacuum after deleting every doc leaves a readable empty index") {
+    val dir = Files.createTempDirectory("graft_inv_empty").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.delete(Seq(1L, 2L, 3L).toDF("doc_id"))
+    idx.vacuum()
+    assert(phrase(idx, Seq("sort", "merge")) === Seq(),
+      "schema-carrying empty layout must still answer queries")
+    assert(idx.bm25(Seq("sort"), k = 5).count() === 0)
+  }
+
+  test("build after tombstones starts fresh (no masking of rebuilt docs)") {
+    val dir = Files.createTempDirectory("graft_inv_fresh").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.delete(Seq(1L).toDF("doc_id"))
+    idx.build(docsA, "doc_id", col("text")) // full rebuild, same path
+    val want = TextAnalysis.phraseMatch(
+        TextAnalysis.positionalPostings(docsA, "doc_id", col("text")),
+        Seq("sort", "merge"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phrase(idx, Seq("sort", "merge")) === want,
+      "a rebuild must clear stale tombstones")
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
