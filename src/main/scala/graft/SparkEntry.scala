@@ -937,6 +937,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q218_index_snippets" -> ((s, d) => {
+      // X177 query-biased snippets for the persisted index's BM25
+      // top-20: anchor positions from the pruned term buckets, text
+      // refetched for ONLY the hit docs (the flagship refetch
+      // discipline) — the hit-list + snippet serving composition a
+      // search UI runs per query
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_snip").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      val terms = Seq("sort", "merge", "spark")
+      val top = idx.bm25(terms, k = 20).select(col("doc_id"))
+      TextAnalysis.snippets(docs.join(top, Seq("doc_id"), "left_semi"),
+          "doc_id", col("text"), idx.termPostings(terms), terms, window = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q217_index_delete" -> ((s, d) => {
       // X175 tombstone deletion: build on the full corpus, tombstone a
       // seventh of it (O(batch) — no postings rewritten), then serve
@@ -3445,6 +3461,29 @@ object SparkEntry {
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q218_index_snippets" ->
+      // the bm25 top-20 (bm25Sql verbatim as a subquery) feeds the
+      // densest-window pick: anchors = query-term hit positions, count
+      // hits in [p, p+8], ties earliest; snippet = 9 raw token slots
+      s"""WITH topk AS (SELECT doc_id FROM (${bm25Sql()})),
+          tt AS (SELECT d.doc_id, $toksSql AS tk
+            FROM documents d JOIN topk USING (doc_id)),
+          h AS (SELECT t.doc_id, CAST(u.i AS INT) AS pos
+            FROM tt t, UNNEST(range(len(t.tk))) AS u(i)
+            WHERE t.tk[CAST(u.i + 1 AS INT)] IN ('sort', 'merge', 'spark')),
+          cand AS (SELECT a.doc_id, a.pos, COUNT(*) AS cnt
+            FROM h a JOIN h b ON b.doc_id = a.doc_id
+              AND b.pos >= a.pos AND b.pos <= a.pos + 8
+            GROUP BY 1, 2),
+          best AS (SELECT doc_id, pos, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, pos ASC) AS rn
+            FROM cand)
+          SELECT b.doc_id, CAST(b.pos AS INT) AS snippet_start,
+            CAST(b.cnt AS INT) AS n_hits,
+            array_to_string(t.tk[b.pos + 1 : b.pos + 9], ' ') AS snippet
+          FROM best b JOIN tt t USING (doc_id)
+          WHERE b.rn = 1 ORDER BY doc_id""",
     "q119_hybrid_rrf" ->
       """WITH q AS (SELECT embedding AS qv,
            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag

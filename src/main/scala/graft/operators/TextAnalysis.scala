@@ -464,6 +464,57 @@ object TextAnalysis {
         min(abs(col("pa") - col("pb"))).as("min_dist"))
   }
 
+  /** Query-biased snippets (X177) — the keyword-in-context serving step
+    * after retrieval ranks its hits: per doc, the windowLen-token window
+    * anchored at a query-term hit that covers the MOST query-term hits
+    * (Luhn's density heuristic; ties → the earliest anchor), returned as
+    * (doc_id, snippet_start, n_hits, snippet-text). Positions follow
+    * [[positionalPostings]]' raw-slot convention, so a persisted
+    * [[graft.sources.InvertedIndex]] slice drops in unchanged.
+    *
+    * Scale shape — the flagship refetch discipline: the candidate scan
+    * runs on the QUERY TERMS' postings only (per-doc hit lists are
+    * query-bounded, collected to one small array per doc — one doc-keyed
+    * exchange), and the best window is picked by a per-row higher-order
+    * fold over that array, no per-candidate join or window function.
+    * Text is touched exactly once, joined AFTER the anchor is chosen —
+    * pass the k HIT docs (semi-joined on the ranker's ids), never the
+    * corpus, and nothing corpus-sized shuffles.
+    *
+    * The anchor-only candidate set is the standard simplification: a
+    * denser window could in principle START between hits, but any
+    * window's hit set is unchanged when slid right to its first covered
+    * hit, so anchoring at hits loses no density — only left-context
+    * cosmetics, which a UI pads. */
+  def snippets(docs: DataFrame, idCol: String, text: Column,
+      index: DataFrame, terms: Seq[String], window: Int): DataFrame = {
+    require(terms.nonEmpty, "no query terms")
+    require(terms.forall(_.nonEmpty), s"empty term in $terms")
+    require(terms.distinct.size == terms.size, s"duplicate term in $terms")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val hits = index.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__hits"))
+    // ascending hit order + strict > keeps the FIRST densest anchor
+    val best = hits.select(col("doc_id"),
+      aggregate(col("__hits"),
+        struct(lit(-1).as("cnt"), lit(-1).as("p")),
+        (acc, p) => {
+          val c = size(filter(col("__hits"),
+            q => q >= p && q <= p + window))
+          when(c > acc.getField("cnt"),
+            struct(c.as("cnt"), p.as("p"))).otherwise(acc)
+        }).as("__best"))
+      .select(col("doc_id"),
+        col("__best.p").as("snippet_start"),
+        col("__best.cnt").as("n_hits"))
+    best.join(docs.select(col(idCol).as("doc_id"), tokens(text).as("__tk")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("snippet_start"), col("n_hits"),
+        concat_ws(" ", slice(col("__tk"),
+          col("snippet_start") + 1, lit(window + 1))).as("snippet"))
+  }
+
   /** Collocation mining by pointwise mutual information over the bigram
     * table: PMI(w1,w2) = ln(n12 * T / (n1+ * n+2)) with marginals and the
     * total all derived from ONE [[bigramPairs]] aggregation — the

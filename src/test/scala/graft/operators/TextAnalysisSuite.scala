@@ -768,4 +768,38 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.domainGate(hosts, "doc_id", col("host"),
         Seq("x.com").toDF("wrong_col")))
   }
+
+  test("snippets: densest window wins, ties take the earliest anchor") {
+    val docs = Seq(
+      (1L, "alpha sort beta merge sort gamma"),
+      (2L, "merge first then much later comes sort here"),
+      (3L, "no query words at all")).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val out = TextAnalysis.snippets(docs, "doc_id", col("text"), idx,
+        Seq("sort", "merge"), window = 2)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: hits at 1,3,4; [1,3] and [3,5] both cover 2 — earliest wins
+    assert(out(0) === ((1L, 1, 2, "sort beta merge")))
+    // doc 2: hits at 0,6; no window covers both -> first single-hit anchor
+    assert(out(1) === ((2L, 0, 1, "merge first then")))
+    assert(out.length === 2, "docs with no hits emit nothing")
+  }
+
+  test("snippets: end-of-doc windows clip; only passed docs are served (refetch discipline)") {
+    val docs = Seq((1L, "filler words then sort"), (2L, "sort merge"))
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val out = TextAnalysis.snippets(docs.filter(col("doc_id") === 1L),
+        "doc_id", col("text"), idx, Seq("sort"), window = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq === Seq((1L, 3, 1, "sort")),
+      "window clips at doc end; unfetched hit docs are not emitted")
+    intercept[IllegalArgumentException](
+      TextAnalysis.snippets(docs, "doc_id", col("text"), idx, Nil, 2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.snippets(docs, "doc_id", col("text"), idx, Seq("a", "a"), 2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.snippets(docs, "doc_id", col("text"), idx, Seq("a"), -1))
+  }
 }
