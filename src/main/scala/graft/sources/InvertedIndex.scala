@@ -188,6 +188,30 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(new Path(tombstonesPath), true)
   }
 
+  /** Small-file compaction (X178): every [[append]] (and every
+    * [[graft.streaming.IndexIngest]] micro-batch) adds one part-file to
+    * ESSENTIALLY EVERY `tbucket=N` directory — a batch's terms scatter
+    * across the whole hash range, unlike an IVF append's few touched
+    * lists — so a long-running ingest accretes files uniformly until
+    * open/seek overhead dominates the pruned read. The honest unit of
+    * compaction is therefore the WHOLE layout: one job rewrites postings
+    * to a single file per term bucket (rows hash to one shuffle
+    * partition per bucket value) and doclens to `doclensFiles` files
+    * (1 for tests; size it ∝ corpus at scale), each swapped in under
+    * the same two-rename crash contract as [[vacuum]]. Content is
+    * bit-identical (suite-pinned); running [[vacuum]] then compact is
+    * the classic merge step a segment-based index performs. WHEN to
+    * compact is the caller's read of file counts (the [[IvfIndex]]
+    * monitoring convention). */
+  def compact(doclensFiles: Int = 1): Unit = {
+    require(doclensFiles >= 1, s"doclensFiles must be >= 1, got $doclensFiles")
+    recover()
+    stageSwap(postingsPath, Some("tbucket")) { live =>
+      live.repartition(col("tbucket")) }
+    stageSwap(doclensPath, None) { live =>
+      live.repartition(doclensFiles) }
+  }
+
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
     * in via backup-rename + staged-rename (the engine-wide two-rename
     * discipline). A transform that deletes EVERY row still stages a

@@ -140,6 +140,37 @@ class InvertedIndexSuite extends AnyFunSuite {
       "a rebuild must clear stale tombstones")
   }
 
+  test("compact: one file per term bucket, bit-identical answers, crash-safe") {
+    val dir = Files.createTempDirectory("graft_inv_cpt").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    idx.append(Seq((6L, "sort merge again")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+    def partFiles(sub: String) = {
+      val d = new java.io.File(s"$dir/inv/postings/$sub")
+      if (!d.exists()) 0
+      else d.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val grown = (0 until 4).map(n => partFiles(s"tbucket=$n"))
+    assert(grown.exists(_ > 1), s"appends must accrete files, got $grown")
+    val before = phrase(idx, Seq("sort", "merge"))
+    val bmBefore = idx.bm25(Seq("sort", "merge"), k = 10).collect().toSeq
+    idx.compact()
+    assert((0 until 4).filter(n =>
+        new java.io.File(s"$dir/inv/postings/tbucket=$n").exists())
+      .forall(n => partFiles(s"tbucket=$n") == 1),
+      "compact leaves one file per bucket directory")
+    assert(phrase(idx, Seq("sort", "merge")) === before)
+    assert(idx.bm25(Seq("sort", "merge"), k = 10).collect().toSeq === bmBefore)
+    // crash between doclens' two renames: backup visible, live missing
+    val live = new java.io.File(s"$dir/inv/doclens")
+    assert(live.renameTo(new java.io.File(s"$dir/inv/.doclens.bak")))
+    assert(idx.bm25(Seq("sort", "merge"), k = 10).collect().toSeq === bmBefore,
+      "recover() must restore a half-swapped doclens")
+    intercept[IllegalArgumentException](idx.compact(doclensFiles = 0))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
