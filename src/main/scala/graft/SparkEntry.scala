@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Pq, Quantize, SearchEngine, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Paging, Pq, Quantize, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -936,6 +936,19 @@ object SparkEntry {
       idx.search(qv, k = 10, nprobe = 2)
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
+    }),
+    "q219_keyset_page" -> ((s, d) => {
+      // X179 keyset pagination ≡ OFFSET under a total order: take the
+      // 100th row of documents ordered by (source, doc_id) as the
+      // cursor (1-row collect — bounded, the cursor IS driver data in
+      // any keyset API), then serve the next 50 via the lexicographic
+      // after-predicate. The oracle is the OFFSET query itself — the
+      // equivalence the operator's scaladoc claims, stated literally.
+      val docs = t(s, d, "documents").select(col("source"), col("doc_id"))
+      val keys = Seq(("source", true), ("doc_id", true))
+      val last = Paging.keysetPage(docs, keys, None, 100).collect().last
+      Paging.keysetPage(docs, keys,
+        Some(Seq(last.getString(0), last.getLong(1))), 50)
     }),
     "q218_index_snippets" -> ((s, d) => {
       // X177 query-biased snippets for the persisted index's BM25
@@ -3461,6 +3474,10 @@ object SparkEntry {
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q219_keyset_page" ->
+      // the OFFSET form IS the claim: a keyset page after the 100th row
+      // of the total (source, doc_id) order equals rows 101-150
+      "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
     "q218_index_snippets" ->
       // the bm25 top-20 (bm25Sql verbatim as a subquery) feeds the
       // densest-window pick: anchors = query-term hit positions, count
