@@ -937,6 +937,24 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q220_inverted_lifecycle" -> ((s, d) => {
+      // X180 inverted-index lifecycle integration (the q203 pattern on
+      // the text side): build on half the corpus, append the other
+      // half, tombstone a seventh, vacuum (physical removal), compact
+      // (one file per bucket) — then serve BM25 from what survived.
+      // Every maintenance step ran for real on disk; the oracle only
+      // sees the final corpus (q217's oracle verbatim), so a step that
+      // corrupted state anywhere in the walk breaks the hash.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_lc").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      idx.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
+      idx.delete(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      idx.vacuum()
+      idx.compact()
+      idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q219_keyset_page" -> ((s, d) => {
       // X179 keyset pagination ≡ OFFSET under a total order: take the
       // 100th row of documents ordered by (source, doc_id) as the
@@ -3474,6 +3492,7 @@ object SparkEntry {
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q219_keyset_page" ->
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
