@@ -42,14 +42,23 @@ object IndexIngest {
     * the exact per-batch semantics without a stream. */
   def foldBatch(index: InvertedIndex, batch: DataFrame, idCol: String,
       text: Column): Unit = {
-    val ids = batch.select(col(idCol)).distinct()
-    val dup = index.appendedIds.toDF(idCol)
-      .join(broadcast(ids), Seq(idCol), "left_semi")
-    val fresh = batch.dropDuplicates(idCol)
-      .join(broadcast(dup), Seq(idCol), "left_anti")
+    val fresh = freshOnly(index, batch, idCol)
       .persist() // append writes postings AND doclens — one tokenize pass
     try { if (!fresh.isEmpty) index.append(fresh, idCol, text) }
     finally { fresh.unpersist(); () }
+  }
+
+  /** The replay guard's frame (exposed for the plan audit): batch rows
+    * whose id is NOT yet in the index, with the corpus-sized side
+    * (doclens ids) probed map-side under broadcast joins — no corpus
+    * exchange. */
+  private[graft] def freshOnly(index: InvertedIndex, batch: DataFrame,
+      idCol: String): DataFrame = {
+    val ids = batch.select(col(idCol)).distinct()
+    val dup = index.appendedIds.toDF(idCol)
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+    batch.dropDuplicates(idCol)
+      .join(broadcast(dup), Seq(idCol), "left_anti")
   }
 
   /** Stream document parquet files from `docsDir` into `index`. The

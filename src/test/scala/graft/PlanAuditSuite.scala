@@ -791,4 +791,39 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!shuffled.flatten.contains("text"),
       s"exchanges carry tokens and counts, never the document text: $shuffled")
   }
+
+  test("snippets: anchor pick is a per-row fold, text never rides an exchange (X177)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").repartition(4)
+    val idx = operators.TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val frame = operators.TextAnalysis.snippets(docs, "doc_id", col("text"),
+      idx, Seq("sort", "merge"), window = 8)
+    val p = prepPlan(frame)
+    assert(!p.contains("Window"),
+      s"the densest window is a higher-order fold over the hit array, not a window function:\n$p")
+    val shuffled = frame.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    assert(!shuffled.flatten.exists(n => n == "text" || n == "__tk"),
+      s"only (doc_id, pos) postings and anchors shuffle — never text or tokens: $shuffled")
+  }
+
+  test("streaming index replay guard: corpus ids probe map-side, no corpus exchange (X176)") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = Files.createTempDirectory("graft_audit_ingest").toString
+    val idx = new sources.InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docs.filter(col("doc_id") < 100), "doc_id", col("text"))
+    val frame = streaming.IndexIngest.freshOnly(idx,
+      docs.filter(col("doc_id") >= 100), "doc_id")
+    val p = prepPlan(frame)
+    // the batch-sized dropDuplicates exchange is fine; what must never
+    // happen is a JOIN that shuffles the corpus-sized doclens side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"both guard joins broadcast the batch-sized side — the doclens id scan never shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the guard must be broadcast joins:\n$p")
+  }
 }
