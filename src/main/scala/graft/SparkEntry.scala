@@ -937,6 +937,19 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q221_index_stats" -> ((s, d) => {
+      // X181 per-bucket index health after a deletion batch: the census
+      // reports what queries SEE (tombstones excluded), so the oracle
+      // is the survivors' tokenize census grouped by the replicated
+      // 28-bit md5 bucket — hash-skew and vacuum-debt monitoring gated
+      // end-to-end
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_st").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      idx.delete(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      idx.stats().orderBy(col("tbucket"))
+    }),
     "q220_inverted_lifecycle" -> ((s, d) => {
       // X180 inverted-index lifecycle integration (the q203 pattern on
       // the text side): build on half the corpus, append the other
@@ -3493,6 +3506,20 @@ object SparkEntry {
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q221_index_stats" ->
+      // the engine's 28-bit md5 term bucket, replicated: first 7 hex
+      // chars of md5(term) as a BIGINT, mod the default 16 buckets
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS tk
+            FROM documents WHERE doc_id % 7 <> 0),
+          p AS (SELECT t.doc_id, t.tk[CAST(u.i + 1 AS INT)] AS term
+            FROM tt t, UNNEST(range(len(t.tk))) AS u(i)
+            WHERE t.tk[CAST(u.i + 1 AS INT)] <> '')
+          SELECT CAST(CAST(concat('0x', substr(md5(term), 1, 7)) AS BIGINT)
+              % 16 AS INT) AS tbucket,
+            COUNT(*) AS n_postings,
+            COUNT(DISTINCT term) AS n_terms,
+            COUNT(DISTINCT doc_id) AS n_docs
+          FROM p GROUP BY 1 ORDER BY 1""",
     "q219_keyset_page" ->
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150

@@ -188,6 +188,35 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(new Path(tombstonesPath), true)
   }
 
+  /** Per-bucket LIVE-postings census (X181) — the index-health surface
+    * an operator watches: posting/term/doc counts per term bucket
+    * expose hash skew (a hot bucket slows every query whose term lands
+    * there) and, against [[fileStats]], how much dead weight tombstones
+    * are masking (vacuum policy). Tombstoned docs are excluded — this
+    * reports what queries actually see. One full-layout scan by design:
+    * it is the monitoring pass, run at monitoring cadence. */
+  def stats(): DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(postingsPath))
+      .groupBy(col("tbucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("term")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** Part-file counts per bucket directory — the [[compact]]-policy
+    * input, from the file listing alone (no data read). */
+  def fileStats(): DataFrame = {
+    recover()
+    import spark.implicits._
+    fs.listStatus(new Path(postingsPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+      .map { s =>
+        (s.getPath.getName.stripPrefix("tbucket=").toInt,
+          fs.listStatus(s.getPath).count(_.getPath.getName.startsWith("part-")))
+      }.toSeq.toDF("tbucket", "n_files")
+  }
+
   /** Small-file compaction (X178): every [[append]] (and every
     * [[graft.streaming.IndexIngest]] micro-batch) adds one part-file to
     * ESSENTIALLY EVERY `tbucket=N` directory — a batch's terms scatter

@@ -171,6 +171,32 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.compact(doclensFiles = 0))
   }
 
+  test("stats census sees only live docs; fileStats tracks the compaction debt") {
+    val dir = Files.createTempDirectory("graft_inv_stats").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    def totals() = idx.stats().agg(
+        sum(col("n_postings")), sum(col("n_docs"))).head()
+    val allTokens = docsA.union(docsB)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(totals().getLong(0) === allTokens,
+      "per-bucket postings must sum to the corpus token count")
+    idx.delete(Seq(1L).toDF("doc_id"))
+    val live = totals()
+    assert(live.getLong(0) === allTokens - 5,
+      "doc 1's five postings leave the census at delete time, pre-vacuum")
+    val files = idx.fileStats()
+    assert(files.agg(max(col("n_files"))).head().getInt(0) > 1,
+      "append accretes files the policy surface must report")
+    idx.vacuum(); idx.compact()
+    assert(idx.fileStats().collect().forall(_.getInt(1) == 1),
+      "after compact every bucket holds one file")
+    assert(totals().getLong(0) === live.getLong(0),
+      "vacuum+compact must not change the live census")
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
