@@ -937,6 +937,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q222_facet_counts" -> ((s, d) => {
+      // X182 result-page facets: per facet key, the top-5 meta values
+      // among the BM25 top-20 hits — the reference's EAV surface (P7)
+      // composed with the persisted retrieval path; hit ids broadcast,
+      // the meta scan prunes to the facet keys
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_facets").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      val hits = idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+      SearchEngine.facetCounts(hits, "doc_id", docsAsMeta(s, d),
+          Seq("lang", "source"), topM = 5)
+        .orderBy(col("meta_key"), col("rank"))
+    }),
     "q221_index_stats" -> ((s, d) => {
       // X181 per-bucket index health after a deletion batch: the census
       // reports what queries SEE (tombstones excluded), so the oracle
@@ -3506,6 +3520,22 @@ object SparkEntry {
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q222_facet_counts" ->
+      // bm25 top-20 as the hit set; facets = per-key value counts with
+      // the (n DESC, value ASC) deterministic tie-break
+      s"""WITH topk AS (SELECT doc_id FROM (${bm25Sql()})),
+          meta AS (SELECT doc_id AS post_id, 'lang' AS meta_key,
+              lang AS meta_value FROM documents
+            UNION ALL SELECT doc_id, 'source', source FROM documents),
+          c AS (SELECT meta_key, meta_value, COUNT(*) AS n
+            FROM meta JOIN topk ON meta.post_id = topk.doc_id
+            GROUP BY 1, 2),
+          r AS (SELECT meta_key, meta_value, n,
+              CAST(ROW_NUMBER() OVER (PARTITION BY meta_key
+                ORDER BY n DESC, meta_value ASC) AS INT) AS rank
+            FROM c)
+          SELECT meta_key, meta_value, n, rank FROM r
+          WHERE rank <= 5 ORDER BY meta_key, rank""",
     "q221_index_stats" ->
       // the engine's 28-bit md5 term bucket, replicated: first 7 hex
       // chars of md5(term) as a BIGINT, mod the default 16 buckets

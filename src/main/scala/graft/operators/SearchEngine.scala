@@ -213,4 +213,34 @@ object SearchEngine {
        |SELECT id, post_id, hamming_distance, cosine_similarity
        |FROM rr ORDER BY cosine_similarity DESC, id ASC LIMIT $n""".stripMargin
   }
+
+  /** Facet counts over a hit set (X182) — the per-key value histogram a
+    * search UI renders next to its result page ("lang: en (12), de (5)
+    * …"), computed from the reference's postmeta-shaped EAV frame
+    * (`src/query/parts/Filter.php:97` capability surface): for each
+    * requested facet key, the top-`topM` meta values among the HIT
+    * posts, with ties broken by value for determinism.
+    *
+    * Scale shape: the meta scan prunes to the facet keys at the source
+    * (pushdown on `meta_key`), the hit set — k-bounded by the ranker's
+    * own LIMIT — broadcasts into a semi-join (the corpus-sized meta side
+    * never shuffles for the join), and the only exchanges are on the
+    * (key, value) count table and the |keys|-partition window over it —
+    * both facet-table-sized, nothing ∝ the corpus. */
+  def facetCounts(hits: DataFrame, hitIdCol: String, meta: DataFrame,
+      keys: Seq[String], topM: Int): DataFrame = {
+    require(keys.nonEmpty, "no facet keys")
+    require(keys.distinct.size == keys.size, s"duplicate facet key in $keys")
+    require(topM > 0, s"topM must be positive, got $topM")
+    import org.apache.spark.sql.expressions.Window
+    meta
+      .filter(col("meta_key").isin(keys: _*))
+      .join(broadcast(hits.select(col(hitIdCol).as("post_id")).distinct()),
+        Seq("post_id"), "left_semi")
+      .groupBy(col("meta_key"), col("meta_value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("meta_key"))
+        .orderBy(col("n").desc, col("meta_value").asc)))
+      .filter(col("rank") <= topM)
+  }
 }

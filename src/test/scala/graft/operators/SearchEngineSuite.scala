@@ -158,4 +158,29 @@ class SearchEngineSuite extends AnyFunSuite {
       }
     } finally spark.catalog.dropTempView("graft_search_sql_embs")
   }
+
+  test("facetCounts: per-key top-m with (count desc, value asc) ties; hits-only; bad args") {
+    val meta = Seq(
+      (1L, "lang", "en"), (2L, "lang", "en"), (3L, "lang", "de"),
+      (4L, "lang", "fr"), (5L, "lang", "de"),
+      (1L, "source", "web"), (2L, "source", "wiki"), (3L, "source", "web"),
+      (1L, "year", "2021")).toDF("post_id", "meta_key", "meta_value")
+    val hits = Seq(1L, 2L, 3L, 3L).toDF("doc_id") // dup hit ids collapse
+    val out = SearchEngine.facetCounts(hits, "doc_id", meta,
+        Seq("lang", "source"), topM = 2)
+      .orderBy(col("meta_key"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // hits {1,2,3}: lang en×2 de×1; source web×2 wiki×1
+    assert(out.toSeq === Seq(
+      ("lang", "en", 2L, 1), ("lang", "de", 1L, 2),
+      ("source", "web", 2L, 1), ("source", "wiki", 1L, 2)))
+    // posts 4,5 are not hits; 'year' was not requested
+    assert(!out.exists(_._1 == "year"))
+    intercept[IllegalArgumentException](
+      SearchEngine.facetCounts(hits, "doc_id", meta, Nil, 2))
+    intercept[IllegalArgumentException](
+      SearchEngine.facetCounts(hits, "doc_id", meta, Seq("a", "a"), 2))
+    intercept[IllegalArgumentException](
+      SearchEngine.facetCounts(hits, "doc_id", meta, Seq("lang"), 0))
+  }
 }
