@@ -937,6 +937,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q223_fuzzy_suggest" -> ((s, d) => {
+      // X183 "did you mean": distance-1 vocabulary matches for two
+      // misspellings and one exact term, SymSpell deletion-neighborhood
+      // candidates + exact levenshtein verify. The oracle brute-forces
+      // the V×Q cross join the engine's equi-join avoids — same answer,
+      // opposite plan (the differential IS the scale claim).
+      TextAnalysis.fuzzySuggest(t(s, d, "documents"), "doc_id", col("text"),
+          Seq("sorrt", "mergee", "spark"), topK = 5)
+        .orderBy(col("qterm"), col("rank"))
+    }),
     "q222_facet_counts" -> ((s, d) => {
       // X182 result-page facets: per facet key, the top-5 meta values
       // among the BM25 top-20 hits — the reference's EAV surface (P7)
@@ -3520,6 +3530,25 @@ object SparkEntry {
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q223_fuzzy_suggest" ->
+      // brute-force cross join + levenshtein: the O(V×Q) plan the
+      // engine's deletion-neighborhood join exists to avoid
+      s"""WITH p AS (SELECT doc_id, u.t AS term
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+              UNNEST(tk) AS u(t)
+            WHERE u.t <> ''),
+          v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+          q(qterm) AS (VALUES ('sorrt'), ('mergee'), ('spark')),
+          c AS (SELECT q.qterm, v.term, v.df,
+              CAST(levenshtein(q.qterm, v.term) AS INT) AS dist
+            FROM q CROSS JOIN v
+            WHERE levenshtein(q.qterm, v.term) <= 1),
+          r AS (SELECT qterm, term, df, dist,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qterm
+                ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank
+            FROM c)
+          SELECT qterm, term, df, dist, rank FROM r
+          WHERE rank <= 5 ORDER BY qterm, rank""",
     "q222_facet_counts" ->
       // bm25 top-20 as the hit set; facets = per-key value counts with
       // the (n DESC, value ASC) deterministic tie-break

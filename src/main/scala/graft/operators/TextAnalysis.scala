@@ -515,6 +515,52 @@ object TextAnalysis {
           col("snippet_start") + 1, lit(window + 1))).as("snippet"))
   }
 
+  /** Fuzzy term suggestions (X183) — the "did you mean" leg of a search
+    * stack: for each (lowercased) query term, the corpus vocabulary
+    * terms within Levenshtein distance 1, ranked (dist ASC, df DESC,
+    * term ASC) top-k. Candidate generation is the SymSpell deletion-
+    * neighborhood trick (Garbe's symmetric delete algorithm, public):
+    * every distance-1 pair — substitution, insertion or deletion —
+    * shares a string in the two sides' {self} ∪ {delete-one-char}
+    * variant sets, so an EQUI-join on variants yields a candidate
+    * superset and one exact `levenshtein` per candidate makes it exact.
+    *
+    * Scale shape: the corpus appears only through the vocabulary census
+    * (one term-keyed exchange with map-side combine); the variant
+    * explode is vocabulary-sized × (len+1); the join is a hash join on
+    * the variant string — the V×Q cross-join a naive edit-distance scan
+    * would do never forms (the oracle BRUTE-FORCES that cross join,
+    * which is exactly the differential: same answer, opposite plan). */
+  def fuzzySuggest(docs: DataFrame, idCol: String, text: Column,
+      queryTerms: Seq[String], topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.forall(_.nonEmpty), s"empty term in $queryTerms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    // {self} ∪ {delete char i | i < len}; terms are non-empty on both
+    // sides, so the sequence never descends (the bpeMerges lesson)
+    def variants(t: Column): Column = concat(array(t),
+      transform(sequence(lit(0), length(t) - 1),
+        i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t)))))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = positionalPostings(docs, idCol, text)
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val vvar = vocab.select(col("term"), col("df"),
+      explode(variants(col("term"))).as("variant"))
+    val qvar = queryTerms.map(_.toLowerCase).toDF("qterm")
+      .select(col("qterm"), explode(variants(col("qterm"))).as("variant"))
+    qvar.join(vvar, Seq("variant"))
+      .select(col("qterm"), col("term"), col("df")).distinct()
+      .withColumn("dist", levenshtein(col("qterm"), col("term")))
+      .filter(col("dist") <= 1)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qterm"))
+        .orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+  }
+
   /** Collocation mining by pointwise mutual information over the bigram
     * table: PMI(w1,w2) = ln(n12 * T / (n1+ * n+2)) with marginals and the
     * total all derived from ONE [[bigramPairs]] aggregation — the

@@ -802,4 +802,55 @@ class TextAnalysisSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextAnalysis.snippets(docs, "doc_id", col("text"), idx, Seq("a"), -1))
   }
+
+  test("fuzzySuggest: distance-1 matches found and ranked; no false accepts") {
+    val docs = Seq(
+      (1L, "sort merge spark sort"), (2L, "sort sparse"), (3L, "spore"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"),
+        Seq("sorrt", "SPARK", "zzz"), topK = 3)
+      .orderBy(col("qterm"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    // sorrt: insertion-fix 'sort' (df 2), dist 1; 'sport' absent from vocab
+    // SPARK lowercases: exact 'spark' rank 1 (dist 0), 'spore' is dist 2 -> out
+    // 'sparse' is dist 2 from spark -> out; zzz matches nothing
+    assert(out.toSeq === Seq(
+      ("sorrt", "sort", 2L, 1, 1),
+      ("spark", "spark", 1L, 0, 1)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Nil, 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a", "a"), 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a"), 0))
+  }
+
+  test("fuzzySuggest: deletion-neighborhood candidates equal the brute-force cross join") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def word() = (1 to (1 + rnd.nextInt(4)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1L to 30L).map(i => (i, Seq.fill(4)(word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val queries = Seq("ab", "abc", "ca", "bb").distinct
+    val got = TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"),
+        queries, topK = 100)
+      .select(col("qterm"), col("term"), col("dist")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // brute force: every (query, vocab) pair within levenshtein 1
+    val vocab = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val want = (for (q <- queries; t <- vocab; d = lev(q, t) if d <= 1)
+      yield (q, t, d)).toSet
+    assert(got === want,
+      "neighborhood join + verify must equal the exact cross-join answer")
+  }
 }
