@@ -937,6 +937,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q224_index_fuzzy" -> ((s, d) => {
+      // X183 served from the persisted layout: the vocabulary census
+      // comes from the index's live postings (tombstones excluded —
+      // none here), text never read; q223's oracle applies verbatim
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_fz").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      TextAnalysis.fuzzySuggestVocab(idx.vocab(),
+          Seq("sorrt", "mergee", "spark"), topK = 5)
+        .orderBy(col("qterm"), col("rank"))
+    }),
     "q223_fuzzy_suggest" -> ((s, d) => {
       // X183 "did you mean": distance-1 vocabulary matches for two
       // misspellings and one exact term, SymSpell deletion-neighborhood
@@ -2541,6 +2552,27 @@ object SparkEntry {
           WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
     }
 
+  /** Shared by q223 (tokenize path) and q224 (persisted index census —
+    * pure I/O): the brute-force cross join + levenshtein, i.e. the
+    * O(V×Q) plan the engine's deletion-neighborhood join avoids. */
+  private val fuzzySuggestSql: String =
+    s"""WITH p AS (SELECT doc_id, u.t AS term
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+            UNNEST(tk) AS u(t)
+          WHERE u.t <> ''),
+        v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+        q(qterm) AS (VALUES ('sorrt'), ('mergee'), ('spark')),
+        c AS (SELECT q.qterm, v.term, v.df,
+            CAST(levenshtein(q.qterm, v.term) AS INT) AS dist
+          FROM q CROSS JOIN v
+          WHERE levenshtein(q.qterm, v.term) <= 1),
+        r AS (SELECT qterm, term, df, dist,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qterm
+              ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank
+          FROM c)
+        SELECT qterm, term, df, dist, rank FROM r
+        WHERE rank <= 5 ORDER BY qterm, rank"""
+
   /** Shared by q117 (in-memory postings) and q213 (persisted index —
     * pure I/O): the sort-merge phrase oracle. */
   private val phraseMatchSql: String =
@@ -3530,25 +3562,8 @@ object SparkEntry {
     "q214_index_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
-    "q223_fuzzy_suggest" ->
-      // brute-force cross join + levenshtein: the O(V×Q) plan the
-      // engine's deletion-neighborhood join exists to avoid
-      s"""WITH p AS (SELECT doc_id, u.t AS term
-            FROM (SELECT doc_id, $toksSql AS tk FROM documents),
-              UNNEST(tk) AS u(t)
-            WHERE u.t <> ''),
-          v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
-          q(qterm) AS (VALUES ('sorrt'), ('mergee'), ('spark')),
-          c AS (SELECT q.qterm, v.term, v.df,
-              CAST(levenshtein(q.qterm, v.term) AS INT) AS dist
-            FROM q CROSS JOIN v
-            WHERE levenshtein(q.qterm, v.term) <= 1),
-          r AS (SELECT qterm, term, df, dist,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qterm
-                ORDER BY dist ASC, df DESC, term ASC) AS INT) AS rank
-            FROM c)
-          SELECT qterm, term, df, dist, rank FROM r
-          WHERE rank <= 5 ORDER BY qterm, rank""",
+    "q223_fuzzy_suggest" -> fuzzySuggestSql,
+    "q224_index_fuzzy" -> fuzzySuggestSql,
     "q222_facet_counts" ->
       // bm25 top-20 as the hit set; facets = per-key value counts with
       // the (n DESC, value ASC) deterministic tie-break

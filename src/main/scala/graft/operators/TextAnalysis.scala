@@ -532,7 +532,18 @@ object TextAnalysis {
     * would do never forms (the oracle BRUTE-FORCES that cross join,
     * which is exactly the differential: same answer, opposite plan). */
   def fuzzySuggest(docs: DataFrame, idCol: String, text: Column,
-      queryTerms: Seq[String], topK: Int): DataFrame = {
+      queryTerms: Seq[String], topK: Int): DataFrame =
+    fuzzySuggestVocab(
+      positionalPostings(docs, idCol, text)
+        .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df")),
+      queryTerms, topK)
+
+  /** [[fuzzySuggest]] over a PREBUILT (term, df) vocabulary — the
+    * serving form: a persisted index's term census
+    * ([[graft.sources.InvertedIndex.vocab]]) drops in and the corpus
+    * text is never touched (q224 reuses q223's oracle verbatim). */
+  def fuzzySuggestVocab(vocab: DataFrame, queryTerms: Seq[String],
+      topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "no query terms")
     require(queryTerms.forall(_.nonEmpty), s"empty term in $queryTerms")
     require(queryTerms.distinct.size == queryTerms.size,
@@ -544,10 +555,8 @@ object TextAnalysis {
     def variants(t: Column): Column = concat(array(t),
       transform(sequence(lit(0), length(t) - 1),
         i => concat(t.substr(lit(1), i), t.substr(i + lit(2), length(t)))))
-    val spark = docs.sparkSession
+    val spark = vocab.sparkSession
     import spark.implicits._
-    val vocab = positionalPostings(docs, idCol, text)
-      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
     val vvar = vocab.select(col("term"), col("df"),
       explode(variants(col("term"))).as("variant"))
     val qvar = queryTerms.map(_.toLowerCase).toDF("qterm")

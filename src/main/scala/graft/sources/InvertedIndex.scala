@@ -188,6 +188,20 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(new Path(tombstonesPath), true)
   }
 
+  /** LIVE (term, df) vocabulary census — the serving input for
+    * [[graft.operators.TextAnalysis.fuzzySuggestVocab]] ("did you
+    * mean") and any term-statistics consumer: document frequency per
+    * term over the live postings, tombstones excluded. One full-layout
+    * scan of (tbucket, term, doc_id) — the text itself is never read;
+    * serve-side callers typically cache or persist this table and
+    * refresh it on the [[compact]]/[[vacuum]] cadence. */
+  def vocab(): DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(postingsPath))
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+  }
+
   /** Per-bucket LIVE-postings census (X181) — the index-health surface
     * an operator watches: posting/term/doc counts per term bucket
     * expose hash skew (a hot bucket slows every query whose term lands
