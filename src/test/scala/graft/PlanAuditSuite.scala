@@ -826,4 +826,15 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the guard must be broadcast joins:\n$p")
   }
+
+  test("fuzzy suggest: candidates equi-join on variants, never a cross join (X183)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = prepPlan(operators.TextAnalysis.fuzzySuggest(
+      docs, "doc_id", col("text"), Seq("sorrt", "mergee"), topK = 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the V×Q cross join must never form — candidates come from the variant equi-join:\n$p")
+    assert(p.contains("variant"),
+      s"the join key must be the deletion-neighborhood variant:\n$p")
+  }
 }
