@@ -937,6 +937,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q225_bm25_msm" -> ((s, d) => {
+      // X184 minimum-should-match: BM25 restricted to docs containing
+      // at least 2 of the 3 query terms — the Lucene/ES precision knob
+      // — served from the persisted index; the gate filters SCORED
+      // rows, so idf/avgdl match q214's exactly for the survivors
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_msm").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      idx.bm25(Seq("sort", "merge", "spark"), k = 20, msm = 2)
+    }),
     "q224_index_fuzzy" -> ((s, d) => {
       // X183 served from the persisted layout: the vocabulary census
       // comes from the index's live postings (tombstones excluded —
@@ -2519,10 +2529,12 @@ object SparkEntry {
     }
 
   /** Shared by q118 (tokenize path), q214 (persisted index — same
-    * bm25Rank core over stored postings/doclens) and q217 (tombstoned
+    * bm25Rank core over stored postings/doclens), q217 (tombstoned
     * index ≡ the same ranking over the surviving docs, `where` carries
-    * the survivor predicate). */
-  private def bm25Sql(where: String = ""): String = {
+    * the survivor predicate) and q225 (`msm` = minimum-should-match:
+    * at least msm distinct query terms present; injected only when
+    * > 1 so the shared oracles' text is byte-identical to before). */
+  private def bm25Sql(where: String = "", msm: Int = 1): String = {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)
       // interpolate Scala-computed doubles (shortest round-trip repr) so
@@ -2540,6 +2552,9 @@ object SparkEntry {
            / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
               + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
       }.mkString(" + ")
+      val msmClause = if (msm == 1) "" else "\n            WHERE (" +
+        terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+          .mkString(" + ") + s") >= $msm"
       s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
             FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
                   FROM documents $where)
@@ -2547,7 +2562,7 @@ object SparkEntry {
           st AS (SELECT COUNT(*) AS n_docs,
               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
           sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
-            FROM pd CROSS JOIN st)
+            FROM pd CROSS JOIN st$msmClause)
           SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
           WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
     }
@@ -3564,6 +3579,7 @@ object SparkEntry {
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q223_fuzzy_suggest" -> fuzzySuggestSql,
     "q224_index_fuzzy" -> fuzzySuggestSql,
+    "q225_bm25_msm" -> bm25Sql(msm = 2),
     "q222_facet_counts" ->
       // bm25 top-20 as the hit set; facets = per-key value counts with
       // the (n DESC, value ASC) deterministic tie-break

@@ -647,8 +647,11 @@ object TextAnalysis {
     * ([[graft.sources.InvertedIndex]].bm25), so the two cannot drift.
     * The frame must contain EVERY document with at least one token (N
     * and avgdl are corpus stats, not match stats). */
+  /** `gate` filters the SCORED rows (e.g. X184 minimum-should-match) —
+    * applied after the stats aggregate, so N/avgdl/df stay corpus-wide
+    * exactly as Lucene's msm leaves idf untouched. */
   private[graft] def bm25Rank(perDoc: DataFrame, nTerms: Int, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, gate: Column = lit(true)): DataFrame = {
     val idx = 0 until nTerms
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
@@ -665,7 +668,7 @@ object TextAnalysis {
     }
     scored
       .withColumn("score", partials.reduce(_ + _))
-      .filter(col("score") > 0)
+      .filter(col("score") > 0 && gate)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))

@@ -291,13 +291,24 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * buckets, dl/N/avgdl from the stored doclens — the
     * [[TextAnalysis.bm25TopK]] arithmetic ([[TextAnalysis.bm25Rank]]
     * shared core, bit-identical) with text never read. Per-query I/O =
-    * the query terms' buckets + the (doc_id, dl) table. */
+    * the query terms' buckets + the (doc_id, dl) table.
+    *
+    * `msm` is minimum-should-match (X184, the Lucene/ES semantics): a
+    * doc must contain at least `msm` DISTINCT query terms to score —
+    * the precision knob between pure-OR (1, the default, unchanged
+    * plans) and pure-AND (|terms|). The gate is a per-row predicate on
+    * the tf columns the ranking already computed, applied AFTER the
+    * stats aggregate — N/avgdl/df stay corpus-wide, exactly as
+    * Lucene's msm leaves idf untouched: zero extra I/O, zero extra
+    * exchanges, and it shrinks the ranked set BEFORE the top-k heap. */
   def bm25(queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
     require(queryTerms.nonEmpty, "no query terms")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate term in $queryTerms")
     require(k > 0, s"k must be positive, got $k")
+    require(msm >= 1 && msm <= queryTerms.size,
+      s"msm must be in [1, ${queryTerms.size}], got $msm")
     val terms = queryTerms.zipWithIndex
     val tf = termPostings(queryTerms)
       .groupBy(col("doc_id"))
@@ -308,7 +319,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val perDoc = liveOnly(spark.read.parquet(doclensPath))
       .join(tf, Seq("doc_id"), "left")
       .na.fill(0L, terms.map { case (_, i) => s"tf$i" })
-    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b)
+    val gate = if (msm == 1) lit(true) else
+      terms.map { case (_, i) => when(col(s"tf$i") > 0, 1).otherwise(0) }
+        .reduce(_ + _) >= msm
+    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b, gate)
   }
 
   /** The postings of exactly `terms`, read from their pruned bucket

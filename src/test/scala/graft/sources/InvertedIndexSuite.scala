@@ -171,6 +171,29 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.compact(doclensFiles = 0))
   }
 
+  test("bm25 msm: gate restricts docs without touching idf; AND at |terms|; bad msm") {
+    val dir = Files.createTempDirectory("graft_inv_msm").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val or = rows(idx.bm25(Seq("sort", "merge", "strategy"), k = 10))
+    val msm2 = rows(idx.bm25(Seq("sort", "merge", "strategy"), k = 10, msm = 2))
+    assert(msm2.map(_._1).toSet.subsetOf(or.map(_._1).toSet))
+    // survivors keep their OR-query scores bit-for-bit: stats stay corpus-wide
+    val orScores = or.toMap
+    assert(msm2.forall { case (id, s) => orScores(id) == s },
+      "msm must not perturb idf/avgdl — identical scores for survivors")
+    // docs 1,2,4 have sort+merge; only doc 2 has strategy
+    assert(msm2.map(_._1).toSet === Set(1L, 2L, 4L))
+    val and = rows(idx.bm25(Seq("sort", "merge", "strategy"), k = 10, msm = 3))
+    assert(and.map(_._1) === Seq(2L), "msm = |terms| is pure AND")
+    intercept[IllegalArgumentException](
+      idx.bm25(Seq("sort", "merge"), k = 5, msm = 0))
+    intercept[IllegalArgumentException](
+      idx.bm25(Seq("sort", "merge"), k = 5, msm = 3))
+  }
+
   test("stats census sees only live docs; fileStats tracks the compaction debt") {
     val dir = Files.createTempDirectory("graft_inv_stats").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
