@@ -646,10 +646,10 @@ object TextAnalysis {
     * above and the persisted-index path
     * ([[graft.sources.InvertedIndex]].bm25), so the two cannot drift.
     * The frame must contain EVERY document with at least one token (N
-    * and avgdl are corpus stats, not match stats). */
-  /** `gate` filters the SCORED rows (e.g. X184 minimum-should-match) —
-    * applied after the stats aggregate, so N/avgdl/df stay corpus-wide
-    * exactly as Lucene's msm leaves idf untouched. */
+    * and avgdl are corpus stats, not match stats). `gate` filters the
+    * SCORED rows (e.g. X184 minimum-should-match) — applied after the
+    * stats aggregate, so N/avgdl/df stay corpus-wide exactly as
+    * Lucene's msm leaves idf untouched. */
   private[graft] def bm25Rank(perDoc: DataFrame, nTerms: Int, k: Int,
       k1: Double, b: Double, gate: Column = lit(true)): DataFrame = {
     val idx = 0 until nTerms

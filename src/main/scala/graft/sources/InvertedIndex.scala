@@ -43,7 +43,21 @@ import graft.operators.TextAnalysis
   * engine's two-rename crash contract (`.bak` visible ⇒ [[recover]]
   * rolls back or completes), tombstones cleared LAST — a crash anywhere
   * leaves reads correct, because an anti-join against already-removed
-  * ids is a no-op. */
+  * ids is a no-op.
+  *
+  * Term statistics are served from an ADDITIVE census sidecar
+  * (`census/base`, (term, df) rows): [[build]] writes the full census,
+  * [[append]] adds the batch's census rows (df is additive because
+  * appended doc_ids are disjoint from stored ones — the append
+  * contract), [[vacuum]] subtracts the removed docs' contributions, and
+  * [[vocab]] serves from the sidecar without touching the postings
+  * layout at all when no tombstones are pending (plan-audited). The
+  * vacuum-time adjustment is crash-consistent through a
+  * `census/pending_delta` table: the tombstoned docs' per-term df is
+  * published BEFORE any data rewrite, read-side adjustment prefers the
+  * stored delta over a live recomputation, and the final census swap
+  * removes base and delta in ONE directory rename — every crash window
+  * leaves [[vocab]] exact (see [[vacuum]]). */
 final class InvertedIndex(spark: SparkSession, path: String,
     buckets: Int = 16) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -73,15 +87,25 @@ final class InvertedIndex(spark: SparkSession, path: String,
 
   private def doclensPath = s"$path/doclens"
   private def tombstonesPath = s"$path/tombstones"
+  private def censusPath = s"$path/census"
+  private def censusBasePath = s"$censusPath/base"
+  private def censusDeltaPath = s"$censusPath/pending_delta"
+  private def appendStagingPath = new Path(path, ".append_staging")
+  private def appendMarkerPath = new Path(path, ".append_pending")
 
-  /** Roll a crashed [[vacuum]] swap forward or back: a visible
-    * `.<dir>.bak` with the live dir missing means the crash hit between
-    * the two renames — restore the backup; with the live dir present the
-    * swap completed — drop the stale backup. Run at every entry point
-    * that touches postings or doclens (the [[IvfIndex]] recoverDir
-    * rule). */
-  private def recover(): Unit =
-    Seq(postingsPath, doclensPath).foreach { live =>
+  /** Roll a crashed mutation forward or back: a visible `.<dir>.bak`
+    * with the live dir missing means the crash hit between the two
+    * renames — restore the backup; with the live dir present the swap
+    * completed — drop the stale backup. An `.append_pending` marker
+    * means a staged [[append]] batch was fully written but not yet
+    * committed — roll it FORWARD (every file move is state-checked, so
+    * this is idempotent from any crash point at or after the marker);
+    * staging without the marker is an uncommitted crash — discard it,
+    * the live layout was never touched. Run at every entry point that
+    * touches postings, doclens or the census (the [[IvfIndex]]
+    * recoverDir rule). */
+  private def recover(): Unit = {
+    Seq(postingsPath, doclensPath, censusPath).foreach { live =>
       val liveP = new Path(live)
       val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
       if (fs.exists(bak)) {
@@ -90,13 +114,22 @@ final class InvertedIndex(spark: SparkSession, path: String,
         } else fs.delete(bak, true)
       }
     }
+    if (fs.exists(appendMarkerPath)) commitAppend()
+    else fs.delete(appendStagingPath, true)
+    // a crash mid-write of the vacuum delta (before its publish rename)
+    // or mid-write of a census swap leaves only these orphans — the
+    // live layout never saw either
+    fs.delete(new Path(censusPath, ".pending_delta.staging"), true)
+    fs.delete(new Path(path, ".census.staging"), true)
+  }
 
   /** Tokenize and write the partitioned postings layout plus the
     * (doc_id, dl) doclens table — the corpus-stat side BM25 needs
-    * without rescanning text. One generate pass, shuffle-free
-    * partitioned write + one doc-keyed aggregate; B is recorded in a
-    * one-row meta parquet (the [[IvfIndex]] sidecar-meta rule, so later
-    * sessions and appends agree on the hash). */
+    * without rescanning text — plus the (term, df) census sidecar
+    * [[vocab]] serves from. One generate pass, shuffle-free partitioned
+    * write + one doc-keyed and one term-keyed aggregate; B is recorded
+    * in a one-row meta parquet (the [[IvfIndex]] sidecar-meta rule, so
+    * later sessions and appends agree on the hash). */
   def build(docs: DataFrame, idCol: String, text: Column): Unit = {
     import spark.implicits._
     recover()
@@ -104,33 +137,92 @@ final class InvertedIndex(spark: SparkSession, path: String,
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
-      .localCheckpoint(true) // two consumers: the layout write + doclens
+      .localCheckpoint(true) // three consumers: layout write, doclens, census
     postings
       .withColumn("tbucket", bucketCol(col("term"), buckets))
       .write.mode("overwrite").partitionBy("tbucket").parquet(postingsPath)
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode("overwrite").parquet(doclensPath)
+    fs.delete(new Path(censusPath), true)
+    postings.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .write.parquet(censusBasePath)
     graft.util.Pins.release(postings)
   }
 
-  /** Append new documents' postings and doclens — directory-additive,
-    * work ∝ the batch. Uses the STORED bucket count, not this
-    * instance's. New doc_ids must be disjoint from the stored ones —
-    * including TOMBSTONED ids (a re-sent live doc would double its
-    * postings and doclens row; a re-sent tombstoned id would stay masked
-    * until [[vacuum]] clears the tombstone — run vacuum before
-    * re-inserting a deleted id). */
+  /** Append new documents' postings, doclens and census rows —
+    * directory-additive, work ∝ the batch. Uses the STORED bucket
+    * count, not this instance's. New doc_ids must be disjoint from the
+    * stored ones — including TOMBSTONED ids (a re-sent live doc would
+    * double its postings and doclens row; a re-sent tombstoned id would
+    * stay masked until [[vacuum]] clears the tombstone — run vacuum
+    * before re-inserting a deleted id). Disjointness is also what makes
+    * the census additive: a batch's per-term distinct-doc counts sum
+    * exactly with the stored ones.
+    *
+    * The batch is ATOMIC under crashes: all three tables stage under a
+    * hidden sibling, a marker commits the batch, and the staged files
+    * then move into the live directories (postings first, doclens last,
+    * so the replay-guard surface [[appendedIds]] recognizes a doc only
+    * once its postings are all live). [[recover]] rolls a marked batch
+    * forward and discards an unmarked one, so every read — including a
+    * streaming replay guard ([[graft.streaming.IndexIngest]]) — sees
+    * the batch fully applied or not at all, never a torn half. */
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
     recover()
     val b = readBuckets()
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
       .localCheckpoint(true)
+    fs.delete(appendStagingPath, true)
     postings
       .withColumn("tbucket", bucketCol(col("term"), b))
-      .write.mode("append").partitionBy("tbucket").parquet(postingsPath)
+      .write.partitionBy("tbucket")
+      .parquet(new Path(appendStagingPath, "postings").toString)
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .write.mode("append").parquet(doclensPath)
+      .write.parquet(new Path(appendStagingPath, "doclens").toString)
+    if (fs.exists(new Path(censusBasePath)))
+      postings.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .write.parquet(new Path(appendStagingPath, "census").toString)
     graft.util.Pins.release(postings)
+    fs.mkdirs(appendMarkerPath)
+    commitAppend()
+  }
+
+  /** Move a fully-staged append batch into the live layout — idempotent
+    * from any crash point at or after the marker write (each move
+    * skips files already gone). Order: postings buckets, census, then
+    * doclens LAST, because doclens ids are the replay-guard membership
+    * surface — a doc becomes "ingested" only after everything else of
+    * its batch is live. */
+  private def commitAppend(): Unit = {
+    val stagedPostings = new Path(appendStagingPath, "postings")
+    if (fs.exists(stagedPostings))
+      fs.listStatus(stagedPostings)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+        .foreach { d =>
+          moveDataFiles(d.getPath, new Path(postingsPath, d.getPath.getName)) }
+    val stagedCensus = new Path(appendStagingPath, "census")
+    if (fs.exists(stagedCensus))
+      moveDataFiles(stagedCensus, new Path(censusBasePath))
+    val stagedDoclens = new Path(appendStagingPath, "doclens")
+    if (fs.exists(stagedDoclens))
+      moveDataFiles(stagedDoclens, new Path(doclensPath))
+    fs.delete(appendStagingPath, true)
+    fs.delete(appendMarkerPath, true)
+  }
+
+  /** Rename every data part-file from `from` into `to` (created if
+    * missing), keeping names — parquet task files carry a unique job
+    * UUID, so staged names can never collide with live ones. */
+  private def moveDataFiles(from: Path, to: Path): Unit = {
+    fs.mkdirs(to)
+    fs.listStatus(from)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        if (!fs.rename(s.getPath, new Path(to, s.getPath.getName)))
+          sys.error(s"could not move ${s.getPath} into $to")
+      }
   }
 
   /** Every doc_id ever appended — the doclens key set, tombstoned docs
@@ -153,13 +245,23 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def delete(ids: DataFrame): Unit = {
     require(ids.columns.toSeq == Seq("doc_id"),
       s"ids must be a single-column (doc_id) frame, got ${ids.columns.toSeq}")
-    ids.write.mode("append").parquet(tombstonesPath)
+    recover()
+    // cast to the stored doclens id type: two delete batches with
+    // different integer widths must not leave conflicting parquet
+    // schemas in the tombstone dir (the next read would mis-infer)
+    val idType = spark.read.parquet(doclensPath).schema("doc_id").dataType
+    ids.select(col("doc_id").cast(idType))
+      .write.mode("append").parquet(tombstonesPath)
   }
 
   /** Anti-join the broadcast tombstone set out of a doc_id-keyed frame —
     * the read-side half of the tombstone contract. No tombstone table ⇒
     * the frame passes through untouched (zero plan change for an index
-    * that never deleted, so q213/q214 stay bit-identical). */
+    * that never deleted, so q213/q214 stay bit-identical). Single-writer
+    * caveat: the existence check happens at plan-build time but the read
+    * executes lazily, so a query frame must not straddle a concurrent
+    * [[vacuum]] (which deletes the tombstone dir) — the engine-wide
+    * single-maintenance-writer assumption every layout here shares. */
   private def liveOnly(df: DataFrame): DataFrame =
     if (fs.exists(new Path(tombstonesPath)))
       df.join(broadcast(spark.read.parquet(tombstonesPath)
@@ -181,25 +283,100 @@ final class InvertedIndex(spark: SparkSession, path: String,
     if (!fs.exists(new Path(tombstonesPath))) return
     val ts = broadcast(spark.read.parquet(tombstonesPath)
       .select(col("doc_id")).distinct())
+    val hasCensus = fs.exists(new Path(censusBasePath))
+    if (hasCensus && !fs.exists(new Path(censusDeltaPath))) {
+      // 1. publish the census delta (the removed docs' per-term df)
+      // BEFORE any data rewrite, computed from the still-live postings.
+      // From here until the census swap below, [[vocab]] subtracts the
+      // STORED delta — correct whether or not the postings rewrite has
+      // happened yet (a live recomputation would read 0 after it). A
+      // delta already stored is a crashed vacuum's — still exact for
+      // the current tombstone set (single writer), and it MUST be
+      // reused: recomputing after the postings rewrite would read 0.
+      val stag = new Path(censusPath, ".pending_delta.staging")
+      fs.delete(stag, true)
+      spark.read.parquet(postingsPath)
+        .join(ts, Seq("doc_id"), "left_semi")
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .write.parquet(stag.toString)
+      fs.delete(new Path(censusDeltaPath), true)
+      if (!fs.rename(stag, new Path(censusDeltaPath)))
+        sys.error(s"could not publish census delta under $censusPath")
+    }
     stageSwap(postingsPath, Some("tbucket")) { live =>
       live.join(ts, Seq("doc_id"), "left_anti") }
     stageSwap(doclensPath, None) { live =>
       live.join(ts, Seq("doc_id"), "left_anti") }
+    if (hasCensus)
+      // 3. one directory swap replaces base with (base − delta) and
+      // drops pending_delta in the same rename — the adjustment and its
+      // marker can never be observed out of step
+      swapCensus(censusAdjusted(
+        spark.read.parquet(censusDeltaPath)))
     fs.delete(new Path(tombstonesPath), true)
+  }
+
+  /** Stored census minus a (term, df) delta, zero-df terms dropped. */
+  private def censusAdjusted(delta: DataFrame): DataFrame =
+    spark.read.parquet(censusBasePath)
+      .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
+      .join(delta.withColumnRenamed("df", "__tdf"), Seq("term"), "left")
+      .withColumn("df", col("df") - coalesce(col("__tdf"), lit(0L)))
+      .filter(col("df") > 0)
+      .select(col("term"), col("df"))
+
+  /** Two-rename swap of the WHOLE census directory to `{base: newBase}`
+    * — pending_delta (if any) vanishes atomically with the base
+    * replacement. */
+  private def swapCensus(newBase: DataFrame): Unit = {
+    val staging = new Path(path, ".census.staging")
+    fs.delete(staging, true)
+    newBase.write.parquet(new Path(staging, "base").toString)
+    val live = new Path(censusPath)
+    val bak = new Path(path, ".census.bak")
+    fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
+      sys.error(s"could not back up $live for swap")
+    if (!fs.rename(staging, live))
+      sys.error(s"could not swap $staging into $live (backup at $bak)")
+    fs.delete(bak, true)
   }
 
   /** LIVE (term, df) vocabulary census — the serving input for
     * [[graft.operators.TextAnalysis.fuzzySuggestVocab]] ("did you
     * mean") and any term-statistics consumer: document frequency per
-    * term over the live postings, tombstones excluded. One full-layout
-    * scan of (tbucket, term, doc_id) — the text itself is never read;
-    * serve-side callers typically cache or persist this table and
-    * refresh it on the [[compact]]/[[vacuum]] cadence. */
+    * term, tombstones excluded. Served from the additive census sidecar
+    * — a vocabulary-sized read that never opens the postings layout
+    * when no tombstones are pending (plan-audited). With tombstones
+    * pending, the masked docs' contribution subtracts out: from the
+    * STORED pending_delta if a [[vacuum]] is mid-flight (crash-window
+    * exact — see [[vacuum]]), otherwise from one column-pruned
+    * (term, doc_id) pass over the postings restricted to the tombstone
+    * set — the transient cost [[vacuum]] amortizes away, exactly like
+    * [[liveOnly]]'s anti-join. A pre-census layout falls back to the
+    * full live-postings census (documented fallback, the [[IvfIndex]]
+    * pre-sidecar rule). */
   def vocab(): DataFrame = {
     recover()
-    liveOnly(spark.read.parquet(postingsPath))
-      .groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"))
+    if (!fs.exists(new Path(censusBasePath)))
+      return liveOnly(spark.read.parquet(postingsPath))
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+    val delta =
+      if (fs.exists(new Path(censusDeltaPath)))
+        Some(spark.read.parquet(censusDeltaPath))
+      else if (fs.exists(new Path(tombstonesPath)))
+        Some(spark.read.parquet(postingsPath)
+          .join(broadcast(spark.read.parquet(tombstonesPath)
+            .select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+          .groupBy(col("term"))
+          .agg(count_distinct(col("doc_id")).as("df")))
+      else None
+    delta.fold(
+      spark.read.parquet(censusBasePath)
+        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
+    )(censusAdjusted)
   }
 
   /** Per-bucket LIVE-postings census (X181) — the index-health surface
@@ -253,6 +430,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
       live.repartition(col("tbucket")) }
     stageSwap(doclensPath, None) { live =>
       live.repartition(doclensFiles) }
+    // census base accretes one file per append too — merge-sum it to
+    // `doclensFiles` files (vocabulary-sized job). Skipped while a
+    // vacuum's pending_delta is in flight: that vacuum's own census
+    // swap rewrites the base anyway.
+    if (fs.exists(new Path(censusBasePath)) &&
+        !fs.exists(new Path(censusDeltaPath)))
+      swapCensus(spark.read.parquet(censusBasePath)
+        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
+        .repartition(doclensFiles))
   }
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it

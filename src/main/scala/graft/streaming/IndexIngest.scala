@@ -17,7 +17,12 @@ import graft.sources.InvertedIndex
   * against [[InvertedIndex.appendedIds]] (the doclens key set) and
   * already-ingested docs are dropped before the append, so a replayed
   * micro-batch (or a crawler re-fetching a page) never doubles a doc's
-  * postings or doclens row. The guard's plan is scale-shaped: the
+  * postings or doclens row. The guard is crash-exact because the append
+  * itself is: [[InvertedIndex.append]] stages the whole batch and
+  * marker-commits it (doclens moved LAST), so a driver death anywhere
+  * mid-append leaves — after the index's own recovery — either the full
+  * batch (replay drops it) or none of it (replay re-appends it), never
+  * postings without their doclens rows. The guard's plan is scale-shaped: the
   * CORPUS-sized side (doclens ids, a single narrow column) is probed
   * with a broadcast semi-join against the batch's ids — map-side, no
   * corpus exchange — and only the resulting batch-sized duplicate set
@@ -63,17 +68,21 @@ object IndexIngest {
 
   /** Stream document parquet files from `docsDir` into `index`. The
     * index must be [[InvertedIndex.build built]] before the stream
-    * starts (build records the bucket count appends follow). */
+    * starts (build records the bucket count appends follow). Pass
+    * `schema` to start the stream over a directory that has no files
+    * yet (the normal initial state of a crawl-ingest landing dir —
+    * inference would throw); omitted, the schema infers from the
+    * existing files. */
   def start(
       spark: SparkSession,
       docsDir: String,
       checkpointDir: String,
       index: InvertedIndex,
       idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery = {
-    val schema = spark.read.parquet(docsDir).schema
+      textCol: String = "text",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
     spark.readStream
-      .schema(schema)
+      .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .writeStream

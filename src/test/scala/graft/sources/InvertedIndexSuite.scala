@@ -220,6 +220,139 @@ class InvertedIndexSuite extends AnyFunSuite {
       "vacuum+compact must not change the live census")
   }
 
+  private def expectedVocab(docs: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def vocabRows(idx: InvertedIndex) =
+    idx.vocab().orderBy(col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("census sidecar ≡ recomputed vocab across build/append/delete/vacuum/compact") {
+    val dir = Files.createTempDirectory("graft_inv_census").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    assert(vocabRows(idx) === expectedVocab(docsA))
+    idx.append(docsB, "doc_id", col("text"))
+    assert(vocabRows(idx) === expectedVocab(docsA.union(docsB)))
+    idx.delete(Seq(2L).toDF("doc_id"))
+    val survivors = docsA.union(docsB).filter(col("doc_id") =!= 2L)
+    assert(vocabRows(idx) === expectedVocab(survivors),
+      "pending tombstones must subtract from the served census")
+    idx.vacuum()
+    assert(vocabRows(idx) === expectedVocab(survivors),
+      "vacuum's census swap must bake the subtraction in")
+    assert(!new java.io.File(s"$dir/inv/census/pending_delta").exists(),
+      "the census swap removes pending_delta with the base")
+    idx.compact()
+    assert(vocabRows(idx) === expectedVocab(survivors))
+    assert(new java.io.File(s"$dir/inv/census/base").listFiles()
+      .count(_.getName.startsWith("part-")) === 1,
+      "compact merge-sums the census base to one file")
+  }
+
+  test("vocab serves from the census without opening the postings layout") {
+    val dir = Files.createTempDirectory("graft_inv_cplan").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    val scans = idx.vocab().queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths
+        .forall(!_.toString.contains("/postings"))),
+      "no-tombstone vocab must be a pure census read")
+    // the fuzzy-suggest serve path inherits the census-only scan
+    val fz = TextAnalysis.fuzzySuggestVocab(idx.vocab(), Seq("sorrt"), 3)
+    val fzScans = fz.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(fzScans.forall(_.relation.location.rootPaths
+      .forall(!_.toString.contains("/postings"))))
+  }
+
+  test("census crash windows: stored delta preferred, reused by vacuum, post-swap exact") {
+    val dir = Files.createTempDirectory("graft_inv_cwin").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.delete(Seq(2L).toDF("doc_id"))
+    val survivors = docsA.union(docsB).filter(col("doc_id") =!= 2L)
+    // window A: a vacuum published its delta then crashed before any
+    // data rewrite — replicate the publish by hand
+    val postings = spark.read.parquet(s"$dir/inv/postings")
+    postings.join(spark.read.parquet(s"$dir/inv/tombstones").distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+      .write.parquet(s"$dir/inv/census/pending_delta")
+    assert(vocabRows(idx) === expectedVocab(survivors),
+      "with a stored delta the served census must subtract it")
+    // the re-run vacuum must REUSE the stored delta (a recompute after
+    // the data rewrite would read 0) and converge
+    idx.vacuum()
+    assert(vocabRows(idx) === expectedVocab(survivors))
+    assert(!new java.io.File(s"$dir/inv/census/pending_delta").exists())
+    // window after the census swap, before the tombstone delete: base
+    // already adjusted, tombstones visible, postings clean — the live
+    // delta reads 0 and the census must come out exact, not doubly cut
+    Seq(2L).toDF("doc_id").write.parquet(s"$dir/inv/tombstones")
+    assert(vocabRows(idx) === expectedVocab(survivors),
+      "an already-vacuumed tombstone set must be a census no-op")
+  }
+
+  test("append is atomic: marker rolls the staged batch forward, no marker discards it") {
+    val dir = Files.createTempDirectory("graft_inv_atomic").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    // orphan staging without a marker: the crash hit before commit —
+    // the batch must vanish, not half-apply
+    val junk = new java.io.File(s"$dir/inv/.append_staging/doclens")
+    Seq((99L, 1L)).toDF("doc_id", "dl").write.parquet(junk.toString)
+    assert(phrase(idx, Seq("sort", "merge")) ===
+      phrase(idx, Seq("sort", "merge")))
+    assert(!new java.io.File(s"$dir/inv/.append_staging").exists(),
+      "uncommitted staging must be discarded at the next entry point")
+    assert(spark.read.parquet(s"$dir/inv/doclens")
+      .filter(col("doc_id") === 99L).count() === 0)
+    // marker-committed staging: replicate a fully-staged batch (via a
+    // sibling index with the same bucket count) then crash pre-commit
+    val tmp = new InvertedIndex(spark, s"$dir/stage_src", buckets = 8)
+    tmp.build(docsB, "doc_id", col("text"))
+    val staging = new java.io.File(s"$dir/inv/.append_staging")
+    assert(staging.mkdirs())
+    assert(new java.io.File(s"$dir/stage_src/postings")
+      .renameTo(new java.io.File(staging, "postings")))
+    assert(new java.io.File(s"$dir/stage_src/doclens")
+      .renameTo(new java.io.File(staging, "doclens")))
+    assert(new java.io.File(s"$dir/stage_src/census/base")
+      .renameTo(new java.io.File(staging, "census")))
+    assert(new java.io.File(s"$dir/inv/.append_pending").mkdirs())
+    // the next read rolls the batch forward: docsB fully visible
+    val full = new InvertedIndex(spark, s"$dir/full", buckets = 8)
+    full.build(docsA.union(docsB), "doc_id", col("text"))
+    assert(phrase(idx, Seq("sort", "merge")) === phrase(full, Seq("sort", "merge")))
+    assert(vocabRows(idx) === vocabRows(full),
+      "the staged census rows must commit with the batch")
+    assert(!new java.io.File(s"$dir/inv/.append_pending").exists())
+    assert(!new java.io.File(s"$dir/inv/.append_staging").exists())
+  }
+
+  test("delete casts ids to the stored id type (no mixed tombstone schemas)") {
+    val dir = Files.createTempDirectory("graft_inv_idtype").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.delete(Seq(2).toDF("doc_id")) // IntegerType frame
+    idx.delete(Seq(4L).toDF("doc_id")) // LongType frame
+    val ts = spark.read.parquet(s"$dir/inv/tombstones")
+    assert(ts.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "tombstones must carry ONE schema — the stored doclens id type")
+    val ref = new InvertedIndex(spark, s"$dir/want", buckets = 8)
+    ref.build(docsA.union(docsB).filter(!col("doc_id").isin(2L, 4L)),
+      "doc_id", col("text"))
+    assert(phrase(idx, Seq("sort", "merge")) === phrase(ref, Seq("sort", "merge")))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
