@@ -255,7 +255,6 @@ object TextAnalysis {
     * and the final doc_id aggregation. */
   def lmScore(docs: DataFrame, refDocs: DataFrame, idCol: String, text: Column,
       alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0, s"alpha must be positive, got $alpha")
     // the count table is vocabulary-sized (metadata next to the corpus) and
     // has THREE consumers — the (w1,w2) join, the head aggregate, and the
     // V aggregate. Pin it eagerly (the [[Dedup.dedupGroups]] discipline):
@@ -265,6 +264,19 @@ object TextAnalysis {
     val bg = bigramPairs(refDocs, idCol, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .localCheckpoint(true)
+    lmScoreCounted(docs, idCol, text, bg, alpha)
+  }
+
+  /** The scoring half of [[lmScore]] against an EXPLICIT (w1, w2, c2)
+    * bigram count table — shared by the recount path above and the
+    * persisted-model / stream-static-join path
+    * ([[graft.streaming.LmStream]].scoreJoined), so the two cannot
+    * drift. Heads and V derive from `bg` inside; `bg` has three
+    * consumers, so the CALLER pins it (once per freeze, not per
+    * micro-batch). */
+  private[graft] def lmScoreCounted(docs: DataFrame, idCol: String,
+      text: Column, bg: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
     val heads = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     // V rides in as a broadcast single-row cross join (the
     // [[Curation.corpusFreqScore]] discipline), not a driver-side first().

@@ -41,21 +41,52 @@ object LmStream {
     require(v > 0, "reference corpus has no bigrams")
   }
 
-  /** Count the model from a reference corpus. The collect is the
-    * vocabulary-sized count table only — never the corpus; cap it
-    * upstream (frequency floor) if the vocabulary itself outgrows driver
-    * memory. */
+  /** Count the model from a reference corpus. `minCount` floors the
+    * collected BIGRAM table (the table that scales with corpus tokens)
+    * for reference corpora whose full table outgrows driver memory;
+    * heads (`c1` — every bigram's denominator) and V are EXACT, derived
+    * by aggregation before the floor, so a pruned bigram scores exactly
+    * as an unseen one: P = alpha / (c1(w1) + alpha·V) — defined backoff
+    * semantics, suite-pinned differentially. The truly unbounded shape
+    * is [[scoreJoined]], which never collects a table at all. */
   def buildModel(refDocs: DataFrame, idCol: String, text: Column,
-      alpha: Double = 0.5): LmModel = {
-    val rows = TextAnalysis.bigramPairs(refDocs, idCol, text)
+      alpha: Double = 0.5, minCount: Int = 1): LmModel = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // three consumers (c2 collect, head aggregate, V aggregate) — pin
+    // once, the [[TextAnalysis.lmScore]] discipline
+    val bg = TextAnalysis.bigramPairs(refDocs, idCol, text)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val c2 = rows.map { case (w1, w2, n) => (w1, w2) -> n }.toMap
-    val c1 = rows.groupBy(_._1).map { case (w1, g) => w1 -> g.map(_._3).sum }
-    val v = rows.map(_._2).distinct.length.toLong
+      .localCheckpoint(true)
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("c2")).cast("long").as("c1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = bg.agg(count_distinct(col("w2"))).head().getLong(0)
+    val floored = if (minCount == 1) bg else bg.filter(col("c2") >= minCount)
+    val c2 = floored.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.util.Pins.release(bg)
     LmModel(c2, c1, v, alpha)
   }
+
+  /** Pin the CURRENT bigram count table of a persisted
+    * [[graft.sources.NgramLm]] artifact for join-served scoring — the
+    * (w1, w2, c2) frame IS the [[TextAnalysis.lmScore]] model. No
+    * driver materialization; the version is frozen at this call. */
+  def freezeCounts(spark: org.apache.spark.sql.SparkSession,
+      lmPath: String): DataFrame = {
+    val lm = new graft.sources.NgramLm(spark, lmPath)
+    val v = lm.currentVersion()
+    spark.read.parquet(s"$lmPath/v=$v/bi").select("w1", "w2", "c2")
+      .localCheckpoint(true)
+  }
+
+  /** Score a batch (one micro-batch, or any DataFrame) against a frozen
+    * bigram count table — the EXACT batch operator
+    * ([[TextAnalysis.lmScore]]'s scoring half), distributed joins, no
+    * driver-side model. `bg` must be pinned (one [[freezeCounts]] per
+    * stream, not per batch). Output: (idCol, n_bigrams, xent, ppl). */
+  def scoreJoined(docs: DataFrame, idCol: String, text: Column,
+      bg: DataFrame, alpha: Double = 0.5): DataFrame =
+    TextAnalysis.lmScoreCounted(docs, idCol, text, bg, alpha)
 
   /** Mirror of `split(lower(trim(text)), "[Ws]+", -1)`: Spark's trim
     * strips 0x20 only (NOT Java's String.trim, which eats all controls). */

@@ -67,4 +67,42 @@ class StreamingLmSuite extends AnyFunSuite {
     assert(m.c1("the") == 4L)
     assert(m.v == 8L, s"distinct continuations: cat sat on the mat dog ran to = 8, got ${m.v}")
   }
+
+  test("minCount floors the bigram table only; heads and V stay exact; pruned = unseen") {
+    val m1 = LmStream.buildModel(ref, "doc_id", col("text"))
+    val m2 = LmStream.buildModel(ref, "doc_id", col("text"), minCount = 2)
+    assert(m2.c2.keySet === Set(("the", "cat")),
+      "only the count-2 bigram survives the floor")
+    assert(m2.c1 === m1.c1 && m2.v === m1.v,
+      "heads and V are denominators — exact, aggregated before the floor")
+    // a surviving bigram scores identically...
+    assert(LmStream.scoreDoc("the cat", m2) === LmStream.scoreDoc("the cat", m1))
+    // ...a pruned one scores exactly as unseen: alpha / (c1(w1) + alpha*V)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp = r6(-math.log(0.5 / (1.0 + 0.5 * 8.0))) // c1(cat)=1, V=8
+    assert(LmStream.scoreDoc("cat sat", m2) ===
+      Some((1L, r6(lp / 1), r6(math.exp(r6(lp / 1))))))
+    intercept[IllegalArgumentException](
+      LmStream.buildModel(ref, "doc_id", col("text"), minCount = 0))
+  }
+
+  test("join-served scoring ≡ batch lmScore; frozen NgramLm bi table ≡ recount") {
+    val docs = rows.toDF("doc_id", "text")
+    val batch = TextAnalysis.lmScore(docs, ref, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_join").toString
+    new graft.sources.NgramLm(spark, s"$dir/lm").build(ref, "doc_id", col("text"))
+    val bg = LmStream.freezeCounts(spark, s"$dir/lm")
+    val joined = LmStream.scoreJoined(docs, "doc_id", col("text"), bg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(joined === batch,
+      "the persisted bi table must reproduce the recount path bit-for-bit")
+    val plan = LmStream.scoreJoined(docs, "doc_id", col("text"), bg)
+      .queryExecution.sparkPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 2,
+      s"the model must arrive via joins, not a driver map:\n$plan")
+  }
 }
