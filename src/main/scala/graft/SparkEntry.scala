@@ -937,6 +937,68 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q229_serving_facets" -> ((s, d) => {
+      // X188 (facet tail): the same fused serving stack as q228, with
+      // q222's facet counts computed over the FUSED top-10 — result-page
+      // facets for the full hybrid pipeline, every leg from disk
+      val (fused, _, _, _) = servingStack(s, d)
+      SearchEngine.facetCounts(fused.select(col("vec_id").as("doc_id")),
+          "doc_id", docsAsMeta(s, d), Seq("lang", "source"), topM = 5)
+        .orderBy(col("meta_key"), col("rank"))
+    }),
+    "q228_serving_stack" -> ((s, d) => {
+      // X188 serving-stack integration: every persisted serving leg
+      // composed end-to-end from on-disk layouts in ONE query — fuzzy
+      // term correction from the index census (X183/X186 sidecar), BM25
+      // with minimum-should-match over the corrected terms (X173/X184),
+      // the dense IVF leg (X112), RRF fusion (X77), query-biased
+      // snippets for the fused hits (X177). The oracle recomputes the
+      // whole pipeline from raw text/embeddings — a corruption anywhere
+      // in the composition breaks the hash.
+      val (fused, inv, corrected, docs) = servingStack(s, d)
+      val snips = TextAnalysis.snippets(
+        docs.join(fused.select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", col("text"), inv.termPostings(corrected), corrected,
+        window = 8)
+      fused.join(snips.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left")
+        .orderBy(col("vec_id"))
+    }),
+    "q227_bm25_page" -> ((s, d) => {
+      // X187 keyset-paged BM25 from the persisted index: page 2 of 10
+      // under the (round-6 score DESC, doc_id ASC) total order, cursor
+      // = page 1's last emitted row — the oracle is the OFFSET
+      // statement of the same order (the q219 equivalence on q214's
+      // ranking); no OFFSET discard ever runs engine-side
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_page").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      val terms = Seq("sort", "merge", "spark")
+      val p1 = idx.bm25Page(terms, 10).collect()
+      val cursor = (p1.last.getDouble(2), p1.last.getLong(0))
+      idx.bm25Page(terms, 10, Some(cursor))
+    }),
+    "q226_ivf_merge" -> ((s, d) => {
+      // X185 in-place list merge (the dual of q202's split): build the
+      // q153 index, merge lists 1 and 2 (slot 3 renumbers into 2, the
+      // centroid set shrinks to 3), then FULL-probe search — an exact
+      // scan before and after, so q202's oracle applies verbatim; the
+      // merge must be invisible to it
+      val embs = t(s, d, "embeddings")
+      val cents = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_merge").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", cents)
+      idx.mergeLists(1, 2)
+      idx.search(qv, k = 10, nprobe = idx.centroids().size)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q225_bm25_msm" -> ((s, d) => {
       // X184 minimum-should-match: BM25 restricted to docs containing
       // at least 2 of the 3 query terms — the Lucene/ES precision knob
@@ -2476,6 +2538,42 @@ object SparkEntry {
             CAST(MIN(abs(pa - pb)) AS INT) AS min_dist
           FROM pairs GROUP BY 1 ORDER BY doc_id"""
 
+  /** The shared serving-stack front half of q228/q229 (X188): build
+    * both persisted indexes, fuzzy-correct the misspelled query terms
+    * from the inverted index's census sidecar, run the BM25-msm leg and
+    * the dense IVF leg from disk, RRF-fuse to the top-10. Returns
+    * (fused hits, inverted index, corrected terms, documents). */
+  private def servingStack(s: SparkSession, d: String)
+      : (DataFrame, graft.sources.InvertedIndex, Seq[String], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val embs = t(s, d, "embeddings")
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cents = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_serving").toString
+    val inv = new graft.sources.InvertedIndex(s, s"$dir/inv")
+    inv.build(docs, "doc_id", col("text"))
+    val ivf = new graft.sources.IvfIndex(s, s"$dir/ivf")
+    ivf.build(embs, "vec_id", "embedding", cents)
+    // "did you mean" correction served from the census: rank-1 distance-1
+    // vocabulary match per query term; bounded collect (≤ |terms| rows)
+    val corrected = TextAnalysis.fuzzySuggestVocab(inv.vocab(),
+        Seq("sorrt", "mergee", "spark"), topK = 1)
+      .filter(col("rank") === 1).select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val bmLeg = inv.bm25(corrected, k = 20, msm = 2)
+      .select(col("doc_id").as("vec_id"), col("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id").asc)))
+    val cosLeg = ivf.search(qv, k = 20, nprobe = 4)
+      .select(col("id").as("vec_id"), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+    (Ann.rrfFuse(Seq(bmLeg, cosLeg), "vec_id", k = 10), inv, corrected, docs)
+  }
+
   /** Shared by q180 (operator legs) and q216 (both legs served from
     * persisted indexes -- pure I/O on each side). */
   private val hybridSearchSql: String = {
@@ -2534,7 +2632,8 @@ object SparkEntry {
     * the survivor predicate) and q225 (`msm` = minimum-should-match:
     * at least msm distinct query terms present; injected only when
     * > 1 so the shared oracles' text is byte-identical to before). */
-  private def bm25Sql(where: String = "", msm: Int = 1): String = {
+  private def bm25Sql(where: String = "", msm: Int = 1,
+      page: Option[(Int, Int)] = None): String = {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)
       // interpolate Scala-computed doubles (shortest round-trip repr) so
@@ -2555,6 +2654,14 @@ object SparkEntry {
       val msmClause = if (msm == 1) "" else "\n            WHERE (" +
         terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
           .mkString(" + ") + s") >= $msm"
+      // the heap surface orders on the UNROUNDED sum (q214's contract);
+      // the paged surface (q227) orders on the round-6 total order its
+      // cursor is built from — see InvertedIndex.bm25Page
+      val cut = page match {
+        case None => "ORDER BY score DESC, doc_id ASC LIMIT 20"
+        case Some((n, off)) =>
+          s"ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT $n OFFSET $off"
+      }
       s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
             FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
                   FROM documents $where)
@@ -2564,7 +2671,7 @@ object SparkEntry {
           sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
             FROM pd CROSS JOIN st$msmClause)
           SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
-          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+          WHERE score > 0 $cut"""
     }
 
   /** Shared by q223 (tokenize path) and q224 (persisted index census —
@@ -2587,6 +2694,77 @@ object SparkEntry {
           FROM c)
         SELECT qterm, term, df, dist, rank FROM r
         WHERE rank <= 5 ORDER BY qterm, rank"""
+
+  /** Shared CTE chain of the q228/q229 serving-stack oracles: the
+    * whole hybrid pipeline recomputed from raw text/embeddings —
+    * vocabulary census → rank-1 fuzzy correction → dynamic-term BM25
+    * with the msm≥2 gate → dense cosine leg → RRF top-10 (`hits`). */
+  private val servingStackCtes: String = {
+    val (k1, b) = (1.2, 0.75)
+    val k1p = (k1 + 1.0).toString
+    s"""WITH p AS (SELECT doc_id, u.t AS term
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+            UNNEST(tk) AS u(t)
+          WHERE u.t <> ''),
+        v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+        qq(qterm) AS (VALUES ('sorrt'), ('mergee'), ('spark')),
+        cand AS (SELECT qq.qterm, v.term, v.df,
+            CAST(levenshtein(qq.qterm, v.term) AS INT) AS dist
+          FROM qq CROSS JOIN v
+          WHERE levenshtein(qq.qterm, v.term) <= 1),
+        corr AS (SELECT DISTINCT term FROM (
+            SELECT qterm, term,
+              ROW_NUMBER() OVER (PARTITION BY qterm
+                ORDER BY dist ASC, df DESC, term ASC) AS rnk
+            FROM cand) WHERE rnk = 1),
+        pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+          FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                FROM documents)
+          WHERE len(tk) > 0),
+        st AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+        tfs AS (SELECT pd.doc_id, pd.dl, corr.term,
+            CAST(len(list_filter(pd.tk, x -> x = corr.term)) AS BIGINT) AS tf
+          FROM pd CROSS JOIN corr),
+        dfs AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+          FROM tfs GROUP BY 1),
+        partials AS (SELECT tfs.doc_id,
+            ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+                 / (CAST(dfs.df AS DOUBLE) + 0.5))
+               * CAST(tfs.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+               / (CAST(tfs.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                  + (CAST($b AS DOUBLE) * CAST(tfs.dl AS DOUBLE)) / st.avgdl)), 6) AS pp,
+            CASE WHEN tfs.tf > 0 THEN 1 ELSE 0 END AS hit
+          FROM tfs JOIN dfs USING (term) CROSS JOIN st),
+        sc AS (SELECT doc_id, SUM(pp) AS score, SUM(hit) AS nmatch
+          FROM partials GROUP BY 1),
+        bmtop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 AND nmatch >= 2
+          ORDER BY score DESC, doc_id ASC LIMIT 20),
+        bleg AS (SELECT vec_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r0
+          FROM bmtop),
+        qv AS (SELECT embedding AS qvec,
+          sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+          FROM embeddings WHERE vec_id = 0),
+        cscored AS (SELECT e.vec_id,
+          (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+           FROM qv, LATERAL (SELECT unnest(e.embedding) AS x, unnest(qv.qvec) AS y) z) /
+          (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+           * (SELECT qmag FROM qv) + 1e-12) AS c
+          FROM embeddings e),
+        ctop AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM cscored
+          ORDER BY c DESC, vec_id ASC LIMIT 20),
+        cleg AS (SELECT vec_id,
+          CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r1
+          FROM ctop),
+        fusedall AS (SELECT COALESCE(b2.vec_id, c2.vec_id) AS vec_id, b2.r0, c2.r1,
+            COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0) AS rrf
+          FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id),
+        hits AS (SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fusedall
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10)"""
+  }
 
   /** Shared by q117 (in-memory postings) and q213 (persisted index —
     * pure I/O): the sort-merge phrase oracle. */
@@ -3580,6 +3758,48 @@ object SparkEntry {
     "q223_fuzzy_suggest" -> fuzzySuggestSql,
     "q224_index_fuzzy" -> fuzzySuggestSql,
     "q225_bm25_msm" -> bm25Sql(msm = 2),
+    "q227_bm25_page" -> bm25Sql(page = Some((10, 10))),
+    "q228_serving_stack" ->
+      // the full pipeline recomputed from raw inputs, then q218's
+      // densest-window snippet pick over the fused top-10 with the
+      // DYNAMIC corrected terms; dense-only hits keep NULL snippets
+      s"""$servingStackCtes,
+          tt AS (SELECT d.doc_id, $toksSql AS tk
+            FROM documents d JOIN hits ON d.doc_id = hits.vec_id),
+          h AS (SELECT t.doc_id, CAST(u.i AS INT) AS pos
+            FROM tt t, UNNEST(range(len(t.tk))) AS u(i)
+            WHERE t.tk[CAST(u.i + 1 AS INT)] IN (SELECT term FROM corr)),
+          candw AS (SELECT a.doc_id, a.pos, COUNT(*) AS cnt
+            FROM h a JOIN h b ON b.doc_id = a.doc_id
+              AND b.pos >= a.pos AND b.pos <= a.pos + 8
+            GROUP BY 1, 2),
+          best AS (SELECT doc_id, pos, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, pos ASC) AS rn
+            FROM candw)
+          SELECT hits.vec_id, hits.r0, hits.r1, hits.rrf,
+            CAST(b.pos AS INT) AS snippet_start,
+            CAST(b.cnt AS INT) AS n_hits,
+            array_to_string(t.tk[b.pos + 1 : b.pos + 9], ' ') AS snippet
+          FROM hits
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = hits.vec_id
+          LEFT JOIN tt t ON t.doc_id = hits.vec_id
+          ORDER BY hits.vec_id""",
+    "q229_serving_facets" ->
+      // q222's facet tail over the SAME fused top-10
+      s"""$servingStackCtes,
+          meta AS (SELECT doc_id AS post_id, 'lang' AS meta_key,
+              lang AS meta_value FROM documents
+            UNION ALL SELECT doc_id, 'source', source FROM documents),
+          c AS (SELECT meta_key, meta_value, COUNT(*) AS n
+            FROM meta JOIN hits ON meta.post_id = hits.vec_id
+            GROUP BY 1, 2),
+          r AS (SELECT meta_key, meta_value, n,
+              CAST(ROW_NUMBER() OVER (PARTITION BY meta_key
+                ORDER BY n DESC, meta_value ASC) AS INT) AS rank
+            FROM c)
+          SELECT meta_key, meta_value, n, rank FROM r
+          WHERE rank <= 5 ORDER BY meta_key, rank""",
     "q222_facet_counts" ->
       // bm25 top-20 as the hit set; facets = per-key value counts with
       // the (n DESC, value ASC) deterministic tie-break
@@ -5190,6 +5410,19 @@ object SparkEntry {
            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
             * (SELECT qmag FROM q) + 1e-12) AS c
            FROM live e),
+         top AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+           ORDER BY c DESC, vec_id ASC LIMIT 10)
+         SELECT vec_id, cosine FROM top ORDER BY vec_id""",
+    "q226_ivf_merge" ->
+      """WITH q AS (SELECT embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id = 5),
+         scored AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM q) + 1e-12) AS c
+           FROM embeddings e),
          top AS (SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
            ORDER BY c DESC, vec_id ASC LIMIT 10)
          SELECT vec_id, cosine FROM top ORDER BY vec_id""",

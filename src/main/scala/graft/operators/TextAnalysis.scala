@@ -663,6 +663,21 @@ object TextAnalysis {
     * stats aggregate, so N/avgdl/df stay corpus-wide exactly as
     * Lucene's msm leaves idf untouched. */
   private[graft] def bm25Rank(perDoc: DataFrame, nTerms: Int, k: Int,
+      k1: Double, b: Double, gate: Column = lit(true)): DataFrame =
+    bm25Scored(perDoc, nTerms, k1, b, gate)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+
+  /** The scoring half of [[bm25Rank]] WITHOUT the top-k heap: every
+    * matching doc's (doc_id, dl, score) with the score UNROUNDED (the
+    * heap path above orders on the exact sum and rounds only for
+    * display, and so must any consumer that wants its exact tie order).
+    * The paged serving path ([[graft.sources.InvertedIndex.bm25Page]])
+    * rounds FIRST and pages on the rounded total order instead — a
+    * cursor must be reconstructible from a previous page's emitted
+    * values. */
+  private[graft] def bm25Scored(perDoc: DataFrame, nTerms: Int,
       k1: Double, b: Double, gate: Column = lit(true)): DataFrame = {
     val idx = 0 until nTerms
     val stats = perDoc.agg(
@@ -681,9 +696,7 @@ object TextAnalysis {
     scored
       .withColumn("score", partials.reduce(_ + _))
       .filter(col("score") > 0 && gate)
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("dl"), col("score"))
   }
 
   /** Per-document language-mix profile (code-switching detector): runs the

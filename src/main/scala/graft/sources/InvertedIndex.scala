@@ -441,6 +441,56 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .repartition(doclensFiles))
   }
 
+  /** Maintenance policy as code (X186): the ops loop [[fileStats]] /
+    * [[stats]] / the tombstone mass previously left to prose, wired to
+    * the actions. Reads the cheap health surfaces (file listings + two
+    * row counts — never the postings data), decides, ACTS, and returns
+    * the decision record: one row per policy with the observed metric,
+    * its threshold, and whether the action ran.
+    *
+    *  - `vacuum` when distinct tombstoned ids / doclens rows >
+    *    `maxTombstoneFrac` — the broadcast + read-side anti-join tax
+    *    has outgrown its amortization;
+    *  - `compact` when any term bucket holds more than
+    *    `maxFilesPerBucket` part-files — open/seek overhead starts to
+    *    dominate the pruned read. Evaluated on the PRE-action listing;
+    *    vacuum's own rewrite already leaves few files, so a triggered
+    *    vacuum typically satisfies the compact policy too — compact
+    *    still runs when its threshold was crossed (idempotent, one
+    *    extra pass) so the report never claims an action it skipped.
+    *
+    * Thresholds are arguments, not constants — the caller's ops policy;
+    * run on the monitoring cadence. */
+  def maintain(maxFilesPerBucket: Int = 8,
+      maxTombstoneFrac: Double = 0.2): DataFrame = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    require(maxTombstoneFrac > 0.0,
+      s"maxTombstoneFrac must be > 0, got $maxTombstoneFrac")
+    import spark.implicits._
+    recover()
+    val tombFrac =
+      if (!fs.exists(new Path(tombstonesPath))) 0.0
+      else {
+        val nDocs = spark.read.parquet(doclensPath).count()
+        if (nDocs == 0L) 1.0
+        else spark.read.parquet(tombstonesPath)
+          .select(col("doc_id")).distinct().count().toDouble / nDocs
+      }
+    val maxFiles = fileStats().agg(max(col("n_files"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    val doVacuum = tombFrac > maxTombstoneFrac
+    val doCompact = maxFiles > maxFilesPerBucket
+    if (doVacuum) vacuum()
+    if (doCompact) compact()
+    Seq(
+      ("vacuum", tombFrac, maxTombstoneFrac, doVacuum),
+      ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact))
+      .toDF("action", "metric", "threshold", "acted")
+  }
+
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
     * in via backup-rename + staged-rename (the engine-wide two-rename
     * discipline). A transform that deletes EVERY row still stages a
@@ -489,10 +539,19 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * exchanges, and it shrinks the ranked set BEFORE the top-k heap. */
   def bm25(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
+    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b, gate)
+  }
+
+  /** The shared front half of [[bm25]] and [[bm25Page]]: per-doc tf
+    * columns from the pruned postings buckets left-joined onto the live
+    * doclens, plus the X184 minimum-should-match gate. */
+  private def bm25PerDoc(queryTerms: Seq[String],
+      msm: Int): (DataFrame, org.apache.spark.sql.Column) = {
     require(queryTerms.nonEmpty, "no query terms")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate term in $queryTerms")
-    require(k > 0, s"k must be positive, got $k")
     require(msm >= 1 && msm <= queryTerms.size,
       s"msm must be in [1, ${queryTerms.size}], got $msm")
     val terms = queryTerms.zipWithIndex
@@ -508,7 +567,40 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val gate = if (msm == 1) lit(true) else
       terms.map { case (_, i) => when(col(s"tf$i") > 0, 1).otherwise(0) }
         .reduce(_ + _) >= msm
-    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b, gate)
+    (perDoc, gate)
+  }
+
+  /** Keyset-paginated BM25 (X187 — X179 composed with the ranked
+    * serving path): one page of `n` hits under the TOTAL order
+    * (round-6 score DESC, doc_id ASC), strictly after the previous
+    * page's last row. The cursor is that row's (score, doc_id) — both
+    * values exactly as emitted, which is why this surface ranks on the
+    * ROUNDED score: a cursor must be reconstructible from what the
+    * caller received (the [[graft.operators.TextAnalysis.bm25Scored]]
+    * note).
+    *
+    * Interaction with the top-k heap, stated honestly: a page beyond
+    * the first k cannot come from re-slicing a k-heap — the cursor
+    * predicate must sit INSIDE the rank pipeline, filtering the scored
+    * rows BEFORE the heap. That is exactly what happens here: scoring
+    * work is unavoidable for every page (the stats pass and tf joins
+    * rerun — cache the scored frame across pages if the UI walks deep),
+    * but each page pays one filter + one n-heap
+    * (TakeOrderedAndProject) instead of OFFSET's produce-and-discard of
+    * every earlier page on every partition — the quadratic-in-pages
+    * walk [[graft.operators.Paging.keysetPage]] exists to kill.
+    * Chained pages ≡ the OFFSET answer under the same total order
+    * (oracle-gated, the q219 pattern on q214's output). */
+  def bm25Page(queryTerms: Seq[String], n: Int,
+      after: Option[(Double, Long)] = None,
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
+    val ranked = TextAnalysis
+      .bm25Scored(perDoc, queryTerms.size, k1, b, gate)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+    graft.operators.Paging.keysetPage(ranked,
+      Seq(("score", false), ("doc_id", true)),
+      after.map { case (s, id) => Seq(s, id) }, n)
   }
 
   /** The postings of exactly `terms`, read from their pruned bucket

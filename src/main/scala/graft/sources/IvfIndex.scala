@@ -138,7 +138,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * index); a drifted coarse quantizer degrades recall, not the
     * within-probed-lists exactness. */
   def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
-    recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
     val cs = centroids()
     val assigned = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
@@ -171,7 +171,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * crash. A list whose every row is deleted remains as an empty
     * directory — harmless to partition discovery. */
   def delete(ids: DataFrame): Unit = {
-    recoverSplit(listsPath)
+    recoverMerge(listsPath); recoverSplit(listsPath)
     deleteFrom(listsPath, assignPath, assignMetaPath, ids)
   }
 
@@ -265,7 +265,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * lists to compact is the caller's read of file counts, the
     * [[splitList]] monitoring convention. */
   def compact(listIds: Seq[Int]): Unit = {
-    recoverSplit(listsPath); recoverDir(listsPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
     requireDirs(listsPath, "ivf_list", listIds)
     rewriteDirs(listsPath, "ivf_list", listIds,
       read => read.repartition(col("ivf_list")))
@@ -297,6 +297,55 @@ final class IvfIndex(spark: SparkSession, path: String,
         }
       }
 
+  /** Part-file counts per `ivf_list=N` directory of the raw lists —
+    * the [[compact]]-policy input, from the file listing alone (no data
+    * read); the [[graft.sources.InvertedIndex.fileStats]] convention. */
+  def fileStats(): DataFrame = {
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
+    import spark.implicits._
+    dirFileCounts(listsPath, "ivf_list").toDF("ivf_list", "n_files")
+  }
+
+  private def dirFileCounts(base: String, partCol: String): Seq[(Int, Int)] = {
+    if (!fs.exists(new Path(base))) return Nil
+    fs.listStatus(new Path(base)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map { s =>
+        (s.getPath.getName.stripPrefix(s"$partCol=").toInt,
+          fs.listStatus(s.getPath).count(_.getPath.getName.startsWith("part-")))
+      }
+  }
+
+  /** Maintenance policy as code (X186, the raw-lists half): read the
+    * file listings — never the data — decide, ACT, report. Compacts
+    * exactly the `ivf_list=N` directories holding more than
+    * `maxFilesPerList` part-files (the steady-state [[append]] debt),
+    * and runs [[compactAssign]] when any sidecar hash bucket crosses
+    * the same threshold (B is bounded, so that pass is always small).
+    * Returns one row per list over threshold plus the sidecar decision
+    * — the decision record an ops loop logs. Thresholds are arguments;
+    * WHICH lists got compacted is the report, not a side channel. */
+  def maintain(maxFilesPerList: Int = 8): DataFrame = {
+    require(maxFilesPerList >= 1,
+      s"maxFilesPerList must be >= 1, got $maxFilesPerList")
+    import spark.implicits._
+    val listCounts = dirFileCounts(listsPath, "ivf_list")
+    val toCompact = listCounts.filter(_._2 > maxFilesPerList)
+      .map(_._1).sorted
+    if (toCompact.nonEmpty) compact(toCompact)
+    val assignMax = (dirFileCounts(assignPath, "abucket") ++
+      dirFileCounts(assignPqPath, "abucket")).map(_._2).maxOption.getOrElse(0)
+    val doAssign = assignMax > maxFilesPerList
+    if (doAssign) compactAssign()
+    (listCounts.map { case (n, files) =>
+      ("compact_list", n, files.toDouble, maxFilesPerList.toDouble,
+        files > maxFilesPerList)
+    } :+ ("compact_assign", -1, assignMax.toDouble, maxFilesPerList.toDouble,
+      doAssign))
+      .toDF("action", "target", "metric", "threshold", "acted")
+      .orderBy(col("action"), col("target"))
+  }
+
   private def requireDirs(base: String, partCol: String, ids: Seq[Int]): Unit =
     ids.foreach { n =>
       require(fs.exists(new Path(base, s"$partCol=$n")),
@@ -321,7 +370,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * compressed layout is served. */
   def retrain(targetPath: String, iters: Int): IvfIndex = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    recoverSplit(listsPath); recoverDir(listsPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
     val vecs = spark.read.parquet(listsPath)
       .select(col("id"), col("vector"))
     val cents = Ann.lloydRounds(vecs, "vector", centroids(), iters)
@@ -366,7 +415,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * served. Returns Some((newListId, movedRows)) on success. */
   def splitList(listId: Int, lloydIters: Int = 1): Option[(Int, Long)] = {
     require(lloydIters >= 1, s"lloydIters must be >= 1, got $lloydIters")
-    recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
     val cs = centroids()
     require(listId >= 0 && listId < cs.size,
       s"listId $listId out of range [0, ${cs.size})")
@@ -407,6 +456,168 @@ final class IvfIndex(spark: SparkSession, path: String,
   }
 
   private def stagingSplitName = ".staging_split"
+  private def stagingMergeName = ".staging_merge"
+
+  /** In-place merge of two underpopulated inverted lists (X185; the
+    * DUAL of [[splitList]], closing the maintenance loop: heavy
+    * [[delete]] batches shrink lists, and underpopulated lists inflate
+    * the nprobe needed for a given recall plus the per-list file
+    * overhead — nothing short of an [[retrain]] rebalanced shrinkage
+    * before this). The union of both lists lands under ONE surviving
+    * slot with a fresh centroid — the [[graft.operators.Ann.lloydIter]]
+    * decimal-mean of the survivors (exact, order-independent) quantized
+    * to float, the stored-centroid discipline — and the centroid set
+    * SHRINKS by one: the highest list id renumbers into the vacated
+    * slot (classic swap-remove), keeping ids dense, which every
+    * downstream consumer (probe-by-position, [[graft.operators.Ann
+    * .ivfAssign]]) assumes. WHICH lists to merge is the caller's read
+    * of [[graft.operators.Ann.ivfStats]] — the [[splitList]] monitoring
+    * convention.
+    *
+    * Crash protocol (roll-forward, the [[splitList]] marker discipline
+    * but with the marker FIRST — a merge shrinks the centroid set, so
+    * every subsequent step must be completable from disk alone):
+    *  1. data staged: union under the surviving slot, the last list's
+    *     rows under the vacated slot, the shrunken centroid set as a
+    *     `_centroids` sibling — all hidden, live layout untouched;
+    *  2. sidecar rows appended (absorbed ids → surviving slot, last
+    *     list's ids → vacated slot) — the superset invariant: a delete
+    *     of a moved id anti-joins its new list too, whichever directory
+    *     the row is in at the crash point;
+    *  3. PENDING MARKER commits the merge — [[recoverMerge]] rolls
+    *     FORWARD from here (each rename is state-checked and
+    *     idempotent); a crash BEFORE the marker discards the orphan
+    *     staging, and the extra sidecar rows stay a harmless superset;
+    *  4. centroid swap (two-rename from the staged `_centroids`), then
+    *     the two directory swaps, then the vacated last directory
+    *     drops;
+    *  5. stale sidecar pairs removed — superset, never under.
+    *
+    * Like [[splitList]], a merge invalidates a PQ codes layout (codes
+    * keep the OLD list numbering) — rerun [[buildPq]] if the compressed
+    * layout is served. Returns (survivingListId, absorbedRows):
+    * normally `a` holding the union of `a` and `b`; when `a` is the
+    * highest list id the roles swap (the union lands under `b`) so the
+    * vacated slot is always the highest. */
+  def mergeLists(a: Int, b: Int): (Int, Long) = {
+    recoverMerge(listsPath); recoverSplit(listsPath)
+    recoverDir(listsPath); recoverDir(assignPath)
+    val cs = centroids()
+    require(a != b, s"cannot merge list $a with itself")
+    Seq(a, b).foreach(i => require(i >= 0 && i < cs.size,
+      s"list $i out of range [0, ${cs.size})"))
+    val last = cs.size - 1
+    // the vacated slot is always `last`: if a IS last, the union lands
+    // under b; otherwise under a, and (when b != last) last renumbers
+    // into b
+    val (target, source) = if (a == last) (b, a) else (a, b)
+    val vacated = if (source == last) last else source
+    val lists = spark.read.parquet(listsPath)
+    val union = lists.filter(col("ivf_list").isin(target, source))
+      .select(col("id"), col("vector"))
+    val lastRows = if (source == last) union.limit(0)
+      else lists.filter(col("ivf_list") === last)
+        .select(col("id"), col("vector"))
+    // pinned: steps 4-5 mutate the directories these lazy frames read
+    val sourceIds = lists.filter(col("ivf_list") === source)
+      .select(col("id")).localCheckpoint(true)
+    val lastIds = lastRows.select(col("id")).localCheckpoint(true)
+    val nAbsorbed = sourceIds.count()
+    // decimal-mean centroid of the union (the lloydIter discipline);
+    // an all-empty union keeps the target's old centroid
+    val dec = DecimalType(28, 8)
+    val byDim = union
+      .select(posexplode(col("vector")).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg((sum(col("__x").cast(DoubleType).cast(dec)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val merged = cs(target).indices
+      .map(d => byDim.getOrElse(d, cs(target)(d).toDouble).toFloat).toArray
+    val newCs =
+      if (source == last) cs.updated(target, merged).dropRight(1)
+      else cs.updated(target, merged).updated(vacated, cs(last)).dropRight(1)
+    // 1. stage everything the roll-forward needs
+    val staging = new Path(listsPath, stagingMergeName)
+    fs.delete(staging, true)
+    union.withColumn("ivf_list", lit(target))
+      .unionByName(lastRows.withColumn("ivf_list", lit(vacated)))
+      .write.partitionBy("ivf_list").parquet(staging.toString)
+    (Seq(target) ++ (if (source == last) Nil else Seq(vacated))).foreach { n =>
+      val staged = new Path(staging, s"ivf_list=$n")
+      if (!fs.exists(staged))
+        union.limit(0).coalesce(1).write.parquet(staged.toString)
+    }
+    import spark.implicits._
+    newCs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.parquet(new Path(staging, "_centroids").toString)
+    // 2. sidecar superset: moved ids also map to their new lists
+    writeAssign(sourceIds.select(col("id"), lit(target).as("ivf_list"))
+        .unionByName(lastIds.select(col("id"), lit(vacated).as("ivf_list"))),
+      assignPath, assignMetaPath, overwrite = false)
+    // 3. marker commits; 4. roll forward
+    fs.mkdirs(new Path(listsPath, s".merge_pending_${target}_${vacated}_$last"))
+    completeMerge(listsPath, target, vacated, last)
+    // 5. drop the stale (moved id, old list) sidecar pairs
+    cleanAssignPairs(sourceIds.select(col("id"), lit(source).as("ivf_list"))
+      .unionByName(lastIds.select(col("id"), lit(last).as("ivf_list"))))
+    graft.util.Pins.release(sourceIds)
+    graft.util.Pins.release(lastIds)
+    (target, nAbsorbed)
+  }
+
+  /** Finish a marker-committed merge: centroid swap from the staged
+    * `_centroids`, directory swaps, vacated-dir drop — every step
+    * state-checked, idempotent from ANY crash point at or after the
+    * marker write. */
+  private def completeMerge(base: String, target: Int, vacated: Int,
+      last: Int): Unit = {
+    val staging = new Path(base, stagingMergeName)
+    val stagedCents = new Path(staging, "_centroids")
+    if (fs.exists(stagedCents)) {
+      val live = new Path(centroidsPath)
+      val bak = new Path(path, ".centroids.bak")
+      fs.delete(bak, true)
+      if (fs.exists(live) && !fs.rename(live, bak))
+        sys.error(s"could not back up $live")
+      if (!fs.rename(stagedCents, live))
+        sys.error(s"could not swap $stagedCents into $live (backup at $bak)")
+      fs.delete(bak, true)
+    }
+    def swapIn(n: Int): Unit = {
+      val staged = new Path(staging, s"ivf_list=$n")
+      val live = new Path(base, s"ivf_list=$n")
+      val bak = new Path(base, s".ivf_list=$n.bak")
+      if (fs.exists(staged)) {
+        if (fs.exists(live) && !fs.exists(bak))
+          if (!fs.rename(live, bak)) sys.error(s"could not back up $live")
+        if (!fs.rename(staged, live))
+          sys.error(s"could not swap $staged into $live")
+      }
+      fs.delete(bak, true)
+    }
+    swapIn(target)
+    if (vacated != last) swapIn(vacated)
+    fs.delete(new Path(base, s"ivf_list=$last"), true)
+    fs.delete(staging, true)
+    fs.delete(new Path(base, s".merge_pending_${target}_${vacated}_$last"), true)
+  }
+
+  /** Roll a crashed [[mergeLists]] forward (marker present) or discard
+    * an uncommitted one (orphan staging, no marker) — the
+    * [[recoverSplit]] twin; runs before it at every lists-layout entry
+    * point. */
+  private[graft] def recoverMerge(base: String): Unit = {
+    val markers = Option(fs.globStatus(new Path(base, ".merge_pending_*")))
+      .toSeq.flatten
+    markers.foreach { st =>
+      val parts = st.getPath.getName.stripPrefix(".merge_pending_").split("_")
+      completeMerge(base, parts(0).toInt, parts(1).toInt, parts(2).toInt)
+    }
+    if (markers.isEmpty)
+      fs.delete(new Path(base, stagingMergeName), true)
+  }
 
   /** Finish a marker-committed split: every step is a state-checked
     * rename, so this is idempotent from ANY crash point at or after the
@@ -538,7 +749,7 @@ final class IvfIndex(spark: SparkSession, path: String,
   def search(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
-    recoverSplit(listsPath); recoverDir(listsPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
     val probed = spark.read.parquet(listsPath)
       .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
     Ann.bruteForceTopK(probed, "id", "vector", query, k)

@@ -353,6 +353,64 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(phrase(idx, Seq("sort", "merge")) === phrase(ref, Seq("sort", "merge")))
   }
 
+  test("bm25Page: chained pages walk the full ranking exactly; per-page heap, no offset discard") {
+    val dir = Files.createTempDirectory("graft_inv_page").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val terms = Seq("sort", "merge", "strategy")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = rows(idx.bm25Page(terms, 100)) // covers every scored doc
+    assert(full.size >= 3, "fixture must rank at least three docs")
+    // chain pages of 1 and re-assemble the exact full order
+    val chained = full.indices.foldLeft(
+        (Seq.empty[(Long, Long, Double)], Option.empty[(Double, Long)])) {
+      case ((acc, cursor), _) =>
+        val page = rows(idx.bm25Page(terms, 1, cursor))
+        (acc ++ page, page.lastOption.map(p => (p._3, p._1)))
+    }._1
+    assert(chained === full,
+      "chained keyset pages must equal the one-shot ranking")
+    // past the end: an empty page, not an error
+    val lastCursor = Some((full.last._3, full.last._1))
+    assert(rows(idx.bm25Page(terms, 5, lastCursor)) === Seq())
+    // the per-page plan is a bounded heap, not a global sort
+    val plan = idx.bm25Page(terms, 1, Some((full.head._3, full.head._1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"page must compile to a top-n heap:\n$plan")
+  }
+
+  test("maintain: below thresholds = no-op report; crossed thresholds act and report") {
+    val dir = Files.createTempDirectory("graft_inv_maint").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    idx.delete(Seq(1L).toDF("doc_id")) // 1/5 of docs tombstoned
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // thresholds not crossed: report says so and NOTHING moves
+    val calm = report(idx.maintain(maxFilesPerBucket = 100,
+      maxTombstoneFrac = 0.5))
+    assert(!calm("vacuum")._3 && !calm("compact")._3)
+    assert(calm("vacuum")._1 === 0.2)
+    assert(new java.io.File(s"$dir/inv/tombstones").exists(),
+      "a no-op maintain must not vacuum")
+    assert(idx.fileStats().agg(max(col("n_files"))).head().getInt(0) > 1,
+      "a no-op maintain must not compact")
+    // crossed: both act, answers stay bit-identical to pre-maintenance
+    val before = phrase(idx, Seq("sort", "merge"))
+    val busy = report(idx.maintain(maxFilesPerBucket = 1,
+      maxTombstoneFrac = 0.1))
+    assert(busy("vacuum")._3 && busy("compact")._3)
+    assert(!new java.io.File(s"$dir/inv/tombstones").exists())
+    assert(idx.fileStats().collect().forall(_.getInt(1) == 1))
+    assert(phrase(idx, Seq("sort", "merge")) === before)
+    intercept[IllegalArgumentException](idx.maintain(maxFilesPerBucket = 0))
+    intercept[IllegalArgumentException](idx.maintain(maxTombstoneFrac = 0.0))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)

@@ -431,6 +431,146 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(idx.search(query, 8, 1).count() == 8)
   }
 
+  test("maintain: compacts exactly the over-threshold lists, no-op below, report honest") {
+    val dir = Files.createTempDirectory("graft_ivf_maint").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs.filter($"vec_id" <= 32), "vec_id", "embedding", cents)
+    idx.append(embs.filter($"vec_id" > 32 && $"vec_id" <= 48), "vec_id", "embedding")
+    idx.append(embs.filter($"vec_id" > 48), "vec_id", "embedding")
+    val pre = idx.fileStats().collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(pre.values.exists(_ > 1), "appends must accrete files")
+    val want = idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // below threshold: pure report, nothing rewritten
+    val calm = idx.maintain(maxFilesPerList = 100).collect()
+    assert(calm.filter(_.getString(0) == "compact_list")
+      .forall(!_.getBoolean(4)))
+    assert(idx.fileStats().collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap === pre,
+      "a no-op maintain must not touch the layout")
+    // threshold 1: exactly the >1-file lists compact; report names them
+    val busy = idx.maintain(maxFilesPerList = 1).collect()
+    val acted = busy.filter(r => r.getString(0) == "compact_list" &&
+      r.getBoolean(4)).map(_.getInt(1)).toSet
+    assert(acted === pre.filter(_._2 > 1).keySet,
+      "the report must name exactly the over-threshold lists")
+    assert(idx.fileStats().collect().forall(r =>
+      !acted.contains(r.getInt(0)) || r.getInt(1) == 1))
+    assert(idx.fileStats().collect()
+      .filter(r => !acted.contains(r.getInt(0)))
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap ===
+      pre.filter(p => !acted.contains(p._1)),
+      "below-threshold lists must keep their exact file sets")
+    assert(idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+    intercept[IllegalArgumentException](idx.maintain(maxFilesPerList = 0))
+  }
+
+  test("mergeLists: membership conserved, slots dense, full-probe search invariant") {
+    val idx = freshIndex()
+    val before = idx.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sizes0 = spark.read.parquet(s"${idx.indexPath}/lists")
+      .groupBy("ivf_list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (target, nAbsorbed) = idx.mergeLists(1, 2)
+    assert(target == 1 && nAbsorbed == sizes0.getOrElse(2, 0L))
+    assert(idx.centroids().size == 3, "the centroid set must shrink by one")
+    // full probe = exact scan either way
+    val after = idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "full-probe search must be merge-invariant")
+    // slot 1 holds the union, slot 2 holds old list 3, slot 3 is gone
+    val sizes1 = spark.read.parquet(s"${idx.indexPath}/lists")
+      .groupBy("ivf_list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes1(1) == sizes0(1) + sizes0.getOrElse(2, 0L))
+    assert(sizes1.getOrElse(2, 0L) == sizes0.getOrElse(3, 0L))
+    assert(!sizes1.contains(3), "the vacated highest slot must drop")
+    // the surviving centroid is the decimal-mean of the union (dual of
+    // splitList's tightening): old slot-3 centroid renumbered into 2
+    assert(idx.centroids()(2).toSeq == cents(3).toSeq)
+    intercept[IllegalArgumentException](idx.mergeLists(0, 0))
+    intercept[IllegalArgumentException](idx.mergeLists(0, 7))
+  }
+
+  test("mergeLists: merging the highest slot needs no renumber; a==last swaps roles") {
+    val idxA = freshIndex()
+    val beforeA = idxA.search(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (tA, _) = idxA.mergeLists(1, 3) // absorb == last: direct drop
+    assert(tA == 1 && idxA.centroids().size == 3)
+    assert(idxA.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == beforeA)
+    val idxB = freshIndex()
+    val (tB, _) = idxB.mergeLists(3, 1) // keep == last: union lands under 1
+    assert(tB == 1 && idxB.centroids().size == 3)
+    assert(idxB.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == beforeA)
+  }
+
+  test("mergeLists: deletes of absorbed AND renumbered ids still land (sidecar stays honest)") {
+    val idx = freshIndex()
+    val lists = spark.read.parquet(s"${idx.indexPath}/lists")
+    val absorbed = lists.filter(col("ivf_list") === 2).select("id")
+      .as[Long].collect().toSeq
+    val renumbered = lists.filter(col("ivf_list") === 3).select("id")
+      .as[Long].collect().toSeq
+    assume(absorbed.nonEmpty && renumbered.nonEmpty)
+    idx.mergeLists(1, 2)
+    val victims = Seq(absorbed.head, renumbered.head)
+    idx.delete(victims.toDF("id"))
+    val ids = idx.search(query, 64, 3).collect().map(_.getLong(0)).toSet
+    assert(victims.forall(!ids.contains(_)),
+      "moved ids must still be deletable after the merge")
+    assert(ids.size == 62)
+    // stale (id -> old list) pairs cleaned: each moved id maps only to
+    // its post-merge slot
+    val sidecar = spark.read.parquet(s"${idx.indexPath}/assign")
+      .filter(col("id").isin((absorbed ++ renumbered): _*))
+      .select("id", "ivf_list").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(sidecar.filter(p => absorbed.contains(p._1)).forall(_._2 == 1),
+      s"absorbed ids must map only to the surviving slot: $sidecar")
+    assert(sidecar.filter(p => renumbered.contains(p._1)).forall(_._2 == 2),
+      s"renumbered ids must map only to their new slot: $sidecar")
+  }
+
+  test("mergeLists crash recovery: a marker-committed merge rolls forward at next search") {
+    import org.apache.hadoop.fs.Path
+    val idx = freshIndex()
+    val (target, _) = idx.mergeLists(1, 2)
+    val want = idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantCents = idx.centroids().map(_.toSeq)
+    val lists = s"${idx.indexPath}/lists"
+    val fs = new Path(lists).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconstruct the worst committed-crash state: marker present,
+    // union + renumbered dirs and the shrunken centroid set all still
+    // staged, live layout still pre-merge-shaped (old dirs present)
+    val staging = new Path(lists, ".staging_merge")
+    fs.mkdirs(staging)
+    assert(fs.rename(new Path(lists, s"ivf_list=$target"),
+      new Path(staging, s"ivf_list=$target")))
+    assert(fs.rename(new Path(lists, "ivf_list=2"),
+      new Path(staging, "ivf_list=2")))
+    assert(fs.rename(new Path(s"${idx.indexPath}/centroids"),
+      new Path(staging, "_centroids")))
+    fs.mkdirs(new Path(lists, s".merge_pending_${target}_2_3"))
+    val got = idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "recovery must roll the committed merge forward")
+    assert(idx.centroids().map(_.toSeq) == wantCents)
+    assert(!fs.exists(new Path(lists, s".merge_pending_${target}_2_3")))
+    assert(!fs.exists(staging))
+    // an orphan staging with NO marker is discarded, index unaffected
+    fs.mkdirs(new Path(staging, "ivf_list=99"))
+    assert(idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == want)
+    assert(!fs.exists(staging))
+  }
+
   test("splitList crash recovery: a marker-committed split rolls forward at next search") {
     import org.apache.hadoop.fs.Path
     val idx = freshIndex()
