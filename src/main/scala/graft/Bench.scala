@@ -53,6 +53,24 @@ object Bench {
       force(SparkEntry.queries("q22_count_star")(spark, sfDir))
       force(SparkEntry.queries("q30_vec_magnitude")(spark, sfDir))
     } catch { case _: Throwable => }
+    // The JDK media registries (javax.imageio plugin scan, javax.sound
+    // providers) initialize lazily on FIRST decode and the scan costs
+    // seconds — round-12 bench recorded a 17.8s first run on a 2.3s
+    // image query (q127), which poisons min-of-2 stability. Decode one
+    // tiny in-memory image per format once here, outside timing
+    // (local[N] is one JVM, so driver-side init warms the task threads
+    // too).
+    try {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Seq("png", "gif", "bmp").foreach { fmt =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+      }
+      javax.sound.sampled.AudioSystem.getAudioFileTypes()
+    } catch { case _: Throwable => }
     release(spark)
     // SPARK_GRAFT_ONLY=q54_minhash_pairs,q55_ivf_assign limits the run (dev loop)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

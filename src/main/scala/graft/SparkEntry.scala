@@ -937,6 +937,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q230_census_lifecycle" -> ((s, d) => {
+      // X190 census lifecycle (the q220 pattern on the stats side):
+      // build on half the corpus, append the other half (additive
+      // census rows), tombstone a seventh (read-side subtraction),
+      // vacuum (the crash-consistent pending_delta swap), compact
+      // (merge-sum) — then serve fuzzy suggestions from the census.
+      // The oracle recounts the SURVIVING corpus's vocabulary, so a
+      // census drift anywhere in the walk breaks the hash; the serve
+      // itself never reads the postings layout (suite plan audit).
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_census_lc").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      idx.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
+      idx.delete(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      idx.vacuum()
+      idx.compact()
+      TextAnalysis.fuzzySuggestVocab(idx.vocab(),
+          Seq("sorrt", "mergee", "spark"), topK = 5)
+        .orderBy(col("qterm"), col("rank"))
+    }),
     "q229_serving_facets" -> ((s, d) => {
       // X188 (facet tail): the same fused serving stack as q228, with
       // q222's facet counts computed over the FUSED top-10 — result-page
@@ -949,7 +970,7 @@ object SparkEntry {
     "q228_serving_stack" -> ((s, d) => {
       // X188 serving-stack integration: every persisted serving leg
       // composed end-to-end from on-disk layouts in ONE query — fuzzy
-      // term correction from the index census (X183/X186 sidecar), BM25
+      // term correction from the index census (X183/X190 sidecar), BM25
       // with minimum-should-match over the corrected terms (X173/X184),
       // the dense IVF leg (X112), RRF fusion (X77), query-biased
       // snippets for the fused hits (X177). The oracle recomputes the
@@ -2677,9 +2698,13 @@ object SparkEntry {
   /** Shared by q223 (tokenize path) and q224 (persisted index census —
     * pure I/O): the brute-force cross join + levenshtein, i.e. the
     * O(V×Q) plan the engine's deletion-neighborhood join avoids. */
-  private val fuzzySuggestSql: String =
+  private val fuzzySuggestSql: String = fuzzySuggestSqlWhere()
+
+  /** The X183 brute-force oracle with an optional survivor predicate —
+    * `where` carries q230's census-lifecycle deletion. */
+  private def fuzzySuggestSqlWhere(where: String = ""): String =
     s"""WITH p AS (SELECT doc_id, u.t AS term
-          FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+          FROM (SELECT doc_id, $toksSql AS tk FROM documents $where),
             UNNEST(tk) AS u(t)
           WHERE u.t <> ''),
         v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
@@ -3757,6 +3782,8 @@ object SparkEntry {
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q223_fuzzy_suggest" -> fuzzySuggestSql,
     "q224_index_fuzzy" -> fuzzySuggestSql,
+    "q230_census_lifecycle" ->
+      fuzzySuggestSqlWhere(where = "WHERE doc_id % 7 <> 0"),
     "q225_bm25_msm" -> bm25Sql(msm = 2),
     "q227_bm25_page" -> bm25Sql(page = Some((10, 10))),
     "q228_serving_stack" ->

@@ -603,6 +603,31 @@ final class InvertedIndex(spark: SparkSession, path: String,
       after.map { case (s, id) => Seq(s, id) }, n)
   }
 
+  /** The full LIVE postings frame (tombstones masked), `tbucket` kept
+    * as the pruning surface — the SQL-registration view behind
+    * [[StoreCatalog.registerInvertedIndex]] (X189). A SQL caller prunes
+    * a term lookup exactly like [[termPostings]] does, with stock SQL
+    * (the bucket rule is plain `md5`/`conv`/`pmod`, constant-folded for
+    * a literal term):
+    * {{{ WHERE term = 'x' AND tbucket =
+    *       CAST(pmod(CAST(conv(substring(md5('x'), 1, 7), 16, 10)
+    *         AS BIGINT), B) AS INT) }}} */
+  def livePostings: DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(postingsPath))
+  }
+
+  /** The LIVE (doc_id, dl) doclens frame — [[livePostings]]' stats-side
+    * sibling for the SQL surface. */
+  def liveDoclens: DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(doclensPath))
+  }
+
+  /** The stored bucket count B — the SQL caller's input to the pruning
+    * predicate documented on [[livePostings]]. */
+  def bucketCount: Int = { recover(); readBuckets() }
+
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory
     * [[TextAnalysis.positionalPostings]] slice, so phrase/proximity

@@ -755,6 +755,23 @@ final class IvfIndex(spark: SparkSession, path: String,
     Ann.bruteForceTopK(probed, "id", "vector", query, k)
   }
 
+  /** The raw lists frame with `ivf_list` as the pruning surface, and
+    * the (cid, centroid) frame — the SQL-registration views behind
+    * [[StoreCatalog.registerIvfIndex]] (X189): a `spark.sql` caller
+    * probes with `WHERE ivf_list IN (...)` (partition-pruned exactly
+    * like [[search]]) and scores with the registered `vec_cosine`
+    * kernel. */
+  def listsView: DataFrame = {
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
+    spark.read.parquet(listsPath)
+  }
+
+  /** See [[listsView]]. */
+  def centroidsView: DataFrame = {
+    recoverDir(path)
+    spark.read.parquet(centroidsPath)
+  }
+
   /** The nprobe best coarse lists for a query — k driver-side dot
     * products over the stored centroids. */
   private def probeSet(query: Array[Float], nprobe: Int): Seq[Int] = {

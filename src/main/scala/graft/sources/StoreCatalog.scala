@@ -49,4 +49,44 @@ final class StoreCatalog(spark: SparkSession) {
 
   /** The reference's fixed DDL schema for documentation/validation. */
   def embeddingSchema = Embedding.schema
+
+  private def requireName(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad view name: $name")
+
+  /** SQL-surface a persisted [[InvertedIndex]] (X189): register
+    * `<name>_postings` (LIVE postings, `tbucket` kept as the pruning
+    * surface — see [[InvertedIndex.livePostings]] for the stock-SQL
+    * bucket predicate), `<name>_doclens` (live (doc_id, dl)) and
+    * `<name>_vocab` (census-served (term, df)) as session temp views,
+    * so `spark.sql` users reach q214-class serving — phrase joins, BM25
+    * stats, fuzzy vocab — without the Scala API. Returns the view
+    * names.
+    *
+    * The views snapshot the tombstone EXISTENCE at registration (the
+    * [[InvertedIndex]] plan-build-time rule): re-register after
+    * delete/vacuum/compact — one call on the maintenance cadence. */
+  def registerInvertedIndex(name: String, path: String): Seq[String] = {
+    requireName(name)
+    val idx = new InvertedIndex(spark, path)
+    idx.livePostings.createOrReplaceTempView(s"${name}_postings")
+    idx.liveDoclens.createOrReplaceTempView(s"${name}_doclens")
+    idx.vocab().createOrReplaceTempView(s"${name}_vocab")
+    Seq(s"${name}_postings", s"${name}_doclens", s"${name}_vocab")
+  }
+
+  /** SQL-surface a persisted [[IvfIndex]] (X189): register
+    * `<name>_lists` (ivf_list-partitioned (id, vector) — a
+    * `WHERE ivf_list IN (...)` probe prunes at the file listing exactly
+    * like the Scala search) and `<name>_centroids` ((cid, centroid) —
+    * the probe-selection input) as session temp views. Score with the
+    * registered `vec_cosine` SQL kernel
+    * ([[graft.functions.GraftFunctions]]) for bit-parity with the
+    * Scala path. Returns the view names. */
+  def registerIvfIndex(name: String, path: String): Seq[String] = {
+    requireName(name)
+    val idx = new IvfIndex(spark, path)
+    idx.listsView.createOrReplaceTempView(s"${name}_lists")
+    idx.centroidsView.createOrReplaceTempView(s"${name}_centroids")
+    Seq(s"${name}_lists", s"${name}_centroids")
+  }
 }

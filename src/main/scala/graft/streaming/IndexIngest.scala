@@ -93,4 +93,47 @@ object IndexIngest {
       }
       .start()
   }
+
+  /** [[start]] with the maintenance policy (X186) folded into the
+    * ingest loop: every `every`-th micro-batch, after its fold, the
+    * index maintains itself — vacuum past the tombstone-fraction
+    * threshold, compact past the files-per-bucket threshold — so a
+    * long-running crawl ingest tends its own file accretion instead of
+    * relying on an external ops cron. Maintenance runs BETWEEN folds on
+    * the micro-batch executor thread (the stream's serializability is
+    * the single-writer guarantee the index's maintenance contract
+    * needs); a crash mid-maintenance recovers exactly as a crashed
+    * manual vacuum/compact would — the next fold's entry-point recovery
+    * rolls the swap forward or back before any new files land. The
+    * policy reads file listings and two row counts, so an untriggered
+    * check costs no data I/O. */
+  def startMaintained(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      index: InvertedIndex,
+      every: Int = 16,
+      maxFilesPerBucket: Int = 8,
+      maxTombstoneFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    spark.readStream
+      .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(index, batch, idCol, col(textCol))
+        if ((batchId + 1) % every == 0) {
+          index.maintain(maxFilesPerBucket, maxTombstoneFrac)
+          ()
+        }
+      }
+      .start()
+  }
 }

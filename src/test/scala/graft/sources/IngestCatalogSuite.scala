@@ -45,4 +45,77 @@ class IngestCatalogSuite extends AnyFunSuite {
     } finally cat.dropTable(name)
     assert(!cat.tableExists(name))
   }
+
+  test("X189: SQL-registered inverted index serves phrase/vocab ≡ the Scala path, pruned") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort merge join strategy"),
+      (3L, "unrelated text entirely"),
+      (4L, "another sort merge document")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cat_inv").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docs, "doc_id", col("text"))
+    idx.delete(Seq(4L).toDF("doc_id")) // views must serve the LIVE set
+    val cat = new StoreCatalog(spark)
+    val views = cat.registerInvertedIndex("catsql", s"$dir/inv")
+    assert(views === Seq("catsql_postings", "catsql_doclens", "catsql_vocab"))
+    def bucketSql(term: String) =
+      s"CAST(pmod(CAST(conv(substring(md5('$term'), 1, 7), 16, 10) AS BIGINT), " +
+        s"${idx.bucketCount}) AS INT)"
+    val sqlPhrase = spark.sql(
+      s"""SELECT a.doc_id, COUNT(*) AS n_matches
+          FROM (SELECT doc_id, pos FROM catsql_postings
+                WHERE term = 'sort' AND tbucket = ${bucketSql("sort")}) a
+          JOIN (SELECT doc_id, pos - 1 AS pos FROM catsql_postings
+                WHERE term = 'merge' AND tbucket = ${bucketSql("merge")}) b
+            ON a.doc_id = b.doc_id AND a.pos = b.pos
+          GROUP BY a.doc_id ORDER BY a.doc_id""")
+    val viaScala = TextAnalysis.phraseMatch(
+        idx.termPostings(Seq("sort", "merge")), Seq("sort", "merge"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlPhrase.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === viaScala, "SQL phrase over the views must equal the Scala serving path")
+    // the bucket predicate constant-folds into PartitionFilters
+    val scans = sqlPhrase.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.metadata("PartitionFilters").contains("tbucket")),
+      "the stock-SQL bucket predicate must prune at the partition level")
+    // vocab view = census-served live vocabulary
+    assert(spark.sql("SELECT term, df FROM catsql_vocab ORDER BY term")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      idx.vocab().orderBy(col("term")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    assert(spark.sql("SELECT COUNT(*) FROM catsql_doclens").head().getLong(0)
+      === 3L, "tombstoned doc 4 must be masked in the doclens view")
+  }
+
+  test("X189: SQL-registered IVF lists serve a probe ≡ the Scala search, vec_cosine kernel") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 32L).map(i => i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val embs = vecs.toDF("vec_id", "embedding")
+    val cents = vecs.take(4).map(_._2)
+    val dir = Files.createTempDirectory("graft_cat_ivf").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    val cat = new StoreCatalog(spark)
+    assert(cat.registerIvfIndex("cativf", s"$dir/ivf")
+      === Seq("cativf_lists", "cativf_centroids"))
+    val qv = Array.fill(8)(0.5f)
+    val arr = "array(" + qv.map(f => s"CAST($f AS FLOAT)").mkString(", ") + ")"
+    val sqlTop = spark.sql(
+      s"""SELECT id, round(vec_cosine(vector, $arr), 6) AS cosine
+          FROM cativf_lists WHERE ivf_list IN (0, 1, 2, 3)
+          ORDER BY vec_cosine(vector, $arr) DESC, id ASC LIMIT 10""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScala = idx.search(qv, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sqlTop === viaScala,
+      "the SQL probe with the vec_cosine kernel must equal the Scala search")
+    assert(spark.sql("SELECT COUNT(*) FROM cativf_centroids").head().getLong(0) === 4L)
+  }
 }

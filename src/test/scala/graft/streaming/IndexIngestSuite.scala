@@ -77,4 +77,30 @@ class IndexIngestSuite extends AnyFunSuite {
     assert(idx.termPostings(Seq("alpha")).count() === 1,
       "post-vacuum re-ingest of the id is a fresh append")
   }
+
+  test("self-maintaining ingest: the loop compacts its own accretion, answers unchanged") {
+    val dir = Files.createTempDirectory("graft_idx_maint").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(seed, "doc_id", col("text"))
+    // one file per wave => one micro-batch per wave; maintenance fires
+    // after every batch with a 1-file threshold, so the accretion each
+    // append causes is compacted away inside the loop itself
+    wave1.coalesce(1).write.parquet(s"$dir/docs")
+    wave2.coalesce(1).write.mode("append").parquet(s"$dir/docs")
+    val q = IndexIngest.startMaintained(spark, s"$dir/docs", s"$dir/ckpt",
+      idx, every = 1, maxFilesPerBucket = 1)
+    try q.processAllAvailable()
+    finally q.stop()
+    val full = new InvertedIndex(spark, s"$dir/full", buckets = 4)
+    full.build(seed.union(wave1).union(wave2), "doc_id", col("text"))
+    assert(bm(idx) === bm(full),
+      "in-loop maintenance must not change what the index serves")
+    assert(idx.fileStats().collect().forall(_.getInt(1) <= 1),
+      "the loop must have compacted its own file accretion")
+    // replay after a compaction is still a no-op on ids
+    IndexIngest.foldBatch(idx, wave2, "doc_id", col("text"))
+    assert(bm(idx) === bm(full))
+    intercept[IllegalArgumentException](IndexIngest.startMaintained(
+      spark, s"$dir/docs", s"$dir/ckpt2", idx, every = 0))
+  }
 }
