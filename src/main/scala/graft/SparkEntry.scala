@@ -937,6 +937,29 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q231_pq_carry" -> ((s, d) => {
+      // X185/X156 carry the compressed layout: build BOTH layouts, split
+      // list 0, merge the halves back — the PQ codes relocate with the
+      // raw lists (no re-encode), so a FULL-probe ADC search over the
+      // walked index must equal ADC over the untouched corpus (the
+      // q154 oracle with probe pruning dropped)
+      val embs = t(s, d, "embeddings")
+      val coarse = embs.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray).toSeq
+      val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_pq_carry").toString
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", coarse)
+      idx.buildPq(embs, "vec_id", "embedding", coarse, books)
+      val newId = idx.splitList(0, lloydIters = 1).map(_._1)
+        .getOrElse(sys.error("fixture list 0 must split"))
+      idx.mergeLists(0, newId)
+      idx.searchPq(query, topK = 10, nprobe = idx.centroids().size)
+        .select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("vec_id"))
+    }),
     "q230_census_lifecycle" -> ((s, d) => {
       // X190 census lifecycle (the q220 pattern on the stats side):
       // build on half the corpus, append the other half (additive
@@ -3008,7 +3031,11 @@ object SparkEntry {
     * coarse/codebook/query parameters always come from the FULL
     * embeddings table (frozen external parameters). */
   private lazy val ivfPqSearchSql: String = ivfPqSearchSqlOver("embeddings")
-  private def ivfPqSearchSqlOver(corpus: String): String =
+
+  /** `fullProbe` drops the probe pruning (q231: a FULL probe is ADC
+    * over the whole corpus, so list maintenance must be invisible). */
+  private def ivfPqSearchSqlOver(corpus: String,
+      fullProbe: Boolean = false): String =
     s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
          probes AS (SELECT c.ccid FROM cents c, q
@@ -3023,8 +3050,10 @@ object SparkEntry {
                       c.ccid ASC
              LIMIT 1) AS INT) AS ivf_list
            FROM $corpus e),
-         pruned AS (SELECT e.* FROM $corpus e JOIN assign a USING (vec_id)
-           WHERE a.ivf_list IN (SELECT ccid FROM probes)),
+         pruned AS (${
+           if (fullProbe) s"SELECT e.* FROM $corpus e"
+           else s"""SELECT e.* FROM $corpus e JOIN assign a USING (vec_id)
+           WHERE a.ivf_list IN (SELECT ccid FROM probes)"""}),
          subs AS (
            SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
            FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
@@ -5277,6 +5306,7 @@ object SparkEntry {
          FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""",
     "q154_ivfpq_index" -> ivfPqSearchSql,
     "q175_ivfpq_append" -> ivfPqSearchSql,
+    "q231_pq_carry" -> ivfPqSearchSqlOver("embeddings", fullProbe = true),
     "q177_ivfpq_delete" ->
       ivfPqSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
     "q208_dataset_card" ->

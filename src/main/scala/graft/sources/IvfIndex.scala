@@ -274,7 +274,7 @@ final class IvfIndex(spark: SparkSession, path: String,
   /** [[compact]] for the PQ codes layout — appendPq accretes files the
     * same way. */
   def compactPq(listIds: Seq[Int]): Unit = {
-    recoverDir(codesPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(codesPath)
     requireDirs(codesPath, "ivf_list", listIds)
     rewriteDirs(codesPath, "ivf_list", listIds,
       read => read.repartition(col("ivf_list")))
@@ -409,10 +409,13 @@ final class IvfIndex(spark: SparkSession, path: String,
     *
     * A degenerate list (all vectors identical, or a single row — 2-means
     * cannot produce two non-empty halves) aborts cleanly with None; the
-    * index is untouched. Like [[retrain]], a split invalidates a PQ
-    * codes layout (codes keep the OLD partitioning; the new list is
-    * never probed there) — rerun [[buildPq]] if the compressed layout is
-    * served. Returns Some((newListId, movedRows)) on success. */
+    * index is untouched. A PQ codes layout RIDES ALONG: the codes here
+    * quantize the raw vector (no coarse residual), so the split is a
+    * pure id-keyed move for the compressed layout — its halves stage
+    * beside the raw ones, swap under the same marker, and both sidecars
+    * keep the superset invariant; only [[retrain]] (which changes the
+    * quantizer) still requires a [[buildPq]] rerun. Returns
+    * Some((newListId, movedRows)) on success. */
   def splitList(listId: Int, lloydIters: Int = 1): Option[(Int, Long)] = {
     require(lloydIters >= 1, s"lloydIters must be >= 1, got $lloydIters")
     recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
@@ -436,9 +439,26 @@ final class IvfIndex(spark: SparkSession, path: String,
     if (nMoved == 0L || nMoved == assigned.count()) {
       graft.util.Pins.release(assigned); return None
     }
-    // 1. sidecar superset: moved ids now ALSO map to the new list
+    // the compressed layout rides along (the mergeLists rule: raw-vector
+    // PQ codes are list-independent, so the split is a pure id-keyed
+    // move for codes — no re-encode, layout stays servable)
+    val hasPq = fs.exists(new Path(codesPath))
+    if (hasPq) { recoverDir(codesPath); recoverDir(assignPqPath) }
+    val movedIds = moved.select(col("id"))
+    val codesList = if (hasPq)
+      Some(spark.read.parquet(codesPath)
+        .filter(col("ivf_list") === listId).select(col("id"), col("codes")))
+    else None
+    val codesMovedIds = codesList.map(_.join(movedIds, Seq("id"), "left_semi")
+      .select(col("id")).localCheckpoint(true))
+    // 1. sidecar superset: moved ids now ALSO map to the new list (both
+    // sidecars when the compressed layout exists)
     writeAssign(moved.select(col("id"), lit(newId).as("ivf_list")),
       assignPath, assignMetaPath, overwrite = false)
+    codesMovedIds.foreach { mi =>
+      writeAssign(mi.select(col("id"), lit(newId).as("ivf_list")),
+        assignPqPath, assignPqMetaPath, overwrite = false)
+    }
     // 2. centroid swap: listId tightens to sub-centroid 0, newId = sub 1
     writeCentroids(cs.updated(listId, sub(0)) :+ sub(1))
     // 3. data move, staged then marker-committed
@@ -447,10 +467,28 @@ final class IvfIndex(spark: SparkSession, path: String,
     assigned.withColumn("ivf_list",
         when(col("ivf_list") === 0, lit(listId)).otherwise(lit(newId)))
       .write.partitionBy("ivf_list").parquet(staging.toString)
+    codesList.foreach { cl =>
+      val codesStaging = new Path(staging, "_codes")
+      cl.join(movedIds, Seq("id"), "left_anti")
+        .withColumn("ivf_list", lit(listId))
+        .unionByName(cl.join(movedIds, Seq("id"), "left_semi")
+          .withColumn("ivf_list", lit(newId)))
+        .write.partitionBy("ivf_list").parquet(codesStaging.toString)
+      Seq(listId, newId).foreach { n =>
+        val staged = new Path(codesStaging, s"ivf_list=$n")
+        if (!fs.exists(staged))
+          cl.limit(0).coalesce(1).write.parquet(staged.toString)
+      }
+    }
     fs.mkdirs(new Path(listsPath, s".split_pending_${listId}_$newId"))
     completeSplit(listsPath, listId, newId)
     // 4. drop the stale (moved id, old list) sidecar pairs
     cleanAssignPairs(moved.select(col("id"), lit(listId).as("ivf_list")))
+    codesMovedIds.foreach { mi =>
+      cleanAssignPairs(mi.select(col("id"), lit(listId).as("ivf_list")),
+        assignPqPath, assignPqMetaPath)
+      graft.util.Pins.release(mi)
+    }
     graft.util.Pins.release(assigned)
     Some((newId, nMoved))
   }
@@ -493,9 +531,11 @@ final class IvfIndex(spark: SparkSession, path: String,
     *     drops;
     *  5. stale sidecar pairs removed — superset, never under.
     *
-    * Like [[splitList]], a merge invalidates a PQ codes layout (codes
-    * keep the OLD list numbering) — rerun [[buildPq]] if the compressed
-    * layout is served. Returns (survivingListId, absorbedRows):
+    * A PQ codes layout RIDES ALONG (the [[splitList]] rule: raw-vector
+    * codes are list-independent, so the merge is pure renumbering for
+    * the compressed layout — staged, marker-committed and swapped with
+    * the raw dirs; both sidecars keep the superset invariant). Returns
+    * (survivingListId, absorbedRows):
     * normally `a` holding the union of `a` and `b`; when `a` is the
     * highest list id the roles swap (the union lands under `b`) so the
     * vacated slot is always the highest. */
@@ -537,31 +577,74 @@ final class IvfIndex(spark: SparkSession, path: String,
     val newCs =
       if (source == last) cs.updated(target, merged).dropRight(1)
       else cs.updated(target, merged).updated(vacated, cs(last)).dropRight(1)
+    // the compressed layout rides along: PQ codes here quantize the RAW
+    // vector (no coarse residual), so a merge is pure renumbering for
+    // codes — the same staged moves keep the layout servable instead of
+    // invalidating it
+    val hasPq = fs.exists(new Path(codesPath))
+    if (hasPq) { recoverDir(codesPath); recoverDir(assignPqPath) }
+    val codesAll = if (hasPq) Some(spark.read.parquet(codesPath)) else None
+    val codesUnion = codesAll.map(_.filter(col("ivf_list").isin(target, source))
+      .select(col("id"), col("codes")))
+    val codesLast = codesAll.map { c =>
+      if (source == last) codesUnion.get.limit(0)
+      else c.filter(col("ivf_list") === last).select(col("id"), col("codes"))
+    }
+    val sourceIdsPq = codesAll.map(_.filter(col("ivf_list") === source)
+      .select(col("id")).localCheckpoint(true))
+    val lastIdsPq = codesLast.map(_.select(col("id")).localCheckpoint(true))
     // 1. stage everything the roll-forward needs
     val staging = new Path(listsPath, stagingMergeName)
     fs.delete(staging, true)
     union.withColumn("ivf_list", lit(target))
       .unionByName(lastRows.withColumn("ivf_list", lit(vacated)))
       .write.partitionBy("ivf_list").parquet(staging.toString)
-    (Seq(target) ++ (if (source == last) Nil else Seq(vacated))).foreach { n =>
+    val stagedSlots = Seq(target) ++ (if (source == last) Nil else Seq(vacated))
+    stagedSlots.foreach { n =>
       val staged = new Path(staging, s"ivf_list=$n")
       if (!fs.exists(staged))
         union.limit(0).coalesce(1).write.parquet(staged.toString)
+    }
+    codesUnion.foreach { cu =>
+      val codesStaging = new Path(staging, "_codes")
+      cu.withColumn("ivf_list", lit(target))
+        .unionByName(codesLast.get.withColumn("ivf_list", lit(vacated)))
+        .write.partitionBy("ivf_list").parquet(codesStaging.toString)
+      stagedSlots.foreach { n =>
+        val staged = new Path(codesStaging, s"ivf_list=$n")
+        if (!fs.exists(staged))
+          cu.limit(0).coalesce(1).write.parquet(staged.toString)
+      }
     }
     import spark.implicits._
     newCs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
       .coalesce(1).write.parquet(new Path(staging, "_centroids").toString)
-    // 2. sidecar superset: moved ids also map to their new lists
+    // 2. sidecar superset: moved ids also map to their new lists — BOTH
+    // sidecars when the compressed layout exists
     writeAssign(sourceIds.select(col("id"), lit(target).as("ivf_list"))
         .unionByName(lastIds.select(col("id"), lit(vacated).as("ivf_list"))),
       assignPath, assignMetaPath, overwrite = false)
+    sourceIdsPq.foreach { sp =>
+      writeAssign(sp.select(col("id"), lit(target).as("ivf_list"))
+          .unionByName(lastIdsPq.get
+            .select(col("id"), lit(vacated).as("ivf_list"))),
+        assignPqPath, assignPqMetaPath, overwrite = false)
+    }
     // 3. marker commits; 4. roll forward
     fs.mkdirs(new Path(listsPath, s".merge_pending_${target}_${vacated}_$last"))
     completeMerge(listsPath, target, vacated, last)
     // 5. drop the stale (moved id, old list) sidecar pairs
     cleanAssignPairs(sourceIds.select(col("id"), lit(source).as("ivf_list"))
-      .unionByName(lastIds.select(col("id"), lit(last).as("ivf_list"))))
+      .unionByName(lastIds.select(col("id"), lit(last).as("ivf_list"))),
+      assignPath, assignMetaPath)
+    sourceIdsPq.foreach { sp =>
+      cleanAssignPairs(sp.select(col("id"), lit(source).as("ivf_list"))
+        .unionByName(lastIdsPq.get.select(col("id"), lit(last).as("ivf_list"))),
+        assignPqPath, assignPqMetaPath)
+      graft.util.Pins.release(sp)
+      graft.util.Pins.release(lastIdsPq.get)
+    }
     graft.util.Pins.release(sourceIds)
     graft.util.Pins.release(lastIds)
     (target, nAbsorbed)
@@ -585,10 +668,10 @@ final class IvfIndex(spark: SparkSession, path: String,
         sys.error(s"could not swap $stagedCents into $live (backup at $bak)")
       fs.delete(bak, true)
     }
-    def swapIn(n: Int): Unit = {
-      val staged = new Path(staging, s"ivf_list=$n")
-      val live = new Path(base, s"ivf_list=$n")
-      val bak = new Path(base, s".ivf_list=$n.bak")
+    def swapIn(stagingRoot: Path, liveBase: String, n: Int): Unit = {
+      val staged = new Path(stagingRoot, s"ivf_list=$n")
+      val live = new Path(liveBase, s"ivf_list=$n")
+      val bak = new Path(liveBase, s".ivf_list=$n.bak")
       if (fs.exists(staged)) {
         if (fs.exists(live) && !fs.exists(bak))
           if (!fs.rename(live, bak)) sys.error(s"could not back up $live")
@@ -597,9 +680,18 @@ final class IvfIndex(spark: SparkSession, path: String,
       }
       fs.delete(bak, true)
     }
-    swapIn(target)
-    if (vacated != last) swapIn(vacated)
+    swapIn(staging, base, target)
+    if (vacated != last) swapIn(staging, base, vacated)
     fs.delete(new Path(base, s"ivf_list=$last"), true)
+    // the staged compressed layout (if the merge carried one) swaps the
+    // same way; the vacated codes dir drops whenever a codes layout
+    // exists (no-op otherwise)
+    val codesStaging = new Path(staging, "_codes")
+    if (fs.exists(codesStaging)) {
+      swapIn(codesStaging, codesPath, target)
+      if (vacated != last) swapIn(codesStaging, codesPath, vacated)
+    }
+    fs.delete(new Path(codesPath, s"ivf_list=$last"), true)
     fs.delete(staging, true)
     fs.delete(new Path(base, s".merge_pending_${target}_${vacated}_$last"), true)
   }
@@ -624,21 +716,28 @@ final class IvfIndex(spark: SparkSession, path: String,
     * marker write. */
   private def completeSplit(base: String, listId: Int, newId: Int): Unit = {
     val staging = new Path(base, stagingSplitName)
-    val liveOld = new Path(base, s"ivf_list=$listId")
-    val bakOld = new Path(base, s".ivf_list=$listId.bak")
-    val stagedOld = new Path(staging, s"ivf_list=$listId")
-    val liveNew = new Path(base, s"ivf_list=$newId")
-    val stagedNew = new Path(staging, s"ivf_list=$newId")
-    if (fs.exists(stagedOld)) {
-      if (fs.exists(liveOld) && !fs.exists(bakOld))
-        if (!fs.rename(liveOld, bakOld)) sys.error(s"could not back up $liveOld")
-      if (!fs.rename(stagedOld, liveOld))
-        sys.error(s"could not swap $stagedOld into $liveOld")
+    def swapHalves(stagingRoot: Path, liveBase: String): Unit = {
+      val liveOld = new Path(liveBase, s"ivf_list=$listId")
+      val bakOld = new Path(liveBase, s".ivf_list=$listId.bak")
+      val stagedOld = new Path(stagingRoot, s"ivf_list=$listId")
+      val liveNew = new Path(liveBase, s"ivf_list=$newId")
+      val stagedNew = new Path(stagingRoot, s"ivf_list=$newId")
+      if (fs.exists(stagedOld)) {
+        if (fs.exists(liveOld) && !fs.exists(bakOld))
+          if (!fs.rename(liveOld, bakOld)) sys.error(s"could not back up $liveOld")
+        if (!fs.rename(stagedOld, liveOld))
+          sys.error(s"could not swap $stagedOld into $liveOld")
+      }
+      if (fs.exists(stagedNew) && !fs.exists(liveNew))
+        if (!fs.rename(stagedNew, liveNew))
+          sys.error(s"could not move $stagedNew to $liveNew")
+      fs.delete(bakOld, true)
     }
-    if (fs.exists(stagedNew) && !fs.exists(liveNew))
-      if (!fs.rename(stagedNew, liveNew))
-        sys.error(s"could not move $stagedNew to $liveNew")
-    fs.delete(bakOld, true)
+    swapHalves(staging, base)
+    // a split that carried the compressed layout staged its code halves
+    // under _codes — same state-checked swaps against the codes dirs
+    val codesStaging = new Path(staging, "_codes")
+    if (fs.exists(codesStaging)) swapHalves(codesStaging, codesPath)
     fs.delete(staging, true)
     fs.delete(new Path(base, s".split_pending_${listId}_$newId"), true)
   }
@@ -663,18 +762,21 @@ final class IvfIndex(spark: SparkSession, path: String,
     * cleanup after a split moved those ids elsewhere. Same bucket-pruned
     * read + two-rename swap as a delete, but the anti-join keys on the
     * pair, so the id's row for its NEW list survives. */
-  private def cleanAssignPairs(pairs: DataFrame): Unit = {
-    if (!fs.exists(new Path(assignMetaPath))) return
-    recoverDir(assignPath)
-    val b = readAssignBuckets(assignMetaPath)
+  private def cleanAssignPairs(pairs: DataFrame,
+      assignBase: String = assignPath,
+      metaPath: String = assignMetaPath): Unit = {
+    if (!fs.exists(new Path(metaPath))) return
+    recoverDir(assignBase)
+    val b = readAssignBuckets(metaPath)
     val keyed = pairs.select(col("id"), col("ivf_list"),
       bucketOf(col("id"), b).as("abucket"))
     val buckets = keyed.select(col("abucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+      .filter(n => fs.exists(new Path(assignBase, s"abucket=$n")))
     if (buckets.isEmpty) return
-    val staging = new Path(assignPath, ".staging_swap")
+    val staging = new Path(assignBase, ".staging_swap")
     fs.delete(staging, true)
-    val survivors = spark.read.parquet(assignPath)
+    val survivors = spark.read.parquet(assignBase)
       .filter(col("abucket").isin(buckets: _*))
       .join(keyed.select(col("id"), col("ivf_list")),
         Seq("id", "ivf_list"), "left_anti")
@@ -684,8 +786,8 @@ final class IvfIndex(spark: SparkSession, path: String,
       val staged = new Path(staging, dirName)
       if (!fs.exists(staged))
         survivors.drop("abucket").limit(0).coalesce(1).write.parquet(staged.toString)
-      val dir = new Path(assignPath, dirName)
-      val bak = new Path(assignPath, s".$dirName.bak")
+      val dir = new Path(assignBase, dirName)
+      val bak = new Path(assignBase, s".$dirName.bak")
       fs.delete(bak, true)
       if (!fs.rename(dir, bak)) sys.error(s"could not back up $dir for swap")
       if (!fs.rename(staged, dir)) sys.error(s"could not swap $staged into $dir")
@@ -836,6 +938,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     * crash story as [[append]], sidecar first. Codebook/centroid drift
     * is [[graft.operators.Ann.ivfStats]]'s contract, as for [[append]]. */
   def appendPq(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+    recoverMerge(listsPath); recoverSplit(listsPath)
     recoverDir(codesPath); recoverDir(assignPqPath)
     val coarse = centroids()
     val books = codebooks()
@@ -854,8 +957,10 @@ final class IvfIndex(spark: SparkSession, path: String,
     * anti-join, and two-rename swap as [[delete]], walked over
     * `codes/ivf_list=N` — so a 100 TB deployment serving from the
     * compressed layout gets steady-state deletes without a rebuild. */
-  def deletePq(ids: DataFrame): Unit =
+  def deletePq(ids: DataFrame): Unit = {
+    recoverMerge(listsPath); recoverSplit(listsPath)
     deleteFrom(codesPath, assignPqPath, assignPqMetaPath, ids)
+  }
 
   /** The stored PQ codebooks, (subspace, code)-ordered. */
   def codebooks(): Pq.Codebooks = {
@@ -872,7 +977,7 @@ final class IvfIndex(spark: SparkSession, path: String,
   def searchPq(query: Array[Float], topK: Int, nprobe: Int): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
     require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
-    recoverDir(codesPath)
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(codesPath)
     val probed = spark.read.parquet(codesPath)
       .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
     Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)

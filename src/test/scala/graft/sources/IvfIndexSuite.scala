@@ -537,6 +537,44 @@ class IvfIndexSuite extends AnyFunSuite {
       s"renumbered ids must map only to their new slot: $sidecar")
   }
 
+  test("split and merge carry the PQ codes layout: full-probe ADC invariant, codes relocated") {
+    val dir = Files.createTempDirectory("graft_ivf_pqcarry").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    idx.build(embs, "vec_id", "embedding", cents)
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    val wantAdc = idx.searchPq(query, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // split: the moved ids' CODES move to the new list — no re-encode,
+    // full-probe ADC is split-invariant
+    val Some((newId, nMoved)) = idx.splitList(0)
+    assert(idx.searchPq(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === wantAdc,
+      "full-probe ADC must be split-invariant")
+    val codesByList = spark.read.parquet(s"${idx.indexPath}/codes")
+      .groupBy("ivf_list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(codesByList.getOrElse(newId, 0L) === nMoved,
+      "the moved ids' codes must live in the new code list")
+    // merge the split halves back: codes renumber with the raw lists
+    val (target, _) = idx.mergeLists(0, newId)
+    assert(idx.searchPq(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === wantAdc,
+      "full-probe ADC must be merge-invariant")
+    assert(!new java.io.File(s"${idx.indexPath}/codes/ivf_list=$newId").exists()
+      || spark.read.parquet(s"${idx.indexPath}/codes")
+        .groupBy("ivf_list").count().collect()
+        .map(_.getInt(0)).forall(_ < idx.centroids().size),
+      "the vacated code list must drop with the raw one")
+    // compressed-side delete after the walk still lands (sidecar honest)
+    val victim = spark.read.parquet(s"${idx.indexPath}/codes")
+      .filter(col("ivf_list") === target).select("id").as[Long].head()
+    idx.deletePq(Seq(victim).toDF("id"))
+    assert(!idx.searchPq(query, 64, idx.centroids().size)
+      .collect().map(_.getLong(0)).contains(victim),
+      "a post-merge deletePq must still remove the row")
+  }
+
   test("mergeLists crash recovery: a marker-committed merge rolls forward at next search") {
     import org.apache.hadoop.fs.Path
     val idx = freshIndex()
