@@ -937,6 +937,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q232_prefix_suggest" -> ((s, d) => {
+      // X192 search-as-you-type: top-5 completions per prefix ranked
+      // (df DESC, term ASC), served from the persisted index's census
+      // sidecar — neither the text nor the postings layout is read
+      // (the X190 plan audit); the oracle recounts the vocabulary
+      val dir = java.nio.file.Files.createTempDirectory("graft_prefix").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      TextAnalysis.prefixSuggest(idx.vocab(), Seq("so", "mer", "zz"), topK = 5)
+        .orderBy(col("prefix"), col("rank"))
+    }),
     "q231_pq_carry" -> ((s, d) => {
       // X185/X156 carry the compressed layout: build BOTH layouts, split
       // list 0, merge the halves back — the PQ codes relocate with the
@@ -3813,6 +3824,21 @@ object SparkEntry {
     "q224_index_fuzzy" -> fuzzySuggestSql,
     "q230_census_lifecycle" ->
       fuzzySuggestSqlWhere(where = "WHERE doc_id % 7 <> 0"),
+    "q232_prefix_suggest" ->
+      s"""WITH p AS (SELECT doc_id, u.t AS term
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+              UNNEST(tk) AS u(t)
+            WHERE u.t <> ''),
+          v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+          pre(prefix) AS (VALUES ('so'), ('mer'), ('zz')),
+          c AS (SELECT pre.prefix, v.term, v.df
+            FROM pre JOIN v ON v.term LIKE pre.prefix || '%'),
+          r AS (SELECT prefix, term, df,
+              CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                ORDER BY df DESC, term ASC) AS INT) AS rank
+            FROM c)
+          SELECT prefix, term, df, rank FROM r
+          WHERE rank <= 5 ORDER BY prefix, rank""",
     "q225_bm25_msm" -> bm25Sql(msm = 2),
     "q227_bm25_page" -> bm25Sql(page = Some((10, 10))),
     "q228_serving_stack" ->

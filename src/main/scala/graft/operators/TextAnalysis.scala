@@ -554,6 +554,36 @@ object TextAnalysis {
     * serving form: a persisted index's term census
     * ([[graft.sources.InvertedIndex.vocab]]) drops in and the corpus
     * text is never touched (q224 reuses q223's oracle verbatim). */
+  /** Prefix completion ("search-as-you-type", X192) over a (term, df)
+    * vocabulary: the top-k terms extending each prefix, ranked
+    * (df DESC, term ASC) — the autocomplete leg of a search stack,
+    * served like [[fuzzySuggestVocab]] from a persisted index's census
+    * ([[graft.sources.InvertedIndex.vocab]]) so the corpus text (and,
+    * with the census sidecar, even the postings layout) is never read.
+    *
+    * Scale shape: one vocabulary-sized scan with a leading
+    * `startswith` filter (pushdown-friendly on a term-sorted census
+    * file), a per-prefix window over only the matching terms, no joins;
+    * prefixes are query-side literals (a UI sends a handful). Case
+    * folds to lowercase — the vocabulary's own normalization. */
+  def prefixSuggest(vocab: DataFrame, prefixes: Seq[String],
+      topK: Int): DataFrame = {
+    require(prefixes.nonEmpty, "no prefixes")
+    require(prefixes.forall(_.nonEmpty), s"empty prefix in $prefixes")
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate prefix in $prefixes")
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val p = prefixes.map(_.toLowerCase).toDF("prefix")
+    vocab.join(broadcast(p), startswith(col("term"), col("prefix")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("prefix"))
+        .orderBy(col("df").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("prefix"), col("term"), col("df"), col("rank"))
+  }
+
   def fuzzySuggestVocab(vocab: DataFrame, queryTerms: Seq[String],
       topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "no query terms")

@@ -69,21 +69,59 @@ object EmbedPipeline {
       cfg: QueueConfig = QueueConfig())(
       embed: DataFrame => DataFrame): StreamingQuery =
     QueueStream.start(spark, requestDir, checkpointDir, cfg) { (chunk, _) =>
-      val raw = embed(chunk).persist()
-      try {
-        if (!raw.isEmpty) {
-          store.upsert(raw)
-          // read back this batch's rows to pick up the store-assigned ids
-          // (stable across replays — upsert reuses the existing id on merge)
-          val keys = raw.select(col("post_id"), col("sequence_no")).distinct()
-          val batchRows = store.read()
-            .join(keys, Seq("post_id", "sequence_no"), "left_semi")
-            .select(col("id"), col("vector")).persist()
-          try {
-            index.delete(batchRows.select(col("id")))
-            index.append(batchRows, "id", "vector")
-          } finally { batchRows.unpersist(); () }
-        }
-      } finally { raw.unpersist(); () }
+      upsertAndIndex(store, index, embed(chunk))
     }
+
+  /** One micro-batch's store-then-index fold (shared by
+    * [[startWithIndex]] and [[startWithIndexMaintained]]). */
+  private def upsertAndIndex(store: EmbeddingStore, index: IvfIndex,
+      batch: DataFrame): Unit = {
+    val raw = batch.persist()
+    try {
+      if (!raw.isEmpty) {
+        store.upsert(raw)
+        // read back this batch's rows to pick up the store-assigned ids
+        // (stable across replays — upsert reuses the existing id on merge)
+        val keys = raw.select(col("post_id"), col("sequence_no")).distinct()
+        val batchRows = store.read()
+          .join(keys, Seq("post_id", "sequence_no"), "left_semi")
+          .select(col("id"), col("vector")).persist()
+        try {
+          index.delete(batchRows.select(col("id")))
+          index.append(batchRows, "id", "vector")
+        } finally { batchRows.unpersist(); () }
+      }
+    } finally { raw.unpersist(); () }
+  }
+
+  /** [[startWithIndex]] with the maintenance policy
+    * ([[IvfIndex.maintain]], X186) folded into the ingest loop — the
+    * [[IndexIngest.startMaintained]] twin on the dense side: every
+    * `every`-th micro-batch, after its fold, the index compacts exactly
+    * the `ivf_list=N` directories (and accreted sidecar buckets) past
+    * `maxFilesPerList` part-files, so the keyed delete+append churn a
+    * long-running embed pipeline generates tends its own file
+    * accretion. Maintenance runs between folds on the micro-batch
+    * thread (single-writer by the stream's serializability); a crash
+    * mid-compaction recovers at the next fold's entry points. An
+    * untriggered check reads only file listings. */
+  def startWithIndexMaintained(
+      spark: SparkSession,
+      requestDir: String,
+      checkpointDir: String,
+      store: EmbeddingStore,
+      index: IvfIndex,
+      every: Int = 16,
+      maxFilesPerList: Int = 8,
+      cfg: QueueConfig = QueueConfig())(
+      embed: DataFrame => DataFrame): StreamingQuery = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    QueueStream.start(spark, requestDir, checkpointDir, cfg) { (chunk, batchId) =>
+      upsertAndIndex(store, index, embed(chunk))
+      if ((batchId + 1) % every == 0) {
+        index.maintain(maxFilesPerList)
+        ()
+      }
+    }
+  }
 }

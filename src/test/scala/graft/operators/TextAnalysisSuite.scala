@@ -825,6 +825,26 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a"), 0))
   }
 
+  test("prefixSuggest: per-prefix top-k by (df DESC, term ASC); case folds; empty prefix rejected") {
+    val vocab = Seq(
+      ("sort", 5L), ("sorted", 5L), ("sorting", 2L), ("sober", 1L),
+      ("merge", 3L), ("spark", 4L)).toDF("term", "df")
+    val out = TextAnalysis.prefixSuggest(vocab, Seq("SO", "mer", "zz"), topK = 3)
+      .orderBy(col("prefix"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq === Seq(
+      ("mer", "merge", 3L, 1),
+      // df ties break lexicographically; 'sober' loses the top-3 cut
+      ("so", "sort", 5L, 1), ("so", "sorted", 5L, 2), ("so", "sorting", 2L, 3)))
+    intercept[IllegalArgumentException](TextAnalysis.prefixSuggest(vocab, Nil, 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prefixSuggest(vocab, Seq(""), 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prefixSuggest(vocab, Seq("a", "a"), 3))
+    intercept[IllegalArgumentException](
+      TextAnalysis.prefixSuggest(vocab, Seq("a"), 0))
+  }
+
   test("fuzzySuggest: deletion-neighborhood candidates equal the brute-force cross join") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abc"

@@ -93,4 +93,40 @@ class EmbedPipelineSuite extends AnyFunSuite {
     assert(results(index) == streamed, "replay must be idempotent on the index")
     assert(store.count() == 11, "replay must be idempotent on the store")
   }
+
+  test("self-maintaining embed pipeline: in-loop compaction, search unchanged") {
+    val dir = Files.createTempDirectory("graft_pipeline_maint").toString
+    val store = new EmbeddingStore(spark, s"$dir/store", numBuckets = 4)
+    store.bulkLoad(Seq((999L, 0, Seq(1f, 1f, 1f)))
+      .toDF("post_id", "sequence_no", "vector")
+      .withColumn("vector_type", lit("seed")))
+    val cents = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f),
+      Array(0f, 0f, 1f), Array(-1f, -1f, -1f))
+    val index = new IvfIndex(spark, s"$dir/ivf")
+    index.build(store.read().select(col("id"), col("vector")), "id", "vector", cents)
+    val jobs = (1L to 10L).map(i => QueueJob(i, i, 1, "pending",
+      Timestamp.valueOf("2026-01-10 12:00:00"), None, None, 0, None))
+    jobs.toDF().coalesce(1).write.parquet(s"$dir/requests")
+    def embedder(chunk: org.apache.spark.sql.DataFrame) = chunk.select(
+      col("post_id"),
+      lit(0).as("sequence_no"),
+      array(col("post_id").cast("float"), lit(2f),
+        (col("post_id") % 3).cast("float") - lit(1f)).as("vector"),
+      lit("fake-model").as("vector_type"))
+    val q = EmbedPipeline.startWithIndexMaintained(spark, s"$dir/requests",
+      s"$dir/checkpoint", store, index, every = 1, maxFilesPerList = 1)(embedder)
+    try q.processAllAvailable()
+    finally q.stop()
+    val batch = new IvfIndex(spark, s"$dir/batch")
+    batch.build(store.read().select(col("id"), col("vector")), "id", "vector", cents)
+    val query = Array(0.5f, 0.5f, 0.5f)
+    def results(ix: IvfIndex) = ix.search(query, 11, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(results(index) === results(batch),
+      "in-loop maintenance must not change what the index serves")
+    assert(index.fileStats().collect().forall(_.getInt(1) <= 1),
+      "the loop must have compacted its own list accretion")
+    intercept[IllegalArgumentException](EmbedPipeline.startWithIndexMaintained(
+      spark, s"$dir/requests", s"$dir/ck2", store, index, every = 0)(embedder))
+  }
 }
