@@ -937,6 +937,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q233_dedup_hits" -> ((s, d) => {
+      // X193 SERP dedup: the FULL index-served BM25 ranking collapsed by
+      // content fingerprint (best-ranked survivor per duplicate group),
+      // re-cut to the top-20 — a result page never shows one document
+      // twice; text fingerprinted only for the hit docs
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_serp").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      SearchEngine.dedupHits(
+          idx.bm25Ranked(Seq("sort", "merge", "spark")),
+          docs, "doc_id", col("text"), k = 20)
+        .select(col("doc_id"), col("score"), col("fp"))
+    }),
     "q232_prefix_suggest" -> ((s, d) => {
       // X192 search-as-you-type: top-5 completions per prefix ranked
       // (df DESC, term ASC), served from the persisted index's census
@@ -1356,11 +1370,12 @@ object SparkEntry {
         Seq("src0" -> 2.0, "src1" -> 1.4, "src2" -> 0.5), seed = "ep")
         .orderBy(col("order_idx"))),
     "q203_index_lifecycle" -> ((s, d) => {
-      // X124+X129+X156 composed — the full steady-state maintenance walk
-      // on ONE index: build(evens), append(odds), delete(multiples of 3),
-      // split list 0; then FULL-probe search, which is an exact scan over
-      // whatever survived — the oracle recomputes the survivor set in SQL
-      // and every maintenance step must be invisible to it
+      // X124+X129+X156+X185 composed — the full steady-state maintenance
+      // walk on ONE index: build(evens), append(odds), delete(multiples
+      // of 3), split list 0, merge lists 1 and 2 back down; then
+      // FULL-probe search, which is an exact scan over whatever
+      // survived — the oracle recomputes the survivor set in SQL and
+      // every maintenance step must be invisible to it
       val embs = t(s, d, "embeddings")
       val cents = embs.filter(col("vec_id") < 4)
         .orderBy(col("vec_id")).collect()
@@ -1374,6 +1389,7 @@ object SparkEntry {
       idx.delete(embs.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id").as("id")))
       idx.splitList(0, lloydIters = 1)
+      idx.mergeLists(1, 2)
       idx.search(qv, k = 10, nprobe = idx.centroids().size)
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
@@ -3841,6 +3857,20 @@ object SparkEntry {
           WHERE rank <= 5 ORDER BY prefix, rank""",
     "q225_bm25_msm" -> bm25Sql(msm = 2),
     "q227_bm25_page" -> bm25Sql(page = Some((10, 10))),
+    "q233_dedup_hits" ->
+      // the full bm25 ranking (sc CTE of bm25Sql) joined to the q40
+      // fingerprint, one survivor per fingerprint, top-20 re-cut
+      s"""WITH base AS (${bm25Sql(page = Some((1000000000, 0)))}),
+          fp AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fp
+            FROM documents),
+          j AS (SELECT b.doc_id, b.score, f.fp
+            FROM base b JOIN fp f USING (doc_id)),
+          d AS (SELECT doc_id, score, fp,
+              ROW_NUMBER() OVER (PARTITION BY fp
+                ORDER BY score DESC, doc_id ASC) AS rn
+            FROM j)
+          SELECT doc_id, score, fp FROM d WHERE rn = 1
+          ORDER BY score DESC, doc_id ASC LIMIT 20""",
     "q228_serving_stack" ->
       // the full pipeline recomputed from raw inputs, then q218's
       // densest-window snippet pick over the fused top-10 with the

@@ -243,4 +243,34 @@ object SearchEngine {
         .orderBy(col("n").desc, col("meta_value").asc)))
       .filter(col("rank") <= topM)
   }
+
+  /** Result-page duplicate collapse (X193, "SERP dedup"): among ranked
+    * hits whose CONTENT fingerprint matches
+    * ([[TextAnalysis.fingerprint]] — whitespace-normalized md5, the X9
+    * exact-dup key), keep only the best-ranked (score DESC, doc_id ASC)
+    * and re-cut to the top `k` — so a page never shows the same
+    * document twice when the corpus carries crawl-duplicates under
+    * distinct ids. `hits` must carry (doc_id, score); the score is
+    * expected round-6 (a ranked surface's emitted form) so the re-cut
+    * order is reconstructible by the caller.
+    *
+    * Scale shape: text is fingerprinted ONLY for the hit docs (semi-join
+    * first — the flagship refetch discipline, nothing corpus-sized
+    * shuffles for a k-bounded hit list); the collapse is one window over
+    * the hit-sized join, the re-cut a TakeOrderedAndProject heap. */
+  def dedupHits(hits: DataFrame, docs: DataFrame, idCol: String,
+      text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs
+      .select(col(idCol).as("doc_id"), text.as("__text"))
+      .join(hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("__text")).as("fp"))
+    hits.join(fp, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("fp"))
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

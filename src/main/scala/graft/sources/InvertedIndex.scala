@@ -593,14 +593,21 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (oracle-gated, the q219 pattern on q214's output). */
   def bm25Page(queryTerms: Seq[String], n: Int,
       after: Option[(Double, Long)] = None,
-      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
-    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
-    val ranked = TextAnalysis
-      .bm25Scored(perDoc, queryTerms.size, k1, b, gate)
-      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
-    graft.operators.Paging.keysetPage(ranked,
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame =
+    graft.operators.Paging.keysetPage(bm25Ranked(queryTerms, k1, b, msm),
       Seq(("score", false), ("doc_id", true)),
       after.map { case (s, id) => Seq(s, id) }, n)
+
+  /** The full rounded ranking [[bm25Page]] pages over — (doc_id, dl,
+    * round-6 score) for every matching doc, unordered. Exposed so a UI
+    * session walking deep can `persist` it ONCE and feed
+    * [[graft.operators.Paging.keysetPage]] per page, paying the stats
+    * pass and tf joins a single time instead of per page. */
+  def bm25Ranked(queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
+    TextAnalysis.bm25Scored(perDoc, queryTerms.size, k1, b, gate)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
   }
 
   /** The full LIVE postings frame (tombstones masked), `tbucket` kept

@@ -183,4 +183,21 @@ class SearchEngineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SearchEngine.facetCounts(hits, "doc_id", meta, Seq("lang"), 0))
   }
+
+  test("dedupHits: one survivor per content fingerprint, best rank wins, re-cut to k") {
+    val docs = Seq(
+      (1L, "sort merge x"),
+      (2L, "  Sort   MERGE x "), // normalizes to doc 1's fingerprint
+      (3L, "sort only"),
+      (4L, "merge other")).toDF("doc_id", "text")
+    val hits = Seq((2L, 5.0), (1L, 5.0), (3L, 2.0), (4L, 1.0))
+      .toDF("doc_id", "score")
+    val out = SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // docs 1 and 2 share a fingerprint at equal score: doc 1 wins the
+    // tie; doc 3 fills the k=2 cut, doc 4 falls off
+    assert(out === Seq((1L, 5.0), (3L, 2.0)))
+    intercept[IllegalArgumentException](
+      SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), 0))
+  }
 }
