@@ -937,6 +937,32 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q235_boolean_search" -> ((s, d) => {
+      // X194 set-Boolean retrieval served from the persisted index:
+      // MUST sort+merge, SHOULD≥1 of spark/join, MUST_NOT bubble — one
+      // pruned postings slice, one aggregate, text never read
+      val dir = java.nio.file.Files.createTempDirectory("graft_bool").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      val terms = Seq("sort", "merge", "spark", "join", "bubble")
+      TextAnalysis.booleanMatch(idx.termPostings(terms),
+          must = Seq("sort", "merge"), should = Seq("spark", "join"),
+          mustNot = Seq("bubble"), minShould = 1)
+        .orderBy(col("doc_id"))
+    }),
+    "q234_lm_remove" -> ((s, d) => {
+      // X195 subtractive model maintenance: build the persisted n-gram
+      // LM on the full corpus, REMOVE a seventh (exact count
+      // subtraction, new blue/green version), then score the full
+      // corpus — must equal a model counted on the survivors directly
+      // (q200's oracle with the reference side filtered)
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm_rm").toString
+      val lm = new graft.sources.NgramLm(s, s"$dir/lm")
+      lm.build(docs, "doc_id", col("text"))
+      lm.remove(docs.filter(col("doc_id") % 7 === 0), "doc_id", col("text"))
+      lm.score(docs, "doc_id", col("text")).orderBy(col("doc_id"))
+    }),
     "q233_dedup_hits" -> ((s, d) => {
       // X193 SERP dedup: the FULL index-served BM25 ranking collapsed by
       // content fingerprint (best-ranked survivor per duplicate group),
@@ -2855,7 +2881,12 @@ object SparkEntry {
 
   /** Shared by q200 (recount) and q209 (persisted layout — pure I/O):
     * the full Stupid Backoff tri/bi/uni scoring in SQL. */
-  private val stupidBackoffSql: String =
+  private val stupidBackoffSql: String = stupidBackoffSqlRef()
+
+  /** `refPred` (on doc_id) restricts the REFERENCE-count side only —
+    * scored docs stay the full table. q200/q209 use the default (count
+    * = score corpus); q234 counts the post-removal survivors. */
+  private def stupidBackoffSqlRef(refPred: String = "TRUE"): String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
              tk[CAST(u.i + 2 AS INT)] AS w2, tk[CAST(u.i + 3 AS INT)] AS w3
@@ -2866,10 +2897,13 @@ object SparkEntry {
              tk[CAST(u.i + 2 AS INT)] AS w2
            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
-         tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall GROUP BY 1, 2, 3),
-         bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+         tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall
+           WHERE $refPred GROUP BY 1, 2, 3),
+         bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall
+           WHERE $refPred GROUP BY 1, 2),
          uni AS (SELECT w, COUNT(*) AS c1
-           FROM (SELECT u.w FROM t, UNNEST(tk) AS u(w) WHERE u.w <> '')
+           FROM (SELECT t.doc_id, u.w FROM t, UNNEST(tk) AS u(w) WHERE u.w <> '')
+           WHERE $refPred
            GROUP BY 1),
          nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
          sc AS (SELECT d.doc_id, ROUND(-LN(CASE
@@ -3840,6 +3874,19 @@ object SparkEntry {
     "q224_index_fuzzy" -> fuzzySuggestSql,
     "q230_census_lifecycle" ->
       fuzzySuggestSqlWhere(where = "WHERE doc_id % 7 <> 0"),
+    "q234_lm_remove" -> stupidBackoffSqlRef("doc_id % 7 <> 0"),
+    "q235_boolean_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          agg AS (SELECT doc_id,
+              COUNT(CASE WHEN term IN ('sort', 'merge') THEN 1 END) AS n_must,
+              COUNT(CASE WHEN term IN ('spark', 'join') THEN 1 END) AS n_should,
+              COUNT(CASE WHEN term IN ('bubble') THEN 1 END) AS n_not
+            FROM p GROUP BY 1)
+          SELECT doc_id, CAST(n_should AS BIGINT) AS n_should FROM agg
+          WHERE n_must = 2 AND n_should >= 1 AND n_not = 0
+          ORDER BY doc_id""",
     "q232_prefix_suggest" ->
       s"""WITH p AS (SELECT doc_id, u.t AS term
             FROM (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -428,6 +428,52 @@ object TextAnalysis {
     * classic rarest-term-first heuristic applies to the CALLER's phrase
     * framing only through term stats; the join chain here keeps phrase
     * order (correctness over reordering) and lets AQE pick build sides. */
+  /** Set-Boolean retrieval over a postings slice (X194 — the Lucene
+    * BooleanQuery MUST/SHOULD/MUST_NOT semantics as set algebra): doc
+    * ids containing ALL `must` terms, at least `minShould` DISTINCT
+    * `should` terms (vacuously satisfied when `should` is empty), and
+    * NONE of the `mustNot` terms; emits (doc_id, n_should) — the
+    * matched-should count a coordination-factor ranker would consume.
+    * Feed it [[graft.sources.InvertedIndex.termPostings]] over the
+    * union of the three term sets and the scan stays pruned to those
+    * terms' buckets — the corpus text is never read.
+    *
+    * Scale shape: one distinct + one doc-keyed aggregate over the
+    * TERM-FILTERED slice (postings of the query's terms only, never the
+    * corpus); the three memberships are per-row predicates inside the
+    * same aggregate — no per-term frames, no joins, one exchange.
+    * MUST_NOT needs no corpus complement: a doc is a candidate only via
+    * a must/should posting, and its not-count comes from the same
+    * slice. */
+  def booleanMatch(index: DataFrame, must: Seq[String],
+      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+      minShould: Int = 1): DataFrame = {
+    val all = must ++ should ++ mustNot
+    require(must.nonEmpty || should.nonEmpty,
+      "need at least one must or should term")
+    require(all.forall(_.nonEmpty), s"empty term in $all")
+    require(all.distinct.size == all.size,
+      s"a term appears in two clauses (or twice): $all")
+    require(should.isEmpty || (minShould >= 1 && minShould <= should.size),
+      s"minShould must be in [1, ${should.size}], got $minShould")
+    def matched(ts: Seq[String]) =
+      if (ts.isEmpty) count(when(lit(false), 1))
+      else count(when(col("term").isin(ts: _*), 1))
+    val agg = index
+      .filter(col("term").isin(all: _*))
+      .select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(matched(must).as("__n_must"),
+        matched(should).as("n_should"),
+        matched(mustNot).as("__n_not"))
+    val shouldGate =
+      if (should.isEmpty) lit(true) else col("n_should") >= minShould
+    agg
+      .filter(col("__n_must") === must.size && shouldGate &&
+        col("__n_not") === 0)
+      .select(col("doc_id"), col("n_should"))
+  }
+
   def phraseMatch(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     require(phrase.forall(_.nonEmpty), s"phrase contains an empty term: $phrase")

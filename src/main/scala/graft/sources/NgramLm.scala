@@ -122,6 +122,39 @@ final class NgramLm(spark: SparkSession, path: String) {
     writePointer(v + 1)
   }
 
+  /** Subtract a REMOVED batch's counts — the dual of [[append]], and
+    * what additivity buys twice over: build(A ∪ B) then remove(B) is
+    * bit-identical to build(A) (suite-pinned; oracle-gated q234), so a
+    * takedown or retention-expiry batch leaves the reference model
+    * WITHOUT recounting a 100 TB corpus. Counts the batch, outer-joins
+    * against the stored tables with exact integer subtraction, drops
+    * rows reaching 0, publishes as the next blue/green version.
+    *
+    * Contract: the batch must be (a sub-multiset of) documents whose
+    * counts were previously built/appended — removing a never-counted
+    * doc silently under-counts shared n-grams (the engine cannot verify
+    * doc membership from count tables alone; the caller's ingest log
+    * can). Versions make even that recoverable: the previous version
+    * stays on disk until [[vacuum]]. */
+  def remove(docs: DataFrame, idCol: String, text: Column): Unit = {
+    val v = currentVersion()
+    val (dTri, dBi, dUni) = counts(docs, idCol, text)
+    val (sTri, sBi, sUni) = readTables(v)
+    def unmerge(stored: DataFrame, delta: DataFrame, keys: Seq[String],
+        cnt: String) =
+      stored.join(delta.withColumnRenamed(cnt, "__d"),
+          keys, "left")
+        .withColumn(cnt,
+          (col(cnt) - coalesce(col("__d"), lit(0L))).cast("long"))
+        .filter(col(cnt) > 0)
+        .select(keys.map(col) :+ col(cnt): _*)
+    writeVersion(v + 1,
+      unmerge(sTri, dTri, Seq("w1", "w2", "w3"), "c3"),
+      unmerge(sBi, dBi, Seq("w1", "w2"), "c2"),
+      unmerge(sUni, dUni, Seq("term"), "c1"))
+    writePointer(v + 1)
+  }
+
   /** Score a corpus against the CURRENT stored model — the exact
     * [[TextAnalysis.stupidBackoff]] arithmetic over the stored tables. */
   def score(docs: DataFrame, idCol: String, text: Column,

@@ -825,6 +825,35 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a"), 0))
   }
 
+  test("booleanMatch: must/should/mustNot set algebra; clause edges; bad args") {
+    val docs = Seq(
+      (1L, "sort merge spark"),          // must ✓ should(spark) ✓
+      (2L, "sort merge join spark"),     // must ✓ should×2
+      (3L, "sort merge bubble spark"),   // mustNot kills it
+      (4L, "sort merge plain"),          // no should term
+      (5L, "sort spark join")).toDF("doc_id", "text") // missing 'merge'
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    def run(must: Seq[String], should: Seq[String], not: Seq[String],
+        minShould: Int = 1) =
+      TextAnalysis.booleanMatch(idx, must, should, not, minShould)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(Seq("sort", "merge"), Seq("spark", "join"), Seq("bubble"))
+      === Seq((1L, 1L), (2L, 2L)))
+    assert(run(Seq("sort", "merge"), Seq("spark", "join"), Seq("bubble"),
+      minShould = 2) === Seq((2L, 2L)))
+    // no should clause: vacuously satisfied, pure AND-NOT
+    assert(run(Seq("sort", "merge"), Nil, Seq("bubble"))
+      .map(_._1) === Seq(1L, 2L, 4L))
+    // no must clause: pure OR over should
+    assert(run(Nil, Seq("join"), Nil).map(_._1) === Seq(2L, 5L))
+    intercept[IllegalArgumentException](run(Nil, Nil, Seq("x")))
+    intercept[IllegalArgumentException](
+      run(Seq("sort"), Seq("sort"), Nil)) // term in two clauses
+    intercept[IllegalArgumentException](
+      run(Seq("sort"), Seq("spark"), Nil, minShould = 2))
+  }
+
   test("prefixSuggest: per-prefix top-k by (df DESC, term ASC); case folds; empty prefix rejected") {
     val vocab = Seq(
       ("sort", 5L), ("sorted", 5L), ("sorting", 2L), ("sober", 1L),

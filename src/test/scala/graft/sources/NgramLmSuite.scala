@@ -60,6 +60,28 @@ class NgramLmSuite extends AnyFunSuite {
     assert(fs.exists(new Path(s"$dir/inc/v=2")))
   }
 
+  test("remove subtractivity: build(A ∪ B) + remove(B) == build(A), tables bit-equal") {
+    val dir = Files.createTempDirectory("graft_nglm_rm").toString
+    val lm = new NgramLm(spark, s"$dir/lm")
+    lm.build(refA.union(refB), "doc_id", col("text"))
+    lm.remove(refB, "doc_id", col("text"))
+    assert(lm.currentVersion() == 2)
+    val want = new NgramLm(spark, s"$dir/want")
+    want.build(refA, "doc_id", col("text"))
+    assert(rows(lm.score(probe, "doc_id", col("text"))) ===
+      rows(want.score(probe, "doc_id", col("text"))),
+      "subtraction must equal a from-scratch count of the survivors")
+    // the stored tables themselves are equal sets (zero rows dropped)
+    def table(p: String, cols: Int) = spark.read.parquet(p).collect()
+      .map(r => (0 until cols).map(r.get).toSeq).toSet
+    for ((t, n) <- Seq(("tri", 4), ("bi", 3), ("uni", 2)))
+      assert(table(s"$dir/lm/v=2/$t", n) === table(s"$dir/want/v=1/$t", n),
+        s"$t table must match a clean build")
+    // remove everything: tables empty but layout still readable
+    lm.remove(refA, "doc_id", col("text"))
+    assert(spark.read.parquet(s"$dir/lm/v=3/uni").count() === 0)
+  }
+
   test("pointer crash recovery: a half-done swap restores at the next read") {
     val dir = Files.createTempDirectory("graft_nglm_crash").toString
     val lm = new NgramLm(spark, s"$dir/lm")
