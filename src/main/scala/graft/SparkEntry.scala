@@ -937,6 +937,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q236_bm25_batch" -> ((s, d) => {
+      // X196 batched BM25: top-5 per query for a 3-query batch in ONE
+      // pruned pass over the persisted index (per-(doc,term) tf, shared
+      // df/N/avgdl, one scoring join) — the bulk-serving shape where
+      // looping bm25 would re-read the index per query
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm_batch").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      val queries = Seq(
+        ("qa", "sort"), ("qa", "merge"),
+        ("qb", "spark"), ("qb", "merge"),
+        ("qc", "join")).toDF("query_id", "term")
+      idx.bm25Batch(queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q235_boolean_search" -> ((s, d) => {
       // X194 set-Boolean retrieval served from the persisted index:
       // MUST sort+merge, SHOULD≥1 of spark/join, MUST_NOT bubble — one
@@ -944,10 +960,9 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_bool").toString
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
       idx.build(t(s, d, "documents"), "doc_id", col("text"))
-      val terms = Seq("sort", "merge", "spark", "join", "bubble")
-      TextAnalysis.booleanMatch(idx.termPostings(terms),
-          must = Seq("sort", "merge"), should = Seq("spark", "join"),
-          mustNot = Seq("bubble"), minShould = 1)
+      idx.booleanSearch(must = Seq("sort", "merge"),
+          should = Seq("spark", "join"), mustNot = Seq("bubble"),
+          minShould = 1)
         .orderBy(col("doc_id"))
     }),
     "q234_lm_remove" -> ((s, d) => {
@@ -3875,6 +3890,41 @@ object SparkEntry {
     "q230_census_lifecycle" ->
       fuzzySuggestSqlWhere(where = "WHERE doc_id % 7 <> 0"),
     "q234_lm_remove" -> stupidBackoffSqlRef("doc_id % 7 <> 0"),
+    "q236_bm25_batch" -> {
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+          qq(query_id, term) AS (VALUES
+            ('qa', 'sort'), ('qa', 'merge'),
+            ('qb', 'spark'), ('qb', 'merge'),
+            ('qc', 'join')),
+          tfpos AS (SELECT pd.doc_id, pd.dl, v.term,
+              CAST(len(list_filter(pd.tk, x -> x = v.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN (SELECT DISTINCT term FROM qq) v
+            WHERE len(list_filter(pd.tk, x -> x = v.term)) > 0),
+          dfs AS (SELECT term, COUNT(*) AS df FROM tfpos GROUP BY 1),
+          partials AS (SELECT qq.query_id, tfpos.doc_id,
+              ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+                   / (CAST(dfs.df AS DOUBLE) + 0.5))
+                 * CAST(tfpos.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+                 / (CAST(tfpos.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                    + (CAST($b AS DOUBLE) * CAST(tfpos.dl AS DOUBLE)) / st.avgdl)), 6) AS pp
+            FROM qq JOIN tfpos USING (term) JOIN dfs USING (term) CROSS JOIN st),
+          sc AS (SELECT query_id, doc_id,
+              ROUND(CAST(SUM(CAST(pp AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score
+            FROM partials GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+            FROM sc WHERE score > 0)
+          SELECT query_id, doc_id, score, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "q235_boolean_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           p AS (SELECT DISTINCT doc_id, u.t AS term

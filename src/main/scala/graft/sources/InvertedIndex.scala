@@ -635,6 +635,78 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * predicate documented on [[livePostings]]. */
   def bucketCount: Int = { recover(); readBuckets() }
 
+  /** Batched BM25 (X196): top-k hits for a whole BATCH of queries in
+    * ONE pass over the index — the bulk-serving / offline-eval shape
+    * (score ten thousand queries for a rerank-training set) where
+    * looping [[bm25]] would pay one postings read and one doclens
+    * stats pass PER query. `queries` is (query_id, term) rows
+    * (duplicates dropped); per-(doc, term) tf and per-term df come from
+    * one bucket-pruned read of the batch vocabulary's postings, N and
+    * avgdl from one doclens pass, and scoring is a three-way equi-join
+    * producing only rows where a query term actually matches a doc —
+    * never |queries| × |corpus|. The distinct-term collect is bounded
+    * by the BATCH VOCABULARY (the bounded-scalar-anchor class — it
+    * builds the pruning predicate), not the corpus.
+    *
+    * Arithmetic is [[bm25]]'s per-term partial (same idf variant, same
+    * round-6-per-partial discipline); the per-query sum is an EXACT
+    * DECIMAL aggregate (order-free — a batch group has no fixed term
+    * chain), then one round-6, and ranking uses the rounded emitted
+    * score with the doc_id tiebreak (the [[bm25Page]] discipline).
+    * Per-query parity with the single-query path is suite-pinned.
+    * `msm` gates on the count of DISTINCT matched terms per (query,
+    * doc), as X184. Output: (query_id, doc_id, score, rank ≤ k). */
+  def bm25Batch(queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "term"),
+      s"queries must be (query_id, term) rows, got ${queries.columns.toSeq}")
+    require(k > 0, s"k must be positive, got $k")
+    require(msm >= 1, s"msm must be >= 1, got $msm")
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.dropDuplicates("query_id", "term")
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val terms = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(terms.nonEmpty, "no terms in the query batch")
+    val tf = termPostings(terms)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val norm = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    q.join(tf, Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__p", round(idf * tfD * lit(k1 + 1.0) / norm, 6))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("__nm"),
+        round(sum(col("__p").cast(dec)).cast(DoubleType), 6).as("score"))
+      .filter(col("score") > 0 && col("__nm") >= msm)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Set-Boolean retrieval served from the index (X194): the
+    * [[graft.operators.TextAnalysis.booleanMatch]] semantics over the
+    * pruned postings buckets of the three clauses' terms — MUST ∧
+    * (≥ minShould of SHOULD) ∧ ¬MUST_NOT, emitting (doc_id, n_should);
+    * tombstones masked via [[termPostings]], text never read. */
+  def booleanSearch(must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, minShould: Int = 1): DataFrame =
+    TextAnalysis.booleanMatch(termPostings(must ++ should ++ mustNot),
+      must, should, mustNot, minShould)
+
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory
     * [[TextAnalysis.positionalPostings]] slice, so phrase/proximity

@@ -124,16 +124,20 @@ object SbStream {
     * one, so every micro-batch of a stream scores against the same
     * model (zero skew; vacuum only after the stream stops). */
   def freezeTables(spark: SparkSession, lmPath: String,
-      lambda: Double = 0.4): SbTables = {
+      lambda: Double = 0.4, pin: Boolean = true): SbTables = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
     val lm = new NgramLm(spark, lmPath)
     val v = lm.currentVersion()
+    // pin = executor-side storage for the multi-consumer tables,
+    // amortized over every micro-batch; pass pin = false to trade that
+    // memory for a parquet re-scan per consumer per batch when the bi
+    // table outgrows cluster storage (the version dir is immutable, so
+    // both shapes read identical data)
+    def maybePin(df: DataFrame) = if (pin) df.localCheckpoint(true) else df
     SbTables(
       spark.read.parquet(s"$lmPath/v=$v/tri").select("w1", "w2", "w3", "c3"),
-      spark.read.parquet(s"$lmPath/v=$v/bi").select("w1", "w2", "c2")
-        .localCheckpoint(true),
-      spark.read.parquet(s"$lmPath/v=$v/uni").select("term", "c1")
-        .localCheckpoint(true),
+      maybePin(spark.read.parquet(s"$lmPath/v=$v/bi").select("w1", "w2", "c2")),
+      maybePin(spark.read.parquet(s"$lmPath/v=$v/uni").select("term", "c1")),
       lambda)
   }
 

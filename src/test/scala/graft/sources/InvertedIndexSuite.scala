@@ -353,6 +353,35 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(phrase(idx, Seq("sort", "merge")) === phrase(ref, Seq("sort", "merge")))
   }
 
+  test("bm25Batch: per-query parity with the single-query path; msm gate; contract checks") {
+    val dir = Files.createTempDirectory("graft_inv_batch").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val queries = Seq(
+      ("qa", "sort"), ("qa", "merge"),
+      ("qb", "strategy"), ("qb", "merge"), ("qb", "merge"), // dup dropped
+      ("qc", "zzz")).toDF("query_id", "term")
+    val batch = idx.bm25Batch(queries, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // each query's rows equal its single-query ranking (score parity)
+    for ((qid, ts) <- Seq("qa" -> Seq("sort", "merge"),
+        "qb" -> Seq("strategy", "merge"))) {
+      val single = idx.bm25(ts, k = 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got === single, s"batch diverged from single-query bm25 for $qid")
+    }
+    assert(!batch.exists(_._1 == "qc"), "a no-match query emits no rows")
+    // msm = 2: only docs matching both of qa's terms survive
+    val strict = idx.bm25Batch(queries.filter(col("query_id") === "qa"),
+      k = 10, msm = 2).collect().map(_.getLong(1)).toSet
+    val or = batch.filter(_._1 == "qa").map(_._2).toSet
+    assert(strict.subsetOf(or) && strict === Set(1L, 2L, 4L))
+    intercept[IllegalArgumentException](
+      idx.bm25Batch(queries.toDF("a", "b"), 5))
+    intercept[IllegalArgumentException](idx.bm25Batch(queries, 0))
+  }
+
   test("bm25Page: chained pages walk the full ranking exactly; per-page heap, no offset discard") {
     val dir = Files.createTempDirectory("graft_inv_page").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
