@@ -937,6 +937,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q237_ql_rank" -> ((s, d) => {
+      // X197 Dirichlet query-likelihood (Zhai & Lafferty '01): the
+      // classic LM ranker served from the persisted index — tf from
+      // pruned buckets, collection stats (cf, C) from the stored
+      // layout, candidates restricted to ≥1-term matches, smoothing
+      // exact for their zero-tf terms
+      val dir = java.nio.file.Files.createTempDirectory("graft_ql").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      idx.qlTopK(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q236_bm25_batch" -> ((s, d) => {
       // X196 batched BM25: top-5 per query for a 3-query batch in ONE
       // pruned pass over the persisted index (per-(doc,term) tf, shared
@@ -3924,6 +3935,33 @@ object SparkEntry {
             FROM sc WHERE score > 0)
           SELECT query_id, doc_id, score, rank FROM r
           WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    "q237_ql_rank" -> {
+      val terms = Seq("sort", "merge", "spark")
+      val mu = "2000.0"
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i" }
+        .mkString(", ")
+      val cfCols = terms.indices.map(i =>
+        s"CAST(SUM(tf$i) AS BIGINT) AS cf$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""CASE WHEN cf$i > 0 THEN
+              ROUND(LN((CAST(tf$i AS DOUBLE)
+                  + CAST($mu AS DOUBLE) * CAST(cf$i AS DOUBLE) / CAST(c AS DOUBLE))
+                / (CAST(dl AS DOUBLE) + CAST($mu AS DOUBLE))), 6)
+            ELSE 0.0 END"""
+      }.mkString(" + ")
+      val matched = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT CAST(SUM(dl) AS BIGINT) AS c, $cfCols FROM pd),
+          sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+            FROM pd CROSS JOIN st
+            WHERE $matched)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          ORDER BY score DESC, doc_id ASC LIMIT 20"""
     },
     "q235_boolean_search" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -635,6 +635,60 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * predicate documented on [[livePostings]]. */
   def bucketCount: Int = { recover(); readBuckets() }
 
+  /** Dirichlet query-likelihood ranking (X197; Zhai & Lafferty, SIGIR
+    * '01 — THE classic LM ranker next to BM25): top-k docs by
+    * Σ_t log((tf_td + μ·cf_t/C) / (dl_d + μ)) over the query terms,
+    * with cf_t the term's collection frequency and C the total token
+    * count — both from the stored layout (cf from the pruned postings
+    * slice, C = Σ dl from doclens), text never read. Docs matching NO
+    * query term are excluded (the standard candidate restriction every
+    * engine applies — their score is pure background smoothing), and
+    * among candidates the score is exact, smoothing included for their
+    * zero-tf terms.
+    *
+    * Plan shape mirrors [[bm25]]: per-doc tf columns from one pruned
+    * bucket read, (cf_0..cf_n, C, N) collapse to ONE broadcast stats
+    * row, scoring a per-row map, the cut a TakeOrderedAndProject heap.
+    * Determinism: per-term partials round at 6 and sum in fixed term
+    * order (the [[graft.operators.TextAnalysis.bm25Rank]] discipline);
+    * only log sits behind the round. */
+  def qlTopK(queryTerms: Seq[String], k: Int,
+      mu: Double = 2000.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    val (perDoc, _) = bm25PerDoc(queryTerms, msm = 1)
+    val terms = queryTerms.zipWithIndex
+    val slice = termPostings(queryTerms)
+    val cfs = slice.agg(
+      terms.head match { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"cf$i") },
+      terms.tail.map { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"cf$i") }: _*)
+    val totals = liveOnly(spark.read.parquet(doclensPath))
+      .agg(sum(col("dl")).cast(LongType).as("__c"))
+    val stats = cfs.crossJoin(totals)
+    val dlD = col("dl").cast(DoubleType)
+    val partials = terms.map { case (_, i) =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val cf = col(s"cf$i").cast(DoubleType)
+      // a term absent from the whole corpus (cf = 0 ⇒ tf = 0 for every
+      // doc) carries no information and would send every candidate to
+      // log(0): skip it, the standard OOV-term rule
+      when(col(s"cf$i") > 0,
+        round(log((tf + lit(mu) * cf / col("__c").cast(DoubleType)) /
+          (dlD + lit(mu))), 6))
+        .otherwise(lit(0.0))
+    }
+    val matched = terms.map { case (_, i) => col(s"tf$i") > 0 }
+      .reduce(_ || _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(matched)
+      .withColumn("score", partials.reduce(_ + _))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
   /** Batched BM25 (X196): top-k hits for a whole BATCH of queries in
     * ONE pass over the index — the bulk-serving / offline-eval shape
     * (score ten thousand queries for a rerank-training set) where
@@ -655,7 +709,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * score with the doc_id tiebreak (the [[bm25Page]] discipline).
     * Per-query parity with the single-query path is suite-pinned.
     * `msm` gates on the count of DISTINCT matched terms per (query,
-    * doc), as X184. Output: (query_id, doc_id, score, rank ≤ k). */
+    * doc), as X184. Output: (query_id, doc_id, score, rank ≤ k).
+    *
+    * Plan note: the pruned postings slice is scanned twice (the tf
+    * branch and the df branch) and doclens twice (per-doc dl + the
+    * stats row) — all four bucket/column-pruned; this is NOT pinned by
+    * default because the (doc, term) tf table scales with batch-vocab ×
+    * matching docs, beyond the engine's vocabulary-sized pin class. A
+    * caller amortizing many batches over one hot slice can pin
+    * upstream. */
   def bm25Batch(queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "term"),

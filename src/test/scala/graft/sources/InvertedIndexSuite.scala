@@ -353,6 +353,29 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(phrase(idx, Seq("sort", "merge")) === phrase(ref, Seq("sort", "merge")))
   }
 
+  test("qlTopK: candidate restriction, OOV-term skip, deterministic order") {
+    val dir = Files.createTempDirectory("graft_inv_ql").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val base = rows(idx.qlTopK(Seq("sort", "merge"), k = 10))
+    // only docs containing at least one query term rank
+    assert(base.map(_._1).toSet === Set(1L, 2L, 4L))
+    // scores are a total order (desc), well-defined and negative (log-probs)
+    assert(base.map(_._2) === base.map(_._2).sorted.reverse)
+    assert(base.forall(_._2 < 0.0))
+    // an out-of-corpus term carries no information: identical ranking
+    assert(rows(idx.qlTopK(Seq("sort", "merge", "zzz"), k = 10)) === base)
+    // docs 2 and 4 have identical (tf, dl): equal scores, id tiebreak
+    val byId = base.toMap
+    assert(byId(2L) === byId(4L))
+    assert(base.indexWhere(_._1 == 2L) < base.indexWhere(_._1 == 4L))
+    intercept[IllegalArgumentException](idx.qlTopK(Seq("sort"), k = 0))
+    intercept[IllegalArgumentException](idx.qlTopK(Seq("sort"), k = 5, mu = 0.0))
+    intercept[IllegalArgumentException](idx.qlTopK(Nil, k = 5))
+  }
+
   test("bm25Batch: per-query parity with the single-query path; msm gate; contract checks") {
     val dir = Files.createTempDirectory("graft_inv_batch").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
