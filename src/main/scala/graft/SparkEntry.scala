@@ -937,6 +937,52 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q238_sql_served_bm25" -> ((s, d) => {
+      // X189 under the oracle gate: the ENTIRE q214 BM25 serving path
+      // expressed as ONE spark.sql statement over the registered layout
+      // views — tf from the postings view with stock-SQL md5 bucket
+      // predicates (constant-folded to PartitionFilters), stats from
+      // the doclens view, the exact bm25Rank arithmetic in SQL text.
+      // Same oracle as q214: the SQL route and the Scala route must
+      // produce the identical ranking.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlsvc").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      new graft.sources.StoreCatalog(s)
+        .registerInvertedIndex("graft_svc", s"$dir/inv")
+      val terms = Seq("sort", "merge", "spark")
+      val b = idx.bucketCount
+      def bucketSql(t: String) =
+        s"CAST(pmod(CAST(conv(substring(md5('$t'), 1, 7), 16, 10) AS BIGINT), $b) AS INT)"
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val bucketList = terms.map(bucketSql).mkString(", ")
+      val tfCols = terms.indices.map(i =>
+        s"count(CASE WHEN term = '${terms(i)}' THEN 1 END) AS tf$i").mkString(", ")
+      val pdCols = terms.indices.map(i =>
+        s"coalesce(tf.tf$i, 0L) AS tf$i").mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""round(ln(1.0D + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5D)
+              / (CAST(df$i AS DOUBLE) + 0.5D))
+            * CAST(tf$i AS DOUBLE) * 2.2D
+            / (CAST(tf$i AS DOUBLE) + 1.2D * ((1.0D - 0.75D)
+               + (0.75D * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s.sql(
+        s"""WITH tf AS (SELECT doc_id, $tfCols
+              FROM graft_svc_postings
+              WHERE term IN ($termList) AND tbucket IN ($bucketList)
+              GROUP BY doc_id),
+            pd AS (SELECT d.doc_id, d.dl, $pdCols
+              FROM graft_svc_doclens d LEFT JOIN tf ON d.doc_id = tf.doc_id),
+            st AS (SELECT count(*) AS n_docs,
+                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfCols FROM pd),
+            sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+              FROM pd CROSS JOIN st)
+            SELECT doc_id, dl, round(score, 6) AS score FROM sc
+            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""")
+    }),
     "q237_ql_rank" -> ((s, d) => {
       // X197 Dirichlet query-likelihood (Zhai & Lafferty '01): the
       // classic LM ranker served from the persisted index — tf from
@@ -3894,6 +3940,7 @@ object SparkEntry {
     "q213_inverted_index" -> phraseMatchSql,
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
+    "q238_sql_served_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q223_fuzzy_suggest" -> fuzzySuggestSql,

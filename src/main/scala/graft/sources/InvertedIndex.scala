@@ -45,6 +45,14 @@ import graft.operators.TextAnalysis
   * leaves reads correct, because an anti-join against already-removed
   * ids is a no-op.
   *
+  * The serving surface on top of the layout: [[termPostings]] (pruned
+  * slices feeding phrase/proximity), [[bm25]] (+ msm), [[qlTopK]]
+  * (Dirichlet query likelihood), [[booleanSearch]], [[bm25Page]] /
+  * [[bm25Ranked]] (keyset paging), [[bm25Batch]] (bulk multi-query),
+  * [[vocab]] (census-served term stats feeding fuzzy/prefix
+  * suggestions) — plus [[StoreCatalog.registerInvertedIndex]] for the
+  * `spark.sql` route over the same live frames.
+  *
   * Term statistics are served from an ADDITIVE census sidecar
   * (`census/base`, (term, df) rows): [[build]] writes the full census,
   * [[append]] adds the batch's census rows (df is additive because
