@@ -366,7 +366,19 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   /** Swap `tmp` into place via the Hadoop FileSystem API (HDFS/S3A/local —
     * not java.nio, which only works on a local disk). Two renames, not one
     * atomic op; the hidden backup + [[recoverSwap]] close the crash
-    * window: at every instant readers see either only-old or only-new. */
+    * window: at every instant readers see either only-old or only-new.
+    *
+    * Atomicity assumption, stated once for the engine's whole
+    * two-rename/marker family: each `rename` is assumed to be an ATOMIC
+    * O(1) metadata operation that either fully happens or not at all —
+    * true on HDFS and POSIX local filesystems. On an object store
+    * without atomic rename (plain S3), `FileSystem.rename` degrades to
+    * copy-then-delete: correctness survives (recovery re-walks the
+    * state-checked steps) but a crash mid-copy can expose a partially
+    * copied directory to the recovery scan, and the O(1)-metadata cost
+    * model breaks — on such stores the commit primitive should be a
+    * manifest/pointer flip (the [[graft.sources.NgramLm]] versioned-
+    * pointer pattern) rather than directory renames. */
   private def atomicSwap(tmp: Path, dst: Path): Unit = {
     val bak = bakPath(dst)
     if (fs.exists(bak)) fs.delete(bak, true)

@@ -329,6 +329,12 @@ final class IvfIndex(spark: SparkSession, path: String,
     require(maxFilesPerList >= 1,
       s"maxFilesPerList must be >= 1, got $maxFilesPerList")
     import spark.implicits._
+    // recover BEFORE reading the listing (the InvertedIndex.maintain
+    // rule): a crashed marker-committed merge still lists the vacated
+    // ivf_list=<last> dir — deciding on that stale listing would have
+    // the inner compact() roll the merge forward mid-flight and then
+    // fail requireDirs on the now-dropped directory
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
     val listCounts = dirFileCounts(listsPath, "ivf_list")
     val toCompact = listCounts.filter(_._2 > maxFilesPerList)
       .map(_._1).sorted
@@ -684,14 +690,19 @@ final class IvfIndex(spark: SparkSession, path: String,
     if (vacated != last) swapIn(staging, base, vacated)
     fs.delete(new Path(base, s"ivf_list=$last"), true)
     // the staged compressed layout (if the merge carried one) swaps the
-    // same way; the vacated codes dir drops whenever a codes layout
-    // exists (no-op otherwise)
+    // same way. The vacated codes dir drops ONLY when the merge
+    // demonstrably staged a codes half (the same guard as the swapIn
+    // calls): a merge staged before any codes layout existed must not
+    // delete a codes/ivf_list=<last> that came into existence in the
+    // crash window (e.g. a buildPq between marker commit and roll-
+    // forward) — that dir was never renumbered and deleting it would
+    // silently lose compressed-layout data
     val codesStaging = new Path(staging, "_codes")
     if (fs.exists(codesStaging)) {
       swapIn(codesStaging, codesPath, target)
       if (vacated != last) swapIn(codesStaging, codesPath, vacated)
+      fs.delete(new Path(codesPath, s"ivf_list=$last"), true)
     }
-    fs.delete(new Path(codesPath, s"ivf_list=$last"), true)
     fs.delete(staging, true)
     fs.delete(new Path(base, s".merge_pending_${target}_${vacated}_$last"), true)
   }

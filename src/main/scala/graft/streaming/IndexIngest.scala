@@ -73,14 +73,17 @@ object IndexIngest {
     * yet (the normal initial state of a crawl-ingest landing dir —
     * inference would throw); omitted, the schema infers from the
     * existing files. */
-  def start(
+  /** The shared readStream/writeStream scaffolding of [[start]] and
+    * [[startMaintained]] (the [[EmbedPipeline]] factoring rule: one
+    * definition of the schema-inference fallback, maxFilesPerTrigger,
+    * trigger and checkpoint wiring, so the two entry points cannot
+    * drift). */
+  private def startWith(
       spark: SparkSession,
       docsDir: String,
       checkpointDir: String,
-      index: InvertedIndex,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+      schema: Option[org.apache.spark.sql.types.StructType])(
+      body: (DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
       .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))
       .option("maxFilesPerTrigger", 1)
@@ -88,11 +91,20 @@ object IndexIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldBatch(index, batch, idCol, col(textCol))
-      }
+      .foreachBatch(body)
       .start()
-  }
+
+  def start(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      index: InvertedIndex,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery =
+    startWith(spark, docsDir, checkpointDir, schema) { (batch, _) =>
+      foldBatch(index, batch, idCol, col(textCol))
+    }
 
   /** [[start]] with the maintenance policy (X186) folded into the
     * ingest loop: every `every`-th micro-batch, after its fold, the
@@ -120,20 +132,12 @@ object IndexIngest {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : StreamingQuery = {
     require(every >= 1, s"every must be >= 1, got $every")
-    spark.readStream
-      .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(docsDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(index, batch, idCol, col(textCol))
-        if ((batchId + 1) % every == 0) {
-          index.maintain(maxFilesPerBucket, maxTombstoneFrac)
-          ()
-        }
+    startWith(spark, docsDir, checkpointDir, schema) { (batch, batchId) =>
+      foldBatch(index, batch, idCol, col(textCol))
+      if ((batchId + 1) % every == 0) {
+        index.maintain(maxFilesPerBucket, maxTombstoneFrac)
+        ()
       }
-      .start()
+    }
   }
 }

@@ -609,6 +609,68 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(!fs.exists(staging))
   }
 
+  test("maintain recovers a crashed marker-committed merge BEFORE deciding") {
+    import org.apache.hadoop.fs.Path
+    val idx = freshIndex()
+    val (target, _) = idx.mergeLists(1, 2)
+    val want = idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lists = s"${idx.indexPath}/lists"
+    val fs = new Path(lists).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reconstruct the committed-crash state (the mergeLists crash test's
+    // setup): marker present, union + renumbered dirs staged, live
+    // layout still pre-merge-shaped — the stale listing would name the
+    // vacated ivf_list=3 dir, and a maintain() deciding on THAT listing
+    // used to die in requireDirs after the inner compact rolled the
+    // merge forward under it
+    val staging = new Path(lists, ".staging_merge")
+    fs.mkdirs(staging)
+    assert(fs.rename(new Path(lists, s"ivf_list=$target"),
+      new Path(staging, s"ivf_list=$target")))
+    assert(fs.rename(new Path(lists, "ivf_list=2"),
+      new Path(staging, "ivf_list=2")))
+    assert(fs.rename(new Path(s"${idx.indexPath}/centroids"),
+      new Path(staging, "_centroids")))
+    fs.mkdirs(new Path(lists, s".merge_pending_${target}_2_3"))
+    // threshold 1 forces compacts on any multi-file list — the decision
+    // pass must run on the RECOVERED listing and complete cleanly
+    val report = idx.maintain(maxFilesPerList = 1)
+    assert(report.columns.toSeq ==
+      Seq("action", "target", "metric", "threshold", "acted"))
+    assert(!fs.exists(new Path(lists, s".merge_pending_${target}_2_3")))
+    val got = idx.search(query, 64, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "maintain must leave the rolled-forward merge intact")
+  }
+
+  test("merge recovery never deletes a codes list the merge did not stage") {
+    import org.apache.hadoop.fs.Path
+    val idx = freshIndex() // NO PQ layout at merge time
+    val (target, _) = idx.mergeLists(1, 2)
+    val lists = s"${idx.indexPath}/lists"
+    val fs = new Path(lists).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // committed-crash state again, but with no _codes half staged (the
+    // merge predates any compressed layout)...
+    val staging = new Path(lists, ".staging_merge")
+    fs.mkdirs(staging)
+    assert(fs.rename(new Path(lists, s"ivf_list=$target"),
+      new Path(staging, s"ivf_list=$target")))
+    assert(fs.rename(new Path(lists, "ivf_list=2"),
+      new Path(staging, "ivf_list=2")))
+    fs.mkdirs(new Path(lists, s".merge_pending_${target}_2_3"))
+    // ...and a codes/ivf_list=3 that came into existence IN the crash
+    // window (a buildPq between marker commit and roll-forward) — the
+    // roll-forward must not delete data it never renumbered
+    val orphanCodes = new Path(s"${idx.indexPath}/codes/ivf_list=3")
+    fs.mkdirs(orphanCodes)
+    val sentinel = new Path(orphanCodes, "part-sentinel.parquet")
+    fs.create(sentinel).close()
+    idx.search(query, 64, 3).collect() // triggers recoverMerge
+    assert(!fs.exists(new Path(lists, s".merge_pending_${target}_2_3")))
+    assert(fs.exists(sentinel),
+      "an unstaged codes list must survive merge roll-forward")
+  }
+
   test("splitList crash recovery: a marker-committed split rolls forward at next search") {
     import org.apache.hadoop.fs.Path
     val idx = freshIndex()
