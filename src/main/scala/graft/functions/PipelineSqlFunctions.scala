@@ -87,6 +87,25 @@ object PipelineSqlFunctions {
   private def tokens(text: Expression): Expression =
     fn("split", fn("lower", fn("trim", text)), L(s"[$Ws]+"))
 
+  /** [[graft.operators.TextAnalysis.segmentUnicode]]'s tree: pad every
+    * unsegmented-script codepoint with spaces (Java-dialect class — this
+    * expression runs in Spark, not DuckDB). */
+  private def segmentUnicode(text: Expression): Expression =
+    fn("regexp_replace", text,
+      L(graft.operators.TextAnalysis.UnsegRe), L(" $1 "))
+
+  /** The `graft_tokens` mode flag: absent/'ws' = whitespace only;
+    * 'unicode' = the unsegmented-script per-character fallback. */
+  private def tokensMode(text: Expression, mode: Expression): Expression =
+    mode match {
+      case Literal(m, StringType) if m != null && m.toString == "unicode" =>
+        tokens(segmentUnicode(text))
+      case Literal(m, StringType) if m != null && m.toString == "ws" =>
+        tokens(text)
+      case _ => throw new IllegalArgumentException(
+        s"graft_tokens mode must be the literal 'ws' or 'unicode', got ${mode.sql}")
+    }
+
   private def bpeCount(text: Expression): Expression =
     fn("aggregate", tokens(text), L(0L),
       lam2((acc, t) => fn("+", acc,
@@ -335,7 +354,12 @@ object PipelineSqlFunctions {
     name -> (args => if (args.length == n) b(args) else arity(name, n))
 
   private[functions] def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    fixed("graft_tokens", 1)(a => tokens(a.head)),
+    "graft_tokens" -> {
+      case Seq(text) => tokens(text)
+      case Seq(text, mode) => tokensMode(text, mode)
+      case _ => arity("graft_tokens", 1, 2)
+    },
+    fixed("graft_segment_unicode", 1)(a => segmentUnicode(a.head)),
     fixed("graft_bpe_count", 1)(a => bpeCount(a.head)),
     fixed("graft_lang_id", 1)(a => langId(a.head)),
     fixed("graft_quality_score", 1)(a => qualityScore(a.head)),

@@ -20,6 +20,46 @@ object TextAnalysis {
   /** Whitespace tokenizer over lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), s"[$Ws]+")
 
+  /** Unsegmented-script fallback segmentation (the standard CJK
+    * fallback when no dictionary segmenter is available — Lucene's
+    * CJKAnalyzer / ES `cjk` analyzer class of behavior): pad every
+    * codepoint of a script that does not use spaces between words with
+    * surrounding spaces, so the downstream whitespace split breaks a
+    * run into PER-CHARACTER units. On a whitespace-only tokenizer a
+    * whole CJK/Thai sentence is ONE token and BM25/LM/shingle/vocab
+    * statistics silently collapse; per-character units restore working
+    * (if coarse) term statistics for a large share of any web crawl.
+    *
+    * Covered blocks (BMP): Thai U+0E00–U+0E7F, Hiragana+Katakana
+    * U+3040–U+30FF, CJK Extension A U+3400–U+4DBF, CJK Unified
+    * U+4E00–U+9FFF, CJK Compatibility Ideographs U+F900–U+FAFF.
+    * Documented limits of the fallback: supplementary-plane ideographs
+    * (Ext B+) pass through unsegmented (surrogate-pair ranges are not
+    * in the class), and Thai combining vowels/tone marks become their
+    * own units — per-character Thai is coarser than dictionary
+    * segmentation but keeps n-gram statistics usable, the accepted
+    * trade of the regex-only fallback.
+    *
+    * Pure codegen'd `regexp_replace` — composes with EVERY text
+    * operator by wrapping its `text` column ([[tokens]],
+    * [[positionalPostings]] / [[graft.sources.InvertedIndex.build]],
+    * shingle dedup, [[graft.sources.NgramLm]]): `op(docs, id,
+    * segmentUnicode(col("text")))`. An index/model built with the
+    * wrapped column must also append/score through it — the mode is
+    * part of the caller's tokenization contract, like casing. ASCII
+    * (and any text without the covered blocks) is byte-identical
+    * through the pad, so the default path's results never change. */
+  def segmentUnicode(text: Column): Column =
+    regexp_replace(text, UnsegRe, " $1 ")
+
+  /** [[tokens]] with the unsegmented-script fallback: `tokens(text,
+    * unicode = true)` ≡ `tokens(segmentUnicode(text))` — the pad runs
+    * FIRST on the raw text, then the exact default pipeline, so the two
+    * modes share every downstream property (lowercasing, trim, the
+    * empty-token edge cases callers already handle). */
+  def tokens(text: Column, unicode: Boolean): Column =
+    if (unicode) tokens(segmentUnicode(text)) else tokens(text)
+
   /** BPE-ish subword count approximation: whitespace tokens plus extra
     * units for long words (a word of length L contributes ceil(L/4)
     * units, floor 1) — a cheap stand-in for a real tokenizer's
@@ -107,6 +147,19 @@ object TextAnalysis {
     * silently diverge between the engines on `\x0B` input. The explicit
     * class is the same set in both dialects. */
   private[graft] val Ws = " \\t\\n\\x0B\\f\\r"
+
+  /** The unsegmented-script codepoint class behind [[segmentUnicode]] —
+    * one capture group so the replacement can re-emit the character
+    * space-padded. Same BMP ranges in the Java and RE2 dialects (the
+    * SQL-oracle mirror writes them as RE2 `\x{....}` escapes). */
+  private[graft] val UnsegRe =
+    "([\\u0E00-\\u0E7F\\u3040-\\u30FF\\u3400-\\u4DBF" +
+      "\\u4E00-\\u9FFF\\uF900-\\uFAFF])"
+
+  /** RE2 spelling of [[UnsegRe]] for DuckDB-oracle SQL. */
+  private[graft] val UnsegReSql =
+    "([\\x{0E00}-\\x{0E7F}\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}])"
 
   /** Punctuation class shared by qualityMetrics/qualityScore and the SQL
     * twin `graft_quality_score` — one source of truth, same string in
@@ -445,9 +498,13 @@ object TextAnalysis {
     * MUST_NOT needs no corpus complement: a doc is a candidate only via
     * a must/should posting, and its not-count comes from the same
     * slice. */
-  def booleanMatch(index: DataFrame, must: Seq[String],
-      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
-      minShould: Int = 1): DataFrame = {
+  /** The Boolean-clause contract, shared by [[booleanMatch]] and the
+    * index-served [[graft.sources.InvertedIndex.booleanSearch]] so
+    * invalid input surfaces the clause-level message at EVERY entry
+    * point (not a generic postings-slice error from a helper that runs
+    * first). */
+  private[graft] def validateBooleanClauses(must: Seq[String],
+      should: Seq[String], mustNot: Seq[String], minShould: Int): Unit = {
     val all = must ++ should ++ mustNot
     require(must.nonEmpty || should.nonEmpty,
       "need at least one must or should term")
@@ -456,6 +513,13 @@ object TextAnalysis {
       s"a term appears in two clauses (or twice): $all")
     require(should.isEmpty || (minShould >= 1 && minShould <= should.size),
       s"minShould must be in [1, ${should.size}], got $minShould")
+  }
+
+  def booleanMatch(index: DataFrame, must: Seq[String],
+      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+      minShould: Int = 1): DataFrame = {
+    val all = must ++ should ++ mustNot
+    validateBooleanClauses(must, should, mustNot, minShould)
     def matched(ts: Seq[String]) =
       if (ts.isEmpty) count(when(lit(false), 1))
       else count(when(col("term").isin(ts: _*), 1))

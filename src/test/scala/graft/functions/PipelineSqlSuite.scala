@@ -48,6 +48,23 @@ class PipelineSqlSuite extends AnyFunSuite {
     parity("graft_tokens(text)", TextAnalysis.tokens(col("text")))
   }
 
+  test("graft_tokens mode flag + graft_segment_unicode == the unicode kernels") {
+    parity("graft_tokens(text, 'ws')", TextAnalysis.tokens(col("text")))
+    parity("graft_tokens(text, 'unicode')",
+      TextAnalysis.tokens(col("text"), unicode = true))
+    parity("graft_segment_unicode(text)",
+      TextAnalysis.segmentUnicode(col("text")))
+    // CJK run actually splits through the SQL surface
+    val r = spark.sql(
+      "SELECT graft_tokens('spark 機械学習 rocks', 'unicode') AS t")
+      .head().getSeq[String](0)
+    assert(r == Seq("spark", "機", "械", "学", "習", "rocks"))
+    // a non-literal or unknown mode is a clean error
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_tokens(text, 'nope') FROM pipe_docs").collect())
+    assert(e.getMessage.contains("mode") || e.getMessage.contains("nope"))
+  }
+
   test("graft_bpe_count == TextAnalysis.approxBpeCount") {
     parity("graft_bpe_count(text)", TextAnalysis.approxBpeCount(col("text")))
   }

@@ -31,6 +31,38 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(lang("") == "und")
   }
 
+  test("unicode tokens mode: ASCII byte-identical, unsegmented runs split per character") {
+    def toks(text: String, unicode: Boolean): Seq[String] =
+      Seq(text).toDF("t").select(TextAnalysis.tokens($"t", unicode))
+        .head().getSeq[String](0)
+    // ASCII (and anything without the covered blocks): the pad is the
+    // identity, both modes byte-identical — every existing oracle holds
+    for (t <- Seq("Merge Sort beats bubble", "  a\tb ", "", "naïve café – ok"))
+      assert(toks(t, unicode = true) == toks(t, unicode = false),
+        s"ASCII differential broke on '$t'")
+    // a CJK run becomes per-character units, neighbors untouched
+    assert(toks("spark 機械学習 rocks", unicode = true) ==
+      Seq("spark", "機", "械", "学", "習", "rocks"))
+    // whitespace-only mode: the whole run is ONE opaque token (the
+    // 100 TB failure mode the fallback exists to fix)
+    assert(toks("spark 機械学習 rocks", unicode = false) ==
+      Seq("spark", "機械学習", "rocks"))
+    // kana + han mixed run; lowercasing still applies to the ASCII part
+    assert(toks("GPUで学ぶ", unicode = true) == Seq("gpu", "で", "学", "ぶ"))
+    // Thai run splits per character (combining marks become units — the
+    // documented coarseness of the regex-only fallback)
+    assert(toks("ไทย", unicode = true) == Seq("ไ", "ท", "ย"))
+    // leading/trailing runs produce no empty edge tokens (outer trim)
+    assert(toks("機械 end", unicode = true) == Seq("機", "械", "end"))
+    // segmentUnicode composes with any text operator: postings over the
+    // padded column carry per-character terms with correct positions
+    val docs = Seq((1L, "sort 機械 merge")).toDF("doc_id", "text")
+    val posts = TextAnalysis.positionalPostings(docs, "doc_id",
+        TextAnalysis.segmentUnicode(col("text")))
+      .orderBy(col("pos")).collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(posts.toSeq == Seq(0 -> "sort", 1 -> "機", 2 -> "械", 3 -> "merge"))
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = Seq("Hello   World", "hello world", "HELLO\tWORLD", "other")
       .toDF("t").select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
