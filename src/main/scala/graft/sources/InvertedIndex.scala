@@ -222,7 +222,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
 
   /** Rename every data part-file from `from` into `to` (created if
     * missing), keeping names — parquet task files carry a unique job
-    * UUID, so staged names can never collide with live ones. */
+    * UUID, so staged names can never collide with live ones. The
+    * renames run sequentially on the driver: each is assumed an ATOMIC
+    * O(1) metadata op (HDFS/local — the engine-wide assumption, see
+    * [[EmbeddingStore]]'s swap core), so the loop costs file-count
+    * metadata calls, batch-proportional; on an object store without
+    * atomic rename the whole marker protocol needs a manifest-flip
+    * commit primitive instead. */
   private def moveDataFiles(from: Path, to: Path): Unit = {
     fs.mkdirs(to)
     fs.listStatus(from)
@@ -501,7 +507,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
     * in via backup-rename + staged-rename (the engine-wide two-rename
-    * discipline). A transform that deletes EVERY row still stages a
+    * discipline; atomic-rename assumption documented on
+    * [[EmbeddingStore]]'s swap core). A transform that deletes EVERY row still stages a
     * schema-carrying empty file so later whole-layout reads can infer
     * the schema (the [[IvfIndex]] emptied-partition rule). */
   private def stageSwap(live: String, partCol: Option[String])(
@@ -546,11 +553,53 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * Lucene's msm leaves idf untouched: zero extra I/O, zero extra
     * exchanges, and it shrinks the ranked set BEFORE the top-k heap. */
   def bm25(queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
-    TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b, gate)
+    // the input contract validates on the ORIGINAL query (empty input,
+    // duplicates, msm out of range are caller mistakes, not elision
+    // outcomes); msm then clamps to the survivor count
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(msm >= 1 && msm <= queryTerms.size,
+      s"msm must be in [1, ${queryTerms.size}], got $msm")
+    val terms = elideHot(queryTerms, maxDfFrac)
+    if (terms.isEmpty) return emptyBm25Frame()
+    val (perDoc, gate) = bm25PerDoc(terms, msm.min(terms.size))
+    TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b, gate)
   }
+
+  /** Hot-term serve policy (the Lucene-class stop-term rule): query
+    * terms whose LIVE document frequency exceeds `maxDfFrac` of the
+    * live doc count are elided from the query before any postings I/O.
+    * Such a term's idf ≈ 0 — it contributes almost nothing to the
+    * ranking — but its postings are ∝ the corpus (a stopword's bucket
+    * read dwarfs every other term's), so skipping it is the cheap 90%
+    * of impact-ordered/block-max postings. The decision is served from
+    * the census sidecar ([[vocab]] — a vocabulary-sized read) plus one
+    * doclens count; NO postings bucket is opened to decide. Default 1.0
+    * disables the policy with zero plan change. A query whose terms are
+    * ALL elided returns an empty frame (nothing discriminative to
+    * rank) — the documented degenerate case. */
+  private def elideHot(terms: Seq[String], maxDfFrac: Double): Seq[String] = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    if (maxDfFrac >= 1.0 || terms.isEmpty) return terms
+    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    if (n == 0L) return terms
+    val hot = vocab()
+      .filter(col("term").isin(terms: _*))
+      .filter(col("df").cast(DoubleType) > lit(maxDfFrac) * n)
+      .select(col("term")).collect().map(_.getString(0)).toSet
+    terms.filterNot(hot)
+  }
+
+  /** Zero-row (doc_id, dl, score) frame with the stored doc_id type —
+    * what a fully-elided query ranks to. */
+  private def emptyBm25Frame(): DataFrame =
+    spark.read.parquet(doclensPath).limit(0)
+      .select(col("doc_id"), col("dl"), lit(0.0).as("score"))
 
   /** The shared front half of [[bm25]] and [[bm25Page]]: per-doc tf
     * columns from the pruned postings buckets left-joined onto the live
@@ -643,6 +692,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * predicate documented on [[livePostings]]. */
   def bucketCount: Int = { recover(); readBuckets() }
 
+  /** Crash recovery alone — the [[graft.sources.v2.GraftLayoutSource]]
+    * scan-build hook (a V2 scan is a read entry point like any other,
+    * so it recovers first; the engine-wide rule). */
+  private[graft] def recoverForRead(): Unit = recover()
+
   /** Dirichlet query-likelihood ranking (X197; Zhai & Lafferty, SIGIR
     * '01 — THE classic LM ranker next to BM25): top-k docs by
     * Σ_t log((tf_td + μ·cf_t/C) / (dl_d + μ)) over the query terms,
@@ -727,17 +781,27 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * caller amortizing many batches over one hot slice can pin
     * upstream. */
   def bm25Batch(queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "term"),
       s"queries must be (query_id, term) rows, got ${queries.columns.toSeq}")
     require(k > 0, s"k must be positive, got $k")
     require(msm >= 1, s"msm must be >= 1, got $msm")
     import org.apache.spark.sql.expressions.Window
-    val q = queries.dropDuplicates("query_id", "term")
+    val qAll = queries.dropDuplicates("query_id", "term")
       .filter(col("term").isNotNull && col("term") =!= "")
-    val terms = q.select(col("term")).distinct()
+    val termsAll = qAll.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    require(terms.nonEmpty, "no terms in the query batch")
+    require(termsAll.nonEmpty, "no terms in the query batch")
+    // hot-term policy over the BATCH vocabulary (one census lookup for
+    // the whole batch); queries left with no surviving term simply rank
+    // nothing — the single-query degenerate case, per query
+    val terms = elideHot(termsAll, maxDfFrac)
+    if (terms.isEmpty)
+      return qAll.limit(0).crossJoin(emptyBm25Frame())
+        .select(col("query_id"), col("doc_id"), col("score"),
+          lit(0).as("rank"))
+    val q = qAll.filter(col("term").isin(terms: _*))
     val tf = termPostings(terms)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -767,15 +831,158 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Batched Dirichlet query-likelihood (X197 in the X196 batch shape):
+    * top-k docs per query for a whole (query_id, term) batch in ONE
+    * pruned pass — the offline-eval path for the LM ranker (score a
+    * rerank-training query set without re-reading the index per
+    * query). Collection stats come once from the stored layout: cf per
+    * term from the batch vocabulary's pruned postings slice, C = Σ dl
+    * from one doclens pass. Candidates per query are docs matching ≥1
+    * of that query's terms (the [[qlTopK]] restriction); each
+    * candidate then scores against the query's FULL term list —
+    * zero-tf terms contribute their smoothing term, OOV terms (cf = 0)
+    * are skipped — via a candidates × query-terms grid join, never
+    * |queries| × |corpus|. Per-term partials round at 6 and sum as
+    * EXACT DECIMAL (order-free — the [[bm25Batch]] discipline; the
+    * suite pins per-query parity with [[qlTopK]]). Output:
+    * (query_id, doc_id, score, rank ≤ k). */
+  def qlBatch(queries: DataFrame, k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queries.columns.toSeq == Seq("query_id", "term"),
+      s"queries must be (query_id, term) rows, got ${queries.columns.toSeq}")
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.dropDuplicates("query_id", "term")
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val terms = q.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(terms.nonEmpty, "no terms in the query batch")
+    val slice = termPostings(terms)
+    val tf = slice.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cfs = slice.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    val totals = dls.agg(sum(col("dl")).cast(LongType).as("__c"))
+    val cand = q.join(tf.select(col("term"), col("doc_id")), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val grid = cand.join(q, Seq("query_id"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val partial = when(col("cf") > 0,
+      round(log((col("tf").cast(DoubleType) +
+          lit(mu) * col("cf").cast(DoubleType) / col("__c").cast(DoubleType)) /
+        (col("dl").cast(DoubleType) + lit(mu))), 6))
+      .otherwise(lit(0.0))
+    grid
+      .join(tf, Seq("doc_id", "term"), "left").na.fill(0L, Seq("tf"))
+      .join(cfs, Seq("term"), "left").na.fill(0L, Seq("cf"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__p", partial)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("__p").cast(dec)).cast(DoubleType), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Batched set-Boolean retrieval (X194 in the X196 batch shape):
+    * every query of a (query_id, term, clause) batch — clause ∈
+    * 'must' | 'should' | 'must_not' — answered from ONE pruned pass
+    * over the batch vocabulary's buckets. Per (query, doc) the three
+    * clause-membership counts come from one aggregate over the
+    * matched (doc, term) pairs joined to the clause table; a doc
+    * qualifies when it matched ALL of the query's must terms, at
+    * least `min(minShould, |should|)` of its should terms (vacuous
+    * for a should-less query), and NONE of its must_not terms.
+    * Per-query parity with [[booleanSearch]] is suite-pinned. The
+    * clause contract validates distributively (three batch-sized
+    * checks, no postings I/O): every query needs a must or should
+    * term, no empty terms, no term in two clauses of one query.
+    * Output: (query_id, doc_id, n_should). */
+  def booleanSearchBatch(clauses: DataFrame, minShould: Int = 1): DataFrame = {
+    require(clauses.columns.toSeq == Seq("query_id", "term", "clause"),
+      s"clauses must be (query_id, term, clause) rows, got ${clauses.columns.toSeq}")
+    require(minShould >= 1, s"minShould must be >= 1, got $minShould")
+    val valid = Seq("must", "should", "must_not")
+    require(clauses.filter(!col("clause").isin(valid: _*)).isEmpty,
+      s"clause must be one of $valid")
+    require(clauses.filter(col("term").isNull || col("term") === "").isEmpty,
+      "empty term in the clause batch")
+    val c = clauses.dropDuplicates()
+    require(c.groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
+      "a term appears in two clauses of one query")
+    val perQuery = c.groupBy(col("query_id")).agg(
+      count(when(col("clause") === "must", 1)).as("__m"),
+      count(when(col("clause") === "should", 1)).as("__s"))
+    require(perQuery.filter(col("__m") === 0 && col("__s") === 0).isEmpty,
+      "every query needs at least one must or should term")
+    val terms = c.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val matched = termPostings(terms)
+      .select(col("doc_id"), col("term")).distinct()
+    val agg = c.join(matched, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
+        count(when(col("clause") === "should", 1)).as("n_should"),
+        count(when(col("clause") === "must_not", 1)).as("__n_not"))
+    agg.join(broadcast(perQuery), Seq("query_id"))
+      .filter(col("__n_must") === col("__m") && col("__n_not") === 0 &&
+        (col("__s") === 0 ||
+          col("n_should") >= least(lit(minShould.toLong), col("__s"))))
+      .select(col("query_id"), col("doc_id"), col("n_should"))
+  }
+
   /** Set-Boolean retrieval served from the index (X194): the
     * [[graft.operators.TextAnalysis.booleanMatch]] semantics over the
     * pruned postings buckets of the three clauses' terms — MUST ∧
     * (≥ minShould of SHOULD) ∧ ¬MUST_NOT, emitting (doc_id, n_should);
     * tombstones masked via [[termPostings]], text never read. */
   def booleanSearch(must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil, minShould: Int = 1): DataFrame =
-    TextAnalysis.booleanMatch(termPostings(must ++ should ++ mustNot),
-      must, should, mustNot, minShould)
+      mustNot: Seq[String] = Nil, minShould: Int = 1,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    // clause contract FIRST (shared validator) — termPostings would
+    // otherwise surface its generic slice errors for clause-level
+    // mistakes (mustNot-only input, an empty-string term)
+    TextAnalysis.validateBooleanClauses(must, should, mustNot, minShould)
+    // hot-term policy ([[elideHot]]): stop-class terms drop from every
+    // clause — the Lucene StopFilter query-side behavior (a stopword
+    // constrains nothing: requiring/excluding a term in most of the
+    // corpus is noise, and its postings are the expensive ones). One
+    // census lookup for all three clauses.
+    val hot = (must ++ should ++ mustNot)
+      .diff(elideHot(must ++ should ++ mustNot, maxDfFrac)).toSet
+    val (m, s, n) = (must.filterNot(hot), should.filterNot(hot),
+      mustNot.filterNot(hot))
+    if (m.isEmpty && s.isEmpty)
+      return spark.read.parquet(doclensPath).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_should"))
+    TextAnalysis.booleanMatch(termPostings(m ++ s ++ n),
+      m, s, n, if (s.isEmpty) 1 else minShould.min(s.size))
+  }
+
+  /** Proximity (NEAR/k) served from the index with the hot-term policy:
+    * [[graft.operators.TextAnalysis.proximityMatch]] over the two
+    * terms' pruned buckets. A stop-class term (df > `maxDfFrac`·N)
+    * makes the banded self-join degenerate — its postings are ∝ the
+    * corpus on BOTH sides — and proximity against an elided term is
+    * undefined, so the query answers EMPTY (the Lucene StopFilter
+    * behavior: a phrase/NEAR over removed stopwords matches nothing)
+    * rather than scanning a corpus-sized bucket. Default 1.0 = exact
+    * q215 behavior, zero plan change. */
+  def proximitySearch(termA: String, termB: String, maxDist: Int,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty, "empty term")
+    val survivors = elideHot(Seq(termA, termB).distinct, maxDfFrac)
+    if (survivors.size < Seq(termA, termB).distinct.size)
+      return spark.read.parquet(doclensPath).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_pairs"),
+          lit(0).cast(IntegerType).as("min_dist"))
+    TextAnalysis.proximityMatch(termPostings(Seq(termA, termB).distinct),
+      termA, termB, maxDist)
+  }
 
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory

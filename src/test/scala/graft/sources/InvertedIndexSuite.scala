@@ -463,6 +463,123 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.maintain(maxTombstoneFrac = 0.0))
   }
 
+  test("hot-term policy: default is plan-identical; a hot term elides before postings I/O") {
+    val dir = Files.createTempDirectory("graft_inv_hot").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text")) // 'sort' df=2/3, 'merge' 2/3, 'bubble' 1/3
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // default (1.0): bit-identical to the unpoliced path
+    assert(hits(idx.bm25(Seq("sort", "bubble"), k = 10, maxDfFrac = 1.0)) ==
+      hits(idx.bm25(Seq("sort", "bubble"), k = 10)))
+    // frac 0.5: 'sort' (df 2/3) elides, ranking equals bubble-only
+    assert(hits(idx.bm25(Seq("sort", "bubble"), k = 10, maxDfFrac = 0.5)) ==
+      hits(idx.bm25(Seq("bubble"), k = 10)))
+    // the elided term's bucket is NOT in the pruned scan set
+    val plan = idx.bm25(Seq("sort", "bubble"), k = 10, maxDfFrac = 0.5)
+      .queryExecution.executedPlan
+    val scanned = plan.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.partitionFilters.map(_.toString)).mkString(" ")
+    val sortBucket = idx.bucketOf("sort", 8)
+    val bubbleBucket = idx.bucketOf("bubble", 8)
+    if (sortBucket != bubbleBucket)
+      assert(!scanned.contains(s"[$sortBucket]") ||
+        scanned.contains(s"$bubbleBucket"),
+        s"pruned set should not include the hot term's bucket: $scanned")
+    // all terms hot -> empty frame, bm25 schema preserved
+    val empty = idx.bm25(Seq("sort", "merge"), k = 10, maxDfFrac = 0.1)
+    assert(empty.columns.toSeq == Seq("doc_id", "dl", "score"))
+    assert(empty.isEmpty)
+    // msm clamps to the survivor count instead of failing
+    assert(hits(idx.bm25(Seq("sort", "bubble"), k = 10, msm = 2,
+      maxDfFrac = 0.5)) == hits(idx.bm25(Seq("bubble"), k = 10)))
+    // booleanSearch: hot must-term drops from the clause; survivors rule
+    val b1 = idx.booleanSearch(Seq("sort", "bubble"), maxDfFrac = 0.5)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val b2 = idx.booleanSearch(Seq("bubble"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(b1 == b2)
+    // all clauses hot -> empty with the (doc_id, n_should) schema
+    val be = idx.booleanSearch(Seq("sort"), Seq("merge"), maxDfFrac = 0.1)
+    assert(be.columns.toSeq == Seq("doc_id", "n_should") && be.isEmpty)
+    // proximity: a hot term answers empty rather than scanning its bucket
+    assert(idx.proximitySearch("sort", "merge", 4, maxDfFrac = 0.1).isEmpty)
+    assert(idx.proximitySearch("sort", "merge", 4).count() ==
+      graft.operators.TextAnalysis.proximityMatch(
+        idx.termPostings(Seq("sort", "merge")), "sort", "merge", 4).count())
+  }
+
+  test("qlBatch: per-query parity with qlTopK; OOV term contributes nothing") {
+    val dir = Files.createTempDirectory("graft_inv_qlb").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val queries = Seq(
+      ("qa", "sort"), ("qa", "merge"),
+      ("qb", "bubble"), ("qb", "zzznope")).toDF("query_id", "term")
+    val got = idx.qlBatch(queries, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq.sortBy(x => (x._1, x._4))
+    def single(terms: Seq[String], qid: String) =
+      idx.qlTopK(terms, k = 10).collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(2), i + 1) }.toSeq
+    val want = (single(Seq("sort", "merge"), "qa") ++
+      single(Seq("bubble", "zzznope"), "qb")).sortBy(x => (x._1, x._4))
+    // scores: batch sums DECIMAL-exact over round-6 partials, single
+    // sums doubles in term order — equal to 1e-6 by construction, and
+    // on this fixture exactly equal
+    assert(got.map(x => (x._1, x._2, x._4)) == want.map(x => (x._1, x._2, x._4)),
+      s"rank order diverged:\n$got\nvs\n$want")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) <= 1e-6, s"score diverged: $g vs $w") }
+  }
+
+  test("booleanSearchBatch: per-query parity with booleanSearch; contract checks") {
+    val dir = Files.createTempDirectory("graft_inv_blb").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val clauses = Seq(
+      ("qa", "sort", "must"), ("qa", "merge", "should"),
+      ("qa", "bubble", "must_not"),
+      ("qb", "merge", "must"), ("qb", "sort", "must")).toDF(
+      "query_id", "term", "clause")
+    val got = idx.booleanSearchBatch(clauses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val wa = idx.booleanSearch(Seq("sort"), Seq("merge"), Seq("bubble"))
+      .collect().map(r => ("qa", r.getLong(0), r.getLong(1))).toSet
+    val wb = idx.booleanSearch(Seq("merge", "sort"))
+      .collect().map(r => ("qb", r.getLong(0), r.getLong(1))).toSet
+    assert(got == (wa ++ wb))
+    // contract surfaces at the batch level
+    intercept[IllegalArgumentException](idx.booleanSearchBatch(
+      Seq(("q", "sort", "nope")).toDF("query_id", "term", "clause")))
+    intercept[IllegalArgumentException](idx.booleanSearchBatch(
+      Seq(("q", "sort", "must_not")).toDF("query_id", "term", "clause")))
+    intercept[IllegalArgumentException](idx.booleanSearchBatch(
+      Seq(("q", "sort", "must"), ("q", "sort", "should"))
+        .toDF("query_id", "term", "clause")))
+    intercept[IllegalArgumentException](idx.booleanSearchBatch(
+      Seq(("q", "", "must")).toDF("query_id", "term", "clause")))
+  }
+
+  test("booleanSearch surfaces the clause contract, not a postings-slice error") {
+    val dir = Files.createTempDirectory("graft_inv_boolval").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    // mustNot-only input: the clause-level message, not termPostings'
+    // generic 'need at least one term'
+    val e1 = intercept[IllegalArgumentException](
+      idx.booleanSearch(Nil, Nil, Seq("sort")))
+    assert(e1.getMessage.contains("must or should"))
+    // an empty-string term: the clause-level message, not the slice's
+    val e2 = intercept[IllegalArgumentException](
+      idx.booleanSearch(Seq("sort", "")))
+    assert(e2.getMessage.contains("empty term"))
+    // cross-clause duplicate
+    val e3 = intercept[IllegalArgumentException](
+      idx.booleanSearch(Seq("sort"), Seq("sort")))
+    assert(e3.getMessage.contains("two clauses"))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
