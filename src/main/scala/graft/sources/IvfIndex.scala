@@ -879,6 +879,14 @@ final class IvfIndex(spark: SparkSession, path: String,
     spark.read.parquet(listsPath)
   }
 
+  /** Crash recovery alone (lists + centroid pointer) — the
+    * [[graft.sources.v2.GraftLayoutSource]] scan-build hook: a V2 scan
+    * is a read entry point like any other, so it recovers first. */
+  private[graft] def recoverForRead(): Unit = {
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
+    recoverDir(path)
+  }
+
   /** See [[listsView]]. */
   def centroidsView: DataFrame = {
     recoverDir(path)

@@ -77,13 +77,23 @@ class IngestCatalogSuite extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sqlPhrase.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       === viaScala, "SQL phrase over the views must equal the Scala serving path")
-    // the bucket predicate constant-folds into PartitionFilters
+    // the bucket predicate constant-folds, pushes into the V2 scan and
+    // prunes the directory listing: each postings scan plans only the
+    // one queried bucket's files (the PartitionFilters audit, preserved
+    // through the live provider)
     val scans = sqlPhrase.queryExecution.sparkPlan
-      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
-    assert(scans.nonEmpty && scans.forall(s =>
-        s.metadata("PartitionFilters").contains("tbucket")),
-      "the stock-SQL bucket predicate must prune at the partition level")
+      .collect { case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s }
+      .map(_.scan).collect { case s: graft.sources.v2.LayoutScan => s }
+      .filter(_.description().startsWith("graft:postings"))
+    assert(scans.nonEmpty, "postings must read through the V2 provider")
+    val allBuckets = new java.io.File(s"$dir/inv/postings").listFiles()
+      .count(_.getName.startsWith("tbucket="))
+    scans.foreach { s =>
+      val planned = s.planInputPartitions().length
+      assert(planned < allBuckets,
+        s"bucket pushdown must prune the listing: planned $planned files " +
+          s"vs $allBuckets bucket dirs (${s.description()})")
+    }
     // vocab view = census-served live vocabulary
     assert(spark.sql("SELECT term, df FROM catsql_vocab ORDER BY term")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
@@ -91,6 +101,69 @@ class IngestCatalogSuite extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1))).toSeq)
     assert(spark.sql("SELECT COUNT(*) FROM catsql_doclens").head().getLong(0)
       === 3L, "tombstoned doc 4 must be masked in the doclens view")
+  }
+
+  test("X200: registered views are LIVE — delete, vacuum and append visible with NO re-registration") {
+    val docs = Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort merge join strategy"),
+      (3L, "unrelated text entirely"),
+      (4L, "another sort merge document")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cat_live").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docs, "doc_id", col("text"))
+    val cat = new StoreCatalog(spark)
+    cat.registerInvertedIndex("catlive", s"$dir/inv")
+    def docIds() = spark.sql("SELECT DISTINCT doc_id FROM catlive_doclens")
+      .collect().map(_.getLong(0)).toSet
+    def sortDf() = spark.sql("SELECT df FROM catlive_vocab WHERE term = 'sort'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(docIds() == Set(1L, 2L, 3L, 4L))
+    assert(sortDf() == Seq(3L)) // docs 1, 2, 4
+    // delete AFTER registration: the very next SQL statement must see it
+    idx.delete(Seq(4L).toDF("doc_id"))
+    assert(docIds() == Set(1L, 2L, 3L), "tombstone invisible through the view")
+    assert(sortDf() == Seq(2L), "vocab must subtract the tombstoned doc live")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM catlive_postings WHERE doc_id = 4").head().getLong(0)
+      == 0L, "postings of a deleted doc must be masked live")
+    // vacuum: physical rewrite, same answers, no resurrection
+    idx.vacuum()
+    assert(docIds() == Set(1L, 2L, 3L))
+    assert(sortDf() == Seq(2L))
+    // append: new files visible at the next scan's re-listing
+    idx.append(Seq((5L, "sort everything")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+    assert(docIds() == Set(1L, 2L, 3L, 5L), "appended files invisible to the view")
+    assert(sortDf() == Seq(3L), "census append must reach the vocab view")
+    // parity with the Scala serving path after the full mutation walk
+    val sqlVocab = spark.sql("SELECT term, df FROM catlive_vocab ORDER BY term")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val scalaVocab = idx.vocab().orderBy(col("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlVocab === scalaVocab)
+  }
+
+  test("X200: IVF views are LIVE — physical delete and append visible with NO re-registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val vecs = (1L to 16L).map(i => i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val embs = vecs.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_cat_ivflive").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", vecs.take(2).map(_._2))
+    val cat = new StoreCatalog(spark)
+    cat.registerIvfIndex("cativl", s"$dir/ivf")
+    def ids() = spark.sql("SELECT id FROM cativl_lists")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == (1L to 16L).toSet)
+    idx.delete(Seq(3L, 7L).toDF("id"))
+    assert(ids() == (1L to 16L).toSet -- Set(3L, 7L),
+      "a physical IVF delete must be visible at the next scan")
+    idx.append(Seq(99L -> Array.fill(8)(0.5f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(ids() == (1L to 16L).toSet -- Set(3L, 7L) + 99L,
+      "an IVF append must be visible at the next scan")
   }
 
   test("X189: SQL-registered IVF lists serve a probe ≡ the Scala search, vec_cosine kernel") {
