@@ -175,4 +175,33 @@ final class NgramLm(spark: SparkSession, path: String) {
       if (v != keep) fs.delete(st.getPath, true)
     }
   }
+
+  /** Maintenance policy as code (X186, the versioned-artifact member of
+    * the family: [[graft.sources.InvertedIndex.maintain]] /
+    * [[graft.sources.IvfIndex.maintain]]): every [[append]]/[[remove]]
+    * publishes a NEW version directory and leaves the previous one for
+    * in-flight readers, so a long-running maintenance loop accretes one
+    * full table set per mutation until [[vacuum]] reclaims them. Reads
+    * the version listing (a file listing — never table data), runs
+    * [[vacuum]] when the NON-current version count exceeds
+    * `maxStaleVersions`, and returns the decision record: the observed
+    * stale count, the threshold, and whether the GC ran. The threshold
+    * is the caller's retention policy — how many superseded versions
+    * in-flight readers may still be pinned to (a reader pins a version
+    * at its own start, [[graft.streaming.SbStream.freezeTables]], so
+    * retention must cover the longest-running reader's lifetime). Run
+    * on the serving loop's restart path: a restart re-pins to CURRENT,
+    * so everything older is reclaimable. */
+  def maintain(maxStaleVersions: Int = 8): DataFrame = {
+    require(maxStaleVersions >= 0,
+      s"maxStaleVersions must be >= 0, got $maxStaleVersions")
+    import spark.implicits._
+    val keep = currentVersion()
+    val stale = Option(fs.globStatus(new Path(path, "v=*"))).toSeq.flatten
+      .count(_.getPath.getName.stripPrefix("v=").toInt != keep)
+    val doVacuum = stale > maxStaleVersions
+    if (doVacuum) vacuum()
+    Seq(("vacuum", stale.toDouble, maxStaleVersions.toDouble, doVacuum))
+      .toDF("action", "metric", "threshold", "acted")
+  }
 }

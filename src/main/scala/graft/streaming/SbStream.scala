@@ -167,8 +167,15 @@ object SbStream {
       idCol: String = "doc_id",
       textCol: String = "text",
       lambda: Double = 0.4,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxStaleVersions: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // restart path = the version-GC point (X186 on NgramLm): this
+    // stream is about to re-pin to CURRENT, so superseded versions
+    // beyond the retention threshold are reclaimable — run the policy
+    // BEFORE freezing, a version pinned below can never be vacuumed
+    // out from under the stream (vacuum keeps current)
+    new NgramLm(spark, lmPath).maintain(maxStaleVersions)
     val tables = freezeTables(spark, lmPath, lambda)
     spark.readStream
       .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))

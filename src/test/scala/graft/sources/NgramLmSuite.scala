@@ -82,6 +82,32 @@ class NgramLmSuite extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/lm/v=3/uni").count() === 0)
   }
 
+  test("maintain: calm = no-op report; crossed = stale versions dropped, scores unchanged") {
+    val dir = Files.createTempDirectory("graft_nglm_maint").toString
+    val lm = new NgramLm(spark, s"$dir/lm")
+    lm.build(refA, "doc_id", col("text"))
+    lm.append(refB, "doc_id", col("text")) // v=2 current, v=1 stale
+    val want = rows(lm.score(probe, "doc_id", col("text")))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions = Option(fs.globStatus(new Path(s"$dir/lm", "v=*")))
+      .toSeq.flatten.map(_.getPath.getName).toSet
+    // calm: 1 stale <= threshold 1 — byte-identical no-op
+    val calm = lm.maintain(maxStaleVersions = 1).collect()
+    assert(calm.length == 1 && !calm.head.getBoolean(3),
+      "below-threshold maintain must not act")
+    assert(calm.head.getDouble(1) == 1.0)
+    assert(versions == Set("v=1", "v=2"))
+    // crossed: threshold 0 — v=1 dropped, current intact, scores unchanged
+    val acted = lm.maintain(maxStaleVersions = 0).collect()
+    assert(acted.head.getBoolean(3), "over-threshold maintain must vacuum")
+    assert(versions == Set("v=2"))
+    assert(lm.currentVersion() == 2)
+    assert(rows(lm.score(probe, "doc_id", col("text"))) === want,
+      "version GC must not change the served model")
+    // idempotent: nothing stale left
+    assert(!lm.maintain(maxStaleVersions = 0).collect().head.getBoolean(3))
+  }
+
   test("pointer crash recovery: a half-done swap restores at the next read") {
     val dir = Files.createTempDirectory("graft_nglm_crash").toString
     val lm = new NgramLm(spark, s"$dir/lm")
