@@ -937,6 +937,108 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q239_unicode_vocab" -> ((s, d) => {
+      // X198 unsegmented-script fallback: vocabulary census over the
+      // mixed-script corpus through the unicode tokens mode — each
+      // CJK/Thai codepoint is its own unit, so the per-character df/cf
+      // rows exist AT ALL (the whitespace mode would collapse every
+      // run into one opaque token); restricted to the unsegmented-class
+      // units so the gate pins exactly the new behavior
+      val m = mixedDocs(s, d)
+      m.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"), unicode = true)).as("term"))
+        .filter(col("term") =!= "")
+        .filter(col("term").rlike(TextAnalysis.UnsegRe))
+        .groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+        .orderBy(col("term"))
+    }),
+    "q240_unicode_bm25" -> ((s, d) => {
+      // X198 through the FULL persisted serving path: an inverted index
+      // built over segmentUnicode(text) ranks per-character CJK query
+      // units next to an ASCII term with the exact q214 arithmetic —
+      // the index layout, census and BM25 serve all work unchanged on
+      // the segmented token stream
+      val dir = java.nio.file.Files.createTempDirectory("graft_ubm").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(mixedDocs(s, d), "doc_id",
+        TextAnalysis.segmentUnicode(col("text")))
+      idx.bm25(Seq("機", "習", "sort"), k = 20)
+    }),
+    "q241_unicode_shingles" -> ((s, d) => {
+      // X198 through shingle dedup: q45's consecutive-pair jaccard over
+      // the mixed corpus with segmented text — CJK/Thai runs shingle as
+      // per-character 3-grams instead of one opaque token, so near-dup
+      // statistics stay meaningful on unsegmented scripts
+      val m = mixedDocs(s, d)
+      val pairs = m.select(col("doc_id").as("id1"),
+        (col("doc_id") + 1).as("id2"))
+      Dedup.jaccardVerify(pairs, m, "doc_id",
+          TextAnalysis.segmentUnicode(col("text")), 3)
+        .orderBy(col("id1"))
+    }),
+    "q242_hot_term_skip" -> ((s, d) => {
+      // X199 hot-term serve policy: BM25 with maxDfFrac — the term
+      // whose census df exceeds the fraction of the live doc count
+      // ('merge' at this corpus) is elided before any postings I/O
+      // (its idf ≈ 0; its postings ∝ the corpus); the oracle mirrors
+      // the skip rule itself, so WHICH term is hot is decided by the
+      // data on both sides
+      val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      idx.bm25(Seq("sort", "merge", "spark"), k = 20, maxDfFrac = 0.78)
+    }),
+    "q243_serving_dedup" -> ((s, d) => {
+      // X193 threaded into the X188 stack — the real SERP order: fuse,
+      // THEN collapse by content fingerprint (best-ranked survivor per
+      // fingerprint), THEN snippet only the surviving hits
+      val (fused, inv, corrected, docs) = servingStack(s, d)
+      val hits = fused.select(col("vec_id").as("doc_id"), col("r0"),
+        col("r1"), col("rrf").as("score"))
+      val deduped = SearchEngine.dedupHits(hits, docs, "doc_id",
+        col("text"), k = 10)
+      val snips = TextAnalysis.snippets(
+        docs.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "doc_id", col("text"), inv.termPostings(corrected), corrected,
+        window = 8)
+      deduped.join(snips, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
+    "q244_ql_batch" -> ((s, d) => {
+      // X197 in the X196 batch shape: Dirichlet QL top-5 per query for
+      // a 3-query batch (one OOV term exercises the skip rule) in ONE
+      // pruned pass — per-(doc,term) tf, shared cf/C, candidates × query
+      // terms grid for the smoothing of zero-tf terms
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_qlb").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      val queries = Seq(
+        ("qa", "sort"), ("qa", "merge"),
+        ("qb", "spark"), ("qb", "merge"),
+        ("qc", "join"), ("qc", "zzznotaword")).toDF("query_id", "term")
+      idx.qlBatch(queries, k = 5)
+    }),
+    "q245_boolean_batch" -> ((s, d) => {
+      // X194 in the X196 batch shape: three Boolean queries (qa = the
+      // q235 clauses — per-query parity with booleanSearch is oracle-
+      // visible) answered from one pruned pass over the batch
+      // vocabulary's buckets
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_blb").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      val clauses = Seq(
+        ("qa", "sort", "must"), ("qa", "merge", "must"),
+        ("qa", "spark", "should"), ("qa", "join", "should"),
+        ("qa", "bubble", "must_not"),
+        ("qb", "scan", "must"), ("qb", "filter", "should"),
+        ("qc", "data", "should"), ("qc", "big", "should"))
+        .toDF("query_id", "term", "clause")
+      idx.booleanSearchBatch(clauses, minShould = 1)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
     "q238_sql_served_bm25" -> ((s, d) => {
       // X189 under the oracle gate: the ENTIRE q214 BM25 serving path
       // expressed as ONE spark.sql statement over the registered layout
@@ -950,38 +1052,23 @@ object SparkEntry {
       idx.build(t(s, d, "documents"), "doc_id", col("text"))
       new graft.sources.StoreCatalog(s)
         .registerInvertedIndex("graft_svc", s"$dir/inv")
-      val terms = Seq("sort", "merge", "spark")
-      val b = idx.bucketCount
-      def bucketSql(t: String) =
-        s"CAST(pmod(CAST(conv(substring(md5('$t'), 1, 7), 16, 10) AS BIGINT), $b) AS INT)"
-      val termList = terms.map(t => s"'$t'").mkString(", ")
-      val bucketList = terms.map(bucketSql).mkString(", ")
-      val tfCols = terms.indices.map(i =>
-        s"count(CASE WHEN term = '${terms(i)}' THEN 1 END) AS tf$i").mkString(", ")
-      val pdCols = terms.indices.map(i =>
-        s"coalesce(tf.tf$i, 0L) AS tf$i").mkString(", ")
-      val dfCols = terms.indices.map(i =>
-        s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
-      val partial = terms.indices.map { i =>
-        s"""round(ln(1.0D + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5D)
-              / (CAST(df$i AS DOUBLE) + 0.5D))
-            * CAST(tf$i AS DOUBLE) * 2.2D
-            / (CAST(tf$i AS DOUBLE) + 1.2D * ((1.0D - 0.75D)
-               + (0.75D * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
-      }.mkString(" + ")
-      s.sql(
-        s"""WITH tf AS (SELECT doc_id, $tfCols
-              FROM graft_svc_postings
-              WHERE term IN ($termList) AND tbucket IN ($bucketList)
-              GROUP BY doc_id),
-            pd AS (SELECT d.doc_id, d.dl, $pdCols
-              FROM graft_svc_doclens d LEFT JOIN tf ON d.doc_id = tf.doc_id),
-            st AS (SELECT count(*) AS n_docs,
-                CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfCols FROM pd),
-            sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
-              FROM pd CROSS JOIN st)
-            SELECT doc_id, dl, round(score, 6) AS score FROM sc
-            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20""")
+      s.sql(sqlServedBm25("graft_svc", idx.bucketCount))
+    }),
+    "q246_live_sql_delete" -> ((s, d) => {
+      // X200 liveness under the oracle gate: register the views FIRST,
+      // tombstone a seventh of the corpus AFTER registration, then run
+      // the q238 SQL verbatim — the live provider must serve q217's
+      // survivor ranking (N/avgdl/df all shrunk) with no
+      // re-registration; the snapshot views this replaces would
+      // resurrect the deleted docs here
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqllive").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs, "doc_id", col("text"))
+      new graft.sources.StoreCatalog(s)
+        .registerInvertedIndex("graft_liv", s"$dir/inv")
+      idx.delete(docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      s.sql(sqlServedBm25("graft_liv", idx.bucketCount))
     }),
     "q237_ql_rank" -> ((s, d) => {
       // X197 Dirichlet query-likelihood (Zhai & Lafferty '01): the
@@ -2693,6 +2780,34 @@ object SparkEntry {
     s"regexp_split_to_array(lower(trim($c)), '[ \\t\\n\\x0B\\f\\r]+')"
   private val toksSql = toksSqlOn("text")
 
+  /** DuckDB mirror of [[TextAnalysis.segmentUnicode]]: pad every
+    * unsegmented-script codepoint with spaces (RE2 `\x{...}` class,
+    * `\1` group reference, 'g' flag — DuckDB replaces only the first
+    * match without it). */
+  private def padSqlOn(c: String) =
+    s"regexp_replace($c, '${TextAnalysis.UnsegReSql}', ' \\1 ', 'g')"
+
+  /** Unicode-mode tokenization: the pad FIRST, then the exact default
+    * pipeline — mirrors `TextAnalysis.tokens(c, unicode = true)`. */
+  private val uToksSql = toksSqlOn(padSqlOn("text"))
+
+  /** Mixed-script corpus for the unicode-segmentation gates (q239–
+    * q241): deterministic derivation from `documents`, so both engines
+    * compute the identical fixture — every third doc gains a CJK
+    * suffix, the next third a Thai prefix. One source of truth for the
+    * phrases (interpolated into BOTH the Column and the SQL side). */
+  private val CjkPhrase = "機械学習は楽しい 検索エンジン"
+  private val ThaiPhrase = "ภาษาไทย ทดสอบ"
+  private def mixedDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + CjkPhrase)))
+        .when(col("doc_id") % 3 === 1, concat(lit(ThaiPhrase + " "), col("text")))
+        .otherwise(col("text")))
+  private val mixedSqlFrom =
+    s"""(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || ' $CjkPhrase'
+          WHEN doc_id % 3 = 1 THEN '$ThaiPhrase ' || text
+          ELSE text END AS text FROM documents) AS mx"""
+
   /** Shared by q121 (in-memory postings) and q215 (persisted index). */
   private val proximitySql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -2706,6 +2821,43 @@ object SparkEntry {
           SELECT doc_id, COUNT(*) AS n_pairs,
             CAST(MIN(abs(pa - pb)) AS INT) AS min_dist
           FROM pairs GROUP BY 1 ORDER BY doc_id"""
+
+  /** The q238/q246 Spark-SQL text: the ENTIRE q214 BM25 serving path as
+    * one statement over `<prefix>_postings` / `<prefix>_doclens` —
+    * stock-SQL md5 bucket predicates (constant-folded, pushed into the
+    * live V2 scan), the exact bm25Rank arithmetic. */
+  private def sqlServedBm25(prefix: String, b: Int): String = {
+    val terms = Seq("sort", "merge", "spark")
+    def bucketSql(t: String) =
+      s"CAST(pmod(CAST(conv(substring(md5('$t'), 1, 7), 16, 10) AS BIGINT), $b) AS INT)"
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val bucketList = terms.map(bucketSql).mkString(", ")
+    val tfCols = terms.indices.map(i =>
+      s"count(CASE WHEN term = '${terms(i)}' THEN 1 END) AS tf$i").mkString(", ")
+    val pdCols = terms.indices.map(i =>
+      s"coalesce(tf.tf$i, 0L) AS tf$i").mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+    val partial = terms.indices.map { i =>
+      s"""round(ln(1.0D + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5D)
+            / (CAST(df$i AS DOUBLE) + 0.5D))
+          * CAST(tf$i AS DOUBLE) * 2.2D
+          / (CAST(tf$i AS DOUBLE) + 1.2D * ((1.0D - 0.75D)
+             + (0.75D * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+    }.mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, $tfCols
+          FROM ${prefix}_postings
+          WHERE term IN ($termList) AND tbucket IN ($bucketList)
+          GROUP BY doc_id),
+        pd AS (SELECT d.doc_id, d.dl, $pdCols
+          FROM ${prefix}_doclens d LEFT JOIN tf ON d.doc_id = tf.doc_id),
+        st AS (SELECT count(*) AS n_docs,
+            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfCols FROM pd),
+        sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+          FROM pd CROSS JOIN st)
+        SELECT doc_id, dl, round(score, 6) AS score FROM sc
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+  }
 
   /** The shared serving-stack front half of q228/q229 (X188): build
     * both persisted indexes, fuzzy-correct the misspelled query terms
@@ -2802,8 +2954,17 @@ object SparkEntry {
     * at least msm distinct query terms present; injected only when
     * > 1 so the shared oracles' text is byte-identical to before). */
   private def bm25Sql(where: String = "", msm: Int = 1,
-      page: Option[(Int, Int)] = None): String = {
-      val terms = Seq("sort", "merge", "spark")
+      page: Option[(Int, Int)] = None): String =
+    bm25SqlOver(Seq("sort", "merge", "spark"), "documents", toksSql,
+      where, msm, page)
+
+  /** [[bm25Sql]] generalized over the term list, source relation and
+    * tokenizer expression — the unicode-mode gate (q240) ranks CJK
+    * per-character units over the mixed corpus through the identical
+    * arithmetic; defaults reproduce [[bm25Sql]]'s text byte-for-byte. */
+  private def bm25SqlOver(terms: Seq[String], docsFrom: String,
+      toks: String, where: String = "", msm: Int = 1,
+      page: Option[(Int, Int)] = None, hotFrac: Option[Double] = None): String = {
       val (k1, b) = (1.2, 0.75)
       // interpolate Scala-computed doubles (shortest round-trip repr) so
       // both engines parse the IDENTICAL constant — (k1+1.0) recomputed in
@@ -2814,11 +2975,22 @@ object SparkEntry {
       val dfCols = terms.indices.map(i =>
         s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
       val partial = terms.indices.map { i =>
-        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+        val p =
+          s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
              / (CAST(df$i AS DOUBLE) + 0.5))
            * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
            / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
               + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+        hotFrac match {
+          // the hot-term skip (q242): a term with census df above the
+          // fraction contributes exactly 0.0 — adding 0.0 to the fixed-
+          // order double chain is bit-neutral, so the surviving terms'
+          // sum matches the engine's survivor-only sum
+          case Some(f) =>
+            s"""(CASE WHEN CAST(df$i AS DOUBLE) <= CAST($f AS DOUBLE)
+                  * CAST(n_docs AS DOUBLE) THEN $p ELSE 0.0 END)"""
+          case None => p
+        }
       }.mkString(" + ")
       val msmClause = if (msm == 1) "" else "\n            WHERE (" +
         terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
@@ -2832,8 +3004,8 @@ object SparkEntry {
           s"ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT $n OFFSET $off"
       }
       s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
-            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
-                  FROM documents $where)
+            FROM (SELECT doc_id, list_filter($toks, x -> x <> '') AS tk
+                  FROM $docsFrom $where)
             WHERE len(tk) > 0),
           st AS (SELECT COUNT(*) AS n_docs,
               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
@@ -3937,11 +4109,140 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q239_unicode_vocab" ->
+      s"""WITH p AS (SELECT doc_id, u.t AS term
+            FROM (SELECT doc_id, $uToksSql AS tk FROM $mixedSqlFrom),
+              UNNEST(tk) AS u(t)
+            WHERE u.t <> '' AND regexp_matches(u.t, '${TextAnalysis.UnsegReSql}'))
+          SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+          FROM p GROUP BY 1 ORDER BY term""",
+    "q240_unicode_bm25" ->
+      bm25SqlOver(Seq("機", "習", "sort"), mixedSqlFrom, uToksSql),
+    "q241_unicode_shingles" -> {
+      val uShingle3 =
+        s"""list_transform(range(0, len($uToksSql) - 2),
+            i -> list_extract($uToksSql, CAST(i+1 AS INT)) || ' ' ||
+                 list_extract($uToksSql, CAST(i+2 AS INT)) || ' ' ||
+                 list_extract($uToksSql, CAST(i+3 AS INT)))"""
+      s"""WITH s AS (SELECT doc_id, list_distinct($uShingle3) AS sh
+            FROM $mixedSqlFrom)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            ROUND(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) END, 6) AS jaccard
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+          ORDER BY id1"""
+    },
+    "q242_hot_term_skip" ->
+      bm25SqlOver(Seq("sort", "merge", "spark"), "documents", toksSql,
+        hotFrac = Some(0.78)),
+    "q244_ql_batch" -> {
+      val mu = "2000.0"
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM pd),
+          qq(query_id, term) AS (VALUES
+            ('qa', 'sort'), ('qa', 'merge'),
+            ('qb', 'spark'), ('qb', 'merge'),
+            ('qc', 'join'), ('qc', 'zzznotaword')),
+          v AS (SELECT DISTINCT term FROM qq),
+          tfall AS (SELECT pd.doc_id, pd.dl, v.term,
+              CAST(len(list_filter(pd.tk, x -> x = v.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN v),
+          cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tfall GROUP BY 1),
+          cand AS (SELECT DISTINCT qq.query_id, tfall.doc_id
+            FROM qq JOIN tfall USING (term) WHERE tfall.tf > 0),
+          partials AS (SELECT cand.query_id, cand.doc_id,
+              CASE WHEN cfs.cf > 0 THEN
+                ROUND(LN((CAST(t2.tf AS DOUBLE)
+                    + CAST($mu AS DOUBLE) * CAST(cfs.cf AS DOUBLE) / CAST(st.c AS DOUBLE))
+                  / (CAST(t2.dl AS DOUBLE) + CAST($mu AS DOUBLE))), 6)
+              ELSE 0.0 END AS pp
+            FROM cand JOIN qq USING (query_id)
+            JOIN tfall t2 ON t2.doc_id = cand.doc_id AND t2.term = qq.term
+            JOIN cfs ON cfs.term = qq.term CROSS JOIN st),
+          sc AS (SELECT query_id, doc_id,
+              ROUND(CAST(SUM(CAST(pp AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score
+            FROM partials GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+            FROM sc)
+          SELECT query_id, doc_id, score, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    "q245_boolean_batch" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          cl(query_id, term, clause) AS (VALUES
+            ('qa', 'sort', 'must'), ('qa', 'merge', 'must'),
+            ('qa', 'spark', 'should'), ('qa', 'join', 'should'),
+            ('qa', 'bubble', 'must_not'),
+            ('qb', 'scan', 'must'), ('qb', 'filter', 'should'),
+            ('qc', 'data', 'should'), ('qc', 'big', 'should')),
+          j AS (SELECT cl.query_id, p.doc_id, cl.clause
+            FROM cl JOIN p USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0
+            AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id""",
+    "q243_serving_dedup" ->
+      // the q228 pipeline with the q233 fingerprint collapse threaded
+      // between the fuse and the snippet leg: best-ranked survivor per
+      // content fingerprint, snippets only for survivors
+      s"""$servingStackCtes,
+          fp AS (SELECT doc_id, substr(md5($mdNorm), 1, 16) AS fp
+            FROM documents),
+          hj AS (SELECT hits.vec_id AS doc_id, hits.r0, hits.r1,
+              hits.rrf AS score, fp.fp
+            FROM hits JOIN fp ON fp.doc_id = hits.vec_id),
+          dd AS (SELECT doc_id, r0, r1, score, fp,
+              ROW_NUMBER() OVER (PARTITION BY fp
+                ORDER BY score DESC, doc_id ASC) AS rn
+            FROM hj),
+          surv AS (SELECT doc_id, r0, r1, score, fp FROM dd WHERE rn = 1
+            ORDER BY score DESC, doc_id ASC LIMIT 10),
+          tt AS (SELECT d.doc_id, $toksSql AS tk
+            FROM documents d JOIN surv ON d.doc_id = surv.doc_id),
+          h AS (SELECT t.doc_id, CAST(u.i AS INT) AS pos
+            FROM tt t, UNNEST(range(len(t.tk))) AS u(i)
+            WHERE t.tk[CAST(u.i + 1 AS INT)] IN (SELECT term FROM corr)),
+          candw AS (SELECT a.doc_id, a.pos, COUNT(*) AS cnt
+            FROM h a JOIN h b ON b.doc_id = a.doc_id
+              AND b.pos >= a.pos AND b.pos <= a.pos + 8
+            GROUP BY 1, 2),
+          best AS (SELECT doc_id, pos, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, pos ASC) AS rn
+            FROM candw)
+          SELECT surv.doc_id, surv.r0, surv.r1, surv.score, surv.fp,
+            CAST(b.pos AS INT) AS snippet_start,
+            CAST(b.cnt AS INT) AS n_hits,
+            array_to_string(t.tk[b.pos + 1 : b.pos + 9], ' ') AS snippet
+          FROM surv
+          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = surv.doc_id
+          LEFT JOIN tt t ON t.doc_id = surv.doc_id
+          ORDER BY surv.doc_id""",
     "q213_inverted_index" -> phraseMatchSql,
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
     "q238_sql_served_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    "q246_live_sql_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q220_inverted_lifecycle" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q223_fuzzy_suggest" -> fuzzySuggestSql,
     "q224_index_fuzzy" -> fuzzySuggestSql,
