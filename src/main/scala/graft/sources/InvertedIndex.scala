@@ -70,6 +70,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
     buckets: Int = 16) {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
 
+  /** The layout root — what [[StoreCatalog.registerInvertedIndex]] and
+    * suites need to re-address this index (the [[IvfIndex]] accessor
+    * convention). */
+  private[graft] def indexPath: String = path
+
   private def postingsPath = s"$path/postings"
   private def metaPath = s"$path/meta"
 
