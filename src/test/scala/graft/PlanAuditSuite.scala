@@ -837,4 +837,22 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("variant"),
       s"the join key must be the deletion-neighborhood variant:\n$p")
   }
+
+  test("batched QL/Boolean: postings pruned to the batch vocabulary's buckets, no cartesian grid (X201)") {
+    for (name <- Seq("q244_ql_batch", "q245_boolean_batch")) {
+      val postingScans = scans(name).filter(
+        _.get("Location").exists(_.contains("postings")))
+      assert(postingScans.nonEmpty, s"$name must read the persisted postings")
+      assert(postingScans.forall(_("PartitionFilters").contains("tbucket")),
+        s"$name postings scans must carry the bucket PartitionFilters")
+      val p = staticPlan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"the batch shape must never form |queries|x|corpus|:\n$p")
+    }
+    // the candidates x query-terms grid joins by equi keys; only the
+    // one-row stats frame rides a broadcast nest
+    val p244 = staticPlan("q244_ql_batch")
+    assert(p244.contains("TakeOrderedAndProject") || p244.contains("Window"),
+      s"per-query rank cut missing:\n$p244")
+  }
 }
