@@ -927,6 +927,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q247_script_langid" -> ((s, d) => {
+      // X203 script profile + script-aware language ID over the mixed
+      // corpus: per-doc Han/kana/Thai/Latin codepoint counts (the
+      // multilingual curation signal) and langIdScript — the stopword
+      // vote where tokenization works, the script-class fallback where
+      // a CJK/Thai run is one opaque token (q47's langId answers 'und'
+      // there)
+      val m = mixedDocs(s, d)
+      TextAnalysis.scriptProfile(m.select(col("doc_id"), col("text")),
+          col("text"))
+        .withColumn("lang_pred", TextAnalysis.langIdScript(col("text")))
+        .drop("text")
+        .orderBy(col("doc_id"))
+    }),
     "q239_unicode_vocab" -> ((s, d) => {
       // X198 unsegmented-script fallback: vocabulary census over the
       // mixed-script corpus through the unicode tokens mode — each
@@ -4132,6 +4146,37 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q247_script_langid" -> {
+      val hit: Map[String, String] = TextAnalysis.stopwords.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(",")
+        lang -> s"len(list_filter($toksSql, t -> t IN ($inList)))"
+      }
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val greatest = s"greatest(${langs.map(hit).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN ${hit(l)} = __g THEN '$l'").mkString(" ")
+      val han = "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]"
+      val kana = "[\\x{3040}-\\x{30FF}]"
+      val thai = "[\\x{0E00}-\\x{0E7F}]"
+      val latin = "[A-Za-z]"
+      def n(re: String) =
+        s"(length(text) - length(regexp_replace(text, '$re', '', 'g')))"
+      s"""WITH g AS (SELECT doc_id, text, $greatest AS __g FROM $mixedSqlFrom),
+          v AS (SELECT doc_id, text,
+              CASE WHEN __g = 0 THEN 'und' $cases END AS voted FROM g)
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_total,
+            CAST(${n(han)} AS BIGINT) AS n_han,
+            CAST(${n(kana)} AS BIGINT) AS n_kana,
+            CAST(${n(thai)} AS BIGINT) AS n_thai,
+            CAST(${n(latin)} AS BIGINT) AS n_latin,
+            CASE WHEN voted = 'und' THEN
+              CASE WHEN ${n(kana)} > 0 THEN 'ja'
+                   WHEN ${n(han)} > 0 THEN 'zh'
+                   WHEN ${n(thai)} > 0 THEN 'th'
+                   ELSE 'und' END
+            ELSE voted END AS lang_pred
+          FROM v ORDER BY doc_id"""
+    },
     "q239_unicode_vocab" ->
       s"""WITH p AS (SELECT doc_id, u.t AS term
             FROM (SELECT doc_id, $uToksSql AS tk FROM $mixedSqlFrom),

@@ -130,6 +130,21 @@ object PipelineSqlFunctions {
       L("und"))
   }
 
+  /** [[graft.operators.TextAnalysis.langIdScript]]'s tree: the stopword
+    * vote, falling back to the script-class vote (kana ⇒ ja, Han ⇒ zh,
+    * Thai ⇒ th) when no stopword hits. */
+  private def langIdScript(text: Expression): Expression = {
+    val classes = graft.operators.TextAnalysis.ScriptClasses.toMap
+    def n(re: String) = fn("-", fn("length", text),
+      fn("length", fn("regexp_replace", text, L(re), L(""))))
+    val byScript = caseWhen(Seq(
+      fn(">", n(classes("kana")), L(0)) -> L("ja"),
+      fn(">", n(classes("han")), L(0)) -> L("zh"),
+      fn(">", n(classes("thai")), L(0)) -> L("th")), L("und"))
+    val voted = langId(text)
+    caseWhen(Seq(EqualTo(voted, L("und")) -> byScript), voted)
+  }
+
   private val PunctRe = graft.operators.TextAnalysis.PunctRe
 
   private def qualityScore(text: Expression): Expression = {
@@ -362,6 +377,7 @@ object PipelineSqlFunctions {
     fixed("graft_segment_unicode", 1)(a => segmentUnicode(a.head)),
     fixed("graft_bpe_count", 1)(a => bpeCount(a.head)),
     fixed("graft_lang_id", 1)(a => langId(a.head)),
+    fixed("graft_script_lang_id", 1)(a => langIdScript(a.head)),
     fixed("graft_quality_score", 1)(a => qualityScore(a.head)),
     fixed("graft_gate_reason", 1)(a => gateReason(a.head)),
     fixed("graft_scrub", 1)(a => scrub(a.head)),

@@ -98,6 +98,52 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Script classes for [[scriptProfile]]/[[langIdScript]] — each a
+    * character class counted per document. Kana split from Han because
+    * the ja-vs-zh call rides on it; ranges are the [[UnsegRe]] blocks
+    * plus Latin. */
+  private[graft] val ScriptClasses: Seq[(String, String)] = Seq(
+    "han" -> "[\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF]",
+    "kana" -> "[\\u3040-\\u30FF]",
+    "thai" -> "[\\u0E00-\\u0E7F]",
+    "latin" -> "[A-Za-z]")
+
+  /** Per-document script profile (X203): the count of codepoints in
+    * each script class — Han, kana, Thai, Latin — plus the total
+    * character count. The curation signal a multilingual crawl
+    * pipeline keys on (script mix drives tokenizer choice, mixture
+    * weights, and the [[langIdScript]] fallback); pure codegen'd
+    * regexp arithmetic, one per-row map, no exchange. Count = length
+    * minus length-after-removing-the-class (exact, surrogate-free for
+    * these BMP classes). */
+  def scriptProfile(df: DataFrame, text: Column): DataFrame =
+    ScriptClasses.foldLeft(df.withColumn("n_chars_total",
+        length(text).cast(LongType))) { case (acc, (name, re)) =>
+      acc.withColumn(s"n_$name",
+        (length(text) - length(regexp_replace(text, re, ""))).cast(LongType))
+    }
+
+  /** Language-ID with the unsegmented-script fallback (X203): the
+    * [[langId]] stopword vote first — it works wherever whitespace
+    * tokenization works — and for documents it cannot place (zero
+    * stopword hits: the normal case for CJK/Thai text, where the whole
+    * sentence is one token) a script-class vote: any kana ⇒ 'ja'
+    * (kana is unique to Japanese; Han alone is ambiguous), else Han ⇒
+    * 'zh', else Thai ⇒ 'th', else 'und'. The zh stopword list still
+    * wins on SEGMENTED Chinese (spaces present), so the fallback only
+    * widens coverage — ASCII corpora classify byte-identically to
+    * [[langId]]. */
+  def langIdScript(text: Column): Column = {
+    def n(re: String) = length(text) - length(regexp_replace(text, re, ""))
+    val byScript =
+      when(n(ScriptClasses(1)._2) > 0, lit("ja"))
+        .when(n(ScriptClasses(0)._2) > 0, lit("zh"))
+        .when(n(ScriptClasses(2)._2) > 0, lit("th"))
+        .otherwise(lit("und"))
+    val voted = langId(text)
+    when(voted === "und", byScript).otherwise(voted)
+  }
+
   /** Quality metrics (length / punctuation / stopword ratios). */
   def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
     val toks = tokens(text)

@@ -48,6 +48,13 @@ class PipelineSqlSuite extends AnyFunSuite {
     parity("graft_tokens(text)", TextAnalysis.tokens(col("text")))
   }
 
+  test("graft_script_lang_id == TextAnalysis.langIdScript") {
+    parity("graft_script_lang_id(text)", TextAnalysis.langIdScript(col("text")))
+    val r = spark.sql("SELECT graft_script_lang_id('機械学習は楽しい') AS l")
+      .head().getString(0)
+    assert(r == "ja")
+  }
+
   test("graft_tokens mode flag + graft_segment_unicode == the unicode kernels") {
     parity("graft_tokens(text, 'ws')", TextAnalysis.tokens(col("text")))
     parity("graft_tokens(text, 'unicode')",

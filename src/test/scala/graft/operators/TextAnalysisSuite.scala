@@ -31,6 +31,34 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(lang("") == "und")
   }
 
+  test("langIdScript: stopword vote first, script fallback only on 'und'") {
+    def lid(text: String): String =
+      Seq(text).toDF("t").select(TextAnalysis.langIdScript($"t"))
+        .head().getString(0)
+    // wherever the stopword vote lands, identical to langId
+    for (t <- Seq("the cat sat on the mat with a hat",
+        "der hund und die katze im garten", "zzz qqq xyzzy", ""))
+      assert(lid(t) == lang(t), s"ASCII differential broke on '$t'")
+    // unsegmented runs: kana wins over han (kana unique to Japanese)
+    assert(lid("機械学習は楽しい") == "ja")
+    assert(lid("深度学习模型") == "zh")
+    assert(lid("ภาษาไทยทดสอบ") == "th")
+    // segmented Chinese still resolves via the zh stopword vote
+    assert(lid("的 了 是 在 我") == "zh")
+    // any stopword hit pre-empts the script fallback (mixed doc)
+    assert(lid("the quick fox 機械") == "en")
+  }
+
+  test("scriptProfile: exact per-class codepoint counts") {
+    val row = TextAnalysis.scriptProfile(
+        Seq((1L, "ab 機械 かな ไทย!")).toDF("doc_id", "text"), col("text"))
+      .head()
+    def g(c: String) = row.getLong(row.fieldIndex(c))
+    assert(g("n_han") == 2 && g("n_kana") == 2 && g("n_thai") == 3 &&
+      g("n_latin") == 2)
+    assert(g("n_chars_total") == "ab 機械 かな ไทย!".length)
+  }
+
   test("unicode tokens mode: ASCII byte-identical, unsegmented runs split per character") {
     def toks(text: String, unicode: Boolean): Seq[String] =
       Seq(text).toDF("t").select(TextAnalysis.tokens($"t", unicode))
