@@ -927,6 +927,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q248_pruned_serve" -> ((s, d) => {
+      // X204 static index pruning (Carmel et al. SIGIR '01): BM25 over
+      // the keep-50-per-term pruned serving copy with ORIGINAL
+      // statistics (census df, full doclens) — per-term serve I/O is
+      // bounded by keepPerTerm regardless of how hot the term is, and
+      // every returned doc's score is exactly its full-index score
+      // (pruning can only drop low-impact hits, never perturb a
+      // score); the oracle replicates the (tf DESC, doc ASC) top-50
+      // survivor rule and the original-stats arithmetic
+      sharedPrunedIndex(s, d)
+        .bm25CensusDf(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q247_script_langid" -> ((s, d) => {
       // X203 script profile + script-aware language ID over the mixed
       // corpus: per-doc Han/kana/Thai/Latin codepoint counts (the
@@ -2855,12 +2867,23 @@ object SparkEntry {
     new graft.sources.NgramLm(s, s"$dir/lm")
   }
 
+  /** Shared X204 static-pruned serving copy (keep-50 per term) derived
+    * from [[sharedInvIndex]] — a derived artifact, rebuilt not
+    * mutated, so it caches like its source. */
+  private def sharedPrunedIndex(s: SparkSession, d: String): graft.sources.InvertedIndex = {
+    val dir = cachedDir("inv_pruned", d) { dir =>
+      sharedInvIndex(s, d).prunedCopy(s"$dir/pinv", keepPerTerm = 50)
+      ()
+    }
+    new graft.sources.InvertedIndex(s, s"$dir/pinv")
+  }
+
   /** Bench hook: force every shared layout build OUTSIDE the timed
     * section (the build-once/serve-many split). */
   def prebuildLayouts(s: SparkSession, d: String): Unit = {
     sharedInvIndex(s, d); sharedUInvIndex(s, d)
     sharedIvfIndex(s, d); sharedIvfPqIndex(s, d)
-    sharedNgramLm(s, d)
+    sharedNgramLm(s, d); sharedPrunedIndex(s, d)
     ()
   }
 
@@ -4146,6 +4169,41 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q248_pruned_serve" -> {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1, b, keep) = (1.2, 0.75, 50)
+      val k1p = (k1 + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val rkCols = terms.indices.map(i =>
+        s"ROW_NUMBER() OVER (ORDER BY tf$i DESC, doc_id ASC) AS rk$i")
+        .mkString(", ")
+      // survivor-gated tf: a doc outside term i's kept list contributes
+      // no tf_i (the pruned layout simply lacks the posting)
+      val tfpCols = terms.indices.map(i =>
+        s"CASE WHEN rk$i <= $keep THEN tf$i ELSE 0 END AS tfp$i").mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+             / (CAST(df$i AS DOUBLE) + 0.5))
+           * CAST(tfp$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST(tfp$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          rk AS (SELECT pd.*, $rkCols FROM pd),
+          sv AS (SELECT doc_id, dl, $tfpCols FROM rk),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT sv.doc_id, sv.dl, $partial AS score
+            FROM sv CROSS JOIN st)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
     "q247_script_langid" -> {
       val hit: Map[String, String] = TextAnalysis.stopwords.map { case (lang, ws) =>
         val inList = ws.map(w => s"'$w'").mkString(",")

@@ -989,6 +989,99 @@ final class InvertedIndex(spark: SparkSession, path: String,
       termA, termB, maxDist)
   }
 
+  /** Static index pruning (X204; Carmel et al., SIGIR '01 — the
+    * standard complement to the X199 stop-term rule): write a PRUNED
+    * SERVING COPY of this index at `targetPath` that keeps, per term,
+    * only the `keepPerTerm` highest-impact postings (tf DESC, doc_id
+    * ASC — the deterministic impact order for our tf-driven scorer).
+    * A hot term's postings are corpus-proportional in the full layout;
+    * in the pruned copy every term's list is ≤ keepPerTerm, so serve
+    * I/O is bounded by |terms|·keepPerTerm REGARDLESS of df — the
+    * static-pruning trade: top-k retrieval becomes approximate (a doc
+    * outside a term's kept list contributes no tf for that term), but
+    * with [[bm25CensusDf]]'s original-statistics scoring every
+    * RETURNED doc's score is EXACT, so the only possible error is a
+    * missing low-impact hit, never a wrong score (the Carmel
+    * guarantee).
+    *
+    * The copy keeps the full live doclens (N/avgdl stay corpus-exact)
+    * and the ORIGINAL census (df for scoring and for the X199/X183
+    * census consumers) — only the postings shrink. Tombstones resolve
+    * on the way out (the copy is born clean); positions of surviving
+    * (term, doc) pairs are kept intact, so phrase/proximity still
+    * work — also approximately — over the pruned slices. One
+    * term-keyed window + one semi-join, write-shaped like [[build]].
+    * Refresh on the maintenance cadence (a pruned copy is a derived
+    * artifact, rebuilt not mutated). */
+  def prunedCopy(targetPath: String, keepPerTerm: Int): InvertedIndex = {
+    require(keepPerTerm >= 1, s"keepPerTerm must be >= 1, got $keepPerTerm")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    recover()
+    val b = readBuckets()
+    val live = liveOnly(spark.read.parquet(postingsPath))
+    val keep = live
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("__tf"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("__tf").desc, col("doc_id").asc)))
+      .filter(col("__rk") <= keepPerTerm)
+      .select(col("term"), col("doc_id"))
+    val target = new InvertedIndex(spark, targetPath, b)
+    Seq(b).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$targetPath/meta")
+    live.join(keep, Seq("term", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("term"))
+      .withColumn("tbucket", bucketCol(col("term"), b))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$targetPath/postings")
+    liveOnly(spark.read.parquet(doclensPath))
+      .write.mode("overwrite").parquet(s"$targetPath/doclens")
+    val tFs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tFs.delete(new Path(s"$targetPath/census"), true)
+    vocab().write.parquet(s"$targetPath/census/base")
+    target
+  }
+
+  /** BM25 with ORIGINAL-statistics df (X204's scoring half): identical
+    * arithmetic to [[bm25]] except each term's df comes from the
+    * census sidecar instead of being recounted from the per-doc tf
+    * frame. On an unpruned index the two are the same number, so this
+    * is bit-identical to [[bm25]] (suite-pinned); on a [[prunedCopy]]
+    * it is what makes pruned retrieval honest — surviving docs score
+    * EXACTLY as they would on the full index (tf preserved, dl/N/avgdl
+    * from the full doclens copy, df original), so pruning can only
+    * drop low-impact hits, never perturb a score. The df lookup is one
+    * vocabulary-sized census read collected for |terms| rows (the
+    * bounded-scalar-anchor class, as [[elideHot]]). */
+  def bm25CensusDf(queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
+    val dfs = vocab().filter(col("term").isin(queryTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val partials = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"tf$i").cast(DoubleType)
+      val df = lit(dfs.getOrElse(t, 0L).toDouble)
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+      round(idf * tf * lit(k1 + 1.0) / norm, 6)
+    }
+    scored
+      .withColumn("score", partials.reduce(_ + _))
+      .filter(col("score") > 0 && gate)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory
     * [[TextAnalysis.positionalPostings]] slice, so phrase/proximity

@@ -561,6 +561,50 @@ class InvertedIndexSuite extends AnyFunSuite {
       Seq(("q", "", "must")).toDF("query_id", "term", "clause")))
   }
 
+  test("static pruning: bounded lists, original stats, returned scores exact (X204)") {
+    val dir = Files.createTempDirectory("graft_inv_prune").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    // bm25CensusDf on an UNPRUNED index is bit-identical to bm25
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx.bm25CensusDf(Seq("sort", "merge"), k = 10)) ==
+      rows(idx.bm25(Seq("sort", "merge"), k = 10)),
+      "census-df scoring must equal recounted-df scoring on a full index")
+    // keep=1: every term's list shrinks to its single highest-tf doc
+    val pruned = idx.prunedCopy(s"$dir/pruned", keepPerTerm = 1)
+    val perTerm = spark.read.parquet(s"$dir/pruned/postings")
+      .select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).count().collect()
+    assert(perTerm.nonEmpty && perTerm.forall(_.getLong(1) <= 1L),
+      "a pruned term list must hold at most keepPerTerm docs")
+    // 'sort': tf=2 in doc 1, tf=1 in docs 2 and 4 -> doc 1 survives
+    assert(spark.read.parquet(s"$dir/pruned/postings")
+      .filter(col("term") === "sort").select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // full doclens and original census ride along
+    assert(spark.read.parquet(s"$dir/pruned/doclens").count() == 5L)
+    assert(rows(pruned.bm25CensusDf(Seq("sort"), k = 1)).nonEmpty)
+    // exactness: every doc the pruned serve returns carries its EXACT
+    // full-index score (the Carmel guarantee — only low-impact hits
+    // can go missing, scores never move)
+    val full = rows(idx.bm25(Seq("sort", "merge"), k = 10))
+      .map { case (id, _, s) => id -> s }.toMap
+    val approx = rows(pruned.bm25CensusDf(Seq("sort", "merge"), k = 10))
+    // doc 1 survived 'sort'-pruning but not 'merge' (tf 1 everywhere,
+    // doc 2 wins the tie) — its pruned score counts only the sort leg,
+    // so compare only docs whose per-term survival is total
+    val sortSurv = Set(1L)
+    val mergeSurv = Set(2L)
+    approx.foreach { case (id, _, s) =>
+      val expect =
+        if (sortSurv(id) && mergeSurv(id)) Some(full(id)) else None
+      expect.foreach(e => assert(s == e, s"score moved for doc $id"))
+    }
+    assert(approx.nonEmpty)
+    intercept[IllegalArgumentException](idx.prunedCopy(s"$dir/bad", 0))
+  }
+
   test("booleanSearch surfaces the clause contract, not a postings-slice error") {
     val dir = Files.createTempDirectory("graft_inv_boolval").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
