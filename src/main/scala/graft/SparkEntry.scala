@@ -927,6 +927,20 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q249_pq_refined" -> ((s, d) => {
+      // X205 ADC + exact refinement (the FAISS IndexRefineFlat tail of
+      // the compressed funnel): rank the probed lists by m-byte ADC,
+      // re-fetch ONLY the top refine·k survivors' raw vectors from the
+      // SAME probed directories (partition-pruned AND candidate-
+      // filtered), rerank by exact cosine — search()'s output shape
+      val embs = t(s, d, "embeddings")
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      sharedIvfPqIndex(s, d)
+        .searchPqRefined(query, k = 10, nprobe = 2, refine = 3)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q248_pruned_serve" -> ((s, d) => {
       // X204 static index pruning (Carmel et al. SIGIR '01): BM25 over
       // the keep-50-per-term pruned serving copy with ORIGINAL
@@ -2847,13 +2861,17 @@ object SparkEntry {
     new graft.sources.IvfIndex(s, s"$dir/ivf")
   }
 
-  /** Shared IVF×PQ index (q154's build: seed codebooks m=4, k=4). */
+  /** Shared IVF×PQ index (q154's build: seed codebooks m=4, k=4) —
+    * carries BOTH layouts (raw lists + codes), the q231 shape, so the
+    * X205 refined search can re-fetch raw vectors from the same probed
+    * directories. */
   private def sharedIvfPqIndex(s: SparkSession, d: String): graft.sources.IvfIndex = {
     val dir = cachedDir("ivfpq", d) { dir =>
       val embs = t(s, d, "embeddings")
       val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
-      new graft.sources.IvfIndex(s, s"$dir/ivf")
-        .buildPq(embs, "vec_id", "embedding", cents4(s, d), books)
+      val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
+      idx.build(embs, "vec_id", "embedding", cents4(s, d))
+      idx.buildPq(embs, "vec_id", "embedding", cents4(s, d), books)
     }
     new graft.sources.IvfIndex(s, s"$dir/ivf")
   }
@@ -3398,10 +3416,34 @@ object SparkEntry {
   private lazy val ivfPqSearchSql: String = ivfPqSearchSqlOver("embeddings")
 
   /** `fullProbe` drops the probe pruning (q231: a FULL probe is ADC
-    * over the whole corpus, so list maintenance must be invisible). */
+    * over the whole corpus, so list maintenance must be invisible).
+    * `refined` = Some((k, refine)) swaps the ADC cut for the X205
+    * refine tail: top refine·k ADC candidates, exact-cosine reranked,
+    * top-k — the q249 oracle. */
   private def ivfPqSearchSqlOver(corpus: String,
-      fullProbe: Boolean = false): String =
-    s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+      fullProbe: Boolean = false,
+      refined: Option[(Int, Int)] = None): String = {
+    val tail = refined match {
+      case None =>
+        """SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+      case Some((k, refine)) =>
+        s"""cand AS (SELECT vec_id FROM adc
+           ORDER BY adc_dist ASC, vec_id ASC LIMIT ${refine * k}),
+         qm AS (SELECT qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(qv) AS t(y))) AS qmag
+           FROM q),
+         rer AS (SELECT e.vec_id,
+           (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+            FROM qm, LATERAL (SELECT unnest(e.embedding) AS x, unnest(qm.qv) AS y) z) /
+           (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+            * (SELECT qmag FROM qm) + 1e-12) AS c
+           FROM embeddings e JOIN cand USING (vec_id))
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM rer
+         ORDER BY c DESC, vec_id ASC LIMIT $k"""
+    }
+    val withClause =
+      s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
          probes AS (SELECT c.ccid FROM cents c, q
            ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
@@ -3442,9 +3484,9 @@ object SparkEntry {
          adc AS (
            SELECT c.vec_id, SUM(l.dist) AS adc_dist
            FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.code
-           GROUP BY c.vec_id)
-         SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
-         FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+           GROUP BY c.vec_id)"""
+    withClause + (if (refined.isDefined) ",\n         " else "\n         ") + tail
+  }
   private def ivfSearchSqlOver(corpus: String): String =
     s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          ${ivfSearchTail(corpus)}"""
@@ -4169,6 +4211,8 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q249_pq_refined" ->
+      ivfPqSearchSqlOver("embeddings", refined = Some((10, 3))),
     "q248_pruned_serve" -> {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b, keep) = (1.2, 0.75, 50)

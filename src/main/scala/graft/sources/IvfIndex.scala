@@ -1001,4 +1001,29 @@ final class IvfIndex(spark: SparkSession, path: String,
       .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
     Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)
   }
+
+  /** ADC search with exact refinement (X205 — the FAISS
+    * IndexRefineFlat pattern, the missing tail of [[buildPq]]'s
+    * documented refetch story): stage 1 ranks the probed lists by the
+    * compressed ADC distance (m bytes per row through the funnel),
+    * stage 2 re-fetches ONLY the top `refine`·k ADC survivors' RAW
+    * vectors — a broadcast semi-join into the SAME probed `ivf_list`
+    * directories, so the raw read stays partition-pruned AND
+    * candidate-filtered — and reranks them by exact cosine (the
+    * [[search]] scorer, bit-compatible with the uncompressed path).
+    * The standard quality/IO dial: quantization error can demote a
+    * true top-k hit a few ADC ranks, and the refine margin recovers it
+    * while reading `refine`·k vectors instead of every probed row.
+    * Output matches [[search]]: (id, cosine) top-k. */
+  def searchPqRefined(query: Array[Float], k: Int, nprobe: Int,
+      refine: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cand = searchPq(query, topK = refine * k, nprobe)
+      .select(col("id"))
+    val probedRaw = spark.read.parquet(listsPath)
+      .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
+      .join(broadcast(cand), Seq("id"), "left_semi")
+    Ann.bruteForceTopK(probedRaw, "id", "vector", query, k)
+  }
 }

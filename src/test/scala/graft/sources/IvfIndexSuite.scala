@@ -609,6 +609,31 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(!fs.exists(staging))
   }
 
+  test("searchPqRefined: exact rerank of the ADC shortlist; wide refine converges to exact (X205)") {
+    import graft.operators.Pq
+    val dir = Files.createTempDirectory("graft_ivfpq_ref").toString
+    val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 2, k = 4)
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    idx.build(embs, "vec_id", "embedding", cents)
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // refine wide enough to cover every probed row => identical to the
+    // exact uncompressed search over the same probe set
+    val exact = rows(idx.search(query, k = 5, nprobe = 2))
+    val wide = rows(idx.searchPqRefined(query, k = 5, nprobe = 2, refine = 64))
+    assert(wide == exact,
+      "a full-coverage refine must equal the exact probed search")
+    // scores on the refined path are exact cosines (not ADC distances):
+    // every returned (id, cosine) appears in the exact ranking's scores
+    val exactAll = rows(idx.search(query, k = 64, nprobe = 2)).toMap
+    rows(idx.searchPqRefined(query, k = 5, nprobe = 2, refine = 2))
+      .foreach { case (id, c) =>
+        assert(exactAll(id) == c, s"refined cosine moved for id $id") }
+    intercept[IllegalArgumentException](
+      idx.searchPqRefined(query, k = 5, nprobe = 2, refine = 0))
+  }
+
   test("maintain recovers a crashed marker-committed merge BEFORE deciding") {
     import org.apache.hadoop.fs.Path
     val idx = freshIndex()
