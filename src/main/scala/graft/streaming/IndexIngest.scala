@@ -94,6 +94,11 @@ object IndexIngest {
       .foreachBatch(body)
       .start()
 
+  /** `unicode` switches the ingest tokenization to the
+    * [[graft.operators.TextAnalysis.segmentUnicode]] fallback — MUST
+    * match the mode the index was built with (the mode is part of the
+    * tokenization contract, like casing; a mixed-mode index would hold
+    * incompatible term units). */
   def start(
       spark: SparkSession,
       docsDir: String,
@@ -101,10 +106,15 @@ object IndexIngest {
       index: InvertedIndex,
       idCol: String = "doc_id",
       textCol: String = "text",
-      schema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery =
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      unicode: Boolean = false): StreamingQuery =
     startWith(spark, docsDir, checkpointDir, schema) { (batch, _) =>
-      foldBatch(index, batch, idCol, col(textCol))
+      foldBatch(index, batch, idCol, textExpr(textCol, unicode))
     }
+
+  private def textExpr(textCol: String, unicode: Boolean) =
+    if (unicode) graft.operators.TextAnalysis.segmentUnicode(col(textCol))
+    else col(textCol)
 
   /** [[start]] with the maintenance policy (X186) folded into the
     * ingest loop: every `every`-th micro-batch, after its fold, the
@@ -129,11 +139,12 @@ object IndexIngest {
       maxTombstoneFrac: Double = 0.2,
       idCol: String = "doc_id",
       textCol: String = "text",
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      unicode: Boolean = false)
       : StreamingQuery = {
     require(every >= 1, s"every must be >= 1, got $every")
     startWith(spark, docsDir, checkpointDir, schema) { (batch, batchId) =>
-      foldBatch(index, batch, idCol, col(textCol))
+      foldBatch(index, batch, idCol, textExpr(textCol, unicode))
       if ((batchId + 1) % every == 0) {
         index.maintain(maxFilesPerBucket, maxTombstoneFrac)
         ()
