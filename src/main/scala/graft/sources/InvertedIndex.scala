@@ -785,9 +785,14 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * matching docs, beyond the engine's vocabulary-sized pin class. A
     * caller amortizing many batches over one hot slice can pin
     * upstream. */
+  /** `censusDf = true` scores with ORIGINAL-statistics df from the
+    * census sidecar (the [[bm25CensusDf]] rule in the batch shape) —
+    * what makes batch serving over a [[prunedCopy]] honest: surviving
+    * (term, doc) pairs score exactly as on the full index. On a full
+    * index it is the same number (suite-pinned). */
   def bm25Batch(queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, msm: Int = 1,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0, censusDf: Boolean = false): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "term"),
       s"queries must be (query_id, term) rows, got ${queries.columns.toSeq}")
     require(k > 0, s"k must be positive, got $k")
@@ -809,7 +814,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val q = qAll.filter(col("term").isin(terms: _*))
     val tf = termPostings(terms)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfs =
+      if (censusDf) vocab().filter(col("term").isin(terms: _*))
+      else tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dls = liveOnly(spark.read.parquet(doclensPath))
     val stats = dls.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))

@@ -585,6 +585,16 @@ class InvertedIndexSuite extends AnyFunSuite {
     // full doclens and original census ride along
     assert(spark.read.parquet(s"$dir/pruned/doclens").count() == 5L)
     assert(rows(pruned.bm25CensusDf(Seq("sort"), k = 1)).nonEmpty)
+    // batch shape: censusDf=true on a FULL index equals the default
+    // (df recount == census df there), and works over the pruned copy
+    val queries = Seq(("qa", "sort"), ("qa", "merge")).toDF("query_id", "term")
+    def brows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(brows(idx.bm25Batch(queries, k = 10, censusDf = true)) ==
+      brows(idx.bm25Batch(queries, k = 10)),
+      "census-df batch scoring must equal recounted-df on a full index")
+    assert(pruned.bm25Batch(queries, k = 10, censusDf = true).count() > 0)
     // exactness: every doc the pruned serve returns carries its EXACT
     // full-index score (the Carmel guarantee — only low-impact hits
     // can go missing, scores never move)
