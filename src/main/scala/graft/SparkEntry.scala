@@ -927,6 +927,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q250_more_like_this" -> ((s, d) => {
+      // X206 related-documents serving: the seed doc's term vector from
+      // the pruned forward sidecar, top-10 distinctive terms by round-6
+      // tf·idf (census df, live N), then a standard pruned BM25 over
+      // those terms with the seed excluded — text never read; the
+      // oracle recomputes the term selection AND the dynamic-term
+      // ranking from raw text
+      sharedInvIndex(s, d).moreLikeThis(docId = 7L, k = 15)
+    }),
     "q249_pq_refined" -> ((s, d) => {
       // X205 ADC + exact refinement (the FAISS IndexRefineFlat tail of
       // the compressed funnel): rank the probed lists by m-byte ADC,
@@ -2828,11 +2837,14 @@ object SparkEntry {
       dir
     })
 
-  /** Shared inverted index over `documents` (default buckets). */
+  /** Shared inverted index over `documents` (default buckets), with
+    * the X206 forward sidecar built alongside (a derived artifact of
+    * the same build). */
   private def sharedInvIndex(s: SparkSession, d: String): graft.sources.InvertedIndex = {
     val dir = cachedDir("inv", d) { dir =>
-      new graft.sources.InvertedIndex(s, s"$dir/inv")
-        .build(t(s, d, "documents"), "doc_id", col("text"))
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(t(s, d, "documents"), "doc_id", col("text"))
+      idx.buildForward()
     }
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }
@@ -4211,6 +4223,45 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q250_more_like_this" -> {
+      val (k1, b, seed, topT, k) = (1.2, 0.75, 7, 10, 15)
+      val k1p = (k1 + 1.0).toString
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+          seedtf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT tk FROM pd WHERE doc_id = $seed), UNNEST(tk) AS u(t)
+            GROUP BY 1),
+          alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
+            FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
+          sel AS (SELECT term FROM (
+              SELECT s.term,
+                ROUND(CAST(s.tf AS DOUBLE)
+                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+              FROM seedtf s JOIN alldf a USING (term) CROSS JOIN st)
+            ORDER BY w DESC, term ASC LIMIT $topT),
+          tfs AS (SELECT pd.doc_id, pd.dl, sel.term,
+              CAST(len(list_filter(pd.tk, x -> x = sel.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN sel),
+          dfs AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM tfs GROUP BY 1),
+          partials AS (SELECT tfs.doc_id, tfs.dl,
+              ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+                   / (CAST(dfs.df AS DOUBLE) + 0.5))
+                 * CAST(tfs.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+                 / (CAST(tfs.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                    + (CAST($b AS DOUBLE) * CAST(tfs.dl AS DOUBLE)) / st.avgdl)), 6) AS pp
+            FROM tfs JOIN dfs USING (term) CROSS JOIN st),
+          sc AS (SELECT doc_id, MAX(dl) AS dl, SUM(pp) AS score
+            FROM partials GROUP BY 1)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 AND doc_id <> $seed
+          ORDER BY score DESC, doc_id ASC LIMIT $k"""
+    },
     "q249_pq_refined" ->
       ivfPqSearchSqlOver("embeddings", refined = Some((10, 3))),
     "q248_pruned_serve" -> {

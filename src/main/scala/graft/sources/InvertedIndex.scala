@@ -1089,6 +1089,75 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
   }
 
+  private def forwardPath = s"$path/forward"
+
+  /** Derived FORWARD sidecar (X206): the postings re-keyed doc-major —
+    * (doc_id, term, tf) in `dbucket=N` directory partitions hashed on
+    * the doc id — so DOC-side operations (fetch one document's term
+    * vector for more-like-this / relevance feedback) become pruned I/O,
+    * exactly as the term-major layout makes TERM lookups pruned. The
+    * term-bucketed postings cannot serve "all terms of doc X" without
+    * scanning every bucket; this is the standard forward-index
+    * complement (Lucene's term vectors). Built FROM the live postings
+    * (tombstones resolved on the way in) with the stored bucket count;
+    * a DERIVED artifact like [[prunedCopy]] — rebuild on the
+    * maintenance cadence after append/vacuum, not mutated in place. */
+  def buildForward(): Unit = {
+    recover()
+    val b = readBuckets()
+    liveOnly(spark.read.parquet(postingsPath))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("dbucket", bucketCol(col("doc_id").cast(StringType), b))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(forwardPath)
+  }
+
+  /** The (doc_id, term, tf) term vectors of exactly `docIds`, read from
+    * their pruned `dbucket` directories only ([[buildForward]] must
+    * have run). */
+  def docTerms(docIds: Seq[Long]): DataFrame = {
+    require(docIds.nonEmpty, "need at least one doc id")
+    recover()
+    val b = readBuckets()
+    val bs = docIds.map(id => bucketOf(id.toString, b)).distinct.sorted
+    spark.read.parquet(forwardPath)
+      .filter(col("dbucket").isin(bs: _*))
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+  }
+
+  /** More-like-this (X206; the Lucene MLT query shape): rank documents
+    * similar to `docId` by BM25 over the seed document's `topTerms`
+    * most DISTINCTIVE terms — selected by round-6 tf·idf (idf the bm25
+    * formula, df from the census, N from the live doclens; ties break
+    * term-ascending), the seed doc itself excluded from the ranking via
+    * the scored-row gate (stats stay corpus-wide, the X184 discipline).
+    * I/O: one pruned forward read (the seed's dbucket), one
+    * vocabulary-sized census lookup, then a standard [[bm25]] serve
+    * over the selected terms' pruned buckets — the whole
+    * related-documents surface costs a point lookup plus one ranked
+    * query, text never read. */
+  def moreLikeThis(docId: Long, k: Int, topTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
+    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val seed = docTerms(Seq(docId))
+      .join(vocab().withColumnRenamed("df", "__df"), Seq("term"), "left")
+      .na.fill(0L, Seq("__df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df").cast(DoubleType) + lit(0.5)) /
+        (col("__df").cast(DoubleType) + lit(0.5)))
+    val terms = seed
+      .withColumn("__w", round(col("tf").cast(DoubleType) * idf, 6))
+      .orderBy(col("__w").desc, col("term").asc)
+      .limit(topTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) return emptyBm25Frame()
+    val (perDoc, _) = bm25PerDoc(terms, msm = 1)
+    TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b,
+      gate = col("doc_id") =!= docId)
+  }
+
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory
     * [[TextAnalysis.positionalPostings]] slice, so phrase/proximity

@@ -615,6 +615,32 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.prunedCopy(s"$dir/bad", 0))
   }
 
+  test("forward sidecar + more-like-this: doc-major pruned fetch, seed excluded (X206)") {
+    val dir = Files.createTempDirectory("graft_inv_fwd").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.buildForward()
+    // term vector = the doc's (term, tf) rows, pruned to its dbucket
+    val tv = idx.docTerms(Seq(1L)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(tv == Map("merge" -> 1L, "sort" -> 2L, "beats" -> 1L, "bubble" -> 1L))
+    val plan = idx.docTerms(Seq(1L)).queryExecution.executedPlan
+    val scanned = plan.collect {
+      case f: FileSourceScanExec => f.metadata("PartitionFilters") }
+    assert(scanned.exists(_.contains("dbucket")),
+      "doc fetch must prune on the forward bucket")
+    // MLT: seed excluded, results are docs sharing distinctive terms
+    val mlt = idx.moreLikeThis(1L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!mlt.contains(1L), "the seed doc must not rank")
+    assert(mlt.contains(2L) && mlt.contains(4L),
+      s"sort/merge-sharing docs should rank: $mlt")
+    // unrelated doc 3/5 share no seed terms -> absent
+    assert(!mlt.contains(3L) && !mlt.contains(5L))
+    intercept[IllegalArgumentException](idx.docTerms(Nil))
+    intercept[IllegalArgumentException](idx.moreLikeThis(1L, k = 0))
+  }
+
   test("booleanSearch surfaces the clause contract, not a postings-slice error") {
     val dir = Files.createTempDirectory("graft_inv_boolval").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
