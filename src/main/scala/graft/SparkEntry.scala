@@ -2826,16 +2826,22 @@ object SparkEntry {
   // consumer pays the build once, every result identical either way.
   // ======================================================================
 
+  // a plain map under a REENTRANT monitor, not ConcurrentHashMap:
+  // derived layouts build from other cached layouts (pruned copy <-
+  // shared index), and a nested computeIfAbsent on one CHM throws
+  // "Recursive update" whenever the two keys land in the same bin
   private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    scala.collection.mutable.HashMap.empty[(String, String), String]
 
   private def cachedDir(kind: String, d: String)(build: String => Unit): String =
-    layoutCache.computeIfAbsent((kind, d), { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_shared_$kind").toString
-      build(dir)
-      dir
-    })
+    layoutCache.synchronized {
+      layoutCache.getOrElseUpdate((kind, d), {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_shared_$kind").toString
+        build(dir)
+        dir
+      })
+    }
 
   /** Shared inverted index over `documents` (default buckets), with
     * the X206 forward sidecar built alongside (a derived artifact of
@@ -2901,8 +2907,9 @@ object SparkEntry {
     * from [[sharedInvIndex]] — a derived artifact, rebuilt not
     * mutated, so it caches like its source. */
   private def sharedPrunedIndex(s: SparkSession, d: String): graft.sources.InvertedIndex = {
+    val src = sharedInvIndex(s, d) // resolve the source OUTSIDE the cache closure
     val dir = cachedDir("inv_pruned", d) { dir =>
-      sharedInvIndex(s, d).prunedCopy(s"$dir/pinv", keepPerTerm = 50)
+      src.prunedCopy(s"$dir/pinv", keepPerTerm = 50)
       ()
     }
     new graft.sources.InvertedIndex(s, s"$dir/pinv")
