@@ -927,6 +927,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q251_prf_expand" -> ((s, d) => {
+      // X207 pseudo-relevance feedback (Rocchio/RM3 family): first-pass
+      // BM25 top-5 → their term vectors from the pruned forward
+      // sidecar → 5 most distinctive NEW terms (round-6 fb-tf·idf) →
+      // re-rank with the expanded query; the oracle recomputes every
+      // stage from raw text, so a drift anywhere in the two-pass
+      // composition breaks the hash
+      sharedInvIndex(s, d)
+        .expandedBm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q250_more_like_this" -> ((s, d) => {
       // X206 related-documents serving: the seed doc's term vector from
       // the pruned forward sidecar, top-10 distinctive terms by round-6
@@ -3061,7 +3071,8 @@ object SparkEntry {
     * arithmetic; defaults reproduce [[bm25Sql]]'s text byte-for-byte. */
   private def bm25SqlOver(terms: Seq[String], docsFrom: String,
       toks: String, where: String = "", msm: Int = 1,
-      page: Option[(Int, Int)] = None, hotFrac: Option[Double] = None): String = {
+      page: Option[(Int, Int)] = None, hotFrac: Option[Double] = None,
+      topN: Int = 20): String = {
       val (k1, b) = (1.2, 0.75)
       // interpolate Scala-computed doubles (shortest round-trip repr) so
       // both engines parse the IDENTICAL constant — (k1+1.0) recomputed in
@@ -3096,7 +3107,7 @@ object SparkEntry {
       // the paged surface (q227) orders on the round-6 total order its
       // cursor is built from — see InvertedIndex.bm25Page
       val cut = page match {
-        case None => "ORDER BY score DESC, doc_id ASC LIMIT 20"
+        case None => s"ORDER BY score DESC, doc_id ASC LIMIT $topN"
         case Some((n, off)) =>
           s"ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT $n OFFSET $off"
       }
@@ -4230,6 +4241,50 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q251_prf_expand" -> {
+      val (k1, b, fbDocs, fbTerms, k) = (1.2, 0.75, 5, 5, 20)
+      val k1p = (k1 + 1.0).toString
+      val orig = Seq("sort", "merge", "spark")
+      val origList = orig.map(t => s"'$t'").mkString(", ")
+      val origUnion = orig.map(t => s"SELECT '$t' AS term").mkString(" UNION ALL ")
+      s"""WITH seedr AS (${bm25SqlOver(orig, "documents", toksSql, topN = fbDocs)}),
+          pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+          ftf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ftf
+            FROM pd JOIN seedr USING (doc_id), UNNEST(tk) AS u(t)
+            GROUP BY 1),
+          alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
+            FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
+          expd AS (SELECT term FROM (
+              SELECT f.term,
+                ROUND(CAST(f.ftf AS DOUBLE)
+                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+              FROM ftf f JOIN alldf a USING (term) CROSS JOIN st
+              WHERE f.term NOT IN ($origList))
+            ORDER BY w DESC, term ASC LIMIT $fbTerms),
+          allt AS ($origUnion UNION ALL SELECT term FROM expd),
+          tfs AS (SELECT pd.doc_id, pd.dl, allt.term,
+              CAST(len(list_filter(pd.tk, x -> x = allt.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN allt),
+          dfs AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM tfs GROUP BY 1),
+          partials AS (SELECT tfs.doc_id, tfs.dl,
+              ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+                   / (CAST(dfs.df AS DOUBLE) + 0.5))
+                 * CAST(tfs.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+                 / (CAST(tfs.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                    + (CAST($b AS DOUBLE) * CAST(tfs.dl AS DOUBLE)) / st.avgdl)), 6) AS pp
+            FROM tfs JOIN dfs USING (term) CROSS JOIN st),
+          sc AS (SELECT doc_id, MAX(dl) AS dl, SUM(pp) AS score
+            FROM partials GROUP BY 1)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $k"""
+    },
     "q250_more_like_this" -> {
       val (k1, b, seed, topT, k) = (1.2, 0.75, 7, 10, 15)
       val k1p = (k1 + 1.0).toString

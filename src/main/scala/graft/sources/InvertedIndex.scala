@@ -1158,6 +1158,45 @@ final class InvertedIndex(spark: SparkSession, path: String,
       gate = col("doc_id") =!= docId)
   }
 
+  /** Pseudo-relevance feedback expansion (X207; the Rocchio/RM3 family
+    * — Lavrenko & Croft SIGIR '01 made it the standard second pass):
+    * run the query, harvest the top `fbDocs` hits' term vectors from
+    * the pruned forward sidecar ([[buildForward]] required), pick the
+    * `fbTerms` most distinctive NEW terms (round-6 feedback-tf · idf,
+    * census df, original query terms excluded, ties term-ascending),
+    * and re-rank with the EXPANDED term set — the classic recall
+    * rescue for short queries, served entirely from the layouts: the
+    * first pass is a standard pruned [[bm25]], the harvest is an
+    * fbDocs-sized pruned forward fetch, the expansion pick one
+    * vocabulary-sized census join, the second pass another pruned
+    * [[bm25]]; text never read, every driver-side collect bounded by
+    * fbDocs/fbTerms (the scalar-anchor class). */
+  def expandedBm25(queryTerms: Seq[String], k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    val seedIds = bm25(queryTerms, fbDocs, k1, b)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (seedIds.isEmpty || fbTerms == 0)
+      return bm25(queryTerms, k, k1, b)
+    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("__df").cast(DoubleType) + lit(0.5)) /
+        (col("__df").cast(DoubleType) + lit(0.5)))
+    val expansion = docTerms(seedIds)
+      .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("__ftf"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .join(vocab().withColumnRenamed("df", "__df"), Seq("term"), "left")
+      .na.fill(0L, Seq("__df"))
+      .withColumn("__w", round(col("__ftf").cast(DoubleType) * idf, 6))
+      .orderBy(col("__w").desc, col("term").asc)
+      .limit(fbTerms)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    bm25(queryTerms ++ expansion, k, k1, b)
+  }
+
   /** The postings of exactly `terms`, read from their pruned bucket
     * directories only — schema-identical to an in-memory
     * [[TextAnalysis.positionalPostings]] slice, so phrase/proximity

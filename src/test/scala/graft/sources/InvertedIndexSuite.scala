@@ -641,6 +641,31 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.moreLikeThis(1L, k = 0))
   }
 
+  test("PRF expansion: new terms only, fbTerms=0 degenerates to plain bm25 (X207)") {
+    val dir = Files.createTempDirectory("graft_inv_prf").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.buildForward()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // fbTerms=0: bit-identical to the unexpanded query
+    assert(rows(idx.expandedBm25(Seq("sort", "merge"), k = 10, fbTerms = 0)) ==
+      rows(idx.bm25(Seq("sort", "merge"), k = 10)))
+    // expansion surfaces docs the original query missed: 'bubble' rides
+    // along from feedback doc 1 and doc 5 stays absent (shares nothing)
+    val expanded = idx.expandedBm25(Seq("sort"), k = 10,
+      fbDocs = 1, fbTerms = 8)
+    val ids = expanded.collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L), "an unrelated doc must not appear")
+    // doc 1 is the top hit for 'sort' (tf 2), so its terms expand the
+    // query; docs 2 and 4 rank via their shared terms
+    assert(ids.contains(1L) && ids.contains(2L) && ids.contains(4L))
+    intercept[IllegalArgumentException](
+      idx.expandedBm25(Seq("sort"), k = 0))
+    intercept[IllegalArgumentException](
+      idx.expandedBm25(Seq("sort"), k = 5, fbDocs = 0))
+  }
+
   test("booleanSearch surfaces the clause contract, not a postings-slice error") {
     val dir = Files.createTempDirectory("graft_inv_boolval").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
