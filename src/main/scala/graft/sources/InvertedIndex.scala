@@ -1017,9 +1017,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * on the way out (the copy is born clean); positions of surviving
     * (term, doc) pairs are kept intact, so phrase/proximity still
     * work — also approximately — over the pruned slices. One
-    * term-keyed window + one semi-join, write-shaped like [[build]].
-    * Refresh on the maintenance cadence (a pruned copy is a derived
-    * artifact, rebuilt not mutated). */
+    * term-keyed window + one semi-join, write-shaped like [[build]];
+    * the rank cut plans as a PARTIAL WindowGroupLimit below the
+    * exchange (plan-audited), so even a stopword-class term with
+    * corpus-proportional postings ships at most keepPerTerm rows per
+    * map task — the per-term window is NOT a skew funnel. Refresh on
+    * the maintenance cadence (a pruned copy is a derived artifact,
+    * rebuilt not mutated). */
   def prunedCopy(targetPath: String, keepPerTerm: Int): InvertedIndex = {
     require(keepPerTerm >= 1, s"keepPerTerm must be >= 1, got $keepPerTerm")
     import org.apache.spark.sql.expressions.Window

@@ -838,6 +838,28 @@ class PlanAuditSuite extends AnyFunSuite {
       s"the join key must be the deletion-neighborhood variant:\n$p")
   }
 
+  test("static pruning window: rank cut plans as partial WindowGroupLimit — hot-term skew bounded map-side (X204)") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, row_number, split}
+    import org.apache.spark.sql.expressions.Window
+    // the exact frame shape prunedCopy's survivor selection builds: a
+    // per-term row_number cut. InferWindowGroupLimit must insert the
+    // PARTIAL group-limit below the exchange, so a stopword-class term
+    // with corpus-proportional postings ships at most keepPerTerm rows
+    // per map task instead of its whole list to one reducer.
+    val shaped = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 50)
+    val p = shaped.queryExecution.sparkPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank filter must infer a WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"),
+      s"a PARTIAL group limit must sit below the exchange:\n$p")
+  }
+
   test("batched QL/Boolean: postings pruned to the batch vocabulary's buckets, no cartesian grid (X201)") {
     for (name <- Seq("q244_ql_batch", "q245_boolean_batch")) {
       val postingScans = scans(name).filter(
