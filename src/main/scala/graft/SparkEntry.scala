@@ -927,6 +927,23 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q252_percolate" -> ((s, d) => {
+      // X208 reverse search: an arriving batch (every tenth doc) matched
+      // against the stored Boolean query table (q245's clauses) WITHOUT
+      // any index — which saved searches does each new doc satisfy; the
+      // alerting/routing primitive, one tokenize pass + one equi-join
+      import s.implicits._
+      val batch = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      val clauses = Seq(
+        ("qa", "sort", "must"), ("qa", "merge", "must"),
+        ("qa", "spark", "should"), ("qa", "join", "should"),
+        ("qa", "bubble", "must_not"),
+        ("qb", "scan", "must"), ("qb", "filter", "should"),
+        ("qc", "data", "should"), ("qc", "big", "should"))
+        .toDF("query_id", "term", "clause")
+      TextAnalysis.percolate(batch, "doc_id", col("text"), clauses)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
     "q251_prf_expand" -> ((s, d) => {
       // X207 pseudo-relevance feedback (Rocchio/RM3 family): first-pass
       // BM25 top-5 → their term vectors from the pruned forward
@@ -4241,6 +4258,33 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q252_percolate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents
+            WHERE doc_id % 10 = 0),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          cl(query_id, term, clause) AS (VALUES
+            ('qa', 'sort', 'must'), ('qa', 'merge', 'must'),
+            ('qa', 'spark', 'should'), ('qa', 'join', 'should'),
+            ('qa', 'bubble', 'must_not'),
+            ('qb', 'scan', 'must'), ('qb', 'filter', 'should'),
+            ('qc', 'data', 'should'), ('qc', 'big', 'should')),
+          j AS (SELECT cl.query_id, p.doc_id, cl.clause
+            FROM cl JOIN p USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0
+            AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id""",
     "q251_prf_expand" -> {
       val (k1, b, fbDocs, fbTerms, k) = (1.2, 0.75, 5, 5, 20)
       val k1p = (k1 + 1.0).toString

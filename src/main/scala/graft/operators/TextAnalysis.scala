@@ -561,6 +561,77 @@ object TextAnalysis {
       s"minShould must be in [1, ${should.size}], got $minShould")
   }
 
+  /** Distributed clause-batch contract (the [[validateBooleanClauses]]
+    * rules for a (query_id, term, clause) frame — batch-sized checks,
+    * no corpus I/O); returns the deduped clause frame. Shared by the
+    * index-served batch ([[graft.sources.InvertedIndex
+    * .booleanSearchBatch]]) and [[percolate]]. */
+  private[graft] def validateClauseBatch(clauses: DataFrame,
+      minShould: Int): DataFrame = {
+    require(clauses.columns.toSeq == Seq("query_id", "term", "clause"),
+      s"clauses must be (query_id, term, clause) rows, got ${clauses.columns.toSeq}")
+    require(minShould >= 1, s"minShould must be >= 1, got $minShould")
+    val valid = Seq("must", "should", "must_not")
+    require(clauses.filter(!col("clause").isin(valid: _*)).isEmpty,
+      s"clause must be one of $valid")
+    require(clauses.filter(col("term").isNull || col("term") === "").isEmpty,
+      "empty term in the clause batch")
+    val c = clauses.dropDuplicates()
+    require(c.groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
+      "a term appears in two clauses of one query")
+    require(c.groupBy(col("query_id")).agg(
+        count(when(col("clause") === "must", 1)).as("__m"),
+        count(when(col("clause") === "should", 1)).as("__s"))
+      .filter(col("__m") === 0 && col("__s") === 0).isEmpty,
+      "every query needs at least one must or should term")
+    c
+  }
+
+  /** The clause-batch decision over a (doc_id, term) DISTINCT
+    * membership frame — the shared back half of the index-served batch
+    * and [[percolate]]: per (query, doc) clause counts from one
+    * aggregate, per-query must/should totals broadcast, the X194 gate
+    * (all musts, ≥ min(minShould, |should|) shoulds — vacuous when
+    * should-less, zero must_nots). */
+  private[graft] def booleanMatchBatch(matched: DataFrame,
+      clauses: DataFrame, minShould: Int): DataFrame = {
+    val perQuery = clauses.groupBy(col("query_id")).agg(
+      count(when(col("clause") === "must", 1)).as("__m"),
+      count(when(col("clause") === "should", 1)).as("__s"))
+    clauses.join(matched, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
+        count(when(col("clause") === "should", 1)).as("n_should"),
+        count(when(col("clause") === "must_not", 1)).as("__n_not"))
+      .join(broadcast(perQuery), Seq("query_id"))
+      .filter(col("__n_must") === col("__m") && col("__n_not") === 0 &&
+        (col("__s") === 0 ||
+          col("n_should") >= least(lit(minShould.toLong), col("__s"))))
+      .select(col("query_id"), col("doc_id"), col("n_should"))
+  }
+
+  /** Percolation (X208 — the Elasticsearch percolate / reverse-search
+    * primitive every alerting and routing pipeline needs): match a
+    * batch of ARRIVING documents against a table of STORED Boolean
+    * queries ((query_id, term, clause) rows, the [[booleanMatchBatch]]
+    * semantics) — which saved searches does each new doc satisfy? The
+    * dual of retrieval: the doc side is the stream, the query side is
+    * the stored state, and NO index is needed — one tokenize pass over
+    * the batch, distinct (doc, term) membership, one equi-join against
+    * the clause table (AQE broadcasts whichever side is small), one
+    * aggregate. Work ∝ batch × matched clause terms, never
+    * |queries| × |batch|. Output (query_id, doc_id, n_should); run it
+    * per micro-batch for streaming alerting (a stateless map —
+    * composes with any foreachBatch loop). */
+  def percolate(docs: DataFrame, idCol: String, text: Column,
+      clauses: DataFrame, minShould: Int = 1): DataFrame = {
+    val c = validateClauseBatch(clauses, minShould)
+    val membership = positionalPostings(docs, idCol, text)
+      .select(col("doc_id"), col("term")).distinct()
+    booleanMatchBatch(membership, c, minShould)
+  }
+
   def booleanMatch(index: DataFrame, must: Seq[String],
       should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
       minShould: Int = 1): DataFrame = {

@@ -914,37 +914,12 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * term, no empty terms, no term in two clauses of one query.
     * Output: (query_id, doc_id, n_should). */
   def booleanSearchBatch(clauses: DataFrame, minShould: Int = 1): DataFrame = {
-    require(clauses.columns.toSeq == Seq("query_id", "term", "clause"),
-      s"clauses must be (query_id, term, clause) rows, got ${clauses.columns.toSeq}")
-    require(minShould >= 1, s"minShould must be >= 1, got $minShould")
-    val valid = Seq("must", "should", "must_not")
-    require(clauses.filter(!col("clause").isin(valid: _*)).isEmpty,
-      s"clause must be one of $valid")
-    require(clauses.filter(col("term").isNull || col("term") === "").isEmpty,
-      "empty term in the clause batch")
-    val c = clauses.dropDuplicates()
-    require(c.groupBy(col("query_id"), col("term"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
-      "a term appears in two clauses of one query")
-    val perQuery = c.groupBy(col("query_id")).agg(
-      count(when(col("clause") === "must", 1)).as("__m"),
-      count(when(col("clause") === "should", 1)).as("__s"))
-    require(perQuery.filter(col("__m") === 0 && col("__s") === 0).isEmpty,
-      "every query needs at least one must or should term")
+    val c = TextAnalysis.validateClauseBatch(clauses, minShould)
     val terms = c.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val matched = termPostings(terms)
       .select(col("doc_id"), col("term")).distinct()
-    val agg = c.join(matched, Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
-        count(when(col("clause") === "should", 1)).as("n_should"),
-        count(when(col("clause") === "must_not", 1)).as("__n_not"))
-    agg.join(broadcast(perQuery), Seq("query_id"))
-      .filter(col("__n_must") === col("__m") && col("__n_not") === 0 &&
-        (col("__s") === 0 ||
-          col("n_should") >= least(lit(minShould.toLong), col("__s"))))
-      .select(col("query_id"), col("doc_id"), col("n_should"))
+    TextAnalysis.booleanMatchBatch(matched, c, minShould)
   }
 
   /** Set-Boolean retrieval served from the index (X194): the

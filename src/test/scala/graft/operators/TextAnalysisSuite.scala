@@ -885,6 +885,37 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a"), 0))
   }
 
+  test("percolate: arriving docs match stored queries; parity with per-query booleanMatch (X208)") {
+    val docs = Seq(
+      (1L, "sort merge spark"),
+      (2L, "sort merge join spark"),
+      (3L, "sort merge bubble spark"),
+      (4L, "sort merge plain"),
+      (5L, "sort spark join")).toDF("doc_id", "text")
+    val clauses = Seq(
+      ("alert1", "sort", "must"), ("alert1", "merge", "must"),
+      ("alert1", "spark", "should"), ("alert1", "bubble", "must_not"),
+      ("alert2", "join", "must")).toDF("query_id", "term", "clause")
+    val got = TextAnalysis.percolate(docs, "doc_id", col("text"), clauses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // parity: each stored query percolates exactly its booleanMatch set
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val w1 = TextAnalysis.booleanMatch(idx, Seq("sort", "merge"),
+        Seq("spark"), Seq("bubble")).collect()
+      .map(r => ("alert1", r.getLong(0), r.getLong(1))).toSet
+    val w2 = TextAnalysis.booleanMatch(idx, Seq("join")).collect()
+      .map(r => ("alert2", r.getLong(0), r.getLong(1))).toSet
+    assert(got == (w1 ++ w2))
+    assert(got.map(_._1) == Set("alert1", "alert2"))
+    // contract surfaces at the percolate entry too
+    intercept[IllegalArgumentException](TextAnalysis.percolate(
+      docs, "doc_id", col("text"),
+      Seq(("q", "x", "nope")).toDF("query_id", "term", "clause")))
+    intercept[IllegalArgumentException](TextAnalysis.percolate(
+      docs, "doc_id", col("text"),
+      Seq(("q", "x", "must_not")).toDF("query_id", "term", "clause")))
+  }
+
   test("booleanMatch: must/should/mustNot set algebra; clause edges; bad args") {
     val docs = Seq(
       (1L, "sort merge spark"),          // must ✓ should(spark) ✓
