@@ -927,6 +927,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q253_phrase_planned" -> ((s, d) => {
+      // X209 selectivity-ordered phrase planning: the q213 phrase with
+      // the join chain anchored at the census-rarest term — pure plan
+      // choice, so q213's oracle applies verbatim; a mismatch means
+      // the reordering broke the adjacency intersection
+      sharedInvIndex(s, d).phraseSearch(Seq("sort", "merge"))
+        .orderBy(col("doc_id"))
+    }),
     "q252_percolate" -> ((s, d) => {
       // X208 reverse search: an arriving batch (every tenth doc) matched
       // against the stored Boolean query table (q245's clauses) WITHOUT
@@ -4258,6 +4266,7 @@ object SparkEntry {
           FROM ranked WHERE rk = 1 ORDER BY doc_id"""
     },
     "q117_phrase_match" -> phraseMatchSql,
+    "q253_phrase_planned" -> phraseMatchSql,
     "q252_percolate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents
             WHERE doc_id % 10 = 0),

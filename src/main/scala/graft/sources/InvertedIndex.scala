@@ -1137,6 +1137,39 @@ final class InvertedIndex(spark: SparkSession, path: String,
       gate = col("doc_id") =!= docId)
   }
 
+  /** Phrase search with selectivity-ordered planning (X209 — the
+    * classic rarest-term-first heuristic
+    * [[TextAnalysis.phraseMatch]]'s scaladoc defers to the caller,
+    * now decided by the ENGINE from the census): the adjacency
+    * intersection {(doc, p) : term_i at p + i ∀ i} is order-free, so
+    * the join chain may start anywhere — this surface anchors at the
+    * phrase's LOWEST-df term (census lookup, ties by phrase position)
+    * and joins outward, so every intermediate is bounded by the
+    * RAREST term's postings instead of the first word's (for a phrase
+    * starting with a stop-class word, orders of magnitude smaller).
+    * Results are bit-identical to [[TextAnalysis.phraseMatch]] over
+    * the same slice (suite-pinned; q253 reuses q213's oracle
+    * verbatim) — this is pure plan choice, the census costs one
+    * vocabulary-sized read, and a phrase containing a corpus-absent
+    * term short-circuits through its empty anchor. */
+  def phraseSearch(phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(phrase.forall(_.nonEmpty), s"phrase contains an empty term: $phrase")
+    val dfs = vocab().filter(col("term").isin(phrase.distinct: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slots = phrase.zipWithIndex
+    val order = slots.sortBy { case (t, i) => (dfs.getOrElse(t, 0L), i) }
+    val slice = termPostings(phrase.distinct)
+    def normalized(t: String, i: Int) =
+      slice.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    val (at, ai) = order.head
+    val matched = order.tail.foldLeft(normalized(at, ai)) {
+      case (acc, (t, i)) => acc.join(normalized(t, i), Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Pseudo-relevance feedback expansion (X207; the Rocchio/RM3 family
     * — Lavrenko & Croft SIGIR '01 made it the standard second pass):
     * run the query, harvest the top `fbDocs` hits' term vectors from

@@ -666,6 +666,29 @@ class InvertedIndexSuite extends AnyFunSuite {
       idx.expandedBm25(Seq("sort"), k = 5, fbDocs = 0))
   }
 
+  test("phraseSearch: rarest-first plan, bit-identical to phraseMatch (X209)") {
+    val dir = Files.createTempDirectory("graft_inv_pp").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def viaPlain(p: Seq[String]) =
+      TextAnalysis.phraseMatch(idx.termPostings(p.distinct), p)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def viaPlanned(p: Seq[String]) =
+      idx.phraseSearch(p).orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // including a phrase whose FIRST word is the common one (the case
+    // the reordering exists for) and a repeated-term phrase
+    for (p <- Seq(Seq("sort", "merge"), Seq("merge", "sort"),
+        Seq("sort", "merge", "join"), Seq("another", "sort"),
+        Seq("sort", "merge", "document")))
+      assert(viaPlanned(p) == viaPlain(p), s"plan reorder changed '$p'")
+    // a corpus-absent term empties the anchor and the result
+    assert(idx.phraseSearch(Seq("sort", "zzznope")).isEmpty)
+    intercept[IllegalArgumentException](idx.phraseSearch(Nil))
+    intercept[IllegalArgumentException](idx.phraseSearch(Seq("a", "")))
+  }
+
   test("booleanSearch surfaces the clause contract, not a postings-slice error") {
     val dir = Files.createTempDirectory("graft_inv_boolval").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
