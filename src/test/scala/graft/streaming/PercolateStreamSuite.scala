@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.TextAnalysis
+
+/** The streaming percolator must fire exactly the batch operator's
+  * matches across micro-batches, with a replayed doc never duplicating
+  * an alert. */
+class PercolateStreamSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docsRows = Seq(
+    1L -> "sort merge spark",
+    2L -> "sort merge join spark",
+    3L -> "sort merge bubble spark",
+    4L -> "sort merge plain",
+    5L -> "sort spark join")
+  private def clauses = Seq(
+    ("alert1", "sort", "must"), ("alert1", "merge", "must"),
+    ("alert1", "spark", "should"), ("alert1", "bubble", "must_not"),
+    ("alert2", "join", "must")).toDF("query_id", "term", "clause")
+
+  test("file-stream matches ≡ batch percolate; replayed doc fires no duplicate alert") {
+    val dir = Files.createTempDirectory("graft_perc_stream").toString
+    val docsDir = s"$dir/docs"
+    docsRows.take(3).toDF("doc_id", "text").write.parquet(docsDir)
+    val query = PercolateStream.start(spark, docsDir, s"$dir/ckpt",
+      s"$dir/out", clauses)
+    try {
+      query.processAllAvailable()
+      // second file: the rest of the corpus PLUS a re-sent doc 2 (a
+      // crawler re-fetch) — the replay guard must drop it
+      docsRows.drop(3).toDF("doc_id", "text")
+        .union(Seq(docsRows(1)).toDF("doc_id", "text"))
+        .write.mode("append").parquet(docsDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = TextAnalysis.percolate(docsRows.toDF("doc_id", "text"),
+        "doc_id", col("text"), clauses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.toSet == batch.toSet,
+      "streamed matches must equal the batch operator's")
+    assert(streamed.size == streamed.toSet.size,
+      "a replayed doc must not duplicate an alert row")
+    // the clause contract validates at stream START, not per batch
+    intercept[IllegalArgumentException](PercolateStream.start(
+      spark, docsDir, s"$dir/ckpt2", s"$dir/out2",
+      Seq(("q", "x", "nope")).toDF("query_id", "term", "clause")))
+  }
+}
