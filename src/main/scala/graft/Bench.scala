@@ -37,6 +37,24 @@ object Bench {
       .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
   }
 
+  /** Between-pass GC settle: run 2 of a pass otherwise starts with run
+    * 1's full old-gen debris (≈250 queries of unpersisted block/codegen
+    * garbage), and the collector's catch-up landed INSIDE run-2 timings
+    * of the heaviest aggregation queries (round-14: q133 2.0→35.8 s
+    * class spikes — host/GC artifacts, not plan regressions). One
+    * explicit full GC + a short settle between passes moves that debt
+    * OUTSIDE the timed sections; heap occupancy is logged per pass so a
+    * leak (monotone growth across settles) stays visible. */
+  private def settle(spark: SparkSession, label: String): Unit = {
+    release(spark)
+    System.gc()
+    Thread.sleep(3000)
+    val rt = Runtime.getRuntime
+    System.err.println(s"BENCH HEAP $label: " +
+      s"${(rt.totalMemory - rt.freeMemory) >> 20} MiB used / " +
+      s"${rt.totalMemory >> 20} MiB committed")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -137,13 +155,17 @@ object Bench {
       release(spark) // outside the timed section
       (dt, ok)
     }
-    val mainRuns: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { _ =>
+    val mainRuns: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { i =>
+      settle(spark, s"pass $i start")
       selected.map { case (name, fn) => name -> timeOne(name, fn) }
     }
     val extraRuns: Map[String, (Double, Boolean)] =
       if (nRuns < 2) Map.empty
-      else selected.filter { case (name, _) => lifecycle(name) }
-        .map { case (name, fn) => name -> timeOne(name, fn) }
+      else {
+        settle(spark, "lifecycle extras start")
+        selected.filter { case (name, _) => lifecycle(name) }
+          .map { case (name, fn) => name -> timeOne(name, fn) }
+      }
     val perQuery: Map[String, Seq[(Double, Boolean)]] = selected.keys.map { name =>
       name -> (mainRuns.map(_(name)) ++ extraRuns.get(name).toSeq)
     }.toMap

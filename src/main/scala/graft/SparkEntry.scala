@@ -1047,6 +1047,15 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q254_bigram_bm25" -> ((s, d) => {
+      // X198 finished with character-BIGRAM units (Lucene CJKAnalyzer /
+      // CJKBigramFilter): the persisted index built over
+      // segmentUnicodeBigram(text) ranks overlapping CJK pairs (機械,
+      // 学習) next to an ASCII term with the exact q214 arithmetic —
+      // bigram units restore idf contrast the per-character fallback
+      // (q240) lacks, the known CJK ranking fix
+      sharedBInvIndex(s, d).bm25(Seq("機械", "学習", "sort"), k = 20)
+    }),
     "q242_hot_term_skip" -> ((s, d) => {
       // X199 hot-term serve policy: BM25 with maxDfFrac — the term
       // whose census df exceeds the fraction of the live doc count
@@ -2816,6 +2825,25 @@ object SparkEntry {
     * pipeline — mirrors `TextAnalysis.tokens(c, unicode = true)`. */
   private val uToksSql = toksSqlOn(padSqlOn("text"))
 
+  /** DuckDB mirror of `tokens(segmentUnicodeBigram(text))` as a string
+    * walk (RE2 has no lookarounds, so the engine's lookaround trick is
+    * out): non-class text tokenizes through the default pipeline with
+    * the runs blanked to spaces; each extracted unsegmented-script run
+    * contributes its n−1 overlapping character bigrams (singleton runs
+    * their unigram). Token ORDER differs from the engine's stream —
+    * irrelevant to the tf/df/dl bag statistics BM25 consumes. */
+  private val bToksSql = {
+    val c = TextAnalysis.UnsegClassSql
+    val ascii = toksSqlOn(s"regexp_replace(text, '$c+', ' ', 'g')")
+    val runs =
+      s"""flatten(list_transform(regexp_extract_all(text, '$c+'),
+          r -> CASE WHEN len(r) >= 2
+            THEN list_transform(range(len(r) - 1),
+              i -> substr(r, CAST(i + 1 AS INT), 2))
+            ELSE [r] END))"""
+    s"list_concat($ascii, $runs)"
+  }
+
   /** Mixed-script corpus for the unicode-segmentation gates (q239–
     * q241): deterministic derivation from `documents`, so both engines
     * compute the identical fixture — every third doc gains a CJK
@@ -2900,6 +2928,18 @@ object SparkEntry {
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }
 
+  /** Shared inverted index over the mixed-script corpus with CHARACTER-
+    * BIGRAM units (the Lucene CJKAnalyzer behavior — X198 finished);
+    * the q254 serving layout. */
+  private def sharedBInvIndex(s: SparkSession, d: String): graft.sources.InvertedIndex = {
+    val dir = cachedDir("inv_b", d) { dir =>
+      new graft.sources.InvertedIndex(s, s"$dir/inv")
+        .build(mixedDocs(s, d), "doc_id",
+          TextAnalysis.segmentUnicodeBigram(col("text")))
+    }
+    new graft.sources.InvertedIndex(s, s"$dir/inv")
+  }
+
   /** The (vec_id < 4) centroid convention shared by every IVF query. */
   private def cents4(s: SparkSession, d: String): Seq[Array[Float]] =
     t(s, d, "embeddings").filter(col("vec_id") < 4).orderBy(col("vec_id"))
@@ -2953,7 +2993,7 @@ object SparkEntry {
   /** Bench hook: force every shared layout build OUTSIDE the timed
     * section (the build-once/serve-many split). */
   def prebuildLayouts(s: SparkSession, d: String): Unit = {
-    sharedInvIndex(s, d); sharedUInvIndex(s, d)
+    sharedInvIndex(s, d); sharedUInvIndex(s, d); sharedBInvIndex(s, d)
     sharedIvfIndex(s, d); sharedIvfPqIndex(s, d)
     sharedNgramLm(s, d); sharedPrunedIndex(s, d)
     ()
@@ -4454,6 +4494,8 @@ object SparkEntry {
           FROM p GROUP BY 1 ORDER BY term""",
     "q240_unicode_bm25" ->
       bm25SqlOver(Seq("機", "習", "sort"), mixedSqlFrom, uToksSql),
+    "q254_bigram_bm25" ->
+      bm25SqlOver(Seq("機械", "学習", "sort"), mixedSqlFrom, bToksSql),
     "q241_unicode_shingles" -> {
       val uShingle3 =
         s"""list_transform(range(0, len($uToksSql) - 2),

@@ -52,6 +52,37 @@ object TextAnalysis {
   def segmentUnicode(text: Column): Column =
     regexp_replace(text, UnsegRe, " $1 ")
 
+  /** Character-BIGRAM segmentation for unsegmented scripts (the actual
+    * Lucene CJKAnalyzer / CJKBigramFilter behavior, X198 finished): a
+    * run of n ≥ 2 unsegmented-script codepoints becomes its n−1
+    * OVERLAPPING character pairs (機械学 → 機械, 械学), a singleton run
+    * stays a unigram, and runs never pair across an intervening
+    * non-class character (the original space/word boundary). Bigram
+    * units roughly halve df inflation and restore usable idf contrast
+    * vs [[segmentUnicode]]'s per-character units — the known ranking
+    * fix for CJK on statistics-only tokenization; Thai shares the
+    * class, so Thai runs bigram too (documented coarseness, same
+    * trade as the per-character fallback).
+    *
+    * Two codegen'd `regexp_replace` passes, no UDF: (1) every
+    * run-INTERIOR codepoint (class char with class neighbors on both
+    * sides) is rewritten `c → "c c"` — Java regex lookarounds evaluate
+    * against the ORIGINAL input while the output builds separately, so
+    * one pass duplicates exactly the interior characters, turning
+    * `abcd` into `ab bc cd`; (2) after pass 1 every maximal class
+    * sequence is length 1 or 2 — pad each with spaces so the
+    * downstream whitespace split emits it as its own token. ASCII (and
+    * any text without the class) is byte-identical through both
+    * passes. Same composition contract as [[segmentUnicode]]: an
+    * index/model built with this wrapper must append/score through
+    * it. */
+  def segmentUnicodeBigram(text: Column): Column = {
+    val c = UnsegClass
+    regexp_replace(
+      regexp_replace(text, s"(?<=$c)($c)(?=$c)", "$1 $1"),
+      s"($c$c?)", " $1 ")
+  }
+
   /** [[tokens]] with the unsegmented-script fallback: `tokens(text,
     * unicode = true)` ≡ `tokens(segmentUnicode(text))` — the pad runs
     * FIRST on the raw text, then the exact default pipeline, so the two
@@ -198,14 +229,21 @@ object TextAnalysis {
     * one capture group so the replacement can re-emit the character
     * space-padded. Same BMP ranges in the Java and RE2 dialects (the
     * SQL-oracle mirror writes them as RE2 `\x{....}` escapes). */
-  private[graft] val UnsegRe =
-    "([\\u0E00-\\u0E7F\\u3040-\\u30FF\\u3400-\\u4DBF" +
-      "\\u4E00-\\u9FFF\\uF900-\\uFAFF])"
+  /** The bare unsegmented-script character class (no capture) — the
+    * building block [[UnsegRe]] and [[segmentUnicodeBigram]] share. */
+  private[graft] val UnsegClass =
+    "[\\u0E00-\\u0E7F\\u3040-\\u30FF\\u3400-\\u4DBF" +
+      "\\u4E00-\\u9FFF\\uF900-\\uFAFF]"
+
+  private[graft] val UnsegRe = s"($UnsegClass)"
+
+  /** RE2 spelling of [[UnsegClass]] (no capture) for DuckDB-oracle SQL. */
+  private[graft] val UnsegClassSql =
+    "[\\x{0E00}-\\x{0E7F}\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}]"
 
   /** RE2 spelling of [[UnsegRe]] for DuckDB-oracle SQL. */
-  private[graft] val UnsegReSql =
-    "([\\x{0E00}-\\x{0E7F}\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
-      "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}])"
+  private[graft] val UnsegReSql = s"($UnsegClassSql)"
 
   /** Punctuation class shared by qualityMetrics/qualityScore and the SQL
     * twin `graft_quality_score` — one source of truth, same string in

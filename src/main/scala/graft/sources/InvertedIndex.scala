@@ -256,7 +256,21 @@ final class InvertedIndex(spark: SparkSession, path: String,
     spark.read.parquet(doclensPath).select(col("doc_id"))
   }
 
-  /** Logical deletion (X175): append the ids to the tombstone table —
+  /** Logical deletion (X175): append the ids to the tombstone table.
+    *
+    * '''Vacuum cadence — the tombstone-bound contract.''' Every read
+    * masks tombstones with an anti-join whose cost (and, on the fast
+    * path, driver/executor memory) is ∝ the UNVACUUMED tombstone mass,
+    * so the operational contract is: run [[vacuum]] (or [[maintain]],
+    * whose `maxTombstoneFrac` policy encodes exactly this bound) often
+    * enough that the tombstone table stays within the
+    * `graft.mask.broadcast.maxBytes` broadcast gate (default 32 MiB —
+    * tens of millions of ids). Within the gate reads pay one broadcast
+    * anti-join; past it [[tombstoneIds]] drops the hint and reads
+    * degrade gracefully to a shuffled anti-join (correct, never an
+    * OOM) until the next vacuum restores the fast path. The SQL surface
+    * ([[graft.sources.v2.GraftLayoutSource]]) masks through the same
+    * plan-level anti-join and shares this contract. —
     * O(batch) I/O, no postings or doclens files touched. Deleting an id
     * that is not in the index is a harmless no-op (the anti-join finds
     * nothing to mask). Takes effect on the very next read; [[vacuum]]
@@ -273,19 +287,41 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .write.mode("append").parquet(tombstonesPath)
   }
 
-  /** Anti-join the broadcast tombstone set out of a doc_id-keyed frame —
-    * the read-side half of the tombstone contract. No tombstone table ⇒
-    * the frame passes through untouched (zero plan change for an index
-    * that never deleted, so q213/q214 stay bit-identical). Single-writer
-    * caveat: the existence check happens at plan-build time but the read
-    * executes lazily, so a query frame must not straddle a concurrent
-    * [[vacuum]] (which deletes the tombstone dir) — the engine-wide
+  /** Total on-disk bytes of the tombstone table — the size-gate input
+    * for [[tombstoneIds]], from the file listing alone (no job). */
+  private def tombstoneBytes(): Long =
+    fs.listStatus(new Path(tombstonesPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+
+  /** The distinct tombstoned-id frame, broadcast-hinted ONLY while the
+    * table is small (on-disk bytes ≤ `graft.mask.broadcast.maxBytes`,
+    * default 32 MiB — see [[InvertedIndex.maskBroadcastBytes]]). The
+    * hint is the fast path the vacuum cadence is expected to maintain;
+    * past the gate the hint is DROPPED and AQE/stats pick the join
+    * strategy, so a takedown batch of 10⁷–10⁸ ids landed before the
+    * next vacuum degrades to a shuffled anti-join instead of a driver
+    * OOM — reads stay correct and bounded either way. */
+  private def tombstoneIds(): DataFrame = {
+    val ts = spark.read.parquet(tombstonesPath)
+      .select(col("doc_id")).distinct()
+    if (tombstoneBytes() <= InvertedIndex.maskBroadcastBytes(spark))
+      broadcast(ts)
+    else ts
+  }
+
+  /** Anti-join the tombstone set out of a doc_id-keyed frame — the
+    * read-side half of the tombstone contract, size-gated through
+    * [[tombstoneIds]]. No tombstone table ⇒ the frame passes through
+    * untouched (zero plan change for an index that never deleted, so
+    * q213/q214 stay bit-identical). Single-writer caveat: the existence
+    * check happens at plan-build time but the read executes lazily, so
+    * a query frame must not straddle a concurrent [[vacuum]] (which
+    * deletes the tombstone dir) — the engine-wide
     * single-maintenance-writer assumption every layout here shares. */
   private def liveOnly(df: DataFrame): DataFrame =
     if (fs.exists(new Path(tombstonesPath)))
-      df.join(broadcast(spark.read.parquet(tombstonesPath)
-          .select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_anti")
+      df.join(tombstoneIds(), Seq("doc_id"), "left_anti")
     else df
 
   /** Physically remove tombstoned docs (X175): ONE anti-join rewrite
@@ -300,8 +336,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def vacuum(): Unit = {
     recover()
     if (!fs.exists(new Path(tombstonesPath))) return
-    val ts = broadcast(spark.read.parquet(tombstonesPath)
-      .select(col("doc_id")).distinct())
+    val ts = tombstoneIds()
     val hasCensus = fs.exists(new Path(censusBasePath))
     if (hasCensus && !fs.exists(new Path(censusDeltaPath))) {
       // 1. publish the census delta (the removed docs' per-term df)
@@ -387,8 +422,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
         Some(spark.read.parquet(censusDeltaPath))
       else if (fs.exists(new Path(tombstonesPath)))
         Some(spark.read.parquet(postingsPath)
-          .join(broadcast(spark.read.parquet(tombstonesPath)
-            .select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+          .join(tombstoneIds(), Seq("doc_id"), "left_semi")
           .groupBy(col("term"))
           .agg(count_distinct(col("doc_id")).as("df")))
       else None
@@ -750,10 +784,14 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .reduce(_ || _)
     perDoc.crossJoin(broadcast(stats))
       .filter(matched)
-      .withColumn("score", partials.reduce(_ + _))
+      // rank on the ROUNDED score (the bm25Page discipline): the k cut
+      // must agree with what the caller receives AND with [[qlBatch]],
+      // whose per-query parity suite pins this surface — two docs whose
+      // scores round equal order by the doc_id tiebreak on BOTH paths
+      .withColumn("score", round(partials.reduce(_ + _), 6))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+      .select(col("doc_id"), col("dl"), col("score"))
   }
 
   /** Batched BM25 (X196): top-k hits for a whole BATCH of queries in
@@ -812,6 +850,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .select(col("query_id"), col("doc_id"), col("score"),
           lit(0).as("rank"))
     val q = qAll.filter(col("term").isin(terms: _*))
+    // per-query msm clamp (the single-query 'msm then clamps to the
+    // survivor count' contract, batch form): a query whose hot terms
+    // were elided gates on least(msm, its surviving distinct terms) —
+    // mirroring booleanSearchBatch's least(minShould, __s) — instead of
+    // silently returning zero rows when msm exceeds what survived
+    val qMsm = q.groupBy(col("query_id"))
+      .agg(least(lit(msm), count(lit(1))).as("__msm"))
     val tf = termPostings(terms)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs =
@@ -835,7 +880,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("__nm"),
         round(sum(col("__p").cast(dec)).cast(DoubleType), 6).as("score"))
-      .filter(col("score") > 0 && col("__nm") >= msm)
+      .join(broadcast(qMsm), Seq("query_id"))
+      .filter(col("score") > 0 && col("__nm") >= col("__msm"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("doc_id").asc)))
@@ -1224,4 +1270,24 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("pos"), col("term")))
   }
+}
+
+object InvertedIndex {
+
+  /** Runtime conf key for the tombstone-mask broadcast gate: the
+    * maximum ON-DISK bytes of a layout's tombstone table for which the
+    * read-side anti-join still carries a `broadcast` hint. Past it the
+    * hint is dropped (AQE picks the strategy) and the V2 SQL surface
+    * refuses to collect the set — see the vacuum-cadence contract on
+    * [[InvertedIndex.delete]]. */
+  val MaskBroadcastKey = "graft.mask.broadcast.maxBytes"
+
+  /** Default gate: 32 MiB of parquet ≈ tens of millions of ids —
+    * comfortably inside executor broadcast budgets, far above any
+    * between-vacuums tombstone mass the maintenance policy tolerates. */
+  val MaskBroadcastDefaultBytes: Long = 32L * 1024 * 1024
+
+  private[graft] def maskBroadcastBytes(spark: SparkSession): Long =
+    spark.conf.getOption(MaskBroadcastKey).map(_.toLong)
+      .getOrElse(MaskBroadcastDefaultBytes)
 }

@@ -86,10 +86,6 @@ final class StoreCatalog(spark: SparkSession) {
     * propagation skips the postings branch), zero-df terms dropped. */
   def registerInvertedIndex(name: String, path: String): Seq[String] = {
     requireName(name)
-    layoutTable(path, "postings", masked = true)
-      .createOrReplaceTempView(s"${name}_postings")
-    layoutTable(path, "doclens", masked = true)
-      .createOrReplaceTempView(s"${name}_doclens")
     layoutTable(path, "census").createOrReplaceTempView(s"${name}__census_raw")
     layoutTable(path, "census_delta")
       .createOrReplaceTempView(s"${name}__census_delta")
@@ -97,6 +93,25 @@ final class StoreCatalog(spark: SparkSession) {
       .createOrReplaceTempView(s"${name}__tombstones")
     layoutTable(path, "postings")
       .createOrReplaceTempView(s"${name}__postings_raw")
+    layoutTable(path, "doclens")
+      .createOrReplaceTempView(s"${name}__doclens_raw")
+    // the tombstone mask as a PLAN-LEVEL anti-join (not the provider's
+    // collected per-row Set): correct and bounded for ANY tombstone
+    // mass — with no tombstones the right side reads empty and AQE
+    // collapses the join away; small sets broadcast by AQE's own
+    // size decision; a pre-vacuum takedown batch degrades to a
+    // shuffled anti-join instead of a driver collect (the size-gate
+    // rule on [[graft.sources.InvertedIndex.delete]]). Both sides are
+    // live V2 scans, so the delete-visible-to-the-next-statement
+    // contract is unchanged.
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${name}_postings AS
+          SELECT p.* FROM ${name}__postings_raw p
+          LEFT ANTI JOIN ${name}__tombstones t ON p.doc_id = t.doc_id""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${name}_doclens AS
+          SELECT d.* FROM ${name}__doclens_raw d
+          LEFT ANTI JOIN ${name}__tombstones t ON d.doc_id = t.doc_id""")
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY VIEW ${name}_vocab AS
           WITH base AS (SELECT term, CAST(SUM(df) AS BIGINT) AS df

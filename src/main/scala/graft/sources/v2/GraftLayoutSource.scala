@@ -46,11 +46,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * listing — only the named partitions' files are ever opened (the
   * PartitionFilters guarantee, now declared through V2 pushdown instead
   * of relying on constant folding) — and column pruning reaches the
-  * parquet projection. The tombstone mask applies per-row in the
-  * readers against the scan-time snapshot; the tombstone table is
-  * broadcast-sized by the same contract as
-  * [[graft.sources.InvertedIndex]]'s read-side anti-join (vacuum
-  * amortizes it away). Rows decode through parquet-hadoop's Group
+  * parquet projection. Tombstone masking on the REGISTERED views is a
+  * plan-level anti-join against the live `tombstones` table (scale-safe
+  * for any tombstone mass; AQE broadcasts it only when actually small —
+  * see the vacuum-cadence contract on
+  * [[graft.sources.InvertedIndex.delete]]); the provider's own
+  * `masked=true` per-row Set mask remains for embedded single-table
+  * scans and is SIZE-GATED (`graft.mask.broadcast.maxBytes`) — an
+  * over-threshold tombstone table makes it fail fast rather than
+  * collect unboundedly. Rows decode through parquet-hadoop's Group
   * reader — a non-vectorized path, acceptable because the registered
   * serving queries read either pruned slices (postings buckets) or
   * narrow tables (doclens, census); bulk analytics should read the
@@ -172,10 +176,41 @@ private[v2] object GraftLayoutSource {
     val r = ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
+
+  /** The canonical (data) column set per logical table — the schema an
+    * EMPTY layout registers with (doc ids LONG, the engine's default
+    * id width; a layout built with a different physical id type must
+    * register after its first build to pick it up from the footers). */
+  def canonicalSchema(table: String): StructType = table match {
+    case "postings" => StructType(Seq(
+      StructField("doc_id", LongType), StructField("pos", IntegerType),
+      StructField("term", StringType)))
+    case "doclens" => StructType(Seq(
+      StructField("doc_id", LongType), StructField("dl", LongType)))
+    case "census" | "census_delta" => StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType)))
+    case "tombstones" => StructType(Seq(StructField("doc_id", LongType)))
+    case "ivf_lists" => StructType(Seq(
+      StructField("id", LongType),
+      StructField("vector", ArrayType(FloatType, containsNull = true))))
+    case "ivf_centroids" => StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("centroid", ArrayType(FloatType, containsNull = true))))
+    case other => throw new IllegalArgumentException(
+      s"no canonical schema for layout table '$other'")
+  }
 }
 
-/** One persisted-layout table; schema fixed at registration, data live
-  * per scan. */
+/** One persisted-layout table. DATA is live per scan (every
+  * [[newScanBuilder]] re-recovers, re-lists, re-snapshots), but the
+  * SCHEMA is pinned at registration: Spark resolves a
+  * `DataSourceV2Relation`'s output once, so a layout later rebuilt with
+  * a DIFFERENT doc_id/id physical type keeps serving the registered
+  * schema until re-registration — the one piece of the view that is
+  * NOT live (class doc of [[GraftLayoutSource]]). A still-empty layout
+  * registers with the engine's canonical column set (doc ids LONG) and
+  * starts serving rows as soon as files appear, provided they carry
+  * those canonical types. */
 final class LayoutTable(root: String, tableName: String, dir: String,
     partCol: Option[String], masked: Boolean) extends Table with SupportsRead {
 
@@ -188,19 +223,21 @@ final class LayoutTable(root: String, tableName: String, dir: String,
       case Some((_, p)) =>
         GraftLayoutSource.toSparkSchema(GraftLayoutSource.footerSchema(p))
       case None => tableName match {
-        // absent-dir tables read empty; their schema derives from the
-        // sibling layout so view SQL always resolves
+        // absent-dir / not-yet-built tables read empty; prefer deriving
+        // from a sibling layout file (exact physical id type), fall
+        // back to the canonical fixed column set so registering a fresh
+        // layout never throws
         case "tombstones" =>
-          val dl = GraftLayoutSource.listFiles(s"$root/doclens", None)
-          require(dl.nonEmpty, s"cannot derive tombstone schema: $root has no doclens")
-          StructType(GraftLayoutSource.toSparkSchema(
-            GraftLayoutSource.footerSchema(dl.head._2)).filter(_.name == "doc_id"))
+          GraftLayoutSource.listFiles(s"$root/doclens", None).headOption
+            .map(dl => StructType(GraftLayoutSource.toSparkSchema(
+              GraftLayoutSource.footerSchema(dl._2)).filter(_.name == "doc_id")))
+            .getOrElse(GraftLayoutSource.canonicalSchema(tableName))
         case "census_delta" =>
-          val cb = GraftLayoutSource.listFiles(s"$root/census/base", None)
-          require(cb.nonEmpty, s"cannot derive census schema: $root has no census")
-          GraftLayoutSource.toSparkSchema(GraftLayoutSource.footerSchema(cb.head._2))
-        case other => throw new IllegalArgumentException(
-          s"layout table '$other' has no files under $dir")
+          GraftLayoutSource.listFiles(s"$root/census/base", None).headOption
+            .map(cb => GraftLayoutSource.toSparkSchema(
+              GraftLayoutSource.footerSchema(cb._2)))
+            .getOrElse(GraftLayoutSource.canonicalSchema(tableName))
+        case other => GraftLayoutSource.canonicalSchema(other)
       }
     }
     partCol.fold(fileSchema)(c =>
@@ -258,10 +295,30 @@ final class LayoutScanBuilder(root: String, tableName: String, dir: String,
       else {
         val ts = GraftLayoutSource.listFiles(s"$root/tombstones", None)
         if (ts.isEmpty) Set.empty
-        else SparkSession.active.read
-          .parquet(s"$root/tombstones")
-          .select("doc_id").distinct().collect()
-          .map(r => LayoutScan.normalizeId(r.get(0))).toSet
+        else {
+          // size gate (graft.mask.broadcast.maxBytes): the per-row Set
+          // mask collects the tombstone table to the driver and ships
+          // it in every task closure, so it is only sound while the
+          // table is broadcast-sized — the same vacuum-cadence bound as
+          // the Scala read paths (InvertedIndex.delete). Past the gate,
+          // refuse loudly: the scale-safe route is the plan-level
+          // anti-join view StoreCatalog registers (masked=false data +
+          // the live `tombstones` table), which AQE broadcasts only
+          // when actually small.
+          val fs = GraftLayoutSource.fileSystemFor(root)
+          val bytes = ts.map(f => fs.getFileStatus(f._2).getLen).sum
+          val gate = graft.sources.InvertedIndex
+            .maskBroadcastBytes(SparkSession.active)
+          if (bytes > gate) throw new IllegalStateException(
+            s"tombstone table of $root is $bytes bytes (> $gate, " +
+              s"${graft.sources.InvertedIndex.MaskBroadcastKey}): too large " +
+              "for the collected per-row mask — query the registered " +
+              "anti-join view (or vacuum) instead of a masked=true scan")
+          SparkSession.active.read
+            .parquet(s"$root/tombstones")
+            .select("doc_id").distinct().collect()
+            .map(r => LayoutScan.normalizeId(r.get(0))).toSet
+        }
       }
     new LayoutScan(tableName, files, partCol, required, tombstones,
       new SerializableHadoopConf(

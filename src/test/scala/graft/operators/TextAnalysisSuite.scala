@@ -91,6 +91,32 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(posts.toSeq == Seq(0 -> "sort", 1 -> "機", 2 -> "械", 3 -> "merge"))
   }
 
+  test("bigram segmentation: ASCII unchanged, run of n chars → n−1 overlapping bigrams") {
+    def toks(text: String): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.tokens(TextAnalysis.segmentUnicodeBigram($"t")))
+        .head().getSeq[String](0)
+    // ASCII differential: byte-identical through both passes
+    for (t <- Seq("Merge Sort beats bubble", "  a\tb ", "", "naïve café – ok"))
+      assert(toks(t) ==
+        Seq(t).toDF("t").select(TextAnalysis.tokens($"t")).head().getSeq[String](0),
+        s"ASCII differential broke on '$t'")
+    // n = 4 chars → exactly n−1 = 3 overlapping bigrams
+    assert(toks("spark 機械学習 rocks") ==
+      Seq("spark", "機械", "械学", "学習", "rocks"))
+    // n = 2 → the one bigram; n = 1 → unigram (the CJKBigramFilter rule)
+    assert(toks("a 機械 b") == Seq("a", "機械", "b"))
+    assert(toks("a 機 b") == Seq("a", "機", "b"))
+    // runs never pair across the original boundary (space between runs)
+    assert(toks("機械 学習") == Seq("機械", "学習"))
+    assert(!toks("機械 学習").contains("械学"),
+      "bigrams must not cross an intervening non-class character")
+    // a run embedded in an ASCII word still pads out as its own units
+    assert(toks("abc機械学def") == Seq("abc", "機械", "械学", "def"))
+    // Thai shares the class: น้ำ (3 codepoints) → 2 bigrams
+    assert(toks("ไทย") == Seq("ไท", "ทย"))
+  }
+
   test("fingerprint is whitespace/case-normalized") {
     val fps = Seq("Hello   World", "hello world", "HELLO\tWORLD", "other")
       .toDF("t").select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))

@@ -144,6 +144,61 @@ class IngestCatalogSuite extends AnyFunSuite {
     assert(sqlVocab === scalaVocab)
   }
 
+  test("tombstone gate on the SQL surface: views mask via plan-level anti-join, no collected Set; masked=true refuses over-threshold") {
+    val docs = Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "sort merge join strategy"),
+      (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cat_gate").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docs, "doc_id", col("text"))
+    idx.delete(Seq(3L).toDF("doc_id"))
+    val cat = new StoreCatalog(spark)
+    cat.registerInvertedIndex("catgate", s"$dir/inv")
+    def live() = spark.sql("SELECT doc_id FROM catgate_doclens")
+    val want = live().collect().map(_.getLong(0)).toSet
+    assert(want == Set(1L, 2L))
+    // plan audit: the registered view masks through a LEFT ANTI join of
+    // two live V2 scans — never a per-task collected Set (a Set-masked
+    // scan advertises its tombstone count in the scan description)
+    val plan = live().queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti-join mask in:\n$plan")
+    assert(!"\\d+ tombstones".r.findFirstIn(
+        live().queryExecution.executedPlan.toString).isDefined,
+      "no V2 scan may carry a collected tombstone set")
+    // over-threshold: the VIEW keeps answering identically (anti-join
+    // scales), while a direct masked=true scan refuses to collect
+    spark.conf.set(InvertedIndex.MaskBroadcastKey, "0")
+    try {
+      assert(live().collect().map(_.getLong(0)).toSet == want,
+        "anti-join view must be unaffected by the gate")
+      val maskedScan = spark.read
+        .format(classOf[graft.sources.v2.GraftLayoutSource].getName)
+        .option("path", s"$dir/inv").option("table", "doclens")
+        .option("masked", "true").load()
+      val e = intercept[Exception](maskedScan.collect())
+      def rootMsg(t: Throwable): String =
+        if (t.getCause != null) rootMsg(t.getCause) else String.valueOf(t.getMessage)
+      assert(rootMsg(e).contains("too large"),
+        s"expected the size-gate refusal, got: ${rootMsg(e)}")
+    } finally spark.conf.unset(InvertedIndex.MaskBroadcastKey)
+  }
+
+  test("registering a fresh, never-built layout serves the canonical empty schema") {
+    val dir = Files.createTempDirectory("graft_cat_fresh").toString
+    // no build() — the layout root does not even exist yet
+    val cat = new StoreCatalog(spark)
+    cat.registerInvertedIndex("catfresh", s"$dir/inv")
+    assert(spark.sql("SELECT * FROM catfresh_postings").columns.toSeq ==
+      Seq("doc_id", "pos", "term", "tbucket"))
+    assert(spark.sql("SELECT COUNT(*) FROM catfresh_doclens").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT * FROM catfresh_vocab").collect().isEmpty)
+    // files appearing later (canonical id type) serve without re-registration
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(Seq((1L, "hello world")).toDF("doc_id", "text"), "doc_id", col("text"))
+    assert(spark.sql("SELECT COUNT(*) FROM catfresh_doclens").head().getLong(0) == 1L)
+  }
+
   test("X200: IVF views are LIVE — physical delete and append visible with NO re-registration") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(13)

@@ -493,6 +493,14 @@ class InvertedIndexSuite extends AnyFunSuite {
     // msm clamps to the survivor count instead of failing
     assert(hits(idx.bm25(Seq("sort", "bubble"), k = 10, msm = 2,
       maxDfFrac = 0.5)) == hits(idx.bm25(Seq("bubble"), k = 10)))
+    // the BATCH path mirrors the clamp per query: a query whose hot
+    // term elided gates on least(msm, survivors), not the raw msm
+    val bq = Seq(("qx", "sort"), ("qx", "bubble")).toDF("query_id", "term")
+    val bt = idx.bm25Batch(bq, k = 10, msm = 2, maxDfFrac = 0.5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(bt == hits(idx.bm25(Seq("bubble"), k = 10))
+      .map(t => (t._1, t._3)).toSet,
+      "batch msm must clamp to each query's surviving term count")
     // booleanSearch: hot must-term drops from the clause; survivors rule
     val b1 = idx.booleanSearch(Seq("sort", "bubble"), maxDfFrac = 0.5)
       .collect().map(_.getLong(0)).toSeq.sorted
@@ -706,6 +714,38 @@ class InvertedIndexSuite extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       idx.booleanSearch(Seq("sort"), Seq("sort")))
     assert(e3.getMessage.contains("two clauses"))
+  }
+
+  test("tombstone mask size gate: over-threshold drops the broadcast hint, answers identical") {
+    val dir = Files.createTempDirectory("graft_inv_gate").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    idx.delete(Seq(4L, 5L).toDF("doc_id"))
+    def bm() = idx.bm25(Seq("sort", "merge"), 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def antiHinted() = bm().queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType == LeftAnti => j
+    }.map(_.hint.rightHint.exists(_.strategy.isDefined))
+    // default gate (32 MiB): the tiny tombstone table keeps the hint
+    val small = rows(bm())
+    assert(antiHinted().contains(true),
+      "under the gate the mask anti-join must carry the broadcast hint")
+    // force the over-threshold branch: same answers, hint GONE from the
+    // mask anti-join (AQE may still broadcast at runtime from actual
+    // sizes — the point is the engine no longer FORCES it)
+    spark.conf.set(InvertedIndex.MaskBroadcastKey, "0")
+    try {
+      assert(rows(bm()) === small, "gate must not change results")
+      assert(antiHinted().nonEmpty && !antiHinted().contains(true),
+        "over the gate the forced broadcast hint must be dropped")
+      // vacuum under the gate stays correct too
+      idx.vacuum()
+      assert(rows(bm()) === small)
+    } finally spark.conf.unset(InvertedIndex.MaskBroadcastKey)
   }
 
   test("term lookup prunes to the queried buckets at the file listing") {
