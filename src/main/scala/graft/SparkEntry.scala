@@ -1047,6 +1047,15 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q255_maxscore_bm25" -> ((s, d) => {
+      // X211 MaxScore cut over the block-max sidecar: q214's exact
+      // query and oracle (the optimization is result-invariant — the
+      // MaxScore theorem only ever skips docs provably below the kth
+      // score), with the per-doc scoring work bounded by the essential
+      // (high-ceiling, rare) terms' candidates whenever the term-
+      // ceiling math proves the hot terms non-essential
+      sharedInvIndex(s, d).bm25MaxScore(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q254_bigram_bm25" -> ((s, d) => {
       // X198 finished with character-BIGRAM units (Lucene CJKAnalyzer /
       // CJKBigramFilter): the persisted index built over
@@ -2914,6 +2923,7 @@ object SparkEntry {
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
       idx.build(t(s, d, "documents"), "doc_id", col("text"))
       idx.buildForward()
+      idx.buildBlockMax()
     }
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }
@@ -4618,6 +4628,9 @@ object SparkEntry {
     "q213_inverted_index" -> phraseMatchSql,
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
+    // X211 gate: the MaxScore serve must be indistinguishable from the
+    // plain q214 serve — same oracle text verbatim
+    "q255_maxscore_bm25" -> bm25Sql(),
     "q238_sql_served_bm25" -> bm25Sql(),
     "q217_index_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
     "q246_live_sql_delete" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),

@@ -147,6 +147,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     import spark.implicits._
     recover()
     fs.delete(new Path(tombstonesPath), true) // fresh build = fresh live set
+    // old block-max bounds would under-bound a NEW corpus (the unsafe
+    // direction) — drop them; rebuild via buildBlockMax on the cadence
+    fs.delete(new Path(blockmaxPath), true)
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
@@ -197,6 +200,22 @@ final class InvertedIndex(spark: SparkSession, path: String,
       postings.groupBy(col("term"))
         .agg(count_distinct(col("doc_id")).as("df"))
         .write.parquet(new Path(appendStagingPath, "census").toString)
+    // block-max maintenance: the batch's bound rows land BEFORE the
+    // batch commits — a crash between the two leaves the sidecar
+    // covering docs that never became visible (bounds loose, safe);
+    // the reverse order could leave a live doc whose tf exceeds every
+    // stored bound (unsound skip). Max/min-merge at read time absorbs
+    // the accreted files.
+    if (fs.exists(new Path(blockmaxPath))) {
+      val tf = postings.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .groupBy(col("term"))
+        .agg(max(col("tf")).cast(LongType).as("max_tf"),
+          min(col("dl")).cast(LongType).as("min_dl"))
+        .write.mode("append").parquet(blockmaxPath)
+    }
     graft.util.Pins.release(postings)
     fs.mkdirs(appendMarkerPath)
     commitAppend()
@@ -1112,6 +1131,178 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
+  private def blockmaxPath = s"$path/blockmax"
+
+  /** Max-impact sidecar (X211; the Lucene block-max / MaxScore
+    * family — Turtle & Flood '95, Ding & Suel SIGIR '11): one
+    * (term, max_tf, min_dl) row per term, written beside the census, so
+    * [[bm25MaxScore]] can bound every query term's best-possible BM25
+    * partial WITHOUT opening its postings bucket — tf is monotone-up
+    * and dl monotone-down in the partial, so
+    * `partial(max_tf, min_dl) ≥ partial(tf_d, dl_d)` for every doc d
+    * containing the term.
+    *
+    * A DERIVED artifact like [[buildForward]] (rebuild on the
+    * maintenance cadence, never required for correctness — every
+    * consumer falls back to plain [[bm25]] when it is absent), with one
+    * crucial invariant: the stored bounds must UPPER-bound the current
+    * live corpus at all times. [[append]] therefore writes the batch's
+    * bound rows BEFORE committing the batch (a crash between the two
+    * leaves bounds loose — safe), [[vacuum]] leaves the rows untouched
+    * (bounds over a superset are loose — safe; rebuild to re-tighten),
+    * and [[build]] DELETES the sidecar (a fresh corpus invalidates old
+    * bounds in the unsafe direction). Reads max/min-merge across the
+    * accreted part files, so the serve-time lookup is one
+    * vocabulary-sized pruned read. */
+  def buildBlockMax(): Unit = {
+    recover()
+    val tf = liveOnly(spark.read.parquet(postingsPath))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val rows = tf.join(liveOnly(spark.read.parquet(doclensPath)), Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(max(col("tf")).cast(LongType).as("max_tf"),
+        min(col("dl")).cast(LongType).as("min_dl"))
+    rows.write.mode("overwrite").parquet(blockmaxPath)
+  }
+
+  /** BM25 top-k with the MaxScore cut (X211) — bit-identical results to
+    * [[bm25]] (the optimization is result-invariant by the MaxScore
+    * theorem; q255 gates it on q214's oracle verbatim), but on skewed
+    * queries the expensive per-doc work runs over a candidate set
+    * bounded by the RARE terms' postings instead of every doc matching
+    * any term:
+    *
+    *  1. score ceilings: per-term `ub = round6(partial(max_tf,
+    *     min_dl))` from the [[buildBlockMax]] sidecar + census df —
+    *     no postings I/O;
+    *  2. θ: the kth exact score of the HIGHEST-ceiling term alone (one
+    *     pruned bucket read). Every doc's full score ≥ its single-term
+    *     partial, so θ lower-bounds the true kth score;
+    *  3. non-essential terms: the largest ub-ascending prefix with
+    *     Σub < θ − ε. A doc matching ONLY those terms scores ≤ Σub
+    *     < θ and cannot enter the top k — the MaxScore term skip;
+    *  4. candidates: docs matching ≥ 1 ESSENTIAL term (pruned read of
+    *     the essential — high-ceiling, therefore rare — buckets),
+    *     driver-bounded by `maxCandidates` (the engine's
+    *     bounded-scalar-anchor class; over the bound → plain [[bm25]]);
+    *  5. exact scoring of the candidates over ALL query terms in the
+    *     ORIGINAL term order (round-6 partial discipline, census df,
+    *     corpus-wide N/avgdl — the [[bm25CensusDf]] arithmetic, so
+    *     returned scores are bit-exact), with the candidate id set
+    *     pushed into the postings and doclens scans — on a layout
+    *     whose files are doc-ordered (the [[build]] write order)
+    *     parquet row-group/page stats turn that pushed IN into real
+    *     block skips, the block-level half of block-max.
+    *
+    * Every driver-side collect is bounded: |terms| sidecar/census rows,
+    * k θ-rows, ≤ maxCandidates candidate ids. Degenerate inputs (no
+    * sidecar, empty corpus, θ = 0, nothing non-essential, candidate
+    * overflow) all fall back to plain [[bm25]] — invariance by
+    * construction. */
+  def bm25MaxScore(queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1, got $maxCandidates")
+    recover()
+    def fallback() = bm25(queryTerms, k, k1, b)
+    if (!fs.exists(new Path(blockmaxPath))) return fallback()
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    // stats with the exact bm25Scored expression shapes, so the scalar
+    // values broadcast into scoring are bit-equal to the plain path's
+    val statsRow = dls.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")).head()
+    val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L || statsRow.isNullAt(1)) return fallback()
+    val avgdl = statsRow.getDouble(1)
+    val dfs = vocab().filter(col("term").isin(queryTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bounds = spark.read.parquet(blockmaxPath)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def round6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ubs: Seq[(String, Double)] = queryTerms.map { t =>
+      t -> ((dfs.get(t), bounds.get(t)) match {
+        case (Some(df), Some((mtf, mdl))) if df > 0L =>
+          val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+          round6(idf * mtf * (k1 + 1.0) /
+            (mtf + k1 * (1.0 - b + b * mdl.toDouble / avgdl))) + 1e-9
+        case (Some(df), None) if df > 0L =>
+          // live term with no sidecar row: no valid bound — force it
+          // essential rather than risk an unsound skip
+          Double.MaxValue
+        case _ => 0.0 // term absent from the live corpus: contributes 0
+      })
+    }
+    val present = ubs.filter(_._2 > 0)
+    if (present.isEmpty) return fallback()
+    val tMax = present.maxBy(_._2)._1
+    val thetaRows = scoreExact(Seq(tMax), dls, nDocs, avgdl, dfs, None, k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select(col("score")).collect()
+    if (thetaRows.length < k) return fallback()
+    val theta = thetaRows.last.getDouble(0)
+    if (theta <= 0.0) return fallback()
+    // longest ub-ascending prefix whose ceiling sum stays under θ − ε
+    val nonEssential = {
+      val asc = ubs.sortBy(_._2)
+      var run = 0.0
+      asc.iterator.takeWhile { case (_, u) =>
+        run += u; run < theta - 1e-6
+      }.map(_._1).toSet - tMax
+    }
+    if (nonEssential.isEmpty) return fallback()
+    val essential = queryTerms.filterNot(nonEssential)
+    val candRows = termPostings(essential).select(col("doc_id"))
+      .distinct().limit(maxCandidates + 1).collect()
+    if (candRows.length > maxCandidates) return fallback()
+    if (candRows.isEmpty) return fallback()
+    val cands = candRows.map(_.get(0)).toSeq
+    scoreExact(queryTerms, dls, nDocs, avgdl, dfs, Some(cands), k1, b)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
+  /** Exact BM25 scoring over an optional candidate restriction with
+    * CORPUS-wide scalar stats (n_docs/avgdl as computed by the plain
+    * path, census df) — the shared scorer of [[bm25MaxScore]]'s θ pass
+    * and final pass. Emits (doc_id, dl, score) with the score UNROUNDED
+    * (the bm25Rank heap discipline: order on the exact sum, round on
+    * output). */
+  private def scoreExact(terms: Seq[String], dls: DataFrame, nDocs: Long,
+      avgdl: Double, dfs: Map[String, Long], cands: Option[Seq[Any]],
+      k1: Double, b: Double): DataFrame = {
+    val ti = terms.zipWithIndex
+    val slice0 = termPostings(terms)
+    val slice = cands.fold(slice0)(c => slice0.filter(col("doc_id").isin(c: _*)))
+    val tf = slice.groupBy(col("doc_id"))
+      .agg(ti.head match { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"tf$i") },
+        ti.tail.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
+    val dlsR = cands.fold(dls)(c => dls.filter(col("doc_id").isin(c: _*)))
+    val perDoc = dlsR.join(tf, Seq("doc_id"), "left")
+      .na.fill(0L, ti.map { case (_, i) => s"tf$i" })
+    val partials = ti.map { case (t, i) =>
+      val tfc = col(s"tf$i").cast(DoubleType)
+      val df = lit(dfs.getOrElse(t, 0L).toDouble)
+      val idf = log(lit(1.0) + (lit(nDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tfc + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl").cast(DoubleType) / lit(avgdl))
+      round(idf * tfc * lit(k1 + 1.0) / norm, 6)
+    }
+    perDoc.withColumn("score", partials.reduce(_ + _))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("dl"), col("score"))
   }
 
   private def forwardPath = s"$path/forward"

@@ -748,6 +748,64 @@ class InvertedIndexSuite extends AnyFunSuite {
     } finally spark.conf.unset(InvertedIndex.MaskBroadcastKey)
   }
 
+  test("block-max MaxScore: bit-identical to bm25, fewer shuffled rows on a skewed query (X211)") {
+    val dir = Files.createTempDirectory("graft_inv_bmx").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    // skewed fixture: 'the' in 397/400 docs (stop-class), 'quokka' in 3
+    val docs = (1L to 400L).map { i =>
+      val base = "the alpha beta " + ("the " * (i % 3).toInt)
+      (i, if (i % 133 == 0) s"quokka $base" else base)
+    }.toDF("doc_id", "text")
+    idx.build(docs, "doc_id", col("text"))
+    idx.buildBlockMax()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def shuffled(body: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    // parity across query shapes: skewed mix, all-hot, rare-only,
+    // absent term, k larger than the match set
+    for ((terms, k) <- Seq(
+        (Seq("quokka", "the"), 2), (Seq("the", "alpha"), 5),
+        (Seq("quokka"), 3), (Seq("quokka", "zzz"), 2),
+        (Seq("quokka", "beta", "the"), 2))) {
+      assert(rows(idx.bm25MaxScore(terms, k)) === rows(idx.bm25(terms, k)),
+        s"MaxScore diverged from bm25 on $terms k=$k")
+    }
+    // the cut must actually engage on the skewed query: the per-doc
+    // scoring work (shuffled rows) collapses to the candidate set
+    // instead of every doc matching 'the'
+    val plain = shuffled(idx.bm25(Seq("quokka", "the"), 2).collect())
+    val cut = shuffled(idx.bm25MaxScore(Seq("quokka", "the"), 2).collect())
+    assert(cut < plain / 2,
+      s"MaxScore should shuffle far fewer rows, got $cut vs $plain")
+    // append keeps bounds sound (batch rows land before the commit)
+    idx.append(Seq((401L, "quokka quokka quokka the")).toDF("doc_id", "text"),
+      "doc_id", col("text"))
+    assert(rows(idx.bm25MaxScore(Seq("quokka", "the"), 3)) ===
+      rows(idx.bm25(Seq("quokka", "the"), 3)),
+      "post-append MaxScore must still match (new max-tf doc covered)")
+    // vacuum leaves bounds loose but valid
+    idx.delete(Seq(401L).toDF("doc_id")); idx.vacuum()
+    assert(rows(idx.bm25MaxScore(Seq("quokka", "the"), 2)) ===
+      rows(idx.bm25(Seq("quokka", "the"), 2)))
+    // a FRESH build drops the sidecar (old bounds would be unsound);
+    // the serve falls back to plain bm25 and stays correct
+    idx.build(docs.limit(50), "doc_id", col("text"))
+    assert(rows(idx.bm25MaxScore(Seq("the", "alpha"), 4)) ===
+      rows(idx.bm25(Seq("the", "alpha"), 4)))
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
