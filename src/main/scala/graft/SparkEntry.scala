@@ -1047,6 +1047,17 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q256_percolate_store" -> ((s, d) => {
+      // X212 percolation at stored-query scale: an arriving batch
+      // (every twentieth doc) matched against the PERSISTED 10k-alert
+      // table — stored-clause I/O prunes to the batch vocabulary's
+      // term buckets at the file listing, the clause gate reads the
+      // totals sidecar; the oracle regenerates the same 10k queries
+      // from the corpus vocabulary and runs the same join in DuckDB
+      val batch = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
     "q255_maxscore_bm25" -> ((s, d) => {
       // X211 MaxScore cut over the block-max sidecar: q214's exact
       // query and oracle (the optimization is result-invariant — the
@@ -2950,6 +2961,49 @@ object SparkEntry {
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }
 
+  /** Shared persisted [[graft.sources.QueryStore]] holding the q256
+    * generated 10k-alert table (X212): 10,000 stored Boolean queries
+    * derived DETERMINISTICALLY from the corpus vocabulary — both
+    * engines rank the vocab by (df DESC, term) and pick each query's
+    * must/should/should/must_not terms by fixed modular strides, with
+    * per-(query, term) clause collisions resolved by pick priority —
+    * so the fixture is a pure function of `documents` and the DuckDB
+    * oracle regenerates it bit-for-bit. */
+  private def sharedQueryStore(s: SparkSession, d: String): graft.sources.QueryStore = {
+    val dir = cachedDir("qstore", d) { dir =>
+      new graft.sources.QueryStore(s, s"$dir/qs")
+        .build(generatedClauses(s, d))
+    }
+    new graft.sources.QueryStore(s, s"$dir/qs")
+  }
+
+  private def generatedClauses(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val vocab = toks.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("df").desc, col("term").asc)))
+      .select(col("term"), col("rn"))
+    val v = vocab.count().toInt
+    val g = s.range(0, 10000).select(col("id").cast(IntegerType).as("i"))
+    def pick(pr: Int, clause: String, rn: Column) =
+      g.select(concat(lit("q"), col("i")).as("query_id"),
+        lit(pr).as("pr"), lit(clause).as("clause"), (rn + 1).as("rn"))
+    val picks = pick(0, "must", col("i") % v)
+      .union(pick(1, "should", (col("i") * 7 + 3) % v))
+      .union(pick(2, "should", (col("i") * 13 + 5) % v))
+      .union(pick(3, "must_not", (col("i") * 31 + 11) % v))
+    picks.join(vocab, Seq("rn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"), col("term")).orderBy(col("pr"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("term"), col("clause"))
+  }
+
   /** The (vec_id < 4) centroid convention shared by every IVF query. */
   private def cents4(s: SparkSession, d: String): Seq[Array[Float]] =
     t(s, d, "embeddings").filter(col("vec_id") < 4).orderBy(col("vec_id"))
@@ -3005,7 +3059,7 @@ object SparkEntry {
   def prebuildLayouts(s: SparkSession, d: String): Unit = {
     sharedInvIndex(s, d); sharedUInvIndex(s, d); sharedBInvIndex(s, d)
     sharedIvfIndex(s, d); sharedIvfPqIndex(s, d)
-    sharedNgramLm(s, d); sharedPrunedIndex(s, d)
+    sharedNgramLm(s, d); sharedPrunedIndex(s, d); sharedQueryStore(s, d)
     ()
   }
 
@@ -4317,6 +4371,43 @@ object SparkEntry {
     },
     "q117_phrase_match" -> phraseMatchSql,
     "q253_phrase_planned" -> phraseMatchSql,
+    "q256_percolate_store" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+            FROM p GROUP BY term),
+          n AS (SELECT COUNT(*) AS v FROM v),
+          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
+          picks AS (
+            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
+              (i % v) + 1 AS rn FROM g, n
+            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
+          cl0 AS (SELECT query_id, v.term, clause, pr
+            FROM picks JOIN v USING (rn)),
+          cl AS (SELECT query_id, term, clause FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+                ORDER BY pr) AS rk FROM cl0)
+            WHERE rk = 1),
+          b AS (SELECT doc_id, term FROM p WHERE doc_id % 20 = 0),
+          j AS (SELECT cl.query_id, b.doc_id, cl.clause
+            FROM cl JOIN b USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(agg.n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id""",
     "q252_percolate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents
             WHERE doc_id % 10 = 0),

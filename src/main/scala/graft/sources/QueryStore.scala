@@ -1,0 +1,262 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.TextAnalysis
+
+/** Persisted stored-query table for percolation at scale (X212 — the
+  * productionized state side of X208/X210): a production percolator
+  * holds 10⁵–10⁶ saved searches, and matching an arriving batch against
+  * a literal in-memory clause frame (q252's shape) stops being free the
+  * moment the query table outgrows a broadcast. This layout stores the
+  * (query_id, term, clause) rows in `tbucket=N` directory partitions
+  * keyed by the engine-wide 28-bit md5 TERM bucket — the
+  * [[InvertedIndex]] postings discipline applied to the QUERY side — so
+  * a batch's membership join prunes at the file listing to the buckets
+  * of the batch's own vocabulary: I/O ∝ |batch-vocab|/B of the stored
+  * clause mass, never the full query table (plan-audited in the suite).
+  *
+  * The clause gate needs each query's FULL must/should totals, which a
+  * pruned slice cannot provide (a query whose must term is absent from
+  * the batch must still fail the all-musts check) — so build/append
+  * also maintain a `totals/` sidecar of (query_id, n_must, n_should)
+  * rows, read whole (queries-count-sized, the aggregate's join side;
+  * AQE broadcasts it while small). must_not needs no totals: a stored
+  * must_not term absent from the arriving doc contributes zero matched
+  * rows, which is exactly the pass condition.
+  *
+  * Lifecycle mirrors the index family: [[build]] validates and writes
+  * the partitioned layout + totals + a one-row meta (bucket count);
+  * [[append]] adds new queries' rows directory-additively (new
+  * query_ids must be disjoint from stored ones — the [[InvertedIndex
+  * .append]] contract); [[delete]] tombstones query ids (alert
+  * unsubscribe: O(batch), clause files untouched, effective on the
+  * next read via the size-gated anti-join — the
+  * [[InvertedIndex.delete]] vacuum-cadence contract); [[vacuum]]
+  * rewrites clauses and totals without the tombstoned queries under
+  * the engine's two-rename crash discipline. Reads are LIVE per
+  * action: [[percolate]] re-lists the directories every call, so a
+  * just-appended alert matches the very next batch —
+  * [[graft.streaming.PercolateStream.startStored]] leans on exactly
+  * that. */
+final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+  private[graft] def storePath: String = path
+
+  private def clausesPath = s"$path/clauses"
+  private def totalsPath = s"$path/totals"
+  private def metaPath = s"$path/meta"
+  private def tombstonesPath = s"$path/tombstones"
+
+  private def fs =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketCol(term: Column, b: Int): Column =
+    pmod(conv(substring(md5(term), 1, 7), 16, 10).cast(LongType), lit(b.toLong))
+      .cast(IntegerType)
+
+  private[graft] def bucketOf(term: String, b: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % b).toInt
+  }
+
+  private def readBuckets(): Int =
+    spark.read.parquet(metaPath).head().getInt(0)
+
+  /** Roll back a crashed [[vacuum]] swap (the [[InvertedIndex]] recover
+    * rule: visible `.bak` with the live dir missing ⇒ restore; with the
+    * live dir present ⇒ drop the stale backup). */
+  private def recover(): Unit =
+    Seq(clausesPath, totalsPath).foreach { live =>
+      val liveP = new Path(live)
+      val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
+      if (fs.exists(bak)) {
+        if (!fs.exists(liveP)) {
+          if (!fs.rename(bak, liveP)) sys.error(s"could not restore $bak")
+        } else fs.delete(bak, true)
+      }
+    }
+
+  /** Crash recovery alone — the [[graft.sources.v2.GraftLayoutSource]]
+    * scan-build hook (the engine rule: every read entry point recovers
+    * first). */
+  private[graft] def recoverForRead(): Unit = recover()
+
+  private def totalsOf(c: DataFrame): DataFrame =
+    c.groupBy(col("query_id")).agg(
+      count(when(col("clause") === "must", 1)).as("n_must"),
+      count(when(col("clause") === "should", 1)).as("n_should"))
+
+  /** Validate (the [[TextAnalysis.validateClauseBatch]] contract) and
+    * write the partitioned clause layout, totals sidecar and meta. */
+  def build(clauses: DataFrame): Unit = {
+    recover()
+    val c = TextAnalysis.validateClauseBatch(clauses, 1)
+      .localCheckpoint(true) // two consumers: layout write + totals
+    fs.delete(new Path(tombstonesPath), true)
+    import spark.implicits._
+    Seq(buckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    c.withColumn("tbucket", bucketCol(col("term"), buckets))
+      .write.mode("overwrite").partitionBy("tbucket").parquet(clausesPath)
+    totalsOf(c).write.mode("overwrite").parquet(totalsPath)
+    graft.util.Pins.release(c)
+  }
+
+  /** Add new stored queries — directory-additive, work ∝ the batch.
+    * New query_ids must be disjoint from stored ones (including
+    * tombstoned ids until [[vacuum]] clears them) — the
+    * [[InvertedIndex.append]] disjointness contract, which is also what
+    * keeps the totals sidecar additive. */
+  def append(clauses: DataFrame): Unit = {
+    recover()
+    val b = readBuckets()
+    val c = TextAnalysis.validateClauseBatch(clauses, 1)
+      .localCheckpoint(true)
+    c.withColumn("tbucket", bucketCol(col("term"), b))
+      .write.mode("append").partitionBy("tbucket").parquet(clausesPath)
+    totalsOf(c).write.mode("append").parquet(totalsPath)
+    graft.util.Pins.release(c)
+  }
+
+  /** Unsubscribe: tombstone the query ids — O(batch) I/O, clause files
+    * untouched, effective on the very next read. Same vacuum-cadence
+    * contract as [[InvertedIndex.delete]]: run [[vacuum]] often enough
+    * that the mask stays inside the `graft.mask.broadcast.maxBytes`
+    * gate. */
+  def delete(queryIds: DataFrame): Unit = {
+    require(queryIds.columns.toSeq == Seq("query_id"),
+      s"ids must be a single-column (query_id) frame, got ${queryIds.columns.toSeq}")
+    recover()
+    queryIds.select(col("query_id").cast(StringType))
+      .write.mode("append").parquet(tombstonesPath)
+  }
+
+  private def tombstoneIds(): DataFrame = {
+    val ts = spark.read.parquet(tombstonesPath)
+      .select(col("query_id")).distinct()
+    val bytes = fs.listStatus(new Path(tombstonesPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    if (bytes <= InvertedIndex.maskBroadcastBytes(spark)) broadcast(ts) else ts
+  }
+
+  private def liveOnly(df: DataFrame): DataFrame =
+    if (fs.exists(new Path(tombstonesPath)))
+      df.join(tombstoneIds(), Seq("query_id"), "left_anti")
+    else df
+
+  /** Physically drop tombstoned queries: one anti-join rewrite each of
+    * clauses (partition layout preserved) and totals, two-rename
+    * swapped; tombstones cleared LAST so a crash anywhere leaves reads
+    * correct. */
+  def vacuum(): Unit = {
+    recover()
+    if (!fs.exists(new Path(tombstonesPath))) return
+    val ts = tombstoneIds()
+    def swap(live: String, partCol: Option[String]): Unit = {
+      val liveP = new Path(live)
+      val staging = new Path(liveP.getParent, s".${liveP.getName}.staging")
+      fs.delete(staging, true)
+      val survivors = spark.read.parquet(live)
+        .join(ts, Seq("query_id"), "left_anti")
+      partCol match {
+        case Some(c) => survivors.write.partitionBy(c).parquet(staging.toString)
+        case None    => survivors.write.parquet(staging.toString)
+      }
+      val hasData = fs.listStatus(staging)
+        .exists(s => !s.getPath.getName.startsWith("_"))
+      if (!hasData) partCol match {
+        case Some(c) => survivors.drop(c).limit(0).coalesce(1)
+          .write.parquet(new Path(staging, s"$c=0").toString)
+        case None => survivors.limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+      val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
+      fs.delete(bak, true)
+      if (!fs.rename(liveP, bak)) sys.error(s"could not back up $live")
+      if (!fs.rename(staging, liveP))
+        sys.error(s"could not swap $staging into $live (backup at $bak)")
+      fs.delete(bak, true)
+    }
+    swap(clausesPath, Some("tbucket"))
+    swap(totalsPath, None)
+    fs.delete(new Path(tombstonesPath), true)
+  }
+
+  /** The full LIVE clause frame (tombstones masked), `tbucket` kept as
+    * the pruning surface — the SQL-registration view behind
+    * [[StoreCatalog.registerQueryStore]]. */
+  def liveClauses: DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(clausesPath))
+  }
+
+  /** The LIVE (query_id, n_must, n_should) totals frame. */
+  def liveTotals: DataFrame = {
+    recover()
+    liveOnly(spark.read.parquet(totalsPath))
+  }
+
+  /** The stored clause rows of exactly the given terms' buckets — the
+    * pruned slice [[percolate]] joins; exposed for plan audits. */
+  def clausesForTerms(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    recover()
+    val b = readBuckets()
+    val bs = terms.map(bucketOf(_, b)).distinct.sorted
+    liveOnly(spark.read.parquet(clausesPath)
+      .filter(col("tbucket").isin(bs: _*))
+      .select(col("query_id"), col("term"), col("clause")))
+  }
+
+  /** Percolate an arriving batch against the STORED query table: one
+    * tokenize pass over the batch, the membership join against only
+    * the batch vocabulary's clause BUCKETS (pruned at the file
+    * listing), the clause gate against the totals sidecar — semantics
+    * identical to [[TextAnalysis.percolate]] over [[liveClauses]]
+    * (suite-pinned), cost ∝ batch × matched clause terms with stored-
+    * query I/O ∝ |batch-vocab|/B. The batch-vocabulary collect that
+    * builds the pruning predicate is bounded by the BATCH's distinct
+    * terms (the X196 bounded-scalar-anchor class). Output:
+    * (query_id, doc_id, n_should). */
+  def percolate(docs: DataFrame, idCol: String, text: Column,
+      minShould: Int = 1): DataFrame = {
+    require(minShould >= 1, s"minShould must be >= 1, got $minShould")
+    recover()
+    val deduped = docs.dropDuplicates(idCol)
+    // the vocab collect runs its own cheap tokenize pass (terms only —
+    // no positions); the membership side recomputes lazily in the join,
+    // so nothing pins across the call (two batch-sized passes, the
+    // documented trade)
+    val terms = deduped
+      .select(explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      return liveTotals.limit(0)
+        .select(col("query_id"),
+          lit(null).cast(LongType).as("doc_id"),
+          lit(0L).as("n_should"))
+    val membership = TextAnalysis.positionalPostings(deduped, idCol, text)
+      .select(col("doc_id"), col("term")).distinct()
+    val totals = liveTotals.select(col("query_id"),
+      col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
+    clausesForTerms(terms).join(membership, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
+        count(when(col("clause") === "should", 1)).as("n_should"),
+        count(when(col("clause") === "must_not", 1)).as("__n_not"))
+      .join(totals, Seq("query_id"))
+      .filter(col("__n_must") === col("__m_tot") && col("__n_not") === 0 &&
+        (col("__s_tot") === 0 ||
+          col("n_should") >= least(lit(minShould.toLong), col("__s_tot"))))
+      .select(col("query_id"), col("doc_id"), col("n_should"))
+  }
+}

@@ -132,6 +132,35 @@ final class StoreCatalog(spark: SparkSession) {
     Seq(s"${name}_postings", s"${name}_doclens", s"${name}_vocab")
   }
 
+  /** SQL-surface a persisted [[QueryStore]] (X212): register
+    * `<name>_clauses` (live tombstone-masked (query_id, term, clause),
+    * `tbucket` kept as the pruning surface — the same stock-SQL md5
+    * bucket predicate documented on [[InvertedIndex.livePostings]])
+    * and `<name>_totals` (masked (query_id, n_must, n_should)) as
+    * session temp views over the live V2 provider, so `spark.sql`
+    * users compose the percolation join — clauses ⨝ arriving
+    * membership, clause-count aggregate, totals gate — with plain SQL.
+    * Masking is the same plan-level anti-join rule as
+    * [[registerInvertedIndex]]. */
+  def registerQueryStore(name: String, path: String): Seq[String] = {
+    requireName(name)
+    layoutTable(path, "query_clauses")
+      .createOrReplaceTempView(s"${name}__clauses_raw")
+    layoutTable(path, "query_totals")
+      .createOrReplaceTempView(s"${name}__totals_raw")
+    layoutTable(path, "query_tombstones")
+      .createOrReplaceTempView(s"${name}__tombstones")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${name}_clauses AS
+          SELECT c.* FROM ${name}__clauses_raw c
+          LEFT ANTI JOIN ${name}__tombstones t ON c.query_id = t.query_id""")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW ${name}_totals AS
+          SELECT d.* FROM ${name}__totals_raw d
+          LEFT ANTI JOIN ${name}__tombstones t ON d.query_id = t.query_id""")
+    Seq(s"${name}_clauses", s"${name}_totals")
+  }
+
   /** SQL-surface a persisted [[IvfIndex]] (X189, LIVE since X200):
     * register `<name>_lists` (ivf_list-partitioned (id, vector) — a
     * `WHERE ivf_list IN (...)` probe prunes at the directory listing

@@ -88,7 +88,10 @@ private[v2] object GraftLayoutSource {
     "census_delta" -> (("census/pending_delta", None, false)),
     "tombstones" -> (("tombstones", None, false)),
     "ivf_lists" -> (("lists", Some("ivf_list"), false)),
-    "ivf_centroids" -> (("centroids", None, false)))
+    "ivf_centroids" -> (("centroids", None, false)),
+    "query_clauses" -> (("clauses", Some("tbucket"), false)),
+    "query_totals" -> (("totals", None, false)),
+    "query_tombstones" -> (("tombstones", None, false)))
 
   def tableFor(props: JMap[String, String]): LayoutTable = {
     val m = props.asScala
@@ -111,6 +114,8 @@ private[v2] object GraftLayoutSource {
     val spark = SparkSession.active
     if (table.startsWith("ivf_"))
       new graft.sources.IvfIndex(spark, root).recoverForRead()
+    else if (table.startsWith("query_"))
+      new graft.sources.QueryStore(spark, root).recoverForRead()
     else
       new graft.sources.InvertedIndex(spark, root).recoverForRead()
   }
@@ -190,6 +195,14 @@ private[v2] object GraftLayoutSource {
     case "census" | "census_delta" => StructType(Seq(
       StructField("term", StringType), StructField("df", LongType)))
     case "tombstones" => StructType(Seq(StructField("doc_id", LongType)))
+    case "query_clauses" => StructType(Seq(
+      StructField("query_id", StringType), StructField("term", StringType),
+      StructField("clause", StringType)))
+    case "query_totals" => StructType(Seq(
+      StructField("query_id", StringType), StructField("n_must", LongType),
+      StructField("n_should", LongType)))
+    case "query_tombstones" =>
+      StructType(Seq(StructField("query_id", StringType)))
     case "ivf_lists" => StructType(Seq(
       StructField("id", LongType),
       StructField("vector", ArrayType(FloatType, containsNull = true))))
@@ -237,6 +250,8 @@ final class LayoutTable(root: String, tableName: String, dir: String,
             .map(cb => GraftLayoutSource.toSparkSchema(
               GraftLayoutSource.footerSchema(cb._2)))
             .getOrElse(GraftLayoutSource.canonicalSchema(tableName))
+        case "query_tombstones" =>
+          GraftLayoutSource.canonicalSchema(tableName)
         case other => GraftLayoutSource.canonicalSchema(other)
       }
     }

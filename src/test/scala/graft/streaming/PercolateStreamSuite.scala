@@ -55,4 +55,64 @@ class PercolateStreamSuite extends AnyFunSuite {
       spark, docsDir, s"$dir/ckpt2", s"$dir/out2",
       Seq(("q", "x", "nope")).toDF("query_id", "term", "clause")))
   }
+
+  test("an UPDATED doc (same id, new text) re-percolates; an unchanged replay does not") {
+    val dir = Files.createTempDirectory("graft_perc_upd").toString
+    val docsDir = s"$dir/docs"
+    Seq(1L -> "sort merge spark").toDF("doc_id", "text").write.parquet(docsDir)
+    val query = PercolateStream.start(spark, docsDir, s"$dir/ckpt",
+      s"$dir/out", clauses)
+    try {
+      query.processAllAvailable()
+      // same id, NEW content: now contains 'join' -> alert2 must fire
+      Seq(1L -> "sort merge join").toDF("doc_id", "text")
+        .write.mode("append").parquet(docsDir)
+      query.processAllAvailable()
+      // unchanged replay of the updated content: guard drops it
+      Seq(1L -> "sort merge join").toDF("doc_id", "text")
+        .write.mode("append").parquet(docsDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // v1 fires alert1 (sort+merge musts, spark should); v2 loses the
+    // should match but gains alert2's 'join' must — so the update DID
+    // re-percolate, and the unchanged replay added nothing
+    assert(out.count(_ == ("alert1", 1L)) == 1,
+      s"v1 matches alert1 exactly once: $out")
+    assert(out.count(_ == ("alert2", 1L)) == 1,
+      s"the updated content must fire alert2 exactly once: $out")
+    assert(out.size == 2, s"no duplicate rows from the unchanged replay: $out")
+  }
+
+  test("startStored: live QueryStore — alerts appended mid-stream fire on the next batch") {
+    val dir = Files.createTempDirectory("graft_perc_stored").toString
+    val docsDir = s"$dir/docs"
+    docsRows.take(3).toDF("doc_id", "text").write.parquet(docsDir)
+    val qs = new graft.sources.QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    val query = PercolateStream.startStored(spark, docsDir, s"$dir/ckpt",
+      s"$dir/out", s"$dir/qs")
+    try {
+      query.processAllAvailable()
+      // subscribe a NEW alert and unsubscribe alert2 — NO restart
+      qs.append(Seq(("alert9", "plain", "must"))
+        .toDF("query_id", "term", "clause"))
+      qs.delete(Seq("alert2").toDF("query_id"))
+      docsRows.drop(3).toDF("doc_id", "text")
+        .write.mode("append").parquet(docsDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.contains(("alert9", 4L, 0L)),
+      s"mid-stream subscribed alert must fire on the next batch: $out")
+    assert(!out.exists(r => r._1 == "alert2" && r._2 >= 4L),
+      s"mid-stream unsubscribed alert must stop firing: $out")
+    // batch-1 rows (pre-edit) match the frozen-mode result on docs 1-3
+    val batch1 = TextAnalysis.percolate(docsRows.take(3).toDF("doc_id", "text"),
+        "doc_id", col("text"), clauses)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch1.subsetOf(out.toSet))
+  }
 }
