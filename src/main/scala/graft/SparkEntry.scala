@@ -1047,6 +1047,50 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q257_serp_full" -> ((s, d) => {
+      // X206+X207 threaded into the X188 serving stack — the full
+      // production SERP: fuzzy-corrected BM25 (msm=2), the dense IVF
+      // leg, AND the PRF-expanded recall-rescue leg (X207) fused by
+      // RRF; plus the MLT "related" rail (X206) for the top fused hit.
+      // Output: ('hit', rank, vec_id, rrf) rows for the fused top-10
+      // and ('related', rank, vec_id, bm25) rows for the rail — every
+      // stage served from persisted layouts, the oracle recomputes all
+      // of it from raw text/embeddings
+      import org.apache.spark.sql.expressions.Window
+      val inv = sharedInvIndex(s, d)
+      val ivf = sharedIvfIndex(s, d)
+      val embs = t(s, d, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val corrected = TextAnalysis.fuzzySuggestVocab(inv.vocab(),
+          Seq("sorrt", "mergee", "spark"), topK = 1)
+        .filter(col("rank") === 1).select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      def ranked(df: DataFrame, scoreCol: String) = df
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col(scoreCol).desc, col("vec_id").asc)))
+      val bmLeg = ranked(inv.bm25(corrected, k = 20, msm = 2)
+        .select(col("doc_id").as("vec_id"), col("score")), "score")
+      val cosLeg = ranked(ivf.search(qv, k = 20, nprobe = 4)
+        .select(col("id").as("vec_id"), col("cosine")), "cosine")
+      val prfLeg = ranked(inv.expandedBm25(corrected, k = 20,
+          fbDocs = 5, fbTerms = 5)
+        .select(col("doc_id").as("vec_id"), col("score")), "score")
+      val fused = Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
+      val hits = fused
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("vec_id").asc)))
+        .select(lit("hit").as("section"), col("rank"),
+          col("vec_id"), col("rrf").as("score"))
+      val top = fused.orderBy(col("rrf").desc, col("vec_id").asc)
+        .head().getAs[Long]("vec_id")
+      val related = inv.moreLikeThis(top, k = 5, topTerms = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(lit("related").as("section"), col("rank"),
+          col("doc_id").as("vec_id"), col("score"))
+      hits.union(related).orderBy(col("section"), col("rank"))
+    }),
     "q256_percolate_store" -> ((s, d) => {
       // X212 percolation at stored-query scale: an arriving batch
       // (every twentieth doc) matched against the PERSISTED 10k-alert
@@ -4371,6 +4415,90 @@ object SparkEntry {
     },
     "q117_phrase_match" -> phraseMatchSql,
     "q253_phrase_planned" -> phraseMatchSql,
+    "q257_serp_full" -> {
+      val (k1, b, fbDocs, fbTerms, mltT, mltK) = (1.2, 0.75, 5, 5, 10, 5)
+      val k1p = (k1 + 1.0).toString
+      def pp(tfsT: String, dfsT: String) =
+        s"""ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST($dfsT.df AS DOUBLE) + 0.5)
+             / (CAST($dfsT.df AS DOUBLE) + 0.5))
+           * CAST($tfsT.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+           / (CAST($tfsT.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+              + (CAST($b AS DOUBLE) * CAST($tfsT.dl AS DOUBLE)) / st.avgdl)), 6)"""
+      s"""$servingStackCtes,
+          seedr AS (SELECT doc_id FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT $fbDocs),
+          ftf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ftf
+            FROM pd JOIN seedr USING (doc_id), UNNEST(tk) AS u(t)
+            GROUP BY 1),
+          alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
+            FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
+          expd AS (SELECT term FROM (
+              SELECT f.term,
+                ROUND(CAST(f.ftf AS DOUBLE)
+                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+              FROM ftf f JOIN alldf a USING (term) CROSS JOIN st
+              WHERE f.term NOT IN (SELECT term FROM corr))
+            ORDER BY w DESC, term ASC LIMIT $fbTerms),
+          allt AS (SELECT term FROM corr UNION ALL SELECT term FROM expd),
+          tfs2 AS (SELECT pd.doc_id, pd.dl, allt.term,
+              CAST(len(list_filter(pd.tk, x -> x = allt.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN allt),
+          dfs2 AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM tfs2 GROUP BY 1),
+          partials2 AS (SELECT tfs2.doc_id, ${pp("tfs2", "dfs2")} AS pp
+            FROM tfs2 JOIN dfs2 USING (term) CROSS JOIN st),
+          sc2 AS (SELECT doc_id, SUM(pp) AS score FROM partials2 GROUP BY 1),
+          ptop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc2
+            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+          pleg AS (SELECT vec_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r2
+            FROM ptop),
+          f3 AS (SELECT COALESCE(b2.vec_id, c2.vec_id, p2.vec_id) AS vec_id,
+              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(p2.r2 AS DOUBLE)), 0.0) AS rrf
+            FROM bleg b2
+            FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id
+            FULL OUTER JOIN pleg p2
+              ON COALESCE(b2.vec_id, c2.vec_id) = p2.vec_id),
+          hits3 AS (SELECT vec_id, ROUND(rrf, 6) AS rrf FROM f3
+            ORDER BY rrf DESC, vec_id ASC LIMIT 10),
+          hitrows AS (SELECT 'hit' AS section,
+              CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, vec_id ASC) AS INT) AS rank,
+              vec_id, rrf AS score FROM hits3),
+          top1 AS (SELECT vec_id FROM hits3
+            ORDER BY rrf DESC, vec_id ASC LIMIT 1),
+          seedtf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT tk FROM pd
+                  WHERE doc_id = (SELECT vec_id FROM top1)),
+              UNNEST(tk) AS u(t) GROUP BY 1),
+          mlsel AS (SELECT term FROM (
+              SELECT s2.term,
+                ROUND(CAST(s2.tf AS DOUBLE)
+                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+              FROM seedtf s2 JOIN alldf a USING (term) CROSS JOIN st)
+            ORDER BY w DESC, term ASC LIMIT $mltT),
+          mtfs AS (SELECT pd.doc_id, pd.dl, mlsel.term,
+              CAST(len(list_filter(pd.tk, x -> x = mlsel.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN mlsel),
+          mdfs AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM mtfs GROUP BY 1),
+          mpart AS (SELECT mtfs.doc_id, ${pp("mtfs", "mdfs")} AS pp
+            FROM mtfs JOIN mdfs USING (term) CROSS JOIN st),
+          msc AS (SELECT doc_id, SUM(pp) AS score FROM mpart GROUP BY 1),
+          relbase AS (SELECT doc_id, ROUND(score, 6) AS score FROM msc
+            WHERE score > 0 AND doc_id <> (SELECT vec_id FROM top1)
+            ORDER BY score DESC, doc_id ASC LIMIT $mltK),
+          relrows AS (SELECT 'related' AS section,
+              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank,
+              vec_id, score
+            FROM (SELECT doc_id AS vec_id, score FROM relbase))
+          SELECT section, rank, vec_id, score FROM hitrows
+          UNION ALL SELECT section, rank, vec_id, score FROM relrows
+          ORDER BY section, rank"""
+    },
     "q256_percolate_store" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           p AS (SELECT DISTINCT doc_id, u.t AS term
