@@ -379,10 +379,83 @@ final class LayoutReaderFactory(required: StructType, partCol: Option[String],
     tombstones: Set[Any], conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
 
+  // UNMASKED scans (the registered raw views — masking is the
+  // plan-level anti-join since round 15) read COLUMNAR through Spark's
+  // own vectorized parquet reader, so bulk SQL analytics over a
+  // registered layout pays the same decode path as spark.read.parquet
+  // (round-14 "What's missing" #3: the Group-reader route was
+  // row-at-a-time). The per-row Set mask keeps the row-based reader:
+  // filtering a ColumnarBatch per row would rebuild the batch, and the
+  // masked route is the pruned-serving/small-set path by contract.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    tombstones.isEmpty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LayoutPartitionReader(
       partition.asInstanceOf[LayoutInputPartition], required, partCol,
       tombstones, conf.value)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new LayoutColumnarReader(
+      partition.asInstanceOf[LayoutInputPartition], required, partCol,
+      conf.value)
+}
+
+/** Vectorized reader for unmasked layout scans: Spark's
+  * `VectorizedParquetRecordReader` decodes whole column batches (the
+  * exact engine `spark.read.parquet` runs on), with the requested
+  * columns pushed as the parquet projection and the directory's
+  * partition value appended as a constant vector via `initBatch`. */
+final class LayoutColumnarReader(part: LayoutInputPartition,
+    required: StructType, partCol: Option[String], conf: Configuration)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+
+  private val dataSchema =
+    StructType(required.filterNot(f => partCol.contains(f.name)))
+
+  private val reader = {
+    val readConf = new Configuration(conf)
+    readConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    readConf.set("parquet.read.support.class",
+      classOf[ParquetReadSupport].getName)
+    // the SQLConf-derived keys Spark's file-source path always plants
+    // in the hadoop conf before handing it to this reader
+    readConf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    readConf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    readConf.setBoolean("spark.sql.caseSensitive", false)
+    readConf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    readConf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    readConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    val r = new VectorizedParquetRecordReader(false, 4096)
+    val p = new Path(part.file)
+    // mapred.FileSplit (which extends the mapreduce one) — the base
+    // reader casts to it for its length/offset bookkeeping
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, p.getFileSystem(readConf).getFileStatus(p).getLen,
+      Array.empty[String])
+    r.initialize(split,
+      new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        readConf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+    val (pCols, pVals) = partCol match {
+      case Some(c) if required.fieldNames.contains(c) =>
+        (StructType(Seq(required(c))),
+          InternalRow(part.partValue.map(Int.box).orNull))
+      case _ => (new StructType(), InternalRow.empty)
+    }
+    r.initBatch(pCols, pVals)
+    r.enableReturningBatches()
+    r
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+
+  override def close(): Unit = reader.close()
 }
 
 /** Row-group reader: parquet-hadoop Group records → InternalRow, with
