@@ -522,7 +522,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
     *
     *  - `vacuum` when distinct tombstoned ids / doclens rows >
     *    `maxTombstoneFrac` — the broadcast + read-side anti-join tax
-    *    has outgrown its amortization;
+    *    has outgrown its amortization (this policy is the enforcement
+    *    arm of the vacuum-cadence contract documented on [[delete]]:
+    *    run on a cadence that keeps the mask inside the
+    *    `graft.mask.broadcast.maxBytes` gate);
     *  - `compact` when any term bucket holds more than
     *    `maxFilesPerBucket` part-files — open/seek overhead starts to
     *    dominate the pruned read. Evaluated on the PRE-action listing;
