@@ -94,16 +94,30 @@ object PipelineSqlFunctions {
     fn("regexp_replace", text,
       L(graft.operators.TextAnalysis.UnsegRe), L(" $1 "))
 
+  /** [[graft.operators.TextAnalysis.segmentUnicodeBigram]]'s tree: the
+    * two-pass run-interior duplicate + pad (X213). */
+  private def segmentBigram(text: Expression): Expression = {
+    val c = graft.operators.TextAnalysis.UnsegClass
+    fn("regexp_replace",
+      fn("regexp_replace", text, L(s"(?<=$c)($c)(?=$c)"), L("$1 $1")),
+      L(s"($c$c?)"), L(" $1 "))
+  }
+
   /** The `graft_tokens` mode flag: absent/'ws' = whitespace only;
-    * 'unicode' = the unsegmented-script per-character fallback. */
+    * 'unicode' = the unsegmented-script per-character fallback;
+    * 'bigram' = overlapping character bigrams (X213, the CJKAnalyzer
+    * behavior). */
   private def tokensMode(text: Expression, mode: Expression): Expression =
     mode match {
       case Literal(m, StringType) if m != null && m.toString == "unicode" =>
         tokens(segmentUnicode(text))
+      case Literal(m, StringType) if m != null && m.toString == "bigram" =>
+        tokens(segmentBigram(text))
       case Literal(m, StringType) if m != null && m.toString == "ws" =>
         tokens(text)
       case _ => throw new IllegalArgumentException(
-        s"graft_tokens mode must be the literal 'ws' or 'unicode', got ${mode.sql}")
+        "graft_tokens mode must be the literal 'ws', 'unicode' or " +
+          s"'bigram', got ${mode.sql}")
     }
 
   private def bpeCount(text: Expression): Expression =
@@ -375,6 +389,7 @@ object PipelineSqlFunctions {
       case _ => arity("graft_tokens", 1, 2)
     },
     fixed("graft_segment_unicode", 1)(a => segmentUnicode(a.head)),
+    fixed("graft_segment_bigram", 1)(a => segmentBigram(a.head)),
     fixed("graft_bpe_count", 1)(a => bpeCount(a.head)),
     fixed("graft_lang_id", 1)(a => langId(a.head)),
     fixed("graft_script_lang_id", 1)(a => langIdScript(a.head)),

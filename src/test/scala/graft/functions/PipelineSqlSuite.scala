@@ -70,6 +70,15 @@ class PipelineSqlSuite extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("SELECT graft_tokens(text, 'nope') FROM pipe_docs").collect())
     assert(e.getMessage.contains("mode") || e.getMessage.contains("nope"))
+    // bigram mode (X213): parity with the Column kernel + the n−1 rule
+    parity("graft_tokens(text, 'bigram')",
+      TextAnalysis.tokens(TextAnalysis.segmentUnicodeBigram(col("text"))))
+    parity("graft_segment_bigram(text)",
+      TextAnalysis.segmentUnicodeBigram(col("text")))
+    val b = spark.sql(
+      "SELECT graft_tokens('spark 機械学習 rocks', 'bigram') AS t")
+      .head().getSeq[String](0)
+    assert(b == Seq("spark", "機械", "械学", "学習", "rocks"))
   }
 
   test("graft_bpe_count == TextAnalysis.approxBpeCount") {
