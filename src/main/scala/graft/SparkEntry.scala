@@ -1047,6 +1047,43 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q258_syn_bm25" -> ((s, d) => {
+      // X215 SynonymQuery BM25 served from the shared persisted index:
+      // (sort|order) and (fast|quick) each score as ONE pseudo-term —
+      // tf summed, df blended to the group max ('quick' is absent from
+      // the corpus, so its group degrades to 'fast' exactly) — next to
+      // the plain term 'merge'; Lucene SynonymQuery semantics, never
+      // the double-counting naive OR expansion
+      sharedInvIndex(s, d).bm25Synonyms(
+        Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge")), k = 20)
+    }),
+    "q259_bm25f" -> ((s, d) => {
+      // X218 BM25F (Robertson & Zaragoza CIKM'04): head = first 8
+      // tokens (title proxy, weight 2), body = the rest (weight 1);
+      // per-field length norms feed ONE saturation curve — a title hit
+      // outranks a body hit without double-dipping the k1 saturation
+      TextAnalysis.bm25fTopK(t(s, d, "documents"), "doc_id", col("text"),
+        headLen = 8, Seq("sort", "merge", "spark"), k = 20)
+    }),
+    "q260_decay_rank" -> ((s, d) => {
+      // X216 exponential-decay function score (ES function_score exp
+      // decay): users ranked by half-life-weighted event counts —
+      // recent activity dominates, stale activity fades smoothly; the
+      // decay anchor is max(ts) over the input, never the wall clock
+      Sessionize.decayedActivity(events(s, d), col("user_id"), col("ts"),
+        lit(1.0), halfLifeDays = 7.0, k = 20)
+    }),
+    "q261_mmr_rerank" -> ((s, d) => {
+      // X217 MMR diversified re-rank (Carbonell & Goldstein SIGIR'98):
+      // q34's exact top-50 candidates, greedily re-cut to 10 trading
+      // relevance against max-similarity-to-selected (λ=0.7) — near-dup
+      // hits stop crowding the page; bounded m makes the greedy a
+      // driver-side loop over collected side data by contract
+      val anchor = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchor, m = 50, k = 10, lambda = 0.7)
+    }),
     "q257_serp_full" -> ((s, d) => {
       // X206+X207 threaded into the X188 serving stack — the full
       // production SERP: fuzzy-corrected BM25 (msm=2), the dense IVF
@@ -3296,6 +3333,127 @@ object SparkEntry {
           WHERE score > 0 $cut"""
     }
 
+  /** [[bm25Sql]]'s SynonymQuery form (q258 — X215): per-MEMBER tf/df
+    * columns, per-GROUP partials with tf = exact integer member sum and
+    * df = GREATEST of member dfs, round-6, fixed group order — the
+    * [[graft.operators.TextAnalysis.bm25SynRank]] arithmetic verbatim. */
+  private def bm25SynSql(groups: Seq[Seq[String]], topN: Int = 20): String = {
+    val (k1, b) = (1.2, 0.75)
+    val k1p = (k1 + 1.0).toString
+    val members = groups.flatten.zipWithIndex
+    val sizes = groups.map(_.size)
+    val starts = sizes.scanLeft(0)(_ + _)
+    val tfCols = members.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+    val dfCols = members.map { case (_, i) =>
+      s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i" }.mkString(", ")
+    val partial = groups.indices.map { g =>
+      val idx = starts(g) until starts(g + 1)
+      val tfg = "CAST(" + idx.map(i => s"tf$i").mkString(" + ") + " AS DOUBLE)"
+      val dfg =
+        if (idx.size == 1) s"CAST(df${idx.head} AS DOUBLE)"
+        else "CAST(GREATEST(" + idx.map(i => s"df$i").mkString(", ") + ") AS DOUBLE)"
+      s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - $dfg + 0.5) / ($dfg + 0.5))
+         * $tfg * CAST($k1p AS DOUBLE)
+         / ($tfg + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+            + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+    }.mkString(" + ")
+    s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+          FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                FROM documents)
+          WHERE len(tk) > 0),
+        st AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+        sc AS (SELECT pd.doc_id, pd.dl, $partial AS score
+          FROM pd CROSS JOIN st)
+        SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $topN"""
+  }
+
+  /** BM25F oracle (q259 — X218): head/body token slices, per-field
+    * length norms (degenerate avgdl pins the norm to 1, the engine's
+    * `when` guard), weighted pseudo-frequency into one k1 saturation —
+    * [[graft.operators.TextAnalysis.bm25fTopK]]'s arithmetic verbatim. */
+  private def bm25fSql(headLen: Int, terms: Seq[String], topN: Int = 20,
+      k1: Double = 1.2, wHead: Double = 2.0, wBody: Double = 1.0,
+      bHead: Double = 0.75, bBody: Double = 0.75): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(hd, x -> x = '$t')) AS tfh$i, " +
+        s"len(list_filter(bd, x -> x = '$t')) AS tfb$i" }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"COUNT(CASE WHEN tfh$i + tfb$i > 0 THEN 1 END) AS df$i").mkString(", ")
+    def norm(dl: String, avgdl: String, bf: Double) =
+      s"""(CASE WHEN $avgdl > 0
+          THEN (1.0 - CAST($bf AS DOUBLE)) + CAST($bf AS DOUBLE) * CAST($dl AS DOUBLE) / $avgdl
+          ELSE 1.0 END)"""
+    val partial = terms.indices.map { i =>
+      val tft = s"""(CAST($wHead AS DOUBLE) * CAST(tfh$i AS DOUBLE) / ${norm("dlh", "avgdlh", bHead)}
+         + CAST($wBody AS DOUBLE) * CAST(tfb$i AS DOUBLE) / ${norm("dlb", "avgdlb", bBody)})"""
+      s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         / (CAST(df$i AS DOUBLE) + 0.5)) * $tft / (CAST($k1 AS DOUBLE) + $tft), 6)"""
+    }.mkString(" + ")
+    s"""WITH pd AS (SELECT doc_id,
+            CAST(len(hd) AS BIGINT) AS dlh, CAST(len(bd) AS BIGINT) AS dlb, $tfCols
+          FROM (SELECT doc_id, tk[1:$headLen] AS hd, tk[${headLen + 1}:] AS bd
+                FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                      FROM documents)
+                WHERE len(tk) > 0)),
+        st AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dlh) AS DOUBLE) / COUNT(*) AS avgdlh,
+            CAST(SUM(dlb) AS DOUBLE) / COUNT(*) AS avgdlb, $dfCols FROM pd),
+        sc AS (SELECT pd.doc_id, pd.dlh, pd.dlb, $partial AS score
+          FROM pd CROSS JOIN st)
+        SELECT doc_id, dlh, dlb, ROUND(score, 6) AS score FROM sc
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $topN"""
+  }
+
+  /** MMR oracle (q261 — X217): the greedy unrolled as k chained CTE
+    * steps (argmax over the remaining set, penalty = MAX sim to the
+    * selected so far) — no recursion, pure SQL, the exact
+    * [[graft.operators.Ann.mmrRerank]] selection including the λ and
+    * (1−λ) constants interpolated from the SAME Scala doubles the
+    * engine multiplies with. */
+  private def mmrSql(m: Int, k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val cos =
+      """(SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+         FROM (SELECT unnest(a.v) AS x, unnest(b.v) AS y) z)
+         / (a.mag * b.mag + 1e-12)"""
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT c.id, c.rel,
+            CAST($lam AS DOUBLE) * c.rel - CAST($oneMinus AS DOUBLE) * (
+              SELECT MAX(sm.s) FROM sim sm JOIN a${i - 1} p
+              ON sm.ia = LEAST(c.id, p.id) AND sm.ib = GREATEST(c.id, p.id)
+            ) AS mmr, $i AS rank
+          FROM cand c WHERE c.id NOT IN (SELECT id FROM a${i - 1})
+          ORDER BY mmr DESC, c.id ASC LIMIT 1),
+        a$i AS MATERIALIZED (SELECT id, rel, mmr, rank FROM a${i - 1}
+          UNION ALL SELECT id, rel, mmr, rank FROM s$i)"""
+    }.mkString(",\n        ")
+    s"""WITH q AS (SELECT embedding AS qv,
+          sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+          FROM embeddings WHERE vec_id = 0),
+        cand AS MATERIALIZED (SELECT vec_id AS id, rel, v, mag FROM (
+          SELECT e.vec_id,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+             * (SELECT qmag FROM q) + 1e-12) AS rel,
+            e.embedding AS v,
+            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x))) AS mag
+          FROM embeddings e)
+          ORDER BY rel DESC, id ASC LIMIT $m),
+        sim AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, $cos AS s
+          FROM cand a JOIN cand b ON a.id < b.id),
+        s1 AS MATERIALIZED (SELECT id, rel, CAST($lam AS DOUBLE) * rel - CAST($oneMinus AS DOUBLE) * 0.0 AS mmr, 1 AS rank
+          FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+        a1 AS MATERIALIZED (SELECT id, rel, mmr, rank FROM s1),
+        $steps
+        SELECT rank, id, ROUND(rel, 6) AS rel, ROUND(mmr, 6) AS mmr
+        FROM a$k ORDER BY rank"""
+  }
+
   /** Shared by q223 (tokenize path) and q224 (persisted index census —
     * pure I/O): the brute-force cross join + levenshtein, i.e. the
     * O(V×Q) plan the engine's deletion-neighborhood join avoids. */
@@ -4415,6 +4573,26 @@ object SparkEntry {
     },
     "q117_phrase_match" -> phraseMatchSql,
     "q253_phrase_planned" -> phraseMatchSql,
+    "q258_syn_bm25" -> bm25SynSql(
+      Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
+    "q259_bm25f" -> bm25fSql(8, Seq("sort", "merge", "spark")),
+    "q260_decay_rank" -> {
+      // the engine's constants, Scala-printed so both engines parse the
+      // IDENTICAL doubles (the bm25SqlOver discipline)
+      val negLn2 = (-math.log(2.0)).toString
+      val hlMicros = (7.0 * 86400e6).toString
+      s"""WITH w AS (SELECT user_id AS key,
+            ROUND(CAST(1.0 AS DOUBLE) * EXP(CAST($negLn2 AS DOUBLE)
+              * CAST(anchor - us AS DOUBLE) / CAST($hlMicros AS DOUBLE)), 6) AS w
+          FROM (SELECT user_id, epoch_us(ts) AS us,
+                (SELECT MAX(epoch_us(ts)) FROM events) AS anchor FROM events)),
+        g AS (SELECT key, COUNT(*) AS n_events,
+            CAST(SUM(CAST(w AS DECIMAL(38, 6))) AS DOUBLE) AS score
+          FROM w GROUP BY key)
+        SELECT key, n_events, ROUND(score, 6) AS score FROM g
+        ORDER BY score DESC, key ASC LIMIT 20"""
+    },
+    "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
     "q257_serp_full" -> {
       val (k1, b, fbDocs, fbTerms, mltT, mltK) = (1.2, 0.75, 5, 5, 10, 5)
       val k1p = (k1 + 1.0).toString

@@ -670,4 +670,85 @@ object Ann {
         round(col("nprobe").cast(DoubleType) / centroids.size, 6))
       .orderBy(col("nprobe"))
   }
+
+  /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR'98 — the
+    * Maximal Marginal Relevance greedy): from the query's exact cosine
+    * top-`m` candidates, select `k` results one at a time maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy, so near-duplicate hits stop crowding the page.
+    * The first pick is pure relevance (empty selected set ⇒ no
+    * penalty). Ties break to the smaller id at every step, making the
+    * whole selection deterministic.
+    *
+    * Scale shape: the candidate stage is the distributed part
+    * ([[bruteForceTopK]]'s scan, or any ANN tier feeding the same
+    * (id, rel) contract); the greedy is inherently sequential over
+    * m ≤ `MmrMaxCandidates` rows, so the m relevances and the m×m
+    * candidate-pairwise cosines (computed as one tiny Spark self-join
+    * over the already-cut candidate frame) collect to the driver —
+    * bounded side data by the same contract as the PQ codebooks. Output:
+    * (rank, id, rel, mmr) for the k selections in selection order, all
+    * scores round-6; rank 1's mmr = λ·rel.
+    *
+    * Cross-engine parity: rel and sims are the [[bruteForceTopK]] /
+    * [[graft.functions.VectorFunctions.vecCosine]] doubles (sequential
+    * index-ordered accumulation — the DuckDB-bit-identical kernel);
+    * argmax comparisons run on UNROUNDED values in both engines. */
+  def mmrRerank(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], m: Int, k: Int, lambda: Double): DataFrame = {
+    require(m >= 1 && m <= MmrMaxCandidates,
+      s"m must be in [1, $MmrMaxCandidates] (driver-bounded greedy), got $m")
+    require(k >= 1 && k <= m, s"k must be in [1, m=$m], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val q = lit(query).cast(ArrayType(FloatType))
+    val qMag = SearchEngine.magnitudeOf(query)
+    val cand = embs
+      .withColumn("__rel",
+        vecDot(col(vecCol), q) / (vecMagnitude(col(vecCol)) * lit(qMag) + lit(CosineEps)))
+      .orderBy(col("__rel").desc, col(idCol).asc)
+      .limit(m)
+      .select(col(idCol).cast(LongType).as("id"), col("__rel"),
+        col(vecCol).as("__v"))
+      .localCheckpoint(true)
+    val rels = cand.select(col("id"), col("__rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = cand.select(col("id").as("ida"), col("__v").as("va"))
+    val b = cand.select(col("id").as("idb"), col("__v").as("vb"))
+    val sims = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        vecCosine(col("va"), col("vb")).as("__sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def simOf(x: Long, y: Long): Double =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rels.keys
+    while (selected.size < k && remaining.nonEmpty) {
+      // iterate in ascending id order with a STRICT > test: the first
+      // (smallest-id) row holding the max wins — the tiebreak contract
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { id =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map { case (s, _) => simOf(id, s) }.max
+        val mmr = lambda * rels(id) - (1.0 - lambda) * penalty
+        if (mmr > bestScore) { bestScore = mmr; bestId = id }
+      }
+      selected += ((bestId, bestScore))
+      remaining -= bestId
+    }
+    val spark = embs.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, mmr), i) =>
+        (i + 1, id, BigDecimal(rels(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(mmr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "id", "rel", "mmr")
+  }
+
+  /** [[mmrRerank]]'s candidate-set bound: the greedy holds m relevances
+    * and m(m−1)/2 pairwise sims driver-side. */
+  val MmrMaxCandidates = 1024
 }

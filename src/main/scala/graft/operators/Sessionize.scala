@@ -252,6 +252,51 @@ object Sessionize {
           .as("p50_s"))
   }
 
+  /** Exponential-decay function score (the Elasticsearch
+    * `function_score` exp-decay / "trending now" signal; reference
+    * capability level: ranked listings, wp-vector-db.php REST routes):
+    * each key's score is the half-life-weighted sum of its event
+    * values, `Σ value · 2^(−age/halfLife)`, so recent activity
+    * dominates and stale activity fades smoothly instead of falling off
+    * a window cliff — the popularity/recency leg a search stack fuses
+    * next to text relevance.
+    *
+    * Determinism: the decay anchor is `max(ts)` over the INPUT (a
+    * scalar aggregate broadcast to every row), never the wall clock —
+    * same input, same scores, any engine, any day. Per-event weights
+    * round at 6 and sum as DECIMAL(38,6) (order-free exact addition —
+    * a double sum over an unordered aggregate is not reproducible);
+    * `exp`'s argument is built from exact integer microsecond ages and
+    * the Scala-printed ln 2 literal so both engines parse identical
+    * constants.
+    *
+    * Scale shape: one map-side-combining aggregation on the key (the
+    * single exchange), a broadcast scalar anchor, and a
+    * TakeOrderedAndProject heap for the cut — no window, no join. */
+  def decayedActivity(events: DataFrame, key: Column, ts: Column,
+      value: Column, halfLifeDays: Double, k: Int): DataFrame = {
+    require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")
+    require(k > 0, s"k must be positive, got $k")
+    val dec = DataTypes.createDecimalType(38, 6)
+    val negLn2 = -math.log(2.0)
+    val hlMicros = halfLifeDays * 86400e6
+    val anchor = events.agg(max(unix_micros(ts)).as("__anchor"))
+    val weighted = events
+      .select(key.as("key"), unix_micros(ts).as("__us"),
+        value.cast(DoubleType).as("__v"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__w", round(col("__v") * exp(
+        lit(negLn2) * (col("__anchor") - col("__us")).cast(DoubleType)
+          / lit(hlMicros)), 6))
+    weighted
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w").cast(dec)).cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("key").asc)
+      .limit(k)
+      .select(col("key"), col("n_events"), round(col("score"), 6).as("score"))
+  }
+
   /** The funnel chart: users remaining at each stage. Consumes
     * [[funnel]]'s per-user frame; one tiny aggregate (k counters) and a
     * k-row unpivot — no second pass over the events. */

@@ -994,6 +994,162 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
+  /** Synonym-aware BM25 top-k (the Lucene `SynonymQuery` semantics,
+    * public contract: all terms of a group score as ONE pseudo-term
+    * whose tf is the SUM of the members' tfs and whose document
+    * frequency is the MAX of the members' dfs — a blended idf, so "usa
+    * OR u.s." never double-counts a concept the way naive OR expansion
+    * does). `groups` is the expanded query: one inner Seq per concept
+    * (singletons are plain terms). Reference capability level:
+    * wp-vector-db.php search routes (keyword search surface).
+    *
+    * Tokenize path — per-doc member tfs come from one doc-keyed
+    * aggregation over the exploded tokens (the [[bm25TopK]] plan: a
+    * single exchange, map-side combined); the ranking half is
+    * [[bm25SynRank]], shared with the persisted-index path
+    * ([[graft.sources.InvertedIndex.bm25Synonyms]]) so the two cannot
+    * drift. */
+  def bm25SynTopK(docs: DataFrame, idCol: String, text: Column,
+      groups: Seq[Seq[String]], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val members = validateGroups(groups)
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode_outer(tokens(text)).as("__t"))
+      .filter(col("__t").isNotNull && col("__t") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        members.map { case (t, i) =>
+          count(when(col("__t") === t, 1)).as(s"tf$i") }: _*)
+    bm25SynRank(perDoc, groups, k, k1, b)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** `groups` contract shared by both synonym surfaces: non-empty, no
+    * empty group, and a term may appear in ONE group only (a member of
+    * two groups would score one occurrence twice). Returns the members
+    * flattened with their global tf-column index. */
+  private[graft] def validateGroups(groups: Seq[Seq[String]]): Seq[(String, Int)] = {
+    require(groups.nonEmpty, "no synonym groups")
+    require(groups.forall(_.nonEmpty), "empty synonym group")
+    val flat = groups.flatten
+    require(flat.distinct.size == flat.size,
+      s"a term appears in more than one group: $groups")
+    flat.zipWithIndex
+  }
+
+  /** The ranking half of [[bm25SynTopK]] over an explicit
+    * (doc_id, dl, tf0..tf{m-1}) frame with one tf column per MEMBER
+    * (flattened group order). Group tf = exact integer sum of member
+    * tfs; group df = GREATEST of member dfs (both computed here, so the
+    * corpus stats stay one broadcast row exactly like [[bm25Scored]]);
+    * per-group partials round at 6 and sum in fixed group order. */
+  private[graft] def bm25SynRank(perDoc: DataFrame, groups: Seq[Seq[String]],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val sizes = groups.map(_.size)
+    val starts = sizes.scanLeft(0)(_ + _)
+    val memberIdx = groups.indices.map(g => starts(g) until starts(g + 1))
+    val nMembers = sizes.sum
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
+        +: (0 until nMembers).map { i =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val partials = memberIdx.map { idx =>
+      val tf = idx.map(i => col(s"tf$i")).reduce(_ + _).cast(DoubleType)
+      val df = (if (idx.size == 1) col(s"df${idx.head}")
+        else greatest(idx.map(i => col(s"df$i")): _*)).cast(DoubleType)
+      val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+      round(idf * tf * lit(k1 + 1.0) / norm, 6)
+    }
+    scored
+      .withColumn("score", partials.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
+  /** BM25F top-k (Robertson & Zaragoza, "Simple BM25 extension to
+    * multiple weighted fields", CIKM'04): per-field term frequencies
+    * are length-normalized PER FIELD, weighted, and SUMMED into one
+    * pseudo-frequency before the k1 saturation — so a title hit is
+    * worth `wHead` body hits but saturates on the same curve, which is
+    * why BM25F beats naive per-field score addition. Fields here are
+    * DERIVED from the single stored text (reference stores one content
+    * blob): `head` = the first `headLen` tokens (the title/lede proxy),
+    * `body` = the rest.
+    *
+    * Arithmetic: tf̃(t,d) = Σ_f w_f · tf_f / (1 − b_f + b_f·dl_f/avgdl_f),
+    * score(d) = Σ_t idf(t) · tf̃ / (k1 + tf̃) with the Lucene idf variant;
+    * df counts DOCUMENTS containing the term in any field. A corpus
+    * whose bodies are all empty degenerates the body norm to 0/0 — that
+    * field's norm pins to 1 (the `when` guard), mirrored in the oracle.
+    * `N` counts docs with at least one token, as in [[bm25TopK]].
+    *
+    * Plan shape: tfs are higher-order `filter` sizes on the token array
+    * (pure codegen'd per-row maps — no explode, no shuffle); the corpus
+    * stats collapse to one broadcast row; the cut is a
+    * TakeOrderedAndProject heap. Per-group partials round at 6 and sum
+    * in fixed term order. */
+  def bm25fTopK(docs: DataFrame, idCol: String, text: Column,
+      headLen: Int, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, wHead: Double = 2.0, wBody: Double = 1.0,
+      bHead: Double = 0.75, bBody: Double = 0.75): DataFrame = {
+    require(headLen >= 1, s"headLen must be positive, got $headLen")
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.zipWithIndex
+    val tk = filter(tokens(text), t => t.isNotNull && t =!= "")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), tk.as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .select(
+        col("doc_id"),
+        slice(col("__tk"), 1, headLen).as("__head"),
+        expr(s"slice(__tk, ${headLen + 1}, " +
+          s"greatest(size(__tk) - $headLen, 0))").as("__body"))
+      .select(
+        col("doc_id") +:
+          size(col("__head")).cast(LongType).as("dlh") +:
+          size(col("__body")).cast(LongType).as("dlb") +:
+          terms.flatMap { case (t, i) => Seq(
+            size(filter(col("__head"), x => x === t)).cast(LongType).as(s"tfh$i"),
+            size(filter(col("__body"), x => x === t)).cast(LongType).as(s"tfb$i"))
+          }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dlh")).cast(DoubleType) / count(lit(1))).as("avgdlh")
+        +: (sum(col("dlb")).cast(DoubleType) / count(lit(1))).as("avgdlb")
+        +: terms.map { case (_, i) =>
+          count(when(col(s"tfh$i") + col(s"tfb$i") > 0, 1)).as(s"df$i") }: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    def fieldNorm(dl: Column, avgdl: Column, b: Double): Column =
+      when(avgdl > 0,
+        lit(1.0) - lit(b) + lit(b) * dl.cast(DoubleType) / avgdl)
+        .otherwise(lit(1.0))
+    val partials = terms.map { case (_, i) =>
+      val tft = lit(wHead) * col(s"tfh$i").cast(DoubleType) /
+          fieldNorm(col("dlh"), col("avgdlh"), bHead) +
+        lit(wBody) * col(s"tfb$i").cast(DoubleType) /
+          fieldNorm(col("dlb"), col("avgdlb"), bBody)
+      val df = col(s"df$i").cast(DoubleType)
+      val idf = log(lit(1.0) + (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+      round(idf * tft / (lit(k1) + tft), 6)
+    }
+    scored
+      .withColumn("score", partials.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id").as(idCol), col("dlh"), col("dlb"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Per-document language-mix profile (code-switching detector): runs the
     * [[langId]] heuristic per NON-BLANK LINE and aggregates — `n_lines`,
     * `majority_lang` (most frequent line language, ties to the

@@ -631,6 +631,32 @@ final class InvertedIndex(spark: SparkSession, path: String,
     TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b, gate)
   }
 
+  /** Synonym-aware BM25 served from the persisted index (X215 — the
+    * Lucene `SynonymQuery` semantics over the X173 serving path): each
+    * group of `groups` scores as one pseudo-term with tf = Σ member
+    * tfs and df = max member df; see
+    * [[graft.operators.TextAnalysis.bm25SynTopK]] for the contract —
+    * the ranking half ([[graft.operators.TextAnalysis.bm25SynRank]]) is
+    * SHARED with the tokenize path so the two surfaces cannot drift.
+    * Per-query I/O = the member terms' pruned buckets + the live
+    * doclens; expansion widens the bucket fetch by the synonym fan-out
+    * only, never the corpus. */
+  def bm25Synonyms(groups: Seq[Seq[String]], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val members = TextAnalysis.validateGroups(groups)
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termPostings(members.map(_._1))
+      .groupBy(col("doc_id"))
+      .agg(members.head match { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"tf$i") },
+        members.tail.map { case (t, i) =>
+          count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
+    val perDoc = liveOnly(spark.read.parquet(doclensPath))
+      .join(tf, Seq("doc_id"), "left")
+      .na.fill(0L, members.map { case (_, i) => s"tf$i" })
+    TextAnalysis.bm25SynRank(perDoc, groups, k, k1, b)
+  }
+
   /** Hot-term serve policy (the Lucene-class stop-term rule): query
     * terms whose LIVE document frequency exceeds `maxDfFrac` of the
     * live doc count are elided from the query before any postings I/O.

@@ -411,4 +411,37 @@ class AnnSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Ann.prototypePrune(embs, "vec_id", "embedding", assign, 0.5, "middle"))
   }
+
+  test("mmrRerank: diversity beats a redundant higher-relevance hit") {
+    // query between two clusters: ids 1 and 2 near-dups along e1 (2 the
+    // most relevant), id 3 along e2. Pure relevance: [2, 1, 3] — MMR at
+    // λ=0.5 must pick the DIVERSE 3 second (1's sim-to-2 ≈ 1 kills it).
+    val q = Array(1f, 1f)
+    val embs = Seq(
+      (1L, Array(1f, 0.2f)),
+      (2L, Array(1f, 0.22f)),
+      (3L, Array(0.2f, 1f))
+    ).toDF("vec_id", "embedding")
+    val rel = Ann.bruteForceTopK(embs, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel === Seq(2L, 1L, 3L), "sanity: pure relevance ranks the near-dup second")
+    val got = Ann.mmrRerank(embs, "vec_id", "embedding", q, m = 3, k = 3, lambda = 0.5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === Seq((1, 2L), (2, 3L), (3, 1L)))
+    // λ=1 is pure relevance: MMR must reproduce the relevance order
+    val pure = Ann.mmrRerank(embs, "vec_id", "embedding", q, m = 3, k = 3, lambda = 1.0)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(pure === rel)
+    // rank 1 has no penalty (empty selected set): mmr = λ·rel exactly
+    val r1 = Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 1, 0.5).collect().head
+    assert(r1.getLong(1) == 2L)
+    assert(math.abs(r1.getDouble(3) - 0.5 * r1.getDouble(2)) < 1e-6)
+    intercept[IllegalArgumentException](
+      Ann.mmrRerank(embs, "vec_id", "embedding", q, 0, 1, 0.5))
+    intercept[IllegalArgumentException](
+      Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 4, 0.5))
+    intercept[IllegalArgumentException](
+      Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 1, 1.5))
+  }
 }

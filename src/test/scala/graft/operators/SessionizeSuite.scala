@@ -238,4 +238,35 @@ class SessionizeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sessionize.ohlcBuckets(ev, col("u"), col("ts"), col("v"), ""))
   }
+
+  test("decayedActivity: weight halves per half-life, anchored at max(ts)") {
+    // anchor = 2026-01-08 00:00 (user 30's event); one half-life = 1 day
+    val ev = Seq(
+      (10L, ts("2026-01-08 00:00:00"), 1.0), // age 0          -> 1.0
+      (10L, ts("2026-01-07 00:00:00"), 1.0), // 1 half-life    -> 0.5
+      (20L, ts("2026-01-06 00:00:00"), 1.0), // 2 half-lives   -> 0.25
+      (20L, ts("2026-01-06 00:00:00"), 3.0), // value scales   -> 0.75
+      (30L, ts("2026-01-08 00:00:00"), 2.0)  // the anchor row -> 2.0
+    ).toDF("user_id", "ts", "v")
+    val got = Sessionize.decayedActivity(ev, $"user_id", $"ts", $"v",
+        halfLifeDays = 1.0, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 2^-k is exact in IEEE, so the rounded weights are exact here
+    assert(got === Seq((30L, 1L, 2.0), (10L, 2L, 1.5), (20L, 2L, 1.0)))
+  }
+
+  test("decayedActivity: ties order by key; k cuts; invalid args rejected") {
+    val ev = Seq(
+      (2L, ts("2026-01-08 00:00:00"), 1.0),
+      (1L, ts("2026-01-08 00:00:00"), 1.0),
+      (3L, ts("2026-01-01 00:00:00"), 1.0)
+    ).toDF("user_id", "ts", "v")
+    val got = Sessionize.decayedActivity(ev, $"user_id", $"ts", $"v", 1.0, 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L)) // tie at 1.0 -> key asc; k=2 cuts user 3
+    intercept[IllegalArgumentException](
+      Sessionize.decayedActivity(ev, $"user_id", $"ts", $"v", 0.0, 2))
+    intercept[IllegalArgumentException](
+      Sessionize.decayedActivity(ev, $"user_id", $"ts", $"v", 1.0, 0))
+  }
 }

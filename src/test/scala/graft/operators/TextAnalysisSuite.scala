@@ -1019,4 +1019,79 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(got === want,
       "neighborhood join + verify must equal the exact cross-join answer")
   }
+
+  test("bm25SynTopK: singleton groups == bm25TopK; group blends tf-sum/df-max") {
+    val docs = Seq(
+      (1L, "sort merge sort x"),
+      (2L, "order merge y z"),
+      (3L, "sort order q q"),
+      (4L, "q q q q")
+    ).toDF("doc_id", "text")
+    // singleton groups must be bit-identical to the plain surface
+    val plain = TextAnalysis.bm25TopK(docs, "doc_id", col("text"),
+      Seq("sort", "merge"), k = 10).collect().toSeq
+    val single = TextAnalysis.bm25SynTopK(docs, "doc_id", col("text"),
+      Seq(Seq("sort"), Seq("merge")), k = 10).collect().toSeq
+    assert(plain === single)
+    // (sort|order) as one concept: doc 3 has group-tf 2 like doc 1;
+    // group df = max(df_sort=2, df_order=2) = 2
+    val syn = TextAnalysis.bm25SynTopK(docs, "doc_id", col("text"),
+        Seq(Seq("sort", "order"), Seq("merge")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def part(tf: Double, df: Double, dl: Double): BigDecimal = {
+      val n = 4.0; val avgdl = 16.0 / 4.0
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      BigDecimal.valueOf(idf * tf * 2.2 / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def score(ps: Seq[BigDecimal]) =
+      BigDecimal.valueOf(ps.map(_.toDouble).reduce(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = syn.map(t => t._1 -> t._3).toMap
+    // group (sort|order): df = max(2, 2) = 2; merge: df = 2
+    assert(byId(1L) == score(Seq(part(2, 2, 4), part(1, 2, 4))))
+    assert(byId(3L) == score(Seq(part(2, 2, 4))))
+    assert(byId(2L) == score(Seq(part(1, 2, 4), part(1, 2, 4))))
+    assert(!byId.contains(4L), "no group term -> zero score -> absent")
+    // an ABSENT member must not perturb the group (df-max ignores df=0)
+    val withAbsent = TextAnalysis.bm25SynTopK(docs, "doc_id", col("text"),
+      Seq(Seq("sort", "order", "zzz"), Seq("merge")), k = 10).collect().toSeq
+    val without = TextAnalysis.bm25SynTopK(docs, "doc_id", col("text"),
+      Seq(Seq("sort", "order"), Seq("merge")), k = 10).collect().toSeq
+    assert(withAbsent === without)
+    // contract: cross-group duplicate / empty group / empty input rejected
+    intercept[IllegalArgumentException](TextAnalysis.bm25SynTopK(
+      docs, "doc_id", col("text"), Seq(Seq("sort"), Seq("sort", "x")), 10))
+    intercept[IllegalArgumentException](TextAnalysis.bm25SynTopK(
+      docs, "doc_id", col("text"), Seq(Seq("sort"), Seq()), 10))
+    intercept[IllegalArgumentException](TextAnalysis.bm25SynTopK(
+      docs, "doc_id", col("text"), Seq(), 10))
+  }
+
+  test("bm25fTopK: title hit outranks body hit; single-field degenerates to bm25 ranking") {
+    val docs = Seq(
+      (1L, "x a b c d"), // x in head
+      (2L, "a b c d x"), // x in body (headLen=4)
+      (3L, "a b c d e")  // no x
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25fTopK(docs, "doc_id", col("text"),
+        headLen = 4, Seq("x"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L),
+      "head hit (weight 2) must outrank the body hit; no-hit doc absent")
+    assert(out.forall(r => r._2 + r._3 == 5L), "dlh + dlb == dl")
+    // headLen >= every dl + equal field params = single-field BM25F:
+    // rank order must equal plain bm25's (scores differ by the (k1+1)
+    // factor bm25f's saturation form drops — rank-equivalent)
+    val docs2 = Seq((1L, "x y x z"), (2L, "x q q q"), (3L, "q q")).toDF("doc_id", "text")
+    val f = TextAnalysis.bm25fTopK(docs2, "doc_id", col("text"), headLen = 99,
+      Seq("x", "y"), k = 10, wHead = 1.0, wBody = 1.0).collect().map(_.getLong(0)).toSeq
+    val p = TextAnalysis.bm25TopK(docs2, "doc_id", col("text"),
+      Seq("x", "y"), k = 10).collect().map(_.getLong(0)).toSeq
+    assert(f === p)
+    intercept[IllegalArgumentException](TextAnalysis.bm25fTopK(
+      docs, "doc_id", col("text"), 0, Seq("x"), 10))
+    intercept[IllegalArgumentException](TextAnalysis.bm25fTopK(
+      docs, "doc_id", col("text"), 4, Seq("x", "x"), 10))
+  }
 }

@@ -69,6 +69,28 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.bm25(Seq("a"), 0))
   }
 
+  test("bm25Synonyms: index serve ≡ tokenize path; delete keeps group stats live (X215)") {
+    val dir = Files.createTempDirectory("graft_inv_syn").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val groups = Seq(Seq("sort", "merge"), Seq("spark"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx.bm25Synonyms(groups, k = 10)) ===
+      rows(TextAnalysis.bm25SynTopK(docsA.union(docsB), "doc_id",
+        col("text"), groups, k = 10)),
+      "index path must reproduce the tokenize path exactly")
+    // group df/tf must track the LIVE corpus through a tombstone delete
+    val dropId = docsB.select("doc_id").head().getLong(0)
+    idx.delete(Seq(dropId).toDF("doc_id"))
+    val live = docsA.union(docsB).filter(col("doc_id") =!= dropId)
+    assert(rows(idx.bm25Synonyms(groups, k = 10)) ===
+      rows(TextAnalysis.bm25SynTopK(live, "doc_id", col("text"), groups, k = 10)))
+    intercept[IllegalArgumentException](idx.bm25Synonyms(Seq(Seq("a"), Seq("a")), 5))
+    intercept[IllegalArgumentException](idx.bm25Synonyms(Seq.empty, 5))
+    intercept[IllegalArgumentException](idx.bm25Synonyms(groups, 0))
+  }
+
   test("tombstone delete: reads are bit-identical to an index rebuilt without the docs") {
     val dir = Files.createTempDirectory("graft_inv_del").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
