@@ -1047,6 +1047,14 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q262_wildcard" -> ((s, d) => {
+      // X219 wildcard query under Lucene's top-terms blended rewrite:
+      // 's*' expands against the census (vocabulary-sized read, no
+      // postings I/O to expand) to the 4 highest-df matches, which then
+      // score as ONE blended SynonymQuery group — maxExpansions
+      // exercises the Lucene expansion cut
+      sharedInvIndex(s, d).wildcardSearch("s*", k = 20, maxExpansions = 4)
+    }),
     "q258_syn_bm25" -> ((s, d) => {
       // X215 SynonymQuery BM25 served from the shared persisted index:
       // (sort|order) and (fast|quick) each score as ONE pseudo-term —
@@ -3370,6 +3378,39 @@ object SparkEntry {
         WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $topN"""
   }
 
+  /** Wildcard-query oracle (q262 — X219): the census expansion
+    * recomputed relationally (top `maxExpansions` matching vocab terms
+    * by df desc, term asc — the engine's Lucene priority-queue order),
+    * then the single-group [[bm25SynSql]] arithmetic in relational form
+    * (per-doc tf = SUM over matched members, group df = MAX member df)
+    * — no per-term literal columns, so the expansion stays
+    * data-dependent on BOTH sides. `rx` must be the engine's anchored
+    * regex verbatim (valid RE2). */
+  private def wildcardSql(rx: String, maxExpansions: Int, topN: Int = 20): String = {
+    val (k1, b) = (1.2, 0.75)
+    val k1p = (k1 + 1.0).toString
+    s"""WITH tok AS (SELECT doc_id, u.t AS term
+          FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                FROM documents), UNNEST(tk) AS u(t)),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+        vocab AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        exp AS (SELECT term, df FROM vocab WHERE regexp_matches(term, '$rx')
+          ORDER BY df DESC, term ASC LIMIT $maxExpansions),
+        gdf AS (SELECT CAST(MAX(df) AS DOUBLE) AS df FROM exp),
+        tfs AS (SELECT t.doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM tok t JOIN exp e ON t.term = e.term GROUP BY t.doc_id),
+        sc AS (SELECT pd.doc_id, pd.dl,
+            ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - gdf.df + 0.5) / (gdf.df + 0.5))
+              * tfs.tf * CAST($k1p AS DOUBLE)
+              / (tfs.tf + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                 + (CAST($b AS DOUBLE) * CAST(pd.dl AS DOUBLE)) / avgdl)), 6) AS score
+          FROM pd JOIN tfs USING (doc_id) CROSS JOIN st CROSS JOIN gdf)
+        SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+        WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $topN"""
+  }
+
   /** BM25F oracle (q259 — X218): head/body token slices, per-field
     * length norms (degenerate avgdl pins the norm to 1, the engine's
     * `when` guard), weighted pseudo-frequency into one k1 saturation —
@@ -4575,6 +4616,7 @@ object SparkEntry {
     "q253_phrase_planned" -> phraseMatchSql,
     "q258_syn_bm25" -> bm25SynSql(
       Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
+    "q262_wildcard" -> wildcardSql("^s.*$", maxExpansions = 4),
     "q259_bm25f" -> bm25fSql(8, Seq("sort", "merge", "spark")),
     "q260_decay_rank" -> {
       // the engine's constants, Scala-printed so both engines parse the

@@ -657,6 +657,49 @@ final class InvertedIndex(spark: SparkSession, path: String,
     TextAnalysis.bm25SynRank(perDoc, groups, k, k1, b)
   }
 
+  /** Wildcard/prefix query (X219 — Lucene `WildcardQuery` under the
+    * `TopTermsBlendedFreqScoringRewrite`, the default scoring rewrite):
+    * `*` matches any run, `?` any single character; the pattern expands
+    * against the CENSUS (a vocabulary-sized read — no postings bucket
+    * is opened to expand, even for a leading wildcard) to the top
+    * `maxExpansions` matching terms by df (term asc on ties, Lucene's
+    * priority-queue order), and the expansion scores as ONE blended
+    * group through [[bm25Synonyms]] — tf summed, df blended to the max,
+    * exactly Lucene's `SynonymQuery`-based rewrite, so a wildcard over
+    * morphological variants never double-counts the concept.
+    *
+    * A pattern matching nothing ranks to the empty frame (the
+    * fully-elided degenerate case). Per-query I/O after expansion = the
+    * expanded terms' pruned buckets + live doclens. */
+  def wildcardSearch(pattern: String, k: Int, maxExpansions: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(pattern.nonEmpty, "empty wildcard pattern")
+    require(pattern.exists(c => c != '*' && c != '?'),
+      "pattern must contain at least one literal character")
+    require(k > 0, s"k must be positive, got $k")
+    require(maxExpansions >= 1 && maxExpansions <= 1024,
+      s"maxExpansions must be in [1, 1024], got $maxExpansions")
+    val expanded = vocab()
+      .filter(col("term").rlike(wildcardRegex(pattern)))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    if (expanded.isEmpty) emptyBm25Frame()
+    else bm25Synonyms(Seq(expanded), k, k1, b)
+  }
+
+  /** Anchored regex for a Lucene wildcard pattern — `*` → `.*`, `?` →
+    * `.`, everything else literal (backslash-escaped unless
+    * alphanumeric, valid in both Java regex and RE2 so the oracle can
+    * reuse the string verbatim). */
+  private[sources] def wildcardRegex(pattern: String): String =
+    "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if c.isLetterOrDigit => c.toString
+      case c => "\\" + c
+    } + "$"
+
   /** Hot-term serve policy (the Lucene-class stop-term rule): query
     * terms whose LIVE document frequency exceeds `maxDfFrac` of the
     * live doc count are elided from the query before any postings I/O.

@@ -91,6 +91,33 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.bm25Synonyms(groups, 0))
   }
 
+  test("wildcardSearch: census expansion, blended scoring, maxExpansions cut (X219)") {
+    val dir = Files.createTempDirectory("graft_inv_wc").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 's*' matches {sort(df 3), strategy(1), sorts? no} -> expansion =
+    // the blended group over the matches; must equal an explicit
+    // SynonymQuery over the same terms
+    assert(rows(idx.wildcardSearch("s*", k = 10)) ===
+      rows(idx.bm25Synonyms(Seq(Seq("sort", "strategy")), k = 10)))
+    // '?ort' single-char wildcard matches only 'sort'
+    assert(rows(idx.wildcardSearch("?ort", k = 10)) ===
+      rows(idx.bm25(Seq("sort"), k = 10)))
+    // maxExpansions=1 keeps only the highest-df match (sort)
+    assert(rows(idx.wildcardSearch("s*", k = 10, maxExpansions = 1)) ===
+      rows(idx.bm25(Seq("sort"), k = 10)))
+    // no match -> empty frame, not an error
+    assert(idx.wildcardSearch("zzz*", k = 5).collect().isEmpty)
+    // regex metacharacters in the literal part must stay literal
+    assert(idx.wildcardSearch("s.rt", k = 5).collect().isEmpty)
+    intercept[IllegalArgumentException](idx.wildcardSearch("", 5))
+    intercept[IllegalArgumentException](idx.wildcardSearch("*", 5))
+    intercept[IllegalArgumentException](idx.wildcardSearch("s*", 0))
+    intercept[IllegalArgumentException](idx.wildcardSearch("s*", 5, 0))
+  }
+
   test("tombstone delete: reads are bit-identical to an index rebuilt without the docs") {
     val dir = Files.createTempDirectory("graft_inv_del").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
