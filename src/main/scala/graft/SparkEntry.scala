@@ -1047,6 +1047,23 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q263_span_first" -> ((s, d) => {
+      // X220 SpanFirstQuery: docs whose 'sort' occurrence starts in the
+      // first 3 positions, served from the term-pruned postings slice
+      // (position predicate + doc-keyed aggregate; text never read)
+      TextAnalysis.spanFirst(
+          sharedInvIndex(s, d).termPostings(Seq("sort")), "sort", end = 3)
+        .orderBy(col("doc_id"))
+    }),
+    "q264_field_boost" -> ((s, d) => {
+      // X221 field_value_factor rescorer (ES function_score): the BM25
+      // top-50 re-ranked by score × ln(1 + n_chars) — a static
+      // per-document signal folded into relevance, the standard
+      // top-N-rescore composition
+      SearchEngine.fieldValueBoost(
+        sharedInvIndex(s, d).bm25(Seq("sort", "merge", "spark"), k = 50),
+        t(s, d, "documents"), "doc_id", col("n_chars"), k = 20)
+    }),
     "q262_wildcard" -> ((s, d) => {
       // X219 wildcard query under Lucene's top-terms blended rewrite:
       // 's*' expands against the census (vocabulary-sized read, no
@@ -4617,6 +4634,25 @@ object SparkEntry {
     "q258_syn_bm25" -> bm25SynSql(
       Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
     "q262_wildcard" -> wildcardSql("^s.*$", maxExpansions = 4),
+    "q263_span_first" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+           p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
+             FROM t, UNNEST(range(len(tk))) AS u(i)
+             WHERE tk[CAST(u.i + 1 AS INT)] <> '')
+          SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+          FROM p WHERE term = 'sort' AND pos < 3
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q264_field_boost" ->
+      // the boosted order sorts on the UNROUNDED product (the engine's
+      // heap does); rounding applies to output only
+      s"""WITH hits AS MATERIALIZED (
+            SELECT * FROM (${bm25SqlOver(Seq("sort", "merge", "spark"),
+              "documents", toksSql, topN = 50)}) AS h0),
+          b AS (SELECT h.doc_id, h.score,
+              h.score * (CAST(1.0 AS DOUBLE) * LN(1.0 + CAST(d.n_chars AS DOUBLE))) AS boosted
+            FROM hits h JOIN documents d USING (doc_id))
+          SELECT doc_id, score, ROUND(boosted, 6) AS boosted FROM b
+          ORDER BY boosted DESC, doc_id ASC LIMIT 20""",
     "q259_bm25f" -> bm25fSql(8, Seq("sort", "merge", "spark")),
     "q260_decay_rank" -> {
       // the engine's constants, Scala-printed so both engines parse the

@@ -273,4 +273,51 @@ object SearchEngine {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Field-value-factor function score (X221 — the Elasticsearch
+    * `function_score` / `field_value_factor` contract): re-rank a hit
+    * list by folding a per-document NUMERIC signal (length, popularity
+    * count, static rank) into the relevance score —
+    * `score' = score ⊕ weight·modifier(factor)` with `⊕` the
+    * `boostMode` (`multiply`, the ES default, or `sum`) and `modifier`
+    * one of `none` / `log1p` / `sqrt` (the ES names; `log1p` is the
+    * safe default for unbounded counts). Negative factors are rejected
+    * at scoring time the way ES rejects them (ln/sqrt of a negative is
+    * a data error, not a sort key).
+    *
+    * Scale shape: one equi-join of the hit list (k rows) against the
+    * column-pruned (id, factor) projection — broadcast-sized by
+    * construction — then a per-row map and a re-cut heap. The factor
+    * side reads ONLY the id and factor columns (pushdown-friendly).
+    * Output: (doc_id, score, boosted) re-ranked by `boosted` (round-6,
+    * doc_id tiebreak), cut to `k`. */
+  def fieldValueBoost(hits: DataFrame, docs: DataFrame, idCol: String,
+      factor: Column, k: Int, weight: Double = 1.0,
+      modifier: String = "log1p", boostMode: String = "multiply"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val f = col("__factor").cast(DoubleType)
+    val modified = modifier match {
+      case "none"  => f
+      case "log1p" => log(lit(1.0) + f)
+      case "sqrt"  => sqrt(f)
+      case other => throw new IllegalArgumentException(
+        s"modifier must be none|log1p|sqrt, got '$other'")
+    }
+    val guarded = when(f < 0, raise_error(concat(
+        lit("field_value_factor: negative factor for doc "), col("doc_id"))))
+      .otherwise(lit(weight) * modified)
+    val combined = boostMode match {
+      case "multiply" => col("score") * guarded
+      case "sum"      => col("score") + guarded
+      case other => throw new IllegalArgumentException(
+        s"boostMode must be multiply|sum, got '$other'")
+    }
+    val factors = docs.select(col(idCol).as("doc_id"), factor.as("__factor"))
+    hits.join(factors, Seq("doc_id"))
+      .withColumn("__boosted", combined)
+      .orderBy(col("__boosted").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"),
+        round(col("__boosted"), 6).as("boosted"))
+  }
 }

@@ -565,6 +565,25 @@ object TextAnalysis {
     * classic rarest-term-first heuristic applies to the CALLER's phrase
     * framing only through term stats; the join chain here keeps phrase
     * order (correctness over reordering) and lets AQE pick build sides. */
+  /** Span-first match (X220 — Lucene `SpanFirstQuery`): documents whose
+    * occurrence of `term` starts within the first `end` positions
+    * (0-based `pos < end` — Lucene's span-end ≤ end on unit-length
+    * spans), the "match near the start" primitive behind
+    * title-ish boosts on position-indexed stores. Feed it
+    * [[positionalPostings]] or the term-pruned
+    * [[graft.sources.InvertedIndex.termPostings]] slice — one
+    * per-row position predicate and one doc-keyed aggregate over the
+    * term's postings only; the corpus text is never read. Emits
+    * (doc_id, n_hits, first_pos); docs matching only later are absent. */
+  def spanFirst(postings: DataFrame, term: String, end: Int): DataFrame = {
+    require(term.nonEmpty, "empty term")
+    require(end >= 1, s"end must be positive, got $end")
+    postings
+      .filter(col("term") === term && col("pos") < end)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
   /** Set-Boolean retrieval over a postings slice (X194 — the Lucene
     * BooleanQuery MUST/SHOULD/MUST_NOT semantics as set algebra): doc
     * ids containing ALL `must` terms, at least `minShould` DISTINCT

@@ -200,4 +200,43 @@ class SearchEngineSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), 0))
   }
+
+  test("fieldValueBoost: modifiers and boost modes, re-rank flips, negative factor errors") {
+    import spark.implicits._
+    val hits = Seq((1L, 2.0), (2L, 1.5), (3L, 1.0)).toDF("doc_id", "score")
+    val docs = Seq((1L, 0L), (2L, 100L), (3L, 1000L), (4L, 5L))
+      .toDF("doc_id", "n")
+    // multiply + log1p: doc 1's ln(1+0)=0 zeroes it to the bottom; doc
+    // 2: 1.5·ln(101)=6.923; doc 3: 1.0·ln(1001)=6.909 — the boost flips
+    // the relevance order
+    val got = SearchEngine.fieldValueBoost(hits, docs, "doc_id", col("n"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === Seq(2L, 3L, 1L))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toMap === Map(
+      1L -> 0.0,
+      2L -> r6(1.5 * math.log(1.0 + 100.0)),
+      3L -> r6(1.0 * math.log(1.0 + 1000.0))))
+    // sum + none + weight: score + 0.5·n
+    val sum = SearchEngine.fieldValueBoost(hits, docs, "doc_id", col("n"),
+        k = 1, weight = 0.5, modifier = "none", boostMode = "sum")
+      .collect().head
+    assert(sum.getLong(0) == 3L && sum.getDouble(2) == 501.0)
+    // sqrt modifier
+    val sq = SearchEngine.fieldValueBoost(hits, docs, "doc_id", col("n"),
+        k = 1, modifier = "sqrt").collect().head
+    assert(sq.getLong(0) == 3L && sq.getDouble(2) == r6(math.sqrt(1000.0)))
+    // a negative factor is a DATA error, not a sort key
+    val neg = Seq((1L, -1L)).toDF("doc_id", "n")
+    val e = intercept[Exception](SearchEngine.fieldValueBoost(
+      hits, neg, "doc_id", col("n"), 3).collect())
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException](SearchEngine.fieldValueBoost(
+      hits, docs, "doc_id", col("n"), 3, modifier = "exp"))
+    intercept[IllegalArgumentException](SearchEngine.fieldValueBoost(
+      hits, docs, "doc_id", col("n"), 3, boostMode = "avg"))
+    intercept[IllegalArgumentException](SearchEngine.fieldValueBoost(
+      hits, docs, "doc_id", col("n"), 0))
+  }
 }

@@ -1068,6 +1068,25 @@ class TextAnalysisSuite extends AnyFunSuite {
       docs, "doc_id", col("text"), Seq(), 10))
   }
 
+  test("spanFirst: position gate, first occurrence wins, later-only docs absent") {
+    val docs = Seq(
+      (1L, "sort merge sort"),  // pos 0 and 2 -> n_hits 2 (end=3), first 0
+      (2L, "a b sort"),         // pos 2 < 3 -> hit, first 2
+      (3L, "a b c sort"),       // pos 3 -> absent at end=3
+      (4L, "no match")
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val got = TextAnalysis.spanFirst(p, "sort", end = 3)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 2L, 0), (2L, 1L, 2)))
+    // end=4 admits doc 3
+    assert(TextAnalysis.spanFirst(p, "sort", 4).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException](TextAnalysis.spanFirst(p, "", 3))
+    intercept[IllegalArgumentException](TextAnalysis.spanFirst(p, "sort", 0))
+  }
+
   test("bm25fTopK: title hit outranks body hit; single-field degenerates to bm25 ranking") {
     val docs = Seq(
       (1L, "x a b c d"), // x in head
