@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Paging, Pq, Quantize, SearchEngine, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Paging, Pq, Quantize, RankEval, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -1046,6 +1046,31 @@ object SparkEntry {
       Dedup.jaccardVerify(pairs, m, "doc_id",
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
+    }),
+    "q265_rank_eval" -> ((s, d) => {
+      // X222 offline ranking evaluation: two BM25 runs scored against
+      // deterministic graded qrels (every n_chars%7 doc, grade
+      // 1 + doc_id%3) — nDCG@20 / MRR / recall@20 per query, the
+      // trec_eval conventions; the oracle recomputes runs, judgments
+      // and metrics from scratch
+      import org.apache.spark.sql.expressions.Window
+      val idx = sharedInvIndex(s, d)
+      def ranked(qid: String, terms: Seq[String]) =
+        idx.bm25(terms, k = 20)
+          .withColumn("query_id", lit(qid))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(lit(1))
+              .orderBy(col("score").desc, col("doc_id").asc)))
+      val run = ranked("qa", Seq("sort", "merge"))
+        .unionByName(ranked("qb", Seq("spark", "stream")))
+      val qrels = t(s, d, "documents")
+        .filter(col("n_chars") % 7 === 0)
+        .select(col("doc_id"),
+          (lit(1) + col("doc_id") % 3).cast(IntegerType).as("rel"))
+      val both = Seq("qa", "qb")
+        .map(q => qrels.withColumn("query_id", lit(q)))
+        .reduce(_ unionByName _)
+      RankEval.rankEval(run, both, k = 20).orderBy(col("query_id"))
     }),
     "q263_span_first" -> ((s, d) => {
       // X220 SpanFirstQuery: docs whose 'sort' occurrence starts in the
@@ -4634,6 +4659,47 @@ object SparkEntry {
     "q258_syn_bm25" -> bm25SynSql(
       Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
     "q262_wildcard" -> wildcardSql("^s.*$", maxExpansions = 4),
+    "q265_rank_eval" -> {
+      val ln2 = math.log(2.0).toString
+      def runLeg(qid: String, terms: Seq[String]) =
+        s"""SELECT '$qid' AS query_id, doc_id,
+            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM (${bm25SqlOver(terms, "documents", toksSql, topN = 20)}) AS h"""
+      s"""WITH run AS MATERIALIZED (${runLeg("qa", Seq("sort", "merge"))}
+            UNION ALL ${runLeg("qb", Seq("spark", "stream"))}),
+          qr AS MATERIALIZED (SELECT q.query_id, d.doc_id,
+              CAST(1 + d.doc_id % 3 AS INT) AS rel
+            FROM (VALUES ('qa'), ('qb')) AS q(query_id), documents d
+            WHERE d.n_chars % 7 = 0),
+          j AS (SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel,
+              ROUND((POWER(2.0, CAST(COALESCE(qr.rel, 0) AS DOUBLE)) - 1.0)
+                / (LN(CAST(r.rank AS DOUBLE) + 1.0) / CAST($ln2 AS DOUBLE)), 6) AS g
+            FROM run r LEFT JOIN qr
+              ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id),
+          pq AS (SELECT query_id,
+              CAST(SUM(CAST(g AS DECIMAL(38, 6))) AS DOUBLE) AS dcg,
+              MIN(CASE WHEN rel > 0 THEN rank END) AS frst,
+              COUNT(CASE WHEN rel > 0 THEN 1 END) AS hits
+            FROM j GROUP BY query_id),
+          iw AS (SELECT query_id, rel,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, doc_id ASC) AS i FROM qr),
+          id AS (SELECT query_id,
+              CAST(SUM(CAST(CASE WHEN i <= 20 AND rel > 0 THEN
+                ROUND((POWER(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                  / (LN(CAST(i AS DOUBLE) + 1.0) / CAST($ln2 AS DOUBLE)), 6)
+                ELSE 0.0 END AS DECIMAL(38, 6))) AS DOUBLE) AS idcg,
+              COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel
+            FROM iw GROUP BY query_id)
+          SELECT pq.query_id, id.n_rel,
+            ROUND(CASE WHEN id.idcg > 0 THEN pq.dcg / id.idcg ELSE 0.0 END, 6) AS ndcg,
+            ROUND(CASE WHEN pq.frst IS NOT NULL
+              THEN 1.0 / CAST(pq.frst AS DOUBLE) ELSE 0.0 END, 6) AS rr,
+            ROUND(CASE WHEN id.n_rel > 0
+              THEN CAST(pq.hits AS DOUBLE) / CAST(id.n_rel AS DOUBLE)
+              ELSE 0.0 END, 6) AS recall
+          FROM pq JOIN id USING (query_id) ORDER BY query_id"""
+    },
     "q263_span_first" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
            p AS (SELECT doc_id, CAST(u.i AS INT) AS pos, tk[CAST(u.i + 1 AS INT)] AS term
