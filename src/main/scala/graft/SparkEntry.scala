@@ -1047,6 +1047,14 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q266_sig_terms" -> ((s, d) => {
+      // X223 significant_terms (ES JLH): which terms are significantly
+      // more frequent in the German docs than corpus-wide — absolute
+      // lift × relative lift over doc frequencies, superset background,
+      // minDf=2 against one-doc flukes
+      TextAnalysis.significantTerms(t(s, d, "documents"), "doc_id",
+        col("text"), col("lang") === "de", n = 15, minDf = 2L)
+    }),
     "q265_rank_eval" -> ((s, d) => {
       // X222 offline ranking evaluation: two BM25 runs scored against
       // deterministic graded qrels (every n_chars%7 doc, grade
@@ -4659,6 +4667,22 @@ object SparkEntry {
     "q258_syn_bm25" -> bm25SynSql(
       Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
     "q262_wildcard" -> wildcardSql("^s.*$", maxExpansions = 4),
+    "q266_sig_terms" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, lang = 'de' AS fg, u.t AS term
+            FROM (SELECT doc_id, lang, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents), UNNEST(tk) AS u(t)),
+          pt AS (SELECT term, COUNT(CASE WHEN fg THEN 1 END) AS df_fg,
+              COUNT(*) AS df_bg FROM dt GROUP BY term),
+          sz AS (SELECT COUNT(CASE WHEN lang = 'de' THEN 1 END) AS n_fg,
+              COUNT(*) AS n_bg FROM documents),
+          sc AS (SELECT term, df_fg, df_bg,
+              (CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE)
+                - CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))
+              * ((CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE))
+                / (CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))) AS score
+            FROM pt CROSS JOIN sz WHERE n_fg > 0 AND df_fg >= 2)
+          SELECT term, df_fg, df_bg, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, term ASC LIMIT 15""",
     "q265_rank_eval" -> {
       val ln2 = math.log(2.0).toString
       def runLeg(qid: String, terms: Seq[String]) =

@@ -565,6 +565,51 @@ object TextAnalysis {
     * classic rarest-term-first heuristic applies to the CALLER's phrase
     * framing only through term stats; the join chain here keeps phrase
     * order (correctness over reordering) and lets AQE pick build sides. */
+  /** Significant-terms aggregation (X223 — the Elasticsearch
+    * `significant_terms` discovery primitive, JLH heuristic): terms
+    * SIGNIFICANTLY more frequent in a FOREGROUND document subset than
+    * in the whole corpus — "what is different about these docs" (the
+    * hits of a query, a language, a source, an anomaly window).
+    * JLH(t) = (fg% − bg%) · (fg% / bg%) over DOCUMENT frequencies
+    * (absolute lift × relative lift — big-and-surprising wins over
+    * big-or-surprising), background = the ENTIRE corpus including the
+    * foreground (the ES superset convention); only terms with
+    * fg% > bg% qualify (significantly MORE common), and `minDf` gates
+    * the foreground df so one-doc flukes don't top the list.
+    *
+    * Scale shape: one distinct over (doc, term) — the only exchange —
+    * then one term-keyed aggregate with CONDITIONAL counts for the
+    * foreground leg (no second pass, no join); the two corpus sizes
+    * collapse to a broadcast scalar row; the cut is a
+    * TakeOrderedAndProject heap. Output: (term, df_fg, df_bg, score)
+    * top-`n` by score desc (term asc ties), round-6. */
+  def significantTerms(docs: DataFrame, idCol: String, text: Column,
+      foreground: Column, n: Int, minDf: Long = 1L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val perTerm = docs
+      .select(col(idCol).as("doc_id"), foreground.as("__fg"),
+        explode_outer(tokens(text)).as("__t"))
+      .filter(col("__t").isNotNull && col("__t") =!= "")
+      .distinct()
+      .groupBy(col("__t").as("term"))
+      .agg(count(when(col("__fg"), 1)).as("df_fg"),
+        count(lit(1)).as("df_bg"))
+    val sizes = docs.agg(
+      count(when(foreground, 1)).as("n_fg"),
+      count(lit(1)).as("n_bg"))
+    val fgPct = col("df_fg").cast(DoubleType) / col("n_fg").cast(DoubleType)
+    val bgPct = col("df_bg").cast(DoubleType) / col("n_bg").cast(DoubleType)
+    perTerm.crossJoin(broadcast(sizes))
+      .filter(col("n_fg") > 0 && col("df_fg") >= minDf)
+      .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("term").asc)
+      .limit(n)
+      .select(col("term"), col("df_fg"), col("df_bg"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Span-first match (X220 — Lucene `SpanFirstQuery`): documents whose
     * occurrence of `term` starts within the first `end` positions
     * (0-based `pos < end` — Lucene's span-end ≤ end on unit-length

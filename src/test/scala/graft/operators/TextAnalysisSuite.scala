@@ -1068,6 +1068,38 @@ class TextAnalysisSuite extends AnyFunSuite {
       docs, "doc_id", col("text"), Seq(), 10))
   }
 
+  test("significantTerms: JLH lift, superset background, minDf gate, fg<=bg excluded") {
+    val docs = Seq(
+      (1L, "de", "apfel apfel kern"),  // df counts docs, not occurrences
+      (2L, "de", "apfel baum"),
+      (3L, "en", "apple tree kern"),
+      (4L, "en", "apple core baum")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.significantTerms(docs, "doc_id", col("text"),
+        col("lang") === "de", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byTerm = got.map(t => t._1 -> t).toMap
+    // apfel: fg 2/2 = 1.0, bg 2/4 = 0.5 -> (0.5)·(2.0) = 1.0
+    assert(byTerm("apfel") === (("apfel", 2L, 2L, 1.0)))
+    // kern: fg 1/2 = 0.5, bg 2/4 = 0.5 -> lift 0 -> excluded
+    assert(!byTerm.contains("kern"))
+    // baum: fg 1/2 = 0.5, bg 2/4 = 0.5 -> excluded too
+    assert(!byTerm.contains("baum"))
+    // english-only terms have fg% = 0 -> excluded
+    assert(!byTerm.contains("apple") && !byTerm.contains("tree"))
+    // minDf gates the foreground df: apfel (df_fg 2) survives, nothing else
+    val gated = TextAnalysis.significantTerms(docs, "doc_id", col("text"),
+      col("lang") === "de", n = 10, minDf = 2L).collect().map(_.getString(0)).toSeq
+    assert(gated === Seq("apfel"))
+    // empty foreground -> empty result, not division noise
+    assert(TextAnalysis.significantTerms(docs, "doc_id", col("text"),
+      col("lang") === "xx", 10).collect().isEmpty)
+    intercept[IllegalArgumentException](TextAnalysis.significantTerms(
+      docs, "doc_id", col("text"), col("lang") === "de", 0))
+    intercept[IllegalArgumentException](TextAnalysis.significantTerms(
+      docs, "doc_id", col("text"), col("lang") === "de", 5, 0L))
+  }
+
   test("spanFirst: position gate, first occurrence wins, later-only docs absent") {
     val docs = Seq(
       (1L, "sort merge sort"),  // pos 0 and 2 -> n_hits 2 (end=3), first 0
