@@ -1171,7 +1171,10 @@ object SparkEntry {
       val prfLeg = ranked(inv.expandedBm25(corrected, k = 20,
           fbDocs = 5, fbTerms = 5)
         .select(col("doc_id").as("vec_id"), col("score")), "score")
+      // pin the 10-row fusion: BOTH consumers below (the hit section and
+      // the MLT seed pick) would otherwise re-run all three legs
       val fused = Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
+        .localCheckpoint(true)
       val hits = fused
         .withColumn("rank", row_number().over(
           Window.orderBy(col("rrf").desc, col("vec_id").asc)))
@@ -3267,7 +3270,11 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id").asc)))
-    (Ann.rrfFuse(Seq(bmLeg, cosLeg), "vec_id", k = 10), inv, corrected, docs)
+    // pin the 10-row fusion: every consumer joins against it at least
+    // twice (hit set + snippet/facet semi-joins) and would otherwise
+    // re-run both legs per consumer
+    (Ann.rrfFuse(Seq(bmLeg, cosLeg), "vec_id", k = 10).localCheckpoint(true),
+      inv, corrected, docs)
   }
 
   /** Shared by q180 (operator legs) and q216 (both legs served from
