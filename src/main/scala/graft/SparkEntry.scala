@@ -1047,6 +1047,15 @@ object SparkEntry {
           TextAnalysis.segmentUnicode(col("text")), 3)
         .orderBy(col("id1"))
     }),
+    "q267_collapse" -> ((s, d) => {
+      // X224 field collapsing (ES collapse + inner_hits): the BM25
+      // top-50 folded to one representative per source with its two
+      // runner-up inner hits — the "3 results from the same site" fix,
+      // attribute grouping distinct from content dedup (q243)
+      SearchEngine.collapseByField(
+        sharedInvIndex(s, d).bm25(Seq("sort", "merge", "spark"), k = 50),
+        t(s, d, "documents"), "doc_id", col("source"), k = 10, innerHits = 2)
+    }),
     "q266_sig_terms" -> ((s, d) => {
       // X223 significant_terms (ES JLH): which terms are significantly
       // more frequent in the German docs than corpus-wide — absolute
@@ -4674,6 +4683,23 @@ object SparkEntry {
     "q258_syn_bm25" -> bm25SynSql(
       Seq(Seq("sort", "order"), Seq("fast", "quick"), Seq("merge"))),
     "q262_wildcard" -> wildcardSql("^s.*$", maxExpansions = 4),
+    "q267_collapse" ->
+      s"""WITH hits AS MATERIALIZED (
+            SELECT * FROM (${bm25SqlOver(Seq("sort", "merge", "spark"),
+              "documents", toksSql, topN = 50)}) AS h0),
+          g AS (SELECT h.doc_id, h.score, d.source AS field_value,
+              ROW_NUMBER() OVER (PARTITION BY d.source
+                ORDER BY h.score DESC, h.doc_id ASC) AS rk
+            FROM hits h JOIN documents d USING (doc_id)),
+          reps AS (SELECT field_value, doc_id, score FROM g WHERE rk = 1),
+          inr AS (SELECT field_value, COUNT(*) AS n_group,
+              COALESCE(array_to_string(list(doc_id ORDER BY rk)
+                FILTER (WHERE rk > 1 AND rk <= 3), ','), '') AS inner_ids
+            FROM g GROUP BY field_value)
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY r.score DESC, r.doc_id ASC) AS INT) AS rank,
+            r.field_value, r.doc_id, r.score, i.n_group, i.inner_ids
+          FROM reps r JOIN inr i USING (field_value)
+          ORDER BY rank LIMIT 10""",
     "q266_sig_terms" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, lang = 'de' AS fg, u.t AS term
             FROM (SELECT doc_id, lang, list_filter($toksSql, x -> x <> '') AS tk

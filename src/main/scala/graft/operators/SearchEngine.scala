@@ -274,6 +274,56 @@ object SearchEngine {
       .limit(k)
   }
 
+  /** Field collapsing (X224 — the Elasticsearch `collapse` + inner_hits
+    * contract): fold a hit list to ONE result per field value (domain,
+    * source, author — the "3 results from the same site" fix), keeping
+    * each group's best-scoring hit as the representative and its next
+    * `innerHits` runners-up as the expandable tail. The collapsed list
+    * re-ranks by representative score (doc_id tiebreak) and cuts to
+    * `k` GROUPS — distinct from dedupHits (X193), which drops
+    * content-identical docs; collapse groups by an ATTRIBUTE and keeps
+    * the group visible.
+    *
+    * Scale shape: one equi-join of the hit list against the
+    * column-pruned (id, field) projection, ONE window partitioned by
+    * field value (score desc, doc_id asc — shared by the pick and the
+    * inner ranks), an ordered struct collect per group, and a top-k
+    * heap. Inner-hit ids are ordered by the SAME total order, so the
+    * output is deterministic end to end.
+    *
+    * Output: (rank, field_value, doc_id, score, n_group, inner_ids)
+    * with inner_ids the runner-up doc ids in rank order (≤ innerHits,
+    * empty for singleton groups), rendered as a comma-joined string —
+    * a SCALAR cell, hash-stable across engines the way a nested array
+    * column is not. */
+  def collapseByField(hits: DataFrame, docs: DataFrame, idCol: String,
+      field: Column, k: Int, innerHits: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(innerHits >= 0, s"innerHits must be >= 0, got $innerHits")
+    import org.apache.spark.sql.expressions.Window
+    val fields = docs.select(col(idCol).as("doc_id"), field.as("field_value"))
+    val w = Window.partitionBy(col("field_value"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val grouped = hits.join(fields, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+    val reps = grouped.filter(col("__rk") === 1)
+      .select(col("field_value"), col("doc_id"), col("score"))
+    val inner = grouped
+      .groupBy(col("field_value"))
+      .agg(count(lit(1)).as("n_group"),
+        array_join(array_sort(collect_list(when(
+            col("__rk") > 1 && col("__rk") <= innerHits + 1,
+            struct(col("__rk"), col("doc_id")))))
+          .getField("doc_id"), ",").as("inner_ids"))
+    reps.join(inner, Seq("field_value"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("field_value"), col("doc_id"),
+        col("score"), col("n_group"), col("inner_ids"))
+  }
+
   /** Field-value-factor function score (X221 — the Elasticsearch
     * `function_score` / `field_value_factor` contract): re-rank a hit
     * list by folding a per-document NUMERIC signal (length, popularity

@@ -201,6 +201,42 @@ class SearchEngineSuite extends AnyFunSuite {
       SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), 0))
   }
 
+  test("collapseByField: one representative per group, ordered inner hits, k cuts groups") {
+    import spark.implicits._
+    val hits = Seq(
+      (1L, 9.0), (2L, 8.0), (3L, 7.0),  // source A: rep 1, inner [2, 3]
+      (4L, 6.0), (5L, 5.0), (6L, 4.0),  // source B: rep 4, inner [5, 6]
+      (7L, 3.0)                          // source C: singleton
+    ).toDF("doc_id", "score")
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"), (6L, "B"),
+      (7L, "C"), (8L, "C") // doc 8 not in the hit list -> invisible
+    ).toDF("doc_id", "src")
+    val got = SearchEngine.collapseByField(hits, docs, "doc_id", col("src"),
+        k = 10, innerHits = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got === Seq(
+      (1, "A", 1L, 3L, "2,3"),
+      (2, "B", 4L, 3L, "5,6"),
+      (3, "C", 7L, 1L, "")))
+    // innerHits truncates the tail; k cuts whole GROUPS
+    val cut = SearchEngine.collapseByField(hits, docs, "doc_id", col("src"),
+        k = 2, innerHits = 1)
+      .collect().map(r => (r.getString(1), r.getString(5))).toSeq
+    assert(cut === Seq(("A", "2"), ("B", "5")))
+    // score ties inside a group: doc_id asc picks the representative
+    val tied = Seq((1L, 5.0), (2L, 5.0)).toDF("doc_id", "score")
+    val rep = SearchEngine.collapseByField(tied,
+        Seq((1L, "A"), (2L, "A")).toDF("doc_id", "src"),
+        "doc_id", col("src"), 5).collect().head
+    assert(rep.getLong(2) == 1L && rep.getString(5) == "2")
+    intercept[IllegalArgumentException](SearchEngine.collapseByField(
+      hits, docs, "doc_id", col("src"), 0))
+    intercept[IllegalArgumentException](SearchEngine.collapseByField(
+      hits, docs, "doc_id", col("src"), 5, -1))
+  }
+
   test("fieldValueBoost: modifiers and boost modes, re-rank flips, negative factor errors") {
     import spark.implicits._
     val hits = Seq((1L, 2.0), (2L, 1.5), (3L, 1.0)).toDF("doc_id", "score")
