@@ -1132,6 +1132,14 @@ object SparkEntry {
       TextAnalysis.bm25fTopK(t(s, d, "documents"), "doc_id", col("text"),
         headLen = 8, Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q268_bm25f_served" -> ((s, d) => {
+      // X225 index-served BM25F: q259's exact ranking from the fielded
+      // sidecar — per-field tf from the query terms' PRUNED buckets,
+      // per-field doclens from the sidecar, the ranking core shared
+      // with the tokenize path (bit-identical by construction); text
+      // never read at query time
+      sharedInvIndex(s, d).bm25fTopK(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q260_decay_rank" -> ((s, d) => {
       // X216 exponential-decay function score (ES function_score exp
       // decay): users ranked by half-life-weighted event counts —
@@ -1373,9 +1381,13 @@ object SparkEntry {
       // X192 search-as-you-type: top-5 completions per prefix ranked
       // (df DESC, term ASC), served from the persisted index's census
       // sidecar — neither the text nor the postings layout is read
-      // (the X190 plan audit); the oracle recounts the vocabulary
+      // (the X190 plan audit), and the X226 tprefix partitions prune
+      // the census read to the prefixes' first-character buckets at
+      // the file listing; the oracle recounts the vocabulary
       val idx = sharedInvIndex(s, d)
-      TextAnalysis.prefixSuggest(idx.vocab(), Seq("so", "mer", "zz"), topK = 5)
+      TextAnalysis.prefixSuggest(
+        idx.vocabForPrefixes(Seq("so", "mer", "zz")),
+        Seq("so", "mer", "zz"), topK = 5)
         .orderBy(col("prefix"), col("rank"))
     }),
     "q231_pq_carry" -> ((s, d) => {
@@ -3086,6 +3098,7 @@ object SparkEntry {
       idx.build(t(s, d, "documents"), "doc_id", col("text"))
       idx.buildForward()
       idx.buildBlockMax()
+      idx.buildFielded(8) // the q259/q268 head-length convention
     }
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }
@@ -4748,14 +4761,15 @@ object SparkEntry {
                 ELSE 0.0 END AS DECIMAL(38, 6))) AS DOUBLE) AS idcg,
               COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel
             FROM iw GROUP BY query_id)
-          SELECT pq.query_id, id.n_rel,
-            ROUND(CASE WHEN id.idcg > 0 THEN pq.dcg / id.idcg ELSE 0.0 END, 6) AS ndcg,
+          SELECT pq.query_id, COALESCE(id.n_rel, 0) AS n_rel,
+            ROUND(CASE WHEN COALESCE(id.idcg, 0) > 0
+              THEN pq.dcg / id.idcg ELSE 0.0 END, 6) AS ndcg,
             ROUND(CASE WHEN pq.frst IS NOT NULL
               THEN 1.0 / CAST(pq.frst AS DOUBLE) ELSE 0.0 END, 6) AS rr,
-            ROUND(CASE WHEN id.n_rel > 0
+            ROUND(CASE WHEN COALESCE(id.n_rel, 0) > 0
               THEN CAST(pq.hits AS DOUBLE) / CAST(id.n_rel AS DOUBLE)
               ELSE 0.0 END, 6) AS recall
-          FROM pq JOIN id USING (query_id) ORDER BY query_id"""
+          FROM pq LEFT JOIN id USING (query_id) ORDER BY query_id"""
     },
     "q263_span_first" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -4777,6 +4791,9 @@ object SparkEntry {
           SELECT doc_id, score, ROUND(boosted, 6) AS boosted FROM b
           ORDER BY boosted DESC, doc_id ASC LIMIT 20""",
     "q259_bm25f" -> bm25fSql(8, Seq("sort", "merge", "spark")),
+    // X225 gates the index-served path on the SAME oracle verbatim —
+    // the fielded sidecar is pure I/O, the ranking core is shared
+    "q268_bm25f_served" -> bm25fSql(8, Seq("sort", "merge", "spark")),
     "q260_decay_rank" -> {
       // the engine's constants, Scala-printed so both engines parse the
       // IDENTICAL doubles (the bm25SqlOver discipline)

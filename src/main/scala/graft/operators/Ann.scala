@@ -698,8 +698,11 @@ object Ann {
       query: Array[Float], m: Int, k: Int, lambda: Double): DataFrame = {
     require(m >= 1 && m <= MmrMaxCandidates,
       s"m must be in [1, $MmrMaxCandidates] (driver-bounded greedy), got $m")
+    // λ = 0 would make every first-step score 0 (the greedy would pick
+    // by id, not relevance), contradicting the pure-relevance first-pick
+    // contract above and the oracle's rel-DESC s1 step — excluded
     require(k >= 1 && k <= m, s"k must be in [1, m=$m], got $k")
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
     val q = lit(query).cast(ArrayType(FloatType))
     val qMag = SearchEngine.magnitudeOf(query)
     val cand = embs
@@ -710,15 +713,22 @@ object Ann {
       .select(col(idCol).cast(LongType).as("id"), col("__rel"),
         col(vecCol).as("__v"))
       .localCheckpoint(true)
-    val rels = cand.select(col("id"), col("__rel")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val a = cand.select(col("id").as("ida"), col("__v").as("va"))
-    val b = cand.select(col("id").as("idb"), col("__v").as("vb"))
-    val sims = a.join(b, col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        vecCosine(col("va"), col("vb")).as("__sim"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the pin only backs the two collects below; the returned frame is
+    // driver-built — release before returning (the Pins contract:
+    // operators release their own internal pins)
+    val (rels, sims) =
+      try {
+        val rels = cand.select(col("id"), col("__rel")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val a = cand.select(col("id").as("ida"), col("__v").as("va"))
+        val b = cand.select(col("id").as("idb"), col("__v").as("vb"))
+        val sims = a.join(b, col("ida") < col("idb"))
+          .select(col("ida"), col("idb"),
+            vecCosine(col("va"), col("vb")).as("__sim"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        (rels, sims)
+      } finally graft.util.Pins.release(cand)
     def simOf(x: Long, y: Long): Double =
       if (x < y) sims((x, y)) else sims((y, x))
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]

@@ -1185,18 +1185,35 @@ object TextAnalysis {
             size(filter(col("__head"), x => x === t)).cast(LongType).as(s"tfh$i"),
             size(filter(col("__body"), x => x === t)).cast(LongType).as(s"tfb$i"))
           }: _*)
+    bm25fRank(perDoc, queryTerms.size, k, k1, wHead, wBody, bHead, bBody)
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** The ranking half of [[bm25fTopK]] over an explicit
+    * (doc_id, dlh, dlb, tfh0..tfh{n-1}, tfb0..tfb{n-1}) frame — SHARED
+    * with [[graft.sources.InvertedIndex.bm25fTopK]] (the X173
+    * discipline: one ranking core, so the tokenize path and the
+    * index-served path cannot drift). Stats (n_docs, per-field avgdl,
+    * per-term any-field df) collapse to ONE broadcast row computed from
+    * `perDoc` with the exact expression shapes of the tokenize path;
+    * per-term partials round at 6 and sum in fixed term order; the cut
+    * is a TakeOrderedAndProject heap. */
+  private[graft] def bm25fRank(perDoc: DataFrame, nTerms: Int, k: Int,
+      k1: Double, wHead: Double, wBody: Double,
+      bHead: Double, bBody: Double): DataFrame = {
+    val idx = 0 until nTerms
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dlh")).cast(DoubleType) / count(lit(1))).as("avgdlh")
         +: (sum(col("dlb")).cast(DoubleType) / count(lit(1))).as("avgdlb")
-        +: terms.map { case (_, i) =>
+        +: idx.map { i =>
           count(when(col(s"tfh$i") + col(s"tfb$i") > 0, 1)).as(s"df$i") }: _*)
     val scored = perDoc.crossJoin(broadcast(stats))
     def fieldNorm(dl: Column, avgdl: Column, b: Double): Column =
       when(avgdl > 0,
         lit(1.0) - lit(b) + lit(b) * dl.cast(DoubleType) / avgdl)
         .otherwise(lit(1.0))
-    val partials = terms.map { case (_, i) =>
+    val partials = idx.map { i =>
       val tft = lit(wHead) * col(s"tfh$i").cast(DoubleType) /
           fieldNorm(col("dlh"), col("avgdlh"), bHead) +
         lit(wBody) * col(s"tfb$i").cast(DoubleType) /
@@ -1210,7 +1227,7 @@ object TextAnalysis {
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-      .select(col("doc_id").as(idCol), col("dlh"), col("dlb"),
+      .select(col("doc_id"), col("dlh"), col("dlb"),
         round(col("score"), 6).as("score"))
   }
 

@@ -95,6 +95,37 @@ final class InvertedIndex(spark: SparkSession, path: String,
     (java.lang.Long.parseLong(hex, 16) % b).toInt
   }
 
+  /** Census partition key (X226): the md5 bucket of the term's FIRST
+    * character — `tprefix=N` directory partitions over the census
+    * base, so a prefix/wildcard expansion lists only its first
+    * character's partition instead of the whole vocabulary (the
+    * [[vocabForPrefixes]] serve). First character = first CODE POINT
+    * on both sides: Spark's `substring(term, 1, 1)` is code-point
+    * aware, and the Scala form matches it through
+    * `Character.toChars(codePointAt(0))` — so an astral-plane first
+    * character buckets identically at write and read. */
+  private def tprefixCol(term: Column): Column =
+    bucketCol(substring(term, 1, 1), InvertedIndex.CensusPrefixBuckets)
+
+  private[graft] def tprefixOf(term: String): Int = {
+    require(term.nonEmpty, "empty term has no prefix bucket")
+    bucketOf(new String(Character.toChars(term.codePointAt(0))),
+      InvertedIndex.CensusPrefixBuckets)
+  }
+
+  /** Write a (term, df) census frame as the `tprefix=N`-partitioned
+    * base layout — the single write shape every census producer
+    * ([[build]], [[append]] staging, [[swapCensus]], [[prunedCopy]])
+    * shares. `onePerPrefix` pre-shuffles one task per partition value
+    * (the [[compact]] merge target: one file per tprefix dir). */
+  private[graft] def writeCensusBase(census: DataFrame, dir: String,
+      onePerPrefix: Boolean = false): Unit = {
+    val rows = census.select(col("term"), col("df"))
+      .withColumn("tprefix", tprefixCol(col("term")))
+    val sized = if (onePerPrefix) rows.repartition(col("tprefix")) else rows
+    sized.write.partitionBy("tprefix").parquet(dir)
+  }
+
   private def readBuckets(): Int =
     spark.read.parquet(metaPath).head().getInt(0)
 
@@ -150,6 +181,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // old block-max bounds would under-bound a NEW corpus (the unsafe
     // direction) — drop them; rebuild via buildBlockMax on the cadence
     fs.delete(new Path(blockmaxPath), true)
+    // a stale fielded sidecar would silently serve the OLD corpus's
+    // per-field tfs — drop it; rebuild via buildFielded on the cadence
+    fs.delete(new Path(fieldedPath), true)
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
@@ -160,9 +194,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode("overwrite").parquet(doclensPath)
     fs.delete(new Path(censusPath), true)
-    postings.groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .write.parquet(censusBasePath)
+    writeCensusBase(postings.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df")), censusBasePath)
     graft.util.Pins.release(postings)
   }
 
@@ -197,9 +230,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.parquet(new Path(appendStagingPath, "doclens").toString)
     if (fs.exists(new Path(censusBasePath)))
-      postings.groupBy(col("term"))
-        .agg(count_distinct(col("doc_id")).as("df"))
-        .write.parquet(new Path(appendStagingPath, "census").toString)
+      writeCensusBase(postings.groupBy(col("term"))
+        .agg(count_distinct(col("doc_id")).as("df")),
+        new Path(appendStagingPath, "census").toString)
     // block-max maintenance: the batch's bound rows land BEFORE the
     // batch commits — a crash between the two leaves the sidecar
     // covering docs that never became visible (bounds loose, safe);
@@ -236,7 +269,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
           moveDataFiles(d.getPath, new Path(postingsPath, d.getPath.getName)) }
     val stagedCensus = new Path(appendStagingPath, "census")
     if (fs.exists(stagedCensus))
-      moveDataFiles(stagedCensus, new Path(censusBasePath))
+      fs.listStatus(stagedCensus)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tprefix="))
+        .foreach { d =>
+          moveDataFiles(d.getPath, new Path(censusBasePath, d.getPath.getName)) }
     val stagedDoclens = new Path(appendStagingPath, "doclens")
     if (fs.exists(stagedDoclens))
       moveDataFiles(stagedDoclens, new Path(doclensPath))
@@ -390,22 +426,31 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(new Path(tombstonesPath), true)
   }
 
-  /** Stored census minus a (term, df) delta, zero-df terms dropped. */
-  private def censusAdjusted(delta: DataFrame): DataFrame =
-    spark.read.parquet(censusBasePath)
-      .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
+  /** `base` minus a (term, df) delta, zero-df terms dropped — the
+    * read-side adjustment shared by the full census and the
+    * prefix-pruned slice. */
+  private def minusDelta(base: DataFrame, delta: DataFrame): DataFrame =
+    base
       .join(delta.withColumnRenamed("df", "__tdf"), Seq("term"), "left")
       .withColumn("df", col("df") - coalesce(col("__tdf"), lit(0L)))
       .filter(col("df") > 0)
       .select(col("term"), col("df"))
 
+  /** Stored census minus a (term, df) delta, zero-df terms dropped. */
+  private def censusAdjusted(delta: DataFrame): DataFrame =
+    minusDelta(
+      spark.read.parquet(censusBasePath)
+        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df")),
+      delta)
+
   /** Two-rename swap of the WHOLE census directory to `{base: newBase}`
     * — pending_delta (if any) vanishes atomically with the base
     * replacement. */
-  private def swapCensus(newBase: DataFrame): Unit = {
+  private def swapCensus(newBase: DataFrame,
+      onePerPrefix: Boolean = false): Unit = {
     val staging = new Path(path, ".census.staging")
     fs.delete(staging, true)
-    newBase.write.parquet(new Path(staging, "base").toString)
+    writeCensusBase(newBase, new Path(staging, "base").toString, onePerPrefix)
     val live = new Path(censusPath)
     val bak = new Path(path, ".census.bak")
     fs.delete(bak, true)
@@ -430,25 +475,52 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * [[liveOnly]]'s anti-join. A pre-census layout falls back to the
     * full live-postings census (documented fallback, the [[IvfIndex]]
     * pre-sidecar rule). */
-  def vocab(): DataFrame = {
+  def vocab(): DataFrame = vocabSlice(None)
+
+  /** The LIVE (term, df) census rows of terms sharing the given
+    * prefixes' FIRST characters (X226): the [[vocab]] semantics
+    * restricted to, and READ FROM, only those characters' `tprefix=`
+    * census partitions — a prefix/wildcard expansion's vocabulary
+    * lookup prunes at the file listing instead of scanning the whole
+    * census (plan-audited in the suite). The slice is a SUPERSET of
+    * the exact prefix matches (every term whose first character
+    * hash-collides into the same bucket), so downstream `startswith`/
+    * regex filters apply exactly as over [[vocab]] — identical
+    * results, ≤ |prefixes|/B of the census read. Delta adjustments
+    * (pending vacuum, live tombstones) mask with the same bucket
+    * restriction, so the crash-window exactness contract of [[vocab]]
+    * carries over unchanged. */
+  def vocabForPrefixes(prefixes: Seq[String]): DataFrame = {
+    require(prefixes.nonEmpty, "no prefixes")
+    require(prefixes.forall(_.nonEmpty), s"empty prefix in $prefixes")
+    vocabSlice(Some(prefixes.map(tprefixOf).distinct.sorted))
+  }
+
+  private def vocabSlice(buckets: Option[Seq[Int]]): DataFrame = {
     recover()
+    // base rows prune by the PARTITION column (file-listing prune);
+    // delta/fallback rows — tiny by the vacuum-cadence contract —
+    // recompute the bucket from the term on the fly
+    def maskBase(df: DataFrame) =
+      buckets.fold(df)(bs => df.filter(col("tprefix").isin(bs: _*)))
+    def maskTerm(df: DataFrame) =
+      buckets.fold(df)(bs => df.filter(tprefixCol(col("term")).isin(bs: _*)))
     if (!fs.exists(new Path(censusBasePath)))
-      return liveOnly(spark.read.parquet(postingsPath))
+      return maskTerm(liveOnly(spark.read.parquet(postingsPath))
         .groupBy(col("term"))
-        .agg(count_distinct(col("doc_id")).as("df"))
+        .agg(count_distinct(col("doc_id")).as("df")))
     val delta =
       if (fs.exists(new Path(censusDeltaPath)))
-        Some(spark.read.parquet(censusDeltaPath))
+        Some(maskTerm(spark.read.parquet(censusDeltaPath)))
       else if (fs.exists(new Path(tombstonesPath)))
-        Some(spark.read.parquet(postingsPath)
+        Some(maskTerm(spark.read.parquet(postingsPath)
           .join(tombstoneIds(), Seq("doc_id"), "left_semi")
           .groupBy(col("term"))
-          .agg(count_distinct(col("doc_id")).as("df")))
+          .agg(count_distinct(col("doc_id")).as("df"))))
       else None
-    delta.fold(
-      spark.read.parquet(censusBasePath)
-        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
-    )(censusAdjusted)
+    val base = maskBase(spark.read.parquet(censusBasePath))
+      .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
+    delta.fold(base)(d => minusDelta(base, d))
   }
 
   /** Per-bucket LIVE-postings census (X181) — the index-health surface
@@ -502,15 +574,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
       live.repartition(col("tbucket")) }
     stageSwap(doclensPath, None) { live =>
       live.repartition(doclensFiles) }
-    // census base accretes one file per append too — merge-sum it to
-    // `doclensFiles` files (vocabulary-sized job). Skipped while a
-    // vacuum's pending_delta is in flight: that vacuum's own census
+    // census base accretes files per append too — merge-sum it to one
+    // file per tprefix partition (vocabulary-sized job). Skipped while
+    // a vacuum's pending_delta is in flight: that vacuum's own census
     // swap rewrites the base anyway.
     if (fs.exists(new Path(censusBasePath)) &&
         !fs.exists(new Path(censusDeltaPath)))
       swapCensus(spark.read.parquet(censusBasePath)
-        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df"))
-        .repartition(doclensFiles))
+        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df")),
+        onePerPrefix = true)
   }
 
   /** Maintenance policy as code (X186): the ops loop [[fileStats]] /
@@ -679,7 +751,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
     require(k > 0, s"k must be positive, got $k")
     require(maxExpansions >= 1 && maxExpansions <= 1024,
       s"maxExpansions must be in [1, 1024], got $maxExpansions")
-    val expanded = vocab()
+    // a literal leading character prunes the census read to its
+    // tprefix partition (X226) — for 'so*t'-class patterns (leading
+    // literal, wildcard anywhere later) expansion lists 1/B of the
+    // census; a leading-wildcard pattern keeps the full vocabulary
+    // read, exactly Lucene's leading-wildcard cost cliff
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val vocabSrc =
+      if (litPrefix.nonEmpty) vocabForPrefixes(Seq(litPrefix)) else vocab()
+    val expanded = vocabSrc
       .filter(col("term").rlike(wildcardRegex(pattern)))
       .orderBy(col("df").desc, col("term").asc)
       .limit(maxExpansions)
@@ -1163,7 +1243,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val tFs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     tFs.delete(new Path(s"$targetPath/census"), true)
-    vocab().write.parquet(s"$targetPath/census/base")
+    writeCensusBase(vocab(), s"$targetPath/census/base")
     target
   }
 
@@ -1377,6 +1457,100 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
+  private def fieldedPath = s"$path/fielded"
+  private def fieldedPostingsPath = s"$fieldedPath/postings"
+  private def fieldedDoclensPath = s"$fieldedPath/doclens"
+
+  /** Derived FIELDED sidecar (X225 — the index-served half of X218):
+    * per-(term, doc) PER-FIELD term frequencies plus per-doc per-field
+    * lengths, so [[bm25fTopK]] serves the BM25F arithmetic
+    * (Robertson & Zaragoza CIKM'04) from pruned buckets the way
+    * [[bm25]] does — text never read at query time. Fields follow the
+    * [[graft.operators.TextAnalysis.bm25fTopK]] convention (`head` =
+    * the first `headLen` tokens, `body` = the rest), derived here from
+    * the stored POSITIONS alone: `pos < headLen` ⇔ the token sits in
+    * the head slice, because [[graft.operators.TextAnalysis.tokens]]
+    * never emits interior empty tokens (split of trimmed text on a
+    * whitespace run), so postings positions ARE filtered-token indexes.
+    *
+    * Layout: `fielded/postings` = (doc_id, term, tf_head, tf_body) in
+    * the same `tbucket=N` directory partitions as the main postings
+    * (term lookups prune at the file listing), `fielded/doclens` =
+    * (doc_id, dlh, dlb), `fielded/meta` = the one-row headLen record.
+    * A DERIVED artifact (the [[buildForward]] rule): built from the
+    * LIVE postings, rebuilt on the maintenance cadence after
+    * append/vacuum — reads additionally mask tombstones, so a delete
+    * takes effect immediately; an APPEND is invisible until rebuild
+    * (documented). [[build]] deletes the sidecar — a fresh corpus would
+    * otherwise serve the OLD corpus's fielded rows. */
+  def buildFielded(headLen: Int): Unit = {
+    require(headLen >= 1, s"headLen must be positive, got $headLen")
+    recover()
+    import spark.implicits._
+    val b = readBuckets()
+    val fs2 = fs
+    fs2.delete(new Path(fieldedPath), true)
+    val live = liveOnly(spark.read.parquet(postingsPath))
+      .localCheckpoint(true) // two consumers: fielded postings + doclens
+    try {
+      live.groupBy(col("doc_id"), col("term"))
+        .agg(count(when(col("pos") < headLen, 1)).as("tf_head"),
+          count(when(col("pos") >= headLen, 1)).as("tf_body"))
+        .withColumn("tbucket", bucketCol(col("term"), b))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(fieldedPostingsPath)
+      live.groupBy(col("doc_id"))
+        .agg(count(when(col("pos") < headLen, 1)).cast(LongType).as("dlh"),
+          count(when(col("pos") >= headLen, 1)).cast(LongType).as("dlb"))
+        .write.mode("overwrite").parquet(fieldedDoclensPath)
+    } finally graft.util.Pins.release(live)
+    Seq(headLen).toDF("head_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$fieldedPath/meta")
+  }
+
+  /** The headLen the fielded sidecar was built with. */
+  def fieldedHeadLen: Int = {
+    recover()
+    spark.read.parquet(s"$fieldedPath/meta").head().getInt(0)
+  }
+
+  /** BM25F top-k served from the [[buildFielded]] sidecar (X225): the
+    * [[graft.operators.TextAnalysis.bm25fTopK]] arithmetic with
+    * per-field tf from the PRUNED fielded buckets and per-field
+    * doclens from the sidecar — the ranking half
+    * ([[graft.operators.TextAnalysis.bm25fRank]]) is SHARED with the
+    * tokenize path, so the two surfaces are bit-identical by
+    * construction (suite-pinned; q268 gates on q259's oracle
+    * verbatim). Per-query I/O = the query terms' fielded buckets + the
+    * fielded doclens table; text never read. */
+  def bm25fTopK(queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, wHead: Double = 2.0, wBody: Double = 1.0,
+      bHead: Double = 0.75, bBody: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(k > 0, s"k must be positive, got $k")
+    recover()
+    require(fs.exists(new Path(fieldedPostingsPath)),
+      s"no fielded sidecar under $path — run buildFielded first")
+    val b = readBuckets()
+    val terms = queryTerms.zipWithIndex
+    val bs = queryTerms.map(bucketOf(_, b)).distinct.sorted
+    val slice = liveOnly(spark.read.parquet(fieldedPostingsPath)
+      .filter(col("tbucket").isin(bs: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf_head"), col("tf_body")))
+    val aggCols = terms.flatMap { case (t, i) => Seq(
+      sum(when(col("term") === t, col("tf_head"))).as(s"tfh$i"),
+      sum(when(col("term") === t, col("tf_body"))).as(s"tfb$i")) }
+    val tf = slice.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val perDoc = liveOnly(spark.read.parquet(fieldedDoclensPath))
+      .join(tf, Seq("doc_id"), "left")
+      .na.fill(0L, terms.flatMap { case (_, i) => Seq(s"tfh$i", s"tfb$i") })
+    TextAnalysis.bm25fRank(perDoc, queryTerms.size, k,
+      k1, wHead, wBody, bHead, bBody)
+  }
+
   private def forwardPath = s"$path/forward"
 
   /** Derived FORWARD sidecar (X206): the postings re-keyed doc-major —
@@ -1543,6 +1717,13 @@ object InvertedIndex {
     * hint is dropped (AQE picks the strategy) and the V2 SQL surface
     * refuses to collect the set — see the vacuum-cadence contract on
     * [[InvertedIndex.delete]]. */
+  /** Census `tprefix=` partition count (X226): md5 buckets of the
+    * term's first character. 64 bounds the directory fan-out on a
+    * CJK-heavy vocabulary (every distinct first character would
+    * otherwise be its own directory) while a single-prefix lookup
+    * still reads ≈ 1/64 of the census. */
+  val CensusPrefixBuckets = 64
+
   val MaskBroadcastKey = "graft.mask.broadcast.maxBytes"
 
   /** Default gate: 32 MiB of parquet ≈ tens of millions of ids —

@@ -240,9 +240,12 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .filter(col("term") =!= "").distinct()
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
+      // doc_id keeps the BATCH id column's physical type (the layout
+      // family supports non-long ids) so the degenerate empty frame
+      // unions cleanly with the populated one
       return liveTotals.limit(0)
         .select(col("query_id"),
-          lit(null).cast(LongType).as("doc_id"),
+          lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
           lit(0L).as("n_should"))
     val membership = TextAnalysis.positionalPostings(deduped, idCol, text)
       .select(col("doc_id"), col("term")).distinct()

@@ -84,7 +84,7 @@ private[v2] object GraftLayoutSource {
   private val layouts: Map[String, (String, Option[String], Boolean)] = Map(
     "postings" -> (("postings", Some("tbucket"), true)),
     "doclens" -> (("doclens", None, true)),
-    "census" -> (("census/base", None, false)),
+    "census" -> (("census/base", Some("tprefix"), false)),
     "census_delta" -> (("census/pending_delta", None, false)),
     "tombstones" -> (("tombstones", None, false)),
     "ivf_lists" -> (("lists", Some("ivf_list"), false)),

@@ -443,5 +443,8 @@ class AnnSuite extends AnyFunSuite {
       Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 4, 0.5))
     intercept[IllegalArgumentException](
       Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 1, 1.5))
+    // λ = 0 would break the pure-relevance first-pick contract
+    intercept[IllegalArgumentException](
+      Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 1, 0.0))
   }
 }

@@ -91,6 +91,48 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.bm25Synonyms(groups, 0))
   }
 
+  test("bm25fTopK: fielded sidecar serve ≡ tokenize path; pruned, text-free, delete-live (X225)") {
+    val dir = Files.createTempDirectory("graft_inv_bm25f").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    val all = docsA.union(docsB)
+    idx.build(all, "doc_id", col("text"))
+    // serving before buildFielded is a clear contract error
+    val noSidecar = intercept[IllegalArgumentException](
+      idx.bm25fTopK(Seq("sort"), k = 5))
+    assert(noSidecar.getMessage.contains("buildFielded"))
+    idx.buildFielded(headLen = 2)
+    assert(idx.fieldedHeadLen === 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = rows(TextAnalysis.bm25fTopK(all, "doc_id", col("text"),
+      headLen = 2, Seq("sort", "merge"), k = 10))
+    val served = idx.bm25fTopK(Seq("sort", "merge"), k = 10)
+    assert(rows(served) === want,
+      "index path must reproduce the tokenize path exactly")
+    // plan audit: every file scan is sidecar I/O (fielded postings with
+    // the tbucket partition filter, fielded doclens) — text never read
+    val scans = served.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.toString.contains("/fielded"))),
+      s"a non-sidecar scan leaked into the serve:\n${scans.mkString("\n")}")
+    val partFilters = scans.map(_.metadata("PartitionFilters")).mkString
+    assert(partFilters.contains("tbucket"),
+      s"the term buckets must prune at the file listing: $partFilters")
+    // a tombstone delete takes effect immediately (stats and hits)
+    idx.delete(Seq(1L).toDF("doc_id"))
+    val live = all.filter(col("doc_id") =!= 1L)
+    assert(rows(idx.bm25fTopK(Seq("sort", "merge"), k = 10)) ===
+      rows(TextAnalysis.bm25fTopK(live, "doc_id", col("text"),
+        headLen = 2, Seq("sort", "merge"), k = 10)))
+    intercept[IllegalArgumentException](idx.bm25fTopK(Nil, 5))
+    intercept[IllegalArgumentException](idx.bm25fTopK(Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](idx.bm25fTopK(Seq("a"), 0))
+    intercept[IllegalArgumentException](idx.buildFielded(0))
+  }
+
   test("wildcardSearch: census expansion, blended scoring, maxExpansions cut (X219)") {
     val dir = Files.createTempDirectory("graft_inv_wc").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
@@ -297,9 +339,12 @@ class InvertedIndexSuite extends AnyFunSuite {
       "the census swap removes pending_delta with the base")
     idx.compact()
     assert(vocabRows(idx) === expectedVocab(survivors))
-    assert(new java.io.File(s"$dir/inv/census/base").listFiles()
-      .count(_.getName.startsWith("part-")) === 1,
-      "compact merge-sums the census base to one file")
+    val prefixDirs = new java.io.File(s"$dir/inv/census/base").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tprefix="))
+    assert(prefixDirs.nonEmpty, "census base must be tprefix-partitioned")
+    assert(prefixDirs.forall(
+        _.listFiles().count(_.getName.startsWith("part-")) === 1),
+      "compact merge-sums the census base to one file per tprefix dir")
   }
 
   test("vocab serves from the census without opening the postings layout") {
@@ -319,6 +364,55 @@ class InvertedIndexSuite extends AnyFunSuite {
       .collect { case s: FileSourceScanExec => s }
     assert(fzScans.forall(_.relation.location.rootPaths
       .forall(!_.toString.contains("/postings"))))
+  }
+
+  test("vocabForPrefixes: tprefix partitions prune at the file listing; parity incl. tombstones (X226)") {
+    val dir = Files.createTempDirectory("graft_inv_vpfx").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("term")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the slice is a superset of the startswith matches and a subset of
+    // the census restricted to the prefixes' first-char buckets
+    val slice = idx.vocabForPrefixes(Seq("so", "str"))
+    val full = rows(idx.vocab())
+    assert(rows(slice).toSet.subsetOf(full.toSet))
+    assert(rows(slice.filter(col("term").startsWith("so"))) ===
+      full.filter(_._1.startsWith("so")))
+    // plan audit: the census read lists ONLY the matching tprefix dirs
+    val scans = slice.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.map(_.metadata("PartitionFilters")).mkString.contains("tprefix"),
+      "the first-char buckets must reach the file listing")
+    val wantBuckets = Seq("so", "str").map(idx.tprefixOf).distinct
+    val pf = scans.map(_.metadata("PartitionFilters")).mkString
+    assert(wantBuckets.forall(b => pf.contains(b.toString)),
+      s"every queried first-char bucket must appear in the filter: $pf")
+    // wildcard expansion with a literal leading character serves from
+    // the pruned slice: same expansion, same blended ranking as the
+    // full-vocab expansion the X219 suite pins
+    val viaPruned = idx.wildcardSearch("so*t", k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val fullExp = idx.vocab()
+      .filter(col("term").rlike(idx.wildcardRegex("so*t")))
+      .orderBy(col("df").desc, col("term").asc).limit(50)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val viaFull = idx.bm25Synonyms(Seq(fullExp), k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaPruned === viaFull,
+      "prefix-pruned expansion must reproduce the full-vocab expansion")
+    // tombstone masking carries into the pruned slice
+    idx.delete(Seq(1L).toDF("doc_id"))
+    val live = docsA.union(docsB).filter(col("doc_id") =!= 1L)
+    val wantLive = TextAnalysis.positionalPostings(live, "doc_id", col("text"))
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    assert(rows(idx.vocabForPrefixes(Seq("so"))
+        .filter(col("term").startsWith("so"))) ===
+      rows(wantLive.filter(col("term").startsWith("so"))))
+    intercept[IllegalArgumentException](idx.vocabForPrefixes(Nil))
+    intercept[IllegalArgumentException](idx.vocabForPrefixes(Seq("")))
   }
 
   test("census crash windows: stored delta preferred, reused by vacuum, post-swap exact") {
