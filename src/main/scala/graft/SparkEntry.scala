@@ -1217,6 +1217,26 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q269_qstore_lifecycle" -> ((s, d) => {
+      // X212 stored-query lifecycle (the q220 pattern on the
+      // percolation side): build the 10k generated store, append 100
+      // single-must alerts, unsubscribe every 20th stored query,
+      // vacuum (physical removal), then percolate the q256 batch from
+      // what survived — every maintenance step runs for real on disk;
+      // the oracle recomputes only the SURVIVING clause table, so
+      // corrupted state anywhere in the walk breaks the hash. q256
+      // stays the pure serve row (the build-once/serve-many split).
+      val dir = java.nio.file.Files.createTempDirectory("graft_qs_lc").toString
+      val qs = new graft.sources.QueryStore(s, s"$dir/qs")
+      qs.build(generatedClauses(s, d))
+      qs.append(appendedClauses(s, d))
+      qs.delete(s.range(0, 10000).filter(col("id") % 20 === 0)
+        .select(concat(lit("q"), col("id").cast(IntegerType)).as("query_id")))
+      qs.vacuum()
+      val batch = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      qs.percolate(batch, "doc_id", col("text"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
     "q255_maxscore_bm25" -> ((s, d) => {
       // X211 MaxScore cut over the block-max sidecar: q214's exact
       // query and oracle (the optimization is result-invariant — the
@@ -3141,17 +3161,38 @@ object SparkEntry {
     new graft.sources.QueryStore(s, s"$dir/qs")
   }
 
-  private def generatedClauses(s: SparkSession, d: String): DataFrame = {
+  /** The corpus vocabulary ranked (df DESC, term ASC) with a 1-based
+    * rn — the deterministic fixture base shared by the q256 store and
+    * the q269 lifecycle walk. */
+  private def rankedVocab(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t(s, d, "documents")
+    t(s, d, "documents")
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "").distinct()
-    val vocab = toks.groupBy(col("term"))
+      .groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("df").desc, col("term").asc)))
       .select(col("term"), col("rn"))
+  }
+
+  /** q269's appended alert batch: 100 single-must queries ('a' || i,
+    * term at vocabulary stride 3i+1) — id-disjoint from the stored
+    * 'q'-prefixed set, the append contract. */
+  private def appendedClauses(s: SparkSession, d: String): DataFrame = {
+    val vocab = rankedVocab(s, d)
+    val v = vocab.count().toInt
+    s.range(0, 100).select(col("id").cast(IntegerType).as("i"))
+      .select(concat(lit("a"), col("i")).as("query_id"),
+        ((col("i") * 3 + 1) % v + 1).as("rn"))
+      .join(vocab, Seq("rn"))
+      .select(col("query_id"), col("term"), lit("must").as("clause"))
+  }
+
+  private def generatedClauses(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = rankedVocab(s, d)
     val v = vocab.count().toInt
     val g = s.range(0, 10000).select(col("id").cast(IntegerType).as("i"))
     def pick(pr: Int, clause: String, rn: Column) =
@@ -4916,6 +4957,55 @@ object SparkEntry {
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
                 ORDER BY pr) AS rk FROM cl0)
             WHERE rk = 1),
+          b AS (SELECT doc_id, term FROM p WHERE doc_id % 20 = 0),
+          j AS (SELECT cl.query_id, b.doc_id, cl.clause
+            FROM cl JOIN b USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(agg.n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id""",
+    // the q269 oracle: the q256 generated-store chain with the
+    // lifecycle applied in SQL — every 20th stored query deleted, the
+    // 100 appended single-must alerts unioned in — then the same
+    // percolation over the SURVIVING clause table
+    "q269_qstore_lifecycle" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+            FROM p GROUP BY term),
+          n AS (SELECT COUNT(*) AS v FROM v),
+          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
+          picks AS (
+            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
+              (i % v) + 1 AS rn FROM g, n
+            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
+          cl0 AS (SELECT query_id, v.term, clause, pr
+            FROM picks JOIN v USING (rn)),
+          clq AS (SELECT query_id, term, clause FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+                ORDER BY pr) AS rk FROM cl0)
+            WHERE rk = 1),
+          del AS (SELECT 'q' || i AS query_id
+            FROM generate_series(0, 9999) AS s2(i) WHERE i % 20 = 0),
+          app AS (SELECT 'a' || s3.i AS query_id, v.term, 'must' AS clause
+            FROM generate_series(0, 99) AS s3(i) CROSS JOIN n
+            JOIN v ON v.rn = ((s3.i * 3 + 1) % n.v) + 1),
+          cl AS (SELECT * FROM clq
+              WHERE query_id NOT IN (SELECT query_id FROM del)
+            UNION ALL SELECT * FROM app),
           b AS (SELECT doc_id, term FROM p WHERE doc_id % 20 = 0),
           j AS (SELECT cl.query_id, b.doc_id, cl.clause
             FROM cl JOIN b USING (term)),

@@ -315,11 +315,15 @@ object SearchEngine {
             col("__rk") > 1 && col("__rk") <= innerHits + 1,
             struct(col("__rk"), col("doc_id")))))
           .getField("doc_id"), ",").as("inner_ids"))
+    // the k-cut is a TakeOrderedAndProject heap (the dedupHits shape),
+    // NOT a single-partition global window over every group; the rank
+    // column derives from a window over the ALREADY-CUT ≤ k rows — a
+    // bounded frame, the ranked-keyset discipline
     reps.join(inner, Seq("field_value"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(1))
-          .orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rank") <= k)
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("rank"), col("field_value"), col("doc_id"),
         col("score"), col("n_group"), col("inner_ids"))
   }

@@ -222,22 +222,34 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     * listing), the clause gate against the totals sidecar — semantics
     * identical to [[TextAnalysis.percolate]] over [[liveClauses]]
     * (suite-pinned), cost ∝ batch × matched clause terms with stored-
-    * query I/O ∝ |batch-vocab|/B. The batch-vocabulary collect that
-    * builds the pruning predicate is bounded by the BATCH's distinct
-    * terms (the X196 bounded-scalar-anchor class). Output:
-    * (query_id, doc_id, n_should). */
+    * query I/O ∝ |batch-vocab|/B.
+    *
+    * The pruning is ADAPTIVE (`maxPruneTerms`): bucket pruning pays
+    * when a SMALL batch hits a LARGE store — a big batch's vocabulary
+    * covers most buckets, so the pruned plan degenerates to a full
+    * clause read PLUS a corpus-sized vocabulary collect and a
+    * many-thousand-value bucket predicate, all pure overhead. When the
+    * batch vocabulary exceeds the cap (probed with a LIMIT-bounded
+    * collect — the driver never holds more than `maxPruneTerms + 1`
+    * terms either way, the X196 bounded-scalar-anchor class), the
+    * membership join runs against the full live clause table instead:
+    * same semantics (suite-pinned equal), cost still ∝ batch × matched
+    * clause terms, and the equi-join itself restricts to the batch's
+    * terms. Output: (query_id, doc_id, n_should). */
   def percolate(docs: DataFrame, idCol: String, text: Column,
-      minShould: Int = 1): DataFrame = {
+      minShould: Int = 1, maxPruneTerms: Int = 4096): DataFrame = {
     require(minShould >= 1, s"minShould must be >= 1, got $minShould")
+    require(maxPruneTerms >= 1, s"maxPruneTerms must be >= 1, got $maxPruneTerms")
     recover()
     val deduped = docs.dropDuplicates(idCol)
-    // the vocab collect runs its own cheap tokenize pass (terms only —
+    // the vocab probe runs its own cheap tokenize pass (terms only —
     // no positions); the membership side recomputes lazily in the join,
     // so nothing pins across the call (two batch-sized passes, the
     // documented trade)
     val terms = deduped
       .select(explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term") =!= "").distinct()
+      .limit(maxPruneTerms + 1)
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
       // doc_id keeps the BATCH id column's physical type (the layout
@@ -251,7 +263,11 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .select(col("doc_id"), col("term")).distinct()
     val totals = liveTotals.select(col("query_id"),
       col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
-    clausesForTerms(terms).join(membership, Seq("term"))
+    val clauseSrc =
+      if (terms.size > maxPruneTerms)
+        liveClauses.select(col("query_id"), col("term"), col("clause"))
+      else clausesForTerms(terms)
+    clauseSrc.join(membership, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
         count(when(col("clause") === "should", 1)).as("n_should"),

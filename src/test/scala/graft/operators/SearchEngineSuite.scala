@@ -235,6 +235,12 @@ class SearchEngineSuite extends AnyFunSuite {
       hits, docs, "doc_id", col("src"), 0))
     intercept[IllegalArgumentException](SearchEngine.collapseByField(
       hits, docs, "doc_id", col("src"), 5, -1))
+    // plan audit: the k-cut is a bounded heap, not a global-window sort
+    // over every group (the rank window runs over the already-cut rows)
+    val plan = SearchEngine.collapseByField(hits, docs, "doc_id",
+      col("src"), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the group cut must compile to a top-k heap:\n$plan")
   }
 
   test("fieldValueBoost: modifiers and boost modes, re-rank flips, negative factor errors") {

@@ -52,6 +52,27 @@ class QueryStoreSuite extends AnyFunSuite {
       qs.build(Seq(("q", "x", "must_not")).toDF("query_id", "term", "clause")))
   }
 
+  test("adaptive pruning: over-cap batch vocabulary serves unpruned, same matches") {
+    val dir = Files.createTempDirectory("graft_qstore_cap").toString
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    val want = rows(qs.percolate(docs, "doc_id", col("text")))
+    // the batch vocabulary (8 terms) exceeds a cap of 3: the membership
+    // join runs against the full live clause table — same result set
+    val capped = qs.percolate(docs, "doc_id", col("text"), maxPruneTerms = 3)
+    assert(rows(capped) === want)
+    // and the capped plan carries NO tbucket file-listing restriction
+    // (all clause partitions eligible — the equi-join restricts terms)
+    val scans = capped.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("clauses")))
+    assert(scans.nonEmpty)
+    assert(!scans.map(_.metadata("PartitionFilters")).mkString.contains("tbucket IN"),
+      "an over-cap batch must not build the bucket predicate")
+    intercept[IllegalArgumentException](
+      qs.percolate(docs, "doc_id", col("text"), maxPruneTerms = 0))
+  }
+
   test("lifecycle: append / tombstone delete / vacuum all live on the next read") {
     val dir = Files.createTempDirectory("graft_qstore_life").toString
     val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
