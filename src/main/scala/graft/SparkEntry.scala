@@ -1056,6 +1056,17 @@ object SparkEntry {
         sharedInvIndex(s, d).bm25(Seq("sort", "merge", "spark"), k = 50),
         t(s, d, "documents"), "doc_id", col("source"), k = 10, innerHits = 2)
     }),
+    "q270_sigterms_served" -> ((s, d) => {
+      // X227 census-served significant terms: "what is different about
+      // the hits" — the q214 BM25 top-20 as the foreground, df_fg from
+      // the hit docs' PRUNED forward term vectors, df_bg from the
+      // census sidecar, text never tokenized at query time (the hit-id
+      // collect is the bounded scalar anchor, the MLT/PRF shape)
+      val idx = sharedInvIndex(s, d)
+      val fgIds = idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+      idx.significantTerms(fgIds, n = 15, minDf = 2L)
+    }),
     "q266_sig_terms" -> ((s, d) => {
       // X223 significant_terms (ES JLH): which terms are significantly
       // more frequent in the German docs than corpus-wide — absolute
@@ -4754,6 +4765,31 @@ object SparkEntry {
             r.field_value, r.doc_id, r.score, i.n_group, i.inner_ids
           FROM reps r JOIN inr i USING (field_value)
           ORDER BY rank LIMIT 10""",
+    // X227: the q266 JLH arithmetic with the q214 hit set as the
+    // foreground and the served-path corpus definition (n_bg = docs
+    // with ≥ 1 token — the doclens membership)
+    "q270_sigterms_served" -> {
+      val hitsSql = bm25SqlOver(Seq("sort", "merge", "spark"),
+        "documents", toksSql, topN = 20)
+      s"""WITH hits AS MATERIALIZED (SELECT doc_id FROM ($hitsSql) AS h),
+          dt AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents), UNNEST(tk) AS u(t)),
+          pt AS (SELECT term,
+              COUNT(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 END) AS df_fg,
+              COUNT(*) AS df_bg FROM dt GROUP BY term),
+          sz AS (SELECT (SELECT COUNT(*) FROM hits) AS n_fg,
+              (SELECT COUNT(DISTINCT doc_id) FROM dt) AS n_bg),
+          sc AS (SELECT term, df_fg, df_bg,
+              (CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE)
+                - CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))
+              * ((CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE))
+                / (CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))) AS score
+            FROM pt CROSS JOIN sz WHERE n_fg > 0 AND df_fg >= 2)
+          SELECT term, df_fg, df_bg, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, term ASC LIMIT 15"""
+    },
     "q266_sig_terms" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, lang = 'de' AS fg, u.t AS term
             FROM (SELECT doc_id, lang, list_filter($toksSql, x -> x <> '') AS tk

@@ -1620,6 +1620,57 @@ final class InvertedIndex(spark: SparkSession, path: String,
       gate = col("doc_id") =!= docId)
   }
 
+  /** Significant terms served from the layouts (X227 — the X223 JLH
+    * aggregation with the corpus text never tokenized at query time):
+    * "what is different about THESE docs" for a bounded foreground id
+    * set (a query's hits, the [[moreLikeThis]]/[[expandedBm25]] seed
+    * shape). df_fg comes from the foreground docs' term vectors in the
+    * PRUNED forward sidecar ([[buildForward]] required — an fgIds-sized
+    * dbucket read); df_bg from the census sidecar ([[vocab]], a
+    * vocabulary-sized read); n_fg/n_bg from the live doclens. Only
+    * terms occurring in the foreground can score (df_fg ≥ minDf ≥ 1),
+    * so the census join is the complete candidate set by construction.
+    *
+    * Arithmetic is [[graft.operators.TextAnalysis.significantTerms]]'s
+    * JLH exactly — (fg% − bg%)·(fg%/bg%) over document frequencies,
+    * superset background, round-6, top-n by (score desc, term asc) —
+    * with one corpus-definition difference stated honestly: n_bg here
+    * counts docs with ≥ 1 token (the doclens membership), while the
+    * tokenize path counts every input row including token-less docs;
+    * on a corpus without empty documents the two are bit-identical
+    * (suite-pinned). Tombstones mask every leg (foreground vectors,
+    * census, doclens), so a delete takes effect immediately. */
+  def significantTerms(fgIds: Seq[Long], n: Int, minDf: Long = 1L): DataFrame = {
+    require(fgIds.nonEmpty, "need at least one foreground doc id")
+    require(n > 0, s"n must be positive, got $n")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    recover()
+    require(fs.exists(new Path(forwardPath)),
+      s"no forward sidecar under $path — run buildForward first")
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    val nBg = dls.count()
+    val nFg = dls.filter(col("doc_id").isin(fgIds: _*)).count()
+    val empty = spark.read.parquet(doclensPath).limit(0)
+      .select(col("doc_id").cast(StringType).as("term"),
+        lit(0L).as("df_fg"), lit(0L).as("df_bg"), lit(0.0).as("score"))
+      .limit(0)
+    if (nFg == 0L || nBg == 0L) return empty
+    val fgTerms = liveOnly(docTerms(fgIds))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_fg"))
+    val joined = fgTerms
+      .join(vocab().withColumnRenamed("df", "df_bg"), Seq("term"))
+    val fgPct = col("df_fg").cast(DoubleType) / lit(nFg.toDouble)
+    val bgPct = col("df_bg").cast(DoubleType) / lit(nBg.toDouble)
+    joined
+      .filter(col("df_fg") >= minDf)
+      .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("term").asc)
+      .limit(n)
+      .select(col("term"), col("df_fg"), col("df_bg"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Phrase search with selectivity-ordered planning (X209 — the
     * classic rarest-term-first heuristic
     * [[TextAnalysis.phraseMatch]]'s scaladoc defers to the caller,

@@ -817,6 +817,43 @@ class InvertedIndexSuite extends AnyFunSuite {
       idx.expandedBm25(Seq("sort"), k = 5, fbDocs = 0))
   }
 
+  test("significantTerms served: forward df_fg + census df_bg ≡ tokenize JLH; no postings read (X227)") {
+    val dir = Files.createTempDirectory("graft_inv_sig").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    val all = docsA.union(docsB)
+    idx.build(all, "doc_id", col("text"))
+    val noForward = intercept[IllegalArgumentException](
+      idx.significantTerms(Seq(1L), 5))
+    assert(noForward.getMessage.contains("buildForward"))
+    idx.buildForward()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fg = Seq(1L, 2L)
+    val want = rows(TextAnalysis.significantTerms(all, "doc_id",
+      col("text"), col("doc_id").isin(fg: _*), n = 10))
+    val served = idx.significantTerms(fg, n = 10)
+    assert(rows(served) === want,
+      "served JLH must reproduce the tokenize path on a no-empty-doc corpus")
+    // plan audit: the served frame reads the forward sidecar + census
+    // only — never the postings layout, never text
+    val roots = served.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty)
+    assert(roots.forall(p => p.contains("/forward") || p.contains("/census")),
+      s"unexpected scan in the served plan: $roots")
+    // minDf gates foreground flukes exactly as the tokenize path
+    assert(rows(idx.significantTerms(fg, n = 10, minDf = 2L)) ===
+      rows(TextAnalysis.significantTerms(all, "doc_id", col("text"),
+        col("doc_id").isin(fg: _*), n = 10, minDf = 2L)))
+    // a foreground id set with no live member ranks nothing
+    assert(idx.significantTerms(Seq(999L), n = 5).count() === 0L)
+    intercept[IllegalArgumentException](idx.significantTerms(Nil, 5))
+    intercept[IllegalArgumentException](idx.significantTerms(Seq(1L), 0))
+    intercept[IllegalArgumentException](idx.significantTerms(Seq(1L), 5, 0L))
+  }
+
   test("phraseSearch: rarest-first plan, bit-identical to phraseMatch (X209)") {
     val dir = Files.createTempDirectory("graft_inv_pp").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
