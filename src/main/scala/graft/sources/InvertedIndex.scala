@@ -181,6 +181,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // old block-max bounds would under-bound a NEW corpus (the unsafe
     // direction) — drop them; rebuild via buildBlockMax on the cadence
     fs.delete(new Path(blockmaxPath), true)
+    fs.delete(new Path(blockmaxFilesPath), true)
     // a stale fielded sidecar would silently serve the OLD corpus's
     // per-field tfs — drop it; rebuild via buildFielded on the cadence
     fs.delete(new Path(fieldedPath), true)
@@ -1286,6 +1287,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
   }
 
   private def blockmaxPath = s"$path/blockmax"
+  private def blockmaxFilesPath = s"$path/blockmax_files"
 
   /** Max-impact sidecar (X211; the Lucene block-max / MaxScore
     * family — Turtle & Flood '95, Ding & Suel SIGIR '11): one
@@ -1310,13 +1312,36 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * vocabulary-sized pruned read. */
   def buildBlockMax(): Unit = {
     recover()
-    val tf = liveOnly(spark.read.parquet(postingsPath))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val rows = tf.join(liveOnly(spark.read.parquet(doclensPath)), Seq("doc_id"))
-      .groupBy(col("term"))
-      .agg(max(col("tf")).cast(LongType).as("max_tf"),
-        min(col("dl")).cast(LongType).as("min_dl"))
-    rows.write.mode("overwrite").parquet(blockmaxPath)
+    val post = liveOnly(spark.read.parquet(postingsPath)
+        .withColumn("__fname", substring_index(input_file_name(), "/", -1)))
+      .localCheckpoint(true) // two grains aggregate from one read
+    try {
+      val dls = liveOnly(spark.read.parquet(doclensPath))
+      post.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .join(dls, Seq("doc_id"))
+        .groupBy(col("term"))
+        .agg(max(col("tf")).cast(LongType).as("max_tf"),
+          min(col("dl")).cast(LongType).as("min_dl"))
+        .write.mode("overwrite").parquet(blockmaxPath)
+      // (term, file)-grain rows (Ding & Suel SIGIR'11 — true block-max):
+      // a (term, doc) pair is file-local (one input row → one task →
+      // one file per bucket; the append-disjointness contract forbids
+      // re-sent docs), so the per-file tf is the doc's exact tf and
+      // partial(max_tf_F, min_dl_F) ceilings every doc in F. File
+      // identity is (tbucket, fname) — parquet task files carry a job
+      // UUID, so a REWRITTEN layout (vacuum/compact) never aliases an
+      // old name: its new files are simply uncovered (no skip, sound)
+      // until the next buildBlockMax re-tightens.
+      post.groupBy(col("term"), col("tbucket"), col("__fname"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dls, Seq("doc_id"))
+        .groupBy(col("term"), col("tbucket"), col("__fname"))
+        .agg(max(col("tf")).cast(LongType).as("max_tf"),
+          min(col("dl")).cast(LongType).as("min_dl"))
+        .select(col("term"), col("tbucket"), col("__fname").as("fname"),
+          col("max_tf"), col("min_dl"))
+        .write.mode("overwrite").parquet(blockmaxFilesPath)
+    } finally graft.util.Pins.release(post)
   }
 
   /** BM25 top-k with the MaxScore cut (X211) — bit-identical results to
@@ -1413,7 +1438,60 @@ final class InvertedIndex(spark: SparkSession, path: String,
     }
     if (nonEssential.isEmpty) return fallback()
     val essential = queryTerms.filterNot(nonEssential)
-    val candRows = termPostings(essential).select(col("doc_id"))
+    // file-level skip (X228 — the block half of block-max): a file F of
+    // essential term t is provably below θ when partial(max_tf_F,
+    // min_dl_F) + Σ_{t'≠t} ub(t') < θ − ε — any doc whose ONLY
+    // essential appearances sit in skipped files bounds below θ through
+    // the weakest of its files' tests, so dropping it from the
+    // candidate read cannot change the top k. Uncovered files (landed
+    // after the last buildBlockMax) always read; a covered file with no
+    // row for t is provably t-free (files are immutable) and skips.
+    val candSrc: DataFrame =
+      if (!fs.exists(new Path(blockmaxFilesPath))) termPostings(essential)
+      else {
+        val ubMap = ubs.toMap
+        val ubTotal = ubs.map(_._2).sum
+        val restUb = essential.map(t => t -> (ubTotal - ubMap(t))).toMap
+        val fileSidecar = spark.read.parquet(blockmaxFilesPath)
+        val covered = fileSidecar.select(col("tbucket"), col("fname"))
+          .distinct().collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSet
+        val fileUb = fileSidecar.filter(col("term").isin(essential: _*))
+          .groupBy(col("term"), col("tbucket"), col("fname"))
+          .agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+          .collect().map { r =>
+            val df = dfs.getOrElse(r.getString(0), 0L)
+            val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+            val (mtf, mdl) = (r.getLong(3), r.getLong(4))
+            (r.getString(0), r.getString(2)) ->
+              (round6(idf * mtf * (k1 + 1.0) /
+                (mtf + k1 * (1.0 - b + b * mdl.toDouble / avgdl))) + 1e-9)
+          }.toMap
+        val bOf = essential.map(t => t -> bucketOf(t, readBuckets())).toMap
+        val listing: Map[Int, Seq[String]] = bOf.values.toSeq.distinct.map { bk =>
+          val dir = new Path(postingsPath, s"tbucket=$bk")
+          bk -> (if (!fs.exists(dir)) Seq.empty[String]
+            else fs.listStatus(dir).toSeq
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(_.getPath.getName))
+        }.toMap
+        val keep = InvertedIndex.selectBlockFiles(
+          essential, bOf, listing, covered, fileUb, restUb, theta)
+        val allFiles = listing.iterator
+          .flatMap { case (bk, fs0) => fs0.map(f => (bk, f)) }.toSet
+        if (keep.size >= allFiles.size) termPostings(essential)
+        else if (keep.isEmpty) return fallback()
+        else {
+          val paths = keep.toSeq.sorted.map { case (bk, f) =>
+            new Path(new Path(postingsPath, s"tbucket=$bk"), f).toString }
+          liveOnly(spark.read.option("basePath", postingsPath)
+            .parquet(paths: _*)
+            .filter(col("term").isin(essential: _*))
+            .select(col("doc_id"), col("pos"), col("term")))
+        }
+      }
+    val candRows = candSrc.select(col("doc_id"))
       .distinct().limit(maxCandidates + 1).collect()
     if (candRows.length > maxCandidates) return fallback()
     if (candRows.isEmpty) return fallback()
@@ -1768,6 +1846,35 @@ object InvertedIndex {
     * hint is dropped (AQE picks the strategy) and the V2 SQL surface
     * refuses to collect the set — see the vacuum-cadence contract on
     * [[InvertedIndex.delete]]. */
+  /** The X228 file-selection rule, factored pure for unit testing:
+    * which (tbucket, fname) files of the essential terms' buckets the
+    * candidate read must open. Per essential term t and file F of t's
+    * bucket — UNCOVERED F (no sidecar row at all: landed after the
+    * last buildBlockMax) always reads; covered F with no (t, F) bound
+    * is provably t-free (immutable files) and skips for t; covered F
+    * with a bound reads iff `ub_F(t) + Σ_{t'≠t} ub(t') ≥ θ − ε` — the
+    * Ding & Suel block skip, sound through the weakest-file argument
+    * on [[InvertedIndex.bm25MaxScore]]. */
+  private[sources] def selectBlockFiles(
+      essential: Seq[String],
+      bucketOfTerm: Map[String, Int],
+      filesInBucket: Map[Int, Seq[String]],
+      covered: Set[(Int, String)],
+      fileUb: Map[(String, String), Double],
+      restUb: Map[String, Double],
+      theta: Double): Set[(Int, String)] = {
+    val keep = scala.collection.mutable.LinkedHashSet.empty[(Int, String)]
+    for (t <- essential; bk = bucketOfTerm(t);
+        f <- filesInBucket.getOrElse(bk, Nil)) {
+      val key = (bk, f)
+      if (!covered(key)) keep += key
+      else fileUb.get((t, f)).foreach { ub =>
+        if (ub + restUb(t) >= theta - 1e-6) keep += key
+      }
+    }
+    keep.toSet
+  }
+
   /** Census `tprefix=` partition count (X226): md5 buckets of the
     * term's first character. 64 bounds the directory fan-out on a
     * CJK-heavy vocabulary (every distinct first character would

@@ -986,6 +986,69 @@ class InvertedIndexSuite extends AnyFunSuite {
       rows(idx.bm25(Seq("the", "alpha"), 4)))
   }
 
+  test("selectBlockFiles: uncovered reads, missing-bound skips, ceiling test gates (X228)") {
+    val sel = InvertedIndex.selectBlockFiles(
+      essential = Seq("t1", "t2"),
+      bucketOfTerm = Map("t1" -> 0, "t2" -> 1),
+      filesInBucket = Map(
+        0 -> Seq("fA", "fB", "fNew"), // fA qualifies, fB below θ, fNew uncovered
+        1 -> Seq("fC")),              // covered, no t2 bound -> provably t2-free
+      covered = Set((0, "fA"), (0, "fB"), (1, "fC")),
+      fileUb = Map(("t1", "fA") -> 3.0, ("t1", "fB") -> 0.4),
+      restUb = Map("t1" -> 0.1, "t2" -> 3.1),
+      theta = 2.0)
+    assert(sel === Set((0, "fA"), (0, "fNew")))
+    // boundary: ub + rest == θ - eps edge keeps the file (>= test)
+    val edge = InvertedIndex.selectBlockFiles(Seq("t"), Map("t" -> 0),
+      Map(0 -> Seq("f")), Set((0, "f")), Map(("t", "f") -> 1.9),
+      Map("t" -> 0.1), theta = 2.0)
+    assert(edge === Set((0, "f")))
+  }
+
+  test("per-file block-max: low-impact covered files skip from the candidate read (X228)") {
+    val dir = Files.createTempDirectory("graft_inv_bmf").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    // three separately-landed batches = three distinct file generations
+    // per touched bucket: hi = high-impact 'quokka' docs (tf 3, short),
+    // lo = low-impact (tf 1, long), filler = no quokka at all.
+    // buildBlockMax AFTER the appends covers every file at file grain.
+    val hi = (1L to 6L).map(i => (i, "quokka quokka quokka the alpha"))
+    val lo = (101L to 300L).map(i => (i, "quokka " + ("the " * 40).trim))
+    val filler = (401L to 450L).map(i => (i, "the alpha beta"))
+    idx.build(hi.toDF("doc_id", "text").coalesce(1), "doc_id", col("text"))
+    idx.append(lo.toDF("doc_id", "text").coalesce(1), "doc_id", col("text"))
+    idx.append(filler.toDF("doc_id", "text").coalesce(1), "doc_id", col("text"))
+    idx.buildBlockMax()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def inputRecords(body: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val want = rows(idx.bm25(Seq("quokka", "the"), k = 2))
+    val withFiles = inputRecords {
+      assert(rows(idx.bm25MaxScore(Seq("quokka", "the"), k = 2)) === want) }
+    // drop the file-grain sidecar: same per-term cut, no file skip —
+    // the candidate read must now pay the low-impact file too
+    assert(new java.io.File(s"$dir/inv/blockmax_files").exists())
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); () }
+    rmr(new java.io.File(s"$dir/inv/blockmax_files"))
+    val termOnly = inputRecords {
+      assert(rows(idx.bm25MaxScore(Seq("quokka", "the"), k = 2)) === want) }
+    assert(withFiles < termOnly,
+      s"file-grain skip must read fewer postings rows: $withFiles vs $termOnly")
+  }
+
   test("term lookup prunes to the queried buckets at the file listing") {
     val dir = Files.createTempDirectory("graft_inv_prune").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
