@@ -1170,6 +1170,32 @@ object SparkEntry {
       Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
         anchor, m = 50, k = 10, lambda = 0.7)
     }),
+    "q271_serp_page" -> ((s, d) => {
+      // X229 the rendered SERP page: q257's fused hit set collapsed by
+      // source (X224 — one site, one slot, runner-ups as inner hits)
+      // next to the page's facet rail (X182 over lang/source) — the
+      // collapse + facets composition a production result page renders
+      // on top of the fused ranking. Sections share one scalar schema:
+      // ('collapse', rank, source, 'rep|inner_ids', n_group, rrf) and
+      // ('facet', rank, key, value, count, 0.0).
+      val (fused, _) = serpFused(s, d)
+      val docs = t(s, d, "documents")
+      val hits = fused.select(col("vec_id").as("doc_id"),
+        col("rrf").as("score"))
+      val coll = SearchEngine.collapseByField(hits, docs, "doc_id",
+          col("source"), k = 5, innerHits = 2)
+        .select(lit("collapse").as("section"), col("rank"),
+          col("field_value").as("k1"),
+          concat(col("doc_id").cast(StringType), lit("|"),
+            col("inner_ids")).as("k2"),
+          col("n_group").cast(LongType).as("n"), col("score"))
+      val fac = SearchEngine.facetCounts(hits, "doc_id",
+          docsAsMeta(s, d), Seq("lang", "source"), topM = 3)
+        .select(lit("facet").as("section"), col("rank"),
+          col("meta_key").as("k1"), col("meta_value").as("k2"),
+          col("n").cast(LongType).as("n"), lit(0.0).as("score"))
+      coll.union(fac).orderBy(col("section"), col("rank"), col("k1"))
+    }),
     "q257_serp_full" -> ((s, d) => {
       // X206+X207 threaded into the X188 serving stack — the full
       // production SERP: fuzzy-corrected BM25 (msm=2), the dense IVF
@@ -1180,29 +1206,7 @@ object SparkEntry {
       // stage served from persisted layouts, the oracle recomputes all
       // of it from raw text/embeddings
       import org.apache.spark.sql.expressions.Window
-      val inv = sharedInvIndex(s, d)
-      val ivf = sharedIvfIndex(s, d)
-      val embs = t(s, d, "embeddings")
-      val qv = embs.filter(col("vec_id") === 0L)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      val corrected = TextAnalysis.fuzzySuggestVocab(inv.vocab(),
-          Seq("sorrt", "mergee", "spark"), topK = 1)
-        .filter(col("rank") === 1).select(col("term")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      def ranked(df: DataFrame, scoreCol: String) = df
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col(scoreCol).desc, col("vec_id").asc)))
-      val bmLeg = ranked(inv.bm25(corrected, k = 20, msm = 2)
-        .select(col("doc_id").as("vec_id"), col("score")), "score")
-      val cosLeg = ranked(ivf.search(qv, k = 20, nprobe = 4)
-        .select(col("id").as("vec_id"), col("cosine")), "cosine")
-      val prfLeg = ranked(inv.expandedBm25(corrected, k = 20,
-          fbDocs = 5, fbTerms = 5)
-        .select(col("doc_id").as("vec_id"), col("score")), "score")
-      // pin the 10-row fusion: BOTH consumers below (the hit section and
-      // the MLT seed pick) would otherwise re-run all three legs
-      val fused = Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
-        .localCheckpoint(true)
+      val (fused, inv) = serpFused(s, d)
       val hits = fused
         .withColumn("rank", row_number().over(
           Window.orderBy(col("rrf").desc, col("vec_id").asc)))
@@ -3172,6 +3176,36 @@ object SparkEntry {
     new graft.sources.QueryStore(s, s"$dir/qs")
   }
 
+  /** The q257/q271 shared SERP front half: fuzzy-corrected BM25 (msm=2)
+    * + dense IVF + PRF recall legs, three-way RRF-fused to the pinned
+    * top-10 (both rows' consumers would otherwise re-run all three
+    * legs). Returns (fused hits, inverted index). */
+  private def serpFused(s: SparkSession, d: String)
+      : (DataFrame, graft.sources.InvertedIndex) = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sharedInvIndex(s, d)
+    val ivf = sharedIvfIndex(s, d)
+    val embs = t(s, d, "embeddings")
+    val qv = embs.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val corrected = TextAnalysis.fuzzySuggestVocab(inv.vocab(),
+        Seq("sorrt", "mergee", "spark"), topK = 1)
+      .filter(col("rank") === 1).select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    def ranked(df: DataFrame, scoreCol: String) = df
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col("vec_id").asc)))
+    val bmLeg = ranked(inv.bm25(corrected, k = 20, msm = 2)
+      .select(col("doc_id").as("vec_id"), col("score")), "score")
+    val cosLeg = ranked(ivf.search(qv, k = 20, nprobe = 4)
+      .select(col("id").as("vec_id"), col("cosine")), "cosine")
+    val prfLeg = ranked(inv.expandedBm25(corrected, k = 20,
+        fbDocs = 5, fbTerms = 5)
+      .select(col("doc_id").as("vec_id"), col("score")), "score")
+    (Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
+      .localCheckpoint(true), inv)
+  }
+
   /** The corpus vocabulary ranked (df DESC, term ASC) with a 1-based
     * rn — the deterministic fixture base shared by the q256 store and
     * the q269 lifecycle walk. */
@@ -3650,6 +3684,65 @@ object SparkEntry {
           FROM c)
         SELECT qterm, term, df, dist, rank FROM r
         WHERE rank <= 5 ORDER BY qterm, rank"""
+
+  /** DuckDB BM25 per-term partial over (tfsT, dfsT, st) aliases — the
+    * q257/q271 arithmetic shared by the fused front and the MLT rail. */
+  private def serpPp(tfsT: String, dfsT: String): String = {
+    val (k1, b) = (1.2, 0.75)
+    val k1p = (k1 + 1.0).toString
+    s"""ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST($dfsT.df AS DOUBLE) + 0.5)
+         / (CAST($dfsT.df AS DOUBLE) + 0.5))
+       * CAST($tfsT.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+       / (CAST($tfsT.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+          + (CAST($b AS DOUBLE) * CAST($tfsT.dl AS DOUBLE)) / st.avgdl)), 6)"""
+  }
+
+  /** The q257/q271 shared oracle front: [[servingStackCtes]] + the PRF
+    * recall leg + three-way RRF, ending at `hits3` (vec_id, round-6
+    * rrf, top-10) — the fused set both SERP rows render from. */
+  private lazy val serpFusedSqlCtes: String = {
+    val (fbDocs, fbTerms) = (5, 5)
+    s"""$servingStackCtes,
+        seedr AS (SELECT doc_id FROM sc WHERE score > 0
+          ORDER BY score DESC, doc_id ASC LIMIT $fbDocs),
+        ftf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ftf
+          FROM pd JOIN seedr USING (doc_id), UNNEST(tk) AS u(t)
+          GROUP BY 1),
+        alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
+          FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
+        expd AS (SELECT term FROM (
+            SELECT f.term,
+              ROUND(CAST(f.ftf AS DOUBLE)
+                * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                     / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+            FROM ftf f JOIN alldf a USING (term) CROSS JOIN st
+            WHERE f.term NOT IN (SELECT term FROM corr))
+          ORDER BY w DESC, term ASC LIMIT $fbTerms),
+        allt AS (SELECT term FROM corr UNION ALL SELECT term FROM expd),
+        tfs2 AS (SELECT pd.doc_id, pd.dl, allt.term,
+            CAST(len(list_filter(pd.tk, x -> x = allt.term)) AS BIGINT) AS tf
+          FROM pd CROSS JOIN allt),
+        dfs2 AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+          FROM tfs2 GROUP BY 1),
+        partials2 AS (SELECT tfs2.doc_id, ${serpPp("tfs2", "dfs2")} AS pp
+          FROM tfs2 JOIN dfs2 USING (term) CROSS JOIN st),
+        sc2 AS (SELECT doc_id, SUM(pp) AS score FROM partials2 GROUP BY 1),
+        ptop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc2
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
+        pleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r2
+          FROM ptop),
+        f3 AS (SELECT COALESCE(b2.vec_id, c2.vec_id, p2.vec_id) AS vec_id,
+            COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0)
+              + COALESCE(1.0 / (60.0 + CAST(p2.r2 AS DOUBLE)), 0.0) AS rrf
+          FROM bleg b2
+          FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id
+          FULL OUTER JOIN pleg p2
+            ON COALESCE(b2.vec_id, c2.vec_id) = p2.vec_id),
+        hits3 AS (SELECT vec_id, ROUND(rrf, 6) AS rrf FROM f3
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10)"""
+  }
 
   /** Shared CTE chain of the q228/q229 serving-stack oracles: the
     * whole hybrid pipeline recomputed from raw text/embeddings —
@@ -4888,55 +4981,46 @@ object SparkEntry {
         ORDER BY score DESC, key ASC LIMIT 20"""
     },
     "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
+    // X229: the q257 fused set rendered as a page — collapse by source
+    // (the X224 contract: rep + ordered inner ids per group) and the
+    // lang/source facet rail (X182) over the same hits
+    "q271_serp_page" ->
+      s"""$serpFusedSqlCtes,
+          hs AS (SELECT h.vec_id AS doc_id, h.rrf AS score,
+              d.source, d.lang
+            FROM hits3 h JOIN documents d ON d.doc_id = h.vec_id),
+          grp AS (SELECT doc_id, score, source AS field_value,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY score DESC, doc_id ASC) AS rk
+            FROM hs),
+          reps AS (SELECT field_value, doc_id, score FROM grp WHERE rk = 1),
+          inn AS (SELECT field_value, COUNT(*) AS n_group,
+              COALESCE(STRING_AGG(CASE WHEN rk > 1 AND rk <= 3
+                THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY rk), '')
+                AS inner_ids
+            FROM grp GROUP BY field_value),
+          coll AS (SELECT CAST(ROW_NUMBER() OVER (
+                ORDER BY r.score DESC, r.doc_id ASC) AS INT) AS rank,
+              r.field_value, r.doc_id, r.score, i.n_group, i.inner_ids
+            FROM reps r JOIN inn i USING (field_value)
+            ORDER BY r.score DESC, r.doc_id ASC LIMIT 5),
+          fac0 AS (SELECT 'lang' AS k1, lang AS k2 FROM hs
+            UNION ALL SELECT 'source', source FROM hs),
+          fac AS (SELECT k1, k2, COUNT(*) AS n,
+              CAST(ROW_NUMBER() OVER (PARTITION BY k1
+                ORDER BY COUNT(*) DESC, k2 ASC) AS INT) AS rank
+            FROM fac0 GROUP BY k1, k2)
+          SELECT 'collapse' AS section, rank, field_value AS k1,
+            CAST(doc_id AS VARCHAR) || '|' || inner_ids AS k2,
+            CAST(n_group AS BIGINT) AS n, score
+          FROM coll
+          UNION ALL SELECT 'facet', rank, k1, k2, CAST(n AS BIGINT), 0.0
+          FROM fac WHERE rank <= 3
+          ORDER BY section, rank, k1""",
     "q257_serp_full" -> {
-      val (k1, b, fbDocs, fbTerms, mltT, mltK) = (1.2, 0.75, 5, 5, 10, 5)
-      val k1p = (k1 + 1.0).toString
-      def pp(tfsT: String, dfsT: String) =
-        s"""ROUND(LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST($dfsT.df AS DOUBLE) + 0.5)
-             / (CAST($dfsT.df AS DOUBLE) + 0.5))
-           * CAST($tfsT.tf AS DOUBLE) * CAST($k1p AS DOUBLE)
-           / (CAST($tfsT.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
-              + (CAST($b AS DOUBLE) * CAST($tfsT.dl AS DOUBLE)) / st.avgdl)), 6)"""
-      s"""$servingStackCtes,
-          seedr AS (SELECT doc_id FROM sc WHERE score > 0
-            ORDER BY score DESC, doc_id ASC LIMIT $fbDocs),
-          ftf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS ftf
-            FROM pd JOIN seedr USING (doc_id), UNNEST(tk) AS u(t)
-            GROUP BY 1),
-          alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
-            FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
-          expd AS (SELECT term FROM (
-              SELECT f.term,
-                ROUND(CAST(f.ftf AS DOUBLE)
-                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
-                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
-              FROM ftf f JOIN alldf a USING (term) CROSS JOIN st
-              WHERE f.term NOT IN (SELECT term FROM corr))
-            ORDER BY w DESC, term ASC LIMIT $fbTerms),
-          allt AS (SELECT term FROM corr UNION ALL SELECT term FROM expd),
-          tfs2 AS (SELECT pd.doc_id, pd.dl, allt.term,
-              CAST(len(list_filter(pd.tk, x -> x = allt.term)) AS BIGINT) AS tf
-            FROM pd CROSS JOIN allt),
-          dfs2 AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
-            FROM tfs2 GROUP BY 1),
-          partials2 AS (SELECT tfs2.doc_id, ${pp("tfs2", "dfs2")} AS pp
-            FROM tfs2 JOIN dfs2 USING (term) CROSS JOIN st),
-          sc2 AS (SELECT doc_id, SUM(pp) AS score FROM partials2 GROUP BY 1),
-          ptop AS (SELECT doc_id AS vec_id, ROUND(score, 6) AS score FROM sc2
-            WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20),
-          pleg AS (SELECT vec_id,
-              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS r2
-            FROM ptop),
-          f3 AS (SELECT COALESCE(b2.vec_id, c2.vec_id, p2.vec_id) AS vec_id,
-              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
-                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0)
-                + COALESCE(1.0 / (60.0 + CAST(p2.r2 AS DOUBLE)), 0.0) AS rrf
-            FROM bleg b2
-            FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id
-            FULL OUTER JOIN pleg p2
-              ON COALESCE(b2.vec_id, c2.vec_id) = p2.vec_id),
-          hits3 AS (SELECT vec_id, ROUND(rrf, 6) AS rrf FROM f3
-            ORDER BY rrf DESC, vec_id ASC LIMIT 10),
+      val (mltT, mltK) = (10, 5)
+      def pp(tfsT: String, dfsT: String) = serpPp(tfsT, dfsT)
+      s"""$serpFusedSqlCtes,
           hitrows AS (SELECT 'hit' AS section,
               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, vec_id ASC) AS INT) AS rank,
               vec_id, rrf AS score FROM hits3),
