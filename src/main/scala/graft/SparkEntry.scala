@@ -1170,6 +1170,28 @@ object SparkEntry {
       Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
         anchor, m = 50, k = 10, lambda = 0.7)
     }),
+    "q272_dis_max" -> ((s, d) => {
+      // X230 dis_max (Lucene DisjunctionMaxQuery): two query variants
+      // ranked independently over the FULL corpus, combined per doc as
+      // best + 0.3·(sum − best) — strongest-field-wins with smooth
+      // weak-corroboration credit; legs are the uncut round-6 rankings
+      // so the max semantics hold for every matching doc
+      val idx = sharedInvIndex(s, d)
+      SearchEngine.disMax(Seq(
+        idx.bm25Ranked(Seq("sort", "merge")),
+        idx.bm25Ranked(Seq("spark", "stream"))), k = 20, tieBreaker = 0.3)
+    }),
+    "q273_boosting" -> ((s, d) => {
+      // X231 boosting query (ES boosting compound): the q214 ranking
+      // with docs containing 'bubble' DEMOTED to 0.3x instead of
+      // excluded — negative context without must_not's recall loss;
+      // the negative membership is one pruned postings projection
+      val idx = sharedInvIndex(s, d)
+      SearchEngine.boostingQuery(
+        idx.bm25Ranked(Seq("sort", "merge", "spark")),
+        idx.termPostings(Seq("bubble")).select(col("doc_id")),
+        k = 20, negativeBoost = 0.3)
+    }),
     "q271_serp_page" -> ((s, d) => {
       // X229 the rendered SERP page: q257's fused hit set collapsed by
       // source (X224 — one site, one slot, runner-ups as inner hits)
@@ -4981,6 +5003,45 @@ object SparkEntry {
         ORDER BY score DESC, key ASC LIMIT 20"""
     },
     "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
+    // X230: both legs as UNCUT round-6 rankings (LIMIT beyond the
+    // corpus), full-outer joined per doc; DECIMAL-exact cross-leg sum,
+    // order on the unrounded combined score, the Scala-printed 0.3
+    "q272_dis_max" -> {
+      val tie = 0.3.toString
+      def leg(terms: Seq[String]) =
+        bm25SqlOver(terms, "documents", toksSql, topN = 1000000000)
+      s"""WITH l1 AS MATERIALIZED (${leg(Seq("sort", "merge"))}),
+          l2 AS MATERIALIZED (${leg(Seq("spark", "stream"))}),
+          m AS (SELECT COALESCE(l1.doc_id, l2.doc_id) AS doc_id,
+              GREATEST(COALESCE(l1.score, 0.0), COALESCE(l2.score, 0.0)) AS best,
+              CAST(COALESCE(CAST(l1.score AS DECIMAL(38, 6)), 0)
+                + COALESCE(CAST(l2.score AS DECIMAL(38, 6)), 0) AS DOUBLE) AS s,
+              CAST((CASE WHEN l1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN l2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legs
+            FROM l1 FULL OUTER JOIN l2 ON l1.doc_id = l2.doc_id),
+          c AS (SELECT doc_id, best, n_legs,
+              best + CAST($tie AS DOUBLE) * (s - best) AS combined FROM m)
+          SELECT doc_id, best, n_legs, ROUND(combined, 6) AS score
+          FROM c ORDER BY combined DESC, doc_id ASC LIMIT 20"""
+    },
+    // X231: the q214 full ranking with the 'bubble' membership demoting
+    // to 0.3x; order on the unrounded demoted score (the q264 rule)
+    "q273_boosting" ->
+      s"""WITH h AS MATERIALIZED (${bm25SqlOver(Seq("sort", "merge", "spark"),
+            "documents", toksSql, topN = 1000000000)}),
+          neg AS (SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(list_filter(tk, x -> x = 'bubble')) > 0),
+          b AS (SELECT h.doc_id,
+              CASE WHEN neg.doc_id IS NOT NULL
+                THEN h.score * CAST(${0.3.toString} AS DOUBLE)
+                ELSE h.score END AS s,
+              neg.doc_id IS NOT NULL AS demoted
+            FROM h LEFT JOIN neg ON h.doc_id = neg.doc_id)
+          SELECT doc_id, ROUND(s, 6) AS score, demoted FROM b
+          ORDER BY s DESC, doc_id ASC LIMIT 20""",
     // X229: the q257 fused set rendered as a page — collapse by source
     // (the X224 contract: rep + ordered inner ids per group) and the
     // lang/source facet rail (X182) over the same hits

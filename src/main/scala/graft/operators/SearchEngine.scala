@@ -328,6 +328,77 @@ object SearchEngine {
         col("score"), col("n_group"), col("inner_ids"))
   }
 
+  /** Disjunction-max fusion (X230 — Lucene `DisjunctionMaxQuery` / the
+    * ES `dis_max` compound): per document, the combined score is the
+    * BEST leg's score plus `tieBreaker` times the other legs' sum —
+    * the multi-field / multi-variant combinator that avoids the
+    * naive-sum failure (a doc matching one field strongly should beat
+    * a doc matching three fields weakly; tieBreaker re-admits the
+    * weak-corroboration signal smoothly). Legs are FULL rankings
+    * ((doc_id, score) rows, round-6 scores — the
+    * [[graft.sources.InvertedIndex.bm25Ranked]] surface), so the max
+    * semantics hold for every matching doc, not a pre-cut top-k.
+    *
+    * Determinism: leg scores are round-6, the cross-leg sum is an
+    * EXACT DECIMAL aggregate (order-free), max is exact, and the
+    * combined score orders UNROUNDED with the doc_id tiebreak (the
+    * bm25Rank heap discipline; round-6 on output). Scale shape: one
+    * union + one doc-keyed aggregate (map-side combine) + a top-k
+    * heap — no window, no join. Output: (doc_id, best, n_legs,
+    * score). */
+  def disMax(legs: Seq[DataFrame], k: Int,
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(legs.nonEmpty, "no legs")
+    require(k > 0, s"k must be positive, got $k")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0,1], got $tieBreaker")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    legs.map(_.select(col("doc_id"), col("score")))
+      .reduce(_ unionAll _)
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("best"),
+        sum(col("score").cast(dec)).cast(DoubleType).as("__sum"),
+        count(lit(1)).as("n_legs"))
+      .withColumn("__combined",
+        col("best") + lit(tieBreaker) * (col("__sum") - col("best")))
+      .orderBy(col("__combined").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("best"), col("n_legs"),
+        round(col("__combined"), 6).as("score"))
+  }
+
+  /** Boosting query (X231 — the Elasticsearch `boosting` compound /
+    * Lucene BoostingQuery): rank by the positive query, DEMOTE (never
+    * exclude) documents matching the negative query by multiplying
+    * their score with `negativeBoost` ∈ [0, 1) — "sql the language,
+    * demote sql the cocktail" without the recall loss of must_not.
+    * `hits` is the positive ranking ((doc_id, score), round-6);
+    * `negative` the matching doc ids (a pruned
+    * [[graft.sources.InvertedIndex.termPostings]] projection or
+    * booleanSearch output — duplicates tolerated).
+    *
+    * One distinct + one left join against the k-bounded-or-full hit
+    * frame + a per-row map and a top-k heap; ordering on the
+    * UNROUNDED demoted score (doc_id tiebreak), round-6 output.
+    * Output: (doc_id, score, demoted). */
+  def boostingQuery(hits: DataFrame, negative: DataFrame, k: Int,
+      negativeBoost: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(negativeBoost >= 0.0 && negativeBoost < 1.0,
+      s"negativeBoost must be in [0,1), got $negativeBoost")
+    val neg = negative.select(col("doc_id")).distinct()
+      .withColumn("__neg", lit(true))
+    hits.select(col("doc_id"), col("score"))
+      .join(neg, Seq("doc_id"), "left")
+      .withColumn("__s", when(col("__neg"),
+        col("score") * lit(negativeBoost)).otherwise(col("score")))
+      .withColumn("demoted", coalesce(col("__neg"), lit(false)))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), round(col("__s"), 6).as("score"),
+        col("demoted"))
+  }
+
   /** Field-value-factor function score (X221 — the Elasticsearch
     * `function_score` / `field_value_factor` contract): re-rank a hit
     * list by folding a per-document NUMERIC signal (length, popularity

@@ -243,6 +243,45 @@ class SearchEngineSuite extends AnyFunSuite {
       s"the group cut must compile to a top-k heap:\n$plan")
   }
 
+  test("disMax: best leg wins, tieBreaker credits corroboration, tie=0 is pure max (X230)") {
+    import spark.implicits._
+    // doc 1: one strong match (5.0); doc 2: two weak matches (3.0, 3.0)
+    val l1 = Seq((1L, 5.0), (2L, 3.0)).toDF("doc_id", "score")
+    val l2 = Seq((2L, 3.0), (3L, 1.0)).toDF("doc_id", "score")
+    def got(tie: Double) = SearchEngine.disMax(Seq(l1, l2), k = 10, tie)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // pure max: strong single match beats weak corroboration
+    assert(got(0.0) === Seq((1L, 5.0, 1L, 5.0), (2L, 3.0, 2L, 3.0),
+      (3L, 1.0, 1L, 1.0)))
+    // tie=1.0 degenerates to the sum: corroboration wins
+    assert(got(1.0).head === ((2L, 3.0, 2L, 6.0)))
+    // tie=0.5: doc2 = 3 + 0.5*3 = 4.5 still below doc1's 5.0
+    assert(got(0.5).map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(0.5)(1)._4 === 4.5)
+    intercept[IllegalArgumentException](SearchEngine.disMax(Nil, 5))
+    intercept[IllegalArgumentException](SearchEngine.disMax(Seq(l1), 0))
+    intercept[IllegalArgumentException](SearchEngine.disMax(Seq(l1), 5, 1.5))
+  }
+
+  test("boostingQuery: negative matches demote, never exclude; order flips; contract (X231)") {
+    import spark.implicits._
+    val hits = Seq((1L, 2.0), (2L, 1.5), (3L, 1.0)).toDF("doc_id", "score")
+    val neg = Seq(1L, 1L, 9L).toDF("doc_id") // dup ids + a non-hit id
+    val got = SearchEngine.boostingQuery(hits, neg, k = 10, negativeBoost = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    // doc 1 demoted to 1.0, ties doc 3 — doc_id asc puts 1 first
+    assert(got === Seq((2L, 1.5, false), (1L, 1.0, true), (3L, 1.0, false)))
+    // boost 0 floors the demoted doc but keeps it visible
+    val zero = SearchEngine.boostingQuery(hits, neg, 10, 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(zero === Seq((2L, 1.5), (3L, 1.0), (1L, 0.0)))
+    intercept[IllegalArgumentException](
+      SearchEngine.boostingQuery(hits, neg, 0, 0.5))
+    intercept[IllegalArgumentException](
+      SearchEngine.boostingQuery(hits, neg, 5, 1.0))
+  }
+
   test("fieldValueBoost: modifiers and boost modes, re-rank flips, negative factor errors") {
     import spark.implicits._
     val hits = Seq((1L, 2.0), (2L, 1.5), (3L, 1.0)).toDF("doc_id", "score")
