@@ -1170,6 +1170,25 @@ object SparkEntry {
       Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
         anchor, m = 50, k = 10, lambda = 0.7)
     }),
+    "q274_explain" -> ((s, d) => {
+      // X232 the _explain API: per-term BM25 breakdown of the q214
+      // top-1 document — tf/df/idf/partial rows whose round-6 partials
+      // sum to exactly the served score (same arithmetic, same stats
+      // expressions); the relevance-debugging surface
+      val idx = sharedInvIndex(s, d)
+      val top = idx.bm25(Seq("sort", "merge", "spark"), k = 1)
+        .select(col("doc_id")).head().getLong(0)
+      idx.explain(Seq("sort", "merge", "spark"), top)
+    }),
+    "q275_span_near" -> ((s, d) => {
+      // X233 ordered span-near (Lucene SpanNearQuery inOrder): 'merge'
+      // followed by 'sort' within 3 positions over the pruned postings
+      // slice — phrase-with-slop, direction-sensitive unlike q215
+      TextAnalysis.spanNearOrdered(
+        sharedInvIndex(s, d).termPostings(Seq("merge", "sort")),
+        "merge", "sort", maxDist = 3)
+        .orderBy(col("doc_id"))
+    }),
     "q272_dis_max" -> ((s, d) => {
       // X230 dis_max (Lucene DisjunctionMaxQuery): two query variants
       // ranked independently over the FULL corpus, combined per doc as
@@ -5003,6 +5022,55 @@ object SparkEntry {
         ORDER BY score DESC, key ASC LIMIT 20"""
     },
     "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
+    // X232: the q214 pd/st statistics verbatim, the top-1 doc from the
+    // served cut, one UNION-ALL row per query term — display idf
+    // rounds separately, the partial rounds the bm25SqlOver expression
+    "q274_explain" -> {
+      val terms = Seq("sort", "merge", "spark")
+      val (k1v, bv) = (1.2, 0.75)
+      val k1p = (k1v + 1.0).toString
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      def idfSql(i: Int) =
+        s"""LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+            / (CAST(df$i AS DOUBLE) + 0.5))"""
+      val rows = terms.zipWithIndex.map { case (t, i) =>
+        s"""SELECT '$t' AS term, tf$i AS tf, dl, df$i AS df,
+            ROUND(${idfSql(i)}, 6) AS idf,
+            ROUND(${idfSql(i)}
+              * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+              / (CAST(tf$i AS DOUBLE) + CAST($k1v AS DOUBLE)
+                 * ((1.0 - CAST($bv AS DOUBLE))
+                    + (CAST($bv AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)
+              AS partial
+          FROM row1 CROSS JOIN st"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH h AS MATERIALIZED (${bm25SqlOver(terms, "documents",
+            toksSql, topN = 1)}),
+          pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          row1 AS (SELECT pd.* FROM pd JOIN h USING (doc_id))
+          $rows"""
+    },
+    // X233: the q263 position-walk pattern, direction-sensitive pairs
+    "q275_span_near" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+              tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          a AS (SELECT doc_id, pos AS pa FROM p WHERE term = 'merge'),
+          b AS (SELECT doc_id, pos AS pb FROM p WHERE term = 'sort'),
+          j AS (SELECT a.doc_id, pa, pb FROM a JOIN b USING (doc_id)
+            WHERE pb - pa BETWEEN 1 AND 3)
+          SELECT doc_id, COUNT(*) AS n_pairs, MIN(pb - pa) AS min_gap
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
     // X230: both legs as UNCUT round-6 rankings (LIMIT beyond the
     // corpus), full-outer joined per doc; DECIMAL-exact cross-leg sum,
     // order on the unrounded combined score, the Scala-printed 0.3

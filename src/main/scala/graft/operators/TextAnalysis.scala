@@ -805,6 +805,34 @@ object TextAnalysis {
         min(abs(col("pa") - col("pb"))).as("min_dist"))
   }
 
+  /** Ordered span-near match (X233 — Lucene `SpanNearQuery` with
+    * `inOrder=true`; [[proximityMatch]] is the unordered form): docs
+    * containing `termA` followed by `termB` within `maxDist` positions
+    * (0 < pb − pa ≤ maxDist) — "new york" within 3 matches "new …
+    * york" but not "york … new", the phrase-with-slop primitive.
+    * Same banded self-join shape as [[proximityMatch]] (an in-window
+    * pair shares a floor(pos/maxDist) band with one side shifted, so
+    * both sides emit (band, band+1) and distinct dedups); the ordered
+    * predicate needs no equal-term special case — pb > pa already
+    * keeps one orientation. Feed it [[positionalPostings]] or the
+    * index's pruned termPostings slice; emits (doc_id, n_pairs,
+    * min_gap). */
+  def spanNearOrdered(index: DataFrame, termA: String, termB: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(termA.nonEmpty && termB.nonEmpty, "empty term")
+    def banded(t: String, posName: String) = index.filter(col("term") === t)
+      .select(col("doc_id"), col("pos").as(posName))
+      .withColumn("__b", explode(array((col(posName) / maxDist).cast(LongType),
+        (col(posName) / maxDist).cast(LongType) + 1)))
+    banded(termA, "pa").join(banded(termB, "pb"), Seq("doc_id", "__b"))
+      .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= maxDist)
+      .select(col("doc_id"), col("pa"), col("pb")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("pb") - col("pa")).as("min_gap"))
+  }
+
   /** Query-biased snippets (X177) — the keyword-in-context serving step
     * after retrieval ranks its hits: per doc, the windowLen-token window
     * anchored at a query-term hit that covers the MOST query-term hits

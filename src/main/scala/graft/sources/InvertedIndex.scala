@@ -1698,6 +1698,47 @@ final class InvertedIndex(spark: SparkSession, path: String,
       gate = col("doc_id") =!= docId)
   }
 
+  /** Score explanation (X232 — the Elasticsearch `_explain` API
+    * surface): the per-term BM25 breakdown of ONE document under a
+    * query — (term, tf, dl, df, idf, partial) rows in query-term
+    * order, with `partial` exactly the round-6 per-term partial the
+    * [[bm25]] serve sums (same arithmetic, same stats expressions), so
+    * Σ partial reproduces the doc's q214-class score bit-for-bit —
+    * the relevance-debugging surface ("why does this doc rank here").
+    * One pruned bucket read + the doclens stats pass (the bm25 plan),
+    * the breakdown a single-row `stack` unpivot — no per-term jobs. */
+  def explain(queryTerms: Seq[String], docId: Long,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (perDoc, _) = bm25PerDoc(queryTerms, msm = 1)
+    val terms = queryTerms.zipWithIndex
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
+        +: terms.map { case (_, i) =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+    val row = perDoc.filter(col("doc_id") === docId)
+      .crossJoin(broadcast(stats))
+    val enriched = row.select(
+      col("dl") +:
+        (terms.map { case (_, i) => col(s"tf$i") } ++
+         terms.map { case (_, i) => col(s"df$i") } ++
+         terms.flatMap { case (_, i) =>
+           val tf = col(s"tf$i").cast(DoubleType)
+           val df = col(s"df$i").cast(DoubleType)
+           val idf = log(lit(1.0) +
+             (col("n_docs").cast(DoubleType) - df + lit(0.5)) / (df + lit(0.5)))
+           val norm = tf + lit(k1) * (lit(1.0) - lit(b) +
+             lit(b) * col("dl").cast(DoubleType) / col("avgdl"))
+           Seq(round(idf, 6).as(s"idf$i"),
+             round(idf * tf * lit(k1 + 1.0) / norm, 6).as(s"p$i"))
+         }): _*)
+    val stackSql = s"stack(${terms.size}, " + terms.map { case (t, i) =>
+      s"'${t.replace("'", "''")}', tf$i, df$i, idf$i, p$i"
+    }.mkString(", ") + ") AS (term, tf, df, idf, partial)"
+    enriched.select(expr(stackSql), col("dl"))
+      .select(col("term"), col("tf"), col("dl"), col("df"),
+        col("idf"), col("partial"))
+  }
+
   /** Significant terms served from the layouts (X227 — the X223 JLH
     * aggregation with the corpus text never tokenized at query time):
     * "what is different about THESE docs" for a bounded foreground id

@@ -307,6 +307,20 @@ class TextAnalysisSuite extends AnyFunSuite {
     val out = TextAnalysis.proximityMatch(idx, "a", "b", maxDist = 3)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     assert(out === Map(1L -> ((1L, 3)), 3L -> ((1L, 1)), 4L -> ((2L, 2))))
+    // ordered span-near (X233): only a-BEFORE-b pairs count — doc 3
+    // (b before a) and doc 4's (4,2) reverse pair drop out
+    val ord = TextAnalysis.spanNearOrdered(idx, "a", "b", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(ord === Map(1L -> ((1L, 3)), 4L -> ((1L, 2))))
+    // same-term ordered pairs keep one orientation, gap-band boundary
+    val same = TextAnalysis.spanNearOrdered(idx, "a", "a", maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // doc 4: a at 0 and 4 -> gap 4 > 2, no pair; doc 5: (0,1),(1,2),(0,2)
+    assert(same === Map(5L -> ((3L, 1))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanNearOrdered(idx, "a", "b", 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanNearOrdered(idx, "", "b", 2))
   }
 
   test("bm25: hand-computed scores, rarity beats frequency, zero-score docs absent") {

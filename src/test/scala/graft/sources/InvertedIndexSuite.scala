@@ -986,6 +986,31 @@ class InvertedIndexSuite extends AnyFunSuite {
       rows(idx.bm25(Seq("the", "alpha"), 4)))
   }
 
+  test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
+    val dir = Files.createTempDirectory("graft_inv_expl").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val terms = Seq("sort", "merge", "zzz")
+    val top = idx.bm25(Seq("sort", "merge"), k = 1).head()
+    val (topId, topScore) = (top.getLong(0), top.getDouble(2))
+    val rows = idx.explain(terms, topId).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows.map(_._1) === terms, "rows come in query-term order")
+    // the absent term contributes a zero partial, tf=0, df=0
+    val zzz = rows.find(_._1 == "zzz").get
+    assert(zzz._2 === 0L && zzz._4 === 0L && zzz._6 === 0.0)
+    // round-6 partials sum to exactly the served two-term score
+    val sum2 = rows.filter(r => r._1 == "sort" || r._1 == "merge")
+      .map(_._6).sum
+    val rounded = BigDecimal(sum2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rounded === topScore,
+      s"partials must reproduce the served score: $sum2 vs $topScore")
+    // a doc id outside the corpus explains to zero rows
+    assert(idx.explain(terms, 999L).count() === 0L)
+  }
+
   test("selectBlockFiles: uncovered reads, missing-bound skips, ceiling test gates (X228)") {
     val sel = InvertedIndex.selectBlockFiles(
       essential = Seq("t1", "t2"),
