@@ -1170,6 +1170,22 @@ object SparkEntry {
       Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
         anchor, m = 50, k = 10, lambda = 0.7)
     }),
+    "q276_phrase_suggest" -> ((s, d) => {
+      // X234 phrase suggester (ES phrase suggester = direct generator
+      // + LM rerank): per-slot fuzzy corrections from the census
+      // cross-multiply into whole-phrase candidates, reranked by the
+      // persisted Stupid-Backoff model's perplexity — "did you mean
+      // sort merge spark" for the misspelled QUERY, not single terms
+      val idx = sharedInvIndex(s, d)
+      val lm = sharedNgramLm(s, d)
+      val cands = TextAnalysis.phraseCandidates(idx.vocab(),
+        Seq("sorrt", "mergee", "spark"), perTermK = 2)
+      val scored = lm.score(cands, "phrase", col("phrase"))
+      cands.join(scored, Seq("phrase"))
+        .select(col("phrase"), col("n_changes"), col("xent"), col("ppl"))
+        .orderBy(col("ppl").asc, col("phrase").asc)
+        .limit(5)
+    }),
     "q274_explain" -> ((s, d) => {
       // X232 the _explain API: per-term BM25 breakdown of the q214
       // top-1 document — tf/df/idf/partial rows whose round-6 partials
@@ -5022,6 +5038,65 @@ object SparkEntry {
         ORDER BY score DESC, key ASC LIMIT 20"""
     },
     "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
+    // X234: candidates generated RELATIONALLY (per-slot fuzzy top-2 +
+    // keep-original fallback, cross-multiplied), each 3-token phrase's
+    // single trigram priced by the q200 Stupid-Backoff CASE verbatim
+    "q276_phrase_suggest" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+          q(slot, qterm) AS (VALUES (1, 'sorrt'), (2, 'mergee'), (3, 'spark')),
+          c AS (SELECT q.slot, q.qterm, v.term, v.df,
+              CAST(levenshtein(q.qterm, v.term) AS INT) AS dist
+            FROM q CROSS JOIN v
+            WHERE levenshtein(q.qterm, v.term) <= 1),
+          r AS (SELECT slot, qterm, term,
+              ROW_NUMBER() OVER (PARTITION BY slot
+                ORDER BY dist ASC, df DESC, term ASC) AS rank
+            FROM c),
+          opt AS (SELECT slot, qterm, term FROM r WHERE rank <= 2
+            UNION ALL SELECT slot, qterm, qterm FROM q
+            WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.slot = q.slot)),
+          ph AS (SELECT o1.term || ' ' || o2.term || ' ' || o3.term AS phrase,
+              CAST((CASE WHEN o1.term <> o1.qterm THEN 1 ELSE 0 END)
+                + (CASE WHEN o2.term <> o2.qterm THEN 1 ELSE 0 END)
+                + (CASE WHEN o3.term <> o3.qterm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changes,
+              o1.term AS w1, o2.term AS w2, o3.term AS w3
+            FROM opt o1, opt o2, opt o3
+            WHERE o1.slot = 1 AND o2.slot = 2 AND o3.slot = 3),
+          tgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+              tk[CAST(u.i + 2 AS INT)] AS w2, tk[CAST(u.i + 3 AS INT)] AS w3
+            FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''
+              AND tk[CAST(u.i + 3 AS INT)] <> ''),
+          tgc AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tgall GROUP BY 1, 2, 3),
+          bgall AS (SELECT doc_id, tk[CAST(u.i + 1 AS INT)] AS w1,
+              tk[CAST(u.i + 2 AS INT)] AS w2
+            FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> '' AND tk[CAST(u.i + 2 AS INT)] <> ''),
+          bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgall GROUP BY 1, 2),
+          uni AS (SELECT term AS w, COUNT(*) AS c1 FROM p GROUP BY 1),
+          nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS n, COUNT(*) AS v FROM uni),
+          sc AS (SELECT ph.phrase, ph.n_changes, ROUND(-LN(CASE
+              WHEN tc.c3 > 0 THEN CAST(tc.c3 AS DOUBLE) / CAST(ba.c2 AS DOUBLE)
+              WHEN bb.c2 > 0 THEN 0.4 * (CAST(bb.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+              ELSE (0.4 * 0.4) * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0) /
+                (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+            END), 6) AS lp
+            FROM ph
+            LEFT JOIN tgc tc ON ph.w1 = tc.w1 AND ph.w2 = tc.w2 AND ph.w3 = tc.w3
+            LEFT JOIN bgc ba ON ph.w1 = ba.w1 AND ph.w2 = ba.w2
+            LEFT JOIN bgc bb ON ph.w2 = bb.w1 AND ph.w3 = bb.w2
+            LEFT JOIN uni u2 ON ph.w2 = u2.w
+            LEFT JOIN uni u3 ON ph.w3 = u3.w
+            CROSS JOIN nv),
+          fin AS (SELECT phrase, n_changes,
+              ROUND(CAST(CAST(lp AS DECIMAL(38, 6)) AS DOUBLE) / 1, 6) AS xent
+            FROM sc)
+          SELECT phrase, n_changes, xent, ROUND(EXP(xent), 6) AS ppl
+          FROM fin ORDER BY ppl ASC, phrase ASC LIMIT 5""",
     // X232: the q214 pd/st statistics verbatim, the top-1 doc from the
     // served cut, one UNION-ALL row per query term — display idf
     // rounds separately, the partial rounds the bm25SqlOver expression

@@ -941,6 +941,51 @@ object TextAnalysis {
       .select(col("prefix"), col("term"), col("df"), col("rank"))
   }
 
+  /** Phrase-suggester candidate generation (X234 — the generation half
+    * of the Elasticsearch phrase suggester): per query slot, the top
+    * `perTermK` distance-≤1 vocabulary corrections from
+    * [[fuzzySuggestVocab]] (dist asc, df desc, term asc — exact terms
+    * rank first, so a well-spelled slot keeps itself as option 1); a
+    * slot with NO in-vocabulary candidate keeps the original term (the
+    * ES keep-original behavior — the LM then prices it as unknown).
+    * The slot option lists cross-multiply into whole-phrase candidates
+    * with their change count — the frame a language model
+    * ([[graft.sources.NgramLm.score]]) reranks, completing the
+    * suggester ("did you mean" for QUERIES, not single terms).
+    *
+    * The candidate space is perTermK^slots, REQUIRED ≤ 1024 — the
+    * bounded-scalar-anchor class (the per-slot lists collect
+    * driver-side; candidates are a LocalRelation, recompute-free).
+    * Output: (phrase, n_changes), phrases distinct by construction
+    * (slot-wise concatenation is injective). */
+  def phraseCandidates(vocab: DataFrame, queryTerms: Seq[String],
+      perTermK: Int = 2): DataFrame = {
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.forall(_.nonEmpty), s"empty term in $queryTerms")
+    require(perTermK >= 1 && perTermK <= 8,
+      s"perTermK must be in [1, 8], got $perTermK")
+    val lower = queryTerms.map(_.toLowerCase)
+    require(math.pow(perTermK.toDouble, lower.size.toDouble) <= 1024,
+      s"candidate space ${perTermK}^${lower.size} exceeds the 1024 bound")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val byQ: Map[String, Seq[String]] =
+      fuzzySuggestVocab(vocab, lower.distinct, perTermK)
+        .select(col("qterm"), col("term"), col("rank"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
+    val slots = lower.map(q => byQ.getOrElse(q, Seq(q)))
+    val phrases = slots.foldLeft(Seq(Seq.empty[String])) { (acc, opts) =>
+      for { p <- acc; o <- opts } yield p :+ o
+    }
+    phrases.map { ws =>
+      (ws.mkString(" "),
+        ws.zip(lower).count { case (w, q) => w != q }.toLong)
+    }.toDF("phrase", "n_changes")
+  }
+
   def fuzzySuggestVocab(vocab: DataFrame, queryTerms: Seq[String],
       topK: Int): DataFrame = {
     require(queryTerms.nonEmpty, "no query terms")

@@ -925,6 +925,38 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.fuzzySuggest(docs, "doc_id", col("text"), Seq("a"), 0))
   }
 
+  test("phraseCandidates: per-slot corrections cross-multiply; keep-original fallback (X234)") {
+    val docs = Seq(
+      (1L, "sort merge spark sort"), (2L, "sort sparse merge"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+      .groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val out = TextAnalysis.phraseCandidates(vocab,
+        Seq("sorrt", "mergee", "zzz"), perTermK = 2)
+      .orderBy(col("phrase")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // slot 1: sorrt -> {sort}; slot 2: mergee -> {merge}; slot 3: zzz
+    // has no distance-1 candidate -> keeps itself (n_changes counts
+    // only real corrections)
+    assert(out === Seq(("sort merge zzz", 2L)))
+    // a well-spelled slot keeps itself as option 1 (dist 0 ranks first)
+    val ok = TextAnalysis.phraseCandidates(vocab,
+        Seq("sort", "merge"), perTermK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ok === Seq(("sort merge", 0L)))
+    // an OOV slot WITH an in-vocab correction does NOT keep itself —
+    // the fallback is only for slots with no candidate at all
+    val wide = TextAnalysis.phraseCandidates(vocab, Seq("sport"), perTermK = 2)
+      .orderBy(col("phrase")).collect().map(_.getString(0)).toSeq
+    assert(wide === Seq("sort"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseCandidates(vocab, Nil, 2))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseCandidates(vocab, Seq("a"), 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseCandidates(vocab, Seq.fill(20)("a"), 8))
+  }
+
   test("percolate: arriving docs match stored queries; parity with per-query booleanMatch (X208)") {
     val docs = Seq(
       (1L, "sort merge spark"),
