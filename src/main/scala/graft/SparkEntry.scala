@@ -1170,6 +1170,21 @@ object SparkEntry {
       Ann.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
         anchor, m = 50, k = 10, lambda = 0.7)
     }),
+    "q277_derived_maintain" -> ((s, d) => {
+      // X235 derived-artifact maintenance: build the index + all three
+      // rebuild-on-cadence sidecars on HALF the corpus, append the
+      // other half, then let the policy detect the drift and rebuild —
+      // the decision record is the output, the rebuilds run for real
+      // (a lifecycle-class row); the oracle recomputes the drift
+      // arithmetic from the corpus counts
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_dmaint").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      idx.buildForward(); idx.buildFielded(8); idx.buildBlockMax()
+      idx.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
+      idx.maintainDerived(maxStaleFrac = 0.1)
+    }),
     "q276_phrase_suggest" -> ((s, d) => {
       // X234 phrase suggester (ES phrase suggester = direct generator
       // + LM rerank): per-slot fuzzy corrections from the census
@@ -5038,6 +5053,21 @@ object SparkEntry {
         ORDER BY score DESC, key ASC LIMIT 20"""
     },
     "q261_mmr_rerank" -> mmrSql(m = 50, k = 10, lambda = 0.7),
+    // X235: the decision record is pure drift arithmetic over the
+    // corpus counts (docs with >= 1 token, half vs full)
+    "q277_derived_maintain" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+            FROM documents),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+            WHERE len(tk) > 0 AND doc_id % 2 = 0),
+          l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+            WHERE len(tk) > 0),
+          a(artifact) AS (VALUES ('forward'), ('fielded'), ('blockmax'))
+          SELECT a.artifact, b.n AS built_n_docs, l.n AS live_n_docs,
+            ROUND(ABS(CAST(l.n AS DOUBLE) - CAST(b.n AS DOUBLE))
+              / CAST(b.n AS DOUBLE), 6) AS stale_frac,
+            CAST(0.1 AS DOUBLE) AS threshold, TRUE AS acted
+          FROM a CROSS JOIN b CROSS JOIN l ORDER BY artifact""",
     // X234: candidates generated RELATIONALLY (per-slot fuzzy top-2 +
     // keep-original fallback, cross-multiplied), each 3-token phrase's
     // single trigram priced by the q200 Stupid-Backoff CASE verbatim

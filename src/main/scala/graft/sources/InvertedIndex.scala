@@ -185,6 +185,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // a stale fielded sidecar would silently serve the OLD corpus's
     // per-field tfs — drop it; rebuild via buildFielded on the cadence
     fs.delete(new Path(fieldedPath), true)
+    fs.delete(new Path(derivedMetaPath("fielded")), true)
+    fs.delete(new Path(derivedMetaPath("blockmax")), true)
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
@@ -637,6 +639,68 @@ final class InvertedIndex(spark: SparkSession, path: String,
       ("vacuum", tombFrac, maxTombstoneFrac, doVacuum),
       ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact))
       .toDF("action", "metric", "threshold", "acted")
+  }
+
+  private def derivedMetaPath(name: String) = s"$path/derived_meta/$name"
+
+  /** Record the live doc count a derived artifact was built against —
+    * the staleness input [[maintainDerived]] reads. */
+  private def writeDerivedMeta(name: String): Unit = {
+    import spark.implicits._
+    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    Seq(n).toDF("built_n_docs").coalesce(1)
+      .write.mode("overwrite").parquet(derivedMetaPath(name))
+  }
+
+  /** Derived-artifact maintenance policy (X235 — the X186 pattern for
+    * the rebuild-on-cadence sidecars): the forward (X206), fielded
+    * (X225) and block-max (X211/X228) artifacts are DERIVED — an
+    * append leaves forward/fielded missing the new docs until rebuilt,
+    * and leaves the block-max bounds loose (sound, but the cut
+    * weakens). This turns their prose cadence into code: each build
+    * records the live doc count it ran against; the policy compares it
+    * to the CURRENT live count (two cheap doclens counts + file
+    * listings — no artifact data read) and rebuilds any artifact whose
+    * relative drift exceeds `maxStaleFrac`. A pre-meta artifact (built
+    * before this policy existed) counts as fully stale — one rebuild
+    * adopts it. Absent artifacts are reported, never created (building
+    * them is the caller's choice — fielded needs a headLen). Returns
+    * the decision record: (artifact, built_n_docs, live_n_docs,
+    * stale_frac, threshold, acted); built_n_docs = −1 marks an absent
+    * artifact. */
+  def maintainDerived(maxStaleFrac: Double = 0.1): DataFrame = {
+    require(maxStaleFrac > 0.0,
+      s"maxStaleFrac must be > 0, got $maxStaleFrac")
+    recover()
+    import spark.implicits._
+    val live = liveOnly(spark.read.parquet(doclensPath)).count()
+    def builtCount(name: String): Long =
+      if (fs.exists(new Path(derivedMetaPath(name))))
+        spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
+      else 0L
+    val plan = Seq(
+      ("forward", forwardPath, () => buildForward()),
+      ("fielded", fieldedPostingsPath,
+        { () => val hl = fieldedHeadLen; buildFielded(hl) }),
+      ("blockmax", blockmaxPath, () => buildBlockMax()))
+    val rows = plan.map { case (name, p, rebuild) =>
+      if (!fs.exists(new Path(p)))
+        (name, -1L, live, 0.0, maxStaleFrac, false)
+      else {
+        val built = builtCount(name)
+        val frac =
+          if (built == 0L) 1.0
+          else math.abs(live - built).toDouble / built
+        val act = frac > maxStaleFrac
+        if (act) rebuild()
+        (name, built, live,
+          BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          maxStaleFrac, act)
+      }
+    }
+    rows.toDF("artifact", "built_n_docs", "live_n_docs",
+      "stale_frac", "threshold", "acted")
   }
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
@@ -1342,6 +1406,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
           col("max_tf"), col("min_dl"))
         .write.mode("overwrite").parquet(blockmaxFilesPath)
     } finally graft.util.Pins.release(post)
+    writeDerivedMeta("blockmax")
   }
 
   /** BM25 top-k with the MaxScore cut (X211) — bit-identical results to
@@ -1584,6 +1649,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     } finally graft.util.Pins.release(live)
     Seq(headLen).toDF("head_len")
       .coalesce(1).write.mode("overwrite").parquet(s"$fieldedPath/meta")
+    writeDerivedMeta("fielded")
   }
 
   /** The headLen the fielded sidecar was built with. */
@@ -1649,6 +1715,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("dbucket", bucketCol(col("doc_id").cast(StringType), b))
       .write.mode("overwrite").partitionBy("dbucket").parquet(forwardPath)
+    writeDerivedMeta("forward")
   }
 
   /** The (doc_id, term, tf) term vectors of exactly `docIds`, read from

@@ -986,6 +986,40 @@ class InvertedIndexSuite extends AnyFunSuite {
       rows(idx.bm25(Seq("the", "alpha"), 4)))
   }
 
+  test("maintainDerived: stale sidecars rebuild, fresh ones don't, absent ones report (X235)") {
+    val dir = Files.createTempDirectory("graft_inv_mder").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.buildForward()
+    idx.buildFielded(headLen = 2)
+    def report() = idx.maintainDerived(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(5)))).toMap
+    // fresh artifacts: zero drift, nothing acts; blockmax absent
+    val fresh = report()
+    assert(fresh("forward") === ((3L, false)))
+    assert(fresh("fielded") === ((3L, false)))
+    assert(fresh("blockmax") === ((-1L, false)))
+    // append 2 docs: 2/3 drift > 0.1 -> forward + fielded rebuild and
+    // the fielded serve covers the appended docs again
+    idx.append(docsB, "doc_id", col("text"))
+    val acted = report()
+    assert(acted("forward")._2 && acted("fielded")._2)
+    assert(acted("blockmax") === ((-1L, false)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(idx.bm25fTopK(Seq("sort", "merge"), k = 10)) ===
+      rows(TextAnalysis.bm25fTopK(docsA.union(docsB), "doc_id",
+        col("text"), headLen = 2, Seq("sort", "merge"), k = 10)),
+      "the rebuilt fielded sidecar must cover the appended batch")
+    // post-rebuild: drift zero again, second run is a no-op
+    val settled = report()
+    assert(!settled("forward")._2 && !settled("fielded")._2)
+    assert(settled("forward")._1 === 5L)
+    intercept[IllegalArgumentException](idx.maintainDerived(0.0))
+  }
+
   test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
     val dir = Files.createTempDirectory("graft_inv_expl").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
