@@ -1304,6 +1304,16 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q278_percolate_point" -> ((s, d) => {
+      // X212's hot path priced on its own: ONE arriving document
+      // against the persisted 10k-alert store — the alerting serve
+      // (which saved searches fire for this doc?), where the clause
+      // read prunes to the single doc's vocabulary buckets at the
+      // file listing; q256 prices the bulk-batch shape
+      val one = t(s, d, "documents").filter(col("doc_id") === 40)
+      sharedQueryStore(s, d).percolate(one, "doc_id", col("text"))
+        .orderBy(col("query_id"))
+    }),
     "q269_qstore_lifecycle" -> ((s, d) => {
       // X212 stored-query lifecycle (the q220 pattern on the
       // percolation side): build the 10k generated store, append 100
@@ -1315,8 +1325,16 @@ object SparkEntry {
       // stays the pure serve row (the build-once/serve-many split).
       val dir = java.nio.file.Files.createTempDirectory("graft_qs_lc").toString
       val qs = new graft.sources.QueryStore(s, s"$dir/qs")
-      qs.build(generatedClauses(s, d))
-      qs.append(appendedClauses(s, d))
+      // the ranked vocabulary feeds both the build and the append
+      // fixture: pin it once instead of paying the tokenize + global
+      // window four times (count + join, twice); released after the
+      // append materializes — percolate never touches it
+      val vocab = rankedVocab(s, d).localCheckpoint(true)
+      try {
+        val v = vocab.count().toInt
+        qs.build(generatedClausesFrom(s, vocab, v))
+        qs.append(appendedClausesFrom(s, vocab, v))
+      } finally graft.util.Pins.release(vocab)
       qs.delete(s.range(0, 10000).filter(col("id") % 20 === 0)
         .select(concat(lit("q"), col("id").cast(IntegerType)).as("query_id")))
       qs.vacuum()
@@ -3297,20 +3315,22 @@ object SparkEntry {
   /** q269's appended alert batch: 100 single-must queries ('a' || i,
     * term at vocabulary stride 3i+1) — id-disjoint from the stored
     * 'q'-prefixed set, the append contract. */
-  private def appendedClauses(s: SparkSession, d: String): DataFrame = {
-    val vocab = rankedVocab(s, d)
-    val v = vocab.count().toInt
+  private def appendedClausesFrom(s: SparkSession, vocab: DataFrame,
+      v: Int): DataFrame =
     s.range(0, 100).select(col("id").cast(IntegerType).as("i"))
       .select(concat(lit("a"), col("i")).as("query_id"),
         ((col("i") * 3 + 1) % v + 1).as("rn"))
       .join(vocab, Seq("rn"))
       .select(col("query_id"), col("term"), lit("must").as("clause"))
-  }
 
   private def generatedClauses(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vocab = rankedVocab(s, d)
-    val v = vocab.count().toInt
+    generatedClausesFrom(s, vocab, vocab.count().toInt)
+  }
+
+  private def generatedClausesFrom(s: SparkSession, vocab: DataFrame,
+      v: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = s.range(0, 10000).select(col("id").cast(IntegerType).as("i"))
     def pick(pr: Int, clause: String, rn: Column) =
       g.select(concat(lit("q"), col("i")).as("query_id"),
@@ -5327,6 +5347,44 @@ object SparkEntry {
           FROM agg JOIN tot USING (query_id)
           WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
           ORDER BY query_id, doc_id""",
+    // X212 hot path: the q256 chain with a one-document batch
+    "q278_percolate_point" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+            FROM p GROUP BY term),
+          n AS (SELECT COUNT(*) AS v FROM v),
+          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
+          picks AS (
+            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
+              (i % v) + 1 AS rn FROM g, n
+            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
+          cl0 AS (SELECT query_id, v.term, clause, pr
+            FROM picks JOIN v USING (rn)),
+          cl AS (SELECT query_id, term, clause FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+                ORDER BY pr) AS rk FROM cl0)
+            WHERE rk = 1),
+          b AS (SELECT doc_id, term FROM p WHERE doc_id = 40),
+          j AS (SELECT cl.query_id, b.doc_id, cl.clause
+            FROM cl JOIN b USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(agg.n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id""",
     // the q269 oracle: the q256 generated-store chain with the
     // lifecycle applied in SQL — every 20th stored query deleted, the
     // 100 appended single-must alerts unioned in — then the same

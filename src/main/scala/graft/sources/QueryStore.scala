@@ -242,16 +242,28 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     require(maxPruneTerms >= 1, s"maxPruneTerms must be >= 1, got $maxPruneTerms")
     recover()
     val deduped = docs.dropDuplicates(idCol)
+    // batch-size shortcut: a batch with more DOCS than the term cap is
+    // overwhelmingly over-cap on vocabulary too — skip the probe's
+    // tokenize pass entirely and serve unpruned (always-correct path:
+    // the membership equi-join restricts terms either way; a
+    // tiny-vocabulary giant batch merely forgoes pruning it would not
+    // have benefited from). The count is one tokenize-free job.
+    val bigBatch = deduped.count() > maxPruneTerms
     // the vocab probe runs its own cheap tokenize pass (terms only —
     // no positions); the membership side recomputes lazily in the join,
     // so nothing pins across the call (two batch-sized passes, the
-    // documented trade)
-    val terms = deduped
-      .select(explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "").distinct()
-      .limit(maxPruneTerms + 1)
-      .collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty)
+    // documented trade). None = over-cap, serve unpruned.
+    val probed: Option[Seq[String]] =
+      if (bigBatch) None
+      else {
+        val t = deduped
+          .select(explode(TextAnalysis.tokens(text)).as("term"))
+          .filter(col("term") =!= "").distinct()
+          .limit(maxPruneTerms + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (t.size > maxPruneTerms) None else Some(t)
+      }
+    if (probed.exists(_.isEmpty))
       // doc_id keeps the BATCH id column's physical type (the layout
       // family supports non-long ids) so the degenerate empty frame
       // unions cleanly with the populated one
@@ -259,14 +271,19 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
         .select(col("query_id"),
           lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
           lit(0L).as("n_should"))
-    val membership = TextAnalysis.positionalPostings(deduped, idCol, text)
-      .select(col("doc_id"), col("term")).distinct()
+    // membership needs (doc, term) SETS only — explode without
+    // positions, so the distinct shuffles two columns, not three
+    val membership = deduped
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "").distinct()
     val totals = liveTotals.select(col("query_id"),
       col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
-    val clauseSrc =
-      if (terms.size > maxPruneTerms)
+    val clauseSrc = probed match {
+      case Some(terms) => clausesForTerms(terms)
+      case None =>
         liveClauses.select(col("query_id"), col("term"), col("clause"))
-      else clausesForTerms(terms)
+    }
     clauseSrc.join(membership, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
