@@ -1304,6 +1304,23 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q279_percentiles" -> ((s, d) => {
+      // X237 exact percentiles (ES percentiles agg, exact/type-7 form
+      // spelled relationally so both engines run the IDENTICAL
+      // interpolation): p50/p90/p99 of event value per event type
+      Sessionize.percentilesExact(events(s, d), col("event_type"),
+          col("value"), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("key"), col("p"))
+    }),
+    "q280_bucket_pipeline" -> ((s, d) => {
+      // X236 ES pipeline aggregations over a gap-filled min_doc_count=0
+      // histogram: hourly event counts with cumulative_sum, derivative
+      // and a trailing 3-bucket moving average — empty buckets zero-
+      // filled first, so the pipeline metrics never skip time
+      Sessionize.bucketPipeline(events(s, d), col("ts"),
+          widthSeconds = 3600L, movingW = 3)
+        .orderBy(col("bucket_start"))
+    }),
     "q278_percolate_point" -> ((s, d) => {
       // X212's hot path priced on its own: ONE arriving document
       // against the persisted 10k-alert store — the alerting serve
@@ -5347,6 +5364,44 @@ object SparkEntry {
           FROM agg JOIN tot USING (query_id)
           WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
           ORDER BY query_id, doc_id""",
+    // X237: identical type-7 interpolation arithmetic, spelled out
+    "q279_percentiles" ->
+      """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          r AS (SELECT key, v,
+              ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS rk FROM v),
+          c AS (SELECT key, COUNT(*) AS n FROM v GROUP BY key),
+          pp(p) AS (VALUES (0.5), (0.9), (0.99)),
+          g AS (SELECT key, n, p, CAST(n - 1 AS DOUBLE) * p AS x
+            FROM c CROSS JOIN pp),
+          g2 AS (SELECT *, CAST(FLOOR(x) AS BIGINT) AS k, x - FLOOR(x) AS f
+            FROM g),
+          j AS (SELECT g2.key, g2.p, g2.n, lo.v AS lo, hi.v AS hi, g2.f
+            FROM g2
+            JOIN r lo ON lo.key = g2.key AND lo.rk = g2.k + 1
+            LEFT JOIN r hi ON hi.key = g2.key AND hi.rk = g2.k + 2)
+          SELECT key, p, n,
+            ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
+          FROM j ORDER BY key, p""",
+    // X236: integer bucket indexes (no double rounding at boundaries),
+    // generate_series spine, the same three window metrics
+    "q280_bucket_pipeline" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS i, COUNT(*) AS n
+            FROM events GROUP BY 1),
+          mm AS (SELECT MIN(i) AS lo, MAX(i) AS hi FROM b),
+          spine AS (SELECT UNNEST(range(mm.lo, mm.hi + 1)) AS i FROM mm),
+          f AS (SELECT spine.i, COALESCE(b.n, 0) AS n
+            FROM spine LEFT JOIN b USING (i)),
+          w AS (SELECT i, n,
+              CAST(SUM(n) OVER (ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+              n - LAG(n, 1) OVER (ORDER BY i) AS derivative,
+              ROUND(AVG(n) OVER (ORDER BY i
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM f)
+          SELECT i * 3600 AS bucket_start, n, cum_n, derivative, moving_avg
+          FROM w ORDER BY bucket_start""",
     // X212 hot path: the q256 chain with a one-document batch
     "q278_percolate_point" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataTypes, DoubleType}
+import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType}
 
 /** User-session assignment over an event stream — the classic
   * gaps-and-islands operator: a new session starts when the gap to the
@@ -273,6 +273,93 @@ object Sessionize {
     * Scale shape: one map-side-combining aggregation on the key (the
     * single exchange), a broadcast scalar anchor, and a
     * TakeOrderedAndProject heap for the cut — no window, no join. */
+  /** Gap-filled date-histogram pipeline aggregations (X236 — the
+    * Elasticsearch pipeline-aggregation family over a
+    * `min_doc_count: 0` histogram): per tumbling bucket, the event
+    * count plus `cumulative_sum`, `derivative` (null for the first
+    * bucket, the ES convention) and a trailing `moving_fn` average
+    * over `movingW` buckets. EMPTY buckets are filled with zeros
+    * first (one `sequence` spine over [min, max] bucket index) —
+    * without the fill, derivative and moving averages silently skip
+    * time, the classic dashboard bug the ES option exists for.
+    *
+    * Bucket index = epoch-micros DIV width (exact integer division —
+    * no double rounding at bucket boundaries); bucket_start is unix
+    * seconds. The pipeline window is a GLOBAL window over the BUCKET
+    * SERIES — bounded by time-range/width (a dashboard's point count),
+    * the [[ohlcBuckets]] class of bounded frame, not a per-event
+    * window. */
+  def bucketPipeline(events: DataFrame, ts: Column, widthSeconds: Long,
+      movingW: Int = 3): DataFrame = {
+    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
+    require(movingW >= 1, s"movingW must be >= 1, got $movingW")
+    val wUs = widthSeconds * 1000000L
+    val b = events
+      .select(unix_micros(ts).as("__us"))
+      .select(expr(s"CAST(__us DIV ${wUs}L AS BIGINT)").as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("n"))
+    val mm = b.agg(min(col("__i")).as("__lo"), max(col("__i")).as("__hi"))
+    val spine = mm.select(explode(sequence(col("__lo"), col("__hi"))).as("__i"))
+    val filled = spine.join(b, Seq("__i"), "left").na.fill(0L, Seq("n"))
+    val w = Window.orderBy(col("__i"))
+    filled
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("derivative", col("n") - lag(col("n"), 1).over(w))
+      .withColumn("moving_avg", round(avg(col("n")).over(
+        w.rowsBetween(-(movingW - 1).toLong, Window.currentRow)), 6))
+      .select((col("__i") * widthSeconds).as("bucket_start"), col("n"),
+        col("cum_n"), col("derivative"), col("moving_avg"))
+  }
+
+  /** Exact linear-interpolated percentiles (X237 — the Elasticsearch
+    * `percentiles` aggregation in its exact form; the type-7/R-7
+    * quantile definition both engines' native functions implement,
+    * spelled RELATIONALLY here so the interpolation arithmetic is
+    * engine-identical instead of trusting two sketch/percentile
+    * implementations to agree bit-for-bit): per key and requested p,
+    * x = (n−1)·p, k = ⌊x⌋, f = x − k, value = v₍ₖ₎ + f·(v₍ₖ₊₁₎ − v₍ₖ₎)
+    * over the key's values sorted ascending (equal values make the
+    * tie order irrelevant — the picked VALUE is identical either
+    * way). Nulls are excluded, the aggregate convention.
+    *
+    * Plan shape: one per-key sort window for ranks, one per-key count,
+    * the (key × p) grid from a broadcast literal frame, and two
+    * equi-joins picking the bracketing ranks — no collect, no UDF;
+    * scales as a per-key window + k-row joins. Output:
+    * (key, p, n, value) with value round-6. */
+  def percentilesExact(df: DataFrame, key: Column, value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "no percentiles requested")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
+    require(ps.distinct.size == ps.size, s"duplicate percentile in $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(key.as("key"), value.cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = vals.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("key")).orderBy(col("__v").asc)))
+    val counts = vals.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val grid = counts.crossJoin(broadcast(ps.toDF("p")))
+      .withColumn("__x", (col("n") - 1).cast(DoubleType) * col("p"))
+      .withColumn("__k", floor(col("__x")).cast(LongType))
+      .withColumn("__f", col("__x") - col("__k").cast(DoubleType))
+    grid
+      .join(ranked.select(col("key").as("__lk"), col("__rk"),
+          col("__v").as("__plo")),
+        col("key") === col("__lk") && col("__rk") === col("__k") + 1)
+      .drop("__lk", "__rk")
+      .join(ranked.select(col("key").as("__hk"), col("__rk").as("__rk2"),
+          col("__v").as("__phi")),
+        col("key") === col("__hk") && col("__rk2") === col("__k") + 2,
+        "left")
+      .select(col("key"), col("p"), col("n"),
+        round(col("__plo") + col("__f") *
+          (coalesce(col("__phi"), col("__plo")) - col("__plo")), 6)
+          .as("value"))
+  }
+
   def decayedActivity(events: DataFrame, key: Column, ts: Column,
       value: Column, halfLifeDays: Double, k: Int): DataFrame = {
     require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")

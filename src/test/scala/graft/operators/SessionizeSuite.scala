@@ -239,6 +239,58 @@ class SessionizeSuite extends AnyFunSuite {
       Sessionize.ohlcBuckets(ev, col("u"), col("ts"), col("v"), ""))
   }
 
+  test("bucketPipeline: zero-filled gaps, derivative/cumsum/moving avg (X236)") {
+    // hours 0, 1 and 3 have events — hour 2 must appear as a ZERO
+    // bucket or the derivative across the gap lies
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:10:00")), (2L, ts("2026-01-01 00:20:00")),
+      (3L, ts("2026-01-01 01:30:00")),
+      (4L, ts("2026-01-01 03:05:00")), (5L, ts("2026-01-01 03:55:00")),
+      (6L, ts("2026-01-01 03:59:00"))
+    ).toDF("id", "ts")
+    val got = Sessionize.bucketPipeline(ev, $"ts", widthSeconds = 3600L)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (2L, 2L, None, 2.0),          // first bucket: derivative null
+      (1L, 3L, Some(-1L), 1.5),
+      (0L, 3L, Some(-1L), 1.0),     // the gap-filled empty hour
+      (3L, 6L, Some(3L), round6(4.0 / 3.0))))
+    intercept[IllegalArgumentException](
+      Sessionize.bucketPipeline(ev, $"ts", 0L))
+    intercept[IllegalArgumentException](
+      Sessionize.bucketPipeline(ev, $"ts", 3600L, 0))
+  }
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("percentilesExact: type-7 interpolation, per-key, null-excluded (X237)") {
+    // key a: values 10, 20, 30, 40 -> p50 = 25 (k=1, f=0.5),
+    // p0 = 10, p1.0 = 40 (k = n-1, hi absent -> lo)
+    val df = Seq(
+      ("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("a", Some(40.0)), ("a", None),
+      ("b", Some(5.0))
+    ).toDF("k", "v")
+    val got = Sessionize.percentilesExact(df, $"k", $"v",
+        Seq(0.0, 0.5, 1.0))
+      .orderBy($"key", $"p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("a", 0.0, 4L, 10.0), ("a", 0.5, 4L, 25.0), ("a", 1.0, 4L, 40.0),
+      ("b", 0.0, 1L, 5.0), ("b", 0.5, 1L, 5.0), ("b", 1.0, 1L, 5.0)))
+    intercept[IllegalArgumentException](
+      Sessionize.percentilesExact(df, $"k", $"v", Nil))
+    intercept[IllegalArgumentException](
+      Sessionize.percentilesExact(df, $"k", $"v", Seq(1.5)))
+    intercept[IllegalArgumentException](
+      Sessionize.percentilesExact(df, $"k", $"v", Seq(0.5, 0.5)))
+  }
+
   test("decayedActivity: weight halves per half-life, anchored at max(ts)") {
     // anchor = 2026-01-08 00:00 (user 30's event); one half-life = 1 day
     val ev = Seq(
