@@ -177,6 +177,9 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // total GC time inside timed sections, surfaced in the JSON line so
+    // the drift attribution survives past the stderr log
+    val gcTimed = new java.util.concurrent.atomic.AtomicLong
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val rt = Runtime.getRuntime
       val (heap0, gc0) = (rt.totalMemory - rt.freeMemory, gcMs())
@@ -191,6 +194,7 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       val (heap1, gc1) = (rt.totalMemory - rt.freeMemory, gcMs())
+      gcTimed.addAndGet(gc1 - gc0)
       System.err.println(f"BENCH Q $name%-28s ${dt}%8.3f s  heap ${heap0 >> 20}%5d -> ${heap1 >> 20}%5d MiB  gc ${gc1 - gc0}%5d ms")
       release(spark) // outside the timed section
       (dt, ok)
@@ -225,7 +229,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
     println(json)
     // also drop the bare line in a file: under sbt every stdout line gets an
     // "[info] " prefix, which breaks naive line-wise JSON parsing downstream

@@ -1396,6 +1396,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
       // UUID, so a REWRITTEN layout (vacuum/compact) never aliases an
       // old name: its new files are simply uncovered (no skip, sound)
       // until the next buildBlockMax re-tightens.
+      // tbucket-partitioned like the postings themselves: the sidecar
+      // is postings-scale ((term, file) pairs), so the serve-time
+      // lookup must prune at the file listing to the ESSENTIAL terms'
+      // buckets — an unpartitioned sidecar would cost a full scan per
+      // query at corpus scale
       post.groupBy(col("term"), col("tbucket"), col("__fname"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
         .join(dls, Seq("doc_id"))
@@ -1404,7 +1409,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
           min(col("dl")).cast(LongType).as("min_dl"))
         .select(col("term"), col("tbucket"), col("__fname").as("fname"),
           col("max_tf"), col("min_dl"))
-        .write.mode("overwrite").parquet(blockmaxFilesPath)
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(blockmaxFilesPath)
     } finally graft.util.Pins.release(post)
     writeDerivedMeta("blockmax")
   }
@@ -1517,7 +1523,12 @@ final class InvertedIndex(spark: SparkSession, path: String,
         val ubMap = ubs.toMap
         val ubTotal = ubs.map(_._2).sum
         val restUb = essential.map(t => t -> (ubTotal - ubMap(t))).toMap
+        val essBuckets = essential.map(bucketOf(_, readBuckets())).distinct
+        // pruned at the file listing to the essential buckets — the
+        // sidecar is postings-scale; coverage only needs the files OF
+        // those buckets (the only (bucket, fname) keys ever tested)
         val fileSidecar = spark.read.parquet(blockmaxFilesPath)
+          .filter(col("tbucket").isin(essBuckets: _*))
         val covered = fileSidecar.select(col("tbucket"), col("fname"))
           .distinct().collect()
           .map(r => (r.getInt(0), r.getString(1))).toSet
