@@ -1304,6 +1304,22 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q281_index_merge" -> ((s, d) => {
+      // X238 segment-merge at layout grain: two indexes built over
+      // disjoint corpus halves, one adopted into the other through the
+      // atomic staging protocol (source-proportional, source
+      // untouched), then BM25 served from the merged layout — q214's
+      // oracle verbatim, because merge(evens, odds) must answer
+      // exactly like build(all)
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+      val a = new graft.sources.InvertedIndex(s, s"$dir/a")
+      val bx = new graft.sources.InvertedIndex(s, s"$dir/b")
+      a.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      bx.build(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
+      a.mergeFrom(bx)
+      a.bm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
     "q279_percentiles" -> ((s, d) => {
       // X237 exact percentiles (ES percentiles agg, exact/type-7 form
       // spelled relationally so both engines run the IDENTICAL
@@ -5800,6 +5816,8 @@ object SparkEntry {
     "q213_inverted_index" -> phraseMatchSql,
     "q118_bm25" -> bm25Sql(),
     "q214_index_bm25" -> bm25Sql(),
+    // X238: merge(evens, odds) must be invisible — q214's oracle verbatim
+    "q281_index_merge" -> bm25Sql(),
     // X211 gate: the MaxScore serve must be indistinguishable from the
     // plain q214 serve — same oracle text verbatim
     "q255_maxscore_bm25" -> bm25Sql(),

@@ -257,6 +257,57 @@ final class InvertedIndex(spark: SparkSession, path: String,
     commitAppend()
   }
 
+  /** Merge ANOTHER index's corpus into this one (X238 — the Lucene
+    * segment-merge shape at layout grain): adopt the other layout's
+    * postings, doclens and census rows directory-additively through
+    * the SAME staging + marker protocol as [[append]], so the merge is
+    * atomic under crashes and batch- (i.e. source-) proportional —
+    * never a rewrite of this index. The source is read, not mutated
+    * (the non-destructive merge); its rows land as fresh files.
+    *
+    * Contracts: equal bucket counts (tbucket values carry over
+    * verbatim — a re-bucketing merge is a rebuild, not a merge); doc
+    * ids DISJOINT from this index's (the append contract — also what
+    * keeps doclens and census additive); the SOURCE must have no
+    * pending tombstones (run its vacuum first — adopting rows its
+    * reads were masking would resurrect its deletes). THIS index's
+    * tombstones stay in force unchanged. Block-max term-grain bounds
+    * for the adopted rows land BEFORE the commit marker (the
+    * [[append]] ordering — a crash between leaves bounds loose,
+    * safe); derived sidecars (forward/fielded/file-grain block-max)
+    * go stale exactly as after an append — [[maintainDerived]]'s
+    * policy covers the rebuild. */
+  def mergeFrom(other: InvertedIndex): Unit = {
+    recover()
+    other.recover()
+    val b = readBuckets()
+    require(other.readBuckets() == b,
+      s"bucket-count mismatch: this=$b source=${other.readBuckets()} — " +
+        "a re-bucketing merge is a rebuild")
+    require(!other.fs.exists(new Path(other.tombstonesPath)),
+      s"source ${other.indexPath} has pending tombstones — vacuum it first")
+    fs.delete(appendStagingPath, true)
+    val srcPostings = spark.read.parquet(other.postingsPath)
+    srcPostings
+      .write.partitionBy("tbucket")
+      .parquet(new Path(appendStagingPath, "postings").toString)
+    val srcDoclens = spark.read.parquet(other.doclensPath)
+    srcDoclens.write.parquet(new Path(appendStagingPath, "doclens").toString)
+    if (fs.exists(new Path(censusBasePath)))
+      writeCensusBase(other.vocab(),
+        new Path(appendStagingPath, "census").toString)
+    if (fs.exists(new Path(blockmaxPath)))
+      srcPostings.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .join(srcDoclens, Seq("doc_id"))
+        .groupBy(col("term"))
+        .agg(max(col("tf")).cast(LongType).as("max_tf"),
+          min(col("dl")).cast(LongType).as("min_dl"))
+        .write.mode("append").parquet(blockmaxPath)
+    fs.mkdirs(appendMarkerPath)
+    commitAppend()
+  }
+
   /** Move a fully-staged append batch into the live layout — idempotent
     * from any crash point at or after the marker write (each move
     * skips files already gone). Order: postings buckets, census, then

@@ -986,6 +986,48 @@ class InvertedIndexSuite extends AnyFunSuite {
       rows(idx.bm25(Seq("the", "alpha"), 4)))
   }
 
+  test("mergeFrom: merge ≡ build(union); source untouched; contracts enforced (X238)") {
+    val dir = Files.createTempDirectory("graft_inv_merge").toString
+    val a = new InvertedIndex(spark, s"$dir/a", buckets = 8)
+    val b = new InvertedIndex(spark, s"$dir/b", buckets = 8)
+    a.build(docsA, "doc_id", col("text"))
+    b.build(docsB, "doc_id", col("text"))
+    a.mergeFrom(b)
+    val full = new InvertedIndex(spark, s"$dir/full", buckets = 8)
+    full.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(a.bm25(Seq("sort", "merge"), 10)) ===
+      rows(full.bm25(Seq("sort", "merge"), 10)))
+    assert(phrase(a, Seq("sort", "merge")) === phrase(full, Seq("sort", "merge")))
+    assert(a.vocab().orderBy(col("term")).collect().toSeq ===
+      full.vocab().orderBy(col("term")).collect().toSeq,
+      "the adopted census rows must sum with the stored ones")
+    // the source stays fully intact (non-destructive merge)
+    assert(rows(b.bm25(Seq("sort", "merge"), 10)).nonEmpty)
+    assert(b.vocab().count() > 0)
+    // this side's tombstones stay in force across the merge
+    val c = new InvertedIndex(spark, s"$dir/c", buckets = 8)
+    c.build(docsA, "doc_id", col("text"))
+    c.delete(Seq(1L).toDF("doc_id"))
+    c.mergeFrom(b)
+    val liveUnion = docsA.filter(col("doc_id") =!= 1L).union(docsB)
+    val fullC = new InvertedIndex(spark, s"$dir/fullc", buckets = 8)
+    fullC.build(liveUnion, "doc_id", col("text"))
+    assert(rows(c.bm25(Seq("sort", "merge"), 10)) ===
+      rows(fullC.bm25(Seq("sort", "merge"), 10)))
+    // a source with pending tombstones is rejected (vacuum it first)
+    val dSrc = new InvertedIndex(spark, s"$dir/d", buckets = 8)
+    dSrc.build(docsB, "doc_id", col("text"))
+    dSrc.delete(Seq(4L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException](a.mergeFrom(dSrc))
+    assert(err.getMessage.contains("vacuum"))
+    // bucket-count mismatch is a rebuild, not a merge
+    val e = new InvertedIndex(spark, s"$dir/e", buckets = 4)
+    e.build(docsB, "doc_id", col("text"))
+    intercept[IllegalArgumentException](a.mergeFrom(e))
+  }
+
   test("maintainDerived: stale sidecars rebuild, fresh ones don't, absent ones report (X235)") {
     val dir = Files.createTempDirectory("graft_inv_mder").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
