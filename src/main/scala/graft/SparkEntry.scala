@@ -1304,6 +1304,22 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q282_multi_snippets" -> ((s, d) => {
+      // X239 multi-fragment highlighting (ES number_of_fragments=3):
+      // q218's serving shape with three non-overlapping densest
+      // windows per hit doc — greedy order is the fragment order;
+      // anchors from the pruned term buckets, text refetched once for
+      // the 20 hit docs only
+      val docs = t(s, d, "documents")
+      val idx = sharedInvIndex(s, d)
+      val terms = Seq("sort", "merge", "spark")
+      val top = idx.bm25(terms, k = 20).select(col("doc_id"))
+      TextAnalysis.snippetsMulti(
+        docs.join(top, Seq("doc_id"), "left_semi"), "doc_id", col("text"),
+        idx.termPostings(terms).join(top, Seq("doc_id"), "left_semi"),
+        terms, window = 8, nFrags = 3)
+        .orderBy(col("doc_id"), col("frag"))
+    }),
     "q281_index_merge" -> ((s, d) => {
       // X238 segment-merge at layout grain: two indexes built over
       // disjoint corpus halves, one adopted into the other through the
@@ -6010,6 +6026,45 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X239: the q218 chain with the greedy unrolled three steps —
+    // each step re-ranks the anchors surviving the overlap exclusion
+    "q282_multi_snippets" ->
+      s"""WITH topk AS (SELECT doc_id FROM (${bm25Sql()})),
+          tt AS (SELECT d.doc_id, $toksSql AS tk
+            FROM documents d JOIN topk USING (doc_id)),
+          h AS (SELECT t.doc_id, CAST(u.i AS INT) AS pos
+            FROM tt t, UNNEST(range(len(t.tk))) AS u(i)
+            WHERE t.tk[CAST(u.i + 1 AS INT)] IN ('sort', 'merge', 'spark')),
+          cand AS (SELECT a.doc_id, a.pos, COUNT(*) AS cnt
+            FROM h a JOIN h b ON b.doc_id = a.doc_id
+              AND b.pos >= a.pos AND b.pos <= a.pos + 8
+            GROUP BY 1, 2),
+          r1 AS (SELECT doc_id, pos, cnt,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, pos ASC) AS rn FROM cand),
+          s1 AS (SELECT doc_id, pos AS p1, cnt AS c1 FROM r1 WHERE rn = 1),
+          r2 AS (SELECT c.doc_id, c.pos, c.cnt,
+              ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                ORDER BY c.cnt DESC, c.pos ASC) AS rn
+            FROM cand c JOIN s1 ON s1.doc_id = c.doc_id
+            WHERE ABS(c.pos - s1.p1) > 8),
+          s2 AS (SELECT doc_id, pos AS p2, cnt AS c2 FROM r2 WHERE rn = 1),
+          r3 AS (SELECT c.doc_id, c.pos, c.cnt,
+              ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                ORDER BY c.cnt DESC, c.pos ASC) AS rn
+            FROM cand c
+            JOIN s1 ON s1.doc_id = c.doc_id
+            JOIN s2 ON s2.doc_id = c.doc_id
+            WHERE ABS(c.pos - s1.p1) > 8 AND ABS(c.pos - s2.p2) > 8),
+          s3 AS (SELECT doc_id, pos AS p3, cnt AS c3 FROM r3 WHERE rn = 1),
+          frags AS (SELECT doc_id, 1 AS frag, p1 AS pos, c1 AS cnt FROM s1
+            UNION ALL SELECT doc_id, 2, p2, c2 FROM s2
+            UNION ALL SELECT doc_id, 3, p3, c3 FROM s3)
+          SELECT f.doc_id, CAST(f.frag AS INT) AS frag,
+            CAST(f.pos AS INT) AS snippet_start, CAST(f.cnt AS INT) AS n_hits,
+            array_to_string(t.tk[f.pos + 1 : f.pos + 9], ' ') AS snippet
+          FROM frags f JOIN tt t USING (doc_id)
+          ORDER BY f.doc_id, f.frag""",
     "q218_index_snippets" ->
       // the bm25 top-20 (bm25Sql verbatim as a subquery) feeds the
       // densest-window pick: anchors = query-term hit positions, count

@@ -884,6 +884,66 @@ object TextAnalysis {
           col("snippet_start") + 1, lit(window + 1))).as("snippet"))
   }
 
+  /** Multi-fragment query-biased highlighting (X239 — the ES
+    * highlighter with `number_of_fragments` > 1): the top `nFrags`
+    * NON-OVERLAPPING densest windows per doc — the X177 single
+    * fragment, then greedily the best anchor whose window does not
+    * overlap any already-selected one (|p − pⱼ| > window), each step
+    * under the same (density desc, earliest-anchor) tie rule. Greedy
+    * order IS score order (step densities are non-increasing), so
+    * `frag` is the ES fragment ordering. Docs with fewer than nFrags
+    * disjoint hit regions emit fewer rows.
+    *
+    * Plan shape: the selection unrolls as nFrags ≤ 8 higher-order
+    * folds over the SAME per-doc hit list — still one doc-keyed
+    * exchange (the X177 shape), still no per-candidate join; the
+    * fragment unpivot is a per-row `stack`; text refetched once for
+    * the hit docs only. */
+  def snippetsMulti(docs: DataFrame, idCol: String, text: Column,
+      index: DataFrame, terms: Seq[String], window: Int,
+      nFrags: Int): DataFrame = {
+    require(terms.nonEmpty, "no query terms")
+    require(terms.forall(_.nonEmpty), s"empty term in $terms")
+    require(terms.distinct.size == terms.size, s"duplicate term in $terms")
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(nFrags >= 1 && nFrags <= 8,
+      s"nFrags must be in [1, 8], got $nFrags")
+    val hits = index.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__hits"))
+    var cur = hits
+    for (i <- 0 until nFrags) {
+      val prior = (0 until i).map(j => col(s"__p$j"))
+      cur = cur.withColumn(s"__b$i",
+        aggregate(col("__hits"),
+          struct(lit(0).as("cnt"), lit(-1).as("p")),
+          (acc, p) => {
+            // a failed earlier step (p = -1) excludes nothing — later
+            // steps are vacuous then anyway (the candidate set only
+            // shrinks), but the guard keeps the predicate honest
+            val ok = prior.foldLeft(lit(true))((a, pj) =>
+              a && (pj < 0 || abs(p - pj) > window))
+            val c = size(filter(col("__hits"),
+              q => q >= p && q <= p + window))
+            when(ok && c > acc.getField("cnt"),
+              struct(c.as("cnt"), p.as("p"))).otherwise(acc)
+          }))
+        .withColumn(s"__p$i", col(s"__b$i.p"))
+        .withColumn(s"__c$i", col(s"__b$i.cnt"))
+    }
+    val stackSql = s"stack($nFrags, " + (0 until nFrags)
+      .map(i => s"${i + 1}, __p$i, __c$i").mkString(", ") +
+      ") AS (frag, snippet_start, n_hits)"
+    cur.select(col("doc_id"), expr(stackSql))
+      .filter(col("snippet_start") >= 0)
+      .join(docs.select(col(idCol).as("doc_id"), tokens(text).as("__tk")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("frag"), col("snippet_start"),
+        col("n_hits"),
+        concat_ws(" ", slice(col("__tk"),
+          col("snippet_start") + 1, lit(window + 1))).as("snippet"))
+  }
+
   /** Fuzzy term suggestions (X183) — the "did you mean" leg of a search
     * stack: for each (lowercased) query term, the corpus vocabulary
     * terms within Levenshtein distance 1, ranked (dist ASC, df DESC,

@@ -886,6 +886,32 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(out.length === 2, "docs with no hits emit nothing")
   }
 
+  test("snippetsMulti: greedy non-overlapping fragments in score order (X239)") {
+    // hits at 0,1,2 / 5,6 / 10 with window 2: fragments (0,3), (5,2),
+    // (10,1) in exactly that greedy order
+    val docs = Seq(
+      (1L, "a a a b b a a b b b a"),
+      (2L, "b b a b b")  // one hit region -> one fragment
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    def rows(n: Int) = TextAnalysis.snippetsMulti(docs, "doc_id",
+        col("text"), idx, Seq("a"), window = 2, nFrags = n)
+      .orderBy(col("doc_id"), col("frag")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSeq
+    assert(rows(3) === Seq(
+      (1L, 1, 0, 3, "a a a"),
+      (1L, 2, 5, 2, "a a b"),
+      (1L, 3, 10, 1, "a"),
+      (2L, 1, 2, 1, "a b b")))
+    // nFrags cuts; frag 1 equals the X177 single-snippet pick
+    assert(rows(1).map(t => (t._1, t._3, t._4)) === Seq((1L, 0, 3), (2L, 2, 1)))
+    intercept[IllegalArgumentException](TextAnalysis.snippetsMulti(
+      docs, "doc_id", col("text"), idx, Seq("a"), 2, 0))
+    intercept[IllegalArgumentException](TextAnalysis.snippetsMulti(
+      docs, "doc_id", col("text"), idx, Seq("a", "a"), 2, 2))
+  }
+
   test("snippets: end-of-doc windows clip; only passed docs are served (refetch discipline)") {
     val docs = Seq((1L, "filler words then sort"), (2L, "sort merge"))
       .toDF("doc_id", "text")
