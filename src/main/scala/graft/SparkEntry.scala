@@ -1304,6 +1304,15 @@ object SparkEntry {
       sharedQueryStore(s, d).percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))
     }),
+    "q283_phrase_prefix" -> ((s, d) => {
+      // X240 match_phrase_prefix (the search-box query): 'sort'
+      // immediately followed by a token starting 'mer' — the prefix
+      // expands from its tprefix census partition (pruned at the file
+      // listing), positions from the pruned buckets, text never read
+      sharedInvIndex(s, d)
+        .phrasePrefixSearch(Seq("sort"), "mer", maxExpansions = 10)
+        .orderBy(col("doc_id"))
+    }),
     "q282_multi_snippets" -> ((s, d) => {
       // X239 multi-fragment highlighting (ES number_of_fragments=3):
       // q218's serving shape with three non-overlapping densest
@@ -6026,6 +6035,25 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X240: census-ranked prefix expansion + the position walk
+    "q283_phrase_prefix" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          pw AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+              tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          exp AS (SELECT term FROM (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM pw GROUP BY 1)
+            WHERE term LIKE 'mer%'
+            ORDER BY df DESC, term ASC LIMIT 10),
+          lastp AS (SELECT doc_id, pos - 1 AS pos FROM pw
+            WHERE term IN (SELECT term FROM exp)),
+          s0 AS (SELECT doc_id, pos FROM pw WHERE term = 'sort'),
+          m AS (SELECT l.doc_id, l.pos FROM lastp l
+            JOIN s0 ON s0.doc_id = l.doc_id AND s0.pos = l.pos
+            WHERE l.pos >= 0)
+          SELECT doc_id, COUNT(*) AS n_matches FROM m
+          GROUP BY doc_id ORDER BY doc_id""",
     // X239: the q218 chain with the greedy unrolled three steps —
     // each step re-ranks the anchors surviving the overlap exclusion
     "q282_multi_snippets" ->

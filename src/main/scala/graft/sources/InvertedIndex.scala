@@ -1952,6 +1952,51 @@ final class InvertedIndex(spark: SparkSession, path: String,
     matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Match-phrase-prefix (X240 — the Elasticsearch
+    * `match_phrase_prefix` query, THE search-box query: "the user has
+    * typed `sort mer` and expects `sort merge` matches before
+    * finishing the word"): the fixed `phrase` slots must sit adjacent,
+    * and the FINAL slot matches any term starting with `prefix`. The
+    * prefix expands against the census restricted to its first
+    * character's `tprefix=` partition (X226 — pruned at the file
+    * listing), capped at `maxExpansions` by (df desc, term asc) —
+    * Lucene's expansion bound. An empty `phrase` degrades to a pure
+    * prefix membership count (the single-token search-box state).
+    *
+    * Plan shape: one pruned census read for the expansion (bounded
+    * collect), one pruned bucket read of phrase ∪ expansion, the
+    * X74-style adjacency equi-joins anchored at the EXPANSION slot
+    * (bounded by the expanded terms' postings, usually the selective
+    * side); emits (doc_id, n_matches) — matches counted at distinct
+    * anchor positions. */
+  def phrasePrefixSearch(phrase: Seq[String], prefix: String,
+      maxExpansions: Int = 50): DataFrame = {
+    require(phrase.forall(_.nonEmpty), s"empty term in $phrase")
+    require(prefix.nonEmpty, "empty prefix")
+    require(maxExpansions >= 1 && maxExpansions <= 1024,
+      s"maxExpansions must be in [1, 1024], got $maxExpansions")
+    val expanded = vocabForPrefixes(Seq(prefix))
+      .filter(col("term").startsWith(prefix))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    val emptyOut = spark.read.parquet(doclensPath).limit(0)
+      .select(col("doc_id"), lit(0L).as("n_matches"))
+    if (expanded.isEmpty) return emptyOut
+    val slice = termPostings((phrase ++ expanded).distinct)
+    // anchor = the position of the FIRST phrase slot; the expansion
+    // slot sits at offset |phrase|
+    val last = slice.filter(col("term").isin(expanded: _*))
+      .select(col("doc_id"), (col("pos") - phrase.size).as("pos"))
+    val matched = phrase.zipWithIndex.foldLeft(last) { case (acc, (t, i)) =>
+      acc.join(slice.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+    matched.filter(col("pos") >= 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Pseudo-relevance feedback expansion (X207; the Rocchio/RM3 family
     * — Lavrenko & Croft SIGIR '01 made it the standard second pass):
     * run the query, harvest the top `fbDocs` hits' term vectors from

@@ -986,6 +986,33 @@ class InvertedIndexSuite extends AnyFunSuite {
       rows(idx.bm25(Seq("the", "alpha"), 4)))
   }
 
+  test("phrasePrefixSearch: adjacency + census-ranked expansion; empty-phrase degenerates (X240)") {
+    val dir = Files.createTempDirectory("graft_inv_ppfx").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 'sort' followed by a 'mer'-prefixed token: docs 2 and 4 only
+    // (doc 1 has 'merge sort', the wrong order)
+    assert(rows(idx.phrasePrefixSearch(Seq("sort"), "mer")) ===
+      Seq((2L, 1L), (4L, 1L)))
+    // empty fixed phrase = pure prefix membership count
+    assert(rows(idx.phrasePrefixSearch(Nil, "mer")) ===
+      Seq((1L, 1L), (2L, 1L), (4L, 1L)))
+    // an expansion-less prefix matches nothing
+    assert(idx.phrasePrefixSearch(Seq("sort"), "zzz").count() === 0L)
+    // maxExpansions = 1 keeps only the highest-df expansion
+    assert(rows(idx.phrasePrefixSearch(Nil, "s", maxExpansions = 1))
+      .nonEmpty)
+    intercept[IllegalArgumentException](
+      idx.phrasePrefixSearch(Seq(""), "mer"))
+    intercept[IllegalArgumentException](
+      idx.phrasePrefixSearch(Seq("sort"), ""))
+    intercept[IllegalArgumentException](
+      idx.phrasePrefixSearch(Seq("sort"), "mer", 0))
+  }
+
   test("mergeFrom: merge ≡ build(union); source untouched; contracts enforced (X238)") {
     val dir = Files.createTempDirectory("graft_inv_merge").toString
     val a = new InvertedIndex(spark, s"$dir/a", buckets = 8)
