@@ -294,12 +294,24 @@ object Sessionize {
     require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
     require(movingW >= 1, s"movingW must be >= 1, got $movingW")
     val wUs = widthSeconds * 1000000L
+    val spark = events.sparkSession
     val b = events
       .select(unix_micros(ts).as("__us"))
       .select(expr(s"CAST(__us DIV ${wUs}L AS BIGINT)").as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("n"))
-    val mm = b.agg(min(col("__i")).as("__lo"), max(col("__i")).as("__hi"))
-    val spine = mm.select(explode(sequence(col("__lo"), col("__hi"))).as("__i"))
+    // the spine comes from spark.range over a one-row (min, max)
+    // collect (the bounded scalar anchor) — a DISTRIBUTED spine, where
+    // a sequence()-array spine would build the whole series as one
+    // row (a decade of 1-second buckets = a 300M-element array)
+    val mmRow = b.agg(min(col("__i")).as("__lo"), max(col("__i")).as("__hi"))
+      .head()
+    if (mmRow.isNullAt(0))
+      return spark.range(0).select(
+        col("id").as("bucket_start"), lit(0L).as("n"), lit(0L).as("cum_n"),
+        lit(null).cast(LongType).as("derivative"),
+        lit(0.0).as("moving_avg"))
+    val spine = spark.range(mmRow.getLong(0), mmRow.getLong(1) + 1)
+      .select(col("id").as("__i"))
     val filled = spine.join(b, Seq("__i"), "left").na.fill(0L, Seq("n"))
     val w = Window.orderBy(col("__i"))
     filled
@@ -345,15 +357,18 @@ object Sessionize {
       .withColumn("__x", (col("n") - 1).cast(DoubleType) * col("p"))
       .withColumn("__k", floor(col("__x")).cast(LongType))
       .withColumn("__f", col("__x") - col("__k").cast(DoubleType))
+    // BOTH bracketing ranks from ONE join over the ranked frame (the
+    // sort window evaluates once, not once per bracket): a row matches
+    // when its rank is k+1 or k+2, and a conditional aggregate splits
+    // lo from hi — hi absent at the k = n−1 edge (f = 0 there)
     grid
-      .join(ranked.select(col("key").as("__lk"), col("__rk"),
-          col("__v").as("__plo")),
-        col("key") === col("__lk") && col("__rk") === col("__k") + 1)
-      .drop("__lk", "__rk")
-      .join(ranked.select(col("key").as("__hk"), col("__rk").as("__rk2"),
-          col("__v").as("__phi")),
-        col("key") === col("__hk") && col("__rk2") === col("__k") + 2,
-        "left")
+      .join(ranked.select(col("key").as("__rkk"), col("__rk"),
+          col("__v")),
+        col("key") === col("__rkk") &&
+          (col("__rk") === col("__k") + 1 || col("__rk") === col("__k") + 2))
+      .groupBy(col("key"), col("p"), col("n"), col("__k"), col("__f"))
+      .agg(max(when(col("__rk") === col("__k") + 1, col("__v"))).as("__plo"),
+        max(when(col("__rk") === col("__k") + 2, col("__v"))).as("__phi"))
       .select(col("key"), col("p"), col("n"),
         round(col("__plo") + col("__f") *
           (coalesce(col("__phi"), col("__plo")) - col("__plo")), 6)
