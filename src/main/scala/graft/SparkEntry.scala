@@ -1745,6 +1745,22 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q284_composite_agg" -> ((s, d) => {
+      // X241 composite aggregation (the ES `composite` agg — THE
+      // scalable way to page over ALL buckets of a high-cardinality
+      // aggregation, where `terms` top-N cannot): (lang, source)
+      // bucket counts under the composite key order, one page of 10
+      // strictly after a cursor — keyset pagination (X179) applied to
+      // the AGGREGATED frame, which is exactly what ES's after_key
+      // protocol is; the oracle is the OFFSET equivalence
+      val buckets = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("doc_count"))
+      val keys = Seq(("lang", true), ("source", true))
+      val last = Paging.keysetPage(buckets, keys, None, 5).collect().last
+      Paging.keysetPage(buckets, keys,
+        Some(Seq(last.getString(0), last.getString(1))), 10)
+    }),
     "q219_keyset_page" -> ((s, d) => {
       // X179 keyset pagination ≡ OFFSET under a total order: take the
       // 100th row of documents ordered by (source, doc_id) as the
@@ -6035,6 +6051,11 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X241: the composite-agg page after the 5th bucket = buckets 6-15
+    // of the total (lang, source) bucket order
+    "q284_composite_agg" ->
+      """SELECT lang, source, COUNT(*) AS doc_count FROM documents
+         GROUP BY lang, source ORDER BY lang, source LIMIT 10 OFFSET 5""",
     // X240: census-ranked prefix expansion + the position walk
     "q283_phrase_prefix" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
