@@ -1745,6 +1745,35 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q286_extended_stats" -> ((s, d) => {
+      // X243 extended_stats (ES): the one-pass count/min/max/sum/avg/
+      // variance/std panel per event type — population variance from
+      // exact decimal power sums, order-free so any cluster layout
+      // reproduces the same bits
+      CorpusStats.extendedStats(events(s, d), col("event_type"),
+          col("value"))
+        .orderBy(col("key"))
+    }),
+    "q285_rescore_window" -> ((s, d) => {
+      // X242 rescore window (ES rescore — the sparse-retrieve →
+      // dense-rerank two-stage serve): the full BM25 ranking's top-30
+      // recombined as 1·bm25 + 2·cosine-to-query, everything below
+      // the window untouched, final order over the totals — a weakly
+      // rescored doc can sink below unrescored ones, exactly why
+      // window_size is a tuning knob
+      val idx = sharedInvIndex(s, d)
+      val embs = t(s, d, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qMag = SearchEngine.magnitudeOf(qv)
+      val res = embs.select(col("vec_id").as("doc_id"),
+        (vecDot(col("embedding"), lit(qv).cast(ArrayType(FloatType))) /
+          (vecMagnitude(col("embedding")) * lit(qMag) +
+            lit(graft.functions.VectorFunctions.CosineEps))).as("rscore"))
+      SearchEngine.rescoreWindow(
+        idx.bm25Ranked(Seq("sort", "merge", "spark")), res,
+        windowSize = 30, k = 20, wq = 1.0, wr = 2.0)
+    }),
     "q284_composite_agg" -> ((s, d) => {
       // X241 composite aggregation (the ES `composite` agg — THE
       // scalable way to page over ALL buckets of a high-cardinality
@@ -6051,6 +6080,56 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X243: the identical decimal power sums and E[x2] - E[x]2 shape
+    "q286_extended_stats" ->
+      """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          a AS (SELECT key, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,
+              SUM(CAST(v AS DECIMAL(28, 8))) AS sx,
+              SUM(CAST(v * v AS DECIMAL(28, 8))) AS sxx
+            FROM v GROUP BY key),
+          b AS (SELECT key, n, mn, mx, sx,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg,
+              GREATEST(0.0, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS variance
+            FROM a)
+          SELECT key, n, ROUND(mn, 6) AS min, ROUND(mx, 6) AS max,
+            ROUND(CAST(sx AS DOUBLE), 6) AS sum_value,
+            ROUND(avg, 6) AS avg, ROUND(variance, 6) AS variance,
+            ROUND(SQRT(variance), 6) AS std
+          FROM b ORDER BY key""",
+    // X242: the window membership from the original total order, the
+    // cosine leg the mmrSql kernel arithmetic, Scala-printed weights
+    "q285_rescore_window" -> {
+      val (wq, wr) = (1.0.toString, 2.0.toString)
+      s"""WITH h AS MATERIALIZED (${bm25SqlOver(Seq("sort", "merge", "spark"),
+            "documents", toksSql, topN = 1000000000)}),
+          q AS (SELECT embedding AS qv,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+              FROM unnest(embedding) AS t(y))) AS qmag
+            FROM embeddings WHERE vec_id = 0),
+          cos AS (SELECT e.vec_id AS doc_id,
+              (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+               FROM q, LATERAL (SELECT unnest(e.embedding) AS x,
+                 unnest(q.qv) AS y) z) /
+              (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM unnest(e.embedding) AS t(x)))
+               * (SELECT qmag FROM q) + 1e-12) AS rscore
+            FROM embeddings e),
+          win AS (SELECT doc_id, score FROM h
+            ORDER BY score DESC, doc_id ASC LIMIT 30),
+          wrw AS (SELECT w.doc_id, w.score, TRUE AS rescored,
+              CAST($wq AS DOUBLE) * w.score
+                + CAST($wr AS DOUBLE) * COALESCE(c.rscore, 0.0) AS total
+            FROM win w LEFT JOIN cos c USING (doc_id)),
+          bl AS (SELECT h.doc_id, h.score, FALSE AS rescored,
+              h.score AS total
+            FROM h WHERE h.doc_id NOT IN (SELECT doc_id FROM win)),
+          u AS (SELECT * FROM wrw UNION ALL SELECT * FROM bl)
+          SELECT doc_id, score, rescored, ROUND(total, 6) AS total
+          FROM u ORDER BY total DESC, doc_id ASC LIMIT 20"""
+    },
     // X241: the composite-agg page after the 5th bucket = buckets 6-15
     // of the total (lang, source) bucket order
     "q284_composite_agg" ->

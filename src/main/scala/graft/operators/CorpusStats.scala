@@ -235,6 +235,35 @@ object CorpusStats {
         round(element_at(col("__q"), 3).cast(DoubleType), 6).as("p95"))
   }
 
+  /** Extended statistics (X243 — the Elasticsearch `extended_stats`
+    * aggregation): count/min/max/sum/avg/POPULATION variance/std per
+    * key, in ONE map-side-combining aggregate — the monitoring-panel
+    * summary next to [[lengthStats]]' percentile view. Variance =
+    * E[x²] − E[x]² from EXACT DECIMAL power sums (order-free
+    * addition, so a shuffled cluster and a single thread agree
+    * bit-for-bit), clamped at 0 against float cancellation; nulls
+    * excluded; round-6 outputs. */
+  def extendedStats(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(28, 8)
+    val v = value.cast(DoubleType)
+    val agg = df.select(key.as("key"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("min"), max(col("__v")).as("max"),
+        sum(col("__v").cast(dec)).as("__sx"),
+        sum((col("__v") * col("__v")).cast(dec)).as("__sxx"))
+    val avg = col("__sx").cast(DoubleType) / col("n").cast(DoubleType)
+    val variance = greatest(lit(0.0),
+      col("__sxx").cast(DoubleType) / col("n").cast(DoubleType) - avg * avg)
+    agg.select(col("key"), col("n"),
+      round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+      round(col("__sx").cast(DoubleType), 6).as("sum_value"),
+      round(avg, 6).as("avg"),
+      round(variance, 6).as("variance"),
+      round(sqrt(variance), 6).as("std"))
+  }
+
   /** Vocabulary coverage curve (X97): the fraction of total token MASS
     * the top-N most frequent types cover, for a ladder of N — the
     * tokenizer-sizing table (how big must the vocab be before <1% of

@@ -328,6 +328,45 @@ object SearchEngine {
         col("score"), col("n_group"), col("inner_ids"))
   }
 
+  /** Rescore window (X242 — the Elasticsearch `rescore` contract, the
+    * standard two-stage serving pattern: cheap sparse retrieval ranks
+    * everything, an expensive signal re-scores only the TOP
+    * `windowSize`): docs inside the window combine as
+    * `wq·score + wr·rescore` (a window doc missing from the rescore
+    * leg keeps wq·score — the ES query-weight-only behavior); docs
+    * BELOW the window keep their original score untouched; the final
+    * order sorts the combined totals, so a weak rescored doc can sink
+    * below unrescored ones — exactly ES's semantics, which is why
+    * windowSize matters. The window membership is decided by the
+    * ORIGINAL ranking's total order (score desc, doc_id asc).
+    *
+    * Plan shape: one bounded-window rank (TakeOrderedAndProject-class
+    * cut), one left join against the rescore leg restricted to the
+    * window, a per-row map, and the final top-k heap. Output:
+    * (doc_id, score, rescored, total) round-6, cut to k. */
+  def rescoreWindow(hits: DataFrame, rescores: DataFrame, windowSize: Int,
+      k: Int, wq: Double = 1.0, wr: Double = 1.0): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val window = hits.select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(windowSize)
+      .join(rescores.select(col("doc_id"), col("rscore")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"), lit(true).as("rescored"),
+        (lit(wq) * col("score") +
+          lit(wr) * coalesce(col("rscore"), lit(0.0))).as("__total"))
+    val below = hits.select(col("doc_id"), col("score"))
+      .join(window.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("score"), lit(false).as("rescored"),
+        col("score").as("__total"))
+    window.unionAll(below)
+      .orderBy(col("__total").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"), col("rescored"),
+        round(col("__total"), 6).as("total"))
+  }
+
   /** Disjunction-max fusion (X230 — Lucene `DisjunctionMaxQuery` / the
     * ES `dis_max` compound): per document, the combined score is the
     * BEST leg's score plus `tieBreaker` times the other legs' sum —

@@ -9,6 +9,23 @@ class CorpusStatsSuite extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("extendedStats: hand-computed population variance; nulls excluded (X243)") {
+    // key a: 2, 4, 6 -> n=3, sum=12, avg=4, var=((4+0+4)/3)=8/3, std=sqrt
+    val df = Seq(("a", Some(2.0)), ("a", Some(4.0)), ("a", Some(6.0)),
+      ("a", None), ("b", Some(5.0))).toDF("k", "v")
+    val got = CorpusStats.extendedStats(df, $"k", $"v")
+      .orderBy($"key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      ("a", 3L, 2.0, 6.0, 12.0, 4.0, r6(8.0 / 3.0), r6(math.sqrt(
+        (56.0 / 3.0) - 16.0))),
+      ("b", 1L, 5.0, 5.0, 5.0, 5.0, 0.0, 0.0)))
+  }
+
   test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
     // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")

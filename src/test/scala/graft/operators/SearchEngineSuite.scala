@@ -243,6 +243,28 @@ class SearchEngineSuite extends AnyFunSuite {
       s"the group cut must compile to a top-k heap:\n$plan")
   }
 
+  test("rescoreWindow: window recombines, below-window untouched, weak rescore sinks (X242)") {
+    import spark.implicits._
+    val hits = Seq((1L, 4.0), (2L, 3.0), (3L, 2.0), (4L, 1.0))
+      .toDF("doc_id", "score")
+    val res = Seq((2L, 10.0), (4L, 99.0)).toDF("doc_id", "rscore")
+    def got(r: org.apache.spark.sql.DataFrame) =
+      SearchEngine.rescoreWindow(hits, r, windowSize = 2, k = 10)
+        .collect().map(x => (x.getLong(0), x.getBoolean(2), x.getDouble(3))).toSeq
+    // window = docs 1, 2; doc 4's rescore is OUTSIDE the window and
+    // must not apply; doc 1 has no rescore -> keeps wq*score
+    assert(got(res) === Seq((2L, true, 13.0), (1L, true, 4.0),
+      (3L, false, 2.0), (4L, false, 1.0)))
+    // a negative rescore sinks a window doc below unrescored ones
+    val neg = Seq((2L, -5.0)).toDF("doc_id", "rscore")
+    assert(got(neg) === Seq((1L, true, 4.0), (3L, false, 2.0),
+      (4L, false, 1.0), (2L, true, -2.0)))
+    intercept[IllegalArgumentException](
+      SearchEngine.rescoreWindow(hits, res, 0, 5))
+    intercept[IllegalArgumentException](
+      SearchEngine.rescoreWindow(hits, res, 2, 0))
+  }
+
   test("disMax: best leg wins, tieBreaker credits corroboration, tie=0 is pure max (X230)") {
     import spark.implicits._
     // doc 1: one strong match (5.0); doc 2: two weak matches (3.0, 3.0)
