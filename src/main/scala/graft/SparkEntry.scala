@@ -1745,6 +1745,16 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q287_mlt_multi" -> ((s, d) => {
+      // X244 multi-seed more-like-this (ES more_like_this with a like
+      // LIST): the q214 top-2 docs' forward vectors sum into one
+      // aggregate query vector, topTerms select by round-6 sum-tf·idf,
+      // both seeds excluded — "related to this reading session"
+      val idx = sharedInvIndex(s, d)
+      val seeds = idx.bm25(Seq("sort", "merge", "spark"), k = 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+      idx.moreLikeThese(seeds, k = 10, topTerms = 10)
+    }),
     "q286_extended_stats" -> ((s, d) => {
       // X243 extended_stats (ES): the one-pass count/min/max/sum/avg/
       // variance/std panel per event type — population variance from
@@ -6080,6 +6090,44 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X244: seed vectors summed, the q257 MLT tail over the top-2 cut
+    "q287_mlt_multi" -> {
+      val (mltT, mltK) = (10, 10)
+      s"""WITH seeds AS MATERIALIZED (SELECT doc_id FROM
+            (${bm25SqlOver(Seq("sort", "merge", "spark"), "documents",
+              toksSql, topN = 2)}) AS s0),
+          pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+          seedtf AS (SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM pd JOIN seeds USING (doc_id), UNNEST(tk) AS u(t)
+            GROUP BY 1),
+          alldf AS (SELECT u.t AS term, COUNT(DISTINCT doc_id) AS df
+            FROM pd, UNNEST(tk) AS u(t) GROUP BY 1),
+          msel AS (SELECT term FROM (
+              SELECT s2.term,
+                ROUND(CAST(s2.tf AS DOUBLE)
+                  * LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(a.df AS DOUBLE) + 0.5)
+                       / (CAST(a.df AS DOUBLE) + 0.5)), 6) AS w
+              FROM seedtf s2 JOIN alldf a USING (term) CROSS JOIN st)
+            ORDER BY w DESC, term ASC LIMIT $mltT),
+          mtfs AS (SELECT pd.doc_id, pd.dl, msel.term,
+              CAST(len(list_filter(pd.tk, x -> x = msel.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN msel),
+          mdfs AS (SELECT term, COUNT(CASE WHEN tf > 0 THEN 1 END) AS df
+            FROM mtfs GROUP BY 1),
+          mpart AS (SELECT mtfs.doc_id, ${serpPp("mtfs", "mdfs")} AS pp
+            FROM mtfs JOIN mdfs USING (term) CROSS JOIN st),
+          msc AS (SELECT doc_id, SUM(pp) AS score FROM mpart GROUP BY 1)
+          SELECT m.doc_id, pd.dl, ROUND(m.score, 6) AS score
+          FROM msc m JOIN pd USING (doc_id)
+          WHERE m.score > 0
+            AND m.doc_id NOT IN (SELECT doc_id FROM seeds)
+          ORDER BY m.score DESC, m.doc_id ASC LIMIT $mltK"""
+    },
     // X243: the identical decimal power sums and E[x2] - E[x]2 shape
     "q286_extended_stats" ->
       """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v

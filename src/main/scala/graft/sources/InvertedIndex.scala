@@ -1806,11 +1806,30 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * related-documents surface costs a point lookup plus one ranked
     * query, text never read. */
   def moreLikeThis(docId: Long, k: Int, topTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    moreLikeThese(Seq(docId), k, topTerms, k1, b)
+
+  /** Multi-seed more-like-this (X244 — the ES `more_like_this` with a
+    * `like` LIST: "find documents like THESE", the related-content
+    * rail seeded by a whole reading session / result cluster instead
+    * of one doc): the seed docs' forward term vectors SUM into one
+    * aggregate vector (the ES behavior — the query is built from the
+    * union of the like-texts), the `topTerms` most distinctive terms
+    * select by round-6 Σtf·idf exactly as the single-seed X206 path
+    * (which is the singleton case of this — the two share this code),
+    * and every seed is excluded from the ranking via the scored-row
+    * gate. I/O: one pruned forward fetch of |seeds| dbuckets, one
+    * census lookup, one pruned [[bm25]]-class serve. */
+  def moreLikeThese(docIds: Seq[Long], k: Int, topTerms: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(docIds.nonEmpty, "need at least one seed doc id")
+    require(docIds.distinct.size == docIds.size,
+      s"duplicate seed id in $docIds")
     require(k > 0, s"k must be positive, got $k")
     require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
     val n = liveOnly(spark.read.parquet(doclensPath)).count()
-    val seed = docTerms(Seq(docId))
+    val seed = docTerms(docIds)
+      .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("tf"))
       .join(vocab().withColumnRenamed("df", "__df"), Seq("term"), "left")
       .na.fill(0L, Seq("__df"))
     val idf = log(lit(1.0) +
@@ -1824,7 +1843,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     if (terms.isEmpty) return emptyBm25Frame()
     val (perDoc, _) = bm25PerDoc(terms, msm = 1)
     TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b,
-      gate = col("doc_id") =!= docId)
+      gate = !col("doc_id").isin(docIds: _*))
   }
 
   /** Score explanation (X232 — the Elasticsearch `_explain` API

@@ -790,6 +790,18 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(!mlt.contains(3L) && !mlt.contains(5L))
     intercept[IllegalArgumentException](idx.docTerms(Nil))
     intercept[IllegalArgumentException](idx.moreLikeThis(1L, k = 0))
+    // multi-seed MLT (X244): singleton ≡ the single-seed path; with
+    // BOTH seeds every seed is excluded and shared-term docs rank
+    assert(idx.moreLikeThese(Seq(1L), k = 5).collect().toSeq ===
+      idx.moreLikeThis(1L, k = 5).collect().toSeq,
+      "single-seed must be the singleton case of the multi-seed path")
+    val multi = idx.moreLikeThese(Seq(1L, 2L), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!multi.contains(1L) && !multi.contains(2L),
+      "every seed must be excluded")
+    assert(multi.contains(4L), s"the sort/merge doc should rank: $multi")
+    intercept[IllegalArgumentException](idx.moreLikeThese(Nil, 5))
+    intercept[IllegalArgumentException](idx.moreLikeThese(Seq(1L, 1L), 5))
   }
 
   test("PRF expansion: new terms only, fbTerms=0 degenerates to plain bm25 (X207)") {
