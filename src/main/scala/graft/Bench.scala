@@ -133,17 +133,6 @@ object Bench {
     try SparkEntry.prebuildLayouts(spark, sfDir)
     catch { case t: Throwable =>
       System.err.println(s"BENCH WARN prebuild failed: $t") }
-    // first-run-heavy classes (round-15: >3x min-max spread at
-    // n_runs=2): one UNTIMED pass through the multimodal decode queries
-    // (codec/task-thread state beyond the driver-side ImageIO warmup
-    // above) and one ivfpq-delete walk (first-touch of the PQ
-    // maintenance code paths) so pass 1 is not their cold run.
-    Seq("q85_image_roundtrip", "q87_video_frames", "q127_gif_frames",
-        "q177_ivfpq_delete").foreach { n =>
-      try SparkEntry.queries.get(n).foreach(fn => force(fn(spark, sfDir)))
-      catch { case t: Throwable =>
-        System.err.println(s"BENCH WARN warmup $n failed: $t") }
-    }
     release(spark)
     // SPARK_GRAFT_ONLY=q54_minhash_pairs,q55_ivf_assign limits the run (dev loop)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -151,11 +140,39 @@ object Bench {
       SparkEntry.queries.filter { case (k, _) => names(k) })
     // Host noise swings identical-code timings up to ~2x run-to-run (q66
     // measured 1.03s vs 2.24s across rounds with zero engine change), so the
-    // headline per-query number is the MIN over SPARK_GRAFT_RUNS full passes
+    // headline per-query number is the MIN over SPARK_GRAFT_RUNS timed runs
     // (default 2; set 1 for the dev loop) — the min is the least-noise
     // estimate of the plan's true cost. Raw per-run timings are kept in
     // "runs" so regressions can still be told from variance.
     val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
+    // Run-spread discipline (methodology "warmall+paired", noted in the
+    // JSON so cross-round comparisons can account for it). Two sources of
+    // the >3x min-max spreads earlier rounds measured:
+    //  (1) COLD FIRST RUNS — per-class codegen/JIT/codec state the four
+    //      hardcoded warmup names never fully covered (and could silently
+    //      drift from the registry). Fix: one UNTIMED pass over EVERY
+    //      selected query, so run 1 is never a query's cold run.
+    //  (2) CROSS-PASS DRIFT — pass 1 and pass 2 of a query ran minutes
+    //      apart in very different JVM/host states (round-16: q85
+    //      0.4s/11.7s with only 4s of timed GC — not collection, ambient
+    //      drift). Fix: a query's timed runs are BACK-TO-BACK, so its
+    //      samples share heap/page-cache/host state and min-of-n compares
+    //      like against like.
+    // The full warm pass costs one extra sum-of-queries of untimed wall,
+    // so the single-pass dev loop (SPARK_GRAFT_RUNS=1) skips it.
+    val warmAll = nRuns >= 2
+    if (warmAll) {
+      settle(spark, "warm pass start")
+      selected.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH WARN warmup $name failed: $t") }
+        System.err.println(
+          f"BENCH WARM $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        release(spark)
+      }
+    }
     // Lifecycle/maintenance queries run many filesystem-mutation jobs and
     // show the widest host/GC spread (round-13: q220 6.5s/15.1s, q230
     // 5.6s/19.9s) — min-of-2 is fragile there, so they get ONE extra
@@ -199,20 +216,15 @@ object Bench {
       release(spark) // outside the timed section
       (dt, ok)
     }
-    val mainRuns: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { i =>
-      settle(spark, s"pass $i start")
-      selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    }
-    val extraRuns: Map[String, (Double, Boolean)] =
-      if (nRuns < 2) Map.empty
-      else {
-        settle(spark, "lifecycle extras start")
-        selected.filter { case (name, _) => lifecycle(name) }
-          .map { case (name, fn) => name -> timeOne(name, fn) }
+    settle(spark, "timed runs start")
+    // lifecycle/maintenance rows run many filesystem-mutation jobs and
+    // historically show the widest spread — they get ONE extra
+    // back-to-back sample whenever the run isn't the single-pass dev loop
+    val perQuery: Map[String, Seq[(Double, Boolean)]] =
+      selected.map { case (name, fn) =>
+        val n = nRuns + (if (nRuns >= 2 && lifecycle(name)) 1 else 0)
+        name -> (1 to n).map(_ => timeOne(name, fn)).toSeq
       }
-    val perQuery: Map[String, Seq[(Double, Boolean)]] = selected.keys.map { name =>
-      name -> (mainRuns.map(_(name)) ++ extraRuns.get(name).toSeq)
-    }.toMap
     // min over SUCCESSFUL passes; a query with no successful pass keeps its
     // fastest failing time and lands in `failed`
     val results = perQuery.map { case (name, perRun) =>
@@ -229,7 +241,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"methodology":"${if (warmAll) "warmall+paired" else "paired"}","failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
     println(json)
     // also drop the bare line in a file: under sbt every stdout line gets an
     // "[info] " prefix, which breaks naive line-wise JSON parsing downstream

@@ -1374,24 +1374,28 @@ object SparkEntry {
     }),
     "q269_qstore_lifecycle" -> ((s, d) => {
       // X212 stored-query lifecycle (the q220 pattern on the
-      // percolation side): build the 10k generated store, append 100
-      // single-must alerts, unsubscribe every 20th stored query,
-      // vacuum (physical removal), then percolate the q256 batch from
-      // what survived — every maintenance step runs for real on disk;
-      // the oracle recomputes only the SURVIVING clause table, so
-      // corrupted state anywhere in the walk breaks the hash. q256
-      // stays the pure serve row (the build-once/serve-many split).
+      // percolation side): clone the shared 10k store's on-disk layout
+      // into the lifecycle path (the build is a deterministic fixture,
+      // so a file copy IS a fresh build — the build-once/serve-many
+      // split priced in q256 stays clean and this row prices the
+      // MAINTENANCE walk), then append 100 single-must alerts,
+      // unsubscribe every 20th stored query, vacuum (physical
+      // removal), and percolate the q256 batch from what survived —
+      // every maintenance step runs for real on disk; the oracle
+      // recomputes only the SURVIVING clause table, so corrupted state
+      // anywhere in the walk breaks the hash.
       val dir = java.nio.file.Files.createTempDirectory("graft_qs_lc").toString
+      val src = sharedQueryStore(s, d).storePath
+      val conf = s.sparkContext.hadoopConfiguration
+      val hfs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(src),
+        hfs, new org.apache.hadoop.fs.Path(s"$dir/qs"), false, conf)
       val qs = new graft.sources.QueryStore(s, s"$dir/qs")
-      // the ranked vocabulary feeds both the build and the append
-      // fixture: pin it once instead of paying the tokenize + global
-      // window four times (count + join, twice); released after the
-      // append materializes — percolate never touches it
+      // the ranked vocabulary feeds the append fixture twice (count +
+      // join): pin it once, released after the append materializes
       val vocab = rankedVocab(s, d).localCheckpoint(true)
       try {
-        val v = vocab.count().toInt
-        qs.build(generatedClausesFrom(s, vocab, v))
-        qs.append(appendedClausesFrom(s, vocab, v))
+        qs.append(appendedClausesFrom(s, vocab, vocab.count().toInt))
       } finally graft.util.Pins.release(vocab)
       qs.delete(s.range(0, 10000).filter(col("id") % 20 === 0)
         .select(concat(lit("q"), col("id").cast(IntegerType)).as("query_id")))

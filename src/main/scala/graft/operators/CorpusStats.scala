@@ -242,9 +242,13 @@ object CorpusStats {
     * E[x²] − E[x]² from EXACT DECIMAL power sums (order-free
     * addition, so a shuffled cluster and a single thread agree
     * bit-for-bit), clamped at 0 against float cancellation; nulls
-    * excluded; round-6 outputs. */
+    * excluded; round-6 outputs. Power sums carry DECIMAL(38,8) — 30
+    * integer digits, so the per-row x² cast holds for |x| up to ~1e15;
+    * a narrower decimal would NULL-overflow per row in Spark's
+    * non-ANSI mode and sum() would silently skip those rows (a wrong
+    * variance with no error, where the oracle fails loudly). */
   def extendedStats(df: DataFrame, key: Column, value: Column): DataFrame = {
-    val dec = DataTypes.createDecimalType(28, 8)
+    val dec = DataTypes.createDecimalType(38, 8)
     val v = value.cast(DoubleType)
     val agg = df.select(key.as("key"), v.as("__v"))
       .filter(col("__v").isNotNull)

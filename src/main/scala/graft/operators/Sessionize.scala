@@ -283,12 +283,22 @@ object Sessionize {
     * without the fill, derivative and moving averages silently skip
     * time, the classic dashboard bug the ES option exists for.
     *
-    * Bucket index = epoch-micros DIV width (exact integer division —
-    * no double rounding at bucket boundaries); bucket_start is unix
-    * seconds. The pipeline window is a GLOBAL window over the BUCKET
-    * SERIES — bounded by time-range/width (a dashboard's point count),
-    * the [[ohlcBuckets]] class of bounded frame, not a per-event
-    * window. */
+    * Bucket index = FLOOR(epoch-micros / width), computed as exact
+    * integer pmod-adjusted division (no double rounding at bucket
+    * boundaries, and — unlike `DIV`, which truncates toward zero —
+    * identical to the oracle's floor semantics for PRE-1970 negative
+    * timestamps, so boundary rows can never bucket differently in the
+    * two engines); bucket_start is unix seconds.
+    *
+    * The pipeline window is a GLOBAL single-partition window over the
+    * BUCKET SERIES — the deliberate bound here is time-range/width (a
+    * dashboard's point count: ten years of hourly buckets is 87,600
+    * rows), the [[ohlcBuckets]] class of bounded frame, NOT a
+    * per-event window — the event mass was already reduced by the
+    * map-side-combining count. Callers asking for second-grain buckets
+    * over decade ranges (100M+ points — no longer a dashboard) should
+    * widen the bucket or slice the time range; the spine build itself
+    * stays distributed either way. */
   def bucketPipeline(events: DataFrame, ts: Column, widthSeconds: Long,
       movingW: Int = 3): DataFrame = {
     require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
@@ -297,7 +307,8 @@ object Sessionize {
     val spark = events.sparkSession
     val b = events
       .select(unix_micros(ts).as("__us"))
-      .select(expr(s"CAST(__us DIV ${wUs}L AS BIGINT)").as("__i"))
+      .select(expr(s"CAST((__us - pmod(__us, ${wUs}L)) DIV ${wUs}L AS BIGINT)")
+        .as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("n"))
     // the spine comes from spark.range over a one-row (min, max)
     // collect (the bounded scalar anchor) — a DISTRIBUTED spine, where

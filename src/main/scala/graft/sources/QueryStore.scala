@@ -210,60 +210,50 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     require(terms.nonEmpty, "need at least one term")
     recover()
     val b = readBuckets()
-    val bs = terms.map(bucketOf(_, b)).distinct.sorted
+    clausesForBuckets(terms.map(bucketOf(_, b)).distinct.sorted)
+  }
+
+  /** The stored clause rows of exactly the given BUCKETS — the pruned
+    * slice [[percolate]] joins; exposed for plan audits. */
+  def clausesForBuckets(bucketIds: Seq[Int]): DataFrame = {
+    require(bucketIds.nonEmpty, "need at least one bucket")
+    recover()
     liveOnly(spark.read.parquet(clausesPath)
-      .filter(col("tbucket").isin(bs: _*))
+      .filter(col("tbucket").isin(bucketIds: _*))
       .select(col("query_id"), col("term"), col("clause")))
   }
 
-  /** Percolate an arriving batch against the STORED query table: one
-    * tokenize pass over the batch, the membership join against only
-    * the batch vocabulary's clause BUCKETS (pruned at the file
-    * listing), the clause gate against the totals sidecar — semantics
-    * identical to [[TextAnalysis.percolate]] over [[liveClauses]]
-    * (suite-pinned), cost ∝ batch × matched clause terms with stored-
-    * query I/O ∝ |batch-vocab|/B.
+  /** Percolate an arriving batch against the STORED query table: the
+    * membership join against only the batch vocabulary's clause
+    * BUCKETS (pruned at the file listing), the clause gate against the
+    * totals sidecar — semantics identical to
+    * [[TextAnalysis.percolate]] over [[liveClauses]] (suite-pinned),
+    * cost ∝ batch × matched clause terms with stored-query I/O ∝
+    * |batch-vocab buckets|/B.
     *
-    * The pruning is ADAPTIVE (`maxPruneTerms`): bucket pruning pays
-    * when a SMALL batch hits a LARGE store — a big batch's vocabulary
-    * covers most buckets, so the pruned plan degenerates to a full
-    * clause read PLUS a corpus-sized vocabulary collect and a
-    * many-thousand-value bucket predicate, all pure overhead. When the
-    * batch vocabulary exceeds the cap (probed with a LIMIT-bounded
-    * collect — the driver never holds more than `maxPruneTerms + 1`
-    * terms either way, the X196 bounded-scalar-anchor class), the
-    * membership join runs against the full live clause table instead:
-    * same semantics (suite-pinned equal), cost still ∝ batch × matched
-    * clause terms, and the equi-join itself restricts to the batch's
-    * terms. Output: (query_id, doc_id, n_should). */
+    * The pruning is UNCONDITIONAL: the probe is a distributed
+    * `distinct tbucket` aggregate over the batch vocabulary, so the
+    * driver collects at most B ints for ANY batch size (map-side
+    * partial distinct keeps the shuffle to ≤ B rows per task) — no
+    * term-list collect, no batch-size fallback, and a 100×-bigger
+    * batch still prunes to exactly the buckets its vocabulary touches.
+    * The probe runs its own terms-only tokenize pass and the
+    * membership side recomputes lazily in the join, so nothing pins
+    * across the call (two batch-sized passes, the documented trade —
+    * the alternative pins a batch-sized frame the CALLER would have to
+    * release). Output: (query_id, doc_id, n_should). */
   def percolate(docs: DataFrame, idCol: String, text: Column,
-      minShould: Int = 1, maxPruneTerms: Int = 4096): DataFrame = {
+      minShould: Int = 1): DataFrame = {
     require(minShould >= 1, s"minShould must be >= 1, got $minShould")
-    require(maxPruneTerms >= 1, s"maxPruneTerms must be >= 1, got $maxPruneTerms")
     recover()
+    val b = readBuckets()
     val deduped = docs.dropDuplicates(idCol)
-    // batch-size shortcut: a batch with more DOCS than the term cap is
-    // overwhelmingly over-cap on vocabulary too — skip the probe's
-    // tokenize pass entirely and serve unpruned (always-correct path:
-    // the membership equi-join restricts terms either way; a
-    // tiny-vocabulary giant batch merely forgoes pruning it would not
-    // have benefited from). The count is one tokenize-free job.
-    val bigBatch = deduped.count() > maxPruneTerms
-    // the vocab probe runs its own cheap tokenize pass (terms only —
-    // no positions); the membership side recomputes lazily in the join,
-    // so nothing pins across the call (two batch-sized passes, the
-    // documented trade). None = over-cap, serve unpruned.
-    val probed: Option[Seq[String]] =
-      if (bigBatch) None
-      else {
-        val t = deduped
-          .select(explode(TextAnalysis.tokens(text)).as("term"))
-          .filter(col("term") =!= "").distinct()
-          .limit(maxPruneTerms + 1)
-          .collect().map(_.getString(0)).toSeq
-        if (t.size > maxPruneTerms) None else Some(t)
-      }
-    if (probed.exists(_.isEmpty))
+    val batchBuckets = deduped
+      .select(explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .select(bucketCol(col("term"), b).as("tbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (batchBuckets.isEmpty)
       // doc_id keeps the BATCH id column's physical type (the layout
       // family supports non-long ids) so the degenerate empty frame
       // unions cleanly with the populated one
@@ -279,12 +269,7 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .filter(col("term") =!= "").distinct()
     val totals = liveTotals.select(col("query_id"),
       col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
-    val clauseSrc = probed match {
-      case Some(terms) => clausesForTerms(terms)
-      case None =>
-        liveClauses.select(col("query_id"), col("term"), col("clause"))
-    }
-    clauseSrc.join(membership, Seq("term"))
+    clausesForBuckets(batchBuckets).join(membership, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
         count(when(col("clause") === "should", 1)).as("n_should"),

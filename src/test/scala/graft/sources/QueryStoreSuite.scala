@@ -52,25 +52,36 @@ class QueryStoreSuite extends AnyFunSuite {
       qs.build(Seq(("q", "x", "must_not")).toDF("query_id", "term", "clause")))
   }
 
-  test("adaptive pruning: over-cap batch vocabulary serves unpruned, same matches") {
+  test("percolate prunes the clause read to the batch vocabulary's buckets for ANY batch") {
     val dir = Files.createTempDirectory("graft_qstore_cap").toString
-    val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 64)
     qs.build(clauses)
-    val want = rows(qs.percolate(docs, "doc_id", col("text")))
-    // the batch vocabulary (8 terms) exceeds a cap of 3: the membership
-    // join runs against the full live clause table — same result set
-    val capped = qs.percolate(docs, "doc_id", col("text"), maxPruneTerms = 3)
-    assert(rows(capped) === want)
-    // and the capped plan carries NO tbucket file-listing restriction
-    // (all clause partitions eligible — the equi-join restricts terms)
-    val scans = capped.queryExecution.sparkPlan
+    // the probe is a distributed distinct-tbucket aggregate (collect ≤
+    // buckets ints), so pruning is unconditional — the plan of the
+    // percolate result itself carries the tbucket partition predicate
+    // and its file listing covers exactly the batch vocabulary's buckets
+    val out = qs.percolate(docs, "doc_id", col("text"))
+    val scans = out.queryExecution.sparkPlan
       .collect { case s: FileSourceScanExec => s }
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("clauses")))
     assert(scans.nonEmpty)
-    assert(!scans.map(_.metadata("PartitionFilters")).mkString.contains("tbucket IN"),
-      "an over-cap batch must not build the bucket predicate")
-    intercept[IllegalArgumentException](
-      qs.percolate(docs, "doc_id", col("text"), maxPruneTerms = 0))
+    assert(scans.forall(_.metadata("PartitionFilters").contains("tbucket")),
+      "every clause scan must prune on tbucket at the partition level")
+    // the listing covers exactly the INTERSECTION of the batch
+    // vocabulary's buckets with the store's existing bucket dirs (a
+    // batch term no stored query uses has no directory to list)
+    val batchVocab = Seq("sort", "merge", "spark", "join", "bubble", "plain")
+    val vocabBuckets = batchVocab.map(qs.bucketOf(_, 64)).toSet
+    val storeBuckets = Seq("sort", "merge", "spark", "bubble", "join", "quokka")
+      .map(qs.bucketOf(_, 64)).toSet
+    val wantBuckets = (vocabBuckets & storeBuckets).toSeq.sorted
+    val listed = scans.flatMap(s => s.relation.location
+        .listFiles(s.partitionFilters, s.dataFilters)
+        .map(_.values.getInt(0))).distinct.sorted
+    assert(listed == wantBuckets,
+      s"exactly the batch vocabulary's bucket dirs should list, got $listed want $wantBuckets")
+    // an empty batch degenerates to the typed empty frame, no read at all
+    assert(qs.percolate(docs.limit(0), "doc_id", col("text")).isEmpty)
   }
 
   test("lifecycle: append / tombstone delete / vacuum all live on the next read") {
