@@ -160,6 +160,12 @@ final class InvertedIndex(spark: SparkSession, path: String,
     }
     if (fs.exists(appendMarkerPath)) commitAppend()
     else fs.delete(appendStagingPath, true)
+    // a crashed delta-apply left its marker: roll it forward (idempotent
+    // file moves ending in the meta refresh) so no read sees the
+    // half-applied artifact past this entry
+    Seq("forward", "fielded").foreach { name =>
+      if (fs.exists(applyMarkerPath(name))) completeDeltaApply(name)
+    }
     // a crash mid-write of the vacuum delta (before its publish rename)
     // or mid-write of a census swap leaves only these orphans — the
     // live layout never saw either
@@ -187,6 +193,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(new Path(fieldedPath), true)
     fs.delete(new Path(derivedMetaPath("fielded")), true)
     fs.delete(new Path(derivedMetaPath("blockmax")), true)
+    // pending sidecar deltas describe the OLD corpus's append batches
+    fs.delete(new Path(forwardDeltaPath), true)
+    fs.delete(new Path(fieldedDeltaPath), true)
     Seq(buckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
@@ -220,8 +229,39 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * forward and discards an unmarked one, so every read — including a
     * streaming replay guard ([[graft.streaming.IndexIngest]]) — sees
     * the batch fully applied or not at all, never a torn half. */
+  /** One-time layout migration: a census base written before the
+    * `tprefix=` partitioning (X226) holds its data files FLAT at the
+    * base root. [[commitAppend]] moves only `tprefix=` subdirectories,
+    * so appending onto a flat base would commit a mixed flat+partitioned
+    * directory that Spark's partition discovery rejects — detect the old
+    * layout at the mutation entry points and rewrite it once through the
+    * partitioned writer (same rows, two-rename swapped), after which
+    * every append is directory-additive again. No-op on current layouts
+    * (one listStatus). */
+  private def migrateFlatCensusBase(): Unit = {
+    val baseP = new Path(censusBasePath)
+    if (!fs.exists(baseP)) return
+    val flat = fs.listStatus(baseP).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    if (flat) {
+      // swapCensus replaces the WHOLE census dir — a pending vacuum
+      // delta would vanish with it, silently un-masking tombstoned
+      // docs' df. That state can't arise from this engine (deltas
+      // postdate the partitioned layout), so fail fast rather than
+      // guess.
+      require(!fs.exists(new Path(censusDeltaPath)),
+        s"flat census base at $censusBasePath with a pending vacuum " +
+          "delta — finish the vacuum (any read runs recover) or rebuild " +
+          "the census before appending")
+      swapCensus(spark.read.parquet(censusBasePath)
+        .groupBy(col("term")).agg(sum(col("df")).cast(LongType).as("df")),
+        onePerPrefix = true)
+    }
+  }
+
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
     recover()
+    migrateFlatCensusBase()
     val b = readBuckets()
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
       .localCheckpoint(true)
@@ -252,6 +292,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
           min(col("dl")).cast(LongType).as("min_dl"))
         .write.mode("append").parquet(blockmaxPath)
     }
+    stageFileBlockMax(
+      postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    stageDerivedDeltas(postings, b)
     graft.util.Pins.release(postings)
     fs.mkdirs(appendMarkerPath)
     commitAppend()
@@ -280,6 +323,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def mergeFrom(other: InvertedIndex): Unit = {
     recover()
     other.recover()
+    migrateFlatCensusBase()
     val b = readBuckets()
     require(other.readBuckets() == b,
       s"bucket-count mismatch: this=$b source=${other.readBuckets()} — " +
@@ -288,7 +332,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
       s"source ${other.indexPath} has pending tombstones — vacuum it first")
     fs.delete(appendStagingPath, true)
     val srcPostings = spark.read.parquet(other.postingsPath)
+    // repartition by tbucket (the compact() discipline) so each staged
+    // bucket is ONE task's file: a plain read→write can split a
+    // multi-row-group source file across tasks at row-group boundaries,
+    // scattering one (term, doc)'s position rows over two files of the
+    // same bucket dir — which would break buildBlockMax's file-grain
+    // invariant that per-file tf IS the doc's exact tf (X228's file
+    // skip would then undercount ceilings and could drop a top-k doc)
     srcPostings
+      .repartition(col("tbucket"))
       .write.partitionBy("tbucket")
       .parquet(new Path(appendStagingPath, "postings").toString)
     val srcDoclens = spark.read.parquet(other.doclensPath)
@@ -304,6 +356,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .agg(max(col("tf")).cast(LongType).as("max_tf"),
           min(col("dl")).cast(LongType).as("min_dl"))
         .write.mode("append").parquet(blockmaxPath)
+    stageFileBlockMax(srcDoclens.select(col("doc_id"), col("dl")))
+    stageDerivedDeltas(srcPostings.select(col("doc_id"), col("term"),
+      col("pos")), b)
     fs.mkdirs(appendMarkerPath)
     commitAppend()
   }
@@ -327,6 +382,27 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("tprefix="))
         .foreach { d =>
           moveDataFiles(d.getPath, new Path(censusBasePath, d.getPath.getName)) }
+    // derived-sidecar deltas commit to PENDING dirs, not the live
+    // artifacts: reads keep the documented stale-until-maintenance
+    // contract, and maintainDerived applies or discards the pending
+    // mass in one decision
+    val stagedFwd = new Path(appendStagingPath, "forward_delta")
+    if (fs.exists(stagedFwd))
+      fs.listStatus(stagedFwd)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("dbucket="))
+        .foreach { d =>
+          moveDataFiles(d.getPath,
+            new Path(forwardDeltaPath, d.getPath.getName)) }
+    val stagedFldP = new Path(appendStagingPath, "fielded_delta_postings")
+    if (fs.exists(stagedFldP))
+      fs.listStatus(stagedFldP)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+        .foreach { d =>
+          moveDataFiles(d.getPath,
+            new Path(fieldedDeltaPostingsPath, d.getPath.getName)) }
+    val stagedFldD = new Path(appendStagingPath, "fielded_delta_doclens")
+    if (fs.exists(stagedFldD))
+      moveDataFiles(stagedFldD, new Path(fieldedDeltaDoclensPath))
     val stagedDoclens = new Path(appendStagingPath, "doclens")
     if (fs.exists(stagedDoclens))
       moveDataFiles(stagedDoclens, new Path(doclensPath))
@@ -477,6 +553,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
       // marker can never be observed out of step
       swapCensus(censusAdjusted(
         spark.read.parquet(censusDeltaPath)))
+    // pending sidecar deltas may describe docs this vacuum just removed
+    // — applying them later would resurrect ghosts; drop them and let
+    // maintainDerived fall back to the full rebuild
+    fs.delete(new Path(forwardDeltaPath), true)
+    fs.delete(new Path(fieldedDeltaPath), true)
     fs.delete(new Path(tombstonesPath), true)
   }
 
@@ -693,6 +774,78 @@ final class InvertedIndex(spark: SparkSession, path: String,
   }
 
   private def derivedMetaPath(name: String) = s"$path/derived_meta/$name"
+  private def forwardDeltaPath = s"$path/forward_delta"
+  private def fieldedDeltaPath = s"$path/fielded_delta"
+  private def fieldedDeltaPostingsPath = s"$fieldedDeltaPath/postings"
+  private def fieldedDeltaDoclensPath = s"$fieldedDeltaPath/doclens"
+  private def applyMarkerPath(name: String) =
+    new Path(path, s".derived_apply_pending_$name")
+
+  /** Stage the batch's DERIVED-SIDECAR DELTAS under the append staging
+    * (so they commit atomically with the batch, or not at all): for an
+    * existing forward sidecar, the batch's (doc_id, term, tf) rows in
+    * their `dbucket` partitions; for an existing fielded sidecar, the
+    * batch's per-field tf rows (the STORED headLen) plus per-doc field
+    * lengths. Per-(doc, term) rows are disjoint from the stored
+    * artifacts' by the append doc-disjointness contract, so the deltas
+    * are pure directory additions — [[maintainDerived]] APPLIES the
+    * accreted pending deltas with O(delta-files) metadata moves instead
+    * of a full rebuild whenever they provably cover the drift
+    * (doc-count equality, no pending tombstones). Work here is ∝ the
+    * batch (two or three map-side aggregates of the already-pinned
+    * batch postings), replacing full-corpus rebuild scans later. */
+  private def stageDerivedDeltas(postings: DataFrame, b: Int): Unit = {
+    if (fs.exists(new Path(forwardPath)))
+      postings.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("dbucket", bucketCol(col("doc_id").cast(StringType), b))
+        .write.partitionBy("dbucket")
+        .parquet(new Path(appendStagingPath, "forward_delta").toString)
+    if (fs.exists(new Path(fieldedPostingsPath))) {
+      // NOT fieldedHeadLen — that entry point recovers, and recover()
+      // discards the unmarked staging this very call is building
+      val hl = spark.read.parquet(s"$fieldedPath/meta").head().getInt(0)
+      postings.groupBy(col("doc_id"), col("term"))
+        .agg(count(when(col("pos") < hl, 1)).as("tf_head"),
+          count(when(col("pos") >= hl, 1)).as("tf_body"))
+        .withColumn("tbucket", bucketCol(col("term"), b))
+        .write.partitionBy("tbucket")
+        .parquet(new Path(appendStagingPath, "fielded_delta_postings").toString)
+      postings.groupBy(col("doc_id"))
+        .agg(count(when(col("pos") < hl, 1)).cast(LongType).as("dlh"),
+          count(when(col("pos") >= hl, 1)).cast(LongType).as("dlb"))
+        .write
+        .parquet(new Path(appendStagingPath, "fielded_delta_doclens").toString)
+    }
+  }
+
+  /** Append EXACT (term, file)-grain block-max rows for the batch's
+    * staged postings files into the live sidecar. The staged files keep
+    * their names through [[commitAppend]]'s moves, a (term, doc) is
+    * file-local in them (one input row → one task → one file per
+    * bucket), and the docs are NEW (append disjointness) so `dl` comes
+    * wholly from the batch — the rows are the exact [[buildBlockMax]]
+    * file-grain bounds for those files. They land BEFORE the commit
+    * marker (the term-grain ordering rule): a crash between leaves
+    * bounds for file names that never became live, which the
+    * listing-driven X228 skip simply never tests — loose, safe. After
+    * the commit the sidecar covers the new files exactly, so
+    * [[maintainDerived]] can ADOPT it (meta refresh, no rebuild). */
+  private def stageFileBlockMax(batchDoclens: DataFrame): Unit = {
+    if (!fs.exists(new Path(blockmaxFilesPath))) return
+    val staged = spark.read
+      .parquet(new Path(appendStagingPath, "postings").toString)
+      .withColumn("__fname", substring_index(input_file_name(), "/", -1))
+    staged.groupBy(col("term"), col("tbucket"), col("__fname"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .join(batchDoclens, Seq("doc_id"))
+      .groupBy(col("term"), col("tbucket"), col("__fname"))
+      .agg(max(col("tf")).cast(LongType).as("max_tf"),
+        min(col("dl")).cast(LongType).as("min_dl"))
+      .select(col("term"), col("tbucket"), col("__fname").as("fname"),
+        col("max_tf"), col("min_dl"))
+      .write.mode("append").partitionBy("tbucket").parquet(blockmaxFilesPath)
+  }
 
   /** Record the live doc count a derived artifact was built against —
     * the staleness input [[maintainDerived]] reads. */
@@ -730,10 +883,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
         spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
       else 0L
     val plan = Seq(
-      ("forward", forwardPath, () => buildForward()),
-      ("fielded", fieldedPostingsPath,
-        { () => val hl = fieldedHeadLen; buildFielded(hl) }),
-      ("blockmax", blockmaxPath, () => buildBlockMax()))
+      ("forward", forwardPath, () => maintainForward()),
+      ("fielded", fieldedPostingsPath, () => maintainFielded()),
+      ("blockmax", blockmaxPath, () => maintainBlockMax()))
     val rows = plan.map { case (name, p, rebuild) =>
       if (!fs.exists(new Path(p)))
         (name, -1L, live, 0.0, maxStaleFrac, false)
@@ -752,6 +904,112 @@ final class InvertedIndex(spark: SparkSession, path: String,
     }
     rows.toDF("artifact", "built_n_docs", "live_n_docs",
       "stale_frac", "threshold", "acted")
+  }
+
+  /** True iff the accreted pending delta PROVABLY covers the artifact's
+    * drift: no tombstones in force (a rebuild would also drop masked
+    * docs the delta knows nothing about), a meta record to anchor the
+    * count arithmetic, and built_n_docs + |delta docs| == |docs now| —
+    * batches are doc-disjoint, so the counts add exactly, and any
+    * removal in between (vacuum deletes the delta anyway) breaks the
+    * equality toward the safe side. The check reads O(delta) rows. */
+  private def deltaCovers(name: String, deltaDocs: => Long): Boolean = {
+    if (fs.exists(new Path(tombstonesPath))) return false
+    if (!fs.exists(new Path(derivedMetaPath(name)))) return false
+    val built = spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
+    if (built <= 0L) return false
+    built + deltaDocs == spark.read.parquet(doclensPath).count()
+  }
+
+  /** Move every pending delta file of `name` into its live artifact,
+    * refresh the derived meta, drop the marker — idempotent from any
+    * crash point at or after the marker write ([[moveDataFiles]] moves
+    * whatever is still staged; a second run over a consumed delta is a
+    * set of no-ops ending in the same meta write), so [[recover]] can
+    * roll a crashed apply forward and no read ever sees the
+    * half-applied window for longer than one entry. */
+  private def completeDeltaApply(name: String): Unit = {
+    name match {
+      case "forward" =>
+        val d = new Path(forwardDeltaPath)
+        if (fs.exists(d))
+          fs.listStatus(d)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("dbucket="))
+            .foreach { x =>
+              moveDataFiles(x.getPath, new Path(forwardPath, x.getPath.getName)) }
+        fs.delete(d, true)
+      case "fielded" =>
+        val p = new Path(fieldedDeltaPostingsPath)
+        if (fs.exists(p))
+          fs.listStatus(p)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+            .foreach { x =>
+              moveDataFiles(x.getPath,
+                new Path(fieldedPostingsPath, x.getPath.getName)) }
+        val dl = new Path(fieldedDeltaDoclensPath)
+        if (fs.exists(dl)) moveDataFiles(dl, new Path(fieldedDoclensPath))
+        fs.delete(new Path(fieldedDeltaPath), true)
+      case other => sys.error(s"no delta apply for artifact $other")
+    }
+    writeDerivedMeta(name)
+    fs.delete(applyMarkerPath(name), true)
+  }
+
+  /** Delta-apply when the pending forward delta covers the drift
+    * (O(delta) check + O(files) metadata moves), else full rebuild —
+    * the stale delta is dropped FIRST so a crash can never leave a
+    * consumed-and-still-pending delta to double-apply. */
+  private def maintainForward(): Unit =
+    if (fs.exists(new Path(forwardDeltaPath)) &&
+        deltaCovers("forward",
+          spark.read.parquet(forwardDeltaPath)
+            .select(col("doc_id")).distinct().count())) {
+      fs.mkdirs(applyMarkerPath("forward"))
+      completeDeltaApply("forward")
+    } else {
+      fs.delete(new Path(forwardDeltaPath), true)
+      buildForward()
+    }
+
+  private def maintainFielded(): Unit =
+    if (fs.exists(new Path(fieldedDeltaDoclensPath)) &&
+        deltaCovers("fielded",
+          spark.read.parquet(fieldedDeltaDoclensPath)
+            .select(col("doc_id")).distinct().count())) {
+      fs.mkdirs(applyMarkerPath("fielded"))
+      completeDeltaApply("fielded")
+    } else {
+      fs.delete(new Path(fieldedDeltaPath), true)
+      buildFielded(fieldedHeadLen)
+    }
+
+  /** The block-max sidecars maintain themselves THROUGH appends (term
+    * grain max/min-merges at read; file grain gets exact staged rows
+    * per batch), so when every live postings file is still covered —
+    * file names are immutable, so covered ⇒ the bounds are exact — the
+    * "rebuild" is just the meta refresh. Anything else (vacuum/compact
+    * rewrote files, pre-delta appends, tombstones in force) rebuilds
+    * for real. */
+  private def maintainBlockMax(): Unit = {
+    def covered: Boolean = {
+      if (fs.exists(new Path(tombstonesPath))) return false
+      if (!fs.exists(new Path(blockmaxFilesPath))) return false
+      if (!fs.exists(new Path(derivedMetaPath("blockmax")))) return false
+      val live = fs.listStatus(new Path(postingsPath))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+        .flatMap { d =>
+          val bk = d.getPath.getName.stripPrefix("tbucket=").toInt
+          fs.listStatus(d.getPath)
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .map(f => (bk, f.getPath.getName))
+        }.toSet
+      val sidecar = spark.read.parquet(blockmaxFilesPath)
+        .select(col("tbucket"), col("fname")).distinct()
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      live.subsetOf(sidecar)
+    }
+    if (covered) writeDerivedMeta("blockmax") else buildBlockMax()
   }
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
@@ -1694,6 +1952,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     import spark.implicits._
     val b = readBuckets()
     val fs2 = fs
+    // rebuild covers the pending batches — and a headLen CHANGE makes
+    // deltas cut at the old boundary wrong, never just redundant
+    fs2.delete(new Path(fieldedDeltaPath), true)
     fs2.delete(new Path(fieldedPath), true)
     val live = liveOnly(spark.read.parquet(postingsPath))
       .localCheckpoint(true) // two consumers: fielded postings + doclens
@@ -1772,6 +2033,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * maintenance cadence after append/vacuum, not mutated in place. */
   def buildForward(): Unit = {
     recover()
+    // a full rebuild covers every appended doc — a pending delta kept
+    // around would double-apply on the next maintenance pass
+    fs.delete(new Path(forwardDeltaPath), true)
     val b = readBuckets()
     liveOnly(spark.read.parquet(postingsPath))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -1101,6 +1101,111 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.maintainDerived(0.0))
   }
 
+  test("maintainDerived delta path: append maintenance is O(delta) moves, parity with rebuild (X245)") {
+    val dir = Files.createTempDirectory("graft_inv_delta").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.buildForward(); idx.buildFielded(headLen = 2); idx.buildBlockMax()
+    def dataFiles(sub: String): Set[String] = {
+      val root = new java.io.File(s"$dir/inv/$sub")
+      if (!root.exists) Set.empty
+      else {
+        val out = scala.collection.mutable.Set[String]()
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles.foreach(walk)
+          else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+            out += f.getPath
+        walk(root); out.toSet
+      }
+    }
+    val fwdBefore = dataFiles("forward")
+    val fldBefore = dataFiles("fielded/postings")
+    val bmfBefore = dataFiles("blockmax_files")
+    assert(fwdBefore.nonEmpty && fldBefore.nonEmpty && bmfBefore.nonEmpty)
+    idx.append(docsB, "doc_id", col("text"))
+    val bmfAfterAppend = dataFiles("blockmax_files")
+    assert(bmfBefore.subsetOf(bmfAfterAppend) &&
+      bmfAfterAppend.size > bmfBefore.size,
+      "append must stage exact file-grain rows additively")
+    val acted = idx.maintainDerived(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(acted("forward") && acted("fielded") && acted("blockmax"))
+    // O(delta) audit: every pre-append artifact file survives UNTOUCHED
+    // (a rebuild would replace the whole set with fresh task files);
+    // forward/fielded gain the delta's files, blockmax is adopted as-is
+    // (meta refresh, zero data writes)
+    assert(fwdBefore.subsetOf(dataFiles("forward")),
+      "delta apply must add files, never rewrite the stored forward")
+    assert(dataFiles("forward").size > fwdBefore.size)
+    assert(fldBefore.subsetOf(dataFiles("fielded/postings")),
+      "delta apply must add files, never rewrite the stored fielded")
+    assert(dataFiles("blockmax_files") === bmfAfterAppend,
+      "block-max adopt must not rewrite the file-grain sidecar")
+    // pending deltas consumed
+    assert(dataFiles("forward_delta").isEmpty &&
+      dataFiles("fielded_delta").isEmpty)
+    // parity: the delta-applied artifacts answer exactly like a fresh
+    // full build over the union
+    val full = new InvertedIndex(spark, s"$dir/full", buckets = 8)
+    full.build(docsA.union(docsB), "doc_id", col("text"))
+    full.buildForward(); full.buildFielded(headLen = 2); full.buildBlockMax()
+    def fwdRows(i: InvertedIndex) = i.docTerms(Seq(1L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(fwdRows(idx) === fwdRows(full))
+    def bmf(i: InvertedIndex) = i.bm25fTopK(Seq("sort", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(bmf(idx) === bmf(full))
+    def bmx(i: InvertedIndex) = i.bm25MaxScore(Seq("sort", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(bmx(idx) === bmx(full))
+    assert(bmx(idx) === idx.bm25(Seq("sort", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      "adopted block-max bounds must keep MaxScore ≡ bm25")
+    // a second maintenance pass settles to no-op
+    val settled = idx.maintainDerived(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(settled.values.forall(_ == false))
+  }
+
+  test("maintainDerived delta path: vacuum invalidates pending deltas, rebuild takes over") {
+    val dir = Files.createTempDirectory("graft_inv_delta_vac").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.buildForward()
+    idx.append(docsB, "doc_id", col("text")) // stages a forward delta
+    idx.delete(Seq(1L).toDF("doc_id"))
+    idx.vacuum() // removes doc 1 AND drops the pending delta
+    val acted = idx.maintainDerived(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(acted("forward"), "post-vacuum drift must still act")
+    // the rebuild path ran: the vacuumed doc is gone from the forward
+    // sidecar, the appended docs are present
+    val ids = idx.docTerms(Seq(1L, 2L, 4L)).select(col("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 4L))
+  }
+
+  test("crashed delta apply rolls forward at the next entry (marker recovery)") {
+    val dir = Files.createTempDirectory("graft_inv_delta_crash").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.buildForward()
+    idx.append(docsB, "doc_id", col("text"))
+    // simulate a crash mid-apply: the marker exists, no files moved yet
+    val marker = new java.io.File(s"$dir/inv/.derived_apply_pending_forward")
+    assert(marker.mkdirs())
+    // ANY entry point recovers: the delta applies, the marker clears
+    val ids = idx.docTerms(Seq(1L, 4L)).select(col("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L), "rolled-forward delta must serve the appended doc")
+    assert(!marker.exists, "the apply marker must clear on roll-forward")
+    // and the artifact is no longer stale: maintenance settles to no-op
+    val settled = idx.maintainDerived(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(!settled("forward"))
+  }
+
   test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
     val dir = Files.createTempDirectory("graft_inv_expl").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
