@@ -729,8 +729,18 @@ object TextAnalysis {
   def percolate(docs: DataFrame, idCol: String, text: Column,
       clauses: DataFrame, minShould: Int = 1): DataFrame = {
     val c = validateClauseBatch(clauses, minShould)
-    val membership = positionalPostings(docs, idCol, text)
-      .select(col("doc_id"), col("term")).distinct()
+    // explicit doc-keyed exchange up front (the [[graft.sources
+    // .QueryStore.percolate]] discipline): HashPartitioning(id)
+    // satisfies the (doc, term) distinct AND booleanMatchBatch's
+    // (query, doc) aggregate, and the explicit numPartitions stops AQE
+    // sizing the exchange by the tiny pre-explode bytes and funneling
+    // the explode × clause-match blowup through one coalesced task
+    val spark = docs.sparkSession
+    val membership = positionalPostings(
+        docs.repartition(
+          spark.sessionState.conf.numShufflePartitions, col(idCol)),
+        idCol, text)
+      .select(col("doc_id"), col("term")).dropDuplicates("doc_id", "term")
     booleanMatchBatch(membership, c, minShould)
   }
 

