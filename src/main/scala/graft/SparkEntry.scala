@@ -1749,6 +1749,30 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q288_percolate_scored" -> ((s, d) => {
+      // X246 scored percolation (ES percolate returns _score): q256's
+      // fired (query, doc) pairs, each with a BM25 score of the stored
+      // query against the arriving doc — batch-relative stats (the
+      // percolator's corpus IS the arriving batch), round-6 partials
+      // summed in DECIMAL(38,6) (order-free); must_not gates, never
+      // scores. The oracle recomputes the whole score join in DuckDB.
+      val batch = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      sharedQueryStore(s, d).percolateScored(batch, "doc_id", col("text"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+    "q289_top_hits" -> ((s, d) => {
+      // X247 terms+top_hits aggregation (the last big ES agg family):
+      // per lang bucket over q214's FULL match set, the bucket's
+      // doc_count and its top-3 hits by emitted round-6 score — the
+      // grouped-results rail; the rank window partitions by bucket and
+      // rewrites to WindowGroupLimit (suite plan-audited), never a
+      // global single-partition window
+      val idx = sharedInvIndex(s, d)
+      SearchEngine.topHitsPerBucket(
+        idx.bm25Ranked(Seq("sort", "merge", "spark")),
+        t(s, d, "documents"), "doc_id", col("lang"), n = 3)
+        .orderBy(col("field_value"), col("rank"))
+    }),
     "q287_mlt_multi" -> ((s, d) => {
       // X244 multi-seed more-like-this (ES more_like_this with a like
       // LIST): the q214 top-2 docs' forward vectors sum into one
@@ -6094,6 +6118,104 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X246: the q256 gate chain plus the BM25 score join — batch-
+    // relative stats (the percolator's corpus IS the arriving batch),
+    // round-6 partials, decimal order-free per-pair sum
+    "q288_percolate_scored" -> {
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+            FROM p GROUP BY term),
+          n AS (SELECT COUNT(*) AS v FROM v),
+          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
+          picks AS (
+            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
+              (i % v) + 1 AS rn FROM g, n
+            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
+          cl0 AS (SELECT query_id, v.term, clause, pr
+            FROM picks JOIN v USING (rn)),
+          cl AS (SELECT query_id, term, clause FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+                ORDER BY pr) AS rk FROM cl0)
+            WHERE rk = 1),
+          pc AS (SELECT doc_id, u.t AS term, COUNT(*) AS tf
+            FROM t, UNNEST(tk) AS u(t)
+            WHERE u.t <> '' AND doc_id % 20 = 0 GROUP BY 1, 2),
+          dlt AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM pc GROUP BY 1),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlt),
+          dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM pc GROUP BY 1),
+          j AS (SELECT cl.query_id, pc.doc_id, cl.clause,
+              CASE WHEN cl.clause <> 'must_not' THEN
+                ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+                  * CAST(tf AS DOUBLE) * CAST($k1p AS DOUBLE)
+                  / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+                     * ((1.0 - CAST($b AS DOUBLE))
+                        + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)
+              ELSE 0.0 END AS partial
+            FROM cl JOIN pc USING (term) JOIN dfq USING (term)
+              JOIN dlt USING (doc_id) CROSS JOIN st),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not,
+              SUM(CAST(partial AS DECIMAL(38, 6))) AS psum
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id,
+            CAST(agg.n_should AS BIGINT) AS n_should,
+            ROUND(CAST(agg.psum AS DOUBLE), 6) AS score
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id"""
+    },
+    // X247: the q214 scored set (score > 0, the match-only contract),
+    // per-lang buckets, ROW_NUMBER cut on the emitted round-6 score
+    "q289_top_hits" -> {
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      val terms = Seq("sort", "merge", "spark")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+      val partial = terms.indices.map { i =>
+        s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           / (CAST(df$i AS DOUBLE) + 0.5))
+         * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+         / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+            + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+      }.mkString(" + ")
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM pd),
+          sc AS (SELECT pd.doc_id, ROUND($partial, 6) AS score
+            FROM pd CROSS JOIN st),
+          r AS (SELECT doc_id, score FROM sc WHERE score > 0),
+          wf AS (SELECT r.doc_id, r.score, d.lang AS field_value
+            FROM r JOIN documents d USING (doc_id)),
+          c AS (SELECT field_value, COUNT(*) AS doc_count FROM wf GROUP BY 1),
+          rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY field_value
+              ORDER BY score DESC, doc_id) AS rank FROM wf)
+          SELECT rk.field_value, c.doc_count, rk.rank, rk.doc_id, rk.score
+          FROM rk JOIN c USING (field_value) WHERE rank <= 3
+          ORDER BY field_value, rank"""
+    },
     // X244: seed vectors summed, the q257 MLT tail over the top-2 cut
     "q287_mlt_multi" -> {
       val (mltT, mltK) = (10, 10)

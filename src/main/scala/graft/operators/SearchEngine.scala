@@ -385,6 +385,47 @@ object SearchEngine {
     * union + one doc-keyed aggregate (map-side combine) + a top-k
     * heap — no window, no join. Output: (doc_id, best, n_legs,
     * score). */
+  /** `top_hits`-per-bucket aggregation (X247 — the Elasticsearch
+    * `terms` agg with a `top_hits` sub-aggregation, the last big ES
+    * aggregation family): for every value of `field` over the HIT SET,
+    * the bucket's doc_count and its top-`n` hits by emitted score —
+    * "the best matches per category", the grouped-results rail next to
+    * [[collapseByField]]'s one-slot-per-group SERP cut (collapse
+    * diversifies ONE ranking; top_hits renders N rankings side by
+    * side).
+    *
+    * Ranking uses the EMITTED round-6 score with the doc_id tiebreak
+    * (the bm25Page discipline — a bucket's rows must order by what the
+    * caller can see). The rank window partitions BY BUCKET — never a
+    * global single-partition window — and because the window set is
+    * exactly one rank function under a `rank <= n` predicate, Spark
+    * rewrites it to a WindowGroupLimit: each partition keeps a per-
+    * bucket n-heap BEFORE the exchange, so the shuffled mass is ≤
+    * buckets × n per task, not the hit set (plan-audited in the
+    * suite). doc_count comes from a separate map-side-combining
+    * aggregate joined back (folding it into the window as a second
+    * count-over-partition function would disqualify the group-limit
+    * rewrite — it needs every row). Output: (field_value, doc_count,
+    * rank, doc_id, score). */
+  def topHitsPerBucket(hits: DataFrame, docs: DataFrame, idCol: String,
+      field: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val withField = hits.select(col("doc_id"), col("score"))
+      .join(docs.select(col(idCol).as("doc_id"), field.as("field_value")),
+        Seq("doc_id"))
+    val counts = withField.groupBy(col("field_value"))
+      .agg(count(lit(1)).as("doc_count"))
+    withField
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("field_value"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= n)
+      .join(counts, Seq("field_value"))
+      .select(col("field_value"), col("doc_count"), col("rank"),
+        col("doc_id"), col("score"))
+  }
+
   def disMax(legs: Seq[DataFrame], k: Int,
       tieBreaker: Double = 0.0): DataFrame = {
     require(legs.nonEmpty, "no legs")

@@ -1159,14 +1159,21 @@ object TextAnalysis {
     * (doc_id, dl, tf0..tf{n-1}) frame — shared by the tokenize path
     * above and the persisted-index path
     * ([[graft.sources.InvertedIndex]].bm25), so the two cannot drift.
-    * The frame must contain EVERY document with at least one token (N
-    * and avgdl are corpus stats, not match stats). `gate` filters the
+    * Without `corpusStats` the frame must contain EVERY document with
+    * at least one token (N and avgdl are corpus stats, not match
+    * stats); WITH it — one broadcast (n_docs, avgdl) row the caller
+    * computed over the full doclens with these exact expression shapes
+    * — the frame may be MATCH-ONLY (docs with ≥ 1 query term), the ES
+    * contract: df still aggregates from the frame (every doc with
+    * tf_i > 0 is in it by definition), and the score > 0 filter below
+    * makes the two framings emit identical rows. `gate` filters the
     * SCORED rows (e.g. X184 minimum-should-match) — applied after the
     * stats aggregate, so N/avgdl/df stay corpus-wide exactly as
     * Lucene's msm leaves idf untouched. */
   private[graft] def bm25Rank(perDoc: DataFrame, nTerms: Int, k: Int,
-      k1: Double, b: Double, gate: Column = lit(true)): DataFrame =
-    bm25Scored(perDoc, nTerms, k1, b, gate)
+      k1: Double, b: Double, gate: Column = lit(true),
+      corpusStats: Option[DataFrame] = None): DataFrame =
+    bm25Scored(perDoc, nTerms, k1, b, gate, corpusStats)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
@@ -1180,13 +1187,18 @@ object TextAnalysis {
     * cursor must be reconstructible from a previous page's emitted
     * values. */
   private[graft] def bm25Scored(perDoc: DataFrame, nTerms: Int,
-      k1: Double, b: Double, gate: Column = lit(true)): DataFrame = {
+      k1: Double, b: Double, gate: Column = lit(true),
+      corpusStats: Option[DataFrame] = None): DataFrame = {
     val idx = 0 until nTerms
-    val stats = perDoc.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
-        +: idx.map { i =>
-          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+    val dfAggs = idx.map { i =>
+      count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }
+    val stats = corpusStats match {
+      case Some(cs) => perDoc.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(cs)
+      case None => perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
+          +: dfAggs: _*)
+    }
     val scored = perDoc.crossJoin(broadcast(stats))
     val partials = idx.map { i =>
       val tf = col(s"tf$i").cast(DoubleType)
@@ -1252,16 +1264,21 @@ object TextAnalysis {
     * corpus stats stay one broadcast row exactly like [[bm25Scored]]);
     * per-group partials round at 6 and sum in fixed group order. */
   private[graft] def bm25SynRank(perDoc: DataFrame, groups: Seq[Seq[String]],
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k: Int, k1: Double, b: Double,
+      corpusStats: Option[DataFrame] = None): DataFrame = {
     val sizes = groups.map(_.size)
     val starts = sizes.scanLeft(0)(_ + _)
     val memberIdx = groups.indices.map(g => starts(g) until starts(g + 1))
     val nMembers = sizes.sum
-    val stats = perDoc.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
-        +: (0 until nMembers).map { i =>
-          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+    val dfAggs = (0 until nMembers).map { i =>
+      count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }
+    val stats = corpusStats match {
+      case Some(cs) => perDoc.agg(dfAggs.head, dfAggs.tail: _*).crossJoin(cs)
+      case None => perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
+          +: dfAggs: _*)
+    }
     val scored = perDoc.crossJoin(broadcast(stats))
     val partials = memberIdx.map { idx =>
       val tf = idx.map(i => col(s"tf$i")).reduce(_ + _).cast(DoubleType)

@@ -1073,8 +1073,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
       s"msm must be in [1, ${queryTerms.size}], got $msm")
     val terms = elideHot(queryTerms, maxDfFrac)
     if (terms.isEmpty) return emptyBm25Frame()
-    val (perDoc, gate) = bm25PerDoc(terms, msm.min(terms.size))
-    TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b, gate)
+    val (perDoc, gate, stats) = bm25PerDoc(terms, msm.min(terms.size))
+    TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b, gate, Some(stats))
   }
 
   /** Synonym-aware BM25 served from the persisted index (X215 — the
@@ -1097,10 +1097,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
         count(when(col("term") === t, 1)).as(s"tf$i") },
         members.tail.map { case (t, i) =>
           count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
-    val perDoc = liveOnly(spark.read.parquet(doclensPath))
-      .join(tf, Seq("doc_id"), "left")
-      .na.fill(0L, members.map { case (_, i) => s"tf$i" })
-    TextAnalysis.bm25SynRank(perDoc, groups, k, k1, b)
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    // match-only inner join (the bm25PerDoc contract): scored rows
+    // bounded by the member terms' postings; N/avgdl stay corpus-wide
+    // through the broadcast stats row
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    TextAnalysis.bm25SynRank(dls.join(tf, Seq("doc_id")), groups, k, k1, b,
+      corpusStats = Some(stats))
   }
 
   /** Wildcard/prefix query (X219 — Lucene `WildcardQuery` under the
@@ -1186,10 +1191,21 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("doc_id"), col("dl"), lit(0.0).as("score"))
 
   /** The shared front half of [[bm25]] and [[bm25Page]]: per-doc tf
-    * columns from the pruned postings buckets left-joined onto the live
-    * doclens, plus the X184 minimum-should-match gate. */
-  private def bm25PerDoc(queryTerms: Seq[String],
-      msm: Int): (DataFrame, org.apache.spark.sql.Column) = {
+    * columns from the pruned postings buckets INNER-joined onto the
+    * live doclens — the MATCH-ONLY contract (ES behavior): only docs
+    * containing ≥ 1 query term flow into scoring, so the scored-row
+    * mass is bounded by the query terms' postings, never the corpus.
+    * Result-identical to the all-docs framing ([[graft.operators
+    * .TextAnalysis.bm25Scored]]'s score > 0 filter excluded the
+    * non-matching rows anyway — BM25 partials are strictly positive on
+    * tf > 0); the third element is the ONE-ROW corpus-stats frame
+    * (n_docs, avgdl over the full live doclens, the exact
+    * [[graft.operators.TextAnalysis.bm25Scored]] expression shapes)
+    * that keeps N/avgdl corpus-wide under the inner join — df still
+    * aggregates from the matched frame (every doc with tf > 0 is in
+    * it). Plus the X184 minimum-should-match gate. */
+  private def bm25PerDoc(queryTerms: Seq[String], msm: Int)
+      : (DataFrame, org.apache.spark.sql.Column, DataFrame) = {
     require(queryTerms.nonEmpty, "no query terms")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate term in $queryTerms")
@@ -1202,13 +1218,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
         count(when(col("term") === t, 1)).as(s"tf$i") },
         terms.tail.map { case (t, i) =>
           count(when(col("term") === t, 1)).as(s"tf$i") }: _*)
-    val perDoc = liveOnly(spark.read.parquet(doclensPath))
-      .join(tf, Seq("doc_id"), "left")
-      .na.fill(0L, terms.map { case (_, i) => s"tf$i" })
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    val perDoc = dls.join(tf, Seq("doc_id"))
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val gate = if (msm == 1) lit(true) else
       terms.map { case (_, i) => when(col(s"tf$i") > 0, 1).otherwise(0) }
         .reduce(_ + _) >= msm
-    (perDoc, gate)
+    (perDoc, gate, stats)
   }
 
   /** Keyset-paginated BM25 (X187 — X179 composed with the ranked
@@ -1246,8 +1264,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * pass and tf joins a single time instead of per page. */
   def bm25Ranked(queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
-    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
-    TextAnalysis.bm25Scored(perDoc, queryTerms.size, k1, b, gate)
+    val (perDoc, gate, stats) = bm25PerDoc(queryTerms, msm)
+    TextAnalysis.bm25Scored(perDoc, queryTerms.size, k1, b, gate, Some(stats))
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
   }
 
@@ -1302,7 +1320,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
       mu: Double = 2000.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(mu > 0.0, s"mu must be positive, got $mu")
-    val (perDoc, _) = bm25PerDoc(queryTerms, msm = 1)
+    val (perDoc, _, _) = bm25PerDoc(queryTerms, msm = 1)
     val terms = queryTerms.zipWithIndex
     val slice = termPostings(queryTerms)
     val cfs = slice.agg(
@@ -1635,12 +1653,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def bm25CensusDf(queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, msm: Int = 1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val (perDoc, gate) = bm25PerDoc(queryTerms, msm)
+    val (perDoc, gate, stats) = bm25PerDoc(queryTerms, msm)
     val dfs = vocab().filter(col("term").isin(queryTerms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val stats = perDoc.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val scored = perDoc.crossJoin(broadcast(stats))
     val partials = queryTerms.zipWithIndex.map { case (t, i) =>
       val tf = col(s"tf$i").cast(DoubleType)
@@ -2105,9 +2120,9 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .limit(topTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     if (terms.isEmpty) return emptyBm25Frame()
-    val (perDoc, _) = bm25PerDoc(terms, msm = 1)
+    val (perDoc, _, stats) = bm25PerDoc(terms, msm = 1)
     TextAnalysis.bm25Rank(perDoc, terms.size, k, k1, b,
-      gate = !col("doc_id").isin(docIds: _*))
+      gate = !col("doc_id").isin(docIds: _*), corpusStats = Some(stats))
   }
 
   /** Score explanation (X232 — the Elasticsearch `_explain` API
@@ -2118,15 +2133,20 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * Σ partial reproduces the doc's q214-class score bit-for-bit —
     * the relevance-debugging surface ("why does this doc rank here").
     * One pruned bucket read + the doclens stats pass (the bm25 plan),
-    * the breakdown a single-row `stack` unpivot — no per-term jobs. */
+    * the breakdown a single-row `stack` unpivot — no per-term jobs.
+    * A doc outside the corpus — or matching NONE of the query terms
+    * (the match-only contract; such a doc scores 0 and never ranks) —
+    * explains to zero rows. */
   def explain(queryTerms: Seq[String], docId: Long,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val (perDoc, _) = bm25PerDoc(queryTerms, msm = 1)
+    val (perDoc, _, corpusStats) = bm25PerDoc(queryTerms, msm = 1)
     val terms = queryTerms.zipWithIndex
-    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl")
-        +: terms.map { case (_, i) =>
+    val stats = perDoc.agg(
+        terms.head match { case (_, i) =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i") },
+        terms.tail.map { case (_, i) =>
           count(when(col(s"tf$i") > 0, 1)).as(s"df$i") }: _*)
+      .crossJoin(corpusStats)
     val row = perDoc.filter(col("doc_id") === docId)
       .crossJoin(broadcast(stats))
     val enriched = row.select(

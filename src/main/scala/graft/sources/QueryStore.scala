@@ -292,4 +292,90 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
           col("n_should") >= least(lit(minShould.toLong), col("__s_tot"))))
       .select(col("query_id"), col("doc_id"), col("n_should"))
   }
+
+  /** SCORED percolation (X246 — ES percolate returns `_score`, not just
+    * membership): exactly [[percolate]]'s fired (query, doc) pairs,
+    * each with a BM25 relevance score of the stored query against the
+    * arriving document — "which alerts fire, and how strongly".
+    *
+    * Statistics are BATCH-RELATIVE (documented contract): N = batch
+    * docs with ≥ 1 token, df(t) = batch docs containing t, dl/avgdl
+    * from the batch — the engine-shaped analog of ES's percolator,
+    * which scores against the in-memory index of the percolated
+    * document(s) rather than any stored corpus (the store holds
+    * QUERIES; there is no document corpus to take stats from). Per
+    * matched must/should clause term: the [[graft.operators
+    * .TextAnalysis.bm25Scored]] round-6 partial (same expression
+    * shapes); must_not rows gate but never score. The per-(query, doc)
+    * sum accumulates in DECIMAL(38,6) — order-free, so any cluster
+    * layout reproduces the same bits (a fired pair has no fixed term
+    * order to chain doubles through).
+    *
+    * Plan shape: the [[percolate]] doc-keyed exchange discipline for
+    * the tf table; df adds one term-keyed aggregate of the same rows;
+    * stats ride a broadcast one-row frame; the clause join and gate
+    * are [[percolate]]'s. Output (query_id, doc_id, n_should, score),
+    * score round-6 DESC-ranking-ready. */
+  def percolateScored(docs: DataFrame, idCol: String, text: Column,
+      minShould: Int = 1, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(minShould >= 1, s"minShould must be >= 1, got $minShould")
+    recover()
+    val bkts = readBuckets()
+    val deduped = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
+      .dropDuplicates(idCol)
+    val batchBuckets = deduped
+      .select(explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .select(bucketCol(col("term"), bkts).as("tbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (batchBuckets.isEmpty)
+      return liveTotals.limit(0)
+        .select(col("query_id"),
+          lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
+          lit(0L).as("n_should"), lit(0.0).as("score"))
+    // counts-carrying membership: (doc_id, term, tf) — [[percolate]]'s
+    // frame plus the per-pair frequency the partials need
+    val tf = deduped
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dls = tf.groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).cast(LongType).as("__dl"))
+    val stats = dls.agg(
+      count(lit(1)).as("__n_docs"),
+      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    val dfs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("__df"))
+    val totals = liveTotals.select(col("query_id"),
+      col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
+    val enriched = clausesForBuckets(batchBuckets)
+      .join(tf, Seq("term"))
+      .join(dfs, Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    val tfD = col("__tf").cast(DoubleType)
+    val dfD = col("__df").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      (col("__n_docs").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val norm = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("__dl").cast(DoubleType) / col("__avgdl"))
+    val dec = DataTypes.createDecimalType(38, 6)
+    val partial = when(col("clause") =!= "must_not",
+      round(idf * tfD * lit(k1 + 1.0) / norm, 6)).otherwise(lit(0.0))
+    enriched
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
+        count(when(col("clause") === "should", 1)).as("n_should"),
+        count(when(col("clause") === "must_not", 1)).as("__n_not"),
+        sum(partial.cast(dec)).as("__score"))
+      .join(totals, Seq("query_id"))
+      .filter(col("__n_must") === col("__m_tot") && col("__n_not") === 0 &&
+        (col("__s_tot") === 0 ||
+          col("n_should") >= least(lit(minShould.toLong), col("__s_tot"))))
+      .select(col("query_id"), col("doc_id"), col("n_should"),
+        round(col("__score").cast(DoubleType), 6).as("score"))
+  }
 }

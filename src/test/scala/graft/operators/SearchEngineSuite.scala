@@ -201,6 +201,44 @@ class SearchEngineSuite extends AnyFunSuite {
       SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), 0))
   }
 
+  test("topHitsPerBucket: per-bucket top-n with doc_count; WindowGroupLimit, no global window (X247)") {
+    import spark.implicits._
+    val hits = Seq(
+      (1L, 9.0), (2L, 8.0), (3L, 7.0), (4L, 6.0), // lang A: 4 hits
+      (5L, 5.0), (6L, 4.0),                       // lang B: 2 hits
+      (7L, 3.0)                                   // lang C: singleton
+    ).toDF("doc_id", "score")
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"), (6L, "B"),
+      (7L, "C"), (8L, "C") // doc 8 not in the hit set -> not counted
+    ).toDF("doc_id", "lang")
+    val out = SearchEngine.topHitsPerBucket(hits, docs, "doc_id",
+        col("lang"), n = 2)
+      .orderBy(col("field_value"), col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out === Seq(
+      ("A", 4L, 1, 1L, 9.0), ("A", 4L, 2, 2L, 8.0),
+      ("B", 2L, 1, 5L, 5.0), ("B", 2L, 2, 6L, 4.0),
+      ("C", 1L, 1, 7L, 3.0)),
+      "per-bucket cut with the bucket's full doc_count")
+    // score tie inside a bucket: doc_id asc breaks it deterministically
+    val tied = SearchEngine.topHitsPerBucket(
+        Seq((2L, 5.0), (1L, 5.0)).toDF("doc_id", "score"),
+        Seq((1L, "A"), (2L, "A")).toDF("doc_id", "lang"),
+        "doc_id", col("lang"), n = 1).collect().head
+    assert(tied.getLong(3) == 1L)
+    intercept[IllegalArgumentException](SearchEngine.topHitsPerBucket(
+      hits, docs, "doc_id", col("lang"), 0))
+    // plan audit: the rank window rewrites to a per-partition group
+    // limit (the n-heap runs BEFORE the exchange) and nothing in the
+    // plan is a global single-partition window
+    val plan = SearchEngine.topHitsPerBucket(hits, docs, "doc_id",
+      col("lang"), n = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-bucket cut must compile to WindowGroupLimit:\n$plan")
+  }
+
   test("collapseByField: one representative per group, ordered inner hits, k cuts groups") {
     import spark.implicits._
     val hits = Seq(

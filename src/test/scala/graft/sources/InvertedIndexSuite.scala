@@ -1206,6 +1206,32 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(!settled("forward"))
   }
 
+  test("match-only BM25: scored rows bounded by the tf side, results ≡ tokenize path") {
+    val dir = Files.createTempDirectory("graft_inv_matchonly").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    val ranked = idx.bm25(Seq("sort", "merge"), k = 10)
+    // the ES match-only contract: doclens joins the tf aggregate INNER,
+    // so the scored mass is bounded by docs containing >= 1 query term —
+    // no LeftOuter against doclens anywhere in the scoring plan
+    val plan = ranked.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftOuter"),
+      s"match-only bm25 must not left-join the corpus doclens:\n$plan")
+    // results are bit-identical to the all-docs tokenize path (score > 0
+    // excluded non-matching docs there; corpus stats ride the broadcast
+    // one-row frame here)
+    val got = ranked.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = TextAnalysis.bm25TopK(docsA.union(docsB), "doc_id",
+        col("text"), Seq("sort", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    // a doc matching no term explains to zero rows (the documented
+    // match-only corollary); a matching doc still explains exactly
+    assert(idx.explain(Seq("sort", "merge"), 3L).count() === 0L)
+    assert(idx.explain(Seq("sort", "merge"), 2L).count() === 2L)
+  }
+
   test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
     val dir = Files.createTempDirectory("graft_inv_expl").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)

@@ -84,6 +84,38 @@ class QueryStoreSuite extends AnyFunSuite {
     assert(qs.percolate(docs.limit(0), "doc_id", col("text")).isEmpty)
   }
 
+  test("percolateScored: fired pairs ≡ percolate, batch-relative BM25 scores (X246)") {
+    val dir = Files.createTempDirectory("graft_qstore_scored").toString
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    val fired = rows(qs.percolate(docs, "doc_id", col("text")))
+      .map(t => (t._1, t._2)).toSet
+    val scored = qs.percolateScored(docs, "doc_id", col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(scored.map(t => (t._1, t._2)).toSet === fired,
+      "scoring must not change which pairs fire")
+    assert(scored.forall(_._4 > 0.0), "every fired pair scores positive")
+    // hand-computed alert1 × doc1: batch stats N=5, dls (3,4,4,3,3) ->
+    // avgdl 3.4; matched terms sort(df 5), merge(df 4), spark(df 4),
+    // each tf 1 in doc 1 (dl 3); must_not 'bubble' absent. The partial
+    // is the engine's exact expression; the pair sum is decimal-exact.
+    def partial(tf: Int, df: Int, dl: Int): BigDecimal = {
+      val idf = math.log(1.0 + (5.0 - df + 0.5) / (df + 0.5))
+      val norm = tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.4)
+      BigDecimal(idf * tf * 2.2 / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = (partial(1, 5, 3) + partial(1, 4, 3) + partial(1, 4, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = scored.find(t => t._1 == "alert1" && t._2 == 1L).get._4
+    assert(got === want, s"alert1×doc1 score: got $got want $want")
+    // empty batch degenerates to the typed empty frame
+    assert(qs.percolateScored(docs.limit(0), "doc_id", col("text")).isEmpty)
+    intercept[IllegalArgumentException](
+      qs.percolateScored(docs, "doc_id", col("text"), minShould = 0))
+  }
+
   test("lifecycle: append / tombstone delete / vacuum all live on the next read") {
     val dir = Files.createTempDirectory("graft_qstore_life").toString
     val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
