@@ -1749,6 +1749,51 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q290_snapshot_restore" -> ((s, d) => {
+      // X248 snapshot/restore (the ES backup ops surface): snapshot
+      // the shared index, tombstone a seventh of the corpus in the
+      // copy, snapshot AGAIN (pending tombstones must travel), vacuum
+      // the second copy, serve — q217's oracle verbatim: a snapshot
+      // chain that corrupted any state answers wrong
+      val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val src = sharedInvIndex(s, d)
+      src.snapshot(s"$dir/a")
+      val a = new graft.sources.InvertedIndex(s, s"$dir/a")
+      a.delete(t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")))
+      a.snapshot(s"$dir/b")
+      val bx = new graft.sources.InvertedIndex(s, s"$dir/b")
+      bx.vacuum()
+      bx.bm25(Seq("sort", "merge", "spark"), k = 20)
+    }),
+    "q291_regexp" -> ((s, d) => {
+      // X249 regexp query (ES regexp, implicitly anchored): 'mer.*'
+      // expands from the pruned tprefix census partition capped at 4
+      // by (df desc, term), scored as one SynonymQuery group — q262's
+      // wildcard discipline with a raw regex
+      sharedInvIndex(s, d).regexpSearch("mer.*", k = 20, maxExpansions = 4)
+    }),
+    "q292_adjacency_matrix" -> ((s, d) => {
+      // X250 adjacency_matrix agg: named-filter doc counts + pairwise
+      // intersections in ONE pass ('en&zh' is empty and omitted, the
+      // ES convention)
+      CorpusStats.adjacencyMatrix(t(s, d, "documents"), Seq(
+        "en" -> (col("lang") === "en"),
+        "long" -> (col("n_chars") > 300),
+        "zh" -> (col("lang") === "zh")))
+        .orderBy(col("key"))
+    }),
+    "q293_rare_terms" -> ((s, d) => {
+      // X251 rare_terms agg: the census long tail — postings never
+      // opened. The synthetic vocabulary is tiny and uniformly
+      // frequent, so the "rare" bar derives from the census minimum
+      // (min df + 20%) to stay non-degenerate at every SF; a real
+      // corpus uses the ES-style absolute max_doc_count directly
+      val v = sharedInvIndex(s, d).vocab()
+      val lo = v.agg(min(col("df"))).head().getLong(0)
+      CorpusStats.rareTerms(v, maxDocCount = lo * 6 / 5)
+        .orderBy(col("term"))
+    }),
     "q288_percolate_scored" -> ((s, d) => {
       // X246 scored percolation (ES percolate returns _score): q256's
       // fired (query, doc) pairs, each with a BM25 score of the stored
@@ -6118,6 +6163,34 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X248: the snapshot chain must answer exactly like the survivor
+    // corpus — q217's oracle verbatim
+    "q290_snapshot_restore" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),
+    // X249: q262's wildcard oracle with the raw anchored regex
+    "q291_regexp" -> wildcardSql("^mer.*$", maxExpansions = 4),
+    // X250: per-filter and pairwise-intersection counts, empty buckets
+    // omitted (the ES convention)
+    "q292_adjacency_matrix" ->
+      """SELECT key, doc_count FROM (
+           SELECT 'en' AS key, COUNT(*) AS doc_count FROM documents WHERE lang = 'en'
+           UNION ALL SELECT 'long', COUNT(*) FROM documents WHERE n_chars > 300
+           UNION ALL SELECT 'zh', COUNT(*) FROM documents WHERE lang = 'zh'
+           UNION ALL SELECT 'en&long', COUNT(*) FROM documents
+             WHERE lang = 'en' AND n_chars > 300
+           UNION ALL SELECT 'en&zh', COUNT(*) FROM documents
+             WHERE lang = 'en' AND lang = 'zh'
+           UNION ALL SELECT 'long&zh', COUNT(*) FROM documents
+             WHERE n_chars > 300 AND lang = 'zh')
+         WHERE doc_count > 0 ORDER BY key""",
+    // X251: the census long tail, recomputed from the raw tokens; the
+    // bar is (min df * 6) // 5 — Spark's Long division floors like //
+    "q293_rare_terms" ->
+      s"""WITH p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM (SELECT doc_id, $toksSql AS tk FROM documents),
+              UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          c AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term)
+          SELECT term, CAST(df AS BIGINT) AS df FROM c
+          WHERE df <= (SELECT (MIN(df) * 6) // 5 FROM c) ORDER BY term""",
     // X246: the q256 gate chain plus the BM25 score join — batch-
     // relative stats (the percolator's corpus IS the arriving batch),
     // round-6 partials, decimal order-free per-pair sum

@@ -268,6 +268,55 @@ object CorpusStats {
       round(sqrt(variance), 6).as("std"))
   }
 
+  /** Adjacency-matrix aggregation (X250 — the ES `adjacency_matrix`
+    * bucket agg): given NAMED row filters, the doc_count of every
+    * filter and of every pairwise intersection, keyed `"a"` and
+    * `"a&b"` (names joined by `&` in the given order — the ES key
+    * convention); empty buckets are omitted, also the ES behavior.
+    * The overlap matrix behind co-occurrence heatmaps ("how many docs
+    * are both long AND english?") without n² scans.
+    *
+    * ONE pass: each row emits its matched singleton + pair keys from
+    * an inline literal array of `when()` flags — no self-join, no
+    * per-filter scan — and a map-side-combining count reduces to at
+    * most n(n+1)/2 groups (ES caps n at 100 for the same quadratic
+    * reason; the cap is enforced here too). */
+  def adjacencyMatrix(df: DataFrame,
+      filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "no filters")
+    require(filters.size <= 100, s"at most 100 filters (ES cap), got ${filters.size}")
+    val names = filters.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate filter name in $names")
+    require(names.forall(n => n.nonEmpty && !n.contains('&')),
+      s"filter names must be non-empty and '&'-free: $names")
+    val singles = filters.map { case (n, c) =>
+      when(c, lit(n)).otherwise(lit(null)) }
+    val pairs = for {
+      i <- filters.indices
+      j <- (i + 1) until filters.size
+    } yield when(filters(i)._2 && filters(j)._2,
+      lit(s"${names(i)}&${names(j)}")).otherwise(lit(null))
+    df.select(explode(array(singles ++ pairs: _*)).as("key"))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("doc_count"))
+  }
+
+  /** Rare-terms aggregation (X251 — the ES `rare_terms` bucket agg,
+    * the long-tail complement of `terms`): the terms whose document
+    * frequency is ≤ `maxDocCount` — "what occurs almost never", the
+    * typo/spam/anomaly surface a terms-agg's top-N can never show.
+    * Served ENTIRELY from the (term, df) census the caller provides
+    * (an [[graft.sources.InvertedIndex.vocab]] read — vocabulary-sized,
+    * postings never opened), which is the scale story: ES needs a
+    * special agg because a naive terms-agg ordered ascending would
+    * ship every shard's full term set; a census sidecar makes the
+    * long tail one filter. */
+  def rareTerms(census: DataFrame, maxDocCount: Long): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    census.select(col("term"), col("df"))
+      .filter(col("df") <= maxDocCount)
+  }
+
   /** Vocabulary coverage curve (X97): the fraction of total token MASS
     * the top-N most frequent types cover, for a ladder of N — the
     * tokenizer-sizing table (how big must the vocab be before <1% of

@@ -1147,6 +1147,44 @@ final class InvertedIndex(spark: SparkSession, path: String,
     else bm25Synonyms(Seq(expanded), k, k1, b)
   }
 
+  /** Regexp query (X249 — the ES `regexp` query, implicitly anchored
+    * like Lucene's): census terms matching the pattern expand capped
+    * at `maxExpansions` by (df desc, term asc) — the [[wildcardSearch]]
+    * rewrite rule — and score as ONE SynonymQuery group (blended idf,
+    * no concept double-count). A LEADING LITERAL run prunes the census
+    * read to its `tprefix=` partition (X226), but only when the prune
+    * is PROVABLY sound: a top-level alternation (`ab|cd`) or a
+    * quantifier on the run's last char (`a*b`) lets matches escape the
+    * prefix, so those patterns read the full vocabulary — exactly
+    * Lucene's leading-wildcard cost cliff, stated rather than hidden.
+    * Pattern syntax: the common Java-regex/RE2 subset (the oracle runs
+    * the same string), the caller's contract. */
+  def regexpSearch(pattern: String, k: Int, maxExpansions: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(pattern.nonEmpty, "empty regexp pattern")
+    require(k > 0, s"k must be positive, got $k")
+    require(maxExpansions >= 1 && maxExpansions <= 1024,
+      s"maxExpansions must be in [1, 1024], got $maxExpansions")
+    val lit = pattern.takeWhile(_.isLetterOrDigit)
+    // a quantifier right after the literal run makes its LAST char
+    // optional/repeated — the run minus that char still binds
+    val safeLit = pattern.drop(lit.length).headOption match {
+      case Some(c) if "*+?{".contains(c) => lit.dropRight(1)
+      case _ => lit
+    }
+    val vocabSrc =
+      if (safeLit.nonEmpty && !pattern.contains('|'))
+        vocabForPrefixes(Seq(safeLit))
+      else vocab()
+    val expanded = vocabSrc
+      .filter(col("term").rlike("^" + pattern + "$"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(maxExpansions)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    if (expanded.isEmpty) emptyBm25Frame()
+    else bm25Synonyms(Seq(expanded), k, k1, b)
+  }
+
   /** Anchored regex for a Lucene wildcard pattern — `*` → `.*`, `?` →
     * `.`, everything else literal (backslash-escaped unless
     * alphanumeric, valid in both Java regex and RE2 so the oracle can
@@ -2337,6 +2375,31 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .limit(fbTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
     bm25(queryTerms ++ expansion, k, k1, b)
+  }
+
+  /** Consistent on-disk SNAPSHOT of the whole index (X248 — the ES
+    * snapshot/restore ops surface, the backup primitive a 100 TB
+    * deployment runs on a schedule): [[recover]] quiesces the layout
+    * first (every marker rolls forward, every unmarked staging dir is
+    * discarded — after it, under the engine-wide single-writer
+    * assumption, the tree is immutable for the copy), then the
+    * directory tree copies byte-faithfully — INCLUDING pending
+    * tombstones and sidecar deltas, so the snapshot answers exactly
+    * like the source at snapshot time (tombstone masks, maintenance
+    * debt and all travel with it; a later vacuum on either side leaves
+    * the other untouched). Restore is free by construction: a snapshot
+    * IS a complete index directory — open it (`new InvertedIndex(spark,
+    * target)`) or copy it back over a damaged layout with the same
+    * call. Cost ∝ index bytes (driver-side stream copy on local/HDFS);
+    * incremental/hard-link snapshots are a filesystem concern outside
+    * the layout contract. */
+  def snapshot(targetPath: String): Unit = {
+    recover()
+    val dst = new Path(targetPath)
+    require(!fs.exists(dst), s"snapshot target $targetPath already exists")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, dst,
+        false, spark.sparkContext.hadoopConfiguration))
+      sys.error(s"snapshot copy to $targetPath failed")
   }
 
   /** The postings of exactly `terms`, read from their pruned bucket

@@ -26,6 +26,38 @@ class CorpusStatsSuite extends AnyFunSuite {
       ("b", 1L, 5.0, 5.0, 5.0, 5.0, 0.0, 0.0)))
   }
 
+  test("adjacencyMatrix: singleton + pair counts, empty buckets omitted, contract (X250)") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 500L), ("en", 2000L), ("en", 3000L),
+      ("fr", 2500L), ("fr", 100L), ("zh", 50L)).toDF("lang", "n")
+    val got = CorpusStats.adjacencyMatrix(df, Seq(
+        "en" -> (col("lang") === "en"),
+        "long" -> (col("n") > 1000L),
+        "zh" -> (col("lang") === "zh")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "en" -> 3L, "long" -> 3L, "zh" -> 1L, "en&long" -> 2L))
+    // 'en&zh' and 'long&zh' are empty -> omitted (the ES convention)
+    assert(!got.contains("en&zh") && !got.contains("long&zh"))
+    intercept[IllegalArgumentException](
+      CorpusStats.adjacencyMatrix(df, Nil))
+    intercept[IllegalArgumentException](CorpusStats.adjacencyMatrix(df,
+      Seq("a" -> lit(true), "a" -> lit(false))))
+    intercept[IllegalArgumentException](CorpusStats.adjacencyMatrix(df,
+      Seq("a&b" -> lit(true))))
+  }
+
+  test("rareTerms: the df-bounded long tail of a census; contract (X251)") {
+    import spark.implicits._
+    val census = Seq(("the", 100L), ("sort", 5L), ("quokka", 1L),
+      ("bezoar", 2L)).toDF("term", "df")
+    val got = CorpusStats.rareTerms(census, maxDocCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got === Seq(("bezoar", 2L), ("quokka", 1L)))
+    intercept[IllegalArgumentException](CorpusStats.rareTerms(census, 0))
+  }
+
   test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
     // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")

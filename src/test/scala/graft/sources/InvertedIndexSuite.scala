@@ -1232,6 +1232,60 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(idx.explain(Seq("sort", "merge"), 2L).count() === 2L)
   }
 
+  test("regexpSearch: anchored expansion ≡ synonym group; unsafe prefixes read full vocab (X249)") {
+    val dir = Files.createTempDirectory("graft_inv_rx").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // 'm[ae]rge' expands to exactly {merge}: identical to the synonym
+    // group serve over the expansion
+    assert(rows(idx.regexpSearch("m[ae]rge", k = 10)) ===
+      rows(idx.bm25Synonyms(Seq(Seq("merge")), k = 10)))
+    // 's.*' catches sort/strategy/spark-class terms; parity with the
+    // explicit expansion under the same (df desc, term) cap
+    val expanded = idx.vocab().filter(col("term").rlike("^s.*$"))
+      .orderBy(col("df").desc, col("term").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(idx.regexpSearch("s.*", k = 10, maxExpansions = 3)) ===
+      rows(idx.bm25Synonyms(Seq(expanded), k = 10)))
+    // alternation escapes any literal prefix: 'merge|join' must match
+    // BOTH despite starting with a literal run (full-vocab path)
+    val alts = idx.regexpSearch("merge|join", k = 10)
+    assert(rows(alts) === rows(idx.bm25Synonyms(Seq(Seq("join", "merge")), k = 10)))
+    // a quantifier on the literal run's last char: 'sort?s?' matches
+    // 'sort' — the prune must not assume the full run
+    assert(rows(idx.regexpSearch("sorts?", k = 10)).nonEmpty)
+    // nothing matches -> the typed empty frame
+    assert(idx.regexpSearch("zz+", k = 5).isEmpty)
+    intercept[IllegalArgumentException](idx.regexpSearch("", 5))
+    intercept[IllegalArgumentException](idx.regexpSearch("a.*", 0))
+  }
+
+  test("snapshot: byte-faithful copy, pending tombstones travel, sides independent (X248)") {
+    val dir = Files.createTempDirectory("graft_inv_snap").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(i: InvertedIndex) = i.bm25(Seq("sort", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = rows(idx)
+    idx.snapshot(s"$dir/a")
+    val a = new InvertedIndex(spark, s"$dir/a", buckets = 8)
+    assert(rows(a) === want, "snapshot must answer exactly like the source")
+    // tombstone in the copy; the source is untouched, and a SECOND
+    // snapshot carries the pending tombstone state faithfully
+    a.delete(Seq(1L).toDF("doc_id"))
+    assert(rows(idx) === want, "source must not see the copy's delete")
+    a.snapshot(s"$dir/b")
+    val b = new InvertedIndex(spark, s"$dir/b", buckets = 8)
+    assert(rows(b) === rows(a), "pending tombstones must travel")
+    b.vacuum()
+    assert(rows(b) === rows(a), "vacuum on the copy keeps answers")
+    assert(!rows(b).exists(_._1 == 1L))
+    // target-exists is a refusal, not an overwrite
+    intercept[IllegalArgumentException](idx.snapshot(s"$dir/a"))
+  }
+
   test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
     val dir = Files.createTempDirectory("graft_inv_expl").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
