@@ -1749,6 +1749,35 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q294_multi_match" -> ((s, d) => {
+      // X252 multi_match best_fields (the ES default multi-field
+      // query): per-field BM25 rankings from the fielded sidecar —
+      // each with its OWN field statistics — dis_maxed per doc
+      // (strongest field wins, 0.3 tie-break credit); the compose-only
+      // proof that X225's sidecar + X230's combiner span the feature
+      val idx = sharedInvIndex(s, d)
+      val terms = Seq("sort", "merge", "spark")
+      SearchEngine.disMax(Seq(
+        idx.bm25FieldRanked("head", terms),
+        idx.bm25FieldRanked("body", terms)), k = 20, tieBreaker = 0.3)
+    }),
+    "q295_terms_other" -> ((s, d) => {
+      // X253 terms agg + sum_other_doc_count: top-5 sources plus the
+      // __sum_other__ mass row — the rendered chart reconciles with
+      // the corpus total
+      CorpusStats.termsAggWithOther(t(s, d, "documents"), col("source"),
+          size = 5)
+        .orderBy(col("doc_count").desc, col("key"))
+    }),
+    "q296_range_agg" -> ((s, d) => {
+      // X254 range agg over event value: open ends, an OVERLAPPING
+      // range and an empty one that still emits — the ES conventions
+      CorpusStats.rangeAgg(events(s, d), col("value"), Seq(
+        (None, Some(10.0)), (Some(10.0), Some(100.0)),
+        (Some(100.0), None), (Some(50.0), Some(150.0)),
+        (Some(10000.0), None)))
+        .orderBy(col("key"))
+    }),
     "q290_snapshot_restore" -> ((s, d) => {
       // X248 snapshot/restore (the ES backup ops surface): snapshot
       // the shared index, tombstone a seventh of the corpus in the
@@ -3852,6 +3881,41 @@ object SparkEntry {
           FROM pd JOIN tfs USING (doc_id) CROSS JOIN st CROSS JOIN gdf)
         SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
         WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT $topN"""
+  }
+
+  /** Single-field BM25 oracle (q294's legs — X252): the [[bm25SqlOver]]
+    * arithmetic over ONE derived field's token slice with that field's
+    * own statistics (docs with the field non-empty; field dl/avgdl;
+    * in-field df) — [[graft.sources.InvertedIndex.bm25FieldRanked]]'s
+    * contract verbatim. Emits the FULL ranking (score > 0, unordered
+    * semantics; ordered here for embedding determinism). */
+  private def bm25FieldSql(head: Boolean, headLen: Int,
+      terms: Seq[String]): String = {
+    val (k1, b) = (1.2, 0.75)
+    val k1p = (k1 + 1.0).toString
+    val fld = if (head) s"tk[1:$headLen]" else s"tk[${headLen + 1}:]"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(fd, x -> x = '$t')) AS tf$i" }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"COUNT(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+    val partial = terms.indices.map { i =>
+      s"""ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         / (CAST(df$i AS DOUBLE) + 0.5))
+       * CAST(tf$i AS DOUBLE) * CAST($k1p AS DOUBLE)
+       / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+          + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
+    }.mkString(" + ")
+    s"""WITH fpd AS (SELECT doc_id, CAST(len(fd) AS BIGINT) AS dl, $tfCols
+          FROM (SELECT doc_id, $fld AS fd
+                FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                      FROM documents))
+          WHERE len(fd) > 0),
+        fst AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols FROM fpd),
+        fsc AS (SELECT fpd.doc_id, fpd.dl, $partial AS score
+          FROM fpd CROSS JOIN fst)
+        SELECT doc_id, dl, ROUND(score, 6) AS score FROM fsc
+        WHERE score > 0"""
   }
 
   /** BM25F oracle (q259 — X218): head/body token slices, per-field
@@ -6163,6 +6227,47 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X252: per-field legs (field-own stats), the q272 dis_max combine
+    "q294_multi_match" -> {
+      val tie = 0.3.toString
+      val terms = Seq("sort", "merge", "spark")
+      s"""WITH l1 AS MATERIALIZED (${bm25FieldSql(head = true, 8, terms)}),
+          l2 AS MATERIALIZED (${bm25FieldSql(head = false, 8, terms)}),
+          m AS (SELECT COALESCE(l1.doc_id, l2.doc_id) AS doc_id,
+              GREATEST(COALESCE(l1.score, 0.0), COALESCE(l2.score, 0.0)) AS best,
+              CAST(COALESCE(CAST(l1.score AS DECIMAL(38, 6)), 0)
+                + COALESCE(CAST(l2.score AS DECIMAL(38, 6)), 0) AS DOUBLE) AS s,
+              CAST((CASE WHEN l1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN l2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_legs
+            FROM l1 FULL OUTER JOIN l2 ON l1.doc_id = l2.doc_id),
+          c AS (SELECT doc_id, best, n_legs,
+              best + CAST($tie AS DOUBLE) * (s - best) AS combined FROM m)
+          SELECT doc_id, best, n_legs, ROUND(combined, 6) AS score
+          FROM c ORDER BY combined DESC, doc_id ASC LIMIT 20"""
+    },
+    // X253: top-5 + the reconciling other-mass row
+    "q295_terms_other" ->
+      """WITH c AS (SELECT source AS key, COUNT(*) AS doc_count
+            FROM documents GROUP BY 1),
+          top AS (SELECT * FROM c ORDER BY doc_count DESC, key LIMIT 5),
+          oth AS (SELECT '__sum_other__' AS key,
+              CAST(SUM(doc_count) AS BIGINT) AS doc_count
+            FROM c WHERE key NOT IN (SELECT key FROM top))
+          SELECT key, doc_count FROM
+            (SELECT * FROM top
+             UNION ALL SELECT * FROM oth WHERE doc_count IS NOT NULL)
+          ORDER BY doc_count DESC, key""",
+    // X254: conditional counts per range — overlap double-counts, the
+    // empty range still emits, nulls match nothing
+    "q296_range_agg" ->
+      """SELECT * FROM (
+           SELECT '*-10' AS key, COUNT(CASE WHEN value < 10 THEN 1 END) AS doc_count FROM events
+           UNION ALL SELECT '10-100', COUNT(CASE WHEN value >= 10 AND value < 100 THEN 1 END) FROM events
+           UNION ALL SELECT '100-*', COUNT(CASE WHEN value >= 100 THEN 1 END) FROM events
+           UNION ALL SELECT '50-150', COUNT(CASE WHEN value >= 50 AND value < 150 THEN 1 END) FROM events
+           UNION ALL SELECT '10000-*', COUNT(CASE WHEN value >= 10000 THEN 1 END) FROM events)
+         ORDER BY key""",
     // X248: the snapshot chain must answer exactly like the survivor
     // corpus — q217's oracle verbatim
     "q290_snapshot_restore" -> bm25Sql(where = "WHERE doc_id % 7 <> 0"),

@@ -301,6 +301,68 @@ object CorpusStats {
       .groupBy(col("key")).agg(count(lit(1)).as("doc_count"))
   }
 
+  /** Terms aggregation with the other-mass row (X253 — the ES `terms`
+    * agg's `sum_other_doc_count`, the honesty field dashboards forget):
+    * the top `size` buckets by (doc_count desc, key asc) PLUS one
+    * `__sum_other__` row carrying everything the cut dropped — so the
+    * rendered bar chart and the corpus total always reconcile. Empty
+    * other-mass omits the row (nothing dropped). Plan: one map-side-
+    * combining count, a size-heap (TakeOrderedAndProject) for the cut,
+    * one anti-join aggregate for the remainder — no global window, no
+    * driver-side bucket list. `__sum_other__` is reserved: a real key
+    * equal to it would alias the sentinel, so it is rejected. */
+  def termsAggWithOther(df: DataFrame, key: Column, size: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    val counts = df.groupBy(key.cast(StringType).as("key"))
+      .agg(count(lit(1)).as("doc_count"))
+    require(counts.filter(col("key") === "__sum_other__").isEmpty,
+      "key value '__sum_other__' collides with the sentinel row")
+    val top = counts
+      .orderBy(col("doc_count").desc, col("key").asc).limit(size)
+    val other = counts.join(top, Seq("key"), "left_anti")
+      .agg(sum(col("doc_count")).as("doc_count"))
+      .filter(col("doc_count").isNotNull)
+      .select(lit("__sum_other__").as("key"), col("doc_count"))
+    top.unionAll(other)
+  }
+
+  /** Range aggregation (X254 — the ES `range` agg): per [from, to)
+    * range over `value`, the bucket's doc_count — ranges may OVERLAP
+    * (a row lands in every range containing it) and EMPTY ranges still
+    * emit (both the ES conventions; unlike `filters`/adjacency, a
+    * keyed range is part of the requested output shape). Keys are the
+    * ES `from-to` form with `*` for an open end. ONE pass: a single
+    * aggregate row of per-range conditional counts, unpivoted by a
+    * bounded `stack` — no per-range scan, no join. Nulls match no
+    * range (the ES missing-value rule). */
+  def rangeAgg(df: DataFrame, value: Column,
+      ranges: Seq[(Option[Double], Option[Double])]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    require(ranges.forall { case (f, t) =>
+      f.nonEmpty || t.nonEmpty }, "a range needs at least one bound")
+    require(ranges.forall { case (f, t) =>
+      f.isEmpty || t.isEmpty || f.get < t.get },
+      s"every range needs from < to: $ranges")
+    def fmt(d: Double) =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    val keyed = ranges.map { case (f, t) =>
+      val k = s"${f.map(fmt).getOrElse("*")}-${t.map(fmt).getOrElse("*")}"
+      val cond = (f.map(value >= _) ++ t.map(value < _))
+        .reduce(_ && _)
+      (k, cond)
+    }
+    require(keyed.map(_._1).distinct.size == keyed.size,
+      s"duplicate range key in ${keyed.map(_._1)}")
+    val agg = df.agg(
+      count(when(keyed.head._2, 1)).as("c0"),
+      keyed.zipWithIndex.tail.map { case ((_, c), i) =>
+        count(when(c, 1)).as(s"c$i") }: _*)
+    val stackSql = s"stack(${keyed.size}, " + keyed.zipWithIndex.map {
+      case ((k, _), i) => s"'${k.replace("'", "''")}', c$i"
+    }.mkString(", ") + ") AS (key, doc_count)"
+    agg.select(expr(stackSql))
+  }
+
   /** Rare-terms aggregation (X251 — the ES `rare_terms` bucket agg,
     * the long-tail complement of `terms`): the terms whose document
     * frequency is ≤ `maxDocCount` — "what occurs almost never", the

@@ -2071,6 +2071,54 @@ final class InvertedIndex(spark: SparkSession, path: String,
       k1, wHead, wBody, bHead, bBody)
   }
 
+  /** SINGLE-FIELD BM25 ranking from the fielded sidecar (X252's legs —
+    * the per-field scorer `multi_match best_fields` dis_maxes): the
+    * full rounded ranking of `queryTerms` against ONE derived field
+    * (`"head"` or `"body"`), with that field's OWN statistics — N =
+    * docs whose field is non-empty, avgdl over that field's lengths,
+    * df = docs containing the term IN the field (ES per-field field
+    * statistics) — served match-only from the pruned fielded buckets,
+    * the [[bm25Ranked]] shape (every matching doc, unordered,
+    * round-6). Pure composition surface: feed the legs to
+    * [[graft.operators.SearchEngine.disMax]]. */
+  def bm25FieldRanked(field: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(field == "head" || field == "body",
+      s"field must be head|body, got $field")
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    recover()
+    require(fs.exists(new Path(fieldedPostingsPath)),
+      s"no fielded sidecar under $path — run buildFielded first")
+    val (tfCol, dlCol) =
+      if (field == "head") ("tf_head", "dlh") else ("tf_body", "dlb")
+    val bkts = readBuckets()
+    val bs = queryTerms.map(bucketOf(_, bkts)).distinct.sorted
+    val terms = queryTerms.zipWithIndex
+    val slice = liveOnly(spark.read.parquet(fieldedPostingsPath)
+      .filter(col("tbucket").isin(bs: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .filter(col(tfCol) > 0)
+      .select(col("doc_id"), col("term"), col(tfCol).as("__tf")))
+    val tf = slice.groupBy(col("doc_id"))
+      .agg(terms.head match { case (t, i) =>
+        sum(when(col("term") === t, col("__tf"))).as(s"tf$i") },
+        terms.tail.map { case (t, i) =>
+          sum(when(col("term") === t, col("__tf"))).as(s"tf$i") }: _*)
+    val dls = liveOnly(spark.read.parquet(fieldedDoclensPath))
+      .filter(col(dlCol) > 0)
+      .select(col("doc_id"), col(dlCol).as("dl"))
+    val perDoc = dls.join(tf, Seq("doc_id"))
+      .na.fill(0L, terms.map { case (_, i) => s"tf$i" })
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    TextAnalysis.bm25Scored(perDoc, queryTerms.size, k1, b,
+      corpusStats = Some(stats))
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("score"))
+  }
+
   private def forwardPath = s"$path/forward"
 
   /** Derived FORWARD sidecar (X206): the postings re-keyed doc-major —

@@ -58,6 +58,51 @@ class CorpusStatsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](CorpusStats.rareTerms(census, 0))
   }
 
+  test("termsAggWithOther: top-N + reconciling other row; no row when nothing dropped (X253)") {
+    import spark.implicits._
+    val df = Seq("a", "a", "a", "b", "b", "c", "d").toDF("src")
+    val got = CorpusStats.termsAggWithOther(df, col("src"), size = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(t => (-t._2, t._1))
+    assert(got === Seq(("a", 3L), ("__sum_other__", 2L), ("b", 2L)))
+    // total reconciles: top + other == corpus
+    assert(got.map(_._2).sum === 7L)
+    // size covering every bucket drops the sentinel row
+    val all = CorpusStats.termsAggWithOther(df, col("src"), size = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(all === Set("a", "b", "c", "d"))
+    // count tie at the cut: key asc wins deterministically
+    val tied = CorpusStats.termsAggWithOther(
+        Seq("x", "y").toDF("src"), col("src"), size = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(tied === Seq(("__sum_other__", 1L), ("x", 1L)))
+    intercept[IllegalArgumentException](
+      CorpusStats.termsAggWithOther(df, col("src"), 0))
+    intercept[IllegalArgumentException](CorpusStats.termsAggWithOther(
+      Seq("__sum_other__").toDF("src"), col("src"), 1))
+  }
+
+  test("rangeAgg: open ends, overlap double-counts, empty range emits, nulls match nothing (X254)") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](1.0, 5.0, 10.0, 50.0, 99.0, 150.0, null)
+      .toDF("v")
+    val got = CorpusStats.rangeAgg(df, col("v"), Seq(
+        (None, Some(10.0)), (Some(10.0), Some(100.0)), (Some(100.0), None),
+        (Some(5.0), Some(60.0)), (Some(1000.0), None)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map(
+      "*-10" -> 2L,       // 1, 5 (10 excluded: [from, to))
+      "10-100" -> 3L,     // 10, 50, 99
+      "100-*" -> 1L,      // 150
+      "5-60" -> 3L,       // 5, 10, 50 — overlap double-counts
+      "1000-*" -> 0L))    // empty range still emits
+    intercept[IllegalArgumentException](CorpusStats.rangeAgg(df, col("v"), Nil))
+    intercept[IllegalArgumentException](
+      CorpusStats.rangeAgg(df, col("v"), Seq((None, None))))
+    intercept[IllegalArgumentException](
+      CorpusStats.rangeAgg(df, col("v"), Seq((Some(9.0), Some(3.0)))))
+  }
+
   test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
     // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")

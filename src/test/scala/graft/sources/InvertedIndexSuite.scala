@@ -1232,6 +1232,33 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(idx.explain(Seq("sort", "merge"), 2L).count() === 2L)
   }
 
+  test("bm25FieldRanked: per-field serve ≡ tokenize path over the field slice (X252)") {
+    val dir = Files.createTempDirectory("graft_inv_field").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    val all = docsA.union(docsB)
+    idx.build(all, "doc_id", col("text"))
+    idx.buildFielded(headLen = 2)
+    def slice(head: Boolean) = all.collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      val f = if (head) toks.take(2) else toks.drop(2)
+      (r.getLong(0), f.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (head <- Seq(true, false)) {
+      val got = rows(idx.bm25FieldRanked(
+        if (head) "head" else "body", Seq("sort", "merge")))
+      val want = rows(TextAnalysis.bm25TopK(slice(head), "doc_id",
+        col("text"), Seq("sort", "merge"), k = 100))
+      assert(got === want, s"head=$head: field serve must equal the " +
+        "tokenize path over that field's slice with the field's own stats")
+    }
+    intercept[IllegalArgumentException](
+      idx.bm25FieldRanked("title", Seq("sort")))
+    intercept[IllegalArgumentException](idx.bm25FieldRanked("head", Nil))
+  }
+
   test("regexpSearch: anchored expansion ≡ synonym group; unsafe prefixes read full vocab (X249)") {
     val dir = Files.createTempDirectory("graft_inv_rx").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
