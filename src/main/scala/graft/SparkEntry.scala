@@ -1749,6 +1749,19 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q297_knn_filtered" -> ((s, d) => {
+      // X255 filtered kNN (ES knn filter / FAISS IDSelector): q153's
+      // probe with a candidate predicate applied BEFORE the top-k heap
+      // — k survivors rank whenever they exist, where post-filtering
+      // could return fewer; the predicate rides the pruned list read
+      val embs = t(s, d, "embeddings")
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      sharedIvfIndex(s, d)
+        .searchWhere(qv, k = 10, nprobe = 2, col("id") % 3 === 1)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
     "q294_multi_match" -> ((s, d) => {
       // X252 multi_match best_fields (the ES default multi-field
       // query): per-field BM25 rankings from the fielded sidecar —
@@ -6227,6 +6240,34 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X255: q153's probe chain with the candidate predicate inside the
+    // probed set, before the top-k cut
+    "q297_knn_filtered" ->
+      s"""WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+          q AS (SELECT embedding AS qv,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) FROM unnest(embedding) AS t(y))) AS qmag
+            FROM embeddings WHERE vec_id = 5),
+          probes AS (SELECT c.ccid FROM cents c, q
+            ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                      FROM (SELECT unnest(c.cv) AS x, unnest(q.qv) AS y) z) DESC,
+                     c.ccid ASC
+            LIMIT 2),
+          assign AS (SELECT e.vec_id, CAST((
+              SELECT c.ccid FROM cents c
+              ORDER BY (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                        FROM (SELECT unnest(e.embedding) AS x, unnest(c.cv) AS y) z) DESC,
+                       c.ccid ASC
+              LIMIT 1) AS INT) AS ivf_list
+            FROM embeddings e),
+          scored AS (SELECT e.vec_id,
+            (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+             FROM q, LATERAL (SELECT unnest(e.embedding) AS x, unnest(q.qv) AS y) z) /
+            (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) FROM unnest(e.embedding) AS t(x)))
+             * (SELECT qmag FROM q) + 1e-12) AS c
+            FROM embeddings e JOIN assign a USING (vec_id)
+            WHERE a.ivf_list IN (SELECT ccid FROM probes) AND e.vec_id % 3 = 1)
+          SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
+          ORDER BY c DESC, vec_id ASC LIMIT 10""",
     // X252: per-field legs (field-own stats), the q272 dis_max combine
     "q294_multi_match" -> {
       val tie = 0.3.toString

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -865,6 +865,27 @@ final class IvfIndex(spark: SparkSession, path: String,
     recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
     val probed = spark.read.parquet(listsPath)
       .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
+    Ann.bruteForceTopK(probed, "id", "vector", query, k)
+  }
+
+  /** FILTERED ANN (X255 — the ES kNN `filter` parameter / FAISS
+    * IDSelector): [[search]] with a row predicate applied INSIDE the
+    * probe — candidates are restricted BEFORE the top-k heap (the ES
+    * pre-filter semantics: k results whenever ≥ k candidates survive,
+    * where post-filtering a plain top-k can silently return fewer),
+    * and the predicate rides the SAME pruned `ivf_list` directory read
+    * (pushed into the probed scan when it names stored columns). The
+    * recall caveat is ES's too, stated: a very selective filter can
+    * empty the probed lists while matches exist in unprobed ones —
+    * raise nprobe, exactly like the unfiltered recall knob. */
+  def searchWhere(query: Array[Float], k: Int, nprobe: Int,
+      pred: Column): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath)
+    val probed = spark.read.parquet(listsPath)
+      .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
+      .filter(pred)
     Ann.bruteForceTopK(probed, "id", "vector", query, k)
   }
 

@@ -36,6 +36,31 @@ class IvfIndexSuite extends AnyFunSuite {
     got.zip(cents).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
   }
 
+  test("searchWhere: pre-filter inside the probe — k survivors rank, post-filter would under-fill (X255)") {
+    val idx = freshIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(idx.searchWhere(query, k = 10, nprobe = 2,
+      col("id") % 3 === 1))
+    assert(got.size == 10, "enough survivors -> exactly k results")
+    assert(got.forall(_._1 % 3 == 1), "every hit satisfies the filter")
+    // parity: the filtered probe ≡ brute-force over (probed ∩ filter),
+    // with the probed membership read off the unfiltered full search
+    val unfilteredProbe = rows(idx.search(query, k = 64, nprobe = 2))
+      .map(_._1).toSet
+    val expect = rows(Ann.bruteForceTopK(
+      embs.filter(col("vec_id").isin(unfilteredProbe.toSeq: _*))
+        .filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", query, k = 10))
+    assert(got === expect,
+      "filtered probe must equal brute force over (probed ∩ filter)")
+    // the pre-filter advantage: post-filtering the unfiltered top-10
+    // keeps fewer than k rows — the ES under-fill this API exists to fix
+    val post = rows(idx.search(query, k = 10, nprobe = 2))
+      .filter(_._1 % 3 == 1)
+    assert(post.size < 10 && got.size == 10)
+  }
+
   test("append parity: build(A) + append(B) searches identically to build(A ∪ B)") {
     val dir = Files.createTempDirectory("graft_ivf_append_test").toString
     val incremental = new IvfIndex(spark, s"$dir/inc")
