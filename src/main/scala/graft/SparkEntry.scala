@@ -1749,6 +1749,29 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q298_value_histogram" -> ((s, d) => {
+      // X256 numeric histogram (ES histogram agg): event values in
+      // interval-25 buckets, empty buckets zero-filled between the data
+      // bounds — the gapless bar chart
+      Sessionize.valueHistogram(events(s, d), col("value"), interval = 25.0)
+        .orderBy(col("bucket_start"))
+    }),
+    "q299_bucket_stats" -> ((s, d) => {
+      // X257 stats_bucket/avg_bucket/extrema-keys pipeline family in
+      // one row over the per-type count buckets — decimal order-free
+      // sum, tie-keeping sorted extreme-key lists
+      val b = events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Sessionize.bucketStats(b, col("event_type"), col("n"))
+    }),
+    "q300_serial_diff" -> ((s, d) => {
+      // X258 serial_diff (ES pipeline agg): hourly counts minus the
+      // same hour YESTERDAY (lag 24 over the gap-filled spine) — the
+      // seasonal-anomaly surface; first 24 buckets null, ES convention
+      Sessionize.serialDiff(events(s, d), col("ts"), widthSeconds = 3600L,
+          lagN = 24)
+        .orderBy(col("bucket_start"))
+    }),
     "q297_knn_filtered" -> ((s, d) => {
       // X255 filtered kNN (ES knn filter / FAISS IDSelector): q153's
       // probe with a candidate predicate applied BEFORE the top-k heap
@@ -6240,6 +6263,42 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X256: floor(value/interval) buckets, range spine, zero fill
+    "q298_value_histogram" ->
+      """WITH b AS (SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS i,
+            COUNT(*) AS doc_count
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+          mm AS (SELECT MIN(i) AS lo, MAX(i) AS hi FROM b),
+          spine AS (SELECT UNNEST(range(mm.lo, mm.hi + 1)) AS i FROM mm)
+          SELECT CAST(i AS DOUBLE) * 25.0 AS bucket_start,
+            CAST(COALESCE(doc_count, 0) AS BIGINT) AS doc_count
+          FROM spine LEFT JOIN b USING (i) ORDER BY bucket_start""",
+    // X257: the same decimal sum / tie-keeping extreme-key rendering
+    "q299_bucket_stats" ->
+      """WITH b AS (SELECT event_type AS k, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1),
+          a AS (SELECT COUNT(*) AS n_buckets, MIN(v) AS min_value,
+              MAX(v) AS max_value, SUM(CAST(v AS DECIMAL(38, 6))) AS s
+            FROM b)
+          SELECT n_buckets, min_value, max_value,
+            ROUND(CAST(s AS DOUBLE), 6) AS sum_value,
+            ROUND(CAST(s AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6) AS avg_value,
+            (SELECT string_agg(k, ',' ORDER BY k) FROM b
+              WHERE v = (SELECT min_value FROM a)) AS min_keys,
+            (SELECT string_agg(k, ',' ORDER BY k) FROM b
+              WHERE v = (SELECT max_value FROM a)) AS max_keys
+          FROM a""",
+    // X258: the q280 spine with LAG(n, 24)
+    "q300_serial_diff" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS i, COUNT(*) AS n
+            FROM events GROUP BY 1),
+          mm AS (SELECT MIN(i) AS lo, MAX(i) AS hi FROM b),
+          spine AS (SELECT UNNEST(range(mm.lo, mm.hi + 1)) AS i FROM mm),
+          f AS (SELECT spine.i, COALESCE(b.n, 0) AS n
+            FROM spine LEFT JOIN b USING (i))
+          SELECT i * 3600 AS bucket_start, n,
+            n - LAG(n, 24) OVER (ORDER BY i) AS serial_diff
+          FROM f ORDER BY bucket_start""",
     // X255: q153's probe chain with the candidate predicate inside the
     // probed set, before the top-k cut
     "q297_knn_filtered" ->

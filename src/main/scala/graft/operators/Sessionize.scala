@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType, StringType}
 
 /** User-session assignment over an event stream — the classic
   * gaps-and-islands operator: a new session starts when the gap to the
@@ -299,10 +299,15 @@ object Sessionize {
     * over decade ranges (100M+ points — no longer a dashboard) should
     * widen the bucket or slice the time range; the spine build itself
     * stays distributed either way. */
-  def bucketPipeline(events: DataFrame, ts: Column, widthSeconds: Long,
-      movingW: Int = 3): DataFrame = {
-    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
-    require(movingW >= 1, s"movingW must be >= 1, got $movingW")
+  /** The gap-filled (`min_doc_count: 0`) bucket series shared by the
+    * pipeline family: per tumbling `__i` = FLOOR(epoch-micros/width)
+    * bucket, the event count, with empty buckets zero-filled over a
+    * DISTRIBUTED `spark.range` spine anchored at the one-row (min, max)
+    * collect (a `sequence()`-array spine would build the whole series
+    * as one row — a decade of 1-second buckets is a 300M-element
+    * array). None on an empty input. */
+  private def filledBuckets(events: DataFrame, ts: Column,
+      widthSeconds: Long): Option[DataFrame] = {
     val wUs = widthSeconds * 1000000L
     val spark = events.sparkSession
     val b = events
@@ -310,20 +315,28 @@ object Sessionize {
       .select(expr(s"CAST((__us - pmod(__us, ${wUs}L)) DIV ${wUs}L AS BIGINT)")
         .as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("n"))
-    // the spine comes from spark.range over a one-row (min, max)
-    // collect (the bounded scalar anchor) — a DISTRIBUTED spine, where
-    // a sequence()-array spine would build the whole series as one
-    // row (a decade of 1-second buckets = a 300M-element array)
     val mmRow = b.agg(min(col("__i")).as("__lo"), max(col("__i")).as("__hi"))
       .head()
-    if (mmRow.isNullAt(0))
+    if (mmRow.isNullAt(0)) None
+    else {
+      val spine = spark.range(mmRow.getLong(0), mmRow.getLong(1) + 1)
+        .select(col("id").as("__i"))
+      Some(spine.join(b, Seq("__i"), "left").na.fill(0L, Seq("n")))
+    }
+  }
+
+  def bucketPipeline(events: DataFrame, ts: Column, widthSeconds: Long,
+      movingW: Int = 3): DataFrame = {
+    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
+    require(movingW >= 1, s"movingW must be >= 1, got $movingW")
+    val spark = events.sparkSession
+    val filledOpt = filledBuckets(events, ts, widthSeconds)
+    if (filledOpt.isEmpty)
       return spark.range(0).select(
         col("id").as("bucket_start"), lit(0L).as("n"), lit(0L).as("cum_n"),
         lit(null).cast(LongType).as("derivative"),
         lit(0.0).as("moving_avg"))
-    val spine = spark.range(mmRow.getLong(0), mmRow.getLong(1) + 1)
-      .select(col("id").as("__i"))
-    val filled = spine.join(b, Seq("__i"), "left").na.fill(0L, Seq("n"))
+    val filled = filledOpt.get
     val w = Window.orderBy(col("__i"))
     filled
       .withColumn("cum_n", sum(col("n")).over(
@@ -333,6 +346,97 @@ object Sessionize {
         w.rowsBetween(-(movingW - 1).toLong, Window.currentRow)), 6))
       .select((col("__i") * widthSeconds).as("bucket_start"), col("n"),
         col("cum_n"), col("derivative"), col("moving_avg"))
+  }
+
+  /** Serial differencing (X258 — the ES `serial_diff` pipeline agg):
+    * per gap-filled bucket, `n − n[i − lag]` — lag-1 is the
+    * [[bucketPipeline]] derivative; seasonal lags (24 for
+    * hourly-vs-yesterday, 168 for hourly-vs-last-week) subtract the
+    * cycle so trend and anomaly stand out. The first `lag` buckets are
+    * null (ES convention — nothing to subtract); empty buckets count 0
+    * first, so the lag offset never skips time. Same bounded
+    * bucket-series window as [[bucketPipeline]]. */
+  def serialDiff(events: DataFrame, ts: Column, widthSeconds: Long,
+      lagN: Int): DataFrame = {
+    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
+    require(lagN >= 1, s"lag must be >= 1, got $lagN")
+    val spark = events.sparkSession
+    val filledOpt = filledBuckets(events, ts, widthSeconds)
+    if (filledOpt.isEmpty)
+      return spark.range(0).select(
+        col("id").as("bucket_start"), lit(0L).as("n"),
+        lit(null).cast(LongType).as("serial_diff"))
+    filledOpt.get
+      .withColumn("serial_diff",
+        col("n") - lag(col("n"), lagN).over(Window.orderBy(col("__i"))))
+      .select((col("__i") * widthSeconds).as("bucket_start"), col("n"),
+        col("serial_diff"))
+  }
+
+  /** Numeric-field histogram (X256 — the ES `histogram` agg, the
+    * value-axis sibling of the date_histogram family): per
+    * `FLOOR(value/interval)` bucket, the doc_count, empty buckets
+    * ZERO-FILLED between the data's min and max bucket (the
+    * `min_doc_count: 0` rendering contract — a gapless bar chart).
+    * bucket_start = bucket·interval. The floor is the true
+    * mathematical floor (negative values bucket down, not toward
+    * zero), nulls match no bucket; the spine is the [[bucketPipeline]]
+    * distributed-range discipline, bounded by value-range/interval. */
+  def valueHistogram(df: DataFrame, value: Column,
+      interval: Double): DataFrame = {
+    require(interval > 0.0, s"interval must be > 0, got $interval")
+    val spark = df.sparkSession
+    val b = df
+      .select(floor(value.cast(DoubleType) / lit(interval))
+        .cast(LongType).as("__i"))
+      .filter(col("__i").isNotNull)
+      .groupBy(col("__i")).agg(count(lit(1)).as("doc_count"))
+    val mmRow = b.agg(min(col("__i")), max(col("__i"))).head()
+    if (mmRow.isNullAt(0))
+      return spark.range(0).select(
+        col("id").cast(DoubleType).as("bucket_start"),
+        lit(0L).as("doc_count"))
+    spark.range(mmRow.getLong(0), mmRow.getLong(1) + 1)
+      .select(col("id").as("__i"))
+      .join(b, Seq("__i"), "left").na.fill(0L, Seq("doc_count"))
+      .select((col("__i").cast(DoubleType) * lit(interval)).as("bucket_start"),
+        col("doc_count"))
+  }
+
+  /** Sibling-bucket statistics (X257 — the ES `stats_bucket` /
+    * `avg_bucket` / `min_bucket` / `max_bucket` / `sum_bucket`
+    * pipeline family in one row): over a (key, metric) bucket frame,
+    * the bucket count, min/max/avg/sum of the metric, and the KEYS
+    * attaining the extremes (ES's max_bucket returns a keys LIST —
+    * ties keep every key, rendered as a comma-joined sorted string so
+    * the row stays scalar and deterministic). The sum accumulates in
+    * DECIMAL(38,6) (order-free); avg = sum/count rounded 6. One
+    * map-side-combining aggregate + two tiny extreme-key aggregates —
+    * input is already bucket-sized (a pipeline agg's input is another
+    * agg's output). */
+  def bucketStats(buckets: DataFrame, key: Column,
+      metric: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 6)
+    val base = buckets.select(key.cast(StringType).as("__k"),
+      metric.cast(DoubleType).as("__v")).filter(col("__v").isNotNull)
+    val agg = base.agg(
+      count(lit(1)).as("n_buckets"),
+      min(col("__v")).as("min_value"), max(col("__v")).as("max_value"),
+      sum(col("__v").cast(dec)).as("__sum"))
+    val minKeys = base.join(broadcast(agg.select(col("min_value"))),
+        col("__v") === col("min_value"))
+      .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
+        .as("min_keys"))
+    val maxKeys = base.join(broadcast(agg.select(col("max_value"))),
+        col("__v") === col("max_value"))
+      .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
+        .as("max_keys"))
+    agg.crossJoin(minKeys).crossJoin(maxKeys)
+      .select(col("n_buckets"), col("min_value"), col("max_value"),
+        round(col("__sum").cast(DoubleType), 6).as("sum_value"),
+        round(col("__sum").cast(DoubleType) /
+          col("n_buckets").cast(DoubleType), 6).as("avg_value"),
+        col("min_keys"), col("max_keys"))
   }
 
   /** Exact linear-interpolated percentiles (X237 — the Elasticsearch

@@ -267,6 +267,49 @@ class SessionizeSuite extends AnyFunSuite {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("serialDiff: seasonal lag over the gap-filled spine; first lag buckets null (X258)") {
+    // hours 0,1,3 have events (hour 2 zero-filled); lag 2 compares
+    // each bucket with the one two hours earlier
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:10:00")), (2L, ts("2026-01-01 00:20:00")),
+      (3L, ts("2026-01-01 01:30:00")),
+      (4L, ts("2026-01-01 03:05:00")), (5L, ts("2026-01-01 03:55:00"))
+    ).toDF("id", "ts")
+    val got = Sessionize.serialDiff(ev, $"ts", 3600L, lagN = 2)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got === Seq(
+      (2L, None), (1L, None),          // first lag buckets: nothing to subtract
+      (0L, Some(-2L)),                 // zero-filled hour vs hour 0
+      (2L, Some(1L))))                 // hour 3 vs hour 1
+    intercept[IllegalArgumentException](Sessionize.serialDiff(ev, $"ts", 3600L, 0))
+    intercept[IllegalArgumentException](Sessionize.serialDiff(ev, $"ts", 0L, 1))
+  }
+
+  test("valueHistogram: floor buckets incl. negatives, zero fill, nulls excluded (X256)") {
+    val df = Seq[java.lang.Double](-7.0, -2.0, 3.0, 4.9, 12.0, null).toDF("v")
+    val got = Sessionize.valueHistogram(df, $"v", interval = 5.0)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // floor(-7/5) = -2 (true floor, not toward zero); bucket -5..0
+    // holds -2; 0..5 holds 3 and 4.9; 5..10 zero-filled; 10..15 holds 12
+    assert(got === Seq(
+      (-10.0, 1L), (-5.0, 1L), (0.0, 2L), (5.0, 0L), (10.0, 1L)))
+    assert(Sessionize.valueHistogram(df.limit(0), $"v", 5.0).isEmpty)
+    intercept[IllegalArgumentException](Sessionize.valueHistogram(df, $"v", 0.0))
+  }
+
+  test("bucketStats: decimal sum, round-6 avg, tie-keeping sorted extreme keys (X257)") {
+    val b = Seq(("a", 4.0), ("b", 1.0), ("c", 4.0), ("d", 2.0)).toDF("k", "v")
+    val row = Sessionize.bucketStats(b, $"k", $"v").head()
+    assert(row.getLong(0) === 4L)
+    assert(row.getDouble(1) === 1.0 && row.getDouble(2) === 4.0)
+    assert(row.getDouble(3) === 11.0 && row.getDouble(4) === 2.75)
+    assert(row.getString(5) === "b")
+    assert(row.getString(6) === "a,c", "max tie keeps every key, sorted")
+  }
+
   test("percentilesExact: type-7 interpolation, per-key, null-excluded (X237)") {
     // key a: values 10, 20, 30, 40 -> p50 = 25 (k=1, f=0.5),
     // p0 = 10, p1.0 = 40 (k = n-1, hi absent -> lo)
