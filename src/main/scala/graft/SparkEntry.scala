@@ -1749,6 +1749,24 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q301_field_value_factor" -> ((s, d) => {
+      // X259 function_score field_value_factor: q214's full ranking
+      // re-weighted by 0.5·log1p(n_chars) — the stored-signal boost;
+      // order on the unrounded product, round-6 emitted
+      SearchEngine.fieldValueFactor(
+        sharedInvIndex(s, d).bm25Ranked(Seq("sort", "merge", "spark")),
+        t(s, d, "documents"), "doc_id", col("n_chars"),
+        factor = 0.5, modifier = "log1p", k = 20)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    "q302_random_score" -> ((s, d) => {
+      // X260 function_score random_score(seed): the deterministic
+      // md5-jitter page — both engines derive the identical uniform
+      // score from the same seed, the reproducible-sampling contract
+      SearchEngine.randomScore(t(s, d, "documents"), "doc_id", "seed42")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    }),
     "q298_value_histogram" -> ((s, d) => {
       // X256 numeric histogram (ES histogram agg): event values in
       // interval-25 buckets, empty buckets zero-filled between the data
@@ -6263,6 +6281,25 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X259: the q214 full ranking times the stored-signal modifier;
+    // order on the unrounded product (the q273 rule)
+    "q301_field_value_factor" ->
+      s"""WITH h AS MATERIALIZED (${bm25SqlOver(Seq("sort", "merge", "spark"),
+            "documents", toksSql, topN = 1000000000)}),
+          s AS (SELECT h.doc_id,
+              h.score * CAST(${0.5.toString} AS DOUBLE)
+                * LN(1.0 + CAST(d.n_chars AS DOUBLE)) AS s
+            FROM h JOIN documents d USING (doc_id))
+          SELECT doc_id, ROUND(s, 6) AS score FROM s
+          ORDER BY s DESC, doc_id ASC LIMIT 20""",
+    // X260: identical md5 arithmetic — 7 hex digits of md5(seed||id)
+    // mod 1e6, over 1e6
+    "q302_random_score" ->
+      """SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5('seed42' || CAST(doc_id AS VARCHAR)), 1, 7))
+             AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS score
+         FROM documents
+         ORDER BY score DESC, doc_id ASC LIMIT 20""",
     // X256: floor(value/interval) buckets, range spine, zero fill
     "q298_value_histogram" ->
       """WITH b AS (SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS i,

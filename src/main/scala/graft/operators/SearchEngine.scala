@@ -426,6 +426,51 @@ object SearchEngine {
         col("doc_id"), col("score"))
   }
 
+  /** function_score `field_value_factor` (X259 — the ES per-document
+    * boost: "multiply relevance by a stored signal", the
+    * popularity/freshness/quality re-weight every production ranker
+    * ships): score' = score · factor · modifier(field), re-ranked.
+    * Modifiers are the ES set actually used at scale (`none`, `log1p`
+    * — the safe one for count-like fields, `sqrt`); the order is taken
+    * on the UNROUNDED product (the boosting-query rule) and the
+    * emitted score rounds at 6. One broadcast-joinable doc-attribute
+    * fetch + a top-k heap — no window, no rescan of the ranking. */
+  def fieldValueFactor(hits: DataFrame, docs: DataFrame, idCol: String,
+      field: Column, factor: Double, modifier: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(factor > 0.0, s"factor must be > 0, got $factor")
+    val m = modifier match {
+      case "none" => field.cast(DoubleType)
+      case "log1p" => log(lit(1.0) + field.cast(DoubleType))
+      case "sqrt" => sqrt(field.cast(DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"modifier must be none|log1p|sqrt, got $other")
+    }
+    hits.select(col("doc_id"), col("score"))
+      .join(docs.select(col(idCol).as("doc_id"), m.as("__m")), Seq("doc_id"))
+      .withColumn("__s", col("score") * lit(factor) * col("__m"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), round(col("__s"), 6).as("score"))
+  }
+
+  /** function_score `random_score` with a SEED (X260 — the ES
+    * deterministic jitter: serving diversity, A/B bucket assignment,
+    * reproducible sampling): per doc, a uniform [0, 1) score from the
+    * engine's md5 discipline — the first 7 hex digits of
+    * md5(seed ‖ id) mod 10⁶, over 10⁶ — so any engine (and the
+    * oracle) computes the IDENTICAL value from the same seed; never
+    * JVM-specific hashing. Rank by (score desc, id asc) for a
+    * reproducible "random" page; combine with a relevance frame via
+    * [[fieldValueFactor]]-style multiplication if ES boost_mode
+    * semantics are wanted. */
+  def randomScore(docs: DataFrame, idCol: String, seed: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      (pmod(conv(substring(md5(concat(lit(seed),
+          col(idCol).cast(org.apache.spark.sql.types.StringType))), 1, 7),
+        16, 10).cast(org.apache.spark.sql.types.LongType), lit(1000000L))
+        .cast(DoubleType) / lit(1000000.0)).as("score"))
+
   def disMax(legs: Seq[DataFrame], k: Int,
       tieBreaker: Double = 0.0): DataFrame = {
     require(legs.nonEmpty, "no legs")

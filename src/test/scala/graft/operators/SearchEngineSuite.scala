@@ -201,6 +201,50 @@ class SearchEngineSuite extends AnyFunSuite {
       SearchEngine.dedupHits(hits, docs, "doc_id", col("text"), 0))
   }
 
+  test("fieldValueFactor: stored-signal multiply, unrounded order, modifier set (X259)") {
+    import spark.implicits._
+    val hits = Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("doc_id", "score")
+    val docs = Seq((1L, 100L), (2L, 10000L), (3L, 1L)).toDF("doc_id", "n")
+    val got = SearchEngine.fieldValueFactor(hits, docs, "doc_id",
+        col("n"), factor = 1.0, modifier = "log1p", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def r6(v: Double) = BigDecimal(v).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 2·ln(101)=9.23, 1·ln(10001)=9.21, 3·ln(2)=2.08 — the boost
+    // reorders doc 2 above doc 3
+    assert(got === Seq(
+      (1L, r6(2.0 * math.log(101.0))),
+      (2L, r6(1.0 * math.log(10001.0))),
+      (3L, r6(3.0 * math.log(2.0)))))
+    // sqrt and none modifiers; rejections
+    assert(SearchEngine.fieldValueFactor(hits, docs, "doc_id", col("n"),
+      1.0, "sqrt", 1).head().getLong(0) === 2L)
+    assert(SearchEngine.fieldValueFactor(hits, docs, "doc_id", col("n"),
+      1.0, "none", 1).head().getLong(0) === 2L)
+    intercept[IllegalArgumentException](SearchEngine.fieldValueFactor(
+      hits, docs, "doc_id", col("n"), 1.0, "log2p", 1))
+    intercept[IllegalArgumentException](SearchEngine.fieldValueFactor(
+      hits, docs, "doc_id", col("n"), 0.0, "none", 1))
+  }
+
+  test("randomScore: seeded md5 jitter — deterministic, uniform range, seed-sensitive (X260)") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    val a = SearchEngine.randomScore(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = SearchEngine.randomScore(docs, "doc_id", "s1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b, "same seed must reproduce bit-identical scores")
+    assert(a.values.forall(v => v >= 0.0 && v < 1.0))
+    val c = SearchEngine.randomScore(docs, "doc_id", "s2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.count { case (k, v) => c(k) != v } > 150,
+      "a different seed must reshuffle nearly everything")
+    // crude uniformity: the mean of 200 uniforms sits well inside (0.3, 0.7)
+    val mean = a.values.sum / a.size
+    assert(mean > 0.3 && mean < 0.7, s"suspicious mean $mean")
+  }
+
   test("topHitsPerBucket: per-bucket top-n with doc_count; WindowGroupLimit, no global window (X247)") {
     import spark.implicits._
     val hits = Seq(
