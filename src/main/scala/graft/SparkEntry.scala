@@ -1749,6 +1749,44 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q303_span_not" -> ((s, d) => {
+      // X263 span_not (Lucene SpanNotQuery): 'merge' occurrences NOT
+      // within 2 positions of 'bubble' — negative context at SPAN
+      // grain, which whole-doc must_not cannot express; pruned
+      // two-term postings read, banded join, no cross-product
+      TextAnalysis.spanNot(
+        sharedInvIndex(s, d).termPostings(Seq("merge", "bubble")),
+        "merge", "bubble", pre = 2, post = 2)
+        .orderBy(col("doc_id"))
+    }),
+    "q304_fuzzy_query" -> ((s, d) => {
+      // X261 fuzzy query (Lucene FuzzyQuery): 'sorrt' expands to its
+      // edit-distance-1 census neighbors (≤3, Lucene's rewrite
+      // preference order) and scores as one SynonymQuery group — the
+      // ranked sibling of the q223 suggester
+      sharedInvIndex(s, d).fuzzyTermSearch("sorrt", k = 20,
+        maxExpansions = 3)
+    }),
+    "q305_percentile_ranks" -> ((s, d) => {
+      // X262 percentile_ranks: the exact empirical CDF at 10/100 per
+      // event type — one conditional-count aggregate, no sort
+      CorpusStats.percentileRanks(events(s, d), col("event_type"),
+          col("value"), Seq(10.0, 100.0))
+        .orderBy(col("key"), col("x"))
+    }),
+    "q306_matrix_stats" -> ((s, d) => {
+      // X264 matrix_stats: covariance/correlation of event value vs
+      // TIME (days since a fixed anchor) from exact decimal power sums
+      // — does the metric drift with time, the monitoring question.
+      // The anchor shift happens in EXACT long micros (var/cov/corr
+      // are shift-invariant) and days keep b² inside double's 15
+      // significant digits, so the per-row double→decimal casts agree
+      // bit-for-bit across engines — raw epoch hours squared carry 17+
+      // digits and the two engines' conversions diverge at 1e-4
+      CorpusStats.matrixStats(events(s, d), col("value"),
+        (unix_micros(col("ts")) - lit(1700000000000000L))
+          .cast(DoubleType) / lit(8.64e10))
+    }),
     "q301_field_value_factor" -> ((s, d) => {
       // X259 function_score field_value_factor: q214's full ranking
       // re-weighted by 0.5·log1p(n_chars) — the stored-signal boost;
@@ -6281,6 +6319,95 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X263: include positions with no exclude inside [pos-pre, pos+post]
+    "q303_span_not" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+              tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          inc AS (SELECT doc_id, pos FROM p WHERE term = 'merge'),
+          exc AS (SELECT doc_id, pos FROM p WHERE term = 'bubble'),
+          keep AS (SELECT i.doc_id, i.pos FROM inc i
+            WHERE NOT EXISTS (SELECT 1 FROM exc e
+              WHERE e.doc_id = i.doc_id
+                AND e.pos >= i.pos - 2 AND e.pos <= i.pos + 2))
+          SELECT doc_id, COUNT(*) AS n_matches FROM keep
+          GROUP BY doc_id ORDER BY doc_id""",
+    // X261: the q223 fuzzy expansion capped Lucene-style, then the
+    // q262 synonym-group scoring tail verbatim
+    "q304_fuzzy_query" -> {
+      val (k1, b) = (1.2, 0.75)
+      val k1p = (k1 + 1.0).toString
+      s"""WITH tok AS (SELECT doc_id, u.t AS term
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents), UNNEST(tk) AS u(t)),
+          pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+          st AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM pd),
+          vocab AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+          exp AS (SELECT term, df FROM (
+              SELECT term, df, CAST(levenshtein('sorrt', term) AS INT) AS dist
+              FROM vocab WHERE levenshtein('sorrt', term) <= 1)
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 3),
+          gdf AS (SELECT CAST(MAX(df) AS DOUBLE) AS df FROM exp),
+          tfs AS (SELECT t.doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM tok t JOIN exp e ON t.term = e.term GROUP BY t.doc_id),
+          sc AS (SELECT pd.doc_id, pd.dl,
+              ROUND(LN(1.0 + (CAST(n_docs AS DOUBLE) - gdf.df + 0.5) / (gdf.df + 0.5))
+                * tfs.tf * CAST($k1p AS DOUBLE)
+                / (tfs.tf + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
+                   + (CAST($b AS DOUBLE) * CAST(pd.dl AS DOUBLE)) / avgdl)), 6) AS score
+            FROM pd JOIN tfs USING (doc_id) CROSS JOIN st CROSS JOIN gdf)
+          SELECT doc_id, dl, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 20"""
+    },
+    // X262: the exact empirical CDF from conditional counts
+    "q305_percentile_ranks" ->
+      """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          a AS (SELECT key, COUNT(*) AS n,
+              COUNT(CASE WHEN v <= 10.0 THEN 1 END) AS le0,
+              COUNT(CASE WHEN v <= 100.0 THEN 1 END) AS le1
+            FROM v GROUP BY key)
+          SELECT key, x, n, ROUND(100.0 * CAST(le AS DOUBLE) / CAST(n AS DOUBLE), 6) AS percent
+          FROM (SELECT key, n, CAST(10.0 AS DOUBLE) AS x, le0 AS le FROM a
+                UNION ALL SELECT key, n, CAST(100.0 AS DOUBLE), le1 FROM a)
+          ORDER BY key, x""",
+    // X264: the same decimal power sums, double formulas behind round-6
+    "q306_matrix_stats" ->
+      """WITH base AS (SELECT CAST(value AS DOUBLE) AS a,
+            CAST(epoch_us(ts) - 1700000000000000 AS DOUBLE) / 86400000000.0 AS b
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+          agg AS (SELECT COUNT(*) AS n,
+              SUM(CAST(a AS DECIMAL(38, 8))) AS sa,
+              SUM(CAST(b AS DECIMAL(38, 8))) AS sb,
+              SUM(CAST(a * a AS DECIMAL(38, 8))) AS saa,
+              SUM(CAST(b * b AS DECIMAL(38, 8))) AS sbb,
+              SUM(CAST(a * b AS DECIMAL(38, 8))) AS sab
+            FROM base)
+          SELECT n,
+            ROUND(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_a,
+            ROUND(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_b,
+            ROUND(GREATEST(0.0, CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS var_a,
+            ROUND(GREATEST(0.0, CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS var_b,
+            ROUND(CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS covariance,
+            ROUND(CASE WHEN
+                GREATEST(0.0, CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))) > 0.0
+                AND GREATEST(0.0, CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))) > 0.0
+              THEN (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+                / SQRT(GREATEST(0.0, CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * GREATEST(0.0, CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))))
+              ELSE 0.0 END, 6) AS correlation
+          FROM agg""",
     // X259: the q214 full ranking times the stored-signal modifier;
     // order on the unrounded product (the q273 rule)
     "q301_field_value_factor" ->

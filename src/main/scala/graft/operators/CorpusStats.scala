@@ -379,6 +379,72 @@ object CorpusStats {
       .filter(col("df") <= maxDocCount)
   }
 
+  /** Percentile ranks (X262 — the ES `percentile_ranks` aggregation,
+    * the inverse of [[graft.operators.Sessionize.percentilesExact]]):
+    * per key and requested value x, the percentage of observations ≤ x
+    * — the empirical CDF, exact (percent = 100·|{v ≤ x}| / n, round-6;
+    * the right-continuous convention, stated — ES's own exact mode
+    * reports the same step function). Nulls excluded. ONE map-side-
+    * combining aggregate carrying |xs| conditional counts, unpivoted
+    * by a bounded stack — no sort, no window, no per-x pass. */
+  def percentileRanks(df: DataFrame, key: Column, value: Column,
+      xs: Seq[Double]): DataFrame = {
+    require(xs.nonEmpty, "no values requested")
+    require(xs.distinct.size == xs.size, s"duplicate value in $xs")
+    val v = value.cast(DoubleType)
+    val agg = df.select(key.as("key"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        xs.zipWithIndex.map { case (x, i) =>
+          count(when(col("__v") <= x, 1)).as(s"le$i") }: _*)
+    val stackSql = s"stack(${xs.size}, " + xs.zipWithIndex.map {
+      case (x, i) => s"CAST($x AS DOUBLE), le$i"
+    }.mkString(", ") + ") AS (x, __le)"
+    agg.select(col("key"), col("n"), expr(stackSql))
+      .select(col("key"), col("x"), col("n"),
+        round(lit(100.0) * col("__le").cast(DoubleType) /
+          col("n").cast(DoubleType), 6).as("percent"))
+  }
+
+  /** Matrix statistics (X264 — the ES `matrix_stats` aggregation's
+    * load-bearing half: per-pair covariance and Pearson correlation,
+    * plus per-field count/mean/population variance): ONE map-side-
+    * combining aggregate of EXACT DECIMAL power sums (Σa, Σb, Σa²,
+    * Σb², Σab — order-free addition, any cluster layout reproduces the
+    * same bits; DECIMAL(38,8) holds |x| to ~1e15 as [[extendedStats]]),
+    * formulas in double behind round-6: var = E[x²]−E[x]² clamped at 0
+    * against cancellation, cov = E[ab]−E[a]E[b], corr = cov/√(varA·
+    * varB) (0 when either variance is 0 — the degenerate-column
+    * convention). Rows missing EITHER field are excluded (the ES
+    * row-wise rule). Skewness/kurtosis are out of scope, stated. */
+  def matrixStats(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 8)
+    val base = df.select(a.cast(DoubleType).as("__a"),
+        b.cast(DoubleType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(col("__a").cast(dec)).as("__sa"),
+      sum(col("__b").cast(dec)).as("__sb"),
+      sum((col("__a") * col("__a")).cast(dec)).as("__saa"),
+      sum((col("__b") * col("__b")).cast(dec)).as("__sbb"),
+      sum((col("__a") * col("__b")).cast(dec)).as("__sab"))
+    val nD = col("n").cast(DoubleType)
+    val meanA = col("__sa").cast(DoubleType) / nD
+    val meanB = col("__sb").cast(DoubleType) / nD
+    val varA = greatest(lit(0.0),
+      col("__saa").cast(DoubleType) / nD - meanA * meanA)
+    val varB = greatest(lit(0.0),
+      col("__sbb").cast(DoubleType) / nD - meanB * meanB)
+    val cov = col("__sab").cast(DoubleType) / nD - meanA * meanB
+    val corr = when(varA > 0.0 && varB > 0.0,
+      cov / sqrt(varA * varB)).otherwise(lit(0.0))
+    agg.select(col("n"),
+      round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+      round(varA, 6).as("var_a"), round(varB, 6).as("var_b"),
+      round(cov, 6).as("covariance"), round(corr, 6).as("correlation"))
+  }
+
   /** Vocabulary coverage curve (X97): the fraction of total token MASS
     * the top-N most frequent types cover, for a ladder of N — the
     * tokenizer-sizing table (how big must the vocab be before <1% of

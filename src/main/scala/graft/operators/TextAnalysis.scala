@@ -843,6 +843,40 @@ object TextAnalysis {
         min(col("pb") - col("pa")).as("min_gap"))
   }
 
+  /** span_not (X263 — Lucene SpanNotQuery, ES `span_not` with
+    * `pre`/`post`): occurrences of `include` that are NOT within `pre`
+    * positions before / `post` positions after ANY occurrence of
+    * `exclude` — "merge, but not near bubble", the negative-context
+    * span the Boolean must_not (whole-doc grain) cannot express.
+    * Same banded self-join discipline as [[spanNearOrdered]] (the
+    * include side bands to its ±1 neighbors at width ≥ max(pre, post),
+    * so every candidate pair co-locates without a positions
+    * cross-product), the exclusion a left_anti on the violating
+    * include positions. Emits (doc_id, n_matches) over SURVIVING
+    * include occurrences — docs whose every occurrence is excluded
+    * drop out entirely. */
+  def spanNot(index: DataFrame, include: String, exclude: String,
+      pre: Int, post: Int): DataFrame = {
+    require(include.nonEmpty && exclude.nonEmpty, "empty term")
+    require(include != exclude, "include and exclude must differ")
+    require(pre >= 0 && post >= 0, s"pre/post must be >= 0, got $pre/$post")
+    val w = math.max(math.max(pre, post), 1).toLong
+    val inc = index.filter(col("term") === include)
+      .select(col("doc_id"), col("pos").as("pi"))
+    val exc = index.filter(col("term") === exclude)
+      .select(col("doc_id"), col("pos").as("pe"))
+      .withColumn("__b", (col("pe") / w).cast(LongType))
+    val bandedInc = inc.withColumn("__b0", (col("pi") / w).cast(LongType))
+      .withColumn("__b", explode(array(col("__b0") - 1, col("__b0"),
+        col("__b0") + 1)))
+    val violating = bandedInc.join(exc, Seq("doc_id", "__b"))
+      .filter(col("pe") >= col("pi") - pre && col("pe") <= col("pi") + post)
+      .select(col("doc_id"), col("pi")).distinct()
+    inc.join(violating, Seq("doc_id", "pi"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Query-biased snippets (X177) — the keyword-in-context serving step
     * after retrieval ranks its hits: per doc, the windowLen-token window
     * anchored at a query-term hit that covers the MOST query-term hits

@@ -1185,6 +1185,31 @@ final class InvertedIndex(spark: SparkSession, path: String,
     else bm25Synonyms(Seq(expanded), k, k1, b)
   }
 
+  /** Fuzzy query (X261 — the ES `fuzzy` query / Lucene FuzzyQuery,
+    * the RANKED sibling of the X201 "did you mean" suggester): the
+    * query term expands to its edit-distance-≤1 census neighbors
+    * (the [[graft.operators.TextAnalysis.fuzzySuggestVocab]] deletion-
+    * variant join — never a vocabulary cross-product), capped at
+    * `maxExpansions` by (distance asc, df desc, term asc) — Lucene's
+    * rewrite preference — and the expansion scores as ONE SynonymQuery
+    * group (blended idf: "sorrt" retrieves sort's docs without
+    * double-counting the concept, the Lucene top_terms_blended rewrite
+    * in its principled form). A term with no live neighbor ranks to
+    * the empty frame. */
+  def fuzzyTermSearch(term: String, k: Int, maxExpansions: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(term.nonEmpty, "empty term")
+    require(k > 0, s"k must be positive, got $k")
+    require(maxExpansions >= 1 && maxExpansions <= 1024,
+      s"maxExpansions must be in [1, 1024], got $maxExpansions")
+    val expanded = TextAnalysis.fuzzySuggestVocab(vocab(), Seq(term),
+        topK = maxExpansions)
+      .orderBy(col("rank").asc)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    if (expanded.isEmpty) emptyBm25Frame()
+    else bm25Synonyms(Seq(expanded), k, k1, b)
+  }
+
   /** Anchored regex for a Lucene wildcard pattern — `*` → `.*`, `?` →
     * `.`, everything else literal (backslash-escaped unless
     * alphanumeric, valid in both Java regex and RE2 so the oracle can

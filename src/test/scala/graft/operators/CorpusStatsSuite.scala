@@ -103,6 +103,47 @@ class CorpusStatsSuite extends AnyFunSuite {
       CorpusStats.rangeAgg(df, col("v"), Seq((Some(9.0), Some(3.0)))))
   }
 
+  test("percentileRanks: exact empirical CDF per key, nulls excluded (X262)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(5.0)), ("a", Some(10.0)), ("a", Some(20.0)),
+      ("a", None), ("b", Some(1.0))).toDF("k", "v")
+    val got = CorpusStats.percentileRanks(df, col("k"), col("v"),
+        Seq(10.0, 15.0))
+      .orderBy(col("key"), col("x")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("a", 10.0, 3L, 66.666667), // 5 and 10 are <= 10 (right-continuous)
+      ("a", 15.0, 3L, 66.666667),
+      ("b", 10.0, 1L, 100.0), ("b", 15.0, 1L, 100.0)))
+    intercept[IllegalArgumentException](
+      CorpusStats.percentileRanks(df, col("k"), col("v"), Nil))
+    intercept[IllegalArgumentException](
+      CorpusStats.percentileRanks(df, col("k"), col("v"), Seq(1.0, 1.0)))
+  }
+
+  test("matrixStats: hand-computed covariance/correlation; degenerate column; row-wise nulls (X264)") {
+    import spark.implicits._
+    // a = (1,2,3), b = (2,4,6): perfectly correlated
+    val df = Seq((Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), Some(6.0)), (None, Some(9.0)), (Some(9.0), None))
+      .toDF("a", "b")
+    val r = CorpusStats.matrixStats(df, col("a"), col("b")).head()
+    assert(r.getLong(0) === 3L, "rows missing either field are excluded")
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 4.0)
+    assert(r.getDouble(3) === round6d(2.0 / 3.0) &&
+      r.getDouble(4) === round6d(8.0 / 3.0))
+    assert(r.getDouble(5) === round6d(4.0 / 3.0))
+    assert(r.getDouble(6) === 1.0, "perfect linear relation -> corr 1")
+    // a constant column: variance 0, correlation defined as 0
+    val c = CorpusStats.matrixStats(
+      Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b"), col("a"), col("b")).head()
+    assert(c.getDouble(4) === 0.0 && c.getDouble(6) === 0.0)
+  }
+
+  private def round6d(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
     // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")

@@ -323,6 +323,30 @@ class TextAnalysisSuite extends AnyFunSuite {
       TextAnalysis.spanNearOrdered(idx, "", "b", 2))
   }
 
+  test("spanNot: include spans survive unless an exclude sits in [pos-pre, pos+post] (X263)") {
+    val docs = Seq(
+      (1L, "a x x b"),   // a@0, b@3: outside pre=2/post=2 -> a survives
+      (2L, "a x b"),     // b@2 within post 2 of a@0 -> a excluded
+      (3L, "b x x a"),   // b@0 within pre 2? a@3, window [1,5] -> b@0 outside -> survives
+      (4L, "a b x a"),   // a@0 excluded (b@1), a@3 survives (b@1 < 3-2=1? 1 >= 1 -> excluded!)
+      (5L, "a a")        // no b -> both survive
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val out = TextAnalysis.spanNot(idx, "a", "b", pre = 2, post = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4: a@3 has b@1 in [1, 5] -> excluded too; the doc drops out
+    assert(out === Map(1L -> 1L, 3L -> 1L, 5L -> 2L))
+    // asymmetric window: pre=0 keeps b-before-a spans
+    val asym = TextAnalysis.spanNot(idx, "a", "b", pre = 0, post = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3: b@0 before a@3 -> survives; doc 4: a@0 excluded (b@1 within
+    // post 2), a@3 survives (b@1 not in [3, 5])
+    assert(asym === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    intercept[IllegalArgumentException](TextAnalysis.spanNot(idx, "a", "a", 1, 1))
+    intercept[IllegalArgumentException](TextAnalysis.spanNot(idx, "", "b", 1, 1))
+    intercept[IllegalArgumentException](TextAnalysis.spanNot(idx, "a", "b", -1, 1))
+  }
+
   test("bm25: hand-computed scores, rarity beats frequency, zero-score docs absent") {
     val docs = Seq(
       (1L, "x y x z"),   // tf(x)=2, dl=4

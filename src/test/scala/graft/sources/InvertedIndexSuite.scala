@@ -1289,6 +1289,22 @@ class InvertedIndexSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](idx.regexpSearch("a.*", 0))
   }
 
+  test("fuzzyTermSearch: distance-1 expansion scores as one synonym group (X261)") {
+    val dir = Files.createTempDirectory("graft_inv_fuzzy").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA.union(docsB), "doc_id", col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // 'sorl' is distance-1 from 'sort' only: the fuzzy serve must equal
+    // the singleton synonym group over the expansion
+    assert(rows(idx.fuzzyTermSearch("sorl", k = 10)) ===
+      rows(idx.bm25Synonyms(Seq(Seq("sort")), k = 10)))
+    // an OOV term with no live neighbor ranks empty
+    assert(idx.fuzzyTermSearch("zzyzx", k = 5).isEmpty)
+    intercept[IllegalArgumentException](idx.fuzzyTermSearch("", 5))
+    intercept[IllegalArgumentException](idx.fuzzyTermSearch("sort", 0))
+  }
+
   test("snapshot: byte-faithful copy, pending tombstones travel, sides independent (X248)") {
     val dir = Files.createTempDirectory("graft_inv_snap").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
