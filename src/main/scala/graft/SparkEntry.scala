@@ -1749,6 +1749,17 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q307_weighted_avg" -> ((s, d) => {
+      // X265 weighted_avg: per event type, value averaged under
+      // engagement weights (purchase 5, signup 3, else 1) — the
+      // importance-weighted mean; decimal-exact numerator/denominator
+      val w = when(col("event_type") === "purchase", 5.0)
+        .when(col("event_type") === "signup", 3.0)
+        .otherwise(1.0)
+      CorpusStats.weightedAvg(events(s, d), col("event_type"),
+          col("value"), w)
+        .orderBy(col("key"))
+    }),
     "q303_span_not" -> ((s, d) => {
       // X263 span_not (Lucene SpanNotQuery): 'merge' occurrences NOT
       // within 2 positions of 'bubble' — negative context at SPAN
@@ -6319,6 +6330,21 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X265: decimal-exact Σ(v·w)/Σw under the same literal weights
+    "q307_weighted_avg" ->
+      """WITH b AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+            CASE WHEN event_type = 'purchase' THEN 5.0
+                 WHEN event_type = 'signup' THEN 3.0 ELSE 1.0 END AS w
+          FROM events WHERE value IS NOT NULL),
+          a AS (SELECT key, COUNT(*) AS n,
+              SUM(CAST(v * w AS DECIMAL(38, 8))) AS sn,
+              SUM(CAST(w AS DECIMAL(38, 8))) AS sd
+            FROM b GROUP BY key)
+          SELECT key, n,
+            CASE WHEN sd <> 0
+              THEN ROUND(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6)
+              ELSE NULL END AS weighted_avg
+          FROM a ORDER BY key""",
     // X263: include positions with no exclude inside [pos-pre, pos+post]
     "q303_span_not" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -407,6 +407,32 @@ object CorpusStats {
           col("n").cast(DoubleType), 6).as("percent"))
   }
 
+  /** Weighted average (X265 — the ES `weighted_avg` aggregation): per
+    * key, Σ(value·weight)/Σweight — the revenue-weighted /
+    * importance-weighted mean plain avg silently misstates. Rows with
+    * a null value OR null weight are excluded (the ES row-wise rule);
+    * a key whose weights sum to zero averages to null (the ES
+    * convention — no division by zero, no fake 0). Numerator and
+    * denominator accumulate in exact DECIMAL(38,8) (order-free), one
+    * division in double behind round-6; ONE map-side-combining
+    * aggregate. */
+  def weightedAvg(df: DataFrame, key: Column, value: Column,
+      weight: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 8)
+    df.select(key.as("key"), value.cast(DoubleType).as("__v"),
+        weight.cast(DoubleType).as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__v") * col("__w")).cast(dec)).as("__sn"),
+        sum(col("__w").cast(dec)).as("__sd"))
+      .select(col("key"), col("n"),
+        when(col("__sd") =!= 0,
+          round(col("__sn").cast(DoubleType) /
+            col("__sd").cast(DoubleType), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("weighted_avg"))
+  }
+
   /** Matrix statistics (X264 — the ES `matrix_stats` aggregation's
     * load-bearing half: per-pair covariance and Pearson correlation,
     * plus per-field count/mean/population variance): ONE map-side-

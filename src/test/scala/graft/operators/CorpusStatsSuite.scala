@@ -144,6 +144,20 @@ class CorpusStatsSuite extends AnyFunSuite {
   private def round6d(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("weightedAvg: hand-computed, row-wise nulls, zero-weight key -> null (X265)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(10.0), Some(1.0)), ("a", Some(20.0), Some(3.0)),
+      ("a", None, Some(9.0)), ("a", Some(99.0), None), // row-wise excluded
+      ("z", Some(5.0), Some(0.0))).toDF("k", "v", "w")
+    val got = CorpusStats.weightedAvg(df, col("k"), col("v"), col("w"))
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // a: (10·1 + 20·3)/(1+3) = 17.5; z: Σw = 0 -> null
+    assert(got === Seq(("a", 2L, Some(17.5)), ("z", 1L, None)))
+  }
+
   test("exact quantiles interpolate like quantile_cont on a hand-checked fixture") {
     // values 10,20,30,40: p25 = 17.5, p50 = 25.0, p95 = 38.5
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L)).toDF("k", "v")
