@@ -1749,6 +1749,16 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q308_cumulative_cardinality" -> ((s, d) => {
+      // X266 cumulative_cardinality: distinct users seen THROUGH each
+      // daily bucket — exact via first-seen buckets (one entity
+      // aggregate + a bucket-sized cumsum), never a quadratic
+      // union-of-distincts; new_entities doubles as the ES
+      // derivative-of-cardinality
+      Sessionize.cumulativeCardinality(events(s, d), col("ts"),
+          widthSeconds = 86400L, entity = col("user_id"))
+        .orderBy(col("bucket_start"))
+    }),
     "q307_weighted_avg" -> ((s, d) => {
       // X265 weighted_avg: per event type, value averaged under
       // engagement weights (purchase 5, signup 3, else 1) — the
@@ -6330,6 +6340,21 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X266: first-seen buckets -> counts -> spine cumsum; spine top is
+    // the last EVENT bucket so the flat tail renders
+    "q308_cumulative_cardinality" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS i FROM events),
+          fs AS (SELECT MIN(i) AS i FROM e WHERE user_id IS NOT NULL GROUP BY user_id),
+          nb AS (SELECT i, COUNT(*) AS new_entities FROM fs GROUP BY i),
+          mm AS (SELECT (SELECT MIN(i) FROM nb) AS lo, (SELECT MAX(i) FROM e) AS hi),
+          spine AS (SELECT UNNEST(range(mm.lo, mm.hi + 1)) AS i FROM mm),
+          f AS (SELECT spine.i, CAST(COALESCE(nb.new_entities, 0) AS BIGINT) AS new_entities
+            FROM spine LEFT JOIN nb USING (i))
+          SELECT i * 86400 AS bucket_start, new_entities,
+            CAST(SUM(new_entities) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cumulative_distinct
+          FROM f ORDER BY bucket_start""",
     // X265: decimal-exact Σ(v·w)/Σw under the same literal weights
     "q307_weighted_avg" ->
       """WITH b AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v,

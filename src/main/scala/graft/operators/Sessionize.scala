@@ -403,6 +403,54 @@ object Sessionize {
         col("doc_count"))
   }
 
+  /** Cumulative cardinality (X266 — the ES `cumulative_cardinality`
+    * pipeline agg: "total distinct users seen THROUGH each bucket",
+    * the growth-curve / new-vs-returning surface): EXACT, and never
+    * the naive quadratic union-of-distincts — an entity contributes to
+    * the cumulative count from its FIRST bucket onward, so ONE
+    * entity-keyed aggregate (min bucket per entity), a per-bucket
+    * first-seen count, the zero-filled spine, and the bounded
+    * bucket-series cumulative sum reproduce the whole curve; the
+    * first-seen counts double as the ES derivative-of-cardinality
+    * ("new entities per bucket") for free. Scale shape: the only
+    * event-mass exchange is the entity groupBy (map-side combined);
+    * everything after is bucket-sized. */
+  def cumulativeCardinality(events: DataFrame, ts: Column,
+      widthSeconds: Long, entity: Column): DataFrame = {
+    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
+    val wUs = widthSeconds * 1000000L
+    val spark = events.sparkSession
+    val firstSeen = events
+      .select(entity.as("__e"), unix_micros(ts).as("__us"))
+      .filter(col("__e").isNotNull)
+      .select(col("__e"),
+        expr(s"CAST((__us - pmod(__us, ${wUs}L)) DIV ${wUs}L AS BIGINT)")
+          .as("__i"))
+      .groupBy(col("__e")).agg(min(col("__i")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("new_entities"))
+    val mmRow = firstSeen.agg(min(col("__i")), max(col("__i"))).head()
+    if (mmRow.isNullAt(0))
+      return spark.range(0).select(
+        col("id").as("bucket_start"), lit(0L).as("new_entities"),
+        lit(0L).as("cumulative_distinct"))
+    // the spine upper bound is the LAST EVENT bucket, not the last
+    // first-seen bucket: trailing buckets with only returning entities
+    // must still render the flat curve
+    val hiRow = events.select(unix_micros(ts).as("__us"))
+      .select(expr(s"CAST((__us - pmod(__us, ${wUs}L)) DIV ${wUs}L AS BIGINT)")
+        .as("__i"))
+      .agg(max(col("__i"))).head()
+    val spine = spark.range(mmRow.getLong(0), hiRow.getLong(0) + 1)
+      .select(col("id").as("__i"))
+    spine.join(firstSeen, Seq("__i"), "left")
+      .na.fill(0L, Seq("new_entities"))
+      .withColumn("cumulative_distinct",
+        sum(col("new_entities")).over(Window.orderBy(col("__i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((col("__i") * widthSeconds).as("bucket_start"),
+        col("new_entities"), col("cumulative_distinct"))
+  }
+
   /** Sibling-bucket statistics (X257 — the ES `stats_bucket` /
     * `avg_bucket` / `min_bucket` / `max_bucket` / `sum_bucket`
     * pipeline family in one row): over a (key, metric) bucket frame,

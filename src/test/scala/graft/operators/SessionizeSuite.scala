@@ -300,6 +300,30 @@ class SessionizeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Sessionize.valueHistogram(df, $"v", 0.0))
   }
 
+  test("cumulativeCardinality: first-seen exactness, flat tail, zero-fill (X266)") {
+    // hour 0: users 1,2; hour 1: user 1 again (returning — no new);
+    // hour 2: empty; hour 3: users 2 (returning) and 3 (new)
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:10:00")), (2L, ts("2026-01-01 00:20:00")),
+      (1L, ts("2026-01-01 01:30:00")),
+      (2L, ts("2026-01-01 03:05:00")), (3L, ts("2026-01-01 03:55:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize.cumulativeCardinality(ev, $"ts", 3600L, $"user_id")
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, 2L), (0L, 2L), (0L, 2L), (1L, 3L)))
+    // a trailing returning-only bucket still renders the flat curve
+    val ev2 = ev.union(Seq((1L, ts("2026-01-01 05:00:00")))
+      .toDF("user_id", "ts"))
+    val tail = Sessionize.cumulativeCardinality(ev2, $"ts", 3600L, $"user_id")
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(tail === Seq((2L, 2L), (0L, 2L), (0L, 2L), (1L, 3L),
+      (0L, 3L), (0L, 3L)))
+    intercept[IllegalArgumentException](
+      Sessionize.cumulativeCardinality(ev, $"ts", 0L, $"user_id"))
+  }
+
   test("bucketStats: decimal sum, round-6 avg, tie-keeping sorted extreme keys (X257)") {
     val b = Seq(("a", 4.0), ("b", 1.0), ("c", 4.0), ("d", 2.0)).toDF("k", "v")
     val row = Sessionize.bucketStats(b, $"k", $"v").head()
