@@ -1749,6 +1749,15 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q309_auto_histogram" -> ((s, d) => {
+      // X267 auto_date_histogram: at most 40 buckets, the engine picks
+      // the smallest ladder interval that fits — the dashboard
+      // zoom-level negotiation; width travels in the result like ES's
+      // reported interval
+      Sessionize.autoDateHistogram(events(s, d), col("ts"),
+          targetBuckets = 40)
+        .orderBy(col("bucket_start"))
+    }),
     "q308_cumulative_cardinality" -> ((s, d) => {
       // X266 cumulative_cardinality: distinct users seen THROUGH each
       // daily bucket — exact via first-seen buckets (one entity
@@ -6340,6 +6349,27 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X267: the same ladder selection from one (min, max) anchor, then
+    // the q280 spine at the chosen width
+    "q309_auto_histogram" ->
+      """WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+          widths(w) AS (VALUES (1), (5), (10), (30), (60), (300), (600),
+            (1800), (3600), (10800), (43200), (86400), (604800)),
+          sel AS (SELECT COALESCE(
+              (SELECT w FROM widths, mm
+               WHERE hi // (CAST(w AS BIGINT) * 1000000)
+                 - lo // (CAST(w AS BIGINT) * 1000000) + 1 <= 40
+               ORDER BY w LIMIT 1), 604800) AS w),
+          b AS (SELECT epoch_us(ts) // (CAST(sel.w AS BIGINT) * 1000000) AS i,
+              COUNT(*) AS n
+            FROM events, sel GROUP BY 1),
+          bm AS (SELECT MIN(i) AS blo, MAX(i) AS bhi FROM b),
+          spine AS (SELECT UNNEST(range(bm.blo, bm.bhi + 1)) AS i FROM bm)
+          SELECT spine.i * sel.w AS bucket_start,
+            CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+            CAST(sel.w AS BIGINT) AS width_seconds
+          FROM spine CROSS JOIN sel LEFT JOIN b USING (i)
+          ORDER BY bucket_start""",
     // X266: first-seen buckets -> counts -> spine cumsum; spine top is
     // the last EVENT bucket so the flat tail renders
     "q308_cumulative_cardinality" ->

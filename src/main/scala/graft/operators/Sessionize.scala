@@ -403,6 +403,43 @@ object Sessionize {
         col("doc_count"))
   }
 
+  /** Auto-interval date histogram (X267 — the ES `auto_date_histogram`:
+    * "give me at most N buckets and pick the interval yourself", the
+    * zoom-level negotiation every dashboard widget runs): the width
+    * ladder is ES's FIXED-interval subset (1s/5s/10s/30s/1m/5m/10m/30m/
+    * 1h/3h/12h/1d/7d — calendar months are out of scope, stated:
+    * calendar arithmetic is a timezone policy, not an aggregation), and
+    * the chosen width is the SMALLEST whose floor-div bucket count over
+    * [min, max] stays ≤ targetBuckets (falling back to 7d when even
+    * that overflows — the ES top-rung behavior). Selection needs one
+    * (min, max) epoch-micros collect — the bounded scalar anchor — and
+    * the series itself is [[bucketPipeline]]'s gap-filled spine at the
+    * chosen width. Output (bucket_start, n, width_seconds); the width
+    * column makes the negotiated zoom level part of the result, as ES
+    * reports `interval`. */
+  def autoDateHistogram(events: DataFrame, ts: Column,
+      targetBuckets: Int): DataFrame = {
+    require(targetBuckets >= 1, s"targetBuckets must be >= 1, got $targetBuckets")
+    val spark = events.sparkSession
+    val ladder = Seq(1L, 5L, 10L, 30L, 60L, 300L, 600L, 1800L,
+      3600L, 10800L, 43200L, 86400L, 604800L)
+    val mm = events.select(unix_micros(ts).as("__us"))
+      .agg(min(col("__us")), max(col("__us"))).head()
+    if (mm.isNullAt(0))
+      return spark.range(0).select(col("id").as("bucket_start"),
+        lit(0L).as("n"), lit(0L).as("width_seconds"))
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    def bucketsAt(w: Long): Long = {
+      val wUs = w * 1000000L
+      Math.floorDiv(hiUs, wUs) - Math.floorDiv(loUs, wUs) + 1
+    }
+    val width = ladder.find(bucketsAt(_) <= targetBuckets)
+      .getOrElse(ladder.last)
+    filledBuckets(events, ts, width).get
+      .select((col("__i") * width).as("bucket_start"), col("n"),
+        lit(width).as("width_seconds"))
+  }
+
   /** Cumulative cardinality (X266 — the ES `cumulative_cardinality`
     * pipeline agg: "total distinct users seen THROUGH each bucket",
     * the growth-curve / new-vs-returning surface): EXACT, and never

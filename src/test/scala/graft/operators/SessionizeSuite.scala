@@ -300,6 +300,31 @@ class SessionizeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](Sessionize.valueHistogram(df, $"v", 0.0))
   }
 
+  test("autoDateHistogram: smallest fitting ladder width; overflow tops at 7d (X267)") {
+    // events span ~3h5m: 1h buckets -> 4 (fits 5); 30m -> 8 (needs 8)
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:10:00")), (2L, ts("2026-01-01 01:30:00")),
+      (3L, ts("2026-01-01 03:15:00"))).toDF("id", "ts")
+    val got = Sessionize.autoDateHistogram(ev, $"ts", targetBuckets = 5)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).distinct === Seq(3600L),
+      "1h is the smallest ladder width with <= 5 buckets")
+    assert(got.map(_._1) === Seq(1L, 1L, 0L, 1L), "gap hour zero-fills")
+    // a tighter target widens the interval
+    val wide = Sessionize.autoDateHistogram(ev, $"ts", targetBuckets = 2)
+      .collect().map(_.getLong(2)).distinct.toSeq
+    assert(wide === Seq(10800L), "3h fits 2 buckets where 1h needs 4")
+    // a span even 7d cannot fit falls back to the top rung
+    val years = Seq((1L, ts("2020-01-01 00:00:00")),
+      (2L, ts("2026-01-01 00:00:00"))).toDF("id", "ts")
+    assert(Sessionize.autoDateHistogram(years, $"ts", 2)
+      .head().getLong(2) === 604800L)
+    assert(Sessionize.autoDateHistogram(ev.limit(0), $"ts", 5).isEmpty)
+    intercept[IllegalArgumentException](
+      Sessionize.autoDateHistogram(ev, $"ts", 0))
+  }
+
   test("cumulativeCardinality: first-seen exactness, flat tail, zero-fill (X266)") {
     // hour 0: users 1,2; hour 1: user 1 again (returning — no new);
     // hour 2: empty; hour 3: users 2 (returning) and 3 (new)
