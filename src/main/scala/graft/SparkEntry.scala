@@ -1749,6 +1749,13 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q310_t_test" -> ((s, d) => {
+      // X268 Welch t_test (ES default heteroscedastic): do purchase
+      // and click events carry the same mean value — one pass of
+      // conditional decimal power sums, sample variances, round-6 t
+      CorpusStats.welchTTest(events(s, d), col("value"),
+        col("event_type") === "purchase", col("event_type") === "click")
+    }),
     "q309_auto_histogram" -> ((s, d) => {
       // X267 auto_date_histogram: at most 40 buckets, the engine picks
       // the smallest ladder interval that fits — the dashboard
@@ -6349,6 +6356,43 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X268: the same conditional decimal power sums and Welch formula
+    "q310_t_test" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS v,
+            event_type = 'purchase' AS a, event_type = 'click' AS bb
+          FROM events WHERE value IS NOT NULL),
+          agg AS (SELECT
+              COUNT(CASE WHEN a THEN 1 END) AS n_a,
+              COUNT(CASE WHEN bb THEN 1 END) AS n_b,
+              SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38, 8)) END) AS sa,
+              SUM(CASE WHEN bb THEN CAST(v AS DECIMAL(38, 8)) END) AS sb,
+              SUM(CASE WHEN a THEN CAST(v * v AS DECIMAL(38, 8)) END) AS saa,
+              SUM(CASE WHEN bb THEN CAST(v * v AS DECIMAL(38, 8)) END) AS sbb
+            FROM b)
+          SELECT n_a, n_b,
+            ROUND(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+            ROUND(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+            CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                SQRT(GREATEST(0.0, (CAST(saa AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                    / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                  + GREATEST(0.0, (CAST(sbb AS DOUBLE)
+                    - CAST(n_b AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                    / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) > 0.0
+              THEN ROUND((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                / SQRT(GREATEST(0.0, (CAST(saa AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)))
+                    / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                  + GREATEST(0.0, (CAST(sbb AS DOUBLE)
+                    - CAST(n_b AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                      * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                    / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 6)
+              ELSE NULL END AS t_stat
+          FROM agg""",
     // X267: the same ladder selection from one (min, max) anchor, then
     // the q280 spine at the chosen width
     "q309_auto_histogram" ->

@@ -407,6 +407,52 @@ object CorpusStats {
           col("n").cast(DoubleType), 6).as("percent"))
   }
 
+  /** Welch's unpaired t-test (X268 — the ES `t_test` aggregation,
+    * `"type": "heteroscedastic"`, its default): the t-statistic for
+    * "do these two segments have the same mean" — the A/B readout next
+    * to [[extendedStats]]' single-segment panel. Two filter-defined
+    * samples from ONE pass (conditional exact-DECIMAL power sums, the
+    * [[matrixStats]] discipline), then Welch: t = (m_a − m_b) /
+    * √(s²_a/n_a + s²_b/n_b) with SAMPLE variances (n−1), clamped at 0
+    * against cancellation, round-6. A sample with n < 2 — or a zero
+    * denominator (two constant samples) — yields a null t (no fake
+    * number where the statistic is undefined). Degrees of freedom /
+    * p-value are the caller's table lookup, stated — the engine emits
+    * the deterministic statistic, not a distribution approximation.
+    * Rows matching NEITHER filter are ignored; a row matching BOTH
+    * counts in both samples — the two filters are independent, exactly
+    * ES's filter semantics (choose disjoint filters for a meaningful
+    * test; the operator doesn't guess). */
+  def welchTTest(df: DataFrame, value: Column,
+      isA: Column, isB: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 8)
+    val v = value.cast(DoubleType)
+    val base = df.select(v.as("__v"), isA.as("__a"), isB.as("__b"))
+      .filter(col("__v").isNotNull)
+    val agg = base.agg(
+      count(when(col("__a"), 1)).as("n_a"),
+      count(when(col("__b"), 1)).as("n_b"),
+      sum(when(col("__a"), col("__v")).cast(dec)).as("__sa"),
+      sum(when(col("__b"), col("__v")).cast(dec)).as("__sb"),
+      sum(when(col("__a"), col("__v") * col("__v")).cast(dec)).as("__saa"),
+      sum(when(col("__b"), col("__v") * col("__v")).cast(dec)).as("__sbb"))
+    val naD = col("n_a").cast(DoubleType)
+    val nbD = col("n_b").cast(DoubleType)
+    val ma = col("__sa").cast(DoubleType) / naD
+    val mb = col("__sb").cast(DoubleType) / nbD
+    // sample variance: (Σx² − n·m²) / (n − 1), clamped
+    val va = greatest(lit(0.0),
+      (col("__saa").cast(DoubleType) - naD * ma * ma) / (naD - lit(1.0)))
+    val vb = greatest(lit(0.0),
+      (col("__sbb").cast(DoubleType) - nbD * mb * mb) / (nbD - lit(1.0)))
+    val denom = sqrt(va / naD + vb / nbD)
+    agg.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && denom > 0.0,
+        round((ma - mb) / denom, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("t_stat"))
+  }
+
   /** Weighted average (X265 — the ES `weighted_avg` aggregation): per
     * key, Σ(value·weight)/Σweight — the revenue-weighted /
     * importance-weighted mean plain avg silently misstates. Rows with

@@ -144,6 +144,29 @@ class CorpusStatsSuite extends AnyFunSuite {
   private def round6d(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("welchTTest: hand-computed statistic; undefined cases null (X268)") {
+    import spark.implicits._
+    // A: 1,2,3 (mean 2, s²=1); B: 5,7 (mean 6, s²=2)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0),
+      ("b", 7.0), ("c", 99.0)).toDF("g", "v")
+    val r = CorpusStats.welchTTest(df, col("v"),
+      col("g") === "a", col("g") === "b").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 6.0)
+    val want = BigDecimal((2.0 - 6.0) / math.sqrt(1.0 / 3.0 + 2.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === want)
+    // a singleton sample: variance undefined -> null t
+    val single = CorpusStats.welchTTest(df, col("v"),
+      col("g") === "a", col("g") === "c").head()
+    assert(single.isNullAt(4))
+    // two constant samples: zero denominator -> null t
+    val const = CorpusStats.welchTTest(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v"),
+      col("v"), col("g") === "a", col("g") === "b").head()
+    assert(const.isNullAt(4))
+  }
+
   test("weightedAvg: hand-computed, row-wise nulls, zero-weight key -> null (X265)") {
     import spark.implicits._
     val df = Seq(
