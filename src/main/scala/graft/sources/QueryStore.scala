@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -246,17 +247,43 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       minShould: Int = 1): DataFrame = {
     require(minShould >= 1, s"minShould must be >= 1, got $minShould")
     recover()
+    val (deduped, batchBuckets) = stageBatch(docs, idCol, text)
+    if (batchBuckets.isEmpty) return emptyFired(deduped, idCol)
+    // membership needs (doc, term) SETS only — explode without
+    // positions, so the distinct shuffles two columns, not three
+    val membership = deduped
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term") =!= "").dropDuplicates("doc_id", "term")
+    val pairs = clausesForBuckets(batchBuckets).join(membership, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
+        count(when(col("clause") === "should", 1)).as("n_should"),
+        count(when(col("clause") === "must_not", 1)).as("__n_not"))
+    gateFired(pairs, minShould)
+      .select(col("query_id"), col("doc_id"), col("n_should"))
+  }
+
+  /** Shared serve front half of [[percolate]]/[[percolateScored]]: the
+    * doc-keyed deduped batch plus the batch-vocabulary bucket probe.
+    *
+    * ONE explicit doc-keyed exchange up front carries the whole serve:
+    * HashPartitioning(id) satisfies the dedup, the (doc, term) distinct
+    * or tf aggregate AND the (query, doc) clause-count aggregate
+    * (grouping keys are supersets of the partitioning), so after the
+    * broadcast clause join the pair aggregate runs exchange-free. The
+    * explicit numPartitions matters: left to ENSURE_REQUIREMENTS, AQE
+    * sizes the exchange by the tiny pre-explode bytes and coalesces
+    * toward ONE partition, funneling the explode × clause-match blowup
+    * (100×+ the input bytes) through a single task — measured
+    * 6.7 s → 0.6 s at sf0.1 for the 30k-doc batch gate.
+    *
+    * The probe is a distributed `distinct tbucket` aggregate over the
+    * batch vocabulary, so the driver collects at most B ints for ANY
+    * batch size. */
+  private def stageBatch(docs: DataFrame, idCol: String,
+      text: Column): (DataFrame, Seq[Int]) = {
     val b = readBuckets()
-    // ONE explicit doc-keyed exchange up front carries the whole serve:
-    // HashPartitioning(id) satisfies the dedup, the (doc, term) distinct
-    // AND the (query, doc) clause-count aggregate (grouping keys are
-    // supersets of the partitioning), so after the broadcast clause join
-    // the pair aggregate runs exchange-free. The explicit numPartitions
-    // matters: left to ENSURE_REQUIREMENTS, AQE sizes the exchange by
-    // the tiny pre-explode bytes and coalesces toward ONE partition,
-    // funneling the explode × clause-match blowup (100×+ the input
-    // bytes) through a single task — measured 6.7 s → 0.6 s at sf0.1
-    // for the 30k-doc batch gate.
     val deduped = docs
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .dropDuplicates(idCol)
@@ -265,32 +292,31 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .filter(col("term") =!= "")
       .select(bucketCol(col("term"), b).as("tbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (batchBuckets.isEmpty)
-      // doc_id keeps the BATCH id column's physical type (the layout
-      // family supports non-long ids) so the degenerate empty frame
-      // unions cleanly with the populated one
-      return liveTotals.limit(0)
-        .select(col("query_id"),
-          lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
-          lit(0L).as("n_should"))
-    // membership needs (doc, term) SETS only — explode without
-    // positions, so the distinct shuffles two columns, not three
-    val membership = deduped
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "").dropDuplicates("doc_id", "term")
+    (deduped, batchBuckets)
+  }
+
+  /** The typed empty fired-pairs frame for a no-vocabulary batch.
+    * doc_id keeps the BATCH id column's physical type (the layout family
+    * supports non-long ids) so the degenerate empty frame unions cleanly
+    * with the populated one. */
+  private def emptyFired(deduped: DataFrame, idCol: String): DataFrame =
+    liveTotals.limit(0)
+      .select(col("query_id"),
+        lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
+        lit(0L).as("n_should"))
+
+  /** The shared clause gate: join the per-pair match counts against the
+    * totals sidecar and keep pairs with all musts, no must_nots and the
+    * should threshold met. Columns `__n_must`/`n_should`/`__n_not` are
+    * the caller's per-(query_id, doc_id) counts; gate columns stay on
+    * the output for the caller's final projection. */
+  private def gateFired(pairs: DataFrame, minShould: Int): DataFrame = {
     val totals = liveTotals.select(col("query_id"),
       col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
-    clausesForBuckets(batchBuckets).join(membership, Seq("term"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
-        count(when(col("clause") === "should", 1)).as("n_should"),
-        count(when(col("clause") === "must_not", 1)).as("__n_not"))
-      .join(totals, Seq("query_id"))
+    pairs.join(totals, Seq("query_id"))
       .filter(col("__n_must") === col("__m_tot") && col("__n_not") === 0 &&
         (col("__s_tot") === 0 ||
           col("n_should") >= least(lit(minShould.toLong), col("__s_tot"))))
-      .select(col("query_id"), col("doc_id"), col("n_should"))
   }
 
   /** SCORED percolation (X246 — ES percolate returns `_score`, not just
@@ -311,50 +337,64 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     * layout reproduces the same bits (a fired pair has no fixed term
     * order to chain doubles through).
     *
-    * Plan shape: the [[percolate]] doc-keyed exchange discipline for
-    * the tf table; df adds one term-keyed aggregate of the same rows;
-    * stats ride a broadcast one-row frame; the clause join and gate
-    * are [[percolate]]'s. Output (query_id, doc_id, n_should, score),
-    * score round-6 DESC-ranking-ready. */
+    * Plan shape — the [[percolate]] one-doc-keyed-exchange discipline,
+    * DELIVERED by pinning: the (doc_id, term, __tf) staging frame is
+    * `localCheckpoint(true)`-pinned (the [[graft.util.Pins]] contract —
+    * the caller releases after materializing the result), so its four
+    * consumers (clause join, per-doc dl, batch stats, per-term df) read
+    * the pin instead of each re-running the batch tokenize→explode→agg.
+    * The serve side then takes ONE explicit doc-keyed exchange of the
+    * pinned (post-aggregate, three-column) frame — the AQE-materialized
+    * pin reports UnknownPartitioning, so the layout is re-declared
+    * rather than inherited — and everything downstream rides it:
+    * `__dl` is a window over that layout (sort, no exchange), stats
+    * ride a broadcast one-row frame, dfs is one vocabulary-sized term
+    * aggregate over the pin broadcast into the enrichment join, and the
+    * final (query, doc) aggregate runs exchange-free on the streamed
+    * side (suite-audited: zero Generate, one doc_id exchange). The
+    * clause join and gate are [[percolate]]'s. Output (query_id,
+    * doc_id, n_should, score), score round-6 DESC-ranking-ready. */
   def percolateScored(docs: DataFrame, idCol: String, text: Column,
       minShould: Int = 1, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(minShould >= 1, s"minShould must be >= 1, got $minShould")
     recover()
-    val bkts = readBuckets()
-    val deduped = docs
-      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
-      .dropDuplicates(idCol)
-    val batchBuckets = deduped
-      .select(explode(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term") =!= "")
-      .select(bucketCol(col("term"), bkts).as("tbucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val (deduped, batchBuckets) = stageBatch(docs, idCol, text)
     if (batchBuckets.isEmpty)
-      return liveTotals.limit(0)
-        .select(col("query_id"),
-          lit(null).cast(deduped.schema(idCol).dataType).as("doc_id"),
-          lit(0L).as("n_should"), lit(0.0).as("score"))
+      return emptyFired(deduped, idCol).withColumn("score", lit(0.0))
     // counts-carrying membership: (doc_id, term, tf) — [[percolate]]'s
-    // frame plus the per-pair frequency the partials need
+    // frame plus the per-pair frequency the partials need. Pinned: the
+    // second (and last) batch-sized pass of the serve.
     val tf = deduped
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(text)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    val dls = tf.groupBy(col("doc_id"))
+      .localCheckpoint(true)
+    // the serve's ONE doc-keyed exchange, re-declared over the pin (the
+    // checkpointed RDD reports UnknownPartitioning); the dl window, the
+    // enrichment joins' streamed side and the (query, doc) aggregate
+    // all run on this layout without further shuffles
+    val tfDl = tf
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .withColumn("__dl",
+        sum(col("__tf")).over(Window.partitionBy(col("doc_id"))).cast(LongType))
+    // batch stats off the raw pin, NOT the declared exchange: the per-doc
+    // collapse map-side-combines to ≤ one (doc_id, partial_dl) row per
+    // doc per task before its shuffle, so this branch's exchange carries
+    // ~n_docs aggregated rows — cheaper than re-flowing the full
+    // postings layout for a one-row broadcast stat
+    val stats = tf.groupBy(col("doc_id"))
       .agg(sum(col("__tf")).cast(LongType).as("__dl"))
-    val stats = dls.agg(
-      count(lit(1)).as("__n_docs"),
-      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+      .agg(count(lit(1)).as("__n_docs"),
+        (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    // batch-vocabulary-sized (term, df) — small by the same contract
+    // that lets the bucket probe collect, so it broadcasts
     val dfs = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast(LongType).as("__df"))
-    val totals = liveTotals.select(col("query_id"),
-      col("n_must").as("__m_tot"), col("n_should").as("__s_tot"))
     val enriched = clausesForBuckets(batchBuckets)
-      .join(tf, Seq("term"))
-      .join(dfs, Seq("term"))
-      .join(dls, Seq("doc_id"))
+      .join(tfDl, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
     val tfD = col("__tf").cast(DoubleType)
     val dfD = col("__df").cast(DoubleType)
@@ -365,16 +405,13 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     val dec = DataTypes.createDecimalType(38, 6)
     val partial = when(col("clause") =!= "must_not",
       round(idf * tfD * lit(k1 + 1.0) / norm, 6)).otherwise(lit(0.0))
-    enriched
+    val pairs = enriched
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(when(col("clause") === "must", 1)).as("__n_must"),
         count(when(col("clause") === "should", 1)).as("n_should"),
         count(when(col("clause") === "must_not", 1)).as("__n_not"),
         sum(partial.cast(dec)).as("__score"))
-      .join(totals, Seq("query_id"))
-      .filter(col("__n_must") === col("__m_tot") && col("__n_not") === 0 &&
-        (col("__s_tot") === 0 ||
-          col("n_should") >= least(lit(minShould.toLong), col("__s_tot"))))
+    gateFired(pairs, minShould)
       .select(col("query_id"), col("doc_id"), col("n_should"),
         round(col("__score").cast(DoubleType), 6).as("score"))
   }

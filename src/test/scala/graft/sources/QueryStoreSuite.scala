@@ -116,6 +116,34 @@ class QueryStoreSuite extends AnyFunSuite {
       qs.percolateScored(docs, "doc_id", col("text"), minShould = 0))
   }
 
+  test("percolateScored: staging pinned once, serve exchange-free on the doc axis") {
+    val dir = Files.createTempDirectory("graft_qstore_scoredplan").toString
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    val out = qs.percolateScored(docs, "doc_id", col("text"))
+    // the (doc_id, term, __tf) staging frame is localCheckpoint-pinned:
+    // the serve plan reads the pin, so the batch tokenize→explode ran
+    // exactly once (at pin time) — no Generate anywhere in the result
+    val analyzed = out.queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("Generate"),
+      s"tokenize must run once inside the pin, not per consumer:\n$analyzed")
+    out.collect()
+    // the full-width postings layout is declared exactly once (the
+    // REPARTITION_BY_NUM exchange the dl window and enrichment ride);
+    // the only other doc-keyed shuffle allowed is the stats branch's
+    // map-side-combined per-doc collapse (~n_docs aggregated rows)
+    val finalSection = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val docExchanges = finalSection.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id") &&
+        !l.contains("ReusedExchange"))
+      .toList
+    val declared = docExchanges.count(_.contains("REPARTITION_BY_NUM"))
+    assert(declared == 1 && docExchanges.size <= 2,
+      s"expected one declared postings exchange (+ at most the aggregated stats one), got:\n${docExchanges.mkString("\n")}\n$finalSection")
+    graft.util.Pins.release(out)
+  }
+
   test("lifecycle: append / tombstone delete / vacuum all live on the next read") {
     val dir = Files.createTempDirectory("graft_qstore_life").toString
     val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
