@@ -217,13 +217,34 @@ object Bench {
       (dt, ok)
     }
     settle(spark, "timed runs start")
-    // lifecycle/maintenance rows run many filesystem-mutation jobs and
-    // historically show the widest spread — they get ONE extra
-    // back-to-back sample whenever the run isn't the single-pass dev loop
+    // Spread retirement (carried r15→r17; the 14 remaining >3x offenders
+    // were ambient drift in BOTH directions, not cold starts): sampling
+    // is now ADAPTIVE. Every query gets its nRuns back-to-back samples;
+    // if the observed min-max spread still exceeds 3x, it earns up to
+    // two more back-to-back samples on the spot — an outlier run (GC
+    // catch-up, host noise) is then outvoted by three agreeing samples
+    // instead of standing as one of two. Lifecycle rows keep their
+    // unconditional third sample (filesystem-mutation jobs spread
+    // widest). The JSON reports the MEDIAN alongside the min per query,
+    // so a reader can tell "fast plan, one slow outlier" (median ≈ min)
+    // from "genuinely bimodal" (median ≫ min) without re-running.
+    val maxExtra = 2
     val perQuery: Map[String, Seq[(Double, Boolean)]] =
       selected.map { case (name, fn) =>
         val n = nRuns + (if (nRuns >= 2 && lifecycle(name)) 1 else 0)
-        name -> (1 to n).map(_ => timeOne(name, fn)).toSeq
+        val base = (1 to n).map(_ => timeOne(name, fn)).toList
+        def spread(rs: List[(Double, Boolean)]): Double = {
+          val ts = rs.map(_._1)
+          if (ts.min <= 0.0) 1.0 else ts.max / ts.min
+        }
+        var runs = base
+        var extra = 0
+        while (nRuns >= 2 && spread(runs) > 3.0 && extra < maxExtra) {
+          System.err.println(f"BENCH RESAMPLE $name%-28s spread ${spread(runs)}%.1fx")
+          runs = runs :+ timeOne(name, fn)
+          extra += 1
+        }
+        name -> (runs: Seq[(Double, Boolean)])
       }
     // min over SUCCESSFUL passes; a query with no successful pass keeps its
     // fastest failing time and lands in `failed`
@@ -232,8 +253,18 @@ object Bench {
       val v = if (okTimes.nonEmpty) okTimes.min else perRun.map(_._1).min
       name -> ((v, perRun.forall(_._2)))
     }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val medians = perQuery.map { case (name, perRun) =>
+      val okTimes = perRun.collect { case (t, true) => t }
+      val ts = if (okTimes.nonEmpty) okTimes else perRun.map(_._1)
+      s"\"" + name + "\":" + median(ts)
+    }.mkString("{", ",", "}")
     val rawRuns = perQuery.map { case (name, perRun) =>
       s"\"" + name + "\":" + perRun.map(_._1).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -241,7 +272,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"n_runs":$nRuns,"methodology":"${if (warmAll) "warmall+paired" else "paired"}","failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$rawRuns,"n_runs":$nRuns,"methodology":"${if (warmAll) "warmall+paired+resample3x" else "paired"}","failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
     println(json)
     // also drop the bare line in a file: under sbt every stdout line gets an
     // "[info] " prefix, which breaks naive line-wise JSON parsing downstream

@@ -1749,6 +1749,102 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q315_date_range" -> ((s, d) => {
+      // X274 date_range agg: weekly-ish [from,to) buckets over the
+      // event stream, one conditional-count aggregate row unpivoted —
+      // overlap allowed, the empty pre-2024 bucket still emits, to is
+      // exclusive (ES conventions); ts NTZ cast under the UTC session
+      CorpusStats.dateRangeAgg(events(s, d),
+        col("ts").cast(DataTypes.TimestampType), Seq(
+          (Some("2024-01-01 00:00:00"), Some("2024-01-08 00:00:00")),
+          (Some("2024-01-08 00:00:00"), Some("2024-01-15 00:00:00")),
+          (Some("2024-01-15 00:00:00"), None),
+          (None, Some("2024-01-01 00:00:00"))))
+        .orderBy(col("key"))
+    }),
+    "q316_bucket_sort" -> ((s, d) => {
+      // X275 bucket_sort pipeline: daily event buckets re-ordered by
+      // doc count desc (ties by bucket_start — the documented
+      // deterministic tail), skip 2, keep 5 — the ES from/size pair as
+      // a TakeOrderedAndProject heap, never a driver-side slice
+      val daily = events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      Sessionize.bucketSort(daily, Seq(("n", false)), from = 2,
+        size = Some(5))
+    }),
+    "q317_span_within" -> ((s, d) => {
+      // X273 span_within (Lucene SpanWithinQuery): 'merge' occurrences
+      // sitting INSIDE a full 'table merge' phrase span — span-grain
+      // containment over the two terms' pruned postings only; a merge
+      // NOT preceded by table does not match, where a Boolean AND
+      // would match the whole doc
+      TextAnalysis.spanWithin(
+        sharedInvIndex(s, d).termPostings(Seq("table", "merge")),
+        "merge", Seq("table", "merge"))
+        .orderBy(col("doc_id"))
+    }),
+    "q318_span_containing" -> ((s, d) => {
+      // X273 span_containing: the dual — 'table merge' spans that
+      // contain a 'merge' (every span, pinning the two surfaces
+      // against each other on real data: n_spans ≡ span count)
+      TextAnalysis.spanContaining(
+        sharedInvIndex(s, d).termPostings(Seq("table", "merge")),
+        "merge", Seq("table", "merge"))
+        .orderBy(col("doc_id"))
+    }),
+    "q311_filters_agg" -> ((s, d) => {
+      // X269 filters agg (ES named buckets): per-filter doc counts in
+      // ONE pass — a single conditional-count aggregate row unpivoted
+      // by a bounded stack, no per-filter scan, no row-mass shuffle;
+      // every requested bucket emits (zero included) plus the
+      // other_bucket_key remainder
+      CorpusStats.filtersAgg(t(s, d, "documents"), Seq(
+          "en" -> (col("lang") === "en"),
+          "de" -> (col("lang") === "de"),
+          "long" -> (length(col("text")) > 500),
+          "nolang" -> (col("lang") === "xx")),
+        otherBucketKey = Some("rest"))
+        .orderBy(col("key"))
+    }),
+    "q312_significant_text" -> ((s, d) => {
+      // X270 significant_text (ES): JLH over the RE-TOKENIZED text of
+      // the q214 hit docs — foreground df from the hits' own text,
+      // background df + corpus size from the census sidecar (one
+      // vocabulary-sized read, postings never opened)
+      val idx = sharedInvIndex(s, d)
+      val hitIds = idx.bm25(Seq("sort", "merge", "spark"), k = 20)
+        .select(col("doc_id"))
+      val hits = t(s, d, "documents")
+        .join(hitIds, Seq("doc_id"), "left_semi")
+      idx.significantText(hits, "doc_id", col("text"), n = 15, minDf = 2L)
+    }),
+    "q313_auto_cal_histogram" -> ((s, d) => {
+      // X271 calendar auto_date_histogram: orders span 1995-01..2001-08
+      // (SF-invariant) — 7d needs ~345 buckets, 1M needs 80, 3M fits
+      // 40 ⇒ the engine negotiates quarters; gapless UTC quarter
+      // starts, the interval string in the result like ES
+      // o_orderdate is parquet TIMESTAMP_NTZ; the UTC-pinned session
+      // makes the instant cast the identity wall-clock reading
+      Sessionize.autoDateHistogramCalendar(t(s, d, "orders"),
+          col("o_orderdate").cast(DataTypes.TimestampType),
+          targetBuckets = 40)
+        .orderBy(col("bucket_start"))
+    }),
+    "q314_ql_hot_skip" -> ((s, d) => {
+      // X199 hot-term policy on the QL surface (the q242 pattern): the
+      // stop-class term ('merge' at this corpus, df > 0.78·N by the
+      // census — the DATA decides) elides before any postings I/O;
+      // elided terms skip like OOV on both engine and oracle, and a
+      // query whose terms are ALL hot produces no candidates
+      import s.implicits._
+      val idx = sharedInvIndex(s, d)
+      val queries = Seq(
+        ("qa", "sort"), ("qa", "merge"),
+        ("qb", "spark"), ("qb", "merge"),
+        ("qc", "merge")).toDF("query_id", "term")
+      idx.qlBatch(queries, k = 5, maxDfFrac = 0.78)
+    }),
     "q310_t_test" -> ((s, d) => {
       // X268 Welch t_test (ES default heteroscedastic): do purchase
       // and click events carry the same mean value — one pass of
@@ -6356,6 +6452,163 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X274: per-range conditional counts; 'to' exclusive, keys carry
+    // the literal bound text with * for open ends
+    "q315_date_range" ->
+      """SELECT '2024-01-01 00:00:00-2024-01-08 00:00:00' AS key,
+           COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+             AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 END) AS doc_count
+         FROM events
+         UNION ALL SELECT '2024-01-08 00:00:00-2024-01-15 00:00:00',
+           COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+             AND ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 END) FROM events
+         UNION ALL SELECT '2024-01-15 00:00:00-*',
+           COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 END)
+           FROM events
+         UNION ALL SELECT '*-2024-01-01 00:00:00',
+           COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00' THEN 1 END)
+           FROM events
+         ORDER BY key""",
+    // X275: the same total order (n desc, bucket_start asc tail) with
+    // the ES from/size pair as OFFSET/LIMIT
+    "q316_bucket_sort" ->
+      """SELECT date_trunc('day', ts) AS bucket_start, COUNT(*) AS n
+         FROM events GROUP BY 1
+         ORDER BY n DESC, bucket_start ASC LIMIT 5 OFFSET 2""",
+    // X273: positions via UNNEST-with-index (the q117 pattern), phrase
+    // spans from the two adjacency joins, containment as BETWEEN
+    "q317_span_within" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+              tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          spans AS (SELECT a.doc_id, a.pos AS ps
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'table' AND b.term = 'merge'),
+          littles AS (SELECT doc_id, pos AS pl FROM p WHERE term = 'merge'),
+          w AS (SELECT DISTINCT l.doc_id, l.pl FROM littles l
+            JOIN spans s ON s.doc_id = l.doc_id
+              AND l.pl BETWEEN s.ps AND s.ps + 1)
+          SELECT doc_id, COUNT(*) AS n_matches FROM w
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q318_span_containing" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+              tk[CAST(u.i + 1 AS INT)] AS term
+            FROM t, UNNEST(range(len(tk))) AS u(i)
+            WHERE tk[CAST(u.i + 1 AS INT)] <> ''),
+          spans AS (SELECT a.doc_id, a.pos AS ps
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'table' AND b.term = 'merge'),
+          littles AS (SELECT doc_id, pos AS pl FROM p WHERE term = 'merge'),
+          w AS (SELECT DISTINCT s.doc_id, s.ps FROM spans s
+            JOIN littles l ON l.doc_id = s.doc_id
+              AND l.pl BETWEEN s.ps AND s.ps + 1)
+          SELECT doc_id, COUNT(*) AS n_spans FROM w
+          GROUP BY doc_id ORDER BY doc_id""",
+    // X269: one conditional-count row per named bucket; the 'rest'
+    // bucket is the matched-nothing remainder with nulls pinned false
+    "q311_filters_agg" ->
+      """SELECT 'en' AS key, COUNT(CASE WHEN lang = 'en' THEN 1 END) AS doc_count FROM documents
+         UNION ALL SELECT 'de', COUNT(CASE WHEN lang = 'de' THEN 1 END) FROM documents
+         UNION ALL SELECT 'long', COUNT(CASE WHEN length(text) > 500 THEN 1 END) FROM documents
+         UNION ALL SELECT 'nolang', COUNT(CASE WHEN lang = 'xx' THEN 1 END) FROM documents
+         UNION ALL SELECT 'rest', COUNT(CASE WHEN NOT COALESCE(
+             lang = 'en' OR lang = 'de' OR length(text) > 500 OR lang = 'xx',
+             FALSE) THEN 1 END) FROM documents
+         ORDER BY key""",
+    // X270: q270's JLH arithmetic verbatim — the foreground df is
+    // re-derived from tokenized hit text, which IS how the engine's
+    // significant_text serves it (q270's forward-sidecar path reads the
+    // same numbers from disk; suite-pinned equal) — so the two rows
+    // share an oracle the way q253 reuses q213's (pure plan choice)
+    "q312_significant_text" -> {
+      val hitsSql = bm25SqlOver(Seq("sort", "merge", "spark"),
+        "documents", toksSql, topN = 20)
+      s"""WITH hits AS MATERIALIZED (SELECT doc_id FROM ($hitsSql) AS h),
+          dt AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents), UNNEST(tk) AS u(t)),
+          pt AS (SELECT term,
+              COUNT(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 END) AS df_fg,
+              COUNT(*) AS df_bg FROM dt GROUP BY term),
+          sz AS (SELECT (SELECT COUNT(*) FROM hits) AS n_fg,
+              (SELECT COUNT(DISTINCT doc_id) FROM dt) AS n_bg),
+          sc AS (SELECT term, df_fg, df_bg,
+              (CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE)
+                - CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))
+              * ((CAST(df_fg AS DOUBLE) / CAST(n_fg AS DOUBLE))
+                / (CAST(df_bg AS DOUBLE) / CAST(n_bg AS DOUBLE))) AS score
+            FROM pt CROSS JOIN sz WHERE n_fg > 0 AND df_fg >= 2)
+          SELECT term, df_fg, df_bg, ROUND(score, 6) AS score FROM sc
+          WHERE score > 0 ORDER BY score DESC, term ASC LIMIT 15"""
+    },
+    // X271: date_trunc quarters under the shared UTC contract; the 3M
+    // rung is what 40 buckets negotiates for this SF-invariant span
+    // (1995-01..2001-08: 7d ~345, 1M 80, 3M 27)
+    "q313_auto_cal_histogram" ->
+      """WITH b AS (SELECT date_trunc('quarter', o_orderdate) AS bucket_start,
+              COUNT(*) AS n
+            FROM orders GROUP BY 1),
+          mm AS (SELECT date_trunc('quarter', MIN(o_orderdate)) AS lo,
+              date_trunc('quarter', MAX(o_orderdate)) AS hi FROM orders),
+          spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 3 MONTH))
+              AS bucket_start FROM mm)
+          SELECT spine.bucket_start, COALESCE(b.n, 0) AS n, '3M' AS "interval"
+          FROM spine LEFT JOIN b USING (bucket_start)
+          ORDER BY bucket_start""",
+    // X199 on QL: the oracle mirrors the skip rule itself (df > frac·N
+    // from the tokenized corpus — the DATA decides which term is hot);
+    // elided terms generate no candidates and no partials, served
+    // zero-tf terms still smooth — q244's arithmetic otherwise
+    "q314_ql_hot_skip" -> {
+      val mu = "2000.0"
+      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk
+            FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+                  FROM documents)
+            WHERE len(tk) > 0),
+          st AS (SELECT CAST(SUM(dl) AS BIGINT) AS c,
+              COUNT(*) AS n_docs FROM pd),
+          qq(query_id, term) AS (VALUES
+            ('qa', 'sort'), ('qa', 'merge'),
+            ('qb', 'spark'), ('qb', 'merge'),
+            ('qc', 'merge')),
+          v AS (SELECT DISTINCT term FROM qq),
+          tfall AS (SELECT pd.doc_id, pd.dl, v.term,
+              CAST(len(list_filter(pd.tk, x -> x = v.term)) AS BIGINT) AS tf
+            FROM pd CROSS JOIN v),
+          dfs AS (SELECT term,
+              COUNT(CASE WHEN tf > 0 THEN 1 END) AS df FROM tfall GROUP BY 1),
+          cold AS (SELECT dfs.term FROM dfs CROSS JOIN st
+            WHERE CAST(dfs.df AS DOUBLE)
+              <= CAST(0.78 AS DOUBLE) * CAST(st.n_docs AS DOUBLE)),
+          qs AS (SELECT * FROM qq
+            WHERE term IN (SELECT term FROM cold)),
+          cfs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+            FROM tfall GROUP BY 1),
+          cand AS (SELECT DISTINCT qs.query_id, tfall.doc_id
+            FROM qs JOIN tfall USING (term) WHERE tfall.tf > 0),
+          partials AS (SELECT cand.query_id, cand.doc_id,
+              CASE WHEN cfs.cf > 0 THEN
+                ROUND(LN((CAST(t2.tf AS DOUBLE)
+                    + CAST($mu AS DOUBLE) * CAST(cfs.cf AS DOUBLE) / CAST(st.c AS DOUBLE))
+                  / (CAST(t2.dl AS DOUBLE) + CAST($mu AS DOUBLE))), 6)
+              ELSE 0.0 END AS pp
+            FROM cand JOIN qs USING (query_id)
+            JOIN tfall t2 ON t2.doc_id = cand.doc_id AND t2.term = qs.term
+            JOIN cfs ON cfs.term = qs.term CROSS JOIN st),
+          sc AS (SELECT query_id, doc_id,
+              ROUND(CAST(SUM(CAST(pp AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score
+            FROM partials GROUP BY 1, 2),
+          r AS (SELECT query_id, doc_id, score,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+            FROM sc)
+          SELECT query_id, doc_id, score, rank FROM r
+          WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     // X268: the same conditional decimal power sums and Welch formula
     "q310_t_test" ->
       """WITH b AS (SELECT CAST(value AS DOUBLE) AS v,

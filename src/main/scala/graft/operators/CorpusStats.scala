@@ -301,20 +301,72 @@ object CorpusStats {
       .groupBy(col("key")).agg(count(lit(1)).as("doc_count"))
   }
 
+  /** The shared one-pass tail of [[filtersAgg]]/[[rangeAgg]]/
+    * [[dateRangeAgg]]: a single aggregate row of per-bucket conditional
+    * counts (map-side partials collapse each task to one row — no
+    * row-mass shuffle), unpivoted into (key, doc_count) rows by a
+    * bounded `stack`. Every keyed bucket emits, zero or not. */
+  private def condCountsStacked(df: DataFrame,
+      keyed: Seq[(String, Column)]): DataFrame = {
+    val agg = df.agg(
+      count(when(keyed.head._2, 1)).as("c0"),
+      keyed.zipWithIndex.tail.map { case ((_, c), i) =>
+        count(when(c, 1)).as(s"c$i") }: _*)
+    val stackSql = s"stack(${keyed.size}, " + keyed.zipWithIndex.map {
+      case ((k, _), i) => s"'${k.replace("'", "''")}', c$i"
+    }.mkString(", ") + ") AS (key, doc_count)"
+    agg.select(expr(stackSql))
+  }
+
+  /** Filters aggregation (X269 — the ES `filters` bucket agg, the
+    * named-bucket singleton form of [[adjacencyMatrix]]): the
+    * doc_count of every NAMED row filter — "how many docs are long /
+    * english / flagged" as one dashboard row set. Unlike
+    * [[adjacencyMatrix]] (which omits empty intersections), every
+    * requested bucket emits, zero or not — a keyed filter is part of
+    * the requested output shape, the ES response convention. With
+    * `otherBucketKey` set, docs matching NO filter count into one
+    * extra bucket of that name (ES `other_bucket_key`), which also
+    * always emits.
+    *
+    * ONE pass, no shuffle of row-mass at all: a single aggregate row
+    * of per-filter conditional counts (map-side partials collapse each
+    * task to one row), unpivoted by a bounded `stack` — cheaper even
+    * than the adjacency explode, since no per-row key array is built. */
+  def filtersAgg(df: DataFrame, filters: Seq[(String, Column)],
+      otherBucketKey: Option[String] = None): DataFrame = {
+    require(filters.nonEmpty, "no filters")
+    val names = filters.map(_._1) ++ otherBucketKey
+    require(names.distinct.size == names.size, s"duplicate bucket name in $names")
+    require(names.forall(_.nonEmpty), "bucket names must be non-empty")
+    // a row whose filter predicates are all null/false matched nothing:
+    // coalesce pins the null case into the other bucket (ES behavior)
+    val other = otherBucketKey.map { k =>
+      (k, !coalesce(filters.map(_._2).reduce(_ || _), lit(false))) }
+    condCountsStacked(df, filters ++ other)
+  }
+
   /** Terms aggregation with the other-mass row (X253 — the ES `terms`
     * agg's `sum_other_doc_count`, the honesty field dashboards forget):
     * the top `size` buckets by (doc_count desc, key asc) PLUS one
     * `__sum_other__` row carrying everything the cut dropped — so the
     * rendered bar chart and the corpus total always reconcile. Empty
     * other-mass omits the row (nothing dropped). Plan: one map-side-
-    * combining count, a size-heap (TakeOrderedAndProject) for the cut,
-    * one anti-join aggregate for the remainder — no global window, no
-    * driver-side bucket list. `__sum_other__` is reserved: a real key
-    * equal to it would alias the sentinel, so it is rejected. */
+    * combining count over the input — PINNED (eager localCheckpoint,
+    * the [[graft.util.Pins]] contract: release after materializing the
+    * result), because the aggregate has three consumers (the sentinel
+    * check, the top cut, the other-mass anti-join) and unpinned each
+    * would re-run the groupBy over the full input — then a size-heap
+    * (TakeOrderedAndProject) for the cut and one anti-join aggregate
+    * over the bucket-cardinality pin for the remainder — no global
+    * window, no driver-side bucket list. `__sum_other__` is reserved:
+    * a real key equal to it would alias the sentinel, so it is
+    * rejected (one cheap job over the pin). */
   def termsAggWithOther(df: DataFrame, key: Column, size: Int): DataFrame = {
     require(size >= 1, s"size must be >= 1, got $size")
     val counts = df.groupBy(key.cast(StringType).as("key"))
       .agg(count(lit(1)).as("doc_count"))
+      .localCheckpoint(true)
     require(counts.filter(col("key") === "__sum_other__").isEmpty,
       "key value '__sum_other__' collides with the sentinel row")
     val top = counts
@@ -353,14 +405,42 @@ object CorpusStats {
     }
     require(keyed.map(_._1).distinct.size == keyed.size,
       s"duplicate range key in ${keyed.map(_._1)}")
-    val agg = df.agg(
-      count(when(keyed.head._2, 1)).as("c0"),
-      keyed.zipWithIndex.tail.map { case ((_, c), i) =>
-        count(when(c, 1)).as(s"c$i") }: _*)
-    val stackSql = s"stack(${keyed.size}, " + keyed.zipWithIndex.map {
-      case ((k, _), i) => s"'${k.replace("'", "''")}', c$i"
-    }.mkString(", ") + ") AS (key, doc_count)"
-    agg.select(expr(stackSql))
+    condCountsStacked(df, keyed)
+  }
+
+  /** Date-range aggregation (X274 — the ES `date_range` agg, the
+    * calendar sibling of [[rangeAgg]]): per [from, to) timestamp range
+    * over `ts`, the bucket's doc_count — ranges may overlap, empty
+    * ranges still emit, nulls match no range (all the [[rangeAgg]] /
+    * ES conventions). Bounds arrive as `yyyy-MM-dd HH:mm:ss` literals
+    * read under the session timezone (UTC-pinned in this engine — the
+    * X271 contract); keys are the ES `from-to` form with `*` for an
+    * open end, carrying the literal bound text. `ts` must be a
+    * TIMESTAMP column (cast TIMESTAMP_NTZ at the call site — under the
+    * UTC session the cast is the identity wall-clock reading). Same
+    * ONE-pass plan as [[rangeAgg]]: a single conditional-count
+    * aggregate row unpivoted by a bounded `stack`. */
+  def dateRangeAgg(df: DataFrame, ts: Column,
+      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    require(ranges.forall { case (f, t) =>
+      f.nonEmpty || t.nonEmpty }, "a range needs at least one bound")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def parse(s: String) = java.time.LocalDateTime.parse(s, fmt)
+    require(ranges.forall { case (f, t) =>
+      f.isEmpty || t.isEmpty || parse(f.get).isBefore(parse(t.get)) },
+      s"every range needs from < to: $ranges")
+    val keyed = ranges.map { case (f, t) =>
+      val k = s"${f.getOrElse("*")}-${t.getOrElse("*")}"
+      val cond = (f.map(x => ts >= to_timestamp(lit(x))) ++
+          t.map(x => ts < to_timestamp(lit(x))))
+        .reduce(_ && _)
+      (k, cond)
+    }
+    require(keyed.map(_._1).distinct.size == keyed.size,
+      s"duplicate range key in ${keyed.map(_._1)}")
+    condCountsStacked(df, keyed)
   }
 
   /** Rare-terms aggregation (X251 — the ES `rare_terms` bucket agg,

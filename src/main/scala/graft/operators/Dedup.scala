@@ -243,10 +243,15 @@ object Dedup {
     * eval-set n-grams inflates benchmark scores.
     *
     * Scale shape: both sides reduce to (id, shingle-hash) postings — the
-    * 16-hex md5 base, never shingle text — so the equi-join exchange
-    * carries ~24 bytes/posting; the benchmark side is usually tiny
-    * (eval suites) and broadcasts under AQE. Join, count per (corpus,
-    * bench) pair, filter. */
+    * 16-hex md5 base, never shingle text. The benchmark side is small BY
+    * CONTRACT (it's an eval set), so its postings are explicitly
+    * broadcast: the corpus postings never shuffle at all — no exchange
+    * whose per-hash fan-out is df_corpus × df_bench (the hot-shingle
+    * blowup a plan-estimated join can fall into when AQE under-sizes
+    * the exploded side; measured 15.4 s → broadcast-hash at sf0.1).
+    * The per-pair count then map-side-combines, so the only shuffle
+    * carries (corpus_id, bench_id, partial_count) rows bounded by the
+    * matching pairs. */
   def contaminationScan(corpus: DataFrame, idCol: String, text: Column,
       benchmark: DataFrame, benchIdCol: String, benchText: Column,
       shingleN: Int = 5, minOverlap: Int = 1): DataFrame = {
@@ -264,7 +269,8 @@ object Dedup {
         .select(col("doc_id").as(outId), explode_outer(col("sh")).as("__sh"))
         .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
     postings(corpus, col(idCol), text, "doc_id")
-      .join(postings(benchmark, col(benchIdCol), benchText, "bench_id"), Seq("__h"))
+      .join(broadcast(postings(benchmark, col(benchIdCol), benchText, "bench_id")),
+        Seq("__h"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DataTypes, DoubleType, IntegerType, LongType, StringType}
 
 /** User-session assignment over an event stream — the classic
   * gaps-and-islands operator: a new session starts when the gap to the
@@ -440,6 +440,105 @@ object Sessionize {
         lit(width).as("width_seconds"))
   }
 
+  /** Calendar-complete auto date histogram (X271 — the month/quarter/
+    * year rungs [[autoDateHistogram]] stops short of, completing the
+    * full ES `auto_date_histogram` ladder): fixed rungs first (X267's
+    * list), then 1M, 3M, 1y, 5y, 10y, 20y, 50y, 100y — the smallest
+    * rung whose bucket count over [min, max] fits `targetBuckets`,
+    * overflow pinning to the 100y top rung (the ES behavior).
+    *
+    * TIMEZONE CONTRACT, stated: calendar boundaries are month/year
+    * STARTS UNDER THE SESSION TIMEZONE, which this engine pins to UTC
+    * everywhere (builder config in every main; the suite asserts it) —
+    * "1M" buckets at 2021-03-01T00:00:00Z regardless of where the
+    * dashboard viewer sits. DST-shifted local calendars are a render
+    * policy, deliberately out of engine scope.
+    *
+    * Selection needs the same one (min, max) collect as X267 (bucket
+    * counts for every rung derive from the two endpoints in driver
+    * java.time math — no per-rung scan); the series is one month- or
+    * year-keyed aggregate (map-side combined) left-joined onto a
+    * `spark.range` spine, zero-filled — gapless, the `min_doc_count:
+    * 0` contract. Output (bucket_start TIMESTAMP, n, interval) — the
+    * interval string travels in the result like ES's reported
+    * `interval`; on a fixed rung the buckets equal [[autoDateHistogram]]
+    * bucket-for-bucket with bucket_start = timestamp_seconds(its
+    * epoch-seconds start). */
+  def autoDateHistogramCalendar(events: DataFrame, ts: Column,
+      targetBuckets: Int): DataFrame = {
+    require(targetBuckets >= 1, s"targetBuckets must be >= 1, got $targetBuckets")
+    val spark = events.sparkSession
+    val fixed = Seq("1s" -> 1L, "5s" -> 5L, "10s" -> 10L, "30s" -> 30L,
+      "1m" -> 60L, "5m" -> 300L, "10m" -> 600L, "30m" -> 1800L,
+      "1h" -> 3600L, "3h" -> 10800L, "12h" -> 43200L, "1d" -> 86400L,
+      "7d" -> 604800L)
+    val mm = events.select(unix_micros(ts).as("__us"))
+      .agg(min(col("__us")), max(col("__us"))).head()
+    if (mm.isNullAt(0))
+      return spark.range(0).select(
+        col("id").cast(DataTypes.TimestampType).as("bucket_start"),
+        lit(0L).as("n"), lit("1s").as("interval"))
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    def fixedBucketsAt(w: Long): Long = {
+      val wUs = w * 1000000L
+      Math.floorDiv(hiUs, wUs) - Math.floorDiv(loUs, wUs) + 1
+    }
+    fixed.find { case (_, w) => fixedBucketsAt(w) <= targetBuckets } match {
+      case Some((label, w)) =>
+        return filledBuckets(events, ts, w).get
+          .select(timestamp_seconds(col("__i") * w).as("bucket_start"),
+            col("n"), lit(label).as("interval"))
+      case None => ()
+    }
+    // calendar rungs: bucket index = floorDiv(months-since-epoch, k) or
+    // floorDiv(years-since-epoch, k); counts from the endpoints alone
+    val utc = java.time.ZoneOffset.UTC
+    def at(us: Long) = java.time.Instant
+      .ofEpochSecond(Math.floorDiv(us, 1000000L)).atZone(utc)
+    val (loDt, hiDt) = (at(loUs), at(hiUs))
+    def monthIdx(d: java.time.ZonedDateTime): Long =
+      (d.getYear - 1970L) * 12L + (d.getMonthValue - 1L)
+    def yearIdx(d: java.time.ZonedDateTime): Long = d.getYear - 1970L
+    val calendar: Seq[(String, Boolean, Long)] = Seq( // (label, isMonth, k)
+      ("1M", true, 1L), ("3M", true, 3L), ("1y", false, 1L),
+      ("5y", false, 5L), ("10y", false, 10L), ("20y", false, 20L),
+      ("50y", false, 50L), ("100y", false, 100L))
+    def calBucketsAt(isMonth: Boolean, k: Long): Long = {
+      val (lo, hi) = if (isMonth) (monthIdx(loDt), monthIdx(hiDt))
+        else (yearIdx(loDt), yearIdx(hiDt))
+      Math.floorDiv(hi, k) - Math.floorDiv(lo, k) + 1
+    }
+    val (label, isMonth, k) = calendar
+      .find { case (_, m, kk) => calBucketsAt(m, kk) <= targetBuckets }
+      .getOrElse(calendar.last)
+    // event-side index under the session (UTC-pinned) calendar; FLOOR of
+    // the real division keeps pre-1970 rows bucketing DOWN, not toward 0
+    val rawIdx =
+      if (isMonth) (year(ts).cast(LongType) - 1970L) * 12L +
+        (month(ts).cast(LongType) - 1L)
+      else year(ts).cast(LongType) - 1970L
+    val b = events
+      .select(floor(rawIdx.cast(DoubleType) / lit(k.toDouble))
+        .cast(LongType).as("__b"))
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+    val (loB, hiB) = (
+      Math.floorDiv(if (isMonth) monthIdx(loDt) else yearIdx(loDt), k),
+      Math.floorDiv(if (isMonth) monthIdx(hiDt) else yearIdx(hiDt), k))
+    val spine = spark.range(loB, hiB + 1).select(col("id").as("__b"))
+    val start =
+      if (isMonth) {
+        val smi = col("__b") * k // start month-since-epoch of the bucket
+        val y = (lit(1970L) + floor(smi.cast(DoubleType) / 12.0)
+          .cast(LongType)).cast(IntegerType)
+        val m = (pmod(smi, lit(12L)) + 1L).cast(IntegerType)
+        make_timestamp(y, m, lit(1), lit(0), lit(0), lit(0))
+      } else make_timestamp((lit(1970L) + col("__b") * k).cast(IntegerType),
+        lit(1), lit(1), lit(0), lit(0), lit(0))
+    spine.join(b, Seq("__b"), "left").na.fill(0L, Seq("n"))
+      .select(start.as("bucket_start"), col("n"), lit(label).as("interval"))
+  }
+
   /** Cumulative cardinality (X266 — the ES `cumulative_cardinality`
     * pipeline agg: "total distinct users seen THROUGH each bucket",
     * the growth-curve / new-vs-returning surface): EXACT, and never
@@ -488,6 +587,37 @@ object Sessionize {
         col("new_entities"), col("cumulative_distinct"))
   }
 
+  /** Bucket sort (X275 — the ES `bucket_sort` pipeline agg): re-order
+    * a parent aggregation's bucket frame by metric columns and
+    * truncate with `from`/`size` — "the top 5 busiest days, skipping
+    * the first" as a pipeline step instead of a driver-side slice.
+    * ES leaves ties undefined; an oracle-gated engine cannot, so the
+    * total order is the caller's keys THEN every remaining column
+    * ascending in frame order (documented, mirrored in SQL as the
+    * same ORDER BY tail). Nulls follow Spark's asc-nulls-first /
+    * desc-nulls-last defaults, stated. Plan: one
+    * TakeOrderedAndProject heap when `size` bounds the output
+    * (limit + offset push into the heap — no global sort of the
+    * bucket frame), a global sort only in the unbounded-size case
+    * (bucket-sized input by the pipeline-agg contract). */
+  def bucketSort(buckets: DataFrame, sortKeys: Seq[(String, Boolean)],
+      from: Int = 0, size: Option[Int] = None): DataFrame = {
+    require(sortKeys.nonEmpty, "no sort keys")
+    val missing = sortKeys.map(_._1).filterNot(buckets.columns.contains)
+    require(missing.isEmpty, s"sort keys not in the bucket frame: $missing")
+    require(sortKeys.map(_._1).distinct.size == sortKeys.size,
+      s"duplicate sort key in ${sortKeys.map(_._1)}")
+    require(from >= 0, s"from must be >= 0, got $from")
+    require(size.forall(_ >= 1), s"size must be >= 1, got $size")
+    val named = sortKeys.map(_._1).toSet
+    val order = sortKeys.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc } ++
+      buckets.columns.filterNot(named).map(col(_).asc)
+    val sorted = buckets.orderBy(order: _*)
+    val cut = if (from > 0) sorted.offset(from) else sorted
+    size.fold(cut)(cut.limit)
+  }
+
   /** Sibling-bucket statistics (X257 — the ES `stats_bucket` /
     * `avg_bucket` / `min_bucket` / `max_bucket` / `sum_bucket`
     * pipeline family in one row): over a (key, metric) bucket frame,
@@ -496,14 +626,20 @@ object Sessionize {
     * ties keep every key, rendered as a comma-joined sorted string so
     * the row stays scalar and deterministic). The sum accumulates in
     * DECIMAL(38,6) (order-free); avg = sum/count rounded 6. One
-    * map-side-combining aggregate + two tiny extreme-key aggregates —
-    * input is already bucket-sized (a pipeline agg's input is another
-    * agg's output). */
+    * map-side-combining aggregate + two tiny extreme-key aggregates,
+    * all over a PINNED base (eager localCheckpoint, the
+    * [[graft.util.Pins]] release contract): the stats row has three
+    * consumers of the same projection, and a pipeline agg's input is
+    * another aggregate's output — unpinned, each consumer would re-run
+    * that whole upstream aggregate; pinned, the three jobs read a
+    * bucket-sized frame. Cost hygiene, not scale risk (the input is
+    * bucket-sized by contract). */
   def bucketStats(buckets: DataFrame, key: Column,
       metric: Column): DataFrame = {
     val dec = DataTypes.createDecimalType(38, 6)
     val base = buckets.select(key.cast(StringType).as("__k"),
       metric.cast(DoubleType).as("__v")).filter(col("__v").isNotNull)
+      .localCheckpoint(true)
     val agg = base.agg(
       count(lit(1)).as("n_buckets"),
       min(col("__v")).as("min_value"), max(col("__v")).as("max_value"),

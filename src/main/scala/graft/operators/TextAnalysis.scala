@@ -767,17 +767,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_should"))
   }
 
-  def phraseMatch(index: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "empty phrase")
-    require(phrase.forall(_.nonEmpty), s"phrase contains an empty term: $phrase")
-    val anchor = index.filter(col("term") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
-      acc.join(index.filter(col("term") === t)
-          .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
-    }
-    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
-  }
+  def phraseMatch(index: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseSpans(index, phrase)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
 
   /** Unordered proximity (NEAR/k) search over the positional index: docs
     * where `termA` and `termB` occur within `maxDist` token slots, with
@@ -876,6 +868,76 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** The (doc_id, pos) START positions of every full occurrence of
+    * `phrase` — [[phraseMatch]]'s adjacency fold WITHOUT the final
+    * per-doc collapse; the span primitive [[spanWithin]] /
+    * [[spanContaining]] build on. Same plan shape: each join touches
+    * only the phrase's terms' postings. */
+  private def phraseSpans(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(phrase.forall(_.nonEmpty), s"phrase contains an empty term: $phrase")
+    val anchor = index.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+      acc.join(index.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+  }
+
+  /** The shared containment join of [[spanWithin]]/[[spanContaining]]
+    * (X273 — Lucene SpanWithinQuery / SpanContainingQuery, the last
+    * two members of the span family): `little`-term occurrences
+    * sitting INSIDE a full occurrence of the `big` phrase, i.e.
+    * ps ≤ pl ≤ ps + len − 1. Banded by floor(pos / len) (the
+    * [[spanNearOrdered]] discipline — a contained position is within
+    * len − 1 of its span start, so the pair co-locates in the span's
+    * band or its successor; no positions cross-product), over the two
+    * sides' postings only. Returns (doc_id, pl, ps) pairs, one row per
+    * (little occurrence, containing span). */
+  private def spanContainmentPairs(index: DataFrame, little: String,
+      big: Seq[String]): DataFrame = {
+    require(little.nonEmpty, "empty term")
+    require(big.size >= 2,
+      s"big must be a multi-term phrase, got $big (a 1-term big is the term itself)")
+    val len = big.size.toLong
+    val spans = phraseSpans(index, big)
+      .select(col("doc_id"), col("pos").as("ps"))
+      .withColumn("__b0", (col("ps") / len).cast(LongType))
+      .withColumn("__b", explode(array(col("__b0"), col("__b0") + 1)))
+    val littles = index.filter(col("term") === little)
+      .select(col("doc_id"), col("pos").as("pl"))
+      .withColumn("__b", (col("pl") / len).cast(LongType))
+    littles.join(spans, Seq("doc_id", "__b"))
+      .filter(col("pl") >= col("ps") && col("pl") <= col("ps") + (len - 1L))
+      .select(col("doc_id"), col("pl"), col("ps")).distinct()
+  }
+
+  /** span_within (X273 — Lucene `SpanWithinQuery`, ES `span_within`):
+    * occurrences of `little` that sit inside a full occurrence of the
+    * `big` phrase — "the 'merge' that appears within 'sort merge
+    * spark'", matching at SPAN grain where a Boolean AND matches whole
+    * docs. Emits (doc_id, n_matches) over the surviving little
+    * occurrences (each counted once however many spans cover it). */
+  def spanWithin(index: DataFrame, little: String,
+      big: Seq[String]): DataFrame =
+    spanContainmentPairs(index, little, big)
+      .select(col("doc_id"), col("pl")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+
+  /** span_containing (X273 — Lucene `SpanContainingQuery`, ES
+    * `span_containing`): occurrences of the `big` phrase that CONTAIN
+    * at least one `little` occurrence — the dual of [[spanWithin]],
+    * emitting the container side. Emits (doc_id, n_spans) over the
+    * qualifying big-phrase spans. */
+  def spanContaining(index: DataFrame, little: String,
+      big: Seq[String]): DataFrame =
+    spanContainmentPairs(index, little, big)
+      .select(col("doc_id"), col("ps")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
 
   /** Query-biased snippets (X177) — the keyword-in-context serving step
     * after retrieval ranks its hits: per doc, the windowLen-token window

@@ -202,6 +202,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .localCheckpoint(true) // three consumers: layout write, doclens, census
     postings
       .withColumn("tbucket", bucketCol(col("term"), buckets))
+      // tbucket repartition: the same structural file-locality guarantee
+      // append/mergeFrom carry — a later buildBlockMax derives per-file
+      // tf bounds from THIS layout, and a (term, doc) split across two
+      // files of one bucket would make those bounds unsound
+      .repartition(col("tbucket"))
       .write.mode("overwrite").partitionBy("tbucket").parquet(postingsPath)
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .write.mode("overwrite").parquet(doclensPath)
@@ -268,6 +273,14 @@ final class InvertedIndex(spark: SparkSession, path: String,
     fs.delete(appendStagingPath, true)
     postings
       .withColumn("tbucket", bucketCol(col("term"), b))
+      // repartition by tbucket (the mergeFrom/compact discipline) so
+      // each staged bucket is ONE task's file: without it, a (term,
+      // doc)'s rows staying file-local depends on explode locality in
+      // the upstream plan plus maxRecordsPerFile=0 — incidental, and a
+      // split would break buildBlockMax's file-grain invariant that
+      // per-file tf IS the doc's exact tf (X228's skip could then drop
+      // a true top-k doc). Structural beats incidental.
+      .repartition(col("tbucket"))
       .write.partitionBy("tbucket")
       .parquet(new Path(appendStagingPath, "postings").toString)
     postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -1378,14 +1391,27 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * row, scoring a per-row map, the cut a TakeOrderedAndProject heap.
     * Determinism: per-term partials round at 6 and sum in fixed term
     * order (the [[graft.operators.TextAnalysis.bm25Rank]] discipline);
-    * only log sits behind the round. */
+    * only log sits behind the round.
+    *
+    * `maxDfFrac` is the [[elideHot]] hot-term serve policy (X199),
+    * extended to the QL surface: on common terms the candidate set is
+    * otherwise the corpus (every doc matches "the"), and a stop-class
+    * term's Dirichlet partial is ≈ the background smoothing every
+    * candidate shares — near-zero ranking signal for a corpus-sized
+    * bucket read. Elided terms skip exactly like OOV terms (the cf = 0
+    * rule already in place): they neither generate candidates nor
+    * contribute a partial. Default 1.0 disables with zero plan change;
+    * a fully-elided query returns the empty frame. */
   def qlTopK(queryTerms: Seq[String], k: Int,
-      mu: Double = 2000.0): DataFrame = {
+      mu: Double = 2000.0, maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(mu > 0.0, s"mu must be positive, got $mu")
-    val (perDoc, _, _) = bm25PerDoc(queryTerms, msm = 1)
-    val terms = queryTerms.zipWithIndex
-    val slice = termPostings(queryTerms)
+    require(queryTerms.nonEmpty, "no query terms")
+    val served = elideHot(queryTerms, maxDfFrac)
+    if (served.isEmpty) return emptyBm25Frame()
+    val (perDoc, _, _) = bm25PerDoc(served, msm = 1)
+    val terms = served.zipWithIndex
+    val slice = termPostings(served)
     val cfs = slice.agg(
       terms.head match { case (t, i) =>
         count(when(col("term") === t, 1)).as(s"cf$i") },
@@ -1529,18 +1555,42 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * |queries| × |corpus|. Per-term partials round at 6 and sum as
     * EXACT DECIMAL (order-free — the [[bm25Batch]] discipline; the
     * suite pins per-query parity with [[qlTopK]]). Output:
-    * (query_id, doc_id, score, rank ≤ k). */
-  def qlBatch(queries: DataFrame, k: Int, mu: Double = 2000.0): DataFrame = {
+    * (query_id, doc_id, score, rank ≤ k).
+    *
+    * `maxDfFrac` is [[qlTopK]]'s hot-term policy in the batch shape:
+    * the elision decision is per INDEX (census df), so it is made once
+    * for the batch vocabulary; elided terms drop from the candidate
+    * generation AND the scoring grid — per-query parity with the
+    * single-query path holds term by term (both skip them like OOV).
+    * A query whose terms are all elided simply produces no candidate
+    * rows. Default 1.0 is plan-identical. */
+  def qlBatch(queries: DataFrame, k: Int, mu: Double = 2000.0,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(queries.columns.toSeq == Seq("query_id", "term"),
       s"queries must be (query_id, term) rows, got ${queries.columns.toSeq}")
     require(k > 0, s"k must be positive, got $k")
     require(mu > 0.0, s"mu must be positive, got $mu")
     import org.apache.spark.sql.expressions.Window
-    val q = queries.dropDuplicates("query_id", "term")
+    val q0 = queries.dropDuplicates("query_id", "term")
       .filter(col("term").isNotNull && col("term") =!= "")
-    val terms = q.select(col("term")).distinct()
+    val termsAll = q0.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    require(terms.nonEmpty, "no terms in the query batch")
+    require(termsAll.nonEmpty, "no terms in the query batch")
+    val terms = elideHot(termsAll, maxDfFrac)
+    if (terms.isEmpty)
+      // every batch term is stop-class: no candidates anywhere — the
+      // typed empty frame (doc_id from the stored layout)
+      return q0.limit(0).select(col("query_id"))
+        .crossJoin(spark.read.parquet(doclensPath).limit(0)
+          .select(col("doc_id")))
+        .withColumn("score", lit(0.0))
+        .withColumn("rank", lit(1))
+    // the elided (stop-class) complement is small by construction, so
+    // the grid prune is a cheap NOT-isin; elided terms would score 0.0
+    // through the cf=0 OOV rule anyway — dropping them here just keeps
+    // the grid rows ∝ surviving terms
+    val hot = termsAll.diff(terms)
+    val q = if (hot.isEmpty) q0 else q0.filter(!col("term").isin(hot: _*))
     val slice = termPostings(terms)
     val tf = slice.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -2333,6 +2383,59 @@ final class InvertedIndex(spark: SparkSession, path: String,
         round(col("__score"), 6).as("score"))
   }
 
+  /** Significant-text aggregation (X270 — the ES `significant_text`
+    * agg: [[significantTerms]]'s JLH with the FOREGROUND side
+    * RE-TOKENIZED from the hit documents' raw text instead of read
+    * from the forward sidecar — ES built it for indices whose source
+    * text isn't indexed with the stats the agg needs, and it is also
+    * the variant that works for hits carrying fresher text than the
+    * stored postings). Background document frequencies and the corpus
+    * size still come from the census sidecar + live doclens — one
+    * vocabulary-sized read, postings never opened.
+    *
+    * `hits` is the foreground frame (the query's hit docs with their
+    * text); duplicate ids collapse before counting so a doc can't
+    * vote twice. Terms the census has never seen are dropped (a hit's
+    * text IS corpus text, so under the same tokenizer they exist in
+    * the census; anything else is tokenizer drift, not signal — and a
+    * bg-df-0 term has no defined lift). JLH/minDf/ordering are
+    * [[significantTerms]]' exactly. Scale shape: one doc-keyed
+    * distinct over the re-tokenized (doc, term) pairs — hit-mass, not
+    * corpus-mass — one term aggregate, one vocabulary join, a top-n
+    * heap. Output (term, df_fg, df_bg, score). */
+  def significantText(hits: DataFrame, idCol: String, text: Column,
+      n: Int, minDf: Long = 1L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    recover()
+    val dls = liveOnly(spark.read.parquet(doclensPath))
+    val nBg = dls.count()
+    val empty = spark.read.parquet(doclensPath).limit(0)
+      .select(col("doc_id").cast(StringType).as("term"),
+        lit(0L).as("df_fg"), lit(0L).as("df_bg"), lit(0.0).as("score"))
+    val deduped = hits.dropDuplicates(idCol)
+    val nFg = deduped.count()
+    if (nFg == 0L || nBg == 0L) return empty
+    val fgTerms = deduped
+      .select(col(idCol).as("__doc"),
+        explode_outer(TextAnalysis.tokens(text)).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .dropDuplicates("__doc", "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_fg"))
+    val joined = fgTerms
+      .join(vocab().withColumnRenamed("df", "df_bg"), Seq("term"))
+    val fgPct = col("df_fg").cast(DoubleType) / lit(nFg.toDouble)
+    val bgPct = col("df_bg").cast(DoubleType) / lit(nBg.toDouble)
+    joined
+      .filter(col("df_fg") >= minDf)
+      .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
+      .filter(col("__score") > 0)
+      .orderBy(col("__score").desc, col("term").asc)
+      .limit(n)
+      .select(col("term"), col("df_fg"), col("df_bg"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Phrase search with selectivity-ordered planning (X209 — the
     * classic rarest-term-first heuristic
     * [[TextAnalysis.phraseMatch]]'s scaladoc defers to the caller,
@@ -2465,14 +2568,27 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * target)`) or copy it back over a damaged layout with the same
     * call. Cost ∝ index bytes (driver-side stream copy on local/HDFS);
     * incremental/hard-link snapshots are a filesystem concern outside
-    * the layout contract. */
+    * the layout contract.
+    *
+    * Crash protocol (the engine's staging-rename discipline, applied
+    * to the one layout mutation that historically lacked it): the tree
+    * copies to a HIDDEN sibling (`.<name>.snapstaging`) and renames
+    * into place, so `targetPath` either doesn't exist or is a complete
+    * byte-faithful snapshot — a crash mid-copy leaves only hidden
+    * staging debris (invisible to opens, discarded by the next
+    * attempt), never a valid-looking silently-smaller tree, and the
+    * exists-refusal can never block a clean retry. */
   def snapshot(targetPath: String): Unit = {
     recover()
     val dst = new Path(targetPath)
     require(!fs.exists(dst), s"snapshot target $targetPath already exists")
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, dst,
+    val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
+    fs.delete(staging, true) // a crashed prior attempt's debris
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
         false, spark.sparkContext.hadoopConfiguration))
-      sys.error(s"snapshot copy to $targetPath failed")
+      sys.error(s"snapshot copy to $staging failed")
+    if (!fs.rename(staging, dst))
+      sys.error(s"could not publish snapshot $staging -> $targetPath")
   }
 
   /** The postings of exactly `terms`, read from their pruned bucket

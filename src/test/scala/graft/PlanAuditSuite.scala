@@ -877,4 +877,35 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p244.contains("TakeOrderedAndProject") || p244.contains("Window"),
       s"per-query rank cut missing:\n$p244")
   }
+
+  test("filters/date_range aggs: one conditional-count row, zero row-mass exchange (X269/X274)") {
+    for (name <- Seq("q311_filters_agg", "q315_date_range")) {
+      val p = staticPlan(name)
+      // the only shuffle allowed is the one-row-per-task partial
+      // aggregate collapsing to the global row (SinglePartition); a
+      // hashpartitioning exchange would mean row mass moved
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle row mass:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$name must be a conditional-count aggregate:\n$p")
+    }
+  }
+
+  test("bucket_sort: size-bounded cut plans as a TakeOrderedAndProject heap (X275)") {
+    val p = staticPlan("q316_bucket_sort")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"from/size must push into the heap, not a global sort + slice:\n$p")
+  }
+
+  test("span containment: only the involved terms' buckets are listed (X273)") {
+    for (name <- Seq("q317_span_within", "q318_span_containing")) {
+      val postingScans = scans(name).filter(
+        _.get("Location").exists(_.contains("postings")))
+      assert(postingScans.nonEmpty, s"$name must read the persisted postings")
+      assert(postingScans.forall(_("PartitionFilters").contains("tbucket")),
+        s"$name postings scans must prune to the terms' buckets")
+      assert(!staticPlan(name).contains("CartesianProduct"),
+        s"$name must band, not cross-product")
+    }
+  }
 }

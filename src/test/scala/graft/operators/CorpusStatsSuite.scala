@@ -48,6 +48,60 @@ class CorpusStatsSuite extends AnyFunSuite {
       Seq("a&b" -> lit(true))))
   }
 
+  test("dateRangeAgg: [from,to) timestamp buckets, overlap, empty emits, nulls drop (X274)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(Some(ts("2024-01-05 00:00:00")),
+      Some(ts("2024-01-15 12:00:00")), Some(ts("2024-02-01 00:00:00")),
+      Some(ts("2024-02-10 00:00:00")), None).toDF("t")
+    val got = CorpusStats.dateRangeAgg(df, col("t"), Seq(
+        (Some("2024-01-01 00:00:00"), Some("2024-02-01 00:00:00")),
+        (Some("2024-01-10 00:00:00"), None),              // overlaps Jan
+        (None, Some("2024-01-01 00:00:00")),              // empty, still emits
+        (Some("2024-02-01 00:00:00"), Some("2024-03-01 00:00:00"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      // Feb 1 exactly: excluded from Jan (to is exclusive), in Feb
+      "2024-01-01 00:00:00-2024-02-01 00:00:00" -> 2L,
+      "2024-01-10 00:00:00-*" -> 3L,
+      "*-2024-01-01 00:00:00" -> 0L,
+      "2024-02-01 00:00:00-2024-03-01 00:00:00" -> 2L))
+    intercept[IllegalArgumentException](
+      CorpusStats.dateRangeAgg(df, col("t"), Nil))
+    intercept[IllegalArgumentException](CorpusStats.dateRangeAgg(df, col("t"),
+      Seq((None, None))))
+    intercept[IllegalArgumentException](CorpusStats.dateRangeAgg(df, col("t"),
+      Seq((Some("2024-02-01 00:00:00"), Some("2024-01-01 00:00:00")))))
+  }
+
+  test("filtersAgg: every named bucket emits (zero included), other bucket, null rows (X269)") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", Some(500L)), ("en", Some(2000L)), ("fr", Some(2500L)),
+      ("zh", Some(50L)), ("de", None)).toDF("lang", "n")
+    val got = CorpusStats.filtersAgg(df, Seq(
+        "en" -> (col("lang") === "en"),
+        "long" -> (col("n") > 1000L),
+        "ja" -> (col("lang") === "ja")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'ja' matches nothing but STILL emits — unlike adjacencyMatrix,
+    // a keyed filter is part of the requested output shape
+    assert(got === Map("en" -> 2L, "long" -> 2L, "ja" -> 0L))
+    // other bucket: rows matching NO filter — zh (all false) and the
+    // null-n de row (null predicates pin to other, the ES rule)
+    val withOther = CorpusStats.filtersAgg(df, Seq(
+        "en" -> (col("lang") === "en"),
+        "long" -> (col("n") > 1000L)),
+      otherBucketKey = Some("rest"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withOther === Map("en" -> 2L, "long" -> 2L, "rest" -> 2L))
+    intercept[IllegalArgumentException](CorpusStats.filtersAgg(df, Nil))
+    intercept[IllegalArgumentException](CorpusStats.filtersAgg(df,
+      Seq("a" -> lit(true), "a" -> lit(false))))
+    intercept[IllegalArgumentException](CorpusStats.filtersAgg(df,
+      Seq("a" -> lit(true)), otherBucketKey = Some("a")))
+  }
+
   test("rareTerms: the df-bounded long tail of a census; contract (X251)") {
     import spark.implicits._
     val census = Seq(("the", 100L), ("sort", 5L), ("quokka", 1L),

@@ -325,6 +325,45 @@ class SessionizeSuite extends AnyFunSuite {
       Sessionize.autoDateHistogram(ev, $"ts", 0))
   }
 
+  test("autoDateHistogramCalendar: calendar rungs, UTC month starts, zero-fill (X271)") {
+    // span ~14 months: 7d -> ~62 buckets; 1M -> 15 (fits 20)
+    val ev = Seq(
+      (1L, ts("2025-01-15 12:00:00")), (2L, ts("2025-01-20 00:00:00")),
+      (3L, ts("2025-03-02 08:00:00")), (4L, ts("2026-02-28 23:59:59"))
+    ).toDF("id", "ts")
+    val got = Sessionize.autoDateHistogramCalendar(ev, $"ts", targetBuckets = 20)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got.map(_._3).distinct === Seq("1M"))
+    assert(got.size === 14, "gapless month spine Jan 2025 .. Feb 2026")
+    assert(got.head === (("2025-01-01 00:00:00.0", 2L, "1M")))
+    assert(got(2) === (("2025-03-01 00:00:00.0", 1L, "1M")))
+    assert(got(1)._2 === 0L && got.last._2 === 1L)
+    // a tighter target climbs to quarters, then years
+    val q = Sessionize.autoDateHistogramCalendar(ev, $"ts", targetBuckets = 6)
+      .collect().map(_.getString(2)).distinct.toSeq
+    assert(q === Seq("3M"), "quarters fit 6 where months need 14")
+    val y = Sessionize.autoDateHistogramCalendar(ev, $"ts", targetBuckets = 2)
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getString(2)))
+    assert(y.toSeq === Seq(("2025-01-01 00:00:00.0", 3L, "1y"),
+      ("2026-01-01 00:00:00.0", 1L, "1y")))
+    // a fixed rung that fits short-circuits to X267's buckets
+    // (span ~3 days: 12h needs 6 buckets, 1d needs 3 — 1d wins at 5)
+    val day = Seq((1L, ts("2026-01-01 01:00:00")),
+      (2L, ts("2026-01-03 23:00:00"))).toDF("id", "ts")
+    val f = Sessionize.autoDateHistogramCalendar(day, $"ts", targetBuckets = 5)
+      .orderBy($"bucket_start").collect()
+    assert(f.map(_.getString(2)).distinct.toSeq === Seq("1d"))
+    assert(f.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq ===
+      Seq(("2026-01-01 00:00:00.0", 1L), ("2026-01-02 00:00:00.0", 0L),
+        ("2026-01-03 00:00:00.0", 1L)))
+    assert(Sessionize.autoDateHistogramCalendar(ev.limit(0), $"ts", 5).isEmpty)
+    intercept[IllegalArgumentException](
+      Sessionize.autoDateHistogramCalendar(ev, $"ts", 0))
+  }
+
   test("cumulativeCardinality: first-seen exactness, flat tail, zero-fill (X266)") {
     // hour 0: users 1,2; hour 1: user 1 again (returning — no new);
     // hour 2: empty; hour 3: users 2 (returning) and 3 (new)
@@ -347,6 +386,34 @@ class SessionizeSuite extends AnyFunSuite {
       (0L, 3L), (0L, 3L)))
     intercept[IllegalArgumentException](
       Sessionize.cumulativeCardinality(ev, $"ts", 0L, $"user_id"))
+  }
+
+  test("bucketSort: metric order, deterministic tiebreak, from/size cuts (X275)") {
+    val buckets = Seq(
+      ("a", 5L, 1.0), ("b", 9L, 2.0), ("c", 5L, 3.0),
+      ("d", 1L, 4.0), ("e", 9L, 5.0)).toDF("key", "n", "m")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSeq
+    // n desc; ties (b,e @9 and a,c @5) break by the remaining columns
+    // ascending in frame order — key first
+    assert(keys(Sessionize.bucketSort(buckets, Seq(("n", false)))) ===
+      Seq("b", "e", "a", "c", "d"))
+    // from skips, size truncates — the ES pagination pair
+    assert(keys(Sessionize.bucketSort(buckets, Seq(("n", false)),
+      from = 1, size = Some(2))) === Seq("e", "a"))
+    // size alone is a heap cut
+    assert(keys(Sessionize.bucketSort(buckets, Seq(("n", false)),
+      size = Some(1))) === Seq("b"))
+    // multi-key: n asc then m desc
+    assert(keys(Sessionize.bucketSort(buckets,
+      Seq(("n", true), ("m", false)))) === Seq("d", "c", "a", "e", "b"))
+    intercept[IllegalArgumentException](Sessionize.bucketSort(buckets, Nil))
+    intercept[IllegalArgumentException](
+      Sessionize.bucketSort(buckets, Seq(("nope", true))))
+    intercept[IllegalArgumentException](
+      Sessionize.bucketSort(buckets, Seq(("n", true)), from = -1))
+    intercept[IllegalArgumentException](
+      Sessionize.bucketSort(buckets, Seq(("n", true)), size = Some(0)))
   }
 
   test("bucketStats: decimal sum, round-6 avg, tie-keeping sorted extreme keys (X257)") {

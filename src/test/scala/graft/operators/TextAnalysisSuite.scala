@@ -347,6 +347,41 @@ class TextAnalysisSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.spanNot(idx, "a", "b", -1, 1))
   }
 
+  test("spanWithin/spanContaining: containment at span grain, distinct counting (X273)") {
+    val docs = Seq(
+      (1L, "sort merge spark x merge"), // span@0 len 3; merge@1 inside, merge@4 outside
+      (2L, "merge sort merge spark"),   // span@1; merge@2 inside, merge@0 outside
+      (3L, "sort merge spark sort merge spark"), // spans@0,@3; merges@1,@4 each inside
+      (4L, "merge x sort spark"),       // no full span -> nothing
+      (5L, "sort merge spark")          // span@0; merge@1 inside
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalPostings(docs, "doc_id", col("text"))
+    val big = Seq("sort", "merge", "spark")
+    val within = TextAnalysis.spanWithin(idx, "merge", big)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(within === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+    val containing = TextAnalysis.spanContaining(idx, "merge", big)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(containing === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 5L -> 1L))
+    // a little term absent from every span: within empty, containing empty
+    assert(TextAnalysis.spanWithin(idx, "x", big).isEmpty)
+    assert(TextAnalysis.spanContaining(idx, "x", big).isEmpty)
+    // overlapping spans covering one little occurrence count it once on
+    // the within side and each span once on the containing side
+    val dup = Seq((9L, "sort sort sort")).toDF("doc_id", "text")
+    val dupIdx = TextAnalysis.positionalPostings(dup, "doc_id", col("text"))
+    val w2 = TextAnalysis.spanWithin(dupIdx, "sort", Seq("sort", "sort"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w2 === Map(9L -> 3L), "each sort occurrence sits in >= 1 span, counted once")
+    val c2 = TextAnalysis.spanContaining(dupIdx, "sort", Seq("sort", "sort"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === Map(9L -> 2L), "spans @0 and @1 each contain a sort")
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanWithin(idx, "merge", Seq("sort")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.spanWithin(idx, "", big))
+  }
+
   test("bm25: hand-computed scores, rarity beats frequency, zero-score docs absent") {
     val docs = Seq(
       (1L, "x y x z"),   // tf(x)=2, dl=4

@@ -684,6 +684,74 @@ class InvertedIndexSuite extends AnyFunSuite {
       assert(math.abs(g._3 - w._3) <= 1e-6, s"score diverged: $g vs $w") }
   }
 
+  test("QL hot-term policy: default plan-identical; elided terms skip like OOV on both paths") {
+    val dir = Files.createTempDirectory("graft_inv_qlhot").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    idx.build(docsA, "doc_id", col("text")) // 'sort' df 2/3, 'bubble' 1/3
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // default (1.0): bit-identical to the unpoliced path
+    assert(hits(idx.qlTopK(Seq("sort", "bubble"), k = 10, maxDfFrac = 1.0)) ==
+      hits(idx.qlTopK(Seq("sort", "bubble"), k = 10)))
+    // frac 0.5: 'sort' elides — candidates AND partials equal bubble-only
+    assert(hits(idx.qlTopK(Seq("sort", "bubble"), k = 10, maxDfFrac = 0.5)) ==
+      hits(idx.qlTopK(Seq("bubble"), k = 10)))
+    // all terms hot -> typed empty frame
+    val empty = idx.qlTopK(Seq("sort", "merge"), k = 10, maxDfFrac = 0.1)
+    assert(empty.columns.toSeq == Seq("doc_id", "dl", "score") && empty.isEmpty)
+    // the elided term's bucket is not read
+    val plan = idx.qlTopK(Seq("sort", "bubble"), k = 10, maxDfFrac = 0.5)
+      .queryExecution.executedPlan
+    val scanned = plan.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.partitionFilters.map(_.toString)).mkString(" ")
+    val sortBucket = idx.bucketOf("sort", 8)
+    val bubbleBucket = idx.bucketOf("bubble", 8)
+    if (sortBucket != bubbleBucket)
+      assert(!scanned.contains(s"[$sortBucket]") ||
+        scanned.contains(s"$bubbleBucket"),
+        s"pruned set should not include the hot term's bucket: $scanned")
+    // batch parity: the elision decision is per index, so a batch query
+    // with the hot term ranks exactly like the policed single path
+    val bq = Seq(("qx", "sort"), ("qx", "bubble")).toDF("query_id", "term")
+    val bt = idx.qlBatch(bq, k = 10, maxDfFrac = 0.5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(bt == hits(idx.qlTopK(Seq("bubble"), k = 10)).toSet)
+    // an all-hot batch -> typed empty frame
+    val bempty = idx.qlBatch(bq, k = 10, maxDfFrac = 0.1)
+    assert(bempty.columns.toSeq ==
+      Seq("query_id", "doc_id", "score", "rank") && bempty.isEmpty)
+  }
+
+  test("significantText: re-tokenized foreground, census background, ≡ significantTerms (X270)") {
+    val dir = Files.createTempDirectory("graft_inv_sigtext").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
+    val docs = docsA.union(docsB)
+    idx.build(docs, "doc_id", col("text"))
+    idx.buildForward()
+    val fgIds = docs.filter(col("text").contains("bubble"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+    val hits = docs.filter(col("doc_id").isin(fgIds: _*))
+    val got = idx.significantText(hits, "doc_id", col("text"), n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // the forward-sidecar path over the same foreground is the pinned
+    // reference: same tokenizer, same census background, same JLH
+    val want = idx.significantTerms(fgIds, n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === want, s"re-tokenized fg diverged from sidecar fg")
+    assert(got.nonEmpty && got.forall(_._4 > 0.0))
+    // duplicate hit rows collapse before counting
+    assert(idx.significantText(hits.union(hits), "doc_id", col("text"),
+      n = 10).collect().map(_.getString(0)).toSeq === got.map(_._1))
+    // empty foreground -> typed empty
+    val e = idx.significantText(hits.limit(0), "doc_id", col("text"), n = 5)
+    assert(e.columns.toSeq == Seq("term", "df_fg", "df_bg", "score") &&
+      e.isEmpty)
+    intercept[IllegalArgumentException](
+      idx.significantText(hits, "doc_id", col("text"), n = 0))
+  }
+
   test("booleanSearchBatch: per-query parity with booleanSearch; contract checks") {
     val dir = Files.createTempDirectory("graft_inv_blb").toString
     val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 8)
