@@ -1749,6 +1749,31 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q319_mp4_meta" -> ((s, d) => {
+      // X278 ISO-BMFF metadata WITHOUT decode: brand/timescale/duration/
+      // sample count/track dims parsed from the real box tree (mvhd/
+      // tkhd/stsz) of deterministic PNG-sample mp4 fixtures — the
+      // media-audit step of a 100 TB pipeline; payloads never shuffle
+      Multimodal.mp4Meta(Multimodal.fromTextAsMp4s(
+          t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
+    "q320_mp4_frames" -> ((s, d) => {
+      // X278 the demux side: stsz/stco/stsc sample extraction + real
+      // javax.imageio PNG decode of every second frame (the q127
+      // contract on the ISO-BMFF container)
+      Multimodal.demuxFrames(Multimodal.fromTextAsMp4s(
+          t(s, d, "documents"), "doc_id", "text"), stride = 2)
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+    "q321_mp3_scan" -> ((s, d) => {
+      // X279 MP3 header walk WITHOUT decode: frame count, sample rate,
+      // bitrate profile (CBR/VBR), exact duration from the 4-byte
+      // frame headers alone — the mp3val/ffprobe metadata pass
+      Multimodal.mp3Scan(Multimodal.fromTextAsMp3s(
+          t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
     "q315_date_range" -> ((s, d) => {
       // X274 date_range agg: weekly-ish [from,to) buckets over the
       // event stream, one conditional-count aggregate row unpivoted —
@@ -6452,6 +6477,36 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X278: the mp4 fixture is a pure function of documents (the q127
+    // convention) — the oracle recomputes what the box tree must say;
+    // the engine's numbers come from PARSING mvhd/tkhd/stsz for real
+    "q319_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
+           CAST((2 + doc_id % 4) * 40 AS BIGINT) AS duration_ms,
+           CAST(2 + doc_id % 4 AS INT) AS n_samples,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(16 + strlen(COALESCE(text, '')) % 48 AS INT) AS height
+         FROM documents ORDER BY media_id""",
+    "q320_mp4_frames" ->
+      """SELECT doc_id AS media_id,
+                CAST(f AS INT) AS frame_no,
+                CAST(16 + doc_id % 48 AS BIGINT) AS width,
+                CAST(16 + strlen(COALESCE(text, '')) % 48 AS BIGINT) AS height
+         FROM documents, UNNEST(range(0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS t(f)
+         ORDER BY media_id, frame_no""",
+    // X279: frame count/bitrates/duration recomputed from the fixture
+    // formula; the engine walks the real frame headers
+    "q321_mp3_scan" ->
+      """SELECT doc_id AS media_id,
+           CAST(20 + doc_id % 30 AS INT) AS n_frames,
+           44100 AS sample_rate,
+           128 AS min_kbps,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 128
+             WHEN 20 + doc_id % 30 >= 3 THEN 192
+             WHEN 20 + doc_id % 30 = 2 THEN 160 ELSE 128 END AS INT) AS max_kbps,
+           doc_id % 2 = 0 AS cbr,
+           CAST(((20 + doc_id % 30) * 1152000) // 44100 AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
     // X274: per-range conditional counts; 'to' exclusive, keys carry
     // the literal bound text with * for open ends
     "q315_date_range" ->

@@ -13,9 +13,15 @@ import org.apache.spark.sql.types._
   * iterator-of-batches in, iterator-of-batches out, so a real codec could
   * amortize model/codec init per partition, not per row).
   *
-  * The actual media codecs are NOT in this container, so the decode kernels
-  * are deterministic STUBS (clearly marked below): they derive fake
-  * features from the payload bytes. Everything around them — schema,
+  * Codec reality, layer by layer: image (PNG/JPEG/BMP/GIF incl. animated)
+  * and WAV audio decode for REAL through `javax.imageio` /
+  * `javax.sound.sampled`; the MP4 CONTAINER parses for real at the byte
+  * level ([[Mp4Codec]] — box tree, sample tables; container structure
+  * needs no codec) as does the MP3 frame-header walk ([[Mp3Codec]] —
+  * frame count/bitrate/duration without Layer-III decode). Only SAMPLE
+  * decode for formats whose codecs the JDK lacks (h264, mp3 audio, ogg,
+  * mkv) stays a deterministic STUB (clearly marked below), deriving fake
+  * features from payload bytes. Everything around the kernels — schema,
   * encoders, partition sizing, batch iteration, null handling — is real and
   * is what matters for the 100 TB plumbing (payloads never pass through a
   * shuffle: all transforms are map-side; only extracted compact features
@@ -260,6 +266,296 @@ object Multimodal {
         i += 1
       }
       frames.result()
+    }
+  }
+
+  /** Minimal-but-REAL ISO-BMFF (MP4) muxer + demuxer — pure byte-level
+    * BOX parsing, zero codec dependence. The earlier rounds' honest gap
+    * ("the JDK has no mp4 demuxer") conflated two layers: the CONTAINER
+    * (size+type box tree, sample tables) is plain binary structure any
+    * JVM can parse, only the SAMPLE PAYLOAD needs a codec. This object
+    * does the container layer for real: the muxer writes a structurally
+    * valid `ftyp`+`mdat`+`moov` tree (mvhd/tkhd/mdhd/hdlr/vmhd/dinf +
+    * the full stbl: stsd/stts/stsc/stsz/stco) and the demuxer WALKS THE
+    * BOXES — mvhd for timescale/duration, tkhd for the 16.16 dims, stsz
+    * sample sizes laid over stco/stsc chunk offsets to cut the exact
+    * sample byte ranges out of mdat. Nothing is guessed from byte
+    * ranges; a real mp4's metadata parses identically (its samples just
+    * aren't PNG-decodable here — fixture samples are PNG, so the frame
+    * path stays real-codec end-to-end via javax.imageio). Malformed or
+    * truncated trees return null (a corrupt file must not kill a scan). */
+  private[operators] object Mp4Codec {
+    import java.io.ByteArrayOutputStream
+    import java.nio.ByteBuffer
+
+    private def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val size = 8L + parts.map(_.length.toLong).sum
+      val bos = new ByteArrayOutputStream(size.toInt)
+      bos.write(be32(size)); bos.write(tpe.getBytes("US-ASCII"))
+      parts.foreach(bos.write)
+      bos.toByteArray
+    }
+
+    /** Mux PNG frames into a valid single-track, single-chunk MP4 tree:
+      * ftyp, mdat (samples back to back), moov with the full sample
+      * table. `frameMs` is the per-sample duration at timescale 1000. */
+    def encode(frames: Seq[Array[Byte]], w: Int, h: Int,
+        frameMs: Int): Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+        "isom".getBytes("US-ASCII"), "iso2".getBytes("US-ASCII"))
+      val mdat = box("mdat", frames: _*)
+      val firstSample = ftyp.length + 8L // abs offset of mdat payload
+      val n = frames.size
+      val dur = n.toLong * frameMs
+      def z(nBytes: Int) = new Array[Byte](nBytes)
+      val matrix = be32(0x10000) ++ z(12) ++ be32(0x10000) ++ z(12) ++
+        be32(0x40000000) // identity 3x3 in 16.16/2.30
+      val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
+        be32(dur), be32(0x10000), Array(1.toByte, 0.toByte), z(10),
+        matrix, z(24), be32(2))
+      val tkhd = box("tkhd", be32(7), be32(0), be32(0), be32(1), z(4),
+        be32(dur), z(8), z(2), z(2), z(2), z(2), matrix,
+        be32(w.toLong << 16), be32(h.toLong << 16))
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+        be32(dur), Array(0x55.toByte, 0xc4.toByte), z(2))
+      val hdlr = box("hdlr", be32(0), be32(0),
+        "vide".getBytes("US-ASCII"), z(12), z(1))
+      val vmhd = box("vmhd", be32(1), z(8))
+      val dinf = box("dinf", box("dref", be32(0), be32(1),
+        box("url ", be32(1))))
+      // generic 86-byte visual sample entry, format 'png '
+      val entry = box("png ", z(6), Array(0.toByte, 1.toByte), z(16),
+        Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte),
+        Array(((h >> 8) & 0xff).toByte, (h & 0xff).toByte),
+        be32(0x480000), be32(0x480000), z(4),
+        Array(0.toByte, 1.toByte), z(32),
+        Array(0.toByte, 24.toByte), Array(0xff.toByte, 0xff.toByte))
+      val stsd = box("stsd", be32(0), be32(1), entry)
+      val stts = box("stts", be32(0), be32(1), be32(n), be32(frameMs))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n), be32(1))
+      val stsz = box("stsz", be32(0), be32(0), be32(n),
+        frames.toArray.flatMap(f => be32(f.length)))
+      val stco = box("stco", be32(0), be32(1), be32(firstSample))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", vmhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      ftyp ++ mdat ++ moov
+    }
+
+    /** Child boxes of [from, to): (type, payloadStart, payloadEnd) — or
+      * null on structural corruption (bad size, truncation). */
+    private def children(bytes: Array[Byte], from: Int,
+        to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return null
+        val size = ByteBuffer.wrap(bytes, p, 4).getInt.toLong & 0xffffffffL
+        if (size < 8 || p + size > to) return null
+        val tpe = new String(bytes, p + 4, 4, "US-ASCII")
+        out += ((tpe, p + 8, (p + size).toInt))
+        p = (p + size).toInt
+      }
+      out.result()
+    }
+
+    private def find(cs: Seq[(String, Int, Int)],
+        tpe: String): Option[(Int, Int)] =
+      Option(cs).flatMap(_.collectFirst { case (t, s, e) if t == tpe => (s, e) })
+
+    /** (brand, timescale, durationUnits, nSamples, width, height) from
+      * the box tree alone, or null when the payload is not a well-formed
+      * single-video-track MP4. */
+    def parseMeta(bytes: Array[Byte])
+        : (String, Long, Long, Int, Int, Int) = {
+      if (bytes == null || bytes.length < 16) return null
+      val top = children(bytes, 0, bytes.length)
+      if (top == null) return null
+      val brand = find(top, "ftyp") match {
+        case Some((s, e)) if e - s >= 4 => new String(bytes, s, 4, "US-ASCII")
+        case _ => return null
+      }
+      val stbl = stblOf(bytes, top).getOrElse(return null)
+      val (moovS, moovE) = find(top, "moov").getOrElse(return null)
+      val moov = children(bytes, moovS, moovE)
+      val (mvS, mvE) = find(moov, "mvhd").getOrElse(return null)
+      if (mvE - mvS < 20) return null
+      if (bytes(mvS) != 0) return null // only version 0 written/served
+      val timescale = ByteBuffer.wrap(bytes, mvS + 12, 4).getInt.toLong
+      val duration = ByteBuffer.wrap(bytes, mvS + 16, 4).getInt.toLong
+      val (trakS, trakE) = find(moov, "trak").getOrElse(return null)
+      val (tkS, tkE) = find(children(bytes, trakS, trakE), "tkhd")
+        .getOrElse(return null)
+      if (tkE - tkS < 84) return null
+      val w = ByteBuffer.wrap(bytes, tkS + 76, 4).getInt >>> 16
+      val h = ByteBuffer.wrap(bytes, tkS + 80, 4).getInt >>> 16
+      val sizes = sampleSizes(bytes, stbl).getOrElse(return null)
+      (brand, timescale, duration, sizes.length, w, h)
+    }
+
+    private def stblOf(bytes: Array[Byte],
+        top: Seq[(String, Int, Int)]): Option[(Int, Int)] =
+      for {
+        (moovS, moovE) <- find(top, "moov")
+        (trakS, trakE) <- find(children(bytes, moovS, moovE), "trak")
+        (mdiaS, mdiaE) <- find(children(bytes, trakS, trakE), "mdia")
+        (minfS, minfE) <- find(children(bytes, mdiaS, mdiaE), "minf")
+        stbl <- find(children(bytes, minfS, minfE), "stbl")
+      } yield stbl
+
+    private def sampleSizes(bytes: Array[Byte],
+        stbl: (Int, Int)): Option[Array[Int]] = {
+      val cs = children(bytes, stbl._1, stbl._2)
+      find(cs, "stsz").flatMap { case (s, e) =>
+        if (e - s < 12) None
+        else {
+          val fixed = ByteBuffer.wrap(bytes, s + 4, 4).getInt
+          val n = ByteBuffer.wrap(bytes, s + 8, 4).getInt
+          // a sample count beyond the file's byte length is garbage —
+          // reject before allocating on it
+          if (n < 0 || n > bytes.length) None
+          else if (fixed != 0) Some(Array.fill(n)(fixed))
+          else if (e - s < 12 + 4L * n) None
+          else Some(Array.tabulate(n)(i =>
+            ByteBuffer.wrap(bytes, s + 12 + 4 * i, 4).getInt))
+        }
+      }
+    }
+
+    /** Samples as (sampleNo, bytes) by laying stsz sizes over the
+      * stco/stsc chunk map — the general walk, not a single-chunk
+      * shortcut; null when the tree or any byte range is out of
+      * bounds. */
+    def demux(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 16) return null
+      val top = children(bytes, 0, bytes.length)
+      if (top == null || find(top, "ftyp").isEmpty) return null
+      val stbl = stblOf(bytes, top).getOrElse(return null)
+      val cs = children(bytes, stbl._1, stbl._2)
+      val sizes = sampleSizes(bytes, stbl).getOrElse(return null)
+      val stco = find(cs, "stco").getOrElse(return null)
+      val nChunks = ByteBuffer.wrap(bytes, stco._1 + 4, 4).getInt
+      if (nChunks < 0 || stco._2 - stco._1 < 8 + 4L * nChunks) return null
+      val offsets = Array.tabulate(nChunks)(i =>
+        ByteBuffer.wrap(bytes, stco._1 + 8 + 4 * i, 4).getInt.toLong & 0xffffffffL)
+      val stsc = find(cs, "stsc").getOrElse(return null)
+      val nRuns = ByteBuffer.wrap(bytes, stsc._1 + 4, 4).getInt
+      if (nRuns < 0 || stsc._2 - stsc._1 < 8 + 12L * nRuns) return null
+      val runs = Array.tabulate(nRuns) { i =>
+        val base = stsc._1 + 8 + 12 * i
+        (ByteBuffer.wrap(bytes, base, 4).getInt, // first_chunk (1-based)
+          ByteBuffer.wrap(bytes, base + 4, 4).getInt) // samples_per_chunk
+      }
+      // samples per chunk c = the last run with first_chunk <= c+1
+      def perChunk(c: Int): Int =
+        runs.takeWhile(_._1 <= c + 1).lastOption.map(_._2).getOrElse(0)
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      var sample = 0
+      var chunk = 0
+      while (sample < sizes.length && chunk < nChunks) {
+        var off = offsets(chunk)
+        var inChunk = 0
+        val cap = perChunk(chunk)
+        while (sample < sizes.length && inChunk < cap) {
+          val len = sizes(sample)
+          if (len < 0 || off + len > bytes.length) return null
+          val f = new Array[Byte](len)
+          System.arraycopy(bytes, off.toInt, f, 0, len)
+          out += ((sample, f))
+          off += len; sample += 1; inChunk += 1
+        }
+        chunk += 1
+      }
+      if (sample < sizes.length) return null // chunk map didn't cover
+      out.result()
+    }
+  }
+
+  /** MP3 frame-stream writer + header-walk scanner — the metadata layer
+    * of MPEG audio, pure byte structure (what mp3val/ffprobe do before
+    * any decode): every frame is a 4-byte header (11-bit sync, version,
+    * layer, bitrate index, sample-rate index, padding) whose byte
+    * length is fully determined by the header, so a single forward walk
+    * yields frame count, CBR/VBR-ness, the bitrate profile and the
+    * exact duration — no Layer-III decoder involved (sample synthesis
+    * stays out of scope; fixture payload bytes are deterministic
+    * filler). */
+  private[operators] object Mp3Codec {
+    // MPEG-1 Layer III tables
+    private[operators] val BitrateKbps = Array(
+      -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private[operators] val SampleRates = Array(44100, 48000, 32000, -1)
+
+    def frameLength(kbps: Int, sampleRate: Int, padding: Int): Int =
+      144000 * kbps / sampleRate + padding
+
+    /** One structurally valid frame per bitrate index in `bitrateIdxs`
+      * (sample-rate index fixed per stream); payload bytes are a
+      * deterministic md5 stream over (seed, frameNo). */
+    def encode(seed: Array[Byte], bitrateIdxs: Seq[Int],
+        srIdx: Int): Array[Byte] = {
+      require(SampleRates(srIdx) > 0, s"bad sample-rate index $srIdx")
+      val bos = new java.io.ByteArrayOutputStream()
+      bitrateIdxs.zipWithIndex.foreach { case (bi, f) =>
+        require(BitrateKbps(bi) > 0, s"bad bitrate index $bi")
+        val len = frameLength(BitrateKbps(bi), SampleRates(srIdx), 0)
+        bos.write(0xff); bos.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+        bos.write((bi << 4) | (srIdx << 2)) // no padding bit
+        bos.write(0x00)
+        val body = new Array[Byte](len - 4)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var i = 0
+        while (i < body.length) {
+          md.reset(); md.update(seed); md.update(f.toByte)
+          md.update((i / 16).toByte)
+          val d = md.digest()
+          val n = math.min(16, body.length - i)
+          System.arraycopy(d, 0, body, i, n)
+          i += n
+        }
+        bos.write(body)
+      }
+      bos.toByteArray
+    }
+
+    /** Walk the frame headers from the first sync word: (sampleRate,
+      * per-frame kbps). Leading junk before the first valid header is
+      * skipped (the ID3/garbage-prefix rule every scanner applies); the
+      * walk stops at the first malformed or truncated header, and null
+      * means no complete frame at all. */
+    def scan(bytes: Array[Byte]): (Int, Array[Int]) = {
+      if (bytes == null || bytes.length < 4) return null
+      def headerAt(p: Int): Int = { // frame length, or -1
+        if (p + 4 > bytes.length) return -1
+        val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
+        val b2 = bytes(p + 2) & 0xff
+        if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return -1 // MPEG1 L3 only
+        val bi = (b2 >> 4) & 0xf; val si = (b2 >> 2) & 0x3
+        if (BitrateKbps(bi) <= 0 || SampleRates(si) <= 0) return -1
+        val len = frameLength(BitrateKbps(bi), SampleRates(si), (b2 >> 1) & 1)
+        if (p + len > bytes.length) return -1
+        len
+      }
+      var start = 0
+      while (start + 4 <= bytes.length && headerAt(start) < 0) start += 1
+      if (start + 4 > bytes.length) return null
+      val sr = SampleRates((bytes(start + 2) >> 2) & 0x3)
+      val kbps = Array.newBuilder[Int]
+      var p = start
+      var len = headerAt(p)
+      while (len > 0) {
+        kbps += BitrateKbps((bytes(p + 2) >> 4) & 0xf)
+        p += len
+        len = headerAt(p)
+      }
+      val ks = kbps.result()
+      if (ks.isEmpty) null else (sr, ks)
     }
   }
 
@@ -558,10 +854,134 @@ object Multimodal {
       }(enc)
   }
 
-  /** Real frame sampling: demux the container (GFV0 or multi-frame GIF,
-    * dispatched on magic bytes), keep every `stride`-th frame, decode each
+  /** Standard-container variant of [[fromTextAsVideos]] in ISO-BMFF: the
+    * same deterministic PNG frames (seed per frame, content-dependent
+    * dims) muxed by [[Mp4Codec]] into a structurally valid MP4 box tree
+    * (full stbl) at 25 fps / timescale 1000 — the fixture the mp4
+    * metadata/demux surfaces parse for real. */
+  def fromTextAsMp4s(docs: DataFrame, idCol: String, textCol: String,
+      fps: Int = 25, numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id — " +
+            "a negative id would make the sign-preserving % yield dims <= 0")
+          val seed = r.getString(1).getBytes("UTF-8")
+          val w = (16 + id % 48).toInt
+          val h = (16 + seed.length % 48).toInt
+          val nFrames = (2 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            ImageCodec.encode(ImageCodec.render(seed :+ f.toByte, w, h), "png")
+          }
+          Row(id, "video", Mp4Codec.encode(frames, w, h, 1000 / fps),
+            Row(w, h, null, nFrames.toLong * 1000L / fps, "mp4-png"))
+        }
+      }(enc)
+  }
+
+  /** MP4 container metadata WITHOUT decode — the 100 TB media-audit
+    * step ("what is this file, how long, what dims") that must never
+    * touch a codec: per payload, the brand, mvhd timescale, duration in
+    * ms, sample count (stsz) and the tkhd 16.16 track dims, all parsed
+    * from the real box tree by [[Mp4Codec.parseMeta]]. Non-MP4 or
+    * structurally corrupt payloads are skipped. Map-side only; payload
+    * bytes never shuffle. */
+  def mp4Meta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp4Codec.parseMeta(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case (brand, ts, dur, n, w, h) =>
+            val ms = if (ts > 0) dur * 1000L / ts else 0L
+            Iterator.single(Row(r.getLong(0), brand, ts, ms, n, w, h))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic MP3 frame-stream fixture: per doc a stream of
+    * `20 + id % 30` structurally valid MPEG-1 Layer III frames at
+    * 44.1 kHz — even ids CBR at 128 kbps, odd ids VBR cycling
+    * 128/160/192 by frame — with md5-stream filler payloads. The
+    * [[mp3Scan]] surface walks these headers for real. */
+  def fromTextAsMp3s(docs: DataFrame, idCol: String, textCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id")
+          val seed = r.getString(1).getBytes("UTF-8")
+          val nFrames = (20 + id % 30).toInt
+          // bitrate indexes into Mp3Codec.BitrateKbps: 9=128, 10=160, 11=192
+          val idxs =
+            if (id % 2 == 0) Seq.fill(nFrames)(9)
+            else (0 until nFrames).map(f => 9 + f % 3)
+          val payload = Mp3Codec.encode(seed, idxs, srIdx = 0)
+          Row(id, "audio", payload,
+            Row(null, null, 44100, nFrames.toLong * 1152000L / 44100L, "mp3"))
+        }
+      }(enc)
+  }
+
+  /** MP3 stream scan WITHOUT decode ([[Mp3Codec.scan]] — the mp3val/
+    * ffprobe metadata walk): per payload, the complete-frame count, the
+    * sample rate, min/max frame bitrate, the CBR flag and the exact
+    * duration (frames × 1152 samples at the stream's rate). Payloads
+    * with no valid frame are skipped; a truncated tail counts only the
+    * complete frames (the scanner's stop rule). Map-side only. */
+  def mp3Scan(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("min_kbps", IntegerType, nullable = false),
+      StructField("max_kbps", IntegerType, nullable = false),
+      StructField("cbr", BooleanType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp3Codec.scan(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case (sr, kbps) =>
+            Iterator.single(Row(r.getLong(0), kbps.length, sr,
+              kbps.min, kbps.max, kbps.min == kbps.max,
+              kbps.length.toLong * 1152000L / sr))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real frame sampling: demux the container (GFV0, multi-frame GIF or
+    * ISO-BMFF MP4 with PNG samples — dispatched on magic bytes / box
+    * structure), keep every `stride`-th frame, decode each
     * kept frame through javax.imageio — one output row per sampled frame
-    * with its decoded dims. Payloads that are neither container are
+    * with its decoded dims. Payloads that are none of the containers are
     * skipped (a corrupt file must not kill a 100 TB scan). */
   def demuxFrames(media: DataFrame, stride: Int = 1): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
@@ -574,21 +994,26 @@ object Multimodal {
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        def decodedRows(frames: Seq[(Int, Array[Byte])]) =
+          frames.iterator.collect { case (f, png) if f % stride == 0 =>
+            val img = ImageCodec.decode(png)
+            if (img == null) Row(r.getLong(0), f, null, null)
+            else Row(r.getLong(0), f, img.getWidth.toLong, img.getHeight.toLong)
+          }
         VideoCodec.decode(payload) match {
           case null =>
             GifCodec.decode(payload) match {
-              case null => Iterator.empty
+              case null =>
+                Mp4Codec.demux(payload) match {
+                  case null => Iterator.empty
+                  case frames => decodedRows(frames)
+                }
               case frames =>
                 frames.iterator.collect { case (f, img) if f % stride == 0 =>
                   Row(r.getLong(0), f, img.getWidth.toLong, img.getHeight.toLong)
                 }
             }
-          case frames =>
-            frames.iterator.collect { case (f, png) if f % stride == 0 =>
-              val img = ImageCodec.decode(png)
-              if (img == null) Row(r.getLong(0), f, null, null)
-              else Row(r.getLong(0), f, img.getWidth.toLong, img.getHeight.toLong)
-            }
+          case frames => decodedRows(frames)
         }
       }
     }(enc)

@@ -301,6 +301,75 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.audioEnvelopeHash(corrupt).head().isNullAt(1))
   }
 
+  test("Mp4Codec: box-tree round-trip — meta from mvhd/tkhd/stsz, samples via stco/stsc") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5), Array[Byte](6))
+    val bytes = Multimodal.Mp4Codec.encode(frames, w = 320, h = 240, frameMs = 40)
+    val (brand, ts, dur, n, w, h) = Multimodal.Mp4Codec.parseMeta(bytes)
+    assert((brand, ts, dur, n, w, h) === (("isom", 1000L, 120L, 3, 320, 240)))
+    val got = Multimodal.Mp4Codec.demux(bytes)
+    assert(got.map(_._1) === Seq(0, 1, 2))
+    assert(got.map(_._2.toSeq) === frames.map(_.toSeq))
+    // corruption never throws: truncation, garbage, a lying box size
+    assert(Multimodal.Mp4Codec.parseMeta(bytes.take(bytes.length / 2)) == null)
+    assert(Multimodal.Mp4Codec.demux(Array[Byte](9, 9, 9, 9)) == null)
+    val lying = bytes.clone(); lying(0) = 0x7f.toByte
+    assert(Multimodal.Mp4Codec.parseMeta(lying) == null)
+    assert(Multimodal.Mp4Codec.parseMeta(null) == null)
+  }
+
+  test("mp4 surfaces: fixture parses for real; demuxFrames dispatches ISO-BMFF") {
+    val docs = Seq((4L, "mp4 fixture text"), (5L, "x")).toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsMp4s(docs, "doc_id", "text")
+    val meta = Multimodal.mp4Meta(m).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // id 4: w=16+4%48=20, h=16+16%48=32, nFrames=2+4%4=2, 40ms/frame
+    assert(meta(4L) === (("isom", 1000L, 80L, 2, 20, 32)))
+    // id 5: w=21, h=17, nFrames=3
+    assert(meta(5L) === (("isom", 1000L, 120L, 3, 21, 17)))
+    // the shared frame sampler demuxes the mp4 and PNG-decodes each frame
+    val fr = Multimodal.demuxFrames(m).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fr === Set((4L, 0, 20L, 32L), (4L, 1, 20L, 32L),
+      (5L, 0, 21L, 17L), (5L, 1, 21L, 17L), (5L, 2, 21L, 17L)))
+    // a corrupt payload row is skipped, not fatal
+    val bad = Seq((9L, "video", Array[Byte](0, 0, 0, 1)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.mp4Meta(bad).isEmpty)
+  }
+
+  test("Mp3Codec: header walk — frame count, rates, CBR/VBR, junk prefix, truncation") {
+    val seed = "mp3 seed".getBytes("UTF-8")
+    val cbr = Multimodal.Mp3Codec.encode(seed, Seq.fill(5)(9), srIdx = 0)
+    val (sr, ks) = Multimodal.Mp3Codec.scan(cbr)
+    assert(sr === 44100 && ks.toSeq === Seq.fill(5)(128))
+    val vbr = Multimodal.Mp3Codec.encode(seed, Seq(9, 10, 11, 9), srIdx = 1)
+    val (sr2, ks2) = Multimodal.Mp3Codec.scan(vbr)
+    assert(sr2 === 48000 && ks2.toSeq === Seq(128, 160, 192, 128))
+    // leading junk (an ID3-ish prefix) skips to the first sync
+    val junk = Array[Byte]('I', 'D', '3', 0, 0, 0) ++ cbr
+    assert(Multimodal.Mp3Codec.scan(junk)._2.toSeq === Seq.fill(5)(128))
+    // a truncated tail counts only the complete frames
+    val cut = Multimodal.Mp3Codec.scan(cbr.dropRight(10))
+    assert(cut._2.length === 4)
+    assert(Multimodal.Mp3Codec.scan(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.Mp3Codec.scan(null) == null)
+  }
+
+  test("mp3Scan surface: fixture CBR/VBR profile, exact duration, skip-not-fail") {
+    val docs = Seq((4L, "even id cbr"), (5L, "odd id vbr")).toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsMp3s(docs, "doc_id", "text")
+    val got = Multimodal.mp3Scan(m).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5), r.getLong(6)))).toMap
+    // id 4: 24 frames CBR 128; id 5: 25 frames VBR 128..192
+    assert(got(4L) === ((24, 44100, 128, 128, true, 24L * 1152000L / 44100L)))
+    assert(got(5L) === ((25, 44100, 128, 192, false, 25L * 1152000L / 44100L)))
+    val bad = Seq((9L, "audio", Array[Byte](0, 0)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.mp3Scan(bad).isEmpty)
+  }
+
   test("audioPerceptualDups: exact twins at hamming 0; pigeonhole guard rejected") {
     val twin = Seq((1L, "dup sound"), (2L, "dup sound"), (3L, "unrelated noise"))
       .toDF("doc_id", "text")
