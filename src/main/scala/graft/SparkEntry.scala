@@ -1749,6 +1749,21 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q322_ogg_scan" -> ((s, d) => {
+      // X280 Ogg page-layer walk WITHOUT decode: pages, logical
+      // streams, packets (lacing-table boundaries) and the end-of-
+      // stream granule — the duration anchor — from the OggS headers
+      Multimodal.oggScan(Multimodal.fromTextAsOggs(
+          t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
+    "q323_mkv_meta" -> ((s, d) => {
+      // X280 Matroska EBML varint walk: timestamp scale, duration,
+      // track count parsed from the real element tree
+      Multimodal.mkvMeta(Multimodal.fromTextAsMkvs(
+          t(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("media_id"))
+    }),
     "q319_mp4_meta" -> ((s, d) => {
       // X278 ISO-BMFF metadata WITHOUT decode: brand/timescale/duration/
       // sample count/track dims parsed from the real box tree (mvhd/
@@ -6477,6 +6492,22 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X280: page/packet/granule and EBML meta recomputed from the
+    // fixture formulas; the engine walks the real page headers / varint
+    // element tree
+    "q322_ogg_scan" ->
+      """SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 5 AS INT) AS n_pages,
+           1 AS n_streams,
+           CAST(3 + doc_id % 5 AS INT) AS n_packets,
+           CAST(3 + doc_id % 5 AS BIGINT) AS last_granule
+         FROM documents ORDER BY media_id""",
+    "q323_mkv_meta" ->
+      """SELECT doc_id AS media_id,
+           CAST(1000000 AS BIGINT) AS timestamp_scale_ns,
+           CAST(500 + doc_id % 1000 AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks
+         FROM documents ORDER BY media_id""",
     // X278: the mp4 fixture is a pure function of documents (the q127
     // convention) — the oracle recomputes what the box tree must say;
     // the engine's numbers come from PARSING mvhd/tkhd/stsz for real

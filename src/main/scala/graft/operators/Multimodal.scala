@@ -559,6 +559,223 @@ object Multimodal {
     }
   }
 
+  /** Ogg page-layer writer + scanner — the container walk for the Ogg
+    * family (vorbis/opus/flac-in-ogg), pure byte structure: every page
+    * is an `OggS` capture header (version, type flags, 64-bit granule
+    * position, serial, page sequence, CRC, segment count + lacing
+    * table) whose total length the lacing table fully determines, so a
+    * forward walk yields page count, logical-stream serials, the
+    * end-of-stream granule (the duration anchor every Ogg tool reads)
+    * and packet boundaries — no codec. Fixture payloads are
+    * deterministic filler in structurally valid pages. */
+  private[operators] object OggCodec {
+    private val Magic = "OggS".getBytes("US-ASCII")
+
+    /** One logical stream: `packets` byte payloads, one packet per page
+      * (laced 255-chunks + terminator), granule = running packet count,
+      * BOS on the first page, EOS on the last. CRC written as 0 (the
+      * scanner does not verify checksums — a metadata walk, stated). */
+    def encode(serial: Int, packets: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      packets.zipWithIndex.foreach { case (p, i) =>
+        bos.write(Magic)
+        bos.write(0) // version
+        val flags = (if (i == 0) 2 else 0) |
+          (if (i == packets.size - 1) 4 else 0)
+        bos.write(flags)
+        val granule = (i + 1).toLong
+        (0 until 8).foreach(b => bos.write(((granule >> (8 * b)) & 0xff).toInt))
+        (0 until 4).foreach(b => bos.write(((serial >> (8 * b)) & 0xff)))
+        (0 until 4).foreach(b => bos.write((i >> (8 * b)) & 0xff))
+        (0 until 4).foreach(_ => bos.write(0)) // CRC 0, unverified
+        val full = p.length / 255
+        val rem = p.length % 255
+        bos.write(full + 1)
+        (0 until full).foreach(_ => bos.write(255))
+        bos.write(rem)
+        bos.write(p)
+      }
+      bos.toByteArray
+    }
+
+    /** (nPages, serials, lastGranule, nPackets) from the page walk, or
+      * null when no valid page starts the stream. The walk stops at the
+      * first malformed/truncated page (complete pages only — the
+      * [[Mp3Codec.scan]] stop rule); packet count ends lace runs at
+      * each sub-255 terminator. */
+    def scan(bytes: Array[Byte]): (Int, Seq[Int], Long, Int) = {
+      if (bytes == null || bytes.length < 27) return null
+      var p = 0
+      var nPages = 0
+      var nPackets = 0
+      var lastGranule = 0L
+      val serials = scala.collection.mutable.LinkedHashSet[Int]()
+      def u32(at: Int): Int =
+        (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8) |
+          ((bytes(at + 2) & 0xff) << 16) | ((bytes(at + 3) & 0xff) << 24)
+      def result(): (Int, Seq[Int], Long, Int) =
+        if (nPages == 0) null
+        else (nPages, serials.toSeq, lastGranule, nPackets)
+      while (p + 27 <= bytes.length &&
+          bytes(p) == Magic(0) && bytes(p + 1) == Magic(1) &&
+          bytes(p + 2) == Magic(2) && bytes(p + 3) == Magic(3) &&
+          bytes(p + 4) == 0) {
+        val nSegs = bytes(p + 26) & 0xff
+        if (p + 27 + nSegs > bytes.length) return result()
+        var body = 0
+        var i = 0
+        while (i < nSegs) {
+          val lace = bytes(p + 27 + i) & 0xff
+          body += lace
+          if (lace < 255) nPackets += 1
+          i += 1
+        }
+        if (p + 27 + nSegs + body > bytes.length) return result()
+        var g = 0L
+        (0 until 8).foreach(b => g |= (bytes(p + 6 + b) & 0xffL) << (8 * b))
+        lastGranule = g
+        serials += u32(p + 14)
+        nPages += 1
+        p += 27 + nSegs + body
+      }
+      result()
+    }
+  }
+
+  /** Matroska/WebM (EBML) structural walk — the mkv side of the
+    * container family, pure bytes: EBML encodes every element as a
+    * variable-length ID + variable-length size + payload (the same
+    * walk-the-tree discipline as [[Mp4Codec]], different varint
+    * framing). The writer emits a minimal valid EBML head + Segment
+    * (Info: TimestampScale + Duration; Tracks: TrackEntry per track);
+    * the walker parses the varints for real and reports the duration,
+    * timestamp scale and track count. Unknown-size elements and
+    * malformed varints return null (skip, never throw). */
+  private[operators] object MkvCodec {
+    // element IDs (as written on the wire, class bytes included)
+    private val EbmlHead = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)
+    private val Segment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)
+    private val Info = Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte)
+    private val Tracks = Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte)
+    private val TrackEntry = Array(0xae).map(_.toByte)
+    private val TimestampScale = Array(0x2a, 0xd7, 0xb1).map(_.toByte)
+    private val Duration = Array(0x44, 0x89).map(_.toByte)
+
+    private def sizeVarint(n: Long): Array[Byte] = {
+      // 4-byte width: 0x10000000 | n (n < 2^28) — fixed width keeps the
+      // writer simple; the READER handles any width
+      require(n < (1L << 28), s"size too large: $n")
+      Array((0x10 | ((n >> 24) & 0x0f)).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, (n & 0xff).toByte)
+    }
+
+    private def elem(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ sizeVarint(payload.length.toLong) ++ payload
+
+    private def uintPayload(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    }
+
+    /** Minimal Segment: Info(TimestampScale ns/tick, Duration in ticks
+      * as a float64) + Tracks(nTracks empty TrackEntries). */
+    def encode(timestampScaleNs: Long, durationTicks: Double,
+        nTracks: Int): Array[Byte] = {
+      val info = elem(Info,
+        elem(TimestampScale, uintPayload(timestampScaleNs)) ++
+          elem(Duration, {
+            val bits = java.lang.Double.doubleToLongBits(durationTicks)
+            Array.tabulate(8)(i => ((bits >> (8 * (7 - i))) & 0xff).toByte)
+          }))
+      val tracks = elem(Tracks,
+        (0 until nTracks).map(_ => elem(TrackEntry, Array[Byte]()))
+          .reduceOption(_ ++ _).getOrElse(Array[Byte]()))
+      elem(EbmlHead, Array[Byte]()) ++ elem(Segment, info ++ tracks)
+    }
+
+    /** Parse a varint at `p`: (value, width) with the marker bit
+      * stripped for SIZES and kept for IDs; null semantics via width 0. */
+    private def varint(bytes: Array[Byte], p: Int,
+        stripMarker: Boolean): (Long, Int) = {
+      if (p >= bytes.length) return (0L, 0)
+      val b0 = bytes(p) & 0xff
+      if (b0 == 0) return (0L, 0)
+      val width = Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+      if (width < 1 || width > 8 || p + width > bytes.length) return (0L, 0)
+      var v = if (stripMarker) (b0 & ((1 << (8 - width)) - 1)).toLong
+        else b0.toLong
+      var i = 1
+      while (i < width) {
+        v = (v << 8) | (bytes(p + i) & 0xffL)
+        i += 1
+      }
+      (v, width)
+    }
+
+    /** (timestampScaleNs, durationTicks, nTracks) from the EBML walk,
+      * or null when the stream is not a well-formed head+Segment. */
+    def parseMeta(bytes: Array[Byte]): (Long, Double, Int) = {
+      if (bytes == null || bytes.length < 6) return null
+      def expectId(p: Int, id: Array[Byte]): Boolean =
+        p + id.length <= bytes.length &&
+          id.indices.forall(i => bytes(p + i) == id(i))
+      // EBML head
+      if (!expectId(0, EbmlHead)) return null
+      var p = EbmlHead.length
+      val (headSize, hw) = varint(bytes, p, stripMarker = true)
+      if (hw == 0) return null
+      p += hw + headSize.toInt
+      if (!expectId(p, Segment)) return null
+      p += Segment.length
+      val (segSize, sw) = varint(bytes, p, stripMarker = true)
+      if (sw == 0) return null
+      p += sw
+      val segEnd = p + segSize.toInt
+      if (segEnd > bytes.length) return null
+      var scale = 1000000L // EBML default
+      var durationTicks = -1.0
+      var nTracks = 0
+      // walk Segment children; recurse into Info and Tracks
+      def walk(from: Int, to: Int, inInfo: Boolean, inTracks: Boolean): Boolean = {
+        var q = from
+        while (q < to) {
+          // IDs: match the known ones by their wire bytes; width from
+          // the marker bit of the first byte
+          val idWidth = {
+            val b0 = bytes(q) & 0xff
+            if (b0 == 0) return false
+            Integer.numberOfLeadingZeros(b0) - 23
+          }
+          if (idWidth < 1 || idWidth > 4 || q + idWidth > to) return false
+          val idBytes = bytes.slice(q, q + idWidth)
+          val (sz, w) = varint(bytes, q + idWidth, stripMarker = true)
+          if (w == 0) return false
+          val ps = q + idWidth + w
+          val pe = ps + sz.toInt
+          if (pe > to) return false
+          def is(id: Array[Byte]) = idBytes.sameElements(id)
+          if (is(Info)) { if (!walk(ps, pe, true, false)) return false }
+          else if (is(Tracks)) { if (!walk(ps, pe, false, true)) return false }
+          else if (inInfo && is(TimestampScale)) {
+            var v = 0L
+            (ps until pe).foreach(i => v = (v << 8) | (bytes(i) & 0xffL))
+            scale = v
+          } else if (inInfo && is(Duration) && sz == 8) {
+            var bits = 0L
+            (ps until pe).foreach(i => bits = (bits << 8) | (bytes(i) & 0xffL))
+            durationTicks = java.lang.Double.longBitsToDouble(bits)
+          } else if (inTracks && is(TrackEntry)) nTracks += 1
+          q = pe
+        }
+        true
+      }
+      if (!walk(p, segEnd, inInfo = false, inTracks = false)) return null
+      if (durationTicks < 0) return null
+      (scale, durationTicks, nTracks)
+    }
+  }
+
   /** Multi-frame GIF codec over `javax.imageio`'s sequence API — the one
     * REAL multi-frame container the JDK ships (mp4/mkv/mp3 need external
     * codecs and stay stubbed). Beside the home-grown GFV0 this makes the
@@ -946,6 +1163,120 @@ object Multimodal {
             Row(null, null, 44100, nFrames.toLong * 1152000L / 44100L, "mp3"))
         }
       }(enc)
+  }
+
+  /** Deterministic Ogg fixture: per doc one logical stream (serial =
+    * id), `3 + id % 5` one-packet pages with md5-filler payloads of
+    * `50 + (id + pageNo) % 100` bytes; granule = running packet count
+    * (the fixture's duration anchor). */
+  def fromTextAsOggs(docs: DataFrame, idCol: String, textCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id")
+          val seed = r.getString(1).getBytes("UTF-8")
+          val nPages = (3 + id % 5).toInt
+          val packets = (0 until nPages).map { pg =>
+            val len = (50 + (id + pg) % 100).toInt
+            val body = new Array[Byte](len)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            var i = 0
+            while (i < len) {
+              md.reset(); md.update(seed); md.update(pg.toByte)
+              md.update((i / 16).toByte)
+              val d = md.digest()
+              val c = math.min(16, len - i)
+              System.arraycopy(d, 0, body, i, c)
+              i += c
+            }
+            body
+          }
+          Row(id, "audio", OggCodec.encode(id.toInt, packets),
+            Row(null, null, null, null, "ogg"))
+        }
+      }(enc)
+  }
+
+  /** Ogg page-layer scan WITHOUT decode: per payload the page count,
+    * logical-stream count, packet count and the end-of-stream granule
+    * position (the duration anchor — seconds = granule / codec rate,
+    * the codec-specific division left to the caller, stated). Payloads
+    * with no valid page skip. Map-side only. */
+  def oggScan(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_pages", IntegerType, nullable = false),
+      StructField("n_streams", IntegerType, nullable = false),
+      StructField("n_packets", IntegerType, nullable = false),
+      StructField("last_granule", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        OggCodec.scan(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case (pages, serials, granule, packets) =>
+            Iterator.single(Row(r.getLong(0), pages, serials.size,
+              packets, granule))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic Matroska fixture: timestamp scale 1,000,000 ns
+    * (the EBML default, written explicitly), duration `(500 + id % 1000)`
+    * ticks, `1 + id % 3` tracks. */
+  def fromTextAsMkvs(docs: DataFrame, idCol: String, textCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id")
+          val ticks = (500 + id % 1000).toDouble
+          val tracks = (1 + id % 3).toInt
+          Row(id, "video", MkvCodec.encode(1000000L, ticks, tracks),
+            Row(null, null, null, ticks.toLong, "mkv"))
+        }
+      }(enc)
+  }
+
+  /** Matroska metadata WITHOUT decode ([[MkvCodec.parseMeta]] — the
+    * EBML varint walk): per payload the timestamp scale (ns/tick), the
+    * duration in ms (ticks × scale / 10⁶) and the track count.
+    * Non-EBML or malformed payloads skip. Map-side only. */
+  def mkvMeta(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("timestamp_scale_ns", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        MkvCodec.parseMeta(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case (scale, ticks, tracks) =>
+            Iterator.single(Row(r.getLong(0), scale,
+              (ticks * scale / 1e6).toLong, tracks))
+        }
+      }
+    }(enc)
   }
 
   /** MP3 stream scan WITHOUT decode ([[Mp3Codec.scan]] — the mp3val/

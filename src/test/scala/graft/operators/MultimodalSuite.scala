@@ -370,6 +370,58 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.mp3Scan(bad).isEmpty)
   }
 
+  test("OggCodec: page walk — lacing, BOS/EOS flags, granule, truncation stop") {
+    val packets = Seq(new Array[Byte](10), new Array[Byte](300),
+      new Array[Byte](255))
+    val bytes = Multimodal.OggCodec.encode(serial = 77, packets)
+    val (pages, serials, granule, nPackets) = Multimodal.OggCodec.scan(bytes)
+    assert((pages, serials, granule, nPackets) === ((3, Seq(77), 3L, 3)))
+    // a 255-byte packet laces as 255+0 (terminator), still ONE packet
+    // a truncated tail counts only complete pages
+    val cut = Multimodal.OggCodec.scan(bytes.dropRight(5))
+    assert(cut._1 === 2 && cut._3 === 2L)
+    assert(Multimodal.OggCodec.scan(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.OggCodec.scan(null) == null)
+  }
+
+  test("oggScan surface: fixture pages/packets/granule; skip-not-fail") {
+    val docs = Seq((4L, "a"), (6L, "b")).toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsOggs(docs, "doc_id", "text")
+    val got = Multimodal.oggScan(m).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))).toMap
+    // id 4: 3 + 4%5 = 7 pages, one packet each, granule 7
+    assert(got(4L) === ((7, 1, 7, 7L)))
+    assert(got(6L) === ((4, 1, 4, 4L)))
+    val bad = Seq((9L, "audio", Array[Byte](1)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.oggScan(bad).isEmpty)
+  }
+
+  test("MkvCodec: EBML varint walk — scale, float64 duration, track count, malformed null") {
+    val bytes = Multimodal.MkvCodec.encode(1000000L, 1234.0, nTracks = 2)
+    assert(Multimodal.MkvCodec.parseMeta(bytes) === ((1000000L, 1234.0, 2)))
+    val zeroTracks = Multimodal.MkvCodec.encode(250000L, 8.5, nTracks = 0)
+    assert(Multimodal.MkvCodec.parseMeta(zeroTracks) === ((250000L, 8.5, 0)))
+    assert(Multimodal.MkvCodec.parseMeta(bytes.take(bytes.length / 2)) == null)
+    assert(Multimodal.MkvCodec.parseMeta(Array[Byte](1, 2, 3, 4, 5, 6, 7)) == null)
+    assert(Multimodal.MkvCodec.parseMeta(null) == null)
+  }
+
+  test("mkvMeta surface: fixture scale/duration/tracks; skip-not-fail") {
+    val docs = Seq((4L, "x"), (5L, "y")).toDF("doc_id", "text")
+    val m = Multimodal.fromTextAsMkvs(docs, "doc_id", "text")
+    val got = Multimodal.mkvMeta(m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    // id 4: 504 ticks at 1ms/tick -> 504 ms, 1 + 4%3 = 2 tracks
+    assert(got(4L) === ((1000000L, 504L, 2)))
+    assert(got(5L) === ((1000000L, 505L, 3)))
+    val bad = Seq((9L, "video", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.mkvMeta(bad).isEmpty)
+  }
+
   test("audioPerceptualDups: exact twins at hamming 0; pigeonhole guard rejected") {
     val twin = Seq((1L, "dup sound"), (2L, "dup sound"), (3L, "unrelated noise"))
       .toDF("doc_id", "text")
