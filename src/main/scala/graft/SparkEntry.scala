@@ -1749,6 +1749,22 @@ object SparkEntry {
       idx.compact()
       idx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q324_media_audit" -> ((s, d) => {
+      // X281 media audit (batch surface of the ingest stream): a mixed
+      // bucket — each doc becomes one of the four container families by
+      // id — classified and metadata'd per row, no decode, no shuffle
+      val docs = t(s, d, "documents")
+      val m = Multimodal.fromTextAsMp4s(
+          docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+        .unionAll(Multimodal.fromTextAsMp3s(
+          docs.filter(col("doc_id") % 4 === 1), "doc_id", "text"))
+        .unionAll(Multimodal.fromTextAsOggs(
+          docs.filter(col("doc_id") % 4 === 2), "doc_id", "text"))
+        .unionAll(Multimodal.fromTextAsMkvs(
+          docs.filter(col("doc_id") % 4 === 3), "doc_id", "text"))
+      graft.streaming.MediaAuditStream.audit(m)
+        .orderBy(col("media_id"))
+    }),
     "q322_ogg_scan" -> ((s, d) => {
       // X280 Ogg page-layer walk WITHOUT decode: pages, logical
       // streams, packets (lacing-table boundaries) and the end-of-
@@ -6492,6 +6508,23 @@ object SparkEntry {
       // the OFFSET form IS the claim: a keyset page after the 100th row
       // of the total (source, doc_id) order equals rows 101-150
       "SELECT source, doc_id FROM documents ORDER BY source, doc_id LIMIT 50 OFFSET 100",
+    // X281: container family by id, per-family metadata formulas (the
+    // q319/q321/q322/q323 arithmetic behind one CASE)
+    "q324_media_audit" ->
+      """SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+             WHEN 2 THEN 'ogg' ELSE 'mkv' END AS container,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 2 + doc_id % 4
+             WHEN 1 THEN 20 + doc_id % 30
+             WHEN 2 THEN 3 + doc_id % 5
+             ELSE 1 + doc_id % 3 END AS INT) AS n_units,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN (2 + doc_id % 4) * 40
+             WHEN 1 THEN ((20 + doc_id % 30) * 1152000) // 44100
+             WHEN 2 THEN NULL
+             ELSE 500 + doc_id % 1000 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
     // X280: page/packet/granule and EBML meta recomputed from the
     // fixture formulas; the engine walks the real page headers / varint
     // element tree

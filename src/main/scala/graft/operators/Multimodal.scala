@@ -284,7 +284,7 @@ object Multimodal {
     * aren't PNG-decodable here — fixture samples are PNG, so the frame
     * path stays real-codec end-to-end via javax.imageio). Malformed or
     * truncated trees return null (a corrupt file must not kill a scan). */
-  private[operators] object Mp4Codec {
+  private[graft] object Mp4Codec {
     import java.io.ByteArrayOutputStream
     import java.nio.ByteBuffer
 
@@ -486,7 +486,7 @@ object Multimodal {
     * exact duration — no Layer-III decoder involved (sample synthesis
     * stays out of scope; fixture payload bytes are deterministic
     * filler). */
-  private[operators] object Mp3Codec {
+  private[graft] object Mp3Codec {
     // MPEG-1 Layer III tables
     private[operators] val BitrateKbps = Array(
       -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
@@ -568,7 +568,7 @@ object Multimodal {
     * end-of-stream granule (the duration anchor every Ogg tool reads)
     * and packet boundaries — no codec. Fixture payloads are
     * deterministic filler in structurally valid pages. */
-  private[operators] object OggCodec {
+  private[graft] object OggCodec {
     private val Magic = "OggS".getBytes("US-ASCII")
 
     /** One logical stream: `packets` byte payloads, one packet per page
@@ -651,7 +651,7 @@ object Multimodal {
     * the walker parses the varints for real and reports the duration,
     * timestamp scale and track count. Unknown-size elements and
     * malformed varints return null (skip, never throw). */
-  private[operators] object MkvCodec {
+  private[graft] object MkvCodec {
     // element IDs (as written on the wire, class bytes included)
     private val EbmlHead = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)
     private val Segment = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)

@@ -1395,6 +1395,36 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(!rows(b).exists(_._1 == 1L))
     // target-exists is a refusal, not an overwrite
     intercept[IllegalArgumentException](idx.snapshot(s"$dir/a"))
+    // crash protocol: a crashed prior attempt's hidden staging debris
+    // (the only thing a mid-copy crash can leave — the target appears
+    // by rename) never blocks or corrupts a clean retry
+    val stale = new java.io.File(s"$dir/.c.snapstaging/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    idx.snapshot(s"$dir/c")
+    assert(rows(new InvertedIndex(spark, s"$dir/c", buckets = 8)) === want,
+      "retry over staging debris must produce a clean snapshot")
+    assert(!new java.io.File(s"$dir/.c.snapstaging").exists(),
+      "staging renames away, leaving no hidden debris")
+  }
+
+  test("postings file-locality is structural: one file per (term, doc) per layout write") {
+    // buildBlockMax's file-grain bounds assume a (term, doc)'s postings
+    // never split across two files of one bucket; build and append both
+    // repartition by tbucket to make that structural — assert it on the
+    // PHYSICAL layout, not the plan
+    val dir = Files.createTempDirectory("graft_inv_loc").toString
+    val idx = new InvertedIndex(spark, s"$dir/inv", buckets = 4)
+    idx.build(docsA, "doc_id", col("text"))
+    idx.append(docsB, "doc_id", col("text"))
+    val perPair = spark.read.parquet(s"$dir/inv/postings")
+      .select(col("term"), col("doc_id"),
+        input_file_name().as("f"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(countDistinct(col("f")).as("nf"))
+    val worst = perPair.agg(max(col("nf"))).head().getLong(0)
+    assert(worst === 1L,
+      s"a (term, doc) split across $worst files breaks the block-max invariant")
   }
 
   test("explain: per-term breakdown sums to the served score; absent term zero row (X232)") {
