@@ -251,10 +251,18 @@ object Dedup {
     * the exploded side; measured 15.4 s → broadcast-hash at sf0.1).
     * The per-pair count then map-side-combines, so the only shuffle
     * carries (corpus_id, bench_id, partial_count) rows bounded by the
-    * matching pairs. */
+    * matching pairs.
+    *
+    * `broadcastBench` (default true) pins the plan to the broadcast
+    * join. The default encodes the contract — eval suites are MBs, not
+    * GBs — but a caller decontaminating against an unusually large
+    * benchmark (a whole held-out split) can pass false and fall back
+    * to the planner's shuffle join instead of hitting the broadcast
+    * size ceiling mid-job; results are identical either way. */
   def contaminationScan(corpus: DataFrame, idCol: String, text: Column,
       benchmark: DataFrame, benchIdCol: String, benchText: Column,
-      shingleN: Int = 5, minOverlap: Int = 1): DataFrame = {
+      shingleN: Int = 5, minOverlap: Int = 1,
+      broadcastBench: Boolean = true): DataFrame = {
     // one staging pipeline, not two: shingleSets already encodes the
     // tokens->shingles->distinct chain (and the codegen invariant).
     // explode_OUTER, deliberately: plain explode triggers
@@ -268,9 +276,9 @@ object Dedup {
       shingleSets(df.select(id.as("doc_id"), t.as("__text")), "doc_id", col("__text"), shingleN)
         .select(col("doc_id").as(outId), explode_outer(col("sh")).as("__sh"))
         .select(col(outId), substring(md5(col("__sh")), 1, 16).as("__h"))
+    val bench = postings(benchmark, col(benchIdCol), benchText, "bench_id")
     postings(corpus, col(idCol), text, "doc_id")
-      .join(broadcast(postings(benchmark, col(benchIdCol), benchText, "bench_id")),
-        Seq("__h"))
+      .join(if (broadcastBench) broadcast(bench) else bench, Seq("__h"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)

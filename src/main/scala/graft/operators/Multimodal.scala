@@ -369,6 +369,12 @@ object Multimodal {
         tpe: String): Option[(Int, Int)] =
       Option(cs).flatMap(_.collectFirst { case (t, s, e) if t == tpe => (s, e) })
 
+    /** Duration in ms from mvhd units — THE conversion every consumer
+      * ([[Multimodal.mp4Meta]], [[graft.streaming.MediaAuditStream]])
+      * shares, so the surfaces cannot drift. */
+    def durationMs(durationUnits: Long, timescale: Long): Long =
+      if (timescale > 0) durationUnits * 1000L / timescale else 0L
+
     /** (brand, timescale, durationUnits, nSamples, width, height) from
       * the box tree alone, or null when the payload is not a well-formed
       * single-video-track MP4. */
@@ -440,11 +446,15 @@ object Multimodal {
       val cs = children(bytes, stbl._1, stbl._2)
       val sizes = sampleSizes(bytes, stbl).getOrElse(return null)
       val stco = find(cs, "stco").getOrElse(return null)
+      // length-check the fixed header BEFORE reading the entry count —
+      // an empty-payload box must null-skip, not index out of bounds
+      if (stco._2 - stco._1 < 8) return null
       val nChunks = ByteBuffer.wrap(bytes, stco._1 + 4, 4).getInt
       if (nChunks < 0 || stco._2 - stco._1 < 8 + 4L * nChunks) return null
       val offsets = Array.tabulate(nChunks)(i =>
         ByteBuffer.wrap(bytes, stco._1 + 8 + 4 * i, 4).getInt.toLong & 0xffffffffL)
       val stsc = find(cs, "stsc").getOrElse(return null)
+      if (stsc._2 - stsc._1 < 8) return null
       val nRuns = ByteBuffer.wrap(bytes, stsc._1 + 4, 4).getInt
       if (nRuns < 0 || stsc._2 - stsc._1 < 8 + 12L * nRuns) return null
       val runs = Array.tabulate(nRuns) { i =>
@@ -524,20 +534,35 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Exact stream duration in ms: frames × 1152 samples at `sr`. */
+    def durationMs(nFrames: Int, sr: Int): Long =
+      nFrames.toLong * 1152000L / sr
+
+    /** Whether a valid MPEG-1 Layer III header sits at `p` — the
+      * strict is-this-an-mp3 probe [[graft.streaming.MediaAuditStream]]
+      * classifies with (sync at offset 0), as opposed to the lenient
+      * junk-skipping [[scan]]. */
+    def syncAt(bytes: Array[Byte], p: Int): Boolean =
+      bytes != null && p + 4 <= bytes.length &&
+        (bytes(p) & 0xff) == 0xff && ((bytes(p + 1) & 0xff) & 0xfe) == 0xfa &&
+        BitrateKbps((bytes(p + 2) >> 4) & 0xf) > 0 &&
+        SampleRates((bytes(p + 2) >> 2) & 0x3) > 0
+
     /** Walk the frame headers from the first sync word: (sampleRate,
       * per-frame kbps). Leading junk before the first valid header is
       * skipped (the ID3/garbage-prefix rule every scanner applies); the
-      * walk stops at the first malformed or truncated header, and null
-      * means no complete frame at all. */
+      * walk stops at the first malformed or truncated header AND at a
+      * sample-rate change (one logical stream has one rate — a frame
+      * claiming another rate is a splice or a false sync, and counting
+      * it would silently falsify the reported rate and duration), and
+      * null means no complete frame at all. */
     def scan(bytes: Array[Byte]): (Int, Array[Int]) = {
       if (bytes == null || bytes.length < 4) return null
       def headerAt(p: Int): Int = { // frame length, or -1
         if (p + 4 > bytes.length) return -1
-        val b0 = bytes(p) & 0xff; val b1 = bytes(p + 1) & 0xff
         val b2 = bytes(p + 2) & 0xff
-        if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return -1 // MPEG1 L3 only
+        if (!syncAt(bytes, p)) return -1
         val bi = (b2 >> 4) & 0xf; val si = (b2 >> 2) & 0x3
-        if (BitrateKbps(bi) <= 0 || SampleRates(si) <= 0) return -1
         val len = frameLength(BitrateKbps(bi), SampleRates(si), (b2 >> 1) & 1)
         if (p + len > bytes.length) return -1
         len
@@ -545,11 +570,12 @@ object Multimodal {
       var start = 0
       while (start + 4 <= bytes.length && headerAt(start) < 0) start += 1
       if (start + 4 > bytes.length) return null
-      val sr = SampleRates((bytes(start + 2) >> 2) & 0x3)
+      val srIdx = (bytes(start + 2) >> 2) & 0x3
+      val sr = SampleRates(srIdx)
       val kbps = Array.newBuilder[Int]
       var p = start
       var len = headerAt(p)
-      while (len > 0) {
+      while (len > 0 && ((bytes(p + 2) >> 2) & 0x3) == srIdx) {
         kbps += BitrateKbps((bytes(p + 2) >> 4) & 0xf)
         p += len
         len = headerAt(p)
@@ -576,6 +602,12 @@ object Multimodal {
       * BOS on the first page, EOS on the last. CRC written as 0 (the
       * scanner does not verify checksums — a metadata walk, stated). */
     def encode(serial: Int, packets: Seq[Array[Byte]]): Array[Byte] = {
+      // one packet per page and a page holds <= 255 lacing segments: a
+      // bigger packet would need cross-page continuation this writer
+      // does not express — refuse loudly instead of emitting a lacing
+      // table whose low-byte-truncated segment count lies about the body
+      packets.foreach(p => require(p.length / 255 + 1 <= 255,
+        s"packet of ${p.length} bytes needs page continuation (max ${254 * 255 + 254})"))
       val bos = new java.io.ByteArrayOutputStream()
       packets.zipWithIndex.foreach { case (p, i) =>
         bos.write(Magic)
@@ -713,6 +745,12 @@ object Multimodal {
       (v, width)
     }
 
+    /** Duration in ms from (ticks, ns/tick) — shared by
+      * [[Multimodal.mkvMeta]] and the ingest audit so the two surfaces
+      * cannot drift. */
+    def durationMs(ticks: Double, scaleNs: Long): Long =
+      (ticks * scaleNs / 1e6).toLong
+
     /** (timestampScaleNs, durationTicks, nTracks) from the EBML walk,
       * or null when the stream is not a well-formed head+Segment. */
     def parseMeta(bytes: Array[Byte]): (Long, Double, Int) = {
@@ -720,16 +758,19 @@ object Multimodal {
       def expectId(p: Int, id: Array[Byte]): Boolean =
         p + id.length <= bytes.length &&
           id.indices.forall(i => bytes(p + i) == id(i))
-      // EBML head
+      // EBML head. All size arithmetic stays in Long and validates
+      // against the remaining byte range BEFORE any toInt — a crafted
+      // 2^31-class varint must null-skip, never wrap negative and index
+      // out of bounds (the skip-never-throw contract)
       if (!expectId(0, EbmlHead)) return null
       var p = EbmlHead.length
       val (headSize, hw) = varint(bytes, p, stripMarker = true)
-      if (hw == 0) return null
+      if (hw == 0 || headSize > bytes.length - p - hw) return null
       p += hw + headSize.toInt
       if (!expectId(p, Segment)) return null
       p += Segment.length
       val (segSize, sw) = varint(bytes, p, stripMarker = true)
-      if (sw == 0) return null
+      if (sw == 0 || segSize > bytes.length - p - sw) return null
       p += sw
       val segEnd = p + segSize.toInt
       if (segEnd > bytes.length) return null
@@ -750,7 +791,10 @@ object Multimodal {
           if (idWidth < 1 || idWidth > 4 || q + idWidth > to) return false
           val idBytes = bytes.slice(q, q + idWidth)
           val (sz, w) = varint(bytes, q + idWidth, stripMarker = true)
-          if (w == 0) return false
+          // Long-guard BEFORE toInt (same overflow rule as the head),
+          // and pe > q is implied by idWidth/w >= 1 so the walk always
+          // makes progress — no q-cycle on a zero-size element
+          if (w == 0 || sz > (to - (q + idWidth + w)).toLong) return false
           val ps = q + idWidth + w
           val pe = ps + sz.toInt
           if (pe > to) return false
@@ -1126,8 +1170,8 @@ object Multimodal {
         Mp4Codec.parseMeta(r.getAs[Array[Byte]]("payload")) match {
           case null => Iterator.empty
           case (brand, ts, dur, n, w, h) =>
-            val ms = if (ts > 0) dur * 1000L / ts else 0L
-            Iterator.single(Row(r.getLong(0), brand, ts, ms, n, w, h))
+            Iterator.single(Row(r.getLong(0), brand, ts,
+              Mp4Codec.durationMs(dur, ts), n, w, h))
         }
       }
     }(enc)
@@ -1273,7 +1317,7 @@ object Multimodal {
           case null => Iterator.empty
           case (scale, ticks, tracks) =>
             Iterator.single(Row(r.getLong(0), scale,
-              (ticks * scale / 1e6).toLong, tracks))
+              MkvCodec.durationMs(ticks, scale), tracks))
         }
       }
     }(enc)
@@ -1302,7 +1346,7 @@ object Multimodal {
           case (sr, kbps) =>
             Iterator.single(Row(r.getLong(0), kbps.length, sr,
               kbps.min, kbps.max, kbps.min == kbps.max,
-              kbps.length.toLong * 1152000L / sr))
+              Mp3Codec.durationMs(kbps.length, sr)))
         }
       }
     }(enc)

