@@ -391,6 +391,41 @@ class MultimodalSuite extends AnyFunSuite {
       Multimodal.OggCodec.encode(1, Seq(new Array[Byte](70000))))
   }
 
+  test("container parsers: seeded mutation fuzz — corrupt bytes never throw (bulk property)") {
+    // the skip-never-throw contract, pinned broadly: random single-byte
+    // flips, truncations and splices of VALID payloads must parse to
+    // null or to SOME value — never raise. Deterministic seed so a
+    // failure reproduces.
+    val rnd = new scala.util.Random(18)
+    val mp4 = Multimodal.Mp4Codec.encode(
+      Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5)), 32, 24, 40)
+    val mp3 = Multimodal.Mp3Codec.encode("f".getBytes, Seq(9, 10, 11), 0)
+    val ogg = Multimodal.OggCodec.encode(7, Seq(new Array[Byte](80)))
+    val mkv = Multimodal.MkvCodec.encode(1000000L, 42.0, 2)
+    def mutations(base: Array[Byte]): Iterator[Array[Byte]] =
+      Iterator.tabulate(200) { i =>
+        val b = base.clone()
+        i % 4 match {
+          case 0 => // single byte flip
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte; b
+          case 1 => b.take(rnd.nextInt(b.length)) // truncation
+          case 2 => // splice two copies at a random cut
+            b.take(rnd.nextInt(b.length)) ++ base.drop(rnd.nextInt(base.length))
+          case _ => // several flips
+            (0 until 8).foreach(_ =>
+              b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+            b
+        }
+      }
+    for (base <- Seq(mp4, mp3, ogg, mkv); m <- mutations(base)) {
+      Multimodal.Mp4Codec.parseMeta(m); Multimodal.Mp4Codec.demux(m)
+      Multimodal.Mp3Codec.scan(m)
+      Multimodal.OggCodec.scan(m)
+      Multimodal.MkvCodec.parseMeta(m)
+    }
+    succeed
+  }
+
   test("mp3Scan surface: fixture CBR/VBR profile, exact duration, skip-not-fail") {
     val docs = Seq((4L, "even id cbr"), (5L, "odd id vbr")).toDF("doc_id", "text")
     val m = Multimodal.fromTextAsMp3s(docs, "doc_id", "text")
