@@ -1379,11 +1379,14 @@ object SparkEntry {
       // so a file copy IS a fresh build — the build-once/serve-many
       // split priced in q256 stays clean and this row prices the
       // MAINTENANCE walk), then append 100 single-must alerts,
-      // unsubscribe every 20th stored query, vacuum (physical
-      // removal), and percolate the q256 batch from what survived —
-      // every maintenance step runs for real on disk; the oracle
-      // recomputes only the SURVIVING clause table, so corrupted state
-      // anywhere in the walk breaks the hash.
+      // unsubscribe every 20th stored query, run the X186 maintain
+      // POLICY with both thresholds crossed (5% tombstoned > 1%;
+      // appended part-files > 1/bucket) so vacuum (physical removal)
+      // AND compact (one file per bucket) both act, and percolate the
+      // q256 batch from what survived — every maintenance step runs
+      // for real on disk; the oracle recomputes only the SURVIVING
+      // clause table, so corrupted state anywhere in the walk breaks
+      // the hash.
       val dir = java.nio.file.Files.createTempDirectory("graft_qs_lc").toString
       val src = sharedQueryStore(s, d).storePath
       val conf = s.sparkContext.hadoopConfiguration
@@ -1399,7 +1402,12 @@ object SparkEntry {
       } finally graft.util.Pins.release(vocab)
       qs.delete(s.range(0, 10000).filter(col("id") % 20 === 0)
         .select(concat(lit("q"), col("id").cast(IntegerType)).as("query_id")))
-      qs.vacuum()
+      // the policy, not bare actions: both thresholds crossed, so the
+      // report (forced materialized) must show vacuum AND compact acted
+      val acted = qs.maintain(maxFilesPerBucket = 1, maxTombstoneFrac = 0.01)
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      require(acted == Map("vacuum" -> true, "compact" -> true),
+        s"maintain policy missed a crossed threshold: $acted")
       val batch = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
       qs.percolate(batch, "doc_id", col("text"))
         .orderBy(col("query_id"), col("doc_id"))

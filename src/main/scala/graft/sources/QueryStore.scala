@@ -153,6 +153,36 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       df.join(tombstoneIds(), Seq("query_id"), "left_anti")
     else df
 
+  /** Two-rename layout swap (the engine's crash discipline): write the
+    * replacement under a hidden staging sibling, back the live dir up,
+    * rename staging into place, drop the backup — [[recover]] rolls a
+    * crash at any point forward or back. Shared by [[vacuum]] and
+    * [[compact]]. */
+  private def swapLayout(live: String, partCol: Option[String],
+      replacement: DataFrame): Unit = {
+    val liveP = new Path(live)
+    val staging = new Path(liveP.getParent, s".${liveP.getName}.staging")
+    fs.delete(staging, true)
+    partCol match {
+      case Some(c) => replacement.write.partitionBy(c).parquet(staging.toString)
+      case None    => replacement.write.parquet(staging.toString)
+    }
+    val hasData = fs.listStatus(staging)
+      .exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData) partCol match {
+      case Some(c) => replacement.drop(c).limit(0).coalesce(1)
+        .write.parquet(new Path(staging, s"$c=0").toString)
+      case None => replacement.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
+    fs.delete(bak, true)
+    if (!fs.rename(liveP, bak)) sys.error(s"could not back up $live")
+    if (!fs.rename(staging, liveP))
+      sys.error(s"could not swap $staging into $live (backup at $bak)")
+    fs.delete(bak, true)
+  }
+
   /** Physically drop tombstoned queries: one anti-join rewrite each of
     * clauses (partition layout preserved) and totals, two-rename
     * swapped; tombstones cleared LAST so a crash anywhere leaves reads
@@ -161,34 +191,84 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     recover()
     if (!fs.exists(new Path(tombstonesPath))) return
     val ts = tombstoneIds()
-    def swap(live: String, partCol: Option[String]): Unit = {
-      val liveP = new Path(live)
-      val staging = new Path(liveP.getParent, s".${liveP.getName}.staging")
-      fs.delete(staging, true)
-      val survivors = spark.read.parquet(live)
-        .join(ts, Seq("query_id"), "left_anti")
-      partCol match {
-        case Some(c) => survivors.write.partitionBy(c).parquet(staging.toString)
-        case None    => survivors.write.parquet(staging.toString)
-      }
-      val hasData = fs.listStatus(staging)
-        .exists(s => !s.getPath.getName.startsWith("_"))
-      if (!hasData) partCol match {
-        case Some(c) => survivors.drop(c).limit(0).coalesce(1)
-          .write.parquet(new Path(staging, s"$c=0").toString)
-        case None => survivors.limit(0).coalesce(1)
-          .write.mode("overwrite").parquet(staging.toString)
-      }
-      val bak = new Path(liveP.getParent, s".${liveP.getName}.bak")
-      fs.delete(bak, true)
-      if (!fs.rename(liveP, bak)) sys.error(s"could not back up $live")
-      if (!fs.rename(staging, liveP))
-        sys.error(s"could not swap $staging into $live (backup at $bak)")
-      fs.delete(bak, true)
-    }
-    swap(clausesPath, Some("tbucket"))
-    swap(totalsPath, None)
+    swapLayout(clausesPath, Some("tbucket"),
+      spark.read.parquet(clausesPath).join(ts, Seq("query_id"), "left_anti"))
+    swapLayout(totalsPath, None,
+      spark.read.parquet(totalsPath).join(ts, Seq("query_id"), "left_anti"))
     fs.delete(new Path(tombstonesPath), true)
+  }
+
+  /** Per-bucket file-accretion health: (tbucket, n_files, n_bytes) from
+    * the listing alone — every [[append]] adds part-files to each
+    * touched bucket, and the serve's pruned read pays per-file open
+    * cost. The [[InvertedIndex.fileStats]] surface on the query side. */
+  def fileStats(): DataFrame = {
+    import spark.implicits._
+    recover()
+    fs.listStatus(new Path(clausesPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tbucket="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        (d.getPath.getName.stripPrefix("tbucket=").toInt,
+          files.length, files.map(_.getLen).sum)
+      }.toSeq.sortBy(_._1).toDF("tbucket", "n_files", "n_bytes")
+  }
+
+  /** Rewrite the clause layout to ONE file per bucket (and totals to
+    * one file) under the [[swapLayout]] crash discipline — the
+    * amortized answer to append's per-batch part-file accretion.
+    * Answers are bit-identical (pure layout). */
+  def compact(): Unit = {
+    recover()
+    swapLayout(clausesPath, Some("tbucket"),
+      spark.read.parquet(clausesPath).repartition(col("tbucket")))
+    swapLayout(totalsPath, None,
+      spark.read.parquet(totalsPath).coalesce(1))
+  }
+
+  /** Maintenance policy as code — the [[InvertedIndex.maintain]] X186
+    * contract on the stored-query side: read the cheap health surfaces
+    * (file listings + two row counts, never clause data), decide, ACT,
+    * and return one decision row per policy with the observed metric,
+    * threshold and whether the action ran.
+    *
+    *  - `vacuum` when distinct tombstoned ids / stored queries >
+    *    `maxTombstoneFrac` (the enforcement arm of the vacuum-cadence
+    *    contract on [[delete]]);
+    *  - `compact` when any clause bucket holds more than
+    *    `maxFilesPerBucket` part-files. Evaluated on the PRE-action
+    *    listing; a triggered vacuum's rewrite usually satisfies compact
+    *    too — compact still runs when its threshold was crossed
+    *    (idempotent) so the report never claims an action it skipped. */
+  def maintain(maxFilesPerBucket: Int = 8,
+      maxTombstoneFrac: Double = 0.2): DataFrame = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    require(maxTombstoneFrac > 0.0,
+      s"maxTombstoneFrac must be > 0, got $maxTombstoneFrac")
+    import spark.implicits._
+    recover()
+    val tombFrac =
+      if (!fs.exists(new Path(tombstonesPath))) 0.0
+      else {
+        val nQueries = spark.read.parquet(totalsPath).count()
+        if (nQueries == 0L) 1.0
+        else spark.read.parquet(tombstonesPath)
+          .select(col("query_id")).distinct().count().toDouble / nQueries
+      }
+    val maxFiles = fileStats().agg(max(col("n_files"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    val doVacuum = tombFrac > maxTombstoneFrac
+    val doCompact = maxFiles > maxFilesPerBucket
+    if (doVacuum) vacuum()
+    if (doCompact) compact()
+    Seq(
+      ("vacuum", tombFrac, maxTombstoneFrac, doVacuum),
+      ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact))
+      .toDF("action", "metric", "threshold", "acted")
   }
 
   /** The full LIVE clause frame (tombstones masked), `tbucket` kept as

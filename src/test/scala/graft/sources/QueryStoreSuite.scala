@@ -144,6 +144,40 @@ class QueryStoreSuite extends AnyFunSuite {
     graft.util.Pins.release(out)
   }
 
+  test("maintain: policy acts on file accretion and tombstone mass; answers bit-identical (X186)") {
+    val dir = Files.createTempDirectory("graft_qstore_maint").toString
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 4)
+    qs.build(clauses)
+    // the appended alerts get tombstoned below, so post-maintenance
+    // answers must equal the ORIGINAL store's
+    val before = rows(qs.percolate(docs, "doc_id", col("text")))
+    // append twice to accrete part-files in the touched buckets
+    qs.append(Seq(("alert4", "sort", "must")).toDF("query_id", "term", "clause"))
+    qs.append(Seq(("alert5", "merge", "must")).toDF("query_id", "term", "clause"))
+    assert(qs.fileStats().agg(max(col("n_files"))).head().getInt(0) > 1)
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    // thresholds not crossed -> no action, report says so
+    val idle = report(qs.maintain(maxFilesPerBucket = 100,
+      maxTombstoneFrac = 0.9))
+    assert(!idle("vacuum")._3 && !idle("compact")._3)
+    assert(qs.fileStats().agg(max(col("n_files"))).head().getInt(0) > 1,
+      "a no-op maintain must not compact")
+    // tombstone 2 of 5 queries (0.4 > 0.2) and cross the file bar
+    qs.delete(Seq("alert4", "alert5").toDF("query_id"))
+    val busy = report(qs.maintain(maxFilesPerBucket = 1,
+      maxTombstoneFrac = 0.2))
+    assert(busy("vacuum")._3 && busy("compact")._3)
+    assert(!new java.io.File(s"$dir/qs/tombstones").exists())
+    assert(qs.fileStats().collect().forall(_.getInt(1) == 1),
+      "compact leaves one file per bucket")
+    assert(rows(qs.percolate(docs, "doc_id", col("text"))) === before,
+      "maintenance must not change answers (appended alerts were tombstoned)")
+    intercept[IllegalArgumentException](qs.maintain(maxFilesPerBucket = 0))
+    intercept[IllegalArgumentException](qs.maintain(maxTombstoneFrac = 0.0))
+  }
+
   test("lifecycle: append / tombstone delete / vacuum all live on the next read") {
     val dir = Files.createTempDirectory("graft_qstore_life").toString
     val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
