@@ -367,15 +367,42 @@ object CorpusStats {
     val counts = df.groupBy(key.cast(StringType).as("key"))
       .agg(count(lit(1)).as("doc_count"))
       .localCheckpoint(true)
-    require(counts.filter(col("key") === "__sum_other__").isEmpty,
-      "key value '__sum_other__' collides with the sentinel row")
-    val top = counts
-      .orderBy(col("doc_count").desc, col("key").asc).limit(size)
-    val other = counts.join(top, Seq("key"), "left_anti")
-      .agg(sum(col("doc_count")).as("doc_count"))
-      .filter(col("doc_count").isNotNull)
-      .select(lit("__sum_other__").as("key"), col("doc_count"))
-    top.unionAll(other)
+    // the sentinel require is exactly the throw-after-pin case: release
+    // the pin before propagating so a rejected call doesn't strand it
+    try {
+      require(counts.filter(col("key") === "__sum_other__").isEmpty,
+        "key value '__sum_other__' collides with the sentinel row")
+      val top = counts
+        .orderBy(col("doc_count").desc, col("key").asc).limit(size)
+      val other = counts.join(top, Seq("key"), "left_anti")
+        .agg(sum(col("doc_count")).as("doc_count"))
+        .filter(col("doc_count").isNotNull)
+        .select(lit("__sum_other__").as("key"), col("doc_count"))
+      top.unionAll(other)
+    } catch {
+      case t: Throwable => graft.util.Pins.release(counts); throw t
+    }
+  }
+
+  /** Multi-terms aggregation (the ES `multi_terms` agg — X253's
+    * terms + sum_other honesty row over a COMPOSITE key): buckets
+    * keyed by the value TUPLE, rendered as the `|`-joined key string
+    * (the ES `key_as_string` convention — ES also returns the raw
+    * array; one string column keeps the frame flat and the oracle
+    * trivial), docs missing ANY key component are skipped (the ES
+    * rule: multi_terms has no per-component `missing` default), top
+    * `size` buckets by (doc_count desc, key asc) plus `__sum_other__`
+    * carrying everything the cut dropped. Pure composition over
+    * [[termsAggWithOther]] — same pin, same heap, same sentinel
+    * guard. A key component containing `|` would alias another
+    * tuple's rendering — the caller's delimiter contract, exactly as
+    * in ES's key_as_string. */
+  def multiTermsAgg(df: DataFrame, keys: Seq[Column], size: Int): DataFrame = {
+    require(keys.size >= 2,
+      s"multi_terms needs at least two key columns, got ${keys.size}")
+    termsAggWithOther(
+      df.filter(keys.map(_.isNotNull).reduce(_ && _)),
+      concat_ws("|", keys.map(_.cast(StringType)): _*), size)
   }
 
   /** Range aggregation (X254 — the ES `range` agg): per [from, to)

@@ -399,6 +399,10 @@ object Multimodal {
       val (tkS, tkE) = find(children(bytes, trakS, trakE), "tkhd")
         .getOrElse(return null)
       if (tkE - tkS < 84) return null
+      // same guard as mvhd: a version-1 tkhd widens the create/modify
+      // times by 8 bytes, so width/height live at +88/+92 — reading
+      // +76/+80 there would emit garbage dims instead of null-skipping
+      if (bytes(tkS) != 0) return null
       val w = ByteBuffer.wrap(bytes, tkS + 76, 4).getInt >>> 16
       val h = ByteBuffer.wrap(bytes, tkS + 80, 4).getInt >>> 16
       val sizes = sampleSizes(bytes, stbl).getOrElse(return null)
@@ -558,18 +562,23 @@ object Multimodal {
       * null means no complete frame at all. */
     def scan(bytes: Array[Byte]): (Int, Array[Int]) = {
       if (bytes == null || bytes.length < 4) return null
-      def headerAt(p: Int): Int = { // frame length, or -1
+      // -1 = not a header (junk — keep skipping); -2 = valid header but
+      // the frame it declares runs past the buffer (truncated file —
+      // STOP: resyncing inside that frame's payload could latch onto a
+      // coincidental 0xFFFx in sample data and report its fabricated
+      // rate/bitrate as the file's profile)
+      def headerAt(p: Int): Int = {
         if (p + 4 > bytes.length) return -1
         val b2 = bytes(p + 2) & 0xff
         if (!syncAt(bytes, p)) return -1
         val bi = (b2 >> 4) & 0xf; val si = (b2 >> 2) & 0x3
         val len = frameLength(BitrateKbps(bi), SampleRates(si), (b2 >> 1) & 1)
-        if (p + len > bytes.length) return -1
+        if (p + len > bytes.length) return -2
         len
       }
       var start = 0
-      while (start + 4 <= bytes.length && headerAt(start) < 0) start += 1
-      if (start + 4 > bytes.length) return null
+      while (start + 4 <= bytes.length && headerAt(start) == -1) start += 1
+      if (start + 4 > bytes.length || headerAt(start) == -2) return null
       val srIdx = (bytes(start + 2) >> 2) & 0x3
       val sr = SampleRates(srIdx)
       val kbps = Array.newBuilder[Int]

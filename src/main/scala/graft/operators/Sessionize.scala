@@ -640,24 +640,30 @@ object Sessionize {
     val base = buckets.select(key.cast(StringType).as("__k"),
       metric.cast(DoubleType).as("__v")).filter(col("__v").isNotNull)
       .localCheckpoint(true)
-    val agg = base.agg(
-      count(lit(1)).as("n_buckets"),
-      min(col("__v")).as("min_value"), max(col("__v")).as("max_value"),
-      sum(col("__v").cast(dec)).as("__sum"))
-    val minKeys = base.join(broadcast(agg.select(col("min_value"))),
-        col("__v") === col("min_value"))
-      .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
-        .as("min_keys"))
-    val maxKeys = base.join(broadcast(agg.select(col("max_value"))),
-        col("__v") === col("max_value"))
-      .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
-        .as("max_keys"))
-    agg.crossJoin(minKeys).crossJoin(maxKeys)
-      .select(col("n_buckets"), col("min_value"), col("max_value"),
-        round(col("__sum").cast(DoubleType), 6).as("sum_value"),
-        round(col("__sum").cast(DoubleType) /
-          col("n_buckets").cast(DoubleType), 6).as("avg_value"),
-        col("min_keys"), col("max_keys"))
+    // release-on-failure: a throw during construction (plan analysis)
+    // must not strand the pin; success keeps the caller-release contract
+    try {
+      val agg = base.agg(
+        count(lit(1)).as("n_buckets"),
+        min(col("__v")).as("min_value"), max(col("__v")).as("max_value"),
+        sum(col("__v").cast(dec)).as("__sum"))
+      val minKeys = base.join(broadcast(agg.select(col("min_value"))),
+          col("__v") === col("min_value"))
+        .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
+          .as("min_keys"))
+      val maxKeys = base.join(broadcast(agg.select(col("max_value"))),
+          col("__v") === col("max_value"))
+        .agg(concat_ws(",", sort_array(collect_list(col("__k"))))
+          .as("max_keys"))
+      agg.crossJoin(minKeys).crossJoin(maxKeys)
+        .select(col("n_buckets"), col("min_value"), col("max_value"),
+          round(col("__sum").cast(DoubleType), 6).as("sum_value"),
+          round(col("__sum").cast(DoubleType) /
+            col("n_buckets").cast(DoubleType), 6).as("avg_value"),
+          col("min_keys"), col("max_keys"))
+    } catch {
+      case t: Throwable => graft.util.Pins.release(base); throw t
+    }
   }
 
   /** Exact linear-interpolated percentiles (X237 — the Elasticsearch

@@ -604,7 +604,10 @@ object TextAnalysis {
       .filter(col("n_fg") > 0 && col("df_fg") >= minDf)
       .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
       .filter(col("__score") > 0)
-      .orderBy(col("__score").desc, col("term").asc)
+      // ordered by the ROUNDED score the emitted column carries, so a
+      // rounded tie at the limit-n boundary orders identically in the
+      // engine and in the oracle's ORDER BY over the output alias
+      .orderBy(round(col("__score"), 6).desc, col("term").asc)
       .limit(n)
       .select(col("term"), col("df_fg"), col("df_bg"),
         round(col("__score"), 6).as("score"))
@@ -1560,6 +1563,33 @@ object TextAnalysis {
     val digitsMasked = regexp_replace(lower(trim(nfc(text))), "[0-9]+", "0")
     val punctStripped = regexp_replace(digitsMasked, PunctRe, " ")
     substring(md5(trim(regexp_replace(punctStripped, s"[$Ws]+", " "))), 1, 16)
+  }
+
+  /** Log-template clustering (the ES `categorize_text` aggregation —
+    * the template-detection triage pass for machine-generated text,
+    * complementing X51 novelty and X92 diversity): rows differing only
+    * in the volatile fields (ids, counters, timestamps, sizes) cluster
+    * under one TEMPLATE, the token skeleton left after masking. The
+    * skeleton applies the X127 masking discipline, pinned as the
+    * contract (oracle-mirrored step for step): NFC-normalize (composed
+    * and decomposed text must not split a template), lowercase, trim,
+    * mask every digit run to `<n>`, collapse whitespace. Punctuation
+    * KEEPS — in a log line it is structure ("user=<n>" vs "user <n>"
+    * are different templates), the opposite call from
+    * [[normalizedFingerprint]]'s dedup key, and why this is its own
+    * surface. Output per template: `doc_count` + `example` (the
+    * lexicographically smallest raw member — deterministic,
+    * partition-order-free; ES returns a sampled example, an
+    * oracle-gated engine cannot). One map-side-combined aggregate;
+    * empty-after-masking rows drop (no defined template). */
+  def categorizeText(docs: DataFrame, text: Column): DataFrame = {
+    val skeleton = trim(regexp_replace(
+      regexp_replace(lower(trim(nfc(text))), "[0-9]+", "<n>"),
+      s"[$Ws]+", " "))
+    docs.select(skeleton.as("template"), text.cast(StringType).as("__raw"))
+      .filter(col("template").isNotNull && col("template") =!= "")
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("doc_count"), min(col("__raw")).as("example"))
   }
 
   /** Polynomial rolling hash (base 31, mod the largest prime < 2^57)

@@ -2377,7 +2377,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .filter(col("df_fg") >= minDf)
       .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
       .filter(col("__score") > 0)
-      .orderBy(col("__score").desc, col("term").asc)
+      // ordered by the ROUNDED score the oracle's ORDER BY binds to —
+      // an unrounded order could pick different terms at a rounded
+      // tie on the limit-n boundary (same rule in significantText)
+      .orderBy(round(col("__score"), 6).desc, col("term").asc)
       .limit(n)
       .select(col("term"), col("df_fg"), col("df_bg"),
         round(col("__score"), 6).as("score"))
@@ -2421,29 +2424,41 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // [[graft.sources.QueryStore.percolateScored]]); the degenerate
     // early return releases it here, nothing having derived from it.
     val deduped = hits.dropDuplicates(idCol).localCheckpoint(true)
-    val nFg = deduped.count()
-    if (nFg == 0L || nBg == 0L) {
-      graft.util.Pins.release(deduped)
-      return empty
+    // anything that throws between the pin and the return (vocab()
+    // read, census drift) would otherwise strand the pin until the
+    // global sweep — same try/release-on-failure discipline as the
+    // sidecar builders; the success path keeps the documented
+    // caller-release contract
+    try {
+      val nFg = deduped.count()
+      if (nFg == 0L || nBg == 0L) {
+        graft.util.Pins.release(deduped)
+        return empty
+      }
+      val fgTerms = deduped
+        .select(col(idCol).as("__doc"),
+          explode_outer(TextAnalysis.tokens(text)).as("term"))
+        .filter(col("term").isNotNull && col("term") =!= "")
+        .dropDuplicates("__doc", "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("df_fg"))
+      val joined = fgTerms
+        .join(vocab().withColumnRenamed("df", "df_bg"), Seq("term"))
+      val fgPct = col("df_fg").cast(DoubleType) / lit(nFg.toDouble)
+      val bgPct = col("df_bg").cast(DoubleType) / lit(nBg.toDouble)
+      // order by the ROUNDED score: the emitted column is round(.,6)
+      // and the oracle's ORDER BY binds to that alias, so engine and
+      // oracle must share one total order at rounded-tie boundaries
+      joined
+        .filter(col("df_fg") >= minDf)
+        .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
+        .filter(col("__score") > 0)
+        .orderBy(round(col("__score"), 6).desc, col("term").asc)
+        .limit(n)
+        .select(col("term"), col("df_fg"), col("df_bg"),
+          round(col("__score"), 6).as("score"))
+    } catch {
+      case t: Throwable => graft.util.Pins.release(deduped); throw t
     }
-    val fgTerms = deduped
-      .select(col(idCol).as("__doc"),
-        explode_outer(TextAnalysis.tokens(text)).as("term"))
-      .filter(col("term").isNotNull && col("term") =!= "")
-      .dropDuplicates("__doc", "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("df_fg"))
-    val joined = fgTerms
-      .join(vocab().withColumnRenamed("df", "df_bg"), Seq("term"))
-    val fgPct = col("df_fg").cast(DoubleType) / lit(nFg.toDouble)
-    val bgPct = col("df_bg").cast(DoubleType) / lit(nBg.toDouble)
-    joined
-      .filter(col("df_fg") >= minDf)
-      .withColumn("__score", (fgPct - bgPct) * (fgPct / bgPct))
-      .filter(col("__score") > 0)
-      .orderBy(col("__score").desc, col("term").asc)
-      .limit(n)
-      .select(col("term"), col("df_fg"), col("df_bg"),
-        round(col("__score"), 6).as("score"))
   }
 
   /** Phrase search with selectivity-ordered planning (X209 — the

@@ -271,6 +271,34 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .toDF("action", "metric", "threshold", "acted")
   }
 
+  /** Consistent on-disk SNAPSHOT of the whole store — clauses, totals,
+    * meta and pending tombstones (the
+    * [[graft.sources.InvertedIndex.snapshot]] surface on the stored-
+    * query layout): [[recover]] quiesces the two-rename swaps first, so
+    * under the engine-wide single-writer assumption the tree is
+    * immutable for the copy; the copy is byte-faithful, so the snapshot
+    * percolates exactly like the source at snapshot time (tombstone
+    * masks and maintenance debt travel with it). Restore is free by
+    * construction — a snapshot IS a complete store root: open it
+    * (`new QueryStore(spark, target)`) or copy it back over a damaged
+    * layout. Crash protocol: copy to a HIDDEN sibling
+    * (`.<name>.snapstaging`), rename into place — `targetPath` either
+    * doesn't exist or is complete; mid-copy crash debris is hidden and
+    * discarded by the next attempt, and the exists-refusal can never
+    * block a clean retry. */
+  def snapshot(targetPath: String): Unit = {
+    recover()
+    val dst = new Path(targetPath)
+    require(!fs.exists(dst), s"snapshot target $targetPath already exists")
+    val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
+    fs.delete(staging, true) // a crashed prior attempt's debris
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
+        false, spark.sparkContext.hadoopConfiguration))
+      sys.error(s"snapshot copy to $staging failed")
+    if (!fs.rename(staging, dst))
+      sys.error(s"could not publish snapshot $staging -> $targetPath")
+  }
+
   /** The full LIVE clause frame (tombstones masked), `tbucket` kept as
     * the pruning surface — the SQL-registration view behind
     * [[StoreCatalog.registerQueryStore]]. */
@@ -451,6 +479,10 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("__tf"))
       .localCheckpoint(true)
+    // a throw between the pin and the return (clause read, store
+    // drift) must not strand the pin until the global sweep — release
+    // on failure, keep the caller-release contract on success
+    try {
     // the serve's ONE doc-keyed exchange, re-declared over the pin (the
     // checkpointed RDD reports UnknownPartitioning); the dl window, the
     // enrichment joins' streamed side and the (query, doc) aggregate
@@ -494,5 +526,8 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     gateFired(pairs, minShould)
       .select(col("query_id"), col("doc_id"), col("n_should"),
         round(col("__score").cast(DoubleType), 6).as("score"))
+    } catch {
+      case t: Throwable => graft.util.Pins.release(tf); throw t
+    }
   }
 }
