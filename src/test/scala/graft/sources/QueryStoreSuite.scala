@@ -252,4 +252,36 @@ class QueryStoreSuite extends AnyFunSuite {
     assert(dirs == Seq(wantBucket),
       s"exactly the term's bucket directory should be read, got $dirs")
   }
+
+  test("snapshot: byte-faithful copy, pending tombstones travel, sides independent, debris retried") {
+    val dir = Files.createTempDirectory("graft_qstore_snap").toString
+    val qs = new QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    def fired(s: QueryStore) = rows(s.percolate(docs, "doc_id", col("text")))
+    val want = fired(qs)
+    qs.snapshot(s"$dir/a")
+    val a = new QueryStore(spark, s"$dir/a", buckets = 8)
+    assert(fired(a) === want, "snapshot must percolate exactly like the source")
+    // tombstone on the copy: source untouched; a SECOND snapshot of the
+    // copy carries the pending tombstone state faithfully
+    a.delete(Seq("alert1").toDF("query_id"))
+    assert(fired(qs) === want, "source must not see the copy's delete")
+    a.snapshot(s"$dir/b")
+    val b = new QueryStore(spark, s"$dir/b", buckets = 8)
+    assert(fired(b) === fired(a), "pending tombstones must travel")
+    b.vacuum()
+    assert(fired(b) === fired(a), "vacuum on the copy keeps answers")
+    assert(!fired(b).exists(_._1 == "alert1"))
+    // target-exists is a refusal, not an overwrite
+    intercept[IllegalArgumentException](qs.snapshot(s"$dir/a"))
+    // crash protocol: hidden staging debris never blocks a clean retry
+    val stale = new java.io.File(s"$dir/.c.snapstaging/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    qs.snapshot(s"$dir/c")
+    assert(fired(new QueryStore(spark, s"$dir/c", buckets = 8)) === want,
+      "retry over staging debris must produce a clean snapshot")
+    assert(!new java.io.File(s"$dir/.c.snapstaging").exists(),
+      "staging renames away, leaving no hidden debris")
+  }
 }
