@@ -2084,6 +2084,94 @@ object SparkEntry {
       bx.vacuum()
       bx.bm25(Seq("sort", "merge", "spark"), k = 20)
     }),
+    "q325_ivf_snapshot" -> ((s, d) => {
+      // X283 IVF snapshot/restore (q290's chain on the VECTOR layout —
+      // the store behind the flagship funnel): snapshot the shared
+      // index, delete a seventh of the corpus in the copy (the
+      // assignment sidecar must have traveled for the discovery to
+      // land), snapshot AGAIN (pending layout state must travel), and
+      // serve the q153 search from the second copy — the oracle is the
+      // IVF search over the surviving corpus, so a snapshot chain that
+      // corrupted lists, centroids or sidecars answers wrong
+      val embs = t(s, d, "embeddings")
+      val query = embs.filter(col("vec_id") === 5).head()
+      val qv = query.getSeq[Float](query.fieldIndex("embedding")).toArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_snap").toString
+      sharedIvfIndex(s, d).snapshot(s"$dir/a")
+      val a = new graft.sources.IvfIndex(s, s"$dir/a")
+      a.delete(embs.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id")))
+      a.snapshot(s"$dir/b")
+      new graft.sources.IvfIndex(s, s"$dir/b")
+        .search(qv, k = 10, nprobe = 2)
+        .select(col("id").as("vec_id"), col("cosine"))
+        .orderBy(col("vec_id"))
+    }),
+    "q326_qstore_snapshot" -> ((s, d) => {
+      // X283 QueryStore snapshot/restore: q269's EXACT lifecycle walk,
+      // but the clone goes through the snapshot surface instead of a
+      // raw tree copy — append, unsubscribe, maintain policy and the
+      // final percolation all run on the RESTORED store, under q269's
+      // oracle verbatim (a snapshot is byte-faithful, so the restored
+      // store must answer the identical walk identically)
+      val dir = java.nio.file.Files.createTempDirectory("graft_qs_snap").toString
+      sharedQueryStore(s, d).snapshot(s"$dir/qs")
+      val qs = new graft.sources.QueryStore(s, s"$dir/qs")
+      val vocab = rankedVocab(s, d).localCheckpoint(true)
+      try {
+        qs.append(appendedClausesFrom(s, vocab, vocab.count().toInt))
+      } finally graft.util.Pins.release(vocab)
+      qs.delete(s.range(0, 10000).filter(col("id") % 20 === 0)
+        .select(concat(lit("q"), col("id").cast(IntegerType)).as("query_id")))
+      val acted = qs.maintain(maxFilesPerBucket = 1, maxTombstoneFrac = 0.01)
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      require(acted == Map("vacuum" -> true, "compact" -> true),
+        s"maintain policy missed a crossed threshold: $acted")
+      val batch = t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+      qs.percolate(batch, "doc_id", col("text"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+    "q327_sampler" -> ((s, d) => {
+      // X284 ES sampler agg: bound the child agg to a deterministic
+      // top-40 sample (longest docs, ties by id) — the lang mix of the
+      // SAMPLE, not the corpus, is the answer
+      Curation.samplerAgg(t(s, d, "documents"), 40,
+          col("n_chars").desc, col("doc_id").asc)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+    "q328_diversified_sampler" -> ((s, d) => {
+      // X284 ES diversified_sampler: same sample discipline, but no
+      // source may contribute more than 2 docs — the per-key cap cuts
+      // BEFORE the global heap (the ES order), so the child agg sees a
+      // de-biased sample; both cuts bite at every SF by construction
+      Curation.diversifiedSampler(t(s, d, "documents"), col("source"),
+          maxDocsPerValue = 2, shardSize = 25,
+          col("n_chars").desc, col("doc_id").asc)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q329_multi_terms" -> ((s, d) => {
+      // X285 ES multi_terms: composite (lang, source) buckets as the
+      // |-joined key string, top-8 by (count desc, key asc) plus the
+      // __sum_other__ honesty row — q295's discipline on a tuple key
+      CorpusStats.multiTermsAgg(t(s, d, "documents"),
+          Seq(col("lang"), col("source")), size = 8)
+        .orderBy(col("doc_count").desc, col("key"))
+    }),
+    "q330_categorize_text" -> ((s, d) => {
+      // X286 categorize_text log-template clustering: log-like lines
+      // derived from the real table (id/size volatile, lang/src shape)
+      // collapse to one template per lang under digit masking; count +
+      // lexicographically-smallest example per template
+      val logs = t(s, d, "documents").select(concat(
+        lit("evt id="), col("doc_id"), lit(" lang="), col("lang"),
+        lit(" src="), col("source"), lit(" bytes="), col("n_chars"))
+        .as("line"))
+      TextAnalysis.categorizeText(logs, col("line"))
+        .orderBy(col("template"))
+    }),
     "q291_regexp" -> ((s, d) => {
       // X249 regexp query (ES regexp, implicitly anchored): 'mer.*'
       // expands from the pruned tprefix census partition capped at 4
@@ -4661,6 +4749,58 @@ object SparkEntry {
     * vec_id 5, nprobe 2, k 10) — shared by q153 (fresh build) and
     * q167 (build+append): the index layout is pure I/O, so both
     * produce the identical result set. */
+  /** The q269 lifecycle oracle — the q256 generated-store chain with
+    * the lifecycle applied in SQL (every 20th stored query deleted,
+    * the 100 appended single-must alerts unioned in), percolated over
+    * the SURVIVING clause table. Shared verbatim by q326: a snapshot
+    * is byte-faithful, so the restored store must answer the exact
+    * same walk identically. */
+  private lazy val qstoreLifecycleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          p AS (SELECT DISTINCT doc_id, u.t AS term
+            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
+          v AS (SELECT term,
+              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+            FROM p GROUP BY term),
+          n AS (SELECT COUNT(*) AS v FROM v),
+          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
+          picks AS (
+            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
+              (i % v) + 1 AS rn FROM g, n
+            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
+            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
+          cl0 AS (SELECT query_id, v.term, clause, pr
+            FROM picks JOIN v USING (rn)),
+          clq AS (SELECT query_id, term, clause FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
+                ORDER BY pr) AS rk FROM cl0)
+            WHERE rk = 1),
+          del AS (SELECT 'q' || i AS query_id
+            FROM generate_series(0, 9999) AS s2(i) WHERE i % 20 = 0),
+          app AS (SELECT 'a' || s3.i AS query_id, v.term, 'must' AS clause
+            FROM generate_series(0, 99) AS s3(i) CROSS JOIN n
+            JOIN v ON v.rn = ((s3.i * 3 + 1) % n.v) + 1),
+          cl AS (SELECT * FROM clq
+              WHERE query_id NOT IN (SELECT query_id FROM del)
+            UNION ALL SELECT * FROM app),
+          b AS (SELECT doc_id, term FROM p WHERE doc_id % 20 = 0),
+          j AS (SELECT cl.query_id, b.doc_id, cl.clause
+            FROM cl JOIN b USING (term)),
+          agg AS (SELECT query_id, doc_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
+              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
+            FROM j GROUP BY 1, 2),
+          tot AS (SELECT query_id,
+              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
+              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
+            FROM cl GROUP BY 1)
+          SELECT agg.query_id, agg.doc_id, CAST(agg.n_should AS BIGINT) AS n_should
+          FROM agg JOIN tot USING (query_id)
+          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
+          ORDER BY query_id, doc_id"""
+
   private lazy val ivfSearchSql: String = ivfSearchSqlOver("embeddings")
 
   /** Full-corpus IVF×PQ ADC search (coarse = vec_id<4, codebooks seeded
@@ -5966,51 +6106,7 @@ object SparkEntry {
     // lifecycle applied in SQL — every 20th stored query deleted, the
     // 100 appended single-must alerts unioned in — then the same
     // percolation over the SURVIVING clause table
-    "q269_qstore_lifecycle" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
-          p AS (SELECT DISTINCT doc_id, u.t AS term
-            FROM t, UNNEST(tk) AS u(t) WHERE u.t <> ''),
-          v AS (SELECT term,
-              ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
-            FROM p GROUP BY term),
-          n AS (SELECT COUNT(*) AS v FROM v),
-          g AS (SELECT i FROM generate_series(0, 9999) AS s(i)),
-          picks AS (
-            SELECT 'q' || i AS query_id, 0 AS pr, 'must' AS clause,
-              (i % v) + 1 AS rn FROM g, n
-            UNION ALL SELECT 'q' || i, 1, 'should', ((i*7+3) % v) + 1 FROM g, n
-            UNION ALL SELECT 'q' || i, 2, 'should', ((i*13+5) % v) + 1 FROM g, n
-            UNION ALL SELECT 'q' || i, 3, 'must_not', ((i*31+11) % v) + 1 FROM g, n),
-          cl0 AS (SELECT query_id, v.term, clause, pr
-            FROM picks JOIN v USING (rn)),
-          clq AS (SELECT query_id, term, clause FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, term
-                ORDER BY pr) AS rk FROM cl0)
-            WHERE rk = 1),
-          del AS (SELECT 'q' || i AS query_id
-            FROM generate_series(0, 9999) AS s2(i) WHERE i % 20 = 0),
-          app AS (SELECT 'a' || s3.i AS query_id, v.term, 'must' AS clause
-            FROM generate_series(0, 99) AS s3(i) CROSS JOIN n
-            JOIN v ON v.rn = ((s3.i * 3 + 1) % n.v) + 1),
-          cl AS (SELECT * FROM clq
-              WHERE query_id NOT IN (SELECT query_id FROM del)
-            UNION ALL SELECT * FROM app),
-          b AS (SELECT doc_id, term FROM p WHERE doc_id % 20 = 0),
-          j AS (SELECT cl.query_id, b.doc_id, cl.clause
-            FROM cl JOIN b USING (term)),
-          agg AS (SELECT query_id, doc_id,
-              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS n_must,
-              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS n_should,
-              COUNT(CASE WHEN clause = 'must_not' THEN 1 END) AS n_not
-            FROM j GROUP BY 1, 2),
-          tot AS (SELECT query_id,
-              COUNT(CASE WHEN clause = 'must' THEN 1 END) AS m,
-              COUNT(CASE WHEN clause = 'should' THEN 1 END) AS s
-            FROM cl GROUP BY 1)
-          SELECT agg.query_id, agg.doc_id, CAST(agg.n_should AS BIGINT) AS n_should
-          FROM agg JOIN tot USING (query_id)
-          WHERE n_must = m AND n_not = 0 AND (s = 0 OR n_should >= least(1, s))
-          ORDER BY query_id, doc_id""",
+    "q269_qstore_lifecycle" -> qstoreLifecycleSql,
     "q252_percolate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents
             WHERE doc_id % 10 = 0),
@@ -7027,6 +7123,47 @@ object SparkEntry {
             (SELECT * FROM top
              UNION ALL SELECT * FROM oth WHERE doc_count IS NOT NULL)
           ORDER BY doc_count DESC, key""",
+    // X284: the sampler cut is a plain ORDER BY/LIMIT under the same
+    // total order; the child agg runs over the sample CTE
+    "q327_sampler" ->
+      """WITH smp AS (SELECT * FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 40)
+          SELECT lang, COUNT(*) AS n FROM smp GROUP BY lang ORDER BY lang""",
+    // X284: per-source row_number cap BEFORE the global heap — the ES
+    // diversified order, mirrored step for step
+    "q328_diversified_sampler" ->
+      """WITH capped AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents),
+          smp AS (SELECT * FROM capped WHERE rn <= 2
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 25)
+          SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM smp GROUP BY lang ORDER BY lang""",
+    // X285: q295's top+other discipline over the |-joined tuple key
+    "q329_multi_terms" ->
+      """WITH c AS (SELECT lang || '|' || source AS key, COUNT(*) AS doc_count
+            FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1),
+          top AS (SELECT * FROM c ORDER BY doc_count DESC, key LIMIT 8),
+          oth AS (SELECT '__sum_other__' AS key,
+              CAST(SUM(doc_count) AS BIGINT) AS doc_count
+            FROM c WHERE key NOT IN (SELECT key FROM top))
+          SELECT key, doc_count FROM
+            (SELECT * FROM top
+             UNION ALL SELECT * FROM oth WHERE doc_count IS NOT NULL)
+          ORDER BY doc_count DESC, key""",
+    // X286: the pinned skeleton chain (NFC, lower, trim, digit-mask to
+    // <n>, whitespace collapse, trim) mirrored step for step
+    "q330_categorize_text" ->
+      """WITH lg AS (SELECT 'evt id=' || doc_id || ' lang=' || lang ||
+              ' src=' || source || ' bytes=' || n_chars AS line
+            FROM documents),
+          t AS (SELECT trim(regexp_replace(regexp_replace(
+              lower(trim(nfc_normalize(line))), '[0-9]+', '<n>', 'g'),
+              '[ \t\n\x0B\f\r]+', ' ', 'g')) AS template, line FROM lg)
+          SELECT template, COUNT(*) AS doc_count, MIN(line) AS example
+          FROM t WHERE template IS NOT NULL AND template <> ''
+          GROUP BY template ORDER BY template""",
     // X254: conditional counts per range — overlap double-counts, the
     // empty range still emits, nulls match nothing
     "q296_range_agg" ->
@@ -7978,6 +8115,11 @@ object SparkEntry {
     "q167_ivf_append" -> ivfSearchSql,
     "q174_ivf_delete" ->
       ivfSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+    // the snapshot chain serves over the copy's surviving corpus; the
+    // centroids/query stay frozen external parameters from the source
+    "q325_ivf_snapshot" ->
+      ivfSearchSqlOver("(SELECT * FROM embeddings WHERE vec_id % 7 <> 0)"),
+    "q326_qstore_snapshot" -> qstoreLifecycleSql,
     "q59_ivf_topk" ->
       """WITH cents AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 4),
          q AS (SELECT embedding AS qv,

@@ -79,6 +79,46 @@ object Curation {
       .filter(col("rn") <= n)
   }
 
+  /** Bounded deterministic sample (the ES `sampler` aggregation):
+    * the top `shardSize` rows under `order` — child aggregations then
+    * run over this sample instead of the full corpus (ES built it to
+    * bound expensive sub-aggs like significant_terms; it is equally a
+    * curation primitive — bounded exploration of a corpus slice
+    * before committing to a full pass). ES samples per shard by score;
+    * a deterministic, oracle-gated engine samples by an explicit TOTAL
+    * order — end it in a unique id, the [[capPerKey]] rule, or reruns
+    * keep a different subset. Plans as ONE TakeOrderedAndProject heap
+    * (each task keeps `shardSize` rows, the driver merges) — never a
+    * global sort of the corpus. */
+  def samplerAgg(df: DataFrame, shardSize: Int, order: Column*): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    require(order.nonEmpty, "samplerAgg needs at least one order column")
+    df.orderBy(order: _*).limit(shardSize)
+  }
+
+  /** Diversified bounded sample (the ES `diversified_sampler` agg):
+    * [[samplerAgg]] with a per-`field` cap — at most `maxDocsPerValue`
+    * rows per field value may enter the sample, so one dominant key (a
+    * crawl domain, a boilerplate template, a language) cannot
+    * monopolize the exploration budget — ES's de-bias knob, and
+    * exactly the dedup-by-field bounded sampling a curation pass wants.
+    * Composition, per the ES semantics (the per-key cut happens BEFORE
+    * the size cut): [[capPerKey]]'s window-limited per-key top
+    * `maxDocsPerValue` (one shuffle on the field, the WindowGroupLimit
+    * push keeps per-task state at n rows per key), then the
+    * [[samplerAgg]] heap over the survivors. `order` must be a total
+    * order; it drives BOTH cuts, as in ES (one `max_docs_per_value`,
+    * one score). */
+  def diversifiedSampler(df: DataFrame, field: Column, maxDocsPerValue: Int,
+      shardSize: Int, order: Column*): DataFrame = {
+    require(maxDocsPerValue > 0,
+      s"maxDocsPerValue must be positive, got $maxDocsPerValue")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    require(order.nonEmpty, "diversifiedSampler needs at least one order column")
+    capPerKey(df, field, maxDocsPerValue, order: _*).drop("rn")
+      .orderBy(order: _*).limit(shardSize)
+  }
+
   /** Balance a keyed corpus to a uniform mixture: compute per-key
     * sampling rates so every key contributes ~the same total `size` mass
     * as the SMALLEST key, then hash-gate rows at those rates

@@ -536,4 +536,26 @@ class CorpusStatsSuite extends AnyFunSuite {
     assert(cut.getDouble(2) == base.getDouble(2),
       "tail terms beyond topN must not move the slope")
   }
+
+  test("multiTermsAgg: tuple buckets, null-component skip, sum_other honesty (X285)") {
+    val df = Seq(
+      (Some("en"), Some("a")), (Some("en"), Some("a")), (Some("en"), Some("a")),
+      (Some("en"), Some("b")), (Some("en"), Some("b")),
+      (Some("de"), Some("a")),
+      (None, Some("a")), (Some("zh"), None)) // missing a component: skipped
+      .toDF("lang", "src")
+    val got = CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 2)
+      .orderBy(col("doc_count").desc, col("key"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("en|a", 3L), ("en|b", 2L), ("__sum_other__", 1L)),
+      "top-2 tuples plus the dropped mass; null-component docs never bucket")
+    // no other-mass -> no sentinel row (the X253 convention carries over)
+    val all = CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(!all.contains("__sum_other__"))
+    intercept[IllegalArgumentException](
+      CorpusStats.multiTermsAgg(df, Seq(col("lang")), 2))
+    intercept[IllegalArgumentException](
+      CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 0))
+  }
 }

@@ -796,4 +796,43 @@ class CurationSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curation.uniMaxPlan(docs, col("src"), col("toks"), 100L, 0))
   }
+
+  test("samplerAgg: deterministic top-n cut; over-ask returns everything (X284)") {
+    val df = Seq(("a", 5), ("b", 9), ("c", 7), ("d", 1)).toDF("k", "v")
+    val got = Curation.samplerAgg(df, 2, $"v".desc, $"k".asc)
+      .as[(String, Int)].collect().toSeq
+    assert(got === Seq(("b", 9), ("c", 7)), "top-2 under the stated order")
+    assert(Curation.samplerAgg(df, 10, $"v".desc, $"k".asc).count() === 4,
+      "a budget above the corpus keeps every row")
+    intercept[IllegalArgumentException](Curation.samplerAgg(df, 0, $"v"))
+    intercept[IllegalArgumentException](Curation.samplerAgg(df, 2))
+  }
+
+  test("diversifiedSampler: per-key cap cuts BEFORE the heap — a dominant key cannot fill the budget (X284)") {
+    // key 'a' holds the 4 best rows; plain sampler would take 3 of them
+    val df = Seq(("a", 10), ("a", 9), ("a", 8), ("a", 7),
+      ("b", 6), ("c", 5)).toDF("k", "v")
+    val plain = Curation.samplerAgg(df, 3, $"v".desc, $"k".asc)
+      .as[(String, Int)].collect().toSeq
+    assert(plain === Seq(("a", 10), ("a", 9), ("a", 8)))
+    val div = Curation.diversifiedSampler(df, $"k", maxDocsPerValue = 1,
+        shardSize = 3, $"v".desc, $"k".asc)
+      .as[(String, Int)].collect().toSeq
+    assert(div === Seq(("a", 10), ("b", 6), ("c", 5)),
+      "each key contributes its single best row, heap over the survivors")
+    // cap 2: 'a' gets two slots, then the best of the rest
+    val div2 = Curation.diversifiedSampler(df, $"k", maxDocsPerValue = 2,
+        shardSize = 3, $"v".desc, $"k".asc)
+      .as[(String, Int)].collect().toSeq
+    assert(div2 === Seq(("a", 10), ("a", 9), ("b", 6)))
+    // the helper column never leaks into the output schema
+    assert(!Curation.diversifiedSampler(df, $"k", 1, 3, $"v".desc)
+      .columns.contains("rn"))
+    intercept[IllegalArgumentException](
+      Curation.diversifiedSampler(df, $"k", 0, 3, $"v"))
+    intercept[IllegalArgumentException](
+      Curation.diversifiedSampler(df, $"k", 1, 0, $"v"))
+    intercept[IllegalArgumentException](
+      Curation.diversifiedSampler(df, $"k", 1, 3))
+  }
 }

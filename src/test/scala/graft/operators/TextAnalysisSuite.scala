@@ -1276,4 +1276,32 @@ class TextAnalysisSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.bm25fTopK(
       docs, "doc_id", col("text"), 4, Seq("x", "x"), 10))
   }
+
+  test("categorizeText: digit-variant lines cluster, punctuation splits, example deterministic (X286)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val logs = Seq(
+      "GET /api/user/1234 took 56ms",
+      "GET /api/user/99 took 7ms",
+      "GET /api/user/7   took 81ms", // extra whitespace collapses
+      "GET /api/user=55 took 3ms",   // '=' vs '/' is structure: new template
+      "Cache miss",
+      "CACHE MISS",                  // case folds into the same template
+      "12345",                       // masks to '<n>' — still a template
+      " \t ")                        // empty after masking: drops
+      .toDF("line")
+    val got = TextAnalysis.categorizeText(logs, col("line"))
+      .orderBy(col("template"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("<n>", 1L, "12345"),
+      ("cache miss", 2L, "CACHE MISS"),
+      ("get /api/user/<n> took <n>ms", 3L, "GET /api/user/1234 took 56ms"),
+      ("get /api/user=<n> took <n>ms", 1L, "GET /api/user=55 took 3ms")))
+    // NFC: composed and decomposed 'café' land in one template
+    val nfcLogs = Seq("cafe\u0301 opened 5", "caf\u00e9 opened 77").toDF("line")
+    val one = TextAnalysis.categorizeText(nfcLogs, col("line")).collect()
+    assert(one.length === 1 && one.head.getLong(1) === 2L,
+      "NFC must unify composed/decomposed forms before templating")
+  }
 }
