@@ -1185,6 +1185,21 @@ object SparkEntry {
       idx.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
       idx.maintainDerived(maxStaleFrac = 0.1)
     }),
+    "q331_derived_delta" -> ((s, d) => {
+      // X287 the q277 attribution split: the same artifact set, but the
+      // drift is one SMALL append (1/20 of the corpus), so every acted
+      // row runs its O(delta-files) mechanism — forward/fielded
+      // delta-apply, blockmax adopt — never a corpus rebuild; the
+      // verbose decision record pins the CHOSEN mode per artifact and
+      // the oracle recomputes both the drift arithmetic and the modes
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ddelta").toString
+      val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
+      idx.build(docs.filter(col("doc_id") % 20 =!= 0), "doc_id", col("text"))
+      idx.buildForward(); idx.buildFielded(8); idx.buildBlockMax()
+      idx.append(docs.filter(col("doc_id") % 20 === 0), "doc_id", col("text"))
+      idx.maintainDerivedVerbose(maxStaleFrac = 0.02)
+    }),
     "q276_phrase_suggest" -> ((s, d) => {
       // X234 phrase suggester (ES phrase suggester = direct generator
       // + LM rerank): per-slot fuzzy corrections from the census
@@ -2171,6 +2186,43 @@ object SparkEntry {
         .as("line"))
       TextAnalysis.categorizeText(logs, col("line"))
         .orderBy(col("template"))
+    }),
+    "q332_unigram_lm" -> ((s, d) => {
+      // X288 unigram-LM tokenizer learning (Kudo 1804.10959, hard-EM):
+      // the full trace — iter 0 = the seed substring census cut, iter k
+      // = the vocabulary after EM round k (Viterbi recount, multi-char
+      // prune, char smoothing) — q173's artifact-trace convention for
+      // the OTHER tokenizer family
+      TextAnalysis.unigramLearn(t(s, d, "documents"), "doc_id",
+          col("text"), seedSize = 50, numIters = 2, maxPieceLen = 4)
+        .orderBy(col("iter"), col("piece"))
+    }),
+    "q333_unigram_fertility" -> ((s, d) => {
+      // X288 the application path (q179's convention): segment every
+      // distinct corpus word under the FINAL learned model and grade
+      // the tokenizer with X149's fertility metrics — the number a
+      // vocab comparison against the BPE curve actually reads
+      val docs = t(s, d, "documents")
+      val trace = TextAnalysis.unigramLearn(docs, "doc_id", col("text"),
+        seedSize = 50, numIters = 2, maxPieceLen = 4)
+      val fin = trace.filter(col("iter") === 2)
+        .select(col("piece"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      val tot = fin.map(_._2).sum.toDouble
+      val model = fin.map { case (p, c) => (p, -math.log(c / tot)) }
+      val words = TextAnalysis.postings(docs, "doc_id", col("text"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      TextAnalysis.unigramSegmented(words, col("term"), model, 4)
+        .agg(sum(col("freq")).cast(LongType).as("n_words"),
+          sum(col("freq") * size(col("pieces"))).cast(LongType)
+            .as("total_tokens"),
+          sum(col("freq") * length(col("term"))).cast(LongType)
+            .as("__chars"))
+        .select(col("n_words"), col("total_tokens"),
+          round(col("total_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType), 6).as("avg_tokens_per_word"),
+          round(col("__chars").cast(DoubleType) /
+            col("total_tokens").cast(DoubleType), 6).as("avg_chars_per_token"))
     }),
     "q291_regexp" -> ((s, d) => {
       // X249 regexp query (ES regexp, implicitly anchored): 'mer.*'
@@ -4719,6 +4771,69 @@ object SparkEntry {
          $iters"""
   }
 
+  /** X288 unigram-LM CTEs shared by the trace oracle (q332) and the
+    * fertility oracle (q333): tok → ≤maxLen substring census → seed cut
+    * (top seedSize ∪ every single char) → per round k a cost map m_k
+    * (−ln cnt/Σcnt), a per-word Viterbi lattice dp_k (nested
+    * list_reduce, first-minimal-split tie-break — the engine's exact
+    * fold), a RECURSIVE backtrace walk_k (a list_reduce whose lambda
+    * references outer row columns miscompiles multi-row in DuckDB
+    * 1.0.0 — verified against the engine and a reference DP; the
+    * recursive CTE walks the same pointers without lambdas), a recount
+    * c_k and the pruned/smoothed sel_{k+1} —
+    * TextAnalysis.unigramLearn mirrored step for step. Emit with
+    * `WITH RECURSIVE`. */
+  private def unigramCtes(seedSize: Int, iters: Int, maxLen: Int): String = {
+    val rounds = (0 until iters).map { k =>
+      s"""m$k AS (SELECT MAP(list(piece ORDER BY piece),
+             list(-ln(CAST(cnt AS DOUBLE) / t.tot) ORDER BY piece)) AS cm
+           FROM sel$k, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM sel$k) t
+           GROUP BY t.tot),
+         dp$k AS (SELECT term, freq, list_reduce(
+             [[{'c': CAST(0 AS DOUBLE), 'bp': -1}]] ||
+             list_transform(range(1, len(term)+1),
+               i -> [{'c': CAST(0 AS DOUBLE), 'bp': CAST(i AS INT)}]),
+             (acc, x) -> list_append(acc, list_reduce(
+               [{'c': 1e18, 'bp': -1}] ||
+               list_transform(range(greatest(0, x[1].bp - $maxLen), x[1].bp),
+                 j -> {'c': CASE WHEN acc[CAST(j+1 AS INT)].c >= 1e18 THEN 1e18
+                         ELSE coalesce(acc[CAST(j+1 AS INT)].c +
+                           cm[substr(term, CAST(j+1 AS INT),
+                             CAST(x[1].bp - j AS INT))][1], 1e18) END,
+                       'bp': CAST(j AS INT)}),
+               (b, y) -> CASE WHEN y.c < b.c THEN y ELSE b END))) AS dp
+           FROM tok, m$k),
+         walk$k AS (
+           SELECT term, freq, dp, CAST(len(term) AS INT) AS pos FROM dp$k
+           UNION ALL
+           SELECT term, freq, dp, dp[pos + 1].bp AS pos
+           FROM walk$k WHERE pos > 0),
+         c$k AS (SELECT substr(term, CAST(dp[pos + 1].bp + 1 AS INT),
+               CAST(pos - dp[pos + 1].bp AS INT)) AS piece,
+             SUM(freq) AS vcnt
+           FROM walk$k WHERE pos > 0 GROUP BY 1),
+         sel${k + 1} AS (SELECT s.piece,
+             CASE WHEN len(s.piece) = 1 THEN coalesce(c.vcnt, 0) + 1
+               ELSE c.vcnt END AS cnt
+           FROM sel$k s LEFT JOIN c$k c USING (piece)
+           WHERE len(s.piece) = 1 OR coalesce(c.vcnt, 0) > 0)"""
+    }.mkString(",\n         ")
+    s"""tok AS (SELECT t.term, COUNT(*) AS freq
+           FROM (SELECT unnest($toksSql) AS term FROM documents) t
+           WHERE t.term <> '' GROUP BY 1),
+         sub AS (SELECT u.piece, SUM(freq) AS cnt FROM tok,
+           UNNEST(flatten(list_transform(range(1, len(term)+1),
+             s -> list_transform(range(1, least($maxLen, len(term)-s+1)+1),
+               l -> substr(term, CAST(s AS INT), CAST(l AS INT)))))) AS u(piece)
+           GROUP BY 1),
+         sel0 AS (SELECT piece, MAX(cnt) AS cnt FROM (
+             SELECT piece, cnt FROM (SELECT piece, cnt FROM sub
+               ORDER BY cnt DESC, piece LIMIT $seedSize)
+             UNION ALL SELECT piece, cnt FROM sub WHERE len(piece) = 1)
+           GROUP BY piece),
+         $rounds"""
+  }
+
   private def bpeMergesSql(steps: Int): String = {
     val rows = (0 until steps).map(k =>
       s"SELECT ${k + 1} AS step, lhs, rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$k")
@@ -5766,6 +5881,23 @@ object SparkEntry {
             ROUND(ABS(CAST(l.n AS DOUBLE) - CAST(b.n AS DOUBLE))
               / CAST(b.n AS DOUBLE), 6) AS stale_frac,
             CAST(0.1 AS DOUBLE) AS threshold, TRUE AS acted
+          FROM a CROSS JOIN b CROSS JOIN l ORDER BY artifact""",
+    // X287: q277's drift arithmetic at the small-append split, plus
+    // the EXPECTED mechanism per artifact — a rebuild where a delta
+    // apply was due (or vice versa) breaks the hash
+    "q331_derived_delta" ->
+      s"""WITH t AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
+            FROM documents),
+          b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+            WHERE len(tk) > 0 AND doc_id % 20 <> 0),
+          l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+            WHERE len(tk) > 0),
+          a(artifact, mode) AS (VALUES ('forward', 'delta_apply'),
+            ('fielded', 'delta_apply'), ('blockmax', 'adopt'))
+          SELECT a.artifact, b.n AS built_n_docs, l.n AS live_n_docs,
+            ROUND(ABS(CAST(l.n AS DOUBLE) - CAST(b.n AS DOUBLE))
+              / CAST(b.n AS DOUBLE), 6) AS stale_frac,
+            CAST(0.02 AS DOUBLE) AS threshold, TRUE AS acted, a.mode
           FROM a CROSS JOIN b CROSS JOIN l ORDER BY artifact""",
     // X234: candidates generated RELATIONALLY (per-slot fuzzy top-2 +
     // keep-original fallback, cross-multiplied), each 3-token phrase's
@@ -7152,6 +7284,38 @@ object SparkEntry {
             (SELECT * FROM top
              UNION ALL SELECT * FROM oth WHERE doc_count IS NOT NULL)
           ORDER BY doc_count DESC, key""",
+    // X288: the hard-EM trace — seed census cut, then per round the
+    // Viterbi recount / prune / smoothing, every lattice walked with
+    // the engine's exact fold (nested list_reduce, first-minimal ties)
+    "q332_unigram_lm" ->
+      s"""WITH RECURSIVE ${unigramCtes(50, 2, 4)}
+          SELECT * FROM (
+            SELECT 0 AS iter, piece, CAST(cnt AS BIGINT) AS cnt,
+              ROUND(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(SUM(cnt) AS DOUBLE) FROM sel0), 6) AS prob
+            FROM sel0
+            UNION ALL SELECT 1, piece, CAST(cnt AS BIGINT),
+              ROUND(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(SUM(cnt) AS DOUBLE) FROM sel1), 6)
+            FROM sel1
+            UNION ALL SELECT 2, piece, CAST(cnt AS BIGINT),
+              ROUND(CAST(cnt AS DOUBLE) /
+                (SELECT CAST(SUM(cnt) AS DOUBLE) FROM sel2), 6)
+            FROM sel2)
+          ORDER BY iter, piece""",
+    // X288: one more lattice under the FINAL vocabulary (m2/dp2/seg2),
+    // graded with X149's corpus-weighted fertility metrics
+    "q333_unigram_fertility" ->
+      s"""WITH RECURSIVE ${unigramCtes(50, 3, 4)}
+          SELECT CAST(w.n AS BIGINT) AS n_words,
+            CAST(t.n AS BIGINT) AS total_tokens,
+            ROUND(CAST(t.n AS DOUBLE) / CAST(w.n AS DOUBLE), 6)
+              AS avg_tokens_per_word,
+            ROUND(CAST(ch.n AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+              AS avg_chars_per_token
+          FROM (SELECT SUM(freq) AS n FROM tok) w,
+            (SELECT SUM(freq) AS n FROM walk2 WHERE pos > 0) t,
+            (SELECT SUM(freq * len(term)) AS n FROM tok) ch""",
     // X286: the pinned skeleton chain (NFC, lower, trim, digit-mask to
     // <n>, whitespace collapse, trim) mirrored step for step
     "q330_categorize_text" ->

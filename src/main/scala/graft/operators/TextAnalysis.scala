@@ -2079,6 +2079,161 @@ object TextAnalysis {
       .orderBy(col("n_merges"))
   }
 
+  // ---- Unigram-LM tokenizer (Kudo 2018) -----------------------------------
+
+  /** Forward Viterbi lattice for one word under a unigram piece model:
+    * dp[i] = (cost, backpointer) of the cheapest segmentation of the
+    * first i characters, pieces up to `maxPieceLen` chars, cost(piece)
+    * = −ln p(piece) from the literal `model` map (absent piece ⇒ no
+    * edge). Ties break to the SMALLEST split point (ascending-j fold,
+    * strict <) — pinned, because the oracle must walk the identical
+    * path. One expression per row, no state, no exchange. */
+  private def unigramDp(term: Column, model: Seq[(String, Double)],
+      maxPieceLen: Int): Column = {
+    val cm = map_from_arrays(
+      typedLit(model.map(_._1)), typedLit(model.map(_._2)))
+    val inf = lit(1e18)
+    val init = array(struct(lit(0.0).as("c"), lit(-1).as("bp")))
+    aggregate(sequence(lit(1), length(term)), init, (acc, i) => {
+      val cands = transform(
+        sequence(greatest(lit(0), i - lit(maxPieceLen)), i - lit(1)), j => {
+          val prev = element_at(acc, j + lit(1)).getField("c")
+          val pc = element_at(cm, term.substr(j + lit(1), i - j))
+          struct(
+            when(pc.isNull || prev >= inf, inf).otherwise(prev + pc).as("c"),
+            j.cast(IntegerType).as("bp"))
+        })
+      concat(acc, array(aggregate(cands,
+        struct(inf.as("c"), lit(-1).as("bp")),
+        (b, x) => when(x.getField("c") < b.getField("c"), x).otherwise(b))))
+    })
+  }
+
+  /** Segment `term` into unigram pieces by backtracing a [[unigramDp]]
+    * lattice column — appended as array column `out`; null when the
+    * lattice is unreachable (cannot happen while every character is in
+    * the model, the [[unigramLearn]] coverage invariant). The lattice
+    * materializes as its own column so the DP evaluates once per row,
+    * not once per backtrace step. */
+  def unigramSegmented(df: DataFrame, term: Column,
+      model: Seq[(String, Double)], maxPieceLen: Int,
+      out: String = "pieces"): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1,16], got $maxPieceLen")
+    require(model.map(_._1).distinct.size == model.size,
+      "duplicate piece in the model")
+    val inf = lit(1e18)
+    val dp = col("__uni_dp")
+    val L = length(term)
+    val walk = aggregate(sequence(lit(1), L),
+      struct(L.cast(IntegerType).as("pos"),
+        typedLit(Seq.empty[String]).as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val j = element_at(dp, pos + lit(1)).getField("bp")
+        when(pos <= lit(0), st).otherwise(struct(
+          j.as("pos"),
+          concat(array(term.substr(j + lit(1), pos - j)),
+            st.getField("ps")).as("ps")))
+      })
+    df.withColumn("__uni_dp", unigramDp(term, model, maxPieceLen))
+      .withColumn(out,
+        when(element_at(dp, L + lit(1)).getField("c") >= inf,
+          lit(null).cast(ArrayType(StringType)))
+          .otherwise(walk.getField("ps")))
+      .drop("__uni_dp")
+  }
+
+  /** Unigram-LM tokenizer learning (Kudo, arXiv:1804.10959 — the
+    * SentencePiece unigram model, the OTHER tokenizer family a
+    * training pipeline compares against BPE before fixing a vocab),
+    * in its deterministic hard-EM (Viterbi-EM) form so every
+    * intermediate is oracle-checkable — the same determinism trade
+    * [[bpeMerges]] makes with its lexical tie-break:
+    *
+    *  1. SEED: the census of all ≤ `maxPieceLen`-char substrings of
+    *     the corpus words (occurrence-weighted), cut to the top
+    *     `seedSize` by (count desc, piece asc) PLUS every single
+    *     character — the coverage floor that keeps every word
+    *     segmentable forever.
+    *  2. EM × `numIters`: Viterbi-segment every distinct word under
+    *     cost −ln p (ties to the smallest split point), recount pieces
+    *     along the best paths (word-frequency-weighted), re-estimate
+    *     p = cnt/Σcnt. Multi-char pieces that won zero occurrences
+    *     PRUNE (Kudo's vocabulary shrinking, hard-EM form); single
+    *     chars never prune and carry add-one smoothing (the coverage
+    *     floor again — full EM keeps them alive via soft counts, a
+    *     hard-EM engine needs the explicit rule, stated).
+    *
+    * Emits the full TRACE (iter, piece, cnt, prob): iter 0 = the seed
+    * census, iter k = the vocabulary after EM round k — the artifact
+    * a tokenizer build audits, the [[bpeMerges]] trace convention.
+    *
+    * Scale shape — the X128 iteration discipline: ONE corpus pass
+    * builds the (word, freq) vocabulary (pinned); every EM round is a
+    * vocab-sized job (the Viterbi is a per-row expression over
+    * distinct words, the recount one map-side-combined aggregate);
+    * the model travels as a bounded literal map (seedSize ≤ 4096 —
+    * the merge-table class) and the per-round collect is vocab-sized,
+    * never corpus-sized. */
+  def unigramLearn(docs: DataFrame, idCol: String, text: Column,
+      seedSize: Int, numIters: Int, maxPieceLen: Int = 4): DataFrame = {
+    require(seedSize >= 1 && seedSize <= 4096,
+      s"seedSize must be in [1,4096], got $seedSize")
+    require(numIters >= 0 && numIters <= 8,
+      s"numIters must be in [0,8], got $numIters")
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [1,16], got $maxPieceLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = postings(docs, idCol, text)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    try {
+      val sub = flatten(transform(sequence(lit(1), length(col("term"))), s =>
+        transform(
+          sequence(lit(1),
+            least(lit(maxPieceLen), length(col("term")) - s + lit(1))),
+          l => col("term").substr(s, l))))
+      val census = words.select(col("freq"), explode(sub).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .localCheckpoint(true) // two consumers: the top cut + the chars
+      var vocab: Seq[(String, Long)] =
+        try {
+          census.orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+            .unionAll(census.filter(length(col("piece")) === 1))
+            .dropDuplicates("piece")
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+            .sortBy(_._1)
+        } finally graft.util.Pins.release(census)
+      val trace =
+        scala.collection.mutable.ListBuffer[(Int, String, Long, Double)]()
+      def snap(iter: Int): Unit = {
+        val tot = vocab.map(_._2).sum.toDouble
+        vocab.foreach { case (p, c) => trace += ((iter, p, c, c / tot)) }
+      }
+      snap(0)
+      for (k <- 1 to numIters if vocab.nonEmpty) {
+        val tot = vocab.map(_._2).sum.toDouble
+        val model = vocab.map { case (p, c) => (p, -math.log(c / tot)) }
+        val counts =
+          unigramSegmented(words, col("term"), model, maxPieceLen)
+            .select(col("freq"), explode(col("pieces")).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        vocab = vocab.flatMap { case (p, _) =>
+          val c = counts.getOrElse(p, 0L)
+          if (p.length == 1) Some((p, c + 1L))
+          else if (c > 0L) Some((p, c)) else None
+        }
+        snap(k)
+      }
+      trace.toSeq.toDF("iter", "piece", "cnt", "prob")
+        .select(col("iter"), col("piece"), col("cnt"),
+          round(col("prob"), 6).as("prob"))
+    } finally graft.util.Pins.release(words)
+  }
+
   // ---- URL normalization ------------------------------------------------
 
   /** Multi-label public suffixes the registrable-domain cut recognizes —

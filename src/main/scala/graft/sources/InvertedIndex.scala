@@ -884,8 +884,21 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * them is the caller's choice — fielded needs a headLen). Returns
     * the decision record: (artifact, built_n_docs, live_n_docs,
     * stale_frac, threshold, acted); built_n_docs = −1 marks an absent
-    * artifact. */
-  def maintainDerived(maxStaleFrac: Double = 0.1): DataFrame = {
+    * artifact. [[maintainDerivedVerbose]] adds the HOW — which
+    * mechanism each acted row actually ran. */
+  def maintainDerived(maxStaleFrac: Double = 0.1): DataFrame =
+    maintainDerivedVerbose(maxStaleFrac).drop("mode")
+
+  /** [[maintainDerived]] plus a `mode` column naming the mechanism the
+    * policy chose per artifact — the attribution a cost audit needs
+    * (an acted row that delta-applied costs O(delta-files) metadata
+    * moves; one that rebuilt re-scanned the corpus; the record should
+    * say which): `delta_apply` (pending append deltas provably covered
+    * the drift — forward/fielded), `adopt` (block-max file-grain rows
+    * already exact for every live file — meta refresh only),
+    * `rebuild` (full recompute), `none` (below threshold, no action),
+    * `absent` (artifact missing, never created). */
+  def maintainDerivedVerbose(maxStaleFrac: Double = 0.1): DataFrame = {
     require(maxStaleFrac > 0.0,
       s"maxStaleFrac must be > 0, got $maxStaleFrac")
     recover()
@@ -901,22 +914,22 @@ final class InvertedIndex(spark: SparkSession, path: String,
       ("blockmax", blockmaxPath, () => maintainBlockMax()))
     val rows = plan.map { case (name, p, rebuild) =>
       if (!fs.exists(new Path(p)))
-        (name, -1L, live, 0.0, maxStaleFrac, false)
+        (name, -1L, live, 0.0, maxStaleFrac, false, "absent")
       else {
         val built = builtCount(name)
         val frac =
           if (built == 0L) 1.0
           else math.abs(live - built).toDouble / built
         val act = frac > maxStaleFrac
-        if (act) rebuild()
+        val mode = if (act) rebuild() else "none"
         (name, built, live,
           BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble,
-          maxStaleFrac, act)
+          maxStaleFrac, act, mode)
       }
     }
     rows.toDF("artifact", "built_n_docs", "live_n_docs",
-      "stale_frac", "threshold", "acted")
+      "stale_frac", "threshold", "acted", "mode")
   }
 
   /** True iff the accreted pending delta PROVABLY covers the artifact's
@@ -972,28 +985,32 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (O(delta) check + O(files) metadata moves), else full rebuild —
     * the stale delta is dropped FIRST so a crash can never leave a
     * consumed-and-still-pending delta to double-apply. */
-  private def maintainForward(): Unit =
+  private def maintainForward(): String =
     if (fs.exists(new Path(forwardDeltaPath)) &&
         deltaCovers("forward",
           spark.read.parquet(forwardDeltaPath)
             .select(col("doc_id")).distinct().count())) {
       fs.mkdirs(applyMarkerPath("forward"))
       completeDeltaApply("forward")
+      "delta_apply"
     } else {
       fs.delete(new Path(forwardDeltaPath), true)
       buildForward()
+      "rebuild"
     }
 
-  private def maintainFielded(): Unit =
+  private def maintainFielded(): String =
     if (fs.exists(new Path(fieldedDeltaDoclensPath)) &&
         deltaCovers("fielded",
           spark.read.parquet(fieldedDeltaDoclensPath)
             .select(col("doc_id")).distinct().count())) {
       fs.mkdirs(applyMarkerPath("fielded"))
       completeDeltaApply("fielded")
+      "delta_apply"
     } else {
       fs.delete(new Path(fieldedDeltaPath), true)
       buildFielded(fieldedHeadLen)
+      "rebuild"
     }
 
   /** The block-max sidecars maintain themselves THROUGH appends (term
@@ -1003,7 +1020,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * "rebuild" is just the meta refresh. Anything else (vacuum/compact
     * rewrote files, pre-delta appends, tombstones in force) rebuilds
     * for real. */
-  private def maintainBlockMax(): Unit = {
+  private def maintainBlockMax(): String = {
     def covered: Boolean = {
       if (fs.exists(new Path(tombstonesPath))) return false
       if (!fs.exists(new Path(blockmaxFilesPath))) return false
@@ -1022,7 +1039,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .collect().map(r => (r.getInt(0), r.getString(1))).toSet
       live.subsetOf(sidecar)
     }
-    if (covered) writeDerivedMeta("blockmax") else buildBlockMax()
+    if (covered) { writeDerivedMeta("blockmax"); "adopt" }
+    else { buildBlockMax(); "rebuild" }
   }
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it

@@ -1304,4 +1304,88 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(one.length === 1 && one.head.getLong(1) === 2L,
       "NFC must unify composed/decomposed forms before templating")
   }
+
+  test("unigramSegmented: Viterbi picks the cheapest path, ties to the smallest split point (X288)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def seg(w: String, model: Seq[(String, Double)]): Seq[String] =
+      TextAnalysis.unigramSegmented(Seq(w).toDF("w"), col("w"), model, 4)
+        .select(col("pieces")).head().getSeq[String](0)
+    def m(ps: (String, Double)*): Seq[(String, Double)] = ps
+    // 'ab' cheaper than a+b: one piece wins
+    assert(seg("abab", m("a" -> 1.0, "b" -> 2.0, "ab" -> 0.5)) ===
+      Seq("ab", "ab"))
+    // 'ab' more expensive than a+b: chars win
+    assert(seg("ab", m("a" -> 1.0, "b" -> 1.0, "ab" -> 3.0)) ===
+      Seq("a", "b"))
+    // exact tie (cost(ab) == cost(a)+cost(b)): the SMALLEST split point
+    // rule keeps j=0 for dp[2] — the whole 'ab' piece
+    assert(seg("ab", m("a" -> 1.0, "b" -> 1.0, "ab" -> 2.0)) === Seq("ab"))
+    // maxPieceLen bounds the edges: a 5-char piece can't be used at len 4
+    assert(seg("abcde", m("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "abcde" -> 0.1)) ===
+      Seq("a", "b", "c", "d", "e"))
+    // unreachable word (a char missing from the model) -> null pieces
+    val out = TextAnalysis.unigramSegmented(
+      Seq("axb").toDF("w"), col("w"), m("a" -> 1.0, "b" -> 1.0), 4)
+    assert(out.filter(col("pieces").isNull).count() === 1)
+    intercept[IllegalArgumentException](TextAnalysis.unigramSegmented(
+      Seq("a").toDF("w"), col("w"), m("a" -> 1.0, "a" -> 2.0), 4))
+    intercept[IllegalArgumentException](TextAnalysis.unigramSegmented(
+      Seq("a").toDF("w"), col("w"), m("a" -> 1.0), 0))
+  }
+
+  test("unigramLearn: seed census + chars, hard-EM recount, multi-char prune, char smoothing (X288)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus tokens: abab x2, ab x1
+    val docs = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    val trace = TextAnalysis.unigramLearn(docs, "doc_id", col("text"),
+      seedSize = 3, numIters = 2, maxPieceLen = 4)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val it0 = trace.filter(_._1 == 0).map(t => t._2 -> t._3).toMap
+    // substring census, occurrence-weighted: 'abab' (freq 2) yields
+    // a,b x2 each, ab x2, ba, aba, bab, abab x1 each; 'ab' adds a, b, ab
+    assert(it0("a") === 5L && it0("b") === 5L && it0("ab") === 5L)
+    // top-3 by (cnt desc, piece asc) = a, ab, b; both chars already in
+    assert(trace.filter(_._1 == 0).map(_._2).sorted.toSeq ===
+      Seq("a", "ab", "b"))
+    // EM round 1: every word segments as ab|ab / ab (one piece beats two
+    // equal-prob pieces), so counts: ab = 2*2+1 = 5; a, b unused -> the
+    // char smoothing floor keeps them at 1
+    val it1 = trace.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    assert(it1 === Map("a" -> 1L, "b" -> 1L, "ab" -> 5L))
+    // probs sum to ~1 at every iter
+    Seq(0, 1, 2).foreach { k =>
+      val s = trace.filter(_._1 == k).map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"iter $k prob mass $s")
+    }
+    // the fixture converges after one round
+    val it2 = trace.filter(_._1 == 2).map(t => t._2 -> t._3).toMap
+    assert(it2 === it1)
+    intercept[IllegalArgumentException](TextAnalysis.unigramLearn(
+      docs, "doc_id", col("text"), 0, 1))
+    intercept[IllegalArgumentException](TextAnalysis.unigramLearn(
+      docs, "doc_id", col("text"), 3, 9))
+  }
+
+  test("unigramLearn: a multi-char piece that wins zero occurrences prunes and stays out (X288)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 'xy' appears as a substring (census) but 'x'/'y' are individually
+    // MUCH more frequent via other words, so after round 1 the rare
+    // pair segments through the chars and 'xy' prunes
+    val docs = Seq((1L, "x x x x y y y y xy")).toDF("doc_id", "text")
+    val trace = TextAnalysis.unigramLearn(docs, "doc_id", col("text"),
+      seedSize = 3, numIters = 1, maxPieceLen = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(trace.filter(_._1 == 0).map(_._2).toSet === Set("x", "y", "xy"))
+    // round 1: 'xy' costs -ln(1/11) > -ln(5/11)-ln(5/11)? No: chars are
+    // cheap enough that x+y (2 pieces) beats xy at these counts
+    val it1 = trace.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    assert(!it1.contains("xy"), s"zero-occurrence multi-char must prune: $it1")
+    assert(it1("x") === 6L && it1("y") === 6L,
+      "chars absorb the pair's occurrences (+1 smoothing)")
+  }
 }

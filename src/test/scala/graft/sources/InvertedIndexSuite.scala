@@ -1195,9 +1195,16 @@ class InvertedIndexSuite extends AnyFunSuite {
     assert(bmfBefore.subsetOf(bmfAfterAppend) &&
       bmfAfterAppend.size > bmfBefore.size,
       "append must stage exact file-grain rows additively")
-    val acted = idx.maintainDerived(maxStaleFrac = 0.1)
-      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
-    assert(acted("forward") && acted("fielded") && acted("blockmax"))
+    val report = idx.maintainDerivedVerbose(maxStaleFrac = 0.1)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(5), r.getString(6))))
+      .toMap
+    assert(report.forall(_._2._1), s"every artifact must act: $report")
+    // the verbose record must NAME the O(delta) mechanisms, and the
+    // plain record is the same frame minus the mode column
+    assert(report("forward")._2 === "delta_apply")
+    assert(report("fielded")._2 === "delta_apply")
+    assert(report("blockmax")._2 === "adopt")
+    assert(!idx.maintainDerived(maxStaleFrac = 0.1).columns.contains("mode"))
     // O(delta) audit: every pre-append artifact file survives UNTOUCHED
     // (a rebuild would replace the whole set with fresh task files);
     // forward/fielded gain the delta's files, blockmax is adopted as-is
