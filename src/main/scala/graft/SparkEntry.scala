@@ -1828,6 +1828,20 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text"))
         .orderBy(col("media_id"))
     }),
+    "q334_id3_tags" -> ((s, d) => {
+      // X289 ID3v2 tag walk: the tagged fixture's title/artist/album
+      // parse back, AND the stream scan is tag-transparent — n_frames
+      // and duration from the join must equal the untagged q321 walk
+      // (the structural skip reads the declared tag length, never
+      // byte-scans tag text)
+      val media = Multimodal.fromTextAsTaggedMp3s(
+        t(s, d, "documents"), "doc_id", "text")
+      Multimodal.id3Tags(media)
+        .join(Multimodal.mp3Scan(media).select(
+          col("media_id"), col("n_frames"), col("duration_ms")),
+          Seq("media_id"))
+        .orderBy(col("media_id"))
+    }),
     "q315_date_range" -> ((s, d) => {
       // X274 date_range agg: weekly-ish [from,to) buckets over the
       // event stream, one conditional-count aggregate row unpivoted —
@@ -6805,6 +6819,21 @@ object SparkEntry {
              WHEN 20 + doc_id % 30 >= 3 THEN 192
              WHEN 20 + doc_id % 30 = 2 THEN 160 ELSE 128 END AS INT) AS max_kbps,
            doc_id % 2 = 0 AS cbr,
+           CAST(((20 + doc_id % 30) * 1152000) // 44100 AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    // X289: tag fields from the fixture formula; tag size = 10-byte
+    // header + 3 frames of (10 + 1 + len(text)); the scan columns
+    // reuse q321's formulas verbatim (tag transparency is the gate)
+    "q334_id3_tags" ->
+      """SELECT doc_id AS media_id,
+           3 AS id3_version,
+           CAST(10 + (11 + len('doc ' || doc_id))
+             + (11 + len('artist ' || (doc_id % 7)))
+             + (11 + len('album ' || (doc_id % 3))) AS INT) AS tag_bytes,
+           'doc ' || doc_id AS title,
+           'artist ' || (doc_id % 7) AS artist,
+           'album ' || (doc_id % 3) AS album,
+           CAST(20 + doc_id % 30 AS INT) AS n_frames,
            CAST(((20 + doc_id % 30) * 1152000) // 44100 AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
     // X274: per-range conditional counts; 'to' exclusive, keys carry

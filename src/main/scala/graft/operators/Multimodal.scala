@@ -542,6 +542,104 @@ object Multimodal {
     def durationMs(nFrames: Int, sr: Int): Long =
       nFrames.toLong * 1152000L / sr
 
+    /** ID3v2 tag writer (v2.3 layout, the wild's most common): `ID3` +
+      * version + flags 0 + syncsafe tag size, then one TEXT frame per
+      * (4-char id, value) — plain big-endian frame size (the v2.3
+      * rule), flags 0, payload = encoding byte 0 (ISO-8859-1) + the
+      * text. Fixture-grade but structurally faithful, so the walk
+      * parses real v2.3 tags identically. */
+    def id3v2(frames: Seq[(String, String)]): Array[Byte] = {
+      require(frames.forall(_._1.length == 4), s"frame ids are 4 chars")
+      val body = new java.io.ByteArrayOutputStream()
+      frames.foreach { case (fid, text) =>
+        val payload = Array[Byte](0) ++ text.getBytes("ISO-8859-1")
+        body.write(fid.getBytes("US-ASCII"))
+        val n = payload.length
+        body.write((n >>> 24) & 0xff); body.write((n >>> 16) & 0xff)
+        body.write((n >>> 8) & 0xff); body.write(n & 0xff)
+        body.write(0); body.write(0)
+        body.write(payload)
+      }
+      val b = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((b.length >>> 21) & 0x7f); out.write((b.length >>> 14) & 0x7f)
+      out.write((b.length >>> 7) & 0x7f); out.write(b.length & 0x7f)
+      out.write(b)
+      out.toByteArray
+    }
+
+    /** Total bytes of a leading ID3v2 tag (header + body + v2.4
+      * footer), or 0 when the prefix is not a well-formed tag — the
+      * STRUCTURAL skip [[scan]] applies before its byte-level junk
+      * walk (real scanners skip the declared tag length; byte-scanning
+      * a tag risks latching onto a coincidental 0xFFFx inside frame
+      * text). A size running past the buffer is corruption, not a
+      * tag. */
+    def id3v2Size(bytes: Array[Byte]): Int = {
+      if (bytes == null || bytes.length < 10) return 0
+      if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return 0
+      // syncsafe size: a set high bit anywhere is corruption
+      if (((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) != 0) return 0
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      val total = 10 + sz + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      if (total > bytes.length) 0 else total
+    }
+
+    /** Walk the leading ID3v2 tag's text frames: (verMajor, tagBytes,
+      * title, artist, album) from TIT2/TPE1/TALB — v2.3 (plain
+      * big-endian frame sizes) and v2.4 (syncsafe) both handled, the
+      * walk stopping at padding (a zero byte where a frame id should
+      * start). Null-skip, never guess: no tag, v2.2's 3-char layout,
+      * the unsynchronization transform (we don't de-unsync), corrupt
+      * ids/sizes. Missing frames yield null FIELDS (a tag without an
+      * album is normal); UTF-16-encoded frames skip individually
+      * (encodings 1/2 — out of scope like sample decode, stated). */
+    def id3v2Meta(bytes: Array[Byte]): (Int, Int, String, String, String) = {
+      val total = id3v2Size(bytes)
+      if (total == 0) return null
+      val ver = bytes(3) & 0xff
+      if (ver != 3 && ver != 4) return null
+      if ((bytes(5) & 0x80) != 0) return null // unsynchronized
+      val end = total - (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      var p = 10
+      var title: String = null; var artist: String = null
+      var album: String = null
+      while (p + 10 <= end) {
+        if (bytes(p) == 0) return (ver, total, title, artist, album)
+        val fid = new String(bytes, p, 4, "US-ASCII")
+        if (!fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+          return null
+        val sz =
+          if (ver == 4) {
+            if (((bytes(p + 4) | bytes(p + 5) | bytes(p + 6) | bytes(p + 7))
+                & 0x80) != 0) return null
+            ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
+              ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
+          } else java.nio.ByteBuffer.wrap(bytes, p + 4, 4).getInt
+        if (sz <= 0 || p + 10 + sz > end) return null
+        if (fid == "TIT2" || fid == "TPE1" || fid == "TALB") {
+          val txt = (bytes(p + 10) & 0xff) match {
+            case 0 => new String(bytes, p + 11, sz - 1, "ISO-8859-1")
+            case 3 => new String(bytes, p + 11, sz - 1, "UTF-8")
+            case _ => null // UTF-16 variants skip, the frame stays unread
+          }
+          if (txt != null) {
+            val t = txt.takeWhile(_ != '\u0000') // NUL-terminated text rule
+            fid match {
+              case "TIT2" => title = t
+              case "TPE1" => artist = t
+              case _      => album = t
+            }
+          }
+        }
+        p += 10 + sz
+      }
+      (ver, total, title, artist, album)
+    }
+
     /** Whether a valid MPEG-1 Layer III header sits at `p` — the
       * strict is-this-an-mp3 probe [[graft.streaming.MediaAuditStream]]
       * classifies with (sync at offset 0), as opposed to the lenient
@@ -576,7 +674,9 @@ object Multimodal {
         if (p + len > bytes.length) return -2
         len
       }
-      var start = 0
+      // a well-formed leading ID3v2 tag skips STRUCTURALLY (declared
+      // length), never byte-by-byte — tag text can contain 0xFFFx
+      var start = id3v2Size(bytes)
       while (start + 4 <= bytes.length && headerAt(start) == -1) start += 1
       if (start + 4 > bytes.length || headerAt(start) == -2) return null
       val srIdx = (bytes(start + 2) >> 2) & 0x3
@@ -1359,6 +1459,68 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** ID3v2 tag walk ([[Mp3Codec.id3v2Meta]]): per payload carrying a
+    * well-formed leading tag, the version, total tag bytes and the
+    * TIT2/TPE1/TALB text — the title/artist metadata a media audit
+    * actually routes on (quarantine-by-source, dedup-by-title).
+    * Untagged or unparseable payloads skip (the scan contract);
+    * missing frames are null FIELDS. Map-side only. */
+  def id3Tags(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("id3_version", IntegerType, nullable = false),
+      StructField("tag_bytes", IntegerType, nullable = false),
+      StructField("title", StringType, nullable = true),
+      StructField("artist", StringType, nullable = true),
+      StructField("album", StringType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp3Codec.id3v2Meta(r.getAs[Array[Byte]]("payload")) match {
+          case null => Iterator.empty
+          case (ver, total, title, artist, album) =>
+            Iterator.single(Row(r.getLong(0), ver, total,
+              title, artist, album))
+        }
+      }
+    }(enc)
+  }
+
+  /** [[fromTextAsMp3s]] with a leading ID3v2.3 tag: TIT2 = `doc <id>`,
+    * TPE1 = `artist <id % 7>`, TALB = `album <id % 3>` — deterministic
+    * from the id so an oracle recomputes them, frames exactly the
+    * untagged fixture's (the tag must be TRANSPARENT to the stream
+    * scan — that invariance is part of what q334 gates). */
+  def fromTextAsTaggedMp3s(docs: DataFrame, idCol: String, textCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val n =
+      if (numPartitions > 0) numPartitions
+      else docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(
+        col(idCol).cast(LongType).as("media_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .repartition(n)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          require(id >= 0, s"media id must be non-negative, got $id")
+          val seed = r.getString(1).getBytes("UTF-8")
+          val nFrames = (20 + id % 30).toInt
+          val idxs =
+            if (id % 2 == 0) Seq.fill(nFrames)(9)
+            else (0 until nFrames).map(f => 9 + f % 3)
+          val tag = Mp3Codec.id3v2(Seq(
+            "TIT2" -> s"doc $id",
+            "TPE1" -> s"artist ${id % 7}",
+            "TALB" -> s"album ${id % 3}"))
+          val payload = tag ++ Mp3Codec.encode(seed, idxs, srIdx = 0)
+          Row(id, "audio", payload,
+            Row(null, null, 44100, nFrames.toLong * 1152000L / 44100L, "mp3"))
+        }
+      }(enc)
   }
 
   /** Real frame sampling: demux the container (GFV0, multi-frame GIF or

@@ -417,13 +417,82 @@ class MultimodalSuite extends AnyFunSuite {
             b
         }
       }
-    for (base <- Seq(mp4, mp3, ogg, mkv); m <- mutations(base)) {
+    val tagged = Multimodal.Mp3Codec.id3v2(Seq(
+      "TIT2" -> "fuzz title", "TPE1" -> "fuzz artist")) ++ mp3
+    for (base <- Seq(mp4, mp3, ogg, mkv, tagged); m <- mutations(base)) {
       Multimodal.Mp4Codec.parseMeta(m); Multimodal.Mp4Codec.demux(m)
       Multimodal.Mp3Codec.scan(m)
+      Multimodal.Mp3Codec.id3v2Meta(m)
       Multimodal.OggCodec.scan(m)
       Multimodal.MkvCodec.parseMeta(m)
     }
     succeed
+  }
+
+  test("ID3v2 walk: round-trip, v2.4 syncsafe, padding stop, null contracts, scan transparency (X289)") {
+    import Multimodal.Mp3Codec
+    val tag = Mp3Codec.id3v2(Seq(
+      "TIT2" -> "My Title", "TPE1" -> "An Artist", "TALB" -> "The Album"))
+    val (ver, total, t, a, al) = Mp3Codec.id3v2Meta(tag)
+    assert(ver === 3 && total === tag.length)
+    assert((t, a, al) === (("My Title", "An Artist", "The Album")))
+    // a tag without an album: null FIELD, not a null parse
+    val partial = Mp3Codec.id3v2Meta(Mp3Codec.id3v2(Seq("TIT2" -> "x")))
+    assert(partial._3 === "x" && partial._4 == null && partial._5 == null)
+    // v2.4: syncsafe frame sizes — rewrite the v2.3 fixture's version
+    // byte and frame sizes (all < 128, so the low byte is unchanged and
+    // the upper three must read as 7-bit groups: they are zero) — the
+    // walk must parse it via the v4 branch
+    val v4 = tag.clone(); v4(3) = 4
+    val p4 = Mp3Codec.id3v2Meta(v4)
+    assert(p4 != null && p4._1 === 4 && p4._3 === "My Title")
+    // padding after the frames parses (the walk stops at the zero byte)
+    val padded = Mp3Codec.id3v2(Seq("TIT2" -> "pad me"))
+    val body = padded.drop(10) ++ new Array[Byte](16)
+    val hdr = padded.take(10).clone()
+    val sz = body.length
+    hdr(6) = ((sz >>> 21) & 0x7f).toByte; hdr(7) = ((sz >>> 14) & 0x7f).toByte
+    hdr(8) = ((sz >>> 7) & 0x7f).toByte; hdr(9) = (sz & 0x7f).toByte
+    val paddedTag = hdr ++ body
+    val pp = Mp3Codec.id3v2Meta(paddedTag)
+    assert(pp != null && pp._3 === "pad me" && pp._2 === paddedTag.length)
+    // null contracts: unsynchronization flag, truncated size, v2.2
+    val unsync = tag.clone(); unsync(5) = 0x80.toByte
+    assert(Mp3Codec.id3v2Meta(unsync) == null)
+    assert(Mp3Codec.id3v2Meta(tag.take(tag.length - 3)) == null)
+    val v22 = tag.clone(); v22(3) = 2
+    assert(Mp3Codec.id3v2Meta(v22) == null)
+    assert(Mp3Codec.id3v2Meta("no tag here".getBytes) == null)
+    // a UTF-16 frame (encoding 1) skips individually; the walk goes on
+    val utf16Body = Array[Byte](1) ++ "t ".getBytes("UTF-16LE")
+    val weird = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("TIT2".getBytes); val n = utf16Body.length
+      b.write(0); b.write(0); b.write(0); b.write(n)
+      b.write(0); b.write(0); b.write(utf16Body)
+      b.write("TALB".getBytes); b.write(0); b.write(0); b.write(0); b.write(3)
+      b.write(0); b.write(0); b.write(0); b.write("ok".getBytes)
+      val fr = b.toByteArray
+      val h = new java.io.ByteArrayOutputStream()
+      h.write('I'); h.write('D'); h.write('3'); h.write(3); h.write(0); h.write(0)
+      h.write((fr.length >>> 21) & 0x7f); h.write((fr.length >>> 14) & 0x7f)
+      h.write((fr.length >>> 7) & 0x7f); h.write(fr.length & 0x7f)
+      h.write(fr); h.toByteArray
+    }
+    val w = Mp3Codec.id3v2Meta(weird)
+    assert(w != null && w._3 == null && w._5 === "ok",
+      "UTF-16 frame skips, later frames still read")
+    // scan transparency: the tagged stream reports the same frames as
+    // the bare one — the structural skip, not a byte crawl
+    val frames = Mp3Codec.encode("s".getBytes, Seq(9, 10, 11), 0)
+    val (srT, ksT) = Mp3Codec.scan(tag ++ frames)
+    val (srB, ksB) = Mp3Codec.scan(frames)
+    assert(srT === srB && ksT.toSeq === ksB.toSeq,
+      "the tag must be transparent to the stream scan")
+    // a tag whose declared size runs past the buffer is junk, and the
+    // byte walk then finds the frames anyway (ID3 text here is ASCII)
+    val lying = tag.clone(); lying(9) = 0x7f.toByte
+    assert(Mp3Codec.id3v2Meta(lying ++ frames.take(10)) == null)
   }
 
   test("mp3Scan surface: fixture CBR/VBR profile, exact duration, skip-not-fail") {
