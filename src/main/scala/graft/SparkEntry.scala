@@ -3244,6 +3244,34 @@ object SparkEntry {
         .select(col("id")))
       storeState(store)
     }),
+    "q335_embstore_snapshot" -> ((s, d) => {
+      // X290 EmbeddingStore snapshot/restore: snapshot the seeded
+      // store, run q83's EXACT delete on the RESTORED copy, serve its
+      // state under q83's oracle verbatim; the source must not see the
+      // copy's mutation (asserted — the one thing the oracle can't)
+      val store = tempStore(s, d, "q335")
+      val target = store.storePath + "_snap"
+      val p = new org.apache.hadoop.fs.Path(target)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      store.snapshot(target)
+      val copy = new graft.sources.EmbeddingStore(s, target, numBuckets = 4)
+      val before = store.count()
+      copy.deleteMany(copy.read().filter(col("post_id").isin(3L, 11L))
+        .select(col("id")))
+      require(store.count() == before,
+        "the source must not see the copy's delete")
+      storeState(copy)
+    }),
+    "q336_nglm_snapshot" -> ((s, d) => {
+      // X290 NgramLm snapshot: the cross-location copy the blue/green
+      // versioning can't give — snapshot the shared model, score the
+      // corpus from the COPY under q209's oracle verbatim (pure I/O)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm_snap").toString
+      sharedNgramLm(s, d).snapshot(s"$dir/lm")
+      new graft.sources.NgramLm(s, s"$dir/lm")
+        .score(t(s, d, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q84_admin_page" -> ((s, d) => {
       // T7+T9+J6: the admin listing's status DESC + CASE-priority +
       // queued_time DESC ordering, page 2 (VectorTableQueue.php:403-437),
@@ -4884,6 +4912,19 @@ object SparkEntry {
     * the SURVIVING clause table. Shared verbatim by q326: a snapshot
     * is byte-faithful, so the restored store must answer the exact
     * same walk identically. */
+  /** q83's delete-survivor state — shared verbatim by q335 (the
+    * snapshot chain runs the same mutation on a restored copy). */
+  private lazy val storeDeleteSql: String =
+    """WITH base AS (
+           SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS id
+           FROM embeddings)
+         SELECT id, vec_id AS post_id, 0 AS sequence_no, 'seed' AS vector_type,
+                sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                      FROM unnest(embedding) AS t(x))) AS magnitude,
+                CAST(embedding[1] AS DOUBLE) AS v0
+         FROM base WHERE vec_id NOT IN (3, 11)
+         ORDER BY post_id, sequence_no"""
+
   private lazy val qstoreLifecycleSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           p AS (SELECT DISTINCT doc_id, u.t AS term
@@ -8606,16 +8647,11 @@ object SparkEntry {
                       FROM unnest(vector) AS t(x))) AS magnitude,
                 CAST(vector[1] AS DOUBLE) AS v0
          FROM merged ORDER BY post_id, sequence_no""",
-    "q83_store_delete" ->
-      """WITH base AS (
-           SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS id
-           FROM embeddings)
-         SELECT id, vec_id AS post_id, 0 AS sequence_no, 'seed' AS vector_type,
-                sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-                      FROM unnest(embedding) AS t(x))) AS magnitude,
-                CAST(embedding[1] AS DOUBLE) AS v0
-         FROM base WHERE vec_id NOT IN (3, 11)
-         ORDER BY post_id, sequence_no""",
+    "q83_store_delete" -> storeDeleteSql,
+    // the snapshot chain runs q83's exact mutation on the RESTORED copy,
+    // so the oracle applies verbatim (a snapshot is byte-faithful)
+    "q335_embstore_snapshot" -> storeDeleteSql,
+    "q336_nglm_snapshot" -> stupidBackoffSql,
     "q84_admin_page" ->
       """WITH q AS (
            SELECT event_id AS job_id, event_id AS post_id, ts AS queued_time,

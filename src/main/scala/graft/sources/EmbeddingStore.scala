@@ -37,6 +37,9 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   require(prefixDims.forall(_ >= 1), s"prefixDims must be positive, got $prefixDims")
   import spark.implicits._
 
+  /** The store root (for suites and layout-level tooling). */
+  private[graft] def storePath: String = path
+
   private def bucketOf(c: Column) = pmod(hash(c), lit(numBuckets))
 
   private def fs: FileSystem =
@@ -281,6 +284,32 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
       Option(fs.globStatus(new Path(path, ".tmp_bucket_*"))).toSeq.flatten,
       Option(fs.globStatus(new Path(path, ".staging"))).toSeq.flatten).flatten
     stale.count(st => fs.delete(st.getPath, true))
+  }
+
+  /** Consistent on-disk SNAPSHOT of the whole store — bucket
+    * directories and the prefix-dims meta (the
+    * [[graft.sources.InvertedIndex.snapshot]] surface on the primary
+    * embedding table, completing backup coverage across every
+    * persisted layout): [[recoverAll]] quiesces the two-rename swaps
+    * and [[vacuum]] drops the hidden mutation debris first (debris is
+    * space, not state — a snapshot should not ship it), then the tree
+    * copies byte-faithfully. Restore is free by construction — open
+    * the copy (`new EmbeddingStore(spark, target)`) or copy it back.
+    * Crash protocol: hidden `.snapstaging` sibling + rename — the
+    * target either doesn't exist or is complete; debris never blocks
+    * a retry. */
+  def snapshot(targetPath: String): Unit = {
+    recoverAll()
+    vacuum()
+    val dst = new Path(targetPath)
+    require(!fs.exists(dst), s"snapshot target $targetPath already exists")
+    val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
+    fs.delete(staging, true) // a crashed prior attempt's debris
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
+        false, spark.sparkContext.hadoopConfiguration))
+      sys.error(s"snapshot copy to $staging failed")
+    if (!fs.rename(staging, dst))
+      sys.error(s"could not publish snapshot $staging -> $targetPath")
   }
 
   /** Bulk load: derive columns, assign ids, bucket, write. */

@@ -176,6 +176,29 @@ final class NgramLm(spark: SparkSession, path: String) {
     }
   }
 
+  /** Consistent on-disk SNAPSHOT — the cross-location copy the
+    * blue/green versioning alone cannot give (versions protect against
+    * crashes, not against losing the location): [[recoverPointer]]
+    * quiesces the pointer swap, then the tree — every version
+    * directory plus the pointer — copies byte-faithfully, so the copy
+    * serves the same current version and still carries the superseded
+    * versions its in-flight-reader retention contract promises (run
+    * [[vacuum]] on either side independently). Restore = open the copy
+    * (`new NgramLm(spark, target)`). Crash protocol: the engine-wide
+    * hidden `.snapstaging` + rename discipline. */
+  def snapshot(targetPath: String): Unit = {
+    recoverPointer()
+    val dst = new Path(targetPath)
+    require(!fs.exists(dst), s"snapshot target $targetPath already exists")
+    val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
+    fs.delete(staging, true) // a crashed prior attempt's debris
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
+        false, spark.sparkContext.hadoopConfiguration))
+      sys.error(s"snapshot copy to $staging failed")
+    if (!fs.rename(staging, dst))
+      sys.error(s"could not publish snapshot $staging -> $targetPath")
+  }
+
   /** Maintenance policy as code (X186, the versioned-artifact member of
     * the family: [[graft.sources.InvertedIndex.maintain]] /
     * [[graft.sources.IvfIndex.maintain]]): every [[append]]/[[remove]]

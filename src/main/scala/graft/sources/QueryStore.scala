@@ -240,7 +240,12 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     *    `maxFilesPerBucket` part-files. Evaluated on the PRE-action
     *    listing; a triggered vacuum's rewrite usually satisfies compact
     *    too — compact still runs when its threshold was crossed
-    *    (idempotent) so the report never claims an action it skipped. */
+    *    (idempotent) so the report never claims an action it skipped.
+    *
+    * Each row also carries `metric_after` — the same surface re-read
+    * once the actions ran — so the record is self-verifying: an action
+    * that failed to clear its own trigger shows in the report instead
+    * of in the next incident. */
   def maintain(maxFilesPerBucket: Int = 8,
       maxTombstoneFrac: Double = 0.2): DataFrame = {
     require(maxFilesPerBucket >= 1,
@@ -249,7 +254,7 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
       s"maxTombstoneFrac must be > 0, got $maxTombstoneFrac")
     import spark.implicits._
     recover()
-    val tombFrac =
+    def tombFracNow(): Double =
       if (!fs.exists(new Path(tombstonesPath))) 0.0
       else {
         val nQueries = spark.read.parquet(totalsPath).count()
@@ -257,18 +262,30 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
         else spark.read.parquet(tombstonesPath)
           .select(col("query_id")).distinct().count().toDouble / nQueries
       }
-    val maxFiles = fileStats().agg(max(col("n_files"))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getInt(0)
-    }
+    def maxFilesNow(): Int =
+      fileStats().agg(max(col("n_files"))).head() match {
+        case r if r.isNullAt(0) => 0
+        case r => r.getInt(0)
+      }
+    val tombFrac = tombFracNow()
+    val maxFiles = maxFilesNow()
     val doVacuum = tombFrac > maxTombstoneFrac
     val doCompact = maxFiles > maxFilesPerBucket
     if (doVacuum) vacuum()
     if (doCompact) compact()
+    // post-action recheck: the decision record shows the metric that
+    // TRIGGERED each action AND the state it left behind, so the report
+    // is self-verifying (an action that didn't clear its own trigger
+    // would show metric_after still over threshold); recomputed only
+    // when something acted — two cheap listing/count reads
+    val (tombAfter, filesAfter) =
+      if (doVacuum || doCompact) (tombFracNow(), maxFilesNow())
+      else (tombFrac, maxFiles)
     Seq(
-      ("vacuum", tombFrac, maxTombstoneFrac, doVacuum),
-      ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact))
-      .toDF("action", "metric", "threshold", "acted")
+      ("vacuum", tombFrac, maxTombstoneFrac, doVacuum, tombAfter),
+      ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact,
+        filesAfter.toDouble))
+      .toDF("action", "metric", "threshold", "acted", "metric_after")
   }
 
   /** Consistent on-disk SNAPSHOT of the whole store — clauses, totals,

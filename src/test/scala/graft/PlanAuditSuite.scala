@@ -908,4 +908,17 @@ class PlanAuditSuite extends AnyFunSuite {
         s"$name must band, not cross-product")
     }
   }
+
+  test("sampler cut plans as a TakeOrderedAndProject heap, never a global sort (X284)") {
+    val p = staticPlan("q327_sampler")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("diversified sampler: per-key cap pruned below the window, then the heap (X284)") {
+    val p = finalPlan("q328_diversified_sampler")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-key cap must prune before the exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global cut must be a heap, not Sort+GlobalLimit:\n$p")
+  }
 }

@@ -278,4 +278,28 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(after.groupBy("id").count().filter($"count" > 1).count() == 0)
     assert(after.filter($"sequence_no" === 9).count() == 6)
   }
+
+  test("snapshot: byte-faithful copy, sides independent, debris retried, exists refused (X290)") {
+    val (store, dir) = freshStore()
+    def state(s: EmbeddingStore) = s.read()
+      .select("id", "post_id", "sequence_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = state(store)
+    store.snapshot(s"$dir/a")
+    val a = new EmbeddingStore(spark, s"$dir/a", numBuckets)
+    assert(state(a) === want, "snapshot must read exactly like the source")
+    a.deleteMany(Seq(1L))
+    assert(state(store) === want, "source must not see the copy's delete")
+    assert(!state(a).exists(_._1 == 1L))
+    intercept[IllegalArgumentException](store.snapshot(s"$dir/a"))
+    // crash debris: a hidden prior staging never blocks a clean retry
+    val stale = new java.io.File(s"$dir/.b.snapstaging/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1))
+    store.snapshot(s"$dir/b")
+    assert(state(new EmbeddingStore(spark, s"$dir/b", numBuckets)) === want)
+    assert(!new java.io.File(s"$dir/.b.snapstaging").exists())
+    // the copy carries no hidden mutation debris (vacuumed pre-copy)
+    assert(!new java.io.File(s"$dir/b/.staging").exists())
+  }
 }

@@ -118,4 +118,31 @@ class NgramLmSuite extends AnyFunSuite {
     assert(lm.currentVersion() == 1, "reader must restore the backed-up pointer")
     assert(fs.exists(new Path(s"$dir/lm/current")))
   }
+
+  test("snapshot: cross-location copy scores identically, versions travel, sides independent (X290)") {
+    val dir = Files.createTempDirectory("graft_nglm_snap").toString
+    val lm = new NgramLm(spark, s"$dir/lm")
+    lm.build(refA, "doc_id", col("text"))
+    lm.append(refB, "doc_id", col("text")) // two versions on disk
+    val want = rows(lm.score(probe, "doc_id", col("text")))
+    lm.snapshot(s"$dir/copy")
+    val copy = new NgramLm(spark, s"$dir/copy")
+    assert(copy.currentVersion() == lm.currentVersion())
+    assert(rows(copy.score(probe, "doc_id", col("text"))) === want,
+      "the copy must serve the same current version")
+    // the superseded version traveled (retention contract), and a
+    // vacuum on the copy leaves the source's versions alone
+    copy.vacuum()
+    assert(rows(lm.score(probe, "doc_id", col("text"))) === want)
+    assert(rows(copy.score(probe, "doc_id", col("text"))) === want)
+    intercept[IllegalArgumentException](lm.snapshot(s"$dir/copy"))
+    // crash debris never blocks a retry
+    val stale = new java.io.File(s"$dir/.c.snapstaging/junk")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1))
+    lm.snapshot(s"$dir/c")
+    assert(rows(new NgramLm(spark, s"$dir/c")
+      .score(probe, "doc_id", col("text"))) === want)
+    assert(!new java.io.File(s"$dir/.c.snapstaging").exists())
+  }
 }

@@ -166,9 +166,15 @@ class QueryStoreSuite extends AnyFunSuite {
       "a no-op maintain must not compact")
     // tombstone 2 of 5 queries (0.4 > 0.2) and cross the file bar
     qs.delete(Seq("alert4", "alert5").toDF("query_id"))
-    val busy = report(qs.maintain(maxFilesPerBucket = 1,
-      maxTombstoneFrac = 0.2))
+    val busyDf = qs.maintain(maxFilesPerBucket = 1, maxTombstoneFrac = 0.2)
+    val busy = report(busyDf)
     assert(busy("vacuum")._3 && busy("compact")._3)
+    // self-verifying record: metric_after shows the actions cleared
+    // their own triggers (tombstones gone, one file per bucket)
+    val after = busyDf.collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(after("vacuum") === 0.0 && after("compact") === 1.0,
+      s"post-action recheck must show cleared triggers: $after")
     assert(!new java.io.File(s"$dir/qs/tombstones").exists())
     assert(qs.fileStats().collect().forall(_.getInt(1) == 1),
       "compact leaves one file per bucket")
