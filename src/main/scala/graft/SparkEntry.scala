@@ -1368,6 +1368,25 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q337_string_stats" -> ((s, d) => {
+      // X291 ES string_stats: per-lang length panel + base-2 character
+      // entropy, each char's term round-6 decimal-summed (order-free)
+      CorpusStats.stringStats(t(s, d, "documents"), col("lang"),
+          col("text"))
+        .orderBy(col("key"))
+    }),
+    "q338_boxplot" -> ((s, d) => {
+      // X292 ES boxplot agg, exact form: five-number summary of event
+      // value per type — X237's type-7 interpolation pivoted
+      Sessionize.boxplot(events(s, d), col("event_type"), col("value"))
+        .orderBy(col("key"))
+    }),
+    "q339_mad" -> ((s, d) => {
+      // X293 ES median_absolute_deviation, exact: deviations measured
+      // against the round-6 median the first pass publishes
+      Sessionize.madExact(events(s, d), col("event_type"), col("value"))
+        .orderBy(col("key"))
+    }),
     "q280_bucket_pipeline" -> ((s, d) => {
       // X236 ES pipeline aggregations over a gap-filled min_doc_count=0
       // histogram: hourly event counts with cumulative_sum, derivative
@@ -6232,6 +6251,86 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X291: length panel + per-char round-6 decimal-summed -p*log2(p);
+    // the single-char key pins to exact 0 on both sides
+    "q337_string_stats" ->
+      """WITH s AS (SELECT lang AS key, text AS t FROM documents
+            WHERE text IS NOT NULL),
+          l AS (SELECT key, COUNT(*) AS count,
+              CAST(MIN(len(t)) AS BIGINT) AS min_length,
+              CAST(MAX(len(t)) AS BIGINT) AS max_length,
+              SUM(len(t)) AS sl
+            FROM s GROUP BY key),
+          ch AS (SELECT key, u.c AS ch, COUNT(*) AS cnt
+            FROM s, UNNEST(string_split(t, '')) AS u(c)
+            WHERE u.c <> '' GROUP BY 1, 2),
+          tt AS (SELECT key, SUM(cnt) AS tot FROM ch GROUP BY key),
+          e AS (SELECT ch.key, SUM(CAST(CASE WHEN cnt = tot THEN 0.0
+              ELSE ROUND(-(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                * log2(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) END
+              AS DECIMAL(38,6))) AS ent
+            FROM ch JOIN tt USING (key) GROUP BY 1)
+          SELECT l.key, count, min_length, max_length,
+            ROUND(CAST(sl AS DOUBLE) / CAST(count AS DOUBLE), 6) AS avg_length,
+            CAST(e.ent AS DOUBLE) AS entropy
+          FROM l JOIN e USING (key) ORDER BY key""",
+    // X292: the q279 interpolation at p in {.25, .5, .75} pivoted,
+    // min/max joined back
+    "q338_boxplot" ->
+      """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          r AS (SELECT key, v,
+              ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS rk FROM v),
+          c AS (SELECT key, COUNT(*) AS n FROM v GROUP BY key),
+          pp(p) AS (VALUES (0.25), (0.5), (0.75)),
+          g2 AS (SELECT key, n, p, CAST(FLOOR(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS k,
+              CAST(n - 1 AS DOUBLE) * p - FLOOR(CAST(n - 1 AS DOUBLE) * p) AS f
+            FROM c CROSS JOIN pp),
+          j AS (SELECT g2.key, g2.p, g2.n,
+              ROUND(lo.v + g2.f * (COALESCE(hi.v, lo.v) - lo.v), 6) AS q
+            FROM g2
+            JOIN r lo ON lo.key = g2.key AND lo.rk = g2.k + 1
+            LEFT JOIN r hi ON hi.key = g2.key AND hi.rk = g2.k + 2),
+          piv AS (SELECT key, MAX(n) AS n,
+              MAX(CASE WHEN p = 0.25 THEN q END) AS q1,
+              MAX(CASE WHEN p = 0.5 THEN q END) AS q2,
+              MAX(CASE WHEN p = 0.75 THEN q END) AS q3
+            FROM j GROUP BY key),
+          mm AS (SELECT key, ROUND(MIN(v), 6) AS min_value,
+              ROUND(MAX(v), 6) AS max_value FROM v GROUP BY key)
+          SELECT piv.key, n, min_value, q1, q2, q3, max_value
+          FROM piv JOIN mm USING (key) ORDER BY key""",
+    // X293: median from the q279 formula (round-6, the published
+    // number), deviations against it, one more interpolation
+    "q339_mad" ->
+      """WITH v AS (SELECT event_type AS key, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          r AS (SELECT key, v,
+              ROW_NUMBER() OVER (PARTITION BY key ORDER BY v) AS rk FROM v),
+          c AS (SELECT key, COUNT(*) AS n FROM v GROUP BY key),
+          g2 AS (SELECT key, n, CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS k,
+              CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS f
+            FROM c),
+          med AS (SELECT g2.key,
+              ROUND(lo.v + g2.f * (COALESCE(hi.v, lo.v) - lo.v), 6) AS median
+            FROM g2
+            JOIN r lo ON lo.key = g2.key AND lo.rk = g2.k + 1
+            LEFT JOIN r hi ON hi.key = g2.key AND hi.rk = g2.k + 2),
+          d AS (SELECT v.key, ABS(v.v - med.median) AS dv
+            FROM v JOIN med USING (key)),
+          r2 AS (SELECT key, dv,
+              ROW_NUMBER() OVER (PARTITION BY key ORDER BY dv) AS rk FROM d),
+          c2 AS (SELECT key, COUNT(*) AS n FROM d GROUP BY key),
+          g3 AS (SELECT key, n, CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS k,
+              CAST(n - 1 AS DOUBLE) * 0.5 - FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS f
+            FROM c2),
+          mad AS (SELECT g3.key, g3.n,
+              ROUND(lo.dv + g3.f * (COALESCE(hi.dv, lo.dv) - lo.dv), 6) AS mad
+            FROM g3
+            JOIN r2 lo ON lo.key = g3.key AND lo.rk = g3.k + 1
+            LEFT JOIN r2 hi ON hi.key = g3.key AND hi.rk = g3.k + 2)
+          SELECT mad.key, mad.n, med.median, mad.mad
+          FROM mad JOIN med USING (key) ORDER BY key""",
     // X236: integer bucket indexes (no double rounding at boundaries),
     // generate_series spine, the same three window metrics
     "q280_bucket_pipeline" ->

@@ -384,6 +384,47 @@ object CorpusStats {
     }
   }
 
+  /** String statistics (the ES `string_stats` agg with
+    * `show_distribution`'s entropy): per key over a string column —
+    * value count, min/max/avg length, and the Shannon entropy (base 2,
+    * the ES convention) of the CHARACTER distribution across all the
+    * key's values; the quick text-health panel (a collapsed-entropy
+    * source is repeated boilerplate; a spiked length distribution is a
+    * truncation bug). Nulls excluded. Determinism: each character's
+    * −p·log₂p term rounds to 6 and sums in DECIMAL(38,6) — order-free
+    * addition, any cluster layout reproduces the same bits (the
+    * engine-wide float-sum discipline); the single-character p = 1
+    * case pins to exact 0 (IEEE would give −0.0). Plan: one length
+    * aggregate + one per-(key, char) count (map-side combined;
+    * characters per key ≤ alphabet — tiny) joined back. */
+  def stringStats(df: DataFrame, key: Column, str: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 6)
+    val s = df.select(key.cast(StringType).as("key"),
+      str.cast(StringType).as("__s")).filter(col("__s").isNotNull)
+    val lens = s.groupBy(col("key")).agg(
+      count(lit(1)).as("count"),
+      min(length(col("__s"))).cast(LongType).as("min_length"),
+      max(length(col("__s"))).cast(LongType).as("max_length"),
+      sum(length(col("__s"))).cast(LongType).as("__sumlen"))
+    val chars = s.select(col("key"), explode(split(col("__s"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("key"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val tot = chars.groupBy(col("key")).agg(sum(col("cnt")).as("__tot"))
+    val p = col("cnt").cast(DoubleType) / col("__tot").cast(DoubleType)
+    val ent = chars.join(tot, Seq("key"))
+      .select(col("key"),
+        when(col("cnt") === col("__tot"), lit(0.0))
+          .otherwise(round(-p * log2(p), 6)).cast(dec).as("__term"))
+      .groupBy(col("key"))
+      .agg(sum(col("__term")).cast(DoubleType).as("entropy"))
+    lens.join(ent, Seq("key"))
+      .select(col("key"), col("count"), col("min_length"),
+        col("max_length"),
+        round(col("__sumlen").cast(DoubleType) /
+          col("count").cast(DoubleType), 6).as("avg_length"),
+        col("entropy"))
+  }
+
   /** Multi-terms aggregation (the ES `multi_terms` agg — X253's
     * terms + sum_other honesty row over a COMPOSITE key): buckets
     * keyed by the value TUPLE, rendered as the `|`-joined key string

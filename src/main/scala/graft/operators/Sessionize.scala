@@ -717,6 +717,54 @@ object Sessionize {
           .as("value"))
   }
 
+  /** Boxplot aggregation (the ES `boxplot` agg in its exact form —
+    * ES ships TDigest approximations; an oracle-gated engine runs
+    * [[percentilesExact]]'s type-7 interpolation, the same determinism
+    * trade X237 documents): per key the five-number summary — min, q1,
+    * q2 (median), q3, max — plus the value count. Pure composition:
+    * one percentilesExact pass at p ∈ {0.25, 0.5, 0.75} pivoted to
+    * columns, one min/max aggregate joined back; scales exactly as
+    * X237 (one per-key rank window + k-row joins). Round-6
+    * throughout. */
+  def boxplot(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val qs = percentilesExact(df, key, value, Seq(0.25, 0.5, 0.75))
+      .groupBy(col("key"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 0.25, col("value"))).as("q1"),
+        max(when(col("p") === 0.5, col("value"))).as("q2"),
+        max(when(col("p") === 0.75, col("value"))).as("q3"))
+    val mm = df.select(key.as("key"), value.cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("key"))
+      .agg(round(min(col("__v")), 6).as("min_value"),
+        round(max(col("__v")), 6).as("max_value"))
+    qs.join(mm, Seq("key"))
+      .select(col("key"), col("n"), col("min_value"),
+        col("q1"), col("q2"), col("q3"), col("max_value"))
+  }
+
+  /** Median absolute deviation (the ES `median_absolute_deviation`
+    * agg, exact form): MAD = median(|x − median(x)|) — the robust
+    * dispersion measure a long-tailed latency/length column needs
+    * where stddev chases outliers. Two [[percentilesExact]] passes
+    * (p = 0.5): the per-key median broadcasts back into the deviation
+    * projection (key-cardinality rows — the bounded-broadcast class),
+    * then the deviations rank once more. Deviations measure against
+    * the ROUND-6 median the first pass EMITS — the published number,
+    * so the record is self-consistent and the oracle mirrors the
+    * rounding point exactly. Output (key, n, median, mad). */
+  def madExact(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val med = percentilesExact(df, key, value, Seq(0.5))
+      .select(col("key"), col("value").as("median"))
+    val dev = df.select(key.as("key"), value.cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(broadcast(med), Seq("key"))
+      .select(col("key"), abs(col("__v") - col("median")).as("__d"))
+    percentilesExact(dev, col("key"), col("__d"), Seq(0.5))
+      .join(broadcast(med), Seq("key"))
+      .select(col("key"), col("n"), col("median"), col("value").as("mad"))
+  }
+
   def decayedActivity(events: DataFrame, key: Column, ts: Column,
       value: Column, halfLifeDays: Double, k: Int): DataFrame = {
     require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")

@@ -558,4 +558,25 @@ class CorpusStatsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 0))
   }
+
+  test("stringStats: length panel + base-2 char entropy; single-char key pins to 0 (X291)") {
+    val df = Seq(
+      ("a", "abab"),   // chars a:2 b:2 -> entropy 1.0
+      ("a", "ab"),     // joined: a:3 b:3 across the key's values
+      ("b", "aaaa"),   // single distinct char -> exactly 0.0 (not -0.0)
+      ("c", null)      // null string: excluded entirely
+    ).toDF("k", "s")
+    val got = CorpusStats.stringStats(df, col("k"), col("s"))
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === Seq(
+      ("a", 2L, 2L, 4L, 3.0, 1.0),
+      ("b", 1L, 4L, 4L, 4.0, 0.0)))
+    assert(!got.exists(_._1 == "c"), "all-null key emits nothing")
+    // entropy of a uniform 4-char alphabet is exactly 2 bits
+    val uni = CorpusStats.stringStats(
+      Seq(("u", "abcd")).toDF("k", "s"), col("k"), col("s")).head()
+    assert(uni.getDouble(5) === 2.0)
+  }
 }

@@ -480,4 +480,31 @@ class SessionizeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sessionize.decayedActivity(ev, $"user_id", $"ts", $"v", 1.0, 0))
   }
+
+  test("boxplot: five-number summary matches hand-computed type-7 quartiles (X292)") {
+    // key 'a': sorted 1..5 -> q1=2, q2=3, q3=4; key 'b': [10, 20] ->
+    // q1=12.5, q2=15, q3=17.5 (interpolated)
+    val df = (Seq(5.0, 3.0, 1.0, 4.0, 2.0).map(("a", _)) ++
+      Seq(("b", 10.0), ("b", 20.0))).toDF("k", "v")
+    val got = Sessionize.boxplot(df, col("k"), col("v"))
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("a", 5L, 1.0, 2.0, 3.0, 4.0, 5.0),
+      ("b", 2L, 10.0, 12.5, 15.0, 17.5, 20.0)))
+  }
+
+  test("madExact: deviations measured against the published round-6 median (X293)") {
+    // [1, 2, 4, 100]: median 3, |dev| = [2, 1, 1, 97] -> mad 1.5 —
+    // the outlier that would wreck a stddev barely moves the MAD
+    val df = Seq(1.0, 2.0, 4.0, 100.0).map(("a", _)).toDF("k", "v")
+    val got = Sessionize.madExact(df, col("k"), col("v")).head()
+    assert((got.getString(0), got.getLong(1), got.getDouble(2),
+      got.getDouble(3)) === (("a", 4L, 3.0, 1.5)))
+    // singleton key: median = the value, mad = 0
+    val one = Sessionize.madExact(
+      Seq(("x", 7.0)).toDF("k", "v"), col("k"), col("v")).head()
+    assert(one.getDouble(2) === 7.0 && one.getDouble(3) === 0.0)
+  }
 }
