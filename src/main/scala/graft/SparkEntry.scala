@@ -1187,17 +1187,20 @@ object SparkEntry {
     }),
     "q331_derived_delta" -> ((s, d) => {
       // X287 the q277 attribution split: the same artifact set, but the
-      // drift is one SMALL append (1/20 of the corpus), so every acted
+      // drift is one SMALL append (a tenth of the base), so every acted
       // row runs its O(delta-files) mechanism — forward/fielded
       // delta-apply, blockmax adopt — never a corpus rebuild; the
       // verbose decision record pins the CHOSEN mode per artifact and
-      // the oracle recomputes both the drift arithmetic and the modes
+      // the oracle recomputes both the drift arithmetic and the modes.
+      // The base is a QUARTER of the corpus: this row prices the
+      // increment, and the one-off build it needs should not dominate
+      // the board (q277 already prices a bigger build)
       val docs = t(s, d, "documents")
       val dir = java.nio.file.Files.createTempDirectory("graft_ddelta").toString
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
-      idx.build(docs.filter(col("doc_id") % 20 =!= 0), "doc_id", col("text"))
+      idx.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"))
       idx.buildForward(); idx.buildFielded(8); idx.buildBlockMax()
-      idx.append(docs.filter(col("doc_id") % 20 === 0), "doc_id", col("text"))
+      idx.append(docs.filter(col("doc_id") % 40 === 1), "doc_id", col("text"))
       idx.maintainDerivedVerbose(maxStaleFrac = 0.02)
     }),
     "q276_phrase_suggest" -> ((s, d) => {
@@ -5963,9 +5966,9 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
             FROM documents),
           b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
-            WHERE len(tk) > 0 AND doc_id % 20 <> 0),
+            WHERE len(tk) > 0 AND doc_id % 4 = 0),
           l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
-            WHERE len(tk) > 0),
+            WHERE len(tk) > 0 AND (doc_id % 4 = 0 OR doc_id % 40 = 1)),
           a(artifact, mode) AS (VALUES ('forward', 'delta_apply'),
             ('fielded', 'delta_apply'), ('blockmax', 'adopt'))
           SELECT a.artifact, b.n AS built_n_docs, l.n AS live_n_docs,
