@@ -2089,6 +2089,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cosine"))
         .orderBy(col("vec_id"))
     }),
+    "q340_knn_filtered_pq" -> ((s, d) => {
+      // X294 filtered kNN on the COMPRESSED layout (q297's pre-filter
+      // on the IVFPQ serve path): the predicate cuts candidates before
+      // the ADC heap, riding the same pruned code-directory read
+      val embs = t(s, d, "embeddings")
+      val query = embs.filter(col("vec_id") === 5L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      sharedIvfPqIndex(s, d)
+        .searchPqWhere(query, topK = 10, nprobe = 2, col("id") % 3 === 1)
+        .select(col("id").as("vec_id"), col("adc_dist"))
+        .orderBy(col("vec_id"))
+    }),
     "q294_multi_match" -> ((s, d) => {
       // X252 multi_match best_fields (the ES default multi-field
       // query): per-field BM25 rankings from the fielded sidecar —
@@ -5011,7 +5023,8 @@ object SparkEntry {
     * top-k — the q249 oracle. */
   private def ivfPqSearchSqlOver(corpus: String,
       fullProbe: Boolean = false,
-      refined: Option[(Int, Int)] = None): String = {
+      refined: Option[(Int, Int)] = None,
+      where: String = ""): String = {
     val tail = refined match {
       case None =>
         """SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
@@ -5049,7 +5062,8 @@ object SparkEntry {
          pruned AS (${
            if (fullProbe) s"SELECT e.* FROM $corpus e"
            else s"""SELECT e.* FROM $corpus e JOIN assign a USING (vec_id)
-           WHERE a.ivf_list IN (SELECT ccid FROM probes)"""}),
+           WHERE a.ivf_list IN (SELECT ccid FROM probes)${
+             if (where.nonEmpty) s" AND $where" else ""}"""}),
          subs AS (
            SELECT t.j, e.vec_id AS c, e.embedding[CAST(t.j*16+1 AS INT) : CAST(t.j*16+16 AS INT)] AS cv
            FROM embeddings e, UNNEST(range(4)) AS t(j) WHERE e.vec_id < 4),
@@ -7396,6 +7410,10 @@ object SparkEntry {
             WHERE a.ivf_list IN (SELECT ccid FROM probes) AND e.vec_id % 3 = 1)
           SELECT vec_id, ROUND(c, 6) AS cosine FROM scored
           ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    // X294: the ADC pipeline with the candidate filter inside the
+    // pruned read — codebooks/assignment stay full-corpus parameters
+    "q340_knn_filtered_pq" ->
+      ivfPqSearchSqlOver("embeddings", where = "e.vec_id % 3 = 1"),
     // X252: per-field legs (field-own stats), the q272 dis_max combine
     "q294_multi_match" -> {
       val tie = 0.3.toString

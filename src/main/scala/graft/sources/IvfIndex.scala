@@ -1060,6 +1060,26 @@ final class IvfIndex(spark: SparkSession, path: String,
     Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)
   }
 
+  /** Filtered ADC search (X255's pre-filter semantics on the
+    * COMPRESSED layout — the ES kNN `filter` / FAISS IDSelector
+    * applied to IVFPQ, completing the raw/compressed symmetry
+    * [[searchWhere]] started): the predicate restricts candidates
+    * BEFORE the ADC top-k heap, riding the same pruned `ivf_list`
+    * code-directory read (pushed into the scan when it names stored
+    * columns — on this layout that is `id`). The recall caveat is
+    * [[searchWhere]]'s verbatim: a very selective filter can empty the
+    * probed lists while matches sit in unprobed ones — raise nprobe. */
+  def searchPqWhere(query: Array[Float], topK: Int, nprobe: Int,
+      pred: Column): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(codesPath)
+    val probed = spark.read.parquet(codesPath)
+      .filter(col("ivf_list").isin(probeSet(query, nprobe): _*))
+      .filter(pred)
+    Pq.adcTopK(probed, "id", "codes", codebooks(), query, topK)
+  }
+
   /** ADC search with exact refinement (X205 — the FAISS
     * IndexRefineFlat pattern, the missing tail of [[buildPq]]'s
     * documented refetch story): stage 1 ranks the probed lists by the

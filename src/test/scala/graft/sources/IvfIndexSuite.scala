@@ -749,6 +749,36 @@ class IvfIndexSuite extends AnyFunSuite {
     assert(!fs.exists(new Path(s"$lists/.staging_split")))
   }
 
+  test("searchPqWhere: pre-filter inside the ADC probe — parity with brute ADC over (probed ∩ filter) (X294)") {
+    val dir = Files.createTempDirectory("graft_ivf_pqw").toString
+    val idx = new IvfIndex(spark, s"$dir/ivf")
+    val books = graft.operators.Pq.seedCodebooks(
+      embs, "vec_id", "embedding", m = 4, k = 4)
+    idx.build(embs, "vec_id", "embedding", cents)
+    idx.buildPq(embs, "vec_id", "embedding", cents, books)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = rows(idx.searchPqWhere(query, topK = 10, nprobe = 2,
+      col("id") % 3 === 1))
+    assert(got.size == 10 && got.forall(_._1 % 3 == 1))
+    // parity: probed membership off the unfiltered full search, then
+    // brute ADC over exactly (probed ∩ filter)
+    val probedIds = rows(idx.searchPq(query, 64, 2)).map(_._1).toSet
+    val cand = embs.filter(col("vec_id").isin(probedIds.toSeq: _*))
+      .filter(col("vec_id") % 3 === 1)
+    val expect = rows(graft.operators.Pq.adcTopK(
+      graft.operators.Pq.encode(
+        graft.operators.Ann.ivfAssign(
+          cand.select(col("vec_id").as("id"), col("embedding").as("vector")),
+          "vector", cents), "vector", books),
+      "id", "codes", books, query, 10))
+    assert(got === expect)
+    intercept[IllegalArgumentException](
+      idx.searchPqWhere(query, 0, 2, col("id") % 3 === 1))
+    intercept[IllegalArgumentException](
+      idx.searchPqWhere(query, 10, 0, col("id") % 3 === 1))
+  }
+
   test("snapshot: byte-faithful copy incl. PQ layout + sidecars, sides independent, crash debris retried") {
     val dir = Files.createTempDirectory("graft_ivf_snap").toString
     val idx = new IvfIndex(spark, s"$dir/ivf")
