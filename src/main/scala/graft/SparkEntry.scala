@@ -1371,6 +1371,34 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q342_top_metrics" -> ((s, d) => {
+      // X296 ES top_metrics (size 1): per lang the LONGEST doc's
+      // metrics — one max_by aggregate, no window, ties to the highest
+      // doc_id (the documented deterministic tail)
+      CorpusStats.topMetrics(t(s, d, "documents"), col("lang"),
+          col("n_chars"), col("doc_id"), Seq(
+            "top_chars" -> col("n_chars"),
+            "top_source" -> col("source"),
+            "top_doc" -> col("doc_id")))
+        .orderBy(col("key"))
+    }),
+    "q341_normalize" -> ((s, d) => {
+      // X295 ES normalize pipeline agg: all six methods over the daily
+      // series — the metric is ln(n) (score-scale, the softmax
+      // contract; e^ln(n) = n keeps the softmax denominator exact and
+      // bounded at every SF)
+      val daily = events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("n"))
+      val metric = log(col("n").cast(DoubleType))
+      Seq("rescale_0_1", "rescale_0_100", "percent_of_sum",
+          "mean", "zscore", "softmax")
+        .map(mm => Sessionize.normalizeBucket(daily, metric, mm)
+          .select(lit(mm).as("method"), col("bucket_start"), col("n"),
+            col("normalized")))
+        .reduce(_ unionAll _)
+        .orderBy(col("method"), col("bucket_start"))
+    }),
     "q337_string_stats" -> ((s, d) => {
       // X291 ES string_stats: per-lang length panel + base-2 character
       // entropy, each char's term round-6 decimal-summed (order-free)
@@ -6268,6 +6296,55 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X296: the argmax row per bucket — ROW_NUMBER over the same total
+    // order (sort desc, tiebreak desc), null sorts skipped
+    "q342_top_metrics" ->
+      """WITH f AS (SELECT lang AS key, n_chars, source, doc_id
+            FROM documents WHERE n_chars IS NOT NULL),
+          r AS (SELECT key, n_chars, source, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY key
+                ORDER BY n_chars DESC, doc_id DESC) AS rk FROM f),
+          c AS (SELECT key, COUNT(*) AS doc_count FROM f GROUP BY 1)
+          SELECT c.key, c.doc_count, r.n_chars AS top_chars,
+            r.source AS top_source, r.doc_id AS top_doc
+          FROM c JOIN r ON r.key = c.key AND r.rk = 1
+          ORDER BY c.key""",
+    // X295: the six ES normalize methods over one stats row — every
+    // divisor a round-6 decimal sum, degenerate series pinned to 0
+    "q341_normalize" ->
+      """WITH b AS (SELECT date_trunc('day', ts) AS bucket_start,
+              COUNT(*) AS n FROM events GROUP BY 1),
+          v AS (SELECT bucket_start, n, ln(CAST(n AS DOUBLE)) AS x FROM b),
+          st AS (SELECT MIN(x) AS mn, MAX(x) AS mx,
+              CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s,
+              COUNT(*) AS c,
+              CAST(SUM(CAST(ROUND(x*x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+              CAST(SUM(CAST(ROUND(exp(x), 6) AS DECIMAL(38,6))) AS DOUBLE) AS es
+            FROM v)
+          SELECT method, bucket_start, n, normalized FROM (
+            SELECT 'rescale_0_1' AS method, bucket_start, n,
+              ROUND(CASE WHEN mx - mn = 0 THEN 0.0
+                ELSE (x - mn) / (mx - mn) END, 6) AS normalized FROM v, st
+            UNION ALL SELECT 'rescale_0_100', bucket_start, n,
+              ROUND(CASE WHEN mx - mn = 0 THEN 0.0
+                ELSE 100.0 * (x - mn) / (mx - mn) END, 6) FROM v, st
+            UNION ALL SELECT 'percent_of_sum', bucket_start, n,
+              ROUND(CASE WHEN s = 0 THEN 0.0
+                ELSE 100.0 * x / s END, 6) FROM v, st
+            UNION ALL SELECT 'mean', bucket_start, n,
+              ROUND(CASE WHEN mx - mn = 0 THEN 0.0
+                ELSE (x - s / CAST(c AS DOUBLE)) / (mx - mn) END, 6) FROM v, st
+            UNION ALL SELECT 'zscore', bucket_start, n,
+              ROUND(CASE WHEN sqrt(GREATEST(s2 / CAST(c AS DOUBLE)
+                  - (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)), 0.0)) = 0
+                THEN 0.0
+                ELSE (x - s / CAST(c AS DOUBLE))
+                  / sqrt(GREATEST(s2 / CAST(c AS DOUBLE)
+                    - (s / CAST(c AS DOUBLE)) * (s / CAST(c AS DOUBLE)), 0.0))
+                END, 6) FROM v, st
+            UNION ALL SELECT 'softmax', bucket_start, n,
+              ROUND(exp(x) / es, 6) FROM v, st)
+          ORDER BY method, bucket_start""",
     // X291: length panel + per-char round-6 decimal-summed -p*log2(p);
     // the single-char key pins to exact 0 on both sides
     "q337_string_stats" ->

@@ -425,6 +425,32 @@ object CorpusStats {
         col("entropy"))
   }
 
+  /** Top-metrics aggregation (the ES `top_metrics` agg, size = 1 —
+    * per bucket the metric values OF the extreme document: "per
+    * language, the longest doc's source and id"; the argmax rail
+    * next to X247's top_hits): one map-side-combined `max_by`
+    * aggregate — per-task partial maxima, no window, no per-bucket
+    * sort, so the shuffle carries one candidate row per (task, key).
+    * ES leaves sort ties undefined; an oracle-gated engine cannot —
+    * `tiebreak` must complete a total order (end it in a unique id,
+    * the [[graft.operators.Curation.capPerKey]] rule): the winner is
+    * the max (sort, tiebreak) pair, i.e. ORDER BY sort DESC, tiebreak
+    * DESC. Docs with a null sort value are skipped (the ES missing
+    * rule). Output: (key, doc_count, <metric columns>). */
+  def topMetrics(df: DataFrame, key: Column, sort: Column,
+      tiebreak: Column, metrics: Seq[(String, Column)]): DataFrame = {
+    require(metrics.nonEmpty, "top_metrics needs at least one metric")
+    val names = metrics.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate metric in $names")
+    val packed = struct(metrics.map { case (n, c) => c.as(n) }: _*)
+    df.filter(sort.isNotNull)
+      .groupBy(key.cast(StringType).as("key"))
+      .agg(count(lit(1)).as("doc_count"),
+        max_by(packed, struct(sort.as("__s"), tiebreak.as("__t"))).as("__m"))
+      .select(Seq(col("key"), col("doc_count")) ++
+        names.map(n => col(s"__m.$n").as(n)): _*)
+  }
+
   /** Multi-terms aggregation (the ES `multi_terms` agg — X253's
     * terms + sum_other honesty row over a COMPOSITE key): buckets
     * keyed by the value TUPLE, rendered as the `|`-joined key string

@@ -765,6 +765,62 @@ object Sessionize {
       .select(col("key"), col("n"), col("median"), col("value").as("mad"))
   }
 
+  /** Normalize pipeline aggregation (the ES `normalize` agg): rescale
+    * a parent aggregation's bucket metric by one of the six ES
+    * methods — `rescale_0_1`, `rescale_0_100`, `percent_of_sum`,
+    * `mean` ((x−mean)/(max−min)), `zscore`, `softmax` — appended as
+    * the `normalized` column (round-6). Degenerate series pin to 0
+    * where ES's arithmetic would 0/0 (max = min, zero stddev; a
+    * DEFINED answer beats NaN in an oracle-gated engine, stated).
+    * Determinism discipline: every cross-bucket reduction that feeds
+    * a divisor runs as a round-6 DECIMAL(38,6) sum (order-free — sum,
+    * Σx², Σeˣ), mean/variance from the X243 power-sum shape, variance
+    * clamped at 0 against float cancellation. Softmax expects
+    * score-scale metrics (eˣ of a raw million-count overflows — ES's
+    * own hazard, stated). One broadcast one-row stats frame over the
+    * bucket-sized input (pipeline-agg contract) — no window, no
+    * shuffle. */
+  def normalizeBucket(buckets: DataFrame, metric: Column,
+      method: String, out: String = "normalized"): DataFrame = {
+    val methods = Set("rescale_0_1", "rescale_0_100", "percent_of_sum",
+      "mean", "zscore", "softmax")
+    require(methods(method), s"unknown method '$method' (one of $methods)")
+    require(!buckets.columns.contains(out),
+      s"normalizeBucket emits '$out'; rename the existing column first")
+    val dec = DataTypes.createDecimalType(38, 6)
+    val m = metric.cast(DoubleType)
+    val stats = buckets.agg(
+      min(m).as("__min"), max(m).as("__max"),
+      sum(round(m, 6).cast(dec)).cast(DoubleType).as("__sum"),
+      count(lit(1)).as("__n"),
+      sum(round(m * m, 6).cast(dec)).cast(DoubleType).as("__sum2"),
+      sum(round(exp(m), 6).cast(dec)).cast(DoubleType).as("__esum"))
+    val x = m
+    val mean = col("__sum") / col("__n").cast(DoubleType)
+    val range = col("__max") - col("__min")
+    val variance = greatest(
+      col("__sum2") / col("__n").cast(DoubleType) - mean * mean, lit(0.0))
+    val norm = method match {
+      case "rescale_0_1" =>
+        when(range === 0.0, lit(0.0)).otherwise((x - col("__min")) / range)
+      case "rescale_0_100" =>
+        when(range === 0.0, lit(0.0))
+          .otherwise(lit(100.0) * (x - col("__min")) / range)
+      case "percent_of_sum" =>
+        when(col("__sum") === 0.0, lit(0.0))
+          .otherwise(lit(100.0) * x / col("__sum"))
+      case "mean" =>
+        when(range === 0.0, lit(0.0)).otherwise((x - mean) / range)
+      case "zscore" =>
+        when(sqrt(variance) === 0.0, lit(0.0))
+          .otherwise((x - mean) / sqrt(variance))
+      case "softmax" => exp(x) / col("__esum")
+    }
+    buckets.crossJoin(broadcast(stats))
+      .withColumn(out, round(norm, 6))
+      .drop("__min", "__max", "__sum", "__n", "__sum2", "__esum")
+  }
+
   def decayedActivity(events: DataFrame, key: Column, ts: Column,
       value: Column, halfLifeDays: Double, k: Int): DataFrame = {
     require(halfLifeDays > 0, s"half-life must be positive, got $halfLifeDays")

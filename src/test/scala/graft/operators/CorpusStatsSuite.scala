@@ -559,6 +559,27 @@ class CorpusStatsSuite extends AnyFunSuite {
       CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 0))
   }
 
+  test("topMetrics: argmax row per bucket, deterministic tie, null sort skipped (X296)") {
+    val df = Seq(
+      ("en", Some(10L), "s1", 1L),
+      ("en", Some(10L), "s2", 2L),  // tie on sort: highest doc_id wins
+      ("en", Some(3L), "s3", 3L),
+      ("de", Some(7L), "s4", 4L),
+      ("de", None, "s5", 5L))       // null sort: skipped entirely
+      .toDF("lang", "chars", "src", "id")
+    val got = CorpusStats.topMetrics(df, col("lang"), col("chars"),
+        col("id"), Seq("top_chars" -> col("chars"), "top_src" -> col("src")))
+      .orderBy(col("key")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(("de", 1L, 7L, "s4"), ("en", 3L, 10L, "s2")))
+    intercept[IllegalArgumentException](
+      CorpusStats.topMetrics(df, col("lang"), col("chars"), col("id"), Nil))
+    intercept[IllegalArgumentException](
+      CorpusStats.topMetrics(df, col("lang"), col("chars"), col("id"),
+        Seq("a" -> col("src"), "a" -> col("src"))))
+  }
+
   test("stringStats: length panel + base-2 char entropy; single-char key pins to 0 (X291)") {
     val df = Seq(
       ("a", "abab"),   // chars a:2 b:2 -> entropy 1.0

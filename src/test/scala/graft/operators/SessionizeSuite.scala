@@ -495,6 +495,38 @@ class SessionizeSuite extends AnyFunSuite {
       ("b", 2L, 10.0, 12.5, 15.0, 17.5, 20.0)))
   }
 
+  test("normalizeBucket: six ES methods on a hand fixture; degenerate series pin to 0 (X295)") {
+    val df = Seq(1.0, 2.0, 3.0).map(("b", _)).toDF("k", "v")
+    def got(method: String): Seq[Double] =
+      Sessionize.normalizeBucket(df, col("v"), method)
+        .orderBy(col("v")).select(col("normalized"))
+        .collect().map(_.getDouble(0)).toSeq
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(got("rescale_0_1") === Seq(0.0, 0.5, 1.0))
+    assert(got("rescale_0_100") === Seq(0.0, 50.0, 100.0))
+    assert(close(got("percent_of_sum"), Seq(16.666667, 33.333333, 50.0)))
+    assert(got("mean") === Seq(-0.5, 0.0, 0.5))
+    // std = sqrt(2/3)
+    assert(close(got("zscore"), Seq(-1.224745, 0.0, 1.224745)))
+    assert(close(got("softmax"), Seq(0.090031, 0.244728, 0.665241)))
+    // constant series: every range/stddev method pins to 0, the
+    // share-style methods split evenly
+    val const = Seq(5.0, 5.0).map(("b", _)).toDF("k", "v")
+    def gotC(m: String) = Sessionize.normalizeBucket(const, col("v"), m)
+      .select(col("normalized")).collect().map(_.getDouble(0)).toSeq
+    assert(gotC("rescale_0_1") === Seq(0.0, 0.0))
+    assert(gotC("mean") === Seq(0.0, 0.0))
+    assert(gotC("zscore") === Seq(0.0, 0.0))
+    assert(gotC("percent_of_sum") === Seq(50.0, 50.0))
+    assert(gotC("softmax") === Seq(0.5, 0.5))
+    intercept[IllegalArgumentException](
+      Sessionize.normalizeBucket(df, col("v"), "nope"))
+    intercept[IllegalArgumentException](
+      Sessionize.normalizeBucket(df.withColumnRenamed("k", "normalized"),
+        col("v"), "mean"))
+  }
+
   test("madExact: deviations measured against the published round-6 median (X293)") {
     // [1, 2, 4, 100]: median 3, |dev| = [2, 1, 1, 97] -> mad 1.5 —
     // the outlier that would wreck a stddev barely moves the MAD

@@ -1370,6 +1370,64 @@ class TextAnalysisSuite extends AnyFunSuite {
       docs, "doc_id", col("text"), 3, 9))
   }
 
+  test("differential: unigramLearn matches an in-memory reference on random corpora (X288)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(19)
+    val alphabet = "abcd"
+    def word() =
+      Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1L to 12L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(8))(word()).mkString(" ")
+    }
+    val (seedSize, iters, maxLen) = (8, 2, 3)
+    // in-memory reference: same seed census, Viterbi (first-minimal
+    // split), recount, prune, smoothing — independent implementation
+    val freq = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val census = freq.toSeq.flatMap { case (w, f) =>
+      for (s <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - s))
+        yield (w.substring(s, s + l), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val top = census.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var vocab = (top ++ census.filter(_._1.length == 1)).toMap
+    def viterbi(w: String, cost: Map[String, Double]): Seq[String] = {
+      val inf = 1e18
+      val dp = Array.fill(w.length + 1)((inf, -1)); dp(0) = (0.0, -1)
+      for (i <- 1 to w.length; j <- math.max(0, i - maxLen) until i) {
+        cost.get(w.substring(j, i)).foreach { c =>
+          if (dp(j)._1 < inf && dp(j)._1 + c < dp(i)._1) dp(i) = (dp(j)._1 + c, j)
+        }
+      }
+      var pos = w.length; val out = scala.collection.mutable.ListBuffer[String]()
+      while (pos > 0) { val j = dp(pos)._2; w.substring(j, pos) +=: out; pos = j }
+      out.toSeq
+    }
+    val expect = scala.collection.mutable.Map[Int, Map[String, Long]](0 -> vocab)
+    for (k <- 1 to iters) {
+      val tot = vocab.values.sum.toDouble
+      val cost = vocab.map { case (p, c) => p -> -math.log(c / tot) }
+      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      freq.foreach { case (w, f) =>
+        viterbi(w, cost).foreach(p => counts(p) += f)
+      }
+      vocab = vocab.keys.flatMap { p =>
+        val c = counts(p)
+        if (p.length == 1) Some(p -> (c + 1L))
+        else if (c > 0L) Some(p -> c) else None
+      }.toMap
+      expect(k) = vocab
+    }
+    val got = TextAnalysis.unigramLearn(docs.toDF("doc_id", "text"),
+        "doc_id", col("text"), seedSize, iters, maxLen)
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+    (0 to iters).foreach { k =>
+      assert(got(k) === expect(k), s"iter $k diverged")
+    }
+  }
+
   test("unigramLearn: a multi-char piece that wins zero occurrences prunes and stays out (X288)") {
     val spark2 = spark
     import spark2.implicits._
