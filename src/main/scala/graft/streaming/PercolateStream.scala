@@ -73,7 +73,8 @@ object PercolateStream {
       : StreamingQuery = {
     val frozen = TextAnalysis.validateClauseBatch(clauses, minShould)
       .localCheckpoint(true)
-    startWith(spark, docsDir, checkpointDir, outDir, idCol, textCol, schema) {
+    startWith(spark, docsDir, checkpointDir, outDir, idCol, textCol, schema,
+      releaseOut = false) { // out reaches the STREAM-lived frozen pin
       fresh => matchBatch(fresh, idCol, textCol, frozen, minShould)
     }
   }
@@ -96,8 +97,42 @@ object PercolateStream {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : StreamingQuery = {
     val store = new QueryStore(spark, storePath)
-    startWith(spark, docsDir, checkpointDir, outDir, idCol, textCol, schema) {
+    startWith(spark, docsDir, checkpointDir, outDir, idCol, textCol, schema,
+      releaseOut = false) { // percolate pins nothing batch-lived
       fresh => store.percolate(fresh, idCol, col(textCol), minShould)
+    }
+  }
+
+  /** Live stored-query mode with SCORED matches (X246 at the stream:
+    * every fired (query, doc) pair carries its batch-relative BM25
+    * score, so the alert consumer can rank a bursty batch's firings
+    * instead of treating all as equal — the routing/paging decision an
+    * alert fan-in actually makes). Same liveness and pruning as
+    * [[startStored]]; per batch the scored percolation's staging pin
+    * is released after the sink write materializes (the
+    * [[graft.util.Pins]] caller-release contract — without it the pin
+    * would accrete across the stream's micro-batches). Scores are
+    * batch-relative by design (X246's documented semantics): the same
+    * doc in a different batch can score differently. Output adds
+    * `score` to the match row. */
+  def startStoredScored(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      outDir: String,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minShould: Int = 1,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val store = new QueryStore(spark, storePath)
+    startWith(spark, docsDir, checkpointDir, outDir, idCol, textCol, schema,
+      releaseOut = true) { // the scored staging pin is batch-lived
+      fresh => store.percolateScored(fresh, idCol, col(textCol),
+        minShould, k1, b)
     }
   }
 
@@ -108,7 +143,8 @@ object PercolateStream {
       outDir: String,
       idCol: String,
       textCol: String,
-      schema: Option[org.apache.spark.sql.types.StructType])(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      releaseOut: Boolean)(
       matcher: DataFrame => DataFrame): StreamingQuery = {
     spark.readStream
       .schema(schema.getOrElse(spark.read.parquet(docsDir).schema))
@@ -124,10 +160,20 @@ object PercolateStream {
           .localCheckpoint(true) // consumed twice: matcher + seen append
         try {
           if (!fresh.isEmpty) {
-            matcher(fresh.drop("__fp")).write.mode("append").parquet(outDir)
+            val out = matcher(fresh.drop("__fp"))
+            out.write.mode("append").parquet(outDir)
             fresh.select(col(idCol), col("__fp"))
               .write.mode("append").parquet(seenDir(outDir))
             compactSeen(spark, outDir)
+            // a matcher may return a frame backed by a BATCH-lived pin
+            // (percolateScored's staging) — release once every write
+            // materialized, or pins accrete across micro-batches. Only
+            // when the mode declares its pins batch-lived: release walks
+            // ALL of out's reachable pins (the shared-pin rule on
+            // [[graft.util.Pins.release]]), which in frozen mode would
+            // kill the STREAM-lived clause pin. And only after the seen
+            // write — out also reaches fresh's checkpoint.
+            if (releaseOut) graft.util.Pins.release(out)
           }
         } finally graft.util.Pins.release(fresh)
       }

@@ -115,4 +115,39 @@ class PercolateStreamSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch1.subsetOf(out.toSet))
   }
+
+  test("startStoredScored: streamed scored matches ≡ batch percolateScored PER BATCH (X297)") {
+    val dir = Files.createTempDirectory("graft_perc_scored").toString
+    val docsDir = s"$dir/docs"
+    val qs = new graft.sources.QueryStore(spark, s"$dir/qs", buckets = 8)
+    qs.build(clauses)
+    // scores are batch-relative BY DESIGN and the source triggers one
+    // FILE per micro-batch, so each arrival group writes as ONE file —
+    // the parity target is the batch operator run per file
+    docsRows.take(3).toDF("doc_id", "text").coalesce(1).write.parquet(docsDir)
+    val query = PercolateStream.startStoredScored(spark, docsDir,
+      s"$dir/ckpt", s"$dir/out", s"$dir/qs")
+    try {
+      query.processAllAvailable()
+      docsRows.drop(3).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    def batchScored(rows: Seq[(Long, String)]) =
+      qs.percolateScored(rows.toDF("doc_id", "text"), "doc_id", col("text"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val b1 = batchScored(docsRows.take(3))
+    val b2 = batchScored(docsRows.drop(3))
+    assert(streamed === (b1 ++ b2),
+      "stream must equal the batch scored operator per arrival group")
+    // the batch-relative contract is visible: doc 2's alert1 score in a
+    // 3-doc batch need not equal its score in the full corpus
+    assert(streamed.exists(_._4 > 0.0), "scores flow through the sink")
+  }
 }
