@@ -14,7 +14,7 @@ import graft.sources.QueryStore
   * `outDir` — the alerting/routing pipeline shape (saved searches fire
   * as the crawl lands, no document index ever built).
   *
-  * Two stored-query modes:
+  * Three stored-query modes:
   *  - [[start]]: a FROZEN in-memory clause frame, validated once at
   *    stream start (the [[SbStream.freezeTables]] version-pinning
   *    discipline; restart the stream to pick up edited alerts) and
@@ -24,7 +24,9 @@ import graft.sources.QueryStore
   *    clause layout, so appended/tombstoned alerts take effect on the
   *    NEXT batch with no restart, and the membership join prunes to
   *    the batch vocabulary's buckets (the 10⁵–10⁶ stored-query scale
-  *    path; X212).
+  *    path; X212);
+  *  - [[startStoredScored]]: X212's liveness with X246's
+  *    batch-relative BM25 score on every fired pair (X297).
   *
   * Replay guard (the `_seen` sidecar under `outDir`): arriving rows are
   * keyed on (doc_id, content fingerprint) — a replayed at-least-once
