@@ -1371,6 +1371,27 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q343_ip_range" -> ((s, d) => {
+      // X298 ES ip_range: dotted-quad ips derived from event ids (the
+      // PARSER is the capability — strict reject-don't-guess IPv4 →
+      // long), two deliberately malformed classes prove the null path,
+      // overlapping + open-ended + empty ranges per the ES conventions
+      val id = col("event_id")
+      val ip = when(id % 97 === 0, lit("not-an-ip"))
+        .when(id % 89 === 0, lit("300.1.2.3"))
+        .otherwise(concat(lit("10."),
+          pmod(shiftright(id, 16), lit(256)).cast(StringType), lit("."),
+          pmod(shiftright(id, 8), lit(256)).cast(StringType), lit("."),
+          pmod(id, lit(256)).cast(StringType)))
+      CorpusStats.ipRangeAgg(events(s, d).select(id, ip.as("ip")),
+          col("ip"), Seq(
+            (Some("10.0.0.0"), Some("10.0.128.0")),
+            (Some("10.0.128.0"), None),
+            (None, Some("10.0.0.64")),
+            (Some("10.0.0.32"), Some("10.0.192.0")),
+            (Some("11.0.0.0"), Some("12.0.0.0")))) // empty, still emits
+        .orderBy(col("key"))
+    }),
     "q342_top_metrics" -> ((s, d) => {
       // X296 ES top_metrics (size 1): per lang the LONGEST doc's
       // metrics — one max_by aggregate, no window, ties to the highest
@@ -6296,6 +6317,29 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X298: the same derived ips as numbers (malformed classes -> NULL,
+    // matching the strict parser), bounds spelled as octet arithmetic
+    "q343_ip_range" ->
+      """WITH ips AS (SELECT CASE
+            WHEN event_id % 97 = 0 OR event_id % 89 = 0 THEN NULL
+            ELSE 10 * 16777216 + ((event_id // 65536) % 256) * 65536
+              + ((event_id // 256) % 256) * 256 + event_id % 256 END AS v
+          FROM events)
+          SELECT * FROM (
+            SELECT '10.0.0.0-10.0.128.0' AS key, COUNT(CASE WHEN
+                v >= 10 * 16777216 AND v < 10 * 16777216 + 128 * 256
+              THEN 1 END) AS doc_count FROM ips
+            UNION ALL SELECT '10.0.128.0-*', COUNT(CASE WHEN
+                v >= 10 * 16777216 + 128 * 256 THEN 1 END) FROM ips
+            UNION ALL SELECT '*-10.0.0.64', COUNT(CASE WHEN
+                v < 10 * 16777216 + 64 THEN 1 END) FROM ips
+            UNION ALL SELECT '10.0.0.32-10.0.192.0', COUNT(CASE WHEN
+                v >= 10 * 16777216 + 32
+                AND v < 10 * 16777216 + 192 * 256 THEN 1 END) FROM ips
+            UNION ALL SELECT '11.0.0.0-12.0.0.0', COUNT(CASE WHEN
+                v >= 11 * 16777216 AND v < 12 * 16777216 THEN 1 END)
+              FROM ips)
+          ORDER BY key""",
     // X296: the argmax row per bucket — ROW_NUMBER over the same total
     // order (sort desc, tiebreak desc), null sorts skipped
     "q342_top_metrics" ->

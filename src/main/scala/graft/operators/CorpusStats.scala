@@ -537,6 +537,67 @@ object CorpusStats {
     condCountsStacked(df, keyed)
   }
 
+  /** Parse a dotted-quad IPv4 string column to its unsigned 32-bit
+    * value as a LONG — the comparable form every ip-range operation
+    * sorts and buckets on. Strictly four dot-separated decimal octets,
+    * each 0-255 with no sign/whitespace/hex; anything else (IPv6,
+    * hostnames, octets > 255, empty parts) is null — an ip column in a
+    * crawl log is attacker-controlled text, so the parser REJECTS
+    * rather than guesses. Pure Column arithmetic (split + guards +
+    * shifts), codegen end-to-end. */
+  def ipv4ToLong(ip: Column): Column = {
+    val parts = split(ip, "\\.", -1)
+    def octet(i: Int) = {
+      // try_element_at, not element_at: ANSI element_at throws on an
+      // out-of-bounds index, and common-subexpression elimination can
+      // hoist the access past the size guard below
+      val s = try_element_at(parts, lit(i))
+      // decimal digits only, 1-3 chars; cast AFTER the shape check so
+      // '08' parses (it is valid decimal) but '+8'/'' /'1e2' never do
+      when(s.rlike("^[0-9]{1,3}$"), s.cast(LongType)).otherwise(lit(null))
+    }
+    val o = (1 to 4).map(octet)
+    when(size(parts) === 4 &&
+        o.map(c => c.isNotNull && c <= 255).reduce(_ && _),
+      o.reduce((a, b) => a * 256 + b))
+      .otherwise(lit(null).cast(LongType))
+  }
+
+  /** IP-range aggregation (the ES `ip_range` agg — the address-space
+    * sibling of [[rangeAgg]]/[[dateRangeAgg]], completing the range
+    * family): per [from, to) IPv4 range the doc_count — overlap
+    * allowed, empty ranges emit, `to` exclusive, unparseable/missing
+    * ips match nothing (the ES missing rule, via [[ipv4ToLong]]'s
+    * strict null). Keys are the ES from-to form with `*` open ends.
+    * The same ONE-pass conditional-count row + bounded stack as the
+    * whole range family (shared [[condCountsStacked]] tail — no
+    * row-mass shuffle). */
+  def ipRangeAgg(df: DataFrame, ip: Column,
+      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    require(ranges.forall { case (f, t) =>
+      f.nonEmpty || t.nonEmpty }, "a range needs at least one bound")
+    def lv(s: String): Long = {
+      val ps = s.split("\\.", -1)
+      require(ps.length == 4 && ps.forall(p => p.matches("[0-9]{1,3}") &&
+        p.toLong <= 255), s"bad IPv4 literal '$s'")
+      ps.map(_.toLong).reduce((a, b) => a * 256 + b)
+    }
+    require(ranges.forall { case (f, t) =>
+      f.isEmpty || t.isEmpty || lv(f.get) < lv(t.get) },
+      s"every range needs from < to: $ranges")
+    val v = ipv4ToLong(ip)
+    val keyed = ranges.map { case (f, t) =>
+      val k = s"${f.getOrElse("*")}-${t.getOrElse("*")}"
+      val cond = (f.map(x => v >= lv(x)) ++ t.map(x => v < lv(x)))
+        .reduce(_ && _)
+      (k, cond)
+    }
+    require(keyed.map(_._1).distinct.size == keyed.size,
+      s"duplicate range key in ${keyed.map(_._1)}")
+    condCountsStacked(df, keyed)
+  }
+
   /** Rare-terms aggregation (X251 — the ES `rare_terms` bucket agg,
     * the long-tail complement of `terms`): the terms whose document
     * frequency is ≤ `maxDocCount` — "what occurs almost never", the

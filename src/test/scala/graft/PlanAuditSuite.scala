@@ -921,4 +921,23 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"the global cut must be a heap, not Sort+GlobalLimit:\n$p")
   }
+
+  test("top_metrics: one map-side-combined aggregate, no window (X296)") {
+    val p = staticPlan("q342_top_metrics")
+    assert(!p.contains("Window"), s"argmax must be max_by, not a window:\n$p")
+    // struct-valued max_by plans as SortAggregate; the scale property is
+    // the PARTIAL side — per-task maxima before the exchange
+    assert(p.contains("partial_max_by"),
+      s"max_by must combine map-side:\n$p")
+  }
+
+  test("filtered PQ probe: the probe set still reaches the codes scan as partition filters (X294)") {
+    val parts = df("q340_knn_filtered_pq").queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("codes")) =>
+        s.metadata.getOrElse("PartitionFilters", "")
+    }
+    assert(parts.exists(_.contains("ivf_list")),
+      s"probe must prune the codes directories: $parts")
+  }
 }

@@ -559,6 +559,46 @@ class CorpusStatsSuite extends AnyFunSuite {
       CorpusStats.multiTermsAgg(df, Seq(col("lang"), col("src")), 0))
   }
 
+  test("ipv4ToLong: strict reject-don't-guess parse; ipRangeAgg conventions (X298)") {
+    val ips = Seq(
+      "0.0.0.0" -> Some(0L),
+      "255.255.255.255" -> Some(4294967295L),
+      "10.0.0.1" -> Some(167772161L),
+      "010.0.0.1" -> Some(167772161L), // leading zero is still decimal
+      "256.0.0.1" -> None,             // octet > 255
+      "1.2.3" -> None,                 // three octets
+      "1.2.3.4.5" -> None,             // five octets
+      "1.2..4" -> None,                // empty octet
+      "a.b.c.d" -> None,               // not decimal
+      " 1.2.3.4" -> None,              // whitespace
+      "+1.2.3.4" -> None,              // sign
+      "1.2.3.1e2" -> None)             // scientific notation
+    val got = ips.map(_._1).toDF("ip")
+      .select(col("ip"), CorpusStats.ipv4ToLong(col("ip")).as("v"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    ips.foreach { case (s, want) =>
+      assert(got(s) === want, s"parse of '$s'") }
+    // range agg: overlap, open ends, empty bucket, null drop
+    val df = Seq("10.0.0.1", "10.0.0.2", "10.0.1.1", "junk").toDF("ip")
+    val agg = CorpusStats.ipRangeAgg(df, col("ip"), Seq(
+        (Some("10.0.0.0"), Some("10.0.1.0")),
+        (Some("10.0.0.2"), None),
+        (None, Some("10.0.0.2")),
+        (Some("172.16.0.0"), Some("172.17.0.0"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg("10.0.0.0-10.0.1.0") === 2L)
+    assert(agg("10.0.0.2-*") === 2L)
+    assert(agg("*-10.0.0.2") === 1L)
+    assert(agg("172.16.0.0-172.17.0.0") === 0L, "empty range still emits")
+    intercept[IllegalArgumentException](
+      CorpusStats.ipRangeAgg(df, col("ip"), Nil))
+    intercept[IllegalArgumentException](CorpusStats.ipRangeAgg(df, col("ip"),
+      Seq((Some("10.0.1.0"), Some("10.0.0.0")))))
+    intercept[IllegalArgumentException](CorpusStats.ipRangeAgg(df, col("ip"),
+      Seq((Some("999.0.0.1"), None))))
+  }
+
   test("topMetrics: argmax row per bucket, deterministic tie, null sort skipped (X296)") {
     val df = Seq(
       ("en", Some(10L), "s1", 1L),
