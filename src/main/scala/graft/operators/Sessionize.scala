@@ -789,12 +789,20 @@ object Sessionize {
       s"normalizeBucket emits '$out'; rename the existing column first")
     val dec = DataTypes.createDecimalType(38, 6)
     val m = metric.cast(DoubleType)
+    // the softmax denominator evaluates ONLY for softmax: e^x of a
+    // large metric overflows to Infinity, and under ANSI the decimal
+    // cast of Infinity THROWS — a rescale caller must never pay
+    // softmax's domain restriction
+    val esum =
+      if (method == "softmax") sum(round(exp(m), 6).cast(dec))
+        .cast(DoubleType)
+      else lit(0.0)
     val stats = buckets.agg(
       min(m).as("__min"), max(m).as("__max"),
       sum(round(m, 6).cast(dec)).cast(DoubleType).as("__sum"),
       count(lit(1)).as("__n"),
       sum(round(m * m, 6).cast(dec)).cast(DoubleType).as("__sum2"),
-      sum(round(exp(m), 6).cast(dec)).cast(DoubleType).as("__esum"))
+      esum.as("__esum"))
     val x = m
     val mean = col("__sum") / col("__n").cast(DoubleType)
     val range = col("__max") - col("__min")

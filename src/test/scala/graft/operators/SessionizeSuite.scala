@@ -525,6 +525,13 @@ class SessionizeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sessionize.normalizeBucket(df.withColumnRenamed("k", "normalized"),
         col("v"), "mean"))
+    // softmax's e^x domain restriction must not leak into other
+    // methods: a metric large enough to overflow exp still rescales
+    // (ANSI would throw on the decimal cast of Infinity)
+    val big = Seq(0.0, 1000.0).map(("b", _)).toDF("k", "v")
+    assert(Sessionize.normalizeBucket(big, col("v"), "rescale_0_1")
+      .orderBy(col("v")).select(col("normalized"))
+      .collect().map(_.getDouble(0)).toSeq === Seq(0.0, 1.0))
   }
 
   test("madExact: deviations measured against the published round-6 median (X293)") {
