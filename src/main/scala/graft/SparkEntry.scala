@@ -1408,9 +1408,14 @@ object SparkEntry {
       // series — the metric is ln(n) (score-scale, the softmax
       // contract; e^ln(n) = n keeps the softmax denominator exact and
       // bounded at every SF)
+      // the daily aggregate feeds all six method calls (each of which
+      // also runs its own one-row stats pass) — pinned once so the
+      // events table is scanned ONCE, not ~12×; the harness releases
+      // after the union materializes (Bench/Verify per-query release)
       val daily = events(s, d)
         .groupBy(date_trunc("day", col("ts")).as("bucket_start"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val metric = log(col("n").cast(DoubleType))
       Seq("rescale_0_1", "rescale_0_100", "percent_of_sum",
           "mean", "zscore", "softmax")

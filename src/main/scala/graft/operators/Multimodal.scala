@@ -619,7 +619,11 @@ object Multimodal {
             ((bytes(p + 4) & 0x7f) << 21) | ((bytes(p + 5) & 0x7f) << 14) |
               ((bytes(p + 6) & 0x7f) << 7) | (bytes(p + 7) & 0x7f)
           } else java.nio.ByteBuffer.wrap(bytes, p + 4, 4).getInt
-        if (sz <= 0 || p + 10 + sz > end) return null
+        // subtractive bound: v2.3 sizes are a plain 32-bit getInt, so a
+        // crafted sz near Int.MaxValue makes `p + 10 + sz` wrap negative
+        // and slip past an additive check — compare against the space
+        // actually left instead (end - p - 10 can't overflow: p < end)
+        if (sz <= 0 || sz > end - p - 10) return null
         if (fid == "TIT2" || fid == "TPE1" || fid == "TALB") {
           val txt = (bytes(p + 10) & 0xff) match {
             case 0 => new String(bytes, p + 11, sz - 1, "ISO-8859-1")
@@ -676,9 +680,16 @@ object Multimodal {
       }
       // a well-formed leading ID3v2 tag skips STRUCTURALLY (declared
       // length), never byte-by-byte — tag text can contain 0xFFFx
+      // leading-junk resync advances byte-by-byte past -2 candidates
+      // too: a junk prefix byte can coincidentally form a sync pattern
+      // declaring a frame longer than the buffer, and treating that as
+      // terminal would null a file whose real complete frames follow.
+      // -2 is terminal only once the first COMPLETE frame confirmed the
+      // stream (the walk loop below exits on it) — mid-stream it means
+      // genuine truncation.
       var start = id3v2Size(bytes)
-      while (start + 4 <= bytes.length && headerAt(start) == -1) start += 1
-      if (start + 4 > bytes.length || headerAt(start) == -2) return null
+      while (start + 4 <= bytes.length && headerAt(start) < 0) start += 1
+      if (start + 4 > bytes.length) return null
       val srIdx = (bytes(start + 2) >> 2) & 0x3
       val sr = SampleRates(srIdx)
       val kbps = Array.newBuilder[Int]

@@ -495,6 +495,68 @@ class MultimodalSuite extends AnyFunSuite {
     assert(Mp3Codec.id3v2Meta(lying ++ frames.take(10)) == null)
   }
 
+  test("ID3v2 v2.3 frame size near Int.MaxValue null-skips, never crashes") {
+    import Multimodal.Mp3Codec
+    // a crafted v2.3 frame whose plain 32-bit size is 0x7FFFFFFF: an
+    // additive bound (p + 10 + sz > end) overflows negative and passes,
+    // reaching new String with an absurd length — the subtractive guard
+    // (sz > end - p - 10) must reject it as the documented null-skip
+    def tagWithFrameSize(szBytes: Array[Byte]): Array[Byte] = {
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("TIT2".getBytes("US-ASCII"))
+      body.write(szBytes(0)); body.write(szBytes(1))
+      body.write(szBytes(2)); body.write(szBytes(3))
+      body.write(0); body.write(0)
+      body.write(Array.fill[Byte](90)(0x41)) // filler "payload"
+      val b = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((b.length >>> 21) & 0x7f); out.write((b.length >>> 14) & 0x7f)
+      out.write((b.length >>> 7) & 0x7f); out.write(b.length & 0x7f)
+      out.write(b)
+      out.toByteArray
+    }
+    val overflow = tagWithFrameSize(
+      Array(0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+    assert(Multimodal.Mp3Codec.id3v2Meta(overflow) == null)
+    // every high-byte-set size in the overflow-prone band: none may throw
+    for (hi <- Seq(0x10, 0x40, 0x7e, 0x7f); lo <- Seq(0x00, 0xff)) {
+      val t = tagWithFrameSize(
+        Array(hi.toByte, lo.toByte, lo.toByte, lo.toByte))
+      assert(Mp3Codec.id3v2Meta(t) == null)
+    }
+    // a size that honestly fits still parses via the same guard
+    val honest = Mp3Codec.id3v2(Seq("TIT2" -> "fits"))
+    assert(Mp3Codec.id3v2Meta(honest)._3 === "fits")
+  }
+
+  test("mp3 scan: leading-junk -2 candidate resyncs; mid-stream -2 stops") {
+    import Multimodal.Mp3Codec
+    // two real frames = 939 bytes, so the junk prefix's declared
+    // 1440-byte frame (320 kbps @ 32 kHz) genuinely overruns the buffer
+    val frames = Mp3Codec.encode("s".getBytes, Seq(9, 10), 0)
+    // a junk prefix that happens to form a valid header declaring a
+    // frame longer than the whole buffer: during the leading-junk phase
+    // that -2 candidate must be skipped byte-by-byte, recovering the
+    // real complete frames that follow
+    val junkSync = Array(0xff.toByte, 0xfb.toByte,
+      ((14 << 4) | (2 << 2)).toByte, 0x00.toByte)
+    val recovered = Mp3Codec.scan(junkSync ++ frames)
+    val bare = Mp3Codec.scan(frames)
+    assert(recovered != null && bare != null)
+    assert(recovered._1 === bare._1 && recovered._2.toSeq === bare._2.toSeq,
+      "a coincidental long-frame sync in the junk prefix must not null the file")
+    // mid-stream the -2 stays terminal: truncating inside the second
+    // frame reports exactly the first frame, never a resynced fabrication
+    val len1 = Mp3Codec.frameLength(128, 44100, 0)
+    val truncated = Mp3Codec.scan(frames.take(len1 + 100))
+    assert(truncated != null && truncated._2.toSeq === Seq(128),
+      "truncation after the first confirmed frame stops the walk")
+    // a file that is ONLY a truncated frame still nulls (no complete frame)
+    assert(Mp3Codec.scan(frames.take(100)) == null)
+  }
+
   test("mp3Scan surface: fixture CBR/VBR profile, exact duration, skip-not-fail") {
     val docs = Seq((4L, "even id cbr"), (5L, "odd id vbr")).toDF("doc_id", "text")
     val m = Multimodal.fromTextAsMp3s(docs, "doc_id", "text")
