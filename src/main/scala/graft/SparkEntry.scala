@@ -1371,6 +1371,19 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q344_maxsim" -> ((s, d) => {
+      // X299 ColBERT MaxSim late interaction (Khattab & Zaharia,
+      // SIGIR '20): 4 query token vectors (vec_id 0-3, the q34 anchor
+      // convention) against vec_id%50 chunk-grouped docs (the q102
+      // convention) — per-token max cosine over each doc's chunks,
+      // round-6 decimal-summed, top 10. Tokens ride as literals; chunk
+      // vectors never cross an exchange (map-side partial MAX)
+      val toks = t(s, d, "embeddings").filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      Ann.maxSimTopK(t(s, d, "embeddings"), col("vec_id") % 50, "embedding",
+        toks, k = 10)
+    }),
     "q343_ip_range" -> ((s, d) => {
       // X298 ES ip_range: dotted-quad ips derived from event ids (the
       // PARSER is the capability — strict reject-don't-guess IPv4 →
@@ -6322,6 +6335,28 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X299 MaxSim: per (doc, token) the MAX cosine over the doc's
+    // chunks (the q34 correlated-unnest dot), then the round-6 decimal
+    // sum across tokens — order-free on both sides by construction
+    "q344_maxsim" ->
+      """WITH qt AS (SELECT vec_id AS tok, embedding AS qv,
+           sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+                 FROM unnest(embedding) AS t(y))) AS qmag
+           FROM embeddings WHERE vec_id < 4),
+         pertok AS (SELECT e.vec_id % 50 AS doc_key, qt.tok,
+             MAX((SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                  FROM LATERAL (SELECT unnest(e.embedding) AS x,
+                                       unnest(qt.qv) AS y) z) /
+                 (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                        FROM unnest(e.embedding) AS t(x))) * qt.qmag
+                  + 1e-12)) AS m
+           FROM embeddings e CROSS JOIN qt
+           GROUP BY 1, 2),
+         agg AS (SELECT doc_key,
+             CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+           FROM pertok GROUP BY doc_key)
+         SELECT doc_key, maxsim FROM agg
+         ORDER BY maxsim DESC, doc_key ASC LIMIT 10""",
     // X298: the same derived ips as numbers (malformed classes -> NULL,
     // matching the strict parser), bounds spelled as octet arithmetic
     "q343_ip_range" ->

@@ -761,4 +761,68 @@ object Ann {
   /** [[mmrRerank]]'s candidate-set bound: the greedy holds m relevances
     * and m(m−1)/2 pairwise sims driver-side. */
   val MmrMaxCandidates = 1024
+
+  /** [[maxSimTopK]]'s query bound: each query token becomes one literal
+    * vector + one MAX aggregate in a single plan, so the token count is
+    * a plan-width knob, not a data knob. 64 covers ColBERT's documented
+    * query length (32 padded tokens) with headroom. */
+  val MaxSimMaxQueryTokens = 64
+
+  /** Late-interaction MaxSim retrieval (ColBERT, Khattab & Zaharia,
+    * SIGIR '20): a document scores against a multi-token query as
+    * `Σ_i max_j sim(q_i, d_j)` — each query token independently finds
+    * its best-matching document chunk, and the per-token maxima sum.
+    * This sits between the engine's single-vector funnel
+    * (`reference: src/VectorTable.php:122-188` parity, one pooled
+    * vector per post) and BM25 (X76): token-level soft matching
+    * without the pooling information loss, the retrieval family modern
+    * RAG rerankers use. Composes into [[rrfFuse]] as a third leg.
+    *
+    * `chunks` holds one row per document chunk embedding; `docId`
+    * groups chunks into documents. `sim` is cosine (the q34 form,
+    * 1e-12 epsilon guard) when `normalized` — ColBERT's contract, all
+    * vectors unit-normalized so dot IS cosine, honored here without
+    * requiring pre-normalized storage — or the raw dot otherwise.
+    *
+    * Determinism: per-token maxima are order-free; the cross-token sum
+    * runs on round-6 DECIMAL terms (order-free by construction), cast
+    * back to DOUBLE at the boundary (raw decimals never ship — q128
+    * rule); final order by (maxsim DESC, doc id ASC).
+    *
+    * Scale: the query tokens broadcast as LITERALS inside the
+    * aggregate expressions (the X95 convention — no join, no second
+    * input), so this is ONE corpus pass with map-side partial MAX:
+    * chunk vectors never cross an exchange, only |docs| × |tokens|
+    * partial maxima shuffle on the doc key, and the final top-k is a
+    * TakeOrderedAndProject heap merge. At 100 TB the cost is the scan;
+    * pair it with an IVF/LSH candidate stage (q153's partition-pruned
+    * read) when the corpus no longer wants a full pass. */
+  def maxSimTopK(chunks: DataFrame, docId: Column, vecCol: String,
+      queryTokens: Seq[Array[Float]], k: Int,
+      normalized: Boolean = true): DataFrame = {
+    require(queryTokens.nonEmpty, "at least one query token vector")
+    require(queryTokens.size <= MaxSimMaxQueryTokens,
+      s"${queryTokens.size} query tokens > plan-width bound $MaxSimMaxQueryTokens")
+    require(k > 0, s"k must be positive, got $k")
+    val v = col(vecCol)
+    val maxes = queryTokens.zipWithIndex.map { case (qt, i) =>
+      val q = lit(qt).cast(ArrayType(FloatType))
+      val sim =
+        if (normalized)
+          vecDot(v, q) / (vecMagnitude(v) * lit(SearchEngine.magnitudeOf(qt)) +
+            lit(CosineEps))
+        else vecDot(v, q)
+      max(sim).as(s"__m$i")
+    }
+    val perDoc = chunks
+      .groupBy(docId.as("doc_key"))
+      .agg(maxes.head, maxes.tail: _*)
+    val score = queryTokens.indices
+      .map(i => round(col(s"__m$i"), 6).cast(DecimalType(20, 6)))
+      .reduce(_ + _)
+    perDoc
+      .select(col("doc_key"), score.cast(DoubleType).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_key").asc)
+      .limit(k)
+  }
 }

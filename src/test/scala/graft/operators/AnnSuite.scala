@@ -447,4 +447,76 @@ class AnnSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Ann.mmrRerank(embs, "vec_id", "embedding", q, 3, 1, 0.0))
   }
+
+  private def chunkDf(rows: Seq[(Long, Long, Seq[Float])]) =
+    rows.toDF("doc_id", "chunk_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+
+  test("maxSimTopK: hand-computed raw-dot MaxSim; per-token max, cross-token sum") {
+    // doc 1: axis-aligned unit chunks; doc 2: a strong x chunk + weak y
+    val chunks = chunkDf(Seq(
+      (1L, 10L, Seq(1f, 0f)), (1L, 11L, Seq(0f, 1f)),
+      (2L, 20L, Seq(2f, 0f)), (2L, 21L, Seq(0f, 0.5f))))
+    val toks = Seq(Array(1f, 0f), Array(0f, 1f))
+    val out = Ann.maxSimTopK(chunks, col("doc_id"), "embedding", toks,
+      k = 2, normalized = false).collect()
+    // doc1 = max(1,0) + max(0,1) = 2.0; doc2 = max(2,0) + max(0,0.5) = 2.5
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((2L, 2.5), (1L, 2.0)))
+  }
+
+  test("maxSimTopK: cosine mode ties break by ascending doc id") {
+    // normalized: both docs have a perfect chunk per token (magnitude
+    // cancels), so both score 2.0 — doc 1 must rank first
+    val chunks = chunkDf(Seq(
+      (2L, 20L, Seq(2f, 0f)), (2L, 21L, Seq(0f, 0.5f)),
+      (1L, 10L, Seq(1f, 0f)), (1L, 11L, Seq(0f, 1f))))
+    val toks = Seq(Array(1f, 0f), Array(0f, 1f))
+    val out = Ann.maxSimTopK(chunks, col("doc_id"), "embedding", toks, k = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L), "tie rule: id asc")
+    assert(out.forall(_.getDouble(1) === 2.0))
+  }
+
+  test("maxSimTopK: one token over singleton docs matches bruteForceTopK") {
+    val got = Ann.maxSimTopK(embs, col("vec_id"), "embedding",
+        Seq(query), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = Ann.bruteForceTopK(embs, "vec_id", "embedding", query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("maxSimTopK plan: one exchange, no vector crosses it, heap top-k") {
+    val out = Ann.maxSimTopK(embs, col("vec_id") % 5, "embedding",
+      Seq(query, vecs(7)._2.toArray), k = 3)
+    out.collect() // materialize so AQE settles on the final plan
+    // AQE hides exchanges inside QueryStage wrappers (node collect sees
+    // nothing), so audit the final-plan text, the PlanAuditSuite way
+    val plan = out.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .toList
+    assert(exchanges.size === 1, s"exactly the doc-key aggregation exchange:\n$plan")
+    val partialLines = finalSection.linesIterator
+      .filter(_.contains("partial_max")).toList
+    assert(partialLines.nonEmpty, "map-side partial MAX before the shuffle")
+    assert(partialLines.forall { l =>
+        val outCols = l.substring(l.lastIndexOf("output=["))
+        !outCols.contains("embedding")
+      }, "only partial maxima shuffle — chunk vectors stay map-side")
+    assert(finalSection.contains("TakeOrderedAndProject"),
+      "top-k is a per-partition heap merge, not a global sort")
+  }
+
+  test("maxSimTopK guards: empty/oversized token sets and k <= 0 reject") {
+    intercept[IllegalArgumentException](
+      Ann.maxSimTopK(embs, col("vec_id"), "embedding", Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Ann.maxSimTopK(embs, col("vec_id"), "embedding",
+        Seq.fill(Ann.MaxSimMaxQueryTokens + 1)(query), 3))
+    intercept[IllegalArgumentException](
+      Ann.maxSimTopK(embs, col("vec_id"), "embedding", Seq(query), 0))
+  }
 }
