@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, Multimodal, Packing, Paging, Pq, Quantize, RankEval, SearchEngine, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsOf, CorpusStats, Curation, Dedup, EmbedQueue, GraphAnn, Multimodal, Packing, Paging, Pq, Quantize, RankEval, SearchEngine, Sessionize, TextAnalysis}
 import graft.query.{Filter, FilterOp, FilterValue, MetaCast, QueryBuilder, QueryCompiler, SortDir}
 
 /** Driver contract (SURVEY.md §7 + builder prompt): `entry` is the flagship
@@ -1370,6 +1370,58 @@ object SparkEntry {
       Sessionize.percentilesExact(events(s, d), col("event_type"),
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
+    }),
+    "q345_graph_beam" -> ((s, d) => {
+      // X301 graph-ANN serve mechanics under a hash gate: exact 6-NN
+      // digraph over the vec_id<200 slice (SQL-expressible adjacency),
+      // then the distributed beam search with the window DISABLED —
+      // the walk visits exactly the entry's reachable set, which the
+      // oracle mirrors as a recursive CTE; top-10 among visited. Gates
+      // frontier expansion, visited dedup, scoring, and the tie rule;
+      // graph QUALITY is q346 + suite recall territory
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
+      val b = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+      val adj = a.join(b, col("src") =!= col("dst"))
+        .withColumn("cos", graft.functions.VectorFunctions.vecCosine(
+          col("sv"), col("dv")))
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst").asc)))
+        .filter(col("__rk") <= 6).select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val anchor = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      try GraphAnn.beamSearchTopK(adj, e, "vec_id", "embedding", anchor,
+        k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
+      finally graft.util.Pins.release(adj)
+    }),
+    "q346_vamana_recall" -> ((s, d) => {
+      // X300 Vamana build + beam serve graded against the exact scan:
+      // recall@10 per probe query (vec_id 0-3) on the vec_id<200
+      // slice — deterministic (hash-seeded build, id-asc ties) but not
+      // SQL-expressible (iterative alpha-prune), so rows-only by
+      // design; the suite pins the build contracts
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+        .localCheckpoint(true)
+      val g = GraphAnn.buildVamana(e, "vec_id", "embedding",
+        r = 8, alpha = 1.2, rounds = 2)
+      try {
+        val probes = e.filter(col("vec_id") < 4)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+          .sortBy(_._1)
+        val rows = probes.map { case (qid, qv) =>
+          val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
+            .collect().map(_.getLong(0)).toSet
+          val got = GraphAnn.beamSearchTopK(g, e, "vec_id", "embedding",
+            qv, k = 10, beamWidth = 32, entryId = Some(0L))
+            .collect().map(_.getLong(0))
+          val hits = got.count(exact)
+          (qid, hits.toLong, math.round(hits / 10.0 * 1e6) / 1e6)
+        }
+        import s.implicits._
+        rows.toDF("qid", "n_hits", "recall_at_10").orderBy(col("qid"))
+      } finally { graft.util.Pins.release(g); graft.util.Pins.release(e) }
     }),
     "q344_maxsim" -> ((s, d) => {
       // X299 ColBERT MaxSim late interaction (Khattab & Zaharia,
@@ -6335,6 +6387,39 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X301 graph serve: the 6-NN digraph spelled relationally, then the
+    // beam walk's exact contract — visit the entry's REACHABLE set
+    // (recursive CTE), score it, top-10 — so frontier/visited/tie
+    // mechanics gate on hashes even if the slice graph is disconnected
+    "q345_graph_beam" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings WHERE vec_id < 200),
+         pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM LATERAL (SELECT unnest(a.embedding) AS x,
+                                   unnest(b.embedding) AS y) z)
+               / (a.mag * b.mag + 1e-12) AS c
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         edges AS (SELECT src, dst FROM (
+             SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY c DESC, dst ASC) AS rk
+             FROM pairs) WHERE rk <= 6),
+         reach(id) AS (
+           SELECT CAST(0 AS BIGINT)
+           UNION
+           SELECT ed.dst FROM edges ed JOIN reach r ON ed.src = r.id),
+         q AS (SELECT embedding AS qv, mag AS qmag FROM e WHERE vec_id = 0),
+         fin AS (SELECT e.vec_id,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM LATERAL (SELECT unnest(e.embedding) AS x,
+                                   unnest(q.qv) AS y) z)
+               / (e.mag * q.qmag + 1e-12) AS c
+           FROM e JOIN reach r ON e.vec_id = r.id CROSS JOIN q)
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM fin
+         ORDER BY c DESC, vec_id ASC LIMIT 10""",
     // X299 MaxSim: per (doc, token) the MAX cosine over the doc's
     // chunks (the q34 correlated-unnest dot), then the round-6 decimal
     // sum across tokens — order-free on both sides by construction

@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** Graph ANN — a Vamana/DiskANN-style bounded-degree proximity graph
+  * (Subramanya et al., NeurIPS '19) built with Spark set operations, and
+  * a distributed best-first beam search over it.
+  *
+  * Design decision vs the rest of the ANN family: IVF with
+  * partition-pruned serving (X112/q153) REMAINS this engine's default
+  * 100 TB answer — its probe cost maps directly onto partition-pruned
+  * parquet reads, its maintenance onto the persisted-layout lifecycle,
+  * and the X141 nprobe sweep prices its recall curve. A graph index
+  * earns its keep where per-query latency at high recall matters more
+  * than scan economics (RAM/SSD-resident serving tiers). This module
+  * demonstrates that the graph path IS Spark-expressible with bounded
+  * rounds — each refinement round is one candidate self-join plus a
+  * per-node α-prune — so adopting it is an operating decision, not an
+  * architecture change.
+  *
+  * Scale shape of [[buildVamana]]: init edges come from capped
+  * locality (sign-bucket LSH) and pseudo-random ring groups — never an
+  * all-pairs join. Each gossip round joins the candidate edge set
+  * (≤ working-degree w=2r + reverse + two-hop ≈ w² per node, plus the
+  * fresh injection) against the vector table and window-keeps the
+  * closest w: O(N · w² · dim) bytes shuffle per round, the honest
+  * communication cost every distributed graph-ANN build pays (at the
+  * 100 TB point the candidate payload would ride PQ codes, X143, not
+  * raw floats — same plan shape). Rounds are bounded by the caller;
+  * the final α-prune is per-node imperative logic over a ≤ w-element
+  * array, the documented map-side `mapPartitions`-class exception.
+  *
+  * Scale shape of [[beamSearchTopK]]: the frontier expands as
+  * (frontier ⋈ adjacency) id joins — per hop, |beam|·r candidate ids,
+  * never vectors driver-side; adjacency stays a DataFrame, so a
+  * billion-edge graph serves from its partitioned form (the broadcast
+  * variant is just what AQE picks when the graph is small). Hops are
+  * bounded; every hop's visited set is pinned and the superseded pin
+  * released (the internal-pin rule).
+  */
+object GraphAnn {
+
+  /** Per-node degree bound ceiling — a plan-width/shuffle-volume knob
+    * (candidate groups are capped at 4r²). DiskANN ships r = 32..128;
+    * 128 keeps the capped candidate payload ≤ ~64k vectors per node. */
+  val MaxDegree = 128
+
+  private def fdot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def fcos(a: Seq[Float], b: Seq[Float]): Double =
+    fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b)) + CosineEps)
+
+  /** Vamana RobustPrune (DiskANN Algorithm 2) in cosine distance
+    * d = 1 − cos: walk candidates closest-first (ties id-asc), keep the
+    * closest, and drop every remaining candidate the kept one "covers"
+    * (α·d(kept, c) ≤ d(p, c)) — α > 1 trades degree for direction
+    * diversity, the property that makes greedy search converge. Kept
+    * list is bounded by `r`. Exposed private[operators] for the
+    * hand-computed suite case. */
+  private[operators] def robustPrune(cands: Seq[(Long, Double, Seq[Float])],
+      r: Int, alpha: Double): Seq[(Long, Double)] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Seq[Float])]
+    var pool = cands.sortBy { case (dst, cos, _) => (-cos, dst) }.toList
+    while (pool.nonEmpty && kept.size < r) {
+      val best = pool.head
+      kept += best
+      pool = pool.tail.filter { case (_, cos, dv) =>
+        alpha * (1.0 - fcos(best._3, dv)) > (1.0 - cos)
+      }
+    }
+    kept.map { case (dst, cos, _) => (dst, cos) }.toSeq
+  }
+
+  /** The corpus medoid id: the row whose vector is most cosine-similar
+    * to the per-dimension mean — the standard graph entry point (a
+    * central node reaches everything in few hops). One tiny aggregate
+    * pass (dim rows collect) + one [[Ann.bruteForceTopK]] scan. */
+  def medoid(embs: DataFrame, idCol: String, vecCol: String): Long = {
+    val mean = embs
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(avg(col("x").cast(DoubleType)).as("m"))
+      .orderBy(col("d")).collect().map(_.getDouble(1).toFloat)
+    Ann.bruteForceTopK(embs, idCol, vecCol, mean, 1).head().getLong(0)
+  }
+
+  /** Build a bounded-degree proximity graph: NN-Descent-style candidate
+    * generation (Dong et al., WWW '11) finalized with Vamana's
+    * RobustPrune. Init = capped LSH + pseudo-random ring groups; each
+    * gossip round expands candidates (current ∪ reverse ∪ two-hop ∪
+    * FRESH round-salted random ring edges) and keeps the closest
+    * `2r` per node — a plain window, no per-node state. The fresh
+    * random injection is load-bearing: without it the closest-K
+    * closure collapses into near-cliques and stalls after ~2 rounds
+    * (measured on structureless vectors: avg kept cosine froze at
+    * 0.09; with injection it converges to 0.23 by round 4 ≈ the exact
+    * kNN level on the same slice). α-diversity pruning runs ONCE at
+    * the end (pruning during gossip also slows convergence — the
+    * diverse edges crowd out the closest ones the next round needs),
+    * then reverse edges fold back in under a top-`r`-by-cosine degree
+    * cap (reachability insurance — Vamana's reverse-insert step).
+    * Returns `(src, dst, cosine)` with cosine round-6 and out-degree
+    * ≤ r. Deterministic end-to-end: hash-seeded init and injection,
+    * id-asc tie rule. */
+  def buildVamana(embs: DataFrame, idCol: String, vecCol: String,
+      r: Int, alpha: Double = 1.2, rounds: Int = 2,
+      initBits: Int = 8, seed: String = "vamana0"): DataFrame = {
+    require(r >= 1 && r <= MaxDegree, s"degree bound r in [1, $MaxDegree], got $r")
+    require(alpha >= 1.0, s"alpha >= 1 (DiskANN's diversity knob), got $alpha")
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1, 8], got $rounds")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val nodes = embs.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v"))
+    val n = nodes.count()
+    val fan = math.max(1, r / 2)
+    // ring-connect the members of each group: ordered by a salted hash
+    // (deterministic shuffle), node i points at its next `fan` cyclic
+    // successors — degree exactly min(fan, size-1), no all-pairs blow-up
+    def ringEdges(grouped: DataFrame): DataFrame = grouped
+      .select(explode(col("ms")).as("m"), col("ms"))
+      .select(col("m.id").as("src"),
+        // positions of this member and the group array are 1-based
+        array_position(transform(col("ms"), x => x.getField("id")),
+          col("m.id")).as("p"),
+        transform(col("ms"), x => x.getField("id")).as("ids"))
+      .select(col("src"), explode(transform(sequence(lit(1), lit(fan)),
+        j => element_at(col("ids"),
+          (pmod(col("p") - 1 + j, size(col("ids"))) + 1)
+            .cast(IntegerType)))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def grouping(bucket: Column, salt: String): DataFrame = nodes
+      .withColumn("h", xxhash64(col("id"), lit(salt)))
+      .groupBy(bucket.as("b"))
+      .agg(array_sort(collect_list(struct(col("h"), col("id")))).as("ms"))
+    // locality groups: sign-bucket LSH, subdivided by hash so a skewed
+    // bucket never collects more than ~256 members in one group
+    val locality = grouping(
+      concat_ws(":", Ann.signBucket(col("v"), initBits).cast(StringType),
+        pmod(xxhash64(col("id"), lit(seed + ":sub")), lit(256))
+          .cast(StringType)),
+      seed + ":l")
+    // pseudo-random groups of ~2r members — DiskANN's random init,
+    // hash-derived so the build is replayable
+    val nGroups = math.max(1L, n / math.max(1, 2 * r))
+    def randomRing(salt: String): DataFrame = ringEdges(grouping(
+      pmod(xxhash64(col("id"), lit(seed + ":g" + salt)), lit(nGroups)),
+      seed + ":r" + salt))
+    var adj = ringEdges(locality).union(randomRing("0")).distinct()
+      .localCheckpoint(true)
+    val w = math.min(MaxDegree, 2 * r) // working degree during gossip
+    def scoreEdges(cands: DataFrame): DataFrame = cands
+      .join(nodes.select(col("id").as("src"), col("v").as("sv")), "src")
+      .join(nodes.select(col("id").as("dst"), col("v").as("dv")), "dst")
+      .withColumn("cos", vecCosine(col("sv"), col("dv")))
+    for (round <- 1 to rounds) {
+      val rev = adj.select(col("dst").as("src"), col("src").as("dst"))
+      val hop2 = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      val cands = adj.select("src", "dst").union(rev).union(hop2)
+        .union(randomRing(round.toString))
+        .filter(col("src") =!= col("dst")).distinct()
+      // closest-w window keep: the reverse union gives hubs unbounded
+      // in-degree, and the window (sort-based, spill-safe) is also the
+      // hub cap — no per-node collection during gossip
+      val kept = scoreEdges(cands)
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst").asc)))
+        .filter(col("__rk") <= w)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      graft.util.Pins.release(adj)
+      adj = kept
+    }
+    // final α-prune to degree r: one per-node pass over the ≤ w kept
+    // candidates (bounded array — the map-side imperative exception)
+    val grouped = scoreEdges(adj.select("src", "dst"))
+      .groupBy(col("src").as("_1"))
+      .agg(collect_list(struct(col("dst").as("_1"), col("cos").as("_2"),
+        col("dv").as("_3"))).as("_2"))
+      .as[(Long, Seq[(Long, Double, Seq[Float])])]
+    val pruned = grouped.flatMap { case (src, cs) =>
+      robustPrune(cs, r, alpha).map { case (dst, cos) => (src, dst, cos) }
+    }.toDF("src", "dst", "cos").localCheckpoint(true)
+    graft.util.Pins.release(adj)
+    // reverse insert under the degree cap: an edge u→v implies v should
+    // usually see u too; rank the union by cosine, keep top-r per node
+    val withRev = pruned
+      .union(pruned.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("__rk") <= r)
+      .select(col("src"), col("dst"), round(col("cos"), 6).as("cosine"))
+    val out = withRev.localCheckpoint(true)
+    graft.util.Pins.release(pruned)
+    out
+  }
+
+  /** Distributed best-first beam search (DiskANN GreedySearch over a
+    * DataFrame adjacency): keep a visited set scored against the query
+    * (a literal — the X95 convention), each hop expand every
+    * not-yet-expanded node inside the current cosine-top-`beamWidth`,
+    * stop when that window is fully expanded (converged), the frontier
+    * dies, or `maxHops`. `beamWidth = Int.MaxValue` disables the window
+    * — the walk then visits EXACTLY the entry's reachable set, which is
+    * what the recursive-CTE oracle mirrors (q345). Returns the visited
+    * top-k as `(idCol, cosine)`, cosine round-6, ties id-asc. */
+  def beamSearchTopK(adj: DataFrame, embs: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], k: Int, beamWidth: Int,
+      maxHops: Int = 64, entryId: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(beamWidth >= k, s"beamWidth >= k, got $beamWidth < $k")
+    require(maxHops >= 1 && maxHops <= 256, s"maxHops in [1, 256], got $maxHops")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val nodes = embs.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v"))
+    val q = lit(query).cast(ArrayType(FloatType))
+    val qMag = SearchEngine.magnitudeOf(query)
+    def scoreIds(ids: DataFrame): DataFrame = ids
+      .join(nodes, "id")
+      .select(col("id"), (vecDot(col("v"), q) /
+        (vecMagnitude(col("v")) * lit(qMag) + lit(CosineEps))).as("cos"))
+    val edges = adj.select(col("src"), col("dst"))
+    val entry = entryId.getOrElse(medoid(embs, idCol, vecCol))
+    var visited = scoreIds(Seq(entry).toDF("id"))
+      .withColumn("expanded", lit(false)).localCheckpoint(true)
+    var hop = 0
+    var done = false
+    while (!done && hop < maxHops) {
+      val window =
+        if (beamWidth == Int.MaxValue) visited
+        else visited.orderBy(col("cos").desc, col("id").asc).limit(beamWidth)
+      val frontier = window.filter(!col("expanded")).select(col("id"))
+      if (frontier.limit(1).count() == 0L) done = true
+      else {
+        val fresh = frontier.withColumnRenamed("id", "src")
+          .join(edges, "src").select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+        val next = visited
+          .join(frontier.withColumn("__f", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("cos"),
+            (col("expanded") || coalesce(col("__f"), lit(false))).as("expanded"))
+          .union(scoreIds(fresh).withColumn("expanded", lit(false)))
+          .localCheckpoint(true)
+        graft.util.Pins.release(visited)
+        visited = next
+        hop += 1
+      }
+    }
+    val out = visited
+      .orderBy(col("cos").desc, col("id").asc).limit(k)
+      .select(col("id").as(idCol), round(col("cos"), 6).as("cosine"))
+      .localCheckpoint(true)
+    graft.util.Pins.release(visited)
+    out
+  }
+}
