@@ -286,6 +286,38 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
     stale.count(st => fs.delete(st.getPath, true))
   }
 
+  /** Per-bucket part-file counts — the [[graft.sources.IvfIndex.fileStats]]
+    * observability surface on the primary table, making the store's
+    * no-compaction claim CHECKABLE instead of asserted.
+    *
+    * Why there is no `compact()` here while every append-layout sibling
+    * (IvfIndex, InvertedIndex, QueryStore, NgramLm) carries one: those
+    * layouts grow by APPENDING part-files into live directories, so
+    * steady-state mutation accretes files until a compactor folds them.
+    * This store's mutations ([[rewriteBuckets]]) instead READ the whole
+    * touched bucket, transform it, and atomically SWAP a freshly
+    * written directory into place — every mutation IS a compaction of
+    * the buckets it touches, so per-bucket file count is bounded by the
+    * writer's partitioning of one bucket's rows (one file per touched
+    * bucket under the staged single-partition writes the mutations use)
+    * and never grows with mutation count. A sustained imbalance here
+    * means bucket skew (one post_id hash bucket outgrowing the rest),
+    * answered by re-bucketing into a new store, not by compaction.
+    * Recovers crashed swaps first, like every sibling stats call — a
+    * listing taken mid-crash-window would count a hidden backup's
+    * absence as an empty bucket. */
+  def fileStats(): DataFrame = {
+    recoverAll()
+    import spark.implicits._
+    val rows = Option(fs.listStatus(new Path(path))).toSeq.flatten
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { s =>
+        (s.getPath.getName.stripPrefix("bucket=").toInt,
+          fs.listStatus(s.getPath).count(_.getPath.getName.startsWith("part-")))
+      }
+    rows.toDF("bucket", "n_files").orderBy(col("bucket"))
+  }
+
   /** Consistent on-disk SNAPSHOT of the whole store — bucket
     * directories and the prefix-dims meta (the
     * [[graft.sources.InvertedIndex.snapshot]] surface on the primary
@@ -335,7 +367,14 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
   /** Rewrite only the given buckets: read bucket dir, transform, write to
     * temp, atomic swap. The untouched (numBuckets - |buckets|) directories
     * are never read or written — at 100 TB that's the difference between a
-    * point update and a full-table rewrite. */
+    * point update and a full-table rewrite.
+    *
+    * The rewrite coalesces to ONE file per bucket: a bucket is the unit
+    * the numBuckets sizing contract keeps single-task-sized (point
+    * lookups read it whole), so the union/join feeding the rewrite runs
+    * fine in one partition, and the swap then IS a compaction — file
+    * count per touched bucket is exactly 1 after any mutation, never a
+    * function of mutation history ([[fileStats]] makes this checkable). */
   private def rewriteBuckets(buckets: Set[Int])(f: (Int, DataFrame) => DataFrame): Unit = {
     buckets.foreach { b =>
       val dir = s"$path/bucket=$b"
@@ -345,7 +384,7 @@ final class EmbeddingStore(spark: SparkSession, path: String, numBuckets: Int = 
         else read().filter(lit(false)).drop("bucket")
       val out = f(b, cur)
       val tmp = s"$path/.tmp_bucket_$b"
-      out.write.mode("overwrite").parquet(tmp)
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
       atomicSwap(new Path(tmp), new Path(dir))
     }
     // persist the prefix setting on stores that predate it (bulkLoad wrote

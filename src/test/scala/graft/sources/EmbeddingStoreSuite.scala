@@ -279,6 +279,29 @@ class EmbeddingStoreSuite extends AnyFunSuite {
     assert(after.filter($"sequence_no" === 9).count() == 6)
   }
 
+  test("fileStats: one file per touched bucket after a mutation burst — compaction is structural") {
+    val (store, _) = freshStore()
+    // a burst across every mutation kind: upserts (update + fresh),
+    // replace-all, point + bulk deletes — the paths that would accrete
+    // part-files in an append layout
+    store.upsert(raw((1L, 0, Seq(9f, 9f, 9f)), (6L, 0, Seq(1f, 1f, 1f))))
+    store.upsert(raw((1L to 6L).map(p => (p, 5, Seq(p.toFloat, 1f, 0f))): _*))
+    store.insertAll(2L, raw((2L, 0, Seq(7f, 7f, 7f)), (2L, 1, Seq(8f, 8f, 8f))))
+    store.delete(keyIds(store)((3L, 0)))
+    store.deleteMany(Seq(keyIds(store)((4L, 0))))
+    val stats = store.fileStats().collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // the second upsert touched every post, hence every live bucket:
+    // each rewrite swapped in a coalesced single-file directory
+    assert(stats.nonEmpty && stats.values.forall(_ == 1),
+      s"every touched bucket holds exactly one part-file, got $stats")
+    // the store state survived the burst intact
+    assert(store.read().groupBy("id").count().filter($"count" > 1).count() == 0)
+    assert(store.get(2L, 0).head().getSeq[Float](
+      store.read().schema.fieldIndex("vector")) == Seq(7f, 7f, 7f))
+    assert(store.read().filter($"post_id" === 3 && $"sequence_no" === 0).count() == 0)
+  }
+
   test("snapshot: byte-faithful copy, sides independent, debris retried, exists refused (X290)") {
     val (store, dir) = freshStore()
     def state(s: EmbeddingStore) = s.read()
