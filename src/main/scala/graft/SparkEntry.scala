@@ -1371,6 +1371,13 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q347_moving_percentiles" -> ((s, d) =>
+      // X303 ES moving_percentiles, exact form: per hourly bucket the
+      // p50/p90 over the trailing 3 buckets' raw values (the
+      // sketch-merge window run exactly); empty trailing windows null
+      Sessionize.movingPercentiles(events(s, d), col("ts"), col("value"),
+        widthSeconds = 3600L, windowW = 3, ps = Seq(0.5, 0.9))
+        .orderBy(col("bucket_start"), col("p"))),
     "q345_graph_beam" -> ((s, d) => {
       // X301 graph-ANN serve mechanics under a hash gate: exact 6-NN
       // digraph over the vec_id<200 slice (SQL-expressible adjacency),
@@ -6387,6 +6394,42 @@ object SparkEntry {
           SELECT key, p, n,
             ROUND(lo + f * (COALESCE(hi, lo) - lo), 6) AS value
           FROM j ORDER BY key, p""",
+    // X303 moving percentiles: each value fans to its trailing-window
+    // target buckets, then the q279 type-7 interpolation per target;
+    // spine-joined so empty windows emit null
+    "q347_moving_percentiles" ->
+      """WITH b AS (SELECT epoch_us(ts) // 3600000000 AS i, COUNT(*) AS n
+            FROM events GROUP BY 1),
+          mm AS (SELECT MIN(i) AS lo, MAX(i) AS hi FROM b),
+          spine AS (SELECT UNNEST(range(mm.lo, mm.hi + 1)) AS i FROM mm),
+          f AS (SELECT spine.i, COALESCE(b.n, 0) AS n
+            FROM spine LEFT JOIN b USING (i)),
+          v AS (SELECT epoch_us(ts) // 3600000000 AS i,
+              CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL),
+          contrib AS (SELECT t.t AS tb, v.v
+            FROM v, mm, LATERAL UNNEST(range(v.i, LEAST(v.i + 3, mm.hi + 1))) AS t(t)),
+          r AS (SELECT tb, v,
+              ROW_NUMBER() OVER (PARTITION BY tb ORDER BY v) AS rk
+            FROM contrib),
+          c AS (SELECT tb, COUNT(*) AS n FROM contrib GROUP BY tb),
+          pp(p) AS (VALUES (0.5), (0.9)),
+          g AS (SELECT tb, n, p, CAST(n - 1 AS DOUBLE) * p AS x
+            FROM c CROSS JOIN pp),
+          g2 AS (SELECT *, CAST(FLOOR(x) AS BIGINT) AS k, x - FLOOR(x) AS fr
+            FROM g),
+          j AS (SELECT g2.tb, g2.p, g2.n, lo.v AS lo, hi.v AS hi, g2.fr
+            FROM g2
+            JOIN r lo ON lo.tb = g2.tb AND lo.rk = g2.k + 1
+            LEFT JOIN r hi ON hi.tb = g2.tb AND hi.rk = g2.k + 2),
+          pct AS (SELECT tb, p, n AS n_window,
+              ROUND(lo + fr * (COALESCE(hi, lo) - lo), 6) AS value
+            FROM j)
+          SELECT f.i * 3600 AS bucket_start, f.n, pp.p,
+            COALESCE(pct.n_window, 0) AS n_window, pct.value
+          FROM f CROSS JOIN pp
+          LEFT JOIN pct ON pct.tb = f.i AND pct.p = pp.p
+          ORDER BY bucket_start, pp.p""",
     // X301 graph serve: the 6-NN digraph spelled relationally, then the
     // beam walk's exact contract — visit the entry's REACHABLE set
     // (recursive CTE), score it, top-10 — so frontier/visited/tie

@@ -765,6 +765,58 @@ object Sessionize {
       .select(col("key"), col("n"), col("median"), col("value").as("mad"))
   }
 
+  /** Moving percentiles (the ES `moving_percentiles` pipeline agg, in
+    * the exact form this engine runs the whole percentile family —
+    * X237's type-7 interpolation instead of ES's TDigest sketches):
+    * per gap-filled time bucket, the percentiles of the RAW values in
+    * the trailing `windowW` buckets, current included (the
+    * [[bucketPipeline]] trailing-window convention). ES slides a
+    * window of per-bucket sketches and merges them; the exact analogue
+    * is percentiles over the union of the window's values — which is
+    * what sketch-merging approximates. A bucket whose trailing window
+    * holds NO values emits null (the ES skip rule); a gap bucket
+    * inside the data range still emits from its neighbors' values.
+    *
+    * Scale: each value fans out to ≤ windowW target buckets (a bounded
+    * explode — windowW is a chart knob, single digits), then ONE
+    * [[percentilesExact]] pass keyed by target bucket; the spine is
+    * the distributed-range discipline of the rest of the bucket
+    * family. Emits (bucket_start, n — the bucket's own doc count —,
+    * p, n_window, value round-6). */
+  def movingPercentiles(events: DataFrame, ts: Column, value: Column,
+      widthSeconds: Long, windowW: Int, ps: Seq[Double]): DataFrame = {
+    require(widthSeconds >= 1, s"widthSeconds must be >= 1, got $widthSeconds")
+    require(windowW >= 1 && windowW <= 64,
+      s"windowW is a chart knob, [1, 64], got $windowW")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val filledOpt = filledBuckets(events, ts, widthSeconds)
+    if (filledOpt.isEmpty)
+      return spark.range(0).select(
+        col("id").as("bucket_start"), lit(0L).as("n"), lit(0.0).as("p"),
+        lit(0L).as("n_window"), lit(null).cast(DoubleType).as("value"))
+    val filled = filledOpt.get
+    val hi = filled.agg(max(col("__i"))).head().getLong(0)
+    val wUs = widthSeconds * 1000000L
+    val vals = events
+      .select(unix_micros(ts).as("__us"), value.cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(expr(s"CAST((__us - pmod(__us, ${wUs}L)) DIV ${wUs}L AS BIGINT)")
+        .as("__i"), col("__v"))
+    val contrib = vals.select(
+      explode(sequence(col("__i"),
+        least(col("__i") + lit(windowW - 1), lit(hi)))).as("__t"),
+      col("__v"))
+    val pct = percentilesExact(contrib, col("__t"), col("__v"), ps)
+      .select(col("key").as("__i"), col("p"), col("n").as("n_window"),
+        col("value"))
+    filled.crossJoin(broadcast(ps.toDF("p")))
+      .join(pct, Seq("__i", "p"), "left")
+      .select((col("__i") * widthSeconds).as("bucket_start"), col("n"),
+        col("p"), coalesce(col("n_window"), lit(0L)).as("n_window"),
+        col("value"))
+  }
+
   /** Normalize pipeline aggregation (the ES `normalize` agg): rescale
     * a parent aggregation's bucket metric by one of the six ES
     * methods — `rescale_0_1`, `rescale_0_100`, `percent_of_sum`,

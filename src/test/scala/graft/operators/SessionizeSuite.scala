@@ -546,4 +546,35 @@ class SessionizeSuite extends AnyFunSuite {
       Seq(("x", 7.0)).toDF("k", "v"), col("k"), col("v")).head()
     assert(one.getDouble(2) === 7.0 && one.getDouble(3) === 0.0)
   }
+
+  test("movingPercentiles: trailing window union, gap buckets, empty-window null (X303)") {
+    // hour 0: values 10, 20; hour 1: gap; hour 2: value 30; hour 3: an
+    // event with NULL value (extends the spine, contributes nothing)
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:10:00"), Some(10.0)),
+      (2L, ts("2026-01-01 00:20:00"), Some(20.0)),
+      (3L, ts("2026-01-01 02:30:00"), Some(30.0)),
+      (4L, ts("2026-01-01 03:05:00"), None: Option[Double])
+    ).toDF("id", "ts", "value")
+    def run(w: Int) = Sessionize.movingPercentiles(ev, $"ts", $"value",
+        widthSeconds = 3600L, windowW = w, ps = Seq(0.5))
+      .orderBy($"bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    // window 2: each bucket sees the union of itself + the previous one
+    val base = 1767225600L // 2026-01-01 00:00 UTC
+    assert(run(2) === Seq(
+      (base + 0L, 2L, 2L, Some(15.0)),
+      (base + 3600L, 0L, 2L, Some(15.0)), // gap inherits hour 0
+      (base + 7200L, 1L, 1L, Some(30.0)),
+      (base + 10800L, 1L, 1L, Some(30.0))))
+    // window 1: the gap hour and the null-value hour have EMPTY windows
+    assert(run(1).map(t => (t._2, t._3, t._4)) === Seq(
+      (2L, 2L, Some(15.0)), (0L, 0L, None),
+      (1L, 1L, Some(30.0)), (1L, 0L, None)))
+    intercept[IllegalArgumentException](Sessionize.movingPercentiles(
+      ev, $"ts", $"value", 3600L, 0, Seq(0.5)))
+    intercept[IllegalArgumentException](Sessionize.movingPercentiles(
+      ev, $"ts", $"value", 3600L, 65, Seq(0.5)))
+  }
 }
