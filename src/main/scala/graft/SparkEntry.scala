@@ -1371,6 +1371,35 @@ object SparkEntry {
           col("value"), Seq(0.5, 0.9, 0.99))
         .orderBy(col("key"), col("p"))
     }),
+    "q348_hybrid_maxsim" -> ((s, d) => {
+      // X299 composed: q180's text+vector RRF grown to THREE legs —
+      // BM25 (lexical), exact cosine (pooled single-vector), MaxSim
+      // (late-interaction over the vec_id%50 chunk groups, q344's
+      // token set) — the lexical/dense/late-interaction triple a
+      // modern RAG stack fuses; ids share the 0..N fixture domain
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val embs = t(s, d, "embeddings")
+      val qv = embs.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val bmLeg = TextAnalysis.bm25TopK(docs, "doc_id", col("text"),
+          Seq("sort", "merge", "spark"), k = 20)
+        .select(col("doc_id").as("vec_id"), col("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc)))
+      val cosLeg = Ann.bruteForceTopK(embs, "vec_id", "embedding", qv, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id").asc)))
+      val toks = embs.filter(col("vec_id") < 4)
+        .orderBy(col("vec_id")).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      val msLeg = Ann.maxSimTopK(embs, col("vec_id") % 50, "embedding",
+          toks, k = 20)
+        .select(col("doc_key").as("vec_id"), col("maxsim"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("maxsim").desc, col("vec_id").asc)))
+      Ann.rrfFuse(Seq(bmLeg, cosLeg, msLeg), "vec_id", k = 10)
+    }),
     "q347_moving_percentiles" -> ((s, d) =>
       // X303 ES moving_percentiles, exact form: per hourly bucket the
       // p50/p90 over the trailing 3 buckets' raw values (the
@@ -4325,7 +4354,10 @@ object SparkEntry {
 
   /** Shared by q180 (operator legs) and q216 (both legs served from
     * persisted indexes -- pure I/O on each side). */
-  private val hybridSearchSql: String = {
+  /** The two proven hybrid legs (BM25 bleg/r0, exact-cosine cleg/r1) as
+    * a reusable CTE prefix — q180/q216 append the two-leg fusion,
+    * q348 appends a MaxSim third leg before fusing. */
+  private lazy val hybridLegsCtes: String = {
       val terms = Seq("sort", "merge", "spark")
       val (k1, b) = (1.2, 0.75)
       val k1p = (k1 + 1.0).toString
@@ -4340,7 +4372,7 @@ object SparkEntry {
            / (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) * ((1.0 - CAST($b AS DOUBLE))
               + (CAST($b AS DOUBLE) * CAST(dl AS DOUBLE)) / avgdl)), 6)"""
       }.mkString(" + ")
-      s"""WITH pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
+      s"""pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols
             FROM (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS tk
                   FROM documents)
             WHERE len(tk) > 0),
@@ -4366,14 +4398,53 @@ object SparkEntry {
             ORDER BY c DESC, vec_id ASC LIMIT 20),
           cleg AS (SELECT vec_id,
             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS r1
-            FROM ctop),
+            FROM ctop)"""
+    }
+
+  private lazy val hybridSearchSql: String =
+    s"""WITH $hybridLegsCtes,
           fused AS (SELECT COALESCE(b2.vec_id, c2.vec_id) AS vec_id, b2.r0, c2.r1,
               COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
                 + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0) AS rrf
             FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id)
           SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
           ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
-    }
+
+  /** q348: the q180 legs + the q344 MaxSim leg (top-20 cut, rank r2),
+    * three-way full-outer RRF. */
+  private lazy val hybridMaxsimSql: String =
+    s"""WITH $hybridLegsCtes,
+          qt AS (SELECT vec_id AS tok, embedding AS qv2,
+            sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+                  FROM unnest(embedding) AS t(y))) AS qmag2
+            FROM embeddings WHERE vec_id < 4),
+          pertok AS (SELECT e.vec_id % 50 AS doc_key, qt.tok,
+              MAX((SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+                   FROM LATERAL (SELECT unnest(e.embedding) AS x,
+                                        unnest(qt.qv2) AS y) z) /
+                  (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                         FROM unnest(e.embedding) AS t(x))) * qt.qmag2
+                   + 1e-12)) AS m
+            FROM embeddings e CROSS JOIN qt
+            GROUP BY 1, 2),
+          mstop AS (SELECT doc_key AS vec_id,
+              CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(20,6))) AS DOUBLE) AS maxsim
+            FROM pertok GROUP BY doc_key
+            ORDER BY maxsim DESC, doc_key ASC LIMIT 20),
+          msleg AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY maxsim DESC, vec_id ASC) AS INT) AS r2
+            FROM mstop),
+          fused AS (SELECT COALESCE(b2.vec_id, c2.vec_id, m2.vec_id) AS vec_id,
+              b2.r0, c2.r1, m2.r2,
+              COALESCE(1.0 / (60.0 + CAST(b2.r0 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(c2.r1 AS DOUBLE)), 0.0)
+                + COALESCE(1.0 / (60.0 + CAST(m2.r2 AS DOUBLE)), 0.0) AS rrf
+            FROM bleg b2
+            FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id
+            FULL OUTER JOIN msleg m2
+              ON COALESCE(b2.vec_id, c2.vec_id) = m2.vec_id)
+          SELECT vec_id, r0, r1, r2, ROUND(rrf, 6) AS rrf FROM fused
+          ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
 
   /** Shared by q118 (tokenize path), q214 (persisted index — same
     * bm25Rank core over stored postings/doclens), q217 (tombstoned
@@ -10219,6 +10290,7 @@ object SparkEntry {
          ${ivfSearchTail("embeddings")}""",
     "q180_hybrid_search" -> hybridSearchSql,
     "q216_index_hybrid" -> hybridSearchSql,
+    "q348_hybrid_maxsim" -> hybridMaxsimSql,
     "q179_bpe_tokenize" ->
       s"""WITH ${bpeVocabCtes(5)},
          seg AS (SELECT term, len(string_split(seq, ' ')) AS n_sym FROM v5),
