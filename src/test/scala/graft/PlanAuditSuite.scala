@@ -940,4 +940,63 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(parts.exists(_.contains("ivf_list")),
       s"probe must prune the codes directories: $parts")
   }
+
+  test("string_stats: raw text never crosses an exchange — only (key, char, count) rows shuffle (X291)") {
+    // exchanges only exist after preparation; the UNEXECUTED adaptive
+    // plan still holds plain ShuffleExchangeExec nodes (no stage wrappers)
+    val prepared = df("q337_string_stats").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = prepared.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.nonEmpty, "the per-key/per-char aggregates shuffle their keys")
+    assert(shuffles.forall(_.output.forall(a => a.name != "text")),
+      s"exchanges must carry aggregate rows, not document text: " +
+        shuffles.map(_.output.map(_.name).mkString("[", ",", "]")).mkString(" "))
+  }
+
+  test("normalize: serves from the pinned bucket frame — one-row stats broadcast, zero row-mass exchange (X295)") {
+    // the q341 daily aggregate pins at build; the six method passes then
+    // read the LogicalRDD + broadcast one-row stats frames — the only
+    // remaining exchanges are SinglePartition (one-row stats collapse)
+    // and the output-order range partition, never hashpartitioning
+    val p = finalPlan("q341_normalize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalize must not re-shuffle the bucket frame:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the per-method stats rows must broadcast:\n$p")
+  }
+
+  test("ip_range: one conditional-count pass, zero row-mass exchange (X298)") {
+    val p = staticPlan("q343_ip_range")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ip_range must not shuffle row mass:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"ip_range is a conditional-count aggregate:\n$p")
+  }
+
+  test("percentile family: every rank window is key-partitioned, never a global row-mass sort (X292/X293/X303)") {
+    for (name <- Seq("q338_boxplot", "q339_mad", "q347_moving_percentiles")) {
+      val plan = df(name).queryExecution.sparkPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name ranks via a window")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: a window without a partition spec pulls all rows to one task")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$name must not expand the pair space")
+    }
+  }
+
+  test("three-leg hybrid: each leg cut is a heap, fusion never cross-products row mass (X299/q348)") {
+    val p = staticPlan("q348_hybrid_maxsim")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"the bounded leg cuts plan as heaps:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only one-row stats frames may nested-loop (BNLJ BuildRight):\n$p")
+  }
 }
