@@ -1416,20 +1416,46 @@ object SparkEntry {
       // frontier expansion, visited dedup, scoring, and the tie rule;
       // graph QUALITY is q346 + suite recall territory
       val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
-      val b = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
-      val adj = a.join(b, col("src") =!= col("dst"))
-        .withColumn("cos", graft.functions.VectorFunctions.vecCosine(
-          col("sv"), col("dv")))
-        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("cos").desc, col("dst").asc)))
-        .filter(col("__rk") <= 6).select(col("src"), col("dst"))
-        .localCheckpoint(true)
+      val adj = knn6Adjacency(e)
       val anchor = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       try GraphAnn.beamSearchTopK(adj, e, "vec_id", "embedding", anchor,
         k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
       finally graft.util.Pins.release(adj)
+    }),
+    "q349_graph_store_serve" -> ((s, d) => {
+      // X304 persisted graph serve: the q345 adjacency written to the
+      // gbucket=N layout and the SAME exhaustive walk served from
+      // per-hop partition-pruned reads — q345's oracle verbatim, so a
+      // layout that dropped/duplicated edges or pruned the wrong
+      // buckets answers wrong
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      val adj = knn6Adjacency(e)
+      val dir = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+      val gi = new graft.sources.GraphIndex(s, s"$dir/g")
+      try gi.build(adj) finally graft.util.Pins.release(adj)
+      val anchor = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      gi.searchTopK(e, "vec_id", "embedding", anchor,
+        k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
+    }),
+    "q350_graph_store_delete" -> ((s, d) => {
+      // X304 lazy tombstone semantics under the hash gate: delete the
+      // entry node (!) and one more id, then the same exhaustive walk —
+      // deleted nodes still ROUTE (reachability unchanged, entry
+      // included) but never RETURN; oracle = q345's reachable set with
+      // the tombstoned ids excluded from the final cut only
+      import s.implicits._
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      val adj = knn6Adjacency(e)
+      val dir = java.nio.file.Files.createTempDirectory("graft_gidx_del").toString
+      val gi = new graft.sources.GraphIndex(s, s"$dir/g")
+      try gi.build(adj) finally graft.util.Pins.release(adj)
+      gi.delete(Seq(0L, 7L).toDF("id"))
+      val anchor = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      gi.searchTopK(e, "vec_id", "embedding", anchor,
+        k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
     }),
     "q346_vamana_recall" -> ((s, d) => {
       // X300 Vamana build + beam serve graded against the exact scan:
@@ -4221,6 +4247,21 @@ object SparkEntry {
       .select(col("query_id"), col("term"), col("clause"))
   }
 
+  /** The exact 6-NN digraph over an embedding slice — the
+    * SQL-expressible adjacency q345/q349/q350 gate the beam walk on.
+    * Pinned; callers release after the serve materializes. */
+  private def knn6Adjacency(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+    a.join(b, col("src") =!= col("dst"))
+      .withColumn("cos", graft.functions.VectorFunctions.vecCosine(
+        col("sv"), col("dv")))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("__rk") <= 6).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+  }
+
   /** The (vec_id < 4) centroid convention shared by every IVF query. */
   private def cents4(s: SparkSession, d: String): Seq[Array[Float]] =
     t(s, d, "embeddings").filter(col("vec_id") < 4).orderBy(col("vec_id"))
@@ -4409,6 +4450,43 @@ object SparkEntry {
             FROM bleg b2 FULL OUTER JOIN cleg c2 ON b2.vec_id = c2.vec_id)
           SELECT vec_id, r0, r1, ROUND(rrf, 6) AS rrf FROM fused
           ORDER BY rrf DESC, vec_id ASC LIMIT 10"""
+
+  /** q345/q349/q350: 6-NN digraph + recursive-CTE reachability from
+    * entry 0 + top-10 among the reachable — `exclude` models the lazy
+    * tombstone rule (final cut only; the reachable set is untouched). */
+  private def graphBeamSql(exclude: Seq[Long] = Nil): String = {
+    val cut =
+      if (exclude.isEmpty) ""
+      else s"WHERE vec_id NOT IN (${exclude.mkString(", ")}) "
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM unnest(embedding) AS t(x))) AS mag
+           FROM embeddings WHERE vec_id < 200),
+         pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM LATERAL (SELECT unnest(a.embedding) AS x,
+                                   unnest(b.embedding) AS y) z)
+               / (a.mag * b.mag + 1e-12) AS c
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         edges AS (SELECT src, dst FROM (
+             SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY c DESC, dst ASC) AS rk
+             FROM pairs) WHERE rk <= 6),
+         reach(id) AS (
+           SELECT CAST(0 AS BIGINT)
+           UNION
+           SELECT ed.dst FROM edges ed JOIN reach r ON ed.src = r.id),
+         q AS (SELECT embedding AS qv, mag AS qmag FROM e WHERE vec_id = 0),
+         fin AS (SELECT e.vec_id,
+             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
+              FROM LATERAL (SELECT unnest(e.embedding) AS x,
+                                   unnest(q.qv) AS y) z)
+               / (e.mag * q.qmag + 1e-12) AS c
+           FROM e JOIN reach r ON e.vec_id = r.id CROSS JOIN q)
+         SELECT vec_id, ROUND(c, 6) AS cosine FROM fin
+         ${cut}ORDER BY c DESC, vec_id ASC LIMIT 10"""
+  }
 
   /** q348: the q180 legs + the q344 MaxSim leg (top-20 cut, rank r2),
     * three-way full-outer RRF. */
@@ -6501,39 +6579,16 @@ object SparkEntry {
           FROM f CROSS JOIN pp
           LEFT JOIN pct ON pct.tb = f.i AND pct.p = pp.p
           ORDER BY bucket_start, pp.p""",
-    // X301 graph serve: the 6-NN digraph spelled relationally, then the
-    // beam walk's exact contract — visit the entry's REACHABLE set
-    // (recursive CTE), score it, top-10 — so frontier/visited/tie
-    // mechanics gate on hashes even if the slice graph is disconnected
-    "q345_graph_beam" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, embedding,
-           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
-                 FROM unnest(embedding) AS t(x))) AS mag
-           FROM embeddings WHERE vec_id < 200),
-         pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-              FROM LATERAL (SELECT unnest(a.embedding) AS x,
-                                   unnest(b.embedding) AS y) z)
-               / (a.mag * b.mag + 1e-12) AS c
-           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         edges AS (SELECT src, dst FROM (
-             SELECT src, dst,
-               ROW_NUMBER() OVER (PARTITION BY src
-                 ORDER BY c DESC, dst ASC) AS rk
-             FROM pairs) WHERE rk <= 6),
-         reach(id) AS (
-           SELECT CAST(0 AS BIGINT)
-           UNION
-           SELECT ed.dst FROM edges ed JOIN reach r ON ed.src = r.id),
-         q AS (SELECT embedding AS qv, mag AS qmag FROM e WHERE vec_id = 0),
-         fin AS (SELECT e.vec_id,
-             (SELECT SUM(CAST(z.x AS DOUBLE)*CAST(z.y AS DOUBLE))
-              FROM LATERAL (SELECT unnest(e.embedding) AS x,
-                                   unnest(q.qv) AS y) z)
-               / (e.mag * q.qmag + 1e-12) AS c
-           FROM e JOIN reach r ON e.vec_id = r.id CROSS JOIN q)
-         SELECT vec_id, ROUND(c, 6) AS cosine FROM fin
-         ORDER BY c DESC, vec_id ASC LIMIT 10""",
+    // X301/X304 graph serve: the 6-NN digraph spelled relationally,
+    // then the beam walk's exact contract — visit the entry's
+    // REACHABLE set (recursive CTE), score it, top-10 — so
+    // frontier/visited/tie mechanics gate on hashes even if the slice
+    // graph is disconnected. q349 = same walk served from the
+    // persisted layout; q350 = lazy tombstones (exclusion applies to
+    // the final cut ONLY — routing, i.e. the reachable set, unchanged)
+    "q345_graph_beam" -> graphBeamSql(),
+    "q349_graph_store_serve" -> graphBeamSql(),
+    "q350_graph_store_delete" -> graphBeamSql(exclude = Seq(0L, 7L)),
     // X299 MaxSim: per (doc, token) the MAX cosine over the doc's
     // chunks (the q34 correlated-unnest dot), then the round-6 decimal
     // sum across tokens — order-free on both sides by construction

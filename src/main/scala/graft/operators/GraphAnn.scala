@@ -217,6 +217,25 @@ object GraphAnn {
   def beamSearchTopK(adj: DataFrame, embs: DataFrame, idCol: String,
       vecCol: String, query: Array[Float], k: Int, beamWidth: Int,
       maxHops: Int = 64, entryId: Option[Long] = None): DataFrame = {
+    val edges = adj.select(col("src"), col("dst"))
+    beamCore(_ => edges, identity, embs, idCol, vecCol, query, k,
+      beamWidth, maxHops, entryId)
+  }
+
+  /** The beam loop itself, shared between the in-memory serve
+    * ([[beamSearchTopK]] — a constant edge frame) and the persisted
+    * serve ([[graft.sources.GraphIndex.searchTopK]] — a per-hop
+    * partition-pruned read of exactly the frontier's adjacency
+    * buckets). `hopEdges(frontier)` supplies the (src, dst) edges to
+    * expand this hop's frontier with; `resultFilter` post-filters the
+    * visited set before the final cut (the persisted layout's lazy
+    * tombstone semantics: deleted nodes ROUTE — their edges still
+    * carry the walk, the FreshDiskANN lazy-delete rule — but never
+    * RETURN). */
+  private[graft] def beamCore(hopEdges: DataFrame => DataFrame,
+      resultFilter: DataFrame => DataFrame, embs: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], k: Int, beamWidth: Int,
+      maxHops: Int, entryId: Option[Long]): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(beamWidth >= k, s"beamWidth >= k, got $beamWidth < $k")
     require(maxHops >= 1 && maxHops <= 256, s"maxHops in [1, 256], got $maxHops")
@@ -230,7 +249,6 @@ object GraphAnn {
       .join(nodes, "id")
       .select(col("id"), (vecDot(col("v"), q) /
         (vecMagnitude(col("v")) * lit(qMag) + lit(CosineEps))).as("cos"))
-    val edges = adj.select(col("src"), col("dst"))
     val entry = entryId.getOrElse(medoid(embs, idCol, vecCol))
     var visited = scoreIds(Seq(entry).toDF("id"))
       .withColumn("expanded", lit(false)).localCheckpoint(true)
@@ -244,7 +262,7 @@ object GraphAnn {
       if (frontier.limit(1).count() == 0L) done = true
       else {
         val fresh = frontier.withColumnRenamed("id", "src")
-          .join(edges, "src").select(col("dst").as("id")).distinct()
+          .join(hopEdges(frontier), "src").select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
         val next = visited
           .join(frontier.withColumn("__f", lit(true)), Seq("id"), "left")
@@ -257,7 +275,7 @@ object GraphAnn {
         hop += 1
       }
     }
-    val out = visited
+    val out = resultFilter(visited)
       .orderBy(col("cos").desc, col("id").asc).limit(k)
       .select(col("id").as(idCol), round(col("cos"), 6).as("cosine"))
       .localCheckpoint(true)

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Ann, GraphAnn}
+
+class GraphIndexSuite extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(23)
+  private val vecs: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+  private lazy val embs = vecs.toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+  private val query = vecs(5)._2.toArray
+
+  private def freshIndex(): (GraphIndex, String) = {
+    val dir = Files.createTempDirectory("graft_graph_test").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 8)
+    val adj = GraphAnn.buildVamana(embs, "vec_id", "embedding", r = 6, rounds = 2)
+    gi.build(adj)
+    graft.util.Pins.release(adj)
+    (gi, dir)
+  }
+
+  test("persisted serve == in-memory serve on the same graph") {
+    val (gi, _) = freshIndex()
+    val fromDisk = gi.searchTopK(embs, "vec_id", "embedding", query,
+        k = 5, beamWidth = 16, entryId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMem = GraphAnn.beamSearchTopK(gi.edges(), embs, "vec_id",
+        "embedding", query, k = 5, beamWidth = 16, entryId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk === inMem)
+  }
+
+  test("hop reads prune to the frontier's buckets at the file listing") {
+    val (_, dir) = freshIndex()
+    // the exact read shape searchTopK issues per hop: partition-column
+    // isin must surface as PartitionFilters, never a post-scan filter
+    val read = spark.read.parquet(s"$dir/g/edges")
+      .filter(col("gbucket").isin(1, 3)).select("src", "dst")
+    val parts = read.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PartitionFilters", "")
+    }
+    assert(parts.exists(p => p.contains("gbucket")),
+      s"the bucket isin must reach the listing as a partition filter: $parts")
+  }
+
+  test("lazy delete: tombstoned nodes still ROUTE but never RETURN") {
+    // a 3-node chain where the ONLY path to the best node runs through
+    // the deleted one: 0 -> 1 -> 2, query = node 2's vector
+    val chain = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.5f, 0.5f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val adj = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft_graph_chain").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 4)
+    gi.build(adj)
+    gi.delete(Seq(1L).toDF("id"))
+    val got = gi.searchTopK(chain, "vec_id", "embedding",
+        Array(0f, 1f), k = 3, beamWidth = 3, entryId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 0L),
+      "the walk crosses the tombstoned node 1 to reach 2, but 1 never returns")
+  }
+
+  test("reopening with a different bucket count is refused") {
+    val (gi, dir) = freshIndex()
+    val wrong = new GraphIndex(spark, s"$dir/g", buckets = 4)
+    intercept[IllegalArgumentException](
+      wrong.searchTopK(embs, "vec_id", "embedding", query, 3, 8))
+  }
+
+  test("fileStats lists per-bucket counts; snapshot round-trips and refuses existing targets") {
+    val (gi, dir) = freshIndex()
+    val stats = gi.fileStats().collect()
+    assert(stats.nonEmpty && stats.forall(_.getInt(1) >= 1))
+    gi.snapshot(s"$dir/snap")
+    // snapshot copies the STORE dir itself: open the copy directly
+    val reopened = new GraphIndex(spark, s"$dir/snap", buckets = 8)
+    val a = reopened.searchTopK(embs, "vec_id", "embedding", query,
+      k = 3, beamWidth = 8, entryId = Some(0L)).collect().toSeq
+    val b = gi.searchTopK(embs, "vec_id", "embedding", query,
+      k = 3, beamWidth = 8, entryId = Some(0L)).collect().toSeq
+    assert(a === b, "the copy serves identically")
+    intercept[IllegalArgumentException](gi.snapshot(s"$dir/snap"))
+  }
+}
