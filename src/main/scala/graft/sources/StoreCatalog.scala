@@ -161,6 +161,25 @@ final class StoreCatalog(spark: SparkSession) {
     Seq(s"${name}_clauses", s"${name}_totals")
   }
 
+  /** SQL-surface a persisted [[GraphIndex]] (X304): register
+    * `<name>_edges` (gbucket-partitioned (src, dst, cosine) — a
+    * `WHERE gbucket IN (...)` hop prunes at the directory listing
+    * exactly like [[GraphIndex.searchTopK]]'s per-hop reads, declared
+    * V2 pushdown) and `<name>_tombstones` as live session temp views.
+    * The edges view is deliberately RAW — tombstoned nodes keep
+    * ROUTING (the FreshDiskANN lazy-delete rule), so masking edges
+    * would change traversal semantics; a SQL reader excludes
+    * tombstoned ids from its RESULT set only, the same place the
+    * Scala serve applies them. Tombstone appends are visible to the
+    * next statement (live V2 scans). Returns the view names. */
+  def registerGraphIndex(name: String, path: String): Seq[String] = {
+    requireName(name)
+    layoutTable(path, "graph_edges").createOrReplaceTempView(s"${name}_edges")
+    layoutTable(path, "graph_tombstones")
+      .createOrReplaceTempView(s"${name}_tombstones")
+    Seq(s"${name}_edges", s"${name}_tombstones")
+  }
+
   /** SQL-surface a persisted [[IvfIndex]] (X189, LIVE since X200):
     * register `<name>_lists` (ivf_list-partitioned (id, vector) — a
     * `WHERE ivf_list IN (...)` probe prunes at the directory listing

@@ -91,7 +91,9 @@ private[v2] object GraftLayoutSource {
     "ivf_centroids" -> (("centroids", None, false)),
     "query_clauses" -> (("clauses", Some("tbucket"), false)),
     "query_totals" -> (("totals", None, false)),
-    "query_tombstones" -> (("tombstones", None, false)))
+    "query_tombstones" -> (("tombstones", None, false)),
+    "graph_edges" -> (("edges", Some("gbucket"), false)),
+    "graph_tombstones" -> (("tombstones", None, false)))
 
   def tableFor(props: JMap[String, String]): LayoutTable = {
     val m = props.asScala
@@ -116,6 +118,8 @@ private[v2] object GraftLayoutSource {
       new graft.sources.IvfIndex(spark, root).recoverForRead()
     else if (table.startsWith("query_"))
       new graft.sources.QueryStore(spark, root).recoverForRead()
+    else if (table.startsWith("graph_"))
+      () // build-once edges + append-only tombstones: nothing to recover
     else
       new graft.sources.InvertedIndex(spark, root).recoverForRead()
   }
@@ -209,6 +213,10 @@ private[v2] object GraftLayoutSource {
     case "ivf_centroids" => StructType(Seq(
       StructField("cid", IntegerType),
       StructField("centroid", ArrayType(FloatType, containsNull = true))))
+    case "graph_edges" => StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType),
+      StructField("cosine", DoubleType)))
+    case "graph_tombstones" => StructType(Seq(StructField("id", LongType)))
     case other => throw new IllegalArgumentException(
       s"no canonical schema for layout table '$other'")
   }

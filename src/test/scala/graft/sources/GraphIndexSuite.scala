@@ -73,6 +73,31 @@ class GraphIndexSuite extends AnyFunSuite {
       "the walk crosses the tombstoned node 1 to reach 2, but 1 never returns")
   }
 
+  test("SQL views: live edges/tombstones, raw edges after delete, bucket hop prunes") {
+    val (gi, dir) = freshIndex()
+    new StoreCatalog(spark).registerGraphIndex("catg", s"$dir/g")
+    val nEdges = gi.edges().count()
+    assert(spark.sql("SELECT COUNT(*) FROM catg_edges").head().getLong(0)
+      === nEdges)
+    assert(spark.sql("SELECT COUNT(*) FROM catg_tombstones").head().getLong(0)
+      === 0L)
+    gi.delete(Seq(3L).toDF("id"))
+    // tombstone append visible to the NEXT statement; edges stay RAW
+    // (tombstoned nodes keep routing — masking edges would change
+    // traversal semantics)
+    assert(spark.sql("SELECT id FROM catg_tombstones").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM catg_edges").head().getLong(0)
+      === nEdges, "edges view must stay raw after a lazy delete")
+    // a bucket-scoped hop reads the same slice the parquet filter does
+    val viaSql = spark.sql(
+      "SELECT src, dst FROM catg_edges WHERE gbucket IN (1, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = spark.read.parquet(s"$dir/g/edges")
+      .filter(col("gbucket").isin(1, 3)).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql === direct)
+  }
+
   test("reopening with a different bucket count is refused") {
     val (gi, dir) = freshIndex()
     val wrong = new GraphIndex(spark, s"$dir/g", buckets = 4)
