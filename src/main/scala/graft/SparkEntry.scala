@@ -1457,6 +1457,25 @@ object SparkEntry {
       gi.searchTopK(e, "vec_id", "embedding", anchor,
         k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
     }),
+    "q351_beam_sweep" -> ((s, d) => {
+      // X306 beam operating-point curve (the X141 nprobe sweep on the
+      // graph tier): recall@8 vs beamWidth over the vamana graph on the
+      // vec_id<200 slice, two probe queries — deterministic but not
+      // SQL-expressible (graph-dependent), so rows-only by design; the
+      // suite pins monotonicity and the exhaustive-beam ceiling
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+        .localCheckpoint(true)
+      val g = GraphAnn.buildVamana(e, "vec_id", "embedding",
+        r = 8, alpha = 1.2, rounds = 2)
+      try {
+        val probes = e.filter(col("vec_id").isin(2, 5))
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+          .sortBy(_._1)
+        GraphAnn.beamSweep(g, e, "vec_id", "embedding", probes,
+          k = 8, beamWidths = Seq(8, 32), entryId = Some(0L))
+      } finally { graft.util.Pins.release(g); graft.util.Pins.release(e) }
+    }),
     "q346_vamana_recall" -> ((s, d) => {
       // X300 Vamana build + beam serve graded against the exact scan:
       // recall@10 per probe query (vec_id 0-3) on the vec_id<200

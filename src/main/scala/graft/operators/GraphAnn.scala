@@ -222,6 +222,44 @@ object GraphAnn {
       beamWidth, maxHops, entryId)
   }
 
+  /** Beam-width tuning sweep (the X141 nprobe-sweep discipline on the
+    * graph serving tier): for every candidate `beamWidth`, mean
+    * recall@k over a sample of serving queries against the exact scan
+    * — the recall-vs-latency curve that picks a graph index's
+    * operating point (beam is the graph knob the way nprobe is the
+    * IVF knob). Each (query, beam) pair is an independent walk, so the
+    * sweep is |queries|·|beams| bounded serve calls plus |queries|
+    * exact scans — sample-sized by contract, like [[mmrRerank]]'s
+    * driver-bounded greedy. Ties follow the engine-wide id-asc rule on
+    * both sides. Returns (beam_width, n_queries, mean_recall) ordered
+    * by beam_width; deterministic end-to-end. */
+  def beamSweep(adj: DataFrame, embs: DataFrame, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Float])], k: Int,
+      beamWidths: Seq[Int], maxHops: Int = 64,
+      entryId: Option[Long] = None): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 64,
+      s"sample-sized query set, [1, 64], got ${queries.size}")
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
+    require(beamWidths.nonEmpty && beamWidths.forall(_ >= k),
+      s"every beamWidth must be >= k=$k, got $beamWidths")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val rows = for ((qid, qv) <- queries) yield {
+      val exact = Ann.bruteForceTopK(embs, idCol, vecCol, qv, k)
+        .collect().map(_.getLong(0)).toSet
+      beamWidths.map { b =>
+        val got = beamSearchTopK(adj, embs, idCol, vecCol, qv, k, b,
+          maxHops, entryId).collect().map(_.getLong(0))
+        (b, qid, got.count(exact))
+      }
+    }
+    rows.flatten.toDF("beam_width", "qid", "hits")
+      .groupBy(col("beam_width"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("hits").cast(DoubleType) / k), 6).as("mean_recall"))
+      .orderBy(col("beam_width"))
+  }
+
   /** The beam loop itself, shared between the in-memory serve
     * ([[beamSearchTopK]] — a constant edge frame) and the persisted
     * serve ([[graft.sources.GraphIndex.searchTopK]] — a per-hop

@@ -89,6 +89,29 @@ class GraphAnnSuite extends AnyFunSuite {
     graft.util.Pins.release(g)
   }
 
+  test("beamSweep: recall non-decreasing in beam, exhaustive beam exact on a connected graph") {
+    val adj = knnGraph(embs, 5).localCheckpoint(true)
+    val qs = Seq(3L -> vecs(3)._2.toArray, 9L -> vecs(9)._2.toArray)
+    val got = GraphAnn.beamSweep(adj, embs, "vec_id", "embedding", qs,
+        k = 5, beamWidths = Seq(5, 12, Int.MaxValue), entryId = Some(0L))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) === Seq(5, 12, Int.MaxValue))
+    assert(got.forall(_._2 === 2L))
+    val recalls = got.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not fall as beam widens: $recalls")
+    assert(recalls.last === 1.0,
+      "the exhaustive walk on a connected graph is the exact scan")
+    graft.util.Pins.release(adj)
+    intercept[IllegalArgumentException](GraphAnn.beamSweep(
+      adj, embs, "vec_id", "embedding", qs, k = 5, beamWidths = Seq(4)))
+    intercept[IllegalArgumentException](GraphAnn.beamSweep(
+      adj, embs, "vec_id", "embedding", Seq.empty, k = 5, beamWidths = Seq(8)))
+    intercept[IllegalArgumentException](GraphAnn.beamSweep(
+      adj, embs, "vec_id", "embedding", qs :+ qs.head, k = 5,
+      beamWidths = Seq(8)))
+  }
+
   test("medoid: the most central vector of an axis cluster") {
     val cluster = Seq(
       (1L, Seq(1f, 0.1f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, -0.1f)),
