@@ -1459,14 +1459,14 @@ object SparkEntry {
     }),
     "q351_beam_sweep" -> ((s, d) => {
       // X306 beam operating-point curve (the X141 nprobe sweep on the
-      // graph tier): recall@8 vs beamWidth over the vamana graph on the
-      // vec_id<200 slice, two probe queries — deterministic but not
+      // graph tier): recall@8 vs beamWidth over the SHARED persisted
+      // vamana graph (build amortized outside timing, the serve-many
+      // split), two probe queries — deterministic but not
       // SQL-expressible (graph-dependent), so rows-only by design; the
       // suite pins monotonicity and the exhaustive-beam ceiling
       val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
         .localCheckpoint(true)
-      val g = GraphAnn.buildVamana(e, "vec_id", "embedding",
-        r = 8, alpha = 1.2, rounds = 2)
+      val g = sharedGraphIndex(s, d).edges().localCheckpoint(true)
       try {
         val probes = e.filter(col("vec_id").isin(2, 5))
           .select("vec_id", "embedding").collect()
@@ -4337,7 +4337,23 @@ object SparkEntry {
     sharedInvIndex(s, d); sharedUInvIndex(s, d); sharedBInvIndex(s, d)
     sharedIvfIndex(s, d); sharedIvfPqIndex(s, d)
     sharedNgramLm(s, d); sharedPrunedIndex(s, d); sharedQueryStore(s, d)
+    sharedGraphIndex(s, d)
     ()
+  }
+
+  /** Shared persisted vamana graph over the vec_id<200 slice (the
+    * X300 build, r=8/rounds=2) — the serve rows (q351) time the WALK,
+    * not the build, per the build-once/serve-many bench split; q346
+    * keeps its private in-query build as the build gate. */
+  private def sharedGraphIndex(s: SparkSession, d: String): graft.sources.GraphIndex = {
+    val dir = cachedDir("graph", d) { dir =>
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      val adj = graft.operators.GraphAnn.buildVamana(
+        e, "vec_id", "embedding", r = 8, alpha = 1.2, rounds = 2)
+      try new graft.sources.GraphIndex(s, s"$dir/g").build(adj)
+      finally graft.util.Pins.release(adj)
+    }
+    new graft.sources.GraphIndex(s, s"$dir/g")
   }
 
   /** The q238/q246 Spark-SQL text: the ENTIRE q214 BM25 serving path as
