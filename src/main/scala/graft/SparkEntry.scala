@@ -1457,6 +1457,31 @@ object SparkEntry {
       gi.searchTopK(e, "vec_id", "embedding", anchor,
         k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(0L))
     }),
+    "q352_graph_append" -> ((s, d) => {
+      // X307 FreshDiskANN insert under the serve gate: build the graph
+      // WITHOUT the vec_id%7==0 nodes, insert four of them (ids
+      // 0/7/14/21 — present at every SF), then the exhaustive walk
+      // from entry 1 — the inserted nodes must be reachable through
+      // their reverse edges and score like any resident. Rows-only by
+      // design (graph-dependent); the suite pins the insert contracts
+      import s.implicits._
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+        .localCheckpoint(true)
+      val base = e.filter(col("vec_id") % 7 =!= 0)
+      val g = GraphAnn.buildVamana(base, "vec_id", "embedding",
+        r = 8, alpha = 1.2, rounds = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_gappend").toString
+      val gi = new graft.sources.GraphIndex(s, s"$dir/g")
+      try gi.build(g) finally graft.util.Pins.release(g)
+      gi.append(e, "vec_id", "embedding",
+        Seq(0L, 7L, 14L, 21L).toDF("id"), r = 8, searchBeam = 16,
+        entryId = Some(1L))
+      val anchor = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      try gi.searchTopK(e, "vec_id", "embedding", anchor,
+        k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(1L))
+      finally graft.util.Pins.release(e)
+    }),
     "q351_beam_sweep" -> ((s, d) => {
       // X306 beam operating-point curve (the X141 nprobe sweep on the
       // graph tier): recall@8 vs beamWidth over the SHARED persisted

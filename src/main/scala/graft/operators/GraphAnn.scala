@@ -65,9 +65,10 @@ object GraphAnn {
     * closest, and drop every remaining candidate the kept one "covers"
     * (α·d(kept, c) ≤ d(p, c)) — α > 1 trades degree for direction
     * diversity, the property that makes greedy search converge. Kept
-    * list is bounded by `r`. Exposed private[operators] for the
-    * hand-computed suite case. */
-  private[operators] def robustPrune(cands: Seq[(Long, Double, Seq[Float])],
+    * list is bounded by `r`. Exposed private[graft] for the
+    * hand-computed suite case and [[graft.sources.GraphIndex.append]]'s
+    * insert-time prune. */
+  private[graft] def robustPrune(cands: Seq[(Long, Double, Seq[Float])],
       r: Int, alpha: Double): Seq[(Long, Double)] = {
     val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Seq[Float])]
     var pool = cands.sortBy { case (dst, cos, _) => (-cos, dst) }.toList

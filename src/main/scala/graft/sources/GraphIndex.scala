@@ -21,10 +21,15 @@ import graft.operators.GraphAnn
   * Lifecycle, honestly scoped:
   *  - [[build]] validates and writes the partitioned edges + a one-row
   *    meta (bucket count) and clears tombstones (fresh build = fresh
-  *    live set). Build is the only edge writer, so it follows the
-  *    [[EmbeddingStore.bulkLoad]] precedent — a direct overwrite, no
-  *    two-rename: a crashed build is an incomplete NEW store the
-  *    caller re-runs, not a corrupted live one.
+  *    live set). Build follows the [[EmbeddingStore.bulkLoad]]
+  *    precedent — a direct overwrite, no two-rename: a crashed build
+  *    is an incomplete NEW store the caller re-runs, not a corrupted
+  *    live one.
+  *  - [[append]] is the FreshDiskANN INSERT: beam-search candidates
+  *    over the current graph, RobustPrune to the new node's out-edges,
+  *    reverse edges under the degree cap — applied as bucket-grouped
+  *    rewrites under the two-rename + hidden-backup crash protocol
+  *    (every read path recovers first), request-sized batches only.
   *  - [[delete]] is the FreshDiskANN lazy delete (Singh et al.,
   *    2105.09613): ids append to a tiny `tombstones/` table, O(batch)
   *    I/O, edge files untouched. Deleted nodes keep ROUTING — their
@@ -82,9 +87,157 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
   }
 
   /** Live (src, dst) edge view — a full read, for diagnostics and
-    * parity tests; serving goes through the pruned per-hop reads. */
-  def edges(): DataFrame =
+    * parity tests; serving goes through the pruned per-hop reads.
+    * Recovers crashed append swaps first (the read-path rule). */
+  def edges(): DataFrame = {
+    recoverAll()
     spark.read.parquet(edgesPath).select(col("src"), col("dst"))
+  }
+
+  /** [[append]]'s batch bound: each new node runs one candidate beam
+    * search driver-side, so the batch is request-sized by contract —
+    * bulk ingest at corpus scale is a rebuild, not a loop of inserts
+    * (the FreshDiskANN paper's own split: inserts for freshness,
+    * periodic merge for bulk). */
+  val MaxAppendBatch = 256
+
+  /** FreshDiskANN-style insert (Singh et al., 2105.09613 §3): for each
+    * new node, a beam search over the CURRENT graph collects its
+    * candidate neighborhood (the graph replaces the build's gossip as
+    * the candidate generator), RobustPrune picks its ≤ r out-edges,
+    * and each chosen neighbor gains a reverse edge under the top-r
+    * cosine degree cap (the build's reverse-insert rule). All edge
+    * additions then apply as ONE bucket-grouped rewrite: only the
+    * touched `gbucket` directories are read and atomically swapped
+    * (two-rename + hidden backup — the engine-wide mutation crash
+    * protocol; every read path recovers first), so insert I/O is
+    * ∝ touched-buckets/B of the edge mass, never the graph.
+    *
+    * `allEmbs` must contain BOTH the existing corpus and the new rows
+    * (scoring joins read it); `newIds` must be disjoint from stored
+    * node ids (the sibling append contract — re-inserting an id would
+    * double its out-edge rows). The new nodes become reachable through
+    * their reverse edges immediately: a full-beam walk finds them on
+    * the very next search. */
+  def append(allEmbs: DataFrame, idCol: String, vecCol: String,
+      newIds: DataFrame, r: Int, alpha: Double = 1.2,
+      searchBeam: Int = 32, entryId: Option[Long] = None): Unit = {
+    require(r >= 1 && r <= GraphAnn.MaxDegree,
+      s"degree bound r in [1, ${GraphAnn.MaxDegree}], got $r")
+    require(alpha >= 1.0, s"alpha >= 1, got $alpha")
+    require(searchBeam >= math.max(1, r),
+      s"searchBeam must cover the degree bound, got $searchBeam < $r")
+    require(newIds.columns.toSeq == Seq("id"),
+      s"newIds must be a single-column (id) frame, got ${newIds.columns.toSeq}")
+    storedBuckets()
+    recoverAll()
+    import org.apache.spark.sql.functions.broadcast
+    val nodes = allEmbs.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v"))
+    val fresh = nodes.join(broadcast(newIds.select(col("id").cast(LongType))),
+        Seq("id"), "left_semi")
+      .collect().map(r0 => r0.getLong(0) -> r0.getSeq[Float](1)).toSeq
+      .sortBy(_._1)
+    require(fresh.nonEmpty, "no new ids found in allEmbs")
+    require(fresh.size <= MaxAppendBatch,
+      s"${fresh.size} inserts > $MaxAppendBatch (request-sized batches; bulk = rebuild)")
+    val existing = edges().select(col("src")).distinct()
+      .join(broadcast(newIds.select(col("id").cast(LongType).as("src"))),
+        Seq("src"), "left_semi").count()
+    require(existing == 0L,
+      s"$existing of the new ids already have stored edges (append is id-disjoint)")
+    val additions = fresh.flatMap { case (nid, nvec) =>
+      val qv = nvec.toArray
+      // candidate neighborhood = the beam walk's visited top-searchBeam
+      // (tombstoned nodes stay eligible as NEIGHBORS — they route)
+      val cands = searchTopKRaw(allEmbs, idCol, vecCol, qv,
+          k = searchBeam, beamWidth = searchBeam, maxHops = 64, entryId)
+        .filter(col(idCol) =!= nid)
+        .join(nodes.withColumnRenamed("id", idCol), Seq(idCol))
+        .collect()
+        .map(r0 => (r0.getLong(0), r0.getDouble(1), r0.getSeq[Float](2)))
+        .toSeq
+      val kept = GraphAnn.robustPrune(cands, r, alpha)
+      kept.flatMap { case (t, cos) =>
+        Seq((nid, t, cos), (t, nid, cos)) // out-edge + reverse edge
+      }
+    }
+    applyEdgeAdditions(additions, r)
+  }
+
+  /** Apply edge additions bucket-by-bucket: read each touched bucket,
+    * union the additions, dedup (src, dst) keeping the best cosine,
+    * re-cap every touched node at top-r by cosine (the reverse-insert
+    * rule), and swap the rewritten directory in atomically. */
+  private def applyEdgeAdditions(adds: Seq[(Long, Long, Double)], r: Int): Unit = {
+    if (adds.isEmpty) return
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val addDf = adds.toDF("src", "dst", "cosine")
+      .withColumn("gbucket", bucketOf(col("src")))
+      .localCheckpoint(true) // pinned: the rewrite loop swaps files under it
+    val touched = addDf.select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    touched.foreach { b =>
+      val dir = new Path(s"$edgesPath/gbucket=$b")
+      recoverSwap(dir)
+      val cur =
+        if (fs.exists(dir)) spark.read.parquet(dir.toString)
+          .select(col("src"), col("dst"), col("cosine"))
+        else Seq.empty[(Long, Long, Double)].toDF("src", "dst", "cosine")
+      val out = cur.unionByName(
+          addDf.filter(col("gbucket") === b).drop("gbucket"))
+        .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cosine").desc, col("dst").asc)))
+        .filter(col("__rk") <= r)
+        .select(col("src"), col("dst"), round(col("cosine"), 6).as("cosine"))
+      val tmp = new Path(s"$edgesPath/.tmp_gbucket_$b")
+      out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      atomicSwap(tmp, dir)
+    }
+    graft.util.Pins.release(addDf)
+  }
+
+  /** Two-rename swap + hidden-backup recovery — the
+    * [[EmbeddingStore]] mutation crash protocol on the edge buckets:
+    * at every instant readers see only-old or only-new (dot-prefixed
+    * paths are invisible to Spark's listing). */
+  private def bakPath(dst: Path): Path =
+    new Path(dst.getParent, "." + dst.getName + ".bak")
+
+  private def atomicSwap(tmp: Path, dst: Path): Unit = {
+    val bak = bakPath(dst)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"cannot back up $dst")
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(bak)) fs.rename(bak, dst) // roll back
+      throw new java.io.IOException(s"cannot publish $tmp -> $dst")
+    }
+    fs.delete(bak, true)
+  }
+
+  private def recoverSwap(dst: Path): Unit = {
+    val bak = bakPath(dst)
+    if (fs.exists(bak)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(bak, dst))
+          throw new java.io.IOException(s"cannot recover $dst from $bak")
+      } else fs.delete(bak, true)
+    }
+  }
+
+  private def recoverAll(): Unit = {
+    val matches = Option(fs.globStatus(new Path(edgesPath, ".gbucket=*.bak")))
+    matches.toSeq.flatten.foreach { st =>
+      val name = st.getPath.getName
+      recoverSwap(new Path(st.getPath.getParent,
+        name.stripPrefix(".").stripSuffix(".bak")))
+    }
+    // a rewrite that died before its swap leaves hidden temp debris
+    Option(fs.globStatus(new Path(edgesPath, ".tmp_gbucket_*"))).toSeq.flatten
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 
   /** Lazy delete: append ids to the tombstone table (O(batch)); the
     * nodes keep routing but stop returning on the next search. */
@@ -101,9 +254,11 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
     else None
 
   /** Per-bucket part-file counts (the sibling observability surface):
-    * edges are build-once so counts reflect the writer's partitioning,
-    * plus the tombstone file count — the rebuild-cadence signal. */
+    * build writes set the baseline and [[append]]'s bucket rewrites
+    * coalesce to one file per touched bucket (the [[EmbeddingStore]]
+    * rule — mutation count never inflates file count). */
   def fileStats(): DataFrame = {
+    recoverAll()
     import spark.implicits._
     val rows = Option(fs.listStatus(new Path(edgesPath))).toSeq.flatten
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gbucket="))
@@ -123,7 +278,28 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
   def searchTopK(embs: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int, beamWidth: Int, maxHops: Int = 64,
       entryId: Option[Long] = None): DataFrame = {
+    val resultFilter = (visited: DataFrame) => tombstoneIds() match {
+      case Some(ts) => visited.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => visited
+    }
+    walk(embs, idCol, vecCol, query, k, beamWidth, maxHops, entryId,
+      resultFilter)
+  }
+
+  /** The walk WITHOUT the tombstone result filter — [[append]]'s
+    * candidate generator (a tombstoned node is still a valid graph
+    * NEIGHBOR for a new node: it routes). */
+  private def searchTopKRaw(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, beamWidth: Int, maxHops: Int,
+      entryId: Option[Long]): DataFrame =
+    walk(embs, idCol, vecCol, query, k, beamWidth, maxHops, entryId, identity)
+
+  private def walk(embs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, beamWidth: Int, maxHops: Int,
+      entryId: Option[Long],
+      resultFilter: DataFrame => DataFrame): DataFrame = {
     storedBuckets()
+    recoverAll()
     val hopEdges = (frontier: DataFrame) => {
       val bs = frontier.select(bucketOf(col("id")).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -131,20 +307,18 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
         .filter(col("gbucket").isin(bs: _*))
         .select(col("src"), col("dst"))
     }
-    val resultFilter = (visited: DataFrame) => tombstoneIds() match {
-      case Some(ts) => visited.join(broadcast(ts), Seq("id"), "left_anti")
-      case None => visited
-    }
     GraphAnn.beamCore(hopEdges, resultFilter, embs, idCol, vecCol, query,
       k, beamWidth, maxHops, entryId)
   }
 
   /** Consistent on-disk snapshot: hidden staging + rename, the
-    * engine-wide contract ([[EmbeddingStore.snapshot]]). Edges are
-    * build-once and tombstones append-only, so there is no swap to
-    * quiesce — the copy is consistent as long as no build/delete runs
-    * concurrently (the single-writer discipline all layouts share). */
+    * engine-wide contract ([[EmbeddingStore.snapshot]]). Quiesces
+    * first — a crashed [[append]] swap's hidden backup must resolve
+    * before the tree copies, or the snapshot would ship a bucket in
+    * its mid-rename state; consistency then needs only the
+    * single-writer discipline all layouts share. */
   def snapshot(targetPath: String): Unit = {
+    recoverAll()
     val dst = new Path(targetPath)
     require(!fs.exists(dst), s"snapshot target $targetPath already exists")
     val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")

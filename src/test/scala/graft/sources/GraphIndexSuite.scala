@@ -98,6 +98,59 @@ class GraphIndexSuite extends AnyFunSuite {
     assert(viaSql === direct)
   }
 
+  test("append: new nodes pruned-linked, reachable next search, degrees bounded, disjointness enforced") {
+    // build on the first 30 nodes, insert the last 2 afterwards
+    val base = embs.filter(col("vec_id") < 30)
+    val dir = Files.createTempDirectory("graft_graph_append").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 8)
+    val adj = GraphAnn.buildVamana(base, "vec_id", "embedding", r = 6, rounds = 2)
+    gi.build(adj)
+    graft.util.Pins.release(adj)
+    gi.append(embs, "vec_id", "embedding", Seq(30L, 31L).toDF("id"),
+      r = 6, searchBeam = 12, entryId = Some(0L))
+    val g = gi.edges().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // both inserted nodes have out-edges and reverse edges point back
+    for (nid <- Seq(30L, 31L)) {
+      assert(g.exists(_._1 == nid), s"node $nid has out-edges")
+      assert(g.exists(_._2 == nid), s"node $nid gained reverse edges")
+    }
+    // degree bound holds EVERYWHERE after the reverse insertions
+    val deg = g.groupBy(_._1).map(_._2.size)
+    assert(deg.max <= 6, s"reverse insertion must re-cap, max ${deg.max}")
+    // the inserted node is findable: full-beam search of its own vector
+    // returns it first (cos ~ 1)
+    val top = gi.searchTopK(embs, "vec_id", "embedding",
+        vecs(31)._2.toArray, k = 3, beamWidth = Int.MaxValue,
+        entryId = Some(0L))
+      .head()
+    assert(top.getLong(0) === 31L && top.getDouble(1) === 1.0,
+      "a freshly inserted node must be reachable through its reverse edges")
+    // id-disjointness: re-inserting refuses
+    intercept[IllegalArgumentException](gi.append(embs, "vec_id",
+      "embedding", Seq(30L).toDF("id"), r = 6, searchBeam = 12))
+    // batch bound: request-sized inserts only
+    intercept[IllegalArgumentException](gi.append(embs, "vec_id",
+      "embedding", spark.range(0, gi.MaxAppendBatch + 1)
+        .select(col("id")), r = 6, searchBeam = 12))
+  }
+
+  test("append crash protocol: a hidden bucket backup recovers on the next read") {
+    val (gi, dir) = freshIndex()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a mutation that died between its two renames: the live
+    // bucket dir is gone, the hidden backup holds the rows
+    val live = new org.apache.hadoop.fs.Path(s"$dir/g/edges/gbucket=1")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/g/edges/.gbucket=1.bak")
+    val before = gi.edges().count()
+    assert(fs.exists(live), "fixture bucket must exist")
+    assert(fs.rename(live, bak))
+    // the next read recovers the backup and sees every edge again
+    assert(gi.edges().count() === before,
+      "a crashed swap's hidden backup must restore on the next read")
+    assert(fs.exists(live) && !fs.exists(bak))
+  }
+
   test("reopening with a different bucket count is refused") {
     val (gi, dir) = freshIndex()
     val wrong = new GraphIndex(spark, s"$dir/g", buckets = 4)
