@@ -311,6 +311,39 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       k, beamWidth, maxHops, entryId)
   }
 
+  /** Maintenance policy as a DECISION RECORD (the sibling maintain-as-
+    * code surface, honestly scoped to what a graph layout can do):
+    * reads the tombstone fraction and per-bucket file counts from the
+    * listings, and REPORTS — it never acts, because this layout's one
+    * reclamation action is a rebuild (edge-rewriting vacuum without
+    * neighborhood re-patching breaks the α-prune property, the class
+    * doc's StreamingMerge note), and a rebuild needs the embedding
+    * corpus this handle doesn't own. One row per check:
+    * (check, metric, threshold, rebuild_recommended) — the ops loop
+    * that owns the corpus acts on `rebuild_recommended`. File counts
+    * are informational (append rewrites coalesce, so they cannot
+    * accrete; a high count means an external writer). */
+  def maintain(maxTombstoneFrac: Double = 0.2): DataFrame = {
+    require(maxTombstoneFrac > 0.0,
+      s"maxTombstoneFrac must be > 0, got $maxTombstoneFrac")
+    recoverAll()
+    import spark.implicits._
+    val nNodes = edges().select(col("src")).distinct().count()
+    val nTomb = tombstoneIds().map(_.count()).getOrElse(0L)
+    val tombFrac =
+      if (nNodes == 0L) (if (nTomb > 0L) 1.0 else 0.0)
+      else nTomb.toDouble / nNodes
+    val maxFiles = fileStats().agg(max(col("n_files"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    Seq(
+      ("tombstone_frac", math.round(tombFrac * 1e6) / 1e6,
+        maxTombstoneFrac, tombFrac > maxTombstoneFrac),
+      ("max_files_per_bucket", maxFiles.toDouble, 1.0, false))
+      .toDF("check", "metric", "threshold", "rebuild_recommended")
+  }
+
   /** Consistent on-disk snapshot: hidden staging + rename, the
     * engine-wide contract ([[EmbeddingStore.snapshot]]). Quiesces
     * first — a crashed [[append]] swap's hidden backup must resolve

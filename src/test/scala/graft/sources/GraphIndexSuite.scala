@@ -158,6 +158,24 @@ class GraphIndexSuite extends AnyFunSuite {
       wrong.searchTopK(embs, "vec_id", "embedding", query, 3, 8))
   }
 
+  test("maintain: tombstone fraction drives the rebuild recommendation; reports, never acts") {
+    val (gi, _) = freshIndex()
+    def rec() = gi.maintain(maxTombstoneFrac = 0.1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rec() === Map("tombstone_frac" -> false,
+      "max_files_per_bucket" -> false))
+    // tombstone 5 of 40 nodes: 12.5% > the 10% threshold
+    gi.delete((0L until 5L).toDF("id"))
+    val after = rec()
+    assert(after("tombstone_frac") === true,
+      "crossing the threshold must recommend a rebuild")
+    // the policy REPORTED and did not act: edges and tombstones intact
+    assert(gi.edges().count() > 0)
+    assert(gi.searchTopK(embs, "vec_id", "embedding", query, 3,
+      beamWidth = 8, entryId = Some(0L)).collect()
+      .forall(_.getLong(0) >= 5L), "tombstones still applied at serve")
+  }
+
   test("fileStats lists per-bucket counts; snapshot round-trips and refuses existing targets") {
     val (gi, dir) = freshIndex()
     val stats = gi.fileStats().collect()
