@@ -266,19 +266,19 @@ object Bench {
     // everything observed); the noisy board samples stay in the JSON
     // under "quarantined" so nothing is hidden. SPARK_GRAFT_QUARANTINE=0
     // disables (set in the child to stop recursion; also the dev loop).
-    def jsonBlock(js: String, key: String): Option[String] = {
-      val tag = "\"" + key + "\":{"
-      val i = js.indexOf(tag)
-      if (i < 0) None
-      else {
-        val end = js.indexOf('}', i + tag.length)
-        if (end < 0) None else Some(js.substring(i + tag.length, end))
-      }
-    }
+    // whitespace-tolerant parsing: the reference file may be rewritten
+    // by pretty-printing tools (a space after the colon silently turned
+    // the ref triggers OFF in an r20 pass — never again)
+    def jsonBlock(js: String, key: String): Option[String] =
+      ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(js).map { m =>
+        val start = m.end
+        val end = js.indexOf('}', start)
+        if (end < 0) "" else js.substring(start, end)
+      }.filter(_.nonEmpty)
     def parseArrMap(block: String): Map[String, Seq[Double]] =
-      "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(block).map { m =>
+      "\"([^\"]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(block).map { m =>
         m.group(1) -> m.group(2).split(",").iterator
-          .filter(_.nonEmpty).map(_.toDouble).toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
       }.toMap
     val quarantineOn = warmAll &&
       sys.env.getOrElse("SPARK_GRAFT_QUARANTINE", "1") == "1"
@@ -290,7 +290,8 @@ object Bench {
         if (!quarantineOn || !java.nio.file.Files.exists(f)) Map.empty
         else {
           val js = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-          val refSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(js).map(_.group(1))
+          val refSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(js).map(_.group(1))
           if (!refSf.contains(sfDir)) {
             System.err.println(
               s"BENCH QUARANTINE ref $path is for sf ${refSf.orNull}, " +

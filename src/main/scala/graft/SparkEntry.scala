@@ -1459,11 +1459,13 @@ object SparkEntry {
     }),
     "q352_graph_append" -> ((s, d) => {
       // X307 FreshDiskANN insert under the serve gate: build the graph
-      // WITHOUT the vec_id%7==0 nodes, insert four of them (ids
-      // 0/7/14/21 — present at every SF), then the exhaustive walk
-      // from entry 1 — the inserted nodes must be reachable through
-      // their reverse edges and score like any resident. Rows-only by
-      // design (graph-dependent); the suite pins the insert contracts
+      // WITHOUT the vec_id%7==0 nodes, insert two of them (ids 0/7 —
+      // present at every SF), then the exhaustive walk from entry 1 —
+      // the inserted nodes must be reachable through their reverse
+      // edges and score like any resident. Rows-only by design
+      // (graph-dependent); the suite pins the insert contracts. Two
+      // inserts, not more: each is ~a beam walk of driver-scheduled
+      // jobs, and the walk count is the row's floor (job-count-bound)
       import s.implicits._
       val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
         .localCheckpoint(true)
@@ -1474,12 +1476,16 @@ object SparkEntry {
       val gi = new graft.sources.GraphIndex(s, s"$dir/g")
       try gi.build(g) finally graft.util.Pins.release(g)
       gi.append(e, "vec_id", "embedding",
-        Seq(0L, 7L, 14L, 21L).toDF("id"), r = 8, searchBeam = 16,
+        Seq(0L, 7L).toDF("id"), r = 8, searchBeam = 12,
         entryId = Some(1L))
       val anchor = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
+      // beam 32, not exhaustive: the gate is "the inserted node is
+      // findable through its reverse edges" (its own vector must rank
+      // it first), which any fixed beam preserves deterministically —
+      // exhaustive walks are q345/q349/q350's oracle territory
       try gi.searchTopK(e, "vec_id", "embedding", anchor,
-        k = 10, beamWidth = Int.MaxValue, maxHops = 64, entryId = Some(1L))
+        k = 10, beamWidth = 32, maxHops = 64, entryId = Some(1L))
       finally graft.util.Pins.release(e)
     }),
     "q351_beam_sweep" -> ((s, d) => {
