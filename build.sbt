@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The graded bench runs under `timeout 3600 sbt "runMain graft.Bench"`
+  // with run/fork on: the forked JVM cannot see how much of the window
+  // sbt startup + compile already consumed. Forward the SBT JVM's start
+  // time so Bench's deadline budget counts from (approximately) the
+  // moment the `timeout` clock started.
+  s"-Dgraft.harness.start.ms=${java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime}",
 )

@@ -28,13 +28,17 @@ object Bench {
     * accrete until otherwise-1-3s queries record 15-50s (round-7 bench:
     * q54 2.5s/50.1s, q92 7.5s vs 0.5s isolated). Clearing between
     * queries makes every timing a fresh-query cost, matching what an
-    * isolated SPARK_GRAFT_ONLY run (and a real cluster job) would see. */
+    * isolated SPARK_GRAFT_ONLY run (and a real cluster job) would see.
+    * Temp-view cleanup reads the session catalog's name list directly:
+    * the previous `listTables().collect()` was a full Spark job and this
+    * runs ~1100 times per board (warm pass + every timed sample), a
+    * constant overhead the r20 driver window could not afford. */
   private def release(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
-    spark.catalog.listTables().collect()
-      .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+    spark.sessionState.catalog.getTempViewNames()
+      .foreach(spark.catalog.dropTempView)
     // In-pass heap-pressure guard. The between-pass settle() pays run 1's
     // GC debt before run 2, but the debt also lands INSIDE pass 1: an
     // isolated fresh-JVM q127 first run costs 2.6 s while the round-14
@@ -73,6 +77,39 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ── Deadline budget (round-21, the bench-of-record fix) ──
+    // The graded invocation is `timeout 3600 sbt "runMain graft.Bench"`.
+    // r20's board was FULLY measured and still graded rc=124/parsed=null:
+    // the JSON was only emitted after the flat-25-minute quarantine child,
+    // and the driver's degraded window ran out first. Defense in depth:
+    //  (1) every expensive phase checks remaining budget and degrades
+    //      (shorter warm pass → fewer samples → no quarantine) instead of
+    //      blowing the deadline — each degradation is recorded in the
+    //      JSON's "degradations" object so a reader can see exactly what
+    //      a squeezed run skipped;
+    //  (2) bench_out.json is written the moment the timed passes finish,
+    //      then atomically rewritten if/when quarantine lands;
+    //  (3) a watchdog thread prints the single stdout JSON line from the
+    //      rows measured so far if the main thread hasn't by deadline−45s,
+    //      so even a hard kill leaves a parseable line (one-line contract
+    //      kept via compare-and-set — main then never prints a second).
+    // build.sbt forwards the SBT JVM's start time
+    // (-Dgraft.harness.start.ms) so sbt startup + a from-clean compile
+    // count against the budget; a bare `java` launch (the quarantine
+    // child) falls back to its own JVM start.
+    val harnessStartMs: Long =
+      sys.props.get("graft.harness.start.ms")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getStartTime)
+    val budgetS: Double =
+      sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "3420").toDouble
+    def remainingS: Double =
+      budgetS - (System.currentTimeMillis() - harnessStartMs) / 1e3
+    System.err.println(f"BENCH BUDGET ${budgetS}%.0f s total, " +
+      f"${remainingS}%.0f s remaining at bench start")
+    val degradations = new java.util.concurrent.ConcurrentHashMap[String, String]
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -160,17 +197,44 @@ object Bench {
     //      like against like.
     // The full warm pass costs one extra sum-of-queries of untimed wall,
     // so the single-pass dev loop (SPARK_GRAFT_RUNS=1) skips it.
+    // Under a squeezed budget the warm pass ABORTS once the projection
+    // says finishing it would eat the timed passes' time: the remaining
+    // queries enter pass 1 cold (their run-1 sample may inflate; min-of-2
+    // still has the warm run 2) — strictly better than the r20 outcome
+    // where the deadline erased the whole board.
     val warmAll = nRuns >= 2
+    val warmTimes = scala.collection.mutable.Map.empty[String, Double]
     if (warmAll) {
       settle(spark, "warm pass start")
-      selected.foreach { case (name, fn) =>
+      val names = selected.keys.toSeq
+      var aborted = false
+      var i = 0
+      while (i < names.size && !aborted) {
+        val name = names(i)
+        val fn = selected(name)
         val t0 = System.nanoTime()
         try force(fn(spark, sfDir))
         catch { case t: Throwable =>
           System.err.println(s"BENCH WARN warmup $name failed: $t") }
-        System.err.println(
-          f"BENCH WARM $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        warmTimes(name) = dt
+        System.err.println(f"BENCH WARM $name%-28s ${dt}%8.3f s")
         release(spark)
+        i += 1
+        // projection: finishing the warm pass + nRuns timed passes +
+        // quarantine/margin reserve must fit the remaining budget
+        if (i >= 8 && i < names.size) {
+          val warmSum = warmTimes.values.sum
+          val projTotal = warmSum * names.size / i
+          val need = (projTotal - warmSum) + nRuns * projTotal * 1.1 + 300
+          if (remainingS < need) {
+            aborted = true
+            degradations.put("warm_aborted_after", i.toString)
+            System.err.println(f"BENCH BUDGET warm pass aborted after $i/" +
+              f"${names.size} queries (${remainingS}%.0f s left, " +
+              f"projected need ${need}%.0f s)")
+          }
+        }
       }
     }
     // Lifecycle/maintenance queries run many filesystem-mutation jobs and
@@ -217,6 +281,92 @@ object Bench {
       (dt, ok)
     }
     settle(spark, "timed runs start")
+    // ── Board state is accumulated INCREMENTALLY (sample granularity) so
+    // the watchdog can emit whatever has been measured at any instant ──
+    val boardRuns =
+      new java.util.concurrent.ConcurrentHashMap[String, List[(Double, Boolean)]]
+    val isolatedState =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]
+    val methodologyRef = new java.util.concurrent.atomic.AtomicReference[String](
+      if (warmAll) "warmall+paired+resample3x" else "paired")
+    // JSON assembly from whatever the concurrent state holds right now —
+    // used by the normal end-of-run emit, the pre-quarantine file write,
+    // and the watchdog's last-resort partial emit.
+    def assembleJson(): String = {
+      import scala.jdk.CollectionConverters._
+      val perQuery = boardRuns.asScala.toMap
+      val isolated = isolatedState.asScala.toMap
+      def rowRuns(name: String): Seq[Double] =
+        isolated.getOrElse(name, perQuery(name).map(_._1))
+      val results = perQuery.map { case (name, perRun) =>
+        val okTimes = perRun.collect { case (t, true) => t } ++
+          isolated.getOrElse(name, Seq.empty)
+        val v = if (okTimes.nonEmpty) okTimes.min else perRun.map(_._1).min
+        name -> ((v, perRun.forall(_._2)))
+      }
+      def median(ts: Seq[Double]): Double = {
+        val s = ts.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+      val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val medians = perQuery.map { case (name, perRun) =>
+        val ts =
+          if (isolated.contains(name)) rowRuns(name)
+          else {
+            val okTimes = perRun.collect { case (t, true) => t }
+            if (okTimes.nonEmpty) okTimes else perRun.map(_._1)
+          }
+        s"\"" + name + "\":" + median(ts)
+      }.mkString("{", ",", "}")
+      val rawRuns = perQuery.map { case (name, _) =>
+        s"\"" + name + "\":" + rowRuns(name).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val quarantineJson = isolated.keys.toSeq.sorted.map { n =>
+        s"\"" + n + "\":" + perQuery(n).map(_._1).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val degJson = degradations.asScala.toSeq.sorted.map { case (k, v) =>
+        s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$rawRuns,"quarantined":$quarantineJson,"n_runs":$nRuns,"methodology":"${methodologyRef.get}","degradations":$degJson,"failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
+    }
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    def writeBenchOut(json: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(benchOutPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch {
+        // a silent failure would leave a STALE bench_out.json posing as this
+        // run's numbers — warn loudly (stdout already has the real line)
+        case e @ (_: java.io.IOException | _: java.nio.file.InvalidPathException) =>
+          System.err.println(s"BENCH WARN could not write $benchOutPath: $e")
+      }
+    // The single-stdout-JSON-line contract, kill-proofed: whoever gets
+    // here first (main at normal completion, or the watchdog at
+    // deadline−45s) prints THE line; the other stays silent.
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitOnce(json: String): Boolean =
+      if (printed.compareAndSet(false, true)) {
+        println(json); System.out.flush()
+        writeBenchOut(json)
+        true
+      } else false
+    val watchdog = new Thread(() => {
+      try {
+        while (remainingS > 45 && !printed.get()) Thread.sleep(1000)
+        if (!printed.get()) {
+          degradations.put("watchdog_partial_emit", "true")
+          methodologyRef.updateAndGet(_ + "+watchdog_partial")
+          if (emitOnce(assembleJson()))
+            System.err.println("BENCH WATCHDOG emitted partial board at " +
+              f"deadline-${remainingS}%.0f s")
+        }
+      } catch { case _: InterruptedException => }
+    }, "bench-deadline-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     // Spread retirement (carried r15→r17; the 14 remaining >3x offenders
     // were ambient drift in BOTH directions, not cold starts): sampling
     // is now ADAPTIVE. Every query gets its nRuns back-to-back samples;
@@ -228,24 +378,49 @@ object Bench {
     // widest). The JSON reports the MEDIAN alongside the min per query,
     // so a reader can tell "fast plan, one slow outlier" (median ≈ min)
     // from "genuinely bimodal" (median ≫ min) without re-running.
+    // Under a squeezed budget the board drops to single-run rows (the
+    // cut is one-way and recorded): every query still gets a sample, so
+    // no row can "disappear" the way the r20 timeout erased all 351.
     val maxExtra = 2
-    val perQuery: Map[String, Seq[(Double, Boolean)]] =
-      selected.map { case (name, fn) =>
-        val n = nRuns + (if (nRuns >= 2 && lifecycle(name)) 1 else 0)
-        val base = (1 to n).map(_ => timeOne(name, fn)).toList
-        def spread(rs: List[(Double, Boolean)]): Double = {
-          val ts = rs.map(_._1)
-          if (ts.min <= 0.0) 1.0 else ts.max / ts.min
-        }
-        var runs = base
-        var extra = 0
-        while (nRuns >= 2 && spread(runs) > 3.0 && extra < maxExtra) {
-          System.err.println(f"BENCH RESAMPLE $name%-28s spread ${spread(runs)}%.1fx")
-          runs = runs :+ timeOne(name, fn)
-          extra += 1
-        }
-        name -> (runs: Seq[(Double, Boolean)])
+    val meanWarm =
+      if (warmTimes.nonEmpty) warmTimes.values.sum / warmTimes.size else 1.2
+    var restCost = selected.keys.toSeq
+      .map(n => warmTimes.getOrElse(n, meanWarm)).sum
+    var squeezed = false
+    selected.foreach { case (name, fn) =>
+      val rowEst = warmTimes.getOrElse(name, meanWarm)
+      if (!squeezed && nRuns >= 2 &&
+          remainingS < nRuns * restCost * 1.1 + 420) {
+        squeezed = true
+        degradations.put("single_run_from", name)
+        System.err.println(f"BENCH BUDGET single-run mode from $name " +
+          f"(${remainingS}%.0f s left, rest ≈ ${restCost}%.0f s/pass)")
       }
+      val n =
+        if (squeezed) 1
+        else nRuns + (if (nRuns >= 2 && lifecycle(name)) 1 else 0)
+      var runs = List.empty[(Double, Boolean)]
+      (1 to n).foreach { _ =>
+        runs = runs :+ timeOne(name, fn)
+        boardRuns.put(name, runs)
+      }
+      def spread(rs: List[(Double, Boolean)]): Double = {
+        val ts = rs.map(_._1)
+        if (ts.min <= 0.0) 1.0 else ts.max / ts.min
+      }
+      var extra = 0
+      while (!squeezed && nRuns >= 2 && spread(runs) > 3.0 && extra < maxExtra) {
+        System.err.println(f"BENCH RESAMPLE $name%-28s spread ${spread(runs)}%.1fx")
+        runs = runs :+ timeOne(name, fn)
+        boardRuns.put(name, runs)
+        extra += 1
+      }
+      restCost = math.max(0.0, restCost - rowEst)
+    }
+    if (squeezed) methodologyRef.updateAndGet(_ + "+budget_single_run")
+    import scala.jdk.CollectionConverters._
+    val perQuery: Map[String, Seq[(Double, Boolean)]] =
+      boardRuns.asScala.toMap.map { case (k, v) => k -> (v: Seq[(Double, Boolean)]) }
     // ── Quarantine re-measure (round-20, the bench-of-record fix) ──
     // The r19 RECORDED board was a degraded pass: 12 raw-spread >3x
     // offenders and rows whose min was 5-15x their true cost (q250
@@ -266,6 +441,9 @@ object Bench {
     // everything observed); the noisy board samples stay in the JSON
     // under "quarantined" so nothing is hidden. SPARK_GRAFT_QUARANTINE=0
     // disables (set in the child to stop recursion; also the dev loop).
+    // The child is budget-bounded (r21): it gets the remaining budget
+    // minus a 120s margin, never the old flat 25 minutes, and is skipped
+    // outright (recorded) when fewer than 6 minutes remain.
     // whitespace-tolerant parsing: the reference file may be rewritten
     // by pretty-printing tools (a space after the colon silently turned
     // the ref triggers OFF in an r20 pass — never again)
@@ -321,13 +499,22 @@ object Bench {
         s"re-measuring first $quarantineCap, dropped: " +
         offenders.drop(quarantineCap).mkString(","))
     val quarantined = offenders.take(quarantineCap)
+    // the board measured so far is the number of record UNTIL quarantine
+    // improves it — write it to disk NOW so a kill at any later point
+    // still leaves a complete parseable artifact (the r20 failure mode)
+    if (quarantined.nonEmpty) writeBenchOut(assembleJson())
+    val childBudgetS = remainingS - 120
     val isolatedRuns: Map[String, Seq[Double]] =
       if (quarantined.isEmpty) Map.empty
-      else try {
+      else if (childBudgetS < 360) {
+        degradations.put("quarantine_skipped", "budget")
+        System.err.println(f"BENCH BUDGET quarantine skipped " +
+          f"(${quarantined.size} offenders, ${remainingS}%.0f s left)")
+        Map.empty
+      } else try {
         quarantined.foreach(n => System.err.println(
           s"BENCH QUARANTINE $n: board runs " +
             perQuery(n).map(r => f"${r._1}%.3f").mkString("[", ",", "]")))
-        import scala.jdk.CollectionConverters._
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -340,77 +527,44 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BUDGET_S",
+          f"${math.min(1500.0, childBudgetS) - 30}%.0f")
         // the child's BENCH Q progress stays visible; its stdout JSON
         // line must NOT pollute this process's one-JSON-line contract
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        val done = p.waitFor(25, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { p.destroyForcibly(); p.waitFor() }
+        val capS = math.min(1500.0, childBudgetS)
+        val done = p.waitFor(capS.toLong, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) {
+          degradations.put("quarantine_child_timeout", f"${capS}%.0f")
+          p.destroyForcibly(); p.waitFor()
+        }
         val js = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
         java.nio.file.Files.deleteIfExists(tmp)
-        val childFailed = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(js)
-          .map(_.group(1)).getOrElse("")
+        // exact-membership failure filter: substring matching dropped
+        // q25's isolated samples whenever the child failed q250
+        val childFailed: Set[String] =
+          "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(js)
+            .map(_.group(1)).getOrElse("").split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSet
         jsonBlock(js, "runs").map(parseArrMap).getOrElse(Map.empty)
-          .filter { case (k, v) => v.nonEmpty && !childFailed.contains(k) }
+          .filter { case (k, v) => v.nonEmpty && !childFailed(k) }
       } catch { case t: Throwable =>
         System.err.println(s"BENCH WARN quarantine child failed: $t")
         Map.empty }
     isolatedRuns.foreach { case (n, rs) =>
+      isolatedState.put(n, rs)
       System.err.println(f"BENCH QUARANTINE $n: isolated min ${rs.min}%.3f s " +
         f"(board min ${perQuery(n).map(_._1).min}%.3f s)") }
-    // min over SUCCESSFUL passes — for quarantined rows, over board AND
-    // isolated samples; a query with no successful pass keeps its
-    // fastest failing time and lands in `failed`
-    val results = perQuery.map { case (name, perRun) =>
-      val okTimes = perRun.collect { case (t, true) => t } ++
-        isolatedRuns.getOrElse(name, Seq.empty)
-      val v = if (okTimes.nonEmpty) okTimes.min else perRun.map(_._1).min
-      name -> ((v, perRun.forall(_._2)))
-    }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    // a quarantined row's runs/median come from the clean isolated JVM;
-    // its degraded board samples are preserved under "quarantined"
-    def rowRuns(name: String): Seq[Double] =
-      isolatedRuns.getOrElse(name, perQuery(name).map(_._1))
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val medians = perQuery.map { case (name, perRun) =>
-      val ts = rowRuns(name) match {
-        case rs if isolatedRuns.contains(name) => rs
-        case _ =>
-          val okTimes = perRun.collect { case (t, true) => t }
-          if (okTimes.nonEmpty) okTimes else perRun.map(_._1)
-      }
-      s"\"" + name + "\":" + median(ts)
-    }.mkString("{", ",", "}")
-    val rawRuns = perQuery.map { case (name, _) =>
-      s"\"" + name + "\":" + rowRuns(name).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val quarantineJson = isolatedRuns.keys.toSeq.sorted.map { n =>
-      s"\"" + n + "\":" + perQuery(n).map(_._1).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false)) => k }.toSeq.sorted
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$medians,"runs":$rawRuns,"quarantined":$quarantineJson,"n_runs":$nRuns,"methodology":"${if (warmAll) "warmall+paired+resample3x" + (if (quarantineOn) "+quarantine" else "") else "paired"}","failed":$failedJson,"gc_ms_timed":${gcTimed.get},"sf":"$sfDir"}"""
-    println(json)
+    if (quarantineOn) methodologyRef.updateAndGet(_ + "+quarantine")
+    val json = assembleJson()
+    emitOnce(json)
     // also drop the bare line in a file: under sbt every stdout line gets an
     // "[info] " prefix, which breaks naive line-wise JSON parsing downstream
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      (json + "\n").getBytes("UTF-8"))
-    catch {
-      // a silent failure would leave a STALE bench_out.json posing as this
-      // run's numbers — warn loudly (stdout already has the real line)
-      case e @ (_: java.io.IOException | _: java.nio.file.InvalidPathException) =>
-        System.err.println(s"BENCH WARN could not write bench_out.json: $e")
-    }
+    val failed = perQuery.collect {
+      case (k, perRun) if !perRun.forall(_._2) => k }.toSeq.sorted
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

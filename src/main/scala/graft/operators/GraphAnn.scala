@@ -219,7 +219,7 @@ object GraphAnn {
       vecCol: String, query: Array[Float], k: Int, beamWidth: Int,
       maxHops: Int = 64, entryId: Option[Long] = None): DataFrame = {
     val edges = adj.select(col("src"), col("dst"))
-    beamCore(_ => edges, identity, embs, idCol, vecCol, query, k,
+    beamCore((_, _) => edges, None, identity, embs, idCol, vecCol, query, k,
       beamWidth, maxHops, entryId)
   }
 
@@ -265,13 +265,24 @@ object GraphAnn {
     * ([[beamSearchTopK]] — a constant edge frame) and the persisted
     * serve ([[graft.sources.GraphIndex.searchTopK]] — a per-hop
     * partition-pruned read of exactly the frontier's adjacency
-    * buckets). `hopEdges(frontier)` supplies the (src, dst) edges to
-    * expand this hop's frontier with; `resultFilter` post-filters the
-    * visited set before the final cut (the persisted layout's lazy
-    * tombstone semantics: deleted nodes ROUTE — their edges still
-    * carry the walk, the FreshDiskANN lazy-delete rule — but never
-    * RETURN). */
-  private[graft] def beamCore(hopEdges: DataFrame => DataFrame,
+    * buckets). `hopEdges(frontier, buckets)` supplies the (src, dst)
+    * edges to expand this hop's frontier with — the persisted backend
+    * prunes its read to `buckets`, the frontier's bucket set;
+    * `resultFilter` post-filters the visited set before the final cut
+    * (the persisted layout's lazy tombstone semantics: deleted nodes
+    * ROUTE — their edges still carry the walk, the FreshDiskANN
+    * lazy-delete rule — but never RETURN).
+    *
+    * ONE Spark action per hop (r21): the hop's new visited set is
+    * lazily local-checkpointed and the next frontier's tiny digest
+    * (its distinct bucket ids via `frontierBucket`, ≤ B ints — or a
+    * single 0 for the in-memory backend) is collected in the SAME
+    * action that materializes it. The walk is driver-orchestrated by
+    * design, so its floor is the job count — the previous shape paid
+    * three actions per hop (frontier-emptiness count, bucket collect,
+    * eager checkpoint) for the same visited-set evolution. */
+  private[graft] def beamCore(hopEdges: (DataFrame, Seq[Int]) => DataFrame,
+      frontierBucket: Option[Column => Column],
       resultFilter: DataFrame => DataFrame, embs: DataFrame, idCol: String,
       vecCol: String, query: Array[Float], k: Int, beamWidth: Int,
       maxHops: Int, entryId: Option[Long]): DataFrame = {
@@ -288,31 +299,39 @@ object GraphAnn {
       .join(nodes, "id")
       .select(col("id"), (vecDot(col("v"), q) /
         (vecMagnitude(col("v")) * lit(qMag) + lit(CosineEps))).as("cos"))
+    val bucketExpr: Column => Column =
+      frontierBucket.getOrElse((_: Column) => lit(0))
+    def windowOf(vis: DataFrame): DataFrame =
+      if (beamWidth == Int.MaxValue) vis
+      else vis.orderBy(col("cos").desc, col("id").asc).limit(beamWidth)
+    // the frontier digest: distinct bucket ids of the not-yet-expanded
+    // window — empty ⟺ the walk converged. Running it materializes the
+    // lazily-checkpointed visited set it derives from.
+    def digest(vis: DataFrame): Seq[Int] =
+      windowOf(vis).filter(!col("expanded"))
+        .select(bucketExpr(col("id")).cast(IntegerType).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     val entry = entryId.getOrElse(medoid(embs, idCol, vecCol))
     var visited = scoreIds(Seq(entry).toDF("id"))
-      .withColumn("expanded", lit(false)).localCheckpoint(true)
+      .withColumn("expanded", lit(false)).localCheckpoint(false)
+    var bs = digest(visited)
     var hop = 0
-    var done = false
-    while (!done && hop < maxHops) {
-      val window =
-        if (beamWidth == Int.MaxValue) visited
-        else visited.orderBy(col("cos").desc, col("id").asc).limit(beamWidth)
-      val frontier = window.filter(!col("expanded")).select(col("id"))
-      if (frontier.limit(1).count() == 0L) done = true
-      else {
-        val fresh = frontier.withColumnRenamed("id", "src")
-          .join(hopEdges(frontier), "src").select(col("dst").as("id")).distinct()
-          .join(visited.select("id"), Seq("id"), "left_anti")
-        val next = visited
-          .join(frontier.withColumn("__f", lit(true)), Seq("id"), "left")
-          .select(col("id"), col("cos"),
-            (col("expanded") || coalesce(col("__f"), lit(false))).as("expanded"))
-          .union(scoreIds(fresh).withColumn("expanded", lit(false)))
-          .localCheckpoint(true)
-        graft.util.Pins.release(visited)
-        visited = next
-        hop += 1
-      }
+    while (bs.nonEmpty && hop < maxHops) {
+      val frontier = windowOf(visited).filter(!col("expanded")).select(col("id"))
+      val fresh = frontier.withColumnRenamed("id", "src")
+        .join(hopEdges(frontier, bs), "src").select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+      val next = visited
+        .join(frontier.withColumn("__f", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("cos"),
+          (col("expanded") || coalesce(col("__f"), lit(false))).as("expanded"))
+        .union(scoreIds(fresh).withColumn("expanded", lit(false)))
+        .localCheckpoint(false)
+      val nbs = digest(next)
+      graft.util.Pins.release(visited)
+      visited = next
+      bs = nbs
+      hop += 1
     }
     val out = resultFilter(visited)
       .orderBy(col("cos").desc, col("id").asc).limit(k)

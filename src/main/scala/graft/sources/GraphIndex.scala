@@ -66,13 +66,20 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
     val cols = adj.columns.toSeq
     require(cols.contains("src") && cols.contains("dst"),
       s"adjacency needs (src, dst[, cosine]) columns, got $cols")
-    val keep = Seq("src", "dst") ++ (if (cols.contains("cosine")) Seq("cosine") else Nil)
+    val hasCosine = cols.contains("cosine")
+    val keep = Seq("src", "dst") ++ (if (hasCosine) Seq("cosine") else Nil)
     adj.select(keep.map(col): _*)
       .withColumn("src", col("src").cast(LongType))
       .withColumn("dst", col("dst").cast(LongType))
       .withColumn("gbucket", bucketOf(col("src")))
       .write.mode("overwrite").partitionBy("gbucket").parquet(edgesPath)
-    spark.range(1).select(lit(buckets).as("buckets"))
+    // meta records what append must know WITHOUT a corpus-sized job:
+    // has_cosine comes from the schema (free); the build DEGREE is
+    // deliberately NOT persisted — measuring it is a full groupBy over
+    // the adjacency, and append no longer needs it (its re-cap touches
+    // only the nodes whose neighborhoods actually change).
+    spark.range(1).select(lit(buckets).as("buckets"),
+        lit(hasCosine).as("has_cosine"))
       .write.mode("overwrite").parquet(metaPath)
     fs.delete(new Path(tombstonesPath), true)
   }
@@ -80,10 +87,19 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
   /** Stored bucket count — a reopened handle must agree with the
     * layout on disk or every hop would prune the WRONG directories. */
   private def storedBuckets(): Int = {
-    val b = spark.read.parquet(metaPath).head().getInt(0)
+    val b = spark.read.parquet(metaPath).select(col("buckets")).head().getInt(0)
     require(b == buckets,
       s"store at $path was built with $b buckets, this handle says $buckets")
     b
+  }
+
+  /** Whether the stored adjacency carries cosine scores — pre-meta
+    * layouts (no has_cosine column) fall back to the edge schema. */
+  private def storedHasCosine(): Boolean = {
+    val m = spark.read.parquet(metaPath)
+    if (m.columns.contains("has_cosine"))
+      m.select(col("has_cosine")).head().getBoolean(0)
+    else spark.read.parquet(edgesPath).columns.contains("cosine")
   }
 
   /** Live (src, dst) edge view — a full read, for diagnostics and
@@ -130,6 +146,10 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
     require(newIds.columns.toSeq == Seq("id"),
       s"newIds must be a single-column (id) frame, got ${newIds.columns.toSeq}")
     storedBuckets()
+    require(storedHasCosine(),
+      s"append needs a cosine-scored adjacency: the store at $path was " +
+      "built from a (src, dst)-only edge set (build-only); rebuild with " +
+      "cosine to enable inserts")
     recoverAll()
     import org.apache.spark.sql.functions.broadcast
     val nodes = allEmbs.select(col(idCol).cast(LongType).as("id"),
@@ -146,17 +166,30 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
         Seq("src"), "left_semi").count()
     require(existing == 0L,
       s"$existing of the new ids already have stored edges (append is id-disjoint)")
+    // The default entry must be an EXISTING node: a medoid over allEmbs
+    // (which includes the new edge-less rows) can land ON a new node,
+    // whose beam dies at hop 0 and the insert silently produces zero
+    // edges — an unreachable node, violating the reachable-next-search
+    // contract. Computed ONCE per batch (not per inserted node).
+    val entry = entryId.orElse {
+      val existingOnly = nodes.join(
+        broadcast(newIds.select(col("id").cast(LongType))), Seq("id"), "left_anti")
+      Some(GraphAnn.medoid(existingOnly, "id", "v"))
+    }
     val additions = fresh.flatMap { case (nid, nvec) =>
       val qv = nvec.toArray
       // candidate neighborhood = the beam walk's visited top-searchBeam
       // (tombstoned nodes stay eligible as NEIGHBORS — they route)
       val cands = searchTopKRaw(allEmbs, idCol, vecCol, qv,
-          k = searchBeam, beamWidth = searchBeam, maxHops = 64, entryId)
+          k = searchBeam, beamWidth = searchBeam, maxHops = 64, entry)
         .filter(col(idCol) =!= nid)
         .join(nodes.withColumnRenamed("id", idCol), Seq(idCol))
         .collect()
         .map(r0 => (r0.getLong(0), r0.getDouble(1), r0.getSeq[Float](2)))
         .toSeq
+      require(cands.nonEmpty,
+        s"insert $nid: empty candidate neighborhood (entry $entry dead-ends " +
+        "at hop 0?) — inserting it would create a silently unreachable node")
       val kept = GraphAnn.robustPrune(cands, r, alpha)
       kept.flatMap { case (t, cos) =>
         Seq((nid, t, cos), (t, nid, cos)) // out-edge + reverse edge
@@ -167,35 +200,59 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
 
   /** Apply edge additions bucket-by-bucket: read each touched bucket,
     * union the additions, dedup (src, dst) keeping the best cosine,
-    * re-cap every touched node at top-r by cosine (the reverse-insert
-    * rule), and swap the rewritten directory in atomically. */
+    * re-cap ONLY the nodes that actually gained an edge at top-r by
+    * cosine (the reverse-insert rule), and swap the rewritten directory
+    * in atomically. The cap is scoped to the touched srcs on purpose:
+    * re-capping the whole bucket at the CALLER'S r silently pruned
+    * untouched nodes' neighborhoods whenever r was smaller than the
+    * build degree (r20 ADVICE) — a node's stored edges may only change
+    * when an insert lands in its neighborhood. */
   private def applyEdgeAdditions(adds: Seq[(Long, Long, Double)], r: Int): Unit = {
     if (adds.isEmpty) return
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val addDf = adds.toDF("src", "dst", "cosine")
       .withColumn("gbucket", bucketOf(col("src")))
-      .localCheckpoint(true) // pinned: the rewrite loop swaps files under it
+      .localCheckpoint(true) // pinned: the swap below moves files under it
     val touched = addDf.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // one src maps to one bucket, so the global touched-src list scopes
+    // the cap exactly like a per-bucket list would
+    val touchedSrcs = adds.map(_._1).distinct
+    val dirs = touched.map(b => b -> new Path(s"$edgesPath/gbucket=$b")).toMap
+    touched.foreach(b => recoverSwap(dirs(b)))
+    val existing = touched.filter(b => fs.exists(dirs(b)))
+    // ALL touched buckets rewrite in ONE partition-pruned read + ONE
+    // partitioned write (r21): the previous per-bucket loop paid
+    // read+window+write jobs PER bucket — ~3×|touched| driver-scheduled
+    // jobs for the same rows. repartition(gbucket) keeps the one-file-
+    // per-bucket rule (each bucket lands wholly in one task).
+    val cur =
+      if (existing.isEmpty)
+        Seq.empty[(Int, Long, Long, Double)].toDF("gbucket", "src", "dst", "cosine")
+      else spark.read.parquet(edgesPath)
+        .filter(col("gbucket").isin(existing: _*))
+        .select(col("gbucket"), col("src"), col("dst"), col("cosine"))
+    val out = cur.unionByName(addDf.select(
+        col("gbucket"), col("src"), col("dst"), col("cosine")))
+      .groupBy(col("gbucket"), col("src"), col("dst"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst").asc)))
+      .filter(col("__rk") <= r || !col("src").isin(touchedSrcs: _*))
+      .select(col("gbucket"), col("src"), col("dst"),
+        round(col("cosine"), 6).as("cosine"))
+    val tmp = new Path(s"$edgesPath/.tmp_gbucket_batch")
+    fs.delete(tmp, true)
+    out.repartition(col("gbucket"))
+      .write.mode("overwrite").partitionBy("gbucket").parquet(tmp.toString)
+    // publish bucket-by-bucket under the unchanged two-rename protocol:
+    // at every instant readers see only-old or only-new per bucket
     touched.foreach { b =>
-      val dir = new Path(s"$edgesPath/gbucket=$b")
-      recoverSwap(dir)
-      val cur =
-        if (fs.exists(dir)) spark.read.parquet(dir.toString)
-          .select(col("src"), col("dst"), col("cosine"))
-        else Seq.empty[(Long, Long, Double)].toDF("src", "dst", "cosine")
-      val out = cur.unionByName(
-          addDf.filter(col("gbucket") === b).drop("gbucket"))
-        .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
-        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("cosine").desc, col("dst").asc)))
-        .filter(col("__rk") <= r)
-        .select(col("src"), col("dst"), round(col("cosine"), 6).as("cosine"))
-      val tmp = new Path(s"$edgesPath/.tmp_gbucket_$b")
-      out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      atomicSwap(tmp, dir)
+      val staged = new Path(tmp, s"gbucket=$b")
+      if (fs.exists(staged)) atomicSwap(staged, dirs(b))
     }
+    fs.delete(tmp, true)
     graft.util.Pins.release(addDf)
   }
 
@@ -226,6 +283,14 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       } else fs.delete(bak, true)
     }
   }
+
+  /** Crash recovery for read entry points OUTSIDE this class — the V2
+    * SQL layout source (the IvfIndex/QueryStore recoverForRead
+    * precedent). [[append]] mutates edge buckets under the two-rename
+    * swap, so a `graph_*` SQL view that read the directory raw could
+    * silently serve a graph missing one bucket's edges (hidden as
+    * `.gbucket=N.bak`) until the next Scala-side read healed it. */
+  private[graft] def recoverForRead(): Unit = recoverAll()
 
   private def recoverAll(): Unit = {
     val matches = Option(fs.globStatus(new Path(edgesPath, ".gbucket=*.bak")))
@@ -300,15 +365,15 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       resultFilter: DataFrame => DataFrame): DataFrame = {
     storedBuckets()
     recoverAll()
-    val hopEdges = (frontier: DataFrame) => {
-      val bs = frontier.select(bucketOf(col("id")).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+    // the frontier's bucket set arrives from beamCore's per-hop digest
+    // (collected in the same action that materializes the hop, ≤
+    // `buckets` ints) and rides the edge read as a partition isin
+    val hopEdges = (_: DataFrame, bs: Seq[Int]) =>
       spark.read.parquet(edgesPath)
         .filter(col("gbucket").isin(bs: _*))
         .select(col("src"), col("dst"))
-    }
-    GraphAnn.beamCore(hopEdges, resultFilter, embs, idCol, vecCol, query,
-      k, beamWidth, maxHops, entryId)
+    GraphAnn.beamCore(hopEdges, Some(bucketOf), resultFilter, embs, idCol,
+      vecCol, query, k, beamWidth, maxHops, entryId)
   }
 
   /** Maintenance policy as a DECISION RECORD (the sibling maintain-as-

@@ -119,7 +119,10 @@ private[v2] object GraftLayoutSource {
     else if (table.startsWith("query_"))
       new graft.sources.QueryStore(spark, root).recoverForRead()
     else if (table.startsWith("graph_"))
-      () // build-once edges + append-only tombstones: nothing to recover
+      // append rewrites edge buckets under the two-rename swap, so graph
+      // tables DO have mid-crash states to heal (r20 ADVICE): resolve
+      // hidden .gbucket=N.bak backups before the scan lists files
+      new graft.sources.GraphIndex(spark, root).recoverForRead()
     else
       new graft.sources.InvertedIndex(spark, root).recoverForRead()
   }

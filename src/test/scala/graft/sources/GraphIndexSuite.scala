@@ -176,6 +176,91 @@ class GraphIndexSuite extends AnyFunSuite {
       .forall(_.getLong(0) >= 5L), "tombstones still applied at serve")
   }
 
+  test("SQL view heals a crashed append swap before listing (recover-before-read)") {
+    val (gi, dir) = freshIndex()
+    new StoreCatalog(spark).registerGraphIndex("catg_rec", s"$dir/g")
+    val before = gi.edges().count()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a mutation that died between its two renames: the live bucket dir
+    // is hidden as the dot-prefixed backup — a raw directory read now
+    // serves the graph MINUS this bucket's edges
+    val live = new org.apache.hadoop.fs.Path(s"$dir/g/edges/gbucket=1")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/g/edges/.gbucket=1.bak")
+    assert(fs.exists(live), "fixture bucket must exist")
+    assert(fs.rename(live, bak))
+    assert(spark.sql("SELECT COUNT(*) FROM catg_rec_edges").head().getLong(0)
+      === before,
+      "a graph_* SQL scan must recover the mid-swap backup first, not " +
+      "silently serve the graph minus a bucket")
+    assert(fs.exists(live) && !fs.exists(bak))
+  }
+
+  test("append on a (src,dst)-only store is refused with the rebuild rule") {
+    // q349/q350-style build: an exact-kNN digraph WITHOUT cosine scores
+    val adj = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val dir = Files.createTempDirectory("graft_graph_nocos").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 4)
+    gi.build(adj)
+    val e = intercept[IllegalArgumentException](
+      gi.append(embs, "vec_id", "embedding", Seq(30L).toDF("id"),
+        r = 6, searchBeam = 12, entryId = Some(0L)))
+    assert(e.getMessage.contains("cosine"),
+      s"the refusal must name the missing cosine scores: ${e.getMessage}")
+  }
+
+  test("append with a smaller r never prunes untouched nodes' neighborhoods") {
+    val base = embs.filter(col("vec_id") < 30)
+    val dir = Files.createTempDirectory("graft_graph_recap").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 2) // 2 buckets: the
+    // insert's touched bucket holds MANY untouched srcs
+    val adj = GraphAnn.buildVamana(base, "vec_id", "embedding", r = 6, rounds = 2)
+    gi.build(adj)
+    graft.util.Pins.release(adj)
+    val beforeDeg = gi.edges().collect().map(r => r.getLong(0))
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val touched = {
+      gi.append(embs, "vec_id", "embedding", Seq(30L).toDF("id"),
+        r = 2, searchBeam = 12, entryId = Some(0L)) // r=2 < build degree 6
+      val g = gi.edges().collect().map(r => (r.getLong(0), r.getLong(1)))
+      // nodes whose neighborhood legitimately changed: the new node and
+      // every node it points at (reverse-edge insertion re-caps those)
+      g.collect { case (30L, d) => d }.toSet + 30L
+    }
+    val afterDeg = gi.edges().collect().map(r => r.getLong(0))
+      .groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val pruned = beforeDeg.collect {
+      case (s, d) if !touched(s) && afterDeg.getOrElse(s, 0) < d => s
+    }
+    assert(pruned.isEmpty,
+      s"untouched srcs lost edges under the caller's smaller r: $pruned")
+  }
+
+  test("append default entry is an existing node, never a new edge-less id") {
+    // tiny corpus: 3 existing nodes + 1 new node whose vector is the
+    // corpus mean direction — the allEmbs medoid would BE the new node,
+    // and a beam from an edge-less entry dies at hop 0 (zero edges for
+    // the insert). The fix anti-joins newIds out of the medoid pool.
+    val four = Seq(
+      (0L, Seq(1f, 0.1f)), (1L, Seq(0.9f, 0.2f)), (2L, Seq(0.8f, 0f)),
+      (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+    val base = four.filter(col("vec_id") < 3)
+    val adj = Seq((0L, 1L, 0.99), (1L, 2L, 0.98), (2L, 0L, 0.97),
+      (1L, 0L, 0.99), (2L, 1L, 0.98), (0L, 2L, 0.97))
+      .toDF("src", "dst", "cosine")
+    val dir = Files.createTempDirectory("graft_graph_entry").toString
+    val gi = new GraphIndex(spark, s"$dir/g", buckets = 2)
+    gi.build(adj)
+    gi.append(four, "vec_id", "embedding", Seq(3L).toDF("id"),
+      r = 2, searchBeam = 3) // entryId = None: the default-entry path
+    val g = gi.edges().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.exists(_._1 == 3L) && g.exists(_._2 == 3L),
+      "the insert must link (out + reverse edges) under the default entry")
+    assert(base.count() === 3) // fixture sanity
+  }
+
   test("fileStats lists per-bucket counts; snapshot round-trips and refuses existing targets") {
     val (gi, dir) = freshIndex()
     val stats = gi.fileStats().collect()
