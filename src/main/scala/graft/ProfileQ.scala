@@ -25,14 +25,16 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
-    val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Double)]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.put(j.jobId, j.time)
-      override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        done.add((j.jobId,
-          (j.time - starts.getOrDefault(j.jobId, j.time)) / 1e3))
+        starts.put(j.jobId, (j.time,
+          j.stageInfos.lastOption.map(_.name).getOrElse("?")))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val (t0, site) = starts.getOrDefault(j.jobId, (j.time, "?"))
+        done.add((j.jobId, (j.time - t0) / 1e3, site))
+      }
     })
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       df.select(xxhash64(df.columns.map(col).toSeq: _*).as("h"))
@@ -45,7 +47,13 @@ object ProfileQ {
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
     val all = done.asScala.toSeq.sortBy(_._1)
-    all.foreach { case (id, s) => println(f"JOB $id%4d ${s}%8.3f s") }
+    all.foreach { case (id, s, site) =>
+      println(f"JOB $id%4d ${s}%8.3f s  $site") }
+    println("BY SITE (jobs, total s):")
+    all.groupBy(_._3).toSeq
+      .map { case (site, js) => (site, js.size, js.map(_._2).sum) }
+      .sortBy(-_._3)
+      .foreach { case (site, n, s) => println(f"  $n%3d ${s}%8.3f  $site") }
     println(f"PROFILE $name: ${all.size} jobs, " +
       f"${all.map(_._2).sum}%.3f s summed, ${wall}%.3f s wall")
     spark.stop()

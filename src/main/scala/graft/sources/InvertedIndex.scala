@@ -270,6 +270,25 @@ final class InvertedIndex(spark: SparkSession, path: String,
     val b = readBuckets()
     val postings = TextAnalysis.positionalPostings(docs, idCol, text)
       .localCheckpoint(true)
+    // the batch's (doc, dl) and (doc, term, tf) aggregates feed up to
+    // FOUR staged artifacts (doclens, term-grain block-max, file-grain
+    // block-max join, forward delta) — aggregated ONCE each and lazily
+    // checkpointed (the first consumer's job materializes them; no
+    // extra action) WHEN more than one consumer exists; a single
+    // consumer keeps the fused pipeline (checkpoint storage would be
+    // pure overhead)
+    val hasBm = fs.exists(new Path(blockmaxPath))
+    val hasBmFiles = fs.exists(new Path(blockmaxFilesPath))
+    val hasFwd = fs.exists(new Path(forwardPath))
+    def shared(df: DataFrame, consumers: Int): DataFrame =
+      if (consumers >= 2) df.localCheckpoint(false) else df
+    val dl = shared(
+      postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+      1 + (if (hasBm) 1 else 0) + (if (hasBmFiles) 1 else 0))
+    val tfDocTerm = shared(
+      postings.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      (if (hasBm) 1 else 0) + (if (hasFwd) 1 else 0))
     fs.delete(appendStagingPath, true)
     postings
       .withColumn("tbucket", bucketCol(col("term"), b))
@@ -283,8 +302,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .repartition(col("tbucket"))
       .write.partitionBy("tbucket")
       .parquet(new Path(appendStagingPath, "postings").toString)
-    postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .write.parquet(new Path(appendStagingPath, "doclens").toString)
+    dl.write.parquet(new Path(appendStagingPath, "doclens").toString)
     if (fs.exists(new Path(censusBasePath)))
       writeCensusBase(postings.groupBy(col("term"))
         .agg(count_distinct(col("doc_id")).as("df")),
@@ -296,19 +314,17 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // stored bound (unsound skip). Max/min-merge at read time absorbs
     // the accreted files.
     if (fs.exists(new Path(blockmaxPath))) {
-      val tf = postings.groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      tf.join(dl, Seq("doc_id"))
+      tfDocTerm.join(dl, Seq("doc_id"))
         .groupBy(col("term"))
         .agg(max(col("tf")).cast(LongType).as("max_tf"),
           min(col("dl")).cast(LongType).as("min_dl"))
         .write.mode("append").parquet(blockmaxPath)
     }
-    stageFileBlockMax(
-      postings.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
-    stageDerivedDeltas(postings, b)
+    stageFileBlockMax(dl)
+    stageDerivedDeltas(postings, tfDocTerm, b)
     graft.util.Pins.release(postings)
+    graft.util.Pins.release(dl)
+    graft.util.Pins.release(tfDocTerm)
     fs.mkdirs(appendMarkerPath)
     commitAppend()
   }
@@ -361,9 +377,17 @@ final class InvertedIndex(spark: SparkSession, path: String,
     if (fs.exists(new Path(censusBasePath)))
       writeCensusBase(other.vocab(),
         new Path(appendStagingPath, "census").toString)
+    // shared (doc, term, tf) aggregate — the block-max bounds and the
+    // forward delta both consume it (the append-path discipline);
+    // checkpointed only when both actually exist on this target
+    val srcTfBase = srcPostings.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val srcTf =
+      if (fs.exists(new Path(blockmaxPath)) &&
+          fs.exists(new Path(forwardPath))) srcTfBase.localCheckpoint(false)
+      else srcTfBase
     if (fs.exists(new Path(blockmaxPath)))
-      srcPostings.groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
+      srcTf
         .join(srcDoclens, Seq("doc_id"))
         .groupBy(col("term"))
         .agg(max(col("tf")).cast(LongType).as("max_tf"),
@@ -371,7 +395,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .write.mode("append").parquet(blockmaxPath)
     stageFileBlockMax(srcDoclens.select(col("doc_id"), col("dl")))
     stageDerivedDeltas(srcPostings.select(col("doc_id"), col("term"),
-      col("pos")), b)
+      col("pos")), srcTf, b)
+    graft.util.Pins.release(srcTf)
     fs.mkdirs(appendMarkerPath)
     commitAppend()
   }
@@ -531,7 +556,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * no-op. Run when the tombstone set has grown enough that the
     * broadcast + read-side anti-join is worth amortizing away (the
     * caller's policy, like [[IvfIndex.compact]]). */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = vacuumImpl(compactToo = false)
+
+  /** [[vacuum]], optionally folding [[compact]]'s layout normalization
+    * into the SAME rewrite — [[maintain]] uses this when both policies
+    * trigger at once, where vacuum-then-compact would rewrite the whole
+    * layout twice back-to-back for the identical end state. */
+  private def vacuumImpl(compactToo: Boolean): Unit = {
     recover()
     if (!fs.exists(new Path(tombstonesPath))) return
     val ts = tombstoneIds()
@@ -557,15 +588,17 @@ final class InvertedIndex(spark: SparkSession, path: String,
         sys.error(s"could not publish census delta under $censusPath")
     }
     stageSwap(postingsPath, Some("tbucket")) { live =>
-      live.join(ts, Seq("doc_id"), "left_anti") }
+      val surv = live.join(ts, Seq("doc_id"), "left_anti")
+      if (compactToo) surv.repartition(col("tbucket")) else surv }
     stageSwap(doclensPath, None) { live =>
-      live.join(ts, Seq("doc_id"), "left_anti") }
+      val surv = live.join(ts, Seq("doc_id"), "left_anti")
+      if (compactToo) surv.repartition(1) else surv }
     if (hasCensus)
       // 3. one directory swap replaces base with (base − delta) and
       // drops pending_delta in the same rename — the adjustment and its
       // marker can never be observed out of step
       swapCensus(censusAdjusted(
-        spark.read.parquet(censusDeltaPath)))
+        spark.read.parquet(censusDeltaPath)), onePerPrefix = compactToo)
     // pending sidecar deltas may describe docs this vacuum just removed
     // — applying them later would resurrect ghosts; drop them and let
     // maintainDerived fall back to the full rebuild
@@ -778,8 +811,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
     }
     val doVacuum = tombFrac > maxTombstoneFrac
     val doCompact = maxFiles > maxFilesPerBucket
-    if (doVacuum) vacuum()
-    if (doCompact) compact()
+    // both triggered: ONE fused rewrite reaches the identical end state
+    // (anti-joined rows, one file per bucket) at half the layout I/O
+    if (doVacuum && doCompact) vacuumImpl(compactToo = true)
+    else { if (doVacuum) vacuum(); if (doCompact) compact() }
     Seq(
       ("vacuum", tombFrac, maxTombstoneFrac, doVacuum),
       ("compact", maxFiles.toDouble, maxFilesPerBucket.toDouble, doCompact))
@@ -807,10 +842,12 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (doc-count equality, no pending tombstones). Work here is ∝ the
     * batch (two or three map-side aggregates of the already-pinned
     * batch postings), replacing full-corpus rebuild scans later. */
-  private def stageDerivedDeltas(postings: DataFrame, b: Int): Unit = {
+  /** `tfDocTerm` is the batch's (doc_id, term, tf) aggregate, computed
+    * once by the caller and shared with the block-max staging. */
+  private def stageDerivedDeltas(postings: DataFrame, tfDocTerm: DataFrame,
+      b: Int): Unit = {
     if (fs.exists(new Path(forwardPath)))
-      postings.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      tfDocTerm
         .withColumn("dbucket", bucketCol(col("doc_id").cast(StringType), b))
         .write.partitionBy("dbucket")
         .parquet(new Path(appendStagingPath, "forward_delta").toString)
@@ -862,9 +899,11 @@ final class InvertedIndex(spark: SparkSession, path: String,
 
   /** Record the live doc count a derived artifact was built against —
     * the staleness input [[maintainDerived]] reads. */
-  private def writeDerivedMeta(name: String): Unit = {
+  private def writeDerivedMeta(name: String,
+      knownLive: Option[Long] = None): Unit = {
     import spark.implicits._
-    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val n = knownLive.getOrElse(
+      liveOnly(spark.read.parquet(doclensPath)).count())
     Seq(n).toDF("built_n_docs").coalesce(1)
       .write.mode("overwrite").parquet(derivedMetaPath(name))
   }
@@ -903,15 +942,24 @@ final class InvertedIndex(spark: SparkSession, path: String,
       s"maxStaleFrac must be > 0, got $maxStaleFrac")
     recover()
     import spark.implicits._
+    // one doclens count and one meta head PER PASS: the doclens table
+    // never changes inside a maintain pass (appends committed it
+    // earlier; delta-applies move ARTIFACT files), so the live count
+    // and each artifact's built count thread through to deltaCovers /
+    // writeDerivedMeta instead of being re-counted per decision — the
+    // r21 profile showed 5 identical count jobs per q277 pass
     val live = liveOnly(spark.read.parquet(doclensPath)).count()
     def builtCount(name: String): Long =
       if (fs.exists(new Path(derivedMetaPath(name))))
         spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
       else 0L
     val plan = Seq(
-      ("forward", forwardPath, () => maintainForward()),
-      ("fielded", fieldedPostingsPath, () => maintainFielded()),
-      ("blockmax", blockmaxPath, () => maintainBlockMax()))
+      ("forward", forwardPath,
+        (built: Long) => maintainForward(built, live)),
+      ("fielded", fieldedPostingsPath,
+        (built: Long) => maintainFielded(built, live)),
+      ("blockmax", blockmaxPath,
+        (_: Long) => maintainBlockMax(live)))
     val rows = plan.map { case (name, p, rebuild) =>
       if (!fs.exists(new Path(p)))
         (name, -1L, live, 0.0, maxStaleFrac, false, "absent")
@@ -921,7 +969,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
           if (built == 0L) 1.0
           else math.abs(live - built).toDouble / built
         val act = frac > maxStaleFrac
-        val mode = if (act) rebuild() else "none"
+        val mode = if (act) rebuild(built) else "none"
         (name, built, live,
           BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble,
@@ -939,12 +987,14 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * batches are doc-disjoint, so the counts add exactly, and any
     * removal in between (vacuum deletes the delta anyway) breaks the
     * equality toward the safe side. The check reads O(delta) rows. */
-  private def deltaCovers(name: String, deltaDocs: => Long): Boolean = {
+  private def deltaCovers(name: String, deltaDocs: => Long,
+      built: Long, liveDocs: Long): Boolean = {
+    // with no tombstones in force (checked first), liveOnly(doclens)
+    // IS the raw doclens count, so the caller's pass-wide live count
+    // substitutes for a fresh count job
     if (fs.exists(new Path(tombstonesPath))) return false
-    if (!fs.exists(new Path(derivedMetaPath(name)))) return false
-    val built = spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
     if (built <= 0L) return false
-    built + deltaDocs == spark.read.parquet(doclensPath).count()
+    built + deltaDocs == liveDocs
   }
 
   /** Move every pending delta file of `name` into its live artifact,
@@ -954,7 +1004,8 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * set of no-ops ending in the same meta write), so [[recover]] can
     * roll a crashed apply forward and no read ever sees the
     * half-applied window for longer than one entry. */
-  private def completeDeltaApply(name: String): Unit = {
+  private def completeDeltaApply(name: String,
+      knownLive: Option[Long] = None): Unit = {
     name match {
       case "forward" =>
         val d = new Path(forwardDeltaPath)
@@ -977,7 +1028,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
         fs.delete(new Path(fieldedDeltaPath), true)
       case other => sys.error(s"no delta apply for artifact $other")
     }
-    writeDerivedMeta(name)
+    writeDerivedMeta(name, knownLive)
     fs.delete(applyMarkerPath(name), true)
   }
 
@@ -985,13 +1036,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (O(delta) check + O(files) metadata moves), else full rebuild —
     * the stale delta is dropped FIRST so a crash can never leave a
     * consumed-and-still-pending delta to double-apply. */
-  private def maintainForward(): String =
+  private def maintainForward(built: Long, live: Long): String =
     if (fs.exists(new Path(forwardDeltaPath)) &&
         deltaCovers("forward",
           spark.read.parquet(forwardDeltaPath)
-            .select(col("doc_id")).distinct().count())) {
+            .select(col("doc_id")).distinct().count(), built, live)) {
       fs.mkdirs(applyMarkerPath("forward"))
-      completeDeltaApply("forward")
+      completeDeltaApply("forward", Some(live))
       "delta_apply"
     } else {
       fs.delete(new Path(forwardDeltaPath), true)
@@ -999,13 +1050,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
       "rebuild"
     }
 
-  private def maintainFielded(): String =
+  private def maintainFielded(built: Long, live: Long): String =
     if (fs.exists(new Path(fieldedDeltaDoclensPath)) &&
         deltaCovers("fielded",
           spark.read.parquet(fieldedDeltaDoclensPath)
-            .select(col("doc_id")).distinct().count())) {
+            .select(col("doc_id")).distinct().count(), built, live)) {
       fs.mkdirs(applyMarkerPath("fielded"))
-      completeDeltaApply("fielded")
+      completeDeltaApply("fielded", Some(live))
       "delta_apply"
     } else {
       fs.delete(new Path(fieldedDeltaPath), true)
@@ -1020,7 +1071,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * "rebuild" is just the meta refresh. Anything else (vacuum/compact
     * rewrote files, pre-delta appends, tombstones in force) rebuilds
     * for real. */
-  private def maintainBlockMax(): String = {
+  private def maintainBlockMax(live: Long): String = {
     def covered: Boolean = {
       if (fs.exists(new Path(tombstonesPath))) return false
       if (!fs.exists(new Path(blockmaxFilesPath))) return false
@@ -1039,7 +1090,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .collect().map(r => (r.getInt(0), r.getString(1))).toSet
       live.subsetOf(sidecar)
     }
-    if (covered) { writeDerivedMeta("blockmax"); "adopt" }
+    if (covered) { writeDerivedMeta("blockmax", Some(live)); "adopt" }
     else { buildBlockMax(); "rebuild" }
   }
 

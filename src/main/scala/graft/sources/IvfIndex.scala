@@ -102,13 +102,17 @@ final class IvfIndex(spark: SparkSession, path: String,
       centroids: Seq[Array[Float]]): Unit = {
     require(centroids.nonEmpty, "need at least one centroid")
     import spark.implicits._
+    // the assignment pass feeds BOTH the sidecar and the lists write:
+    // lazily checkpointed so the corpus is scanned and argmax-scored
+    // once, not once per consumer (two full passes at corpus scale)
     val assigned = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
-      "vector", centroids)
+      "vector", centroids).localCheckpoint(false)
     writeAssign(assigned.select(col("id"), col("ivf_list")),
       assignPath, assignMetaPath, overwrite = true)
     assigned
       .write.mode("overwrite").partitionBy("ivf_list").parquet(listsPath)
+    graft.util.Pins.release(assigned)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
@@ -140,13 +144,21 @@ final class IvfIndex(spark: SparkSession, path: String,
   def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
     recoverMerge(listsPath); recoverSplit(listsPath); recoverDir(listsPath); recoverDir(assignPath)
     val cs = centroids()
-    val assigned = Ann.ivfAssign(
+    // shared only when the sidecar will actually be written (a
+    // pre-sidecar layout keeps the single fused pass); released only
+    // when WE checkpointed — Pins.release on a fused frame would walk
+    // into (and unpersist) the caller's own pinned inputs
+    val assignedBase = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
       "vector", cs)
+    val share = fs.exists(new Path(assignMetaPath))
+    val assigned =
+      if (share) assignedBase.localCheckpoint(false) else assignedBase
     writeAssign(assigned.select(col("id"), col("ivf_list")),
       assignPath, assignMetaPath, overwrite = false)
     assigned
       .write.mode("append").partitionBy("ivf_list").parquet(listsPath)
+    if (share) graft.util.Pins.release(assigned)
   }
 
   /** Delete ids from the index in place (X129; the other half of
@@ -987,14 +999,16 @@ final class IvfIndex(spark: SparkSession, path: String,
       coarse: Seq[Array[Float]], books: Pq.Codebooks): Unit = {
     require(coarse.nonEmpty, "need at least one coarse centroid")
     import spark.implicits._
+    // shared assignment pass (the build() discipline)
     val assigned = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
-      "vector", coarse)
+      "vector", coarse).localCheckpoint(false)
     writeAssign(assigned.select(col("id"), col("ivf_list")),
       assignPqPath, assignPqMetaPath, overwrite = true)
     Pq.encode(assigned, "vector", books)
       .select(col("id"), col("codes"), col("ivf_list"))
       .write.mode("overwrite").partitionBy("ivf_list").parquet(codesPath)
+    graft.util.Pins.release(assigned)
     books.zipWithIndex.flatMap { case (cents, j) =>
       cents.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
@@ -1019,14 +1033,18 @@ final class IvfIndex(spark: SparkSession, path: String,
     recoverDir(codesPath); recoverDir(assignPqPath)
     val coarse = centroids()
     val books = codebooks()
-    val assigned = Ann.ivfAssign(
+    val assignedBase = Ann.ivfAssign(
       embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
       "vector", coarse)
+    val share = fs.exists(new Path(assignPqMetaPath))
+    val assigned =
+      if (share) assignedBase.localCheckpoint(false) else assignedBase
     writeAssign(assigned.select(col("id"), col("ivf_list")),
       assignPqPath, assignPqMetaPath, overwrite = false)
     Pq.encode(assigned, "vector", books)
       .select(col("id"), col("codes"), col("ivf_list"))
       .write.mode("append").partitionBy("ivf_list").parquet(codesPath)
+    if (share) graft.util.Pins.release(assigned)
   }
 
   /** In-place deletion for the PQ codes layout (X130; the compressed

@@ -187,14 +187,24 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     * clauses (partition layout preserved) and totals, two-rename
     * swapped; tombstones cleared LAST so a crash anywhere leaves reads
     * correct. */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = vacuumImpl(compactToo = false)
+
+  /** [[vacuum]], optionally folding [[compact]]'s one-file-per-bucket
+    * normalization into the SAME rewrite — [[maintain]] uses this when
+    * both policies trigger, where vacuum-then-compact would rewrite the
+    * whole layout twice back-to-back for the identical end state. */
+  private def vacuumImpl(compactToo: Boolean): Unit = {
     recover()
     if (!fs.exists(new Path(tombstonesPath))) return
     val ts = tombstoneIds()
+    val clauseSurv = spark.read.parquet(clausesPath)
+      .join(ts, Seq("query_id"), "left_anti")
     swapLayout(clausesPath, Some("tbucket"),
-      spark.read.parquet(clausesPath).join(ts, Seq("query_id"), "left_anti"))
+      if (compactToo) clauseSurv.repartition(col("tbucket")) else clauseSurv)
+    val totalsSurv = spark.read.parquet(totalsPath)
+      .join(ts, Seq("query_id"), "left_anti")
     swapLayout(totalsPath, None,
-      spark.read.parquet(totalsPath).join(ts, Seq("query_id"), "left_anti"))
+      if (compactToo) totalsSurv.coalesce(1) else totalsSurv)
     fs.delete(new Path(tombstonesPath), true)
   }
 
@@ -271,8 +281,10 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     val maxFiles = maxFilesNow()
     val doVacuum = tombFrac > maxTombstoneFrac
     val doCompact = maxFiles > maxFilesPerBucket
-    if (doVacuum) vacuum()
-    if (doCompact) compact()
+    // both triggered: ONE fused rewrite reaches the identical end state
+    // (anti-joined rows, one file per bucket) at half the layout I/O
+    if (doVacuum && doCompact) vacuumImpl(compactToo = true)
+    else { if (doVacuum) vacuum(); if (doCompact) compact() }
     // post-action recheck: the decision record shows the metric that
     // TRIGGERED each action AND the state it left behind, so the report
     // is self-verifying (an action that didn't clear its own trigger
