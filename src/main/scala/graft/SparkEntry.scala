@@ -1522,7 +1522,10 @@ object SparkEntry {
           .select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
           .sortBy(_._1)
-        val rows = probes.map { case (qid, qv) =>
+        // independent read-only probe chains over the same pinned
+        // frames — overlapped (util.Par, guide §2.6); order preserved,
+        // so the rows are identical to the sequential loop's
+        val rows = graft.util.Par.map(probes) { case (qid, qv) =>
           val exact = Ann.bruteForceTopK(e, "vec_id", "embedding", qv, 10)
             .collect().map(_.getLong(0)).toSet
           val got = GraphAnn.beamSearchTopK(g, e, "vec_id", "embedding",

@@ -245,16 +245,24 @@ object GraphAnn {
       s"every beamWidth must be >= k=$k, got $beamWidths")
     val spark = embs.sparkSession
     import spark.implicits._
-    val rows = for ((qid, qv) <- queries) yield {
-      val exact = Ann.bruteForceTopK(embs, idCol, vecCol, qv, k)
+    // every (query, beam) walk — and every exact-scan leg — is an
+    // independent read-only job chain over the same frames, so they
+    // OVERLAP on a small driver pool ([[graft.util.Par]], the guide
+    // §2.6 pattern: a walk is a chain of tiny sequential jobs that
+    // leaves most cores idle). Results keep the input order, so the
+    // sweep stays deterministic end-to-end.
+    val exactByQ = graft.util.Par.map(queries) { case (qid, qv) =>
+      qid -> Ann.bruteForceTopK(embs, idCol, vecCol, qv, k)
         .collect().map(_.getLong(0)).toSet
-      beamWidths.map { b =>
+    }.toMap
+    val rows = graft.util.Par.map(
+      for ((qid, qv) <- queries; b <- beamWidths) yield (qid, qv, b)) {
+      case (qid, qv, b) =>
         val got = beamSearchTopK(adj, embs, idCol, vecCol, qv, k, b,
           maxHops, entryId).collect().map(_.getLong(0))
-        (b, qid, got.count(exact))
-      }
+        (b, qid, got.count(exactByQ(qid)))
     }
-    rows.flatten.toDF("beam_width", "qid", "hits")
+    rows.toDF("beam_width", "qid", "hits")
       .groupBy(col("beam_width"))
       .agg(count(lit(1)).as("n_queries"),
         round(avg(col("hits").cast(DoubleType) / k), 6).as("mean_recall"))

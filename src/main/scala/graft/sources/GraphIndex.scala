@@ -176,7 +176,13 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
         broadcast(newIds.select(col("id").cast(LongType))), Seq("id"), "left_anti")
       Some(GraphAnn.medoid(existingOnly, "id", "v"))
     }
-    val additions = fresh.flatMap { case (nid, nvec) =>
+    // every insert's candidate walk reads the SAME graph state (edges
+    // only mutate in applyEdgeAdditions, after all candidates are
+    // computed), so the walks are independent job chains and OVERLAP on
+    // the Par pool — a walk is tiny sequential jobs, cores sit idle.
+    // Par preserves input order, so the additions list (and therefore
+    // the batch) is byte-identical to the sequential loop's.
+    val additions = graft.util.Par.map(fresh) { case (nid, nvec) =>
       val qv = nvec.toArray
       // candidate neighborhood = the beam walk's visited top-searchBeam
       // (tombstoned nodes stay eligible as NEIGHBORS — they route)
@@ -194,7 +200,7 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       kept.flatMap { case (t, cos) =>
         Seq((nid, t, cos), (t, nid, cos)) // out-edge + reverse edge
       }
-    }
+    }.flatten
     applyEdgeAdditions(additions, r)
   }
 
