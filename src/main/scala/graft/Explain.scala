@@ -14,7 +14,7 @@ object Explain {
     val name = args.headOption.getOrElse(sys.error("usage: Explain <queryName> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.util.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

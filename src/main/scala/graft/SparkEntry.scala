@@ -1181,7 +1181,7 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_dmaint").toString
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
       idx.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
-      idx.buildForward(); idx.buildFielded(8); idx.buildBlockMax()
+      idx.buildDerived(8) // all three sidecars from one postings scan (r22)
       idx.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", col("text"))
       idx.maintainDerived(maxStaleFrac = 0.1)
     }),
@@ -1199,7 +1199,7 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_ddelta").toString
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
       idx.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", col("text"))
-      idx.buildForward(); idx.buildFielded(8); idx.buildBlockMax()
+      idx.buildDerived(8) // all three sidecars from one postings scan (r22)
       idx.append(docs.filter(col("doc_id") % 40 === 1), "doc_id", col("text"))
       idx.maintainDerivedVerbose(maxStaleFrac = 0.02)
     }),
@@ -4175,9 +4175,7 @@ object SparkEntry {
     val dir = cachedDir("inv", d) { dir =>
       val idx = new graft.sources.InvertedIndex(s, s"$dir/inv")
       idx.build(t(s, d, "documents"), "doc_id", col("text"))
-      idx.buildForward()
-      idx.buildBlockMax()
-      idx.buildFielded(8) // the q259/q268 head-length convention
+      idx.buildDerived(8) // the q259/q268 head-length convention
     }
     new graft.sources.InvertedIndex(s, s"$dir/inv")
   }

@@ -86,8 +86,24 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
 
   /** Stored bucket count — a reopened handle must agree with the
     * layout on disk or every hop would prune the WRONG directories. */
+  // meta is written once per build() — memoized per instance, stamped
+  // by the meta dir (r22 profile: 8 jobs per q352 append for the same
+  // two-field row)
+  private lazy val metaMemo =
+    new graft.util.StampedMemo[(Int, Boolean)](() => fs, Seq(metaPath))
+  private def storedMeta(): (Int, Boolean) = metaMemo {
+    val m = spark.read.parquet(metaPath)
+    val row = m.select(col("buckets") +:
+      (if (m.columns.contains("has_cosine")) Seq(col("has_cosine"))
+       else Nil): _*).head()
+    val hasCos =
+      if (m.columns.contains("has_cosine")) row.getBoolean(1)
+      else spark.read.parquet(edgesPath).columns.contains("cosine")
+    (row.getInt(0), hasCos)
+  }
+
   private def storedBuckets(): Int = {
-    val b = spark.read.parquet(metaPath).select(col("buckets")).head().getInt(0)
+    val b = storedMeta()._1
     require(b == buckets,
       s"store at $path was built with $b buckets, this handle says $buckets")
     b
@@ -95,12 +111,7 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
 
   /** Whether the stored adjacency carries cosine scores — pre-meta
     * layouts (no has_cosine column) fall back to the edge schema. */
-  private def storedHasCosine(): Boolean = {
-    val m = spark.read.parquet(metaPath)
-    if (m.columns.contains("has_cosine"))
-      m.select(col("has_cosine")).head().getBoolean(0)
-    else spark.read.parquet(edgesPath).columns.contains("cosine")
-  }
+  private def storedHasCosine(): Boolean = storedMeta()._2
 
   /** Live (src, dst) edge view — a full read, for diagnostics and
     * parity tests; serving goes through the pruned per-hop reads.
@@ -222,9 +233,13 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       .localCheckpoint(true) // pinned: the swap below moves files under it
     val touched = addDf.select(col("gbucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    // one src maps to one bucket, so the global touched-src list scopes
-    // the cap exactly like a per-bucket list would
-    val touchedSrcs = adds.map(_._1).distinct
+    // one src maps to one bucket, so the global touched-src set scopes
+    // the cap exactly like a per-bucket set would; membership rides a
+    // BROADCAST semi-join on the (pinned) additions frame rather than a
+    // driver-side isin literal list — a real batch touching millions of
+    // srcs would explode the expression tree and the driver (r21 verdict)
+    val touchedSrcDf = addDf.select(col("src")).distinct()
+      .withColumn("__touched", lit(true))
     val dirs = touched.map(b => b -> new Path(s"$edgesPath/gbucket=$b")).toMap
     touched.foreach(b => recoverSwap(dirs(b)))
     val existing = touched.filter(b => fs.exists(dirs(b)))
@@ -245,7 +260,9 @@ final class GraphIndex(spark: SparkSession, path: String, buckets: Int = 16) {
       .agg(max(col("cosine")).as("cosine"))
       .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
         .orderBy(col("cosine").desc, col("dst").asc)))
-      .filter(col("__rk") <= r || !col("src").isin(touchedSrcs: _*))
+      .join(org.apache.spark.sql.functions.broadcast(touchedSrcDf),
+        Seq("src"), "left")
+      .filter(col("__rk") <= r || col("__touched").isNull)
       .select(col("gbucket"), col("src"), col("dst"),
         round(col("cosine"), 6).as("cosine"))
     val tmp = new Path(s"$edgesPath/.tmp_gbucket_batch")

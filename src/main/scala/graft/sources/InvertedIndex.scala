@@ -126,8 +126,13 @@ final class InvertedIndex(spark: SparkSession, path: String,
     sized.write.partitionBy("tprefix").parquet(dir)
   }
 
+  // stored bucket count: immutable between build()s — memoized per
+  // instance, stamped by the meta dir ([[graft.util.StampedMemo]]; the
+  // r22 profile showed this one-row read scheduled 6x per SERP query)
+  private lazy val bucketsMemo =
+    new graft.util.StampedMemo[Int](() => fs, Seq(metaPath))
   private def readBuckets(): Int =
-    spark.read.parquet(metaPath).head().getInt(0)
+    bucketsMemo(spark.read.parquet(metaPath).head().getInt(0))
 
   private def doclensPath = s"$path/doclens"
   private def tombstonesPath = s"$path/tombstones"
@@ -182,6 +187,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * later sessions and appends agree on the hash). */
   def build(docs: DataFrame, idCol: String, text: Column): Unit = {
     import spark.implicits._
+    invalidateLiveCount()
     recover()
     fs.delete(new Path(tombstonesPath), true) // fresh build = fresh live set
     // old block-max bounds would under-bound a NEW corpus (the unsafe
@@ -265,6 +271,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
   }
 
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
+    invalidateLiveCount()
     recover()
     migrateFlatCensusBase()
     val b = readBuckets()
@@ -350,6 +357,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * go stale exactly as after an append — [[maintainDerived]]'s
     * policy covers the rebuild. */
   def mergeFrom(other: InvertedIndex): Unit = {
+    invalidateLiveCount()
     recover()
     other.recover()
     migrateFlatCensusBase()
@@ -501,6 +509,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
   def delete(ids: DataFrame): Unit = {
     require(ids.columns.toSeq == Seq("doc_id"),
       s"ids must be a single-column (doc_id) frame, got ${ids.columns.toSeq}")
+    invalidateLiveCount()
     recover()
     // cast to the stored doclens id type: two delete batches with
     // different integer widths must not leave conflicting parquet
@@ -547,6 +556,39 @@ final class InvertedIndex(spark: SparkSession, path: String,
       df.join(tombstoneIds(), Seq("doc_id"), "left_anti")
     else df
 
+  /** One LIVE doc count per layout state, not per serve call. The
+    * serve surface counts the live doclens in several entry points
+    * (hot-term elision, MLT idf, PRF idf, JLH background) and a single
+    * SERP-class query composes several of them — r22 profiling showed
+    * the same count job scheduled 2-4× per query. The count is cached
+    * on THIS instance keyed by the (doclens, tombstones) directory
+    * mtimes — every mutation path replaces or touches those
+    * directories (append moves files in, delete appends a tombstone
+    * file, vacuum/compact swap whole dirs), so a stamp mismatch forces
+    * a fresh count; mutation methods additionally invalidate
+    * explicitly (belt and braces against coarse mtime granularity
+    * within one instance). Nothing persists across instances or runs —
+    * a new `InvertedIndex(...)` always counts afresh. */
+  private var liveCountCache: Option[((Long, Long), Long)] = None
+  private def layoutStamp(): (Long, Long) = {
+    def m(p: String): Long = {
+      val pp = new Path(p)
+      if (fs.exists(pp)) fs.getFileStatus(pp).getModificationTime else -1L
+    }
+    (m(doclensPath), m(tombstonesPath))
+  }
+  private def invalidateLiveCount(): Unit = liveCountCache = None
+  private def liveDocCount(): Long = {
+    val k = layoutStamp()
+    liveCountCache match {
+      case Some((k0, n)) if k0 == k => n
+      case _ =>
+        val n = liveOnly(spark.read.parquet(doclensPath)).count()
+        liveCountCache = Some((k, n))
+        n
+    }
+  }
+
   /** Physically remove tombstoned docs (X175): ONE anti-join rewrite
     * each of postings (partition layout preserved) and doclens, staged
     * as hidden siblings then swapped in by the two-rename crash
@@ -563,6 +605,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * trigger at once, where vacuum-then-compact would rewrite the whole
     * layout twice back-to-back for the identical end state. */
   private def vacuumImpl(compactToo: Boolean): Unit = {
+    invalidateLiveCount()
     recover()
     if (!fs.exists(new Path(tombstonesPath))) return
     val ts = tombstoneIds()
@@ -750,6 +793,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * monitoring convention). */
   def compact(doclensFiles: Int = 1): Unit = {
     require(doclensFiles >= 1, s"doclensFiles must be >= 1, got $doclensFiles")
+    invalidateLiveCount()
     recover()
     stageSwap(postingsPath, Some("tbucket")) { live =>
       live.repartition(col("tbucket")) }
@@ -854,7 +898,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     if (fs.exists(new Path(fieldedPostingsPath))) {
       // NOT fieldedHeadLen — that entry point recovers, and recover()
       // discards the unmarked staging this very call is building
-      val hl = spark.read.parquet(s"$fieldedPath/meta").head().getInt(0)
+      val hl = readFieldedHeadLen()
       postings.groupBy(col("doc_id"), col("term"))
         .agg(count(when(col("pos") < hl, 1)).as("tf_head"),
           count(when(col("pos") >= hl, 1)).as("tf_body"))
@@ -898,14 +942,41 @@ final class InvertedIndex(spark: SparkSession, path: String,
   }
 
   /** Record the live doc count a derived artifact was built against —
-    * the staleness input [[maintainDerived]] reads. */
+    * the staleness input [[maintainDerived]] reads. Stored as a plain
+    * one-line text file written driver-side: the r22 profile showed the
+    * previous one-row parquet costing a Spark WRITE job per artifact
+    * and a listing+head job pair per read — 12 jobs per q277-class
+    * maintenance walk for 8 bytes of bookkeeping. Readers fall back to
+    * the old parquet form for layouts written before this round
+    * (snapshots travel byte-faithfully). Staging+rename publish: a
+    * crash leaves either the old meta or the new one — and a MISSING
+    * meta is safe anyway (counts as fully stale, one rebuild adopts). */
   private def writeDerivedMeta(name: String,
       knownLive: Option[Long] = None): Unit = {
-    import spark.implicits._
-    val n = knownLive.getOrElse(
-      liveOnly(spark.read.parquet(doclensPath)).count())
-    Seq(n).toDF("built_n_docs").coalesce(1)
-      .write.mode("overwrite").parquet(derivedMetaPath(name))
+    val n = knownLive.getOrElse(liveDocCount())
+    val dir = new Path(derivedMetaPath(name))
+    val tmp = new Path(dir.getParent, s".${dir.getName}.metastaging")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    val out = fs.create(new Path(tmp, "built_n_docs.txt"), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(dir, true)
+    if (!fs.rename(tmp, dir))
+      sys.error(s"could not publish derived meta under $dir")
+  }
+
+  /** The live doc count `name` was last built against — text fast path,
+    * parquet fallback for pre-r22 layouts, 0 for a missing meta. */
+  private def readDerivedMeta(name: String): Long = {
+    val dir = new Path(derivedMetaPath(name))
+    val txt = new Path(dir, "built_n_docs.txt")
+    if (fs.exists(txt)) {
+      val in = fs.open(txt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else if (fs.exists(dir))
+      spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
+    else 0L
   }
 
   /** Derived-artifact maintenance policy (X235 — the X186 pattern for
@@ -948,19 +1019,32 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // and each artifact's built count thread through to deltaCovers /
     // writeDerivedMeta instead of being re-counted per decision — the
     // r21 profile showed 5 identical count jobs per q277 pass
-    val live = liveOnly(spark.read.parquet(doclensPath)).count()
-    def builtCount(name: String): Long =
-      if (fs.exists(new Path(derivedMetaPath(name))))
-        spark.read.parquet(derivedMetaPath(name)).head().getLong(0)
-      else 0L
+    val live = liveDocCount()
+    def builtCount(name: String): Long = readDerivedMeta(name)
+    // two-phase pass (r22): each artifact first tries its CHEAP
+    // mechanism (delta-apply / adopt — the decide step also drops a
+    // stale delta, preserving the drop-before-rebuild crash rule);
+    // artifacts that need a full rebuild are collected and rebuilt
+    // TOGETHER from one shared live-postings scan + one shared
+    // (doc, term) tf aggregate ([[rebuildDerived]]) — the previous
+    // per-artifact rebuilds re-scanned the postings layout three
+    // times for the identical rows. Decisions depend only on counts,
+    // deltas and tombstones (all per-artifact), so deferring the
+    // rebuilds changes no decision and no output row.
     val plan = Seq(
       ("forward", forwardPath,
-        (built: Long) => maintainForward(built, live)),
+        (built: Long) => maintainForwardCheap(built, live)),
       ("fielded", fieldedPostingsPath,
-        (built: Long) => maintainFielded(built, live)),
+        (built: Long) => maintainFieldedCheap(built, live)),
       ("blockmax", blockmaxPath,
-        (_: Long) => maintainBlockMax(live)))
-    val rows = plan.map { case (name, p, rebuild) =>
+        (_: Long) => maintainBlockMaxCheap(live)))
+    // fielded's headLen must be captured before any rebuild deletes the
+    // sidecar tree (memoized — no job)
+    val headLen0 =
+      if (fs.exists(new Path(s"$fieldedPath/meta"))) Some(fieldedHeadLen)
+      else None
+    var rebuilds = List.empty[String]
+    val rows = plan.map { case (name, p, cheap) =>
       if (!fs.exists(new Path(p)))
         (name, -1L, live, 0.0, maxStaleFrac, false, "absent")
       else {
@@ -969,13 +1053,20 @@ final class InvertedIndex(spark: SparkSession, path: String,
           if (built == 0L) 1.0
           else math.abs(live - built).toDouble / built
         val act = frac > maxStaleFrac
-        val mode = if (act) rebuild(built) else "none"
+        val mode =
+          if (!act) "none"
+          else cheap(built) match {
+            case Some(m) => m
+            case None => rebuilds = rebuilds :+ name; "rebuild"
+          }
         (name, built, live,
           BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble,
           maxStaleFrac, act, mode)
       }
     }
+    if (rebuilds.nonEmpty)
+      rebuildDerived(rebuilds, headLen0.getOrElse(1))
     rows.toDF("artifact", "built_n_docs", "live_n_docs",
       "stale_frac", "threshold", "acted", "mode")
   }
@@ -1036,32 +1127,35 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (O(delta) check + O(files) metadata moves), else full rebuild —
     * the stale delta is dropped FIRST so a crash can never leave a
     * consumed-and-still-pending delta to double-apply. */
-  private def maintainForward(built: Long, live: Long): String =
+  /** Delta-apply when the pending delta covers the drift, else drop
+    * the stale delta (FIRST — a crash can never leave a
+    * consumed-and-still-pending delta to double-apply) and report None:
+    * the caller batches the rebuild with its siblings'
+    * ([[rebuildDerived]]). */
+  private def maintainForwardCheap(built: Long, live: Long): Option[String] =
     if (fs.exists(new Path(forwardDeltaPath)) &&
         deltaCovers("forward",
           spark.read.parquet(forwardDeltaPath)
             .select(col("doc_id")).distinct().count(), built, live)) {
       fs.mkdirs(applyMarkerPath("forward"))
       completeDeltaApply("forward", Some(live))
-      "delta_apply"
+      Some("delta_apply")
     } else {
       fs.delete(new Path(forwardDeltaPath), true)
-      buildForward()
-      "rebuild"
+      None
     }
 
-  private def maintainFielded(built: Long, live: Long): String =
+  private def maintainFieldedCheap(built: Long, live: Long): Option[String] =
     if (fs.exists(new Path(fieldedDeltaDoclensPath)) &&
         deltaCovers("fielded",
           spark.read.parquet(fieldedDeltaDoclensPath)
             .select(col("doc_id")).distinct().count(), built, live)) {
       fs.mkdirs(applyMarkerPath("fielded"))
       completeDeltaApply("fielded", Some(live))
-      "delta_apply"
+      Some("delta_apply")
     } else {
       fs.delete(new Path(fieldedDeltaPath), true)
-      buildFielded(fieldedHeadLen)
-      "rebuild"
+      None
     }
 
   /** The block-max sidecars maintain themselves THROUGH appends (term
@@ -1071,7 +1165,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * "rebuild" is just the meta refresh. Anything else (vacuum/compact
     * rewrote files, pre-delta appends, tombstones in force) rebuilds
     * for real. */
-  private def maintainBlockMax(live: Long): String = {
+  private def maintainBlockMaxCheap(live: Long): Option[String] = {
     def covered: Boolean = {
       if (fs.exists(new Path(tombstonesPath))) return false
       if (!fs.exists(new Path(blockmaxFilesPath))) return false
@@ -1090,8 +1184,54 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .collect().map(r => (r.getInt(0), r.getString(1))).toSet
       live.subsetOf(sidecar)
     }
-    if (covered) { writeDerivedMeta("blockmax", Some(live)); "adopt" }
-    else { buildBlockMax(); "rebuild" }
+    if (covered) { writeDerivedMeta("blockmax", Some(live)); Some("adopt") }
+    else None
+  }
+
+  /** The LIVE postings scan every derived builder aggregates from,
+    * carrying the file-identity column block-max's file grain needs. */
+  private def livePostingsScan(): DataFrame =
+    liveOnly(spark.read.parquet(postingsPath)
+      .withColumn("__fname", substring_index(input_file_name(), "/", -1)))
+
+  /** Rebuild the named derived artifacts from ONE shared live-postings
+    * scan; forward and block-max additionally share the (doc, term) tf
+    * aggregate (identical in both). A single-artifact rebuild skips the
+    * extra checkpoint and runs the standalone shape. */
+  private def rebuildDerived(names: Seq[String], headLen: Int): Unit = {
+    if (names.isEmpty) return
+    if (names.size == 1) {
+      names.head match {
+        case "forward" => buildForwardFrom(None, None)
+        case "fielded" => buildFieldedFrom(headLen, None)
+        case "blockmax" => buildBlockMaxFrom(None, None)
+      }
+      return
+    }
+    val post = livePostingsScan().localCheckpoint(true)
+    try {
+      val shareTf = names.contains("forward") && names.contains("blockmax")
+      val tf =
+        if (shareTf)
+          Some(post.groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf")).localCheckpoint(false))
+        else None
+      if (names.contains("forward")) buildForwardFrom(Some(post), tf)
+      if (names.contains("fielded")) buildFieldedFrom(headLen, Some(post))
+      if (names.contains("blockmax")) buildBlockMaxFrom(Some(post), tf)
+      tf.foreach(graft.util.Pins.release)
+    } finally graft.util.Pins.release(post)
+  }
+
+  /** Build all three derived sidecars from ONE live-postings scan — the
+    * fused form of `buildForward(); buildFielded(h); buildBlockMax()`,
+    * byte-identical artifact rows (suite-pinned); the standalone
+    * builders each re-scan the postings layout and forward/block-max
+    * each re-aggregate the same (doc, term) tf table. */
+  def buildDerived(headLen: Int): Unit = {
+    require(headLen >= 1, s"headLen must be positive, got $headLen")
+    recover()
+    rebuildDerived(Seq("forward", "fielded", "blockmax"), headLen)
   }
 
   /** Stage `transform(live)` as a hidden sibling of `live`, then swap it
@@ -1320,7 +1460,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     if (maxDfFrac >= 1.0 || terms.isEmpty) return terms
-    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val n = liveDocCount()
     if (n == 0L) return terms
     val hot = vocab()
       .filter(col("term").isin(terms: _*))
@@ -1880,14 +2020,22 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * bounds in the unsafe direction). Reads max/min-merge across the
     * accreted part files, so the serve-time lookup is one
     * vocabulary-sized pruned read. */
-  def buildBlockMax(): Unit = {
-    recover()
-    val post = liveOnly(spark.read.parquet(postingsPath)
-        .withColumn("__fname", substring_index(input_file_name(), "/", -1)))
-      .localCheckpoint(true) // two grains aggregate from one read
+  def buildBlockMax(): Unit = { recover(); buildBlockMaxFrom(None, None) }
+
+  /** [[buildBlockMax]] over an optional shared live-postings scan
+    * (must carry `__fname`) and shared (doc, term) tf aggregate —
+    * [[rebuildDerived]]'s one-scan path; `None` keeps the standalone
+    * shape. */
+  private def buildBlockMaxFrom(shared: Option[DataFrame],
+      tfShared: Option[DataFrame]): Unit = {
+    val own = shared.isEmpty
+    val post = shared.getOrElse(
+      livePostingsScan()
+        .localCheckpoint(true)) // two grains aggregate from one read
     try {
       val dls = liveOnly(spark.read.parquet(doclensPath))
-      post.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tfShared.getOrElse(
+          post.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
         .join(dls, Seq("doc_id"))
         .groupBy(col("term"))
         .agg(max(col("tf")).cast(LongType).as("max_tf"),
@@ -1917,7 +2065,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
           col("max_tf"), col("min_dl"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(blockmaxFilesPath)
-    } finally graft.util.Pins.release(post)
+    } finally if (own) graft.util.Pins.release(post)
     writeDerivedMeta("blockmax")
   }
 
@@ -2144,8 +2292,15 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (documented). [[build]] deletes the sidecar — a fresh corpus would
     * otherwise serve the OLD corpus's fielded rows. */
   def buildFielded(headLen: Int): Unit = {
-    require(headLen >= 1, s"headLen must be positive, got $headLen")
     recover()
+    buildFieldedFrom(headLen, None)
+  }
+
+  /** [[buildFielded]] over an optional shared live-postings scan —
+    * [[rebuildDerived]]'s one-scan path. */
+  private def buildFieldedFrom(headLen: Int,
+      shared: Option[DataFrame]): Unit = {
+    require(headLen >= 1, s"headLen must be positive, got $headLen")
     import spark.implicits._
     val b = readBuckets()
     val fs2 = fs
@@ -2153,8 +2308,10 @@ final class InvertedIndex(spark: SparkSession, path: String,
     // deltas cut at the old boundary wrong, never just redundant
     fs2.delete(new Path(fieldedDeltaPath), true)
     fs2.delete(new Path(fieldedPath), true)
-    val live = liveOnly(spark.read.parquet(postingsPath))
-      .localCheckpoint(true) // two consumers: fielded postings + doclens
+    val own = shared.isEmpty
+    val live = shared.getOrElse(
+      liveOnly(spark.read.parquet(postingsPath))
+        .localCheckpoint(true)) // two consumers: fielded postings + doclens
     try {
       live.groupBy(col("doc_id"), col("term"))
         .agg(count(when(col("pos") < headLen, 1)).as("tf_head"),
@@ -2166,16 +2323,37 @@ final class InvertedIndex(spark: SparkSession, path: String,
         .agg(count(when(col("pos") < headLen, 1)).cast(LongType).as("dlh"),
           count(when(col("pos") >= headLen, 1)).cast(LongType).as("dlb"))
         .write.mode("overwrite").parquet(fieldedDoclensPath)
-    } finally graft.util.Pins.release(live)
-    Seq(headLen).toDF("head_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$fieldedPath/meta")
+    } finally if (own) graft.util.Pins.release(live)
+    // head_len meta: a plain text file written driver-side (the
+    // derived-meta rule — one integer of bookkeeping is not worth a
+    // Spark write job + a listing/head job pair per read); readers
+    // fall back to the pre-r22 one-row parquet form
+    val metaDir = new Path(s"$fieldedPath/meta")
+    fs2.mkdirs(metaDir)
+    val out = fs2.create(new Path(metaDir, "head_len.txt"), true)
+    try out.write(headLen.toString.getBytes("UTF-8")) finally out.close()
     writeDerivedMeta("fielded")
   }
 
-  /** The headLen the fielded sidecar was built with. */
+  /** The headLen the fielded sidecar was built with — memoized per
+    * instance, stamped by the meta dir (only [[buildFielded]] rewrites
+    * it); text fast path, parquet fallback for pre-r22 layouts. */
+  private lazy val fieldedHeadMemo =
+    new graft.util.StampedMemo[Int](() => fs, Seq(s"$fieldedPath/meta"))
+  /** Non-recovering reader — [[append]]'s staging path must not run
+    * recover() mid-stage (it would discard the unmarked staging the
+    * call is building). */
+  private def readFieldedHeadLen(): Int = fieldedHeadMemo {
+    val txt = new Path(s"$fieldedPath/meta", "head_len.txt")
+    if (fs.exists(txt)) {
+      val in = fs.open(txt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else spark.read.parquet(s"$fieldedPath/meta").head().getInt(0)
+  }
   def fieldedHeadLen: Int = {
     recover()
-    spark.read.parquet(s"$fieldedPath/meta").head().getInt(0)
+    readFieldedHeadLen()
   }
 
   /** BM25F top-k served from the [[buildFielded]] sidecar (X225): the
@@ -2276,14 +2454,20 @@ final class InvertedIndex(spark: SparkSession, path: String,
     * (tombstones resolved on the way in) with the stored bucket count;
     * a DERIVED artifact like [[prunedCopy]] — rebuild on the
     * maintenance cadence after append/vacuum, not mutated in place. */
-  def buildForward(): Unit = {
-    recover()
+  def buildForward(): Unit = { recover(); buildForwardFrom(None, None) }
+
+  /** [[buildForward]] over an optional shared live-postings scan and
+    * shared (doc, term) tf aggregate — [[rebuildDerived]]'s one-scan
+    * path. */
+  private def buildForwardFrom(shared: Option[DataFrame],
+      tfShared: Option[DataFrame]): Unit = {
     // a full rebuild covers every appended doc — a pending delta kept
     // around would double-apply on the next maintenance pass
     fs.delete(new Path(forwardDeltaPath), true)
     val b = readBuckets()
-    liveOnly(spark.read.parquet(postingsPath))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tfShared.getOrElse(
+        shared.getOrElse(liveOnly(spark.read.parquet(postingsPath)))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       .withColumn("dbucket", bucketCol(col("doc_id").cast(StringType), b))
       .write.mode("overwrite").partitionBy("dbucket").parquet(forwardPath)
     writeDerivedMeta("forward")
@@ -2336,7 +2520,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
       s"duplicate seed id in $docIds")
     require(k > 0, s"k must be positive, got $k")
     require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
-    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val n = liveDocCount()
     val seed = docTerms(docIds)
       .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("tf"))
       .join(vocab().withColumnRenamed("df", "__df"), Seq("term"), "left")
@@ -2428,9 +2612,16 @@ final class InvertedIndex(spark: SparkSession, path: String,
     recover()
     require(fs.exists(new Path(forwardPath)),
       s"no forward sidecar under $path — run buildForward first")
+    // ONE aggregate job for both corpus-side counts (was two identical
+    // scans of the live doclens); the background count seeds the
+    // instance's live-count cache for any later serve in the same walk
+    val stamp = layoutStamp()
     val dls = liveOnly(spark.read.parquet(doclensPath))
-    val nBg = dls.count()
-    val nFg = dls.filter(col("doc_id").isin(fgIds: _*)).count()
+    val cts = dls.agg(count(lit(1)).as("__bg"),
+      count(when(col("doc_id").isin(fgIds: _*), lit(1))).as("__fg")).head()
+    val nBg = cts.getLong(0)
+    val nFg = cts.getLong(1)
+    liveCountCache = Some((stamp, nBg))
     val empty = spark.read.parquet(doclensPath).limit(0)
       .select(col("doc_id").cast(StringType).as("term"),
         lit(0L).as("df_fg"), lit(0L).as("df_bg"), lit(0.0).as("score"))
@@ -2480,8 +2671,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
     require(n > 0, s"n must be positive, got $n")
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     recover()
-    val dls = liveOnly(spark.read.parquet(doclensPath))
-    val nBg = dls.count()
+    val nBg = liveDocCount()
     val empty = spark.read.parquet(doclensPath).limit(0)
       .select(col("doc_id").cast(StringType).as("term"),
         lit(0L).as("df_fg"), lit(0L).as("df_bg"), lit(0.0).as("score"))
@@ -2631,7 +2821,7 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     if (seedIds.isEmpty || fbTerms == 0)
       return bm25(queryTerms, k, k1, b)
-    val n = liveOnly(spark.read.parquet(doclensPath)).count()
+    val n = liveDocCount()
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("__df").cast(DoubleType) + lit(0.5)) /
         (col("__df").cast(DoubleType) + lit(0.5)))

@@ -74,8 +74,15 @@ final class IvfIndex(spark: SparkSession, path: String,
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
   }
 
+  // sidecar bucket counts: written once per sidecar lifetime — memoized
+  // per instance, stamped by the meta dir (r22 profile: this one-row
+  // read scheduled as 16 jobs per q231-class lifecycle walk)
+  private val assignBucketsMemo =
+    scala.collection.mutable.Map.empty[String, graft.util.StampedMemo[Int]]
   private def readAssignBuckets(metaPath: String): Int =
-    spark.read.parquet(metaPath).head().getInt(0)
+    assignBucketsMemo.getOrElseUpdate(metaPath,
+      new graft.util.StampedMemo[Int](() => fs, Seq(metaPath)))
+      .apply(spark.read.parquet(metaPath).head().getInt(0))
 
   /** Write (id, ivf_list) sidecar rows for an assigned batch. Overwrite
     * mode stamps a fresh B; append mode reuses the stored B (and is a
@@ -874,6 +881,7 @@ final class IvfIndex(spark: SparkSession, path: String,
     if (!fs.rename(staged, live))
       sys.error(s"could not swap $staged into $live (backup at $bak)")
     fs.delete(bak, true)
+    centroidsMemo.invalidate()
   }
 
   private def fs =
@@ -898,10 +906,20 @@ final class IvfIndex(spark: SparkSession, path: String,
   /** The stored centroids, ordered by cid. [[recoverDir]] over the index
     * root first: a crash mid-[[writeCentroids]] leaves `.centroids.bak`
     * to restore — the root pointer must never read as missing. */
+  private lazy val centroidsMemo =
+    new graft.util.StampedMemo[Seq[Array[Float]]](() => fs,
+      Seq(centroidsPath))
   def centroids(): Seq[Array[Float]] = {
     recoverDir(path)
-    spark.read.parquet(centroidsPath).orderBy(col("cid"))
-      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    // memoized per instance, stamped by the centroids dir: every
+    // mutation goes through [[writeCentroids]]'s two-rename swap, which
+    // replaces the directory (fresh mtime) — and the k-vector table is
+    // small by the coarse-quantizer contract (√n-ish), so holding it on
+    // the driver costs what one probe already costs. r22 profile: this
+    // read+collect pair scheduled 5x per q203 lifecycle walk.
+    centroidsMemo(
+      spark.read.parquet(centroidsPath).orderBy(col("cid"))
+        .collect().map(_.getSeq[Float](1).toArray).toSeq)
   }
 
   /** Exact cosine top-k WITHIN the nprobe best lists for `query` —

@@ -67,10 +67,14 @@ final class NgramLm(spark: SparkSession, path: String) {
     fs.delete(bak, true)
   }
 
-  /** The version the pointer currently names. */
+  /** The version the pointer currently names — memoized per instance,
+    * stamped by the pointer dir (every flip goes through
+    * [[writePointer]]'s two-rename swap, a fresh directory). */
+  private lazy val versionMemo =
+    new graft.util.StampedMemo[Int](() => fs, Seq(pointerLive.toString))
   def currentVersion(): Int = {
     recoverPointer()
-    spark.read.parquet(pointerLive.toString).head().getInt(0)
+    versionMemo(spark.read.parquet(pointerLive.toString).head().getInt(0))
   }
 
   private def counts(docs: DataFrame, idCol: String, text: Column) = (

@@ -67,8 +67,12 @@ final class QueryStore(spark: SparkSession, path: String, buckets: Int = 16) {
     (java.lang.Long.parseLong(hex, 16) % b).toInt
   }
 
+  // stored bucket count: immutable between build()s — memoized per
+  // instance, stamped by the meta dir (the InvertedIndex rule)
+  private lazy val bucketsMemo =
+    new graft.util.StampedMemo[Int](() => fs, Seq(metaPath))
   private def readBuckets(): Int =
-    spark.read.parquet(metaPath).head().getInt(0)
+    bucketsMemo(spark.read.parquet(metaPath).head().getInt(0))
 
   /** Roll back a crashed [[vacuum]] swap (the [[InvertedIndex]] recover
     * rule: visible `.bak` with the live dir missing ⇒ restore; with the
