@@ -1870,8 +1870,7 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val dir = java.nio.file.Files.createTempDirectory("graft_pq_carry").toString
       val idx = new graft.sources.IvfIndex(s, s"$dir/ivf")
-      idx.build(embs, "vec_id", "embedding", coarse)
-      idx.buildPq(embs, "vec_id", "embedding", coarse, books)
+      idx.buildWithPq(embs, "vec_id", "embedding", coarse, books) // one assign pass (r22)
       val newId = idx.splitList(0, lloydIters = 1).map(_._1)
         .getOrElse(sys.error("fixture list 0 must split"))
       idx.mergeLists(0, newId)

@@ -50,6 +50,13 @@ object GraphAnn {
     * 128 keeps the capped candidate payload ≤ ~64k vectors per node. */
   val MaxDegree = 128
 
+  /** Widest beam the driver-side walk accepts — bounds every isin
+    * literal list (frontier ≤ beam, fresh ≤ beam·MaxDegree, both InSet
+    * past the conversion threshold) and the walk's driver memory. Every
+    * engine serve uses beams ≤ 32; wider-but-bounded callers fall back
+    * to the distributed loop. */
+  val DriverWalkMaxBeam = 256
+
   private def fdot(a: Seq[Float], b: Seq[Float]): Double = {
     var s = 0.0; var i = 0
     val n = math.min(a.length, b.length)
@@ -309,6 +316,57 @@ object GraphAnn {
         (vecMagnitude(col("v")) * lit(qMag) + lit(CosineEps))).as("cos"))
     val bucketExpr: Column => Column =
       frontierBucket.getOrElse((_: Column) => lit(0))
+    // Bounded beams walk DRIVER-SIDE (r22): the visited set of a
+    // width-b walk is ≤ b·degree·hops (id, cos) pairs — the engine's
+    // bounded-scalar-anchor class — while the DataFrame loop paid ~5
+    // AQE exchange-stage jobs per hop (window sort, frontier joins,
+    // union, digest agg; q352 profiled 149 such jobs). Here a hop is
+    // TWO narrow scans with no exchange: the frontier's pruned edge
+    // read (same gbucket partition filter, plus a src pushdown) and
+    // one scoring scan whose cosine is the SAME Spark expression the
+    // distributed walk evaluates — bit-identical values, same
+    // (cos desc, id asc) total order, same convergence rule, same
+    // maxHops (suite-pinned parity). The EXHAUSTIVE walk
+    // (beamWidth = Int.MaxValue, the q345-class oracle shape) keeps
+    // the distributed loop: its visited set is the reachable SET,
+    // unbounded by contract.
+    if (beamWidth <= DriverWalkMaxBeam) {
+      def score(ids: Seq[Long]): Seq[(Long, Double, Int)] =
+        if (ids.isEmpty) Nil
+        else nodes.filter(col("id").isin(ids: _*))
+          .select(col("id"), (vecDot(col("v"), q) /
+            (vecMagnitude(col("v")) * lit(qMag) + lit(CosineEps))).as("cos"),
+            bucketExpr(col("id")).cast(IntegerType).as("b"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val cosOf = scala.collection.mutable.HashMap.empty[Long, Double]
+      val bucketIdOf = scala.collection.mutable.HashMap.empty[Long, Int]
+      val expanded = scala.collection.mutable.HashSet.empty[Long]
+      val entry = entryId.getOrElse(medoid(embs, idCol, vecCol))
+      score(Seq(entry)).foreach { case (i, c, b) =>
+        cosOf(i) = c; bucketIdOf(i) = b }
+      def frontierNow(): Seq[Long] = cosOf.toSeq
+        .sortBy { case (i, c) => (-c, i) }.take(beamWidth)
+        .map(_._1).filterNot(expanded)
+      var hop = 0
+      var frontier = frontierNow()
+      while (frontier.nonEmpty && hop < maxHops) {
+        val bs = frontier.map(bucketIdOf).distinct.sorted
+        val dsts = hopEdges(frontier.toDF("id"), bs)
+          .filter(col("src").isin(frontier: _*))
+          .select(col("dst")).collect().map(_.getLong(0))
+        expanded ++= frontier
+        val fresh = dsts.distinct.filterNot(cosOf.contains).sorted
+        score(fresh).foreach { case (i, c, b) =>
+          cosOf(i) = c; bucketIdOf(i) = b }
+        hop += 1
+        frontier = frontierNow()
+      }
+      val vis = cosOf.toSeq.sortBy(_._1).toDF("id", "cos")
+      return resultFilter(vis)
+        .orderBy(col("cos").desc, col("id").asc).limit(k)
+        .select(col("id").as(idCol), round(col("cos"), 6).as("cosine"))
+        .localCheckpoint(true)
+    }
     def windowOf(vis: DataFrame): DataFrame =
       if (beamWidth == Int.MaxValue) vis
       else vis.orderBy(col("cos").desc, col("id").asc).limit(beamWidth)

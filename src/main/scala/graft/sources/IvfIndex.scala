@@ -1036,6 +1036,40 @@ final class IvfIndex(spark: SparkSession, path: String,
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
   }
 
+  /** [[build]] + [[buildPq]] from ONE shared assignment pass — the
+    * dual-layout deployment that maintains the raw lists AND the
+    * compressed codes over one coarse quantizer (r22: the two
+    * standalone builders each ran their own full corpus scan + argmax,
+    * and each rewrote the centroid table). Artifact rows are
+    * byte-identical to the two standalone calls (suite-pinned). */
+  def buildWithPq(embs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Array[Float]], books: Pq.Codebooks): Unit = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    import spark.implicits._
+    // one assignment pass feeds FOUR writes: raw sidecar, raw lists,
+    // pq sidecar, encoded codes
+    val assigned = Ann.ivfAssign(
+      embs.select(col(idCol).as("id"), col(vecCol).as("vector")),
+      "vector", coarse).localCheckpoint(false)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPath, assignMetaPath, overwrite = true)
+    assigned
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(listsPath)
+    writeAssign(assigned.select(col("id"), col("ivf_list")),
+      assignPqPath, assignPqMetaPath, overwrite = true)
+    Pq.encode(assigned, "vector", books)
+      .select(col("id"), col("codes"), col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(codesPath)
+    graft.util.Pins.release(assigned)
+    books.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(booksPath)
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath)
+  }
+
   /** Incremental append for the PQ codes layout (X130; the compressed
     * half of X124): assign the batch against the FROZEN stored coarse
     * centroids, encode with the FROZEN stored codebooks, append into the

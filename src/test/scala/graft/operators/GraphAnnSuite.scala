@@ -89,6 +89,26 @@ class GraphAnnSuite extends AnyFunSuite {
     graft.util.Pins.release(g)
   }
 
+  test("driver-side bounded walk == distributed exhaustive walk when the beam covers the reachable set") {
+    // beamWidth <= DriverWalkMaxBeam runs the r22 driver-orchestrated
+    // walk; Int.MaxValue runs the distributed loop. With a beam wider
+    // than the whole graph the window never cuts, so both must visit
+    // the identical set and return identical (id, cosine) rows — this
+    // pins the driver path's scoring, tie rule and convergence against
+    // the distributed implementation it replaced for bounded beams.
+    val adj = knnGraph(embs, 5).localCheckpoint(true)
+    assert(embs.count() <= GraphAnn.DriverWalkMaxBeam)
+    val driver = GraphAnn.beamSearchTopK(adj, embs, "vec_id", "embedding",
+        query, k = 7, beamWidth = GraphAnn.DriverWalkMaxBeam,
+        entryId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dist = GraphAnn.beamSearchTopK(adj, embs, "vec_id", "embedding",
+        query, k = 7, beamWidth = Int.MaxValue, entryId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(driver === dist)
+    graft.util.Pins.release(adj)
+  }
+
   test("beamSweep: recall non-decreasing in beam, exhaustive beam exact on a connected graph") {
     val adj = knnGraph(embs, 5).localCheckpoint(true)
     val qs = Seq(3L -> vecs(3)._2.toArray, 9L -> vecs(9)._2.toArray)

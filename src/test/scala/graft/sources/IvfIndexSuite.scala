@@ -265,6 +265,29 @@ class IvfIndexSuite extends AnyFunSuite {
       "ADC must score codes, never the raw vectors")
   }
 
+  test("buildWithPq ≡ build + buildPq: raw and ADC searches bit-identical") {
+    import graft.operators.Pq
+    val books = Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
+    val d1 = Files.createTempDirectory("graft_ivf_two").toString
+    val two = new IvfIndex(spark, s"$d1/ivf")
+    two.build(embs, "vec_id", "embedding", cents)
+    two.buildPq(embs, "vec_id", "embedding", cents, books)
+    val d2 = Files.createTempDirectory("graft_ivf_one").toString
+    val one = new IvfIndex(spark, s"$d2/ivf")
+    one.buildWithPq(embs, "vec_id", "embedding", cents, books)
+    def raw(i: IvfIndex) = i.search(query, k = 8, nprobe = cents.size)
+      .orderBy("id").collect().toSeq
+    def adc(i: IvfIndex) = i.searchPq(query, topK = 8, nprobe = cents.size)
+      .orderBy("id").collect().toSeq
+    assert(raw(one) === raw(two))
+    assert(adc(one) === adc(two))
+    assert(one.centroids().map(_.toSeq) === two.centroids().map(_.toSeq))
+    // the shared-pass layout must keep the delete machinery honest too
+    one.delete(Seq(3L, 9L).toDF("id"))
+    two.delete(Seq(3L, 9L).toDF("id"))
+    assert(raw(one) === raw(two))
+  }
+
   test("PQ append parity: buildPq(evens) + appendPq(odds) ≡ buildPq(all)") {
     val dir = Files.createTempDirectory("graft_ivfpq_append_test").toString
     val books = graft.operators.Pq.seedCodebooks(embs, "vec_id", "embedding", m = 4, k = 4)
