@@ -4236,15 +4236,20 @@ object SparkEntry {
     def ranked(df: DataFrame, scoreCol: String) = df
       .withColumn("rank", row_number().over(
         Window.orderBy(col(scoreCol).desc, col("vec_id").asc)))
-    val bmLeg = ranked(inv.bm25(corrected, k = 20, msm = 2)
+    // the BM25 leg and the PRF leg share ONE per-doc tf frame (r22;
+    // pin released after the eager fusion checkpoint materializes both)
+    val (bmTopK, prfTopK, sharedPerDoc) =
+      inv.bm25AndExpanded(corrected, k = 20, msm = 2, fbDocs = 5, fbTerms = 5)
+    val bmLeg = ranked(bmTopK
       .select(col("doc_id").as("vec_id"), col("score")), "score")
     val cosLeg = ranked(ivf.search(qv, k = 20, nprobe = 4)
       .select(col("id").as("vec_id"), col("cosine")), "cosine")
-    val prfLeg = ranked(inv.expandedBm25(corrected, k = 20,
-        fbDocs = 5, fbTerms = 5)
+    val prfLeg = ranked(prfTopK
       .select(col("doc_id").as("vec_id"), col("score")), "score")
-    (Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
-      .localCheckpoint(true), inv)
+    val fused = Ann.rrfFuse(Seq(bmLeg, cosLeg, prfLeg), "vec_id", k = 10)
+      .localCheckpoint(true)
+    graft.util.Pins.release(sharedPerDoc)
+    (fused, inv)
   }
 
   /** The corpus vocabulary ranked (df DESC, term ASC) with a 1-based
@@ -4255,7 +4260,10 @@ object SparkEntry {
     t(s, d, "documents")
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
-      .filter(col("term") =!= "").distinct()
+      .filter(col("term") =!= "")
+      // no pre-distinct: count_distinct(doc_id) dedups per term itself —
+      // the explicit distinct was a second full exchange over the
+      // exploded (doc, term) pairs for the identical df (r22)
       .groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .withColumn("rn", row_number().over(

@@ -2821,11 +2821,20 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     if (seedIds.isEmpty || fbTerms == 0)
       return bm25(queryTerms, k, k1, b)
+    val expansion = expansionTerms(queryTerms, seedIds, fbTerms)
+    bm25(queryTerms ++ expansion, k, k1, b)
+  }
+
+  /** The `fbTerms` most distinctive terms of the feedback docs (round-6
+    * Σtf·idf, query terms excluded, term-asc ties) — [[expandedBm25]]'s
+    * selection step, shared with [[bm25AndExpanded]]. */
+  private def expansionTerms(queryTerms: Seq[String], seedIds: Seq[Long],
+      fbTerms: Int): Seq[String] = {
     val n = liveDocCount()
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("__df").cast(DoubleType) + lit(0.5)) /
         (col("__df").cast(DoubleType) + lit(0.5)))
-    val expansion = docTerms(seedIds)
+    docTerms(seedIds)
       .groupBy(col("term")).agg(sum(col("tf")).cast(LongType).as("__ftf"))
       .filter(!col("term").isin(queryTerms: _*))
       .join(vocab().withColumnRenamed("df", "__df"), Seq("term"), "left")
@@ -2834,7 +2843,42 @@ final class InvertedIndex(spark: SparkSession, path: String,
       .orderBy(col("__w").desc, col("term").asc)
       .limit(fbTerms)
       .select(col("term")).collect().map(_.getString(0)).toSeq
-    bm25(queryTerms ++ expansion, k, k1, b)
+  }
+
+  /** The SERP pair — the plain msm-gated top-k AND the PRF-expanded
+    * top-k over the SAME query terms, sharing ONE per-doc tf frame
+    * (postings read + tf pivot + doclens join; standalone, [[bm25]] and
+    * [[expandedBm25]]'s seed pass each re-ran that front half — r22).
+    * The seed ranking is [[expandedBm25]]'s exactly (msm = 1 ⇒ gate
+    * true over the same perDoc), so both returned frames are
+    * bit-identical to the standalone pair (suite-pinned). Third element
+    * is the shared pin — the caller releases it after both consumers
+    * materialize ([[graft.util.Pins]] contract). */
+  def bm25AndExpanded(queryTerms: Seq[String], k: Int, msm: Int,
+      fbDocs: Int, fbTerms: Int, k1: Double = 1.2, b: Double = 0.75)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    require(queryTerms.nonEmpty, "no query terms")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate term in $queryTerms")
+    require(msm >= 1 && msm <= queryTerms.size,
+      s"msm must be in [1, ${queryTerms.size}], got $msm")
+    val (perDoc0, gate, stats) = bm25PerDoc(queryTerms, msm)
+    val perDoc = perDoc0.localCheckpoint(false)
+    val bmLeg = TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b,
+      gate, Some(stats))
+    val seedIds = TextAnalysis.bm25Rank(perDoc, queryTerms.size, fbDocs,
+        k1, b, lit(true), Some(stats))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val prfLeg =
+      if (seedIds.isEmpty || fbTerms == 0)
+        TextAnalysis.bm25Rank(perDoc, queryTerms.size, k, k1, b,
+          lit(true), Some(stats))
+      else bm25(queryTerms ++ expansionTerms(queryTerms, seedIds, fbTerms),
+        k, k1, b)
+    (bmLeg, prfLeg, perDoc)
   }
 
   /** Consistent on-disk SNAPSHOT of the whole index (X248 — the ES

@@ -67,4 +67,57 @@ class PinHygieneSuite extends AnyFunSuite {
     Pins.release(f)
     assert(pinCount - before <= 1, s"funnel event pin survived release: $before -> $pinCount")
   }
+
+  test("release discipline: no released checkpoint is ever recomputed (r21 verdict audit)") {
+    // The `lineage has been truncated and cannot be recomputed after
+    // unpersisting` warning is logged for EVERY unpersist of a local
+    // checkpoint — correct uses included. The failure mode it warns
+    // about is a consumer touching a released block, which aborts the
+    // job with a missing-checkpoint-block SparkException. This row
+    // drives the heaviest release choreography in the engine — an
+    // inverted-index append (shared lazily-checkpointed dl/tf
+    // aggregates, released after four staged writes) followed by every
+    // class of consumer those frames fed — and asserts the whole walk
+    // completes: any release-before-last-use would throw here, and a
+    // zero-failed-job listener pins that nothing retried either.
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        j.jobResult match {
+          case org.apache.spark.scheduler.JobSucceeded => ()
+          case _ => failed.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = (1L to 40L).map(i =>
+        (i, s"alpha beta w$i gamma " + ("delta " * (i % 3).toInt)))
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_release_audit").toString
+      val idx = new graft.sources.InvertedIndex(spark, s"$dir/inv")
+      idx.build(docs.filter($"doc_id" % 2 === 0), "doc_id", expr("text"))
+      idx.buildDerived(headLen = 4)
+      idx.append(docs.filter($"doc_id" % 2 =!= 0), "doc_id", expr("text"))
+      // consumers of everything the append staged: postings serve,
+      // block-max serve, fielded serve, forward serve, then the
+      // maintenance pass that applies/rebuilds the deltas
+      assert(idx.bm25(Seq("alpha", "beta"), k = 5).count() == 5)
+      assert(idx.bm25MaxScore(Seq("alpha", "gamma"), k = 5).count() == 5)
+      assert(idx.bm25fTopK(Seq("alpha"), k = 5).count() == 5)
+      assert(idx.moreLikeThis(2L, k = 5).count() > 0)
+      val acted = idx.maintainDerivedVerbose(maxStaleFrac = 0.1)
+        .select("artifact", "acted").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(acted.values.forall(identity), s"fixture must drift: $acted")
+      assert(idx.bm25(Seq("alpha", "beta"), k = 5).count() == 5)
+      // drain the async listener bus before reading the counter
+      var spins = 0
+      while (failed.get() == 0 && spins < 20) { Thread.sleep(50); spins += 1 }
+      assert(failed.get() == 0,
+        s"${failed.get()} Spark jobs failed during the release walk — " +
+          "a released checkpoint was touched")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
