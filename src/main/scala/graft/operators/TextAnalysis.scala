@@ -349,8 +349,14 @@ object TextAnalysis {
     * token pair, never crossing a document boundary; empty tokens drop,
     * matching [[postings]]. The shared generate stage under [[bigramTable]]
     * and [[lmScore]]. */
-  def bigramPairs(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+  def bigramPairs(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    bigramPairsFromToks(
+      docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks")))
+
+  /** [[bigramPairs]] over a pre-tokenized (doc_id, __toks) frame — the
+    * share-one-tokenize entry ([[graft.sources.NgramLm]] counts tri, bi
+    * AND uni from one pass). */
+  private[graft] def bigramPairsFromToks(toks: DataFrame): DataFrame = {
     // the `when` guard matters: sequence(0, size-2) with size < 2 counts
     // DOWN (sequence supports descending ranges), fabricating bigrams
     // from out-of-range element_at nulls; explode_outer (not explode)
@@ -447,8 +453,12 @@ object TextAnalysis {
     * it; the `when` guard stops `sequence` counting down on short docs;
     * `explode_outer` dodges InferFiltersFromGenerate re-inlining the
     * tokenize chain below the generate. */
-  def trigramTriples(docs: DataFrame, idCol: String, text: Column): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks"))
+  def trigramTriples(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    trigramTriplesFromToks(
+      docs.select(col(idCol).as("doc_id"), tokens(text).as("__toks")))
+
+  /** [[trigramTriples]] over a pre-tokenized (doc_id, __toks) frame. */
+  private[graft] def trigramTriplesFromToks(toks: DataFrame): DataFrame = {
     toks
       .select(col("doc_id"), explode_outer(
         when(size(col("__toks")) >= 3,

@@ -401,8 +401,8 @@ final class IvfIndex(spark: SparkSession, path: String,
     require(!fs.exists(dst), s"snapshot target $targetPath already exists")
     val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
     fs.delete(staging, true) // a crashed prior attempt's debris
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
-        false, spark.sparkContext.hadoopConfiguration))
+    if (!graft.util.TreeCopy.copy(fs, new Path(path), staging,
+        spark.sparkContext.hadoopConfiguration)) // file-parallel (r22)
       sys.error(s"snapshot copy to $staging failed")
     if (!fs.rename(staging, dst))
       sys.error(s"could not publish snapshot $staging -> $targetPath")

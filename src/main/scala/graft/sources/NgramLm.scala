@@ -77,13 +77,25 @@ final class NgramLm(spark: SparkSession, path: String) {
     versionMemo(spark.read.parquet(pointerLive.toString).head().getInt(0))
   }
 
-  private def counts(docs: DataFrame, idCol: String, text: Column) = (
-    TextAnalysis.trigramTriples(docs, idCol, text)
+  /** The three count tables from ONE tokenize pass (r22): tri, bi and
+    * uni all derive from the same per-doc token arrays, so the batch is
+    * tokenized once and pinned; the previous shape ran the regexp
+    * tokenizer and the corpus scan three times. Callers release the
+    * returned pin after the three tables are consumed. */
+  private def counts(docs: DataFrame, idCol: String, text: Column) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(text).as("__toks"))
+      .localCheckpoint(true)
+    (TextAnalysis.trigramTriplesFromToks(toks)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3")),
-    TextAnalysis.bigramPairs(docs, idCol, text)
+    TextAnalysis.bigramPairsFromToks(toks)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
-    TextAnalysis.positionalPostings(docs, idCol, text)
-      .groupBy(col("term")).agg(count(lit(1)).as("c1")))
+    toks.select(col("doc_id"),
+        posexplode_outer(col("__toks")).as(Seq("pos", "term")))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c1")),
+    toks)
+  }
 
   private def writeVersion(v: Int,
       tri: DataFrame, bi: DataFrame, uni: DataFrame): Unit = {
@@ -94,8 +106,9 @@ final class NgramLm(spark: SparkSession, path: String) {
 
   /** Count the reference corpus and publish version 1. */
   def build(refDocs: DataFrame, idCol: String, text: Column): Unit = {
-    val (tri, bi, uni) = counts(refDocs, idCol, text)
+    val (tri, bi, uni, toks) = counts(refDocs, idCol, text)
     writeVersion(1, tri, bi, uni)
+    graft.util.Pins.release(toks)
     writePointer(1)
   }
 
@@ -112,7 +125,7 @@ final class NgramLm(spark: SparkSession, path: String) {
     * until [[vacuum]]. */
   def append(docs: DataFrame, idCol: String, text: Column): Unit = {
     val v = currentVersion()
-    val (dTri, dBi, dUni) = counts(docs, idCol, text)
+    val (dTri, dBi, dUni, toks) = counts(docs, idCol, text)
     val (sTri, sBi, sUni) = readTables(v)
     def merge(stored: DataFrame, delta: DataFrame, keys: Seq[String],
         cnt: String) =
@@ -123,6 +136,7 @@ final class NgramLm(spark: SparkSession, path: String) {
       merge(sTri, dTri, Seq("w1", "w2", "w3"), "c3"),
       merge(sBi, dBi, Seq("w1", "w2"), "c2"),
       merge(sUni, dUni, Seq("term"), "c1"))
+    graft.util.Pins.release(toks)
     writePointer(v + 1)
   }
 
@@ -142,7 +156,7 @@ final class NgramLm(spark: SparkSession, path: String) {
     * stays on disk until [[vacuum]]. */
   def remove(docs: DataFrame, idCol: String, text: Column): Unit = {
     val v = currentVersion()
-    val (dTri, dBi, dUni) = counts(docs, idCol, text)
+    val (dTri, dBi, dUni, toks) = counts(docs, idCol, text)
     val (sTri, sBi, sUni) = readTables(v)
     def unmerge(stored: DataFrame, delta: DataFrame, keys: Seq[String],
         cnt: String) =
@@ -156,6 +170,7 @@ final class NgramLm(spark: SparkSession, path: String) {
       unmerge(sTri, dTri, Seq("w1", "w2", "w3"), "c3"),
       unmerge(sBi, dBi, Seq("w1", "w2"), "c2"),
       unmerge(sUni, dUni, Seq("term"), "c1"))
+    graft.util.Pins.release(toks)
     writePointer(v + 1)
   }
 
@@ -196,8 +211,8 @@ final class NgramLm(spark: SparkSession, path: String) {
     require(!fs.exists(dst), s"snapshot target $targetPath already exists")
     val staging = new Path(dst.getParent, s".${dst.getName}.snapstaging")
     fs.delete(staging, true) // a crashed prior attempt's debris
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs, staging,
-        false, spark.sparkContext.hadoopConfiguration))
+    if (!graft.util.TreeCopy.copy(fs, new Path(path), staging,
+        spark.sparkContext.hadoopConfiguration)) // file-parallel (r22)
       sys.error(s"snapshot copy to $staging failed")
     if (!fs.rename(staging, dst))
       sys.error(s"could not publish snapshot $staging -> $targetPath")
